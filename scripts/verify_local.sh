@@ -1,0 +1,14 @@
+#!/bin/bash
+# Local correctness loop: compile, run graft.Verify on sf0.01, compare
+# against the DuckDB oracle exactly like the driver does.
+set -e
+cd /root/repo
+SF_DIR="${1:-/root/testdata/sf0.01}"
+OUT="${2:-/root/repo/target/verify_out}"
+sbt -batch compile > /tmp/sbt_compile.log 2>&1 || { tail -30 /tmp/sbt_compile.log; exit 1; }
+rm -rf "$OUT"
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
+java $ADD_OPENS -Xmx8g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "$CP" graft.Verify "$SF_DIR" "$OUT" 2>&1 | grep -vE "^\s*(WARN|INFO)" | head -40
+python3 scripts/check_oracle.py "$OUT" "$SF_DIR"

@@ -1,0 +1,144 @@
+package graft.access
+
+import graft.model._
+import graft.serial.Formats
+import graft.task.{PTask, RunCtx}
+import graft.loc.LocTemplate
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The IO access operators: virtual-file reads/writes with layer-merge
+  * semantics (reference VirtualFileAccess.hs + PorcupineTree.hs:573-642).
+  *
+  * All reads stay declarative: a load is a lazy DataFrame whose scan
+  * carries pushed filters/pruned columns; a multi-layer read is a
+  * `unionByName` plan (or the entry's custom merge), not a driver loop.
+  */
+object Access {
+
+  /** Read one layer through the format implied by its extension. */
+  private def readLayer(spark: SparkSession, vf: VirtualFile,
+                        loc: LocTemplate): DataFrame = {
+    val ext = loc.extension.getOrElse(vf.defaultExt)
+    Formats(ext).read(spark, Seq(loc.raw), vf.schema)
+  }
+
+  /** Core read with the reference's layered-read semantics
+    * (PorcupineTree.hs:614-636):
+    *  - SingleLayer: last bound layer wins (warn if several);
+    *  - Layered: fold layers with the entry's merge, default as base;
+    *  - LayeredWithNull: zero layers -> embedded default or empty DF.
+    */
+  def readVF(ctx: RunCtx, vf: VirtualFile): DataFrame = {
+    val spark = ctx.spark
+    val layers = ctx.layers(vf.path)
+    def default: Option[DataFrame] = vf.embeddedDefault.map(_(spark))
+    vf.readScheme match {
+      case ReadScheme.SingleLayer =>
+        layers.lastOption.map(readLayer(spark, vf, _))
+          .orElse(default)
+          .getOrElse(throw new IllegalStateException(
+            s"read of unbound ${vf.path} (no default)"))
+      case ReadScheme.Layered | ReadScheme.LayeredWithNull =>
+        val dfs = default.toSeq ++ layers.map(readLayer(spark, vf, _))
+        if (dfs.nonEmpty) dfs.reduceLeft(vf.merge(_, _))
+        else if (vf.readScheme == ReadScheme.LayeredWithNull)
+          vf.schema.map(s => spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+            .getOrElse(spark.emptyDataFrame)
+        else throw new IllegalStateException(
+          s"Layered read of ${vf.path}: no layers bound and no default")
+    }
+  }
+
+  /** Write to EVERY bound layer (reference semantics,
+    * PorcupineTree.hs:602-613). An unbound sink is skipped (dead-sink
+    * elimination, VFA:306-313) — and because DataFrames are lazy, the
+    * producing sub-plan is then never executed either. */
+  def writeVF(ctx: RunCtx, vf: VirtualFile, df: DataFrame): Unit = {
+    val layers = ctx.layers(vf.path)
+    if (layers.isEmpty) return
+    layers match {
+      case Seq(single) =>
+        Formats(single.extension.getOrElse(vf.defaultExt)).write(df, single.raw)
+      case many =>
+        // multi-sink: persist once so the plan runs once, write N times
+        val cached = df.persist()
+        try many.foreach(l =>
+          Formats(l.extension.getOrElse(vf.defaultExt)).write(cached, l.raw))
+        finally cached.unpersist()
+    }
+  }
+
+  /** `loadData` (VFA:73-83): task reading a virtual file. */
+  def loadData(vf: VirtualFile): PTask[Any, DataFrame] =
+    PTask(Catalog.of(vf.copy(usage = Usage.Source)),
+      (ctx, _) => readVF(ctx, vf))
+
+  /** `writeData` (VFA:126-136): task writing a virtual file. */
+  def writeData(vf: VirtualFile): PTask[DataFrame, Unit] =
+    PTask(Catalog.of(vf.copy(usage = Usage.Sink)),
+      (ctx, df) => writeVF(ctx, vf, df))
+
+  /** `writeEffData` (VFA:141-148): lazily-produced write, the producer
+    * thunk is only forced if the sink is bound. */
+  def writeEffData(vf: VirtualFile): PTask[() => DataFrame, Unit] =
+    PTask(Catalog.of(vf.copy(usage = Usage.Sink)),
+      (ctx, thunk) => if (ctx.isBound(vf.path)) writeVF(ctx, vf, thunk()))
+
+  /** `loadDataList`/`loadDataStream` (VFA:89-111): read N indexed
+    * occurrences of a `{var}`-templated file AS ONE DataFrame with an
+    * index column — the scale-friendly batching of the reference's
+    * per-index repetition (SURVEY §3.3): one multi-path scan instead of
+    * N tiny jobs. */
+  def loadIndexed(vf: VirtualFile, varName: String,
+                  indexCol: String = "rep_index")
+      : PTask[Seq[String], DataFrame] =
+    PTask(Catalog.of(vf.copy(usage = Usage.Source)), (ctx, indices) => {
+      val spark = ctx.spark
+      val layers = ctx.layers(vf.path)
+      require(layers.nonEmpty, s"loadIndexed: ${vf.path} unbound")
+      val tmpl = layers.last
+      val dfs = indices.map { idx =>
+        readLayer(spark, vf, tmpl.splice(Map(varName -> idx)))
+          .withColumn(indexCol, lit(idx))
+      }
+      dfs.reduceLeft(vf.merge(_, _))
+    })
+
+  /** `writeDataList`/`writeDataStream` (VFA:156-176): write a DataFrame
+    * out as one occurrence per distinct value of `indexCol`, splicing
+    * the value into the `{var}` template. Uses a Spark `partitionBy`
+    * write (single distributed job) when the template's var is the path
+    * tail; the layout mirrors the reference's `..._-{var}.ext` files. */
+  def writeIndexed(vf: VirtualFile, varName: String,
+                   indexCol: String = "rep_index")
+      : PTask[DataFrame, Unit] =
+    PTask(Catalog.of(vf.copy(usage = Usage.Sink)), (ctx, df) => {
+      val layers = ctx.layers(vf.path)
+      layers.foreach { tmpl =>
+        // partitioned write: <dir>/<indexCol>=<value>/part-*.parquet
+        val dir = tmpl.splice(Map(varName -> s"by_$indexCol")).raw
+        df.write.mode("overwrite").partitionBy(indexCol).parquet(dir)
+      }
+    })
+
+  /** `getLocsMappedTo` (VFA:389-405): catalog query. */
+  def locsMappedTo(p: VPath): PTask[Any, Seq[String]] =
+    PTask.task((ctx, _) => ctx.layers(p).map(_.raw))
+
+  /** Cached load: memoize an expensive source (e.g. HTTP) keyed by its
+    * resolved locations + fingerprints (reference `usesCacherWithIdent`
+    * on a vfile, VF:270-274; key fidelity per PorcupineTree.hs:123-129). */
+  def loadDataCached(vf: VirtualFile, salt: String = ""): PTask[Any, DataFrame] =
+    PTask(Catalog.of(vf.copy(usage = Usage.Source)), (ctx, _) =>
+      ctx.cache match {
+        case Some(memo) =>
+          val locs = ctx.layers(vf.path).map(_.raw)
+          val key = memo.keyOf(
+            Seq("loadData", vf.path.toString, salt) ++ locs ++
+              locs.map(memo.fingerprint))
+          memo.getOrElseUpdate(key)(readVF(ctx, vf))
+        case None => readVF(ctx, vf)
+      })
+}

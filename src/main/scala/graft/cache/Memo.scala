@@ -1,0 +1,63 @@
+package graft.cache
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+/** Content-addressed DataFrame memo store.
+  *
+  * Spark-native form of the reference's funflow content store + cachers
+  * (PTask/Internal.hs:74-80,245-262; Caching.hs:52-123): a stage result
+  * is persisted as Parquet under `root/<sha256(key)>`; a later run with
+  * the same key reuses the files and skips recompute. Keys must include
+  * everything the result depends on — the stage's identity salt, its
+  * parameters, and the **resolved input locations + fingerprints**
+  * (the reference reruns when bound locations change,
+  * PorcupineTree.hs:123-129).
+  *
+  * The root can live on shared storage (s3a://...) for cluster-wide
+  * reuse — the reference's remote cache (FunflowRemoteCache.hs:32-59).
+  */
+final case class Memo(spark: SparkSession, root: String) {
+
+  def keyOf(parts: Seq[String]): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    parts.foreach { p => md.update(p.getBytes("UTF-8")); md.update(0.toByte) }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Fingerprint of a local path: file name, length, mtime of every
+    * file under it (cheap; content-hash would re-read TBs). */
+  def fingerprint(location: String): String = {
+    val p = Paths.get(location.stripPrefix("file:"))
+    if (!Files.exists(p)) s"absent:$location"
+    else {
+      import scala.jdk.CollectionConverters._
+      val entries = Files.walk(p).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(f => s"${p.relativize(f)}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
+        .toSeq.sorted
+      entries.mkString(";")
+    }
+  }
+
+  private def dirFor(key: String) = s"$root/$key"
+  private def okMarker(key: String) =
+    Paths.get(s"${dirFor(key).stripPrefix("file:")}/_GRAFT_OK")
+
+  def lookup(key: String): Option[DataFrame] =
+    if (Files.exists(okMarker(key))) Some(spark.read.parquet(dirFor(key)))
+    else None
+
+  def store(key: String, df: DataFrame): DataFrame = {
+    df.write.mode("overwrite").parquet(dirFor(key))
+    Files.createFile(okMarker(key))
+    spark.read.parquet(dirFor(key))
+  }
+
+  /** Memoize: on hit read back; on miss compute, persist, read back.
+    * (Reading back keeps downstream lineage rooted at the store — same
+    * behavior hit or miss.) */
+  def getOrElseUpdate(key: String)(compute: => DataFrame): DataFrame =
+    lookup(key).getOrElse(store(key, compute))
+}

@@ -1,0 +1,51 @@
+package graft.loc
+
+/** A physical location string possibly containing `{variable}` holes.
+  *
+  * Spark-native form of the reference's `LocWithVars` / `StringWithVars`
+  * (porcupine-core/src/Data/Locations/Loc.hs:55-61,130-167) with splicing
+  * per Loc.hs:183-198. Locations are URI strings handed to Spark readers
+  * (file:/ s3a:/ hdfs:/ ... dispatch is Hadoop's job, reference
+  * Accessors.hs:314-362).
+  */
+final case class LocTemplate(raw: String) {
+  import LocTemplate.VarRe
+
+  def variables: Seq[String] =
+    VarRe.findAllMatchIn(raw).map(_.group(1)).toSeq.distinct
+
+  def isFullySpliced: Boolean = variables.isEmpty
+
+  /** Substitute `{var}` holes; unknown vars are left in place (so a
+    * later splice — e.g. a repetition index — can fill them). */
+  def splice(vars: Map[String, String]): LocTemplate =
+    LocTemplate(VarRe.replaceAllIn(raw, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        vars.getOrElse(m.group(1), m.matched))))
+
+  /** Expand over an index set for one variable: the repetition path
+    * pattern `.../User-{userId}.json` -> one concrete path per index
+    * (reference REPI:102-131 + VirtualFile.hs:112-129). */
+  def expand(varName: String, indices: Seq[String]): Seq[LocTemplate] =
+    indices.map(i => splice(Map(varName -> i)))
+
+  def extension: Option[String] = {
+    val name = raw.substring(raw.lastIndexOf('/') + 1)
+    val dot = name.lastIndexOf('.')
+    if (dot <= 0) None else Some(name.substring(dot + 1))
+  }
+
+  /** Append a default extension if the location has none
+    * (PorcupineTree.hs:512-529). */
+  def withDefaultExt(ext: String): LocTemplate =
+    if (extension.isDefined) this else LocTemplate(s"$raw.$ext")
+
+  def /(child: String): LocTemplate =
+    LocTemplate(if (raw.endsWith("/")) raw + child else s"$raw/$child")
+
+  override def toString: String = raw
+}
+
+object LocTemplate {
+  private val VarRe = """\{([A-Za-z0-9_]+)\}""".r
+}

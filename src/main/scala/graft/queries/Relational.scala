@@ -1,0 +1,361 @@
+package graft.queries
+
+import graft.fold.FoldCol
+import graft.rep.Repetition
+import graft.task.PTask
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational operator surface declared in SURVEY §2.E's set:
+  * scans, project/filter, flatMap, group-by aggregates, one-pass
+  * multi-agg (FoldA), distinct, union (layer merge), joins, sort/limit,
+  * window, repetition over index sets, partitioned-write round-trip.
+  *
+  * Every query is deterministic (ORDER BY a unique key; decimal-exact
+  * sums) so the driver's DuckDB hash-compare is stable.
+  *
+  * Scale notes are per-query; the common ones: filters/projections are
+  * `Column` exprs (pushed into the parquet scan), small dims are
+  * broadcast, aggregates are partial (map-side combine) by construction.
+  */
+object Relational {
+  import Star._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- scan + group-by aggregate (TPC-H Q1 shape). Partial agg on
+    //     6 groups => the shuffle moves ~6 rows/partition at any SF.
+    "q01_agg" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sumDec($"l_quantity").as("sum_qty"),
+          sumDec($"l_extendedprice").as("sum_base_price"),
+          sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+            .cast("double").as("sum_disc_price"),
+          (sumDec($"l_quantity") / count($"l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // --- projection + filter: both reach the parquet scan
+    //     (PushedFilters / 3-column ReadSchema).
+    "q02_project_filter" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "lineitem")
+        .filter($"l_quantity" > 45 &&
+          $"l_shipdate" >= lit("2000-01-01").cast("timestamp"))
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+          $"l_extendedprice")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // --- sort + limit (top-k): Spark TakeOrderedAndProject — no global
+    //     sort, each partition keeps k rows.
+    "q03_topk" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(10)
+    }),
+
+    // --- broadcast join chain over the dimension tables: no shuffle of
+    //     the fact side at any SF (region/nation are tiny by schema).
+    "q04_join_broadcast" -> ((s, dir) => {
+      import s.implicits._
+      val customer = table(s, dir, "customer")
+      val nation = broadcast(table(s, dir, "nation"))
+      val region = broadcast(table(s, dir, "region"))
+      customer
+        .join(nation, $"c_nationkey" === $"n_nationkey")
+        .join(region, $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(count(lit(1)).as("n_customers"),
+          sumDec($"c_acctbal").as("sum_acctbal"))
+        .orderBy($"r_name")
+    }),
+
+    // --- fact-to-fact shuffle join on the natural key; AQE picks the
+    //     physical strategy, partial aggs on both sides of the join.
+    "q05_join_shuffle" -> ((s, dir) => {
+      import s.implicits._
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(
+          sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // --- group-by-key count: the reference example1's letter-histogram
+    //     semantics (HM.fromListWith (+), Example1.hs:37-40).
+    "q06_group_count" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sumDec($"o_totalprice").as("sum_price"))
+        .orderBy($"o_custkey")
+    }),
+
+    // --- distinct (dedup of the declared set).
+    "q07_distinct" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_linestatus").distinct()
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // --- union-of-layers merge (the reference's Layered read monoid,
+    //     SURVEY §1.5) then aggregate; unionByName is a no-shuffle plan.
+    "q08_union" -> ((s, dir) => {
+      import s.implicits._
+      val o = table(s, dir, "orders")
+      val hi = o.filter($"o_totalprice" > 150000.0)
+      val ur = o.filter($"o_orderstatus" === "O")
+      hi.unionByName(ur)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), sumDec($"o_totalprice").as("sum_price"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // --- one-pass multi-aggregate through the FoldA algebra: three
+    //     folds composed applicatively run as ONE df.agg (FoldA.hs
+    //     Applicative, radon foldSummary parity).
+    "q09_fold_multiagg" -> ((s, dir) => {
+      import s.implicits._
+      val li = table(s, dir, "lineitem")
+      val fold = FoldCol.count
+        .zip(FoldCol.countDistinctOf($"l_suppkey"))
+        .zip(FoldCol.sumD(dec($"l_quantity")))
+      // exercise the algebra (one pass over a collected agg row), then
+      // express the same thing as a 1-row DataFrame for the oracle:
+      val ((nRows, nSupp), sumQty) = fold.run(li)
+      s.createDataFrame(Seq((nRows, nSupp, sumQty)))
+        .toDF("n_rows", "n_supp", "sum_qty")
+    }),
+
+    // --- window functions: rank + running total per customer.
+    "q10_window" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      table(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running_price",
+          sum(dec($"o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .filter($"rn" <= 3)
+        // row_number is int in Spark but BIGINT in DuckDB — align types
+        .select($"o_custkey", $"rn".cast("long").as("rn"), $"o_orderkey",
+          $"running_price")
+        .orderBy($"o_custkey", $"rn")
+    }),
+
+    // --- semi join (EXISTS): customers with an open order.
+    "q11_semijoin" -> ((s, dir) => {
+      import s.implicits._
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders").filter($"o_orderstatus" === "O")
+      c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    }),
+
+    // --- anti join (NOT EXISTS): customers with no big-ticket order.
+    "q12_antijoin" -> ((s, dir) => {
+      import s.implicits._
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders").filter($"o_totalprice" > 250000.0)
+      c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    // --- flatMap/explode (the reference's stream concatMap filters,
+    //     STU:81-107): tokenize documents, top tokens.
+    "q13_explode_tokens" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "documents")
+        .select(explode(split($"text", " ")).as("token"))
+        .filter($"token" =!= "")
+        .groupBy($"token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"token".asc)
+        .limit(50)
+    }),
+
+    // --- multi-agg incl. sorted distinct-collect (radon foldSummary:
+    //     count / L.nub states / distinct county count).
+    "q14_fold_collect" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        sort_array(collect_set($"l_returnflag")).as("flags"),
+        count_distinct($"l_suppkey").as("n_supp"))
+    }),
+
+    // --- repetition over an index set (parMapTask + IndexRange,
+    //     REP:61-67,114-181): 5 parameterized sub-pipelines fanned out
+    //     in the driver, each a lazy filtered-agg plan, unioned.
+    "q15_rep_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val indices = Repetition.parseIndexRange("0..4")
+      val one: PTask[String, DataFrame] = PTask.task((ctx, idx) =>
+        table(s, dir, "orders")
+          .filter($"o_custkey" % 5 === idx.toLong)
+          .agg(count(lit(1)).as("n"), sumDec($"o_totalprice").as("sum_price"))
+          .withColumn("idx", lit(idx.toLong)))
+      val rep = Repetition.seqMapTask("bucket", one)
+      val parts = graft.Pipeline.run(s, rep, graft.loc.Mappings.empty,
+        indices.map(i => i -> i))
+      parts.map(_._2).reduce(_.unionByName(_))
+        .select($"idx", $"n", $"sum_price")
+        .orderBy($"idx")
+    }),
+
+    // --- event-time tumbling window aggregation (batch form of the
+    //     streaming fold surface, SURVEY §2.J).
+    "q16_events_hourly" -> ((s, dir) => {
+      import s.implicits._
+      Star.events(s, dir)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+        .agg(count(lit(1)).as("n"), sumDec10($"value").as("sum_value"))
+        .orderBy($"event_type", $"hour")
+    }),
+
+    // --- semi-structured JSON column extraction (reference aeson
+    //     Value serial, SER:268-314): props -> typed field.
+    "q17_events_json" -> ((s, dir) => {
+      import s.implicits._
+      Star.events(s, dir)
+        .select($"event_type",
+          get_json_object($"props", "$.k").cast("long").as("k"))
+        .groupBy($"event_type")
+        .agg(sum($"k").as("sum_k"), count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    }),
+
+    // --- partitioned-write round-trip (writeDataList/partitionBy
+    //     layout, VFA:156-176): write orders partitioned by status,
+    //     read back, verify per-partition counts.
+    "q18_partitioned_write" -> ((s, dir) => {
+      import s.implicits._
+      val scratch = s"/root/repo/target/scratch/q18_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      table(s, dir, "orders")
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(scratch)
+      s.read.parquet(scratch)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), sumDec($"o_totalprice").as("sum_price"))
+        .orderBy($"o_orderstatus")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           COUNT(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_project_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem
+         WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '2000-01-01'
+         ORDER BY l_orderkey, l_linenumber""",
+    "q03_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q04_join_broadcast" ->
+      """SELECT r_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q05_join_shuffle" ->
+      """SELECT o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q06_group_count" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "q07_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "q08_union" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM (
+           SELECT * FROM orders WHERE o_totalprice > 150000.0
+           UNION ALL
+           SELECT * FROM orders WHERE o_orderstatus = 'O'
+         ) GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q09_fold_multiagg" ->
+      """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_suppkey) AS n_supp,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem""",
+    "q10_window" ->
+      """SELECT o_custkey, rn, o_orderkey, running_price FROM (
+           SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER w AS rn,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_price
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q11_semijoin" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+         ORDER BY c_custkey""",
+    "q12_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_totalprice > 250000.0)
+         ORDER BY c_custkey""",
+    "q13_explode_tokens" ->
+      """SELECT token, COUNT(*) AS n FROM (
+           SELECT unnest(string_split(text, ' ')) AS token FROM documents
+         ) WHERE token <> ''
+         GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""",
+    "q14_fold_collect" ->
+      """SELECT COUNT(*) AS n_rows,
+           list_sort(list(DISTINCT l_returnflag)) AS flags,
+           COUNT(DISTINCT l_suppkey) AS n_supp
+         FROM lineitem""",
+    "q15_rep_indexed" ->
+      """SELECT o_custkey % 5 AS idx, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q16_events_hourly" ->
+      """SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY event_type, hour""",
+    "q17_events_json" ->
+      """SELECT event_type,
+           CAST(SUM(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q18_partitioned_write" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+  )
+}

@@ -1,0 +1,43 @@
+package graft.queries
+
+import graft.access.Access
+import graft.loc.Mappings
+import graft.model.{Usage, VPath, VirtualFile}
+import graft.Pipeline
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Test-data star schema exposed through the engine's catalog machinery:
+  * every table access goes VirtualFile -> Mappings.root(dir) -> bind ->
+  * Access.loadData, i.e. the same path a user pipeline takes (reference
+  * lifecycle SURVEY §3.1). The resulting plan is still a bare parquet
+  * scan — the catalog adds zero runtime overhead.
+  */
+object Star {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val vf = VirtualFile(VPath("/" + name), Seq("parquet"), Usage.Source)
+    Pipeline.run(spark, Access.loadData(vf), Mappings.root(dir), ())
+  }
+
+  /** `events` carries a TIMESTAMP(NANOS) parquet column, which Spark 4
+    * only reads with `spark.sql.legacy.parquet.nanosAsLong=true` (set
+    * in Verify/Bench sessions). Normalize: if `ts` arrived as nanos
+    * since epoch (long), convert to a proper TimestampType. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => df
+    }
+  }
+
+  /** Exact money/measure arithmetic for oracle parity: sums over a
+    * decimal cast are order-independent (unlike double sums, which vary
+    * with partition order), so Spark and DuckDB agree bit-for-bit after
+    * the final cast back to double. */
+  def dec(c: Column): Column = c.cast("decimal(18,2)")
+  def sumDec(c: Column): Column = sum(dec(c)).cast("double")
+  /** High-scale variant for non-money doubles (events.value). */
+  def sumDec10(c: Column): Column = sum(c.cast("decimal(28,10)")).cast("double")
+}

@@ -1,0 +1,124 @@
+package graft.serial
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** One serialization method: how a format extension reads into / writes
+  * from a DataFrame.
+  *
+  * Spark-native form of the reference's `SerialsFor` bundle
+  * (porcupine-core/src/Data/Locations/SerializationMethod.hs:606-611):
+  * the (TypeRep, FileExt)-indexed reader/writer maps collapse to
+  * ext-indexed Spark reader/writer configs — Spark's own row encoders
+  * replace the per-type decode functions.
+  */
+trait Format {
+  def ext: String
+  def read(spark: SparkSession, paths: Seq[String],
+           schema: Option[StructType]): DataFrame
+  def write(df: DataFrame, path: String): Unit
+}
+
+object Formats {
+
+  /** Parquet — our native format (the testdata's format; the reference
+    * has no columnar serial, SURVEY §1.4 — this is the 100TB-scale
+    * default: columnar, predicate-pushdown, partition-prunable). */
+  object Parquet extends Format {
+    val ext = "parquet"
+    def read(s: SparkSession, paths: Seq[String], schema: Option[StructType]) = {
+      val r = s.read
+      schema.foreach(r.schema)
+      r.parquet(paths: _*)
+    }
+    def write(df: DataFrame, path: String): Unit =
+      df.write.mode("overwrite").parquet(path)
+  }
+
+  /** JSON lines (+ whole-doc via multiLine) — reference aeson serial
+    * SerializationMethod.hs:268-314. */
+  final case class Json(multiLine: Boolean = false) extends Format {
+    val ext = "json"
+    def read(s: SparkSession, paths: Seq[String], schema: Option[StructType]) = {
+      val r = s.read.option("multiLine", multiLine.toString)
+      schema.foreach(r.schema)
+      r.json(paths: _*)
+    }
+    def write(df: DataFrame, path: String): Unit =
+      df.write.mode("overwrite").json(path)
+  }
+
+  /** CSV with configurable delimiter + header — reference
+    * SerializationMethod.hs:426-512 (`Tabular` = headerless positional,
+    * `Records` = header-named). */
+  final case class Csv(header: Boolean = true, delimiter: String = ",")
+      extends Format {
+    val ext = "csv"
+    def read(s: SparkSession, paths: Seq[String], schema: Option[StructType]) = {
+      val r = s.read.option("header", header.toString)
+        .option("delimiter", delimiter)
+      schema.fold(r.option("inferSchema", "true"))(r.schema)
+      r.csv(paths: _*)
+    }
+    def write(df: DataFrame, path: String): Unit =
+      df.write.mode("overwrite").option("header", header.toString)
+        .option("delimiter", delimiter).csv(path)
+  }
+
+  /** Plain text, one row per line (or wholetext) — reference
+    * SerializationMethod.hs:540-574. */
+  final case class Txt(whole: Boolean = false) extends Format {
+    val ext = "txt"
+    def read(s: SparkSession, paths: Seq[String], schema: Option[StructType]) =
+      s.read.option("wholetext", whole.toString).text(paths: _*)
+    def write(df: DataFrame, path: String): Unit =
+      df.write.mode("overwrite").text(path)
+  }
+
+  /** Raw bytes as `binaryFile` rows (path, modificationTime, length,
+    * content) — reference ByteString serial SerializationMethod.hs:
+    * 514-538; also the ingest point for multimodal (image/audio) blobs. */
+  object Bin extends Format {
+    val ext = "bin"
+    def read(s: SparkSession, paths: Seq[String], schema: Option[StructType]) =
+      s.read.format("binaryFile").load(paths: _*)
+    def write(df: DataFrame, path: String): Unit =
+      throw new UnsupportedOperationException(
+        "binary sink: write per-row blobs via Multimodal.writeBlobs")
+  }
+
+  /** YAML (job specs & small config-ish data). Parsed driver-side with
+    * the dependency-free subset parser in [[Yaml]], then distributed via
+    * spark.read.json — YAML payloads are config-sized by construction
+    * (reference uses YAML only for options/specs, SURVEY §2.G/§2.I). */
+  object YamlFmt extends Format {
+    val ext = "yaml"
+    def read(s: SparkSession, paths: Seq[String], schema: Option[StructType]) = {
+      import scala.jdk.CollectionConverters._
+      val jsons = paths.map { p =>
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p.stripPrefix("file:"))), "UTF-8")
+        Yaml.toJson(Yaml.parse(txt))
+      }
+      val ds = s.createDataset(jsons)(s.implicits.newStringEncoder)
+      val r = s.read
+      schema.foreach(r.schema)
+      r.json(ds)
+    }
+    def write(df: DataFrame, path: String): Unit =
+      df.write.mode("overwrite").json(path) // YAML is a JSON superset
+  }
+
+  val builtins: Map[String, Format] = Map(
+    "parquet" -> Parquet,
+    "json" -> Json(),
+    "csv" -> Csv(),
+    "txt" -> Txt(),
+    "bin" -> Bin,
+    "yaml" -> YamlFmt,
+    "yml" -> YamlFmt
+  )
+
+  def apply(ext: String): Format = builtins.getOrElse(
+    ext, throw new IllegalArgumentException(s"unsupported format: .$ext"))
+}

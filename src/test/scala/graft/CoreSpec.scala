@@ -1,0 +1,138 @@
+package graft
+
+import graft.model._
+import graft.loc._
+import graft.serial._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-core unit tests (no SparkSession): catalog laws, mapping
+  * resolution, templating, YAML/JSON config parsing — mirrors the
+  * reference's test surface (PTask.hs tests: identity, namespace,
+  * subtree re-rooting; SURVEY §5). */
+class CoreSpec extends AnyFunSuite {
+
+  test("VPath parse/render round-trip") {
+    assert(VPath("/Inputs/User").toString == "/Inputs/User")
+    assert(VPath("Inputs/User") == VPath("/Inputs/User"))
+    assert((VPath("/a") / "b").segments == Vector("a", "b"))
+  }
+
+  test("catalog merge is monoidal and detects schema clashes") {
+    import org.apache.spark.sql.types._
+    val a = VirtualFile(VPath("/x"), Seq("json"),
+      schema = Some(StructType(Seq(StructField("i", IntegerType)))))
+    val b = VirtualFile(VPath("/x"), Seq("csv"))
+    val merged = Catalog.of(a) ++ Catalog.of(b)
+    assert(merged(VPath("/x")).formats == Seq("json", "csv"))
+    val clash = VirtualFile(VPath("/x"), Seq("json"),
+      schema = Some(StructType(Seq(StructField("s", StringType)))))
+    assertThrows[IllegalArgumentException](Catalog.of(a) ++ Catalog.of(clash))
+  }
+
+  test("loc template splice + expansion + default ext") {
+    val t = LocTemplate("/data/User-{userId}.json")
+    assert(t.variables == Seq("userId"))
+    assert(t.splice(Map("userId" -> "7")).raw == "/data/User-7.json")
+    assert(t.expand("userId", Seq("1", "2")).map(_.raw) ==
+      Seq("/data/User-1.json", "/data/User-2.json"))
+    assert(LocTemplate("/d/f").withDefaultExt("parquet").raw == "/d/f.parquet")
+    assert(LocTemplate("/d/f.csv").withDefaultExt("parquet").raw == "/d/f.csv")
+  }
+
+  test("mapping inheritance: child defaults to parentDir/name.defaultExt") {
+    val m = Mappings.root("/data")
+    val r = m.layersFor(VPath("/Inputs/users"), "json")
+    assert(r == Resolved.Bound(Seq(LocTemplate("/data/Inputs/users.json"))))
+  }
+
+  test("mapping shortcuts: explicit, inherit-with-suffix, unmapped, +=") {
+    val m = Mappings.root("/data")
+      .set(VPath("/Inputs/User"), MappingRhs.parse("_-{userId}.json"))
+      .set(VPath("/debug/out"), MappingRhs.parse("null"))
+      .addLayer(VPath("/Inputs/extra"), LocTemplate("/other/extra.csv"))
+      .withVariable("userId", "42")
+    assert(m.layersFor(VPath("/Inputs/User"), "json") ==
+      Resolved.Bound(Seq(LocTemplate("/data/Inputs/User-42.json"))))
+    assert(m.layersFor(VPath("/debug/out"), "json") == Resolved.Unbound)
+    assert(m.layersFor(VPath("/Inputs/extra"), "csv") ==
+      Resolved.Bound(Seq(LocTemplate("/other/extra.csv"))))
+  }
+
+  test("bind validates unbound required input and bad extension") {
+    val cat = Catalog.of(VirtualFile(VPath("/in"), Seq("json"), Usage.Source))
+    assertThrows[IllegalStateException](Mappings.empty.bind(cat))
+    val badExt = Mappings.empty.set(VPath("/in"),
+      MappingRhs.Layers(Seq(LocTemplate("/d/in.csv"))))
+    assertThrows[IllegalStateException](badExt.bind(cat))
+    val ok = Mappings.root("/d")
+    assert(ok.bind(cat)(VPath("/in")) ==
+      Resolved.Bound(Seq(LocTemplate("/d/in.json"))))
+  }
+
+  test("IndexRange syntax: ranges, lists, singletons") {
+    import graft.rep.Repetition.parseIndexRange
+    assert(parseIndexRange("0..3") == Seq("0", "1", "2", "3"))
+    assert(parseIndexRange("[0..2, 5, 7..8]") ==
+      Seq("0", "1", "2", "5", "7", "8"))
+    assert(parseIndexRange("a,b") == Seq("a", "b"))
+  }
+
+  test("JSON parse/render round-trip") {
+    val j = JValue.parse("""{"a": 1, "b": [true, null, "x\n"], "c": {"d": 2.5}}""")
+    assert((j \ "a").contains(JNum(1)))
+    assert((j \ "c").flatMap(_ \ "d").contains(JNum(2.5)))
+    assert(JValue.parse(j.render) == j)
+  }
+
+  test("YAML subset: block maps, lists, inline flow, comments, quotes") {
+    val y = Yaml.parse(
+      """# job spec
+        |variables: {folder: experiment1}
+        |data:
+        |  Settings: {users: "0..10"}
+        |locations:
+        |  /: porcupine-core/examples/data   # root mapping
+        |  /Inputs/User: "_-{userId}.json"
+        |  /Outputs/Analysis: [a.json, b.json]
+        |  /debug/radon-filtered: null
+        |list:
+        |  - 1
+        |  - two
+        |  - k: v
+        |""".stripMargin)
+    assert((y \ "variables").flatMap(_ \ "folder").contains(JStr("experiment1")))
+    assert((y \ "data").flatMap(_ \ "Settings").flatMap(_ \ "users")
+      .contains(JStr("0..10")))
+    val locs = (y \ "locations").get
+    assert((locs \ "/").contains(JStr("porcupine-core/examples/data")))
+    assert((locs \ "/Inputs/User").contains(JStr("_-{userId}.json")))
+    assert((locs \ "/Outputs/Analysis").contains(
+      JArr(Seq(JStr("a.json"), JStr("b.json")))))
+    assert((locs \ "/debug/radon-filtered").contains(JNull))
+    assert((y \ "list").contains(JArr(Seq(JNum(1), JStr("two"),
+      JObj(Seq("k" -> JStr("v")))))))
+  }
+
+  test("PTask composition: identity, >>> , &&&, requirements merge") {
+    import graft.task.PTask
+    val idt = PTask.id[Int]
+    val double = PTask.arr((i: Int) => i * 2)
+    val toStr = PTask.arr((i: Int) => i.toString)
+    val ctx = graft.task.RunCtx(null, Catalog.empty, Map.empty, Mappings.empty)
+    assert(idt.run(ctx, 42) == 42)                      // prop_runnable_id
+    assert((double >>> toStr).run(ctx, 21) == "42")
+    assert((double &&& toStr).run(ctx, 3) == (6, "3"))
+    assert((double *** toStr).run(ctx, (1, 2)) == (2, "2"))
+    assert(double.tryTask.run(ctx, 5) == Right(10))
+    val boom = PTask.arr((_: Int) => throw new RuntimeException("x"))
+    assert(boom.tryTask.run(ctx, 1).isLeft)
+    assert(boom.catchAndLog.run(ctx, 1).isEmpty)
+  }
+
+  test("taskInSubtree re-roots requirements (reference PTask.hs:76-92)") {
+    import graft.task.PTask
+    val vf = VirtualFile(VPath("/c"), Seq("json"), Usage.Source)
+    val t = graft.access.Access.loadData(vf).inSubtree(VPath("/a/b"))
+    assert(t.requirements.paths == Seq(VPath("/a/b/c")))
+  }
+}
