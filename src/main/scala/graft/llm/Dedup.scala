@@ -1,0 +1,235 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Four families, in increasing fuzziness:
+  *  - exact (hash group-by),
+  *  - n-gram Jaccard (exact set similarity — the small-N baseline),
+  *  - MinHash + LSH (the 100 TB near-dup path),
+  *  - SimHash (bit-sketch near-dup),
+  * plus embedding-cosine near-dup (see [[Similarity]] for ANN search).
+  *
+  * Scale design: every operator is shuffle-bounded by GROUP BY /
+  * self-join on short keys (hash, band bucket) — never an O(N²) cross
+  * join except the explicitly-labelled brute-force baselines. Signature
+  * computation is one explode + one grouped aggregation (map-side
+  * partial min/sum), all codegen'd expressions, no UDFs.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------
+  // exact dedup
+  // ---------------------------------------------------------------
+
+  /** Exact duplicate groups by content hash: one row per distinct
+    * content with the group's representative (min id) and multiplicity.
+    * `xxhash64(text)` group-by: ~64 bits/row shuffled regardless of
+    * document size — at 100 TB the shuffle is keys, not text. */
+  def exactGroups(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(xxhash64(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup: keep the min-id representative of each group. */
+  def exactDedup(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(xxhash64(col(textCol)))
+      .orderBy(col(idCol).asc)
+    docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  // ---------------------------------------------------------------
+  // shingling
+  // ---------------------------------------------------------------
+
+  /** Word n-gram (shingle) array, distinct, from a text column —
+    * `transform(sequence(...), i -> array_join(slice(tokens,...)))`,
+    * all codegen'd. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val tokens = filter(split(text, " "), t => t =!= "")
+    val count = greatest(size(tokens) - (n - 1), lit(0))
+    array_distinct(
+      transform(sequence(lit(1), count),
+        i => array_join(slice(tokens, i, lit(n)), " ")))
+  }
+
+  /** Distinct non-empty tokens. */
+  def tokenSet(text: Column): Column =
+    array_distinct(filter(split(text, " "), t => t =!= ""))
+
+  // ---------------------------------------------------------------
+  // n-gram Jaccard — exact pairwise (brute-force baseline)
+  // ---------------------------------------------------------------
+
+  /** Exact Jaccard near-dup pairs over word n-grams.
+    *
+    * BRUTE-FORCE BASELINE: O(N²) self-join — correct at any N but only
+    * runnable at small N; it is the ground truth the LSH path
+    * approximates. For 100 TB use [[minHashPairs]] (same output
+    * contract, candidate-bounded). */
+  def jaccardPairsBrute(docs: DataFrame, n: Int, threshold: Double,
+                        textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    val withSh = docs.select(col(idCol).as("id"),
+      wordShingles(col(textCol), n).as("sh"))
+    val a = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("n_union",
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", col("n_inter") / col("n_union"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------
+  // MinHash + LSH — the scale path
+  // ---------------------------------------------------------------
+
+  /** Deterministic affine hash family over 32-bit folded hashes:
+    * h_i(x) = (a_i * x32 + b_i) mod P, P prime > 2^32; a_i < 2^31
+    * keeps the product inside signed 64-bit. Seeded, so signatures are
+    * reproducible run-to-run (required for incremental dedup). */
+  private val P = 4294967311L
+  private def hashParams(k: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)((rnd.nextLong(1L << 31) | 1L, rnd.nextLong(1L << 31)))
+  }
+
+  /** MinHash signatures: (id, sig: array<long> of length k).
+    *
+    * One explode + ONE grouped aggregation with k parallel `min`
+    * columns — partial aggregation makes the shuffle k longs per doc,
+    * independent of document size. */
+  def minHashSignatures(docs: DataFrame, shingleSize: Int = 3, k: Int = 64,
+                        seed: Long = 42L, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val params = hashParams(k, seed)
+    val h32 = pmod(xxhash64(col("shingle")), lit(1L << 32))
+    val minCols = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * h32 + lit(b), lit(P))).as(s"_mh$i")
+    }
+    docs.select(col(idCol).as("id"),
+        explode(wordShingles(col(textCol), shingleSize)).as("shingle"))
+      .groupBy(col("id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"),
+        array((0 until k).map(i => col(s"_mh$i")): _*).as("sig"))
+  }
+
+  /** Estimated Jaccard from two signatures: fraction of agreeing
+    * minhash positions. */
+  def sigSimilarity(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / size(sigA)
+
+  /** MinHash+LSH near-dup candidate pairs with estimated similarity.
+    *
+    * Banding: signature split into `bands` bands of k/bands rows; a
+    * pair collides if any band hashes equal. Collision probability
+    * 1-(1-s^r)^b — with k=64, bands=16 (r=4) the curve crosses ~0.5
+    * at s≈0.5, catching s>=0.7 pairs w.p. >0.99.
+    *
+    * Plan shape: posexplode(bands) -> self-join on (band_idx,
+    * band_hash) -> distinct pairs -> similarity filter. The join key
+    * is 12 bytes; bucket skew (a band value shared by M docs) costs
+    * M² pairs in that bucket only — AQE skew-join splits it. */
+  def minHashPairs(docs: DataFrame, threshold: Double = 0.7,
+                   shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
+                   seed: Long = 42L, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigs = minHashSignatures(docs, shingleSize, k, seed, textCol, idCol)
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bnd => xxhash64(concat_ws(",",
+          slice(col("sig"), bnd * r + 1, lit(r))), bnd))).as(Seq("band", "bh")))
+    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("band"), col("bh"))
+    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("band"), col("bh"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        sigSimilarity(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  // ---------------------------------------------------------------
+  // SimHash
+  // ---------------------------------------------------------------
+
+  /** 64-bit SimHash per document: sign of the per-bit sum of token
+    * hash bits (+1/-1). One explode + one grouped agg of 64 sums. */
+  def simHash(docs: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id"): DataFrame = {
+    val h = xxhash64(col("token"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"_b$i")
+    }
+    val fromBits = (0 until 64).map { i =>
+      when(col(s"_b$i") > 0, lit(1L << i)).otherwise(0L)
+    }.reduce((x, y) => x.bitwiseOR(y))
+    docs.select(col(idCol).as("id"),
+        explode(tokenSet(col(textCol))).as("token"))
+      .groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), fromBits.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance <= maxDist, using
+    * 16-bit band join (any pair within distance d <= 3 shares at least
+    * one of 4 exact 16-bit bands by pigeonhole). */
+  def simHashPairs(docs: DataFrame, maxDist: Int = 3,
+                   textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    val sh = simHash(docs, textCol, idCol)
+    // 4 exact 16-bit bands (shift amounts must be literal ints, so the
+    // bands are built as a 4-way union rather than a transform lambda)
+    val bands = (0 until 4).map { i =>
+      sh.select(col("id"), col("simhash"), lit(i).as("band"),
+        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))
+    }.reduce(_.unionByName(_))
+    val a = bands.select(col("id").as("id_a"), col("simhash").as("sh_a"),
+      col("band"), col("bh"))
+    val b = bands.select(col("id").as("id_b"), col("simhash").as("sh_b"),
+      col("band"), col("bh"))
+    val popcnt = bit_count(col("sh_a").bitwiseXOR(col("sh_b")))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), popcnt.as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("hamming")).as("hamming"))
+  }
+
+  // ---------------------------------------------------------------
+  // embedding-cosine near-dup
+  // ---------------------------------------------------------------
+
+  /** Embedding near-duplicate pairs above a cosine threshold.
+    * BRUTE-FORCE BASELINE (O(N²)); the LSH-bucketed scale path is
+    * [[Similarity.lshCosinePairs]]. */
+  def embeddingPairsBrute(emb: DataFrame, threshold: Double,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", round(VectorOps.cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

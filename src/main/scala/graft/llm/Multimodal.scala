@@ -1,0 +1,127 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus the decode / feature-extract plumbing.
+  *
+  * The decode step itself is STUBBED (this container has no image or
+  * audio codecs — see [[MediaDecoder.Deterministic]]), but everything
+  * Spark-side is real and tested: the blob schema, `binaryFile`
+  * ingestion, partition-sized batching through `mapPartitions`, the
+  * feature schema, and the downstream joins. Swapping in a real codec
+  * is implementing one trait method.
+  *
+  * Scale notes: blobs never ride through a shuffle — features are
+  * extracted scan-side (mapPartitions directly over the source read)
+  * and only the small feature rows move. Batch shape = one parquet
+  * row-group per task; cap blob size with
+  * `spark.sql.files.maxPartitionBytes` so a task's batch fits in
+  * executor memory.
+  */
+object Multimodal {
+
+  /** The multimodal row contract. */
+  val blobSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image|audio|video
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", MapType(StringType, StringType), nullable = true)))
+
+  /** Extracted features (decode output contract). */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("byte_len", LongType, nullable = false),
+    StructField("content_hash", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_frames", IntegerType, nullable = true),
+    StructField("feature_vec", ArrayType(FloatType), nullable = true)))
+
+  /** Pluggable decoder. Implementations must be thread-safe and
+    * per-partition reusable (constructed once per task, not per row). */
+  trait MediaDecoder extends Serializable {
+    /** Decode one blob into (width, height, nFrames, featureVec). */
+    def decode(kind: String, bytes: Array[Byte])
+        : (Int, Int, Int, Array[Float])
+  }
+
+  object MediaDecoder {
+    /** STUB decoder — deterministic fake standing in for the real
+      * codec (none available in this container). Derives plausible
+      * dimensions and a 8-dim "feature vector" from the content hash
+      * so tests are reproducible. Replace with an actual
+      * javax.imageio / ffmpeg-backed impl in production; the
+      * surrounding plumbing is unchanged. */
+    object Deterministic extends MediaDecoder {
+      def decode(kind: String, bytes: Array[Byte])
+          : (Int, Int, Int, Array[Float]) = {
+        val h = java.util.Arrays.hashCode(bytes)
+        val w = 64 + math.abs(h % 512)
+        val ht = 64 + math.abs((h >> 9) % 512)
+        val frames = kind match {
+          case "video" => 1 + math.abs((h >> 18) % 120)
+          case "audio" => 1 + math.abs((h >> 18) % 1000)
+          case _       => 1
+        }
+        val vec = Array.tabulate(8)(i =>
+          (((h >> i) & 0xFF) / 255.0f) - 0.5f)
+        (w, ht, frames, vec)
+      }
+    }
+  }
+
+  /** Ingest a directory of raw files as blobs (binaryFile source). */
+  def readBlobs(spark: SparkSession, path: String, kind: String): DataFrame =
+    spark.read.format("binaryFile").load(path)
+      .select(xxhash64(col("path")).as("media_id"), lit(kind).as("kind"),
+        col("content"),
+        map(lit("path"), col("path"),
+          lit("mtime"), col("modificationTime").cast("string"))
+          .as("meta"))
+
+  /** Wrap any (id, bytes) projection into the blob contract — used in
+    * tests/demos where blobs are synthesized from existing columns. */
+  def asBlobs(df: DataFrame, idCol: String, bytesCol: String,
+              kind: String): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"), lit(kind).as("kind"),
+      col(bytesCol).cast("binary").as("content"),
+      map(lit("origin"), lit(idCol)).as("meta"))
+
+  /** Feature extraction: partition-batched decode. The Scala
+    * equivalent of a `mapInPandas` batch UDF — one decoder instance
+    * per partition, iterator-to-iterator (no materialization of the
+    * whole partition), rows stay in Tungsten format on both sides. */
+  def extractFeatures(blobs: DataFrame,
+                      decoder: MediaDecoder = MediaDecoder.Deterministic)
+      : DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+    blobs.select("media_id", "kind", "content").mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val kind = row.getString(1)
+        val bytes = if (row.isNullAt(2)) Array.empty[Byte]
+          else row.getAs[Array[Byte]](2)
+        val (w, h, frames, vec) = decoder.decode(kind, bytes)
+        Row(id, kind, bytes.length.toLong,
+          org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+            bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            bytes.length, 42).toLong,
+          w, h, frames, vec.toSeq)
+      }
+    }(enc).toDF()
+  }
+
+  /** Deterministic frame sampling plan for video blobs: every
+    * `stride`-th frame index up to n_frames (the sampling schedule is
+    * computed relationally; the per-frame decode would plug into
+    * [[extractFeatures]]'s decoder). */
+  def sampleFrames(features: DataFrame, stride: Int): DataFrame =
+    features.filter(col("kind") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
+          .as("frame_idx"))
+}

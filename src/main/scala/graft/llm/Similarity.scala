@@ -1,0 +1,151 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths with the same output contract (query_id, rank, vec_id,
+  * cosine):
+  *  - [[bruteTopK]]: exact, one broadcast-join pass — the baseline,
+  *    and the right plan whenever |queries| is small (cost =
+  *    |corpus| x |queries| fused multiply-adds inside codegen, no
+  *    shuffle of the corpus);
+  *  - [[ivfTopK]]: IVF-style cell-probed approximate search — the
+  *    100 TB path: corpus is bucketed by nearest centroid once
+  *    (write-time layout in a real deployment), each query probes
+  *    `nProbe` cells, so the scan touches nProbe/C of the data.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine: broadcast the (small) query set against
+    * the corpus, window-rank per query.
+    *
+    * Scale: queries are broadcast (no corpus shuffle); the only
+    * shuffle is the final per-query top-k, which AQE handles with
+    * partial TakeOrdered per partition — rows shuffled = k * queries
+    * * partitions, independent of corpus size. */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                qIdCol: String = "query_id", qVecCol: String = "query_vec")
+      : DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("cosine",
+        round(VectorOps.cosine(col(vecCol), col(qVecCol)), 6))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col("rank"), col(idCol), col("cosine"))
+  }
+
+  /** Deterministic centroid selection: every `stride`-th vector by id
+    * (a real deployment would run k-means; the cell-probe plumbing is
+    * identical and this keeps the operator reproducible). */
+  def strideCentroids(corpus: DataFrame, nCells: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val w = Window.orderBy(col(idCol).asc)
+    corpus.select(col(idCol), col(vecCol))
+      .withColumn("_rn", row_number().over(w) - 1)
+      .filter(col("_rn") < nCells)
+      .select(col("_rn").cast("long").as("cell_id"), col(vecCol).as("centroid"))
+  }
+
+  /** Assign each corpus vector to its nearest centroid (broadcast the
+    * C centroids; one pass, no shuffle). This is the build step — at
+    * scale you persist the result partitioned by cell_id so probes
+    * prune at the parquet-partition level. */
+  def assignCells(corpus: DataFrame, centroids: DataFrame,
+                  idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val joined = corpus.crossJoin(broadcast(centroids))
+      .withColumn("_d", VectorOps.l2(col(vecCol), col("centroid")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_d").asc,
+      col("cell_id").asc)
+    joined.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col(vecCol), col("cell_id"))
+  }
+
+  /** IVF search: each query probes its `nProbe` nearest cells; exact
+    * cosine within the probed subset. Recall < 1 by construction;
+    * scan cost scales with nProbe/nCells. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              qIdCol: String = "query_id", qVecCol: String = "query_vec")
+      : DataFrame = {
+    val centroids = strideCentroids(corpus, nCells, idCol, vecCol)
+    val cells = assignCells(corpus, centroids, idCol, vecCol)
+    // query -> its nProbe nearest cells
+    val qCells = queries.crossJoin(broadcast(centroids))
+      .withColumn("_d", VectorOps.l2(col(qVecCol), col("centroid")))
+    val wq = Window.partitionBy(col(qIdCol)).orderBy(col("_d").asc,
+      col("cell_id").asc)
+    val probes = qCells.withColumn("_rn", row_number().over(wq))
+      .filter(col("_rn") <= nProbe)
+      .select(col(qIdCol), col(qVecCol), col("cell_id"))
+    // probe join: only vectors in probed cells are scored
+    val scored = cells.join(broadcast(probes), Seq("cell_id"))
+      .withColumn("cosine",
+        round(VectorOps.cosine(col(vecCol), col(qVecCol)), 6))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col("rank"), col(idCol), col("cosine"))
+  }
+
+  /** Random-hyperplane LSH near-neighbor pairs: multi-table banding —
+    * `nTables` independent tables of `planesPerTable` seeded
+    * hyperplanes each; vectors colliding in ANY table's sign-pattern
+    * bucket are candidates; exact cosine then filters. The bucketed
+    * alternative to [[Dedup.embeddingPairsBrute]] — candidate-bounded,
+    * never O(N²).
+    *
+    * Recall math: sign agreement prob for angle θ is 1-θ/π; a pair at
+    * cosine 0.4 (θ≈66°) collides per table w.p. 0.63^4≈0.16, across 16
+    * tables w.p. ≈0.94. Tables are pseudo-random literal arrays
+    * (seeded) — no data-dependent state, reproducible run-to-run. */
+  def lshCosinePairs(emb: DataFrame, threshold: Double, nTables: Int = 16,
+                     planesPerTable: Int = 4, dim: Int = 64, seed: Long = 42L,
+                     idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val tableBuckets = (0 until nTables).map { t =>
+      val bits = (0 until planesPerTable).map { i =>
+        val plane = array(Array.fill(dim)(rnd.nextGaussian()).map(lit(_)): _*)
+        when(VectorOps.dot(col(vecCol), plane) >= 0, lit(1L << i))
+          .otherwise(0L)
+      }.reduce((a, b) => a.bitwiseOR(b))
+      struct(lit(t).as("table"), bits.as("bits"))
+    }
+    // Shuffle discipline: the bucket self-join and pair-dedup move only
+    // (bucket, id) — 16-byte rows. Vectors are attached AFTER dedup via
+    // two joins against the (id, v, norm) projection, so each vector
+    // crosses the wire once per surviving candidate, never per bucket
+    // row. Norms are precomputed once per vector.
+    val buckets = emb.select(col(idCol).as("id"),
+      explode(array(tableBuckets: _*)).as("bucket"))
+    val pairs = buckets.as("a").join(buckets.as("b"), Seq("bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()                                        // dedup across tables
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(VectorOps.normSq(col(vecCol))).as("nrm"))
+    // no broadcast hint: AQE auto-broadcasts when vecs is small; at
+    // 100 TB this correctly degrades to a shuffle join on id
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("nrm").as("nrm_b")), Seq("id_b"))
+      .withColumn("cosine",
+        round(VectorOps.dot(col("v_a"), col("v_b")) /
+          (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

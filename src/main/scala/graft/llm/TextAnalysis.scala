@@ -1,0 +1,93 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language ID, document fingerprinting. All pure
+  * `Column` expressions (codegen'd, pushdown-friendly) — a 100 TB
+  * corpus pass is one scan + map, no shuffle until the caller
+  * aggregates.
+  */
+object TextAnalysis {
+
+  /** Non-empty whitespace tokens. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Token count (whitespace segmentation). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: words + punctuation clusters
+    * counted separately (a cheap proxy for tokenizer load without
+    * shipping a vocab). */
+  def subwordCountEstimate(text: Column): Column =
+    size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
+      t => trim(t) =!= ""))
+
+  /** Quality features: every signal a length/punct/stopword-ratio
+    * filter needs, one projection. */
+  def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nToks = size(toks).cast("double")
+    df.withColumn("n_chars_m", length(t).cast("long"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("avg_token_len",
+        when(nToks > 0,
+          aggregate(toks, lit(0L), (acc, x) => acc + length(x))
+            .cast("double") / nToks).otherwise(0.0))
+      .withColumn("punct_ratio",
+        when(length(t) > 0,
+          (length(t) - length(regexp_replace(t, "[^A-Za-z0-9\\s]", "")))
+            .cast("double") / length(t)).otherwise(0.0))
+      .withColumn("upper_ratio",
+        when(length(t) > 0,
+          (length(t) - length(regexp_replace(t, "[A-Z]", "")))
+            .cast("double") / length(t)).otherwise(0.0))
+  }
+
+  /** Stopword ratio against a given list. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val sw = array(stopwords.map(lit(_)): _*)
+    when(size(toks) > 0,
+      size(filter(toks, t => array_contains(sw, t))).cast("double") /
+        size(toks)).otherwise(0.0)
+  }
+
+  /** Language-ID by stopword-hit scoring: argmax over per-language
+    * marker-word hit counts (n-gram-heuristic family; deterministic
+    * and vocabulary-driven, so it ports to any marker lists). Returns
+    * the language whose markers hit most, `und` when nothing hits. */
+  def langId(text: Column,
+             markers: Map[String, Seq[String]] = defaultMarkers): Column = {
+    val toks = tokens(lower(text))
+    val scores = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val w = array(words.map(lit(_)): _*)
+      struct(size(filter(toks, t => array_contains(w, t))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // argmax: greatest struct orders by hits then lang; ties -> the
+    // lexicographically LAST language name among max hits (documented)
+    val best = greatest(scores: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  val defaultMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los", "se"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "les", "des", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不"))
+
+  /** 64-bit content fingerprint: min of rolling xxhash64 over word
+    * 4-grams — stable under whitespace normalization, cheap to
+    * recompute incrementally (winnowing-style). */
+  def fingerprint(text: Column, n: Int = 4): Column = {
+    val sh = Dedup.wordShingles(text, n)
+    when(size(sh) > 0,
+      array_min(transform(sh, s => xxhash64(s))))
+      .otherwise(xxhash64(text))
+  }
+}

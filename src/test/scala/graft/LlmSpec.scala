@@ -1,0 +1,135 @@
+package graft
+
+import graft.llm._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics tests for the sketch-based LLM operators that have no SQL
+  * oracle: recall against brute-force ground truth on the real
+  * testdata, plus planted-duplicate assertions on synthetic docs. */
+class LlmSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.01"
+  def docs = spark.read.parquet(s"$sf/documents.parquet")
+  def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash LSH recalls all high-jaccard pairs (>=0.5 ground truth)") {
+    val truth = pairSet(Dedup.jaccardPairsBrute(docs, n = 3, threshold = 0.5))
+    assert(truth.nonEmpty, "testdata must contain planted near-dups")
+    val found = pairSet(Dedup.minHashPairs(docs, threshold = 0.35))
+    val recall = truth.count(found).toDouble / truth.size
+    assert(recall >= 0.95, s"minhash recall $recall over ${truth.size} pairs")
+  }
+
+  test("minhash est_jaccard approximates true jaccard (planted dup)") {
+    import spark.implicits._
+    // 100 distinct words -> 98 distinct 3-shingles; one word changed
+    // -> true jaccard ~0.94, so the estimate is far from the threshold
+    val base = (0 until 100).map(i => s"w$i").mkString(" ")
+    val nearDup = base.replace("w50", "changed")
+    val other = (0 until 100).map(i => s"z$i").mkString(" ")
+    val planted = Seq((1L, base), (2L, nearDup), (3L, other))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashPairs(planted, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(pairs.map(_._1).toSet == Set((1L, 2L)),
+      "only the planted near-dup pair should match")
+    assert(pairs.head._2 > 0.7)
+  }
+
+  test("simhash: identical docs at distance 0; banding finds them") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val planted = Seq((1L, a), (2L, a), (3L, "totally different tokens xyz"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.simHash(planted).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    val pairs = pairSet(Dedup.simHashPairs(planted, maxDist = 3))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("hyperplane LSH recalls most cosine>=0.4 pairs") {
+    val truth = pairSet(Dedup.embeddingPairsBrute(emb, threshold = 0.4))
+    assert(truth.nonEmpty)
+    val found = pairSet(Similarity.lshCosinePairs(emb, threshold = 0.4))
+    val recall = truth.count(found).toDouble / truth.size
+    assert(recall >= 0.7, s"LSH recall $recall over ${truth.size} pairs")
+    // no false positives: every reported pair really clears the bar
+    assert(found.subsetOf(pairSet(
+      Dedup.embeddingPairsBrute(emb, threshold = 0.4))))
+  }
+
+  test("IVF top-k: self is rank 1; decent recall vs brute force") {
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val ivf = Similarity.ivfTopK(emb, queries, k = 10, nCells = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = Similarity.bruteTopK(emb, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every query vector is in the corpus: rank 1 must be itself
+    ivf.filter(_._2 == 1L).foreach { case (q, _, v) => assert(q == v) }
+    val bruteSet = brute.map(t => (t._1, t._3)).toSet
+    val overlap = ivf.map(t => (t._1, t._3)).count(bruteSet)
+    val recall = overlap.toDouble / bruteSet.size
+    assert(recall >= 0.3, s"IVF recall@10 = $recall (probing 4/16 cells)")
+  }
+
+  test("multimodal: extractFeatures is deterministic, schema-stable, " +
+       "and batches per partition") {
+    val blobs = Multimodal.asBlobs(docs.limit(50), "doc_id", "text", "image")
+      .repartition(4)
+    val f1 = Multimodal.extractFeatures(blobs)
+    assert(f1.schema == Multimodal.featureSchema)
+    val rows1 = f1.orderBy("media_id").collect()
+    val rows2 = Multimodal.extractFeatures(blobs).orderBy("media_id").collect()
+    assert(rows1.sameElements(rows2), "stub decoder must be deterministic")
+    assert(rows1.length == 50)
+    assert(rows1.forall(_.getSeq[Float](7).length == 8))
+  }
+
+  test("multimodal: frame sampling schedule matches n_frames/stride") {
+    import spark.implicits._
+    val feats = Seq((1L, "video", 100L, 0L, 64, 64, 25, Seq.empty[Float]))
+      .toDF("media_id", "kind", "byte_len", "content_hash", "width",
+        "height", "n_frames", "feature_vec")
+    val frames = Multimodal.sampleFrames(feats, stride = 10)
+      .collect().map(_.getInt(1)).sorted
+    assert(frames.toSeq == Seq(0, 10, 20))
+  }
+
+  test("langId picks the marker language; und when no hits") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat of the mat and that is it"),
+      (2L, "el perro y la casa que en los campos se ve"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en" && got(2L) == "es" && got(3L) == "und")
+  }
+
+  test("fingerprint is whitespace-normalization stable") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "x y z w v u t s")).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
+  }
+}
