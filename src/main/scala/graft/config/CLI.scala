@@ -1,0 +1,148 @@
+package graft.config
+
+import graft.access.Access
+import graft.loc.Mappings
+import graft.model._
+import graft.rep.Repetition
+import graft.task.PTask
+import graft.Pipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pipeline CLI — the reference's `runPipelineTask` command surface
+  * (Run.hs:72-149, CLI.hs:66-84):
+  *
+  * {{{
+  * graft.Main <pipeline> run [spec.yaml|-] [--loc p=l|p+=l] [--var k=v] [-o k=v]
+  * graft.Main <pipeline> show-tree [spec.yaml]
+  * graft.Main <pipeline> write-config-template
+  * graft.Main list
+  * }}}
+  *
+  * Config modes map to the reference's NoConfig / ConfigFileOnly /
+  * FullConfig (Run.hs:197-264): no spec file -> defaults only; spec
+  * file -> spec; plus CLI flags -> spec overridden flag-by-flag.
+  */
+object CLI {
+
+  /** A runnable, spec-bindable pipeline: a task + its option schema. */
+  final case class Registered(
+      name: String,
+      doc: String,
+      options: OptionsSchema,
+      build: (SparkSession, Map[String, OptValue]) => PTask[Unit, _])
+
+  /** Built-in demo pipelines over the test star schema; user libraries
+    * register their own the same way. */
+  val registry: Map[String, Registered] = Map(
+    "orders_report" -> Registered(
+      "orders_report",
+      "group orders by status, write a summary report",
+      OptionsSchema(Seq(
+        OptField("minPrice", Some(OptNum(0)), "ignore orders cheaper than this"))),
+      (spark, opts) => {
+        val minPrice = opts("minPrice") match {
+          case OptNum(n) => n
+          case v         => v.render.toDouble
+        }
+        val src = VirtualFile(VPath("/orders"), Seq("parquet"), Usage.Source)
+        val snk = VirtualFile(VPath("/Outputs/report"), Seq("parquet", "csv"),
+          Usage.Sink)
+        Access.loadData(src) >>>
+          PTask.arr((df: DataFrame) =>
+            df.filter(col("o_totalprice") >= minPrice)
+              .groupBy(col("o_orderstatus"))
+              .agg(count(lit(1)).as("n"),
+                sum(col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("double").as("total"))) >>>
+          Access.writeData(snk)
+      }),
+
+    // Port of the reference's example1 (Example1.hs:47-75): repeat an
+    // analysis over an index range of users, reading User-{userId}.json
+    // and writing Analysis-{userId}.json via path templates.
+    "user_analysis" -> Registered(
+      "user_analysis",
+      "per-user letter histogram over User-{userId}.json inputs",
+      OptionsSchema(Seq(
+        OptField("users", Some(OptStr("0..2")), "index range of user ids"))),
+      (spark, opts) => {
+        val src = VirtualFile(VPath("/Inputs/User"), Seq("json"), Usage.Source)
+        val snk = VirtualFile(VPath("/Outputs/Analysis"), Seq("json"), Usage.Sink)
+        val analyseOne: PTask[Unit, Unit] =
+          Access.loadData(src) >>>
+            PTask.arr((df: DataFrame) =>
+              df.select(explode(split(lower(
+                  concat_ws(" ", col("userName"), col("userSurname"))), ""))
+                  .as("letter"))
+                .filter(col("letter") =!= " " && col("letter") =!= "")
+                .groupBy(col("letter"))
+                .agg(count(lit(1)).as("n"))) >>>
+            Access.writeData(snk)
+        val indices = Repetition.parseIndexRange(opts("users").render)
+        PTask.const(indices.map(i => i -> ())) >>>
+          Repetition.parMapTask_("userId", analyseOne)
+      })
+  )
+
+  def main(args: Array[String]): Unit = run(args, defaultSession())
+
+  def defaultSession(): SparkSession = SparkSession.builder()
+    .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+    .config("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.adaptive.enabled", "true")
+    .getOrCreate()
+
+  /** Entry point, separated from `main` for tests (pass a session). */
+  def run(args: Array[String], spark: => SparkSession): Unit = args.toSeq match {
+    case Seq("list") =>
+      registry.toSeq.sortBy(_._1).foreach { case (n, r) =>
+        println(f"$n%-16s ${r.doc}")
+      }
+    case name +: cmd +: rest if registry.contains(name) =>
+      val reg = registry(name)
+      val (specOpt, cliArgs) = rest match {
+        case file +: more if !file.startsWith("-") =>
+          (Some(JobSpec.fromFile(file)), more)
+        case more => (None, more)
+      }
+      val spec = specOpt.getOrElse(JobSpec.empty).withCliArgs(cliArgs)
+      cmd match {
+        case "run" =>
+          val opts = reg.options.resolveStrict(Some(spec.data), cliArgs)
+          val task = reg.build(spark, opts)
+          Pipeline.run(spark, task.asInstanceOf[PTask[Unit, Any]],
+            spec.mappings, ())
+          println(s"[$name] done")
+        case "show-tree" =>
+          val opts = reg.options.resolveStrict(Some(spec.data), cliArgs)
+          val task = reg.build(spark, opts)
+          println(Pipeline.describe(task,
+            Some(spec.mappings).filter(_ => specOpt.nonEmpty || cliArgs.nonEmpty)))
+        case "write-config-template" =>
+          val opts = reg.options.resolve(None, Nil)
+            .map { case (k, (v, _)) => k -> v }
+          val task = reg.build(spark, opts.withDefault(_ =>
+            throw new NoSuchElementException))
+          val template = JobSpec(
+            variables = Map.empty,
+            data = reg.options.templateJson,
+            mappings = Mappings(task.requirements.paths.map(p =>
+              p -> graft.loc.MappingRhs.Inherit()).toMap))
+          println(template.render)
+        case other =>
+          sys.error(s"unknown command: $other (run|show-tree|write-config-template)")
+      }
+    case _ =>
+      println("usage: graft.Main <pipeline> <run|show-tree|write-config-template> " +
+        "[spec.yaml] [--loc p=l] [--var k=v] [-o k=v] | graft.Main list")
+      println("pipelines:")
+      registry.toSeq.sortBy(_._1).foreach { case (n, r) =>
+        println(f"  $n%-16s ${r.doc}")
+        println(r.options.documentation)
+      }
+  }
+}

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.fold.FoldCol
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming binding for the fold surface (SURVEY §2.J).
+  *
+  * The reference's streams are bounded lazy streams; its stateful story
+  * is the FoldA accumulator consumed element-by-element
+  * (Repetition/Foldl.hs:80-118). Bound to an unbounded source this
+  * becomes: windowed aggregation with watermarks (the fold per
+  * event-time window), `foreachBatch` (the fold stepped per
+  * micro-batch), and `mapGroupsWithState` (arbitrary accumulator per
+  * key — `generalizeM`'s effectful fold, done right for streams).
+  *
+  * Scale: streaming aggregations shuffle by (window, key) with partial
+  * aggregation; state store size is bounded by the watermark horizon,
+  * not stream length.
+  */
+object EventsStream {
+
+  /** events.parquet schema, with ts as TIMESTAMP (the static reader
+    * uses nanosAsLong; readStream gets an explicit schema so we declare
+    * LongType nanos and convert). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),              // nanos since epoch
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Unbounded read of an events directory (files appearing over time
+    * = the stream). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", "8")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+
+  /** Event-time tumbling-window aggregation with a watermark: count +
+    * sum(value) per (window, event_type). The streaming form of
+    * Relational.q16_events_hourly. */
+  def hourlyAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,10)")).cast("double")
+          .as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Run a bounded FoldCol per micro-batch and append the batch folds
+    * to `sink` — `foldStreamTask` stepped by micro-batch. */
+  def foldPerBatch(events: DataFrame, sink: String): StreamingQuery = {
+    val fold = FoldCol.count
+      .zip(FoldCol.sumD(col("value")))
+      .zip(FoldCol.countDistinctOf(col("user_id")))
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val ((n, sumV), users) = fold.run(batch.toDF())
+        val spark = batch.sparkSession
+        import spark.implicits._
+        Seq((id, n, sumV, users))
+          .toDF("batch_id", "n", "sum_value", "n_users")
+          .write.mode("append").parquet(sink)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Per-user session accumulator via mapGroupsWithState: running
+    * event count + last-seen, emitted per batch (the arbitrary-state
+    * fold the reference can only do single-threaded). */
+  final case class UserState(nEvents: Long, lastType: String)
+  final case class UserSnapshot(user_id: Long, n_events: Long,
+                                last_type: String)
+
+  def userSessions(events: DataFrame): Dataset[UserSnapshot] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("event_type"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserSnapshot](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3.getTime, r._2))
+          val prev = state.getOption.getOrElse(UserState(0L, ""))
+          val next = UserState(prev.nEvents + sorted.size,
+            sorted.lastOption.map(_._2).getOrElse(prev.lastType))
+          state.update(next)
+          UserSnapshot(uid, next.nEvents, next.lastType)
+      }
+  }
+
+  /** Multi-sink streaming write — the reference's write-to-every-layer
+    * semantics under streaming: one stream, N sinks via foreachBatch
+    * (persist the batch once, write it N times). */
+  def writeLayers(df: DataFrame, sinks: Seq[String]): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val cached = batch.persist()
+        try sinks.foreach(s => cached.write.mode("append").parquet(s))
+        finally { cached.unpersist(); () }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,151 @@
+package graft
+
+import graft.config._
+import graft.loc.{LocTemplate, MappingRhs, Resolved}
+import graft.model.VPath
+import graft.serial._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Job-spec / options / CLI-override semantics (reference CLI.hs,
+  * ConfigurationReader.hs, OptParse.hs). */
+class ConfigSpec extends AnyFunSuite {
+
+  val specYaml =
+    """variables: {folder: exp1}
+      |data:
+      |  minPrice: 1000
+      |  users: "0..4"
+      |locations:
+      |  /: /data/{folder}
+      |  /Inputs/User: "_-{userId}.json"
+      |  /Outputs/Analysis: [/out/a.json, /out/b.json]
+      |  /debug/tmp: null
+      |""".stripMargin
+
+  test("spec parse: variables, data, locations with all rhs forms") {
+    val spec = JobSpec.parse(specYaml)
+    assert(spec.variables == Map("folder" -> "exp1"))
+    assert((spec.data \ "minPrice").contains(JNum(1000)))
+    assert(spec.mappings.layersFor(VPath("/orders"), "parquet") ==
+      Resolved.Bound(Seq(LocTemplate("/data/exp1/orders.parquet"))))
+    assert(spec.mappings.layersFor(VPath("/Outputs/Analysis"), "json") ==
+      Resolved.Bound(Seq(LocTemplate("/out/a.json"), LocTemplate("/out/b.json"))))
+    assert(spec.mappings.layersFor(VPath("/debug/tmp"), "json") ==
+      Resolved.Unbound)
+  }
+
+  test("inherit-with-suffix splices repetition vars at run time") {
+    val spec = JobSpec.parse(specYaml)
+    val bound = spec.mappings
+      .withVariable("userId", "7")
+      .layersFor(VPath("/Inputs/User"), "json")
+    assert(bound == Resolved.Bound(
+      Seq(LocTemplate("/data/exp1/Inputs/User-7.json"))))
+  }
+
+  test("CLI overrides: --loc replace and += layer, --var, -o (priority CLI > file)") {
+    val spec = JobSpec.parse(specYaml).withCliArgs(Seq(
+      "--loc", "/Outputs/Analysis=/other/only.json",
+      "--loc", "/Inputs/extra+=/more/x.csv",
+      "--var", "folder=exp2",
+      "-o", "minPrice=2500"))
+    assert(spec.mappings.layersFor(VPath("/Outputs/Analysis"), "json") ==
+      Resolved.Bound(Seq(LocTemplate("/other/only.json"))))
+    assert(spec.mappings.layersFor(VPath("/Inputs/extra"), "csv") ==
+      Resolved.Bound(Seq(LocTemplate("/more/x.csv"))))
+    assert(spec.mappings.layersFor(VPath("/orders"), "parquet") ==
+      Resolved.Bound(Seq(LocTemplate("/data/exp2/orders.parquet"))))
+    assert((spec.data \ "minPrice").contains(JNum(2500)))
+  }
+
+  test("options resolve with priority Default < SpecFile < Cli") {
+    val schema = OptionsSchema(Seq(
+      OptField("minPrice", Some(OptNum(0)), "floor"),
+      OptField("users", Some(OptStr("0..1")), "range"),
+      OptField("tag", None, "required tag")))
+    val spec = JobSpec.parse(specYaml)
+    val r1 = schema.resolve(Some(spec.data), Nil)
+    assert(r1("minPrice") == ((OptNum(1000), OptSource.SpecFile)))
+    assert(r1("users") == ((OptStr("0..4"), OptSource.SpecFile)))
+    val r2 = schema.resolve(Some(spec.data), Seq("--minPrice", "99"))
+    assert(r2("minPrice") == ((OptNum(99), OptSource.Cli)))
+    assertThrows[IllegalArgumentException](
+      schema.resolveStrict(Some(spec.data), Nil)) // tag missing
+    val r3 = schema.resolveStrict(Some(spec.data), Seq("--tag", "x"))
+    assert(r3("tag") == OptStr("x"))
+  }
+
+  test("spec render round-trips through parse") {
+    val spec = JobSpec.parse(specYaml)
+    val again = JobSpec.parse(spec.render)
+    assert(again.variables == spec.variables)
+    assert(again.mappings.bindings == spec.mappings.bindings)
+  }
+
+  test("orders_report pipeline runs end-to-end from a spec") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    val out = "/root/repo/target/scratch/cli_report"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val spec = JobSpec.parse(
+      s"""data: {minPrice: 100000}
+         |locations:
+         |  /orders: /root/testdata/sf0.001/orders.parquet
+         |  /Outputs/report: $out/report.parquet
+         |""".stripMargin)
+    val reg = CLI.registry("orders_report")
+    val opts = reg.options.resolveStrict(Some(spec.data), Nil)
+    val task = reg.build(spark, opts)
+    Pipeline.run(spark, task.asInstanceOf[graft.task.PTask[Unit, Any]],
+      spec.mappings, ())
+    val back = spark.read.parquet(s"$out/report.parquet")
+    assert(back.count() > 0)
+    assert(back.columns.toSet == Set("o_orderstatus", "n", "total"))
+  }
+
+  test("user_analysis (example1 port): templated read/write per index") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    import spark.implicits._
+    val base = "/root/repo/target/scratch/cli_users"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    // plant User-{i}.json inputs (fixture shape per FIXTURES.md A.1)
+    Seq(("Lucky", "Luke", 32), ("Jolly", "Jumper", 9)).zipWithIndex.foreach {
+      case ((n, s, a), i) =>
+        Seq((n, s, a)).toDF("userName", "userSurname", "userAge")
+          .write.mode("overwrite").json(s"$base/Inputs/User-$i.json")
+    }
+    val spec = JobSpec.parse(
+      s"""data: {users: "0..1"}
+         |locations:
+         |  /: $base
+         |  /Inputs/User: "_-{userId}.json"
+         |  /Outputs/Analysis: "_-{userId}.json"
+         |""".stripMargin)
+    val reg = CLI.registry("user_analysis")
+    val opts = reg.options.resolveStrict(Some(spec.data), Nil)
+    val task = reg.build(spark, opts)
+    Pipeline.run(spark, task.asInstanceOf[graft.task.PTask[Unit, Any]],
+      spec.mappings, ())
+    val a0 = spark.read.json(s"$base/Outputs/Analysis-0.json")
+    val a1 = spark.read.json(s"$base/Outputs/Analysis-1.json")
+    // "luckyluke": l:2,u:2,k:2,c:1,y:1,e:1
+    val hist0 = a0.collect().map(r =>
+      r.getAs[String]("letter") -> r.getAs[Long]("n")).toMap
+    assert(hist0("l") == 2 && hist0("u") == 2 && hist0("k") == 2)
+    assert(a1.count() > 0)
+  }
+
+  test("write-config-template emits entries for all requirements") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    val reg = CLI.registry("orders_report")
+    val opts = reg.options.resolve(None, Nil).map { case (k, (v, _)) => k -> v }
+    val task = reg.build(spark, opts)
+    val paths = task.requirements.paths.map(_.toString)
+    assert(paths.contains("/orders") && paths.contains("/Outputs/report"))
+    assert(reg.options.templateJson.render.contains("minPrice"))
+  }
+}

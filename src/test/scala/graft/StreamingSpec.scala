@@ -1,0 +1,87 @@
+package graft
+
+import graft.streaming.EventsStream
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming binding (SURVEY §2.J): the bounded testdata
+  * drives streaming queries synchronously via AvailableNow/memory
+  * sinks; results must agree with the batch plans. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  // FileStreamSource needs a DIRECTORY of files (that's the stream);
+  // the testdata table is a single parquet file, so stage it.
+  lazy val eventsDir: String = {
+    val dir = "/root/repo/target/scratch/stream_src"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/part-0.parquet"))
+    dir
+  }
+
+  test("streaming hourly agg equals the batch aggregation") {
+    val stream = EventsStream.hourlyAgg(
+      EventsStream.readEvents(spark, eventsDir))
+    val q = stream.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("hourly").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("hourly")
+    val want = graft.queries.Star.events(spark, "/root/testdata/sf0.001")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(got.count() == want.count())
+    val g = got.select("hour", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val w = want.select("hour", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(g == w)
+  }
+
+  test("foldPerBatch: FoldA stepped per micro-batch, appended to sink") {
+    val sink = "/root/repo/target/scratch/stream_folds"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sink))
+    val q = EventsStream.foldPerBatch(
+      EventsStream.readEvents(spark, eventsDir), sink)
+    try { q.processAllAvailable() } finally q.stop()
+    val folds = spark.read.parquet(sink)
+    assert(folds.columns.toSet ==
+      Set("batch_id", "n", "sum_value", "n_users"))
+    val totalN = folds.agg(sum("n")).head().getLong(0)
+    assert(totalN == spark.read.parquet(eventsDir).count())
+  }
+
+  test("multi-sink streaming write hits every layer") {
+    val base = "/root/repo/target/scratch/stream_layers"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val q = EventsStream.writeLayers(
+      EventsStream.readEvents(spark, eventsDir),
+      Seq(s"$base/a", s"$base/b"))
+    try { q.processAllAvailable() } finally q.stop()
+    val n = spark.read.parquet(eventsDir).count()
+    assert(spark.read.parquet(s"$base/a").count() == n)
+    assert(spark.read.parquet(s"$base/b").count() == n)
+  }
+
+  test("mapGroupsWithState sessionizer counts per-user events") {
+    import spark.implicits._
+    val snaps = EventsStream.userSessions(
+      graft.queries.Star.events(spark, "/root/testdata/sf0.001"))
+    val got = snaps.collect().map(s => s.user_id -> s.n_events).toMap
+    val want = spark.read.parquet(eventsDir)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+}
