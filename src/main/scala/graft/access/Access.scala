@@ -16,10 +16,23 @@ import org.apache.spark.sql.functions._
   */
 object Access {
 
+  /** Per-access audit log — reference `VFileImportance` / access
+    * logging with severities + timing (VF:84-94, PTREE:585-600). Every
+    * virtual-file read/write logs (vpath, locations, duration). */
+  private val auditLog = org.slf4j.LoggerFactory.getLogger("graft.access")
+  private def audited[T](op: String, vf: VirtualFile,
+                         locs: Seq[LocTemplate])(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    auditLog.info(f"$op ${vf.path} -> [${locs.mkString(", ")}] " +
+      f"(${(System.nanoTime() - t0) / 1e9}%.3fs)")
+    r
+  }
+
   /** Read one layer through the format implied by its extension. */
   private def readLayer(spark: SparkSession, vf: VirtualFile,
                         loc: LocTemplate): DataFrame = {
-    val ext = loc.extension.getOrElse(vf.defaultExt)
+    val ext = loc.dataExtension.getOrElse(vf.defaultExt)
     Formats(ext).read(spark, Seq(loc.raw), vf.schema)
   }
 
@@ -29,7 +42,10 @@ object Access {
     *  - Layered: fold layers with the entry's merge, default as base;
     *  - LayeredWithNull: zero layers -> embedded default or empty DF.
     */
-  def readVF(ctx: RunCtx, vf: VirtualFile): DataFrame = {
+  def readVF(ctx: RunCtx, vf: VirtualFile): DataFrame =
+    audited("read", vf, ctx.layers(vf.path))(readVF0(ctx, vf))
+
+  private def readVF0(ctx: RunCtx, vf: VirtualFile): DataFrame = {
     val spark = ctx.spark
     val layers = ctx.layers(vf.path)
     def default: Option[DataFrame] = vf.embeddedDefault.map(_(spark))
@@ -55,7 +71,10 @@ object Access {
     * PorcupineTree.hs:602-613). An unbound sink is skipped (dead-sink
     * elimination, VFA:306-313) — and because DataFrames are lazy, the
     * producing sub-plan is then never executed either. */
-  def writeVF(ctx: RunCtx, vf: VirtualFile, df: DataFrame): Unit = {
+  def writeVF(ctx: RunCtx, vf: VirtualFile, df: DataFrame): Unit =
+    audited("write", vf, ctx.layers(vf.path))(writeVF0(ctx, vf, df))
+
+  private def writeVF0(ctx: RunCtx, vf: VirtualFile, df: DataFrame): Unit = {
     val layers = ctx.layers(vf.path)
     if (layers.isEmpty) return
     layers match {
@@ -126,6 +145,49 @@ object Access {
   /** `getLocsMappedTo` (VFA:389-405): catalog query. */
   def locsMappedTo(p: VPath): PTask[Any, Seq[String]] =
     PTask.task((ctx, _) => ctx.layers(p).map(_.raw))
+
+  /** Permissive indexed load — reference `tryLoadDataStream`
+    * (VFA:114-122): per-index failures become empty slices recorded in
+    * the returned (index -> error) map instead of failing the whole
+    * read. */
+  def tryLoadIndexed(vf: VirtualFile, varName: String,
+                     indexCol: String = "rep_index")
+      : PTask[Seq[String], (DataFrame, Map[String, String])] =
+    PTask(Catalog.of(vf.copy(usage = Usage.Source)), (ctx, indices) => {
+      val spark = ctx.spark
+      val layers = ctx.layers(vf.path)
+      require(layers.nonEmpty, s"tryLoadIndexed: ${vf.path} unbound")
+      val tmpl = layers.last
+      val results = indices.map { idx =>
+        val loc = tmpl.splice(Map(varName -> idx))
+        try Right(readLayer(spark, vf, loc).withColumn(indexCol, lit(idx)))
+        catch { case e: Exception => Left(idx -> e.toString) }
+      }
+      val dfs = results.collect { case Right(df) => df }
+      val errs = results.collect { case Left(e) => e }.toMap
+      val merged =
+        if (dfs.nonEmpty) dfs.reduceLeft(vf.merge(_, _))
+        else spark.emptyDataFrame
+      (merged, errs)
+    })
+
+  /** Recursive folder listing as a DataFrame — reference
+    * `streamFolder` (TaskPipelineUtils.hs:49-65). Uses the Hadoop FS
+    * API so it works on any supported scheme (file:/s3a:/hdfs:). */
+  def listFolder(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    val rows = Iterator.continually(it)
+      .takeWhile(_.hasNext)
+      .map { i =>
+        val st = i.next()
+        (st.getPath.toString, st.getLen, st.getModificationTime)
+      }.toSeq
+    rows.toDF("path", "length", "mtime")
+  }
 
   /** Cached load: memoize an expensive source (e.g. HTTP) keyed by its
     * resolved locations + fingerprints (reference `usesCacherWithIdent`

@@ -133,8 +133,17 @@ object CLI {
             mappings = Mappings(task.requirements.paths.map(p =>
               p -> graft.loc.MappingRhs.Inherit()).toMap))
           println(template.render)
+        // persist the spec-with-CLI-overrides back to a file —
+        // reference `save` / `--save` (CLI.hs:215-235, 352-363)
+        case "save" =>
+          val target = cliArgs.lastOption.filter(!_.startsWith("-"))
+            .getOrElse(sys.error("save: target file required"))
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(target), spec.render)
+          println(s"[$name] spec saved to $target")
         case other =>
-          sys.error(s"unknown command: $other (run|show-tree|write-config-template)")
+          sys.error(
+            s"unknown command: $other (run|show-tree|write-config-template|save)")
       }
     case _ =>
       println("usage: graft.Main <pipeline> <run|show-tree|write-config-template> " +

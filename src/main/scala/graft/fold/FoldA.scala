@@ -82,6 +82,20 @@ object FoldCol {
   def approxCountDistinct(c: Column, rsd: Double = 0.01): FoldCol[Long] =
     single(approx_count_distinct(c, rsd))(_.asInstanceOf[Long])
 
+  /** Effectful driver-side fold — the reference's `generalizeM`
+    * (Repetition/Foldl.hs:46-69): a fold whose step performs effects
+    * can't be a Catalyst aggregate; stream rows to the driver with
+    * `toLocalIterator` (one partition in memory at a time) and fold
+    * there. The explicit semantic boundary: this de-parallelizes —
+    * use only for genuinely effectful accumulators. */
+  def foldLocally[B](df: org.apache.spark.sql.DataFrame)(z: B)(
+      step: (B, org.apache.spark.sql.Row) => B): B = {
+    val it = df.toLocalIterator()
+    var acc = z
+    while (it.hasNext) acc = step(acc, it.next())
+    acc
+  }
+
   /** Build from a custom typed Aggregator (the reference's `arrowFold`
     * FoldA.hs:172-189 escape hatch for arbitrary step functions):
     * registered as a UDAF column over `in`. */

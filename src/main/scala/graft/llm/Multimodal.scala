@@ -115,6 +115,28 @@ object Multimodal {
     }(enc).toDF()
   }
 
+  /** Write blobs back out as one file per row (`<dir>/<media_id>.bin`)
+    * — the raw-bytes sink the reference's ByteString serial provides
+    * (SerializationMethod.hs:514-538). Executor-side foreachPartition:
+    * each task writes its own rows through the Hadoop FS API (works on
+    * file:/s3a:/hdfs:), nothing funnels through the driver. */
+  def writeBlobs(blobs: DataFrame, dir: String): Unit = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      blobs.sparkSession.sparkContext.hadoopConfiguration)
+    blobs.select("media_id", "content").foreachPartition {
+      (it: Iterator[Row]) =>
+        val base = new org.apache.hadoop.fs.Path(dir)
+        val fs = base.getFileSystem(conf.value)
+        fs.mkdirs(base)
+        it.foreach { row =>
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(base, s"${row.getLong(0)}.bin"),
+            true)
+          try out.write(row.getAs[Array[Byte]](1)) finally out.close()
+        }
+    }
+  }
+
   /** Deterministic frame sampling plan for video blobs: every
     * `stride`-th frame index up to n_frames (the sampling schedule is
     * computed relationally; the per-frame decode would plug into

@@ -35,6 +35,16 @@ final case class LocTemplate(raw: String) {
     if (dot <= 0) None else Some(name.substring(dot + 1))
   }
 
+  /** The format-determining extension, skipping compression suffixes —
+    * the reference's `<ext>zlib` wrapped serials (SerializationMethod
+    * .hs:703-723): `doc.txt.gz` is a (compressed) txt layer. Spark /
+    * Hadoop decompress these codecs transparently on read. */
+  def dataExtension: Option[String] = extension match {
+    case Some(c) if LocTemplate.CompressionExts(c) =>
+      LocTemplate(raw.dropRight(c.length + 1)).extension
+    case e => e
+  }
+
   /** Append a default extension if the location has none
     * (PorcupineTree.hs:512-529). */
   def withDefaultExt(ext: String): LocTemplate =
@@ -48,4 +58,6 @@ final case class LocTemplate(raw: String) {
 
 object LocTemplate {
   private val VarRe = """\{([A-Za-z0-9_]+)\}""".r
+  /** Codecs Spark/Hadoop decompress transparently. */
+  val CompressionExts: Set[String] = Set("gz", "deflate", "bz2", "zst", "lz4")
 }

@@ -101,7 +101,7 @@ final case class Mappings(
           throw new IllegalStateException(
             s"required input $p has no bound location (and no default)")
         case Resolved.Bound(locs) =>
-          locs.flatMap(_.extension).foreach { ext =>
+          locs.flatMap(_.dataExtension).foreach { ext =>
             if (!vf.formats.contains(ext))
               throw new IllegalStateException(
                 s"$p bound to .$ext but declares formats ${vf.formats.mkString(",")}")

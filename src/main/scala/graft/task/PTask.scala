@@ -158,6 +158,24 @@ object PTask {
       }
     })
 
+  /** Memoized DataFrame-producing task — reference `toTask'` with
+    * cache `Properties` (PTask.hs:107-109, Caching.hs:52-123): result
+    * is content-addressed by (identity salt, hashed inputs); inputs
+    * the caller leaves out of `keyParts` are the reference's
+    * `Unhashed` (Caching.hs:45-48). Location-sensitive callers should
+    * include resolved paths + `Memo.fingerprint`s in `keyParts`
+    * (PorcupineTree.hs:123-129 rerun-on-rebind fidelity). No cache
+    * configured -> plain compute. */
+  def cachedTask[A](salt: String, keyParts: (RunCtx, A) => Seq[String])(
+      compute: (RunCtx, A) => org.apache.spark.sql.DataFrame)
+      : PTask[A, org.apache.spark.sql.DataFrame] =
+    task((ctx, a) => ctx.cache match {
+      case Some(memo) =>
+        memo.getOrElseUpdate(memo.keyOf(salt +: keyParts(ctx, a)))(
+          compute(ctx, a))
+      case None => compute(ctx, a)
+    })
+
   /** Conditional branch (the reference keeps ArrowChoice off PTask and
     * on RunnableTask, PTI:120-130; in strict Scala a plain either-branch
     * is safe — both branches' requirements are declared). */

@@ -1,0 +1,156 @@
+package graft
+
+import graft.access.{Access, Http}
+import graft.fold.FoldCol
+import graft.llm.Multimodal
+import graft.loc._
+import graft.model._
+import graft.task.PTask
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gap-fill IO/caching operators: HTTP accessor (against an in-JVM
+  * server), permissive indexed loads, cached tasks, effectful local
+  * folds, blob write-back, folder listing, zlib-wrapped formats. */
+class AccessOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+  def scratch(name: String): String = {
+    val d = s"/root/repo/target/scratch/aops_$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    d
+  }
+
+  // ---- HTTP accessor against a local in-process server ----
+  private def withServer[T](routes: Map[String, String])(
+      body: String => T): T = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    routes.foreach { case (path, payload) =>
+      server.createContext(path, exchange => {
+        val bytes = payload.getBytes("UTF-8")
+        exchange.sendResponseHeaders(200, bytes.length)
+        exchange.getResponseBody.write(bytes)
+        exchange.close()
+      })
+    }
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  test("HTTP: single JSON read + cached re-read") {
+    withServer(Map("/poke" -> """{"name": "pikachu", "weight": 60}""")) {
+      base =>
+        val df = Http.readJson(spark, s"$base/poke")
+        assert(df.select("name").head().getString(0) == "pikachu")
+        // cached variant through the pipeline cache
+        val memoRoot = scratch("httpmemo")
+        val task = Http.loadJsonUrl(s"$base/poke")
+        val r1 = Pipeline.run(spark, task, Mappings.empty, (),
+          cacheRoot = Some(memoRoot))
+        assert(r1.select("weight").head().getLong(0) == 60)
+    }
+  }
+
+  test("HTTP: indexed executor-side sweep with per-row error capture") {
+    withServer(Map(
+      "/u/1" -> """{"id": 1}""",
+      "/u/2" -> """{"id": 2}""")) { base =>
+      val df = Http.fetchIndexed(spark, s"$base/u/{uid}", "uid",
+        Seq("1", "2", "404"), parallelism = 2)
+      val rows = df.collect().map(r =>
+        (r.getString(0), Option(r.getString(1)), Option(r.getString(2))))
+      assert(rows.count(_._2.isDefined) == 2)
+      val failed = rows.find(_._1 == "404").get
+      assert(failed._2.isEmpty && failed._3.exists(_.contains("404")))
+    }
+  }
+
+  test("tryLoadIndexed: missing occurrence becomes an error entry") {
+    import spark.implicits._
+    val base = scratch("tryload")
+    Seq((1, "a")).toDF("id", "v").write.parquet(s"$base/in-0.parquet")
+    Seq((2, "b")).toDF("id", "v").write.parquet(s"$base/in-1.parquet")
+    val vf = VirtualFile(VPath("/in"), Seq("parquet"), Usage.Source)
+    val m = Mappings(Map(VPath("/in") ->
+      MappingRhs.Layers(Seq(LocTemplate(s"$base/in-{i}.parquet")))))
+    val (df, errs) = Pipeline.run(spark,
+      Access.tryLoadIndexed(vf, "i"), m, Seq("0", "1", "9"))
+    assert(df.count() == 2)
+    assert(errs.keySet == Set("9"))
+  }
+
+  test("cachedTask memoizes by salt+key and honors Unhashed exclusion") {
+    var computes = 0
+    val memoRoot = scratch("ctask")
+    val t = PTask.cachedTask[Int]("stage-x",
+      (_, threshold) => Seq(threshold.toString)) { (ctx, threshold) =>
+      computes += 1
+      ctx.spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_totalprice") > threshold)
+    }
+    val r1 = Pipeline.run(spark, t, Mappings.empty, 100000,
+      cacheRoot = Some(memoRoot))
+    val n1 = r1.count()
+    val r2 = Pipeline.run(spark, t, Mappings.empty, 100000,
+      cacheRoot = Some(memoRoot))
+    assert(r2.count() == n1 && computes == 1, "hit must skip compute")
+    Pipeline.run(spark, t, Mappings.empty, 300000,
+      cacheRoot = Some(memoRoot)).count()
+    assert(computes == 2, "different key part must miss")
+  }
+
+  test("foldLocally: effectful driver-side fold (generalizeM analog)") {
+    val df = spark.read.parquet(s"$sf/region.parquet")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = FoldCol.foldLocally(df.orderBy("r_regionkey"))(0) { (acc, row) =>
+      seen += row.getAs[String]("r_name"); acc + 1
+    }
+    assert(n == df.count() && seen.size == n)
+  }
+
+  test("writeBlobs: one file per row via executor-side FS writes") {
+    import spark.implicits._
+    val out = scratch("blobs")
+    val blobs = Multimodal.asBlobs(
+      Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text"),
+      "doc_id", "text", "image")
+    Multimodal.writeBlobs(blobs, out)
+    val f1 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/1.bin"))
+    assert(new String(f1, "UTF-8") == "hello")
+    assert(new java.io.File(s"$out/2.bin").exists())
+  }
+
+  test("listFolder: recursive listing through Hadoop FS") {
+    val base = scratch("listing")
+    import spark.implicits._
+    Seq((1, "x")).toDF("a", "b").write.parquet(s"$base/sub/data.parquet")
+    val listed = Access.listFolder(spark, base)
+    assert(listed.count() >= 1)
+    assert(listed.filter(col("path").contains("sub/data.parquet")).count() >= 1)
+  }
+
+  test("zlib-wrapped text (gz codec) reads transparently") {
+    val base = scratch("gz")
+    new java.io.File(base).mkdirs()
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$base/doc.txt.gz"))
+    gz.write("line one\nline two\n".getBytes("UTF-8")); gz.close()
+    val vf = VirtualFile(VPath("/t"), Seq("txt"), Usage.Source)
+    val m = Mappings(Map(VPath("/t") ->
+      MappingRhs.Layers(Seq(LocTemplate(s"$base/doc.txt.gz")))))
+    // .gz is a compression suffix: format dispatch + validation both
+    // see the data extension (txt) and Hadoop decompresses on read
+    val df = Pipeline.run(spark, Access.loadData(vf), m, ())
+    assert(df.count() == 2)
+  }
+}
