@@ -1,0 +1,345 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions (with `doGenCode`) for the sketch /
+  * vector hot paths — the one place the built-in operator set can't
+  * express the semantics efficiently: higher-order functions run as
+  * CodegenFallback (interpreted, boxed, no CSE), so per-element math
+  * over 64-hash families or 64-dim embeddings pays ~50x overhead.
+  * Each expression stays inside whole-stage codegen and delegates its
+  * per-row loop to a static [[SketchOps]] kernel.
+  *
+  * Reference scope note: porcupine has no scalar-function library at
+  * all (any Haskell fn via `arr`, SURVEY §2.F); these expressions are
+  * the Spark-native realization of the beyond-reference LLM-pipeline
+  * operator pack's inner loops.
+  */
+object SketchExprs {
+
+  private def isFloatArr(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def checkStrArr(name: String, dt: DataType): TypeCheckResult =
+    dt match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<string>, got $other")
+    }
+
+  private def checkVec(name: String, dts: DataType*): TypeCheckResult =
+    dts.collectFirst {
+      case dt if !isFloatArr(dt) && !dt.isInstanceOf[ArrayType] =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$name requires array<float|double>, got $dt")
+      case ArrayType(et, _) if et != FloatType && et != DoubleType =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$name requires array<float|double>, got array<$et>")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+
+  private def checkLongArr(name: String, dts: DataType*): TypeCheckResult =
+    dts.collectFirst {
+      case dt if !dt.isInstanceOf[ArrayType] ||
+          dt.asInstanceOf[ArrayType].elementType != LongType =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$name requires array<long>, got $dt")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+
+  /** MinHash signature: array<string> -> array<long> of length k. */
+  case class MinHashSig(child: Expression, k: Int, seed: Long)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkStrArr(prettyName, child.dataType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_sig"
+    @transient private lazy val (as, bs) = SketchOps.coeffs(k, seed)
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.minhash(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], as, bs)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val aRef = ctx.addReferenceObj("mhAs", as, "long[]")
+      val bRef = ctx.addReferenceObj("mhBs", bs, "long[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchOps.minhash($c, $aRef, $bRef);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+      copy(child = newChild)
+  }
+
+  /** MinHash signature straight from a text column (tokenize +
+    * shingle + hash in one kernel pass): string -> array<long> | null
+    * (null when fewer than shingleSize tokens). */
+  case class MinHashText(child: Expression, shingleSize: Int, k: Int,
+                         seed: Long)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${child.dataType}")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "minhash_text"
+    @transient private lazy val (as, bs) = SketchOps.coeffs(k, seed)
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.minhashText(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        shingleSize, as, bs)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val aRef = ctx.addReferenceObj("mhAs", as, "long[]")
+      val bRef = ctx.addReferenceObj("mhBs", bs, "long[]")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.SketchOps.minhashText($c, $shingleSize, $aRef, $bRef);
+        ${ev.isNull} = (${ev.value} == null);
+      """)
+    }
+    override protected def withNewChildInternal(newChild: Expression): MinHashText =
+      copy(child = newChild)
+  }
+
+  /** SimHash straight from a text column: string -> long | null
+    * (null when the doc has no tokens). */
+  case class SimHashText(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${child.dataType}")
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "simhash_text"
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.simhashText(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        Object simhashRes = graft.functions.SketchOps.simhashText($c);
+        if (simhashRes == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ((java.lang.Long) simhashRes).longValue(); }
+      """)
+    override protected def withNewChildInternal(newChild: Expression): SimHashText =
+      copy(child = newChild)
+  }
+
+  /** LSH band hashes of a signature: array<long> -> array<long>(bands). */
+  case class BandHashes(child: Expression, bands: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkLongArr(prettyName, child.dataType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "band_hashes"
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.bandHashes(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bands)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchOps.bandHashes($c, $bands);")
+    override protected def withNewChildInternal(newChild: Expression): BandHashes =
+      copy(child = newChild)
+  }
+
+  /** Marker-word language ID: string -> string lang code ("und" when
+    * no marker hits). Marker lists ride as per-language hash sets. */
+  case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${child.dataType}")
+    override def dataType: DataType = StringType
+    override def prettyName: String = "lang_id"
+    @transient private lazy val sorted = markers.sortBy(_._1)
+    @transient private lazy val markerSets: Array[java.util.HashSet[String]] =
+      sorted.map { case (_, words) =>
+        val s = new java.util.HashSet[String](words.size * 2)
+        words.foreach(s.add)
+        s
+      }.toArray
+    @transient private lazy val langNames
+        : Array[org.apache.spark.unsafe.types.UTF8String] =
+      sorted.map(p =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(p._1)).toArray
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.langId(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        markerSets, langNames)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val mRef = ctx.addReferenceObj("langMarkers", markerSets,
+        "java.util.HashSet[]")
+      val lRef = ctx.addReferenceObj("langNames", langNames,
+        "org.apache.spark.unsafe.types.UTF8String[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SketchOps.langId($c, $mRef, $lRef)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+      copy(child = newChild)
+  }
+
+  /** SimHash: array<string> -> long bit-sketch. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkStrArr(prettyName, child.dataType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.simhash(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.simhash($c)")
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+      copy(child = newChild)
+  }
+
+  /** Fraction of agreeing positions of two array<long> signatures. */
+  case class SigSim(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkLongArr(prettyName, left.dataType, right.dataType)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "sig_sim"
+    override def nullSafeEval(a: Any, b: Any): Any =
+      SketchOps.sigSim(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SketchOps.sigSim($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SigSim =
+      copy(left = l, right = r)
+  }
+
+  /** Dot product of two numeric arrays (float or double), in double. */
+  case class VecDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVec(prettyName, left.dataType, right.dataType)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_dot"
+    private def lF = isFloatArr(left.dataType)
+    private def rF = isFloatArr(right.dataType)
+    override def nullSafeEval(a: Any, b: Any): Any =
+      SketchOps.dot(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], lF,
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], rF)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.SketchOps.dot($a, $lF, $b, $rF)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+      copy(left = l, right = r)
+  }
+
+  /** Cosine similarity of two numeric arrays, in double. */
+  case class VecCosine(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVec(prettyName, left.dataType, right.dataType)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_cosine"
+    private def lF = isFloatArr(left.dataType)
+    private def rF = isFloatArr(right.dataType)
+    override def nullSafeEval(a: Any, b: Any): Any =
+      SketchOps.cosine(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], lF,
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], rF)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.SketchOps.cosine($a, $lF, $b, $rF)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): VecCosine =
+      copy(left = l, right = r)
+  }
+
+  /** Per-table hyperplane-LSH sign buckets: vec -> array<long>(nTables). */
+  case class HyperplaneBits(child: Expression, planes: Seq[Seq[Double]],
+                            planesPerTable: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVec(prettyName, child.dataType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "hyperplane_bits"
+    private def vF = isFloatArr(child.dataType)
+    @transient private lazy val planesArr: Array[Array[Double]] =
+      planes.map(_.toArray).toArray
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.planeBits(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        vF, planesArr, planesPerTable)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val pRef = ctx.addReferenceObj("lshPlanes", planesArr, "double[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchOps.planeBits($c, $vF, $pRef, $planesPerTable);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): HyperplaneBits =
+      copy(child = newChild)
+  }
+
+  /** Nearest-centroid id (squared L2, ties to lowest id): vec -> long. */
+  case class NearestCell(child: Expression, cents: Seq[Seq[Double]])
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVec(prettyName, child.dataType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "nearest_cell"
+    private def vF = isFloatArr(child.dataType)
+    @transient private lazy val centsArr: Array[Array[Double]] =
+      cents.map(_.toArray).toArray
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.nearestCell(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        vF, centsArr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("ivfCents", centsArr, "double[][]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SketchOps.nearestCell($c, $vF, $cRef)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): NearestCell =
+      copy(child = newChild)
+  }
+
+  /** nProbe nearest centroid ids by (distance, id): vec -> array<long>. */
+  case class ProbeCells(child: Expression, cents: Seq[Seq[Double]], nProbe: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVec(prettyName, child.dataType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "probe_cells"
+    private def vF = isFloatArr(child.dataType)
+    @transient private lazy val centsArr: Array[Array[Double]] =
+      cents.map(_.toArray).toArray
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.probeCells(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        vF, centsArr, nProbe)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("ivfCents", centsArr, "double[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchOps.probeCells($c, $vF, $cRef, $nProbe);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): ProbeCells =
+      copy(child = newChild)
+  }
+
+  // ---- Column-level API ----
+
+  import graft.bridge.ColumnBridge.{column => toCol, expression => toExpr}
+
+  def minhashSig(c: Column, k: Int = 64, seed: Long = 42L): Column =
+    toCol(MinHashSig(toExpr(c), k, seed))
+  def minhashText(c: Column, shingleSize: Int = 3, k: Int = 64,
+                  seed: Long = 42L): Column =
+    toCol(MinHashText(toExpr(c), shingleSize, k, seed))
+  def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
+  def simhashText(c: Column): Column = toCol(SimHashText(toExpr(c)))
+  def bandHashes(c: Column, bands: Int): Column =
+    toCol(BandHashes(toExpr(c), bands))
+  def langId(c: Column, markers: Seq[(String, Seq[String])]): Column =
+    toCol(LangIdExpr(toExpr(c), markers))
+  def sigSim(a: Column, b: Column): Column =
+    toCol(SigSim(toExpr(a), toExpr(b)))
+  def vecDot(a: Column, b: Column): Column =
+    toCol(VecDot(toExpr(a), toExpr(b)))
+  def vecCosine(a: Column, b: Column): Column =
+    toCol(VecCosine(toExpr(a), toExpr(b)))
+  def hyperplaneBits(v: Column, planes: Seq[Seq[Double]], ppt: Int): Column =
+    toCol(HyperplaneBits(toExpr(v), planes, ppt))
+  def nearestCell(v: Column, cents: Seq[Seq[Double]]): Column =
+    toCol(NearestCell(toExpr(v), cents))
+  def probeCells(v: Column, cents: Seq[Seq[Double]], nProbe: Int): Column =
+    toCol(ProbeCells(toExpr(v), cents, nProbe))
+}

@@ -48,14 +48,18 @@ object Dedup {
   // ---------------------------------------------------------------
 
   /** Word n-gram (shingle) array, distinct, from a text column —
-    * `transform(sequence(...), i -> array_join(slice(tokens,...)))`,
-    * all codegen'd. */
+    * `transform(sequence(...), i -> array_join(slice(tokens,...)))`.
+    * Guarded for docs with < n tokens: `sequence(1, 0)` is DESCENDING
+    * in Spark ([1,0]), so the zero-shingle case must short-circuit to
+    * an empty array rather than produce phantom shingles. */
   def wordShingles(text: Column, n: Int): Column = {
     val tokens = filter(split(text, " "), t => t =!= "")
-    val count = greatest(size(tokens) - (n - 1), lit(0))
-    array_distinct(
-      transform(sequence(lit(1), count),
-        i => array_join(slice(tokens, i, lit(n)), " ")))
+    val count = size(tokens) - (n - 1)
+    when(count > 0,
+      array_distinct(
+        transform(sequence(lit(1), count),
+          i => array_join(slice(tokens, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Distinct non-empty tokens. */
@@ -94,42 +98,29 @@ object Dedup {
   // MinHash + LSH — the scale path
   // ---------------------------------------------------------------
 
-  /** Deterministic affine hash family over 32-bit folded hashes:
-    * h_i(x) = (a_i * x32 + b_i) mod P, P prime > 2^32; a_i < 2^31
-    * keeps the product inside signed 64-bit. Seeded, so signatures are
-    * reproducible run-to-run (required for incremental dedup). */
-  private val P = 4294967311L
-  private def hashParams(k: Int, seed: Long): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(k)((rnd.nextLong(1L << 31) | 1L, rnd.nextLong(1L << 31)))
-  }
-
-  /** MinHash signatures: (id, sig: array<long> of length k).
+  /** MinHash signatures: (id, sig: array<long> of length k), computed
+    * by the native [[graft.functions.SketchExprs.MinHashSig]]
+    * expression — the affine family h_i(x) = (a_i*x32 + b_i) mod P
+    * (P prime > 2^32, seeded => reproducible run-to-run, required for
+    * incremental dedup).
     *
-    * One explode + ONE grouped aggregation with k parallel `min`
-    * columns — partial aggregation makes the shuffle k longs per doc,
-    * independent of document size. */
+    * ROW-LOCAL: the whole signature is one narrow codegen'd projection
+    * — NO explode, NO shuffle. At 100 TB the signature stage is a pure
+    * map over the corpus scan; the first shuffle in a dedup job is the
+    * LSH band join. Docs with zero shingles carry no signature. */
   def minHashSignatures(docs: DataFrame, shingleSize: Int = 3, k: Int = 64,
                         seed: Long = 42L, textCol: String = "text",
-                        idCol: String = "doc_id"): DataFrame = {
-    val params = hashParams(k, seed)
-    val h32 = pmod(xxhash64(col("shingle")), lit(1L << 32))
-    val minCols = params.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(lit(a) * h32 + lit(b), lit(P))).as(s"_mh$i")
-    }
-    docs.select(col(idCol).as("id"),
-        explode(wordShingles(col(textCol), shingleSize)).as("shingle"))
-      .groupBy(col("id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("id"),
-        array((0 until k).map(i => col(s"_mh$i")): _*).as("sig"))
-  }
+                        idCol: String = "doc_id"): DataFrame =
+    docs.filter(size(filter(split(col(textCol), " "), t => t =!= ""))
+        >= shingleSize)
+      .select(col(idCol).as("id"),
+        graft.functions.SketchExprs.minhashText(
+          col(textCol), shingleSize, k, seed).as("sig"))
 
   /** Estimated Jaccard from two signatures: fraction of agreeing
-    * minhash positions. */
+    * minhash positions (native codegen'd expression). */
   def sigSimilarity(sigA: Column, sigB: Column): Column =
-    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x).cast("double") / size(sigA)
+    graft.functions.SketchExprs.sigSim(sigA, sigB)
 
   /** MinHash+LSH near-dup candidate pairs with estimated similarity.
     *
@@ -147,23 +138,26 @@ object Dedup {
                    seed: Long = 42L, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val r = k / bands
     val sigs = minHashSignatures(docs, shingleSize, k, seed, textCol, idCol)
-    val banded = sigs.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        bnd => xxhash64(concat_ws(",",
-          slice(col("sig"), bnd * r + 1, lit(r))), bnd))).as(Seq("band", "bh")))
-    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
-      col("band"), col("bh"))
-    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
-      col("band"), col("bh"))
-    a.join(b, Seq("band", "bh"))
+    // Shuffle discipline (same as hyperplane LSH): the band self-join
+    // and pair-dedup move only (band, bh, id) — signatures are
+    // attached AFTER the distinct, so 512-byte sigs never ride the
+    // candidate-pair shuffle, and sigSim runs once per unique pair.
+    val banded = sigs.select(col("id"),
+      posexplode(graft.functions.SketchExprs.bandHashes(col("sig"), bands))
+        .as(Seq("band", "bh")))
+    val pairs = banded.as("a").join(banded.as("b"), Seq("band", "bh"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
+      .distinct()                                        // dedup across bands
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")),
+        Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         sigSimilarity(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("est_jaccard")).as("est_jaccard"))
   }
 
   // ---------------------------------------------------------------
@@ -171,23 +165,17 @@ object Dedup {
   // ---------------------------------------------------------------
 
   /** 64-bit SimHash per document: sign of the per-bit sum of token
-    * hash bits (+1/-1). One explode + one grouped agg of 64 sums. */
+    * hash bits (+1/-1), via the native
+    * [[graft.functions.SketchExprs.SimHash64]] expression.
+    *
+    * ROW-LOCAL: one narrow codegen'd projection — NO explode, NO
+    * shuffle (same scale argument as [[minHashSignatures]]). Docs with
+    * zero tokens carry no simhash. */
   def simHash(docs: DataFrame, textCol: String = "text",
-              idCol: String = "doc_id"): DataFrame = {
-    val h = xxhash64(col("token"))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"_b$i")
-    }
-    val fromBits = (0 until 64).map { i =>
-      when(col(s"_b$i") > 0, lit(1L << i)).otherwise(0L)
-    }.reduce((x, y) => x.bitwiseOR(y))
-    docs.select(col(idCol).as("id"),
-        explode(tokenSet(col(textCol))).as("token"))
-      .groupBy(col("id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"), fromBits.as("simhash"))
-  }
+              idCol: String = "doc_id"): DataFrame =
+    docs.filter(size(filter(split(col(textCol), " "), t => t =!= "")) > 0)
+      .select(col(idCol).as("id"),
+        graft.functions.SketchExprs.simhashText(col(textCol)).as("simhash"))
 
   /** Near-dup pairs by SimHash Hamming distance <= maxDist, using
     * 16-bit band join (any pair within distance d <= 3 shares at least

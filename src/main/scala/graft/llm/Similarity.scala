@@ -40,34 +40,31 @@ object Similarity {
       .select(col(qIdCol), col("rank"), col(idCol), col("cosine"))
   }
 
-  /** Deterministic centroid selection: every `stride`-th vector by id
-    * (a real deployment would run k-means; the cell-probe plumbing is
-    * identical and this keeps the operator reproducible). */
-  def strideCentroids(corpus: DataFrame, nCells: Int,
-                      idCol: String = "vec_id",
-                      vecCol: String = "embedding"): DataFrame = {
-    val w = Window.orderBy(col(idCol).asc)
-    corpus.select(col(idCol), col(vecCol))
-      .withColumn("_rn", row_number().over(w) - 1)
-      .filter(col("_rn") < nCells)
-      .select(col("_rn").cast("long").as("cell_id"), col(vecCol).as("centroid"))
-  }
+  /** Deterministic centroid selection: the first `nCells` vectors by
+    * id, fetched with sort+limit (Spark plans TakeOrdered — partial
+    * per-partition top-N, no global sort). A real deployment would run
+    * k-means; the cell-probe plumbing is identical and this keeps the
+    * operator reproducible. Returned driver-side: centroid sets are
+    * small by definition (C ≪ N) and become a plan literal. */
+  def collectCentroids(corpus: DataFrame, nCells: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Seq[Seq[Double]] =
+    corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol).asc)
+      .limit(nCells).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
 
-  /** Assign each corpus vector to its nearest centroid (broadcast the
-    * C centroids; one pass, no shuffle). This is the build step — at
-    * scale you persist the result partitioned by cell_id so probes
-    * prune at the parquet-partition level. */
-  def assignCells(corpus: DataFrame, centroids: DataFrame,
+  /** Assign each corpus vector to its nearest centroid — ONE narrow
+    * codegen'd projection (native NearestCell expression: no
+    * crossJoin, no window, no shuffle; ties break to the lowest cell
+    * id). This is the build step — at scale you persist the result
+    * partitioned by cell_id so probes prune at the parquet-partition
+    * level. */
+  def assignCells(corpus: DataFrame, centroids: Seq[Seq[Double]],
                   idCol: String = "vec_id", vecCol: String = "embedding")
-      : DataFrame = {
-    val joined = corpus.crossJoin(broadcast(centroids))
-      .withColumn("_d", VectorOps.l2(col(vecCol), col("centroid")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("_d").asc,
-      col("cell_id").asc)
-    joined.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col(idCol), col(vecCol), col("cell_id"))
-  }
+      : DataFrame =
+    corpus.select(col(idCol), col(vecCol),
+      graft.functions.SketchExprs.nearestCell(col(vecCol), centroids)
+        .as("cell_id"))
 
   /** IVF search: each query probes its `nProbe` nearest cells; exact
     * cosine within the probed subset. Recall < 1 by construction;
@@ -77,15 +74,14 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding",
               qIdCol: String = "query_id", qVecCol: String = "query_vec")
       : DataFrame = {
-    val centroids = strideCentroids(corpus, nCells, idCol, vecCol)
+    val centroids = collectCentroids(corpus, nCells, idCol, vecCol)
     val cells = assignCells(corpus, centroids, idCol, vecCol)
-    // query -> its nProbe nearest cells
-    val qCells = queries.crossJoin(broadcast(centroids))
-      .withColumn("_d", VectorOps.l2(col(qVecCol), col("centroid")))
-    val wq = Window.partitionBy(col(qIdCol)).orderBy(col("_d").asc,
-      col("cell_id").asc)
-    val probes = qCells.withColumn("_rn", row_number().over(wq))
-      .filter(col("_rn") <= nProbe)
+    // query -> its nProbe nearest cells (native ProbeCells expression:
+    // (distance, id)-ordered, matching the assign tie-break)
+    val probes = queries
+      .withColumn("cell_id", explode(
+        graft.functions.SketchExprs.probeCells(col(qVecCol), centroids,
+          nProbe)))
       .select(col(qIdCol), col(qVecCol), col("cell_id"))
     // probe join: only vectors in probed cells are scored
     val scored = cells.join(broadcast(probes), Seq("cell_id"))
@@ -114,37 +110,34 @@ object Similarity {
                      idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
     val rnd = new scala.util.Random(seed)
-    val tableBuckets = (0 until nTables).map { t =>
-      val bits = (0 until planesPerTable).map { i =>
-        val plane = array(Array.fill(dim)(rnd.nextGaussian()).map(lit(_)): _*)
-        when(VectorOps.dot(col(vecCol), plane) >= 0, lit(1L << i))
-          .otherwise(0L)
-      }.reduce((a, b) => a.bitwiseOR(b))
-      struct(lit(t).as("table"), bits.as("bits"))
-    }
+    // all nTables*planesPerTable hyperplanes ride into the native
+    // HyperplaneBits expression as one reference object; per row it
+    // emits the nTables sign-pattern buckets in a single codegen'd
+    // kernel pass
+    val planes = (0 until nTables * planesPerTable).map(_ =>
+      Seq.fill(dim)(rnd.nextGaussian()))
     // Shuffle discipline: the bucket self-join and pair-dedup move only
-    // (bucket, id) — 16-byte rows. Vectors are attached AFTER dedup via
-    // two joins against the (id, v, norm) projection, so each vector
-    // crosses the wire once per surviving candidate, never per bucket
-    // row. Norms are precomputed once per vector.
-    val buckets = emb.select(col(idCol).as("id"),
-      explode(array(tableBuckets: _*)).as("bucket"))
-    val pairs = buckets.as("a").join(buckets.as("b"), Seq("bucket"))
+    // (table, bits, id) — 20-byte rows. Vectors are attached AFTER
+    // dedup via two joins against the (id, v) projection, so each
+    // vector crosses the wire once per surviving candidate, never per
+    // bucket row.
+    val buckets = emb
+      .select(col(idCol).as("id"),
+        posexplode(graft.functions.SketchExprs.hyperplaneBits(
+          col(vecCol), planes, planesPerTable)).as(Seq("table", "bits")))
+    val pairs = buckets.as("a")
+      .join(buckets.as("b"), Seq("table", "bits"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()                                        // dedup across tables
-    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      sqrt(VectorOps.normSq(col(vecCol))).as("nrm"))
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     // no broadcast hint: AQE auto-broadcasts when vecs is small; at
     // 100 TB this correctly degrades to a shuffle join on id
     pairs
-      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"),
-        col("nrm").as("nrm_a")), Seq("id_a"))
-      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"),
-        col("nrm").as("nrm_b")), Seq("id_b"))
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cosine",
-        round(VectorOps.dot(col("v_a"), col("v_b")) /
-          (col("nrm_a") * col("nrm_b")), 6))
+        round(VectorOps.cosine(col("v_a"), col("v_b")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

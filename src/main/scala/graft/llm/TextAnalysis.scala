@@ -61,18 +61,11 @@ object TextAnalysis {
     * and vocabulary-driven, so it ports to any marker lists). Returns
     * the language whose markers hit most, `und` when nothing hits. */
   def langId(text: Column,
-             markers: Map[String, Seq[String]] = defaultMarkers): Column = {
-    val toks = tokens(lower(text))
-    val scores = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val w = array(words.map(lit(_)): _*)
-      struct(size(filter(toks, t => array_contains(w, t))).as("hits"),
-        lit(lang).as("lang"))
-    }
-    // argmax: greatest struct orders by hits then lang; ties -> the
-    // lexicographically LAST language name among max hits (documented)
-    val best = greatest(scores: _*)
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
-  }
+             markers: Map[String, Seq[String]] = defaultMarkers): Column =
+    // native kernel (one tokenize pass, hash-set marker lookup);
+    // argmax ties -> the lexicographically LAST language name among
+    // max hits, "und" when nothing hits (documented, oracle-matched)
+    graft.functions.SketchExprs.langId(text, markers.toSeq.sortBy(_._1))
 
   val defaultMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),

@@ -15,18 +15,30 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Dot product of two float-array columns, accumulated in double. */
+  /** Let-binding for Column expressions: evaluate `value` ONCE per row
+    * and hand it to `body` as a lambda variable. Catalyst's
+    * CollapseProject inlines intermediate projections into every use
+    * site, and higher-order functions are interpreted (CodegenFallback
+    * — no common-subexpression elimination), so a body that uses an
+    * expensive array expression N times would otherwise recompute it
+    * N times. Implemented as `transform` over a one-element array:
+    * the lambda variable IS the materialized value. */
+  def bindOnce(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), v => body(v)), 1)
+
+  /** Dot product of two float-array columns, accumulated in double.
+    * Native codegen'd expression (identical accumulation order to the
+    * declarative `aggregate(zip_with(...))` form, so oracle results
+    * are bit-stable). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.SketchExprs.vecDot(a, b)
 
   /** Squared L2 norm (double). */
   def normSq(a: Column): Column = dot(a, a)
 
-  /** Cosine similarity in double precision. */
+  /** Cosine similarity in double precision (native expression). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+    graft.functions.SketchExprs.vecCosine(a, b)
 
   /** Euclidean distance (double). */
   def l2(a: Column, b: Column): Column =
