@@ -146,6 +146,24 @@ object Access {
   def locsMappedTo(p: VPath): PTask[Any, Seq[String]] =
     PTask.task((ctx, _) => ctx.layers(p).map(_.raw))
 
+  /** Reified reader: the bound paths (= the content-hash cache key,
+    * PorcupineTree.hs:123-129) plus a read closure — reference
+    * `getDataReader`/`getDataAccessorFn` (VFA:186-212), for handing an
+    * accessor into a memoized stage. */
+  final case class DataReader(paths: Seq[String], read: () => DataFrame)
+
+  /** Reified writer — reference `getDataWriter` (VFA:186-212). */
+  final case class DataWriter(paths: Seq[String], write: DataFrame => Unit)
+
+  def getDataReader(vf: VirtualFile): PTask[Any, DataReader] =
+    PTask(Catalog.of(vf.copy(usage = Usage.Source)), (ctx, _) =>
+      DataReader(ctx.layers(vf.path).map(_.raw), () => readVF(ctx, vf)))
+
+  def getDataWriter(vf: VirtualFile): PTask[Any, DataWriter] =
+    PTask(Catalog.of(vf.copy(usage = Usage.Sink)), (ctx, _) =>
+      DataWriter(ctx.layers(vf.path).map(_.raw),
+        df => writeVF(ctx, vf, df)))
+
   /** Permissive indexed load — reference `tryLoadDataStream`
     * (VFA:114-122): per-index failures become empty slices recorded in
     * the returned (index -> error) map instead of failing the whole

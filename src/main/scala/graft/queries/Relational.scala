@@ -243,6 +243,22 @@ object Relational {
         .orderBy($"event_type")
     }),
 
+    // --- first-match multi-way split (stacked filters + Copy,
+    //     STU:91-114): orders fanned into price bands over ONE cached
+    //     pass, each branch aggregated, branches unioned back.
+    "q19_split_multiway" -> ((s, dir) => {
+      import s.implicits._
+      val branches = graft.access.Split.splitFirstMatch(
+        table(s, dir, "orders"),
+        Seq("high" -> ($"o_totalprice" > 200000.0),
+          "mid" -> ($"o_totalprice" > 100000.0)),
+        restName = Some("low"))
+      branches.toSeq.sortBy(_._1).map { case (name, df) =>
+        df.agg(count(lit(1)).as("n"), sumDec($"o_totalprice").as("sum_price"))
+          .select(lit(name).as("band"), $"n", $"sum_price")
+      }.reduce(_.unionByName(_)).orderBy($"band")
+    }),
+
     // --- partitioned-write round-trip (writeDataList/partitionBy
     //     layout, VFA:156-176): write orders partitioned by status,
     //     read back, verify per-partition counts.
@@ -356,6 +372,14 @@ object Relational {
     "q18_partitioned_write" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q19_split_multiway" ->
+      """SELECT band, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM (SELECT CASE WHEN o_totalprice > 200000.0 THEN 'high'
+                           WHEN o_totalprice > 100000.0 THEN 'mid'
+                           ELSE 'low' END AS band, o_totalprice
+               FROM orders)
+         GROUP BY band ORDER BY band"""
   )
 }

@@ -139,6 +139,55 @@ class AccessOpsSpec extends AnyFunSuite {
     assert(listed.filter(col("path").contains("sub/data.parquet")).count() >= 1)
   }
 
+  test("splitEither / splitFirstMatch: branches partition the parent") {
+    import spark.implicits._
+    val df = Seq(1, 2, 3, 4, 5, 6).toDF("x")
+    val (evens, odds) = graft.access.Split.splitEither(df, col("x") % 2 === 0)
+    assert(evens.count() == 3 && odds.count() == 3)
+    val branches = graft.access.Split.splitFirstMatch(df,
+      Seq("big" -> (col("x") > 4), "mid" -> (col("x") > 2)),
+      restName = Some("small"))
+    assert(branches("big").count() == 2)   // 5,6
+    assert(branches("mid").count() == 2)   // 3,4 (first-match excludes 5,6)
+    assert(branches("small").count() == 2) // 1,2
+  }
+
+  test("teeThrough: side output written, original passes through") {
+    import spark.implicits._
+    val out = scratch("tee")
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val through = graft.access.Split.teeThrough(df)(
+      _.filter(col("id") === 1))(_.write.parquet(out))
+    assert(through.count() == 2)
+    assert(spark.read.parquet(out).count() == 1)
+  }
+
+  test("Streams: list<->stream round-trip and drain") {
+    import spark.implicits._
+    val ds = graft.rep.Streams.listToStream(spark, Seq(1, 2, 3))
+    assert(graft.rep.Streams.runStream(ds.toDF()) == 3)
+    assert(graft.rep.Streams.streamToList(ds.toDF()).map(_.getInt(0)).sorted
+      == Seq(1, 2, 3))
+    assert(graft.rep.Streams.localIterator(ds.toDF()).size == 3)
+  }
+
+  test("getDataReader/getDataWriter reify paths + closures") {
+    import spark.implicits._
+    val base = scratch("reified")
+    Seq((1, "a")).toDF("id", "v").write.parquet(s"$base/in.parquet")
+    val src = VirtualFile(VPath("/in"), Seq("parquet"), Usage.Source)
+    val snk = VirtualFile(VPath("/out"), Seq("parquet"), Usage.Sink)
+    val m = Mappings(Map(
+      VPath("/in") -> MappingRhs.Layers(Seq(LocTemplate(s"$base/in.parquet"))),
+      VPath("/out") -> MappingRhs.Layers(Seq(LocTemplate(s"$base/out.parquet")))))
+    val (rd, wr) = Pipeline.run(spark,
+      Access.getDataReader(src) &&& Access.getDataWriter(snk), m, ())
+    assert(rd.paths == Seq(s"$base/in.parquet"))
+    assert(wr.paths == Seq(s"$base/out.parquet"))
+    wr.write(rd.read())
+    assert(spark.read.parquet(s"$base/out.parquet").count() == 1)
+  }
+
   test("zlib-wrapped text (gz codec) reads transparently") {
     val base = scratch("gz")
     new java.io.File(base).mkdirs()
