@@ -1,7 +1,7 @@
 package graft.cache
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import java.nio.file.{Files, Paths}
 import java.security.MessageDigest
 
 /** Content-addressed DataFrame memo store.
@@ -26,32 +26,44 @@ final case class Memo(spark: SparkSession, root: String) {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  /** Fingerprint of a local path: file name, length, mtime of every
-    * file under it (cheap; content-hash would re-read TBs). */
+  private def fsFor(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Fingerprint of a bound location on ANY supported scheme
+    * (file:/s3a:/hdfs:, via the Hadoop FS API): relative path, length,
+    * mtime of every file under it (cheap; content-hash would re-read
+    * TBs). Part of cache keys so a rebind or upstream rewrite forces a
+    * rerun (PorcupineTree.hs:123-129 fidelity). */
   def fingerprint(location: String): String = {
-    val p = Paths.get(location.stripPrefix("file:"))
-    if (!Files.exists(p)) s"absent:$location"
+    val p = new Path(location)
+    val fs = fsFor(p)
+    if (!fs.exists(p)) s"absent:$location"
     else {
-      import scala.jdk.CollectionConverters._
-      val entries = Files.walk(p).iterator().asScala
-        .filter(Files.isRegularFile(_))
-        .map(f => s"${p.relativize(f)}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
-        .toSeq.sorted
+      val it = fs.listFiles(p, true)
+      val entries = Iterator.continually(it)
+        .takeWhile(_.hasNext)
+        .map { i =>
+          val st = i.next()
+          val rel = st.getPath.toString.stripPrefix(p.toString)
+          s"$rel:${st.getLen}:${st.getModificationTime}"
+        }.toSeq.sorted
       entries.mkString(";")
     }
   }
 
   private def dirFor(key: String) = s"$root/$key"
-  private def okMarker(key: String) =
-    Paths.get(s"${dirFor(key).stripPrefix("file:")}/_GRAFT_OK")
+  private def okMarker(key: String) = new Path(dirFor(key), "_GRAFT_OK")
 
-  def lookup(key: String): Option[DataFrame] =
-    if (Files.exists(okMarker(key))) Some(spark.read.parquet(dirFor(key)))
+  def lookup(key: String): Option[DataFrame] = {
+    val m = okMarker(key)
+    if (fsFor(m).exists(m)) Some(spark.read.parquet(dirFor(key)))
     else None
+  }
 
   def store(key: String, df: DataFrame): DataFrame = {
     df.write.mode("overwrite").parquet(dirFor(key))
-    Files.createFile(okMarker(key))
+    val m = okMarker(key)
+    fsFor(m).create(m, true).close()
     spark.read.parquet(dirFor(key))
   }
 

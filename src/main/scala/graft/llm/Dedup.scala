@@ -108,11 +108,18 @@ object Dedup {
     * — NO explode, NO shuffle. At 100 TB the signature stage is a pure
     * map over the corpus scan; the first shuffle in a dedup job is the
     * LSH band join. Docs with zero shingles carry no signature. */
+  /** Codegen-friendly token-count predicate: trim + split-on-space-runs
+    * counts exactly the non-empty single-space tokens, without the
+    * CodegenFallback `filter(...)` higher-order function — keeps the
+    * scan->filter->project signature stage in ONE whole-stage-codegen
+    * span (asserted by PlanSpec). */
+  private def tokenCountAtLeast(text: Column, n: Int): Column =
+    trim(text) =!= "" && size(split(trim(text), " +")) >= n
+
   def minHashSignatures(docs: DataFrame, shingleSize: Int = 3, k: Int = 64,
                         seed: Long = 42L, textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame =
-    docs.filter(size(filter(split(col(textCol), " "), t => t =!= ""))
-        >= shingleSize)
+    docs.filter(tokenCountAtLeast(col(textCol), shingleSize))
       .select(col(idCol).as("id"),
         graft.functions.SketchExprs.minhashText(
           col(textCol), shingleSize, k, seed).as("sig"))
@@ -173,7 +180,7 @@ object Dedup {
     * zero tokens carry no simhash. */
   def simHash(docs: DataFrame, textCol: String = "text",
               idCol: String = "doc_id"): DataFrame =
-    docs.filter(size(filter(split(col(textCol), " "), t => t =!= "")) > 0)
+    docs.filter(tokenCountAtLeast(col(textCol), 1))
       .select(col(idCol).as("id"),
         graft.functions.SketchExprs.simhashText(col(textCol)).as("simhash"))
 
