@@ -1,0 +1,155 @@
+package graft
+
+import graft.functions.SketchOps
+import graft.loc.{LocTemplate, Mappings}
+import graft.model.{Catalog, Usage, VPath, VirtualFile}
+import graft.rep.Repetition
+import graft.task.{PTask, RunCtx}
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based laws — the ScalaCheck mirror of the reference's
+  * Hedgehog suite (porcupine-core/test/Test/Porcupine/PTask.hs:53-56
+  * `prop_runnable_id`) extended with the composition laws the Arrow
+  * instance promises, catalog-merge laws, template splicing, and
+  * kernel/declarative equivalences for the native expressions. Pure
+  * driver-side — no SparkSession needed. */
+object PropertySpec extends Properties("graft") {
+
+  private val ctx = RunCtx(null, Catalog.empty, Map.empty, Mappings.empty)
+
+  // --- reference prop_runnable_id: identity task returns its input
+  property("ptask.identity") = forAll { (n: Int) =>
+    PTask.id[Int].run(ctx, n) == n
+  }
+
+  property("ptask.arr-composition") = forAll { (n: Int) =>
+    val f = (x: Int) => x * 2
+    val g = (x: Int) => x - 3
+    (PTask.arr(f) >>> PTask.arr(g)).run(ctx, n) == g(f(n))
+  }
+
+  property("ptask.composition-associative") = forAll { (n: Int) =>
+    val f = PTask.arr((x: Int) => x + 1)
+    val g = PTask.arr((x: Int) => x * 2)
+    val h = PTask.arr((x: Int) => x - 7)
+    ((f >>> g) >>> h).run(ctx, n) == (f >>> (g >>> h)).run(ctx, n)
+  }
+
+  property("ptask.fanout-pairs") = forAll { (n: Int) =>
+    val f = PTask.arr((x: Int) => x + 1)
+    val g = PTask.arr((x: Int) => x.toString)
+    (f &&& g).run(ctx, n) == (n + 1, n.toString)
+  }
+
+  // --- requirements accumulate monoidally through composition
+  private def vfOf(name: String) =
+    VirtualFile(VPath("/" + name), Seq("parquet"), Usage.Source)
+
+  property("catalog.merge-through-composition") =
+    forAll(Gen.alphaLowerStr.suchThat(_.nonEmpty),
+      Gen.alphaLowerStr.suchThat(_.nonEmpty)) { (a, b) =>
+      val ta = PTask(Catalog.of(vfOf(a)), (_: RunCtx, x: Int) => x)
+      val tb = PTask(Catalog.of(vfOf(b)), (_: RunCtx, x: Int) => x)
+      val paths = (ta >>> tb).requirements.paths.map(_.toString).toSet
+      paths == Set("/" + a, "/" + b)
+    }
+
+  // --- {var} splicing: all bound vars disappear, unbound survive
+  private val varName = for {
+    h <- Gen.alphaLowerChar
+    t <- Gen.listOfN(5, Gen.alphaNumChar)
+  } yield (h :: t).mkString
+  property("loc.splice-bound-vars") =
+    forAll(varName, Gen.alphaNumStr) { (v, value) =>
+      val t = LocTemplate(s"/data/file-{$v}.parquet")
+      val spliced = t.splice(Map(v -> value))
+      spliced.raw == s"/data/file-$value.parquet" && spliced.variables.isEmpty
+    }
+
+  property("loc.splice-unbound-survive") = forAll(varName) { v =>
+    val t = LocTemplate(s"/d/{$v}/x.json")
+    t.splice(Map.empty).variables == Seq(v)
+  }
+
+  // --- IndexRange syntax ("0..10", "[0..3,7]") — REP:114-181
+  property("rep.index-range-size") =
+    forAll(Gen.choose(0L, 50L), Gen.choose(0L, 50L)) { (lo, d) =>
+      Repetition.parseIndexRange(s"$lo..${lo + d}").size == d + 1
+    }
+
+  property("rep.index-range-union") =
+    forAll(Gen.choose(0L, 20L), Gen.choose(30L, 50L)) { (a, b) =>
+      val got = Repetition.parseIndexRange(s"[$a..${a + 2},$b]")
+      got == Seq(a, a + 1, a + 2).map(_.toString) :+ b.toString
+    }
+
+  // --- kernel/declarative equivalences for the native expressions
+  private val spaceyText: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.const(" "), Gen.const("  ")))
+      .map(_.mkString(" "))
+
+  property("kernel.spaceTokens-matches-split-filter") =
+    forAll(spaceyText) { s =>
+      SketchOps.spaceTokens(s).toSeq == s.split(" ").filter(_.nonEmpty).toSeq
+    }
+
+  property("kernel.cosine-self-is-one") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(-100, 100))) { xs =>
+      val a = toArrayData(xs.map(_.toDouble))
+      xs.forall(_ == 0) || {
+        val c = SketchOps.cosine(a, false, a, false)
+        math.abs(c - 1.0) < 1e-9
+      }
+    }
+
+  property("kernel.dot-matches-naive") =
+    forAll(Gen.listOfN(8, Gen.choose(-50, 50)),
+      Gen.listOfN(8, Gen.choose(-50, 50))) { (xs, ys) =>
+      val got = SketchOps.dot(toArrayData(xs.map(_.toDouble)), false,
+        toArrayData(ys.map(_.toDouble)), false)
+      val want = xs.zip(ys).map { case (x, y) => x.toDouble * y }.sum
+      math.abs(got - want) < 1e-9
+    }
+
+  property("kernel.sigSim-bounds-and-self") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 1000L))) { sig =>
+      val a = toArrayDataL(sig)
+      SketchOps.sigSim(a, a) == 1.0
+    }
+
+  property("kernel.minhash-deterministic-and-in-range") =
+    forAll(Gen.nonEmptyListOf(Gen.identifier)) { words =>
+      val text = org.apache.spark.unsafe.types.UTF8String
+        .fromString(words.mkString(" "))
+      val (as, bs) = SketchOps.coeffs(16, 42L)
+      val s1 = SketchOps.minhashText(text, 1, as, bs)
+      val s2 = SketchOps.minhashText(text, 1, as, bs)
+      (0 until s1.numElements()).forall { i =>
+        s1.getLong(i) == s2.getLong(i) &&
+          s1.getLong(i) >= 0 && s1.getLong(i) < SketchOps.P
+      }
+    }
+
+  // --- options precedence Default < spec < CLI (OptParse.hs:50-61)
+  property("options.cli-beats-spec-beats-default") =
+    forAll(Gen.choose(0, 999), Gen.choose(0, 999)) { (specV, cliV) =>
+      import graft.config._
+      val schema = OptionsSchema(Seq(OptField("p.x", Some(OptNum(1)), "doc")))
+      import graft.serial.{JNum => JN, JObj}
+      val spec = JObj(Seq("p" -> JObj(Seq("x" -> JN(specV)))))
+      val fromSpec = schema.resolve(Some(spec), Nil)
+      val fromCli = schema.resolve(Some(spec), Seq("--p-x", cliV.toString))
+      val dflt = schema.resolve(None, Nil)
+      dflt("p.x")._1 == OptNum(1) &&
+        fromSpec("p.x")._1 == OptNum(specV) &&
+        fromCli("p.x")._1 == OptNum(cliV)
+    }
+
+  private def toArrayData(xs: Seq[Double]) =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(xs.toArray)
+  private def toArrayDataL(xs: Seq[Long]) =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(xs.toArray)
+}
