@@ -125,6 +125,26 @@ object SketchExprs {
       copy(child = newChild)
   }
 
+  /** Winnowing fingerprint from text: string -> long. */
+  case class FingerprintText(child: Expression, shingleSize: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${child.dataType}")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "fingerprint_text"
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.fingerprintText(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        shingleSize)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SketchOps.fingerprintText($c, $shingleSize)")
+    override protected def withNewChildInternal(newChild: Expression): FingerprintText =
+      copy(child = newChild)
+  }
+
   /** LSH band hashes of a signature: array<long> -> array<long>(bands). */
   case class BandHashes(child: Expression, bands: Int)
       extends UnaryExpression {
@@ -326,6 +346,8 @@ object SketchExprs {
     toCol(MinHashText(toExpr(c), shingleSize, k, seed))
   def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
   def simhashText(c: Column): Column = toCol(SimHashText(toExpr(c)))
+  def fingerprintText(c: Column, shingleSize: Int = 4): Column =
+    toCol(FingerprintText(toExpr(c), shingleSize))
   def bandHashes(c: Column, bands: Int): Column =
     toCol(BandHashes(toExpr(c), bands))
   def langId(c: Column, markers: Seq[(String, Seq[String])]): Column =

@@ -119,6 +119,32 @@ object SketchOps {
     java.lang.Long.valueOf(out)
   }
 
+  /** 64-bit winnowing-style fingerprint: min of xxhash64 over word
+    * n-gram shingles; falls back to the hash of the whole text when
+    * the doc has fewer than n tokens. */
+  def fingerprintText(text: org.apache.spark.unsafe.types.UTF8String,
+                      n: Int): Long = {
+    val toks = spaceTokens(text.toString)
+    val nSh = toks.length - (n - 1)
+    if (nSh <= 0) return xx64(text)
+    var best = Long.MaxValue
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < nSh) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val h = xx64Str(sb.toString)
+      if (h < best) best = h
+      i += 1
+    }
+    best
+  }
+
   /** LSH band hashes of a length-k signature: band b's hash chains
     * XXH64.hashLong over its k/bands rows, seeded by the band index
     * (so identical row-slices in different bands don't collide). */

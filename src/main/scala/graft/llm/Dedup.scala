@@ -191,12 +191,13 @@ object Dedup {
                    textCol: String = "text", idCol: String = "doc_id")
       : DataFrame = {
     val sh = simHash(docs, textCol, idCol)
-    // 4 exact 16-bit bands (shift amounts must be literal ints, so the
-    // bands are built as a 4-way union rather than a transform lambda)
-    val bands = (0 until 4).map { i =>
-      sh.select(col("id"), col("simhash"), lit(i).as("band"),
-        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))
-    }.reduce(_.unionByName(_))
+    // 4 exact 16-bit bands emitted by ONE generator pass (posexplode
+    // of the band array: pos = band index), not a 4-way union that
+    // would re-derive the simhash per band
+    val bands = sh.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bh")))
     val a = bands.select(col("id").as("id_a"), col("simhash").as("sh_a"),
       col("band"), col("bh"))
     val b = bands.select(col("id").as("id_b"), col("simhash").as("sh_b"),

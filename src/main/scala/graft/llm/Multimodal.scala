@@ -115,6 +115,52 @@ object Multimodal {
     }(enc).toDF()
   }
 
+  /** Pluggable resizer — same contract shape as [[MediaDecoder]]:
+    * thread-safe, constructed once per partition. The STUB transform
+    * is a deterministic byte-level downsample (every stride-th byte)
+    * standing in for a real pixel resample; the Spark-side plumbing
+    * (partition batching, schema, metadata rewrite) is the real
+    * design. */
+  trait MediaResizer extends Serializable {
+    def resize(kind: String, bytes: Array[Byte], w: Int, h: Int)
+        : Array[Byte]
+  }
+
+  object MediaResizer {
+    object Deterministic extends MediaResizer {
+      def resize(kind: String, bytes: Array[Byte], w: Int, h: Int)
+          : Array[Byte] = {
+        val target = math.max(1, math.min(bytes.length, w * h))
+        val stride = (bytes.length + target - 1) / target
+        bytes.grouped(math.max(1, stride)).map(_.head).toArray
+      }
+    }
+  }
+
+  /** Resize blobs to target dimensions — partition-batched like
+    * [[extractFeatures]] (the mapInPandas shape): one resizer per
+    * task, rows streamed through it, output schema = input schema
+    * with updated content + dims columns. Narrow (no shuffle). */
+  def resizeBlobs(blobs: DataFrame, width: Int, height: Int,
+                  resizer: MediaResizer = MediaResizer.Deterministic)
+      : DataFrame = {
+    val schema = StructType(blobs.schema.fields ++ Seq(
+      StructField("target_w", IntegerType, nullable = false),
+      StructField("target_h", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val kindIdx = blobs.schema.fieldIndex("kind")
+    val contentIdx = blobs.schema.fieldIndex("content")
+    blobs.mapPartitions { rows =>
+      rows.map { row =>
+        val resized = resizer.resize(row.getString(kindIdx),
+          row.getAs[Array[Byte]](contentIdx), width, height)
+        val vals = row.toSeq.updated(contentIdx, resized) ++
+          Seq(width, height)
+        Row.fromSeq(vals)
+      }
+    }(enc)
+  }
+
   /** Write blobs back out as one file per row (`<dir>/<media_id>.bin`)
     * — the raw-bytes sink the reference's ByteString serial provides
     * (SerializationMethod.hs:514-538). Executor-side foreachPartition:

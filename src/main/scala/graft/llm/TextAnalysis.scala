@@ -76,11 +76,8 @@ object TextAnalysis {
 
   /** 64-bit content fingerprint: min of rolling xxhash64 over word
     * 4-grams — stable under whitespace normalization, cheap to
-    * recompute incrementally (winnowing-style). */
-  def fingerprint(text: Column, n: Int = 4): Column = {
-    val sh = Dedup.wordShingles(text, n)
-    when(size(sh) > 0,
-      array_min(transform(sh, s => xxhash64(s))))
-      .otherwise(xxhash64(text))
-  }
+    * recompute incrementally (winnowing-style). Native codegen'd
+    * kernel; short docs fall back to the whole-text hash. */
+  def fingerprint(text: Column, n: Int = 4): Column =
+    graft.functions.SketchExprs.fingerprintText(text, n)
 }

@@ -101,6 +101,18 @@ class LlmSpec extends AnyFunSuite {
     assert(rows1.forall(_.getSeq[Float](7).length == 8))
   }
 
+  test("multimodal: resizeBlobs keeps schema + ids, rewrites content") {
+    val blobs = Multimodal.asBlobs(docs.limit(20), "doc_id", "text", "image")
+    val resized = Multimodal.resizeBlobs(blobs, 8, 8)
+    assert(resized.count() == 20)
+    assert(resized.columns.toSeq ==
+      blobs.columns.toSeq ++ Seq("target_w", "target_h"))
+    val row = resized.orderBy("media_id").head()
+    assert(row.getInt(row.fieldIndex("target_w")) == 8)
+    assert(row.getAs[Array[Byte]]("content").length <= 64,
+      "stub resample must bound content to <= w*h bytes")
+  }
+
   test("multimodal: frame sampling schedule matches n_frames/stride") {
     import spark.implicits._
     val feats = Seq((1L, "video", 100L, 0L, 64, 64, 25, Seq.empty[Float]))
