@@ -125,6 +125,34 @@ object SketchExprs {
       copy(child = newChild)
   }
 
+  /** One-pass text statistics: string -> struct<n_chars, n_tokens,
+    * n_token_chars, n_punct, n_upper> (all long). Five quality-filter
+    * signals in one codegen'd scan of the text — subexpression
+    * elimination shares the single struct across the per-field
+    * projections. */
+  case class TextStats(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${child.dataType}")
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_chars", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("n_token_chars", LongType, nullable = false),
+      StructField("n_punct", LongType, nullable = false),
+      StructField("n_upper", LongType, nullable = false)))
+    override def prettyName: String = "text_stats"
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.textStats(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchOps.textStats($c);")
+    override protected def withNewChildInternal(newChild: Expression): TextStats =
+      copy(child = newChild)
+  }
+
   /** Winnowing fingerprint from text: string -> long. */
   case class FingerprintText(child: Expression, shingleSize: Int)
       extends UnaryExpression {
@@ -348,6 +376,7 @@ object SketchExprs {
   def simhashText(c: Column): Column = toCol(SimHashText(toExpr(c)))
   def fingerprintText(c: Column, shingleSize: Int = 4): Column =
     toCol(FingerprintText(toExpr(c), shingleSize))
+  def textStats(c: Column): Column = toCol(TextStats(toExpr(c)))
   def bandHashes(c: Column, bands: Int): Column =
     toCol(BandHashes(toExpr(c), bands))
   def langId(c: Column, markers: Seq[(String, Seq[String])]): Column =

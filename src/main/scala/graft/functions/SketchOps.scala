@@ -119,6 +119,39 @@ object SketchOps {
     java.lang.Long.valueOf(out)
   }
 
+  /** One-pass text statistics in codepoints, matching the declarative
+    * column semantics exactly: n_chars = length(text); n_tokens =
+    * count of \s+-separated runs; n_token_chars = non-whitespace
+    * codepoints (= sum of token lengths); n_punct = codepoints
+    * matching [^A-Za-z0-9\s] (ASCII classes, like the regex);
+    * n_upper = [A-Z] codepoints. */
+  def textStats(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    var total = 0L; var nonWs = 0L; var punct = 0L; var upper = 0L
+    var tokens = 0L
+    var inTok = false
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      total += 1
+      val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r'
+      if (!ws) {
+        nonWs += 1
+        if (!inTok) { tokens += 1; inTok = true }
+      } else inTok = false
+      val alnum = (cp >= '0' && cp <= '9') || (cp >= 'A' && cp <= 'Z') ||
+        (cp >= 'a' && cp <= 'z')
+      if (!alnum && !ws) punct += 1
+      if (cp >= 'A' && cp <= 'Z') upper += 1
+      i += Character.charCount(cp)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, tokens, nonWs, punct, upper))
+  }
+
   /** 64-bit winnowing-style fingerprint: min of xxhash64 over word
     * n-gram shingles; falls back to the hash of the whole text when
     * the doc has fewer than n tokens. */

@@ -25,26 +25,29 @@ object TextAnalysis {
     size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
       t => trim(t) =!= ""))
 
+  /** One-pass text statistics struct (native kernel): n_chars,
+    * n_tokens, n_token_chars, n_punct, n_upper. */
+  def textStats(text: Column): Column =
+    graft.functions.SketchExprs.textStats(text)
+
   /** Quality features: every signal a length/punct/stopword-ratio
-    * filter needs, one projection. */
+    * filter needs, derived from ONE text_stats kernel pass (whole-
+    * stage codegen CSE shares the struct across the field columns). */
   def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
-    val toks = tokens(t)
-    val nToks = size(toks).cast("double")
-    df.withColumn("n_chars_m", length(t).cast("long"))
-      .withColumn("n_tokens", size(toks).cast("long"))
+    val st = textStats(col(textCol))
+    val nChars = st.getField("n_chars")
+    val nToks = st.getField("n_tokens")
+    df.withColumn("n_chars_m", nChars)
+      .withColumn("n_tokens", nToks)
       .withColumn("avg_token_len",
-        when(nToks > 0,
-          aggregate(toks, lit(0L), (acc, x) => acc + length(x))
-            .cast("double") / nToks).otherwise(0.0))
+        when(nToks > 0, st.getField("n_token_chars").cast("double") /
+          nToks.cast("double")).otherwise(0.0))
       .withColumn("punct_ratio",
-        when(length(t) > 0,
-          (length(t) - length(regexp_replace(t, "[^A-Za-z0-9\\s]", "")))
-            .cast("double") / length(t)).otherwise(0.0))
+        when(nChars > 0, st.getField("n_punct").cast("double") /
+          nChars.cast("double")).otherwise(0.0))
       .withColumn("upper_ratio",
-        when(length(t) > 0,
-          (length(t) - length(regexp_replace(t, "[A-Z]", "")))
-            .cast("double") / length(t)).otherwise(0.0))
+        when(nChars > 0, st.getField("n_upper").cast("double") /
+          nChars.cast("double")).otherwise(0.0))
   }
 
   /** Stopword ratio against a given list. */

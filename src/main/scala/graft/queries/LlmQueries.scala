@@ -78,12 +78,13 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // per-language token statistics (integer-sum exact, then divide).
+    // per-language token statistics (integer-sum exact, then divide;
+    // one text_stats kernel pass per row).
     "llm_token_stats" -> ((s, dir) => {
-      val t = TextAnalysis.tokens(col("text"))
+      val st = TextAnalysis.textStats(col("text"))
       table(s, dir, "documents")
-        .select(col("lang"), size(t).cast("long").as("n_tok"),
-          aggregate(t, lit(0L), (acc, x) => acc + length(x)).as("n_tok_chars"))
+        .select(col("lang"), st.getField("n_tokens").as("n_tok"),
+          st.getField("n_token_chars").as("n_tok_chars"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("total_tokens"),
