@@ -77,14 +77,18 @@ object Access {
   private def writeVF0(ctx: RunCtx, vf: VirtualFile, df: DataFrame): Unit = {
     val layers = ctx.layers(vf.path)
     if (layers.isEmpty) return
+    // format dispatch on the DATA extension; a compression suffix
+    // (.txt.gz) turns into the writer's codec option — the reference's
+    // zlib-wrapped serials work on the write side too
+    def writeOne(target: DataFrame, l: LocTemplate): Unit =
+      Formats(l.dataExtension.getOrElse(vf.defaultExt))
+        .write(target, l.raw, l.compressionCodec)
     layers match {
-      case Seq(single) =>
-        Formats(single.extension.getOrElse(vf.defaultExt)).write(df, single.raw)
+      case Seq(single) => writeOne(df, single)
       case many =>
         // multi-sink: persist once so the plan runs once, write N times
         val cached = df.persist()
-        try many.foreach(l =>
-          Formats(l.extension.getOrElse(vf.defaultExt)).write(cached, l.raw))
+        try many.foreach(l => writeOne(cached, l))
         finally cached.unpersist()
     }
   }

@@ -45,6 +45,10 @@ final case class LocTemplate(raw: String) {
     case e => e
   }
 
+  /** Spark writer codec implied by a compression suffix, if any. */
+  def compressionCodec: Option[String] =
+    extension.flatMap(LocTemplate.CodecNames.get)
+
   /** Append a default extension if the location has none
     * (PorcupineTree.hs:512-529). */
   def withDefaultExt(ext: String): LocTemplate =
@@ -60,4 +64,8 @@ object LocTemplate {
   private val VarRe = """\{([A-Za-z0-9_]+)\}""".r
   /** Codecs Spark/Hadoop decompress transparently. */
   val CompressionExts: Set[String] = Set("gz", "deflate", "bz2", "zst", "lz4")
+  /** compression suffix -> Spark writer codec name */
+  val CodecNames: Map[String, String] = Map(
+    "gz" -> "gzip", "deflate" -> "deflate", "bz2" -> "bzip2",
+    "zst" -> "zstd", "lz4" -> "lz4")
 }

@@ -14,6 +14,11 @@ import org.apache.spark.sql.types.StructType
   */
 trait Format {
   def ext: String
+  /** Write with an optional compression codec (the reference zlib-wraps
+    * any serial, SerializationMethod.hs:703-723; Spark codecs: gzip/
+    * bzip2/zstd/lz4/deflate). Formats without a codec knob ignore it. */
+  def write(df: DataFrame, path: String, codec: Option[String]): Unit =
+    write(df, path)
   def read(spark: SparkSession, paths: Seq[String],
            schema: Option[StructType]): DataFrame
   def write(df: DataFrame, path: String): Unit
@@ -33,6 +38,11 @@ object Formats {
     }
     def write(df: DataFrame, path: String): Unit =
       df.write.mode("overwrite").parquet(path)
+    override def write(df: DataFrame, path: String, codec: Option[String]): Unit = {
+      val w = df.write.mode("overwrite")
+      codec.foreach(c => w.option("compression", c))
+      w.parquet(path)
+    }
   }
 
   /** JSON lines (+ whole-doc via multiLine) — reference aeson serial
@@ -46,6 +56,11 @@ object Formats {
     }
     def write(df: DataFrame, path: String): Unit =
       df.write.mode("overwrite").json(path)
+    override def write(df: DataFrame, path: String, codec: Option[String]): Unit = {
+      val w = df.write.mode("overwrite")
+      codec.foreach(c => w.option("compression", c))
+      w.json(path)
+    }
   }
 
   /** CSV with configurable delimiter + header — reference
@@ -63,6 +78,12 @@ object Formats {
     def write(df: DataFrame, path: String): Unit =
       df.write.mode("overwrite").option("header", header.toString)
         .option("delimiter", delimiter).csv(path)
+    override def write(df: DataFrame, path: String, codec: Option[String]): Unit = {
+      val w = df.write.mode("overwrite").option("header", header.toString)
+        .option("delimiter", delimiter)
+      codec.foreach(c => w.option("compression", c))
+      w.csv(path)
+    }
   }
 
   /** Plain text, one row per line (or wholetext) — reference
@@ -73,6 +94,11 @@ object Formats {
       s.read.option("wholetext", whole.toString).text(paths: _*)
     def write(df: DataFrame, path: String): Unit =
       df.write.mode("overwrite").text(path)
+    override def write(df: DataFrame, path: String, codec: Option[String]): Unit = {
+      val w = df.write.mode("overwrite")
+      codec.foreach(c => w.option("compression", c))
+      w.text(path)
+    }
   }
 
   /** Raw bytes as `binaryFile` rows (path, modificationTime, length,

@@ -188,6 +188,22 @@ class AccessOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/out.parquet").count() == 1)
   }
 
+  test("compressed write: .json.gz sink round-trips through the engine") {
+    import spark.implicits._
+    val base = scratch("gzwrite")
+    val vf = VirtualFile(VPath("/out"), Seq("json"), Usage.Sink)
+    val m = Mappings(Map(VPath("/out") ->
+      MappingRhs.Layers(Seq(LocTemplate(s"$base/out.json.gz")))))
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    Pipeline.run(spark, Access.writeData(vf), m, df)
+    // part files must actually be gzip-compressed
+    val parts = new java.io.File(s"$base/out.json.gz").listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".gz")))
+    val back = spark.read.json(s"$base/out.json.gz")
+    assert(back.count() == 2)
+  }
+
   test("zlib-wrapped text (gz codec) reads transparently") {
     val base = scratch("gz")
     new java.io.File(base).mkdirs()
