@@ -96,8 +96,13 @@ object CLI {
     .config("spark.sql.adaptive.enabled", "true")
     .getOrCreate()
 
-  /** Entry point, separated from `main` for tests (pass a session). */
-  def run(args: Array[String], spark: => SparkSession): Unit = args.toSeq match {
+  /** Entry point, separated from `main` for tests (pass a session).
+    * Logging flags (--log-level, --log-format, -q, -v) apply to every
+    * command and are stripped before dispatch. */
+  def run(args: Array[String], spark: => SparkSession): Unit =
+    run0(Logging.applyFlags(args.toSeq), spark)
+
+  private def run0(args: Seq[String], spark: => SparkSession): Unit = args match {
     case Seq("list") =>
       registry.toSeq.sortBy(_._1).foreach { case (n, r) =>
         println(f"$n%-16s ${r.doc}")

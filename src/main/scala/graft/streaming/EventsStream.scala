@@ -101,6 +101,17 @@ object EventsStream {
       }
   }
 
+  /** Streaming exact dedup — the streaming face of the dedup operator
+    * pack: watermarked `dropDuplicates` on a content key, so the state
+    * store holds only the watermark horizon of keys (bounded memory on
+    * an unbounded stream). Duplicate events (same dedup columns)
+    * arriving within the horizon are emitted once. */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates(keys :+ "ts")
+
   /** Multi-sink streaming write — the reference's write-to-every-layer
     * semantics under streaming: one stream, N sinks via foreachBatch
     * (persist the batch once, write it N times). */

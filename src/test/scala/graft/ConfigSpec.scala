@@ -138,6 +138,20 @@ class ConfigSpec extends AnyFunSuite {
     assert(a1.count() > 0)
   }
 
+  test("logging flags: level + format applied and stripped from args") {
+    import graft.config.Logging
+    val rest = Logging.applyFlags(Seq("orders_report", "--log-level", "warn",
+      "run", "--log-format", "compact", "-o", "x=1"))
+    assert(rest == Seq("orders_report", "run", "-o", "x=1"))
+    val root = org.apache.logging.log4j.LogManager.getRootLogger
+      .asInstanceOf[org.apache.logging.log4j.core.Logger]
+    assert(root.getLevel == org.apache.logging.log4j.Level.WARN)
+    val name = Logging.setFormat("json")
+    assert(root.getAppenders.containsKey(name))
+    intercept[IllegalArgumentException](Logging.setFormat("nope"))
+    Logging.setLevel("info")
+  }
+
   test("write-config-template emits entries for all requirements") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()

@@ -74,6 +74,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/b").count() == n)
   }
 
+  test("streaming dedup drops in-horizon duplicates, keeps distinct") {
+    import spark.implicits._
+    // build a source dir with planted duplicates
+    val dir = "/root/repo/target/scratch/stream_dedup_src"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val rows = Seq(
+      (1L, 1000000000000000000L, 7L, "click", 1.0, "{}"),
+      (2L, 1000000000000000000L, 7L, "click", 1.0, "{}"),  // dup of 1 (same key+ts)
+      (3L, 1000003600000000000L, 7L, "view", 2.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.parquet(dir)
+    val deduped = EventsStream.dedupStream(
+      EventsStream.readEvents(spark, dir),
+      keys = Seq("user_id", "event_type", "value"))
+    val q = deduped.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup").start()
+    try { q.processAllAvailable() } finally q.stop()
+    assert(spark.table("dedup").count() == 2)
+  }
+
   test("mapGroupsWithState sessionizer counts per-user events") {
     import spark.implicits._
     val snaps = EventsStream.userSessions(
