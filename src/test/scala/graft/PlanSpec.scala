@@ -17,6 +17,8 @@ class PlanSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir",
+      "/root/repo/target/scratch/plan_warehouse")
     .getOrCreate()
 
   val sf = "/root/testdata/sf0.001"
@@ -62,6 +64,45 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("* Project"), plan.take(1500))
     assert(plan.contains("* Filter"), plan.take(1500))
     assert(plan.contains("simhash_text"), plan.take(1500))
+  }
+
+  test("bucketed tables join without any Exchange (co-located join)") {
+    import graft.rep.Joins
+    // the in-memory catalog forgets tables between JVMs but the
+    // warehouse dirs persist — clear both before writing
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+        s"/root/repo/target/scratch/plan_warehouse/$t"))
+    }
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+    Joins.writeBucketed(orders, "b_orders", "o_orderkey", 8)
+    Joins.writeBucketed(lineitem, "b_lineitem", "l_orderkey", 8)
+    val joined = spark.table("b_lineitem")
+      .hint("merge")                                 // force SMJ, not broadcast
+      .join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("o_orderpriority"))
+    val plan = planOf(joined)
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must not shuffle either side:\n${plan.take(2500)}")
+    assert(plan.contains("Bucketed: true"), plan.take(2500))
+  }
+
+  test("salted join equals plain join (skew mitigation is semantics-free)") {
+    import graft.rep.Joins
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(customer, Seq("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n")).orderBy("c_mktsegment").collect()
+    val salted = Joins.saltedJoin(orders, customer, "o_custkey", 6)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n")).orderBy("c_mktsegment").collect()
+    assert(plain.sameElements(salted))
   }
 
   test("IVF cell assignment is a narrow projection over the corpus") {
