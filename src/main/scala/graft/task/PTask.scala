@@ -176,6 +176,30 @@ object PTask {
       case None => compute(ctx, a)
     })
 
+  /** Cached compute-then-write — reference `toTaskAndWrite`
+    * (Caching.hs:52-123): memoized compute whose result goes to a
+    * sink; if the sink is UNBOUND the compute is skipped entirely
+    * (dead-sink elimination composed with caching — "only c goes to
+    * the store" becomes: only the DataFrame is memoized, the write is
+    * re-performed per run against the currently-bound layers). */
+  def cachedTaskAndWrite[A](vf: graft.model.VirtualFile, salt: String,
+      keyParts: (RunCtx, A) => Seq[String])(
+      compute: (RunCtx, A) => org.apache.spark.sql.DataFrame)
+      : PTask[A, Unit] = {
+    val sink = vf.copy(usage = graft.model.Usage.Sink)
+    PTask(Catalog.of(sink), (ctx, a) =>
+      if (!ctx.isBound(vf.path)) ()                 // dead sink: skip compute
+      else {
+        val df = ctx.cache match {
+          case Some(memo) =>
+            memo.getOrElseUpdate(memo.keyOf(salt +: keyParts(ctx, a)))(
+              compute(ctx, a))
+          case None => compute(ctx, a)
+        }
+        graft.access.Access.writeVF(ctx, sink, df)
+      })
+  }
+
   /** Conditional branch (the reference keeps ArrowChoice off PTask and
     * on RunnableTask, PTI:120-130; in strict Scala a plain either-branch
     * is safe — both branches' requirements are declared). */

@@ -171,6 +171,39 @@ class AccessOpsSpec extends AnyFunSuite {
     assert(graft.rep.Streams.localIterator(ds.toDF()).size == 3)
   }
 
+  test("zipByIndex pairs rows in order (example2 zipWith analog)") {
+    import spark.implicits._
+    val a = Seq("x", "y", "z").toDF("l").coalesce(1)
+    val b = Seq(10, 20, 30).toDF("r").coalesce(1)
+    val z = graft.rep.Streams.zipByIndex(a, b)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(z.sortBy(_._2) == Seq(("x", 10), ("y", 20), ("z", 30)))
+    intercept[IllegalArgumentException](
+      graft.rep.Streams.zipByIndex(a, a))
+  }
+
+  test("cachedTaskAndWrite: skip when unbound, memoize when bound") {
+    var computes = 0
+    val base = scratch("ctw")
+    val vf = VirtualFile(VPath("/Outputs/rpt"), Seq("parquet"), Usage.Sink)
+    val t = PTask.cachedTaskAndWrite[Int](vf, "rpt", (_, n) => Seq(n.toString)) {
+      (ctx, n) =>
+        computes += 1
+        ctx.spark.read.parquet(s"$sf/region.parquet").limit(n)
+    }
+    // unbound sink -> compute skipped entirely
+    Pipeline.run(spark, t, Mappings.empty, 3, cacheRoot = Some(s"$base/memo"))
+    assert(computes == 0)
+    // bound sink -> compute + write; second run hits the memo
+    val m = Mappings(Map(VPath("/Outputs/rpt") ->
+      MappingRhs.Layers(Seq(LocTemplate(s"$base/rpt.parquet")))))
+    Pipeline.run(spark, t, m, 3, cacheRoot = Some(s"$base/memo"))
+    assert(computes == 1)
+    assert(spark.read.parquet(s"$base/rpt.parquet").count() == 3)
+    Pipeline.run(spark, t, m, 3, cacheRoot = Some(s"$base/memo"))
+    assert(computes == 1, "memo hit must skip recompute")
+  }
+
   test("getDataReader/getDataWriter reify paths + closures") {
     import spark.implicits._
     val base = scratch("reified")
