@@ -150,6 +150,20 @@ object Access {
   def locsMappedTo(p: VPath): PTask[Any, Seq[String]] =
     PTask.task((ctx, _) => ctx.layers(p).map(_.raw))
 
+  /** Access several nodes under one virtual folder — reference
+    * `withFolderDataAccessNodes` (VFA:360-383): declare every given
+    * source under `folder`, read them all, return entry-name ->
+    * DataFrame. */
+  def loadFolder(folder: VPath, sources: Seq[VirtualFile])
+      : PTask[Any, Map[String, DataFrame]] = {
+    val rooted = sources.map { vf =>
+      vf.copy(path = VPath(folder.segments ++ vf.path.segments),
+        usage = Usage.Source)
+    }
+    PTask(Catalog.of(rooted: _*), (ctx, _) =>
+      rooted.map(vf => vf.path.segments.last -> readVF(ctx, vf)).toMap)
+  }
+
   /** Reified reader: the bound paths (= the content-hash cache key,
     * PorcupineTree.hs:123-129) plus a read closure — reference
     * `getDataReader`/`getDataAccessorFn` (VFA:186-212), for handing an

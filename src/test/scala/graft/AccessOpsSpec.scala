@@ -171,6 +171,27 @@ class AccessOpsSpec extends AnyFunSuite {
     assert(graft.rep.Streams.localIterator(ds.toDF()).size == 3)
   }
 
+  test("loadFolder reads every source under one virtual folder") {
+    import spark.implicits._
+    val base = scratch("folder")
+    Seq((1, "a")).toDF("id", "v").write.parquet(s"$base/users.parquet")
+    Seq((2, "b")).toDF("id", "v").write.parquet(s"$base/items.parquet")
+    val t = Access.loadFolder(VPath("/Inputs"), Seq(
+      VirtualFile(VPath("/users"), Seq("parquet"), Usage.Source),
+      VirtualFile(VPath("/items"), Seq("parquet"), Usage.Source)))
+    assert(t.requirements.paths.map(_.toString).toSet ==
+      Set("/Inputs/users", "/Inputs/items"))
+    val m = Mappings(Map(
+      VPath("/Inputs/users") ->
+        MappingRhs.Layers(Seq(LocTemplate(s"$base/users.parquet"))),
+      VPath("/Inputs/items") ->
+        MappingRhs.Layers(Seq(LocTemplate(s"$base/items.parquet")))))
+    val dfs = Pipeline.run(spark, t, m, ())
+    assert(dfs.keySet == Set("users", "items"))
+    assert(dfs("users").head().getString(1) == "a")
+    assert(dfs("items").head().getString(1) == "b")
+  }
+
   test("zipByIndex pairs rows in order (example2 zipWith analog)") {
     import spark.implicits._
     val a = Seq("x", "y", "z").toDF("l").coalesce(1)
