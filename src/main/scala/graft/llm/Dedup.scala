@@ -212,6 +212,74 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  // pair set -> duplicate clusters (connected components)
+  // ---------------------------------------------------------------
+
+  /** Connected components over a near-dup pair set: hash-min label
+    * propagation. Each vertex starts labeled with its own id; every
+    * round each vertex takes the min label in its neighborhood;
+    * converged when no label changes (diameter-bounded rounds —
+    * near-dup clusters are shallow, typically 2-4 rounds).
+    *
+    * Scale: the edge set is the (candidate-bounded) LSH output —
+    * orders of magnitude smaller than the corpus; each round is one
+    * join + one min-aggregation on (vertex, label) pairs, and labels
+    * are checkpointed per round to keep lineage flat. Returns
+    * (id, component) with component = min id in the cluster.
+    * Singleton vertices (no edges) keep their own id. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10)
+      : DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"),
+        col("id_a").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbor-min pass: label(v) <- min(label(v), min label(u) for u~v)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("component")).as("n_min"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("n_min"), col("component")))
+            .as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("component", "old"),
+        Seq("id")).filter(col("component") < col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** End-to-end near-dup dedup: MinHash-LSH pairs -> connected
+    * components -> keep one representative (min id) per cluster.
+    * Returns the deduplicated documents. */
+  def nearDupDedup(docs: DataFrame, threshold: Double = 0.7,
+                   textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    val pairs = minHashPairs(docs, threshold, textCol = textCol,
+      idCol = idCol)
+    val comps = connectedComponents(pairs)
+    val reps = comps.groupBy(col("component"))
+      .agg(min(col("id")).as("keep"))
+      .select(col("keep").as(idCol))
+    val dupIds = comps.select(col("id").as(idCol))
+      .exceptAll(reps)
+    docs.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  // ---------------------------------------------------------------
   // embedding-cosine near-dup
   // ---------------------------------------------------------------
 

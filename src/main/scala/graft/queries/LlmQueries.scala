@@ -46,6 +46,14 @@ object LlmQueries {
       Dedup.simHashPairs(table(s, dir, "documents"), maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // near-dup clusters: LSH pairs -> connected components (rows-only;
+    // transitive closure is not single-query SQL; planted-cluster
+    // semantics asserted in LlmSpec).
+    "llm_dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.minHashPairs(table(s, dir, "documents"), threshold = 0.35))
+        .orderBy(col("id"))),
+
     // embedding-cosine near-dup pairs (brute-force ground truth).
     "llm_embedding_pairs" -> ((s, dir) =>
       Dedup.embeddingPairsBrute(table(s, dir, "embeddings"),

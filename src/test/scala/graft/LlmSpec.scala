@@ -62,6 +62,32 @@ class LlmSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("connectedComponents labels planted clusters correctly") {
+    import spark.implicits._
+    // two chains (1-2-3, 10-11) and a singleton edge pair (20-21):
+    // transitivity must label 3 with 1 even though (1,3) is no edge
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+    assert(comps(20L) == 20L && comps(21L) == 20L)
+  }
+
+  test("nearDupDedup keeps one representative per duplicate cluster") {
+    import spark.implicits._
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val nearA = base.replace("tok30", "changedA")   // ~dup of base
+    val nearB = base.replace("tok31", "changedB")   // ~dup of base (chain)
+    val other = (0 until 60).map(i => s"zzz$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearA), (3L, nearB), (4L, other))
+      .toDF("doc_id", "text")
+    val kept = Dedup.nearDupDedup(docs, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L), s"got $kept")
+  }
+
   test("hyperplane LSH recalls most cosine>=0.4 pairs") {
     val truth = pairSet(Dedup.embeddingPairsBrute(emb, threshold = 0.4))
     assert(truth.nonEmpty)
