@@ -215,51 +215,77 @@ object Dedup {
   // pair set -> duplicate clusters (connected components)
   // ---------------------------------------------------------------
 
-  /** Connected components over a near-dup pair set: hash-min label
-    * propagation. Each vertex starts labeled with its own id; every
-    * round each vertex takes the min label in its neighborhood;
-    * converged when no label changes (diameter-bounded rounds —
-    * near-dup clusters are shallow, typically 2-4 rounds).
+  /** Connected components over a near-dup pair set, ADAPTIVE:
     *
-    * Scale: the edge set is the (candidate-bounded) LSH output —
-    * orders of magnitude smaller than the corpus; each round is one
-    * join + one min-aggregation on (vertex, label) pairs, and labels
-    * are checkpointed per round to keep lineage flat. Returns
-    * (id, component) with component = min id in the cluster.
-    * Singleton vertices (no edges) keep their own id. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10)
-      : DataFrame = {
+    * The edge set is the candidate-bounded LSH output — orders of
+    * magnitude smaller than the corpus (a corpus with 30% duplicates
+    * has ~0.3N edges; 100 TB of text is ~10^10 docs but the pair set
+    * fits a driver comfortably until ~10^8 edges). So: count the
+    * edges; below `driverThreshold` run union-find on the driver (two
+    * jobs total — the same call pattern as AQE's own size-based plan
+    * switches); above it, distributed hash-min label propagation
+    * (join + min-agg per round, labels persisted per round,
+    * convergence-tested; near-dup clusters are shallow so 2-4 rounds
+    * suffice).
+    *
+    * Returns (id, component), component = min id in the cluster. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+                          driverThreshold: Long = 2000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val spark = pairs.sparkSession
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"),
         col("id_a").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      // neighbor-min pass: label(v) <- min(label(v), min label(u) for u~v)
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("component")).as("n_min"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("n_min"), col("component")))
-            .as("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("component", "old"),
-        Seq("id")).filter(col("component") < col("old")).limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
-      iter += 1
-    }
-    edges.unpersist()
-    labels
+    try {
+      if (edges.count() <= driverThreshold) {
+        // driver union-find (path compression; min id becomes root)
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+          }
+          r
+        }
+        edges.select("src", "dst").collect().foreach { row =>
+          val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+        }
+        val verts = parent.keySet ++ parent.values
+        import spark.implicits._
+        verts.toSeq.map(v => (v, find(v))).toDF("id", "component")
+      } else {
+        var labels = edges.select(col("src").as("id")).distinct()
+          .withColumn("component", col("id"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        var converged = false
+        var iter = 0
+        while (!converged && iter < maxIter) {
+          // label(v) <- min(label(v), min label(u) for u~v)
+          val neighborMin = edges
+            .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+            .groupBy(col("dst").as("id"))
+            .agg(min(col("component")).as("n_min"))
+          val next = labels.join(neighborMin, Seq("id"), "left")
+            .select(col("id"),
+              least(col("component"),
+                coalesce(col("n_min"), col("component"))).as("component"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val changed = next
+            .join(labels.withColumnRenamed("component", "old"), Seq("id"))
+            .filter(col("component") < col("old")).limit(1).count()
+          labels.unpersist()
+          labels = next
+          converged = changed == 0
+          iter += 1
+        }
+        labels
+      }
+    } finally edges.unpersist()
   }
 
   /** End-to-end near-dup dedup: MinHash-LSH pairs -> connected

@@ -68,11 +68,16 @@ class LlmSpec extends AnyFunSuite {
     // transitivity must label 3 with 1 even though (1,3) is no edge
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
       .toDF("id_a", "id_b")
-    val comps = Dedup.connectedComponents(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
-    assert(comps(10L) == 10L && comps(11L) == 10L)
-    assert(comps(20L) == 20L && comps(21L) == 20L)
+    // both strategies must agree: driver union-find (small edge sets)
+    // and distributed hash-min (forced via driverThreshold = 0)
+    for (threshold <- Seq(2000000L, 0L)) {
+      val comps = Dedup.connectedComponents(pairs,
+        driverThreshold = threshold).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
+      assert(comps(10L) == 10L && comps(11L) == 10L)
+      assert(comps(20L) == 20L && comps(21L) == 20L)
+    }
   }
 
   test("nearDupDedup keeps one representative per duplicate cluster") {
