@@ -138,6 +138,27 @@ class ConfigSpec extends AnyFunSuite {
     assert(a1.count() > 0)
   }
 
+  test("spec migration: rename, default, nest, map (RecBijection family)") {
+    import graft.config.SpecMigration._
+    import graft.serial._
+    val old = JObj(Seq(
+      "params" -> JObj(Seq("minprice" -> JNum(100), "legacy" -> JBool(true))),
+      "top" -> JStr("x")))
+    val migrated = migrate(old, Seq(
+      RenameKey(Seq("params"), "minprice", "minPrice"),
+      AddConst(Seq("params"), "maxPrice", JNum(9999)),
+      AddConst(Seq("params"), "minPrice", JNum(-1)),   // present: no-op
+      RemoveKey(Seq("params"), "legacy"),
+      NestUnder(Nil, "top", "nested"),
+      MapValue(Seq("params"), "minPrice",
+        { case JNum(n) => JNum(n * 2); case v => v })))
+    val params = (migrated \ "params").get
+    assert((params \ "minPrice").contains(JNum(200)))
+    assert((params \ "maxPrice").contains(JNum(9999)))
+    assert((params \ "minprice").isEmpty && (params \ "legacy").isEmpty)
+    assert((migrated \ "nested").flatMap(_ \ "top").contains(JStr("x")))
+  }
+
   test("logging flags: level + format applied and stripped from args") {
     import graft.config.Logging
     val rest = Logging.applyFlags(Seq("orders_report", "--log-level", "warn",
