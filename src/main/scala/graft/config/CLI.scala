@@ -115,15 +115,31 @@ object CLI {
         case more => (None, more)
       }
       val spec = specOpt.getOrElse(JobSpec.empty).withCliArgs(cliArgs)
+      // options-as-virtual-file (reference optionsVirtualFile,
+      // Options.hs:43-64): binding /Options/<pipeline> to external
+      // yaml/json file(s) layers them UNDER the spec's inline data:
+      // priority = schema default < option file(s) < data: < CLI
+      val optionData: graft.serial.JValue = {
+        import graft.serial.{JValue, Yaml}
+        val fileLayers = spec.mappings.bindings
+          .get(VPath(s"/Options/$name")) match {
+          case Some(graft.loc.MappingRhs.Layers(ls)) => ls.map { l =>
+            Yaml.parse(new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(l.raw.stripPrefix("file:"))), "UTF-8"))
+          }
+          case _ => Seq.empty
+        }
+        (fileLayers :+ spec.data).reduceLeft(JValue.deepMerge)
+      }
       cmd match {
         case "run" =>
-          val opts = reg.options.resolveStrict(Some(spec.data), cliArgs)
+          val opts = reg.options.resolveStrict(Some(optionData), cliArgs)
           val task = reg.build(spark, opts)
           Pipeline.run(spark, task.asInstanceOf[PTask[Unit, Any]],
             spec.mappings, ())
           println(s"[$name] done")
         case "show-tree" =>
-          val opts = reg.options.resolveStrict(Some(spec.data), cliArgs)
+          val opts = reg.options.resolveStrict(Some(optionData), cliArgs)
           val task = reg.build(spark, opts)
           println(Pipeline.describe(task,
             Some(spec.mappings).filter(_ => specOpt.nonEmpty || cliArgs.nonEmpty)))

@@ -45,6 +45,21 @@ final case class JArr(xs: Seq[JValue]) extends JValue
 final case class JObj(fields: Seq[(String, JValue)]) extends JValue
 
 object JValue {
+  /** Right-biased recursive object merge — the non-union monoid for
+    * config-like layered reads (SURVEY §1.5: deep-merge, not
+    * unionByName): scalars/arrays from `over` replace `base`, objects
+    * merge key-wise. */
+  def deepMerge(base: JValue, over: JValue): JValue = (base, over) match {
+    case (JObj(b), JObj(o)) =>
+      val bKeys = b.map(_._1)
+      val merged = b.map { case (k, bv) =>
+        k -> o.collectFirst { case (`k`, ov) => deepMerge(bv, ov) }
+          .getOrElse(bv)
+      }
+      JObj(merged ++ o.filterNot { case (k, _) => bKeys.contains(k) })
+    case (_, o) => o
+  }
+
   def quote(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"

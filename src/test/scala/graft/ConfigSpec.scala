@@ -104,6 +104,35 @@ class ConfigSpec extends AnyFunSuite {
     assert(back.columns.toSet == Set("o_orderstatus", "n", "total"))
   }
 
+  test("options virtual file: external yaml layer under data:, CLI on top") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    val base = "/root/repo/target/scratch/cli_optfile"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    // external option file sets a very high minPrice -> few rows
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/opts.yaml"), "minPrice: 400000\n")
+    val specTxt =
+      s"""locations:
+         |  /orders: /root/testdata/sf0.001/orders.parquet
+         |  /Outputs/report: $base/report.parquet
+         |  /Options/orders_report: $base/opts.yaml
+         |""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/spec.yaml"), specTxt)
+    CLI.run(Array("orders_report", "run", s"$base/spec.yaml"), spark)
+    val highCut = spark.read.parquet(s"$base/report.parquet")
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    // CLI -o beats the option file: minPrice back to 0 -> all orders
+    CLI.run(Array("orders_report", "run", s"$base/spec.yaml",
+      "-o", "minPrice=0"), spark)
+    val noCut = spark.read.parquet(s"$base/report.parquet")
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(highCut < noCut, s"file layer must gate rows: $highCut vs $noCut")
+  }
+
   test("user_analysis (example1 port): templated read/write per index") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")
