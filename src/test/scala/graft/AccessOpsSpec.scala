@@ -74,6 +74,33 @@ class AccessOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft-http DataSourceV2: parallel indexed fetch on executors") {
+    withServer(Map(
+      "/u/1" -> """{"id": 1}""",
+      "/u/2" -> """{"id": 2}""",
+      "/u/3" -> """{"id": 3}""")) { base =>
+      val df = spark.read.format("graft-http")
+        .option("urlTemplate", s"$base/u/{uid}")
+        .option("var", "uid")
+        .option("indices", "[1..3,404]")
+        .option("parallelism", "2")
+        .load()
+      assert(df.schema.fieldNames.toSeq == Seq("rep_index", "body", "error"))
+      assert(df.rdd.getNumPartitions == 2)
+      val rows = df.collect().map(r =>
+        (r.getString(0), Option(r.getString(1)), Option(r.getString(2))))
+      assert(rows.length == 4)
+      assert(rows.count(_._2.isDefined) == 3)
+      assert(rows.find(_._1 == "404").exists(_._3.isDefined))
+      // bodies parse downstream like any JSON layer
+      val parsed = spark.read.json(
+        spark.createDataset(df.filter(col("error").isNull)
+          .select("body").collect().map(_.getString(0)).toSeq)(
+          spark.implicits.newStringEncoder))
+      assert(parsed.select(sum(col("id"))).head().getLong(0) == 6L)
+    }
+  }
+
   test("tryLoadIndexed: missing occurrence becomes an error entry") {
     import spark.implicits._
     val base = scratch("tryload")
