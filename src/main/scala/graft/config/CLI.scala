@@ -131,6 +131,9 @@ object CLI {
         }
         (fileLayers :+ spec.data).reduceLeft(JValue.deepMerge)
       }
+      reg.options.unknownKeys(optionData).foreach(k =>
+        System.err.println(s"[$name] WARNING: unknown option key '$k' " +
+          "in spec (no declared field matches; it will be ignored)"))
       cmd match {
         case "run" =>
           val opts = reg.options.resolveStrict(Some(optionData), cliArgs)

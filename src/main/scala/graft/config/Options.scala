@@ -84,14 +84,38 @@ final case class OptionsSchema(fields: Seq[OptField]) {
           }, OptSource.Cli: OptSource)
         }
     }.flatten.toSeq
-    // boolean --flag / --no-flag shorthand (OptParse.hs:108-121)
+    // boolean --flag / --no-flag shorthand (OptParse.hs:108-121):
+    // --no-x always means false; bare --x (no value following) means
+    // true when x is a declared boolean field
     val boolCli = cliArgs.collect {
       case flag if flag.startsWith("--no-") &&
           fields.exists(_.path == flag.drop(5).replace('-', '.')) =>
         flag.drop(5).replace('-', '.') ->
           (OptBool(false): OptValue, OptSource.Cli: OptSource)
     }
-    (fromDefaults ++ fromSpec ++ fromCli ++ boolCli).toMap
+    val bareBoolCli = cliArgs.zipWithIndex.collect {
+      case (flag, i) if flag.startsWith("--") && !flag.startsWith("--no-") && {
+        val path = flag.drop(2).replace('-', '.')
+        fields.exists(f => f.path == path &&
+          f.default.exists(_.isInstanceOf[OptBool])) &&
+          (i + 1 >= cliArgs.length || cliArgs(i + 1).startsWith("-"))
+      } => flag.drop(2).replace('-', '.') ->
+        (OptBool(true): OptValue, OptSource.Cli: OptSource)
+    }
+    (fromDefaults ++ fromSpec ++ fromCli ++ bareBoolCli ++ boolCli).toMap
+  }
+
+  /** Spec keys that match no declared field — surfaced as warnings so
+    * a typo'd option doesn't silently fall back to its default
+    * (reference YAML/default merge warnings, CLI.hs:377-391). */
+  def unknownKeys(spec: JValue): Seq[String] = {
+    def walk(j: JValue, prefix: Seq[String]): Seq[Seq[String]] = j match {
+      case JObj(fs) => fs.flatMap { case (k, v) => walk(v, prefix :+ k) }
+      case _        => Seq(prefix)
+    }
+    val declared = fields.map(_.path).toSet
+    walk(spec, Nil).map(_.mkString("."))
+      .filterNot(p => declared.exists(d => d == p || d.startsWith(p + ".")))
   }
 
   /** Resolve, failing on required fields that never got a value. */

@@ -167,6 +167,22 @@ class ConfigSpec extends AnyFunSuite {
     assert(a1.count() > 0)
   }
 
+  test("boolean flags: bare --flag true, --no-flag false, unknown keys warn") {
+    import graft.config._
+    import graft.serial._
+    val schema = OptionsSchema(Seq(
+      OptField("dryRun", Some(OptBool(false)), "no writes"),
+      OptField("p.x", Some(OptNum(1)), "")))
+    assert(schema.resolve(None, Seq("--dryRun"))("dryRun")._1 == OptBool(true))
+    assert(schema.resolve(None,
+      Seq("--dryRun", "--no-dryRun"))("dryRun")._1 == OptBool(false))
+    assert(schema.resolve(None, Nil)("dryRun")._1 == OptBool(false))
+    val unknown = schema.unknownKeys(JObj(Seq(
+      "p" -> JObj(Seq("x" -> JNum(2), "typo" -> JNum(3))),
+      "dryRun" -> JBool(true))))
+    assert(unknown == Seq("p.typo"))
+  }
+
   test("spec migration: rename, default, nest, map (RecBijection family)") {
     import graft.config.SpecMigration._
     import graft.serial._
