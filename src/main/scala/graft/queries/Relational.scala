@@ -265,6 +265,12 @@ object Relational {
     "q18_partitioned_write" -> ((s, dir) => {
       import s.implicits._
       val scratch = s"/root/repo/target/scratch/q18_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      // direct write from scan partitions: files-per-dir = tasks x
+      // values. At 100 TB with a LOW-cardinality partition column,
+      // bound the file count without collapsing parallelism by
+      // salting: .repartition(nFiles, col, pmod(xxhash64(id), nFiles))
+      // (repartition(col) alone would mean one reducer per value);
+      // spark.sql.files.maxRecordsPerFile caps file size either way.
       table(s, dir, "orders")
         .write.mode("overwrite").partitionBy("o_orderstatus").parquet(scratch)
       s.read.parquet(scratch)
