@@ -69,11 +69,16 @@ class PlanSpec extends AnyFunSuite {
   test("bucketed tables join without any Exchange (co-located join)") {
     import graft.rep.Joins
     // the in-memory catalog forgets tables between JVMs but the
-    // warehouse dirs persist — clear both before writing
+    // warehouse dirs persist — clear both before writing. Resolve the
+    // ACTUAL warehouse dir from the live session: under sbt's single
+    // JVM, getOrCreate may reuse a session built by an earlier suite,
+    // ignoring this builder's warehouse config.
+    val warehouse = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
     Seq("b_orders", "b_lineitem").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
-        s"/root/repo/target/scratch/plan_warehouse/$t"))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$warehouse/$t"))
     }
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
