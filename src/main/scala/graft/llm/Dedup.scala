@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * Scale design: every operator is shuffle-bounded by GROUP BY /
   * self-join on short keys (hash, band bucket) — never an O(N²) cross
   * join except the explicitly-labelled brute-force baselines. Signature
-  * computation is one explode + one grouped aggregation (map-side
-  * partial min/sum), all codegen'd expressions, no UDFs.
+  * computation is a shuffle-free narrow projection through the native
+  * codegen'd kernels in [[graft.functions.SketchExprs]]; only ids and
+  * band hashes ride the candidate shuffles.
   */
 object Dedup {
 
@@ -98,16 +99,6 @@ object Dedup {
   // MinHash + LSH — the scale path
   // ---------------------------------------------------------------
 
-  /** MinHash signatures: (id, sig: array<long> of length k), computed
-    * by the native [[graft.functions.SketchExprs.MinHashSig]]
-    * expression — the affine family h_i(x) = (a_i*x32 + b_i) mod P
-    * (P prime > 2^32, seeded => reproducible run-to-run, required for
-    * incremental dedup).
-    *
-    * ROW-LOCAL: the whole signature is one narrow codegen'd projection
-    * — NO explode, NO shuffle. At 100 TB the signature stage is a pure
-    * map over the corpus scan; the first shuffle in a dedup job is the
-    * LSH band join. Docs with zero shingles carry no signature. */
   /** Codegen-friendly token-count predicate: trim + split-on-space-runs
     * counts exactly the non-empty single-space tokens, without the
     * CodegenFallback `filter(...)` higher-order function — keeps the
@@ -116,6 +107,16 @@ object Dedup {
   private def tokenCountAtLeast(text: Column, n: Int): Column =
     trim(text) =!= "" && size(split(trim(text), " +")) >= n
 
+  /** MinHash signatures: (id, sig: array<long> of length k), computed
+    * by the native [[graft.functions.SketchExprs.MinHashText]]
+    * expression — the affine family h_i(x) = (a_i*x32 + b_i) mod P
+    * (P prime > 2^32, seeded => reproducible run-to-run, required for
+    * incremental dedup).
+    *
+    * ROW-LOCAL: the whole signature is one narrow codegen'd projection
+    * — NO explode, NO shuffle. At 100 TB the signature stage is a pure
+    * map over the corpus scan; the first shuffle in a dedup job is the
+    * LSH band join. Docs with zero shingles carry no signature. */
   def minHashSignatures(docs: DataFrame, shingleSize: Int = 3, k: Int = 64,
                         seed: Long = 42L, textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame =
@@ -145,7 +146,13 @@ object Dedup {
                    seed: Long = 42L, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
     require(k % bands == 0, "bands must divide k")
+    // persist signatures: (id, 64 longs) per doc — tiny vs the text —
+    // consumed four times below (both band-join sides + both attach
+    // joins); without the persist each consumer re-runs the scan +
+    // kernel. At 100 TB you'd write sigs to a parquet layer instead
+    // (same idea, durable).
     val sigs = minHashSignatures(docs, shingleSize, k, seed, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Shuffle discipline (same as hyperplane LSH): the band self-join
     // and pair-dedup move only (band, bh, id) — signatures are
     // attached AFTER the distinct, so 512-byte sigs never ride the
@@ -233,9 +240,11 @@ object Dedup {
                           driverThreshold: Long = 2000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = pairs.sparkSession
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"),
-        col("id_a").as("dst")))
+    // persist the pair set before the bidirectional union — its two
+    // branches would otherwise each re-run the (LSH) pipeline behind it
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -285,7 +294,7 @@ object Dedup {
         }
         labels
       }
-    } finally edges.unpersist()
+    } finally { edges.unpersist(); p.unpersist(); () }
   }
 
   /** End-to-end near-dup dedup: MinHash-LSH pairs -> connected

@@ -121,10 +121,13 @@ object Similarity {
     // dedup via two joins against the (id, v) projection, so each
     // vector crosses the wire once per surviving candidate, never per
     // bucket row.
+    // persisted: (id, table, bits) rows are consumed by both sides of
+    // the self-join — without it each side re-runs the scan + kernel
     val buckets = emb
       .select(col(idCol).as("id"),
         posexplode(graft.functions.SketchExprs.hyperplaneBits(
           col(vecCol), planes, planesPerTable)).as(Seq("table", "bits")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = buckets.as("a")
       .join(buckets.as("b"), Seq("table", "bits"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
