@@ -72,6 +72,35 @@ object Http {
       .toDF("rep_index", "body", "error")
   }
 
+  /** HTTP write side — the reference accessor's configurable
+    * writeMethod (HTTP.hs:58-153 `{url, writeMethod}`): POST each
+    * row's JSON to the (optionally `{var}`-templated, spliced per row
+    * from column values) URL, EXECUTOR-side via foreachPartition.
+    * Returns per-row (url, status-or-error) outcomes collected to a
+    * DataFrame for auditing. */
+  def postRows(df: org.apache.spark.sql.DataFrame, urlTemplate: String,
+               conf: HttpConf = HttpConf(method = "POST"))
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vars = graft.loc.LocTemplate(urlTemplate).variables
+    val withJson = df.withColumn("_body",
+      org.apache.spark.sql.functions.to_json(
+        org.apache.spark.sql.functions.struct(
+          df.columns.map(org.apache.spark.sql.functions.col): _*)))
+    withJson.mapPartitions { rows =>
+      rows.map { row =>
+        val url = vars.foldLeft(urlTemplate)((u, v) =>
+          u.replace(s"{$v}", String.valueOf(row.getAs[Any](v))))
+        val body = row.getAs[String]("_body")
+        try {
+          fetch(url, conf.copy(body = Some(body)))
+          (url, "ok")
+        } catch { case e: Exception => (url, e.toString) }
+      }
+    }.toDF("url", "outcome")
+  }
+
   /** Catalog-level HTTP source task: fetch + parse as JSON, with the
     * engine's content-hash cache keyed by URL (reference example-Poke
     * caches API reads, ExamplePokeAPI.hs:44-49). */

@@ -74,6 +74,29 @@ class AccessOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("HTTP write side: executor-side POST per row with outcomes") {
+    import spark.implicits._
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/ingest", exchange => {
+      received.add(new String(
+        exchange.getRequestBody.readAllBytes(), "UTF-8"))
+      exchange.sendResponseHeaders(200, 2)
+      exchange.getResponseBody.write("ok".getBytes)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      val outcomes = Http.postRows(df, s"$base/ingest/{id}").collect()
+      assert(outcomes.length == 2 && outcomes.forall(_.getString(1) == "ok"))
+      assert(received.size == 2)
+      assert(received.toArray.mkString.contains("\"v\":\"a\""))
+    } finally server.stop(0)
+  }
+
   test("graft-http DataSourceV2: parallel indexed fetch on executors") {
     withServer(Map(
       "/u/1" -> """{"id": 1}""",
