@@ -87,7 +87,8 @@ object Http {
     val withJson = df.withColumn("_body",
       org.apache.spark.sql.functions.to_json(
         org.apache.spark.sql.functions.struct(
-          df.columns.map(org.apache.spark.sql.functions.col): _*)))
+          df.columns.toIndexedSeq.map(
+            org.apache.spark.sql.functions.col): _*)))
     withJson.mapPartitions { rows =>
       rows.map { row =>
         val url = vars.foldLeft(urlTemplate)((u, v) =>

@@ -50,7 +50,7 @@ object Streams {
       val schema = StructType(
         StructField("_zip_idx", LongType, nullable = false) +: df.schema.fields)
       df.sparkSession.createDataFrame(
-        df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(i +: r.toSeq) },
+        df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(i +: r.toSeq) },
         schema)
     }
     indexed(a).join(indexed(b), "_zip_idx").drop("_zip_idx")
