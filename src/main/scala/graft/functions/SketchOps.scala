@@ -1,8 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{UnsafeArrayData, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.StringType
 
 /** Tight-loop kernels behind the custom Catalyst expressions in
   * [[SketchExprs]]. Each is a plain static method the generated Java
@@ -13,11 +12,53 @@ import org.apache.spark.sql.types.StringType
   * elimination), which made the equivalent declarative formulations
   * 10-50x slower on the sketch workloads.
   *
-  * Hash family + accumulation orders deliberately match the SQL
-  * formulations they replaced (xxhash64 seed 42, left-to-right double
-  * sums) so results are bit-identical to the DuckDB oracle.
+  * Hash family + accumulation orders are chosen to be EXACTLY
+  * reproducible in ANSI SQL so every sketch operator can be verified
+  * end-to-end against the DuckDB oracle: the base hash is standard
+  * MD5 over UTF-8 bytes (DuckDB: `md5(s)` hex prefix parsed as an
+  * integer), permutations are literal affine maps mod a >2^32 prime,
+  * and double sums accumulate left-to-right.
   */
 object SketchOps {
+
+  private val md5TL: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  private def md5Of(bytes: Array[Byte]): Array[Byte] = {
+    val d = md5TL.get()
+    d.reset()
+    d.digest(bytes)
+  }
+
+  /** First 4 MD5 bytes, big-endian unsigned (0..2^32-1). SQL:
+    * `CAST('0x' || substring(md5(s), 1, 8) AS BIGINT)`. */
+  def md5Base32(bytes: Array[Byte]): Long = {
+    val d = md5Of(bytes)
+    ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+  }
+
+  /** First 8 MD5 bytes, big-endian (full signed 64-bit). SQL gets the
+    * same BITS as two 32-bit halves: hex chars 1-8 = bits 32..63, hex
+    * chars 9-16 = bits 0..31. */
+  def md5Base64(bytes: Array[Byte]): Long = {
+    val d = md5Of(bytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+    h
+  }
+
+  /** First 15 MD5 hex chars as a non-negative 60-bit value (= first 8
+    * bytes >>> 4). SQL: `CAST('0x' || substring(md5(s), 1, 15) AS
+    * BIGINT)` — sign-safe in every engine. */
+  def md5Base60(bytes: Array[Byte]): Long = md5Base64(bytes) >>> 4
+
+  private def utf8(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
   /** Modulus for the affine MinHash family: prime > 2^32. */
   val P: Long = 4294967311L
@@ -36,12 +77,6 @@ object SketchOps {
     }
     (as, bs)
   }
-
-  private def xx64(s: AnyRef): Long =
-    XxHash64Function.hash(s, StringType, 42L)
-
-  private def xx64Str(s: String): Long =
-    xx64(org.apache.spark.unsafe.types.UTF8String.fromString(s))
 
   /** Split on single spaces, dropping empty tokens (the semantics of
     * `filter(split(text, " "), t -> t <> '')`). */
@@ -80,10 +115,10 @@ object SketchOps {
         sb.append(toks(i + j))
         j += 1
       }
-      val h32 = java.lang.Math.floorMod(xx64Str(sb.toString), 1L << 32)
+      val h32 = md5Base32(utf8(sb.toString))
       var p = 0
       while (p < k) {
-        val v = java.lang.Math.floorMod(as(p) * h32 + bs(p), P)
+        val v = (as(p) * h32 + bs(p)) % P
         if (v < sig(p)) sig(p) = v
         p += 1
       }
@@ -104,7 +139,7 @@ object SketchOps {
     var i = 0
     while (i < toks.length) {
       if (seen.add(toks(i))) {
-        val h = xx64Str(toks(i))
+        val h = md5Base64(utf8(toks(i)))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -152,14 +187,15 @@ object SketchOps {
       Array[Any](total, tokens, nonWs, punct, upper))
   }
 
-  /** 64-bit winnowing-style fingerprint: min of xxhash64 over word
-    * n-gram shingles; falls back to the hash of the whole text when
-    * the doc has fewer than n tokens. */
+  /** 60-bit winnowing-style fingerprint: min of [[md5Base60]] over
+    * word n-gram shingles; falls back to the hash of the whole text
+    * when the doc has fewer than n tokens. 60 bits keep the value
+    * non-negative in every engine's signed BIGINT. */
   def fingerprintText(text: org.apache.spark.unsafe.types.UTF8String,
                       n: Int): Long = {
     val toks = spaceTokens(text.toString)
     val nSh = toks.length - (n - 1)
-    if (nSh <= 0) return xx64(text)
+    if (nSh <= 0) return md5Base60(text.getBytes)
     var best = Long.MaxValue
     val sb = new java.lang.StringBuilder(64)
     var i = 0
@@ -171,7 +207,7 @@ object SketchOps {
         sb.append(toks(i + j))
         j += 1
       }
-      val h = xx64Str(sb.toString)
+      val h = md5Base60(utf8(sb.toString))
       if (h < best) best = h
       i += 1
     }
@@ -246,7 +282,7 @@ object SketchOps {
       c == '\r'
 
   /** MinHash signature of a string array: sig_j = min over elements of
-    * (a_j * (xxhash64(s) mod 2^32) + b_j) mod P. One pass: k*n ops. */
+    * (a_j * md5Base32(s) + b_j) mod P. One pass: k*n ops. */
   def minhash(arr: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
     val k = as.length
     val sig = new Array[Long](k)
@@ -254,10 +290,10 @@ object SketchOps {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val h32 = java.lang.Math.floorMod(xx64(arr.getUTF8String(i)), 1L << 32)
+      val h32 = md5Base32(arr.getUTF8String(i).getBytes)
       var j = 0
       while (j < k) {
-        val v = java.lang.Math.floorMod(as(j) * h32 + bs(j), P)
+        val v = (as(j) * h32 + bs(j)) % P
         if (v < sig(j)) sig(j) = v
         j += 1
       }
@@ -273,7 +309,7 @@ object SketchOps {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val h = xx64(arr.getUTF8String(i))
+      val h = md5Base64(arr.getUTF8String(i).getBytes)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

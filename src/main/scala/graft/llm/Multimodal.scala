@@ -52,19 +52,21 @@ object Multimodal {
   object MediaDecoder {
     /** STUB decoder — deterministic fake standing in for the real
       * codec (none available in this container). Derives plausible
-      * dimensions and a 8-dim "feature vector" from the content hash
-      * so tests are reproducible. Replace with an actual
-      * javax.imageio / ffmpeg-backed impl in production; the
+      * dimensions and a 8-dim "feature vector" from an MD5 content
+      * hash, with arithmetic chosen to be reproducible in plain SQL
+      * (h32 = first 4 MD5 bytes unsigned) so the whole multimodal
+      * plumbing is oracle-verifiable end-to-end. Replace with an
+      * actual javax.imageio / ffmpeg-backed impl in production; the
       * surrounding plumbing is unchanged. */
     object Deterministic extends MediaDecoder {
       def decode(kind: String, bytes: Array[Byte])
           : (Int, Int, Int, Array[Float]) = {
-        val h = java.util.Arrays.hashCode(bytes)
-        val w = 64 + math.abs(h % 512)
-        val ht = 64 + math.abs((h >> 9) % 512)
+        val h = graft.functions.SketchOps.md5Base32(bytes)
+        val w = (64 + h % 512).toInt
+        val ht = (64 + (h >> 9) % 512).toInt
         val frames = kind match {
-          case "video" => 1 + math.abs((h >> 18) % 120)
-          case "audio" => 1 + math.abs((h >> 18) % 1000)
+          case "video" => (1 + (h >> 18) % 120).toInt
+          case "audio" => (1 + (h >> 18) % 1000).toInt
           case _       => 1
         }
         val vec = Array.tabulate(8)(i =>

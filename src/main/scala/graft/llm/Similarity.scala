@@ -105,17 +105,28 @@ object Similarity {
     * cosine 0.4 (θ≈66°) collides per table w.p. 0.63^4≈0.16, across 16
     * tables w.p. ≈0.94. Tables are pseudo-random literal arrays
     * (seeded) — no data-dependent state, reproducible run-to-run. */
+  /** Seeded gaussian hyperplanes, quantized to 6 decimals. Each
+    * component is exactly n/1e6 for an integer n, so a SQL oracle can
+    * reproduce the planes bit-for-bit from integer literals
+    * (`n/1000000.0` — same IEEE division, same double). Quantization
+    * does not change the geometry meaningfully (components are ~N(0,1);
+    * the 5e-7 perturbation only matters for dots within 1e-4 of zero). */
+  def lshPlanes(nTables: Int, planesPerTable: Int, dim: Int,
+                seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until nTables * planesPerTable).map(_ =>
+      Seq.fill(dim)(math.rint(rnd.nextGaussian() * 1e6) / 1.0e6))
+  }
+
   def lshCosinePairs(emb: DataFrame, threshold: Double, nTables: Int = 16,
                      planesPerTable: Int = 4, dim: Int = 64, seed: Long = 42L,
                      idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
-    val rnd = new scala.util.Random(seed)
     // all nTables*planesPerTable hyperplanes ride into the native
     // HyperplaneBits expression as one reference object; per row it
     // emits the nTables sign-pattern buckets in a single codegen'd
     // kernel pass
-    val planes = (0 until nTables * planesPerTable).map(_ =>
-      Seq.fill(dim)(rnd.nextGaussian()))
+    val planes = lshPlanes(nTables, planesPerTable, dim, seed)
     // Shuffle discipline: the bucket self-join and pair-dedup move only
     // (table, bits, id) — 20-byte rows. Vectors are attached AFTER
     // dedup via two joins against the (id, v) projection, so each

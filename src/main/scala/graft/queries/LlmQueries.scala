@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
   * text analysis (tokens, quality, lang-ID, fingerprints), multimodal
   * feature plumbing.
   *
-  * Oracle policy: exact/SQL-expressible ops get a DuckDB oracle
-  * (double-precision formulas that match Spark bit-for-bit after
-  * round(…,6)); sketch-based ops (MinHash/SimHash/LSH/IVF) are
-  * inherently not SQL-reproducible — they get rows-only checks here
-  * and recall assertions against the brute-force ground truth in
-  * LlmSpec.
+  * Oracle policy: EVERY query has a DuckDB oracle. The sketch ops
+  * (MinHash/SimHash/LSH/IVF/fingerprint) are oracle-reproducible by
+  * construction: their kernels hash with MD5 and permute with literal
+  * affine maps (SketchOps), and the generated oracle SQL below
+  * splices the same seeded constants as literals. Double formulas
+  * accumulate left-to-right on both sides, so hashes match
+  * bit-for-bit after round(…,6). Recall against brute-force ground
+  * truth is additionally asserted in LlmSpec.
   */
 object LlmQueries {
   import Star.table
@@ -160,6 +162,247 @@ object LlmQueries {
          generate_series(1, greatest(len(toks) - 2, 0)),
          i -> array_to_string(toks[i:i+2], ' ')))"""
 
+  // ---------------------------------------------------------------
+  // Generated sketch oracles.
+  //
+  // The sketch kernels ([[graft.functions.SketchOps]]) use MD5 as the
+  // base hash and literal affine permutations precisely so that the
+  // SAME arithmetic is expressible in DuckDB SQL: the seeded
+  // coefficient / hyperplane constants are spliced into the oracle
+  // text below as literals, making MinHash/SimHash/LSH/IVF/
+  // fingerprint/multimodal oracle-verified end-to-end rather than
+  // rows-only.
+  // ---------------------------------------------------------------
+
+  /** `CAST('0x'||substring(md5(e),1,8) AS BIGINT)` = first 4 MD5
+    * bytes unsigned — SketchOps.md5Base32. */
+  private def h32Sql(e: String): String =
+    s"CAST(('0x' || substring(md5($e), 1, 8)) AS BIGINT)"
+
+  /** First 15 MD5 hex chars (60 bits) — SketchOps.md5Base60. */
+  private def h60Sql(e: String): String =
+    s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
+
+  /** Single-space tokenization (SketchOps.spaceTokens semantics). */
+  private val tokCte =
+    """toks AS (
+         SELECT doc_id, text,
+           list_filter(string_split(text, ' '), t -> t <> '') AS tk
+         FROM documents)"""
+
+  /** MinHash signature CTE chain: 3-gram shingles of docs with >= 3
+    * tokens, base-hashed, then 64 affine permutation minima with the
+    * exact (a_i, b_i) literals the MinHashText kernel uses. */
+  private def minhashSigCtes: String = {
+    val (as, bs) = graft.functions.SketchOps.coeffs(64, 42L)
+    val p = graft.functions.SketchOps.P
+    val mins = (0 until 64).map(i =>
+      s"list_min(list_transform(xs, x -> (${as(i)}*x + ${bs(i)}) % $p))")
+      .mkString(",\n           ")
+    s"""sh AS (
+         SELECT doc_id, list_transform(generate_series(1, len(tk) - 2),
+           i -> array_to_string(tk[i:i+2], ' ')) AS s
+         FROM toks WHERE len(tk) >= 3),
+       hx AS (SELECT doc_id, list_transform(s, g -> ${h32Sql("g")}) AS xs
+              FROM sh),
+       sig AS (SELECT doc_id, [$mins] AS sig FROM hx)"""
+  }
+
+  /** MinHash banded candidate pairs + signature-agreement estimate:
+    * band b = sig rows [4b+1..4b+4]; pair is a candidate iff some
+    * band matches exactly (the XXH64 band-hash join in Dedup is an
+    * equality proxy with ~2^-64 collision odds). */
+  private def minhashScoredCtes: String =
+    s"""$tokCte,
+       $minhashSigCtes,
+       pp AS (
+         SELECT a.doc_id AS id_a, a.sig AS sa, b.doc_id AS id_b, b.sig AS sb
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
+       scored AS (
+         SELECT id_a, id_b,
+           list_sum(list_transform(generate_series(1, 64),
+             i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 64.0
+             AS est_jaccard,
+           len(list_filter(generate_series(0, 15),
+             bd -> sa[bd*4+1:bd*4+4] = sb[bd*4+1:bd*4+4])) AS nb
+         FROM pp)"""
+
+  private val minhashPairsOracle =
+    s"""WITH $minhashScoredCtes
+       SELECT id_a, id_b, est_jaccard FROM scored
+       WHERE nb > 0 AND est_jaccard >= 0.35
+       ORDER BY id_a, id_b"""
+
+  /** Connected components over the MinHash pair set via recursive
+    * transitive closure; component = min id reachable (incl. self). */
+  private val dedupClustersOracle =
+    s"""WITH RECURSIVE $minhashScoredCtes,
+       pairs AS (SELECT id_a, id_b FROM scored
+                 WHERE nb > 0 AND est_jaccard >= 0.35),
+       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION ALL SELECT id_b, id_a FROM pairs),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       SELECT a AS id, least(a, min(b)) AS component
+       FROM reach GROUP BY a ORDER BY id"""
+
+  /** SimHash bits: per doc, 64 sign-votes over DISTINCT token hashes;
+    * token hash bits j<32 come from MD5 hex chars 9-16, j>=32 from
+    * chars 1-8 (big-endian 8-byte value, split to stay in BIGINT). */
+  private val simhashPairsOracle =
+    s"""WITH dt AS (
+         SELECT doc_id,
+           list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))
+             AS tk
+         FROM documents),
+       hx AS (
+         SELECT doc_id, list_transform(tk, t ->
+           [CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT),
+            CAST(('0x' || substring(md5(t), 9, 8)) AS BIGINT)]) AS hs
+         FROM dt WHERE len(tk) >= 1),
+       bits AS (
+         SELECT doc_id, list_transform(generate_series(0, 63), j ->
+           CASE WHEN list_sum(list_transform(hs, h ->
+             CASE WHEN ((CASE WHEN j >= 32 THEN h[1] >> (j - 32)
+                              ELSE h[2] >> j END) & 1) = 1
+               THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) AS sb
+         FROM hx),
+       pp AS (
+         SELECT a.doc_id AS id_a, a.sb AS ba, b.doc_id AS id_b, b.sb AS bb
+         FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
+       SELECT id_a, id_b, hamming FROM (
+         SELECT id_a, id_b,
+           CAST(list_sum(list_transform(generate_series(1, 64),
+             i -> CASE WHEN ba[i] = bb[i] THEN 0 ELSE 1 END)) AS BIGINT)
+             AS hamming
+         FROM pp)
+       WHERE hamming <= 3 ORDER BY id_a, id_b"""
+
+  /** Winnowing fingerprint: min 60-bit hash over word 4-grams, whole-
+    * text hash for docs with < 4 tokens. */
+  private val fingerprintOracle =
+    s"""WITH $tokCte,
+       sh AS (
+         SELECT doc_id, text, tk,
+           list_transform(generate_series(1, len(tk) - 3),
+             i -> array_to_string(tk[i:i+3], ' ')) AS s
+         FROM toks)
+       SELECT doc_id,
+         CASE WHEN len(tk) >= 4
+           THEN list_min(list_transform(s, g -> ${h60Sql("g")}))
+           ELSE ${h60Sql("text")} END AS fp
+       FROM sh ORDER BY doc_id"""
+
+  /** Hyperplane-LSH cosine pairs: the 64 quantized gaussian planes
+    * (Similarity.lshPlanes, seed 42) spliced as n/1000000.0 literals —
+    * identical doubles to the kernel's. Bucket per table = 4 sign
+    * bits; candidates = same bucket in >= 1 of 16 tables. */
+  private def lshCosineOracle: String = {
+    val planes = graft.llm.Similarity.lshPlanes(
+      nTables = 16, planesPerTable = 4, dim = 64, seed = 42L)
+    val planeLits = planes.map(pl =>
+      "[" + pl.map(v => s"${math.rint(v * 1e6).toLong}/1000000.0")
+        .mkString(",") + "]").mkString(",\n         ")
+    def cosSql(a: String, b: String) =
+      s"""(list_sum(list_transform(list_zip($a, $b),
+            t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform($a,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform($b,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
+    s"""WITH pl AS (SELECT [
+         $planeLits] AS planes),
+       bk AS (
+         SELECT e.vec_id, e.embedding,
+           list_transform(generate_series(0, 15), t ->
+             list_sum(list_transform(generate_series(0, 3), i ->
+               CASE WHEN list_sum(list_transform(
+                   list_zip(e.embedding, planes[t*4 + i + 1]),
+                   z -> CAST(z[1] AS DOUBLE) * z[2])) >= 0
+                 THEN (1 << i) ELSE 0 END))) AS bks
+         FROM embeddings e CROSS JOIN pl),
+       pp AS (
+         SELECT a.vec_id AS id_a, a.embedding AS va, a.bks AS ka,
+                b.vec_id AS id_b, b.embedding AS vb, b.bks AS kb
+         FROM bk a JOIN bk b ON a.vec_id < b.vec_id),
+       cand AS (
+         SELECT id_a, id_b, va, vb FROM pp
+         WHERE len(list_filter(generate_series(1, 16),
+           t -> ka[t] = kb[t])) > 0)
+       SELECT id_a, id_b, round(${cosSql("va", "vb")}, 6) AS cosine
+       FROM cand
+       WHERE round(${cosSql("va", "vb")}, 6) >= 0.4
+       ORDER BY id_a, id_b"""
+  }
+
+  /** IVF: centroids = the 16 lowest-id vectors (cell = rank order);
+    * assignment/probes = squared-L2 argmin with (distance, cell)
+    * tie-break — the exact NearestCell / ProbeCells semantics. */
+  private def ivfOracle: String = {
+    def sqd(v: String, c: String) =
+      s"""list_sum(list_transform(list_zip($v, $c),
+           z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+              * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))))"""
+    val cos =
+      s"""(list_sum(list_transform(list_zip(a.embedding, p.qv),
+            t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(p.qv,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
+    s"""WITH cents AS (
+         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           embedding AS cvec
+         FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+       asg AS (
+         SELECT vec_id, embedding, cell AS cell_id FROM (
+           SELECT e.vec_id, e.embedding, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${sqd("e.embedding", "c.cvec")} ASC, c.cell ASC)
+               AS rnk
+           FROM embeddings e CROSS JOIN cents c) WHERE rnk = 1),
+       prb AS (
+         SELECT vec_id AS query_id, embedding AS qv, cell FROM (
+           SELECT e.vec_id, e.embedding, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${sqd("e.embedding", "c.cvec")} ASC, c.cell ASC)
+               AS rnk
+           FROM embeddings e CROSS JOIN cents c
+           WHERE e.vec_id % 100 = 0) WHERE rnk <= 4),
+       scored AS (
+         SELECT p.query_id, a.vec_id, round($cos, 6) AS cosine
+         FROM asg a JOIN prb p ON a.cell_id = p.cell)
+       SELECT query_id, rank, vec_id, cosine FROM (
+         SELECT query_id, vec_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id ASC) AS rank
+         FROM scored) WHERE rank <= 10
+       ORDER BY query_id, rank"""
+  }
+
+  /** Multimodal features: the deterministic stub decoder's arithmetic
+    * (h32 = first 4 MD5 bytes of the blob = of the UTF-8 text). */
+  private val mmFeaturesOracle =
+    s"""WITH f AS (
+         SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS kind,
+           CAST(strlen(text) AS BIGINT) AS byte_len,
+           ${h32Sql("text")} AS h32
+         FROM documents),
+       g AS (
+         SELECT media_id, kind, byte_len,
+           CAST(64 + h32 % 512 AS INT) AS width,
+           CAST(64 + (h32 >> 9) % 512 AS INT) AS height,
+           CAST(CASE WHEN kind = 'video' THEN 1 + (h32 >> 18) % 120
+                     ELSE 1 END AS INT) AS n_frames
+         FROM f)
+       SELECT media_id, kind, byte_len, width, height, n_frames,
+         CAST(CASE WHEN kind = 'video' THEN (n_frames - 1) // 10 + 1
+                   ELSE 0 END AS BIGINT) AS n_sampled
+       FROM g ORDER BY media_id"""
+
   private val cosineSql =
     """round(
          list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -252,6 +495,13 @@ object LlmQueries {
          FROM scored GROUP BY 1 ORDER BY lang_pred""",
     "llm_mm_bytelen" ->
       """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS byte_len
-         FROM documents ORDER BY media_id"""
+         FROM documents ORDER BY media_id""",
+    "llm_minhash_pairs" -> minhashPairsOracle,
+    "llm_dedup_clusters" -> dedupClustersOracle,
+    "llm_simhash_pairs" -> simhashPairsOracle,
+    "llm_fingerprint" -> fingerprintOracle,
+    "llm_lsh_cosine_pairs" -> lshCosineOracle,
+    "llm_ivf_topk" -> ivfOracle,
+    "llm_mm_features" -> mmFeaturesOracle
   )
 }

@@ -193,12 +193,14 @@ object Relational {
     }),
 
     // --- multi-agg incl. sorted distinct-collect (radon foldSummary:
-    //     count / L.nub states / distinct county count).
+    //     count / L.nub states / distinct county count). The collected
+    //     set is joined to a scalar string: the driver's comparator
+    //     sorts rows in pandas, which cannot hash/sort array cells.
     "q14_fold_collect" -> ((s, dir) => {
       import s.implicits._
       table(s, dir, "lineitem").agg(
         count(lit(1)).as("n_rows"),
-        sort_array(collect_set($"l_returnflag")).as("flags"),
+        array_join(sort_array(collect_set($"l_returnflag")), ",").as("flags"),
         count_distinct($"l_suppkey").as("n_supp"))
     }),
 
@@ -359,7 +361,7 @@ object Relational {
          GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""",
     "q14_fold_collect" ->
       """SELECT COUNT(*) AS n_rows,
-           list_sort(list(DISTINCT l_returnflag)) AS flags,
+           array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags,
            COUNT(DISTINCT l_suppkey) AS n_supp
          FROM lineitem""",
     "q15_rep_indexed" ->
