@@ -28,6 +28,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // production hash family: XXH64 sketch kernels (the bench
+      // measures the plans a deployment runs; Verify separately runs
+      // the same plans under the MD5 oracle-verification family)
+      .config(graft.functions.SketchOps.FamilyKey, "xx")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -14,6 +14,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // oracle-verification mode: the MD5 base hash is reproducible in
+      // DuckDB SQL, so the sketch queries hash-match their oracles
+      // (production runs use the default "xx" family — same plans,
+      // faster kernels; see SketchOps)
+      .config(graft.functions.SketchOps.FamilyKey, "md5")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -37,7 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("simhash_text"),
       info("simhash_text", "simhash_text(text) - 64-bit SimHash of a document"),
-      (args: Seq[Expression]) => SimHashText(args.head)))
+      (args: Seq[Expression]) => SimHashText(args.head,
+        SketchOps.xxFamily())))
 
     ext.injectFunction((FunctionIdentifier("minhash_text"),
       info("minhash_text",
@@ -45,13 +46,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => MinHashText(args.head,
         if (args.length > 1) intArg(args(1), "shingleSize") else 3,
         if (args.length > 2) intArg(args(2), "k") else 64,
-        if (args.length > 3) intArg(args(3), "seed").toLong else 42L)))
+        if (args.length > 3) intArg(args(3), "seed").toLong else 42L,
+        SketchOps.xxFamily())))
 
     ext.injectFunction((FunctionIdentifier("fingerprint_text"),
       info("fingerprint_text",
         "fingerprint_text(text[, shingleSize]) - winnowing fingerprint"),
       (args: Seq[Expression]) => FingerprintText(args.head,
-        if (args.length > 1) intArg(args(1), "shingleSize") else 4)))
+        if (args.length > 1) intArg(args(1), "shingleSize") else 4,
+        SketchOps.xxFamily())))
 
     ext.injectFunction((FunctionIdentifier("band_hashes"),
       info("band_hashes", "band_hashes(sig, bands) - LSH band hashes"),

@@ -52,7 +52,7 @@ object SketchExprs {
     }.getOrElse(TypeCheckResult.TypeCheckSuccess)
 
   /** MinHash signature: array<string> -> array<long> of length k. */
-  case class MinHashSig(child: Expression, k: Int, seed: Long)
+  case class MinHashSig(child: Expression, k: Int, seed: Long, xx: Boolean)
       extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       checkStrArr(prettyName, child.dataType)
@@ -60,12 +60,12 @@ object SketchExprs {
     override def prettyName: String = "minhash_sig"
     @transient private lazy val (as, bs) = SketchOps.coeffs(k, seed)
     override def nullSafeEval(input: Any): Any =
-      SketchOps.minhash(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], as, bs)
+      SketchOps.minhash(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], as, bs, xx)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val aRef = ctx.addReferenceObj("mhAs", as, "long[]")
       val bRef = ctx.addReferenceObj("mhBs", bs, "long[]")
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.functions.SketchOps.minhash($c, $aRef, $bRef);")
+        s"${ev.value} = graft.functions.SketchOps.minhash($c, $aRef, $bRef, $xx);")
     }
     override protected def withNewChildInternal(newChild: Expression): MinHashSig =
       copy(child = newChild)
@@ -75,7 +75,7 @@ object SketchExprs {
     * shingle + hash in one kernel pass): string -> array<long> | null
     * (null when fewer than shingleSize tokens). */
   case class MinHashText(child: Expression, shingleSize: Int, k: Int,
-                         seed: Long)
+                         seed: Long, xx: Boolean)
       extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -88,12 +88,12 @@ object SketchExprs {
     override def nullSafeEval(input: Any): Any =
       SketchOps.minhashText(
         input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
-        shingleSize, as, bs)
+        shingleSize, as, bs, xx)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val aRef = ctx.addReferenceObj("mhAs", as, "long[]")
       val bRef = ctx.addReferenceObj("mhBs", bs, "long[]")
       nullSafeCodeGen(ctx, ev, c => s"""
-        ${ev.value} = graft.functions.SketchOps.minhashText($c, $shingleSize, $aRef, $bRef);
+        ${ev.value} = graft.functions.SketchOps.minhashText($c, $shingleSize, $aRef, $bRef, $xx);
         ${ev.isNull} = (${ev.value} == null);
       """)
     }
@@ -103,7 +103,7 @@ object SketchExprs {
 
   /** SimHash straight from a text column: string -> long | null
     * (null when the doc has no tokens). */
-  case class SimHashText(child: Expression)
+  case class SimHashText(child: Expression, xx: Boolean)
       extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -114,10 +114,10 @@ object SketchExprs {
     override def prettyName: String = "simhash_text"
     override def nullSafeEval(input: Any): Any =
       SketchOps.simhashText(
-        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], xx)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, c => s"""
-        Object simhashRes = graft.functions.SketchOps.simhashText($c);
+        Object simhashRes = graft.functions.SketchOps.simhashText($c, $xx);
         if (simhashRes == null) { ${ev.isNull} = true; }
         else { ${ev.value} = ((java.lang.Long) simhashRes).longValue(); }
       """)
@@ -154,7 +154,7 @@ object SketchExprs {
   }
 
   /** Winnowing fingerprint from text: string -> long. */
-  case class FingerprintText(child: Expression, shingleSize: Int)
+  case class FingerprintText(child: Expression, shingleSize: Int, xx: Boolean)
       extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -165,10 +165,10 @@ object SketchExprs {
     override def nullSafeEval(input: Any): Any =
       SketchOps.fingerprintText(
         input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
-        shingleSize)
+        shingleSize, xx)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, c =>
-        s"graft.functions.SketchOps.fingerprintText($c, $shingleSize)")
+        s"graft.functions.SketchOps.fingerprintText($c, $shingleSize, $xx)")
     override protected def withNewChildInternal(newChild: Expression): FingerprintText =
       copy(child = newChild)
   }
@@ -228,16 +228,16 @@ object SketchExprs {
   }
 
   /** SimHash: array<string> -> long bit-sketch. */
-  case class SimHash64(child: Expression)
+  case class SimHash64(child: Expression, xx: Boolean)
       extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       checkStrArr(prettyName, child.dataType)
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash64"
     override def nullSafeEval(input: Any): Any =
-      SketchOps.simhash(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+      SketchOps.simhash(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], xx)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.simhash($c)")
+      defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.simhash($c, $xx)")
     override protected def withNewChildInternal(newChild: Expression): SimHash64 =
       copy(child = newChild)
   }
@@ -367,15 +367,20 @@ object SketchExprs {
 
   import graft.bridge.ColumnBridge.{column => toCol, expression => toExpr}
 
+  // Hash-family-dependent constructors resolve spark.graft.hash.family
+  // here (plan construction, driver side) and bake it into the
+  // expression, so the choice serializes with the plan.
   def minhashSig(c: Column, k: Int = 64, seed: Long = 42L): Column =
-    toCol(MinHashSig(toExpr(c), k, seed))
+    toCol(MinHashSig(toExpr(c), k, seed, SketchOps.xxFamily()))
   def minhashText(c: Column, shingleSize: Int = 3, k: Int = 64,
                   seed: Long = 42L): Column =
-    toCol(MinHashText(toExpr(c), shingleSize, k, seed))
-  def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
-  def simhashText(c: Column): Column = toCol(SimHashText(toExpr(c)))
+    toCol(MinHashText(toExpr(c), shingleSize, k, seed, SketchOps.xxFamily()))
+  def simhash64(c: Column): Column =
+    toCol(SimHash64(toExpr(c), SketchOps.xxFamily()))
+  def simhashText(c: Column): Column =
+    toCol(SimHashText(toExpr(c), SketchOps.xxFamily()))
   def fingerprintText(c: Column, shingleSize: Int = 4): Column =
-    toCol(FingerprintText(toExpr(c), shingleSize))
+    toCol(FingerprintText(toExpr(c), shingleSize, SketchOps.xxFamily()))
   def textStats(c: Column): Column = toCol(TextStats(toExpr(c)))
   def bandHashes(c: Column, bands: Int): Column =
     toCol(BandHashes(toExpr(c), bands))

@@ -12,14 +12,53 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   * elimination), which made the equivalent declarative formulations
   * 10-50x slower on the sketch workloads.
   *
-  * Hash family + accumulation orders are chosen to be EXACTLY
-  * reproducible in ANSI SQL so every sketch operator can be verified
-  * end-to-end against the DuckDB oracle: the base hash is standard
-  * MD5 over UTF-8 bytes (DuckDB: `md5(s)` hex prefix parsed as an
-  * integer), permutations are literal affine maps mod a >2^32 prime,
-  * and double sums accumulate left-to-right.
+  * The base hash is PLUGGABLE — two families, same downstream
+  * arithmetic (affine permutations mod a >2^32 prime, left-to-right
+  * double sums):
+  *
+  *  - `"xx"` (production default): XXH64 seed 42, zero-allocation,
+  *    ~10x faster than MD5 per shingle — the family to run at 100 TB.
+  *  - `"md5"` (oracle-verification): standard MD5 over UTF-8 bytes,
+  *    chosen because it is EXACTLY reproducible in ANSI SQL (DuckDB:
+  *    `md5(s)` hex prefix parsed as an integer), so every sketch
+  *    operator hash-matches the DuckDB oracle end-to-end. `Verify`
+  *    forces this family; the generated oracles in
+  *    [[graft.queries.LlmQueries]] assume it.
+  *
+  * The family is resolved ONCE, at expression construction on the
+  * driver (session conf `spark.graft.hash.family` > system property >
+  * "xx"), and baked into the expression instance — so it serializes
+  * with the plan and is cluster-correct (no executor-side global).
   */
 object SketchOps {
+
+  /** Conf key (session conf or system property) selecting the base
+    * hash family: "xx" (production) or "md5" (oracle-verification). */
+  val FamilyKey = "spark.graft.hash.family"
+
+  /** Resolve the configured family to its kernel flag. Called at plan
+    * construction on the driver by the [[SketchExprs]] Column API. */
+  def xxFamily(): Boolean = {
+    val fam = org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption(FamilyKey))
+      .orElse(sys.props.get(FamilyKey))
+      .getOrElse("xx")
+    fam match {
+      case "xx"  => true
+      case "md5" => false
+      case other => throw new IllegalArgumentException(
+        s"$FamilyKey must be 'xx' or 'md5', got '$other'")
+    }
+  }
+
+  private val XxSeed = 42L
+
+  private def xx64(u: org.apache.spark.unsafe.types.UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(u, org.apache.spark.sql.types.StringType, XxSeed)
+
+  private def xx64Str(s: String): Long =
+    xx64(org.apache.spark.unsafe.types.UTF8String.fromString(s))
 
   private val md5TL: ThreadLocal[java.security.MessageDigest] =
     new ThreadLocal[java.security.MessageDigest] {
@@ -27,11 +66,9 @@ object SketchOps {
         java.security.MessageDigest.getInstance("MD5")
     }
 
-  private def md5Of(bytes: Array[Byte]): Array[Byte] = {
-    val d = md5TL.get()
-    d.reset()
-    d.digest(bytes)
-  }
+  // digest() resets the instance, so no explicit reset() is needed
+  private def md5Of(bytes: Array[Byte]): Array[Byte] =
+    md5TL.get().digest(bytes)
 
   /** First 4 MD5 bytes, big-endian unsigned (0..2^32-1). SQL:
     * `CAST('0x' || substring(md5(s), 1, 8) AS BIGINT)`. */
@@ -59,6 +96,22 @@ object SketchOps {
 
   private def utf8(s: String): Array[Byte] =
     s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Base hash into [0, 2^32) — the input domain of the affine MinHash
+    * permutations. xx: XXH64 folded mod 2^32; md5: first 4 bytes. */
+  @inline private def base32Str(s: String, xx: Boolean): Long =
+    if (xx) java.lang.Math.floorMod(xx64Str(s), 1L << 32)
+    else md5Base32(utf8(s))
+
+  @inline private def base32U(u: org.apache.spark.unsafe.types.UTF8String,
+                              xx: Boolean): Long =
+    if (xx) java.lang.Math.floorMod(xx64(u), 1L << 32)
+    else md5Base32(u.getBytes)
+
+  /** Full-width 64-bit base hash (simhash bit votes). */
+  @inline private def base64U(u: org.apache.spark.unsafe.types.UTF8String,
+                              xx: Boolean): Long =
+    if (xx) xx64(u) else md5Base64(u.getBytes)
 
   /** Modulus for the affine MinHash family: prime > 2^32. */
   val P: Long = 4294967311L
@@ -98,7 +151,7 @@ object SketchOps {
     * distinct pass needed), affine family as in [[minhash]]. Returns
     * null when the doc has fewer than n tokens (no shingles). */
   def minhashText(text: org.apache.spark.unsafe.types.UTF8String, n: Int,
-                  as: Array[Long], bs: Array[Long]): ArrayData = {
+                  as: Array[Long], bs: Array[Long], xx: Boolean): ArrayData = {
     val toks = spaceTokens(text.toString)
     val nSh = toks.length - (n - 1)
     if (nSh <= 0) return null
@@ -115,7 +168,7 @@ object SketchOps {
         sb.append(toks(i + j))
         j += 1
       }
-      val h32 = md5Base32(utf8(sb.toString))
+      val h32 = base32Str(sb.toString, xx)
       var p = 0
       while (p < k) {
         val v = (as(p) * h32 + bs(p)) % P
@@ -131,7 +184,8 @@ object SketchOps {
     * tokens (simhash counts, so multiplicity matters — match the
     * declarative `array_distinct` semantics), then [[simhash]] bit
     * voting. Null when the doc has no tokens. */
-  def simhashText(text: org.apache.spark.unsafe.types.UTF8String): Any = {
+  def simhashText(text: org.apache.spark.unsafe.types.UTF8String,
+                  xx: Boolean): Any = {
     val toks = spaceTokens(text.toString)
     if (toks.isEmpty) return null
     val seen = new java.util.HashSet[String](toks.length * 2)
@@ -139,7 +193,8 @@ object SketchOps {
     var i = 0
     while (i < toks.length) {
       if (seen.add(toks(i))) {
-        val h = md5Base64(utf8(toks(i)))
+        val h =
+          if (xx) xx64Str(toks(i)) else md5Base64(utf8(toks(i)))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -187,15 +242,19 @@ object SketchOps {
       Array[Any](total, tokens, nonWs, punct, upper))
   }
 
-  /** 60-bit winnowing-style fingerprint: min of [[md5Base60]] over
-    * word n-gram shingles; falls back to the hash of the whole text
-    * when the doc has fewer than n tokens. 60 bits keep the value
-    * non-negative in every engine's signed BIGINT. */
+  /** 60-bit winnowing-style fingerprint: min of the 60-bit base hash
+    * (xx: XXH64 >>> 4; md5: first 15 hex chars) over word n-gram
+    * shingles; falls back to the hash of the whole text when the doc
+    * has fewer than n tokens. 60 bits keep the value non-negative in
+    * every engine's signed BIGINT. */
   def fingerprintText(text: org.apache.spark.unsafe.types.UTF8String,
-                      n: Int): Long = {
+                      n: Int, xx: Boolean): Long = {
+    def h60Str(s: String): Long =
+      if (xx) xx64Str(s) >>> 4 else md5Base60(utf8(s))
     val toks = spaceTokens(text.toString)
     val nSh = toks.length - (n - 1)
-    if (nSh <= 0) return md5Base60(text.getBytes)
+    if (nSh <= 0)
+      return if (xx) xx64(text) >>> 4 else md5Base60(text.getBytes)
     var best = Long.MaxValue
     val sb = new java.lang.StringBuilder(64)
     var i = 0
@@ -207,7 +266,7 @@ object SketchOps {
         sb.append(toks(i + j))
         j += 1
       }
-      val h = md5Base60(utf8(sb.toString))
+      val h = h60Str(sb.toString)
       if (h < best) best = h
       i += 1
     }
@@ -282,15 +341,16 @@ object SketchOps {
       c == '\r'
 
   /** MinHash signature of a string array: sig_j = min over elements of
-    * (a_j * md5Base32(s) + b_j) mod P. One pass: k*n ops. */
-  def minhash(arr: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
+    * (a_j * base32(s) + b_j) mod P. One pass: k*n ops. */
+  def minhash(arr: ArrayData, as: Array[Long], bs: Array[Long],
+              xx: Boolean): ArrayData = {
     val k = as.length
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val h32 = md5Base32(arr.getUTF8String(i).getBytes)
+      val h32 = base32U(arr.getUTF8String(i), xx)
       var j = 0
       while (j < k) {
         val v = (as(j) * h32 + bs(j)) % P
@@ -304,12 +364,12 @@ object SketchOps {
 
   /** 64-bit SimHash of a (distinct) string array: bit b set iff the
     * count of elements whose hash has bit b exceeds those without. */
-  def simhash(arr: ArrayData): Long = {
+  def simhash(arr: ArrayData, xx: Boolean): Long = {
     val counts = new Array[Int](64)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val h = md5Base64(arr.getUTF8String(i).getBytes)
+      val h = base64U(arr.getUTF8String(i), xx)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

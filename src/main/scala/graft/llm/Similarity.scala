@@ -94,17 +94,6 @@ object Similarity {
       .select(col(qIdCol), col("rank"), col(idCol), col("cosine"))
   }
 
-  /** Random-hyperplane LSH near-neighbor pairs: multi-table banding —
-    * `nTables` independent tables of `planesPerTable` seeded
-    * hyperplanes each; vectors colliding in ANY table's sign-pattern
-    * bucket are candidates; exact cosine then filters. The bucketed
-    * alternative to [[Dedup.embeddingPairsBrute]] — candidate-bounded,
-    * never O(N²).
-    *
-    * Recall math: sign agreement prob for angle θ is 1-θ/π; a pair at
-    * cosine 0.4 (θ≈66°) collides per table w.p. 0.63^4≈0.16, across 16
-    * tables w.p. ≈0.94. Tables are pseudo-random literal arrays
-    * (seeded) — no data-dependent state, reproducible run-to-run. */
   /** Seeded gaussian hyperplanes, quantized to 6 decimals. Each
     * component is exactly n/1e6 for an integer n, so a SQL oracle can
     * reproduce the planes bit-for-bit from integer literals
@@ -118,6 +107,17 @@ object Similarity {
       Seq.fill(dim)(math.rint(rnd.nextGaussian() * 1e6) / 1.0e6))
   }
 
+  /** Random-hyperplane LSH near-neighbor pairs: multi-table banding —
+    * `nTables` independent tables of `planesPerTable` seeded
+    * hyperplanes each; vectors colliding in ANY table's sign-pattern
+    * bucket are candidates; exact cosine then filters. The bucketed
+    * alternative to [[Dedup.embeddingPairsBrute]] — candidate-bounded,
+    * never O(N²).
+    *
+    * Recall math: sign agreement prob for angle θ is 1-θ/π; a pair at
+    * cosine 0.4 (θ≈66°) collides per table w.p. 0.63^4≈0.16, across 16
+    * tables w.p. ≈0.94. Tables are pseudo-random literal arrays
+    * (seeded) — no data-dependent state, reproducible run-to-run. */
   def lshCosinePairs(emb: DataFrame, threshold: Double, nTables: Int = 16,
                      planesPerTable: Int = 4, dim: Int = 64, seed: Long = 42L,
                      idCol: String = "vec_id", vecCol: String = "embedding")

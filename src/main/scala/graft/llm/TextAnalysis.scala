@@ -77,10 +77,12 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
     "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不"))
 
-  /** 64-bit content fingerprint: min of rolling xxhash64 over word
-    * 4-grams — stable under whitespace normalization, cheap to
-    * recompute incrementally (winnowing-style). Native codegen'd
-    * kernel; short docs fall back to the whole-text hash. */
+  /** 60-bit content fingerprint: min of the base hash (XXH64 in
+    * production, MD5 in oracle-verification mode — see
+    * [[graft.functions.SketchOps]]) over word 4-grams — stable under
+    * whitespace normalization, cheap to recompute incrementally
+    * (winnowing-style). Native codegen'd kernel; short docs fall back
+    * to the whole-text hash. */
   def fingerprint(text: Column, n: Int = 4): Column =
     graft.functions.SketchExprs.fingerprintText(text, n)
 }

@@ -12,12 +12,14 @@ import org.apache.spark.sql.functions._
   *
   * Oracle policy: EVERY query has a DuckDB oracle. The sketch ops
   * (MinHash/SimHash/LSH/IVF/fingerprint) are oracle-reproducible by
-  * construction: their kernels hash with MD5 and permute with literal
-  * affine maps (SketchOps), and the generated oracle SQL below
-  * splices the same seeded constants as literals. Double formulas
-  * accumulate left-to-right on both sides, so hashes match
-  * bit-for-bit after round(…,6). Recall against brute-force ground
-  * truth is additionally asserted in LlmSpec.
+  * construction: under the "md5" hash family (which Verify forces —
+  * see [[graft.functions.SketchOps.FamilyKey]]) their kernels hash
+  * with MD5 and permute with literal affine maps, and the generated
+  * oracle SQL below splices the same seeded constants as literals.
+  * Double formulas accumulate left-to-right on both sides, so hashes
+  * match bit-for-bit after round(…,6). Production (and the bench)
+  * runs the same plans under the XXH64 family. Recall against
+  * brute-force ground truth is additionally asserted in LlmSpec.
   */
 object LlmQueries {
   import Star.table
@@ -36,21 +38,21 @@ object LlmQueries {
           threshold = 0.2)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // MinHash+LSH near-dup pairs — the scale path (rows-only check;
-    // recall vs brute force asserted in LlmSpec).
+    // MinHash+LSH near-dup pairs — the scale path. MD5-oracle-verified
+    // under Verify's hash family; recall vs brute force in LlmSpec.
     "llm_minhash_pairs" -> ((s, dir) =>
       Dedup.minHashPairs(table(s, dir, "documents"), threshold = 0.35)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // SimHash near-dup pairs (rows-only; maxDist 3 is the regime the
-    // 4x16-bit band join covers completely by pigeonhole).
+    // SimHash near-dup pairs, MD5-oracle-verified (maxDist 3 is the
+    // regime the 4x16-bit band join covers completely by pigeonhole).
     "llm_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashPairs(table(s, dir, "documents"), maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // near-dup clusters: LSH pairs -> connected components (rows-only;
-    // transitive closure is not single-query SQL; planted-cluster
-    // semantics asserted in LlmSpec).
+    // near-dup clusters: LSH pairs -> connected components, verified
+    // against a WITH RECURSIVE transitive-closure oracle;
+    // planted-cluster semantics additionally asserted in LlmSpec.
     "llm_dedup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
         Dedup.minHashPairs(table(s, dir, "documents"), threshold = 0.35))
@@ -62,7 +64,8 @@ object LlmQueries {
           threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // hyperplane-LSH bucketed cosine pairs — scale path (rows-only).
+    // hyperplane-LSH bucketed cosine pairs — scale path, verified
+    // against an oracle that replays the seeded planes as literals.
     "llm_lsh_cosine_pairs" -> ((s, dir) =>
       Similarity.lshCosinePairs(table(s, dir, "embeddings"),
           threshold = 0.4)
@@ -78,7 +81,8 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // IVF cell-probed approximate top-k (rows-only; recall in LlmSpec).
+    // IVF cell-probed approximate top-k, oracle-verified (probe and
+    // assignment replayed in SQL); recall vs exact top-k in LlmSpec.
     "llm_ivf_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 100 === 0)
@@ -120,7 +124,8 @@ object LlmQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang_pred"))),
 
-    // content fingerprints (xxhash64-based; rows-only).
+    // content fingerprints, MD5-oracle-verified under Verify's hash
+    // family (production runs the XXH64 family; same plan).
     "llm_fingerprint" -> ((s, dir) =>
       table(s, dir, "documents")
         .select(col("doc_id"),
@@ -137,8 +142,9 @@ object LlmQueries {
         .orderBy(col("media_id"))
     }),
 
-    // full multimodal feature extraction + frame-sampling schedule
-    // (stub decoder -> rows-only).
+    // full multimodal feature extraction + frame-sampling schedule;
+    // the deterministic stub decoder's arithmetic is replayed in the
+    // oracle, so the whole plumbing is hash-verified.
     "llm_mm_features" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val blobs = Multimodal.asBlobs(docs.filter(col("doc_id") % 2 === 0),
@@ -286,7 +292,7 @@ object LlmQueries {
     s"""WITH $tokCte,
        sh AS (
          SELECT doc_id, text, tk,
-           list_transform(generate_series(1, len(tk) - 3),
+           list_transform(generate_series(1, greatest(len(tk) - 3, 0)),
              i -> array_to_string(tk[i:i+3], ' ')) AS s
          FROM toks)
        SELECT doc_id,

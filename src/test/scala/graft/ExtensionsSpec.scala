@@ -55,16 +55,16 @@ class ExtensionsSpec extends AnyFunSuite {
       .fromString("the quick brown fox jumps over the lazy dog")
     // interpreted path: direct eval on an InternalRow-less literal
     val lit = org.apache.spark.sql.catalyst.expressions.Literal(text)
-    val interpSim = SimHashText(lit).eval(null)
-    val interpFp = FingerprintText(lit, 4).eval(null)
+    val interpSim = SimHashText(lit, xx = true).eval(null)
+    val interpFp = FingerprintText(lit, 4, xx = true).eval(null)
     // codegen path: the same exprs through a projection
     import spark.implicits._
     val viaDf = Seq("the quick brown fox jumps over the lazy dog")
       .toDF("text")
       .select(ColumnBridge.column(SimHashText(
-          ColumnBridge.expression($"text"))).as("sh"),
+          ColumnBridge.expression($"text"), xx = true)).as("sh"),
         ColumnBridge.column(FingerprintText(
-          ColumnBridge.expression($"text"), 4)).as("fp"))
+          ColumnBridge.expression($"text"), 4, xx = true)).as("fp"))
       .head()
     assert(interpSim == viaDf.getLong(0))
     assert(interpFp == viaDf.getLong(1))

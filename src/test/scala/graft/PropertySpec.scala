@@ -123,11 +123,13 @@ object PropertySpec extends Properties("graft") {
       val text = org.apache.spark.unsafe.types.UTF8String
         .fromString(words.mkString(" "))
       val (as, bs) = SketchOps.coeffs(16, 42L)
-      val s1 = SketchOps.minhashText(text, 1, as, bs)
-      val s2 = SketchOps.minhashText(text, 1, as, bs)
+      val s1 = SketchOps.minhashText(text, 1, as, bs, xx = true)
+      val s2 = SketchOps.minhashText(text, 1, as, bs, xx = true)
+      val m1 = SketchOps.minhashText(text, 1, as, bs, xx = false)
       (0 until s1.numElements()).forall { i =>
         s1.getLong(i) == s2.getLong(i) &&
-          s1.getLong(i) >= 0 && s1.getLong(i) < SketchOps.P
+          s1.getLong(i) >= 0 && s1.getLong(i) < SketchOps.P &&
+          m1.getLong(i) >= 0 && m1.getLong(i) < SketchOps.P
       }
     }
 
