@@ -28,6 +28,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE may re-plan cached-plan builds (broadcast demotion,
+      // partition coalescing under InMemoryRelation) — see Graft
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       // production hash family: XXH64 sketch kernels (the bench
       // measures the plans a deployment runs; Verify separately runs
       // the same plans under the MD5 oracle-verification family)
@@ -40,8 +44,21 @@ object Bench {
       .filter { case (n, _) => only.fold(!bruteForceBaselines(n))(_(n)) }
       .toSeq.sortBy(_._1)
     // warmup: JVM/codegen/parquet-footer costs land here, not on the
-    // first measured query
+    // first measured query. Beyond the scan, run the selected query
+    // set once at the smallest scale factor (identical plan shapes →
+    // whole-stage codegen compiled, kernels JIT'd, shuffle machinery
+    // up; 100x less data → seconds). Without this the alphabetically
+    // first sketch query absorbs ~3s of one-time cost that is not its
+    // own.
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    val warmDir = java.nio.file.Paths.get(sfDir).resolveSibling("sf0.001")
+    if (java.nio.file.Files.isDirectory(warmDir) &&
+        warmDir.toString != sfDir) {
+      selected.foreach { case (_, fn) =>
+        try { fn(spark, warmDir.toString).count(); () }
+        catch { case _: Throwable => () }
+      }
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>

@@ -25,6 +25,12 @@ object Graft {
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE re-plan the build side of persisted plans too —
+      // otherwise an InMemoryRelation freezes its subplan into
+      // static shuffles (no broadcast demotion, no partition
+      // coalescing), which costs multiples on cache materialization
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .withExtensions(new graft.functions.GraftExtensions)

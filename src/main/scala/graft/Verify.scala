@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE may re-plan cached-plan builds (broadcast demotion,
+      // partition coalescing under InMemoryRelation) — see Graft
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       // oracle-verification mode: the MD5 base hash is reproducible in
       // DuckDB SQL, so the sketch queries hash-match their oracles
       // (production runs use the default "xx" family — same plans,

@@ -240,16 +240,16 @@ object Dedup {
                           driverThreshold: Long = 2000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = pairs.sparkSession
-    // persist the pair set before the bidirectional union — its two
-    // branches would otherwise each re-run the (LSH) pipeline behind it
+    // persist the pair set: consumed by the size probe, then by either
+    // the driver collect (cached -> cheap) or the distributed edge
+    // build's two union branches
     val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      if (edges.count() <= driverThreshold) {
-        // driver union-find (path compression; min id becomes root)
+      if (p.count() <= driverThreshold) {
+        // driver union-find (path compression; min id becomes root).
+        // Works on the RAW pair list: edge direction and duplicate
+        // edges are irrelevant to union-find, so no bidirectional
+        // union / distinct shuffle on the cluster first.
         val parent = scala.collection.mutable.Map.empty[Long, Long]
         def find(x: Long): Long = {
           var r = x
@@ -260,7 +260,7 @@ object Dedup {
           }
           r
         }
-        edges.select("src", "dst").collect().foreach { row =>
+        p.select(col("id_a"), col("id_b")).collect().foreach { row =>
           val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
           if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
         }
@@ -268,33 +268,41 @@ object Dedup {
         import spark.implicits._
         verts.toSeq.map(v => (v, find(v))).toDF("id", "component")
       } else {
-        var labels = edges.select(col("src").as("id")).distinct()
-          .withColumn("component", col("id"))
+        val edges = p
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(
+            p.select(col("id_b").as("src"), col("id_a").as("dst")))
+          .distinct()
           .persist(StorageLevel.MEMORY_AND_DISK)
-        var converged = false
-        var iter = 0
-        while (!converged && iter < maxIter) {
-          // label(v) <- min(label(v), min label(u) for u~v)
-          val neighborMin = edges
-            .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-            .groupBy(col("dst").as("id"))
-            .agg(min(col("component")).as("n_min"))
-          val next = labels.join(neighborMin, Seq("id"), "left")
-            .select(col("id"),
-              least(col("component"),
-                coalesce(col("n_min"), col("component"))).as("component"))
+        try {
+          var labels = edges.select(col("src").as("id")).distinct()
+            .withColumn("component", col("id"))
             .persist(StorageLevel.MEMORY_AND_DISK)
-          val changed = next
-            .join(labels.withColumnRenamed("component", "old"), Seq("id"))
-            .filter(col("component") < col("old")).limit(1).count()
-          labels.unpersist()
-          labels = next
-          converged = changed == 0
-          iter += 1
-        }
-        labels
+          var converged = false
+          var iter = 0
+          while (!converged && iter < maxIter) {
+            // label(v) <- min(label(v), min label(u) for u~v)
+            val neighborMin = edges
+              .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+              .groupBy(col("dst").as("id"))
+              .agg(min(col("component")).as("n_min"))
+            val next = labels.join(neighborMin, Seq("id"), "left")
+              .select(col("id"),
+                least(col("component"),
+                  coalesce(col("n_min"), col("component"))).as("component"))
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            val changed = next
+              .join(labels.withColumnRenamed("component", "old"), Seq("id"))
+              .filter(col("component") < col("old")).limit(1).count()
+            labels.unpersist()
+            labels = next
+            converged = changed == 0
+            iter += 1
+          }
+          labels
+        } finally { edges.unpersist(); () }
       }
-    } finally { edges.unpersist(); p.unpersist(); () }
+    } finally { p.unpersist(); () }
   }
 
   /** End-to-end near-dup dedup: MinHash-LSH pairs -> connected
