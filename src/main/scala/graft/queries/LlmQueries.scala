@@ -58,6 +58,14 @@ object LlmQueries {
         Dedup.minHashPairs(table(s, dir, "documents"), threshold = 0.35))
         .orderBy(col("id"))),
 
+    // end-to-end near-dup dedup: LSH pairs -> components -> keep the
+    // min-id representative per cluster; returns the surviving doc ids
+    // (oracle replays the clustering with a recursive CTE).
+    "llm_neardup_dedup" -> ((s, dir) =>
+      Dedup.nearDupDedup(table(s, dir, "documents"), threshold = 0.35)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
     // embedding-cosine near-dup pairs (brute-force ground truth).
     "llm_embedding_pairs" -> ((s, dir) =>
       Dedup.embeddingPairsBrute(table(s, dir, "embeddings"),
@@ -104,6 +112,24 @@ object LlmQueries {
           sum(col("n_tok")).as("total_tokens"),
           (sum(col("n_tok_chars")).cast("double") /
             sum(col("n_tok"))).as("avg_token_len"))
+        .orderBy(col("lang"))
+    }),
+
+    // BPE-ish subword-count estimate per language: alnum runs +
+    // non-alnum non-whitespace codepoints (a cheap tokenizer-load
+    // proxy; CJK text degrades to ~chars, which is the right order
+    // for CJK tokenizers). n_punct comes from the one-pass text_stats
+    // kernel.
+    "llm_subword" -> ((s, dir) => {
+      val st = TextAnalysis.textStats(col("text"))
+      table(s, dir, "documents")
+        .select(col("lang"),
+          (size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"),
+            lit(0))).cast("long") + st.getField("n_punct"))
+            .as("n_subwords"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_subwords")).as("total_subwords"))
         .orderBy(col("lang"))
     }),
 
@@ -253,6 +279,27 @@ object LlmQueries {
          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
        SELECT a AS id, least(a, min(b)) AS component
        FROM reach GROUP BY a ORDER BY id"""
+
+  /** End-to-end near-dup dedup: recursive transitive closure over the
+    * MinHash pair set; a doc is dropped iff some smaller id is
+    * reachable (component < id), i.e. it is not its cluster's min-id
+    * representative. */
+  private val nearDupDedupOracle =
+    s"""WITH RECURSIVE $minhashScoredCtes,
+       pairs AS (SELECT id_a, id_b FROM scored
+                 WHERE nb > 0 AND est_jaccard >= 0.35),
+       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION ALL SELECT id_b, id_a FROM pairs),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       comp AS (SELECT a AS id, least(a, min(b)) AS component
+                FROM reach GROUP BY a)
+       SELECT d.doc_id FROM documents d
+       WHERE NOT EXISTS (SELECT 1 FROM comp c
+                         WHERE c.id = d.doc_id AND c.component < c.id)
+       ORDER BY doc_id"""
 
   /** SimHash bits: per doc, 64 sign-votes over DISTINCT token hashes;
     * token hash bits j<32 come from MD5 hex chars 9-16, j>=32 from
@@ -502,6 +549,14 @@ object LlmQueries {
     "llm_mm_bytelen" ->
       """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS byte_len
          FROM documents ORDER BY media_id""",
+    "llm_subword" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+             + length(text)
+             - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+             AS BIGINT) AS total_subwords
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "llm_neardup_dedup" -> nearDupDedupOracle,
     "llm_minhash_pairs" -> minhashPairsOracle,
     "llm_dedup_clusters" -> dedupClustersOracle,
     "llm_simhash_pairs" -> simhashPairsOracle,
