@@ -66,6 +66,41 @@ object Similarity {
       graft.functions.SketchExprs.nearestCell(col(vecCol), centroids)
         .as("cell_id"))
 
+  /** Distributed Lloyd refinement of the [[collectCentroids]] seeds:
+    * `iters` rounds of assign (native NearestCell — one narrow
+    * codegen'd pass over the corpus) then per-cell mean. Means use
+    * DECIMAL(38,12)-exact per-dimension sums (float -> double ->
+    * decimal), so the centroids are independent of partitioning and
+    * aggregation order — bit-reproducible run-to-run and replayable
+    * by a SQL oracle, unlike a naive double-sum k-means.
+    *
+    * Scale: each round is one narrow assignment map plus one shuffle
+    * keyed by (cell, dim) whose map-side partial aggregation bounds
+    * the shuffle at nCells*dim rows per partition — corpus size never
+    * rides the wire. Empty cells drop out; surviving cells are
+    * re-indexed in id order (both the kernel and the oracle break
+    * distance ties to the lowest cell id). */
+  def kmeansCentroids(corpus: DataFrame, nCells: Int, iters: Int = 1,
+                      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Seq[Seq[Double]] = {
+    var cents = collectCentroids(corpus, nCells, idCol, vecCol)
+    var it = 0
+    while (it < iters) {
+      val mu = assignCells(corpus, cents, idCol, vecCol)
+        .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("d", "x")))
+        .groupBy(col("cell_id"), col("d"))
+        .agg((sum(col("x").cast("double").cast("decimal(38,12)"))
+          .cast("double") / count(lit(1))).as("m"))
+        .collect()
+      cents = mu.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map {
+        case (_, rows) =>
+          rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+      it += 1
+    }
+    cents
+  }
+
   /** IVF search: each query probes its `nProbe` nearest cells; exact
     * cosine within the probed subset. Recall < 1 by construction;
     * scan cost scales with nProbe/nCells. */
@@ -73,8 +108,17 @@ object Similarity {
               nCells: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
               qIdCol: String = "query_id", qVecCol: String = "query_vec")
+      : DataFrame =
+    ivfTopKWith(collectCentroids(corpus, nCells, idCol, vecCol),
+      corpus, queries, k, nProbe, idCol, vecCol, qIdCol, qVecCol)
+
+  /** IVF search against a given centroid set (seed-only via
+    * [[collectCentroids]] or Lloyd-refined via [[kmeansCentroids]]). */
+  def ivfTopKWith(centroids: Seq[Seq[Double]], corpus: DataFrame,
+                  queries: DataFrame, k: Int, nProbe: Int = 4,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  qIdCol: String = "query_id", qVecCol: String = "query_vec")
       : DataFrame = {
-    val centroids = collectCentroids(corpus, nCells, idCol, vecCol)
     val cells = assignCells(corpus, centroids, idCol, vecCol)
     // query -> its nProbe nearest cells (native ProbeCells expression:
     // (distance, id)-ordered, matching the assign tie-break)

@@ -100,6 +100,20 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF with a Lloyd-refined (k-means) centroid set: 2 distributed
+    // refinement rounds with decimal-exact means, then cell-probed
+    // top-k. Oracle replays both rounds (seed -> assign -> mean)
+    // bit-for-bit.
+    "llm_ivf_kmeans_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val cents = Similarity.kmeansCentroids(emb, nCells = 16, iters = 2)
+      Similarity.ivfTopKWith(cents, emb, queries, k = 10, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // per-language token statistics (integer-sum exact, then divide;
     // one text_stats kernel pass per row).
     "llm_token_stats" -> ((s, dir) => {
@@ -435,6 +449,77 @@ object LlmQueries {
        ORDER BY query_id, rank"""
   }
 
+  /** IVF over Lloyd-refined centroids: `iters` unrolled refinement
+    * rounds (assign to nearest centroid by squared L2 with ties to
+    * the lowest cell, per-(cell,dim) mean with DECIMAL(38,12)-exact
+    * sums cast through DOUBLE — the exact kmeansCentroids arithmetic),
+    * then the standard assign/probe/score chain over the final
+    * centroid set. */
+  private def kmeansIvfOracle(iters: Int): String = {
+    def sqd(v: String, c: String) =
+      s"""list_sum(list_transform(list_zip($v, $c),
+           z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+              * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))))"""
+    val cos =
+      s"""(list_sum(list_transform(list_zip(a.embedding, p.qv),
+            t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(p.qv,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
+    val seed =
+      """cents0 AS (
+         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           embedding AS cvec
+         FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16))"""
+    val rounds = (1 to iters).map { i =>
+      s"""asg${i - 1} AS (
+         SELECT vec_id, embedding, cell AS cell_id FROM (
+           SELECT e.vec_id, e.embedding, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${sqd("e.embedding", "c.cvec")} ASC, c.cell ASC)
+               AS rnk
+           FROM embeddings e CROSS JOIN cents${i - 1} c) WHERE rnk = 1),
+       mu$i AS (
+         SELECT cell_id, d,
+           CAST(SUM(CAST(CAST(embedding[d] AS DOUBLE)
+             AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+         FROM asg${i - 1}, generate_series(1, 64) t(d)
+         GROUP BY cell_id, d),
+       cents$i AS (
+         SELECT row_number() OVER (ORDER BY cell_id) - 1 AS cell,
+           list(m ORDER BY d) AS cvec
+         FROM mu$i GROUP BY cell_id)"""
+    }.mkString(",\n       ")
+    val cN = s"cents$iters"
+    s"""WITH $seed,
+       $rounds,
+       asgf AS (
+         SELECT vec_id, embedding, cell AS cell_id FROM (
+           SELECT e.vec_id, e.embedding, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${sqd("e.embedding", "c.cvec")} ASC, c.cell ASC)
+               AS rnk
+           FROM embeddings e CROSS JOIN $cN c) WHERE rnk = 1),
+       prb AS (
+         SELECT vec_id AS query_id, embedding AS qv, cell FROM (
+           SELECT e.vec_id, e.embedding, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${sqd("e.embedding", "c.cvec")} ASC, c.cell ASC)
+               AS rnk
+           FROM embeddings e CROSS JOIN $cN c
+           WHERE e.vec_id % 100 = 0) WHERE rnk <= 4),
+       scored AS (
+         SELECT p.query_id, a.vec_id, round($cos, 6) AS cosine
+         FROM asgf a JOIN prb p ON a.cell_id = p.cell)
+       SELECT query_id, rank, vec_id, cosine FROM (
+         SELECT query_id, vec_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id ASC) AS rank
+         FROM scored) WHERE rank <= 10
+       ORDER BY query_id, rank"""
+  }
+
   /** Multimodal features: the deterministic stub decoder's arithmetic
     * (h32 = first 4 MD5 bytes of the blob = of the UTF-8 text). */
   private val mmFeaturesOracle =
@@ -563,6 +648,7 @@ object LlmQueries {
     "llm_fingerprint" -> fingerprintOracle,
     "llm_lsh_cosine_pairs" -> lshCosineOracle,
     "llm_ivf_topk" -> ivfOracle,
+    "llm_ivf_kmeans_topk" -> kmeansIvfOracle(iters = 2),
     "llm_mm_features" -> mmFeaturesOracle
   )
 }

@@ -119,6 +119,27 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall@10 = $recall (probing 4/16 cells)")
   }
 
+  test("kmeans centroids: deterministic across runs, improve IVF recall") {
+    val c1 = Similarity.kmeansCentroids(emb, nCells = 16, iters = 2)
+    val c2 = Similarity.kmeansCentroids(emb, nCells = 16, iters = 2)
+    assert(c1 == c2, "decimal-exact means must be bit-reproducible")
+    assert(c1.forall(_.length == 64))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def recallOf(cents: Seq[Seq[Double]]): Double = {
+      val got = Similarity.ivfTopKWith(cents, emb, queries, k = 10,
+        nProbe = 4).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val brute = Similarity.bruteTopK(emb, queries, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      got.count(brute).toDouble / brute.size
+    }
+    val seedRecall = recallOf(
+      Similarity.collectCentroids(emb, 16))
+    val kmRecall = recallOf(c1)
+    assert(kmRecall >= seedRecall - 0.05,
+      s"kmeans recall $kmRecall vs seed recall $seedRecall")
+  }
+
   test("multimodal: extractFeatures is deterministic, schema-stable, " +
        "and batches per partition") {
     val blobs = Multimodal.asBlobs(docs.limit(50), "doc_id", "text", "image")
