@@ -173,6 +173,27 @@ object SketchExprs {
       copy(child = newChild)
   }
 
+  /** Distinct word n-gram shingle hashes: string -> array<long>
+    * (empty when the doc has fewer than shingleSize tokens). */
+  case class ShingleHashes(child: Expression, shingleSize: Int, xx: Boolean)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${child.dataType}")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "shingle_hashes"
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.shingleHashes(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        shingleSize, xx)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchOps.shingleHashes($c, $shingleSize, $xx);")
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+      copy(child = newChild)
+  }
+
   /** LSH band hashes of a signature: array<long> -> array<long>(bands). */
   case class BandHashes(child: Expression, bands: Int)
       extends UnaryExpression {
@@ -381,6 +402,8 @@ object SketchExprs {
     toCol(SimHashText(toExpr(c), SketchOps.xxFamily()))
   def fingerprintText(c: Column, shingleSize: Int = 4): Column =
     toCol(FingerprintText(toExpr(c), shingleSize, SketchOps.xxFamily()))
+  def shingleHashes(c: Column, shingleSize: Int): Column =
+    toCol(ShingleHashes(toExpr(c), shingleSize, SketchOps.xxFamily()))
   def textStats(c: Column): Column = toCol(TextStats(toExpr(c)))
   def bandHashes(c: Column, bands: Int): Column =
     toCol(BandHashes(toExpr(c), bands))

@@ -273,6 +273,39 @@ object SketchOps {
     best
   }
 
+  /** 60-bit hashes of the DISTINCT word n-gram shingles of a text:
+    * the [[fingerprintText]] hash per shingle (xx: XXH64 >>> 4; md5:
+    * first 15 hex chars), deduplicated. Empty array when the doc has
+    * fewer than n tokens. One pass: tokenize, shingle, hash, set-dedup
+    * — the kernel behind contamination / decontamination checks. */
+  def shingleHashes(text: org.apache.spark.unsafe.types.UTF8String,
+                    n: Int, xx: Boolean): ArrayData = {
+    val toks = spaceTokens(text.toString)
+    val nSh = toks.length - (n - 1)
+    if (nSh <= 0) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val seen = new java.util.LinkedHashSet[java.lang.Long](nSh * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < nSh) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val s = sb.toString
+      val h = if (xx) xx64Str(s) >>> 4 else md5Base60(utf8(s))
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** LSH band hashes of a length-k signature: band b's hash chains
     * XXH64.hashLong over its k/bands rows, seeded by the band index
     * (so identical row-slices in different bands don't collide). */

@@ -1,0 +1,46 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * Everything keys off a CONTENT hash (builtin md5 — engine-portable,
+  * family-independent), not `rand()`: the split a document lands in is
+  * a pure function of its text, so splits are reproducible across
+  * runs, clusters, and engine versions, and survive re-ingestion or
+  * re-partitioning of the corpus — the property training/eval
+  * separation actually requires. All ops are narrow projections (the
+  * hash is computed scan-side; only the assignment rides shuffles).
+  */
+object Sampling {
+
+  /** First 4 md5 bytes of a column as an unsigned 32-bit value in
+    * [0, 2^32): `CAST(('0x' || substring(md5(x),1,8)) AS BIGINT)` in
+    * ANSI SQL. */
+  def hashBucket32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Percent bucket in [0, 100). */
+  def pctBucket(c: Column): Column = hashBucket32(c) % 100
+
+  /** Deterministic split assignment from cumulative percent weights:
+    * e.g. `Seq("train" -> 80, "val" -> 10, "test" -> 10)`. The last
+    * split absorbs any remainder. */
+  def splitColumn(c: Column, weights: Seq[(String, Int)]): Column = {
+    require(weights.nonEmpty && weights.map(_._2).sum <= 100,
+      "weights must total <= 100 percent")
+    val b = pctBucket(c)
+    val cuts = weights.map(_._2).scanLeft(0)(_ + _).tail
+    weights.init.zip(cuts.init)
+      .foldLeft(None: Option[Column]) { case (acc, ((name, _), cut)) =>
+        Some(acc.fold(when(b < cut, name))(_.when(b < cut, name)))
+      }
+      .fold(lit(weights.last._1))(_.otherwise(weights.last._1))
+  }
+
+  /** Deterministic p-percent sample: keep rows whose content bucket
+    * falls below `pct`. */
+  def sampleByHash(df: DataFrame, keyCol: String, pct: Int): DataFrame =
+    df.filter(pctBucket(col(keyCol)) < pct)
+}

@@ -172,6 +172,28 @@ object LlmQueries {
           TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    // deterministic content-hash train/val/test split, counted per
+    // (lang, split): reproducible across runs/clusters by
+    // construction (pure function of the text).
+    "llm_split" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("lang"),
+          Sampling.splitColumn(col("text"),
+            Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("split"))),
+
+    // benchmark decontamination: corpus docs sharing any word 5-gram
+    // with the (mock) benchmark slice, with evidence counts.
+    "llm_contamination" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Contamination.contaminatedDocs(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0), n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // multimodal plumbing with a verifiable projection: blob byte
     // length through the partition-batched extractor.
     "llm_mm_bytelen" -> ((s, dir) => {
@@ -634,6 +656,33 @@ object LlmQueries {
     "llm_mm_bytelen" ->
       """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS byte_len
          FROM documents ORDER BY media_id""",
+    "llm_split" ->
+      """SELECT lang,
+           CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n
+         FROM (SELECT lang,
+                 CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 100
+                   AS h
+               FROM documents)
+         GROUP BY 1, 2 ORDER BY lang, split""",
+    "llm_contamination" ->
+      s"""WITH tk AS (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(tk) - 4, 0)),
+             i -> ${h60Sql("array_to_string(tk[i:i+4], ' ')")})) AS s
+           FROM tk),
+         bs AS (SELECT DISTINCT unnest(s) AS h FROM sh
+                WHERE doc_id % 10 = 0),
+         ds AS (SELECT doc_id, unnest(s) AS h FROM sh
+                WHERE doc_id % 10 <> 0)
+         SELECT ds.doc_id, COUNT(DISTINCT ds.h) AS n_shared
+         FROM ds JOIN bs ON ds.h = bs.h
+         GROUP BY ds.doc_id ORDER BY doc_id""",
     "llm_subword" ->
       """SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))

@@ -140,6 +140,38 @@ class LlmSpec extends AnyFunSuite {
       s"kmeans recall $kmRecall vs seed recall $seedRecall")
   }
 
+  test("deterministic split: stable, partition-independent, ~weights") {
+    val w = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        Sampling.splitColumn(col("text"), w).as("split"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val s1 = splits(docs)
+    val s2 = splits(docs.repartition(13))
+    assert(s1 == s2, "split must be a pure function of content")
+    val counts = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    val n = s1.size.toDouble
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9)
+    assert(counts.keySet == Set("train", "val", "test"))
+  }
+
+  test("contamination: planted duplicates of benchmark docs are caught") {
+    import spark.implicits._
+    val bench = Seq((0L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words alpha beta gamma delta epsilon zeta and more"),
+      (2L, "completely unrelated content with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val hits = Contamination.contaminatedDocs(corpus, bench, n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hits.keySet == Set(1L), s"got $hits")
+    assert(hits(1L) == 2L) // two distinct shared 5-grams
+    val clean = Contamination.decontaminate(corpus, bench, n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L))
+  }
+
   test("multimodal: extractFeatures is deterministic, schema-stable, " +
        "and batches per partition") {
     val blobs = Multimodal.asBlobs(docs.limit(50), "doc_id", "text", "image")
