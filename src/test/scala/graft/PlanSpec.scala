@@ -117,4 +117,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan.take(1500))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
   }
+
+  test("contamination check broadcasts the benchmark side; the corpus " +
+       "side reaches the join without an Exchange") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.llm.Contamination.contaminatedDocs(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0), n = 5))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // the only Exchanges allowed are the benchmark-side distinct and
+    // the final per-doc count agg — never a corpus-side pre-join
+    // shuffle: the streamed child of the broadcast join must be the
+    // corpus-side Generate (explode) directly, with no Exchange
+    // between them.
+    val lines = plan.linesIterator.toSeq
+    val joinIdx = lines.indexWhere(_.contains("BroadcastHashJoin"))
+    assert(joinIdx >= 0 && lines(joinIdx + 1).contains("Generate"),
+      plan.take(2000))
+  }
+
+  test("deterministic split assignment is a shuffle-free narrow map") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(docs.select(col("doc_id"),
+      graft.llm.Sampling.splitColumn(col("text"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split")))
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+
+  test("kmeans mean stage partially aggregates map-side (two-phase agg)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = graft.llm.Similarity.collectCentroids(emb, 8)
+    val mu = graft.llm.Similarity.assignCells(emb, cents)
+      .select(col("cell_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("cell_id"), col("d"))
+      .agg(sum(col("x").cast("double").cast("decimal(38,12)")).as("s"))
+    val plan = planOf(mu)
+    // two HashAggregates (partial + final) around one Exchange: the
+    // shuffle moves at most nCells*dim rows per upstream partition
+    val nAggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(nAggs >= 2, plan.take(2000))
+  }
 }
