@@ -174,6 +174,46 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Incremental ingest dedup: near-dup pairs BETWEEN a new batch and
+    * an existing corpus (no within-side pairs) — the repeatable-ingest
+    * primitive: signatures of the standing corpus are computed once
+    * (in production: persisted as a parquet signature layer and only
+    * appended to), and each incoming batch LSH-joins against them.
+    *
+    * Scale: the new batch is small relative to the corpus, so its
+    * banded signatures broadcast — the standing corpus is neither
+    * re-scanned per batch (signatures are precomputed) nor shuffled
+    * (broadcast join). The seeded hash family makes signatures stable
+    * across runs, which is what makes the signature layer reusable. */
+  def minHashPairsAgainst(newDocs: DataFrame, corpus: DataFrame,
+                          threshold: Double = 0.7, shingleSize: Int = 3,
+                          k: Int = 64, bands: Int = 16, seed: Long = 42L,
+                          textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    def banded(sigs: DataFrame) = sigs.select(col("id"),
+      posexplode(graft.functions.SketchExprs.bandHashes(col("sig"), bands))
+        .as(Seq("band", "bh")))
+    val newSigs =
+      minHashSignatures(newDocs, shingleSize, k, seed, textCol, idCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusSigs =
+      minHashSignatures(corpus, shingleSize, k, seed, textCol, idCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = banded(newSigs).as("a")
+      .join(banded(corpusSigs).as("b"), Seq("band", "bh"))
+      .select(col("a.id").as("id_new"), col("b.id").as("id_corpus"))
+      .distinct()
+    pairs
+      .join(newSigs.select(col("id").as("id_new"), col("sig").as("sig_a")),
+        Seq("id_new"))
+      .join(corpusSigs.select(col("id").as("id_corpus"),
+        col("sig").as("sig_b")), Seq("id_corpus"))
+      .select(col("id_new"), col("id_corpus"),
+        sigSimilarity(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   // ---------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------

@@ -58,6 +58,17 @@ object LlmQueries {
         Dedup.minHashPairs(table(s, dir, "documents"), threshold = 0.35))
         .orderBy(col("id"))),
 
+    // incremental ingest dedup: cross-side LSH pairs between a mock
+    // new batch (doc_id % 10 = 0) and the standing corpus — no
+    // within-side pairs. MD5-oracle-verified under Verify's family.
+    "llm_incremental_pairs" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.minHashPairsAgainst(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0), threshold = 0.35)
+        .orderBy(col("id_new"), col("id_corpus"))
+    }),
+
     // end-to-end near-dup dedup: LSH pairs -> components -> keep the
     // min-id representative per cluster; returns the surviving doc ids
     // (oracle replays the clustering with a recursive CTE).
@@ -300,6 +311,29 @@ object LlmQueries {
        SELECT id_a, id_b, est_jaccard FROM scored
        WHERE nb > 0 AND est_jaccard >= 0.35
        ORDER BY id_a, id_b"""
+
+  /** Incremental dedup oracle: same signature/band CTEs, but pairs
+    * join a new-batch side (doc_id % 10 = 0) against the corpus side
+    * (rest) instead of the upper triangle. */
+  private val incrementalPairsOracle =
+    s"""WITH $tokCte,
+       $minhashSigCtes,
+       pp AS (
+         SELECT a.doc_id AS id_new, a.sig AS sa,
+                b.doc_id AS id_corpus, b.sig AS sb
+         FROM sig a JOIN sig b
+           ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+       scored AS (
+         SELECT id_new, id_corpus,
+           list_sum(list_transform(generate_series(1, 64),
+             i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 64.0
+             AS est_jaccard,
+           len(list_filter(generate_series(0, 15),
+             bd -> sa[bd*4+1:bd*4+4] = sb[bd*4+1:bd*4+4])) AS nb
+         FROM pp)
+       SELECT id_new, id_corpus, est_jaccard FROM scored
+       WHERE nb > 0 AND est_jaccard >= 0.35
+       ORDER BY id_new, id_corpus"""
 
   /** Connected components over the MinHash pair set via recursive
     * transitive closure; component = min id reachable (incl. self). */
@@ -692,6 +726,7 @@ object LlmQueries {
          FROM documents GROUP BY lang ORDER BY lang""",
     "llm_neardup_dedup" -> nearDupDedupOracle,
     "llm_minhash_pairs" -> minhashPairsOracle,
+    "llm_incremental_pairs" -> incrementalPairsOracle,
     "llm_dedup_clusters" -> dedupClustersOracle,
     "llm_simhash_pairs" -> simhashPairsOracle,
     "llm_fingerprint" -> fingerprintOracle,

@@ -140,6 +140,21 @@ class LlmSpec extends AnyFunSuite {
       s"kmeans recall $kmRecall vs seed recall $seedRecall")
   }
 
+  test("incremental dedup: exactly the cross-side slice of the full " +
+       "pair set, no within-side pairs") {
+    val full = pairSet(Dedup.minHashPairs(docs, threshold = 0.35))
+    val cross = Dedup.minHashPairsAgainst(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0), threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.collect {
+      case (a, b) if a % 10 == 0 && b % 10 != 0 => (a, b)
+      case (a, b) if b % 10 == 0 && a % 10 != 0 => (b, a)
+    }
+    assert(cross == expected, s"cross=$cross expected=$expected")
+    assert(cross.forall { case (n, c) => n % 10 == 0 && c % 10 != 0 })
+  }
+
   test("deterministic split: stable, partition-independent, ~weights") {
     val w = Seq("train" -> 80, "val" -> 10, "test" -> 10)
     def splits(df: org.apache.spark.sql.DataFrame) =
