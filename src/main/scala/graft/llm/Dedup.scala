@@ -191,15 +191,25 @@ object Dedup {
                           textCol: String = "text", idCol: String = "doc_id")
       : DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    def banded(sigs: DataFrame) = sigs.select(col("id"),
-      posexplode(graft.functions.SketchExprs.bandHashes(col("sig"), bands))
-        .as(Seq("band", "bh")))
     val newSigs =
       minHashSignatures(newDocs, shingleSize, k, seed, textCol, idCol)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusSigs =
       minHashSignatures(corpus, shingleSize, k, seed, textCol, idCol)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minHashPairsFromSigs(newSigs, corpusSigs, threshold, bands)
+  }
+
+  /** Signature-level core of [[minHashPairsAgainst]]: cross-side LSH
+    * pairs between two `(id, sig)` frames. This is the form a
+    * production ingest uses — the corpus side is a PERSISTED signature
+    * layer (parquet, append-only), not recomputed per batch. */
+  def minHashPairsFromSigs(newSigs: DataFrame, corpusSigs: DataFrame,
+                           threshold: Double = 0.7, bands: Int = 16)
+      : DataFrame = {
+    def banded(sigs: DataFrame) = sigs.select(col("id"),
+      posexplode(graft.functions.SketchExprs.bandHashes(col("sig"), bands))
+        .as(Seq("band", "bh")))
     val pairs = banded(newSigs).as("a")
       .join(banded(corpusSigs).as("b"), Seq("band", "bh"))
       .select(col("a.id").as("id_new"), col("b.id").as("id_corpus"))

@@ -104,4 +104,33 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want)
   }
+  test("near-dup ingest: signature layer dedups within and across batches") {
+    import spark.implicits._
+    import graft.streaming.IngestStream
+    val base = "/root/repo/target/scratch/ingest"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val corpusDir = s"$base/corpus"
+    val sigDir = s"$base/sigs"
+    def doc(id: Long, t: String) = (id, t)
+    val textA = "the quick brown fox jumps over the lazy dog again today"
+    val textB = "completely different content about distributed query engines"
+    val textC = "yet another unrelated document describing parquet file layouts"
+    // batch 1: A, dup-of-A (same text, higher id), B
+    IngestStream.ingestBatch(
+      Seq(doc(1, textA), doc(2, textA), doc(3, textB))
+        .toDF("doc_id", "text"),
+      corpusDir, sigDir, threshold = 0.5)
+    // batch 2: another dup of A (cross-batch), plus new C
+    IngestStream.ingestBatch(
+      Seq(doc(4, textA), doc(5, textC)).toDF("doc_id", "text"),
+      corpusDir, sigDir, threshold = 0.5)
+    val ids = spark.read.parquet(corpusDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L, 5L), s"got $ids")
+    // signature layer matches the surviving corpus exactly
+    val sigIds = spark.read.parquet(sigDir)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(sigIds == Set(1L, 3L, 5L), s"got $sigIds")
+  }
+
 }
