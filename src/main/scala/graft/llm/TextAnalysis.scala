@@ -50,6 +50,19 @@ object TextAnalysis {
           nChars.cast("double")).otherwise(0.0))
   }
 
+  /** Intra-document repetition: fraction of duplicate word n-grams
+    * (1 - distinct/total) — the classic repetitive-text quality gate
+    * (boilerplate, keyword stuffing, decode loops score high). Pure
+    * Column expression; 0.0 for docs with fewer than n tokens. */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val toks = filter(split(text, " "), t => t =!= "")
+    val total = size(toks) - (n - 1)
+    when(total > lit(0),
+      lit(1.0) - size(Dedup.wordShingles(text, n)).cast("double") /
+        total.cast("double"))
+      .otherwise(0.0)
+  }
+
   /** Stopword ratio against a given list. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val toks = tokens(text)

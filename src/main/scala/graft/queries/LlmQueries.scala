@@ -158,6 +158,19 @@ object LlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // intra-document repetition ratio (duplicate word 3-grams): the
+    // repetitive-text quality gate, reported for every doc with >= 3
+    // tokens.
+    "llm_repetition" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .filter(size(filter(split(col("text"), " "), t => t =!= "")) >= 3)
+        .select(col("doc_id"),
+          (size(filter(split(col("text"), " "), t => t =!= "")) - 2)
+            .cast("long").as("n_grams"),
+          round(TextAnalysis.repetitionRatio(col("text"), n = 3), 6)
+            .as("rep_ratio"))
+        .orderBy(col("doc_id"))),
+
     // quality features + filter: the classic length/punct gate.
     "llm_quality" -> ((s, dir) =>
       TextAnalysis.qualityFeatures(table(s, dir, "documents"))
@@ -651,6 +664,18 @@ object LlmQueries {
                    t -> t <> '') AS toks
                FROM documents)
          GROUP BY lang ORDER BY lang""",
+    "llm_repetition" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS tk
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(tk) - 2 AS BIGINT) AS n_grams,
+           round(1.0 - len(list_distinct(list_transform(
+               generate_series(1, len(tk) - 2),
+               i -> array_to_string(tk[i:i+2], ' '))))
+             / CAST(len(tk) - 2 AS DOUBLE), 6) AS rep_ratio
+         FROM tk WHERE len(tk) >= 3 ORDER BY doc_id""",
     "llm_quality" ->
       """SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,

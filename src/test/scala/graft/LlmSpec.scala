@@ -155,6 +155,21 @@ class LlmSpec extends AnyFunSuite {
     assert(cross.forall { case (n, c) => n % 10 == 0 && c % 10 != 0 })
   }
 
+  test("repetition ratio: repetitive text scores high, varied text low") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "each word here is different from every other word present"),
+      (3L, "ab"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.repetitionRatio(col("text"), 3).as("r"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(df(1L) > 0.8, s"all-identical 3-grams: ${df(1L)}")
+    assert(df(2L) == 0.0)
+    assert(df(3L) == 0.0) // under 3 tokens -> defined as 0
+  }
+
   test("deterministic split: stable, partition-independent, ~weights") {
     val w = Seq("train" -> 80, "val" -> 10, "test" -> 10)
     def splits(df: org.apache.spark.sql.DataFrame) =
