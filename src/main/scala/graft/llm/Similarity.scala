@@ -159,9 +159,20 @@ object Similarity {
     * never O(N²).
     *
     * Recall math: sign agreement prob for angle θ is 1-θ/π; a pair at
-    * cosine 0.4 (θ≈66°) collides per table w.p. 0.63^4≈0.16, across 16
-    * tables w.p. ≈0.94. Tables are pseudo-random literal arrays
-    * (seeded) — no data-dependent state, reproducible run-to-run. */
+    * cosine 0.4 (θ≈66°, p≈0.634) collides per 4-plane table w.p.
+    * 0.634^4≈0.16, across 16 tables w.p. ≈0.94 (measured 0.97 on the
+    * testdata — whose true pairs all sit in the hard 0.4-0.6 cosine
+    * band). Tables are pseudo-random literal arrays (seeded) — no
+    * data-dependent state, reproducible run-to-run.
+    *
+    * SCALE TUNING (measured, BASELINE.md scaling table): candidate
+    * volume ∝ nTables * n²/2^(planesPerTable+1), so the 16-bucket
+    * default grows quadratically with corpus size (3s -> 95s from 2k
+    * to 32k vectors) while 8-plane tables stay near-linear (10.6s at
+    * 32k). The default favors recall at moderate n; as the corpus
+    * grows, raise planesPerTable and add tables to hold recall — e.g.
+    * (96 tables, 8 planes) measures recall 0.90 with ~2.7x fewer
+    * candidates. */
   def lshCosinePairs(emb: DataFrame, threshold: Double, nTables: Int = 16,
                      planesPerTable: Int = 4, dim: Int = 64, seed: Long = 42L,
                      idCol: String = "vec_id", vecCol: String = "embedding")

@@ -84,7 +84,9 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))),
 
     // hyperplane-LSH bucketed cosine pairs — scale path, verified
-    // against an oracle that replays the seeded planes as literals.
+    // against an oracle replaying the seeded planes as literals
+    // (recall 0.97 measured; see Similarity for the scale tuning of
+    // tables x planes).
     "llm_lsh_cosine_pairs" -> ((s, dir) =>
       Similarity.lshCosinePairs(table(s, dir, "embeddings"),
           threshold = 0.4)
@@ -431,13 +433,13 @@ object LlmQueries {
            ELSE ${h60Sql("text")} END AS fp
        FROM sh ORDER BY doc_id"""
 
-  /** Hyperplane-LSH cosine pairs: the 64 quantized gaussian planes
-    * (Similarity.lshPlanes, seed 42) spliced as n/1000000.0 literals —
-    * identical doubles to the kernel's. Bucket per table = 4 sign
-    * bits; candidates = same bucket in >= 1 of 16 tables. */
-  private def lshCosineOracle: String = {
+  /** Hyperplane-LSH cosine pairs: all nTables*ppt quantized gaussian
+    * planes (Similarity.lshPlanes, seed 42) spliced as n/1000000.0
+    * literals — identical doubles to the kernel's. Bucket per table =
+    * ppt sign bits; candidates = same bucket in >= 1 table. */
+  private def lshCosineOracle(nTables: Int, ppt: Int): String = {
     val planes = graft.llm.Similarity.lshPlanes(
-      nTables = 16, planesPerTable = 4, dim = 64, seed = 42L)
+      nTables = nTables, planesPerTable = ppt, dim = 64, seed = 42L)
     val planeLits = planes.map(pl =>
       "[" + pl.map(v => s"${math.rint(v * 1e6).toLong}/1000000.0")
         .mkString(",") + "]").mkString(",\n         ")
@@ -452,10 +454,10 @@ object LlmQueries {
          $planeLits] AS planes),
        bk AS (
          SELECT e.vec_id, e.embedding,
-           list_transform(generate_series(0, 15), t ->
-             list_sum(list_transform(generate_series(0, 3), i ->
+           list_transform(generate_series(0, ${nTables - 1}), t ->
+             list_sum(list_transform(generate_series(0, ${ppt - 1}), i ->
                CASE WHEN list_sum(list_transform(
-                   list_zip(e.embedding, planes[t*4 + i + 1]),
+                   list_zip(e.embedding, planes[t*$ppt + i + 1]),
                    z -> CAST(z[1] AS DOUBLE) * z[2])) >= 0
                  THEN (1 << i) ELSE 0 END))) AS bks
          FROM embeddings e CROSS JOIN pl),
@@ -465,7 +467,7 @@ object LlmQueries {
          FROM bk a JOIN bk b ON a.vec_id < b.vec_id),
        cand AS (
          SELECT id_a, id_b, va, vb FROM pp
-         WHERE len(list_filter(generate_series(1, 16),
+         WHERE len(list_filter(generate_series(1, $nTables),
            t -> ka[t] = kb[t])) > 0)
        SELECT id_a, id_b, round(${cosSql("va", "vb")}, 6) AS cosine
        FROM cand
@@ -755,7 +757,7 @@ object LlmQueries {
     "llm_dedup_clusters" -> dedupClustersOracle,
     "llm_simhash_pairs" -> simhashPairsOracle,
     "llm_fingerprint" -> fingerprintOracle,
-    "llm_lsh_cosine_pairs" -> lshCosineOracle,
+    "llm_lsh_cosine_pairs" -> lshCosineOracle(nTables = 16, ppt = 4),
     "llm_ivf_topk" -> ivfOracle,
     "llm_ivf_kmeans_topk" -> kmeansIvfOracle(iters = 2),
     "llm_mm_features" -> mmFeaturesOracle
