@@ -47,4 +47,15 @@ object VectorOps {
         val d = x.cast("double") - y.cast("double"); d * d
       }),
       lit(0.0), (acc, x) => acc + x))
+
+  /** L2-normalized copy (array<double>): each component divided by the
+    * vector's norm — the standard embedding prep before cosine/ANN
+    * (unit vectors turn cosine into a plain dot product). The norm is
+    * computed ONCE per row via [[bindOnce]]; zero vectors pass through
+    * unchanged (no division by zero). */
+  def l2Normalize(a: Column): Column =
+    bindOnce(sqrt(normSq(a))) { n =>
+      transform(a, x =>
+        when(n > 0.0, x.cast("double") / n).otherwise(x.cast("double")))
+    }
 }

@@ -92,6 +92,17 @@ object LlmQueries {
           threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // L2 normalization (unit vectors make cosine a plain dot): per
+    // vector, the original norm and the first normalized component —
+    // enough to pin the whole transform bit-for-bit in the oracle.
+    "llm_normalize" -> ((s, dir) =>
+      table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(sqrt(VectorOps.normSq(col("embedding"))), 6).as("norm"),
+          round(element_at(VectorOps.l2Normalize(col("embedding")), 1), 6)
+            .as("first_dim"))
+        .orderBy(col("vec_id"))),
+
     // exact cosine top-k: every 100th vector queries the corpus.
     "llm_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
@@ -644,6 +655,17 @@ object LlmQueries {
          FROM embeddings a, embeddings b
          WHERE a.vec_id < b.vec_id AND $cosineSql >= 0.4
          ORDER BY id_a, id_b""",
+    "llm_normalize" ->
+      """SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm,
+           round(CASE WHEN sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+             THEN CAST(embedding[1] AS DOUBLE)
+               / sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             ELSE CAST(embedding[1] AS DOUBLE) END, 6) AS first_dim
+         FROM embeddings ORDER BY vec_id""",
     "llm_topk" ->
       s"""WITH scored AS (
            SELECT b.vec_id AS query_id, a.vec_id AS vec_id,
