@@ -24,8 +24,11 @@ object ScaleBench {
   private def materialize(spark: SparkSession, src: DataFrame,
                           idCol: String, factor: Int, dest: String)
       : DataFrame = {
+    // id stride derived from the actual max id so copies can never
+    // collide, whatever the source scale
+    val stride = src.agg(max(col(idCol))).head().getLong(0) + 1L
     val scaled = (0 until factor).map { i =>
-      src.withColumn(idCol, col(idCol) + lit(i.toLong * 10000000L))
+      src.withColumn(idCol, col(idCol) + lit(i.toLong * stride))
     }.reduce(_ unionByName _)
     scaled.write.mode("overwrite").parquet(dest)
     spark.read.parquet(dest)

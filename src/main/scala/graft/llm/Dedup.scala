@@ -191,12 +191,17 @@ object Dedup {
                           textCol: String = "text", idCol: String = "doc_id")
       : DataFrame = {
     require(k % bands == 0, "bands must divide k")
+    // deliberately NOT persisted here: the returned plan re-derives
+    // each side's signatures once per consumer, and a persist with no
+    // unpersist would leak a CacheManager entry per call (fatal for
+    // per-micro-batch callers). Callers that reuse signatures manage
+    // their own lifecycle and call [[minHashPairsFromSigs]] — in
+    // production the corpus side is a PERSISTED parquet signature
+    // layer anyway (see graft.streaming.IngestStream).
     val newSigs =
       minHashSignatures(newDocs, shingleSize, k, seed, textCol, idCol)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusSigs =
       minHashSignatures(corpus, shingleSize, k, seed, textCol, idCol)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     minHashPairsFromSigs(newSigs, corpusSigs, threshold, bands)
   }
 

@@ -24,52 +24,81 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   */
 object IngestStream {
 
-  private def layerNonEmpty(spark: org.apache.spark.sql.SparkSession,
-                            dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(s =>
-      s.getPath.getName.endsWith(".parquet"))
-  }
+  /** True when `dir` holds a readable parquet dataset. Uses an
+    * actual read attempt rather than a top-level file listing, so
+    * partitioned/bucketed layer layouts (subdirectories only at the
+    * top level) are recognized too. */
+  private def layerReadable(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Option[DataFrame] =
+    try Some(spark.read.parquet(dir))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   /** One ingest step (batch semantics — unit-testable; the streaming
     * wrapper calls this per micro-batch). Appends surviving docs to
-    * `corpusDir` and their signatures to `sigDir`. */
+    * `corpusDir` and their signatures to `sigDir`.
+    *
+    * Signatures are computed ONCE per batch and shared by the
+    * within-batch pairing and the layer join. Documents too short to
+    * carry a signature (< 3 tokens) can never near-dup match, so they
+    * always survive to the corpus (they are exact-dedup territory);
+    * they simply contribute no signature rows. */
   def ingestBatch(batch: DataFrame, corpusDir: String, sigDir: String,
                   threshold: Double = 0.7, textCol: String = "text",
                   idCol: String = "doc_id"): Unit = {
+    import org.apache.spark.storage.StorageLevel
     val spark = batch.sparkSession
-    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = batch.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // within-batch near-dup dedup (keep min-id representative)
-      val deduped = Dedup.nearDupDedup(b, threshold, textCol, idCol)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sigs = Dedup.minHashSignatures(b, textCol = textCol,
+        idCol = idCol).persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        val sigs = Dedup.minHashSignatures(deduped, textCol = textCol,
-          idCol = idCol)
-        val survivors =
-          if (layerNonEmpty(spark, sigDir)) {
-            val layer = spark.read.parquet(sigDir)
-            val dupIds = Dedup
-              .minHashPairsFromSigs(sigs, layer, threshold)
-              .select(col("id_new").as("id")).distinct()
-            sigs.join(dupIds, Seq("id"), "left_anti")
-          } else sigs
-        val survivorSigs = survivors
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // within-batch near-dup clusters: drop non-representatives.
+        // FromSigs over the same side emits both directions and self
+        // pairs — restrict to the upper triangle first.
+        val within = Dedup.minHashPairsFromSigs(sigs, sigs, threshold)
+          .filter(col("id_new") < col("id_corpus"))
+          .select(col("id_new").as("id_a"), col("id_corpus").as("id_b"))
+        val comps = Dedup.connectedComponents(within)
+        val dropWithin = comps.filter(col("id") =!= col("component"))
+          .select(col("id"))
+        val keptSigs = sigs.join(dropWithin, Seq("id"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
         try {
-          // ORDER MATTERS: corpus first, signature layer last. The
-          // survivors plan READS sigDir (the LSH anti-join), and any
-          // write to sigDir invalidates every cached plan over that
-          // path (Spark recacheByPath) — appending signatures first
-          // would make the corpus write re-execute the anti-join
-          // against a layer that now contains this batch's own
-          // signatures, self-matching every survivor to emptiness.
-          deduped.join(survivorSigs.select(col("id").as(idCol)), Seq(idCol))
-            .write.mode("append").parquet(corpusDir)
-          survivorSigs.write.mode("append").parquet(sigDir)
-        } finally { survivorSigs.unpersist(); () }
-      } finally { deduped.unpersist(); () }
+          val dupIds = layerReadable(spark, sigDir) match {
+            case Some(layer) =>
+              Dedup.minHashPairsFromSigs(keptSigs, layer, threshold)
+                .select(col("id_new").as("id")).distinct()
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            case None => spark.emptyDataFrame
+              .withColumn("id", lit(0L)).limit(0)
+          }
+          try {
+            val survivorSigs = keptSigs.join(dupIds, Seq("id"), "left_anti")
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            try {
+              // ORDER MATTERS: corpus first, signature layer last. The
+              // survivors plan READS sigDir (the LSH anti-join), and
+              // any write to sigDir invalidates every cached plan over
+              // that path (Spark recacheByPath) — appending signatures
+              // first would make the corpus write re-execute the
+              // anti-join against a layer that now contains this
+              // batch's own signatures, self-matching every survivor
+              // to emptiness.
+              val dropAll = dropWithin.unionByName(dupIds)
+                .withColumnRenamed("id", idCol)
+              b.join(dropAll, Seq(idCol), "left_anti")
+                .write.mode("append").parquet(corpusDir)
+              survivorSigs.write.mode("append").parquet(sigDir)
+            } finally { survivorSigs.unpersist(); () }
+          } finally {
+            dupIds match {
+              case d if d.storageLevel != StorageLevel.NONE =>
+                d.unpersist(); ()
+              case _ => ()
+            }
+          }
+        } finally { keptSigs.unpersist(); () }
+      } finally { sigs.unpersist(); () }
     } finally { b.unpersist(); () }
   }
 

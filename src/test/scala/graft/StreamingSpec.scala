@@ -120,14 +120,17 @@ class StreamingSpec extends AnyFunSuite {
       Seq(doc(1, textA), doc(2, textA), doc(3, textB))
         .toDF("doc_id", "text"),
       corpusDir, sigDir, threshold = 0.5)
-    // batch 2: another dup of A (cross-batch), plus new C
+    // batch 2: another dup of A (cross-batch), new C, and a doc too
+    // short to carry a signature (must survive: near-dup can't match)
     IngestStream.ingestBatch(
-      Seq(doc(4, textA), doc(5, textC)).toDF("doc_id", "text"),
+      Seq(doc(4, textA), doc(5, textC), doc(6, "two words"))
+        .toDF("doc_id", "text"),
       corpusDir, sigDir, threshold = 0.5)
     val ids = spark.read.parquet(corpusDir)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(ids == Set(1L, 3L, 5L), s"got $ids")
-    // signature layer matches the surviving corpus exactly
+    assert(ids == Set(1L, 3L, 5L, 6L), s"got $ids")
+    // signature layer holds exactly the signed survivors (short doc 6
+    // has no signature row by design)
     val sigIds = spark.read.parquet(sigDir)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(sigIds == Set(1L, 3L, 5L), s"got $sigIds")
