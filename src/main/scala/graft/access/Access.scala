@@ -51,6 +51,9 @@ object Access {
     def default: Option[DataFrame] = vf.embeddedDefault.map(_(spark))
     vf.readScheme match {
       case ReadScheme.SingleLayer =>
+        if (layers.size > 1)
+          auditLog.warn(s"${vf.path}: ${layers.size} layers bound to a " +
+            s"SingleLayer entry; using the LAST (${layers.last})")
         layers.lastOption.map(readLayer(spark, vf, _))
           .orElse(default)
           .getOrElse(throw new IllegalStateException(
@@ -121,6 +124,9 @@ object Access {
       val spark = ctx.spark
       val layers = ctx.layers(vf.path)
       require(layers.nonEmpty, s"loadIndexed: ${vf.path} unbound")
+      if (layers.size > 1)
+        auditLog.warn(s"loadIndexed ${vf.path}: ${layers.size} layers " +
+          s"bound; indexed reads use the LAST template (${layers.last})")
       val tmpl = layers.last
       val dfs = indices.map { idx =>
         readLayer(spark, vf, tmpl.splice(Map(varName -> idx)))
@@ -140,9 +146,11 @@ object Access {
     PTask(Catalog.of(vf.copy(usage = Usage.Sink)), (ctx, df) => {
       val layers = ctx.layers(vf.path)
       layers.foreach { tmpl =>
-        // partitioned write: <dir>/<indexCol>=<value>/part-*.parquet
-        val dir = tmpl.splice(Map(varName -> s"by_$indexCol")).raw
-        df.write.mode("overwrite").partitionBy(indexCol).parquet(dir)
+        // partitioned write <dir>/<indexCol>=<value>/... through the
+        // entry's declared format + codec — same dispatch as writeVF
+        val dir = tmpl.splice(Map(varName -> s"by_$indexCol"))
+        Formats(dir.dataExtension.getOrElse(vf.defaultExt))
+          .writePartitioned(df, dir.raw, indexCol, dir.compressionCodec)
       }
     })
 
@@ -193,6 +201,9 @@ object Access {
       val spark = ctx.spark
       val layers = ctx.layers(vf.path)
       require(layers.nonEmpty, s"tryLoadIndexed: ${vf.path} unbound")
+      if (layers.size > 1)
+        auditLog.warn(s"tryLoadIndexed ${vf.path}: ${layers.size} layers " +
+          s"bound; indexed reads use the LAST template (${layers.last})")
       val tmpl = layers.last
       val results = indices.map { idx =>
         val loc = tmpl.splice(Map(varName -> idx))

@@ -25,9 +25,17 @@ object Http {
       accept: String = "application/json",
       body: Option[String] = None)
 
+  /** ONE HttpClient per JVM (it is thread-safe and pools
+    * connections): building a client per fetch would spawn a selector
+    * thread + socket pool per URL — per ROW on the executor-side
+    * paths — exhausting threads and file descriptors on a large
+    * sweep. Per-request timeouts still come from the conf. */
+  private lazy val sharedClient: HttpClient =
+    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(30)).build()
+
   /** One driver-side fetch (used by single-URL reads). */
   def fetch(url: String, conf: HttpConf = HttpConf()): String = {
-    val client = HttpClient.newBuilder().connectTimeout(conf.timeout).build()
+    val client = sharedClient
     val base = HttpRequest.newBuilder(URI.create(url))
       .timeout(conf.timeout).header("Accept", conf.accept)
     val req = (conf.method match {

@@ -17,34 +17,58 @@ import org.apache.spark.storage.StorageLevel
   * pass writing `partitionBy(branch)` (see partitioned writes) when
   * branches all land on disk; the cached-parent form is for branches
   * that continue as live DataFrames.
+  *
+  * CACHE LIFECYCLE: the shared parent stays pinned in executor
+  * storage until released — a long-lived session splitting per stage
+  * would otherwise accumulate dead cached blocks. The `*Managed`
+  * variants return a [[Branches]] handle; call `close()` once every
+  * branch has been consumed. The unmanaged shorthands pin the parent
+  * for the session (fine for one-shot jobs).
   */
 object Split {
 
-  /** Two-way split by predicate — `Either`-filter semantics: rows
-    * where `cond` holds, and the rest (null counts as false). Parent
-    * is cached so upstream runs once for both branches. */
-  def splitEither(df: DataFrame, cond: Column): (DataFrame, DataFrame) = {
-    val parent = df.persist(StorageLevel.MEMORY_AND_DISK)
-    (parent.filter(coalesce(cond, lit(false))),
-      parent.filter(!coalesce(cond, lit(false))))
+  /** Split result + the shared cached parent behind its branches.
+    * `close()` unpersists the parent — do it after all branches are
+    * consumed (actions run), not before. */
+  final case class Branches[T](value: T, parent: DataFrame)
+      extends AutoCloseable {
+    def close(): Unit = { parent.unpersist(); () }
   }
+
+  /** Two-way split by predicate — `Either`-filter semantics: rows
+    * where `cond` holds, and the rest (null counts as false). */
+  def splitEitherManaged(df: DataFrame, cond: Column)
+      : Branches[(DataFrame, DataFrame)] = {
+    val parent = df.persist(StorageLevel.MEMORY_AND_DISK)
+    Branches((parent.filter(coalesce(cond, lit(false))),
+      parent.filter(!coalesce(cond, lit(false)))), parent)
+  }
+
+  /** Unmanaged shorthand — parent stays cached for the session. */
+  def splitEither(df: DataFrame, cond: Column): (DataFrame, DataFrame) =
+    splitEitherManaged(df, cond).value
 
   /** Multi-way split: one named branch per predicate, evaluated over a
     * single cached pass of the parent. Branches may overlap and need
     * not cover (reference stacked filters are first-match, see
     * [[splitFirstMatch]] for that semantics). */
-  def multiSplit(df: DataFrame, branches: Seq[(String, Column)])
-      : Map[String, DataFrame] = {
+  def multiSplitManaged(df: DataFrame, branches: Seq[(String, Column)])
+      : Branches[Map[String, DataFrame]] = {
     val parent = df.persist(StorageLevel.MEMORY_AND_DISK)
-    branches.map { case (name, cond) => name -> parent.filter(cond) }.toMap
+    Branches(
+      branches.map { case (name, cond) => name -> parent.filter(cond) }.toMap,
+      parent)
   }
+
+  def multiSplit(df: DataFrame, branches: Seq[(String, Column)])
+      : Map[String, DataFrame] = multiSplitManaged(df, branches).value
 
   /** First-match multi-way split (the reference's stacked-filters
     * semantics: each element goes to the FIRST filter that accepts it;
     * an optional rest-branch catches the remainder). */
-  def splitFirstMatch(df: DataFrame, branches: Seq[(String, Column)],
-                      restName: Option[String] = None)
-      : Map[String, DataFrame] = {
+  def splitFirstMatchManaged(df: DataFrame, branches: Seq[(String, Column)],
+                             restName: Option[String] = None)
+      : Branches[Map[String, DataFrame]] = {
     val parent = df.persist(StorageLevel.MEMORY_AND_DISK)
     val named = branches.zipWithIndex.map { case ((name, cond), i) =>
       val notEarlier = branches.take(i)
@@ -57,19 +81,30 @@ object Split {
         .foldLeft(lit(true))(_ && _)
       rn -> parent.filter(noneMatch)
     }
-    (named ++ rest).toMap
+    Branches((named ++ rest).toMap, parent)
   }
+
+  def splitFirstMatch(df: DataFrame, branches: Seq[(String, Column)],
+                      restName: Option[String] = None)
+      : Map[String, DataFrame] =
+    splitFirstMatchManaged(df, branches, restName).value
 
   /** Tee with transform — `mapCopy`: run `side` on a transformed copy
     * (e.g. write it somewhere) and return the original unchanged for
-    * the rest of the pipeline. The parent is cached so the side effect
-    * and the continuation share one evaluation. */
-  def teeThrough(df: DataFrame)(transform: DataFrame => DataFrame)(
-      side: DataFrame => Unit): DataFrame = {
+    * the rest of the pipeline. The side effect runs eagerly inside
+    * this call, so the parent is released as soon as the CONTINUATION
+    * is done — close the returned handle after consuming the
+    * passthrough. */
+  def teeThroughManaged(df: DataFrame)(transform: DataFrame => DataFrame)(
+      side: DataFrame => Unit): Branches[DataFrame] = {
     val parent = df.persist(StorageLevel.MEMORY_AND_DISK)
     side(transform(parent))
-    parent
+    Branches(parent, parent)
   }
+
+  def teeThrough(df: DataFrame)(transform: DataFrame => DataFrame)(
+      side: DataFrame => Unit): DataFrame =
+    teeThroughManaged(df)(transform)(side).value
 
   /** Annotated-element map — `With`/`mapStreamW`: apply a column
     * transform to payload columns while key/annotation columns pass

@@ -39,12 +39,16 @@ final case class Memo(spark: SparkSession, root: String) {
     val fs = fsFor(p)
     if (!fs.exists(p)) s"absent:$location"
     else {
+      // strip the FS-QUALIFIED prefix: listed paths come back
+      // qualified (file:/...), so stripping the raw input would no-op
+      // for unqualified locations and leak absolute paths into keys
+      val prefix = fs.makeQualified(p).toString
       val it = fs.listFiles(p, true)
       val entries = Iterator.continually(it)
         .takeWhile(_.hasNext)
         .map { i =>
           val st = i.next()
-          val rel = st.getPath.toString.stripPrefix(p.toString)
+          val rel = st.getPath.toString.stripPrefix(prefix)
           s"$rel:${st.getLen}:${st.getModificationTime}"
         }.toSeq.sorted
       entries.mkString(";")
@@ -60,10 +64,32 @@ final case class Memo(spark: SparkSession, root: String) {
     else None
   }
 
+  /** Persist under the key, safely against concurrent jobs sharing the
+    * cache root. The store is content-addressed — same key means same
+    * content — so a completed entry is NEVER overwritten (overwriting
+    * would delete files a concurrent reader that already passed the
+    * marker check may still be scanning). A miss writes to a staging
+    * dir, publishes it with one rename, and creates the marker LAST:
+    * readers only trust marked entries, so a crash or lost race leaves
+    * either a complete entry or an ignorable unmarked remnant. */
   def store(key: String, df: DataFrame): DataFrame = {
-    df.write.mode("overwrite").parquet(dirFor(key))
-    val m = okMarker(key)
-    fsFor(m).create(m, true).close()
+    val target = new Path(dirFor(key))
+    val fs = fsFor(target)
+    if (fs.exists(okMarker(key))) return spark.read.parquet(dirFor(key))
+    val staging = new Path(dirFor(key) + ".tmp-" + java.util.UUID.randomUUID)
+    df.write.mode("overwrite").parquet(staging.toString)
+    if (fs.exists(target)) {
+      if (fs.exists(okMarker(key))) {
+        // a concurrent writer completed first — reuse their entry
+        fs.delete(staging, true)
+        return spark.read.parquet(dirFor(key))
+      }
+      fs.delete(target, true) // unmarked remnant of a crashed run
+    }
+    if (fs.rename(staging, target)) {
+      val m = okMarker(key)
+      fs.create(m, true).close()
+    } else fs.delete(staging, true) // lost the publish race
     spark.read.parquet(dirFor(key))
   }
 

@@ -121,13 +121,26 @@ object CLI {
       // priority = schema default < option file(s) < data: < CLI
       val optionData: graft.serial.JValue = {
         import graft.serial.{JValue, Yaml}
-        val fileLayers = spec.mappings.bindings
-          .get(VPath(s"/Options/$name")) match {
-          case Some(graft.loc.MappingRhs.Layers(ls)) => ls.map { l =>
-            Yaml.parse(new String(java.nio.file.Files.readAllBytes(
-              java.nio.file.Paths.get(l.raw.stripPrefix("file:"))), "UTF-8"))
-          }
-          case _ => Seq.empty
+        // resolve the binding through the normal mapping machinery
+        // (variable splicing, Inherit, layer lists), then read through
+        // the Hadoop FS API so any registered scheme works — an
+        // explicitly bound option file must behave like every other
+        // virtual-file location
+        def readText(loc: String): String = {
+          val p = new org.apache.hadoop.fs.Path(loc)
+          val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val in = fs.open(p)
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        }
+        val optVPath = VPath(s"/Options/$name")
+        val fileLayers = spec.mappings.bindings.get(optVPath) match {
+          case Some(_) =>
+            spec.mappings.layersFor(optVPath, "yaml") match {
+              case graft.loc.Resolved.Bound(ls) =>
+                ls.map(l => Yaml.parse(readText(l.raw)))
+              case _ => Seq.empty
+            }
+          case None => Seq.empty
         }
         (fileLayers :+ spec.data).reduceLeft(JValue.deepMerge)
       }

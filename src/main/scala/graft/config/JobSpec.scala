@@ -40,24 +40,32 @@ final case class JobSpec(
             else fields :+ (head -> overrideData(JObj(Nil), rest, v))
           JObj(updated)
       }
-    args.grouped(2).foldLeft(this) {
-      case (spec, Seq("--loc", kv)) if kv.contains("+=") =>
+    // cursor walk, NOT grouped(2): a bare boolean flag or positional
+    // anywhere in the arg list must not shift flag/value alignment and
+    // silently swallow the overrides after it
+    @annotation.tailrec
+    def walk(spec: JobSpec, rest: List[String]): JobSpec = rest match {
+      case "--loc" :: kv :: tail if kv.contains("+=") =>
         val Array(p, l) = kv.split("\\+=", 2)
-        spec.copy(mappings = spec.mappings.addLayer(VPath(p), LocTemplate(l)))
-      case (spec, Seq("--loc", kv)) if kv.contains('=') =>
+        walk(spec.copy(mappings =
+          spec.mappings.addLayer(VPath(p), LocTemplate(l))), tail)
+      case "--loc" :: kv :: tail if kv.contains('=') =>
         val Array(p, l) = kv.split("=", 2)
-        spec.copy(mappings = spec.mappings.set(VPath(p), MappingRhs.parse(l)))
-      case (spec, Seq("--var", kv)) if kv.contains('=') =>
+        walk(spec.copy(mappings =
+          spec.mappings.set(VPath(p), MappingRhs.parse(l))), tail)
+      case "--var" :: kv :: tail if kv.contains('=') =>
         val Array(k, v) = kv.split("=", 2)
-        spec.copy(
+        walk(spec.copy(
           variables = spec.variables + (k -> v),
-          mappings = spec.mappings.withVariable(k, v))
-      case (spec, Seq("-o", kv)) if kv.contains('=') =>
+          mappings = spec.mappings.withVariable(k, v)), tail)
+      case "-o" :: kv :: tail if kv.contains('=') =>
         val Array(p, v) = kv.split("=", 2)
-        spec.copy(data =
-          overrideData(spec.data, p.split('.').toSeq, Yaml.scalar(v)))
-      case (spec, _) => spec
+        walk(spec.copy(data =
+          overrideData(spec.data, p.split('.').toSeq, Yaml.scalar(v))), tail)
+      case _ :: tail => walk(spec, tail)
+      case Nil => spec
     }
+    walk(this, args.toList)
   }
 
   /** Render back to a JSON document (the `save`/`write-config-template`

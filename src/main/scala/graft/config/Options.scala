@@ -75,34 +75,41 @@ final case class OptionsSchema(fields: Seq[OptField]) {
       v <- lookup(s, f.path.split('.').toSeq)
       if v != JNull
     } yield f.path -> (OptValue.fromJson(v), OptSource.SpecFile: OptSource)
-    val fromCli = cliArgs.sliding(2).collect {
-      case Seq(flag, value) if flag.startsWith("--") =>
+    // CLI flags in one pass, position-tagged so the LAST occurrence on
+    // the command line wins (--no-dryRun --dryRun true => true), with
+    // the boolean shorthands (OptParse.hs:108-121): --no-x => false
+    // and bare --x => true, both only for DECLARED BOOLEAN fields — a
+    // --no-x against a numeric field must not inject a type-invalid
+    // false.
+    def isBoolField(path: String): Boolean =
+      fields.exists(f => f.path == path &&
+        f.default.exists(_.isInstanceOf[OptBool]))
+    // a following token is this flag's value unless it is itself a
+    // flag; negative numbers ("-5") still count as values
+    def looksLikeValue(s: String): Boolean =
+      !s.startsWith("-") || s.matches("-[0-9.].*")
+    val fromCli = cliArgs.zipWithIndex.flatMap { case (flag, i) =>
+      if (!flag.startsWith("--")) None
+      else if (flag.startsWith("--no-")) {
+        val path = flag.drop(5).replace('-', '.')
+        if (isBoolField(path))
+          Some(i -> (path -> (OptBool(false): OptValue,
+            OptSource.Cli: OptSource)))
+        else None
+      } else {
         val path = flag.drop(2).replace('-', '.')
-        fields.find(_.path == path).map { f =>
-          f.path -> (Yaml.scalar(value) match {
-            case j => OptValue.fromJson(j)
-          }, OptSource.Cli: OptSource)
+        fields.find(_.path == path).flatMap { _ =>
+          if (i + 1 < cliArgs.length && looksLikeValue(cliArgs(i + 1)))
+            Some(i -> (path -> (OptValue.fromJson(
+              Yaml.scalar(cliArgs(i + 1))), OptSource.Cli: OptSource)))
+          else if (isBoolField(path))
+            Some(i -> (path -> (OptBool(true): OptValue,
+              OptSource.Cli: OptSource)))
+          else None
         }
-    }.flatten.toSeq
-    // boolean --flag / --no-flag shorthand (OptParse.hs:108-121):
-    // --no-x always means false; bare --x (no value following) means
-    // true when x is a declared boolean field
-    val boolCli = cliArgs.collect {
-      case flag if flag.startsWith("--no-") &&
-          fields.exists(_.path == flag.drop(5).replace('-', '.')) =>
-        flag.drop(5).replace('-', '.') ->
-          (OptBool(false): OptValue, OptSource.Cli: OptSource)
-    }
-    val bareBoolCli = cliArgs.zipWithIndex.collect {
-      case (flag, i) if flag.startsWith("--") && !flag.startsWith("--no-") && {
-        val path = flag.drop(2).replace('-', '.')
-        fields.exists(f => f.path == path &&
-          f.default.exists(_.isInstanceOf[OptBool])) &&
-          (i + 1 >= cliArgs.length || cliArgs(i + 1).startsWith("-"))
-      } => flag.drop(2).replace('-', '.') ->
-        (OptBool(true): OptValue, OptSource.Cli: OptSource)
-    }
-    (fromDefaults ++ fromSpec ++ fromCli ++ bareBoolCli ++ boolCli).toMap
+      }
+    }.sortBy(_._1).map(_._2)
+    (fromDefaults ++ fromSpec ++ fromCli).toMap
   }
 
   /** Spec keys that match no declared field — surfaced as warnings so
@@ -136,8 +143,28 @@ final case class OptionsSchema(fields: Seq[OptField]) {
       f"  ${f.flagName}%-28s ${f.doc}$d"
     }.mkString("\n")
 
-  /** Default config template body (write-config-template). */
-  def templateJson: JValue =
-    JObj(fields.map(f =>
-      f.path -> f.default.map(OptValue.toJson).getOrElse(JNull)))
+  /** Default config template body (write-config-template). Dotted
+    * field paths become NESTED objects — the shape `resolve`'s
+    * segment-wise lookup reads back, so the emitted template
+    * round-trips (a flat "a.b" key would be silently ignored on the
+    * way back in). */
+  def templateJson: JValue = {
+    def insert(obj: Seq[(String, JValue)], path: List[String],
+               v: JValue): Seq[(String, JValue)] = path match {
+      case last :: Nil => obj :+ (last -> v)
+      case head :: rest =>
+        obj.find(_._1 == head) match {
+          case Some((_, JObj(inner))) => obj.map {
+            case (k, o) =>
+              if (k == head) k -> JObj(insert(inner, rest, v)) else (k, o)
+          }
+          case _ => obj :+ (head -> JObj(insert(Nil, rest, v)))
+        }
+      case Nil => obj
+    }
+    JObj(fields.foldLeft(Seq.empty[(String, JValue)]) { (acc, f) =>
+      insert(acc, f.path.split('.').toList,
+        f.default.map(OptValue.toJson).getOrElse(JNull))
+    })
+  }
 }

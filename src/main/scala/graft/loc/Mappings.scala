@@ -61,19 +61,27 @@ final case class Mappings(
       Resolved.Bound(locs.map(_.splice(variables).withDefaultExt(defaultExt)))
 
     def inherited(suffix: String): Option[Seq[LocTemplate]] = {
-      // nearest ancestor with a Layers binding
+      // nearest ancestor with a DECISIVE binding: Layers inherits
+      // downward; Unmapped STOPS the walk — `null`-ing a folder
+      // unmaps its whole subtree (reference null-mapping semantics),
+      // it must not be skipped in favor of a higher ancestor. A
+      // folder-level Inherit is transparent (it resolves upward
+      // itself).
       val anc = Iterator.iterate(path.parent)(_.flatMap(_.parent))
         .takeWhile(_.isDefined).flatten
         .flatMap(a => bindings.get(a) match {
-          case Some(MappingRhs.Layers(ls)) => Some((a, ls))
+          case Some(MappingRhs.Layers(ls)) => Some((a, Some(ls)))
+          case Some(MappingRhs.Unmapped)   => Some((a, None))
           case _                           => None
         }).toSeq.headOption
-      anc.map { case (a, parentLocs) =>
-        val rel = path.relativeTo(a)
-        parentLocs.map { pl =>
-          val base = rel.foldLeft(pl)(_ / _)
-          if (suffix.isEmpty) base else LocTemplate(base.raw + suffix)
-        }
+      anc.flatMap {
+        case (_, None) => None // under an explicitly unmapped folder
+        case (a, Some(parentLocs)) =>
+          val rel = path.relativeTo(a)
+          Some(parentLocs.map { pl =>
+            val base = rel.foldLeft(pl)(_ / _)
+            if (suffix.isEmpty) base else LocTemplate(base.raw + suffix)
+          })
       }
     }
 

@@ -22,6 +22,13 @@ trait Format {
   def read(spark: SparkSession, paths: Seq[String],
            schema: Option[StructType]): DataFrame
   def write(df: DataFrame, path: String): Unit
+  /** Partitioned write: one `<partitionCol>=<value>/` subdir per
+    * distinct value, in THIS format (indexed sinks must honor the
+    * entry's declared format, not silently switch to parquet). */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String,
+                       codec: Option[String]): Unit =
+    throw new UnsupportedOperationException(
+      s"partitioned write unsupported for .$ext")
 }
 
 object Formats {
@@ -43,6 +50,13 @@ object Formats {
       codec.foreach(c => w.option("compression", c))
       w.parquet(path)
     }
+    override def writePartitioned(df: DataFrame, path: String,
+                                  partitionCol: String,
+                                  codec: Option[String]): Unit = {
+      val w = df.write.mode("overwrite").partitionBy(partitionCol)
+      codec.foreach(c => w.option("compression", c))
+      w.parquet(path)
+    }
   }
 
   /** JSON lines (+ whole-doc via multiLine) — reference aeson serial
@@ -58,6 +72,13 @@ object Formats {
       df.write.mode("overwrite").json(path)
     override def write(df: DataFrame, path: String, codec: Option[String]): Unit = {
       val w = df.write.mode("overwrite")
+      codec.foreach(c => w.option("compression", c))
+      w.json(path)
+    }
+    override def writePartitioned(df: DataFrame, path: String,
+                                  partitionCol: String,
+                                  codec: Option[String]): Unit = {
+      val w = df.write.mode("overwrite").partitionBy(partitionCol)
       codec.foreach(c => w.option("compression", c))
       w.json(path)
     }
@@ -81,6 +102,14 @@ object Formats {
     override def write(df: DataFrame, path: String, codec: Option[String]): Unit = {
       val w = df.write.mode("overwrite").option("header", header.toString)
         .option("delimiter", delimiter)
+      codec.foreach(c => w.option("compression", c))
+      w.csv(path)
+    }
+    override def writePartitioned(df: DataFrame, path: String,
+                                  partitionCol: String,
+                                  codec: Option[String]): Unit = {
+      val w = df.write.mode("overwrite").partitionBy(partitionCol)
+        .option("header", header.toString).option("delimiter", delimiter)
       codec.foreach(c => w.option("compression", c))
       w.csv(path)
     }

@@ -90,12 +90,21 @@ final case class PTask[-A, +B](requirements: Catalog, runFn: (RunCtx, A) => B) {
   def named(n: String): PTask[A, B] =
     PTask(requirements, (ctx0, a) => {
       val ctx = ctx0.inNamespace(n)
-      ctx.spark.sparkContext.setJobGroup(n, ctx.namespace.mkString("/"))
+      val sc = ctx.spark.sparkContext
+      // restore the ENCLOSING job group on exit (nested named tasks:
+      // clearJobGroup here would strip the outer task's tag from the
+      // jobs it submits after this one returns)
+      val outerGroup = Option(sc.getLocalProperty("spark.jobGroup.id"))
+      val outerDesc = Option(sc.getLocalProperty("spark.job.description"))
+      sc.setJobGroup(n, ctx.namespace.mkString("/"))
       val t0 = System.nanoTime()
       try runFn(ctx, a)
       finally {
         log.info(f"[$n] took ${(System.nanoTime() - t0) / 1e9}%.3fs")
-        ctx.spark.sparkContext.clearJobGroup()
+        outerGroup match {
+          case Some(g) => sc.setJobGroup(g, outerDesc.getOrElse(""))
+          case None    => sc.clearJobGroup()
+        }
       }
     })
 
@@ -114,8 +123,7 @@ final case class PTask[-A, +B](requirements: Catalog, runFn: (RunCtx, A) => B) {
     PTask(requirements.underPrefix(prefix), (ctx, a) => {
       // re-rooted view: resolve /x as prefix/x
       val ctx2 = ctx.copy(
-        catalog = ctx.catalog,
-        bindings = ctx.bindings.map { case (p, r) => p -> r } ++
+        bindings = ctx.bindings ++
           ctx.bindings.collect {
             case (p, r) if p.startsWith(prefix) =>
               VPath(p.relativeTo(prefix)) -> r

@@ -228,4 +228,54 @@ class ConfigSpec extends AnyFunSuite {
     assert(paths.contains("/orders") && paths.contains("/Outputs/report"))
     assert(reg.options.templateJson.render.contains("minPrice"))
   }
+  test("CLI overrides survive bare flags / positionals before them") {
+    val spec = JobSpec.empty.withCliArgs(Seq(
+      "--dryRun", "--loc", "/a=/data/x", "positional", "--var", "k=v"))
+    assert(spec.mappings.bindings.get(VPath("/a")) ==
+      Some(MappingRhs.Layers(Seq(LocTemplate("/data/x")))))
+    assert(spec.variables("k") == "v")
+  }
+
+  test("null-mapped folder unmaps its whole subtree") {
+    val m = graft.loc.Mappings(Map(
+      VPath("/") -> MappingRhs.Layers(Seq(LocTemplate("/data/root"))),
+      VPath("/debug") -> MappingRhs.Unmapped), Map.empty)
+    assert(m.layersFor(VPath("/debug/out"), "parquet") == Resolved.Unbound)
+    // siblings outside the unmapped folder still inherit from the root
+    m.layersFor(VPath("/keep/out"), "parquet") match {
+      case Resolved.Bound(ls) =>
+        assert(ls.head.raw == "/data/root/keep/out.parquet")
+      case other => fail(s"expected bound, got $other")
+    }
+  }
+
+  test("write-config-template nests dotted paths and round-trips") {
+    val schema = OptionsSchema(Seq(
+      OptField("users.range", Some(OptStr("0..3"))),
+      OptField("top", Some(OptNum(2)))))
+    val tmpl = schema.templateJson
+    // nested shape, not a flat "users.range" key
+    assert((tmpl \ "users").flatMap(_ \ "range").contains(JStr("0..3")))
+    val resolved = schema.resolve(Some(tmpl), Nil)
+    assert(resolved("users.range") == (OptStr("0..3"), OptSource.SpecFile))
+    assert(schema.unknownKeys(tmpl).isEmpty)
+  }
+
+  test("--no-flag only applies to boolean fields; last flag wins") {
+    val schema = OptionsSchema(Seq(
+      OptField("minPrice", Some(OptNum(1))),
+      OptField("dryRun", Some(OptBool(false)))))
+    // --no- against a numeric field must not inject a boolean
+    val r1 = schema.resolve(None, Seq("--no-minPrice"))
+    assert(r1("minPrice") == (OptNum(1), OptSource.Default))
+    // later explicit value outranks the earlier shorthand
+    val r2 = schema.resolve(None, Seq("--no-dryRun", "--dryRun", "true"))
+    assert(r2("dryRun")._1 == OptBool(true))
+    val r3 = schema.resolve(None, Seq("--dryRun", "--no-dryRun"))
+    assert(r3("dryRun")._1 == OptBool(false))
+    // negative numbers are values, not flags
+    val r4 = schema.resolve(None, Seq("--minPrice", "-5"))
+    assert(r4("minPrice")._1 == OptNum(-5))
+  }
+
 }
