@@ -65,7 +65,9 @@ object FoldCol {
   def sumL(c: Column): FoldCol[Long] =
     single(sum(c).cast("long"))(v => Option(v).fold(0L)(_.asInstanceOf[Long]))
   def avgD(c: Column): FoldCol[Double] =
-    single(avg(c))(_.asInstanceOf[Double])
+    // avg over zero rows is SQL NULL: surface it as NaN (undefined
+    // mean), not the silent 0.0 a null unboxing would produce
+    single(avg(c))(v => Option(v).fold(Double.NaN)(_.asInstanceOf[Double]))
   def minOf[B](c: Column): FoldCol[B] = single(min(c))(_.asInstanceOf[B])
   def maxOf[B](c: Column): FoldCol[B] = single(max(c))(_.asInstanceOf[B])
   /** distinct-collect (reference `L.nub` — exact, small domains). */

@@ -28,6 +28,15 @@ object Joins {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  buckets: Int, joinType: String = "inner"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    // salting replicates the DIM side, so only join types where an
+    // unmatched dim row contributes nothing are semantics-preserving;
+    // a right/full outer would emit `buckets` null-padded copies of
+    // every unmatched dim row
+    val ok = Set("inner", "left", "leftouter", "left_outer", "cross",
+      "leftsemi", "left_semi", "leftanti", "left_anti")
+    require(ok(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin: joinType '$joinType' would duplicate unmatched dim " +
+        "rows across salt buckets; use the plain join for right/full outer")
     val saltedFact = fact.withColumn("_salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(buckets)).cast("int"))
     val explodedDim = dim.withColumn("_salt",

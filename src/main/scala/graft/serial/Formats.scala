@@ -148,20 +148,56 @@ object Formats {
     * (reference uses YAML only for options/specs, SURVEY §2.G/§2.I). */
   object YamlFmt extends Format {
     val ext = "yaml"
-    def read(s: SparkSession, paths: Seq[String], schema: Option[StructType]) = {
-      import scala.jdk.CollectionConverters._
-      val jsons = paths.map { p =>
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(p.stripPrefix("file:"))), "UTF-8")
-        Yaml.toJson(Yaml.parse(txt))
+
+    private def readTexts(conf: org.apache.hadoop.conf.Configuration,
+                          loc: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).toSeq.map(_.getPath).filterNot(f =>
+            f.getName.startsWith("_") || f.getName.startsWith("."))
+        else Seq(p)
+      files.map { f =>
+        val in = fs.open(f)
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
       }
+    }
+
+    def read(s: SparkSession, paths: Seq[String], schema: Option[StructType]) = {
+      // Hadoop FS (any scheme), file or directory; each document is
+      // YAML or JSON (JSON is a YAML subset — also what `write` emits);
+      // a top-level sequence becomes one row per element
+      val conf = s.sparkContext.hadoopConfiguration
+      val jsons = paths.flatMap(readTexts(conf, _))
+        .filter(_.trim.nonEmpty)
+        .flatMap { txt =>
+          val t = txt.trim
+          val v = if (t.startsWith("{") || t.startsWith("[")) JValue.parse(t)
+            else Yaml.parse(txt)
+          v match {
+            case JArr(xs) => xs.map(_.render)
+            case other    => Seq(other.render)
+          }
+        }
       val ds = s.createDataset(jsons)(s.implicits.newStringEncoder)
       val r = s.read
       schema.foreach(r.schema)
       r.json(ds)
     }
-    def write(df: DataFrame, path: String): Unit =
-      df.write.mode("overwrite").json(path) // YAML is a JSON superset
+
+    /** Driver-side single-file write (YAML payloads are config-sized
+      * by construction): a JSON array document — valid YAML — that
+      * `read` parses back row-for-row. The old `df.write.json`
+      * directory form could never be read back by this format. */
+    def write(df: DataFrame, path: String): Unit = {
+      val doc = df.toJSON.collect().mkString("[\n", ",\n", "\n]\n")
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(doc.getBytes("UTF-8")) finally out.close()
+    }
   }
 
   val builtins: Map[String, Format] = Map(

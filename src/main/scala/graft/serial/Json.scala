@@ -86,15 +86,23 @@ object JValue {
       require(!eof && s.charAt(pos) == c, s"expected '$c' at $pos")
       pos += 1
     }
+    private def literal(word: String): Unit = {
+      // verify the characters, not just the length — "nope" must be a
+      // parse error, not a silent JNull
+      require(pos + word.length <= s.length &&
+        s.regionMatches(pos, word, 0, word.length),
+        s"invalid literal at $pos (expected '$word')")
+      pos += word.length
+    }
     def value(): JValue = {
       skipWs()
       s.charAt(pos) match {
         case '{' => obj()
         case '[' => arr()
         case '"' => JStr(str())
-        case 't' => pos += 4; JBool(true)
-        case 'f' => pos += 5; JBool(false)
-        case 'n' => pos += 4; JNull
+        case 't' => literal("true"); JBool(true)
+        case 'f' => literal("false"); JBool(false)
+        case 'n' => literal("null"); JNull
         case _   => num()
       }
     }

@@ -139,20 +139,30 @@ object Yaml {
       if (inStr) {
         if (c == strCh) inStr = false
         sb += (if (strCh == '\'' && c == '\'') '"' else c)
-      } else c match {
-        case '"' | '\'' => inStr = true; strCh = c; sb += '"'
-        case '{' | '}' | '[' | ']' | ',' | ':' => sb += c
-        case _ if c.isWhitespace => sb += c
-        case _ =>
-          // bare token: read to delimiter, quote unless number/bool/null
-          val start = i
-          while (i < s.length && "{}[],:".indexOf(s.charAt(i)) < 0) i += 1
-          val tok = s.substring(start, i).trim
-          i -= 1
-          sb ++= (scalar(tok) match {
-            case v @ (JNum(_) | JBool(_) | JNull) => v.render
-            case _ => JValue.quote(tok)
-          })
+      } else {
+        // YAML flow: ':' only separates a key when followed by
+        // whitespace or a closing delimiter — "http://x" or "12:30"
+        // inside a value is part of the scalar
+        def isKeySep(j: Int): Boolean = s.charAt(j) == ':' &&
+          (j + 1 >= s.length || s.charAt(j + 1).isWhitespace ||
+            ",}]".indexOf(s.charAt(j + 1)) >= 0)
+        c match {
+          case '"' | '\'' => inStr = true; strCh = c; sb += '"'
+          case '{' | '}' | '[' | ']' | ',' => sb += c
+          case ':' if isKeySep(i) => sb += c
+          case _ if c.isWhitespace => sb += c
+          case _ =>
+            // bare token: read to delimiter, quote unless number/bool/null
+            val start = i
+            while (i < s.length && "{}[],".indexOf(s.charAt(i)) < 0 &&
+              !isKeySep(i)) i += 1
+            val tok = s.substring(start, i).trim
+            i -= 1
+            sb ++= (scalar(tok) match {
+              case v @ (JNum(_) | JBool(_) | JNull) => v.render
+              case _ => JValue.quote(tok)
+            })
+        }
       }
       i += 1
     }

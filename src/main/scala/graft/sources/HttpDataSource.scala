@@ -90,6 +90,7 @@ final class HttpScanBuilder(options: CaseInsensitiveStringMap)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val all = urls
+    if (all.isEmpty) return Array.empty // empty index range: empty scan
     val parallelism = math.max(1, math.min(
       options.getOrDefault("parallelism", "16").toInt, all.size))
     val perPart = (all.size + parallelism - 1) / parallelism

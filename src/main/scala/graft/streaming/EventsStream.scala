@@ -82,7 +82,8 @@ object EventsStream {
   final case class UserSnapshot(user_id: Long, n_events: Long,
                                 last_type: String)
 
-  def userSessions(events: DataFrame): Dataset[UserSnapshot] = {
+  def userSessions(events: DataFrame,
+                   idleTimeout: String = "2 hours"): Dataset[UserSnapshot] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -90,27 +91,39 @@ object EventsStream {
       .as[(Long, String, java.sql.Timestamp)]
       .groupByKey(_._1)
       .mapGroupsWithState[UserState, UserSnapshot](
-        GroupStateTimeout.NoTimeout) {
+        GroupStateTimeout.ProcessingTimeTimeout) {
         case (uid, rows, state: GroupState[UserState]) =>
-          val sorted = rows.toSeq.sortBy(r => (r._3.getTime, r._2))
-          val prev = state.getOption.getOrElse(UserState(0L, ""))
-          val next = UserState(prev.nEvents + sorted.size,
-            sorted.lastOption.map(_._2).getOrElse(prev.lastType))
-          state.update(next)
-          UserSnapshot(uid, next.nEvents, next.lastType)
+          // idle users age out of the state store — without a timeout
+          // the per-user state grows with the all-time user population
+          // instead of the active horizon
+          if (state.hasTimedOut) {
+            val last = state.getOption.getOrElse(UserState(0L, ""))
+            state.remove()
+            UserSnapshot(uid, last.nEvents, last.lastType)
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r._3.getTime, r._2))
+            val prev = state.getOption.getOrElse(UserState(0L, ""))
+            val next = UserState(prev.nEvents + sorted.size,
+              sorted.lastOption.map(_._2).getOrElse(prev.lastType))
+            state.update(next)
+            state.setTimeoutDuration(idleTimeout)
+            UserSnapshot(uid, next.nEvents, next.lastType)
+          }
       }
   }
 
   /** Streaming exact dedup — the streaming face of the dedup operator
-    * pack: watermarked `dropDuplicates` on a content key, so the state
-    * store holds only the watermark horizon of keys (bounded memory on
-    * an unbounded stream). Duplicate events (same dedup columns)
-    * arriving within the horizon are emitted once. */
+    * pack: watermarked `dropDuplicatesWithinWatermark` on the content
+    * keys, so the state store holds only the watermark horizon of keys
+    * (bounded memory on an unbounded stream). Duplicate events (same
+    * dedup columns) arriving within the horizon are emitted once —
+    * including retransmissions that carry a DIFFERENT timestamp, which
+    * a `dropDuplicates(keys :+ ts)` would wrongly re-emit. */
   def dedupStream(events: DataFrame, keys: Seq[String],
                   watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicates(keys :+ "ts")
+      .dropDuplicatesWithinWatermark(keys)
 
   /** Multi-sink streaming write — the reference's write-to-every-layer
     * semantics under streaming: one stream, N sinks via foreachBatch

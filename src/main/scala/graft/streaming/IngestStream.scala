@@ -46,8 +46,20 @@ object IngestStream {
                   threshold: Double = 0.7, textCol: String = "text",
                   idCol: String = "doc_id"): Unit = {
     import org.apache.spark.storage.StorageLevel
+    // the clustering path (connectedComponents driver union-find) and
+    // the empty-layer stub are long-typed; fail fast on ids that
+    // cannot widen, and widen integral ids up front rather than
+    // crashing with a mid-job ClassCastException
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType)
+        .contains(batch.schema(idCol).dataType),
+      s"ingestBatch: $idCol must be an integral id column " +
+        s"(got ${batch.schema(idCol).dataType}); hash string ids to " +
+        "int64 first (e.g. xxhash64)")
     val spark = batch.sparkSession
-    val b = batch.persist(StorageLevel.MEMORY_AND_DISK)
+    val b = batch.withColumn(idCol, col(idCol).cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val sigs = Dedup.minHashSignatures(b, textCol = textCol,
         idCol = idCol).persist(StorageLevel.MEMORY_AND_DISK)
@@ -102,12 +114,19 @@ object IngestStream {
     } finally { b.unpersist(); () }
   }
 
-  /** The streaming wrapper: foreachBatch over a document stream. */
+  /** The streaming wrapper: foreachBatch over a document stream. The
+    * checkpoint (source offsets + batch ids) defaults to a hidden dir
+    * under the signature layer — without one, every restart would
+    * replay the whole source, re-appending the sub-3-token documents
+    * that intentionally bypass the signature layer. */
   def nearDupIngest(docs: DataFrame, corpusDir: String, sigDir: String,
                     threshold: Double = 0.7, textCol: String = "text",
-                    idCol: String = "doc_id"): StreamingQuery =
+                    idCol: String = "doc_id",
+                    checkpointDir: Option[String] = None): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$sigDir/_checkpoints"))
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         ingestBatch(batch.toDF(), corpusDir, sigDir, threshold, textCol,
           idCol)

@@ -322,4 +322,16 @@ class AccessOpsSpec extends AnyFunSuite {
     val df = Pipeline.run(spark, Access.loadData(vf), m, ())
     assert(df.count() == 2)
   }
+  test("yaml format round-trips: write then read back the same rows") {
+    import spark.implicits._
+    val path = "/root/repo/target/scratch/roundtrip.yaml"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    graft.serial.Formats("yaml").write(df, path)
+    val back = graft.serial.Formats("yaml")
+      .read(spark, Seq(path), None)
+      .select("id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back == Set((1L, "a"), (2L, "b")))
+  }
+
 }

@@ -278,4 +278,13 @@ class ConfigSpec extends AnyFunSuite {
     assert(r4("minPrice")._1 == OptNum(-5))
   }
 
+  test("yaml flow values keep embedded colons; malformed JSON rejected") {
+    val v = Yaml.parse("a: {url: http://x, t: 12:30}")
+    assert((v \ "a").flatMap(_ \ "url") == Some(JStr("http://x")))
+    assert((v \ "a").flatMap(_ \ "t") == Some(JStr("12:30")))
+    intercept[IllegalArgumentException](JValue.parse("nope"))
+    intercept[IllegalArgumentException](JValue.parse("fals"))
+    assert(JValue.parse("false") == JBool(false))
+  }
+
 }
