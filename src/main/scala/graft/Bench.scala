@@ -22,16 +22,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    // Graft.builder = the engine's recommended conf (AQE incl. cached
+    // plans, UTC session timezone, nanos timestamps) — hand-rolling the
+    // block here once drifted out of sync with the verified sessions
+    val spark = Graft.builder(cpus.toInt, "graft-bench")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      // AQE may re-plan cached-plan builds (broadcast demotion,
-      // partition coalescing under InMemoryRelation) — see Graft
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "true")
       // production hash family: XXH64 sketch kernels (the bench
       // measures the plans a deployment runs; Verify separately runs
       // the same plans under the MD5 oracle-verification family)
@@ -61,16 +56,27 @@ object Bench {
     }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $dt%8.2fs")
-      name -> dt
+      System.err.println(f"[bench] $name%-24s $dt%8.2fs" +
+        (if (ok) "" else "  FAILED"))
+      (name, dt, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // a failed query's time-to-failure must NOT masquerade as a
+    // result: only successes are timed and totaled; failures are
+    // listed separately so the run is visibly broken
+    val good = results.filter(_._3)
+    val failed = results.filterNot(_._3).map(_._1)
+    val qs = good.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = if (good.nonEmpty) good.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -7,17 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
+    // Graft.builder carries the engine's recommended conf; only the
+    // verification-specific bits are layered on top
+    val spark = Graft.builder(cpus.toInt, "graft-verify")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      // AQE may re-plan cached-plan builds (broadcast demotion,
-      // partition coalescing under InMemoryRelation) — see Graft
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "true")
       // oracle-verification mode: the MD5 base hash is reproducible in
       // DuckDB SQL, so the sketch queries hash-match their oracles
       // (production runs use the default "xx" family — same plans,

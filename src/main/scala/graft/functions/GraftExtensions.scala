@@ -30,6 +30,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$name must be a literal, got $other")
   }
 
+  private def longArg(e: Expression, name: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+      v.toString.toLong
+    case other => throw new IllegalArgumentException(
+      s"$name must be a literal, got $other")
+  }
+
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[SketchExprs.type].getName, null, name, usage,
       "", "", "", "", "", "", "built-in")
@@ -46,7 +53,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => MinHashText(args.head,
         if (args.length > 1) intArg(args(1), "shingleSize") else 3,
         if (args.length > 2) intArg(args(2), "k") else 64,
-        if (args.length > 3) intArg(args(3), "seed").toLong else 42L,
+        if (args.length > 3) longArg(args(3), "seed") else 42L,
         SketchOps.xxFamily())))
 
     ext.injectFunction((FunctionIdentifier("fingerprint_text"),

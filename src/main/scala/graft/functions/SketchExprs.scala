@@ -115,12 +115,16 @@ object SketchExprs {
     override def nullSafeEval(input: Any): Any =
       SketchOps.simhashText(
         input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], xx)
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // fresh local: two instances of this expression can land in one
+      // generated method (non-nullable children skip the block scope)
+      val res = ctx.freshName("simhashRes")
       nullSafeCodeGen(ctx, ev, c => s"""
-        Object simhashRes = graft.functions.SketchOps.simhashText($c, $xx);
-        if (simhashRes == null) { ${ev.isNull} = true; }
-        else { ${ev.value} = ((java.lang.Long) simhashRes).longValue(); }
+        Object $res = graft.functions.SketchOps.simhashText($c, $xx);
+        if ($res == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ((java.lang.Long) $res).longValue(); }
       """)
+    }
     override protected def withNewChildInternal(newChild: Expression): SimHashText =
       copy(child = newChild)
   }

@@ -226,7 +226,8 @@ object SketchOps {
     while (i < n) {
       val cp = s.codePointAt(i)
       total += 1
-      val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+      // RE2 \s (no vertical tab) — must match the oracle's '\s' class
+      val ws = cp == ' ' || cp == '\t' || cp == '\n' ||
         cp == '\f' || cp == '\r'
       if (!ws) {
         nonWs += 1
@@ -369,9 +370,12 @@ object SketchOps {
 
   private val UND = org.apache.spark.unsafe.types.UTF8String.fromString("und")
 
+  // RE2 \s semantics (tab LF FF CR space — NO vertical tab): the
+  // oracles tokenize with DuckDB's regexp_split_to_array(text, '\s+')
+  // and RE2 excludes 0x0B, so the kernel must too or a \v in a
+  // document silently diverges token counts
   @inline private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
-      c == '\r'
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
   /** MinHash signature of a string array: sig_j = min over elements of
     * (a_j * base32(s) + b_j) mod P. One pass: k*n ops. */

@@ -154,8 +154,11 @@ object Multimodal {
     val contentIdx = blobs.schema.fieldIndex("content")
     blobs.mapPartitions { rows =>
       rows.map { row =>
-        val resized = resizer.resize(row.getString(kindIdx),
-          row.getAs[Array[Byte]](contentIdx), width, height)
+        // content is nullable by contract — null blobs pass through
+        val resized =
+          if (row.isNullAt(contentIdx)) null
+          else resizer.resize(row.getString(kindIdx),
+            row.getAs[Array[Byte]](contentIdx), width, height)
         val vals = row.toSeq.updated(contentIdx, resized) ++
           Seq(width, height)
         Row.fromSeq(vals)
@@ -177,10 +180,16 @@ object Multimodal {
         val fs = base.getFileSystem(conf.value)
         fs.mkdirs(base)
         it.foreach { row =>
+          // null content (nullable by contract) lands as an empty file
+          // — the sink stays total, matching extractFeatures' treatment
+          // of null as zero bytes
+          val bytes =
+            if (row.isNullAt(1)) Array.empty[Byte]
+            else row.getAs[Array[Byte]](1)
           val out = fs.create(
             new org.apache.hadoop.fs.Path(base, s"${row.getLong(0)}.bin"),
             true)
-          try out.write(row.getAs[Array[Byte]](1)) finally out.close()
+          try out.write(bytes) finally out.close()
         }
     }
   }

@@ -175,13 +175,19 @@ object LlmQueries {
     // repetitive-text quality gate, reported for every doc with >= 3
     // tokens.
     "llm_repetition" -> ((s, dir) =>
+      // HOFs are CodegenFallback (no CSE): project the two tokenize
+      // passes ONCE (total count, distinct-shingle count) and derive
+      // the filter + ratio from the projected columns
       table(s, dir, "documents")
-        .filter(size(filter(split(col("text"), " "), t => t =!= "")) >= 3)
         .select(col("doc_id"),
           (size(filter(split(col("text"), " "), t => t =!= "")) - 2)
             .cast("long").as("n_grams"),
-          round(TextAnalysis.repetitionRatio(col("text"), n = 3), 6)
-            .as("rep_ratio"))
+          size(Dedup.wordShingles(col("text"), 3)).cast("long")
+            .as("_n_distinct"))
+        .filter(col("n_grams") >= 1)
+        .select(col("doc_id"), col("n_grams"),
+          round(lit(1.0) - col("_n_distinct").cast("double") /
+            col("n_grams").cast("double"), 6).as("rep_ratio"))
         .orderBy(col("doc_id"))),
 
     // quality features + filter: the classic length/punct gate.
@@ -681,7 +687,7 @@ object LlmQueries {
     "llm_token_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
-           CAST(SUM(list_sum(list_transform(toks, t -> strlen(t)))) AS DOUBLE)
+           CAST(SUM(list_sum(list_transform(toks, t -> length(t)))) AS DOUBLE)
              / SUM(len(toks)) AS avg_token_len
          FROM (SELECT lang,
                  list_filter(regexp_split_to_array(text, '\s+'),
@@ -703,18 +709,18 @@ object LlmQueries {
     "llm_quality" ->
       """SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
-           round(CAST(list_sum(list_transform(toks, t -> strlen(t))) AS DOUBLE)
+           round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
                  / len(toks), 6) AS avg_token_len,
-           round(CAST(strlen(text) - strlen(regexp_replace(text,
+           round(CAST(length(text) - length(regexp_replace(text,
                    '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
-                 / strlen(text), 6) AS punct_ratio
+                 / length(text), 6) AS punct_ratio
          FROM (SELECT doc_id, text,
                  list_filter(regexp_split_to_array(text, '\s+'),
                    t -> t <> '') AS toks
                FROM documents)
          WHERE len(toks) >= 20
-           AND CAST(strlen(text) - strlen(regexp_replace(text,
-                 '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / strlen(text) < 0.05
+           AND CAST(length(text) - length(regexp_replace(text,
+                 '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) < 0.05
          ORDER BY doc_id""",
     "llm_langid" ->
       """WITH scored AS (
