@@ -247,6 +247,20 @@ object LlmQueries {
         .orderBy(col("media_id"))
     }),
 
+    // audio-kind multimodal path: decode-stub features + a 100-frame
+    // stride sampling schedule over the (hash-derived) frame counts —
+    // exercises the audio branch of the decoder contract end-to-end.
+    "llm_mm_audio" -> ((s, dir) => {
+      val blobs = Multimodal.asBlobs(table(s, dir, "documents"),
+        "doc_id", "text", "audio")
+      val feats = Multimodal.extractFeatures(blobs)
+      feats.select(col("media_id"), col("byte_len"),
+          col("n_frames"),
+          (floor((col("n_frames") - 1) / 100) + 1).cast("long")
+            .as("n_windows"))
+        .orderBy(col("media_id"))
+    }),
+
     // full multimodal feature extraction + frame-sampling schedule;
     // the deterministic stub decoder's arithmetic is replayed in the
     // oracle, so the whole plumbing is hash-verified.
@@ -788,6 +802,19 @@ object LlmQueries {
     "llm_lsh_cosine_pairs" -> lshCosineOracle(nTables = 16, ppt = 4),
     "llm_ivf_topk" -> ivfOracle,
     "llm_ivf_kmeans_topk" -> kmeansIvfOracle(iters = 2),
-    "llm_mm_features" -> mmFeaturesOracle
+    "llm_mm_features" -> mmFeaturesOracle,
+    // audio stub decoder: frames = 1 + (h32 >> 18) % 1000; byte_len is
+    // a BYTE length (strlen is correct here, unlike codepoint stats)
+    "llm_mm_audio" ->
+      s"""WITH f AS (
+           SELECT doc_id AS media_id,
+             CAST(strlen(text) AS BIGINT) AS byte_len,
+             ${h32Sql("text")} AS h32
+           FROM documents)
+         SELECT media_id, byte_len,
+           CAST(1 + (h32 >> 18) % 1000 AS INT) AS n_frames,
+           CAST(((1 + (h32 >> 18) % 1000) - 1) // 100 + 1 AS BIGINT)
+             AS n_windows
+         FROM f ORDER BY media_id"""
   )
 }
