@@ -215,6 +215,26 @@ object LlmQueries {
           TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    // data mixing: assemble a training mix under per-language token
+    // budgets — docs taken in content-hash order until each budget
+    // fills; reported as per-language doc/token totals.
+    "llm_token_budget" -> ((s, dir) => {
+      val mix = Mixing.tokenBudgetSample(table(s, dir, "documents"),
+        Map("en" -> 20000L, "es" -> 5000L, "zh" -> 5000L))
+      val nTok = TextAnalysis.textStats(col("text")).getField("n_tokens")
+      mix.select(col("lang"), nTok.as("n_tok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    // stratified best-of selection: top-5 docs per language by token
+    // count (ties to lowest id).
+    "llm_best_per_lang" -> ((s, dir) =>
+      Mixing.bestPerStratum(table(s, dir, "documents"), k = 5)
+        .select(col("lang"), col("rank"), col("doc_id"))
+        .orderBy(col("lang"), col("rank"))),
+
     // deterministic content-hash train/val/test split, counted per
     // (lang, split): reproducible across runs/clusters by
     // construction (pure function of the text).
@@ -759,6 +779,33 @@ object LlmQueries {
     "llm_mm_bytelen" ->
       """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS byte_len
          FROM documents ORDER BY media_id""",
+    "llm_token_budget" ->
+      """WITH t AS (
+           SELECT lang, doc_id,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+               t -> t <> '')) AS n_tok,
+             CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) AS h
+           FROM documents),
+         c AS (
+           SELECT lang, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM t),
+         b AS (SELECT * FROM (VALUES ('en', 20000), ('es', 5000),
+               ('zh', 5000)) AS v(lang, budget))
+         SELECT c.lang AS lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+         FROM c JOIN b ON c.lang = b.lang
+         WHERE cum <= budget
+         GROUP BY c.lang ORDER BY c.lang""",
+    "llm_best_per_lang" ->
+      """SELECT lang, rank, doc_id FROM (
+           SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY len(list_filter(regexp_split_to_array(text, '\s+'),
+                 t -> t <> '')) DESC, doc_id ASC) AS rank
+           FROM documents)
+         WHERE rank <= 5 ORDER BY lang, rank""",
     "llm_split" ->
       """SELECT lang,
            CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
