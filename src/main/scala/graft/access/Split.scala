@@ -98,7 +98,10 @@ object Split {
   def teeThroughManaged(df: DataFrame)(transform: DataFrame => DataFrame)(
       side: DataFrame => Unit): Branches[DataFrame] = {
     val parent = df.persist(StorageLevel.MEMORY_AND_DISK)
-    side(transform(parent))
+    // if the side effect throws, release the parent before
+    // propagating — the caller never receives a handle to close
+    try side(transform(parent))
+    catch { case e: Throwable => parent.unpersist(); throw e }
     Branches(parent, parent)
   }
 
@@ -112,5 +115,8 @@ object Split {
   def mapAnnotated(df: DataFrame, keyCols: Seq[String],
                    payload: Map[String, Column]): DataFrame =
     payload.foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
-      .select((keyCols ++ payload.keys).map(col): _*)
+      // a payload column may overwrite a key column — select each name
+      // once or the output carries ambiguous duplicates
+      .select((keyCols ++ payload.keys.filterNot(keyCols.contains))
+        .map(col): _*)
 }

@@ -66,30 +66,45 @@ final case class Memo(spark: SparkSession, root: String) {
 
   /** Persist under the key, safely against concurrent jobs sharing the
     * cache root. The store is content-addressed — same key means same
-    * content — so a completed entry is NEVER overwritten (overwriting
-    * would delete files a concurrent reader that already passed the
-    * marker check may still be scanning). A miss writes to a staging
-    * dir, publishes it with one rename, and creates the marker LAST:
-    * readers only trust marked entries, so a crash or lost race leaves
-    * either a complete entry or an ignorable unmarked remnant. */
+    * content — so a completed entry is NEVER overwritten or deleted
+    * (deleting would pull files from under a concurrent reader). A
+    * miss stages the parquet WITH its marker already inside, then
+    * publishes with FileContext.rename(..., Rename.NONE): on file:/
+    * hdfs: that is an atomic no-overwrite move, so the entry appears
+    * complete-with-marker in one step and a losing writer's rename
+    * FAILS outright (FileSystem.rename would instead nest the staging
+    * dir INSIDE the existing entry). A crashed run's remnant is
+    * unmarked and simply replaced by the next writer's publish after
+    * removal; published (marked) entries are never candidates for
+    * removal. On s3a, rename is copy+delete (not atomic) — use a
+    * per-cluster root or accept last-writer-wins there. */
   def store(key: String, df: DataFrame): DataFrame = {
     val target = new Path(dirFor(key))
     val fs = fsFor(target)
     if (fs.exists(okMarker(key))) return spark.read.parquet(dirFor(key))
     val staging = new Path(dirFor(key) + ".tmp-" + java.util.UUID.randomUUID)
-    df.write.mode("overwrite").parquet(staging.toString)
-    if (fs.exists(target)) {
-      if (fs.exists(okMarker(key))) {
-        // a concurrent writer completed first — reuse their entry
-        fs.delete(staging, true)
-        return spark.read.parquet(dirFor(key))
+    try {
+      df.write.mode("overwrite").parquet(staging.toString)
+      fs.create(new Path(staging, "_GRAFT_OK"), true).close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        target.toUri, spark.sparkContext.hadoopConfiguration)
+      def tryPublish(): Boolean =
+        try {
+          fc.rename(staging, target,
+            org.apache.hadoop.fs.Options.Rename.NONE)
+          true
+        } catch { case _: java.io.IOException => false }
+      if (!tryPublish()) {
+        // destination exists: a completed entry (reuse it) or an
+        // unmarked crashed remnant (remove it, then publish)
+        if (!fs.exists(okMarker(key))) {
+          fs.delete(target, true)
+          if (!tryPublish()) fs.delete(staging, true) // lost the race
+        } else fs.delete(staging, true)
       }
-      fs.delete(target, true) // unmarked remnant of a crashed run
+    } catch {
+      case e: Throwable => fs.delete(staging, true); throw e
     }
-    if (fs.rename(staging, target)) {
-      val m = okMarker(key)
-      fs.create(m, true).close()
-    } else fs.delete(staging, true) // lost the publish race
     spark.read.parquet(dirFor(key))
   }
 

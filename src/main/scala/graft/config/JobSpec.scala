@@ -45,14 +45,21 @@ final case class JobSpec(
     // silently swallow the overrides after it
     @annotation.tailrec
     def walk(spec: JobSpec, rest: List[String]): JobSpec = rest match {
-      case "--loc" :: kv :: tail if kv.contains("+=") =>
-        val Array(p, l) = kv.split("\\+=", 2)
-        walk(spec.copy(mappings =
-          spec.mappings.addLayer(VPath(p), LocTemplate(l))), tail)
       case "--loc" :: kv :: tail if kv.contains('=') =>
-        val Array(p, l) = kv.split("=", 2)
-        walk(spec.copy(mappings =
-          spec.mappings.set(VPath(p), MappingRhs.parse(l))), tail)
+        // the add-layer marker is a '+' IMMEDIATELY before the FIRST
+        // '=' (vpath+=loc); a '+=' later in the value ('/out=/x+=y')
+        // must not reroute a plain replace
+        val eq = kv.indexOf('=')
+        val next =
+          if (eq > 0 && kv.charAt(eq - 1) == '+')
+            spec.copy(mappings = spec.mappings.addLayer(
+              VPath(kv.substring(0, eq - 1)),
+              LocTemplate(kv.substring(eq + 1))))
+          else
+            spec.copy(mappings = spec.mappings.set(
+              VPath(kv.substring(0, eq)),
+              MappingRhs.parse(kv.substring(eq + 1))))
+        walk(next, tail)
       case "--var" :: kv :: tail if kv.contains('=') =>
         val Array(k, v) = kv.split("=", 2)
         walk(spec.copy(

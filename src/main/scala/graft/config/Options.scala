@@ -39,7 +39,10 @@ object OptValue {
 }
 
 /** One documented field: dotted path (e.g. "users.range"), default,
-  * doc. `required` fields have no default (reference `fieldNoDef`). */
+  * doc. `required` fields have no default (reference `fieldNoDef`).
+  * Boolean fields should always declare an OptBool default (absence
+  * naturally means false) — the `--flag`/`--no-flag` shorthands key
+  * off the default's type. */
 final case class OptField(
     path: String,
     default: Option[OptValue],
@@ -81,31 +84,34 @@ final case class OptionsSchema(fields: Seq[OptField]) {
     // and bare --x => true, both only for DECLARED BOOLEAN fields — a
     // --no-x against a numeric field must not inject a type-invalid
     // false.
-    def isBoolField(path: String): Boolean =
-      fields.exists(f => f.path == path &&
-        f.default.exists(_.isInstanceOf[OptBool]))
+    def isBool(f: OptField): Boolean =
+      f.default.exists(_.isInstanceOf[OptBool])
     // a following token is this flag's value unless it is itself a
     // flag; negative numbers ("-5") still count as values
     def looksLikeValue(s: String): Boolean =
       !s.startsWith("-") || s.matches("-[0-9.].*")
+    // flags resolve by matching each field's RENDERED flagName — a
+    // lossless comparison (mapping '-' back to '.' would corrupt any
+    // field whose path legitimately contains a hyphen, and '--no-'
+    // would shadow fields whose path starts with "no.")
     val fromCli = cliArgs.zipWithIndex.flatMap { case (flag, i) =>
       if (!flag.startsWith("--")) None
-      else if (flag.startsWith("--no-")) {
-        val path = flag.drop(5).replace('-', '.')
-        if (isBoolField(path))
-          Some(i -> (path -> (OptBool(false): OptValue,
-            OptSource.Cli: OptSource)))
-        else None
-      } else {
-        val path = flag.drop(2).replace('-', '.')
-        fields.find(_.path == path).flatMap { _ =>
-          if (i + 1 < cliArgs.length && looksLikeValue(cliArgs(i + 1)))
-            Some(i -> (path -> (OptValue.fromJson(
-              Yaml.scalar(cliArgs(i + 1))), OptSource.Cli: OptSource)))
-          else if (isBoolField(path))
-            Some(i -> (path -> (OptBool(true): OptValue,
+      else {
+        val boolOff = fields.find(f => isBool(f) &&
+          flag == "--no-" + f.flagName.drop(2))
+        val named = fields.find(_.flagName == flag)
+        (boolOff, named) match {
+          case (Some(f), _) =>
+            Some(i -> (f.path -> (OptBool(false): OptValue,
               OptSource.Cli: OptSource)))
-          else None
+          case (None, Some(f))
+              if i + 1 < cliArgs.length && looksLikeValue(cliArgs(i + 1)) =>
+            Some(i -> (f.path -> (OptValue.fromJson(
+              Yaml.scalar(cliArgs(i + 1))), OptSource.Cli: OptSource)))
+          case (None, Some(f)) if isBool(f) =>
+            Some(i -> (f.path -> (OptBool(true): OptValue,
+              OptSource.Cli: OptSource)))
+          case _ => None
         }
       }
     }.sortBy(_._1).map(_._2)
@@ -121,8 +127,12 @@ final case class OptionsSchema(fields: Seq[OptField]) {
       case _        => Seq(prefix)
     }
     val declared = fields.map(_.path).toSet
+    // a leaf is known iff it IS a declared path or sits UNDER a
+    // declared (object-valued) path; a scalar at a strict PREFIX of a
+    // declared path (users: "x" vs declared users.range) is exactly
+    // the unreadable-typo class this warning exists for
     walk(spec, Nil).map(_.mkString("."))
-      .filterNot(p => declared.exists(d => d == p || d.startsWith(p + ".")))
+      .filterNot(p => declared.exists(d => d == p || p.startsWith(d + ".")))
   }
 
   /** Resolve, failing on required fields that never got a value. */

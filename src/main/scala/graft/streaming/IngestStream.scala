@@ -71,8 +71,14 @@ object IngestStream {
           .filter(col("id_new") < col("id_corpus"))
           .select(col("id_new").as("id_a"), col("id_corpus").as("id_b"))
         val comps = Dedup.connectedComponents(within)
+        // materialize the dropped-id set, then release comps: the
+        // distributed CC branch returns a PERSISTED labels frame that
+        // would otherwise leak one cache entry per micro-batch
         val dropWithin = comps.filter(col("id") =!= col("component"))
           .select(col("id"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        dropWithin.count()
+        comps.unpersist()
         val keptSigs = sigs.join(dropWithin, Seq("id"), "left_anti")
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
@@ -122,7 +128,8 @@ object IngestStream {
   def nearDupIngest(docs: DataFrame, corpusDir: String, sigDir: String,
                     threshold: Double = 0.7, textCol: String = "text",
                     idCol: String = "doc_id",
-                    checkpointDir: Option[String] = None): StreamingQuery =
+                    checkpointDir: Option[String] = None,
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation",
@@ -131,6 +138,8 @@ object IngestStream {
         ingestBatch(batch.toDF(), corpusDir, sigDir, threshold, textCol,
           idCol)
       }
-      .trigger(Trigger.AvailableNow())
+      // AvailableNow by default (drain-and-stop, the batch-backfill
+      // mode); pass ProcessingTime for a continuously running ingest
+      .trigger(trigger)
       .start()
 }

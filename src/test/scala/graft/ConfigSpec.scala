@@ -287,4 +287,13 @@ class ConfigSpec extends AnyFunSuite {
     assert(JValue.parse("false") == JBool(false))
   }
 
+  test("--loc: '+=' in the VALUE is a plain replace; before '=' adds a layer") {
+    val spec = JobSpec.empty.withCliArgs(Seq(
+      "--loc", "/out=/data/x+=y", "--loc", "/a+=/l1"))
+    assert(spec.mappings.bindings(VPath("/out")) ==
+      MappingRhs.Layers(Seq(LocTemplate("/data/x+=y"))))
+    assert(spec.mappings.bindings(VPath("/a")) ==
+      MappingRhs.Layers(Seq(LocTemplate("/l1"))))
+  }
+
 }
