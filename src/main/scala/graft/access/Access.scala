@@ -29,11 +29,16 @@ object Access {
     r
   }
 
-  /** Read one layer through the format implied by its extension. */
+  /** Read one layer through the format implied by its extension.
+    * Scheme dispatch: http(s) layers go through the [[Http]] accessor
+    * (an HTTP URL is a first-class location for any virtual file,
+    * reference HTTP.hs:58-153); everything else through the Hadoop FS
+    * registry via the format's Spark reader. */
   private def readLayer(spark: SparkSession, vf: VirtualFile,
                         loc: LocTemplate): DataFrame = {
     val ext = loc.dataExtension.getOrElse(vf.defaultExt)
-    Formats(ext).read(spark, Seq(loc.raw), vf.schema)
+    if (loc.isHttp) Http.readLocation(spark, loc, ext, vf.schema)
+    else Formats(ext).read(spark, Seq(loc.raw), vf.schema)
   }
 
   /** Core read with the reference's layered-read semantics
@@ -83,9 +88,11 @@ object Access {
     // format dispatch on the DATA extension; a compression suffix
     // (.txt.gz) turns into the writer's codec option — the reference's
     // zlib-wrapped serials work on the write side too
-    def writeOne(target: DataFrame, l: LocTemplate): Unit =
-      Formats(l.dataExtension.getOrElse(vf.defaultExt))
-        .write(target, l.raw, l.compressionCodec)
+    def writeOne(target: DataFrame, l: LocTemplate): Unit = {
+      val ext = l.dataExtension.getOrElse(vf.defaultExt)
+      if (l.isHttp) Http.writeLocation(target, l, ext)
+      else Formats(ext).write(target, l.raw, l.compressionCodec)
+    }
     layers match {
       case Seq(single) => writeOne(df, single)
       case many =>

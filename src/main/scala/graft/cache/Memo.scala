@@ -96,11 +96,36 @@ final case class Memo(spark: SparkSession, root: String) {
         } catch { case _: java.io.IOException => false }
       if (!tryPublish()) {
         // destination exists: a completed entry (reuse it) or an
-        // unmarked crashed remnant (remove it, then publish)
-        if (!fs.exists(okMarker(key))) {
-          fs.delete(target, true)
-          if (!tryPublish()) fs.delete(staging, true) // lost the race
-        } else fs.delete(staging, true)
+        // unmarked crashed remnant. Removing the remnant in place
+        // would race a concurrent writer publishing a complete entry
+        // between our marker check and the delete — so instead RENAME
+        // the suspect aside with the same atomic no-overwrite rename
+        // (the "is it published?" test and the removal become one
+        // atomic step), verify the renamed dir really is unmarked,
+        // and restore it if we accidentally grabbed a published entry.
+        if (fs.exists(okMarker(key))) fs.delete(staging, true)
+        else {
+          val aside = new Path(dirFor(key) + ".trash-" +
+            java.util.UUID.randomUUID)
+          val grabbed =
+            try {
+              fc.rename(target, aside, org.apache.hadoop.fs.Options.Rename.NONE)
+              true
+            } catch { case _: java.io.IOException => false }
+          if (grabbed && fs.exists(new Path(aside, "_GRAFT_OK"))) {
+            // a concurrent writer published between the marker check
+            // and our rename: put the completed entry back (if yet
+            // another writer published meanwhile, the content is
+            // identical — drop ours)
+            try fc.rename(aside, target,
+              org.apache.hadoop.fs.Options.Rename.NONE)
+            catch { case _: java.io.IOException => fs.delete(aside, true) }
+            fs.delete(staging, true)
+          } else {
+            if (grabbed) fs.delete(aside, true) // confirmed crashed remnant
+            if (!tryPublish()) fs.delete(staging, true) // lost the race
+          }
+        }
       }
     } catch {
       case e: Throwable => fs.delete(staging, true); throw e

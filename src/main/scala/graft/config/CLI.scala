@@ -33,11 +33,11 @@ object CLI {
       build: (SparkSession, Map[String, OptValue]) => PTask[Unit, _])
 
   /** Built-in demo pipelines over the test star schema; user libraries
-    * register their own the same way. */
+    * add their own via [[register]]. */
   val registry: Map[String, Registered] = Map(
     "orders_report" -> Registered(
       "orders_report",
-      "group orders by status, write a summary report",
+      "group orders by status, write a summary report (memo-cached)",
       OptionsSchema(Seq(
         OptField("minPrice", Some(OptNum(0)), "ignore orders cheaper than this"))),
       (spark, opts) => {
@@ -48,13 +48,22 @@ object CLI {
         val src = VirtualFile(VPath("/orders"), Seq("parquet"), Usage.Source)
         val snk = VirtualFile(VPath("/Outputs/report"), Seq("parquet", "csv"),
           Usage.Sink)
-        Access.loadData(src) >>>
-          PTask.arr((df: DataFrame) =>
-            df.filter(col("o_totalprice") >= minPrice)
-              .groupBy(col("o_orderstatus"))
-              .agg(count(lit(1)).as("n"),
-                sum(col("o_totalprice").cast("decimal(18,2)"))
-                  .cast("double").as("total"))) >>>
+        // the reference's toTaskAndWrite shape (Caching.hs:52-123): the
+        // aggregation is content-hash memoized, keyed by its parameter
+        // + the resolved input locations and their fingerprints
+        // (rebind or upstream rewrite -> rerun, PorcupineTree.hs:123-129);
+        // with no cache root configured it degrades to a plain compute
+        Access.getDataReader(src) >>>
+          PTask.cachedTask[Access.DataReader]("orders_report_v1",
+            (ctx, r) => minPrice.toString +:
+              (r.paths ++ r.paths.map(p => ctx.cache.get.fingerprint(p)))) {
+            (_, r) =>
+              r.read().filter(col("o_totalprice") >= minPrice)
+                .groupBy(col("o_orderstatus"))
+                .agg(count(lit(1)).as("n"),
+                  sum(col("o_totalprice").cast("decimal(18,2)"))
+                    .cast("double").as("total"))
+          } >>>
           Access.writeData(snk)
       }),
 
@@ -85,6 +94,13 @@ object CLI {
       })
   )
 
+  /** User-library pipeline registration (the reference's "your main is
+    * runPipelineTask on your own task" surface). */
+  private val extra =
+    scala.collection.concurrent.TrieMap.empty[String, Registered]
+  def register(r: Registered): Unit = extra.put(r.name, r)
+  def pipelines: Map[String, Registered] = registry ++ extra
+
   def main(args: Array[String]): Unit = run(args, defaultSession())
 
   def defaultSession(): SparkSession = SparkSession.builder()
@@ -104,11 +120,11 @@ object CLI {
 
   private def run0(args: Seq[String], spark: => SparkSession): Unit = args match {
     case Seq("list") =>
-      registry.toSeq.sortBy(_._1).foreach { case (n, r) =>
+      pipelines.toSeq.sortBy(_._1).foreach { case (n, r) =>
         println(f"$n%-16s ${r.doc}")
       }
-    case name +: cmd +: rest if registry.contains(name) =>
-      val reg = registry(name)
+    case name +: cmd +: rest if pipelines.contains(name) =>
+      val reg = pipelines(name)
       val (specOpt, cliArgs) = rest match {
         case file +: more if !file.startsWith("-") =>
           (Some(JobSpec.fromFile(file)), more)
@@ -151,8 +167,12 @@ object CLI {
         case "run" =>
           val opts = reg.options.resolveStrict(Some(optionData), cliArgs)
           val task = reg.build(spark, opts)
+          // content-hash store root — the reference configures the
+          // funflow store on every run (Run.hs:158-181, FUNFLOW_STORE):
+          // --cache-root flag > `cache:` spec key > GRAFT_CACHE env
+          val cacheRoot = spec.cache.orElse(sys.env.get("GRAFT_CACHE"))
           Pipeline.run(spark, task.asInstanceOf[PTask[Unit, Any]],
-            spec.mappings, ())
+            spec.mappings, (), cacheRoot = cacheRoot)
           println(s"[$name] done")
         case "show-tree" =>
           val opts = reg.options.resolveStrict(Some(optionData), cliArgs)
@@ -184,9 +204,10 @@ object CLI {
       }
     case _ =>
       println("usage: graft.Main <pipeline> <run|show-tree|write-config-template> " +
-        "[spec.yaml] [--loc p=l] [--var k=v] [-o k=v] | graft.Main list")
+        "[spec.yaml] [--loc p=l] [--var k=v] [-o k=v] [--cache-root dir] " +
+        "| graft.Main list")
       println("pipelines:")
-      registry.toSeq.sortBy(_._1).foreach { case (n, r) =>
+      pipelines.toSeq.sortBy(_._1).foreach { case (n, r) =>
         println(f"  $n%-16s ${r.doc}")
         println(r.options.documentation)
       }

@@ -4,24 +4,39 @@ import graft.loc.{LocTemplate, MappingRhs, Mappings}
 import graft.model.VPath
 import graft.serial._
 
-/** The job-spec document: `variables:` / `data:` / `locations:`
-  * sections plus CLI overrides — the reference's YAML config surface
-  * (PorcupineTree.hs:297-304,330-350; CLI.hs:66-84; FIXTURES.md A.5).
+/** The job-spec document: `variables:` / `data:` / `locations:` /
+  * `cache:` sections plus CLI overrides — the reference's YAML config
+  * surface (PorcupineTree.hs:297-304,330-350; CLI.hs:66-84;
+  * FIXTURES.md A.5).
   *
   * ```yaml
   * variables: {folder: experiment1}
   * data:      {Settings: {users: "0..10"}}
+  * cache:     /shared/graft-cache   # content-hash memo store root
   * locations:
   *   /: /data/root                 # root mapping, inherited downward
   *   /Inputs/User: "_-{userId}.json"
   *   /Outputs/Analysis: [a.json, b.json]   # layers
+  *   /Inputs/Api: {url: "https://api.example.com/u.json", timeoutSeconds: 5}
   *   /debug/out: null              # unmapped
   * ```
+  *
+  * `cache:` is the reference's funflow store configuration
+  * (Run.hs:158-181 `getFunflowOpts`, env `FUNFLOW_STORE`): it points
+  * the run's content-hash memo ([[graft.cache.Memo]]) at a directory —
+  * local or any Hadoop scheme for cluster-wide reuse
+  * (FunflowRemoteCache.hs:32-59). Precedence: `--cache-root` CLI flag
+  * > `cache:` spec key > `GRAFT_CACHE` env (resolved in [[CLI]]).
+  *
+  * An object location rhs is the reference's JSON location form
+  * (HTTP.hs:58-153): `url` is the layer, remaining scalar fields become
+  * accessor options (readMethod/writeMethod/timeoutSeconds/accept).
   */
 final case class JobSpec(
     variables: Map[String, String],
     data: JValue,
-    mappings: Mappings) {
+    mappings: Mappings,
+    cache: Option[String] = None) {
 
   /** `--loc vpath=loc` / `vpath+=loc` / `--var k=v` / `-o path=value`
     * CLI overrides (reference PorcupineTree.hs:354-404,
@@ -69,6 +84,10 @@ final case class JobSpec(
         val Array(p, v) = kv.split("=", 2)
         walk(spec.copy(data =
           overrideData(spec.data, p.split('.').toSeq, Yaml.scalar(v))), tail)
+      // point the run's content-hash memo at a store root — the CLI
+      // arm of the reference's FUNFLOW_STORE config (Run.hs:158-181)
+      case "--cache-root" :: root :: tail if !root.startsWith("-") =>
+        walk(spec.copy(cache = Some(root)), tail)
       case _ :: tail => walk(spec, tail)
       case Nil => spec
     }
@@ -78,19 +97,24 @@ final case class JobSpec(
   /** Render back to a JSON document (the `save`/`write-config-template`
     * direction, CLI.hs:203-235). */
   def render: String = {
+    def locJson(l: LocTemplate): JValue =
+      if (l.options.isEmpty) JStr(l.raw)
+      else JObj(("url" -> (JStr(l.raw): JValue)) +:
+        l.options.toSeq.sorted.map { case (k, v) => k -> (JStr(v): JValue) })
     val locs = mappings.bindings.toSeq.sortBy(_._1.toString).map {
-      case (p, MappingRhs.Layers(Seq(l))) => p.toString -> JStr(l.raw)
+      case (p, MappingRhs.Layers(Seq(l))) => p.toString -> locJson(l)
       case (p, MappingRhs.Layers(ls)) =>
-        p.toString -> JArr(ls.map(l => JStr(l.raw)))
-      case (p, MappingRhs.Unmapped) => p.toString -> JNull
+        p.toString -> JArr(ls.map(locJson))
+      case (p, MappingRhs.Unmapped) => p.toString -> (JNull: JValue)
       case (p, MappingRhs.Inherit(suffix)) =>
-        p.toString -> JStr(if (suffix.isEmpty) "_" else "_" + suffix)
+        p.toString -> (JStr(if (suffix.isEmpty) "_" else "_" + suffix): JValue)
     }
     JObj(Seq(
       "variables" -> JObj(variables.toSeq.sorted.map {
         case (k, v) => k -> JStr(v)
       }),
-      "data" -> data,
+      "data" -> data) ++
+      cache.map(c => "cache" -> (JStr(c): JValue)).toSeq ++ Seq(
       "locations" -> JObj(locs))).render
   }
 }
@@ -103,20 +127,48 @@ object JobSpec {
   def parse(text: String): JobSpec = fromJson(
     if (text.trim.startsWith("{")) JValue.parse(text) else Yaml.parse(text))
 
+  /** An object location (reference JSON location form, HTTP.hs:58-153):
+    * `url` (or `path`) is the layer; other scalar fields become
+    * accessor options. */
+  private def locFromObj(p: String, fields: Seq[(String, JValue)])
+      : LocTemplate = {
+    val url = fields.collectFirst {
+      case ("url", JStr(u))  => u
+      case ("path", JStr(u)) => u
+    }.getOrElse(throw new IllegalArgumentException(
+      s"object location for $p needs a 'url' field"))
+    val opts = fields.collect {
+      case (k, JStr(s)) if k != "url" && k != "path" => k -> s
+      case (k, JNum(n)) => k ->
+        (if (n == n.toLong.toDouble) n.toLong.toString else n.toString)
+      case (k, JBool(b)) => k -> b.toString
+    }.toMap
+    LocTemplate(url, opts)
+  }
+
   def fromJson(doc: JValue): JobSpec = {
     val vars = (doc \ "variables").map(_.asObj.flatMap {
       case (k, v) => v.asString.map(k -> _)
     }.toMap).getOrElse(Map.empty)
     val data = (doc \ "data").getOrElse(JObj(Nil))
+    val cache = (doc \ "cache").flatMap(_.asString)
+    def parseLoc(p: String, v: JValue): LocTemplate = v match {
+      case JStr(s)     => LocTemplate(s)
+      case JObj(fs)    => locFromObj(p, fs)
+      case other => throw new IllegalArgumentException(
+        s"bad layer for $p: ${other.render}")
+    }
     val bindings = (doc \ "locations").map(_.asObj.map {
       case (p, JNull)    => VPath(p) -> (MappingRhs.Unmapped: MappingRhs)
       case (p, JStr(s))  => VPath(p) -> MappingRhs.parse(s)
+      case (p, o @ JObj(_)) => VPath(p) -> (MappingRhs.Layers(
+        Seq(parseLoc(p, o))): MappingRhs)
       case (p, JArr(xs)) => VPath(p) -> (MappingRhs.Layers(
-        xs.flatMap(_.asString).map(LocTemplate(_))): MappingRhs)
+        xs.map(parseLoc(p, _))): MappingRhs)
       case (p, other) => throw new IllegalArgumentException(
         s"bad location rhs for $p: ${other.render}")
     }.toMap).getOrElse(Map.empty)
-    JobSpec(vars, data, Mappings(bindings, vars))
+    JobSpec(vars, data, Mappings(bindings, vars), cache)
   }
 
   def fromFile(path: String): JobSpec = parse(new String(

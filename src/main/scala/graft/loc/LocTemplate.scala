@@ -7,8 +7,16 @@ package graft.loc
   * per Loc.hs:183-198. Locations are URI strings handed to Spark readers
   * (file:/ s3a:/ hdfs:/ ... dispatch is Hadoop's job, reference
   * Accessors.hs:314-362).
+  *
+  * `options` carries per-location accessor settings — the reference's
+  * JSON location-object form (porcupine-http HTTP.hs:58-153:
+  * `{url, readMethod, writeMethod, timeout, ...}` is a first-class
+  * location for any virtual file). Keys are accessor-specific (HTTP:
+  * readMethod/writeMethod/timeoutSeconds/accept); empty for plain
+  * path locations.
   */
-final case class LocTemplate(raw: String) {
+final case class LocTemplate(raw: String,
+                             options: Map[String, String] = Map.empty) {
   import LocTemplate.VarRe
 
   def variables: Seq[String] =
@@ -16,10 +24,15 @@ final case class LocTemplate(raw: String) {
 
   def isFullySpliced: Boolean = variables.isEmpty
 
+  /** True for http(s) locations — the one scheme served by a dedicated
+    * accessor ([[graft.access.Http]]) instead of a Hadoop FS. */
+  def isHttp: Boolean =
+    raw.startsWith("http://") || raw.startsWith("https://")
+
   /** Substitute `{var}` holes; unknown vars are left in place (so a
     * later splice — e.g. a repetition index — can fill them). */
   def splice(vars: Map[String, String]): LocTemplate =
-    LocTemplate(VarRe.replaceAllIn(raw, m =>
+    copy(raw = VarRe.replaceAllIn(raw, m =>
       scala.util.matching.Regex.quoteReplacement(
         vars.getOrElse(m.group(1), m.matched))))
 
@@ -30,7 +43,11 @@ final case class LocTemplate(raw: String) {
     indices.map(i => splice(Map(varName -> i)))
 
   def extension: Option[String] = {
-    val name = raw.substring(raw.lastIndexOf('/') + 1)
+    // for URL locations the format extension precedes any query or
+    // fragment part ("/u.json?page=2" is a json layer)
+    val trimmed =
+      if (isHttp) raw.takeWhile(c => c != '?' && c != '#') else raw
+    val name = trimmed.substring(trimmed.lastIndexOf('/') + 1)
     val dot = name.lastIndexOf('.')
     if (dot <= 0) None else Some(name.substring(dot + 1))
   }
@@ -50,12 +67,14 @@ final case class LocTemplate(raw: String) {
     extension.flatMap(LocTemplate.CodecNames.get)
 
   /** Append a default extension if the location has none
-    * (PorcupineTree.hs:512-529). */
+    * (PorcupineTree.hs:512-529). URL locations are left untouched —
+    * appending ".json" would change the resource; their format comes
+    * from the entry's defaultExt at read time. */
   def withDefaultExt(ext: String): LocTemplate =
-    if (extension.isDefined) this else LocTemplate(s"$raw.$ext")
+    if (isHttp || extension.isDefined) this else copy(raw = s"$raw.$ext")
 
   def /(child: String): LocTemplate =
-    LocTemplate(if (raw.endsWith("/")) raw + child else s"$raw/$child")
+    copy(raw = if (raw.endsWith("/")) raw + child else s"$raw/$child")
 
   override def toString: String = raw
 }

@@ -80,7 +80,7 @@ final case class Mappings(
           val rel = path.relativeTo(a)
           Some(parentLocs.map { pl =>
             val base = rel.foldLeft(pl)(_ / _)
-            if (suffix.isEmpty) base else LocTemplate(base.raw + suffix)
+            if (suffix.isEmpty) base else base.copy(raw = base.raw + suffix)
           })
       }
     }

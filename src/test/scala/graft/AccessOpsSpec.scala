@@ -124,6 +124,74 @@ class AccessOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("HTTP catalog layers: job-spec object locations through loadData/writeData") {
+    // the reference's JSON location form (HTTP.hs:58-153): an http URL
+    // (or {url, readMethod/writeMethod/timeoutSeconds} object) bound in
+    // a job spec is a first-class layer for any virtual file
+    val received = new java.util.concurrent.LinkedBlockingQueue[(String, String)]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/orders.json", exchange => {
+      val bytes =
+        """[{"id": 1, "status": "O"}, {"id": 2, "status": "F"},
+          | {"id": 3, "status": "O"}]""".stripMargin.getBytes("UTF-8")
+      exchange.sendResponseHeaders(200, bytes.length)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.createContext("/sink.json", exchange => {
+      received.add((exchange.getRequestMethod,
+        new String(exchange.getRequestBody.readAllBytes(), "UTF-8")))
+      exchange.sendResponseHeaders(200, 2)
+      exchange.getResponseBody.write("ok".getBytes)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val spec = graft.config.JobSpec.parse(
+        s"""locations:
+           |  /Inputs/Api: {url: "$base/api/orders.json", timeoutSeconds: 2}
+           |  /Outputs/Api: {url: "$base/sink.json", writeMethod: PUT}
+           |""".stripMargin)
+      // object fields became accessor options on the layer
+      val Resolved.Bound(Seq(srcLoc)) =
+        spec.mappings.layersFor(VPath("/Inputs/Api"), "json")
+      assert(srcLoc.raw == s"$base/api/orders.json")
+      assert(srcLoc.options("timeoutSeconds") == "2")
+      assert(Http.confFor(srcLoc, forWrite = false)
+        .timeout.getSeconds == 2L)
+      val Resolved.Bound(Seq(snkLoc)) =
+        spec.mappings.layersFor(VPath("/Outputs/Api"), "json")
+      assert(Http.confFor(snkLoc, forWrite = true).method == "PUT")
+      // full pipeline round-trip: read layer -> transform -> write layer
+      val src = VirtualFile(VPath("/Inputs/Api"), Seq("json"), Usage.Source)
+      val snk = VirtualFile(VPath("/Outputs/Api"), Seq("json"), Usage.Sink)
+      val task = Access.loadData(src) >>>
+        PTask.arr((df: org.apache.spark.sql.DataFrame) =>
+          df.filter(col("status") === "O").select("id")) >>>
+        Access.writeData(snk)
+      Pipeline.run(spark, task, spec.mappings, ())
+      val (method, body) = received.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+      assert(method == "PUT")
+      assert(body.contains("\"id\":1") && body.contains("\"id\":3")
+        && !body.contains("\"id\":2"))
+    } finally server.stop(0)
+  }
+
+  test("HTTP catalog layers: spec render round-trips object locations") {
+    val spec = graft.config.JobSpec.parse(
+      """locations:
+        |  /Inputs/Api: {url: "https://x.test/u.json", timeoutSeconds: 5}
+        |  /plain: /data/p.parquet
+        |""".stripMargin)
+    val again = graft.config.JobSpec.parse(spec.render)
+    assert(again.mappings.bindings == spec.mappings.bindings)
+    val Resolved.Bound(Seq(l)) =
+      again.mappings.layersFor(VPath("/Inputs/Api"), "json")
+    assert(l.options("timeoutSeconds") == "5")
+  }
+
   test("tryLoadIndexed: missing occurrence becomes an error entry") {
     import spark.implicits._
     val base = scratch("tryload")

@@ -287,6 +287,63 @@ class ConfigSpec extends AnyFunSuite {
     assert(JValue.parse("false") == JBool(false))
   }
 
+  test("CLI cache wiring: second run reuses the memo entry, skipping recompute") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    val base = "/root/repo/target/scratch/cli_cache"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    val memoRoot = s"$base/memo"
+    // run 1 with a `cache:` spec key -> populates the memo
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/spec.yaml"),
+      s"""data: {minPrice: 100000}
+         |cache: $memoRoot
+         |locations:
+         |  /orders: /root/testdata/sf0.001/orders.parquet
+         |  /Outputs/report: $base/report1.parquet
+         |""".stripMargin)
+    CLI.run(Array("orders_report", "run", s"$base/spec.yaml"), spark)
+    assert(spark.read.parquet(s"$base/report1.parquet").count() > 0)
+    val entries = new java.io.File(memoRoot).listFiles()
+      .filter(d => d.isDirectory && !d.getName.contains(".tmp"))
+    assert(entries.length == 1, "exactly one published memo entry")
+    assert(new java.io.File(entries.head, "_GRAFT_OK").exists())
+    // doctor the published entry with a sentinel row (same schema,
+    // marker kept): if run 2 recomputed, the sentinel could never
+    // reach the output — so seeing it PROVES the compute was skipped
+    // and the memo result was used
+    import spark.implicits._
+    Seq(("ZZ", 999L, 1.23)).toDF("o_orderstatus", "n", "total")
+      .write.parquet(s"$base/doctor")
+    entries.head.listFiles()
+      .filter(_.getName.startsWith("part-")).foreach(_.delete())
+    new java.io.File(s"$base/doctor").listFiles()
+      .filter(_.getName.startsWith("part-")).foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(entries.head, f.getName).toPath)
+      }
+    // run 2: same inputs + params -> same key -> memo hit. The sink is
+    // rebound (sinks are outside the cache key; writes re-run per run,
+    // Caching.hs "only c goes to the store").
+    CLI.run(Array("orders_report", "run", s"$base/spec.yaml",
+      "--loc", s"/Outputs/report=$base/report2.parquet"), spark)
+    val back = spark.read.parquet(s"$base/report2.parquet").collect()
+    assert(back.length == 1 && back.head.getString(0) == "ZZ",
+      s"second run must serve the memoized entry, got ${back.toSeq}")
+    // a changed parameter changes the key -> miss -> fresh compute
+    CLI.run(Array("orders_report", "run", s"$base/spec.yaml",
+      "-o", "minPrice=0",
+      "--loc", s"/Outputs/report=$base/report3.parquet"), spark)
+    val r3 = spark.read.parquet(s"$base/report3.parquet")
+    assert(r3.count() > 1 && r3.filter($"o_orderstatus" === "ZZ").count() == 0)
+    // --cache-root flag outranks the spec key
+    val spec2 = JobSpec.fromFile(s"$base/spec.yaml")
+      .withCliArgs(Seq("--cache-root", s"$base/memo2"))
+    assert(spec2.cache.contains(s"$base/memo2"))
+  }
+
   test("--loc: '+=' in the VALUE is a plain replace; before '=' adds a layer") {
     val spec = JobSpec.empty.withCliArgs(Seq(
       "--loc", "/out=/data/x+=y", "--loc", "/a+=/l1"))
