@@ -144,7 +144,21 @@ object Dedup {
   def minHashPairs(docs: DataFrame, threshold: Double = 0.7,
                    shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
                    seed: Long = 42L, textCol: String = "text",
-                   idCol: String = "doc_id"): DataFrame = {
+                   idCol: String = "doc_id"): DataFrame =
+    minHashPairsManaged(docs, threshold, shingleSize, k, bands, seed,
+      textCol, idCol).value
+
+  /** [[minHashPairs]] with an explicit cache lifecycle: the persisted
+    * signature set backing the returned plan is released by `close()`
+    * (same [[graft.access.Split.Branches]] discipline as the split
+    * operators). Call close() after the pairs have been consumed —
+    * long-lived sessions calling the unmanaged shorthand would pin one
+    * signature cache per call. */
+  def minHashPairsManaged(docs: DataFrame, threshold: Double = 0.7,
+                          shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
+                          seed: Long = 42L, textCol: String = "text",
+                          idCol: String = "doc_id")
+      : graft.access.Split.Branches[DataFrame] = {
     require(k % bands == 0, "bands must divide k")
     // persist signatures: (id, 64 longs) per doc — tiny vs the text —
     // consumed four times below (both band-join sides + both attach
@@ -164,7 +178,7 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()                                        // dedup across bands
-    pairs
+    val result = pairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")),
         Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")),
@@ -172,6 +186,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         sigSimilarity(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+    graft.access.Split.Branches(result, sigs)
   }
 
   /** Incremental ingest dedup: near-dup pairs BETWEEN a new batch and
@@ -366,9 +381,13 @@ object Dedup {
   def nearDupDedup(docs: DataFrame, threshold: Double = 0.7,
                    textCol: String = "text", idCol: String = "doc_id")
       : DataFrame = {
-    val pairs = minHashPairs(docs, threshold, textCol = textCol,
+    // connectedComponents fully materializes the pair set before
+    // returning (size probe + driver collect or per-round label
+    // persists), so the signature cache can be released right after
+    val handle = minHashPairsManaged(docs, threshold, textCol = textCol,
       idCol = idCol)
-    val comps = connectedComponents(pairs)
+    val comps =
+      try connectedComponents(handle.value) finally handle.close()
     val reps = comps.groupBy(col("component"))
       .agg(min(col("id")).as("keep"))
       .select(col("keep").as(idCol))
