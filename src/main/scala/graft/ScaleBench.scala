@@ -77,16 +77,24 @@ object ScaleBench {
         .agg(sum(col("st.n_tokens"))).collect().length.toLong)
       report("token_stats", f, nDocs, ts, t5)
 
-      // default LSH config (16 tables x 4 planes, recall-first)...
+      // fixed recall-first config (16 tables x 4 planes)...
       val (l1, t6) = timed(graft.llm.Similarity.lshCosinePairs(
-        emb, threshold = 0.4).count())
+        emb, threshold = 0.4, nTables = 16, planesPerTable = 4).count())
       report("lsh_cosine_16x4", f, nEmb, l1, t6)
-      // ...vs the scale-tuned config (96 tables x 8 planes: 256-bucket
+      // ...vs the fixed scale point (96 tables x 8 planes: 256-bucket
       // tables keep candidate density near-linear as the corpus grows,
       // at recall 0.90 vs 0.97 measured)
       val (l2, t7) = timed(graft.llm.Similarity.lshCosinePairs(
         emb, threshold = 0.4, nTables = 96, planesPerTable = 8).count())
       report("lsh_cosine_96x8", f, nEmb, l2, t7)
+      // ...vs the DEFAULT: corpus-size-derived auto-tune
+      // (Similarity.lshAutoConfig — planes grow with n, tables restore
+      // recall 0.9; managed handle releases the bucket cache per run)
+      val handle = graft.llm.Similarity.lshCosinePairsManaged(
+        emb, threshold = 0.4)
+      val (l3, t8) = try timed(handle.value.count()) finally handle.close()
+      val (at, ap) = graft.llm.Similarity.lshAutoConfig(nEmb, 0.4)
+      report(s"lsh_cosine_auto_${at}x$ap", f, nEmb, l3, t8)
     }
     spark.stop()
   }

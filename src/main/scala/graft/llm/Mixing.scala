@@ -14,13 +14,17 @@ import org.apache.spark.sql.functions._
   * and unbiased w.r.t. ingestion order (hash order is an implicit
   * shuffle).
   *
-  * Scale: one window per stratum = a shuffle keyed by the stratum
-  * column; strata are few (languages/domains), so each partition's
-  * running sum is a single sequential pass. For corpora where one
-  * stratum exceeds an executor's partition (billions of docs in one
-  * language), pre-aggregate per hash bucket (bucket -> token count),
-  * pick the budget-filling bucket prefix on the driver, and filter by
-  * bucket — same result shape, no giant window.
+  * Scale: [[tokenBudgetSample]] runs BUCKETED — per-(stratum, hash
+  * bucket) token pre-aggregation (one map-side-combined shuffle of at
+  * most |strata| * nBuckets rows), a driver prefix pick over those
+  * totals, then a filter keeping whole buckets before the cutoff and a
+  * window over ONLY the single cutoff bucket per stratum (~1/nBuckets
+  * of the stratum). A dominant stratum (billions of docs in one
+  * language) never becomes a single-partition sort. The direct
+  * one-window-per-stratum form is kept as
+  * [[tokenBudgetSampleWindowed]] (the semantic reference — both paths
+  * are provably identical because bucket index is monotone in the
+  * ordering hash; LlmSpec asserts equivalence).
   */
 object Mixing {
 
@@ -31,11 +35,79 @@ object Mixing {
   /** Keep documents per stratum, in content-hash order, until the
     * stratum's token budget is reached (inclusive prefix: a document
     * is kept iff the running total THROUGH it fits the budget).
-    * Strata absent from `budgets` are dropped. */
+    * Strata absent from `budgets` are dropped.
+    *
+    * Giant-stratum-safe: delegates to the bucketed plan (see object
+    * doc). `nBuckets` trades driver memory (|strata| * nBuckets rows
+    * collected) against cutoff-window size (stratum_size / nBuckets
+    * rows sorted); the default suits strata up to ~10^9 docs. */
   def tokenBudgetSample(docs: DataFrame, budgets: Map[String, Long],
                         strataCol: String = "lang",
                         textCol: String = "text",
-                        idCol: String = "doc_id"): DataFrame = {
+                        idCol: String = "doc_id",
+                        nBuckets: Int = 4096): DataFrame = {
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
+      "nBuckets must be a power of two (bucket = top bits of the hash)")
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    // bucket = top log2(nBuckets) bits of the 32-bit ordering hash —
+    // MONOTONE in the hash, so buckets are contiguous ranges of the
+    // (hash, id) order and a bucket prefix IS an order prefix
+    val shift = 32 - Integer.numberOfTrailingZeros(nBuckets)
+    def bucketOf: Column =
+      shiftright(Sampling.hashBucket32(col(textCol)), shift)
+    // 1. per-(stratum, bucket) token totals; the groupBy combines
+    // map-side so the shuffle carries <= |strata| * nBuckets rows
+    val totals = docs
+      .filter(col(strataCol).isin(budgets.keys.toSeq: _*))
+      .groupBy(col(strataCol).as("_s"), bucketOf.as("_b"))
+      .agg(sum(tokenCount(textCol)).as("_t"))
+      .collect()
+    // 2. driver prefix pick: per stratum, walk buckets in hash order;
+    // buckets strictly before the cutoff are kept whole, the cutoff
+    // bucket gets the remaining budget, later buckets are dropped
+    val picks: Map[String, (Long, Long)] = totals
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (s, rows) =>
+        val budget = budgets(s)
+        var cum = 0L
+        var cut = Long.MaxValue   // no cutoff: whole stratum fits
+        var rem = 0L
+        rows.sortBy(_._2).foreach { case (_, b, t) =>
+          if (cut == Long.MaxValue) {
+            if (cum + t > budget) { cut = b; rem = budget - cum }
+            else cum += t
+          }
+        }
+        s -> (cut, rem)
+      }
+    val cutLit = typedLit(picks.map { case (s, (c, _)) => s -> c })
+    val remLit = typedLit(picks.map { case (s, (_, r)) => s -> r })
+    val base = docs
+      .withColumn("_cut", element_at(cutLit, col(strataCol)))
+      .filter(col("_cut").isNotNull)            // strata without budgets drop
+      .withColumn("_b", bucketOf)
+    val keptWhole = base.filter(col("_b") < col("_cut"))
+    // 3. the cutoff bucket: ~1/nBuckets of its stratum, so this window
+    // partition is small by construction
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(Sampling.hashBucket32(col(textCol)).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keptBoundary = base.filter(col("_b") === col("_cut"))
+      .withColumn("_cum", sum(tokenCount(textCol)).over(w))
+      .filter(col("_cum") <= element_at(remLit, col(strataCol)))
+      .drop("_cum")
+    keptWhole.unionByName(keptBoundary).drop("_cut", "_b")
+  }
+
+  /** The direct form of [[tokenBudgetSample]]: one running-sum window
+    * per stratum. Same result (LlmSpec asserts equivalence); one window
+    * partition per stratum, so a dominant stratum becomes a
+    * single-partition sort — use the bucketed default at scale. */
+  def tokenBudgetSampleWindowed(docs: DataFrame, budgets: Map[String, Long],
+                                strataCol: String = "lang",
+                                textCol: String = "text",
+                                idCol: String = "doc_id"): DataFrame = {
     val w = Window.partitionBy(col(strataCol))
       .orderBy(Sampling.hashBucket32(col(textCol)).asc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -151,12 +151,55 @@ object Similarity {
       Seq.fill(dim)(math.rint(rnd.nextGaussian() * 1e6) / 1.0e6))
   }
 
+  /** Corpus-size-aware LSH configuration: pick (nTables,
+    * planesPerTable) so per-table bucket occupancy stays bounded and
+    * recall holds at the given cosine threshold.
+    *
+    * Derivation (validated against the measured points in BASELINE.md's
+    * scaling table): candidate volume ∝ nTables * n² / 2^(planes+1),
+    * so planes must GROW with the corpus to keep expected bucket
+    * occupancy n/2^planes under `targetBucket` — planes =
+    * ceil(log2(n / targetBucket)), floored at 4 (the recall-first
+    * small-corpus config) and capped at 24. Recall is then restored by
+    * adding tables: sign-agreement probability for a pair at the
+    * threshold cosine is p = 1 - acos(threshold)/π, a table catches it
+    * w.p. p^planes, and nTables = ceil(ln(1-recall) / ln(1-p^planes))
+    * tables catch it w.p. >= `targetRecall`. The formula reproduces
+    * both measured configs: n=2k, thr 0.4 -> (14, 4) (~the 16x4
+    * default, recall 0.97 measured); n=32k -> (91, 8) (~the measured
+    * 96x8 point, recall 0.90, ~2.7x fewer candidates than 16x4). */
+  def lshAutoConfig(n: Long, threshold: Double, targetRecall: Double = 0.9,
+                    targetBucket: Long = 128L): (Int, Int) = {
+    require(threshold > -1.0 && threshold < 1.0, "threshold in (-1, 1)")
+    val planes = math.max(4, math.min(24,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
+        math.log(2.0)).toInt))
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val perTable = math.pow(p, planes)
+    // tables capped at 256: past that the per-row kernel cost dominates
+    // any residual recall gain — raise targetBucket instead
+    val tables = math.max(1, math.min(256,
+      math.ceil(math.log(1.0 - targetRecall) /
+        math.log(1.0 - perTable)).toInt))
+    (tables, planes)
+  }
+
   /** Random-hyperplane LSH near-neighbor pairs: multi-table banding —
     * `nTables` independent tables of `planesPerTable` seeded
     * hyperplanes each; vectors colliding in ANY table's sign-pattern
     * bucket are candidates; exact cosine then filters. The bucketed
     * alternative to [[Dedup.embeddingPairsBrute]] — candidate-bounded,
     * never O(N²).
+    *
+    * DEFAULT CONFIG IS AUTO-TUNED: `nTables = 0` / `planesPerTable = 0`
+    * mean "derive from a cheap corpus count via [[lshAutoConfig]]" —
+    * bucket density (and with it candidate volume) stays bounded as the
+    * corpus grows, recall >= 0.9 at the threshold by construction. The
+    * measured motivation (BASELINE.md scaling table): a FIXED 16x4
+    * config grows ~quadratically (3s -> 95s from 2k to 32k vectors)
+    * while auto-scaled planes stay near-linear (10.6s at 32k). Pass
+    * both values explicitly to pin a config (the oracle-replayed
+    * queries do).
     *
     * Recall math: sign agreement prob for angle θ is 1-θ/π; a pair at
     * cosine 0.4 (θ≈66°, p≈0.634) collides per 4-plane table w.p.
@@ -165,23 +208,42 @@ object Similarity {
     * band). Tables are pseudo-random literal arrays (seeded) — no
     * data-dependent state, reproducible run-to-run.
     *
-    * SCALE TUNING (measured, BASELINE.md scaling table): candidate
-    * volume ∝ nTables * n²/2^(planesPerTable+1), so the 16-bucket
-    * default grows quadratically with corpus size (3s -> 95s from 2k
-    * to 32k vectors) while 8-plane tables stay near-linear (10.6s at
-    * 32k). The default favors recall at moderate n; as the corpus
-    * grows, raise planesPerTable and add tables to hold recall — e.g.
-    * (96 tables, 8 planes) measures recall 0.90 with ~2.7x fewer
-    * candidates. */
-  def lshCosinePairs(emb: DataFrame, threshold: Double, nTables: Int = 16,
-                     planesPerTable: Int = 4, dim: Int = 64, seed: Long = 42L,
+    * One-shot shorthand for [[lshCosinePairsManaged]]: the internal
+    * bucket cache stays pinned for the session — long-lived sessions
+    * should use the managed variant and `close()` it. */
+  def lshCosinePairs(emb: DataFrame, threshold: Double, nTables: Int = 0,
+                     planesPerTable: Int = 0, dim: Int = 64, seed: Long = 42L,
                      idCol: String = "vec_id", vecCol: String = "embedding")
-      : DataFrame = {
+      : DataFrame =
+    lshCosinePairsManaged(emb, threshold, nTables, planesPerTable, dim,
+      seed, idCol, vecCol).value
+
+  /** [[lshCosinePairs]] with an explicit cache lifecycle: the persisted
+    * bucket projection backing the returned plan is released by
+    * `close()` (same [[graft.access.Split.Branches]] discipline as
+    * [[Dedup.minHashPairsManaged]]). Call close() after the pairs have
+    * been consumed. */
+  def lshCosinePairsManaged(emb: DataFrame, threshold: Double,
+                            nTables: Int = 0, planesPerTable: Int = 0,
+                            dim: Int = 64, seed: Long = 42L,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding")
+      : graft.access.Split.Branches[DataFrame] = {
+    // auto-tune on a cheap count (parquet count = footer metadata, no
+    // row scan); partial configs (one of the two set) keep the given
+    // value and derive the other
+    val (tAuto, pAuto) =
+      if (nTables > 0 && planesPerTable > 0) (nTables, planesPerTable)
+      else {
+        val (t0, p0) = lshAutoConfig(emb.count(), threshold)
+        (if (nTables > 0) nTables else t0,
+         if (planesPerTable > 0) planesPerTable else p0)
+      }
     // all nTables*planesPerTable hyperplanes ride into the native
     // HyperplaneBits expression as one reference object; per row it
     // emits the nTables sign-pattern buckets in a single codegen'd
     // kernel pass
-    val planes = lshPlanes(nTables, planesPerTable, dim, seed)
+    val planes = lshPlanes(tAuto, pAuto, dim, seed)
     // Shuffle discipline: the bucket self-join and pair-dedup move only
     // (table, bits, id) — 20-byte rows. Vectors are attached AFTER
     // dedup via two joins against the (id, v) projection, so each
@@ -192,7 +254,7 @@ object Similarity {
     val buckets = emb
       .select(col(idCol).as("id"),
         posexplode(graft.functions.SketchExprs.hyperplaneBits(
-          col(vecCol), planes, planesPerTable)).as(Seq("table", "bits")))
+          col(vecCol), planes, pAuto)).as(Seq("table", "bits")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = buckets.as("a")
       .join(buckets.as("b"), Seq("table", "bits"))
@@ -202,12 +264,13 @@ object Similarity {
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     // no broadcast hint: AQE auto-broadcasts when vecs is small; at
     // 100 TB this correctly degrades to a shuffle join on id
-    pairs
+    val result = pairs
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cosine",
         round(VectorOps.cosine(col("v_a"), col("v_b")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+    graft.access.Split.Branches(result, buckets)
   }
 }

@@ -85,11 +85,12 @@ object LlmQueries {
 
     // hyperplane-LSH bucketed cosine pairs — scale path, verified
     // against an oracle replaying the seeded planes as literals
-    // (recall 0.97 measured; see Similarity for the scale tuning of
-    // tables x planes).
+    // (recall 0.97 measured). Config PINNED at 16x4 so the oracle's
+    // plane literals match; production callers omit the config and get
+    // the corpus-size-derived auto-tune (Similarity.lshAutoConfig).
     "llm_lsh_cosine_pairs" -> ((s, dir) =>
       Similarity.lshCosinePairs(table(s, dir, "embeddings"),
-          threshold = 0.4)
+          threshold = 0.4, nTables = 16, planesPerTable = 4)
         .orderBy(col("id_a"), col("id_b"))),
 
     // L2 normalization (unit vectors make cosine a plain dot): per

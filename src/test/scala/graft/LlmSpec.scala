@@ -104,6 +104,53 @@ class LlmSpec extends AnyFunSuite {
       Dedup.embeddingPairsBrute(emb, threshold = 0.4))))
   }
 
+  test("tokenBudgetSample: bucketed plan == windowed reference plan") {
+    val budgets = Map("en" -> 20000L, "es" -> 5000L, "zh" -> 5000L,
+      "de" -> 1L, "fr" -> 0L)   // tiny/zero budgets hit the cutoff edge
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val bucketed = ids(Mixing.tokenBudgetSample(docs, budgets))
+    val windowed = ids(Mixing.tokenBudgetSampleWindowed(docs, budgets))
+    assert(bucketed == windowed,
+      s"bucketed/windowed diverge: only-bucketed=${bucketed diff windowed} " +
+        s"only-windowed=${windowed diff bucketed}")
+    // a coarse bucket count forces real cutoff buckets (many docs share
+    // a bucket) — the boundary-window path must still agree
+    val coarse = ids(Mixing.tokenBudgetSample(docs, budgets, nBuckets = 4))
+    assert(coarse == windowed, "coarse-bucket path diverges")
+  }
+
+  test("lshAutoConfig: reproduces measured configs; density stays bounded") {
+    // the two measured BASELINE.md points: small corpus -> the
+    // recall-first 4-plane config, 32k corpus -> the ~96x8 point
+    val (t1, p1) = Similarity.lshAutoConfig(2000L, 0.4)
+    assert(p1 == 4 && t1 >= 12 && t1 <= 18, s"got ${t1}x$p1")
+    val (t2, p2) = Similarity.lshAutoConfig(32000L, 0.4)
+    assert(p2 == 8 && t2 >= 80 && t2 <= 110, s"got ${t2}x$p2")
+    // planes grow with n so expected bucket occupancy n/2^planes stays
+    // bounded — the anti-quadratic property
+    Seq(1000L, 100000L, 10000000L, 1000000000L).foreach { n =>
+      val (_, p) = Similarity.lshAutoConfig(n, 0.4)
+      assert(n.toDouble / math.pow(2, p) <= 128.0 || p == 24,
+        s"bucket occupancy unbounded at n=$n (planes=$p)")
+    }
+    // a tighter threshold (higher p) needs fewer tables at equal planes
+    val (tLoose, _) = Similarity.lshAutoConfig(32000L, 0.4)
+    val (tTight, _) = Similarity.lshAutoConfig(32000L, 0.8)
+    assert(tTight < tLoose)
+  }
+
+  test("lshCosinePairsManaged: close() releases the bucket cache") {
+    import org.apache.spark.storage.StorageLevel
+    val handle = Similarity.lshCosinePairsManaged(emb, threshold = 0.4)
+    assert(handle.value.count() > 0)
+    assert(handle.parent.storageLevel != StorageLevel.NONE,
+      "bucket projection must be pinned while the plan is live")
+    handle.close()
+    assert(handle.parent.storageLevel == StorageLevel.NONE,
+      "close() must leave zero live cache entries")
+  }
+
   test("IVF top-k: self is rank 1; decent recall vs brute force") {
     val queries = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
