@@ -161,6 +161,23 @@ object Access {
       }
     })
 
+  /** `writeDataFold` (VFA:180-182): a fold whose STEP writes each
+    * incoming element to the virtual file — the reference composes it
+    * as `premapInitA (arr $ const ()) $ arrowFold (arr snd >>> writeData
+    * vf)`, and this is the same composition over this repo's fold/task
+    * algebra: [[graft.rep.Repetition.foldlTask]] with a unit
+    * accumulator and `snd >>> writeData` as the step. Each element's
+    * index binds `varName`, so a `{varName}`-templated location writes
+    * one file per element (unbound sink = every write skipped, as with
+    * [[writeData]]). */
+  def writeDataFold(vf: VirtualFile, varName: String = "idx")
+      : PTask[Seq[(String, DataFrame)], Unit] = {
+    val step: PTask[(Unit, DataFrame), Unit] =
+      PTask.arr((p: (Unit, DataFrame)) => p._2) >>> writeData(vf)
+    PTask.arr((xs: Seq[(String, DataFrame)]) => ((), xs)) >>>
+      graft.rep.Repetition.foldlTask(varName, step)
+  }
+
   /** `getLocsMappedTo` (VFA:389-405): catalog query. */
   def locsMappedTo(p: VPath): PTask[Any, Seq[String]] =
     PTask.task((ctx, _) => ctx.layers(p).map(_.raw))

@@ -206,6 +206,25 @@ class AccessOpsSpec extends AnyFunSuite {
     assert(errs.keySet == Set("9"))
   }
 
+  test("writeDataFold: fold step writes each element to its indexed sink") {
+    import spark.implicits._
+    val base = scratch("wdf")
+    val vf = VirtualFile(VPath("/out"), Seq("parquet"), Usage.Sink)
+    val m = Mappings(Map(VPath("/out") ->
+      MappingRhs.Layers(Seq(LocTemplate(s"$base/out-{k}.parquet")))))
+    val elems = Seq(
+      "a" -> Seq((1, "x")).toDF("id", "v"),
+      "b" -> Seq((2, "y"), (3, "z")).toDF("id", "v"),
+      "c" -> Seq((4, "w")).toDF("id", "v"))
+    Pipeline.run(spark, Access.writeDataFold(vf, "k"), m, elems)
+    Seq("a" -> 1L, "b" -> 2L, "c" -> 1L).foreach { case (k, n) =>
+      assert(new java.io.File(s"$base/out-$k.parquet").exists(), s"out-$k")
+      assert(spark.read.parquet(s"$base/out-$k.parquet").count() == n)
+    }
+    // unbound sink: the fold is a no-op, not a failure (dead-sink skip)
+    Pipeline.run(spark, Access.writeDataFold(vf, "k"), Mappings.empty, elems)
+  }
+
   test("cachedTask memoizes by salt+key and honors Unhashed exclusion") {
     var computes = 0
     val memoRoot = scratch("ctask")
