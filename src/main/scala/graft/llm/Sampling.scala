@@ -26,17 +26,21 @@ object Sampling {
 
   /** Deterministic split assignment from cumulative percent weights:
     * e.g. `Seq("train" -> 80, "val" -> 10, "test" -> 10)`. The last
-    * split absorbs any remainder. */
+    * split absorbs any remainder. NULL content gets a NULL split (no
+    * hash = no assignment) — without the guard, md5(null) nulls every
+    * `b < cut` test and the otherwise-branch would silently dump every
+    * null-content row into the LAST split, biasing the eval set. */
   def splitColumn(c: Column, weights: Seq[(String, Int)]): Column = {
     require(weights.nonEmpty && weights.map(_._2).sum <= 100,
       "weights must total <= 100 percent")
     val b = pctBucket(c)
     val cuts = weights.map(_._2).scanLeft(0)(_ + _).tail
-    weights.init.zip(cuts.init)
+    val assigned = weights.init.zip(cuts.init)
       .foldLeft(None: Option[Column]) { case (acc, ((name, _), cut)) =>
         Some(acc.fold(when(b < cut, name))(_.when(b < cut, name)))
       }
       .fold(lit(weights.last._1))(_.otherwise(weights.last._1))
+    when(c.isNotNull, assigned)
   }
 
   /** Deterministic p-percent sample: keep rows whose content bucket

@@ -809,7 +809,8 @@ object LlmQueries {
          WHERE rank <= 5 ORDER BY lang, rank""",
     "llm_split" ->
       """SELECT lang,
-           CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+           CASE WHEN h IS NULL THEN NULL
+                WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
                 ELSE 'test' END AS split,
            COUNT(*) AS n
          FROM (SELECT lang,

@@ -75,9 +75,15 @@ object EventsStream {
       .start()
   }
 
-  /** Per-user session accumulator via mapGroupsWithState: running
+  /** Per-user session accumulator via flatMapGroupsWithState: running
     * event count + last-seen, emitted per batch (the arbitrary-state
-    * fold the reference can only do single-threaded). */
+    * fold the reference can only do single-threaded).
+    *
+    * flatMap (not map) so the idle-timeout branch can remove the
+    * user's state WITHOUT emitting — a mapGroupsWithState timeout must
+    * return a row, which would re-send the user's last snapshot
+    * (same counts, no new events) hours after the last real update,
+    * and downstream sinks would see a phantom duplicate. */
   final case class UserState(nEvents: Long, lastType: String)
   final case class UserSnapshot(user_id: Long, n_events: Long,
                                 last_type: String)
@@ -90,16 +96,15 @@ object EventsStream {
       .select(col("user_id").cast("long"), col("event_type"), col("ts"))
       .as[(Long, String, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState[UserState, UserSnapshot](
-        GroupStateTimeout.ProcessingTimeTimeout) {
+      .flatMapGroupsWithState[UserState, UserSnapshot](
+        OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout) {
         case (uid, rows, state: GroupState[UserState]) =>
           // idle users age out of the state store — without a timeout
           // the per-user state grows with the all-time user population
           // instead of the active horizon
           if (state.hasTimedOut) {
-            val last = state.getOption.getOrElse(UserState(0L, ""))
             state.remove()
-            UserSnapshot(uid, last.nEvents, last.lastType)
+            Iterator.empty
           } else {
             val sorted = rows.toSeq.sortBy(r => (r._3.getTime, r._2))
             val prev = state.getOption.getOrElse(UserState(0L, ""))
@@ -107,7 +112,7 @@ object EventsStream {
               sorted.lastOption.map(_._2).getOrElse(prev.lastType))
             state.update(next)
             state.setTimeoutDuration(idleTimeout)
-            UserSnapshot(uid, next.nEvents, next.lastType)
+            Iterator.single(UserSnapshot(uid, next.nEvents, next.lastType))
           }
       }
   }

@@ -41,10 +41,25 @@ object IngestStream {
     * within-batch pairing and the layer join. Documents too short to
     * carry a signature (< 3 tokens) can never near-dup match, so they
     * always survive to the corpus (they are exact-dedup territory);
-    * they simply contribute no signature rows. */
+    * they simply contribute no signature rows.
+    *
+    * IDEMPOTENT REPLAY: `foreachBatch` is at-least-once — a crash
+    * between the two output writes replays the whole batch under the
+    * SAME `batchId`. With `batchId` set, both outputs land in
+    * batch-keyed partition directories (`<dir>/ingest_batch=<id>`)
+    * written with overwrite, so a replay REPLACES the previous
+    * attempt's files instead of appending duplicates; and the layer
+    * join EXCLUDES this batch's own `ingest_batch` partition, so a
+    * replay whose first attempt already published signatures doesn't
+    * self-match every survivor into oblivion. Readers of the corpus /
+    * layer see one extra `ingest_batch` partition column. With
+    * `batchId = None` (plain batch use) both writes are appends —
+    * don't mix the two layouts under one directory (parquet partition
+    * discovery rejects the mixture). */
   def ingestBatch(batch: DataFrame, corpusDir: String, sigDir: String,
                   threshold: Double = 0.7, textCol: String = "text",
-                  idCol: String = "doc_id"): Unit = {
+                  idCol: String = "doc_id",
+                  batchId: Option[Long] = None): Unit = {
     import org.apache.spark.storage.StorageLevel
     // the clustering path (connectedComponents driver union-find) and
     // the empty-layer stub are long-typed; fail fast on ids that
@@ -83,7 +98,15 @@ object IngestStream {
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
           val dupIds = layerReadable(spark, sigDir) match {
-            case Some(layer) =>
+            case Some(layer0) =>
+              // replay guard: a prior attempt of THIS batch may have
+              // already published its signature partition — joining
+              // against it would self-match every survivor
+              val layer = batchId match {
+                case Some(bid) if layer0.columns.contains("ingest_batch") =>
+                  layer0.filter(col("ingest_batch") =!= bid)
+                case _ => layer0
+              }
               Dedup.minHashPairsFromSigs(keptSigs, layer, threshold)
                 .select(col("id_new").as("id")).distinct()
                 .persist(StorageLevel.MEMORY_AND_DISK)
@@ -104,9 +127,18 @@ object IngestStream {
               // to emptiness.
               val dropAll = dropWithin.unionByName(dupIds)
                 .withColumnRenamed("id", idCol)
-              b.join(dropAll, Seq(idCol), "left_anti")
-                .write.mode("append").parquet(corpusDir)
-              survivorSigs.write.mode("append").parquet(sigDir)
+              val survivors = b.join(dropAll, Seq(idCol), "left_anti")
+              batchId match {
+                case Some(bid) =>
+                  // batch-keyed overwrite: replay replaces, never appends
+                  survivors.write.mode("overwrite")
+                    .parquet(s"$corpusDir/ingest_batch=$bid")
+                  survivorSigs.write.mode("overwrite")
+                    .parquet(s"$sigDir/ingest_batch=$bid")
+                case None =>
+                  survivors.write.mode("append").parquet(corpusDir)
+                  survivorSigs.write.mode("append").parquet(sigDir)
+              }
             } finally { survivorSigs.unpersist(); () }
           } finally {
             dupIds match {
@@ -124,7 +156,10 @@ object IngestStream {
     * checkpoint (source offsets + batch ids) defaults to a hidden dir
     * under the signature layer — without one, every restart would
     * replay the whole source, re-appending the sub-3-token documents
-    * that intentionally bypass the signature layer. */
+    * that intentionally bypass the signature layer. The micro-batch id
+    * flows into [[ingestBatch]], so both sinks use batch-keyed
+    * overwrite publishing and an at-least-once replay is idempotent
+    * (see ingestBatch's replay contract). */
   def nearDupIngest(docs: DataFrame, corpusDir: String, sigDir: String,
                     threshold: Double = 0.7, textCol: String = "text",
                     idCol: String = "doc_id",
@@ -134,9 +169,9 @@ object IngestStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation",
         checkpointDir.getOrElse(s"$sigDir/_checkpoints"))
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
         ingestBatch(batch.toDF(), corpusDir, sigDir, threshold, textCol,
-          idCol)
+          idCol, batchId = Some(bid))
       }
       // AvailableNow by default (drain-and-stop, the batch-backfill
       // mode); pass ProcessingTime for a continuously running ingest

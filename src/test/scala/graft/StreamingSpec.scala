@@ -136,4 +136,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(sigIds == Set(1L, 3L, 5L), s"got $sigIds")
   }
 
+  test("ingestBatch with batchId: at-least-once replay is idempotent") {
+    import spark.implicits._
+    import graft.streaming.IngestStream
+    val base = "/root/repo/target/scratch/ingest_replay"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val corpusDir = s"$base/corpus"
+    val sigDir = s"$base/sigs"
+    val textA = "the quick brown fox jumps over the lazy dog again today"
+    val textB = "completely different content about distributed query engines"
+    val batch0 = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+    IngestStream.ingestBatch(batch0, corpusDir, sigDir, threshold = 0.5,
+      batchId = Some(0L))
+    // crash-and-replay: foreachBatch re-fires the SAME batch under the
+    // SAME id after its first attempt already published both outputs —
+    // the worst case: without the self-exclusion guard every survivor
+    // would match its own prior signatures and the corpus would empty;
+    // without keyed overwrite every row would double
+    IngestStream.ingestBatch(batch0, corpusDir, sigDir, threshold = 0.5,
+      batchId = Some(0L))
+    val rows = spark.read.parquet(corpusDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows.sorted == Seq(1L, 2L),
+      s"replay must replace, not append or self-erase: got $rows")
+    // the NEXT batch still dedups against batch 0's signature partition
+    IngestStream.ingestBatch(
+      Seq((3L, textA), (4L, "brand new unrelated text about file formats"))
+        .toDF("doc_id", "text"),
+      corpusDir, sigDir, threshold = 0.5, batchId = Some(1L))
+    val ids = spark.read.parquet(corpusDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 4L), s"got $ids")
+    val sigIds = spark.read.parquet(sigDir)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(sigIds == Set(1L, 2L, 4L), s"got $sigIds")
+  }
+
 }
