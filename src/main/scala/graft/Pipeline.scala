@@ -29,21 +29,17 @@ object Pipeline {
   }
 
   /** `show-tree` / describe (reference CLI.hs:393-427): what the
-    * pipeline needs, with resolved locations if mappings given. */
-  def describe(task: PTask[_, _], mappings: Option[Mappings] = None): String = {
+    * pipeline needs, facet-filtered by [[graft.model.ShowOpts]];
+    * the `-m` facet resolves locations through `mappings` when given. */
+  def describe(task: PTask[_, _], mappings: Option[Mappings] = None,
+               opts: graft.model.ShowOpts = graft.model.ShowOpts()): String = {
     val cat = task.requirements
-    mappings match {
-      case None => cat.describe
-      case Some(m) =>
-        cat.paths.map { p =>
-          val vf = cat(p)
-          val locs = m.layersFor(p, vf.defaultExt) match {
-            case graft.loc.Resolved.Bound(ls) => ls.mkString(", ")
-            case graft.loc.Resolved.Unbound   => "<unmapped>"
-          }
-          s"$p -> $locs"
-        }.mkString("\n")
-    }
+    cat.describe(opts, p => mappings.map { m =>
+      m.layersFor(p, cat(p).defaultExt) match {
+        case graft.loc.Resolved.Bound(ls) => ls.map(_.toString)
+        case graft.loc.Resolved.Unbound   => Seq.empty
+      }
+    })
   }
 
   /** Introspection — reference `taskRequirements` (PTask.hs:141-142). */

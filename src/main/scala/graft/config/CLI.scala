@@ -125,11 +125,17 @@ object CLI {
       }
     case name +: cmd +: rest if pipelines.contains(name) =>
       val reg = pipelines(name)
-      val (specOpt, cliArgs) = rest match {
+      val (specOpt, cliArgs0) = rest match {
         case file +: more if !file.startsWith("-") =>
           (Some(JobSpec.fromFile(file)), more)
         case more => (None, more)
       }
+      // show-tree display flags (-m -S -F -t -a -E -c, reference
+      // CLI.hs:393-427) are stripped BEFORE spec/option parsing so
+      // they never collide with option flags
+      val (showOpts, cliArgs) =
+        if (cmd == "show-tree") graft.model.ShowOpts.parse(cliArgs0)
+        else (graft.model.ShowOpts(), cliArgs0)
       val spec = specOpt.getOrElse(JobSpec.empty).withCliArgs(cliArgs)
       // options-as-virtual-file (reference optionsVirtualFile,
       // Options.hs:43-64): binding /Options/<pipeline> to external
@@ -178,7 +184,8 @@ object CLI {
           val opts = reg.options.resolveStrict(Some(optionData), cliArgs)
           val task = reg.build(spark, opts)
           println(Pipeline.describe(task,
-            Some(spec.mappings).filter(_ => specOpt.nonEmpty || cliArgs.nonEmpty)))
+            Some(spec.mappings).filter(_ => specOpt.nonEmpty || cliArgs.nonEmpty),
+            showOpts))
         case "write-config-template" =>
           val opts = reg.options.resolve(None, Nil)
             .map { case (k, (v, _)) => k -> v }

@@ -37,8 +37,15 @@ final case class Catalog(entries: Map[VPath, VirtualFile]) {
   def isEmpty: Boolean = entries.isEmpty
 
   /** Render the tree for the `show-tree` / describe command
-    * (reference CLI.hs:393-427). */
-  def describe: String = {
+    * (reference CLI.hs:393-427) with the default [[ShowOpts]]. */
+  def describe: String = describe(ShowOpts(), _ => None)
+
+  /** Flag-driven render — the reference's `PhysicalFileNodeShowOpts`
+    * display (PorcupineTree.hs:206-240): the entry's header line, then
+    * one indented section per enabled facet, in the reference's order
+    * (mappings, serials, types, extensions, accesses, fields). */
+  def describe(opts: ShowOpts, layersOf: VPath => Option[Seq[String]])
+      : String = {
     val sb = new StringBuilder
     paths.foreach { p =>
       val vf = entries(p)
@@ -47,12 +54,81 @@ final case class Catalog(entries: Map[VPath, VirtualFile]) {
         case Usage.Sink   => "w"
         case Usage.Bidir  => "rw"
       }
-      sb ++= s"$p [$mode] (${vf.formats.mkString(",")})"
-      vf.schema.foreach(s => sb ++= s" :: ${s.simpleString}")
-      if (vf.doc.nonEmpty) sb ++= s"  -- ${vf.doc}"
+      val sections = Seq.newBuilder[String]
+      if (opts.mappings)
+        sections += (layersOf(p) match {
+          case Some(ls) if ls.nonEmpty => ls.mkString("mapped to: ", "\n   + ", "")
+          case _                       => "<no mapping>"
+        })
+      if (opts.serials)
+        sections += (vf.usage match {
+          case Usage.Source => "usable as: source"
+          case Usage.Sink   => "usable as: sink"
+          case Usage.Bidir  => "usable as: source, sink"
+        })
+      if (opts.types)
+        vf.schema.foreach { s =>
+          val full = s.simpleString
+          sections += "type: " + (if (full.length <= opts.typeNumChars) full
+            else full.take(opts.typeNumChars) + "…")
+        }
+      if (opts.extensions)
+        sections += s"extensions: ${vf.formats.mkString(", ")}"
+      if (opts.accesses) {
+        val verbs = vf.usage match {
+          case Usage.Source => Seq("read")
+          case Usage.Sink   => Seq("write")
+          case Usage.Bidir  => Seq("read", "write")
+        }
+        sections += s"accessed with: ${verbs.mkString(", ")} " +
+          s"(${vf.defaultExt})"
+      }
+      if (opts.fields && vf.doc.nonEmpty)
+        sections += s"-- ${vf.doc}"
+      sb ++= (s"$p [$mode]" +: sections.result()).mkString("\n  ")
       sb += '\n'
     }
     sb.result()
+  }
+}
+
+/** `show-tree` display flags — reference `PhysicalFileNodeShowOpts`
+  * (PorcupineTree.hs:206-213) with the CLI defaults of CLI.hs:393-427:
+  * `-m/--mappings` and `-t/--types` and `-a/--accesses` opt IN;
+  * `-S/--no-serials`, `-E/--no-extensions`, `-F/--no-fields` opt OUT;
+  * `-c/--num-chars N` bounds the rendered type width (default 60). */
+final case class ShowOpts(
+    mappings: Boolean = false,
+    serials: Boolean = true,
+    fields: Boolean = true,
+    types: Boolean = false,
+    accesses: Boolean = false,
+    extensions: Boolean = true,
+    typeNumChars: Int = 60)
+
+object ShowOpts {
+  /** Split `args` into show flags and the rest (unknown args pass
+    * through to option parsing, as the reference's optparse does). */
+  def parse(args: Seq[String]): (ShowOpts, Seq[String]) = {
+    var o = ShowOpts()
+    val rest = Seq.newBuilder[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-m" | "--mappings"      => o = o.copy(mappings = true)
+        case "-S" | "--no-serials"    => o = o.copy(serials = false)
+        case "-F" | "--no-fields"     => o = o.copy(fields = false)
+        case "-t" | "--types"         => o = o.copy(types = true)
+        case "-a" | "--accesses"      => o = o.copy(accesses = true)
+        case "-E" | "--no-extensions" => o = o.copy(extensions = false)
+        case "-c" | "--num-chars" if i + 1 < args.length =>
+          i += 1
+          o = o.copy(typeNumChars = args(i).toInt)
+        case other => rest += other
+      }
+      i += 1
+    }
+    (o, rest.result())
   }
 }
 

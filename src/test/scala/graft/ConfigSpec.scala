@@ -287,6 +287,69 @@ class ConfigSpec extends AnyFunSuite {
     assert(JValue.parse("false") == JBool(false))
   }
 
+  test("show-tree flags filter the rendered facets (reference CLI.hs:393-427)") {
+    import graft.model.{ShowOpts, Usage, VirtualFile}
+    import graft.access.Access
+    import graft.loc.Mappings
+    import org.apache.spark.sql.types.StructType
+    val src = VirtualFile(VPath("/in/users"), Seq("json"), Usage.Source,
+      schema = Some(new StructType().add("name", "string").add("age", "int")),
+      doc = "user records")
+    val snk = VirtualFile(VPath("/out/report"), Seq("parquet", "csv"),
+      Usage.Sink)
+    val task = Access.loadData(src) >>>
+      graft.task.PTask.arr((d: org.apache.spark.sql.DataFrame) => d) >>>
+      Access.writeData(snk)
+    // defaults: serials + extensions + fields on; mappings/types/accesses off
+    val dflt = Pipeline.describe(task)
+    assert(dflt ==
+      """/in/users [r]
+        |  usable as: source
+        |  extensions: json
+        |  -- user records
+        |/out/report [w]
+        |  usable as: sink
+        |  extensions: parquet, csv
+        |""".stripMargin, s"got:\n$dflt")
+    // -S -F -E strips every default facet down to the header lines
+    val bare = Pipeline.describe(task, None,
+      ShowOpts(serials = false, fields = false, extensions = false))
+    assert(bare == "/in/users [r]\n/out/report [w]\n", s"got:\n$bare")
+    // -m resolves through the mappings; unbound entries say so
+    val m = Mappings(Map(VPath("/in/users") ->
+      MappingRhs.Layers(Seq(LocTemplate("/data/users.json")))))
+    val mapped = Pipeline.describe(task, Some(m),
+      ShowOpts(mappings = true, serials = false, fields = false,
+        extensions = false))
+    assert(mapped ==
+      """/in/users [r]
+        |  mapped to: /data/users.json
+        |/out/report [w]
+        |  <no mapping>
+        |""".stripMargin, s"got:\n$mapped")
+    // -t renders the declared type, -c truncates it
+    val typed = Pipeline.describe(task, None,
+      ShowOpts(types = true, serials = false, fields = false,
+        extensions = false))
+    assert(typed.contains("type: struct<name:string,age:int>"), typed)
+    val cut = Pipeline.describe(task, None,
+      ShowOpts(types = true, typeNumChars = 10, serials = false,
+        fields = false, extensions = false))
+    assert(cut.contains("type: struct<nam…"), cut)
+    // -a names the access verbs + format
+    val acc = Pipeline.describe(task, None,
+      ShowOpts(accesses = true, serials = false, fields = false,
+        extensions = false))
+    assert(acc.contains("accessed with: read (json)") &&
+      acc.contains("accessed with: write (parquet)"), acc)
+    // flag parser: recognizes every flag, passes the rest through
+    val (o, rest) = ShowOpts.parse(Seq("-m", "--types", "-a", "-S", "-E",
+      "-F", "-c", "10", "-o", "minPrice=1"))
+    assert(o == ShowOpts(mappings = true, serials = false, fields = false,
+      types = true, accesses = true, extensions = false, typeNumChars = 10))
+    assert(rest == Seq("-o", "minPrice=1"))
+  }
+
   test("CLI cache wiring: second run reuses the memo entry, skipping recompute") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")
