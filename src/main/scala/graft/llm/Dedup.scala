@@ -220,6 +220,34 @@ object Dedup {
     minHashPairsFromSigs(newSigs, corpusSigs, threshold, bands)
   }
 
+  /** [[minHashPairsAgainst]] with an explicit cache lifecycle for
+    * long-lived ingest sessions: BOTH signature sets are persisted
+    * (each side of the returned plan consumes its signatures twice —
+    * band join + attach join), and `close()` releases both. Use when
+    * the same pair plan is consumed repeatedly in one session; one-shot
+    * callers keep the unpersisted [[minHashPairsAgainst]], and
+    * production ingest keeps its corpus signatures in a parquet layer
+    * ([[graft.streaming.IngestStream]]) rather than executor memory. */
+  def minHashPairsAgainstManaged(newDocs: DataFrame, corpus: DataFrame,
+                                 threshold: Double = 0.7,
+                                 shingleSize: Int = 3, k: Int = 64,
+                                 bands: Int = 16, seed: Long = 42L,
+                                 textCol: String = "text",
+                                 idCol: String = "doc_id")
+      : graft.access.Split.Pinned[DataFrame] = {
+    require(k % bands == 0, "bands must divide k")
+    import org.apache.spark.storage.StorageLevel
+    val newSigs =
+      minHashSignatures(newDocs, shingleSize, k, seed, textCol, idCol)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val corpusSigs =
+      minHashSignatures(corpus, shingleSize, k, seed, textCol, idCol)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.access.Split.Pinned(
+      minHashPairsFromSigs(newSigs, corpusSigs, threshold, bands),
+      Seq(newSigs, corpusSigs))
+  }
+
   /** Signature-level core of [[minHashPairsAgainst]]: cross-side LSH
     * pairs between two `(id, sig)` frames. This is the form a
     * production ingest uses — the corpus side is a PERSISTED signature

@@ -118,8 +118,16 @@ object Similarity {
                   queries: DataFrame, k: Int, nProbe: Int = 4,
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   qIdCol: String = "query_id", qVecCol: String = "query_vec")
-      : DataFrame = {
-    val cells = assignCells(corpus, centroids, idCol, vecCol)
+      : DataFrame =
+    scoreProbedCells(assignCells(corpus, centroids, idCol, vecCol),
+      centroids, queries, k, nProbe, idCol, vecCol, qIdCol, qVecCol)
+
+  /** Common IVF scoring over an assigned `(cell_id, id, vec)` frame:
+    * probe join (queries broadcast) -> exact cosine -> per-query top-k. */
+  private def scoreProbedCells(cells: DataFrame, centroids: Seq[Seq[Double]],
+                               queries: DataFrame, k: Int, nProbe: Int,
+                               idCol: String, vecCol: String,
+                               qIdCol: String, qVecCol: String): DataFrame = {
     // query -> its nProbe nearest cells (native ProbeCells expression:
     // (distance, id)-ordered, matching the assign tie-break)
     val probes = queries
@@ -136,6 +144,40 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col(qIdCol), col("rank"), col(idCol), col("cosine"))
+  }
+
+  /** Persist the IVF layout: the cell assignment written
+    * `partitionBy(cell_id)` — the deployment path the scaladoc of
+    * [[assignCells]] describes, as a one-liner. Build once per corpus
+    * version; [[ivfTopKIndexed]] then prunes unprobed cells at the
+    * parquet-partition level, so each query batch scans ~nProbe/C of
+    * the corpus bytes instead of assigning cells over a full scan. */
+  def ivfWriteIndex(corpus: DataFrame, centroids: Seq[Seq[Double]],
+                    indexDir: String, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit =
+    assignCells(corpus, centroids, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cell_id").parquet(indexDir)
+
+  /** IVF search over a persisted [[ivfWriteIndex]] layout. The probed
+    * cell set (<= |queries| * nProbe values — driver-sized by the same
+    * argument that lets probes broadcast) becomes a LITERAL `isin`
+    * partition filter, so unprobed `cell_id=` directories are pruned
+    * from the scan statically — no full-corpus read, no assignment
+    * recompute. Centroids must be the set the index was built with. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String, centroids: Seq[Seq[Double]],
+                     queries: DataFrame, k: Int, nProbe: Int = 4,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     qIdCol: String = "query_id", qVecCol: String = "query_vec")
+      : DataFrame = {
+    val probedCells = queries
+      .select(explode(graft.functions.SketchExprs.probeCells(
+        col(qVecCol), centroids, nProbe)).as("cell_id"))
+      .distinct().collect().map(_.getLong(0))
+    val cells = spark.read.parquet(indexDir)
+      .filter(col("cell_id").isin(probedCells: _*))
+    scoreProbedCells(cells, centroids, queries, k, nProbe,
+      idCol, vecCol, qIdCol, qVecCol)
   }
 
   /** Seeded gaussian hyperplanes, quantized to 6 decimals. Each

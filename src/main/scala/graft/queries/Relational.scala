@@ -279,6 +279,33 @@ object Relational {
         .groupBy($"o_orderstatus")
         .agg(count(lit(1)).as("n"), sumDec($"o_totalprice").as("sum_price"))
         .orderBy($"o_orderstatus")
+    }),
+
+    // --- memo-served rerun (toTask' / funflow store, Caching.hs:52-123):
+    //     the same cachedTask runs twice against one cache root; run 1
+    //     populates the content store, run 2 RETURNS THE MEMO ENTRY (its
+    //     lineage roots at the store's parquet, not the source scan) —
+    //     so this oracle row exercises the cache READ path end-to-end.
+    "q20_cached_rerun" -> ((s, dir) => {
+      import s.implicits._
+      import graft.model.{Usage, VPath, VirtualFile}
+      val scratch = s"/root/repo/target/scratch/q20_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val m = graft.loc.Mappings(Map(VPath("/orders") ->
+        graft.loc.MappingRhs.Layers(Seq(
+          graft.loc.LocTemplate(s"$dir/orders.parquet")))))
+      val src = VirtualFile(VPath("/orders"), Seq("parquet"), Usage.Source)
+      val t = graft.access.Access.getDataReader(src) >>>
+        PTask.cachedTask[graft.access.Access.DataReader]("q20_agg_v1",
+          (ctx, r) => r.paths ++ r.paths.map(ctx.cache.get.fingerprint)) {
+          (_, r) =>
+            r.read().groupBy($"o_orderstatus")
+              .agg(count(lit(1)).as("n"),
+                sumDec($"o_totalprice").as("sum_price"))
+        }
+      graft.Pipeline.run(s, t, m, (),
+        cacheRoot = Some(s"$scratch/memo")).count()
+      graft.Pipeline.run(s, t, m, (), cacheRoot = Some(s"$scratch/memo"))
+        .orderBy($"o_orderstatus")
     })
   )
 
@@ -388,6 +415,10 @@ object Relational {
                            WHEN o_totalprice > 100000.0 THEN 'mid'
                            ELSE 'low' END AS band, o_totalprice
                FROM orders)
-         GROUP BY band ORDER BY band"""
+         GROUP BY band ORDER BY band""",
+    "q20_cached_rerun" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
   )
 }

@@ -166,6 +166,47 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall@10 = $recall (probing 4/16 cells)")
   }
 
+  test("ivfTopKIndexed: persisted layout matches in-memory IVF; " +
+       "scan prunes unprobed cell partitions") {
+    val indexDir = "/root/repo/target/scratch/ivf_index"
+    val cents = Similarity.collectCentroids(emb, 16)
+    Similarity.ivfWriteIndex(emb, cents, indexDir)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val fromIndex = Similarity.ivfTopKIndexed(spark, indexDir, cents,
+      queries, k = 10, nProbe = 4)
+    val inMemory = Similarity.ivfTopKWith(cents, emb, queries, k = 10,
+      nProbe = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(rows(fromIndex) == rows(inMemory))
+    // the scan must carry the probed-cell partition filter — unprobed
+    // cell_id= directories never reach the reader
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell_id"),
+      s"expected a cell_id partition filter in:\n$plan")
+  }
+
+  test("minHashPairsAgainstManaged: same pairs, close() releases both sides") {
+    import org.apache.spark.storage.StorageLevel
+    val newDocs = docs.filter(col("doc_id") % 7 === 0)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val plain = Dedup.minHashPairsAgainst(newDocs, corpus, threshold = 0.35)
+      .select("id_new", "id_corpus").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val handle = Dedup.minHashPairsAgainstManaged(newDocs, corpus,
+      threshold = 0.35)
+    val managed = handle.value.select("id_new", "id_corpus").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(managed == plain)
+    assert(handle.parents.size == 2 &&
+      handle.parents.forall(_.storageLevel != StorageLevel.NONE))
+    handle.close()
+    assert(handle.parents.forall(_.storageLevel == StorageLevel.NONE),
+      "close() must release both signature caches")
+  }
+
   test("kmeans centroids: deterministic across runs, improve IVF recall") {
     val c1 = Similarity.kmeansCentroids(emb, nCells = 16, iters = 2)
     val c2 = Similarity.kmeansCentroids(emb, nCells = 16, iters = 2)
