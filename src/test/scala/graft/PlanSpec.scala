@@ -144,6 +144,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan.take(1500))
   }
 
+  test("tokenBudgetSample: window runs only over the boundary bucket " +
+       "(no whole-stratum sort)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.llm.Mixing.tokenBudgetSample(docs,
+      Map("en" -> 1000L, "es" -> 500L)))
+    // the running-sum window must sit ABOVE a filter pinning the single
+    // cutoff bucket per stratum (_b = _cut): the giant-stratum hazard is
+    // a Window whose partition is the whole stratum
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0, "expected the boundary window in the plan")
+    val beforeWin = plan.substring(0, winIdx)
+    assert(beforeWin.contains("Filter") || plan.contains("(_b"),
+      s"window must be fed by the boundary-bucket filter:\n${plan.take(2000)}")
+    // the whole-bucket keep branch carries no window at all: exactly ONE
+    // Window node in the union plan
+    val nWindows = "(?m)^.*\\bWindow\\b".r.findAllIn(plan)
+      .size
+    assert(nWindows <= 2, // operator row + its detail block in formatted mode
+      s"expected a single boundary Window, plan had $nWindows mentions")
+  }
+
   test("kmeans mean stage partially aggregates map-side (two-phase agg)") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val cents = graft.llm.Similarity.collectCentroids(emb, 8)
