@@ -441,4 +441,72 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  // ---------------------------------------------------------------
+  // chunk-level (line/paragraph) exact dedup
+  // ---------------------------------------------------------------
+
+  /** Non-overlapping `w`-token chunk array of a text column; the last
+    * chunk may be shorter. The sub-document unit for corpus-wide
+    * repeated-passage removal (the line-level dedup of web-scale
+    * curation pipelines, generalized to fixed token windows because
+    * the corpus has no line structure). */
+  def tokenChunks(text: Column, w: Int): Column = {
+    require(w > 0, "chunk width must be positive")
+    val toks = filter(split(text, " "), t => t =!= "")
+    when(size(toks) > 0,
+      transform(sequence(lit(0), ((size(toks) - 1) / lit(w)).cast("int")),
+        i => array_join(slice(toks, i * w + 1, lit(w)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Corpus-wide chunk frequency table: one row per distinct chunk
+    * content with its occurrence count (within-doc repeats count).
+    * The group-by rides 64-bit chunk hashes — at 100 TB the shuffle
+    * carries 8-byte keys with map-side partial counts, never chunk
+    * text. */
+  def chunkFrequencies(docs: DataFrame, chunkTokens: Int = 20,
+                       textCol: String = "text"): DataFrame =
+    docs.select(explode(tokenChunks(col(textCol), chunkTokens)).as("_c"))
+      .groupBy(xxhash64(col("_c")).as("chunk_hash"))
+      .agg(count(lit(1)).as("n_occurrences"))
+
+  /** Remove corpus-wide repeated passages: chunks whose occurrence
+    * count exceeds `maxFreq` are dropped from every document and the
+    * survivors re-joined in order. Documents reduced to nothing stay
+    * as empty-text rows (callers chain a length filter).
+    *
+    * Scale shape: (1) chunk frequencies aggregate on 64-bit hashes
+    * (map-side combined); (2) only the OVER-FREQUENT (doc, pos) hits
+    * ride the join back — for a mostly-clean corpus that is a sparse
+    * fraction of rows, and AQE broadcasts the bad-position side when
+    * it is small; (3) untouched documents take a null-branch fast path
+    * that never re-tokenizes. Document text itself is shuffled at most
+    * once (the bad-position join keyed on `idCol`). */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int = 20, maxFreq: Long = 1,
+                 textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    val chunks = docs.select(col(idCol),
+      posexplode(tokenChunks(col(textCol), chunkTokens))
+        .as(Seq("_pos", "_c")))
+    val overFreq = chunks
+      .groupBy(xxhash64(col("_c")).as("_h"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > maxFreq)
+    // positions of over-frequent chunks, folded to one small array per
+    // affected doc (positions are ints; text never rides this shuffle)
+    val badPos = chunks
+      .join(overFreq, xxhash64(col("_c")) === col("_h"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("_pos"))).as("_bad"))
+    docs.join(badPos, Seq(idCol), "left")
+      .withColumn("text_clean",
+        when(col("_bad").isNull, col(textCol))
+          .otherwise(array_join(filter(
+            tokenChunks(col(textCol), chunkTokens),
+            (c, i) => !array_contains(col("_bad"), i)), " ")))
+      .withColumn("n_chunks_dropped",
+        coalesce(size(col("_bad")), lit(0)).cast("long"))
+      .drop("_bad")
+  }
 }

@@ -117,6 +117,73 @@ object Mixing {
       .drop("_tok", "_cum")
   }
 
+  /** Assign every document a position in a packed training-sequence
+    * stream: documents are laid end-to-end in deterministic global
+    * (content-hash, id) order and sliced into `seqTokens`-token
+    * sequences (concat-then-slice packing — documents may straddle a
+    * sequence boundary, the standard LM-pretraining layout). Returns
+    * the input plus `n_tokens`, `token_start` (exclusive global
+    * running offset), `pack_id` and `pack_offset`.
+    *
+    * Scale shape mirrors [[tokenBudgetSample]]: per-bucket token
+    * totals (one map-side-combined shuffle of `nBuckets` rows), driver
+    * cumulative bucket offsets, then a window over each bucket —
+    * `nBuckets` independent window partitions of ~N/nBuckets rows, so
+    * the global prefix sum never serializes through one partition.
+    * [[packSequencesWindowed]] is the single-window semantic reference
+    * (LlmSpec asserts equivalence — valid because bucket index is
+    * monotone in the ordering hash). */
+  def packSequences(docs: DataFrame, seqTokens: Long,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    nBuckets: Int = 4096): DataFrame = {
+    require(seqTokens > 0, "seqTokens must be positive")
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
+      "nBuckets must be a power of two (bucket = top bits of the hash)")
+    val shift = 32 - Integer.numberOfTrailingZeros(nBuckets)
+    def bucketOf: Column =
+      shiftright(Sampling.hashBucket32(col(textCol)), shift)
+    val bucketTotals = docs
+      .groupBy(bucketOf.as("_b"))
+      .agg(sum(tokenCount(textCol)).as("_t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    // driver exclusive prefix over bucket totals -> per-bucket offset
+    val offsets: Map[Long, Long] = {
+      var cum = 0L
+      bucketTotals.map { case (b, t) =>
+        val o = b -> cum; cum += t; o
+      }.toMap
+    }
+    val offLit = typedLit(offsets)
+    val w = Window.partitionBy(col("_b"))
+      .orderBy(Sampling.hashBucket32(col(textCol)).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.withColumn("_b", bucketOf)
+      .withColumn("n_tokens", tokenCount(textCol).cast("long"))
+      .withColumn("token_start",
+        element_at(offLit, col("_b")) +
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", (col("token_start") / seqTokens).cast("long"))
+      .withColumn("pack_offset", col("token_start") % seqTokens)
+      .drop("_b")
+  }
+
+  /** The direct form of [[packSequences]]: ONE global running-sum
+    * window (single partition — the semantic reference, not the scale
+    * path). */
+  def packSequencesWindowed(docs: DataFrame, seqTokens: Long,
+                            textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    val w = Window
+      .orderBy(Sampling.hashBucket32(col(textCol)).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.withColumn("n_tokens", tokenCount(textCol).cast("long"))
+      .withColumn("token_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", (col("token_start") / seqTokens).cast("long"))
+      .withColumn("pack_offset", col("token_start") % seqTokens)
+  }
+
   /** Top-k documents per stratum by a quality key (default: token
     * count, ties to lowest id) — stratified best-of selection. */
   def bestPerStratum(docs: DataFrame, k: Int,

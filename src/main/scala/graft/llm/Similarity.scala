@@ -40,6 +40,32 @@ object Similarity {
       .select(col(qIdCol), col("rank"), col(idCol), col("cosine"))
   }
 
+  /** [[bruteTopK]] over int8-quantized vectors ([[VectorOps.quantizeInt8]]):
+    * same output contract (query_id, rank, vec_id, cosine-of-quantized).
+    * In deployment the quantized corpus is persisted ONCE and every
+    * query batch scans the 4x-smaller copy; here it is computed inline
+    * (still a narrow projection before the scoring join). Recall vs
+    * the float path is asserted in LlmSpec. */
+  def bruteTopKQuantized(corpus: DataFrame, queries: DataFrame, k: Int,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         qIdCol: String = "query_id",
+                         qVecCol: String = "query_vec"): DataFrame = {
+    val dbl = "array<double>"
+    val qCorpus = corpus.select(col(idCol),
+      VectorOps.quantizeInt8(col(vecCol)).cast(dbl).as("_q"))
+    val qQueries = queries.select(col(qIdCol),
+      VectorOps.quantizeInt8(col(qVecCol)).cast(dbl).as("_qq"))
+    val scored = qCorpus.crossJoin(broadcast(qQueries))
+      .withColumn("cosine",
+        round(VectorOps.cosine(col("_q"), col("_qq")), 6))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col("rank"), col(idCol), col("cosine"))
+  }
+
   /** Deterministic centroid selection: the first `nCells` vectors by
     * id, fetched with sort+limit (Spark plans TakeOrdered — partial
     * per-partition top-N, no global sort). A real deployment would run

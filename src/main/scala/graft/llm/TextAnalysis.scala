@@ -98,4 +98,63 @@ object TextAnalysis {
     * to the whole-text hash. */
   def fingerprint(text: Column, n: Int = 4): Column =
     graft.functions.SketchExprs.fingerprintText(text, n)
+
+  // ---------------------------------------------------------------
+  // PII redaction
+  // ---------------------------------------------------------------
+
+  /** PII patterns, applied in order (email before phone so the digits
+    * of a mailbox name cannot be half-eaten by the phone rule; IPv4
+    * before phone so dotted quads are not read as phone runs). RE2-
+    * compatible (no lookaround) so the exact same patterns run in
+    * engines like DuckDB/Go, keeping redaction oracle-replayable. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>",
+    "\\+?\\d[\\d().\\- ]{6,}\\d" -> "<PHONE>")
+
+  /** Redact emails, IPv4 addresses and phone-number runs to typed
+    * placeholder tokens — the anonymization pass of web-scale curation
+    * pipelines. A chain of codegen'd `regexp_replace`s: shuffle-free
+    * narrow projection, one scan at any corpus size. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+
+  // ---------------------------------------------------------------
+  // vocabulary / OOV
+  // ---------------------------------------------------------------
+
+  /** Corpus-wide top-`v` vocabulary by token frequency (ties broken
+    * lexicographically): (rank, token, n_occurrences). The heavy agg
+    * rides (token -> partial count) with map-side combine; the top-`v`
+    * cut is a TakeOrdered, not a global sort. */
+  def vocabulary(docs: DataFrame, v: Int, textCol: String = "text")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(v)
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("n_occurrences").desc, col("token").asc)).cast("long"))
+      .select(col("rank"), col("token"), col("n_occurrences"))
+  }
+
+  /** Per-group out-of-vocabulary rate: the fraction of token
+    * INSTANCES not covered by `vocab` (a `vocabulary` result or any
+    * frame with a `token` column). The vocab side is v rows —
+    * broadcast; the corpus is one explode + agg, text never shuffles. */
+  def oovRate(docs: DataFrame, vocab: DataFrame,
+              groupCol: String = "lang", textCol: String = "text")
+      : DataFrame =
+    docs.select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+      .join(broadcast(vocab.select(col("token"),
+        lit(true).as("_in_vocab"))), Seq("token"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(when(col("_in_vocab").isNull, 1.0).otherwise(0.0)), 6)
+          .as("oov_rate"))
 }

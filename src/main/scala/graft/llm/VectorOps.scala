@@ -58,4 +58,22 @@ object VectorOps {
       transform(a, x =>
         when(n > 0.0, x.cast("double") / n).otherwise(x.cast("double")))
     }
+
+  /** Symmetric per-vector int8 scalar quantization:
+    * `q_i = floor(x_i * 127 / max|x| + 0.5)` as `tinyint` (zero
+    * vectors quantize to zeros). A quantized corpus copy is 4x
+    * smaller than float32 — scan and shuffle volume for ANN scoring
+    * drop with it, which is the point at 100 TB. `floor(x + 0.5)`
+    * (not half-even `round`) so the rule replays bit-identically in
+    * any engine; cosine over int8 values is EXACT integer arithmetic
+    * in double, so quantized scores are order- and
+    * partitioning-independent. */
+  def quantizeInt8(a: Column): Column =
+    bindOnce(aggregate(a, lit(0.0),
+      (m, x) => greatest(m, abs(x.cast("double"))))) { maxAbs =>
+      transform(a, x =>
+        when(maxAbs > 0.0,
+          floor(x.cast("double") * 127.0 / maxAbs + 0.5).cast("tinyint"))
+          .otherwise(lit(0).cast("tinyint")))
+    }
 }

@@ -299,7 +299,63 @@ object LlmQueries {
           col("width"), col("height"), col("n_frames"),
           coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
         .orderBy(col("media_id"))
-    })
+    }),
+
+    // chunk-level exact dedup: corpus-wide repeated 20-token passages
+    // removed from every document (line-level web-dedup generalized to
+    // token windows). Internal hashes never surface, so the oracle
+    // replays on chunk TEXT directly.
+    "llm_chunk_dedup" -> ((s, dir) =>
+      Dedup.chunkDedup(table(s, dir, "documents"), chunkTokens = 20,
+          maxFreq = 1)
+        .select(col("doc_id"), col("text_clean"), col("n_chunks_dropped"))
+        .orderBy(col("doc_id"))),
+
+    // PII redaction over deterministically PLANTED PII (the corpus has
+    // none): the oracle plants and redacts with the same RE2-safe
+    // patterns, so the hash check exercises every rule.
+    "llm_pii_redact" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .withColumn("_pii", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com via "),
+          lit("10.0."), col("doc_id") % 256, lit(".7 or +1 (555) 010-"),
+          (lit(1000) + col("doc_id") % 9000).cast("string")))
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(col("_pii")).as("text_redacted"))
+        .orderBy(col("doc_id"))),
+
+    // int8-quantized exact top-k: every 100th vector queries the
+    // corpus over the 4x-smaller quantized representation; recall vs
+    // the float path asserted in LlmSpec.
+    "llm_quant_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      Similarity.bruteTopKQuantized(emb, queries, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // corpus-wide top-50 vocabulary by token frequency.
+    "llm_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(table(s, dir, "documents"), v = 50)
+        .orderBy(col("rank"))),
+
+    // per-language OOV rate against the corpus top-50 vocabulary.
+    "llm_oov" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      TextAnalysis.oovRate(docs, TextAnalysis.vocabulary(docs, v = 50))
+        .orderBy(col("lang"))
+    }),
+
+    // sequence packing: every document's offset in the concatenated
+    // 2048-token-sequence training stream (bucketed distributed
+    // prefix sum; windowed-form equivalence in LlmSpec).
+    "llm_pack" -> ((s, dir) =>
+      Mixing.packSequences(table(s, dir, "documents"), seqTokens = 2048)
+        .select(col("doc_id"), col("n_tokens"), col("token_start"),
+          col("pack_id"), col("pack_offset"))
+        .orderBy(col("doc_id")))
   )
 
   // DuckDB shingle expression shared by the jaccard oracle
@@ -864,6 +920,120 @@ object LlmQueries {
            CAST(1 + (h32 >> 18) % 1000 AS INT) AS n_frames,
            CAST(((1 + (h32 >> 18) % 1000) - 1) // 100 + 1 AS BIGINT)
              AS n_windows
-         FROM f ORDER BY media_id"""
+         FROM f ORDER BY media_id""",
+    // chunk dedup is replayed on chunk TEXT (the engine's 64-bit chunk
+    // hash is internal); dropping by over-frequent VALUE == dropping by
+    // position of a matching value.
+    "llm_chunk_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, text,
+             list_filter(string_split(text, ' '), t -> t <> '') AS tk
+           FROM documents),
+         ch AS (
+           SELECT doc_id, text,
+             CASE WHEN len(tk) > 0 THEN
+               list_transform(generate_series(0, (len(tk) - 1) // 20),
+                 i -> array_to_string(tk[i*20+1 : i*20+20], ' '))
+             ELSE [] END AS chunks
+           FROM toks),
+         badset AS (
+           SELECT coalesce(list(c), []) AS badlist FROM (
+             SELECT c FROM (SELECT unnest(chunks) AS c FROM ch)
+             GROUP BY c HAVING count(*) > 1))
+         SELECT doc_id,
+           CASE WHEN len(kept) = len(chunks) THEN text
+                ELSE coalesce(array_to_string(kept, ' '), '') END
+             AS text_clean,
+           CAST(len(chunks) - len(kept) AS BIGINT) AS n_chunks_dropped
+         FROM (
+           SELECT ch.doc_id, ch.text, ch.chunks,
+             list_filter(ch.chunks,
+               x -> NOT list_contains(badset.badlist, x)) AS kept
+           FROM ch, badset)
+         ORDER BY doc_id""",
+    "llm_pii_redact" ->
+      """SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com via 10.0.'
+               || CAST(doc_id % 256 AS VARCHAR) || '.7 or +1 (555) 010-'
+               || CAST(1000 + doc_id % 9000 AS VARCHAR),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+             '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             '\+?\d[\d().\- ]{6,}\d', '<PHONE>', 'g') AS text_redacted
+         FROM documents ORDER BY doc_id""",
+    // int8 quantization replayed with the same floor(x*127/max+0.5)
+    // rule; cosine over quantized values is exact integer arithmetic
+    // in double, so no accumulation-order caveat applies.
+    "llm_quant_topk" ->
+      """WITH q AS (
+           SELECT vec_id,
+             CASE WHEN mx > 0 THEN
+               list_transform(embedding,
+                 x -> floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5))
+             ELSE list_transform(embedding, x -> 0.0) END AS qv
+           FROM (SELECT vec_id, embedding,
+                   list_aggregate(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+                 FROM embeddings)),
+         scored AS (
+           SELECT b.vec_id AS query_id, a.vec_id AS vec_id,
+             round(
+               list_sum(list_transform(list_zip(a.qv, b.qv),
+                 t -> t[1] * t[2]))
+               / (sqrt(list_sum(list_transform(a.qv, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.qv, x -> x * x)))), 6)
+               AS cosine
+           FROM q a, q b WHERE b.vec_id % 100 = 0)
+         SELECT query_id, rank, vec_id, cosine FROM (
+           SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id ASC) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "llm_vocab" ->
+      """SELECT CAST(ROW_NUMBER() OVER (
+             ORDER BY n_occurrences DESC, token ASC) AS BIGINT) AS rank,
+           token, n_occurrences
+         FROM (
+           SELECT token, count(*) AS n_occurrences FROM (
+             SELECT unnest(list_filter(
+               regexp_split_to_array(text, '\s+'), t -> t <> '')) AS token
+             FROM documents)
+           GROUP BY token ORDER BY n_occurrences DESC, token ASC LIMIT 50)
+         ORDER BY rank""",
+    "llm_oov" ->
+      """WITH tok AS (
+           SELECT lang, unnest(list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '')) AS token
+           FROM documents),
+         vocab AS (
+           SELECT token FROM (
+             SELECT token, count(*) AS n FROM tok
+             GROUP BY token ORDER BY n DESC, token ASC LIMIT 50))
+         SELECT lang, count(*) AS n_tokens,
+           round(avg(CASE WHEN v.token IS NULL THEN 1.0 ELSE 0.0 END), 6)
+             AS oov_rate
+         FROM tok LEFT JOIN vocab v USING (token)
+         GROUP BY lang ORDER BY lang""",
+    "llm_pack" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+               x -> x <> '')) AS BIGINT) AS n_tokens,
+             ${h32Sql("text")} AS h
+           FROM documents),
+         s AS (
+           SELECT doc_id, n_tokens,
+             CAST(coalesce(SUM(n_tokens) OVER (
+               ORDER BY h ASC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS token_start
+           FROM t)
+         SELECT doc_id, n_tokens, token_start,
+           token_start // 2048 AS pack_id,
+           token_start % 2048 AS pack_offset
+         FROM s ORDER BY doc_id"""
   )
 }

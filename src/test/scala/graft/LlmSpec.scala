@@ -346,4 +346,108 @@ class LlmSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
   }
+
+  test("chunkDedup drops exactly the corpus-repeated chunks") {
+    import spark.implicits._
+    // chunk width 4: doc 1 = [shared | u1], doc 2 = [shared | u2],
+    // doc 3 unique, doc 4 = one shared chunk only (emptied entirely)
+    val shared = "dup1 dup2 dup3 dup4"
+    val planted = Seq(
+      (1L, s"$shared a b c d"),
+      (2L, s"$shared e f g h"),
+      (3L, "p q r s t u v w"),
+      (4L, shared)).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(planted, chunkTokens = 4)
+      .select("doc_id", "text_clean", "n_chunks_dropped").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("a b c d", 1L)))
+    assert(got(2L) == (("e f g h", 1L)))
+    assert(got(3L) == (("p q r s t u v w", 0L)))  // untouched fast path
+    assert(got(4L) == (("", 1L)))                 // fully-duplicated doc
+  }
+
+  test("chunkDedup: within-doc repeated chunk also counts as frequent") {
+    import spark.implicits._
+    val planted = Seq((1L, "x1 x2 x3 x4 x1 x2 x3 x4 tail1 tail2 tail3 tail4"))
+      .toDF("doc_id", "text")
+    val r = Dedup.chunkDedup(planted, chunkTokens = 4).collect().head
+    assert(r.getAs[String]("text_clean") == "tail1 tail2 tail3 tail4")
+    assert(r.getAs[Long]("n_chunks_dropped") == 2L)
+  }
+
+  test("packSequences: bucketed plan == windowed reference plan") {
+    val a = Mixing.packSequences(docs, seqTokens = 512, nBuckets = 8)
+      .select("doc_id", "n_tokens", "token_start", "pack_id", "pack_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    val b = Mixing.packSequencesWindowed(docs, seqTokens = 512)
+      .select("doc_id", "n_tokens", "token_start", "pack_id", "pack_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(a.nonEmpty && a.sameElements(b))
+    // stream invariants: offsets start at 0, are gap-free, and the
+    // pack geometry is consistent
+    val byStart = a.sortBy(_._3)
+    assert(byStart.head._3 == 0L)
+    byStart.sliding(2).foreach { case Array((_, n, s, _, _), (_, _, s2, _, _)) =>
+      assert(s + n == s2, "token offsets must be contiguous")
+    case _ => }
+    a.foreach { case (_, _, s, p, o) =>
+      assert(p == s / 512 && o == s % 512 && o < 512)
+    }
+  }
+
+  test("quantized top-k: high recall vs float path; int8 range holds") {
+    import spark.implicits._
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = hits(Similarity.bruteTopK(emb, queries, k = 10))
+    val quant = hits(Similarity.bruteTopKQuantized(emb, queries, k = 10))
+    val recall = exact.count(quant).toDouble / exact.size
+    assert(recall >= 0.9, s"quantized recall@10 = $recall")
+    val range = emb.select(VectorOps.quantizeInt8(col("embedding")).as("q"))
+      .select(explode(col("q")).as("v"))
+      .agg(min(col("v")), max(col("v"))).collect().head
+    assert(range.getByte(0) >= -127 && range.getByte(1) <= 127)
+    // zero vector quantizes to zeros, not NaN/null
+    val z = Seq((1L, Seq(0f, 0f, 0f))).toDF("vec_id", "embedding")
+      .select(VectorOps.quantizeInt8(col("embedding")).as("q"))
+      .collect().head.getSeq[Byte](0)
+    assert(z.length == 3 && z.forall(_ == 0))
+  }
+
+  test("redactPii replaces emails, IPs and phone runs; clean text unchanged") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail bob.smith+tag@corp.example.org now"),
+      (2L, "host 192.168.001.17 up"),
+      (3L, "call +1 (555) 010-9944 or 555-010-2200 today"),
+      (4L, "no pii here at all")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "mail <EMAIL> now")
+    assert(got(2L) == "host <IP> up")
+    assert(got(3L) == "call <PHONE> or <PHONE> today")
+    assert(got(4L) == "no pii here at all")
+  }
+
+  test("vocabulary ranks by frequency; oovRate measures coverage") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", "aa aa aa bb bb cc"),
+      (2L, "en", "aa bb zz"),
+      (3L, "fr", "qq rr")).toDF("doc_id", "lang", "text")
+    val vocab = TextAnalysis.vocabulary(df, v = 2)
+    val rows = vocab.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, "aa", 4L), (2L, "bb", 3L)))
+    val m = TextAnalysis.oovRate(df, vocab).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // en: 9 tokens, 2 OOV (cc, zz); fr: 2 tokens, all OOV
+    assert(m("en") == ((9L, 0.222222)))
+    assert(m("fr") == ((2L, 1.0)))
+  }
 }

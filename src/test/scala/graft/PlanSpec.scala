@@ -178,4 +178,51 @@ class PlanSpec extends AnyFunSuite {
     val nAggs = plan.linesIterator.count(_.contains("HashAggregate"))
     assert(nAggs >= 2, plan.take(2000))
   }
+
+  test("chunk frequency agg combines map-side; redaction is shuffle-free") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val fPlan = planOf(graft.llm.Dedup.chunkFrequencies(docs))
+    // partial + final HashAggregate around the hash shuffle: chunk
+    // TEXT stays scan-side, only 64-bit hashes + partial counts move
+    assert(fPlan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      fPlan.take(2000))
+    val rPlan = planOf(docs.select(
+      graft.llm.TextAnalysis.redactPii(col("text")).as("t")))
+    assert(!rPlan.contains("Exchange"),
+      s"redaction must be a narrow map:\n${rPlan.take(1500)}")
+  }
+
+  test("packSequences windows per bucket, never one global partition") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.llm.Mixing.packSequences(docs, seqTokens = 512,
+      nBuckets = 8))
+    assert(plan.contains("Window"), plan.take(2000))
+    // the window's partition spec must be the bucket column — a spec
+    // with an empty partitionBy would serialize the whole corpus
+    // through one partition
+    assert(plan.contains("windowspecdefinition(_b"),
+      s"window must partition by bucket:\n${plan.take(2000)}")
+  }
+
+  test("vocabulary: two-phase token agg + TakeOrdered top-V (no global sort)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.llm.TextAnalysis.vocabulary(docs, v = 50))
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-V must be a TakeOrdered, not a global Sort+Limit:\n${plan.take(2000)}")
+  }
+
+  test("quantized top-k broadcasts queries; corpus side never shuffles " +
+       "before scoring") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+    val plan = planOf(
+      graft.llm.Similarity.bruteTopKQuantized(emb, queries, k = 10))
+    assert(plan.contains("BroadcastExchange"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      s"scoring join must not shuffle the corpus:\n${plan.take(2000)}")
+  }
 }
