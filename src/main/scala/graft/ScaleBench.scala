@@ -95,6 +95,25 @@ object ScaleBench {
       val (l3, t8) = try timed(handle.value.count()) finally handle.close()
       val (at, ap) = graft.llm.Similarity.lshAutoConfig(nEmb, 0.4)
       report(s"lsh_cosine_auto_${at}x$ap", f, nEmb, l3, t8)
+
+      // chunk-level dedup: the planted copies make EVERY chunk over-
+      // frequent (worst case — every doc is affected, no fast path)
+      val (cd, t9) = timed(
+        graft.llm.Dedup.chunkDedup(docs).count())
+      report("chunk_dedup", f, nDocs, cd, t9)
+
+      // sequence packing: bucketed global prefix sum
+      val (pk, t10) = timed(
+        graft.llm.Mixing.packSequences(docs, seqTokens = 2048).count())
+      report("pack_sequences", f, nDocs, pk, t10)
+
+      // quantized brute top-k: 1/100 of the corpus queries the rest
+      val q = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val (qt, t11) = timed(
+        graft.llm.Similarity.bruteTopKQuantized(emb, q, k = 10).count())
+      report("quant_topk", f, nEmb, qt, t11)
     }
     spark.stop()
   }

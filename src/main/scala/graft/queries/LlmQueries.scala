@@ -355,7 +355,29 @@ object LlmQueries {
       Mixing.packSequences(table(s, dir, "documents"), seqTokens = 2048)
         .select(col("doc_id"), col("n_tokens"), col("token_start"),
           col("pack_id"), col("pack_offset"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // end-to-end curation pipeline: quality gate -> corpus-wide
+    // repeated-passage removal -> exact dedup of the cleaned text ->
+    // deterministic split. Each stage is green on its own oracle; this
+    // row proves they COMPOSE (the oracle replays the chain as one CTE
+    // pipeline). Stage order is the production order: cheap narrow
+    // filters first, the two shuffling dedups on the survivors only.
+    "llm_curation_pipeline" -> ((s, dir) => {
+      val quality = TextAnalysis.qualityFeatures(table(s, dir, "documents"))
+        .filter(col("n_tokens") >= 20 && col("punct_ratio") < 0.05)
+        .select(col("doc_id"), col("text"))
+      val cleaned = Dedup.chunkDedup(quality, chunkTokens = 20, maxFreq = 1)
+        .filter(length(col("text_clean")) > 0)
+        .select(col("doc_id"), col("text_clean"))
+      Dedup.exactDedup(cleaned, textCol = "text_clean", idCol = "doc_id")
+        .select(col("doc_id"),
+          Sampling.splitColumn(col("text_clean"),
+            Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"),
+          TextAnalysis.tokenCount(col("text_clean")).cast("long")
+            .as("n_tokens_clean"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   // DuckDB shingle expression shared by the jaccard oracle
@@ -1034,6 +1056,60 @@ object LlmQueries {
          SELECT doc_id, n_tokens, token_start,
            token_start // 2048 AS pack_id,
            token_start % 2048 AS pack_offset
-         FROM s ORDER BY doc_id"""
+         FROM s ORDER BY doc_id""",
+    // whole-chain replay of the curation pipeline; each CTE is the
+    // already-proven oracle fragment of its stage.
+    "llm_curation_pipeline" ->
+      """WITH ql AS (
+           SELECT doc_id, text FROM (
+             SELECT doc_id, text,
+               len(list_filter(regexp_split_to_array(text, '\s+'),
+                 t -> t <> '')) AS n_tokens,
+               CAST(length(text) - length(regexp_replace(text,
+                   '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                 / length(text) AS punct_ratio
+             FROM documents)
+           WHERE n_tokens >= 20 AND punct_ratio < 0.05),
+         ch AS (
+           SELECT doc_id, text,
+             CASE WHEN len(tk) > 0 THEN
+               list_transform(generate_series(0, (len(tk) - 1) // 20),
+                 i -> array_to_string(tk[i*20+1 : i*20+20], ' '))
+             ELSE [] END AS chunks
+           FROM (SELECT doc_id, text,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tk
+                 FROM ql)),
+         badset AS (
+           SELECT coalesce(list(c), []) AS badlist FROM (
+             SELECT c FROM (SELECT unnest(chunks) AS c FROM ch)
+             GROUP BY c HAVING count(*) > 1)),
+         cleaned AS (
+           SELECT doc_id,
+             CASE WHEN len(kept) = len(chunks) THEN text
+                  ELSE coalesce(array_to_string(kept, ' '), '') END
+               AS text_clean
+           FROM (SELECT ch.doc_id, ch.text, ch.chunks,
+                   list_filter(ch.chunks,
+                     x -> NOT list_contains(badset.badlist, x)) AS kept
+                 FROM ch, badset)),
+         nonempty AS (
+           SELECT doc_id, text_clean FROM cleaned
+           WHERE length(text_clean) > 0),
+         dedup AS (
+           SELECT doc_id, text_clean FROM (
+             SELECT doc_id, text_clean,
+               MIN(doc_id) OVER (PARTITION BY text_clean) AS keep
+             FROM nonempty)
+           WHERE doc_id = keep)
+         SELECT doc_id,
+           CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(len(list_filter(regexp_split_to_array(text_clean, '\s+'),
+             t -> t <> '')) AS BIGINT) AS n_tokens_clean
+         FROM (SELECT doc_id, text_clean,
+                 CAST(('0x' || substring(md5(text_clean), 1, 8)) AS BIGINT)
+                   % 100 AS h
+               FROM dedup)
+         ORDER BY doc_id"""
   )
 }
