@@ -28,9 +28,13 @@ import org.apache.spark.sql.functions._
   */
 object Mixing {
 
-  /** Per-document token count from the one-pass text_stats kernel. */
+  /** Per-document token count from the one-pass text_stats kernel.
+    * NULL content counts as 0 tokens (not NULL): the bucketed plans
+    * drive driver-side prefix walks off `collect()`ed sums, and a NULL
+    * leaking into those would crash the primitive getters. */
   private def tokenCount(textCol: String): Column =
-    TextAnalysis.textStats(col(textCol)).getField("n_tokens")
+    coalesce(TextAnalysis.textStats(col(textCol)).getField("n_tokens"),
+      lit(0))
 
   /** Keep documents per stratum, in content-hash order, until the
     * stratum's token budget is reached (inclusive prefix: a document
@@ -53,8 +57,13 @@ object Mixing {
     // MONOTONE in the hash, so buckets are contiguous ranges of the
     // (hash, id) order and a bucket prefix IS an order prefix
     val shift = 32 - Integer.numberOfTrailingZeros(nBuckets)
+    // NULL content hashes to NULL -> bucket 0 (coalesce): consistent
+    // with the window's nulls-first hash order, since bucket 0 is the
+    // lowest bucket — NULL rows stay a contiguous prefix of it. The
+    // driver walk would otherwise NPE on a NULL group key.
     def bucketOf: Column =
-      shiftright(Sampling.hashBucket32(col(textCol)), shift)
+      coalesce(shiftright(Sampling.hashBucket32(col(textCol)), shift),
+        lit(0L))
     // 1. per-(stratum, bucket) token totals; the groupBy combines
     // map-side so the shuffle carries <= |strata| * nBuckets rows
     val totals = docs
@@ -140,8 +149,12 @@ object Mixing {
     require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
       "nBuckets must be a power of two (bucket = top bits of the hash)")
     val shift = 32 - Integer.numberOfTrailingZeros(nBuckets)
+    // NULL content -> bucket 0, 0 tokens (see tokenBudgetSample): NULL
+    // rows sort nulls-first inside the lowest bucket, so the packed
+    // order stays total and the driver walk never sees a NULL key
     def bucketOf: Column =
-      shiftright(Sampling.hashBucket32(col(textCol)), shift)
+      coalesce(shiftright(Sampling.hashBucket32(col(textCol)), shift),
+        lit(0L))
     val bucketTotals = docs
       .groupBy(bucketOf.as("_b"))
       .agg(sum(tokenCount(textCol)).as("_t"))

@@ -45,7 +45,13 @@ object Similarity {
     * In deployment the quantized corpus is persisted ONCE and every
     * query batch scans the 4x-smaller copy; here it is computed inline
     * (still a narrow projection before the scoring join). Recall vs
-    * the float path is asserted in LlmSpec. */
+    * the float path is asserted in LlmSpec.
+    *
+    * The full 100 TB ANN path composes quantization with cell pruning:
+    * quantize corpus + queries (cast to array<double>), then run
+    * [[ivfTopKWith]]/[[ivfTopKIndexed]] over the quantized frames — a
+    * 4x-smaller index scanning nProbe/nCells of the data. LlmSpec
+    * asserts the composed path's recall. */
   def bruteTopKQuantized(corpus: DataFrame, queries: DataFrame, k: Int,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding",
@@ -77,7 +83,9 @@ object Similarity {
                        vecCol: String = "embedding"): Seq[Seq[Double]] =
     corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol).asc)
       .limit(nCells).collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      // element-type-agnostic: float32 embeddings and double frames
+      // (e.g. an int8-quantized corpus cast to array<double>) both work
+      .map(_.getSeq[Number](1).map(_.doubleValue).toSeq).toSeq
 
   /** Assign each corpus vector to its nearest centroid — ONE narrow
     * codegen'd projection (native NearestCell expression: no

@@ -397,6 +397,27 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed prefix-sum ops survive NULL content (0 tokens, bucket 0)") {
+    import spark.implicits._
+    val withNull = Seq((1L, "en", "aa bb cc dd"), (2L, "en", null),
+      (3L, "en", "ee ff")).toDF("doc_id", "lang", "text")
+    val packed = Mixing.packSequences(withNull, seqTokens = 4, nBuckets = 4)
+      .select("doc_id", "n_tokens", "token_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(packed.length == 3)
+    assert(packed.find(_._1 == 2L).get._2 == 0L, "null text = 0 tokens")
+    assert(packed.map(_._2).sum == 6L)
+    // equivalence with the windowed form holds with NULLs present
+    val win = Mixing.packSequencesWindowed(withNull, seqTokens = 4)
+      .select("doc_id", "n_tokens", "token_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(packed.sortBy(_._1).sameElements(win))
+    val sampled = Mixing.tokenBudgetSample(withNull, Map("en" -> 5L),
+      nBuckets = 4)
+    assert(sampled.count() ==
+      Mixing.tokenBudgetSampleWindowed(withNull, Map("en" -> 5L)).count())
+  }
+
   test("quantized top-k: high recall vs float path; int8 range holds") {
     import spark.implicits._
     val queries = emb.filter(col("vec_id") % 100 === 0)
@@ -416,6 +437,26 @@ class LlmSpec extends AnyFunSuite {
       .select(VectorOps.quantizeInt8(col("embedding")).as("q"))
       .collect().head.getSeq[Byte](0)
     assert(z.length == 3 && z.forall(_ == 0))
+  }
+
+  test("IVF over quantized vectors composes: decent recall, 4x smaller scan") {
+    import spark.implicits._
+    def quantized(df: org.apache.spark.sql.DataFrame, id: String,
+                  vec: String): org.apache.spark.sql.DataFrame =
+      df.select(col(id),
+        VectorOps.quantizeInt8(col(vec)).cast("array<double>").as(vec))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val qCorpus = quantized(emb, "vec_id", "embedding")
+    val qQueries = quantized(queries, "query_id", "query_vec")
+    val cents = Similarity.collectCentroids(qCorpus, nCells = 16)
+    val got = Similarity.ivfTopKWith(cents, qCorpus, qQueries, k = 10,
+        nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = Similarity.bruteTopK(emb, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.count(got).toDouble / exact.size
+    assert(recall >= 0.7, s"quantized-IVF recall@10 = $recall")
   }
 
   test("redactPii replaces emails, IPs and phone runs; clean text unchanged") {
