@@ -114,6 +114,13 @@ object ScaleBench {
       val (qt, t11) = timed(
         graft.llm.Similarity.bruteTopKQuantized(emb, q, k = 10).count())
       report("quant_topk", f, nEmb, qt, t11)
+
+      // SemDeDup: cells scaled with the corpus (the paper's recipe) so
+      // expected cell size — and with it the within-cell self-join
+      // cost per row — stays constant as the corpus grows
+      val (sd, t12) = timed(graft.llm.Similarity.semDedupKmeans(
+        emb, nCells = 16 * f, iters = 2, tau = 0.4).count())
+      report(s"semdedup_${16 * f}cells", f, nEmb, sd, t12)
     }
     spark.stop()
   }

@@ -349,4 +349,68 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
     graft.access.Split.Branches(result, buckets)
   }
+
+  // ---------------------------------------------------------------
+  // SemDeDup: cluster-then-prune semantic deduplication
+  // ---------------------------------------------------------------
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its nearest k-means
+    * cell, then WITHIN each cell drop any vector that has a
+    * lower-id neighbor with cosine >= `tau`. The kept set contains
+    * exactly one representative (the lowest id) per semantic-dup
+    * group that the clustering co-locates — the paper's "keep one
+    * exemplar per cluster-local duplicate set", with the exemplar
+    * choice made deterministic (min id) instead of random so runs
+    * and the SQL oracle agree bit-for-bit.
+    *
+    * Recall is bounded by the clustering (a dup pair split across two
+    * cells is not seen) — the published trade-off; raise `nCells`
+    * resolution or fall back to [[lshCosinePairs]] +
+    * [[Dedup.connectedComponents]] when cross-cell recall matters.
+    *
+    * Scale design: the cell assignment is ONE narrow codegen'd
+    * projection (native NearestCell, no shuffle); the only shuffle is
+    * the within-cell self-join, keyed by cell_id. Cost is
+    * sum(|cell|²), so at 100 TB you scale `nCells` with the corpus
+    * (the paper uses ~0.1% of N) to keep cells at a constant expected
+    * size — cost then grows linearly in N. The assignment projection
+    * is recomputed for both join sides rather than persisted: it is a
+    * scan-side map with no shuffle above it, so recomputation costs
+    * one extra parquet read but leaves no cache entry to manage; in a
+    * real deployment persist it once with [[ivfWriteIndex]]
+    * (partitioned by cell) and run the prune over the index.
+    *
+    * Returns the KEPT rows as `(idCol, cell_id)`, one per surviving
+    * vector.
+    *
+    * Reference analog: porcupine has no ANN/embedding surface; this
+    * extends the repo's curation pack (SURVEY §2 "beyond-reference"
+    * scope) alongside [[Dedup.nearDupDedup]]. */
+  def semDedup(emb: DataFrame, centroids: Seq[Seq[Double]], tau: Double,
+               idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val assigned = assignCells(emb, centroids, idCol, vecCol)
+    val a = assigned.select(col("cell_id").as("cell_a"),
+      col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = assigned.select(col("cell_id").as("cell_b"),
+      col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    // same 6-decimal rounding before the threshold as every other
+    // cosine gate in the repo, so the DuckDB oracle replays exactly
+    val dropped = a.join(b,
+        col("cell_a") === col("cell_b") && col("id_b") < col("id_a"))
+      .filter(round(VectorOps.cosine(col("v_a"), col("v_b")), 6) >= tau)
+      .select(col("id_a").as(idCol))
+      .distinct()
+    assigned.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell_id"))
+  }
+
+  /** [[semDedup]] with centroids built in-line by the deterministic
+    * Lloyd refinement ([[kmeansCentroids]]). */
+  def semDedupKmeans(emb: DataFrame, nCells: Int, iters: Int, tau: Double,
+                     idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame =
+    semDedup(emb, kmeansCentroids(emb, nCells, iters, idCol, vecCol), tau,
+      idCol, vecCol)
 }

@@ -139,6 +139,15 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // SemDeDup: cluster-then-prune semantic dedup — nearest-cell
+    // assignment (narrow kernel), within-cell lower-id dominance at
+    // cosine >= 0.4. The kept set = one exemplar per cluster-local
+    // duplicate group.
+    "llm_semdedup" -> ((s, dir) =>
+      Similarity.semDedupKmeans(table(s, dir, "embeddings"),
+          nCells = 16, iters = 2, tau = 0.4)
+        .orderBy(col("vec_id"))),
+
     // per-language token statistics (integer-sum exact, then divide;
     // one text_stats kernel pass per row).
     "llm_token_stats" -> ((s, dir) => {
@@ -650,24 +659,19 @@ object LlmQueries {
        ORDER BY query_id, rank"""
   }
 
-  /** IVF over Lloyd-refined centroids: `iters` unrolled refinement
-    * rounds (assign to nearest centroid by squared L2 with ties to
-    * the lowest cell, per-(cell,dim) mean with DECIMAL(38,12)-exact
-    * sums cast through DOUBLE — the exact kmeansCentroids arithmetic),
-    * then the standard assign/probe/score chain over the final
-    * centroid set. */
-  private def kmeansIvfOracle(iters: Int): String = {
-    def sqd(v: String, c: String) =
-      s"""list_sum(list_transform(list_zip($v, $c),
-           z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
-              * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))))"""
-    val cos =
-      s"""(list_sum(list_transform(list_zip(a.embedding, p.qv),
-            t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
-          / (sqrt(list_sum(list_transform(a.embedding,
-               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-           * sqrt(list_sum(list_transform(p.qv,
-               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
+  private def sqdSql(v: String, c: String) =
+    s"""list_sum(list_transform(list_zip($v, $c),
+         z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+            * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))))"""
+
+  /** CTE chain replaying `iters` Lloyd refinement rounds (assign to
+    * nearest centroid by squared L2 with ties to the lowest cell,
+    * per-(cell,dim) mean with DECIMAL(38,12)-exact sums cast through
+    * DOUBLE — the exact kmeansCentroids arithmetic), ending in
+    * `asgf(vec_id, embedding, cell_id)`, the final assignment.
+    * Returns (ctes, finalCentsCteName). */
+  private def kmeansAsgCtes(iters: Int): (String, String) = {
+    def sqd(v: String, c: String) = sqdSql(v, c)
     val seed =
       """cents0 AS (
          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
@@ -693,7 +697,7 @@ object LlmQueries {
          FROM mu$i GROUP BY cell_id)"""
     }.mkString(",\n       ")
     val cN = s"cents$iters"
-    s"""WITH $seed,
+    val ctes = s"""$seed,
        $rounds,
        asgf AS (
          SELECT vec_id, embedding, cell AS cell_id FROM (
@@ -701,7 +705,23 @@ object LlmQueries {
              row_number() OVER (PARTITION BY e.vec_id
                ORDER BY ${sqd("e.embedding", "c.cvec")} ASC, c.cell ASC)
                AS rnk
-           FROM embeddings e CROSS JOIN $cN c) WHERE rnk = 1),
+           FROM embeddings e CROSS JOIN $cN c) WHERE rnk = 1)"""
+    (ctes, cN)
+  }
+
+  /** IVF over Lloyd-refined centroids: the [[kmeansAsgCtes]] chain,
+    * then the standard assign/probe/score over the final centroids. */
+  private def kmeansIvfOracle(iters: Int): String = {
+    def sqd(v: String, c: String) = sqdSql(v, c)
+    val cos =
+      s"""(list_sum(list_transform(list_zip(a.embedding, p.qv),
+            t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(p.qv,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
+    val (ctes, cN) = kmeansAsgCtes(iters)
+    s"""WITH $ctes,
        prb AS (
          SELECT vec_id AS query_id, embedding AS qv, cell FROM (
            SELECT e.vec_id, e.embedding, c.cell,
@@ -719,6 +739,22 @@ object LlmQueries {
              ORDER BY cosine DESC, vec_id ASC) AS rank
          FROM scored) WHERE rank <= 10
        ORDER BY query_id, rank"""
+  }
+
+  /** SemDeDup: same final Lloyd assignment, then within-cell
+    * lower-id dominance at `round(cosine, 6) >= tau` — a vector
+    * survives iff no lower-id cell-mate is that close. */
+  private def semDedupOracle(iters: Int, tau: Double): String = {
+    val (ctes, _) = kmeansAsgCtes(iters)
+    s"""WITH $ctes,
+       dropped AS (
+         SELECT DISTINCT a.vec_id
+         FROM asgf a JOIN asgf b
+           ON a.cell_id = b.cell_id AND b.vec_id < a.vec_id
+         WHERE $cosineSql >= $tau)
+       SELECT k.vec_id, k.cell_id FROM asgf k
+       WHERE k.vec_id NOT IN (SELECT vec_id FROM dropped)
+       ORDER BY k.vec_id"""
   }
 
   /** Multimodal features: the deterministic stub decoder's arithmetic
@@ -929,6 +965,7 @@ object LlmQueries {
     "llm_lsh_cosine_pairs" -> lshCosineOracle(nTables = 16, ppt = 4),
     "llm_ivf_topk" -> ivfOracle,
     "llm_ivf_kmeans_topk" -> kmeansIvfOracle(iters = 2),
+    "llm_semdedup" -> semDedupOracle(iters = 2, tau = 0.4),
     "llm_mm_features" -> mmFeaturesOracle,
     // audio stub decoder: frames = 1 + (h32 >> 18) % 1000; byte_len is
     // a BYTE length (strlen is correct here, unlike codepoint stats)

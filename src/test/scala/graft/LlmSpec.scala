@@ -166,6 +166,34 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall@10 = $recall (probing 4/16 cells)")
   }
 
+  test("semDedup: kept set is the within-cell lower-id dominance fixpoint") {
+    val cents = Similarity.kmeansCentroids(emb, nCells = 16, iters = 2)
+    val kept = Similarity.semDedup(emb, cents, tau = 0.4)
+      .collect().map(_.getLong(0)).toSet
+    val assigned = Similarity.assignCells(emb, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val n = assigned.length
+    assert(kept.subsetOf(assigned.map(_._1).toSet) && kept.size < n,
+      "some semantic dups must be dropped on the real testdata")
+    // brute-force replay of the dominance rule per cell
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byCell = assigned.groupBy(_._2)
+    val expectDropped = byCell.values.flatMap { members =>
+      val ids = members.map(_._1).sorted
+      ids.filter(i => ids.exists(j => j < i &&
+        BigDecimal(cos(vecs(i), vecs(j))).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP) >= BigDecimal("0.4")))
+    }.toSet
+    assert(kept == assigned.map(_._1).toSet -- expectDropped)
+    // the globally lowest id can never be dominated
+    assert(kept.contains(assigned.map(_._1).min))
+  }
+
   test("ivfTopKIndexed: persisted layout matches in-memory IVF; " +
        "scan prunes unprobed cell partitions") {
     val indexDir = "/root/repo/target/scratch/ivf_index"
