@@ -207,4 +207,48 @@ object Mixing {
     docs.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Corpus-composition report per provenance stratum (source domain,
+    * crawl snapshot, …): document count, exact token total, and the
+    * stratum's share of all corpus tokens — the table a curation run
+    * reads before deciding caps and budgets.
+    *
+    * Scale: one text_stats kernel pass, one groupBy on the stratum key
+    * with map-side partials, and a window over the aggregated frame
+    * (rows = #strata, thousands at web scale — negligible). */
+  def sourceStats(docs: DataFrame, strataCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    val agg = docs
+      .select(col(strataCol), tokenCount(textCol).cast("long").as("n_tok"))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+    agg.withColumn("token_share",
+      round(col("total_tokens").cast("double") /
+        sum(col("total_tokens")).over(Window.partitionBy()), 6))
+  }
+
+  /** Anti-domination cap (the RefinedWeb/CCNet move): keep at most
+    * `k` documents per stratum, chosen in content-hash order — a
+    * deterministic, reproducible uniform sample of each stratum, NOT
+    * "first k by id" (which would bias toward old documents under
+    * monotone ids). Ties (hash collisions) break to the lowest id;
+    * NULL-content rows sort last and are only kept if the stratum has
+    * fewer than `k` hashable documents.
+    *
+    * Returns the kept rows with their `keep_rank` (1-based position
+    * in the stratum's hash order).
+    *
+    * Scale: one hash projection + one window keyed by the stratum —
+    * the same single-shuffle shape as [[bestPerStratum]]; no stratum
+    * ever needs more than its own partitionful of memory because
+    * row_number is a streaming window function. */
+  def capPerStratum(docs: DataFrame, k: Int,
+                    strataCol: String = "source", textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(Sampling.hashBucket32(col(textCol)).asc_nulls_last,
+        col(idCol).asc)
+    docs.withColumn("keep_rank", row_number().over(w).cast("long"))
+      .filter(col("keep_rank") <= k)
+  }
 }

@@ -245,6 +245,19 @@ object LlmQueries {
         .select(col("lang"), col("rank"), col("doc_id"))
         .orderBy(col("lang"), col("rank"))),
 
+    // per-source composition report: docs, exact token totals, share
+    // of corpus tokens — the pre-curation provenance table.
+    "llm_source_stats" -> ((s, dir) =>
+      Mixing.sourceStats(table(s, dir, "documents"))
+        .orderBy(col("source"))),
+
+    // anti-domination cap: at most 15 docs per source, chosen in
+    // content-hash order (deterministic uniform sample per stratum).
+    "llm_source_cap" -> ((s, dir) =>
+      Mixing.capPerStratum(table(s, dir, "documents"), k = 15)
+        .select(col("doc_id"), col("source"), col("keep_rank"))
+        .orderBy(col("doc_id"))),
+
     // deterministic content-hash train/val/test split, counted per
     // (lang, split): reproducible across runs/clusters by
     // construction (pure function of the text).
@@ -921,6 +934,24 @@ object LlmQueries {
                  t -> t <> '')) DESC, doc_id ASC) AS rank
            FROM documents)
          WHERE rank <= 5 ORDER BY lang, rank""",
+    "llm_source_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(n_tok) AS DOUBLE)
+             / SUM(SUM(n_tok)) OVER (), 6) AS token_share
+         FROM (SELECT source,
+                 len(list_filter(regexp_split_to_array(text, '\s+'),
+                   t -> t <> '')) AS n_tok
+               FROM documents)
+         GROUP BY source ORDER BY source""",
+    "llm_source_cap" ->
+      """SELECT doc_id, source, keep_rank FROM (
+           SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)
+                 ASC NULLS LAST, doc_id ASC) AS keep_rank
+           FROM documents)
+         WHERE keep_rank <= 15 ORDER BY doc_id""",
     "llm_split" ->
       """SELECT lang,
            CASE WHEN h IS NULL THEN NULL

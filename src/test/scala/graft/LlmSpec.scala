@@ -166,6 +166,31 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall@10 = $recall (probing 4/16 cells)")
   }
 
+  test("capPerStratum: cap respected, deterministic, partition-independent") {
+    val capped = Mixing.capPerStratum(docs, k = 7)
+    val bySrc = capped.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.values.forall(_ <= 7) && bySrc.values.exists(_ == 7),
+      s"every source capped at 7, full sources hit the cap: $bySrc")
+    // content-hash keep order is a pure function of the data: a
+    // repartitioned input must keep exactly the same documents
+    val ids = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Mixing.capPerStratum(docs.repartition(13), k = 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == ids2)
+    // and it is NOT "first k by id" — hash order differs from id order
+    val firstK = Mixing.bestPerStratum(docs, 7, strataCol = "source")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids != firstK)
+  }
+
+  test("sourceStats: shares sum to ~1 and track doc mass") {
+    val st = Mixing.sourceStats(docs).collect()
+    val share = st.map(_.getDouble(3)).sum
+    assert(math.abs(share - 1.0) < 1e-4, s"shares sum to $share")
+    assert(st.map(_.getLong(1)).sum == docs.count())
+  }
+
   test("semDedup: kept set is the within-cell lower-id dominance fixpoint") {
     val cents = Similarity.kmeansCentroids(emb, nCells = 16, iters = 2)
     val kept = Similarity.semDedup(emb, cents, tau = 0.4)
