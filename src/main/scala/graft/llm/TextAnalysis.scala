@@ -30,6 +30,35 @@ object TextAnalysis {
   def textStats(text: Column): Column =
     graft.functions.SketchExprs.textStats(text)
 
+  /** Top-k characteristic terms per document by tf-idf
+    * (`tf * ln(N/df)`, scores rounded to 6 decimals BEFORE ranking so
+    * the order is reproducible across engines; ties break to the
+    * lexicographically first term).
+    *
+    * Scale: term frequencies shuffle once on (doc, term) with
+    * map-side combine; document frequencies are a vocab-sized
+    * aggregate of that frame (vocab ≪ corpus — AQE broadcasts it back
+    * onto the term join); the per-doc top-k window shuffles on the
+    * doc key only. N comes from one parquet-footer count. */
+  def tfidfTopTerms(docs: DataFrame, k: Int, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val n = docs.count()
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("score",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("score"))
+  }
+
   /** Quality features: every signal a length/punct/stopword-ratio
     * filter needs, derived from ONE text_stats kernel pass (whole-
     * stage codegen CSE shares the struct across the field columns). */
