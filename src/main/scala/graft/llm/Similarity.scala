@@ -357,12 +357,13 @@ object Similarity {
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): assign every vector to its nearest k-means
     * cell, then WITHIN each cell drop any vector that has a
-    * lower-id neighbor with cosine >= `tau`. The kept set contains
-    * exactly one representative (the lowest id) per semantic-dup
-    * group that the clustering co-locates — the paper's "keep one
-    * exemplar per cluster-local duplicate set", with the exemplar
-    * choice made deterministic (min id) instead of random so runs
-    * and the SQL oracle agree bit-for-bit.
+    * lower-id neighbor with cosine >= `tau` — within-cell lower-id
+    * DOMINANCE, not one-per-connected-group: a vector is dropped if
+    * ANY lower-id cell-mate is a near-dup, even one that was itself
+    * dropped (chain a~b, b~c with a!~c keeps only {a}). The exemplar
+    * choice is deterministic (dominance by min id) instead of random
+    * so runs and the SQL oracle agree bit-for-bit; LlmSpec replays
+    * the same rule brute-force.
     *
     * Recall is bounded by the clustering (a dup pair split across two
     * cells is not seen) — the published trade-off; raise `nCells`

@@ -39,18 +39,21 @@ object TextAnalysis {
     * map-side combine; document frequencies are a vocab-sized
     * aggregate of that frame (vocab ≪ corpus — AQE broadcasts it back
     * onto the term join); the per-doc top-k window shuffles on the
-    * doc key only. N comes from one parquet-footer count. */
+    * doc key only. N is a lazy 1-row count aggregate cross-joined by
+    * broadcast — no eager driver action, and for a raw unfiltered
+    * parquet scan Spark serves it from footer row counts. */
   def tfidfTopTerms(docs: DataFrame, k: Int, textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
-    val n = docs.count()
+    val nDf = docs.select(count(lit(1)).as("_n"))
     val tf = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term")
+      .crossJoin(broadcast(nDf))
       .withColumn("score",
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+        round(col("tf") * log(col("_n").cast("double") / col("df")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term").asc)

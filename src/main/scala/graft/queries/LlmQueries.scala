@@ -370,6 +370,12 @@ object LlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // per-document top-3 characteristic terms by tf-idf (score rounded
+    // to 6 decimals BEFORE ranking; ties break lexicographically).
+    "llm_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(table(s, dir, "documents"), k = 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
     // sequence packing: every document's offset in the concatenated
     // 2048-token-sequence training stream (bucketed distributed
     // prefix sum; windowed-form equivalence in LlmSpec).
@@ -1107,17 +1113,44 @@ object LlmQueries {
              AS oov_rate
          FROM tok LEFT JOIN vocab v USING (token)
          GROUP BY lang ORDER BY lang""",
+    // tf-idf replay: identical formula order (tf * ln(N/df), round-6
+    // before ranking) so doubles match bit-for-bit.
+    "llm_tfidf" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM tok GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+           FROM tf JOIN df USING (term), n)
+         SELECT doc_id, rank, term, score FROM (
+           SELECT doc_id, term, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+           FROM scored)
+         WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    // NULL-text rows mirror Spark exactly: n_tokens coalesced to 0
+    // (regexp_split_to_array(NULL) -> NULL otherwise) and the stream
+    // hash ordered NULLS FIRST (Spark asc = nulls first; DuckDB's bare
+    // ASC defaults to NULLS LAST).
     "llm_pack" ->
       s"""WITH t AS (
            SELECT doc_id,
-             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
-               x -> x <> '')) AS BIGINT) AS n_tokens,
+             CAST(coalesce(len(list_filter(
+               regexp_split_to_array(text, '\\s+'),
+               x -> x <> '')), 0) AS BIGINT) AS n_tokens,
              ${h32Sql("text")} AS h
            FROM documents),
          s AS (
            SELECT doc_id, n_tokens,
              CAST(coalesce(SUM(n_tokens) OVER (
-               ORDER BY h ASC, doc_id ASC
+               ORDER BY h ASC NULLS FIRST, doc_id ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS BIGINT) AS token_start
            FROM t)

@@ -544,4 +544,25 @@ class LlmSpec extends AnyFunSuite {
     assert(m("en") == ((9L, 0.222222)))
     assert(m("fr") == ((2L, 1.0)))
   }
+
+  test("tfidfTopTerms: hand-computed scores, deterministic ties") {
+    import spark.implicits._
+    // N=3; "aa" in all docs (idf ln(1)=0), "bb" in two (ln 1.5),
+    // "cc" only in doc 1 (ln 3)
+    val df = Seq(
+      (1L, "aa bb cc cc"),
+      (2L, "aa bb"),
+      (3L, "aa")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(df, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    val cc = r6(2.0 * math.log(3.0 / 1.0))
+    val bb = r6(1.0 * math.log(3.0 / 2.0))
+    assert(got == Seq(
+      (1L, 1L, "cc", cc), (1L, 2L, "bb", bb),
+      // doc 2: bb (0.405) then aa (0.0); doc 3: only aa
+      (2L, 1L, "bb", bb), (2L, 2L, "aa", 0.0),
+      (3L, 1L, "aa", 0.0)))
+  }
 }
