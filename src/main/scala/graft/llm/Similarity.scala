@@ -25,14 +25,21 @@ object Similarity {
     * Scale: queries are broadcast (no corpus shuffle); the only
     * shuffle is the final per-query top-k, which AQE handles with
     * partial TakeOrdered per partition — rows shuffled = k * queries
-    * * partitions, independent of corpus size. */
+    * * partitions, independent of corpus size. Norms are hoisted to
+    * once per row per side ([[VectorOps.cosineHoisted]] — bit-identical
+    * doubles), so the |corpus| x |queries| inner loop is dot-only. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 qIdCol: String = "query_id", qVecCol: String = "query_vec")
       : DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    val c = corpus.select(col(idCol), col(vecCol),
+      VectorOps.norm(col(vecCol)).as("_cn"))
+    val q = queries.select(col(qIdCol), col(qVecCol),
+      VectorOps.norm(col(qVecCol)).as("_qn"))
+    val scored = c.crossJoin(broadcast(q))
       .withColumn("cosine",
-        round(VectorOps.cosine(col(vecCol), col(qVecCol)), 6))
+        round(VectorOps.cosineHoisted(col(vecCol), col(qVecCol),
+          col("_cn"), col("_qn")), 6))
     val w = Window.partitionBy(col(qIdCol))
       .orderBy(col("cosine").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -59,12 +66,15 @@ object Similarity {
                          qVecCol: String = "query_vec"): DataFrame = {
     val dbl = "array<double>"
     val qCorpus = corpus.select(col(idCol),
-      VectorOps.quantizeInt8(col(vecCol)).cast(dbl).as("_q"))
+        VectorOps.quantizeInt8(col(vecCol)).cast(dbl).as("_q"))
+      .withColumn("_cn", VectorOps.norm(col("_q")))
     val qQueries = queries.select(col(qIdCol),
-      VectorOps.quantizeInt8(col(qVecCol)).cast(dbl).as("_qq"))
+        VectorOps.quantizeInt8(col(qVecCol)).cast(dbl).as("_qq"))
+      .withColumn("_qn", VectorOps.norm(col("_qq")))
     val scored = qCorpus.crossJoin(broadcast(qQueries))
       .withColumn("cosine",
-        round(VectorOps.cosine(col("_q"), col("_qq")), 6))
+        round(VectorOps.cosineHoisted(col("_q"), col("_qq"),
+          col("_cn"), col("_qn")), 6))
     val w = Window.partitionBy(col(qIdCol))
       .orderBy(col("cosine").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -168,11 +178,16 @@ object Similarity {
       .withColumn("cell_id", explode(
         graft.functions.SketchExprs.probeCells(col(qVecCol), centroids,
           nProbe)))
-      .select(col(qIdCol), col(qVecCol), col("cell_id"))
-    // probe join: only vectors in probed cells are scored
-    val scored = cells.join(broadcast(probes), Seq("cell_id"))
+      .select(col(qIdCol), col(qVecCol), col("cell_id"),
+        VectorOps.norm(col(qVecCol)).as("_qn"))
+    // probe join: only vectors in probed cells are scored; norms ride
+    // each side once per row so the scoring loop is dot-only
+    val scored = cells
+      .withColumn("_cn", VectorOps.norm(col(vecCol)))
+      .join(broadcast(probes), Seq("cell_id"))
       .withColumn("cosine",
-        round(VectorOps.cosine(col(vecCol), col(qVecCol)), 6))
+        round(VectorOps.cosineHoisted(col(vecCol), col(qVecCol),
+          col("_cn"), col("_qn")), 6))
     val w = Window.partitionBy(col(qIdCol))
       .orderBy(col("cosine").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -337,14 +352,18 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()                                        // dedup across tables
-    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorOps.norm(col(vecCol)).as("n"))
     // no broadcast hint: AQE auto-broadcasts when vecs is small; at
     // 100 TB this correctly degrades to a shuffle join on id
     val result = pairs
-      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
-      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("n").as("n_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("n").as("n_b")), Seq("id_b"))
       .withColumn("cosine",
-        round(VectorOps.cosine(col("v_a"), col("v_b")), 6))
+        round(VectorOps.cosineHoisted(col("v_a"), col("v_b"),
+          col("n_a"), col("n_b")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
     graft.access.Split.Branches(result, buckets)
@@ -393,14 +412,18 @@ object Similarity {
       : DataFrame = {
     val assigned = assignCells(emb, centroids, idCol, vecCol)
     val a = assigned.select(col("cell_id").as("cell_a"),
-      col(idCol).as("id_a"), col(vecCol).as("v_a"))
+      col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      VectorOps.norm(col(vecCol)).as("n_a"))
     val b = assigned.select(col("cell_id").as("cell_b"),
-      col(idCol).as("id_b"), col(vecCol).as("v_b"))
+      col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      VectorOps.norm(col(vecCol)).as("n_b"))
     // same 6-decimal rounding before the threshold as every other
-    // cosine gate in the repo, so the DuckDB oracle replays exactly
+    // cosine gate in the repo, so the DuckDB oracle replays exactly;
+    // norms hoisted per side so the within-cell pair loop is dot-only
     val dropped = a.join(b,
         col("cell_a") === col("cell_b") && col("id_b") < col("id_a"))
-      .filter(round(VectorOps.cosine(col("v_a"), col("v_b")), 6) >= tau)
+      .filter(round(VectorOps.cosineHoisted(col("v_a"), col("v_b"),
+        col("n_a"), col("n_b")), 6) >= tau)
       .select(col("id_a").as(idCol))
       .distinct()
     assigned.join(dropped, Seq(idCol), "left_anti")

@@ -40,6 +40,22 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     graft.functions.SketchExprs.vecCosine(a, b)
 
+  /** Norm column for [[cosineHoisted]]: `sqrt(dot(v,v))`, accumulated
+    * exactly like the fused [[cosine]] kernel's own norm pass. */
+  def norm(a: Column): Column = sqrt(normSq(a))
+
+  /** Cosine from precomputed norms: `dot(a,b) / (na * nb)` — the SAME
+    * doubles as [[cosine]] (dot(a,a) accumulates x*x left-to-right
+    * exactly like the fused kernel, and the kernel divides by
+    * `sqrt(aa) * sqrt(bb)` in this order), so results stay
+    * bit-identical and oracle-replayable. The point: in an N x M
+    * scoring join the fused kernel re-accumulates BOTH norms for every
+    * pair (three multiply-adds per element); computing [[norm]] once
+    * per row on each side leaves a dot-only inner loop — ~3x fewer
+    * flops where the engine spends most of its ANN time. */
+  def cosineHoisted(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
   /** Euclidean distance (double). */
   def l2(a: Column, b: Column): Column =
     sqrt(aggregate(
