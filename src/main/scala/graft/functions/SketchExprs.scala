@@ -198,6 +198,29 @@ object SketchExprs {
       copy(child = newChild)
   }
 
+  /** Bloom membership count: array<long> of shingle hashes -> number
+    * with all `k` bloom bits set. The word array rides into codegen as
+    * one reference object (like MinHashSig's coefficient tables). */
+  case class BloomHits(child: Expression, words: Array[Long], k: Int,
+                       log2m: Int, shift: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkLongArr(prettyName, child.dataType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "bloom_hits"
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.bloomHits(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        words, k, log2m, shift)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val wRef = ctx.addReferenceObj("bloomWords", words, "long[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchOps.bloomHits($c, $wRef, $k, $log2m, $shift);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BloomHits =
+      copy(child = newChild)
+  }
+
   /** LSH band hashes of a signature: array<long> -> array<long>(bands). */
   case class BandHashes(child: Expression, bands: Int)
       extends UnaryExpression {
@@ -408,6 +431,9 @@ object SketchExprs {
     toCol(FingerprintText(toExpr(c), shingleSize, SketchOps.xxFamily()))
   def shingleHashes(c: Column, shingleSize: Int): Column =
     toCol(ShingleHashes(toExpr(c), shingleSize, SketchOps.xxFamily()))
+  def bloomHits(c: Column, words: Array[Long], k: Int, log2m: Int,
+                shift: Int): Column =
+    toCol(BloomHits(toExpr(c), words, k, log2m, shift))
   def textStats(c: Column): Column = toCol(TextStats(toExpr(c)))
   def bandHashes(c: Column, bands: Int): Column =
     toCol(BandHashes(toExpr(c), bands))

@@ -307,6 +307,34 @@ object SketchOps {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Bloom membership over a shingle-hash array: the number of hashes
+    * whose `k` bloom positions are ALL set in `words` (the bit array
+    * as 32-bit masks in the low half of each long — see
+    * `Contamination.bloomWords`). Position i of hash h is the
+    * `log2m`-bit window at bit `i * shift`: disjoint-ish slices of the
+    * 60-bit shingle hash, so no rehash is needed per probe. */
+  def bloomHits(hs: ArrayData, words: Array[Long], k: Int, log2m: Int,
+                shift: Int): Long = {
+    val mask = (1L << log2m) - 1L
+    var hits = 0L
+    var i = 0
+    val n = hs.numElements()
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      var all = true
+      while (j < k && all) {
+        val pos = (h >>> (shift * j)) & mask
+        if (((words((pos >> 5).toInt) >> (pos & 31L).toInt) & 1L) == 0L)
+          all = false
+        j += 1
+      }
+      if (all) hits += 1
+      i += 1
+    }
+    hits
+  }
+
   /** LSH band hashes of a length-k signature: band b's hash chains
     * XXH64.hashLong over its k/bands rows, seeded by the band index
     * (so identical row-slices in different bands don't collide). */

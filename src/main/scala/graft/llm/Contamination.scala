@@ -48,4 +48,94 @@ object Contamination {
       : DataFrame =
     docs.join(contaminatedDocs(docs, benchmark, n, textCol, idCol)
       .select(col(idCol)), Seq(idCol), "left_anti")
+
+  // ---------------------------------------------------------------
+  // Bloom-filter decontamination — the constant-size scale path
+  // ---------------------------------------------------------------
+
+  /** Default bloom geometry: 2^17 bits (16 KiB) x 4 probes. False-
+    * positive rate (n benchmark shingles): (n*k/m)^k — at 100k
+    * shingles ~0.008; scale `log2m` with the benchmark suite, the
+    * corpus-side cost does not change. */
+  val BloomLog2M = 17
+  val BloomK = 4
+
+  /** Probe windows must fit the 60-bit shingle hash. */
+  private def bloomShift(log2m: Int, k: Int): Int = {
+    val s = (60 - log2m) / math.max(1, k - 1)
+    require(s >= 1 && log2m + (k - 1) * s <= 60,
+      s"bloom geometry does not fit 60-bit hashes: log2m=$log2m k=$k")
+    s
+  }
+
+  /** Build the benchmark bloom filter: a dense `2^log2m`-bit array as
+    * 32-bit masks (one per long, so `1 << bit` stays positive and the
+    * same arithmetic replays in engines whose BIGINT shifts trap on
+    * sign — the oracle-replay constraint).
+    *
+    * Distributed build: shingle hashes explode to `k` positions,
+    * bit-masks OR-combine per word with map-side partial aggregation —
+    * the shuffle is at most `2^log2m / 32` rows regardless of
+    * benchmark size; only the finished words (16 KiB at the default
+    * geometry) are collected. The returned array is the broadcastable
+    * artifact: ship it to [[bloomContaminatedDocs]] (plan literal /
+    * reference object), or persist it alongside the corpus version. */
+  def bloomWords(benchmark: DataFrame, n: Int = 8,
+                 log2m: Int = BloomLog2M, k: Int = BloomK,
+                 textCol: String = "text"): Array[Long] = {
+    val shift = bloomShift(log2m, k)
+    val m = 1 << log2m
+    val hs = benchmark
+      .select(explode(shingleHashes(col(textCol), n)).as("h"))
+      .distinct()
+    val pos = (0 until k).map { i =>
+      hs.select((shiftright(col("h"), shift * i)
+        .bitwiseAND(lit((m - 1).toLong))).as("p"))
+    }.reduce(_.union(_))
+    val rows = pos
+      .select(shiftright(col("p"), 5).as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 31 AS INT))").as("mask"))
+      .groupBy(col("w")).agg(expr("bit_or(mask)").as("bits"))
+      .collect()
+    val words = new Array[Long](m / 32)
+    rows.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    words
+  }
+
+  /** Corpus documents whose shingles hit the benchmark bloom filter:
+    * `(idCol, n_flagged)` where n_flagged counts the doc's distinct
+    * shingle hashes with all `k` bloom bits set (includes bloom false
+    * positives — deterministically, so runs and the SQL oracle agree;
+    * use [[contaminatedDocs]] when exact evidence counts matter).
+    *
+    * THE SCALE POINT: the corpus side is a pure scan -> filter — no
+    * join, no shuffle, no broadcast of the benchmark's shingle set
+    * (which grows with the benchmark; the bloom is 16 KiB at any
+    * size). One native kernel pass per doc ([[SketchExprs.BloomHits]]
+    * rides the word array as a codegen reference object). */
+  def bloomContaminatedDocs(docs: DataFrame, words: Array[Long],
+                            n: Int = 8, log2m: Int = BloomLog2M,
+                            k: Int = BloomK, textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    val shift = bloomShift(log2m, k)
+    docs.select(col(idCol),
+        graft.functions.SketchExprs.bloomHits(
+          shingleHashes(col(textCol), n), words, k, log2m, shift)
+          .as("n_flagged"))
+      .filter(col("n_flagged") > 0)
+  }
+
+  /** [[decontaminate]] through the bloom filter: one benchmark
+    * aggregation to build the 16 KiB filter, then a shuffle-free
+    * corpus scan. Drops bloom false positives too (bounded by the
+    * geometry — the price of never moving the corpus). */
+  def bloomDecontaminate(docs: DataFrame, benchmark: DataFrame,
+                         n: Int = 8, log2m: Int = BloomLog2M,
+                         k: Int = BloomK, textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val words = bloomWords(benchmark, n, log2m, k, textCol)
+    val shift = bloomShift(log2m, k)
+    docs.filter(graft.functions.SketchExprs.bloomHits(
+      shingleHashes(col(textCol), n), words, k, log2m, shift) === 0L)
+  }
 }

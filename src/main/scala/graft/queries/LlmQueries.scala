@@ -280,6 +280,20 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // bloom-filter decontamination — the constant-size scale path:
+    // the benchmark collapses to a 16 KiB bit array, the corpus side
+    // is a shuffle-free scan+filter (native BloomHits kernel). Same
+    // benchmark split as llm_contamination; n_flagged includes bloom
+    // false positives deterministically (same filter in the oracle).
+    "llm_bloom_decon" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val words = Contamination.bloomWords(
+        docs.filter(col("doc_id") % 10 === 0), n = 5)
+      Contamination.bloomContaminatedDocs(
+          docs.filter(col("doc_id") % 10 =!= 0), words, n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // multimodal plumbing with a verifiable projection: blob byte
     // length through the partition-batched extractor.
     "llm_mm_bytelen" -> ((s, dir) => {
@@ -986,6 +1000,46 @@ object LlmQueries {
          SELECT ds.doc_id, COUNT(DISTINCT ds.h) AS n_shared
          FROM ds JOIN bs ON ds.h = bs.h
          GROUP BY ds.doc_id ORDER BY doc_id""",
+    // bloom replay: same 60-bit shingle hashes, positions are the four
+    // 17-bit windows at shifts 0/14/28/42, words are 32-bit masks in
+    // BIGINT (1 << bit stays positive — DuckDB BIGINT shifts trap on
+    // overflow). A doc's shingle "hits" when all 4 windows' bits are
+    // set; n_flagged counts hitting distinct shingles per doc.
+    "llm_bloom_decon" ->
+      s"""WITH tk AS (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(tk) - 4, 0)),
+             i -> ${h60Sql("array_to_string(tk[i:i+4], ' ')")})) AS s
+           FROM tk),
+         bs AS (SELECT DISTINCT unnest(s) AS h FROM sh
+                WHERE doc_id % 10 = 0),
+         words AS (
+           SELECT p >> 5 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(p & 31 AS INT)) AS bits
+           FROM (
+             SELECT ((h >> 0) & 131071) AS p FROM bs
+             UNION ALL SELECT ((h >> 14) & 131071) FROM bs
+             UNION ALL SELECT ((h >> 28) & 131071) FROM bs
+             UNION ALL SELECT ((h >> 42) & 131071) FROM bs)
+           GROUP BY 1),
+         ds AS (SELECT doc_id, unnest(s) AS h FROM sh
+                WHERE doc_id % 10 <> 0),
+         dpos AS (
+           SELECT doc_id, h, ((h >> 0) & 131071) AS p FROM ds
+           UNION ALL SELECT doc_id, h, ((h >> 14) & 131071) FROM ds
+           UNION ALL SELECT doc_id, h, ((h >> 28) & 131071) FROM ds
+           UNION ALL SELECT doc_id, h, ((h >> 42) & 131071) FROM ds),
+         hit AS (
+           SELECT doc_id, h FROM dpos
+           JOIN words ON (dpos.p >> 5) = words.w
+             AND ((words.bits >> CAST(dpos.p & 31 AS INT)) & 1) = 1
+           GROUP BY doc_id, h HAVING COUNT(*) = 4)
+         SELECT doc_id, COUNT(*) AS n_flagged FROM hit
+         GROUP BY doc_id ORDER BY doc_id""",
     "llm_subword" ->
       """SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))

@@ -306,6 +306,51 @@ object Relational {
         cacheRoot = Some(s"$scratch/memo")).count()
       graft.Pipeline.run(s, t, m, (), cacheRoot = Some(s"$scratch/memo"))
         .orderBy($"o_orderstatus")
+    }),
+
+    // --- as-of join (union-window plan, Joins.asofJoin): every click
+    //     gets the user's most recent purchase at or before it. Epoch
+    //     micros on both sides keep the time arithmetic engine-exact.
+    "q21_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Star.events(s, dir).withColumn("tsu", unix_micros($"ts"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"tsu")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"tsu", $"value")
+      graft.rep.Joins.asofJoin(clicks, purchases, "user_id", "tsu",
+          payload = Seq("value"))
+        .orderBy($"event_id")
+    }),
+
+    // --- range join (grid-bucketed equi-join, Joins.rangeJoin):
+    //     orders priced into non-uniform bands — the equi-joinable
+    //     form of a BETWEEN predicate Spark would otherwise
+    //     nested-loop.
+    "q22_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        ("small", 0.0, 50000.0), ("mid", 50000.0, 150000.0),
+        ("large", 150000.0, 300000.0), ("huge", 300000.0, 500000.0))
+        .toDF("band", "lo", "hi")
+      graft.rep.Joins.rangeJoin(
+          table(s, dir, "orders").select($"o_orderkey", $"o_totalprice"),
+          bands, "o_totalprice", "lo", "hi", bucketWidth = 50000.0)
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n"), sumDec($"o_totalprice").as("sum_price"))
+        .orderBy($"band")
+    }),
+
+    // --- gap-based sessionization (Sessionize.sessionStats): 30-min
+    //     inactivity gap per user over the events stream, per-session
+    //     rollup.
+    "q23_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Star.events(s, dir).withColumn("tsu", unix_micros($"ts"))
+        .select($"user_id", $"tsu", $"value")
+      graft.streaming.Sessionize.sessionStats(ev, "user_id", "tsu",
+          gap = 30L * 60 * 1000000, valueCol = "value")
+        .orderBy($"user_id", $"session_idx")
     })
   )
 
@@ -419,6 +464,58 @@ object Relational {
     "q20_cached_rerun" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // as-of replayed with the same union-window rule (not DuckDB's
+    // ASOF keyword, whose tie semantics are its own)
+    "q21_asof_join" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+             event_type, value
+           FROM events),
+         u AS (
+           SELECT event_id, user_id, tsu,
+             NULL::DOUBLE AS pv, NULL::BIGINT AS pts, 1 AS side
+           FROM ev WHERE event_type = 'click'
+           UNION ALL
+           SELECT NULL, user_id, tsu, value, tsu, 0
+           FROM ev WHERE event_type = 'purchase'),
+         c AS (
+           SELECT event_id, user_id, tsu, side,
+             last_value(pv IGNORE NULLS) OVER w AS asof_value,
+             last_value(pts IGNORE NULLS) OVER w AS asof_ts
+           FROM u
+           WINDOW w AS (PARTITION BY user_id ORDER BY tsu, side
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id, user_id, tsu, asof_value, asof_ts
+         FROM c WHERE side = 1 ORDER BY event_id""",
+    "q22_range_join" ->
+      """SELECT band, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders
+         JOIN (VALUES ('small', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+                      ('large', 150000.0, 300000.0),
+                      ('huge', 300000.0, 500000.0)) v(band, lo, hi)
+           ON o_totalprice >= lo AND o_totalprice < hi
+         GROUP BY band ORDER BY band""",
+    "q23_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value
+           FROM events),
+         m AS (
+           SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
+                            OR tsu - lag(tsu) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu)),
+         s AS (
+           SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+             ORDER BY tsu
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+             AS BIGINT) AS session_idx
+           FROM m)
+         SELECT user_id, session_idx, min(tsu) AS session_start,
+           max(tsu) AS session_end, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
+         FROM s GROUP BY user_id, session_idx
+         ORDER BY user_id, session_idx"""
   )
 }

@@ -44,6 +44,114 @@ object Joins {
     saltedFact.join(explodedDim, Seq(key, "_salt"), joinType).drop("_salt")
   }
 
+  /** As-of join: for every left row, attach the payload of the LATEST
+    * right row with the same key and `right.ts <= left.ts` (backward
+    * direction; a right row at exactly left.ts matches). Left rows with
+    * no eligible right row get null payloads, as do matches further
+    * back than `tolerance` (in `ts` units) when one is given.
+    *
+    * Among right rows sharing the max eligible ts the LAST in
+    * (ts, payload-order) wins; pass a right side unique per (key, ts)
+    * — pre-aggregate if needed — for fully deterministic output.
+    *
+    * Implementation is the union-window plan, not a range join: both
+    * sides are tagged and unioned, then `last(payload, ignoreNulls)`
+    * over (key ORDER BY ts, side ROWS UNBOUNDED PRECEDING..CURRENT)
+    * carries the newest right payload forward onto each left row.
+    *
+    * Scale: ONE shuffle on the key (the window sort), linear scan per
+    * partition — no range-condition join (Spark would nested-loop it),
+    * no per-row right-side probe. Skewed keys sort within one
+    * partition; the usual salting answer does not apply (the carry is
+    * order-dependent) — split hot keys by coarse time range instead if
+    * a single key's history outgrows a partition.
+    *
+    * Output: every left column, then `<prefix><payloadCol>` for each
+    * payload column and `<prefix>ts` (the matched right timestamp).
+    *
+    * (Beyond-reference, as with everything in this file: the example
+    * custom-operator family from the project brief, expressed as a
+    * composition Catalyst can already optimize.) */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               payload: Seq[String], tolerance: Option[Long] = None,
+               prefix: String = "asof_"): DataFrame = {
+    require(payload.nonEmpty, "asofJoin: payload columns required")
+    val rFields = right.schema.fields.filter(f => payload.contains(f.name))
+    require(rFields.length == payload.length,
+      s"asofJoin: payload ${payload.diff(rFields.map(_.name))} missing on right")
+    val leftCols = left.columns.toSeq
+    val lU = left.select(
+      leftCols.map(col) ++
+        rFields.map(f => lit(null).cast(f.dataType).as(prefix + f.name)) :+
+        lit(null).cast(left.schema(ts).dataType).as(prefix + "ts") :+
+        lit(1).as("_side"): _*)
+    val rU = right.select(
+      leftCols.map { c =>
+        if (c == key || c == ts) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)
+      } ++
+        payload.map(c => col(c).as(prefix + c)) :+
+        col(ts).as(prefix + "ts") :+
+        lit(0).as("_side"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(ts).asc, col("_side").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val carried = (payload.map(prefix + _) :+ (prefix + "ts"))
+      .foldLeft(lU.unionByName(rU)) { (df, c) =>
+        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
+    val matched = carried.filter(col("_side") === 1).drop("_side")
+    tolerance.fold(matched) { tol =>
+      val stale = col(prefix + "ts").isNull ||
+        col(ts) - col(prefix + "ts") > tol
+      (payload.map(prefix + _) :+ (prefix + "ts"))
+        .foldLeft(matched) { (df, c) =>
+          df.withColumn(c, when(stale, lit(null)).otherwise(col(c)))
+        }
+    }
+  }
+
+  /** Range (interval) join: points `p` in `pointCol` against intervals
+    * `[loCol, hiCol)` — inclusive low, exclusive high. Returns the
+    * inner join of every point row with every interval row containing
+    * its value.
+    *
+    * Implementation: both sides are keyed to `bucketWidth`-sized grid
+    * cells — the point to `floor(p/w)`, the interval to EVERY cell its
+    * span overlaps (explode) — then equi-joined on the cell and
+    * re-filtered with the exact predicate. A point's cell is unique, so
+    * no post-join dedup is needed.
+    *
+    * Scale: turns the range predicate into a shuffle-partitionable
+    * equi-join (Spark plans a bare range condition as a broadcast
+    * nested-loop — O(|points| x |intervals|)). Interval replication is
+    * span/w rows, so pick `bucketWidth` near the typical interval
+    * length: smaller w = more replicas, larger w = more false
+    * candidates for the residual filter. Degenerate wide intervals
+    * (span >> w) are better handled by splitting them out and
+    * broadcast-joining that small side. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, pointCol: String,
+                loCol: String, hiCol: String, bucketWidth: Double)
+      : DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val cellOf = (c: Column) => floor(c.cast("double") / bucketWidth)
+      .cast("long")
+    val p = points.withColumn("_cell", cellOf(col(pointCol)))
+    // hi is exclusive: a hi exactly on a cell boundary never reaches
+    // into that cell. greatest(.., loCell) keeps the sequence ascending
+    // for degenerate spans (Spark's sequence(2, 1) counts DOWN).
+    val hiCell = cellOf(when(
+      col(hiCol) === floor(col(hiCol) / bucketWidth) * bucketWidth,
+      col(hiCol) - lit(bucketWidth) / 2).otherwise(col(hiCol)))
+    val iv = intervals.withColumn("_cell",
+      explode(sequence(cellOf(col(loCol)),
+        greatest(hiCell, cellOf(col(loCol))))))
+    p.join(iv, Seq("_cell"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("_cell")
+  }
+
   /** Write both sides bucketed on their join keys so subsequent joins
     * are co-located (no Exchange: each bucket pair joins in place).
     * This is the write-time layout investment that pays off across

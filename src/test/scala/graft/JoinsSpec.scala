@@ -1,0 +1,113 @@
+package graft
+
+import graft.rep.Joins
+import graft.streaming.Sessionize
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics tests for the beyond-reference join/session operators:
+  * hand-checkable fixtures pinning the corner cases the oracles'
+  * bulk data cannot isolate (no-match nulls, tolerance, interval
+  * boundaries, gap edges). */
+class JoinsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("asofJoin: backward match, exact-ts match, no-match null") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 25L), (3L, 100L, 40L),
+      (4L, 200L, 5L)).toDF("ev", "k", "t")
+    // right rows at t=10 and t=25 for key 1; key 2 has none
+    val right = Seq((100L, 10L, 1.5), (100L, 25L, 2.5))
+      .toDF("k", "t", "v")
+    val got = Joins.asofJoin(
+        left.withColumnRenamed("k", "kk"), right.withColumnRenamed("k", "kk"),
+        "kk", "t", Seq("v"))
+      .orderBy(col("ev"))
+      .select(col("ev"), col("asof_v"), col("asof_ts")).collect()
+    // t=10: right@10 matches exactly; t=25: right@25 (not 10); t=40:
+    // still right@25; key 2: nulls
+    assert(got(0).getDouble(1) == 1.5 && got(0).getLong(2) == 10L)
+    assert(got(1).getDouble(1) == 2.5 && got(1).getLong(2) == 25L)
+    assert(got(2).getDouble(1) == 2.5 && got(2).getLong(2) == 25L)
+    assert(got(3).isNullAt(1) && got(3).isNullAt(2))
+  }
+
+  test("asofJoin: tolerance nulls out stale matches") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 50L)).toDF("ev", "k", "t")
+    val right = Seq((100L, 10L, 9.9)).toDF("k", "t", "v")
+    val within = Joins.asofJoin(left, right, "k", "t", Seq("v"),
+      tolerance = Some(40L)).select(col("asof_v")).collect()
+    assert(within(0).getDouble(0) == 9.9)
+    val stale = Joins.asofJoin(left, right, "k", "t", Seq("v"),
+      tolerance = Some(39L)).select(col("asof_v")).collect()
+    assert(stale(0).isNullAt(0))
+  }
+
+  test("rangeJoin: [lo, hi) boundaries; equals the predicate join " +
+       "for every width") {
+    import spark.implicits._
+    val points = Seq((1L, 0.0), (2L, 49.999), (3L, 50.0), (4L, 99.9),
+      (5L, 100.0), (6L, 150.0), (7L, -1.0)).toDF("id", "x")
+    val iv = Seq(("a", 0.0, 50.0), ("b", 50.0, 100.0), ("c", 50.0, 150.0))
+      .toDF("band", "lo", "hi")
+    val expect = points.join(iv, col("x") >= col("lo") && col("x") < col("hi"))
+      .select("id", "band").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSet
+    // boundary sanity: 50.0 joins b and c (not a); 100.0 joins only c
+    assert(expect == Set((1L, "a"), (2L, "a"), (3L, "b"), (3L, "c"),
+      (4L, "b"), (4L, "c"), (5L, "c")))
+    for (w <- Seq(10.0, 50.0, 75.0, 1000.0)) {
+      val got = Joins.rangeJoin(points, iv, "x", "lo", "hi", w)
+        .select("id", "band").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == expect, s"width $w")
+    }
+  }
+
+  test("sessionize: gap boundary is exclusive; indices are per-key") {
+    import spark.implicits._
+    // gaps of exactly 10 stay in-session; 11 opens a new one
+    val ev = Seq((1L, 0L), (1L, 10L), (1L, 21L), (1L, 31L),
+      (2L, 5L)).toDF("k", "t")
+    val got = Sessionize.sessionize(ev, "k", "t", gap = 10L)
+      .orderBy(col("k"), col("t"))
+      .select(col("k"), col("t"), col("session_idx")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 0L, 0L), (1L, 10L, 0L), (1L, 21L, 1L),
+      (1L, 31L, 1L), (2L, 5L, 0L)))
+  }
+
+  test("bloom decontamination: finds every truly contaminated doc " +
+       "(no false negatives), and the planted-clean doc survives") {
+    import spark.implicits._
+    val bench = Seq((0L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "xx alpha beta gamma delta epsilon yy"), // shares a 5-gram
+      (2L, "totally different words with no overlap at all"),
+      (3L, "alpha beta gamma delta")                // only 4 tokens shared
+    ).toDF("doc_id", "text")
+    val words = graft.llm.Contamination.bloomWords(bench, n = 5)
+    val flagged = graft.llm.Contamination
+      .bloomContaminatedDocs(corpus, words, n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged.contains(1L), "bloom can never miss a true positive")
+    val kept = graft.llm.Contamination
+      .bloomDecontaminate(corpus, bench, n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(1L))
+    // exact path agreement on the true-positive set
+    val exact = graft.llm.Contamination
+      .contaminatedDocs(corpus, bench, n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact == Set(1L))
+    assert(exact.subsetOf(flagged))
+  }
+}

@@ -225,4 +225,61 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"scoring join must not shuffle the corpus:\n${plan.take(2000)}")
   }
+
+  test("rangeJoin plans a partitionable equi-join, not a nested loop") {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val bands = Seq(("a", 0.0, 100000.0), ("b", 100000.0, 500000.0))
+      .toDF("band", "lo", "hi")
+    // disable auto-broadcast so the plan shows what survives when BOTH
+    // sides are too big to broadcast — the regime rangeJoin exists for
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    val plan =
+      try {
+        spark.conf.set(key, "-1")
+        planOf(graft.rep.Joins.rangeJoin(orders, bands,
+          "o_totalprice", "lo", "hi", 100000.0))
+      } finally spark.conf.set(key, prev)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join must not nested-loop:\n${plan.take(2000)}")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      plan.take(2000))
+  }
+
+  test("asofJoin is one shuffle on the key — no join operator at all") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val l = orders.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val r = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    val plan = planOf(graft.rep.Joins.asofJoin(l, r, "o_custkey",
+      "o_orderdate", Seq("o_totalprice")))
+    assert(!plan.contains("Join"), s"union-window plan:\n${plan.take(2000)}")
+    assert(raw"\(\d+\) Exchange".r.findAllIn(plan).size == 1,
+      s"exactly one key shuffle:\n${plan.take(2500)}")
+  }
+
+  test("sessionize shares one key shuffle across both windows") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val plan = planOf(graft.streaming.Sessionize.sessionize(
+      orders, "o_custkey", "o_totalprice", gap = 1000L))
+    assert(raw"\(\d+\) Exchange".r.findAllIn(plan).size == 1,
+      s"both windows must reuse the (key, ts) sort:\n${plan.take(2500)}")
+  }
+
+  test("bloom contamination corpus side is a shuffle-free codegen scan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val words = graft.llm.Contamination.bloomWords(
+      docs.filter(col("doc_id") % 10 === 0), n = 5)
+    val plan = planOf(graft.llm.Contamination.bloomContaminatedDocs(
+      docs.filter(col("doc_id") % 10 =!= 0), words, n = 5))
+    assert(!plan.contains("Exchange"),
+      s"corpus side must not shuffle or join:\n${plan.take(1500)}")
+    assert(!plan.contains("Join"), plan.take(1500))
+    assert(plan.contains("bloom_hits"), plan.take(1500))
+    assert(plan.contains("* Filter") || plan.contains("* Project"),
+      s"kernel must stay in whole-stage codegen:\n${plan.take(1500)}")
+  }
 }
