@@ -198,6 +198,25 @@ object SketchExprs {
       copy(child = newChild)
   }
 
+  /** Canonical text normalization: string -> string (NFC, root-locale
+    * lowercase, whitespace collapse, trim). */
+  case class NormalizeText(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${child.dataType}")
+    override def dataType: DataType = StringType
+    override def prettyName: String = "normalize_text"
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.normalizeText(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SketchOps.normalizeText($c)")
+    override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+      copy(child = newChild)
+  }
+
   /** Bloom membership count: array<long> of shingle hashes -> number
     * with all `k` bloom bits set. The word array rides into codegen as
     * one reference object (like MinHashSig's coefficient tables). */
@@ -434,6 +453,7 @@ object SketchExprs {
   def bloomHits(c: Column, words: Array[Long], k: Int, log2m: Int,
                 shift: Int): Column =
     toCol(BloomHits(toExpr(c), words, k, log2m, shift))
+  def normalizeText(c: Column): Column = toCol(NormalizeText(toExpr(c)))
   def textStats(c: Column): Column = toCol(TextStats(toExpr(c)))
   def bandHashes(c: Column, bands: Int): Column =
     toCol(BandHashes(toExpr(c), bands))

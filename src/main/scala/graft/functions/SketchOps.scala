@@ -307,6 +307,35 @@ object SketchOps {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Canonical text normalization: unicode NFC, lowercase (root
+    * locale — no Turkish-i surprises from the JVM default), whitespace
+    * runs collapsed to single spaces, ends trimmed. The standard
+    * pre-dedup/pre-hash canonicalization pass; deliberately NOT NFKC
+    * (compatibility folding is lossy) so normalize-then-fingerprint
+    * stays reversible in spirit. */
+  def normalizeText(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val s = text.toString
+    val nfc =
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) s
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    val lower = nfc.toLowerCase(java.util.Locale.ROOT)
+    // single pass whitespace collapse + trim (regex-free)
+    val sb = new java.lang.StringBuilder(lower.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < lower.length) {
+      val c = lower.charAt(i)
+      if (Character.isWhitespace(c)) { pendingSpace = sb.length() > 0 }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
   /** Bloom membership over a shingle-hash array: the number of hashes
     * whose `k` bloom positions are ALL set in `words` (the bit array
     * as 32-bit masks in the low half of each long — see

@@ -95,6 +95,14 @@ object TextAnalysis {
       .otherwise(0.0)
   }
 
+  /** Canonical text normalization: unicode NFC, root-locale lowercase,
+    * whitespace runs collapsed to one space, ends trimmed — the
+    * standard canonicalization before exact/near dedup and
+    * fingerprinting, as one codegen'd kernel pass (shuffle-free at any
+    * corpus size). Deliberately NFC, not NFKC. */
+  def normalizeText(text: Column): Column =
+    graft.functions.SketchExprs.normalizeText(text)
+
   /** Stopword ratio against a given list. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val toks = tokens(text)
@@ -153,6 +161,68 @@ object TextAnalysis {
     piiPatterns.foldLeft(text) { case (c, (pat, rep)) =>
       regexp_replace(c, pat, rep)
     }
+
+  // ---------------------------------------------------------------
+  // n-gram language-model scoring (perplexity-style quality filter)
+  // ---------------------------------------------------------------
+
+  /** Per-document average bigram log-probability under an add-alpha
+    * bigram LM trained on `train` — the KenLM-perplexity quality gate
+    * of web-scale curation pipelines (CCNet-style), with the LM kept
+    * engine-replayable: `ln((c(w1,w2) + a) / (c(w1) + a*V))` averaged
+    * over the doc's bigram instances, summed through DECIMAL(38,18)
+    * so the average is partition-order-independent. Low scores =
+    * improbable word sequences (gibberish, boilerplate soup);
+    * `exp(-avg_logprob)` is the per-word perplexity.
+    *
+    * `maxBigrams` caps the LM table for scale (top-B by count, ties
+    * lexicographic — deterministic); unseen bigrams back off to the
+    * smoothing floor via the same formula with c=0. Docs with fewer
+    * than 2 tokens produce no bigrams and are absent from the output.
+    *
+    * Scale: unigram/bigram counts ride (hashable token keys) with
+    * map-side combine; V is a lazy 1-row broadcast (like
+    * [[tfidfTopTerms]]'s N); the count tables join back onto the
+    * instance stream (AQE broadcasts them while they fit, degrades to
+    * shuffle joins when the LM outgrows that); the final per-doc agg
+    * is one shuffle on the doc key. */
+  def bigramLmScore(docs: DataFrame, train: DataFrame, alpha: Double = 0.5,
+                    maxBigrams: Int = Int.MaxValue,
+                    textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    def bigramInst(df: DataFrame, cols: Column*): DataFrame = {
+      val tk = df.withColumn("_tk", tokens(col(textCol)))
+        .filter(size(col("_tk")) >= 2)
+      val n1 = size(col("_tk")) - 1
+      tk.select(cols :+ explode(arrays_zip(
+          slice(col("_tk"), lit(1), n1).as("w1"),
+          zip_with(slice(col("_tk"), lit(1), n1),
+            slice(col("_tk"), lit(2), n1),
+            (a, b) => concat(a, lit(" "), b)).as("bg"))).as("z"): _*)
+        .select(cols :+ col("z.w1") :+ col("z.bg"): _*)
+    }
+    val trainTokens = train.select(explode(tokens(col(textCol))).as("w"))
+    val uni = trainTokens.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val vDf = uni.select(count(lit(1)).as("_v"))
+    val bc0 = bigramInst(train)
+      .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val bc =
+      if (maxBigrams == Int.MaxValue) bc0
+      else bc0.orderBy(col("cb").desc, col("bg").asc).limit(maxBigrams)
+    val inst = bigramInst(docs, col(idCol))
+    val lp = log((coalesce(col("cb"), lit(0L)).cast("double") + alpha) /
+      (coalesce(col("cu"), lit(0L)).cast("double") +
+        lit(alpha) * col("_v").cast("double")))
+    inst
+      .join(bc, Seq("bg"), "left")
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+      .crossJoin(broadcast(vDf))
+      .select(col(idCol), lp.as("_lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("_lp").cast("decimal(38,18)")).cast("double") /
+          count(lit(1)), 6).as("avg_logprob"))
+  }
 
   // ---------------------------------------------------------------
   // vocabulary / OOV

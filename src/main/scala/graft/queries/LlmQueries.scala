@@ -384,6 +384,22 @@ object LlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // bigram-LM quality scoring (perplexity gate): self-trained
+    // add-0.5 LM, decimal-exact logprob average.
+    "llm_lm_score" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      TextAnalysis.bigramLmScore(docs, docs, alpha = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // canonical text normalization (NFC + lowercase + whitespace
+    // collapse) — the pre-dedup canonicalization kernel.
+    "llm_norm_text" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.normalizeText(col("text")).as("text_norm"))
+        .orderBy(col("doc_id"))),
+
     // per-document top-3 characteristic terms by tf-idf (score rounded
     // to 6 decimals BEFORE ranking; ties break lexicographically).
     "llm_tfidf" -> ((s, dir) =>
@@ -1167,6 +1183,43 @@ object LlmQueries {
              AS oov_rate
          FROM tok LEFT JOIN vocab v USING (token)
          GROUP BY lang ORDER BY lang""",
+    // bigram-LM replay: identical smoothing formula and operand order;
+    // the logprob sum goes through DECIMAL(38,18) on both sides so the
+    // per-doc average is aggregation-order-independent.
+    "llm_lm_score" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         uni AS (SELECT w, count(*) AS cu FROM (
+             SELECT unnest(tk) AS w FROM tok) GROUP BY w),
+         vn AS (SELECT count(*) AS v FROM uni),
+         inst AS (
+           SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(tk) - 1),
+               i -> tk[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i+1])) AS bg
+           FROM tok WHERE len(tk) >= 2),
+         bc AS (SELECT bg, count(*) AS cb FROM inst GROUP BY bg),
+         lp AS (
+           SELECT doc_id,
+             ln((CAST(cb AS DOUBLE) + 0.5) /
+                (CAST(cu AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))) AS lp
+           FROM inst JOIN bc USING (bg) JOIN uni ON uni.w = inst.w1, vn)
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(CAST(SUM(CAST(lp AS DECIMAL(38,18))) AS DOUBLE)
+             / count(*), 6) AS avg_logprob
+         FROM lp GROUP BY doc_id ORDER BY doc_id""",
+
+    // normalization replay; RE2 '\s' is ASCII-whitespace like the
+    // kernel's collapse on this corpus.
+    "llm_norm_text" ->
+      """SELECT doc_id,
+           trim(regexp_replace(lower(nfc_normalize(text)),
+             '\s+', ' ', 'g')) AS text_norm
+         FROM documents ORDER BY doc_id""",
+
     // tf-idf replay: identical formula order (tf * ln(N/df), round-6
     // before ranking) so doubles match bit-for-bit.
     "llm_tfidf" ->

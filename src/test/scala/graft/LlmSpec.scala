@@ -545,6 +545,46 @@ class LlmSpec extends AnyFunSuite {
     assert(m("fr") == ((2L, 1.0)))
   }
 
+  test("normalizeText: NFC composition, casefold, whitespace collapse") {
+    import spark.implicits._
+    // "e" + combining acute (NFD) must compose to the NFC "é"
+    val decomposed = "Café"
+    val df = Seq(
+      (1L, s"  $decomposed   AU   LAIT\t\nplease "),
+      (2L, "already clean"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "café au lait please")
+    assert(got(2L) == "already clean")
+    assert(got(3L) == "")
+  }
+
+  test("bigramLmScore: improbable sequences score below corpus-typical " +
+       "text; decimal average matches hand computation") {
+    import spark.implicits._
+    // train: "a b" dominates; doc 3 is an unseen-order permutation
+    val train = Seq((1L, "a b a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val gotN = TextAnalysis.bigramLmScore(train, train, alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // counts: tokens a:4 b:4 c:1, V=3; bigrams "a b":4, "b a":2, "b c":1
+    def p(cb: Long, cu: Long) = math.log((cb + 0.5) / (cu + 0.5 * 3))
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = r6((3 * p(4, 4) + 2 * p(2, 4)) / 5)
+    val d2 = r6((p(4, 4) + p(1, 4)) / 2)
+    assert(gotN(1L)._1 == 5L && math.abs(gotN(1L)._2 - d1) < 1e-9)
+    assert(gotN(2L)._1 == 2L && math.abs(gotN(2L)._2 - d2) < 1e-9)
+    // scoring a gibberish doc against the trained LM: all bigrams
+    // unseen -> backoff floor, lower than the typical doc's score
+    val weird = Seq((9L, "c c c c c c")).toDF("doc_id", "text")
+    val ws = TextAnalysis.bigramLmScore(weird, train, alpha = 0.5)
+      .collect()(0).getDouble(2)
+    assert(ws < gotN(1L)._2 && ws < gotN(2L)._2)
+  }
+
   test("tfidfTopTerms: hand-computed scores, deterministic ties") {
     import spark.implicits._
     // N=3; "aa" in all docs (idf ln(1)=0), "bb" in two (ln 1.5),
