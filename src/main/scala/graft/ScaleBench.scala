@@ -121,6 +121,12 @@ object ScaleBench {
       val (sd, t12) = timed(graft.llm.Similarity.semDedupKmeans(
         emb, nCells = 16 * f, iters = 2, tau = 0.4).count())
       report(s"semdedup_${16 * f}cells", f, nEmb, sd, t12)
+
+      // Gopher repetition stats: pure scan+map kernel — the proof
+      // point is near-perfect linear scaling (no shuffle at any f)
+      val (gr, t13) = timed(
+        graft.llm.TextAnalysis.gopherRepetition(docs).count())
+      report("gopher_repetition", f, nDocs, gr, t13)
     }
     spark.stop()
   }

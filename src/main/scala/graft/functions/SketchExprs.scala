@@ -157,6 +157,33 @@ object SketchExprs {
       copy(child = newChild)
   }
 
+  /** One-pass Gopher repetition statistics (see
+    * [[SketchOps.gopherStats]]): string -> struct of line-dup and
+    * n-gram-repetition fractions. */
+  case class GopherStats(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${child.dataType}")
+    override def dataType: DataType = StructType(
+      StructField("n_lines", LongType, nullable = false) +:
+      ("dup_line_frac" :: "dup_line_char_frac" ::
+       "top_2gram_frac" :: "top_3gram_frac" :: "top_4gram_frac" ::
+       "dup_5gram_frac" :: "dup_6gram_frac" :: "dup_7gram_frac" ::
+       "dup_8gram_frac" :: "dup_9gram_frac" :: "dup_10gram_frac" :: Nil)
+        .map(StructField(_, DoubleType, nullable = false)))
+    override def prettyName: String = "gopher_stats"
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.gopherStats(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchOps.gopherStats($c);")
+    override protected def withNewChildInternal(newChild: Expression): GopherStats =
+      copy(child = newChild)
+  }
+
   /** Winnowing fingerprint from text: string -> long. */
   case class FingerprintText(child: Expression, shingleSize: Int, xx: Boolean)
       extends UnaryExpression {
@@ -455,6 +482,7 @@ object SketchExprs {
     toCol(BloomHits(toExpr(c), words, k, log2m, shift))
   def normalizeText(c: Column): Column = toCol(NormalizeText(toExpr(c)))
   def textStats(c: Column): Column = toCol(TextStats(toExpr(c)))
+  def gopherStats(c: Column): Column = toCol(GopherStats(toExpr(c)))
   def bandHashes(c: Column, bands: Int): Column =
     toCol(BandHashes(toExpr(c), bands))
   def langId(c: Column, markers: Seq[(String, Seq[String])]): Column =

@@ -588,4 +588,149 @@ object SketchOps {
     UnsafeArrayData.fromPrimitiveArray(
       ids.take(math.min(nProbe, ids.length)).map(_.toLong))
   }
+
+  /** Whitespace tokens for the Gopher kernel: maximal runs of
+    * non-\s codepoints, where \s is the RE2 class the oracle's
+    * `regexp_split_to_array(text, '\s+')` uses (space, \t, \n, \f,
+    * \r — same class as [[textStats]]). */
+  private def wsTokens(s: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](16)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r')
+        i += 1
+      else {
+        val start = i
+        while (i < n && {
+          val d = s.charAt(i)
+          !(d == ' ' || d == '\t' || d == '\n' || d == '\f' || d == '\r')
+        }) i += 1
+        out += s.substring(start, i)
+      }
+    }
+    out.toArray
+  }
+
+  /** One-pass Gopher-style repetition statistics (the repetition
+    * signals of Rae et al. 2021, "Scaling Language Models", Table A1),
+    * computed per document with NO shuffle — the whole filter is a
+    * scan + map at 100 TB:
+    *
+    *  - lines = non-empty `\n` segments; `dup_line_frac` = line
+    *    occurrences beyond the first / total lines (== 1 -
+    *    distinct/total); `dup_line_char_frac` = the same numerator
+    *    weighted by line codepoint length over total line chars.
+    *  - tokens = RE2-\s runs; n-grams are single-space joins (so a
+    *    gram string uniquely recovers its token sequence).
+    *  - `top_{2,3,4}gram_frac` = max over grams of count ×
+    *    gram-token-chars, over total token chars (the "most
+    *    char-covering n-gram", a deterministic variant of Gopher's
+    *    most-frequent-n-gram that needs no tie-break).
+    *  - `dup_{5..10}gram_frac` = chars of token positions covered by
+    *    ANY n-gram occurring more than once, over total token chars
+    *    (interval-union coverage, not double-counted).
+    *
+    * Every numerator/denominator is an exact integer and only the
+    * final ratio divides, so each fraction replays bit-exact in the
+    * DuckDB oracle. All lengths are codepoints (`length()` in
+    * DuckDB). */
+  def gopherStats(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    // --- lines ---
+    var nLines = 0L; var lineChars = 0L
+    var dupLines = 0L; var dupLineChars = 0L
+    val lineCount = new java.util.HashMap[String, Integer]()
+    var i = 0
+    val n = s.length
+    var more = n > 0
+    while (more) {
+      val nl = s.indexOf('\n', i)
+      val end = if (nl < 0) n else nl
+      if (end > i) {
+        val line = s.substring(i, end)
+        val ll = line.codePointCount(0, line.length).toLong
+        nLines += 1; lineChars += ll
+        val c = lineCount.merge(line, 1, (a: Integer, b: Integer) =>
+          Integer.valueOf(a.intValue + b.intValue))
+        if (c.intValue > 1) { dupLines += 1; dupLineChars += ll }
+      }
+      if (nl < 0) more = false else i = nl + 1
+    }
+    // --- tokens ---
+    val toks = wsTokens(s)
+    val ntok = toks.length
+    val tokLen = new Array[Long](ntok)
+    val pre = new Array[Long](ntok + 1) // prefix sums of token chars
+    var t = 0
+    while (t < ntok) {
+      tokLen(t) = toks(t).codePointCount(0, toks(t).length).toLong
+      pre(t + 1) = pre(t) + tokLen(t)
+      t += 1
+    }
+    val tchars = pre(ntok)
+    // --- n-grams, n = 2..10 ---
+    val topNum = new Array[Long](11)   // n -> max(count * gramChars)
+    val covNum = new Array[Long](11)   // n -> covered token chars
+    var ng = 2
+    while (ng <= 10) {
+      val nStarts = ntok - ng + 1
+      if (nStarts > 0) {
+        val grams = new Array[String](nStarts)
+        val cnt = new java.util.HashMap[String, Integer]()
+        var st = 0
+        while (st < nStarts) {
+          val sb = new java.lang.StringBuilder(32)
+          var j = 0
+          while (j < ng) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(st + j)); j += 1
+          }
+          val g = sb.toString
+          grams(st) = g
+          cnt.merge(g, 1, (a: Integer, b: Integer) =>
+            Integer.valueOf(a.intValue + b.intValue))
+          st += 1
+        }
+        if (ng <= 4) {
+          var best = 0L
+          st = 0
+          while (st < nStarts) {
+            val v = cnt.get(grams(st)).longValue * (pre(st + ng) - pre(st))
+            if (v > best) best = v
+            st += 1
+          }
+          topNum(ng) = best
+        } else {
+          val covered = new Array[Boolean](ntok)
+          st = 0
+          while (st < nStarts) {
+            if (cnt.get(grams(st)).intValue > 1) {
+              var j = st
+              while (j < st + ng) { covered(j) = true; j += 1 }
+            }
+            st += 1
+          }
+          var cc = 0L
+          t = 0
+          while (t < ntok) { if (covered(t)) cc += tokLen(t); t += 1 }
+          covNum(ng) = cc
+        }
+      }
+      ng += 1
+    }
+    def frac(num: Long, den: Long): Double =
+      if (den == 0L) 0.0 else num.toDouble / den.toDouble
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        nLines,
+        frac(dupLines, nLines), frac(dupLineChars, lineChars),
+        frac(topNum(2), tchars), frac(topNum(3), tchars),
+        frac(topNum(4), tchars),
+        frac(covNum(5), tchars), frac(covNum(6), tchars),
+        frac(covNum(7), tchars), frac(covNum(8), tchars),
+        frac(covNum(9), tchars), frac(covNum(10), tchars)))
+  }
 }

@@ -30,6 +30,57 @@ object TextAnalysis {
   def textStats(text: Column): Column =
     graft.functions.SketchExprs.textStats(text)
 
+  /** One-pass Gopher repetition-signal struct (native kernel; see
+    * [[graft.functions.SketchOps.gopherStats]]): n_lines,
+    * dup_line_frac, dup_line_char_frac, top_{2,3,4}gram_frac,
+    * dup_{5..10}gram_frac. Pure scan+map — the classic repetition
+    * filter costs zero shuffles at any corpus size. */
+  def gopherStats(text: Column): Column =
+    graft.functions.SketchExprs.gopherStats(text)
+
+  /** Gopher's published repetition thresholds (Rae et al. 2021,
+    * Table A1): a doc is kept iff every fraction is <= its bound.
+    * Field names match [[gopherStats]]'s struct. */
+  val gopherThresholds: Seq[(String, Double)] = Seq(
+    "dup_line_frac" -> 0.30, "dup_line_char_frac" -> 0.20,
+    "top_2gram_frac" -> 0.20, "top_3gram_frac" -> 0.18,
+    "top_4gram_frac" -> 0.16,
+    "dup_5gram_frac" -> 0.15, "dup_6gram_frac" -> 0.14,
+    "dup_7gram_frac" -> 0.13, "dup_8gram_frac" -> 0.12,
+    "dup_9gram_frac" -> 0.11, "dup_10gram_frac" -> 0.10)
+
+  /** Per-doc Gopher repetition report: id, n_lines, the 11 fractions
+    * rounded to 6 decimals, and `kept` = the Gopher threshold gate
+    * evaluated ON THE ROUNDED values (so the boolean replays exactly
+    * in any engine that reproduces the rounding). One kernel call per
+    * row — Catalyst's subexpression elimination shares the struct
+    * across the field extracts. */
+  def gopherRepetition(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val g = gopherStats(col(textCol))
+    val fracs = gopherThresholds.map { case (f, _) =>
+      round(g.getField(f), 6).as(f) }
+    val kept = gopherThresholds
+      .map { case (f, th) => col(f) <= lit(th) }
+      .reduce(_ && _)
+    docs.select(col(idCol) +: g.getField("n_lines").as("n_lines") +:
+        fracs: _*)
+      .withColumn("kept", kept)
+  }
+
+  /** Gopher repetition filter: the docs that pass every threshold,
+    * original schema preserved. The gate is evaluated inline on the
+    * kernel struct — a plain Filter over the scan, no join, no
+    * shuffle, pushdown-friendly. */
+  def gopherQualityFilter(docs: DataFrame, textCol: String = "text")
+      : DataFrame = {
+    val g = gopherStats(col(textCol))
+    val gate = gopherThresholds
+      .map { case (f, th) => round(g.getField(f), 6) <= lit(th) }
+      .reduce(_ && _)
+    docs.filter(gate)
+  }
+
   /** Top-k characteristic terms per document by tf-idf
     * (`tf * ln(N/df)`, scores rounded to 6 decimals BEFORE ranking so
     * the order is reproducible across engines; ties break to the

@@ -200,6 +200,13 @@ object LlmQueries {
             col("n_grams").cast("double"), 6).as("rep_ratio"))
         .orderBy(col("doc_id"))),
 
+    // Gopher repetition signals: one native-kernel pass per doc, no
+    // shuffle before the presentation sort. `kept` is the published
+    // Gopher threshold gate on the rounded fractions.
+    "llm_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherRepetition(table(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // quality features + filter: the classic length/punct gate.
     "llm_quality" -> ((s, dir) =>
       TextAnalysis.qualityFeatures(table(s, dir, "documents"))
@@ -836,6 +843,100 @@ object LlmQueries {
           * sqrt(list_sum(list_transform(b.embedding,
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"""
 
+  /** Gopher repetition replay: every fraction is a ratio of exact
+    * integers (counts and codepoint lengths), so the doubles match
+    * the kernel bit-for-bit; `kept` gates on the ROUNDED fractions in
+    * both engines. n-gram coverage (n>=5) is interval-union over
+    * token positions — `DISTINCT (doc, n, pos)` — exactly the
+    * kernel's boolean-array sweep. */
+  private def gopherOracle: String = {
+    def covCol(n: Int) =
+      s"SUM(CASE WHEN c.n = $n THEN length(t.tk[c.p]) ELSE 0 END)"
+    def topCol(n: Int) =
+      s"MAX(CASE WHEN n = $n THEN c * glen ELSE 0 END)"
+    def fracCol(num: String, alias: String) =
+      s"""round(CASE WHEN d.tchars = 0 THEN 0.0
+            ELSE CAST(COALESCE($num, 0) AS DOUBLE) / d.tchars END, 6)
+          AS $alias"""
+    val tops = Seq(2, 3, 4).map(n =>
+      fracCol(s"t.t$n", s"top_${n}gram_frac")).mkString(",\n           ")
+    val covs = (5 to 10).map(n =>
+      fracCol(s"cv.c$n", s"dup_${n}gram_frac")).mkString(",\n           ")
+    val gate = graft.llm.TextAnalysis.gopherThresholds
+      .map { case (f, th) => s"$f <= $th" }.mkString(" AND ")
+    s"""WITH tokc AS (
+         SELECT doc_id, tk, len(tk) AS ntok,
+           CAST(COALESCE(list_sum(list_transform(tk, t -> length(t))), 0)
+             AS BIGINT) AS tchars
+         FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'),
+                   t -> t <> '') AS tk
+               FROM documents)),
+       lstat AS (
+         SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+           CAST(SUM(c * ll) AS BIGINT) AS line_chars,
+           CAST(SUM(c - 1) AS BIGINT) AS dup_lines,
+           CAST(SUM((c - 1) * ll) AS BIGINT) AS dup_line_chars
+         FROM (SELECT doc_id, l, ll, COUNT(*) AS c
+               FROM (SELECT doc_id, l, length(l) AS ll
+                     FROM (SELECT doc_id,
+                             unnest(string_split(text, chr(10))) AS l
+                           FROM documents)
+                     WHERE l <> '') GROUP BY doc_id, l, ll)
+         GROUP BY doc_id),
+       ngv AS (
+         SELECT g.doc_id, g.n, g.s,
+           array_to_string(t.tk[g.s : g.s + g.n - 1], ' ') AS gm,
+           CAST(list_sum(list_transform(t.tk[g.s : g.s + g.n - 1],
+             x -> length(x))) AS BIGINT) AS glen
+         FROM (SELECT doc_id, n,
+                 unnest(generate_series(1, ntok - n + 1)) AS s
+               FROM tokc CROSS JOIN generate_series(2, 10) nn(n)
+               WHERE ntok - n + 1 >= 1) g
+         JOIN tokc t USING (doc_id)),
+       ngc AS (
+         SELECT doc_id, n, gm, glen, COUNT(*) AS c
+         FROM ngv GROUP BY doc_id, n, gm, glen),
+       topf AS (
+         SELECT doc_id, ${topCol(2)} AS t2, ${topCol(3)} AS t3,
+           ${topCol(4)} AS t4
+         FROM ngc WHERE n <= 4 GROUP BY doc_id),
+       cpos AS (
+         SELECT DISTINCT doc_id, n, p FROM (
+           SELECT v.doc_id, v.n,
+             unnest(generate_series(v.s, v.s + v.n - 1)) AS p
+           FROM ngv v JOIN ngc c
+             ON v.doc_id = c.doc_id AND v.n = c.n AND v.gm = c.gm
+           WHERE c.c > 1 AND v.n >= 5)),
+       covf AS (
+         SELECT c.doc_id, ${covCol(5)} AS c5, ${covCol(6)} AS c6,
+           ${covCol(7)} AS c7, ${covCol(8)} AS c8, ${covCol(9)} AS c9,
+           ${covCol(10)} AS c10
+         FROM cpos c JOIN tokc t USING (doc_id)
+         GROUP BY c.doc_id)
+       SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+         top_2gram_frac, top_3gram_frac, top_4gram_frac,
+         dup_5gram_frac, dup_6gram_frac, dup_7gram_frac,
+         dup_8gram_frac, dup_9gram_frac, dup_10gram_frac,
+         ($gate) AS kept
+       FROM (
+         SELECT d.doc_id,
+           CAST(COALESCE(l.n_lines, 0) AS BIGINT) AS n_lines,
+           round(CASE WHEN COALESCE(l.n_lines, 0) = 0 THEN 0.0
+             ELSE CAST(l.dup_lines AS DOUBLE) / l.n_lines END, 6)
+             AS dup_line_frac,
+           round(CASE WHEN COALESCE(l.line_chars, 0) = 0 THEN 0.0
+             ELSE CAST(l.dup_line_chars AS DOUBLE) / l.line_chars END, 6)
+             AS dup_line_char_frac,
+           $tops,
+           $covs
+         FROM tokc d
+         LEFT JOIN lstat l USING (doc_id)
+         LEFT JOIN topf t USING (doc_id)
+         LEFT JOIN covf cv USING (doc_id))
+       ORDER BY doc_id"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "llm_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
@@ -904,6 +1005,7 @@ object LlmQueries {
                i -> array_to_string(tk[i:i+2], ' '))))
              / CAST(len(tk) - 2 AS DOUBLE), 6) AS rep_ratio
          FROM tk WHERE len(tk) >= 3 ORDER BY doc_id""",
+    "llm_gopher" -> gopherOracle,
     "llm_quality" ->
       """SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,

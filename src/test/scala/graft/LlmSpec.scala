@@ -605,4 +605,42 @@ class LlmSpec extends AnyFunSuite {
       (2L, 1L, "bb", bb), (2L, 2L, "aa", 0.0),
       (3L, 1L, "aa", 0.0)))
   }
+
+  test("gopherRepetition: hand-computed line-dup and n-gram fractions") {
+    import spark.implicits._
+    val clean = (0 until 50).map(i => f"t$i%02d").mkString(" ")
+    val df = Seq(
+      // tokens a b a b a b c x x (9, 9 chars); lines: 13-char line +
+      // "x" twice -> dup_line 1/3, dup_line_chars 1/15
+      (1L, "a b a b a b c\nx\nx"),
+      // "one two three four five" twice: the 5-gram repeats, covering
+      // every token position -> dup_5gram_frac = 1.0
+      (2L, "one two three four five one two three four five"),
+      // 50 distinct 3-char tokens, no repetition anywhere
+      (3L, clean)).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRepetition(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, c: String) =
+      got(id).getDouble(got(id).fieldIndex(c))
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(got(1L).getLong(1) == 3L)                 // n_lines
+    assert(f(1L, "dup_line_frac") == r6(1.0 / 3))
+    assert(f(1L, "dup_line_char_frac") == r6(1.0 / 15))
+    // top2: "a b" x3, 2 chars -> 6/9; top3: "a b a"/"b a b" x2 -> 6/9
+    assert(f(1L, "top_2gram_frac") == r6(6.0 / 9))
+    assert(f(1L, "top_3gram_frac") == r6(6.0 / 9))
+    assert(f(1L, "dup_5gram_frac") == 0.0)
+    assert(f(2L, "dup_5gram_frac") == 1.0)           // full coverage
+    assert(f(2L, "dup_6gram_frac") == 0.0)           // all 6-grams unique
+    // clean doc: no dup signal; top grams are unique singletons
+    assert(f(3L, "dup_line_frac") == 0.0)
+    assert(f(3L, "top_2gram_frac") == r6(6.0 / 150))
+    assert(got(3L).getBoolean(got(3L).fieldIndex("kept")))
+    assert(!got(1L).getBoolean(got(1L).fieldIndex("kept")))
+    assert(!got(2L).getBoolean(got(2L).fieldIndex("kept")))
+    // the filter keeps exactly the clean doc, schema untouched
+    val kept = TextAnalysis.gopherQualityFilter(df)
+    assert(kept.columns.toSeq == Seq("doc_id", "text"))
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(3L))
+  }
 }

@@ -282,4 +282,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("* Filter") || plan.contains("* Project"),
       s"kernel must stay in whole-stage codegen:\n${plan.take(1500)}")
   }
+
+  test("gopherRepetition is a shuffle-free single-pass scan; the filter " +
+       "variant stays in whole-stage codegen") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.llm.TextAnalysis.gopherRepetition(docs))
+    assert(!plan.contains("Exchange"),
+      s"per-doc kernel must not shuffle:\n${plan.take(1500)}")
+    assert(plan.contains("gopher_stats"), plan.take(1500))
+    val fplan = planOf(graft.llm.TextAnalysis.gopherQualityFilter(docs))
+    assert(!fplan.contains("Exchange"), fplan.take(1500))
+    assert(fplan.contains("* Filter") || fplan.contains("* Project"),
+      s"gate must stay in whole-stage codegen:\n${fplan.take(1500)}")
+  }
 }
