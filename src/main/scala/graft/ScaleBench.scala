@@ -127,6 +127,19 @@ object ScaleBench {
       val (gr, t13) = timed(
         graft.llm.TextAnalysis.gopherRepetition(docs).count())
       report("gopher_repetition", f, nDocs, gr, t13)
+
+      // PQ + exact re-rank: books train on the ORIGINAL-size slice
+      // (first copy), the full scaled corpus only encodes + re-ranks —
+      // the fixed-training-sample deployment recipe
+      val pqQ = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val books = graft.llm.Similarity.pqCodebooks(
+        emb.orderBy(col("vec_id")).limit(nEmb.toInt / f), m = 4, k = 16,
+        iters = 2)
+      val (pq, t14) = timed(graft.llm.Similarity.pqTopKRerank(
+        emb, pqQ, books, k = 10, rerank = 100).count())
+      report("pq_rerank_topk", f, nEmb, pq, t14)
     }
     spark.stop()
   }

@@ -47,4 +47,37 @@ object Sampling {
     * falls below `pct`. */
   def sampleByHash(df: DataFrame, keyCol: String, pct: Int): DataFrame =
     df.filter(pctBucket(col(keyCol)) < pct)
+
+  /** Cluster-balanced diversity sample over an embedding column: each
+    * vector is assigned its nearest IVF cell (narrow codegen'd
+    * NearestCell pass — no crossJoin) and at most `perCell` vectors
+    * survive per cell, chosen deterministically by (content-hash, id)
+    * within the cell. Dominant modes of the corpus are capped while
+    * tail clusters survive intact — the topic-balancing step of a
+    * curation pipeline, reproducible run-to-run because nothing draws
+    * from `rand()`.
+    *
+    * Returns `(idCol, cell_id)` for the kept rows.
+    *
+    * Scale: ONE shuffle keyed by cell; the per-cell rank is a window
+    * over that partitioning. A mega-cell concentrates its sort on one
+    * partition — the standard answer (raise nCells so expected cell
+    * size stays bounded, as [[graft.llm.Similarity.semDedupKmeans]]'s
+    * ScaleBench entry demonstrates, or pre-prune with a coarser
+    * sub-split key) applies; perCell ≪ cell-size keeps the surviving
+    * output tiny either way. */
+  def clusterBalancedSample(emb: DataFrame, centroids: Seq[Seq[Double]],
+                            perCell: Int, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val assigned = graft.llm.Similarity.assignCells(
+      emb, centroids, idCol, vecCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell_id"))
+      .orderBy(hashBucket32(col(idCol).cast("string")).asc,
+        col(idCol).asc)
+    assigned
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= perCell)
+      .select(col(idCol), col("cell_id"))
+  }
 }

@@ -139,6 +139,32 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Product quantization ADC top-k: 4 subspaces x 16 codes trained
+    // by the same decimal-exact Lloyd chain; queries broadcast a
+    // (sub, code) dot-product LUT and the corpus contributes codes
+    // only (the 100 TB memory-bound ANN path).
+    "llm_pq_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      Similarity.pqTopKTrained(emb, queries, k = 10, m = 4,
+          nCodes = 16, iters = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // PQ candidates + exact re-rank (the deployment shape: the full
+    // vector table is only read for rerank x Q candidate rows).
+    "llm_pq_rerank" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val books = Similarity.pqCodebooks(emb, m = 4, k = 16, iters = 2)
+      Similarity.pqTopKRerank(emb, queries, books, k = 10, rerank = 100)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // SemDeDup: cluster-then-prune semantic dedup — nearest-cell
     // assignment (narrow kernel), within-cell lower-id dominance at
     // cosine >= 0.4. The kept set = one exemplar per cluster-local
@@ -276,6 +302,16 @@ object LlmQueries {
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("split"))),
+
+    // cluster-balanced diversity sample: cap each k-means cell at 8
+    // survivors chosen by content-hash order — dominant embedding
+    // modes bounded, tail clusters kept whole.
+    "llm_balanced_sample" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(emb, nCells = 16, iters = 2)
+      Sampling.clusterBalancedSample(emb, cents, perCell = 8)
+        .orderBy(col("vec_id"))
+    }),
 
     // benchmark decontamination: corpus docs sharing any word 5-gram
     // with the (mock) benchmark slice, with evidence counts.
@@ -843,6 +879,104 @@ object LlmQueries {
           * sqrt(list_sum(list_transform(b.embedding,
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"""
 
+  /** PQ/ADC replay: the [[kmeansAsgCtes]] Lloyd arithmetic run per
+    * subspace (composite (s, cell) key), then encode + asymmetric
+    * scoring. Subspace partial dots and reconstruction norms are
+    * summed in subspace order (`list(x ORDER BY s)`), matching the
+    * engine's s-ordered reduce, so the rounded cosines replay
+    * bit-exact. */
+  private def pqCtes(m: Int, kk: Int, iters: Int, sub: Int): String = {
+    val hi = m - 1
+    def asgCte(name: String, cents: String) =
+      s"""$name AS (
+         SELECT vec_id, s, v, cell AS cell_id FROM (
+           SELECT sv.vec_id, sv.s, sv.v, c.cell,
+             row_number() OVER (PARTITION BY sv.vec_id, sv.s
+               ORDER BY ${sqdSql("sv.v", "c.cvec")} ASC, c.cell ASC)
+               AS rnk
+           FROM sv JOIN $cents c ON c.s = sv.s) WHERE rnk = 1)"""
+    val rounds = (1 to iters).map { i =>
+      s"""${asgCte(s"asg${i - 1}", s"cents${i - 1}")},
+       mu$i AS (
+         SELECT s, cell_id, d,
+           CAST(SUM(CAST(CAST(v[d] AS DOUBLE)
+             AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mv
+         FROM asg${i - 1}, generate_series(1, $sub) t(d)
+         GROUP BY s, cell_id, d),
+       cents$i AS (
+         SELECT s, row_number() OVER (PARTITION BY s ORDER BY cell_id)
+             - 1 AS cell,
+           list(mv ORDER BY d) AS cvec
+         FROM mu$i GROUP BY s, cell_id)"""
+    }.mkString(",\n       ")
+    val cN = s"cents$iters"
+    s"""sv AS (
+         SELECT e.vec_id, ss.s,
+           e.embedding[ss.s * $sub + 1 : ss.s * $sub + $sub] AS v
+         FROM embeddings e CROSS JOIN generate_series(0, $hi) ss(s)),
+       cents0 AS (
+         SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id)
+             - 1 AS cell, v AS cvec
+         FROM sv WHERE vec_id IN (
+           SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $kk)),
+       $rounds,
+       ${asgCte("codesr", cN)},
+       q AS (
+         SELECT vec_id AS query_id, embedding AS qv,
+           sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+         FROM embeddings WHERE vec_id % 100 = 0),
+       parts AS (
+         SELECT cd.vec_id, q.query_id, cd.s, q.qn,
+           list_sum(list_transform(list_zip(
+               q.qv[cd.s * $sub + 1 : cd.s * $sub + $sub], ct.cvec),
+             t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))) AS pdot,
+           list_sum(list_transform(ct.cvec, x -> x * x)) AS pn2
+         FROM codesr cd
+         JOIN $cN ct ON ct.s = cd.s AND ct.cell = cd.cell_id
+         CROSS JOIN q),
+       scored AS (
+         SELECT query_id, vec_id,
+           round(list_sum(list(pdot ORDER BY s)) /
+             (qn * sqrt(list_sum(list(pn2 ORDER BY s)))), 6) AS cosine
+         FROM parts GROUP BY query_id, vec_id, qn)"""
+  }
+
+  private def pqOracle(m: Int, kk: Int, iters: Int, sub: Int,
+                       k: Int): String =
+    s"""WITH ${pqCtes(m, kk, iters, sub)}
+       SELECT query_id, rank, vec_id, cosine FROM (
+         SELECT query_id, vec_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id ASC) AS rank
+         FROM scored) WHERE rank <= $k
+       ORDER BY query_id, rank"""
+
+  /** PQ + exact re-rank replay: ADC nominates `rerank` ids per query
+    * (same deterministic (cosine DESC, id ASC) cut as the engine's
+    * window), then the candidates re-score with the exact
+    * [[cosineSql]] — identical arithmetic to the llm_topk oracle. */
+  private def pqRerankOracle(m: Int, kk: Int, iters: Int, sub: Int,
+                             k: Int, rerank: Int): String =
+    s"""WITH ${pqCtes(m, kk, iters, sub)},
+       cand AS (
+         SELECT query_id, vec_id FROM (
+           SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id ASC) AS rank
+           FROM scored) WHERE rank <= $rerank),
+       ex AS (
+         SELECT c.query_id, c.vec_id, $cosineSql AS cosine
+         FROM cand c
+         JOIN embeddings a ON a.vec_id = c.vec_id
+         JOIN embeddings b ON b.vec_id = c.query_id)
+       SELECT query_id, rank, vec_id, cosine FROM (
+         SELECT query_id, vec_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id ASC) AS rank
+         FROM ex) WHERE rank <= $k
+       ORDER BY query_id, rank"""
+
   /** Gopher repetition replay: every fraction is a ratio of exact
     * integers (counts and codepoint lengths), so the doubles match
     * the kernel bit-for-bit; `kept` gates on the ROUNDED fractions in
@@ -1101,6 +1235,17 @@ object LlmQueries {
                    AS h
                FROM documents)
          GROUP BY 1, 2 ORDER BY lang, split""",
+    "llm_balanced_sample" -> {
+      val (ctes, _) = kmeansAsgCtes(2)
+      s"""WITH $ctes
+         SELECT vec_id, cell_id FROM (
+           SELECT vec_id, cell_id,
+             ROW_NUMBER() OVER (PARTITION BY cell_id
+               ORDER BY ${h32Sql("CAST(vec_id AS VARCHAR)")} ASC,
+                 vec_id ASC) AS rk
+           FROM asgf)
+         WHERE rk <= 8 ORDER BY vec_id"""
+    },
     "llm_contamination" ->
       s"""WITH tk AS (
            SELECT doc_id,
@@ -1174,6 +1319,10 @@ object LlmQueries {
     "llm_lsh_cosine_pairs" -> lshCosineOracle(nTables = 16, ppt = 4),
     "llm_ivf_topk" -> ivfOracle,
     "llm_ivf_kmeans_topk" -> kmeansIvfOracle(iters = 2),
+    "llm_pq_topk" -> pqOracle(m = 4, kk = 16, iters = 2, sub = 16,
+      k = 10),
+    "llm_pq_rerank" -> pqRerankOracle(m = 4, kk = 16, iters = 2,
+      sub = 16, k = 10, rerank = 100),
     "llm_semdedup" -> semDedupOracle(iters = 2, tau = 0.4),
     "llm_mm_features" -> mmFeaturesOracle,
     // audio stub decoder: frames = 1 + (h32 >> 18) % 1000; byte_len is

@@ -283,6 +283,23 @@ class PlanSpec extends AnyFunSuite {
       s"kernel must stay in whole-stage codegen:\n${plan.take(1500)}")
   }
 
+  test("pqTopK: ADC scoring broadcasts the query LUTs; the corpus side " +
+       "is a narrow encode, never a shuffled join") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+    val books = graft.llm.Similarity.pqCodebooks(emb, m = 4, k = 16,
+      iters = 1)
+    val plan = planOf(
+      graft.llm.Similarity.pqTopK(emb, queries, books, k = 10))
+    assert(plan.contains("BroadcastExchange"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      s"ADC join must broadcast, not shuffle the codes:\n${plan.take(2000)}")
+    assert(plan.contains("nearest_cell"),
+      s"encode must be the native kernel:\n${plan.take(2000)}")
+  }
+
   test("gopherRepetition is a shuffle-free single-pass scan; the filter " +
        "variant stays in whole-stage codegen") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -104,6 +104,43 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want)
   }
+  test("streaming gap-sessionization emits exactly the batch sessions, " +
+       "save at most one open session per user") {
+    import graft.streaming.Sessionize
+    val gapMs = 30L * 60 * 1000
+    val stream = Sessionize.sessionizeStream(
+      EventsStream.readEvents(spark, eventsDir), gapMs)
+    val q = stream.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("gap_sessions").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("gap_sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val batch = Sessionize.sessionStats(
+      graft.queries.Star.events(spark, "/root/testdata/sf0.001")
+        .withColumn("tsm", unix_millis(col("ts")))
+        .select(col("user_id"), col("tsm"), col("value")),
+      "user_id", "tsm", gapMs, "value").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+    def key(t: (Long, Long, Long, Long, Double)) = (t._1, t._2, t._3, t._4)
+    val gotK = got.map(key).toSet
+    val batchK = batch.map(key).toSet
+    assert(got.nonEmpty && gotK.subsetOf(batchK),
+      s"streaming emitted a session batch never saw: ${gotK -- batchK}")
+    // only a user's LAST session may still be open (unflushed state)
+    val missing = batch.filterNot(t => gotK(key(t)))
+    assert(missing.groupBy(_._1).values.forall(_.size <= 1))
+    missing.foreach { t =>
+      val lastEnd = batch.filter(_._1 == t._1).map(_._3).max
+      assert(t._3 == lastEnd,
+        s"unflushed session for user ${t._1} is not its last one")
+    }
+    // running double sums agree with the decimal-exact batch rollup
+    val bSum = batch.map(t => key(t) -> t._5).toMap
+    got.foreach(t => assert(math.abs(bSum(key(t)) - t._5) < 1e-6))
+  }
+
   test("near-dup ingest: signature layer dedups within and across batches") {
     import spark.implicits._
     import graft.streaming.IngestStream
