@@ -88,10 +88,11 @@ object Contamination {
     val hs = benchmark
       .select(explode(shingleHashes(col(textCol), n)).as("h"))
       .distinct()
-    val pos = (0 until k).map { i =>
-      hs.select((shiftright(col("h"), shift * i)
-        .bitwiseAND(lit((m - 1).toLong))).as("p"))
-    }.reduce(_.union(_))
+    // all k probe positions in ONE pass over the distinct shingles
+    // (a k-way union would re-run the distinct aggregate per probe)
+    val pos = hs.select(explode(array((0 until k).map { i =>
+      shiftright(col("h"), shift * i).bitwiseAND(lit((m - 1).toLong))
+    }: _*)).as("p"))
     val rows = pos
       .select(shiftright(col("p"), 5).as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 31 AS INT))").as("mask"))

@@ -486,17 +486,23 @@ object Dedup {
   def chunkDedup(docs: DataFrame, chunkTokens: Int = 20, maxFreq: Long = 1,
                  textCol: String = "text", idCol: String = "doc_id")
       : DataFrame = {
+    // hash each chunk ONCE and key both consumers on the same `_h`
+    // column over the same subtree: the frequency aggregate and the
+    // bad-position join then share one exchange (the join side plans
+    // as a ReusedExchange — the scan+explode never runs twice), and
+    // chunk text never rides any shuffle
     val chunks = docs.select(col(idCol),
-      posexplode(tokenChunks(col(textCol), chunkTokens))
-        .as(Seq("_pos", "_c")))
+        posexplode(tokenChunks(col(textCol), chunkTokens))
+          .as(Seq("_pos", "_c")))
+      .select(col(idCol), col("_pos"), xxhash64(col("_c")).as("_h"))
     val overFreq = chunks
-      .groupBy(xxhash64(col("_c")).as("_h"))
+      .groupBy(col("_h"))
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") > maxFreq)
     // positions of over-frequent chunks, folded to one small array per
-    // affected doc (positions are ints; text never rides this shuffle)
+    // affected doc (positions are ints)
     val badPos = chunks
-      .join(overFreq, xxhash64(col("_c")) === col("_h"))
+      .join(overFreq, Seq("_h"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("_pos"))).as("_bad"))
     docs.join(badPos, Seq(idCol), "left")

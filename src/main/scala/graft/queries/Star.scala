@@ -14,10 +14,21 @@ import org.apache.spark.sql.functions._
   * scan — the catalog adds zero runtime overhead.
   */
 object Star {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val vf = VirtualFile(VPath("/" + name), Seq("parquet"), Usage.Source)
-    Pipeline.run(spark, Access.loadData(vf), Mappings.root(dir), ())
-  }
+  // One DataFrame per (session, dir, table) for the whole process:
+  // repeated accesses re-list no files, re-infer no schema, and —
+  // because they share the same relation object — canonicalized-plan
+  // keyed caches (Similarity's train-once registry, Spark's own
+  // ReuseExchange) actually hit across queries, exactly as a shared
+  // catalog session behaves on a real cluster.
+  private val tables =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
+      DataFrame]
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    tables.computeIfAbsent((spark, dir, name), _ => {
+      val vf = VirtualFile(VPath("/" + name), Seq("parquet"), Usage.Source)
+      Pipeline.run(spark, Access.loadData(vf), Mappings.root(dir), ())
+    })
 
   /** `events` carries a TIMESTAMP(NANOS) parquet column, which Spark 4
     * only reads with `spark.sql.legacy.parquet.nanosAsLong=true` (set

@@ -261,9 +261,11 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("kmeans centroids: deterministic across runs, improve IVF recall") {
-    val c1 = Similarity.kmeansCentroids(emb, nCells = 16, iters = 2)
-    val c2 = Similarity.kmeansCentroids(emb, nCells = 16, iters = 2)
+    val c1 = Similarity.kmeansCentroidsUncached(emb, nCells = 16, iters = 2)
+    val c2 = Similarity.kmeansCentroidsUncached(emb, nCells = 16, iters = 2)
     assert(c1 == c2, "decimal-exact means must be bit-reproducible")
+    // and the train-once registry must hand back the same artifact
+    assert(Similarity.kmeansCentroids(emb, nCells = 16, iters = 2) == c1)
     assert(c1.forall(_.length == 64))
     val queries = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
@@ -665,6 +667,15 @@ class LlmSpec extends AnyFunSuite {
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
     val books = Similarity.pqCodebooks(emb, m = 4, k = 16, iters = 2)
     assert(books.length == 4 && books.forall(_.forall(_.length == 16)))
+    // the fused one-job-per-round trainer must equal m independent
+    // per-slice Lloyd runs bit-for-bit
+    val perSub = (0 until 4).map { s =>
+      Similarity.kmeansCentroidsUncached(
+        emb.select(col("vec_id"),
+          slice(col("embedding"), s * 16 + 1, 16).as("embedding")),
+        nCells = 16, iters = 2)
+    }
+    assert(books == perSub, "fused PQ training diverged from per-subspace")
     val mm = Similarity.pqEncode(emb, books)
       .select(explode(col("codes")).as("c"))
       .agg(min(col("c")), max(col("c"))).collect().head
