@@ -251,4 +251,40 @@ object Mixing {
     docs.withColumn("keep_rank", row_number().over(w).cast("long"))
       .filter(col("keep_rank") <= k)
   }
+
+  /** Sliding-window chunking with overlap — the RAG/embedding-prep
+    * shape: each document explodes into windows of `chunkTokens`
+    * tokens taken every `chunkTokens - overlap` tokens, so
+    * consecutive chunks share `overlap` tokens and no token is ever
+    * dropped. Chunk starts are `i * stride` for every `i` with
+    * `i * stride < n_tokens`; the final chunk is short when the text
+    * runs out. Empty/NULL documents emit no chunks.
+    *
+    * Returns (idCol, chunk_idx, tok_start, n_tok, chunk_text) with
+    * `tok_start` 1-based — the offsets are the contract that lets a
+    * retriever map a chunk hit back into the source document.
+    *
+    * Scale: a pure narrow projection (tokenize once, slice per
+    * window) — no shuffle, no UDF; output size is bounded by
+    * n_tokens/stride chunks per document regardless of corpus size. */
+  def slidingChunks(docs: DataFrame, chunkTokens: Int = 32,
+                    overlap: Int = 8, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap $overlap must be in [0, chunkTokens $chunkTokens)")
+    val stride = chunkTokens - overlap
+    val tk = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_tk"))
+      .filter(size(col("_tk")) > 0)
+    tk.select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0),
+            floor((size(col("_tk")) - 1) / stride).cast("int")),
+          i => slice(col("_tk"), i * stride + 1, lit(chunkTokens))))
+          .as(Seq("chunk_idx", "_c")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx") * stride + 1).cast("long").as("tok_start"),
+        size(col("_c")).cast("long").as("n_tok"),
+        array_join(col("_c"), " ").as("chunk_text"))
+  }
 }

@@ -80,4 +80,42 @@ object Sampling {
       .filter(col("_rk") <= perCell)
       .select(col(idCol), col("cell_id"))
   }
+
+  /** Temperature-scaled multinomial source balancing (the mT5/XLM-R
+    * mixture move): with source shares `p_s = n_s / N`, resampling to
+    * `q_s ∝ p_s^alpha` (alpha < 1 flattens the mix toward the tail)
+    * under a down-sample-only policy gives per-source keep rates
+    * `r_s = (p_s / p_min)^(alpha-1)` — the smallest source keeps
+    * everything, dominant sources are thinned. The keep decision is
+    * the repo's deterministic md5 bucket on the id, so the sample is
+    * a pure function of the corpus (no rand()). Rates are rounded to
+    * 6 decimals before the threshold — the same replayability
+    * convention as every cosine gate.
+    *
+    * Returns the kept rows as (idCol, sourceCol, keep_rate).
+    *
+    * Scale: one map-side-combined count aggregation (|sources| rows to
+    * the driver — bounded like every stats table here), then a
+    * shuffle-free scan+filter with the rate table as a plan literal.
+    * No per-row join, no window. */
+  def temperatureSample(docs: DataFrame, alpha: Double = 0.7,
+                        sourceCol: String = "source",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha $alpha must be in (0, 1]")
+    val counts = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val pMin = counts.values.min / total
+    val rate = counts.map { case (s, n) =>
+      s -> BigDecimal(math.pow(n / total / pMin, alpha - 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val rateCol = rate.foldLeft(lit(Double.NaN)) { case (acc, (s, r)) =>
+      when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    docs.select(col(idCol), col(sourceCol), rateCol.as("keep_rate"))
+      .filter(hashBucket32(col(idCol).cast("string")).cast("double") <
+        col("keep_rate") * (1L << 32).toDouble)
+  }
 }

@@ -275,6 +275,36 @@ object TextAnalysis {
           count(lit(1)), 6).as("avg_logprob"))
   }
 
+  /** CCNet-style perplexity tiering: every document gets a
+    * per-language quality bucket from an `ntile` over its
+    * [[bigramLmScore]] average log-probability — bucket 1 = the
+    * most-probable (head) slice, bucket `nBuckets` = tail. CCNet
+    * keeps head/middle and drops or down-weights tail; emitting the
+    * per-doc assignment (rather than a pre-filtered corpus) lets the
+    * pipeline choose. Ties are broken by id, so the tiering is a pure
+    * function of the corpus.
+    *
+    * Scale: the LM scoring is [[bigramLmScore]]'s bounded-table plan;
+    * the ntile window shuffles one (id, lang, score) row per doc keyed
+    * by language. A dominant language concentrates its ntile sort on
+    * one partition — at 100 TB replace the exact ntile with quantile
+    * cuts from the scored histogram (same downstream contract). */
+  def pplBuckets(docs: DataFrame, train: DataFrame, nBuckets: Int = 3,
+                 alpha: Double = 0.5, textCol: String = "text",
+                 idCol: String = "doc_id", langCol: String = "lang")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramLmScore(docs, train, alpha,
+      textCol = textCol, idCol = idCol)
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("avg_logprob").desc, col(idCol).asc)
+    docs.select(col(idCol), col(langCol))
+      .join(scored.select(col(idCol), col("avg_logprob")), Seq(idCol))
+      .withColumn("ppl_bucket", ntile(nBuckets).over(w).cast("long"))
+      .select(col(idCol), col(langCol), col("avg_logprob"),
+        col("ppl_bucket"))
+  }
+
   // ---------------------------------------------------------------
   // vocabulary / OOV
   // ---------------------------------------------------------------

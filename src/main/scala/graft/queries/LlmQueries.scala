@@ -478,7 +478,28 @@ object LlmQueries {
           TextAnalysis.tokenCount(col("text_clean")).cast("long")
             .as("n_tokens_clean"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // CCNet-style perplexity tiers: per-language ntile(3) over the
+    // bigram-LM score — bucket 1 = head (most corpus-typical).
+    "llm_ppl_buckets" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      TextAnalysis.pplBuckets(docs, docs, nBuckets = 3, alpha = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // RAG sliding-window chunking: 12-token windows every 8 tokens
+    // (4-token overlap) with 1-based token offsets back into the doc.
+    "llm_rag_chunks" -> ((s, dir) =>
+      Mixing.slidingChunks(table(s, dir, "documents"),
+          chunkTokens = 12, overlap = 4)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // temperature-balanced source mix: alpha=0.6 flattening, smallest
+    // source keeps all, dominant sources thinned by the md5-id gate.
+    "llm_temperature_sample" -> ((s, dir) =>
+      Sampling.temperatureSample(table(s, dir, "documents"), alpha = 0.6)
+        .orderBy(col("doc_id")))
   )
 
   // DuckDB shingle expression shared by the jaccard oracle
@@ -1462,6 +1483,77 @@ object LlmQueries {
            round(CAST(SUM(CAST(lp AS DECIMAL(38,18))) AS DOUBLE)
              / count(*), 6) AS avg_logprob
          FROM lp GROUP BY doc_id ORDER BY doc_id""",
+
+    // perplexity-tier replay: the llm_lm_score chain, then the same
+    // ntile window (score DESC round-6, id tie-break) per language.
+    "llm_ppl_buckets" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         uni AS (SELECT w, count(*) AS cu FROM (
+             SELECT unnest(tk) AS w FROM tok) GROUP BY w),
+         vn AS (SELECT count(*) AS v FROM uni),
+         inst AS (
+           SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(tk) - 1),
+               i -> tk[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i+1])) AS bg
+           FROM tok WHERE len(tk) >= 2),
+         bc AS (SELECT bg, count(*) AS cb FROM inst GROUP BY bg),
+         lp AS (
+           SELECT doc_id,
+             ln((CAST(cb AS DOUBLE) + 0.5) /
+                (CAST(cu AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))) AS lp
+           FROM inst JOIN bc USING (bg) JOIN uni ON uni.w = inst.w1, vn),
+         sc AS (
+           SELECT doc_id,
+             round(CAST(SUM(CAST(lp AS DECIMAL(38,18))) AS DOUBLE)
+               / count(*), 6) AS avg_logprob
+           FROM lp GROUP BY doc_id)
+         SELECT d.doc_id, d.lang, sc.avg_logprob,
+           CAST(ntile(3) OVER (PARTITION BY d.lang
+             ORDER BY sc.avg_logprob DESC, d.doc_id ASC) AS BIGINT)
+             AS ppl_bucket
+         FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+         ORDER BY d.doc_id""",
+
+    // sliding-window replay: starts at i*8 while < n_tokens; DuckDB
+    // list slices clamp at len like Spark's slice().
+    "llm_rag_chunks" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         w AS (
+           SELECT doc_id, i AS chunk_idx,
+             tk[i*8+1 : i*8+12] AS c
+           FROM tok, unnest(generate_series(0, (len(tk)-1)//8)) AS u(i)
+           WHERE len(tk) > 0)
+         SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx*8+1 AS BIGINT) AS tok_start,
+           CAST(len(c) AS BIGINT) AS n_tok,
+           array_to_string(c, ' ') AS chunk_text
+         FROM w ORDER BY doc_id, chunk_idx""",
+
+    // temperature-mix replay: identical rate formula and division
+    // order ((n/total)/(nmin/total), pow, round-6), md5-id gate.
+    "llm_temperature_sample" ->
+      """WITH cnt AS (
+           SELECT source, count(*) AS n FROM documents GROUP BY source),
+         tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total,
+                        CAST(min(n) AS DOUBLE) AS nmin FROM cnt),
+         rt AS (SELECT source,
+             round(pow(n / total / (nmin / total), 0.6 - 1.0), 6)
+               AS keep_rate
+           FROM cnt, tot)
+         SELECT d.doc_id, d.source, rt.keep_rate
+         FROM documents d JOIN rt USING (source)
+         WHERE CAST(CAST(('0x' ||
+             substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             AS DOUBLE) < keep_rate * 4294967296.0
+         ORDER BY d.doc_id""",
 
     // normalization replay; RE2 '\s' is ASCII-whitespace like the
     // kernel's collapse on this corpus.

@@ -704,4 +704,62 @@ class LlmSpec extends AnyFunSuite {
     assert(r100 >= 0.7, s"PQ rerank=100 recall@10 = $r100")
     assert(r100 >= r25, s"recall must grow with budget: $r25 -> $r100")
   }
+
+  test("slidingChunks: every token covered, overlap honored, offsets map back") {
+    import spark.implicits._
+    val text = (1 to 20).map(i => s"t$i").mkString(" ")
+    val out = Mixing.slidingChunks(
+        Seq((1L, text), (2L, "a b"), (3L, null.asInstanceOf[String]))
+          .toDF("doc_id", "text"),
+        chunkTokens = 8, overlap = 3)
+      .orderBy(col("doc_id"), col("chunk_idx")).collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    // stride 5 over 20 tokens -> starts 1,6,11,16
+    assert(d1.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 1L, 8L), (1L, 6L, 8L), (2L, 11L, 8L), (3L, 16L, 5L)))
+    assert(d1(1).getString(4) == (6 to 13).map(i => s"t$i").mkString(" "),
+      "chunk 1 must start at token 6 (3-token overlap with chunk 0)")
+    // short doc -> one short chunk; null doc -> nothing
+    assert(out.filter(_.getLong(0) == 2L).map(_.getString(4)).toSeq ==
+      Seq("a b"))
+    assert(!out.exists(_.getLong(0) == 3L))
+    // every token index is covered by at least one chunk
+    val covered = d1.flatMap(r =>
+      r.getLong(2) until (r.getLong(2) + r.getLong(3))).toSet
+    assert(covered == (1L to 20L).toSet)
+  }
+
+  test("temperatureSample: tail source kept whole, head thinned, deterministic") {
+    import spark.implicits._
+    val rows = (0 until 900).map(i => (i.toLong, "big")) ++
+      (900 until 1000).map(i => (i.toLong, "small"))
+    val df = rows.toDF("doc_id", "source")
+    val out = Sampling.temperatureSample(df, alpha = 0.5)
+    val kept = out.collect().map(r => (r.getLong(0), r.getString(1)))
+    // smallest source: rate 1 -> all 100 survive
+    assert(kept.count(_._2 == "small") == 100)
+    // big source: rate = (0.9/0.1)^-0.5 = 0.333333 -> ~300 of 900
+    val nBig = kept.count(_._2 == "big")
+    assert(nBig > 200 && nBig < 400, s"big kept $nBig, expect ~300")
+    assert(out.collect().map(_.getLong(0)).toSeq ==
+      Sampling.temperatureSample(df, alpha = 0.5)
+        .collect().map(_.getLong(0)).toSeq)
+    // alpha=1 is a no-op mix (every rate 1)
+    assert(Sampling.temperatureSample(df, alpha = 1.0).count() == 1000)
+  }
+
+  test("pplBuckets: buckets partition each language, head outscores tail") {
+    val out = TextAnalysis.pplBuckets(docs, docs, nBuckets = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(out.map(_._4).toSet == Set(1L, 2L, 3L))
+    // per language: bucket sizes differ by at most 1 (ntile contract)
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val sizes = rows.groupBy(_._4).view.mapValues(_.size).values.toSeq
+      assert(sizes.max - sizes.min <= 1, s"$lang ntile sizes $sizes")
+      // every head doc scores >= every tail doc
+      val head = rows.filter(_._4 == 1L).map(_._3)
+      val tail = rows.filter(_._4 == 3L).map(_._3)
+      assert(head.min >= tail.max, s"$lang head/tail scores overlap")
+    }
+  }
 }

@@ -312,4 +312,20 @@ class PlanSpec extends AnyFunSuite {
     assert(fplan.contains("* Filter") || fplan.contains("* Project"),
       s"gate must stay in whole-stage codegen:\n${fplan.take(1500)}")
   }
+
+  test("slidingChunks is a shuffle-free narrow explode; temperatureSample " +
+       "scans without a per-row join") {
+    val docs = graft.queries.Star.table(spark, sf, "documents")
+    val cplan = planOf(graft.llm.Mixing.slidingChunks(docs))
+    assert(!cplan.contains("Exchange"),
+      s"chunking must not shuffle:\n${cplan.take(1500)}")
+    assert(cplan.contains("Generate"), cplan.take(1500))
+    // rate table is a plan literal: the corpus side is scan+filter
+    // (the only jobs before it are the tiny source-count aggregate)
+    val tplan = planOf(
+      graft.llm.Sampling.temperatureSample(docs, alpha = 0.5))
+    assert(!tplan.contains("Join"),
+      s"keep-rate must be a literal CASE, not a join:\n${tplan.take(1500)}")
+    assert(!tplan.contains("Exchange"), tplan.take(1500))
+  }
 }
