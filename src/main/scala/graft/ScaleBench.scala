@@ -140,6 +140,16 @@ object ScaleBench {
       val (pq, t14) = timed(graft.llm.Similarity.pqTopKRerank(
         emb, pqQ, books, k = 10, rerank = 100).count())
       report("pq_rerank_topk", f, nEmb, pq, t14)
+
+      // sliding-window chunking: narrow explode, should scale linearly
+      val (rc, t15) = timed(
+        graft.llm.Mixing.slidingChunks(docs).count())
+      report("rag_chunks", f, nDocs, rc, t15)
+
+      // temperature mix: one tiny count agg + a literal-rate filter
+      val (tm, t16) = timed(
+        graft.llm.Sampling.temperatureSample(docs, alpha = 0.6).count())
+      report("temperature_sample", f, nDocs, tm, t16)
     }
     spark.stop()
   }

@@ -102,7 +102,10 @@ object Sampling {
                         sourceCol: String = "source",
                         idCol: String = "doc_id"): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha $alpha must be in (0, 1]")
-    val counts = docs.groupBy(col(sourceCol))
+    // NULL-source rows have no stratum: excluded up front so they
+    // neither crash the rate table nor skew the share arithmetic
+    val strat = docs.filter(col(sourceCol).isNotNull)
+    val counts = strat.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val total = counts.values.sum.toDouble
@@ -114,7 +117,7 @@ object Sampling {
     val rateCol = rate.foldLeft(lit(Double.NaN)) { case (acc, (s, r)) =>
       when(col(sourceCol) === s, lit(r)).otherwise(acc)
     }
-    docs.select(col(idCol), col(sourceCol), rateCol.as("keep_rate"))
+    strat.select(col(idCol), col(sourceCol), rateCol.as("keep_rate"))
       .filter(hashBucket32(col(idCol).cast("string")).cast("double") <
         col("keep_rate") * (1L << 32).toDouble)
   }

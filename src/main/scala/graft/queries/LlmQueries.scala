@@ -497,8 +497,14 @@ object LlmQueries {
 
     // temperature-balanced source mix: alpha=0.6 flattening, smallest
     // source keeps all, dominant sources thinned by the md5-id gate.
+    // The testdata's sources are uniform, so a deterministic skew
+    // filter first makes src0/src1 ~3x dominant — the thinning path
+    // is what the oracle checks, not a degenerate all-rates-1 mix.
     "llm_temperature_sample" -> ((s, dir) =>
-      Sampling.temperatureSample(table(s, dir, "documents"), alpha = 0.6)
+      Sampling.temperatureSample(
+          table(s, dir, "documents").filter(col("doc_id") % 3 === 0 ||
+            col("source").isin("src0", "src1")),
+          alpha = 0.6)
         .orderBy(col("doc_id")))
   )
 
@@ -1540,8 +1546,11 @@ object LlmQueries {
     // temperature-mix replay: identical rate formula and division
     // order ((n/total)/(nmin/total), pow, round-6), md5-id gate.
     "llm_temperature_sample" ->
-      """WITH cnt AS (
-           SELECT source, count(*) AS n FROM documents GROUP BY source),
+      """WITH sk AS (
+           SELECT doc_id, source FROM documents
+           WHERE doc_id % 3 = 0 OR source IN ('src0', 'src1')),
+         cnt AS (
+           SELECT source, count(*) AS n FROM sk GROUP BY source),
          tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total,
                         CAST(min(n) AS DOUBLE) AS nmin FROM cnt),
          rt AS (SELECT source,
@@ -1549,7 +1558,7 @@ object LlmQueries {
                AS keep_rate
            FROM cnt, tot)
          SELECT d.doc_id, d.source, rt.keep_rate
-         FROM documents d JOIN rt USING (source)
+         FROM sk d JOIN rt USING (source)
          WHERE CAST(CAST(('0x' ||
              substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
              AS DOUBLE) < keep_rate * 4294967296.0

@@ -732,7 +732,8 @@ class LlmSpec extends AnyFunSuite {
   test("temperatureSample: tail source kept whole, head thinned, deterministic") {
     import spark.implicits._
     val rows = (0 until 900).map(i => (i.toLong, "big")) ++
-      (900 until 1000).map(i => (i.toLong, "small"))
+      (900 until 1000).map(i => (i.toLong, "small")) :+
+      (1000L, null.asInstanceOf[String])   // no stratum -> excluded
     val df = rows.toDF("doc_id", "source")
     val out = Sampling.temperatureSample(df, alpha = 0.5)
     val kept = out.collect().map(r => (r.getLong(0), r.getString(1)))

@@ -209,4 +209,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(sigIds == Set(1L, 2L, 4L), s"got $sigIds")
   }
 
+  test("streaming bloom decontamination gate matches the batch filter") {
+    // the bloom filter is a plan literal, so the same stateless
+    // scan->filter gates an unbounded stream: no state store, no
+    // shuffle, no benchmark re-read per batch
+    import graft.llm.Contamination
+    val dir = "/root/repo/target/scratch/decon_src"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/part-0.parquet"))
+    val docsStatic = spark.read.parquet(dir)
+    val benchmark = docsStatic.filter(col("doc_id") % 10 === 0)
+    val words = Contamination.bloomWords(benchmark, n = 5)
+    val shift = (60 - Contamination.BloomLog2M) /
+      (Contamination.BloomK - 1)
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      df.filter(graft.functions.SketchExprs.bloomHits(
+        Contamination.shingleHashes(col("text"), 5), words,
+        Contamination.BloomK, Contamination.BloomLog2M, shift) === 0L)
+    val stream = gate(spark.readStream.schema(docsStatic.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .filter(col("doc_id") % 10 =!= 0))
+    val q = stream.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("decon").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("decon").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val want = gate(docsStatic.filter(col("doc_id") % 10 =!= 0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && want.nonEmpty,
+      s"stream gate diverged: ${got.size} vs ${want.size}")
+  }
+
 }
