@@ -424,6 +424,45 @@ object Dedup {
     docs.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Per-cluster representative selection by QUALITY (the RefinedWeb
+    * move): over a `(id, component)` cluster assignment, keep the
+    * member maximizing `quality` (ties to the lowest id) — "keep the
+    * best copy", not "keep the oldest id". Returns one
+    * `(component, keep_id, quality)` row per cluster.
+    *
+    * Scale: one join putting the quality value on the (small)
+    * clustered-vertex set, one window keyed by component — cluster
+    * count ≪ corpus by construction. */
+  def bestPerCluster(comps: DataFrame, docQuality: DataFrame,
+                     idCol: String = "doc_id",
+                     qualityCol: String = "quality"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col(qualityCol).desc, col("id").asc)
+    comps.join(docQuality.withColumnRenamed(idCol, "id"), Seq("id"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("component"), col("id").as("keep_id"), col(qualityCol))
+  }
+
+  /** [[nearDupDedup]] with quality-based representative choice: every
+    * unclustered doc survives; each near-dup cluster keeps its
+    * [[bestPerCluster]] winner under `quality` (an expression over the
+    * doc row, e.g. a token count or an LM score). */
+  def nearDupDedupBy(docs: DataFrame, quality: Column,
+                     threshold: Double = 0.7, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val handle = minHashPairsManaged(docs, threshold, textCol = textCol,
+      idCol = idCol)
+    val comps =
+      try connectedComponents(handle.value) finally handle.close()
+    val keep = bestPerCluster(comps,
+        docs.select(col(idCol), quality.as("quality")), idCol)
+      .select(col("keep_id").as(idCol))
+    val dupIds = comps.select(col("id").as(idCol)).exceptAll(keep)
+    docs.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   // ---------------------------------------------------------------
   // embedding-cosine near-dup
   // ---------------------------------------------------------------

@@ -58,6 +58,21 @@ object LlmQueries {
         Dedup.minHashPairs(table(s, dir, "documents"), threshold = 0.35))
         .orderBy(col("id"))),
 
+    // quality-aware cluster representatives: same clusters as
+    // llm_dedup_clusters, winner = longest member (token count,
+    // ties to lowest id) — RefinedWeb's "keep the best copy".
+    "llm_cluster_best" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val comps = Dedup.connectedComponents(
+        Dedup.minHashPairs(docs, threshold = 0.35))
+      Dedup.bestPerCluster(comps,
+          docs.select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long")
+              .as("n_tok")),
+          qualityCol = "n_tok")
+        .orderBy(col("component"))
+    }),
+
     // incremental ingest dedup: cross-side LSH pairs between a mock
     // new batch (doc_id % 10 = 0) and the standing corpus — no
     // within-side pairs. MD5-oracle-verified under Verify's family.
@@ -495,6 +510,22 @@ object LlmQueries {
           chunkTokens = 12, overlap = 4)
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // per-language token-length quantiles (EXACT percentile_cont
+    // interpolation, not approx — bit-replayable): the length-
+    // distribution health check of a curation run. At 100 TB swap in
+    // approx_percentile; the exact form is the oracle-able contract.
+    "llm_len_quantiles" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("lang"),
+          TextAnalysis.textStats(col("text")).getField("n_tokens")
+            .cast("double").as("n_tok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(expr("percentile(n_tok, 0.5)"), 6).as("p50"),
+          round(expr("percentile(n_tok, 0.9)"), 6).as("p90"),
+          round(expr("percentile(n_tok, 0.99)"), 6).as("p99"))
+        .orderBy(col("lang"))),
+
     // temperature-balanced source mix: alpha=0.6 flattening, smallest
     // source keeps all, dominant sources thinned by the md5-id gate.
     // The testdata's sources are uniform, so a deterministic skew
@@ -622,6 +653,31 @@ object LlmQueries {
          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
        SELECT a AS id, least(a, min(b)) AS component
        FROM reach GROUP BY a ORDER BY id"""
+
+  /** Cluster winners by token count: the llm_dedup_clusters closure,
+    * then one row per component (n_tok DESC, id ASC). */
+  private val clusterBestOracle =
+    raw"""WITH RECURSIVE $minhashScoredCtes,
+       pairs AS (SELECT id_a, id_b FROM scored
+                 WHERE nb > 0 AND est_jaccard >= 0.35),
+       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION ALL SELECT id_b, id_a FROM pairs),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       comp AS (SELECT a AS id, least(a, min(b)) AS component
+                FROM reach GROUP BY a),
+       q AS (SELECT doc_id AS id, CAST(len(list_filter(
+               regexp_split_to_array(text, '\s+'), t -> t <> ''))
+               AS BIGINT) AS n_tok
+             FROM documents)
+       SELECT component, id AS keep_id, n_tok FROM (
+         SELECT c.component, c.id, q.n_tok,
+           ROW_NUMBER() OVER (PARTITION BY c.component
+             ORDER BY q.n_tok DESC, c.id ASC) AS rk
+         FROM comp c JOIN q USING (id))
+       WHERE rk = 1 ORDER BY component"""
 
   /** End-to-end near-dup dedup: recursive transitive closure over the
     * MinHash pair set; a doc is dropped iff some smaller id is
@@ -1341,6 +1397,7 @@ object LlmQueries {
     "llm_minhash_pairs" -> minhashPairsOracle,
     "llm_incremental_pairs" -> incrementalPairsOracle,
     "llm_dedup_clusters" -> dedupClustersOracle,
+    "llm_cluster_best" -> clusterBestOracle,
     "llm_simhash_pairs" -> simhashPairsOracle,
     "llm_fingerprint" -> fingerprintOracle,
     "llm_lsh_cosine_pairs" -> lshCosineOracle(nTables = 16, ppt = 4),
@@ -1542,6 +1599,21 @@ object LlmQueries {
            CAST(len(c) AS BIGINT) AS n_tok,
            array_to_string(c, ' ') AS chunk_text
          FROM w ORDER BY doc_id, chunk_idx""",
+
+    // exact-percentile replay: quantile_cont is the same
+    // percentile_cont interpolation (h = p*(n-1), linear) as Spark's
+    // percentile; token counts via the standard split+filter.
+    "llm_len_quantiles" ->
+      """WITH tok AS (
+           SELECT lang, CAST(len(list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> ''))
+             AS DOUBLE) AS n_tok
+           FROM documents)
+         SELECT lang, count(*) AS n_docs,
+           round(quantile_cont(n_tok, 0.5), 6) AS p50,
+           round(quantile_cont(n_tok, 0.9), 6) AS p90,
+           round(quantile_cont(n_tok, 0.99), 6) AS p99
+         FROM tok GROUP BY lang ORDER BY lang""",
 
     // temperature-mix replay: identical rate formula and division
     // order ((n/total)/(nmin/total), pow, round-6), md5-id gate.

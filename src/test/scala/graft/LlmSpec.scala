@@ -705,6 +705,24 @@ class LlmSpec extends AnyFunSuite {
     assert(r100 >= r25, s"recall must grow with budget: $r25 -> $r100")
   }
 
+  test("nearDupDedupBy keeps the best-quality copy, not the lowest id") {
+    import spark.implicits._
+    val base = (0 until 100).map(i => s"w$i").mkString(" ")
+    val longer = base + " extra trailing tokens here"
+    val other = (0 until 100).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, longer), (3L, other))
+      .toDF("doc_id", "text")
+    val kept = Dedup.nearDupDedupBy(docs,
+        TextAnalysis.tokenCount(col("text")).cast("long"),
+        threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1 and 2 cluster; 2 is longer so it wins despite the higher id
+    assert(kept == Set(2L, 3L), s"got $kept")
+    // min-id variant keeps 1 — the two policies differ exactly here
+    assert(Dedup.nearDupDedup(docs, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
   test("slidingChunks: every token covered, overlap honored, offsets map back") {
     import spark.implicits._
     val text = (1 to 20).map(i => s"t$i").mkString(" ")
