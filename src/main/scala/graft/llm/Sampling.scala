@@ -121,4 +121,56 @@ object Sampling {
       .filter(hashBucket32(col(idCol).cast("string")).cast("double") <
         col("keep_rate") * (1L << 32).toDouble)
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023,
+    * arXiv:2302.03169): every document scores
+    * `Σ_g ln(p̂_T(b(g)) / p̂_R(b(g)))` over its unigram+bigram
+    * INSTANCES, where `b` hashes the gram into `buckets` buckets and
+    * the two distributions are add-1-smoothed bucket frequencies of
+    * the target (the data you want more of) and the raw corpus.
+    * High weight = looks like the target; feed the weights to a
+    * top-k cut or a Gumbel resample. The log-ratio sum runs through
+    * DECIMAL(38,18) so the weight is partition-order-independent.
+    *
+    * Returns (idCol, n_grams, dsir_weight) for the raw docs.
+    *
+    * Scale: the feature space is FIXED (`buckets` rows bound both
+    * count aggregations and the log-ratio table, which broadcasts);
+    * the corpus contributes one narrow explode + one per-doc agg —
+    * no quadratic anything, no vocabulary blow-up. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int = 1024,
+                  textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    def feats(df: DataFrame, cols: Column*): DataFrame = {
+      val tk = df.withColumn("_tk", TextAnalysis.tokens(col(textCol)))
+        .filter(size(col("_tk")) >= 1)
+      val n1 = size(col("_tk")) - 1
+      // unigram + bigram instances (NON-distinct: counts matter)
+      val grams = concat(col("_tk"),
+        zip_with(slice(col("_tk"), lit(1), n1),
+          slice(col("_tk"), lit(2), n1),
+          (a, b) => concat(a, lit(" "), b)))
+      tk.select(cols :+ explode(grams).as("_g"): _*)
+        .select(cols :+ (hashBucket32(col("_g")) % buckets).as("b"): _*)
+    }
+    val rawCnt = feats(raw).groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgtCnt = feats(target).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val rTot = rawCnt.agg(sum(col("cr")).cast("double").as("rtot"))
+    val tTot = tgtCnt.agg(
+      coalesce(sum(col("ct")), lit(0L)).cast("double").as("ttot"))
+    // per-bucket log ratio, exactly the oracle's formula order
+    val lr = rawCnt.join(tgtCnt, Seq("b"), "left")
+      .crossJoin(broadcast(rTot)).crossJoin(broadcast(tTot))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)).cast("double") + 1.0) /
+            (col("ttot") + buckets.toDouble)) -
+          log((col("cr").cast("double") + 1.0) /
+            (col("rtot") + buckets.toDouble))).as("lr"))
+    feats(raw, col(idCol))
+      .join(lr, Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(col("lr").cast("decimal(38,18)")).cast("double"), 6)
+          .as("dsir_weight"))
+  }
 }

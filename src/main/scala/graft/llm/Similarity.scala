@@ -82,6 +82,67 @@ object Similarity {
       .select(col(qIdCol), col("rank"), col(idCol), col("cosine"))
   }
 
+  /** Contrastive hard-negative mining: per anchor, the top-k most
+    * cosine-similar corpus vectors with a DIFFERENT label — the
+    * "hardest" negatives for embedding/contrastive training, where
+    * random in-batch negatives are too easy. Same output contract and
+    * broadcast-anchor plan as [[bruteTopK]], with the label
+    * inequality fused into the scoring join (pairs sharing a label
+    * never materialize). At 100 TB compose with the IVF/PQ candidate
+    * generators exactly like [[pqTopKRerank]]. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label",
+                    qIdCol: String = "query_id",
+                    qVecCol: String = "query_vec",
+                    qLabelCol: String = "query_label"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol), col(labelCol),
+      VectorOps.norm(col(vecCol)).as("_cn"))
+    val q = anchors.select(col(qIdCol), col(qVecCol), col(qLabelCol),
+      VectorOps.norm(col(qVecCol)).as("_qn"))
+    val scored = c.join(broadcast(q), col(labelCol) =!= col(qLabelCol))
+      .withColumn("cosine",
+        round(VectorOps.cosineHoisted(col(vecCol), col(qVecCol),
+          col("_cn"), col("_qn")), 6))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col("rank"), col(idCol), col("cosine"))
+  }
+
+  /** Per-label embedding diversity WITHOUT the O(N²) pair loop: for
+    * unit vectors the mean pairwise cosine inside a label is
+    * `(‖Σu‖² − Σ‖u‖²) / (n(n−1))` — one narrow normalize pass, one
+    * decimal-exact per-(label, dim) sum (the shuffle is bounded by
+    * labels × dim rows after map-side combine), one per-label fold.
+    * Values near 1 flag a collapsed/redundant label slice; near 0 a
+    * spread one — the embedding-space health check of a curation run
+    * at any corpus size. Singleton labels yield NULL. */
+  def labelDiversity(emb: DataFrame, vecCol: String = "embedding",
+                     labelCol: String = "label"): DataFrame = {
+    val u = emb.select(col(labelCol),
+      VectorOps.l2Normalize(col(vecCol)).as("_u"))
+    val dims = u
+      .select(col(labelCol), posexplode(col("_u")).as(Seq("d", "x")))
+      .groupBy(col(labelCol), col("d"))
+      .agg(sum(col("x").cast("decimal(38,12)")).cast("double").as("s"))
+    val perLabel = u.groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n"),
+        sum(VectorOps.normSq(col("_u")).cast("decimal(38,12)"))
+          .cast("double").as("sumsq"))
+    dims.groupBy(col(labelCol))
+      .agg(sum((col("s") * col("s")).cast("decimal(38,12)"))
+        .cast("double").as("s2"))
+      .join(perLabel, Seq(labelCol))
+      .select(col(labelCol), col("n"),
+        round(when(col("n") > 1,
+          (col("s2") - col("sumsq")) /
+            (col("n").cast("double") *
+              (col("n").cast("double") - 1.0))), 6)
+          .as("mean_pair_cosine"))
+  }
+
   // ------------------------------------------------------------------
   // Train-once registry. Centroids and PQ codebooks are corpus-version
   // artifacts: in deployment you train them once per corpus snapshot

@@ -510,6 +510,35 @@ object LlmQueries {
           chunkTokens = 12, overlap = 4)
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // contrastive hard negatives: per anchor (vec_id % 100 = 0), the
+    // 3 most-similar vectors with a DIFFERENT label.
+    "llm_hard_negatives" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val anchors = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"),
+          col("label").as("query_label"))
+      Similarity.hardNegatives(emb, anchors, k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // per-label embedding diversity: mean pairwise cosine from the
+    // normalized-sum identity — no pair loop at any corpus size.
+    "llm_label_diversity" -> ((s, dir) =>
+      Similarity.labelDiversity(table(s, dir, "embeddings"))
+        .orderBy(col("label"))),
+
+    // DSIR importance weights: raw corpus (doc_id % 10 != 0) scored
+    // against the benchmark slice (doc_id % 10 = 0) as target —
+    // hashed unigram+bigram features, add-1 smoothed log-ratios.
+    "llm_dsir" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Sampling.dsirWeights(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0), buckets = 1024)
+        .orderBy(col("doc_id"))
+    }),
+
     // per-language token-length quantiles (EXACT percentile_cont
     // interpolation, not approx — bit-replayable): the length-
     // distribution health check of a curation run. At 100 TB swap in
@@ -1599,6 +1628,92 @@ object LlmQueries {
            CAST(len(c) AS BIGINT) AS n_tok,
            array_to_string(c, ' ') AS chunk_text
          FROM w ORDER BY doc_id, chunk_idx""",
+
+    // hard-negative replay: llm_topk's cosine arithmetic plus the
+    // label inequality inside the scored set.
+    "llm_hard_negatives" ->
+      s"""WITH scored AS (
+           SELECT b.vec_id AS query_id, a.vec_id AS vec_id,
+             $cosineSql AS cosine
+           FROM embeddings a, embeddings b
+           WHERE b.vec_id % 100 = 0 AND a.label <> b.label)
+         SELECT query_id, rank, vec_id, cosine FROM (
+           SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id ASC) AS rank
+           FROM scored)
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // diversity replay: same normalize, same decimal-exact per-dim
+    // sums, same (S2 - sumsq) / (n(n-1)) identity.
+    "llm_label_diversity" ->
+      """WITH u AS (
+           SELECT label, list_transform(embedding, x ->
+             CASE WHEN sqrt(list_sum(list_transform(embedding,
+                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) > 0
+               THEN CAST(x AS DOUBLE)
+                 / sqrt(list_sum(list_transform(embedding,
+                     y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+               ELSE CAST(x AS DOUBLE) END) AS uv
+           FROM embeddings),
+         ud AS (
+           SELECT label, i AS d, uv[i] AS x
+           FROM u, unnest(generate_series(1, len(uv))) AS g(i)),
+         s AS (
+           SELECT label, d,
+             CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS s
+           FROM ud GROUP BY label, d),
+         s2 AS (
+           SELECT label,
+             CAST(SUM(CAST(s * s AS DECIMAL(38,12))) AS DOUBLE) AS s2
+           FROM s GROUP BY label),
+         sq AS (
+           SELECT label, count(*) AS n,
+             CAST(SUM(CAST(list_sum(list_transform(uv, x -> x * x))
+               AS DECIMAL(38,12))) AS DOUBLE) AS sumsq
+           FROM u GROUP BY label)
+         SELECT s2.label, sq.n,
+           CASE WHEN sq.n > 1 THEN
+             round((s2.s2 - sq.sumsq) /
+               (CAST(sq.n AS DOUBLE) * (CAST(sq.n AS DOUBLE) - 1.0)), 6)
+           ELSE NULL END AS mean_pair_cosine
+         FROM s2 JOIN sq ON s2.label = sq.label
+         ORDER BY s2.label""",
+
+    // DSIR replay: same bucket hash (md5 h32 % 1024), same smoothing
+    // and formula order, decimal log-ratio sum.
+    "llm_dsir" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         gi AS (
+           SELECT doc_id, unnest(list_concat(tk,
+             list_transform(generate_series(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i+1]))) AS g
+           FROM tok WHERE len(tk) >= 1),
+         bi AS (
+           SELECT doc_id,
+             CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 1024 AS b
+           FROM gi),
+         rawi AS (SELECT * FROM bi WHERE doc_id % 10 <> 0),
+         tgti AS (SELECT * FROM bi WHERE doc_id % 10 = 0),
+         rc AS (SELECT b, count(*) AS cr FROM rawi GROUP BY b),
+         tc AS (SELECT b, count(*) AS ct FROM tgti GROUP BY b),
+         rt AS (SELECT CAST(sum(cr) AS DOUBLE) AS rtot FROM rc),
+         tt AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) AS ttot
+                FROM tc),
+         lr AS (
+           SELECT rc.b,
+             ln((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) /
+                (ttot + 1024.0)) -
+             ln((CAST(cr AS DOUBLE) + 1.0) / (rtot + 1024.0)) AS lr
+           FROM rc LEFT JOIN tc ON rc.b = tc.b, rt, tt)
+         SELECT doc_id, count(*) AS n_grams,
+           round(CAST(sum(CAST(lr AS DECIMAL(38,18))) AS DOUBLE), 6)
+             AS dsir_weight
+         FROM rawi JOIN lr USING (b)
+         GROUP BY doc_id ORDER BY doc_id""",
 
     // exact-percentile replay: quantile_cont is the same
     // percentile_cont interpolation (h = p*(n-1), linear) as Spark's

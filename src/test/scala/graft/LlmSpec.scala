@@ -705,6 +705,52 @@ class LlmSpec extends AnyFunSuite {
     assert(r100 >= r25, s"recall must grow with budget: $r25 -> $r100")
   }
 
+  test("hardNegatives: never returns the anchor's own label; equals the " +
+       "label-filtered brute top-k") {
+    val anchors = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"), col("label").as("query_label"))
+    val got = Similarity.hardNegatives(emb, anchors, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val labelOf = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { case (q, _, v, _) =>
+      assert(labelOf(v) != labelOf(q), s"negative $v shares label with $q")
+    }
+    // cross-check: for one anchor label L, hardNegatives must equal
+    // bruteTopK over the label-filtered corpus
+    val l0 = anchors.orderBy(col("query_id")).select(col("query_label"))
+      .collect().head.getInt(0)
+    val brute = Similarity.bruteTopK(emb.filter(col("label") =!= l0),
+        anchors.filter(col("query_label") === l0), k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val gotForLabel = got.filter(t => labelOf(t._1) == l0)
+    assert(brute.nonEmpty && brute.toSet == gotForLabel.toSet,
+      "hardNegatives must equal label-filtered brute top-k")
+  }
+
+  test("labelDiversity equals the brute-force mean pairwise cosine") {
+    val got = Similarity.labelDiversity(emb).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // brute force on one label's vectors
+    val rows = emb.filter(col("label") === 3)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val us = rows.map(unit)
+    val pairs = for {
+      i <- us.indices; j <- us.indices if i != j
+    } yield us(i).zip(us(j)).map { case (a, b) => a * b }.sum
+    val brute = pairs.sum / pairs.size
+    val (n3, m3) = got(3)
+    assert(n3 == rows.length)
+    assert(math.abs(m3 - brute) < 1e-6,
+      s"identity $m3 vs brute $brute")
+  }
+
   test("nearDupDedupBy keeps the best-quality copy, not the lowest id") {
     import spark.implicits._
     val base = (0 until 100).map(i => s"w$i").mkString(" ")
