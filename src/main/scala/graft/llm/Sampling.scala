@@ -141,6 +141,13 @@ object Sampling {
   def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int = 1024,
                   textCol: String = "text", idCol: String = "doc_id")
       : DataFrame = {
+    // family-aware gram hash (the per-GRAM hot path — one hash per
+    // token instance): codegen'd XXH64 in production, the md5 bucket
+    // under the oracle family, same switch as every sketch kernel
+    def bucketOf(c: Column): Column =
+      if (graft.functions.SketchOps.xxFamily())
+        shiftrightunsigned(xxhash64(c), 4) % buckets
+      else hashBucket32(c) % buckets
     def feats(df: DataFrame, cols: Column*): DataFrame = {
       val tk = df.withColumn("_tk", TextAnalysis.tokens(col(textCol)))
         .filter(size(col("_tk")) >= 1)
@@ -151,7 +158,7 @@ object Sampling {
           slice(col("_tk"), lit(2), n1),
           (a, b) => concat(a, lit(" "), b)))
       tk.select(cols :+ explode(grams).as("_g"): _*)
-        .select(cols :+ (hashBucket32(col("_g")) % buckets).as("b"): _*)
+        .select(cols :+ bucketOf(col("_g")).as("b"): _*)
     }
     val rawCnt = feats(raw).groupBy(col("b")).agg(count(lit(1)).as("cr"))
     val tgtCnt = feats(target).groupBy(col("b")).agg(count(lit(1)).as("ct"))

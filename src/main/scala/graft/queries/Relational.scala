@@ -351,6 +351,33 @@ object Relational {
       graft.streaming.Sessionize.sessionStats(ev, "user_id", "tsu",
           gap = 30L * 60 * 1000000, valueCol = "value")
         .orderBy($"user_id", $"session_idx")
+    }),
+
+    // ROLLUP hierarchy totals in ONE pass (Spark expands the grouping
+    // sets inside a single shuffle — no self-union of aggregates);
+    // grouping() distinguishes the subtotal rows from real NULL keys.
+    "q24_rollup" -> ((s, dir) => {
+      import s.implicits._
+      Star.table(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          Star.sumDec($"l_quantity").as("sum_qty"),
+          grouping($"l_returnflag").cast("long").as("g_flag"),
+          grouping($"l_linestatus").cast("long").as("g_status"))
+        .orderBy($"g_flag", $"g_status", $"l_returnflag", $"l_linestatus")
+    }),
+
+    // native pivot with EXPLICIT value list (no distinct-scan job to
+    // discover columns — at 100 TB the pivot values are a contract,
+    // not a discovery); one shuffle, conditional partial aggregates.
+    "q25_pivot" -> ((s, dir) => {
+      import s.implicits._
+      Star.table(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(Star.sumDec($"l_quantity"))
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+        .orderBy($"l_returnflag")
     })
   )
 
@@ -516,6 +543,31 @@ object Relational {
            max(tsu) AS session_end, COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
          FROM s GROUP BY user_id, session_idx
-         ORDER BY user_id, session_idx"""
+         ORDER BY user_id, session_idx""",
+
+    // ROLLUP replay: DuckDB expands the same grouping sets; GROUPING()
+    // flags keep subtotal rows distinguishable and the sort total.
+    "q24_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY g_flag, g_status, l_returnflag, l_linestatus""",
+
+    // pivot replay: conditional aggregation — identical decimal sums
+    // per (flag, status) cell.
+    "q25_pivot" ->
+      """SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+             THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS qty_f,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+             THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS qty_o
+         FROM lineitem
+         GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }
