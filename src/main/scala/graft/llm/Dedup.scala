@@ -525,11 +525,15 @@ object Dedup {
   def chunkDedup(docs: DataFrame, chunkTokens: Int = 20, maxFreq: Long = 1,
                  textCol: String = "text", idCol: String = "doc_id")
       : DataFrame = {
-    // hash each chunk ONCE and key both consumers on the same `_h`
-    // column over the same subtree: the frequency aggregate and the
-    // bad-position join then share one exchange (the join side plans
-    // as a ReusedExchange — the scan+explode never runs twice), and
-    // chunk text never rides any shuffle
+    // hash each chunk ONCE so only (id, pos, h) reaches both
+    // consumers — chunk TEXT never rides a shuffle (PlanSpec-gated).
+    // The scan+explode still runs once per consumer (the frequency
+    // aggregate's partial-agg subtree can't share an exchange with
+    // the join side); collapsing to one collect_list pass per hash
+    // would be worse — an over-frequent chunk's occurrence list is
+    // exactly the skew bomb the join shape distributes. At 100 TB,
+    // persist or bucket the chunk projection by `_h` to pay the
+    // explode once.
     val chunks = docs.select(col(idCol),
         posexplode(tokenChunks(col(textCol), chunkTokens))
           .as(Seq("_pos", "_c")))

@@ -313,6 +313,21 @@ class PlanSpec extends AnyFunSuite {
       s"gate must stay in whole-stage codegen:\n${fplan.take(1500)}")
   }
 
+  test("chunkDedup: chunk text never rides a shuffle (hash projected " +
+       "before both consumers)") {
+    val docs = graft.queries.Star.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val df = graft.llm.Dedup.chunkDedup(docs)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // every Exchange input row is (doc_id, _pos, _h) or an aggregate
+    // thereof — the exploded chunk string column (_c) must be gone
+    // before any exchange
+    val badExchange = plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("_c#"))
+    assert(!badExchange, s"chunk text crossed a shuffle:\n${plan.take(2500)}")
+  }
+
   test("slidingChunks is a shuffle-free narrow explode; temperatureSample " +
        "scans without a per-row join") {
     val docs = graft.queries.Star.table(spark, sf, "documents")
