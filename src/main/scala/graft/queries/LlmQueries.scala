@@ -376,6 +376,18 @@ object LlmQueries {
         .orderBy(col("media_id"))
     }),
 
+    // video path: stub decode -> every-7th-frame sampling schedule
+    // (the relational plan a per-frame decoder plugs into).
+    "llm_mm_frames" -> ((s, dir) => {
+      val blobs = Multimodal.asBlobs(table(s, dir, "documents"),
+        "doc_id", "text", "video")
+      Multimodal.sampleFrames(Multimodal.extractFeatures(blobs),
+          stride = 7)
+        .select(col("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // full multimodal feature extraction + frame-sampling schedule;
     // the deterministic stub decoder's arithmetic is replayed in the
     // oracle, so the whole plumbing is hash-verified.
@@ -492,6 +504,27 @@ object LlmQueries {
             Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"),
           TextAnalysis.tokenCount(col("text_clean")).cast("long")
             .as("n_tokens_clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // curation -> packing composition: the cleaned, deduped corpus
+    // materialized as fixed-length training sequences — the last hop
+    // of the pipeline (dataset ready for a trainer).
+    "llm_pack_curated" -> ((s, dir) => {
+      val quality = TextAnalysis.qualityFeatures(table(s, dir, "documents"))
+        .filter(col("n_tokens") >= 20 && col("punct_ratio") < 0.05)
+        .select(col("doc_id"), col("text"))
+      val cleaned = Dedup.chunkDedup(quality, chunkTokens = 20,
+          maxFreq = 1)
+        .filter(length(col("text_clean")) > 0)
+        .select(col("doc_id"), col("text_clean"))
+      val deduped = Dedup.exactDedup(cleaned, textCol = "text_clean",
+        idCol = "doc_id")
+      Mixing.packSequences(
+          deduped.select(col("doc_id"), col("text_clean")),
+          seqTokens = 2048, textCol = "text_clean")
+        .select(col("doc_id"), col("n_tokens"), col("token_start"),
+          col("pack_id"), col("pack_offset"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1451,6 +1484,17 @@ object LlmQueries {
            CAST(((1 + (h32 >> 18) % 1000) - 1) // 100 + 1 AS BIGINT)
              AS n_windows
          FROM f ORDER BY media_id""",
+    // video stub decoder: frames = 1 + (h32 >> 18) % 120; sampling
+    // schedule = generate_series with the stride.
+    "llm_mm_frames" ->
+      s"""WITH f AS (
+           SELECT doc_id AS media_id,
+             CAST(1 + (${h32Sql("text")} >> 18) % 120 AS INT) AS n_frames
+           FROM documents)
+         SELECT media_id, CAST(i AS BIGINT) AS frame_idx
+         FROM f, unnest(generate_series(0, n_frames - 1, 7)) AS g(i)
+         ORDER BY media_id, frame_idx""",
+
     // chunk dedup is replayed on chunk TEXT (the engine's 64-bit chunk
     // hash is internal); dropping by over-frequent VALUE == dropping by
     // position of a matching value.
@@ -1575,6 +1619,70 @@ object LlmQueries {
            round(CAST(SUM(CAST(lp AS DECIMAL(38,18))) AS DOUBLE)
              / count(*), 6) AS avg_logprob
          FROM lp GROUP BY doc_id ORDER BY doc_id""",
+
+    // curation -> pack replay: the proven curation CTE chain up to
+    // `dedup`, then the proven llm_pack CTEs over text_clean.
+    "llm_pack_curated" ->
+      """WITH ql AS (
+           SELECT doc_id, text FROM (
+             SELECT doc_id, text,
+               len(list_filter(regexp_split_to_array(text, '\s+'),
+                 t -> t <> '')) AS n_tokens,
+               CAST(length(text) - length(regexp_replace(text,
+                   '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                 / length(text) AS punct_ratio
+             FROM documents)
+           WHERE n_tokens >= 20 AND punct_ratio < 0.05),
+         ch AS (
+           SELECT doc_id, text,
+             CASE WHEN len(tk) > 0 THEN
+               list_transform(generate_series(0, (len(tk) - 1) // 20),
+                 i -> array_to_string(tk[i*20+1 : i*20+20], ' '))
+             ELSE [] END AS chunks
+           FROM (SELECT doc_id, text,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tk
+                 FROM ql)),
+         badset AS (
+           SELECT coalesce(list(c), []) AS badlist FROM (
+             SELECT c FROM (SELECT unnest(chunks) AS c FROM ch)
+             GROUP BY c HAVING count(*) > 1)),
+         cleaned AS (
+           SELECT doc_id,
+             CASE WHEN len(kept) = len(chunks) THEN text
+                  ELSE coalesce(array_to_string(kept, ' '), '') END
+               AS text_clean
+           FROM (SELECT ch.doc_id, ch.text, ch.chunks,
+                   list_filter(ch.chunks,
+                     x -> NOT list_contains(badset.badlist, x)) AS kept
+                 FROM ch, badset)),
+         nonempty AS (
+           SELECT doc_id, text_clean FROM cleaned
+           WHERE length(text_clean) > 0),
+         dedup AS (
+           SELECT doc_id, text_clean FROM (
+             SELECT doc_id, text_clean,
+               MIN(doc_id) OVER (PARTITION BY text_clean) AS keep
+             FROM nonempty)
+           WHERE doc_id = keep),
+         t AS (
+           SELECT doc_id,
+             CAST(coalesce(len(list_filter(
+               regexp_split_to_array(text_clean, '\s+'),
+               x -> x <> '')), 0) AS BIGINT) AS n_tokens,
+             CAST(('0x' || substring(md5(text_clean), 1, 8)) AS BIGINT)
+               AS h
+           FROM dedup),
+         s AS (
+           SELECT doc_id, n_tokens,
+             CAST(coalesce(SUM(n_tokens) OVER (
+               ORDER BY h ASC NULLS FIRST, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS token_start
+           FROM t)
+         SELECT doc_id, n_tokens, token_start,
+           token_start // 2048 AS pack_id,
+           token_start % 2048 AS pack_offset
+         FROM s ORDER BY doc_id""",
 
     // perplexity-tier replay: the llm_lm_score chain, then the same
     // ntile window (score DESC round-6, id tie-break) per language.
