@@ -122,6 +122,28 @@ object Sampling {
         col("keep_rate") * (1L << 32).toDouble)
   }
 
+  /** Deterministic Gumbel-top-k: sample `k` rows WITHOUT replacement
+    * with probability ∝ exp(weightCol) by ranking on
+    * `weight + Gumbel(hash(id))` — the Gumbel-max trick with the
+    * repo's md5 bucket standing in for the uniform draw
+    * (`u = (h32+1) / 2^32+1` ∈ (0,1), `g = -ln(-ln u)`), so the
+    * sample is a pure function of the corpus. Keys are rounded to 6
+    * decimals before ranking (the replayability convention); ties
+    * break to the lowest id. Pairs with [[dsirWeights]] to turn
+    * importance scores into an actual selection.
+    *
+    * Scale: one narrow key projection + one global top-k
+    * (TakeOrdered — per-partition heads, never a full sort). */
+  def gumbelTopK(df: DataFrame, weightCol: Column, k: Int,
+                 idCol: String = "doc_id"): DataFrame = {
+    val u = (hashBucket32(col(idCol).cast("string")).cast("double") + 1.0) /
+      4294967297.0
+    val key = round(weightCol + (-log(-log(u))), 6)
+    df.withColumn("gumbel_key", key)
+      .orderBy(col("gumbel_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023,
     * arXiv:2302.03169): every document scores
     * `Σ_g ln(p̂_T(b(g)) / p̂_R(b(g)))` over its unigram+bigram

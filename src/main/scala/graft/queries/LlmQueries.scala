@@ -572,6 +572,18 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR weights -> Gumbel-top-k selection: the 50 docs sampled
+    // ∝ exp(weight), deterministically (md5 uniform, Gumbel-max).
+    "llm_dsir_sample" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val w = Sampling.dsirWeights(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), buckets = 1024)
+      Sampling.gumbelTopK(w, col("dsir_weight"), k = 50)
+        .select(col("doc_id"), col("dsir_weight"), col("gumbel_key"))
+        .orderBy(col("gumbel_key").desc, col("doc_id"))
+    }),
+
     // per-language token-length quantiles (EXACT percentile_cont
     // interpolation, not approx — bit-replayable): the length-
     // distribution health check of a curation run. At 100 TB swap in
@@ -1822,6 +1834,48 @@ object LlmQueries {
              AS dsir_weight
          FROM rawi JOIN lr USING (b)
          GROUP BY doc_id ORDER BY doc_id""",
+
+    // DSIR + Gumbel-max replay: same weight chain, same md5 uniform
+    // u = (h32+1)/2^32+1, key = round(w - ln(-ln u), 6), top-50.
+    "llm_dsir_sample" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         gi AS (
+           SELECT doc_id, unnest(list_concat(tk,
+             list_transform(generate_series(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i+1]))) AS g
+           FROM tok WHERE len(tk) >= 1),
+         bi AS (
+           SELECT doc_id,
+             CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 1024 AS b
+           FROM gi),
+         rawi AS (SELECT * FROM bi WHERE doc_id % 10 <> 0),
+         tgti AS (SELECT * FROM bi WHERE doc_id % 10 = 0),
+         rc AS (SELECT b, count(*) AS cr FROM rawi GROUP BY b),
+         tc AS (SELECT b, count(*) AS ct FROM tgti GROUP BY b),
+         rt AS (SELECT CAST(sum(cr) AS DOUBLE) AS rtot FROM rc),
+         tt AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) AS ttot
+                FROM tc),
+         lr AS (
+           SELECT rc.b,
+             ln((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) /
+                (ttot + 1024.0)) -
+             ln((CAST(cr AS DOUBLE) + 1.0) / (rtot + 1024.0)) AS lr
+           FROM rc LEFT JOIN tc ON rc.b = tc.b, rt, tt),
+         wsel AS (
+           SELECT doc_id,
+             round(CAST(sum(CAST(lr AS DECIMAL(38,18))) AS DOUBLE), 6)
+               AS dsir_weight
+           FROM rawi JOIN lr USING (b) GROUP BY doc_id)
+         SELECT doc_id, dsir_weight,
+           round(dsir_weight + (-ln(-ln(
+             (CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                1, 8)) AS BIGINT) AS DOUBLE) + 1.0) / 4294967297.0))), 6)
+             AS gumbel_key
+         FROM wsel
+         ORDER BY gumbel_key DESC, doc_id LIMIT 50""",
 
     // exact-percentile replay: quantile_cont is the same
     // percentile_cont interpolation (h = p*(n-1), linear) as Spark's

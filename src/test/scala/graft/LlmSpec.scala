@@ -813,6 +813,20 @@ class LlmSpec extends AnyFunSuite {
     assert(Sampling.temperatureSample(df, alpha = 1.0).count() == 1000)
   }
 
+  test("gumbelTopK: deterministic, k-bounded, weight-dominated") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, if (i == 7) 100.0 else 0.0))
+      .toDF("doc_id", "w")
+    val top = Sampling.gumbelTopK(df, col("w"), k = 10).collect()
+    assert(top.length == 10)
+    // a weight 100 nats above the field always survives (max Gumbel
+    // noise here is ~ln(2^32) ≈ 22)
+    assert(top.map(_.getLong(0)).contains(7L))
+    assert(top.map(_.getLong(0)).toSeq ==
+      Sampling.gumbelTopK(df, col("w"), k = 10)
+        .collect().map(_.getLong(0)).toSeq)
+  }
+
   test("pplBuckets: buckets partition each language, head outscores tail") {
     val out = TextAnalysis.pplBuckets(docs, docs, nBuckets = 3).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
