@@ -584,6 +584,20 @@ object LlmQueries {
         .orderBy(col("gumbel_key").desc, col("doc_id"))
     }),
 
+    // approximate distincts (HLL++, rsd=0.02): THE scale path for
+    // cardinality stats — no oracle (sketch estimates are not
+    // SQL-replayable; driver records the rows-only check), accuracy
+    // vs exact asserted in LlmSpec instead.
+    "llm_approx_stats" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          approx_count_distinct(col("token"), rsd = 0.02)
+            .as("approx_vocab"))
+        .orderBy(col("source"))),
+
     // per-language token-length quantiles (EXACT percentile_cont
     // interpolation, not approx — bit-replayable): the length-
     // distribution health check of a curation run. At 100 TB swap in

@@ -813,6 +813,22 @@ class LlmSpec extends AnyFunSuite {
     assert(Sampling.temperatureSample(df, alpha = 1.0).count() == 1000)
   }
 
+  test("approx_count_distinct tracks exact vocabulary within the rsd bound") {
+    val tok = docs.select(col("source"),
+      explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val approx = tok.groupBy(col("source"))
+      .agg(approx_count_distinct(col("token"), rsd = 0.02).as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = tok.groupBy(col("source"))
+      .agg(countDistinct(col("token")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (s, e) =>
+      val a = approx(s)
+      assert(math.abs(a - e).toDouble / e < 0.1,
+        s"source $s: approx $a vs exact $e")
+    }
+  }
+
   test("gumbelTopK: deterministic, k-bounded, weight-dominated") {
     import spark.implicits._
     val df = (0L until 100L).map(i => (i, if (i == 7) 100.0 else 0.0))
