@@ -305,6 +305,48 @@ object TextAnalysis {
         col("ppl_bucket"))
   }
 
+  /** Top-k collocations by pointwise mutual information:
+    * `pmi(w1,w2) = ln( (c12/N2) / ((c1/N1)(c2/N1)) )` over bigram
+    * instances, keeping pairs seen at least `minCount` times (PMI is
+    * noise at low counts). Classic collocation extraction — finds
+    * multi-word units worth protecting from tokenization/shuffling.
+    *
+    * Scale: two count aggregations (token keys, map-side combine),
+    * a minCount cut BEFORE the unigram joins (the bigram table
+    * shrinks to frequent pairs first), totals as 1-row broadcasts,
+    * TakeOrdered top-k. */
+  def pmiTopPairs(docs: DataFrame, k: Int, minCount: Long = 5,
+                  textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = docs.withColumn("_tk", tokens(col(textCol)))
+      .filter(size(col("_tk")) >= 2)
+    val n1 = size(col("_tk")) - 1
+    val inst = tk.select(explode(arrays_zip(
+        slice(col("_tk"), lit(1), n1).as("w1"),
+        slice(col("_tk"), lit(2), n1).as("w2"))).as("z"))
+      .select(col("z.w1").as("w1"), col("z.w2").as("w2"))
+    val uni = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val nUni = uni.agg(sum(col("cu")).cast("double").as("n1t"))
+    val bi = inst.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val nBi = inst.agg(count(lit(1)).cast("double").as("n2t"))
+    val pmi = log((col("c12").cast("double") / col("n2t")) /
+      ((col("c1").cast("double") / col("n1t")) *
+        (col("c2").cast("double") / col("n1t"))))
+    bi.join(uni.select(col("w").as("w1"), col("cu").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cu").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(pmi, 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("pmi").desc, col("w1").asc, col("w2").asc)).cast("long"))
+      .select(col("rank"), col("w1"), col("w2"), col("c12"), col("pmi"))
+  }
+
   // ---------------------------------------------------------------
   // vocabulary / OOV
   // ---------------------------------------------------------------

@@ -584,6 +584,13 @@ object LlmQueries {
         .orderBy(col("gumbel_key").desc, col("doc_id"))
     }),
 
+    // top collocations by PMI (count >= 5): multi-word units worth
+    // protecting from tokenization.
+    "llm_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiTopPairs(table(s, dir, "documents"), k = 30,
+          minCount = 5)
+        .orderBy(col("rank"))),
+
     // approximate distincts (HLL++, rsd=0.02): THE scale path for
     // cardinality stats — no oracle (sketch estimates are not
     // SQL-replayable; driver records the rows-only check), accuracy
@@ -1890,6 +1897,39 @@ object LlmQueries {
              AS gumbel_key
          FROM wsel
          ORDER BY gumbel_key DESC, doc_id LIMIT 50""",
+
+    // PMI replay: same count tables, same division order
+    // ((c12/N2) / ((c1/N1)(c2/N1))), round-6 before ranking.
+    "llm_pmi" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         inst AS (
+           SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+               i -> tk[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(tk) - 1),
+               i -> tk[i+1])) AS w2
+           FROM tok WHERE len(tk) >= 2),
+         uni AS (SELECT w, count(*) AS cu FROM (
+             SELECT unnest(tk) AS w FROM tok) GROUP BY w),
+         n1t AS (SELECT CAST(sum(cu) AS DOUBLE) AS n1t FROM uni),
+         n2t AS (SELECT CAST(count(*) AS DOUBLE) AS n2t FROM inst),
+         bi AS (SELECT w1, w2, count(*) AS c12 FROM inst
+                GROUP BY w1, w2 HAVING count(*) >= 5),
+         scored AS (
+           SELECT w1, w2, c12,
+             round(ln((CAST(c12 AS DOUBLE) / n2t) /
+               ((CAST(u1.cu AS DOUBLE) / n1t) *
+                (CAST(u2.cu AS DOUBLE) / n1t))), 6) AS pmi
+           FROM bi
+           JOIN uni u1 ON u1.w = bi.w1
+           JOIN uni u2 ON u2.w = bi.w2, n1t, n2t)
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, w1 ASC,
+             w2 ASC) AS BIGINT) AS rank,
+           w1, w2, c12, pmi
+         FROM scored
+         ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 30""",
 
     // exact-percentile replay: quantile_cont is the same
     // percentile_cont interpolation (h = p*(n-1), linear) as Spark's

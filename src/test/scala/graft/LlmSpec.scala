@@ -813,6 +813,20 @@ class LlmSpec extends AnyFunSuite {
     assert(Sampling.temperatureSample(df, alpha = 1.0).count() == 1000)
   }
 
+  test("pmiTopPairs: planted exclusive collocation tops the ranking") {
+    import spark.implicits._
+    val filler = (0 until 50).map(i => s"w${i % 10} w${(i * 3) % 10}")
+      .mkString(" ")
+    val planted = (0 until 20).map(i =>
+      (i.toLong, s"new york $filler")).toDF("doc_id", "text")
+    val top = TextAnalysis.pmiTopPairs(planted, k = 5, minCount = 5)
+      .collect()
+    // "new" and "york" occur ONLY in the pair -> maximal PMI
+    assert((top.head.getString(1), top.head.getString(2)) ==
+      ("new", "york"), top.map(_.toString).mkString("\n"))
+    assert(top.head.getLong(3) == 20L)
+  }
+
   test("approx_count_distinct tracks exact vocabulary within the rsd bound") {
     val tok = docs.select(col("source"),
       explode(TextAnalysis.tokens(col("text"))).as("token"))

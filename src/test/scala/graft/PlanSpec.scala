@@ -313,6 +313,19 @@ class PlanSpec extends AnyFunSuite {
       s"gate must stay in whole-stage codegen:\n${fplan.take(1500)}")
   }
 
+  test("hardNegatives: anchors broadcast, corpus never shuffles for " +
+       "scoring") {
+    val emb = graft.queries.Star.table(spark, sf, "embeddings")
+    val anchors = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"), col("label").as("query_label"))
+    val plan = planOf(graft.llm.Similarity.hardNegatives(emb, anchors, 3))
+    assert(plan.contains("BroadcastExchange"), plan.take(1500))
+    // the only non-broadcast exchange is the final per-query top-k
+    assert(raw"\(\d+\) Exchange".r.findAllIn(plan).size == 1,
+      s"corpus must not shuffle for scoring:\n${plan.take(2000)}")
+  }
+
   test("chunkDedup: chunk text never rides a shuffle (hash projected " +
        "before both consumers)") {
     val docs = graft.queries.Star.table(spark, sf, "documents")
