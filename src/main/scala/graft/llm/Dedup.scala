@@ -416,6 +416,16 @@ object Dedup {
       idCol = idCol)
     val comps =
       try connectedComponents(handle.value) finally handle.close()
+    keepRepresentatives(docs, comps, idCol)
+  }
+
+  /** Keep one min-id representative per cluster of a `(id, component)`
+    * assignment; docs outside any cluster always survive. The
+    * downstream half of [[nearDupDedup]], reusable against a
+    * PRECOMPUTED cluster table (clusters are a corpus-version
+    * artifact — build once, consume from every query). */
+  def keepRepresentatives(docs: DataFrame, comps: DataFrame,
+                          idCol: String = "doc_id"): DataFrame = {
     val reps = comps.groupBy(col("component"))
       .agg(min(col("id")).as("keep"))
       .select(col("keep").as(idCol))
