@@ -568,4 +568,71 @@ object Dedup {
         coalesce(size(col("_bad")), lit(0)).cast("long"))
       .drop("_bad")
   }
+
+  // ---------------------------------------------------------------
+  // exact-substring duplicate spans (suffix-array-family dedup)
+  // ---------------------------------------------------------------
+
+  /** Exact-substring duplicate spans — the suffix-array dedup of Lee
+    * et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better", which builds a corpus suffix array to find repeated
+    * byte runs), re-expressed Spark-first as rolling window-gram
+    * matching: a token position is duplicated when its `l`-token
+    * window occurs at ≥2 positions corpus-wide (other docs or
+    * elsewhere in the same doc); maximal runs of duplicated positions
+    * merge into spans. Returns one row per maximal span:
+    * `(doc_id, span_start, span_len, n_windows)` with 1-based token
+    * offsets — the span covers tokens
+    * `[span_start, span_start + span_len - 1]`, exactly the byte
+    * ranges a substring-dedup pass would cut.
+    *
+    * Equivalent to the suffix-array answer for runs ≥ `l` tokens
+    * (any repeat of length ≥ l is a run of repeated l-windows;
+    * repeats shorter than l are below the dedup threshold by
+    * definition).
+    *
+    * Scale: docs explode to `(id, pos, h)` where `h` is a 60-bit
+    * window hash — 16-byte rows on every shuffle, the gram text
+    * never leaves the scan. Global window counts aggregate on `h`
+    * with map-side combine; duplicated hashes join back onto the
+    * position stream (AQE broadcasts the dup side while it fits —
+    * dups ≪ windows in a mostly-clean corpus); span merge is one
+    * per-doc window bounded by doc length. The window stream is
+    * derived twice (count + join side) — two scans of a narrow
+    * projection; persist `wins` instead if the input is not a cheap
+    * parquet scan. The hash is md5-60 (first 15 hex chars) so the
+    * whole op replays bit-exact in any ANSI engine; collisions are
+    * 2^-60-scale false merges — the standard fingerprinting trade
+    * (swap in `xxhash64(gram)` off the oracle path if preferred). */
+  def substringDupSpans(docs: DataFrame, l: Int = 8,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = docs
+      .select(col(idCol),
+        graft.llm.TextAnalysis.tokens(col(textCol)).as("_tk"))
+      .filter(size(col("_tk")) >= l)
+    val nWin = size(col("_tk")) - (l - 1)
+    val wins = tk
+      .select(col(idCol), explode(transform(sequence(lit(1), nWin),
+        i => struct(i.as("pos"),
+          conv(substring(md5(array_join(
+            slice(col("_tk"), i, lit(l)), " ")), 1, 15), 16, 10)
+            .cast("long").as("h")))).as("z"))
+      .select(col(idCol), col("z.pos").as("pos"), col("z.h").as("h"))
+    val dups = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") >= 2)
+      .select(col("h"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    wins.join(dups, Seq("h"))
+      .select(col(idCol), col("pos"))
+      .withColumn("_grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + l).cast("long")
+          .as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_len"),
+        col("n_windows"))
+  }
 }

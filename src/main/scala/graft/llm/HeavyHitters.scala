@@ -1,0 +1,114 @@
+package graft.llm
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Frequent-item (heavy-hitter) extraction at corpus scale.
+  *
+  * Exact top-frequency queries need the full token histogram; at
+  * 100 TB the vocabulary (URLs, ids, typos) can itself be huge. The
+  * classic answer is a two-pass sketch-then-verify:
+  *
+  *  1. a Misra-Gries summary (Misra & Gries 1982, "Finding repeated
+  *     elements") with `m` counters over the token stream — mergeable
+  *     across partitions with additive error (Agarwal et al. 2013,
+  *     "Mergeable summaries"), so it runs as ONE distributed
+  *     aggregation whose state is ≤ m entries per partition. Every
+  *     item with true count > n/(m+1) is guaranteed present in the
+  *     summary (decrements charge ≤ n/(m+1) per item);
+  *  2. an exact count of the ≤ m candidates only (a broadcast-size
+  *     IN-filter on the same stream), keeping items with
+  *     `count * k > n`.
+  *
+  * The final output is therefore EXACT — precisely the tokens with
+  * frequency above n/k — and independent of partitioning and merge
+  * order, which is what makes it oracle-replayable even though the
+  * intermediate sketch is not.
+  */
+object HeavyHitters {
+
+  /** (counters capped at m entries, exact element total). */
+  type MGBuf = (mutable.HashMap[String, Long], Long)
+
+  /** Mergeable Misra-Gries aggregator. Runs as an object-hash
+    * aggregate: one live buffer per partition, serialized (kryo) only
+    * at the final merge — the token stream itself never leaves the
+    * executors. */
+  class MisraGriesAgg(m: Int)
+      extends Aggregator[String, MGBuf, (Map[String, Long], Long)] {
+    def zero: MGBuf = (mutable.HashMap.empty, 0L)
+
+    def reduce(b: MGBuf, t: String): MGBuf = {
+      val cs = b._1
+      cs.get(t) match {
+        case Some(c)             => cs(t) = c + 1
+        case None if cs.size < m => cs(t) = 1L
+        case None => // decrement-all step; the new item is absorbed
+          cs.mapValuesInPlace((_, c) => c - 1)
+          cs.filterInPlace((_, c) => c > 0)
+      }
+      (cs, b._2 + 1)
+    }
+
+    def merge(a: MGBuf, b: MGBuf): MGBuf = {
+      val ca = a._1
+      for ((t, c) <- b._1) ca(t) = ca.getOrElse(t, 0L) + c
+      if (ca.size > m) {
+        // subtract the (m+1)-th largest counter from all, drop <= 0:
+        // the mergeable-summaries reduction, error stays additive
+        val cut = ca.values.toIndexedSeq
+          .sorted(Ordering[Long].reverse).apply(m)
+        ca.mapValuesInPlace((_, c) => c - cut)
+        ca.filterInPlace((_, c) => c > 0)
+      }
+      (ca, a._2 + b._2)
+    }
+
+    def finish(b: MGBuf): (Map[String, Long], Long) = (b._1.toMap, b._2)
+    def bufferEncoder: Encoder[MGBuf] = Encoders.kryo[MGBuf]
+    def outputEncoder: Encoder[(Map[String, Long], Long)] =
+      Encoders.kryo[(Map[String, Long], Long)]
+  }
+
+  /** Misra-Gries summary + exact total over the first column of
+    * `tokens`, in one distributed pass. The result is driver-sized by
+    * construction (≤ m candidate entries); counter values are the
+    * usual MG undercounts, NOT exact frequencies. */
+  def summarize(tokens: DataFrame, m: Int): (Map[String, Long], Long) = {
+    val s = tokens.sparkSession
+    import s.implicits._
+    tokens.select(col(tokens.columns.head).cast("string")).as[String]
+      .select(new MisraGriesAgg(m).toColumn)
+      .head()
+  }
+
+  /** Tokens with frequency strictly above n/k (n = total token
+    * instances), with exact counts: `(rank, token, n_occurrences)`.
+    *
+    * `counters` sizes the MG sketch (default 2k; any value ≥ k − 1
+    * preserves the superset guarantee, more counters = fewer false
+    * candidates for the verify pass). Calling this runs the pass-1
+    * summary job eagerly — inherent to sketch-then-verify, same
+    * train-once shape as [[Similarity]]'s centroid registry. */
+  def heavyHitters(docs: DataFrame, k: Int, counters: Int = 0,
+                   textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = if (counters > 0) counters else 2 * k
+    require(m >= k - 1,
+      s"$m counters cannot guarantee the n/$k superset (need >= ${k - 1})")
+    val toks = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val (cand, n) = summarize(toks, m)
+    toks.filter(col("token").isin(cand.keys.toSeq: _*))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") * k > lit(n))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("n_occurrences").desc, col("token").asc)).cast("long"))
+      .select(col("rank"), col("token"), col("n_occurrences"))
+  }
+}

@@ -305,6 +305,28 @@ object TextAnalysis {
         col("ppl_bucket"))
   }
 
+  /** CCNet head/tail corpus filter: materialize the kept slice of the
+    * corpus from [[pplBuckets]]'s per-language perplexity tiers —
+    * original doc schema plus the `ppl_bucket` column, keeping buckets
+    * `<= keepBuckets` (CCNet keeps head+middle and drops tail; pass 1
+    * for head-only). Docs that produce no bigrams (< 2 tokens) have no
+    * LM score and are dropped with the tail, matching [[pplBuckets]]'s
+    * output domain.
+    *
+    * Scale: the tier table is one narrow row per doc; joining it back
+    * keys on the id, so full text rides exactly one shuffle — or none
+    * when AQE broadcasts the filtered tier side. */
+  def ccnetFilter(docs: DataFrame, train: DataFrame, nBuckets: Int = 3,
+                  keepBuckets: Int = 2, alpha: Double = 0.5,
+                  textCol: String = "text", idCol: String = "doc_id",
+                  langCol: String = "lang"): DataFrame = {
+    val kept = pplBuckets(docs, train, nBuckets, alpha,
+        textCol, idCol, langCol)
+      .filter(col("ppl_bucket") <= keepBuckets)
+      .select(col(idCol), col("ppl_bucket"))
+    docs.join(kept, Seq(idCol))
+  }
+
   /** Top-k collocations by pointwise mutual information:
     * `pmi(w1,w2) = ln( (c12/N2) / ((c1/N1)(c2/N1)) )` over bigram
     * instances, keeping pairs seen at least `minCount` times (PMI is

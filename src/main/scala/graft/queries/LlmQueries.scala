@@ -674,7 +674,42 @@ object LlmQueries {
           table(s, dir, "documents").filter(col("doc_id") % 3 === 0 ||
             col("source").isin("src0", "src1")),
           alpha = 0.6)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // per-doc language assignment (the materialized form of
+    // llm_langid's aggregate): the column a curation pipeline
+    // actually joins on.
+    "llm_langid_docs" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    // CCNet head/tail filter: materialize the kept (head+middle)
+    // corpus slice from the per-language perplexity tiers.
+    "llm_ccnet_filter" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      TextAnalysis.ccnetFilter(docs, docs, nBuckets = 3,
+          keepBuckets = 2)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("ppl_bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // heavy hitters: Misra-Gries candidates (one mergeable-sketch
+    // pass) + exact verify pass — tokens above 1/30 of all instances,
+    // exact and partitioning-independent, so fully oracle-checked
+    // even though the intermediate sketch is not replayable.
+    "llm_heavy_hitters" -> ((s, dir) =>
+      HeavyHitters.heavyHitters(table(s, dir, "documents"), k = 30)
+        .orderBy(col("rank"))),
+
+    // exact-substring duplicate spans (suffix-array-family dedup):
+    // maximal runs of 8-token windows occurring >= 2 times
+    // corpus-wide — the ranges a substring-dedup pass would cut.
+    "llm_substring_spans" -> ((s, dir) =>
+      Dedup.substringDupSpans(table(s, dir, "documents"), l = 8)
+        .orderBy(col("doc_id"), col("span_start")))
   )
 
   // DuckDB shingle expression shared by the jaccard oracle
@@ -2116,6 +2151,112 @@ object LlmQueries {
                  CAST(('0x' || substring(md5(text_clean), 1, 8)) AS BIGINT)
                    % 100 AS h
                FROM dedup)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // per-doc replay of the llm_langid marker argmax (struct max:
+    // hits first, then language name — ties to the last lang, 'und'
+    // on zero hits), keyed by doc id.
+    "llm_langid_docs" ->
+      """WITH scored AS (
+           SELECT doc_id, list_max([
+             {'hits': len(list_filter(toks, t -> list_contains(
+                ['the','a','of','and','to','in','is','that'], t))), 'lang': 'en'},
+             {'hits': len(list_filter(toks, t -> list_contains(
+                ['el','la','de','y','que','en','los','se'], t))), 'lang': 'es'},
+             {'hits': len(list_filter(toks, t -> list_contains(
+                ['le','la','de','et','que','les','des','un'], t))), 'lang': 'fr'},
+             {'hits': len(list_filter(toks, t -> list_contains(
+                ['der','die','und','das','ist','nicht','ein','zu'], t))), 'lang': 'de'},
+             {'hits': len(list_filter(toks, t -> list_contains(
+                ['的','是','在','了','和','有','我','不'], t))), 'lang': 'zh'}
+           ]) AS best
+           FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     t -> t <> '') AS toks FROM documents))
+         SELECT doc_id,
+           CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END
+             AS lang_pred
+         FROM scored ORDER BY doc_id""",
+
+    // CCNet-filter replay: the llm_ppl_buckets chain, kept buckets
+    // only, source re-attached from the corpus.
+    "llm_ccnet_filter" ->
+      raw"""WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         uni AS (SELECT w, count(*) AS cu FROM (
+             SELECT unnest(tk) AS w FROM tok) GROUP BY w),
+         vn AS (SELECT count(*) AS v FROM uni),
+         inst AS (
+           SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(tk) - 1),
+               i -> tk[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i+1])) AS bg
+           FROM tok WHERE len(tk) >= 2),
+         bc AS (SELECT bg, count(*) AS cb FROM inst GROUP BY bg),
+         lp AS (
+           SELECT doc_id,
+             ln((CAST(cb AS DOUBLE) + 0.5) /
+                (CAST(cu AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))) AS lp
+           FROM inst JOIN bc USING (bg) JOIN uni ON uni.w = inst.w1, vn),
+         sc AS (
+           SELECT doc_id,
+             round(CAST(SUM(CAST(lp AS DECIMAL(38,18))) AS DOUBLE)
+               / count(*), 6) AS avg_logprob
+           FROM lp GROUP BY doc_id),
+         tier AS (
+           SELECT d.doc_id, d.lang, d.source,
+             CAST(ntile(3) OVER (PARTITION BY d.lang
+               ORDER BY sc.avg_logprob DESC, d.doc_id ASC) AS BIGINT)
+               AS ppl_bucket
+           FROM sc JOIN documents d ON d.doc_id = sc.doc_id)
+         SELECT doc_id, lang, source, ppl_bucket
+         FROM tier WHERE ppl_bucket <= 2
+         ORDER BY doc_id""",
+
+    // heavy hitters are EXACT (the Misra-Gries sketch only prunes
+    // candidates; the verify pass recounts) — the oracle is the plain
+    // frequency threshold.
+    "llm_heavy_hitters" ->
+      raw"""WITH t AS (
+           SELECT unnest(list_filter(
+             regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         tot AS (SELECT count(*) AS n FROM t),
+         c AS (SELECT token, count(*) AS n_occurrences
+               FROM t GROUP BY token)
+         SELECT CAST(row_number() OVER (
+             ORDER BY n_occurrences DESC, token ASC) AS BIGINT) AS rank,
+           token, n_occurrences
+         FROM c, tot WHERE n_occurrences * 30 > n
+         ORDER BY rank""",
+
+    // substring-span replay: 60-bit md5 window hashes, duplicated
+    // hashes, consecutive-position islands -> maximal spans.
+    "llm_substring_spans" ->
+      raw"""WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         win AS (
+           SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(tk) - 7),
+             i -> {'pos': i, 'h': CAST(('0x' || substring(
+               md5(array_to_string(tk[i:i+7], ' ')), 1, 15)) AS BIGINT)}))
+             AS z
+           FROM tok WHERE len(tk) >= 8),
+         w2 AS (SELECT doc_id, z.pos AS pos, z.h AS h FROM win),
+         dup AS (SELECT h FROM w2 GROUP BY h HAVING count(*) >= 2),
+         isl AS (
+           SELECT doc_id, pos, pos - row_number() OVER (
+             PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM w2 JOIN dup USING (h))
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len,
+           count(*) AS n_windows
+         FROM isl GROUP BY doc_id, grp
+         ORDER BY doc_id, span_start"""
   )
 }

@@ -871,4 +871,68 @@ class LlmSpec extends AnyFunSuite {
       assert(head.min >= tail.max, s"$lang head/tail scores overlap")
     }
   }
+
+  test("ccnetFilter: kept slice = buckets <= keep, schema preserved") {
+    val tiers = TextAnalysis.pplBuckets(docs, docs, nBuckets = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val kept = TextAnalysis.ccnetFilter(docs, docs, nBuckets = 3,
+      keepBuckets = 2)
+    assert(kept.columns.toSeq ==
+      docs.columns.toSeq :+ "ppl_bucket")
+    val got = kept.select("doc_id", "ppl_bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == tiers.filter(_._2 <= 2L))
+  }
+
+  test("misra-gries: superset guarantee, merge-order independence, " +
+      "heavyHitters exact") {
+    import spark.implicits._
+    // skewed stream: token i appears 2^(10-i) times, i = 0..10, plus
+    // 500 singletons — vocab 511 >> m = 8 counters, so the sketch
+    // genuinely decrements
+    val rows = (0 to 10).flatMap(i => Seq.fill(1 << (10 - i))(s"t$i")) ++
+      (0 until 500).map(i => s"rare$i")
+    val n = rows.size.toLong
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 4, 13)) {
+      val toks = rows.toDF("token").repartition(parts)
+      val (cand, total) = HeavyHitters.summarize(toks, m = 8)
+      assert(total == n)
+      assert(cand.size <= 8)
+      // every item above n/(m+1) must be in the summary
+      val must = exact.filter(_._2 > n / 9.0).keySet
+      assert(must.subsetOf(cand.keySet),
+        s"parts=$parts missing ${must -- cand.keySet}")
+      // MG counters undercount by at most n/(m+1)
+      cand.foreach { case (t, c) =>
+        assert(c <= exact(t) && exact(t) - c <= n / 9.0 + 1) }
+    }
+    val docs = rows.grouped(40).map(_.mkString(" ")).toSeq
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val k = 10
+    val hh = HeavyHitters.heavyHitters(docs, k = k, counters = 12)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(hh == exact.filter(_._2 * k > n).toMap)
+  }
+
+  test("substringDupSpans: planted shared run found with exact offsets") {
+    import spark.implicits._
+    val shared = (0 until 12).map(i => s"dup$i").mkString(" ")
+    val a = s"a0 a1 a2 $shared a3 a4"           // run at tokens 4..15
+    val b = s"b0 $shared b1 b2 b3 b4 b5"        // run at tokens 2..13
+    val c = (0 until 30).map(i => s"c$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val spans = Dedup.substringDupSpans(docs, l = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // 12 shared tokens, l=8 -> 5 duplicated windows, one maximal span
+    assert(spans == Set((1L, 4L, 12L, 5L), (2L, 2L, 12L, 5L)),
+      s"got $spans")
+    // within-doc repeats count too
+    val self = Seq((9L, s"$shared x y z $shared")).toDF("doc_id", "text")
+    val selfSpans = Dedup.substringDupSpans(self, l = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(selfSpans == Set((1L, 12L), (16L, 12L)), s"got $selfSpans")
+  }
 }

@@ -356,4 +356,18 @@ class PlanSpec extends AnyFunSuite {
       s"keep-rate must be a literal CASE, not a join:\n${tplan.take(1500)}")
     assert(!tplan.contains("Exchange"), tplan.take(1500))
   }
+
+  test("substringDupSpans: window grams hash scan-side — no token " +
+       "array or text on any shuffle") {
+    val docs = graft.queries.Star.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val df = Dedup.substringDupSpans(docs, l = 8)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    val badExchange = plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("_tk#") || l.contains("text#")))
+    assert(!badExchange,
+      s"token array/text crossed a shuffle:\n${plan.take(2500)}")
+  }
 }
