@@ -130,6 +130,18 @@ object EventsStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-static enrichment join: attach a static dimension to an
+    * unbounded stream — the streaming form of the broadcast-dim join
+    * (q04). Stateless by Spark semantics (no watermark, no join
+    * state): every micro-batch plans a fresh hash join against the
+    * CURRENT static side, so a dimension backed by a re-readable
+    * source picks up slowly-changing updates between batches. The
+    * explicit `broadcast` hint keeps the fact stream shuffle-free at
+    * any rate; left join so late dimension rows can't drop events. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Multi-sink streaming write — the reference's write-to-every-layer
     * semantics under streaming: one stream, N sinks via foreachBatch
     * (persist the batch once, write it N times). */

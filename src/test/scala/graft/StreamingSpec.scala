@@ -74,6 +74,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/b").count() == n)
   }
 
+  test("stream-static enrich equals the batch join; unmatched keys kept") {
+    import spark.implicits._
+    // deliberately PARTIAL dim: one event_type is missing, the left
+    // join must keep its events with a null category
+    val dim = Seq(("click", "ui"), ("view", "ui"), ("purchase", "money"))
+      .toDF("event_type", "category")
+    val enriched = EventsStream.enrichWithDim(
+      EventsStream.readEvents(spark, eventsDir), dim, "event_type")
+    val q = enriched.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("enriched").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("enriched")
+      .groupBy("event_type", "category").count().collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2)))
+      .toSet
+    val want = spark.read.schema(EventsStream.eventsRawSchema)
+      .parquet(eventsDir)
+      .join(broadcast(dim), Seq("event_type"), "left")
+      .groupBy("event_type", "category").count().collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2)))
+      .toSet
+    assert(got == want)
+    assert(got.exists(_._2.isEmpty),
+      "expected at least one event_type outside the dim")
+    // the static side carries the broadcast hint: the fact stream
+    // never shuffles for this join
+    assert(enriched.queryExecution.logical.toString.toLowerCase
+      .contains("hint"))
+  }
+
   test("streaming dedup drops in-horizon duplicates, keeps distinct") {
     import spark.implicits._
     // build a source dir with planted duplicates
