@@ -608,6 +608,24 @@ object Dedup {
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    dupWindows(docs, l, textCol, idCol)
+      .select(col(idCol), col("pos"))
+      .withColumn("_grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + l).cast("long")
+          .as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_len"),
+        col("n_windows"))
+  }
+
+  /** `(id, pos, h)` for every token position whose `l`-window hash
+    * occurs ≥2 times corpus-wide (shared by [[substringDupSpans]] /
+    * [[substringDedup]]). */
+  private def dupWindows(docs: DataFrame, l: Int, textCol: String,
+                         idCol: String): DataFrame = {
     val tk = docs
       .select(col(idCol),
         graft.llm.TextAnalysis.tokens(col(textCol)).as("_tk"))
@@ -623,16 +641,62 @@ object Dedup {
     val dups = wins.groupBy(col("h"))
       .agg(count(lit(1)).as("_n")).filter(col("_n") >= 2)
       .select(col("h"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     wins.join(dups, Seq("h"))
-      .select(col(idCol), col("pos"))
-      .withColumn("_grp", col("pos") - row_number().over(w))
+  }
+
+  /** Exact-substring dedup, materialized — the cut step of Lee et al.
+    * 2022: remove every duplicated span from the corpus EXCEPT the
+    * canonical occurrence. A span (maximal duplicated run, as in
+    * [[substringDupSpans]]) is kept iff its doc holds the globally
+    * first occurrence — min `(id, pos)` — of the span's LEADING window
+    * hash; every other copy has its tokens cut. Returns the full doc
+    * schema plus `text_clean` (original text when untouched; surviving
+    * tokens space-joined when cut) and `n_tokens_dropped`.
+    *
+    * When overlapping repeats chain (a run's canonical occurrence sits
+    * mid-span in a doc whose own span leads with a different window),
+    * a run can lose all copies — the conservative direction for
+    * training-data dedup.
+    *
+    * Scale: everything up to the span table is [[substringDupSpans]]'s
+    * narrow plan; canonical election is one window over duplicated
+    * positions keyed by hash; per-doc cut lists are collect_list'd
+    * position structs (spans/doc ≪ doc length) joined back onto the
+    * corpus — full text rides that one join, nothing else. */
+  def substringDedup(docs: DataFrame, l: Int = 8,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dw = dupWindows(docs, l, textCol, idCol)
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val spans = dw
+      .withColumn("_grp", col("pos") - row_number().over(wDoc))
       .groupBy(col(idCol), col("_grp"))
-      .agg(min(col("pos")).cast("long").as("span_start"),
-        (max(col("pos")) - min(col("pos")) + l).cast("long")
-          .as("span_len"),
-        count(lit(1)).as("n_windows"))
-      .select(col(idCol), col("span_start"), col("span_len"),
-        col("n_windows"))
+      .agg(min(col("pos")).as("_start"),
+        (max(col("pos")) + (l - 1)).as("_end"),
+        min_by(col("h"), col("pos")).as("_h0"))
+    val canon = dw
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col(idCol), col("pos"))))
+      .filter(col("_rn") === 1)
+      .select(col("h").as("_h0"), col(idCol).as("_cd"),
+        col("pos").as("_cp"))
+    val drops = spans.join(canon, Seq("_h0"))
+      .filter(!(col(idCol) === col("_cd") &&
+        col("_start") === col("_cp")))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("_start"), col("_end"))).as("_cuts"))
+    val toks = graft.llm.TextAnalysis.tokens(col(textCol))
+    val kept = filter(toks, (_, i) =>
+      !exists(col("_cuts"), r =>
+        i + 1 >= r.getField("_start") && i + 1 <= r.getField("_end")))
+    docs.join(drops, Seq(idCol), "left")
+      .withColumn("text_clean",
+        when(col("_cuts").isNull, col(textCol))
+          .otherwise(array_join(kept, " ")))
+      .withColumn("n_tokens_dropped",
+        when(col("_cuts").isNull, lit(0L))
+          .otherwise((size(toks) - size(kept)).cast("long")))
+      .drop("_cuts")
   }
 }

@@ -723,7 +723,15 @@ object LlmQueries {
     // corpus-wide — the ranges a substring-dedup pass would cut.
     "llm_substring_spans" -> ((s, dir) =>
       Dedup.substringDupSpans(table(s, dir, "documents"), l = 8)
-        .orderBy(col("doc_id"), col("span_start")))
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    // exact-substring dedup, materialized: duplicated spans cut from
+    // every doc except the canonical (globally-first) occurrence.
+    "llm_substring_dedup" -> ((s, dir) =>
+      Dedup.substringDedup(table(s, dir, "documents"), l = 8)
+        .select(col("doc_id"), col("text_clean"),
+          col("n_tokens_dropped"))
+        .orderBy(col("doc_id")))
   )
 
   // DuckDB shingle expression shared by the jaccard oracle
@@ -2271,6 +2279,67 @@ object LlmQueries {
            CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len,
            count(*) AS n_windows
          FROM isl GROUP BY doc_id, grp
-         ORDER BY doc_id, span_start"""
+         ORDER BY doc_id, span_start""",
+
+    // substring-dedup replay: spans + leading-window hash, canonical
+    // election by (doc, pos), cut ranges anti-joined against the
+    // token index, survivors re-joined in order.
+    "llm_substring_dedup" ->
+      raw"""WITH tok AS (
+           SELECT doc_id, text, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         win AS (
+           SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(tk) - 7),
+             i -> {'pos': i, 'h': CAST(('0x' || substring(
+               md5(array_to_string(tk[i:i+7], ' ')), 1, 15)) AS BIGINT)}))
+             AS z
+           FROM tok WHERE len(tk) >= 8),
+         w2 AS (SELECT doc_id, z.pos AS pos, z.h AS h FROM win),
+         dup AS (SELECT h FROM w2 GROUP BY h HAVING count(*) >= 2),
+         dw AS (SELECT doc_id, pos, h FROM w2 JOIN dup USING (h)),
+         isl AS (
+           SELECT doc_id, pos, h, pos - row_number() OVER (
+             PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM dw),
+         spans AS (
+           SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e,
+             min_by(h, pos) AS h0
+           FROM isl GROUP BY doc_id, grp),
+         canon AS (
+           SELECT h AS h0, doc_id AS cd, pos AS cp FROM (
+             SELECT h, doc_id, pos, row_number() OVER (
+               PARTITION BY h ORDER BY doc_id, pos) AS rn FROM dw)
+           WHERE rn = 1),
+         drops AS (
+           SELECT sp.doc_id, sp.s, sp.e
+           FROM spans sp JOIN canon c USING (h0)
+           WHERE NOT (sp.doc_id = c.cd AND sp.s = c.cp)),
+         ti AS (
+           SELECT doc_id, z.i AS i, z.t AS t FROM (
+             SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(tk)),
+               i -> {'i': i, 't': tk[i]})) AS z
+             FROM tok WHERE len(tk) >= 1)),
+         kept AS (
+           SELECT ti.doc_id, ti.i, ti.t
+           FROM ti LEFT JOIN drops d
+             ON ti.doc_id = d.doc_id AND ti.i BETWEEN d.s AND d.e
+           WHERE d.doc_id IS NULL),
+         agg AS (
+           SELECT doc_id,
+             coalesce(array_to_string(array_agg(t ORDER BY i), ' '), '')
+               AS joined,
+             count(*) AS n_kept
+           FROM kept GROUP BY doc_id)
+         SELECT t.doc_id,
+           CASE WHEN t.doc_id IN (SELECT doc_id FROM drops)
+                THEN coalesce(a.joined, '') ELSE t.text END AS text_clean,
+           CAST(len(t.tk) - CASE WHEN t.doc_id IN (SELECT doc_id FROM drops)
+                THEN coalesce(a.n_kept, 0) ELSE len(t.tk) END AS BIGINT)
+             AS n_tokens_dropped
+         FROM tok t LEFT JOIN agg a USING (doc_id)
+         ORDER BY t.doc_id"""
   )
 }

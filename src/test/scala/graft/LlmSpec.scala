@@ -935,4 +935,23 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(selfSpans == Set((1L, 12L), (16L, 12L)), s"got $selfSpans")
   }
+
+  test("substringDedup cuts every copy except the globally-first one") {
+    import spark.implicits._
+    val shared = (0 until 12).map(i => s"dup$i").mkString(" ")
+    val a = s"a0 a1 a2 $shared a3 a4"
+    val b = s"b0 $shared b1 b2 b3 b4 b5"
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, l = 8)
+      .select("doc_id", "text_clean", "n_tokens_dropped").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((a, 0L)), s"canonical doc modified: ${out(1L)}")
+    assert(out(2L) == (("b0 b1 b2 b3 b4 b5", 12L)), s"got ${out(2L)}")
+    // within-doc repeat: first copy survives, second is cut
+    val self = Seq((9L, s"$shared x y z $shared")).toDF("doc_id", "text")
+    val sOut = Dedup.substringDedup(self, l = 8).select("text_clean",
+      "n_tokens_dropped").head()
+    assert(sOut.getString(0) == s"$shared x y z")
+    assert(sOut.getLong(1) == 12L)
+  }
 }
