@@ -600,10 +600,12 @@ object Dedup {
     * per-doc window bounded by doc length. The window stream is
     * derived twice (count + join side) — two scans of a narrow
     * projection; persist `wins` instead if the input is not a cheap
-    * parquet scan. The hash is md5-60 (first 15 hex chars) so the
-    * whole op replays bit-exact in any ANSI engine; collisions are
-    * 2^-60-scale false merges — the standard fingerprinting trade
-    * (swap in `xxhash64(gram)` off the oracle path if preferred). */
+    * parquet scan. The window hash follows the
+    * [[graft.functions.SketchOps.FamilyKey]] switch: XXH64 in
+    * production, md5-60 (first 15 hex chars) under oracle
+    * verification so the whole op replays bit-exact in any ANSI
+    * engine; collisions are 2^-60-scale false merges — the standard
+    * fingerprinting trade. */
   def substringDupSpans(docs: DataFrame, l: Int = 8,
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
@@ -626,6 +628,14 @@ object Dedup {
     * [[substringDedup]]). */
   private def dupWindows(docs: DataFrame, l: Int, textCol: String,
                          idCol: String): DataFrame = {
+    // window hash follows the kernel family switch: codegen'd XXH64
+    // in production (the md5 chain costs ~10x more per gram and
+    // dominated the scan at sf0.1); md5-60 under Verify so the oracle
+    // SQL replays it
+    val xx = graft.functions.SketchOps.xxFamily()
+    def gramHash(g: Column): Column =
+      if (xx) xxhash64(g)
+      else conv(substring(md5(g), 1, 15), 16, 10).cast("long")
     val tk = docs
       .select(col(idCol),
         graft.llm.TextAnalysis.tokens(col(textCol)).as("_tk"))
@@ -634,9 +644,8 @@ object Dedup {
     val wins = tk
       .select(col(idCol), explode(transform(sequence(lit(1), nWin),
         i => struct(i.as("pos"),
-          conv(substring(md5(array_join(
-            slice(col("_tk"), i, lit(l)), " ")), 1, 15), 16, 10)
-            .cast("long").as("h")))).as("z"))
+          gramHash(array_join(slice(col("_tk"), i, lit(l)), " "))
+            .as("h")))).as("z"))
       .select(col(idCol), col("z.pos").as("pos"), col("z.h").as("h"))
     val dups = wins.groupBy(col("h"))
       .agg(count(lit(1)).as("_n")).filter(col("_n") >= 2)
