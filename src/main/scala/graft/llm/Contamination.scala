@@ -42,6 +42,32 @@ object Contamination {
       .agg(count_distinct(col("h")).as("n_shared"))
   }
 
+  /** Per-doc n-gram overlap fraction against the benchmark: the share
+    * of the doc's DISTINCT n-gram shingles that appear anywhere in the
+    * benchmark, with the `contaminated` verdict at `tau` — the
+    * standard eval-overlap gate (drop a doc when more than `tau` of
+    * its n-grams are benchmark n-grams); [[contaminatedDocs]] reports
+    * the raw evidence counts this normalizes. Clean docs survive with
+    * overlap 0; docs too short for any n-gram get overlap 0.
+    *
+    * Same plan shape as [[contaminatedDocs]] (benchmark
+    * distinct-collapsed, AQE-broadcast; the corpus never shuffles its
+    * text) plus one narrow shingle-count projection. */
+  def overlapFraction(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
+                      tau: Double = 0.2, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(idCol),
+      size(shingleHashes(col(textCol), n)).cast("long").as("n_shingles"))
+    val shared = contaminatedDocs(docs, benchmark, n, textCol, idCol)
+    base.join(shared, Seq(idCol), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("overlap_frac",
+        when(col("n_shingles") > 0,
+          round(col("n_shared").cast("double") / col("n_shingles"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("contaminated", col("overlap_frac") > tau)
+  }
+
   /** Decontaminate: drop contaminated documents from the corpus. */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
                     textCol: String = "text", idCol: String = "doc_id")

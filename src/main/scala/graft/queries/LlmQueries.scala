@@ -377,6 +377,16 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // n-gram overlap fraction vs the benchmark slice with the tau
+    // verdict — the normalized form of llm_contamination's evidence.
+    "llm_overlap_frac" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Contamination.overlapFraction(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0), n = 5, tau = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // bloom-filter decontamination — the constant-size scale path:
     // the benchmark collapses to a 16 KiB bit array, the corpus side
     // is a shuffle-free scan+filter (native BloomHits kernel). Same
@@ -1541,6 +1551,40 @@ object LlmQueries {
          SELECT ds.doc_id, COUNT(DISTINCT ds.h) AS n_shared
          FROM ds JOIN bs ON ds.h = bs.h
          GROUP BY ds.doc_id ORDER BY doc_id""",
+    // overlap-fraction replay: the contamination shingle CTEs plus a
+    // per-doc distinct-shingle count and the round-6 ratio gate.
+    "llm_overlap_frac" ->
+      s"""WITH tk AS (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(tk) - 4, 0)),
+             i -> ${h60Sql("array_to_string(tk[i:i+4], ' ')")})) AS s
+           FROM tk),
+         bs AS (SELECT DISTINCT unnest(s) AS h FROM sh
+                WHERE doc_id % 10 = 0),
+         dh AS (SELECT doc_id, unnest(s) AS h FROM sh
+                WHERE doc_id % 10 <> 0),
+         shared AS (
+           SELECT dh.doc_id, count(*) AS n_shared
+           FROM dh JOIN bs USING (h) GROUP BY dh.doc_id),
+         base AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_shingles
+                  FROM sh WHERE doc_id % 10 <> 0)
+         SELECT b.doc_id, b.n_shingles,
+           CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+           CASE WHEN b.n_shingles > 0
+                THEN round(CAST(coalesce(s.n_shared, 0) AS DOUBLE)
+                  / b.n_shingles, 6)
+                ELSE 0.0 END AS overlap_frac,
+           (CASE WHEN b.n_shingles > 0
+                 THEN round(CAST(coalesce(s.n_shared, 0) AS DOUBLE)
+                   / b.n_shingles, 6)
+                 ELSE 0.0 END) > 0.5 AS contaminated
+         FROM base b LEFT JOIN shared s USING (doc_id)
+         ORDER BY b.doc_id""",
+
     // bloom replay: same 60-bit shingle hashes, positions are the four
     // 17-bit windows at shifts 0/14/28/42, words are 32-bit masks in
     // BIGINT (1 << bit stays positive — DuckDB BIGINT shifts trap on

@@ -936,6 +936,27 @@ class LlmSpec extends AnyFunSuite {
     assert(selfSpans == Set((1L, 12L), (16L, 12L)), s"got $selfSpans")
   }
 
+  test("overlapFraction: contained doc = 1.0, disjoint = 0.0, tau gates") {
+    import spark.implicits._
+    val benchTxt = (0 until 20).map(i => s"b$i").mkString(" ")
+    val bench = Seq((100L, benchTxt)).toDF("doc_id", "text")
+    val contained = (5 until 15).map(i => s"b$i").mkString(" ")
+    val half = ((10 until 18).map(i => s"b$i") ++
+      (0 until 9).map(i => s"x$i")).mkString(" ")
+    val clean = (0 until 20).map(i => s"z$i").mkString(" ")
+    val corpus = Seq((1L, contained), (2L, half), (3L, clean))
+      .toDF("doc_id", "text")
+    val out = Contamination.overlapFraction(corpus, bench, n = 3,
+        tau = 0.4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((1.0, true)), s"got ${out(1L)}")
+    assert(out(3L) == ((0.0, false)), s"got ${out(3L)}")
+    // half: 17 tokens -> 15 trigrams, 6 of them inside b10..b17
+    assert(out(2L)._1 == math.round(6.0 / 15 * 1e6) / 1e6)
+    assert(!out(2L)._2)
+  }
+
   test("substringDedup cuts every copy except the globally-first one") {
     import spark.implicits._
     val shared = (0 until 12).map(i => s"dup$i").mkString(" ")
