@@ -113,6 +113,61 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("score"))
   }
 
+  /** BM25 top-k lexical retrieval (Robertson/Lucene form): for each
+    * query doc, the `k` highest-scoring corpus docs under
+    * `idf·tf(k1+1)/(tf + k1(1-b+b·dl/avgdl))` with
+    * `idf = ln(1 + (N-df+0.5)/(df+0.5))`, summed over the query's
+    * DISTINCT terms (set-query form, query term frequency ignored) —
+    * the sparse-retrieval counterpart of the dense ANN ops. Per-term
+    * contributions sum through DECIMAL(38,18) and the score rounds to
+    * 6 decimals BEFORE ranking (ties to the lower doc id), so rankings
+    * replay bit-exact in any ANSI engine.
+    *
+    * Scale: term frequencies shuffle once on (doc, term) with map-side
+    * combine; the query term set is distinct-collapsed and joins the
+    * postings by term (queries ≪ corpus — AQE broadcasts them, the
+    * corpus never reshuffles for the match); df is a vocab-sized
+    * aggregate; N/avgdl ride a 1-row broadcast; the per-(query, doc)
+    * agg shuffles candidate pairs only, and top-k is a per-query
+    * window over them. */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               textCol: String = "text", idCol: String = "doc_id",
+               queryIdCol: String = "query_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col(textCol))
+    val tf = corpus.select(col(idCol), explode(toks).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = corpus.select(col(idCol),
+      size(toks).cast("long").as("dl"))
+    val stats = corpus.agg(count(lit(1)).as("_n"),
+      sum(size(toks).cast("long")).as("_sumdl"))
+    val qt = queries
+      .select(col(queryIdCol), explode(toks).as("term")).distinct()
+    val avgdl = col("_sumdl").cast("double") / col("_n").cast("double")
+    val idf = log(lit(1.0) +
+      (col("_n").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val contrib = idf * (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+      (col("tf").cast("double") + lit(k1) * ((lit(1.0) - lit(b)) +
+        lit(b) * (col("dl").cast("double") / avgdl)))
+    val scored = qt
+      .join(tf, Seq("term"))
+      .join(dfT, Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(col(queryIdCol), col(idCol),
+        contrib.cast("decimal(38,18)").as("_s"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(round(sum(col("_s")).cast("double"), 6).as("score"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col(idCol), col("score"))
+  }
+
   /** Quality features: every signal a length/punct/stopword-ratio
     * filter needs, derived from ONE text_stats kernel pass (whole-
     * stage codegen CSE shares the struct across the field columns). */
@@ -406,6 +461,37 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(Window.orderBy(
         col("n_occurrences").desc, col("token").asc)).cast("long"))
       .select(col("rank"), col("token"), col("n_occurrences"))
+  }
+
+  /** Per-source distribution drift: KL(source ‖ corpus) over token
+    * unigram distributions — `Σ_t p_s(t)·ln(p_s(t)/p(t))`, the
+    * data-health check that flags a source whose token mix diverges
+    * from the corpus (format change, spam influx, wrong decoder).
+    * Always finite: the corpus distribution dominates every source by
+    * construction, so no smoothing is needed. Per-term contributions
+    * sum through DECIMAL(38,18) and round to 6 decimals — replayable
+    * in any ANSI engine.
+    *
+    * Scale: one (source, token) count aggregation with map-side
+    * combine is the only corpus-sized shuffle; corpus totals
+    * re-aggregate that table (vocab×sources rows); the per-source and
+    * grand totals are broadcast-sized. */
+  def sourceDrift(docs: DataFrame, groupCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    val c = docs
+      .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("c"))
+    val ct = c.groupBy(col("token")).agg(sum(col("c")).as("ct"))
+    val ns = c.groupBy(col(groupCol)).agg(sum(col("c")).as("ns"))
+    val nt = ct.agg(sum(col("ct")).as("nt"))
+    val ps = col("c").cast("double") / col("ns").cast("double")
+    val p = col("ct").cast("double") / col("nt").cast("double")
+    c.join(ct, Seq("token")).join(broadcast(ns), Seq(groupCol))
+      .crossJoin(broadcast(nt))
+      .groupBy(col(groupCol), col("ns"))
+      .agg(round(sum((ps * log(ps / p)).cast("decimal(38,18)"))
+        .cast("double"), 6).as("kl"))
+      .select(col(groupCol), col("ns").as("n_tokens"), col("kl"))
   }
 
   /** Per-group out-of-vocabulary rate: the fraction of token

@@ -741,7 +741,25 @@ object LlmQueries {
       Dedup.substringDedup(table(s, dir, "documents"), l = 8)
         .select(col("doc_id"), col("text_clean"),
           col("n_tokens_dropped"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // per-source KL drift vs the corpus token distribution — the
+    // data-health gauge for a multi-source mix.
+    "llm_source_drift" -> ((s, dir) =>
+      TextAnalysis.sourceDrift(table(s, dir, "documents"))
+        .orderBy(col("source"))),
+
+    // BM25 top-5 lexical retrieval: every 50th doc queries the rest
+    // of the corpus — the sparse counterpart of llm_topk.
+    "llm_bm25" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      TextAnalysis.bm25TopK(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0)
+            .select(col("doc_id").as("query_id"), col("text")),
+          k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    })
   )
 
   // DuckDB shingle expression shared by the jaccard oracle
@@ -2384,6 +2402,65 @@ object LlmQueries {
                 THEN coalesce(a.n_kept, 0) ELSE len(t.tk) END AS BIGINT)
              AS n_tokens_dropped
          FROM tok t LEFT JOIN agg a USING (doc_id)
-         ORDER BY t.doc_id"""
+         ORDER BY t.doc_id""",
+
+    // KL-drift replay: identical formula tree, decimal term sum.
+    "llm_source_drift" ->
+      raw"""WITH t AS (
+           SELECT source, unnest(list_filter(
+             regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         c AS (SELECT source, token, count(*) AS c
+               FROM t GROUP BY source, token),
+         ct AS (SELECT token, SUM(c) AS ct FROM c GROUP BY token),
+         ns AS (SELECT source, SUM(c) AS ns FROM c GROUP BY source),
+         nt AS (SELECT SUM(ct) AS nt FROM ct)
+         SELECT c.source, CAST(ns.ns AS BIGINT) AS n_tokens,
+           round(CAST(SUM(CAST(
+             (CAST(c.c AS DOUBLE) / CAST(ns.ns AS DOUBLE)) *
+             ln((CAST(c.c AS DOUBLE) / CAST(ns.ns AS DOUBLE)) /
+                (CAST(ct.ct AS DOUBLE) / CAST(nt.nt AS DOUBLE)))
+           AS DECIMAL(38,18))) AS DOUBLE), 6) AS kl
+         FROM c JOIN ct USING (token) JOIN ns USING (source), nt
+         GROUP BY c.source, ns.ns ORDER BY c.source""",
+
+    // BM25 replay: identical formula tree (left-assoc, same literal
+    // subexpressions), per-term contributions summed via
+    // DECIMAL(38,18), round-6 before ranking, ties to lower doc id.
+    "llm_bm25" ->
+      raw"""WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         corpus AS (SELECT doc_id, tk FROM tok WHERE doc_id % 50 <> 0),
+         q AS (SELECT doc_id AS query_id, tk FROM tok
+               WHERE doc_id % 50 = 0),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+             SELECT doc_id, unnest(tk) AS term FROM corpus)
+           GROUP BY doc_id, term),
+         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         dl AS (SELECT doc_id, len(tk) AS dl FROM corpus),
+         st AS (SELECT count(*) AS n,
+                  CAST(SUM(len(tk)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                    AS avgdl
+                FROM corpus),
+         qt AS (SELECT DISTINCT query_id, unnest(tk) AS term FROM q),
+         sc AS (
+           SELECT qt.query_id, tf.doc_id,
+             round(CAST(SUM(CAST(
+               ln(1.0 + (CAST(st.n AS DOUBLE) - CAST(dft.df AS DOUBLE)
+                   + 0.5) / (CAST(dft.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+                   + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl)))
+             AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+           FROM qt JOIN tf USING (term) JOIN dft USING (term)
+             JOIN dl ON dl.doc_id = tf.doc_id, st
+           GROUP BY qt.query_id, tf.doc_id)
+         SELECT query_id, CAST(rk AS BIGINT) AS rank, doc_id, score
+         FROM (SELECT query_id, doc_id, score, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk
+           FROM sc)
+         WHERE rk <= 5 ORDER BY query_id, rank"""
   )
 }

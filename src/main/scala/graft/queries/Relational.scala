@@ -378,6 +378,20 @@ object Relational {
         .agg(Star.sumDec($"l_quantity"))
         .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
         .orderBy($"l_returnflag")
+    }),
+
+    // native CUBE: all 2^k grouping sets in ONE shuffle (the expand
+    // operator multiplies rows map-side; no self-union of aggregates),
+    // GROUPING() flags keep the set lattice distinguishable.
+    "q26_cube" -> ((s, dir) => {
+      import s.implicits._
+      Star.table(s, dir, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          Star.sumDec($"l_quantity").as("sum_qty"),
+          grouping($"l_returnflag").cast("long").as("g_flag"),
+          grouping($"l_linestatus").cast("long").as("g_status"))
+        .orderBy($"g_flag", $"g_status", $"l_returnflag", $"l_linestatus")
     })
   )
 
@@ -568,6 +582,17 @@ object Relational {
              THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
              AS qty_o
          FROM lineitem
-         GROUP BY l_returnflag ORDER BY l_returnflag"""
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // CUBE replay: same grouping-set lattice + GROUPING() flags.
+    "q26_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY g_flag, g_status, l_returnflag, l_linestatus"""
   )
 }

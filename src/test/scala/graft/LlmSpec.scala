@@ -957,6 +957,44 @@ class LlmSpec extends AnyFunSuite {
     assert(!out(2L)._2)
   }
 
+  test("bm25TopK: hand-computed scores, tf saturation, no-match empty") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "apple apple pear plum"),          // tf(apple)=2, dl=4
+      (2L, "apple banana"),                   // tf(apple)=1, dl=2
+      (3L, "cherry cherry cherry")            // no apple
+    ).toDF("doc_id", "text")
+    val q = Seq((10L, "apple apple")).toDF("query_id", "text")
+    val out = TextAnalysis.bm25TopK(corpus, q, k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def score(tf: Long, dl: Long): Double = {
+      val n = 3.0; val df = 2.0; val avgdl = 9.0 / 3.0
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      val v = idf * (tf * (1.2 + 1.0)) /
+        (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl)))
+      math.round(v * 1e6) / 1e6
+    }
+    // duplicate query term counts once (set-query form); doc 3 absent;
+    // higher tf on the longer doc still outranks (saturation favors it)
+    assert(out.sortBy(_._1).toSeq ==
+      Seq((1L, 1L, score(2, 4)), (2L, 2L, score(1, 2))),
+      s"got ${out.toSeq}")
+    assert(TextAnalysis.bm25TopK(corpus,
+      Seq((11L, "zzz")).toDF("query_id", "text"), k = 5).count() == 0)
+  }
+
+  test("sourceDrift: same-mix sources tie, skewed source diverges most") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y x y", "a"), (2L, "x y x y", "b"),
+      (3L, "x x x x", "c")
+    ).toDF("doc_id", "text", "source")
+    val kl = TextAnalysis.sourceDrift(docs)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(kl("a") == kl("b"))
+    assert(kl("c") > kl("a") && kl("c") > 0.0, s"got $kl")
+  }
+
   test("substringDedup cuts every copy except the globally-first one") {
     import spark.implicits._
     val shared = (0 until 12).map(i => s"dup$i").mkString(" ")
