@@ -85,6 +85,41 @@ object HeavyHitters {
       .head()
   }
 
+  /** Streaming Misra-Gries: per micro-batch, run the distributed MG
+    * summary and MERGE it into a running driver-held buffer. By the
+    * mergeable-summaries property the running buffer is at all times
+    * a valid m-counter MG summary of EVERYTHING ingested (superset
+    * guarantee intact, n exact) — so a periodic exact verify pass
+    * against the corpus-so-far turns it into exact heavy hitters,
+    * same as the batch [[heavyHitters]]. State is m entries on the
+    * driver; each batch ships only its own ≤ m-entry summary. */
+  final class StreamTracker(m: Int) {
+    private val agg = new MisraGriesAgg(m)
+    @volatile private var state: MGBuf =
+      (mutable.HashMap.empty[String, Long], 0L)
+
+    /** Live (candidate counters, exact element total). */
+    def current(): (Map[String, Long], Long) = {
+      val s = state
+      (s._1.toMap, s._2)
+    }
+
+    /** Attach to a streaming frame whose first column is the token. */
+    def sink(tokens: DataFrame)
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      tokens.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[
+             org.apache.spark.sql.Row], _: Long) =>
+            val (cand, n) = summarize(batch, m)
+            state = agg.merge(state,
+              (mutable.HashMap(cand.toSeq: _*), n))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+  }
+
   /** Tokens with frequency strictly above n/k (n = total token
     * instances), with exact counts: `(rank, token, n_occurrences)`.
     *

@@ -104,6 +104,42 @@ class StreamingSpec extends AnyFunSuite {
       .contains("hint"))
   }
 
+  test("streaming Misra-Gries: merged state = valid summary of all " +
+      "batches (exact n, superset holds)") {
+    // stage documents as a FileStreamSource directory
+    val dir = "/root/repo/target/scratch/stream_docs"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    // two files -> two micro-batches, so the driver-side MERGE of
+    // per-batch summaries is actually exercised
+    Seq("part-0", "part-1").foreach { p =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(
+          "/root/testdata/sf0.001/documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/$p.parquet"))
+    }
+    val docsStatic = spark.read.parquet(dir)
+    val m = 8
+    val tracker = new graft.llm.HeavyHitters.StreamTracker(m)
+    val toks = spark.readStream.schema(docsStatic.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .select(explode(graft.llm.TextAnalysis.tokens(col("text")))
+        .as("token"))
+    val q = tracker.sink(toks)
+    try { q.processAllAvailable() } finally q.stop()
+    val (cand, n) = tracker.current()
+    val exact = docsStatic
+      .select(explode(graft.llm.TextAnalysis.tokens(col("text")))
+        .as("token"))
+      .groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    assert(n == total, s"exact total: $n vs $total")
+    assert(cand.size <= m)
+    val must = exact.filter(_._2 > total / (m + 1.0)).keySet
+    assert(must.subsetOf(cand.keySet), s"missing ${must -- cand.keySet}")
+  }
+
   test("streaming dedup drops in-horizon duplicates, keeps distinct") {
     import spark.implicits._
     // build a source dir with planted duplicates
