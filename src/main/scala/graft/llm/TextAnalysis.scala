@@ -136,11 +136,18 @@ object TextAnalysis {
                queryIdCol: String = "query_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = tokens(col(textCol))
+    // dl = Σ_t tf(doc, t) and df = |postings(term)| both come from
+    // WINDOWS over the single tf table (doc-keyed, then term-keyed) —
+    // no dl join on the doc key in the match stream, and no df
+    // re-aggregation of the tf subtree (an agg branch and a join side
+    // can never share an exchange, so a dfT self-join would compute
+    // the postings twice)
     val tf = corpus.select(col(idCol), explode(toks).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dl = corpus.select(col(idCol),
-      size(toks).cast("long").as("dl"))
+      .withColumn("dl", sum(col("tf")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
     val stats = corpus.agg(count(lit(1)).as("_n"),
       sum(size(toks).cast("long")).as("_sumdl"))
     val qt = queries
@@ -152,13 +159,16 @@ object TextAnalysis {
     val contrib = idf * (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
       (col("tf").cast("double") + lit(k1) * ((lit(1.0) - lit(b)) +
         lit(b) * (col("dl").cast("double") / avgdl)))
-    val scored = qt
-      .join(tf, Seq("term"))
-      .join(dfT, Seq("term"))
-      .join(dl, Seq(idCol))
+    // the per-posting contribution is query-independent: compute it
+    // ONCE per (doc, term) before the query join, so the (query, doc,
+    // term) match stream — up to |queries|x larger — carries one
+    // precomputed decimal instead of redoing the formula per match
+    val posting = tf
       .crossJoin(broadcast(stats))
-      .select(col(queryIdCol), col(idCol),
+      .select(col("term"), col(idCol),
         contrib.cast("decimal(38,18)").as("_s"))
+    val scored = qt
+      .join(posting, Seq("term"))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(round(sum(col("_s")).cast("double"), 6).as("score"))
     val w = Window.partitionBy(col(queryIdCol))
