@@ -995,6 +995,28 @@ class LlmSpec extends AnyFunSuite {
     assert(kl("c") > kl("a") && kl("c") > 0.0, s"got $kl")
   }
 
+  test("substringDupSpans corpus invariants: spans disjoint per doc, " +
+      "span_len = n_windows + l - 1 >= l") {
+    val l = 8
+    val spans = Dedup.substringDupSpans(docs, l = l)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(spans.nonEmpty, "testdata must contain duplicated runs")
+    spans.foreach { case (_, _, len, nw) =>
+      assert(len == nw + l - 1 && len >= l)
+    }
+    spans.groupBy(_._1).foreach { case (doc, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, s1, _, nw1), (_, s2, _, _)) =>
+          // maximal islands: >= 1 non-duplicated position between them
+          assert(s2 >= s1 + nw1 + 1,
+            s"doc $doc islands touch: ${sorted.mkString(", ")}")
+        case _ => ()
+      }
+    }
+  }
+
   test("substringDedup cuts every copy except the globally-first one") {
     import spark.implicits._
     val shared = (0 until 12).map(i => s"dup$i").mkString(" ")

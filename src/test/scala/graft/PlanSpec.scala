@@ -357,6 +357,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!tplan.contains("Exchange"), tplan.take(1500))
   }
 
+  test("bm25TopK: match join broadcasts the query side; no sort-merge " +
+       "join anywhere (df/dl via windows, not self-joins)") {
+    val docs = graft.queries.Star.table(spark, sf, "documents")
+    val df = graft.llm.TextAnalysis.bm25TopK(
+      docs.filter(col("doc_id") % 100 =!= 0),
+      docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("query_id"), col("text")),
+      k = 5)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-side match join must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"postings must not self-join:\n${plan.take(2000)}")
+  }
+
   test("substringDupSpans: window grams hash scan-side — no token " +
        "array or text on any shuffle") {
     val docs = graft.queries.Star.table(spark, sf, "documents")

@@ -154,4 +154,34 @@ object PropertySpec extends Properties("graft") {
   private def toArrayDataL(xs: Seq[Long]) =
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(xs.toArray)
+
+  // --- Misra-Gries mergeable-summary laws (Misra & Gries 1982;
+  // Agarwal et al. 2013): for ANY stream and ANY partitioning into
+  // reduce+merge runs, the summary keeps exact n, at most m counters,
+  // every item above n/(m+1) present, and undercounts bounded by
+  // n/(m+1). The aggregator state machine is pure Scala — provable
+  // without a SparkSession.
+  private val mgTokens: Gen[List[String]] =
+    Gen.listOfN(240, Gen.frequency(
+      6 -> Gen.const("hot"), 3 -> Gen.const("warm"),
+      2 -> Gen.const("mild"), 1 -> Gen.choose(0, 60).map("t" + _)))
+
+  property("mg.mergeable-summary-laws") =
+    forAll(mgTokens, Gen.choose(1, 7)) { (ts, splits) =>
+      val m = 6
+      val agg = new graft.llm.HeavyHitters.MisraGriesAgg(m)
+      val step = math.max(1, ts.size / splits)
+      val parts = if (ts.isEmpty) Seq(Nil) else ts.grouped(step).toSeq
+      val merged = parts
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+        .reduceLeft(agg.merge)
+      val (cand, n) = agg.finish(merged)
+      val exact = ts.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = ts.size / (m + 1.0)
+      n == ts.size.toLong &&
+        cand.size <= m &&
+        exact.filter(_._2 > bound).keySet.subsetOf(cand.keySet) &&
+        cand.forall { case (t, c) =>
+          c <= exact(t) && exact(t) - c <= bound + 1e-9 }
+    }
 }
