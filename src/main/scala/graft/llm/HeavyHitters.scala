@@ -113,7 +113,12 @@ object HeavyHitters {
           (batch: org.apache.spark.sql.Dataset[
              org.apache.spark.sql.Row], _: Long) =>
             val (cand, n) = summarize(batch, m)
-            state = agg.merge(state,
+            // merge mutates its first argument — merge into a COPY and
+            // publish that, so a concurrent current() never observes a
+            // map under mutation
+            val prev = state
+            state = agg.merge(
+              (mutable.HashMap(prev._1.toSeq: _*), prev._2),
               (mutable.HashMap(cand.toSeq: _*), n))
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
