@@ -225,6 +225,28 @@ object SketchExprs {
       copy(child = newChild)
   }
 
+  /** Positional word n-gram window hashes: string -> array<long> in
+    * token order (empty below windowSize tokens) — [[ShingleHashes]]
+    * without the dedup, for position-aware dedup (substring spans). */
+  case class WindowHashes(child: Expression, windowSize: Int, xx: Boolean)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${child.dataType}")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "window_hashes"
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.windowHashes(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        windowSize, xx)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchOps.windowHashes($c, $windowSize, $xx);")
+    override protected def withNewChildInternal(newChild: Expression): WindowHashes =
+      copy(child = newChild)
+  }
+
   /** Canonical text normalization: string -> string (NFC, root-locale
     * lowercase, whitespace collapse, trim). */
   case class NormalizeText(child: Expression) extends UnaryExpression {
@@ -477,6 +499,8 @@ object SketchExprs {
     toCol(FingerprintText(toExpr(c), shingleSize, SketchOps.xxFamily()))
   def shingleHashes(c: Column, shingleSize: Int): Column =
     toCol(ShingleHashes(toExpr(c), shingleSize, SketchOps.xxFamily()))
+  def windowHashes(c: Column, windowSize: Int): Column =
+    toCol(WindowHashes(toExpr(c), windowSize, SketchOps.xxFamily()))
   def bloomHits(c: Column, words: Array[Long], k: Int, log2m: Int,
                 shift: Int): Column =
     toCol(BloomHits(toExpr(c), words, k, log2m, shift))

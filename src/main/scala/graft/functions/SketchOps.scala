@@ -307,6 +307,36 @@ object SketchOps {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** POSITIONAL 60-bit window hashes: the hash of every l-token
+    * window of the text, in token order (index i = window starting at
+    * token i+1) — [[shingleHashes]] without the dedup, for operators
+    * that need WHERE a gram occurs, not just which grams exist
+    * (exact-substring dedup spans). Same per-gram hash as the shingle
+    * kernel (xx: XXH64 >>> 4; md5: first 15 hex chars — the
+    * oracle-replayable family). Empty array below l tokens. */
+  def windowHashes(text: org.apache.spark.unsafe.types.UTF8String,
+                   l: Int, xx: Boolean): ArrayData = {
+    val toks = spaceTokens(text.toString)
+    val nWin = toks.length - (l - 1)
+    if (nWin <= 0) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val out = new Array[Long](nWin)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < nWin) {
+      sb.setLength(0)
+      var j = 0
+      while (j < l) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val s = sb.toString
+      out(i) = if (xx) xx64Str(s) >>> 4 else md5Base60(utf8(s))
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Canonical text normalization: unicode NFC, lowercase (root
     * locale — no Turkish-i surprises from the JVM default), whitespace
     * runs collapsed to single spaces, ends trimmed. The standard

@@ -628,25 +628,16 @@ object Dedup {
     * [[substringDedup]]). */
   private def dupWindows(docs: DataFrame, l: Int, textCol: String,
                          idCol: String): DataFrame = {
-    // window hash follows the kernel family switch: codegen'd XXH64
-    // in production (the md5 chain costs ~10x more per gram and
-    // dominated the scan at sf0.1); md5-60 under Verify so the oracle
-    // SQL replays it
-    val xx = graft.functions.SketchOps.xxFamily()
-    def gramHash(g: Column): Column =
-      if (xx) xxhash64(g)
-      else conv(substring(md5(g), 1, 15), 16, 10).cast("long")
-    val tk = docs
-      .select(col(idCol),
-        graft.llm.TextAnalysis.tokens(col(textCol)).as("_tk"))
-      .filter(size(col("_tk")) >= l)
-    val nWin = size(col("_tk")) - (l - 1)
-    val wins = tk
-      .select(col(idCol), explode(transform(sequence(lit(1), nWin),
-        i => struct(i.as("pos"),
-          gramHash(array_join(slice(col("_tk"), i, lit(l)), " "))
-            .as("h")))).as("z"))
-      .select(col(idCol), col("z.pos").as("pos"), col("z.h").as("h"))
+    // window hashes come from the native positional kernel
+    // (SketchOps.windowHashes): one tokenize pass per doc, no gram
+    // string materialization in the plan, family-aware — codegen'd
+    // XXH64>>>4 in production, md5-60 under Verify so the oracle SQL
+    // replays it (the interpreted transform/md5 HOF chain this
+    // replaces dominated the sf0.1 scan)
+    val wins = docs
+      .select(col(idCol), posexplode(
+        graft.functions.SketchExprs.windowHashes(col(textCol), l)))
+      .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("h"))
     val dups = wins.groupBy(col("h"))
       .agg(count(lit(1)).as("_n")).filter(col("_n") >= 2)
       .select(col("h"))

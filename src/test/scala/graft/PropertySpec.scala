@@ -94,6 +94,19 @@ object PropertySpec extends Properties("graft") {
       SketchOps.spaceTokens(s).toSeq == s.split(" ").filter(_.nonEmpty).toSeq
     }
 
+  // windowHashes = shingleHashes without the dedup: position count is
+  // exact and the value SETS agree, for both hash families
+  property("kernel.windowHashes-positional-consistency") =
+    forAll(spaceyText, Gen.choose(1, 5), Gen.oneOf(true, false)) {
+      (s, n, xx) =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        val wins = SketchOps.windowHashes(u, n, xx).toLongArray()
+        val sh = SketchOps.shingleHashes(u, n, xx).toLongArray()
+        val nToks = SketchOps.spaceTokens(s).length
+        wins.length == math.max(0, nToks - n + 1) &&
+          wins.toSet == sh.toSet
+    }
+
   property("kernel.cosine-self-is-one") =
     forAll(Gen.nonEmptyListOf(Gen.choose(-100, 100))) { xs =>
       val a = toArrayData(xs.map(_.toDouble))
