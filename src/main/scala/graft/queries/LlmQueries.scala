@@ -2406,8 +2406,10 @@ object LlmQueries {
          SELECT t.doc_id,
            CASE WHEN t.doc_id IN (SELECT doc_id FROM drops)
                 THEN coalesce(a.joined, '') ELSE t.text END AS text_clean,
-           CAST(len(t.tk) - CASE WHEN t.doc_id IN (SELECT doc_id FROM drops)
-                THEN coalesce(a.n_kept, 0) ELSE len(t.tk) END AS BIGINT)
+           CAST(coalesce(len(t.tk), 0)
+             - CASE WHEN t.doc_id IN (SELECT doc_id FROM drops)
+                    THEN coalesce(a.n_kept, 0)
+                    ELSE coalesce(len(t.tk), 0) END AS BIGINT)
              AS n_tokens_dropped
          FROM tok t LEFT JOIN agg a USING (doc_id)
          ORDER BY t.doc_id""",

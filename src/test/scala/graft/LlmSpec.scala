@@ -1034,5 +1034,12 @@ class LlmSpec extends AnyFunSuite {
       "n_tokens_dropped").head()
     assert(sOut.getString(0) == s"$shared x y z")
     assert(sOut.getLong(1) == 12L)
+    // NULL text survives untouched: clean NULL out, 0 dropped
+    val withNull = Seq((1L, a), (2L, b), (7L, null: String))
+      .toDF("doc_id", "text")
+    val nRow = Dedup.substringDedup(withNull, l = 8)
+      .filter(col("doc_id") === 7L)
+      .select("text_clean", "n_tokens_dropped").head()
+    assert(nRow.isNullAt(0) && nRow.getLong(1) == 0L)
   }
 }
