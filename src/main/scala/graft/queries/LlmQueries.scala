@@ -1472,7 +1472,7 @@ object LlmQueries {
          ORDER BY doc_id""",
     "llm_langid" ->
       """WITH scored AS (
-           SELECT list_max([
+           SELECT tnull, list_max([
              {'hits': len(list_filter(toks, t -> list_contains(
                 ['the','a','of','and','to','in','is','that'], t))), 'lang': 'en'},
              {'hits': len(list_filter(toks, t -> list_contains(
@@ -1485,9 +1485,11 @@ object LlmQueries {
                 ['的','是','在','了','和','有','我','不'], t))), 'lang': 'zh'}
            ]) AS best
            FROM (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
-                   t -> t <> '') AS toks FROM documents))
-         SELECT CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END
-             AS lang_pred,
+                   t -> t <> '') AS toks, text IS NULL AS tnull
+                 FROM documents))
+         SELECT CASE WHEN tnull THEN NULL
+                     WHEN best.hits > 0 THEN best.lang
+                     ELSE 'und' END AS lang_pred,
            COUNT(*) AS n
          FROM scored GROUP BY 1 ORDER BY lang_pred""",
     "llm_mm_bytelen" ->
@@ -2250,7 +2252,7 @@ object LlmQueries {
     // on zero hits), keyed by doc id.
     "llm_langid_docs" ->
       """WITH scored AS (
-           SELECT doc_id, list_max([
+           SELECT doc_id, tnull, list_max([
              {'hits': len(list_filter(toks, t -> list_contains(
                 ['the','a','of','and','to','in','is','that'], t))), 'lang': 'en'},
              {'hits': len(list_filter(toks, t -> list_contains(
@@ -2264,10 +2266,12 @@ object LlmQueries {
            ]) AS best
            FROM (SELECT doc_id,
                    list_filter(regexp_split_to_array(lower(text), '\s+'),
-                     t -> t <> '') AS toks FROM documents))
+                     t -> t <> '') AS toks, text IS NULL AS tnull
+                 FROM documents))
          SELECT doc_id,
-           CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END
-             AS lang_pred
+           CASE WHEN tnull THEN NULL
+                WHEN best.hits > 0 THEN best.lang
+                ELSE 'und' END AS lang_pred
          FROM scored ORDER BY doc_id""",
 
     // CCNet-filter replay: the llm_ppl_buckets chain, kept buckets
