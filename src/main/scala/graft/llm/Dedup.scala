@@ -419,6 +419,33 @@ object Dedup {
     keepRepresentatives(docs, comps, idCol)
   }
 
+  /** Persist the near-dup cluster assignment as a corpus-version
+    * artifact: one parquet of `(id, component)` — the on-disk form of
+    * the session-level components memo. Build once per corpus
+    * snapshot (pair caches released on completion); every consumer
+    * (cluster listing, best-per-cluster, [[keepRepresentatives]])
+    * then reads a table that is ≪ corpus instead of recomputing the
+    * MinHash pair graph. */
+  def writeClusterIndex(docs: DataFrame, dir: String,
+                        threshold: Double = 0.35,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): Unit = {
+    val handle = minHashPairsManaged(docs, threshold,
+      textCol = textCol, idCol = idCol)
+    try
+      connectedComponents(handle.value)
+        .write.mode("overwrite").parquet(dir)
+    finally handle.close()
+  }
+
+  /** [[nearDupDedup]] against a persisted [[writeClusterIndex]]
+    * artifact: a broadcast-sized parquet read + one representative
+    * join — no signature or pair computation at query time. */
+  def nearDupDedupIndexed(docs: DataFrame, indexDir: String,
+                          idCol: String = "doc_id"): DataFrame =
+    keepRepresentatives(docs,
+      docs.sparkSession.read.parquet(indexDir), idCol)
+
   /** Keep one min-id representative per cluster of a `(id, component)`
     * assignment; docs outside any cluster always survive. The
     * downstream half of [[nearDupDedup]], reusable against a

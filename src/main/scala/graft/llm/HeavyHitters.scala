@@ -85,6 +85,48 @@ object HeavyHitters {
       .head()
   }
 
+  /** SQL-typed MG result: candidate counters + exact element total —
+    * a struct<counters: map, n: bigint> column, consumable without
+    * deserializing driver objects. */
+  case class MGResult(counters: Map[String, Long], n: Long)
+
+  /** [[MisraGriesAgg]] with a SQL-typed output, for use as a udaf
+    * inside (streaming or batch) window aggregates. */
+  class MisraGriesUdaf(m: Int)
+      extends Aggregator[String, MGBuf, MGResult] {
+    private val inner = new MisraGriesAgg(m)
+    def zero: MGBuf = inner.zero
+    def reduce(b: MGBuf, t: String): MGBuf = inner.reduce(b, t)
+    def merge(a: MGBuf, b: MGBuf): MGBuf = inner.merge(a, b)
+    def finish(b: MGBuf): MGResult = {
+      val (c, n) = inner.finish(b)
+      MGResult(c, n)
+    }
+    def bufferEncoder: Encoder[MGBuf] = inner.bufferEncoder
+    def outputEncoder: Encoder[MGResult] = Encoders.product[MGResult]
+  }
+
+  /** Event-time windowed frequent-item candidates: one MG summary per
+    * tumbling window over an unbounded stream —
+    * `(window_start, counters, n)` with the batch guarantees holding
+    * PER WINDOW (superset above n_w/(m+1), exact n_w). Streaming
+    * state is m counters per open window, dropped at the watermark;
+    * the usual exact-verify pass applies to whichever windows'
+    * candidates matter downstream. Works identically on a batch frame
+    * (same plan, no watermark semantics). */
+  def windowedCandidates(events: DataFrame, tsCol: String,
+                         tokenCol: String, windowDur: String, m: Int,
+                         watermark: String = "2 hours"): DataFrame = {
+    val mg = udaf(new MisraGriesUdaf(m), Encoders.STRING)
+    val in =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark)
+      else events
+    in.groupBy(window(col(tsCol), windowDur))
+      .agg(mg(col(tokenCol)).as("mg"))
+      .select(col("window.start").as("window_start"),
+        col("mg.counters").as("counters"), col("mg.n").as("n"))
+  }
+
   /** Streaming Misra-Gries: per micro-batch, run the distributed MG
     * summary and MERGE it into a running driver-held buffer. By the
     * mergeable-summaries property the running buffer is at all times

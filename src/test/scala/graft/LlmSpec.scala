@@ -936,6 +936,30 @@ class LlmSpec extends AnyFunSuite {
     assert(selfSpans == Set((1L, 12L), (16L, 12L)), s"got $selfSpans")
   }
 
+  test("cluster index: persisted artifact reproduces nearDupDedup; " +
+      "no pair recompute at query time") {
+    import spark.implicits._
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base.replace("tok30", "chA")),
+      (3L, base.replace("tok31", "chB")),
+      (4L, (0 until 60).map(i => s"zzz$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = "/root/repo/target/scratch/cluster_index"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    Dedup.writeClusterIndex(docs, dir, threshold = 0.5)
+    val indexed = Dedup.nearDupDedupIndexed(docs, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val direct = Dedup.nearDupDedup(docs, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(indexed == direct && indexed == Set(1L, 4L))
+    // the query-time plan reads the index, not the pair pipeline:
+    // no minhash signature kernel in it
+    val plan = Dedup.nearDupDedupIndexed(docs, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("minhash"),
+      s"index path must not recompute signatures:\n${plan.take(1200)}")
+  }
+
   test("overlapFraction: contained doc = 1.0, disjoint = 0.0, tau gates") {
     import spark.implicits._
     val benchTxt = (0 until 20).map(i => s"b$i").mkString(" ")

@@ -140,6 +140,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(must.subsetOf(cand.keySet), s"missing ${must -- cand.keySet}")
   }
 
+  test("windowed Misra-Gries: per-window laws hold on the stream; " +
+      "exact n per window") {
+    val m = 3 // below the 5 event types, so decrements really happen
+    val stream = graft.llm.HeavyHitters.windowedCandidates(
+      EventsStream.readEvents(spark, eventsDir),
+      tsCol = "ts", tokenCol = "event_type",
+      windowDur = "1 hour", m = m)
+    val q = stream.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("win_mg").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("win_mg").collect().map { r =>
+      (r.getTimestamp(0),
+        r.getMap[String, Long](1).toMap.map(identity), r.getLong(2))
+    }
+    assert(got.nonEmpty)
+    val exact = graft.queries.Star.events(spark, "/root/testdata/sf0.001")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .count().collect()
+      .groupBy(_.getTimestamp(0))
+      .view.mapValues(_.map(r => r.getString(1) -> r.getLong(2)).toMap)
+      .toMap
+    got.foreach { case (w, cand, n) =>
+      val ex = exact(w)
+      val total = ex.values.sum
+      assert(n == total, s"window $w: $n vs $total")
+      assert(cand.size <= m)
+      val must = ex.filter(_._2 > total / (m + 1.0)).keySet
+      assert(must.subsetOf(cand.keySet),
+        s"window $w missing ${must -- cand.keySet}")
+    }
+  }
+
   test("streaming dedup drops in-horizon duplicates, keeps distinct") {
     import spark.implicits._
     // build a source dir with planted duplicates
