@@ -743,6 +743,19 @@ object LlmQueries {
           col("n_tokens_dropped"))
         .orderBy(col("doc_id"))),
 
+    // windowed Misra-Gries through the typed-udaf path, run in its
+    // EXACT regime (m=8 >= the 5 event types, so counters never
+    // decrement and equal true counts) — the oracle-checkable face of
+    // HeavyHitters.windowedCandidates; the sketch regime's laws are
+    // proven in StreamingSpec/PropertySpec instead.
+    "llm_window_tokens" -> ((s, dir) =>
+      HeavyHitters.windowedCandidates(Star.events(s, dir),
+          tsCol = "ts", tokenCol = "event_type",
+          windowDur = "1 hour", m = 8)
+        .select(col("window_start"),
+          explode(col("counters")).as(Seq("token", "n_occ")))
+        .orderBy(col("window_start"), col("token"))),
+
     // per-source KL drift vs the corpus token distribution — the
     // data-health gauge for a multi-source mix.
     "llm_source_drift" -> ((s, dir) =>
@@ -2417,6 +2430,13 @@ object LlmQueries {
              AS n_tokens_dropped
          FROM tok t LEFT JOIN agg a USING (doc_id)
          ORDER BY t.doc_id""",
+
+    // windowed-MG exact-regime replay: with m >= |alphabet| the MG
+    // counters are plain per-window counts.
+    "llm_window_tokens" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+           event_type AS token, COUNT(*) AS n_occ
+         FROM events GROUP BY 1, 2 ORDER BY window_start, token""",
 
     // KL-drift replay: identical formula tree, decimal term sum.
     "llm_source_drift" ->
