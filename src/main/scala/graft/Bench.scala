@@ -52,6 +52,12 @@ object Bench {
       selected.foreach { case (_, fn) =>
         try { fn(spark, warmDir.toString).count(); () }
         catch { case _: Throwable => () }
+        // the unmanaged shorthands pin shared intermediates per call
+        // (signatures, LSH buckets, split parents); release each
+        // query's pins immediately so no query is measured against
+        // another query's storage debt — exactly the accumulated-
+        // artifact drag BENCH_r06 measured on the q09–q13 block
+        graft.cache.Pins.release(spark)
       }
     }
     val results = selected.map { case (name, fn) =>
@@ -65,18 +71,35 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-24s $dt%8.2fs" +
         (if (ok) "" else "  FAILED"))
+      // release OUTSIDE the timed window: the pin release is session
+      // hygiene between queries, not part of any query's cost
+      graft.cache.Pins.release(spark)
       (name, dt, ok)
     }
+    // storage-footprint assertion: with every pin released, nothing
+    // may remain in executor storage — a non-empty map here means some
+    // operator persisted outside the Managed/Pins discipline and the
+    // run is flagged (stderr; the JSON stays parseable)
+    val leaked = spark.sparkContext.getPersistentRDDs
+    if (leaked.nonEmpty)
+      System.err.println(s"[bench] WARNING: ${leaked.size} persisted " +
+        s"RDDs remain after release: " +
+        leaked.values.map(_.name).mkString(", "))
     // a failed query's time-to-failure must NOT masquerade as a
     // result: only successes are timed and totaled; failures are
     // listed separately so the run is visibly broken
     val good = results.filter(_._3)
     val failed = results.filterNot(_._3).map(_._1)
-    val qs = good.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // millisecond precision: sub-ms digits are pure noise, and the
+    // compact line (~2.3 KB at 90 queries) must fit the driver's
+    // bounded output-tail window IN FULL or it can't be parsed at all
+    // (BENCH_r06.json: parsed=null — the 9-decimal line overflowed it)
+    def sec(v: Double) = f"$v%.3f"
+    val qs = good.map { case (k, v, _) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (good.nonEmpty) good.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${good.size},"failed":$fs,"sf":"$sfDir","queries":$qs}""")
     spark.stop()
   }
 }

@@ -22,8 +22,10 @@ import org.apache.spark.storage.StorageLevel
   * storage until released — a long-lived session splitting per stage
   * would otherwise accumulate dead cached blocks. The `*Managed`
   * variants return a [[Branches]] handle; call `close()` once every
-  * branch has been consumed. The unmanaged shorthands pin the parent
-  * for the session (fine for one-shot jobs).
+  * branch has been consumed. The unmanaged shorthands register their
+  * pin with [[graft.cache.Pins]] instead of dropping it: a one-shot
+  * job never notices, and a long-lived session releases every
+  * accumulated pin at its next boundary with `Pins.release(spark)`.
   */
 object Split {
 
@@ -52,9 +54,11 @@ object Split {
       parent.filter(!coalesce(cond, lit(false)))), parent)
   }
 
-  /** Unmanaged shorthand — parent stays cached for the session. */
+  /** Unmanaged shorthand — the pin is tracked by [[graft.cache.Pins]]
+    * and lives until the session's next `Pins.release`. */
   def splitEither(df: DataFrame, cond: Column): (DataFrame, DataFrame) =
-    splitEitherManaged(df, cond).value
+    graft.cache.Pins.track(df.sparkSession, splitEitherManaged(df, cond))
+      .value
 
   /** Multi-way split: one named branch per predicate, evaluated over a
     * single cached pass of the parent. Branches may overlap and need
@@ -69,7 +73,9 @@ object Split {
   }
 
   def multiSplit(df: DataFrame, branches: Seq[(String, Column)])
-      : Map[String, DataFrame] = multiSplitManaged(df, branches).value
+      : Map[String, DataFrame] =
+    graft.cache.Pins.track(df.sparkSession, multiSplitManaged(df, branches))
+      .value
 
   /** First-match multi-way split (the reference's stacked-filters
     * semantics: each element goes to the FIRST filter that accepts it;
@@ -95,7 +101,8 @@ object Split {
   def splitFirstMatch(df: DataFrame, branches: Seq[(String, Column)],
                       restName: Option[String] = None)
       : Map[String, DataFrame] =
-    splitFirstMatchManaged(df, branches, restName).value
+    graft.cache.Pins.track(df.sparkSession,
+      splitFirstMatchManaged(df, branches, restName)).value
 
   /** Tee with transform — `mapCopy`: run `side` on a transformed copy
     * (e.g. write it somewhere) and return the original unchanged for
@@ -115,7 +122,8 @@ object Split {
 
   def teeThrough(df: DataFrame)(transform: DataFrame => DataFrame)(
       side: DataFrame => Unit): DataFrame =
-    teeThroughManaged(df)(transform)(side).value
+    graft.cache.Pins.track(df.sparkSession,
+      teeThroughManaged(df)(transform)(side)).value
 
   /** Annotated-element map — `With`/`mapStreamW`: apply a column
     * transform to payload columns while key/annotation columns pass

@@ -1,0 +1,57 @@
+package graft.cache
+
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped registry of executor-storage pins left behind by the
+  * unmanaged operator shorthands ([[graft.llm.Dedup.minHashPairs]],
+  * [[graft.llm.Similarity.lshCosinePairs]], the [[graft.access.Split]]
+  * one-shot forms). Each of those persists a shared intermediate
+  * (signatures, LSH buckets, a split parent) that its `*Managed`
+  * sibling would hand back as an [[AutoCloseable]]; the shorthand
+  * drops the handle, which is fine for a one-shot job but accumulates
+  * in a long-lived session: every pinned plan is ANOTHER entry Spark's
+  * CacheManager canonicalize-compares each later query against, so
+  * planning cost grows with every unreleased call — the q09–q13 drag
+  * measured in BENCH_r06 after 64 llm queries had run.
+  *
+  * The shorthands therefore register their handle here, and a session
+  * boundary (end of a pipeline run, between benchmark queries, a
+  * long-running service's idle point) calls [[release]] to close them
+  * all. Handles are closed in registration order; `close()` is
+  * idempotent because `DataFrame.unpersist` on an already-released
+  * plan is a no-op.
+  */
+object Pins {
+  private val reg =
+    new ConcurrentHashMap[SparkSession, ConcurrentLinkedQueue[AutoCloseable]]
+
+  /** Track `handle` for `spark` and return it (shorthands call
+    * `Pins.track(df.sparkSession, handle).value`). */
+  def track[H <: AutoCloseable](spark: SparkSession, handle: H): H = {
+    reg.computeIfAbsent(spark, _ => new ConcurrentLinkedQueue[AutoCloseable])
+      .add(handle)
+    handle
+  }
+
+  /** Close every tracked handle for `spark`; returns how many were
+    * released. Safe to call at any point — plans already consumed just
+    * lose their cached blocks; plans not yet executed recompute their
+    * shared parent per consumer (the documented unpinned semantics). */
+  def release(spark: SparkSession): Int = {
+    val q = reg.remove(spark)
+    if (q == null) 0
+    else {
+      var n = 0
+      var h = q.poll()
+      while (h != null) { h.close(); n += 1; h = q.poll() }
+      n
+    }
+  }
+
+  /** Number of currently-tracked handles (storage-footprint asserts). */
+  def trackedCount(spark: SparkSession): Int = {
+    val q = reg.get(spark)
+    if (q == null) 0 else q.size
+  }
+}

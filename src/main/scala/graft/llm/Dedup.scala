@@ -145,15 +145,17 @@ object Dedup {
                    shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
                    seed: Long = 42L, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame =
-    minHashPairsManaged(docs, threshold, shingleSize, k, bands, seed,
-      textCol, idCol).value
+    graft.cache.Pins.track(docs.sparkSession,
+      minHashPairsManaged(docs, threshold, shingleSize, k, bands, seed,
+        textCol, idCol)).value
 
   /** [[minHashPairs]] with an explicit cache lifecycle: the persisted
     * signature set backing the returned plan is released by `close()`
     * (same [[graft.access.Split.Branches]] discipline as the split
     * operators). Call close() after the pairs have been consumed —
-    * long-lived sessions calling the unmanaged shorthand would pin one
-    * signature cache per call. */
+    * the unmanaged shorthand instead tracks its pin in
+    * [[graft.cache.Pins]], released at the session's next
+    * `Pins.release`. */
   def minHashPairsManaged(docs: DataFrame, threshold: Double = 0.7,
                           shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
                           seed: Long = 42L, textCol: String = "text",

@@ -157,11 +157,16 @@ object HeavyHitters {
             val (cand, n) = summarize(batch, m)
             // merge mutates its first argument — merge into a COPY and
             // publish that, so a concurrent current() never observes a
-            // map under mutation
-            val prev = state
-            state = agg.merge(
-              (mutable.HashMap(prev._1.toSeq: _*), prev._2),
-              (mutable.HashMap(cand.toSeq: _*), n))
+            // map under mutation. The read-copy-merge-publish is
+            // GUARDED: one streaming query's foreachBatch runs
+            // serially, but the same tracker attached to two sinks
+            // would interleave and silently drop a batch's counts
+            synchronized {
+              val prev = state
+              state = agg.merge(
+                (mutable.HashMap(prev._1.toSeq: _*), prev._2),
+                (mutable.HashMap(cand.toSeq: _*), n))
+            }
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -184,7 +189,21 @@ object HeavyHitters {
     val toks = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
     val (cand, n) = summarize(toks, m)
-    toks.filter(col("token").isin(cand.keys.toSeq: _*))
+    // candidate restriction: a small set inlines as an isin literal
+    // (codegen'd, no extra stage); a large m would bloat the plan and
+    // re-codegen per call, so it becomes a broadcast semi-join against
+    // a local relation instead — same rows either way
+    val spark = docs.sparkSession
+    val matched =
+      if (cand.size <= 128)
+        toks.filter(col("token").isin(cand.keys.toSeq: _*))
+      else {
+        import spark.implicits._
+        toks.join(
+          broadcast(cand.keys.toSeq.toDF("token")), Seq("token"),
+          "left_semi")
+      }
+    matched
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n_occurrences"))
       .filter(col("n_occurrences") * k > lit(n))

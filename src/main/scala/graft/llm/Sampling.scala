@@ -105,9 +105,19 @@ object Sampling {
     // NULL-source rows have no stratum: excluded up front so they
     // neither crash the rate table nor skew the share arithmetic
     val strat = docs.filter(col(sourceCol).isNotNull)
-    val counts = strat.groupBy(col(sourceCol))
+    // cast-to-string here (not getString) so a non-string stratum
+    // column (int source ids) works; the rate column below compares
+    // against the same casted form
+    val counts = strat.groupBy(col(sourceCol).cast("string").as("_src"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // degenerate corpus (empty, or all-NULL sources): no strata means
+    // no rate table — return the empty keep set rather than crash on
+    // counts.values.min
+    if (counts.isEmpty)
+      return strat
+        .select(col(idCol), col(sourceCol), lit(1.0).as("keep_rate"))
+        .limit(0)
     val total = counts.values.sum.toDouble
     val pMin = counts.values.min / total
     val rate = counts.map { case (s, n) =>
@@ -115,7 +125,7 @@ object Sampling {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
     val rateCol = rate.foldLeft(lit(Double.NaN)) { case (acc, (s, r)) =>
-      when(col(sourceCol) === s, lit(r)).otherwise(acc)
+      when(col(sourceCol).cast("string") === s, lit(r)).otherwise(acc)
     }
     strat.select(col(idCol), col(sourceCol), rateCol.as("keep_rate"))
       .filter(hashBucket32(col(idCol).cast("string")).cast("double") <

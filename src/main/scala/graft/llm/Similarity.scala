@@ -401,8 +401,9 @@ object Similarity {
                      planesPerTable: Int = 0, dim: Int = 64, seed: Long = 42L,
                      idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame =
-    lshCosinePairsManaged(emb, threshold, nTables, planesPerTable, dim,
-      seed, idCol, vecCol).value
+    graft.cache.Pins.track(emb.sparkSession,
+      lshCosinePairsManaged(emb, threshold, nTables, planesPerTable, dim,
+        seed, idCol, vecCol)).value
 
   /** [[lshCosinePairs]] with an explicit cache lifecycle: the persisted
     * bucket projection backing the returned plan is released by

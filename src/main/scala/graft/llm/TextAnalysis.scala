@@ -136,18 +136,24 @@ object TextAnalysis {
                queryIdCol: String = "query_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = tokens(col(textCol))
-    // dl = Σ_t tf(doc, t) and df = |postings(term)| both come from
-    // WINDOWS over the single tf table (doc-keyed, then term-keyed) —
-    // no dl join on the doc key in the match stream, and no df
-    // re-aggregation of the tf subtree (an agg branch and a join side
-    // can never share an exchange, so a dfT self-join would compute
-    // the postings twice)
-    val tf = corpus.select(col(idCol), explode(toks).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .withColumn("dl", sum(col("tf")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+    // dl = |tokens(doc)| is row-local — computed BEFORE the explode,
+    // so it needs neither a doc-keyed window nor a join. df =
+    // |postings(term)| is a map-side-combined per-term aggregate
+    // joined back by term: NOT a count(*) over a term-partitioned
+    // window, because a stopword's postings (billions of rows at
+    // corpus scale) would all land in ONE window partition — windows
+    // can't skew-split, joins can (AQE skew-join), and at bench scale
+    // the vocab-sized df table simply broadcasts. The df branch
+    // re-reads the tf subtree; its exchange is canonically identical
+    // to the join side's, so ReuseExchange may serve it — and even
+    // recomputed, a second narrow aggregate pass is the right price
+    // for removing the one skew-unsplittable stage in the plan.
+    val tf = corpus
+      .select(col(idCol), size(toks).cast("long").as("dl"),
+        explode(toks).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = corpus.agg(count(lit(1)).as("_n"),
       sum(size(toks).cast("long")).as("_sumdl"))
     val qt = queries
@@ -164,6 +170,7 @@ object TextAnalysis {
     // term) match stream — up to |queries|x larger — carries one
     // precomputed decimal instead of redoing the formula per match
     val posting = tf
+      .join(dfT, Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("term"), col(idCol),
         contrib.cast("decimal(38,18)").as("_s"))

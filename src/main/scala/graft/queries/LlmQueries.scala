@@ -66,6 +66,18 @@ object LlmQueries {
         java.util.Arrays.asList(df.collect(): _*), df.schema)
     })
 
+  /** Drop the corpus-version artifacts derived from `dir` (all
+    * sessions) — [[Star.invalidate]] cascades here so an in-process
+    * rewrite of a corpus path can't serve stale components/LM scores. */
+  private[queries] def invalidate(dir: String): Unit = {
+    componentsMemo.keySet.removeIf(_._2 == dir)
+    lmScoreMemo.keySet.removeIf(_._2 == dir)
+  }
+
+  /** Drop every memoized corpus artifact — test hook, mirrors
+    * [[graft.llm.Similarity.clearTrainedCache]]. */
+  def clearMemos(): Unit = { componentsMemo.clear(); lmScoreMemo.clear() }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup groups: representative + multiplicity per content.

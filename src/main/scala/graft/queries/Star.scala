@@ -30,6 +30,19 @@ object Star {
       Pipeline.run(spark, Access.loadData(vf), Mappings.root(dir), ())
     })
 
+  /** Drop every cached relation (all sessions/dirs) — mirrors
+    * [[graft.llm.Similarity.clearTrainedCache]]. */
+  def clearCache(): Unit = tables.clear()
+
+  /** Drop the cached relations under one data dir: call after
+    * overwriting parquet at `dir` in-process, or the cached FileIndex
+    * keeps serving the old file listing. Cascades to the corpus-level
+    * artifact memos derived from these relations. */
+  def invalidate(dir: String): Unit = {
+    tables.keySet.removeIf(_._2 == dir)
+    LlmQueries.invalidate(dir)
+  }
+
   /** `events` carries a TIMESTAMP(NANOS) parquet column, which Spark 4
     * only reads with `spark.sql.legacy.parquet.nanosAsLong=true` (set
     * in Verify/Bench sessions). Normalize: if `ts` arrived as nanos

@@ -357,8 +357,9 @@ class PlanSpec extends AnyFunSuite {
     assert(!tplan.contains("Exchange"), tplan.take(1500))
   }
 
-  test("bm25TopK: match join broadcasts the query side; no sort-merge " +
-       "join anywhere (df/dl via windows, not self-joins)") {
+  test("bm25TopK: match join broadcasts the query side; no window " +
+       "partitioned by term (stopword postings would skew one window " +
+       "partition — df must be an aggregate joined back)") {
     val docs = graft.queries.Star.table(spark, sf, "documents")
     val df = graft.llm.TextAnalysis.bm25TopK(
       docs.filter(col("doc_id") % 100 =!= 0),
@@ -371,6 +372,12 @@ class PlanSpec extends AnyFunSuite {
       s"query-side match join must broadcast:\n${plan.take(2000)}")
     assert(!plan.contains("SortMergeJoin"),
       s"postings must not self-join:\n${plan.take(2000)}")
+    // the only windows allowed are per-query top-k ranks; a window
+    // whose partition spec is the term column is the skew hazard
+    val termWindow = plan.linesIterator.exists(l =>
+      l.contains("Window") && l.matches(""".*\]\s*,\s*\[term#\d+\].*"""))
+    assert(!termWindow,
+      s"df must not come from a term-partitioned window:\n${plan.take(2500)}")
   }
 
   test("substringDupSpans: window grams hash scan-side — no token " +
