@@ -421,6 +421,37 @@ class AccessOpsSpec extends AnyFunSuite {
     assert(back == Set((1L, "a"), (2L, "b")))
   }
 
+  test("Pins: unmanaged split shorthands register their pin; release " +
+       "drops the cached parent") {
+    import spark.implicits._
+    val spark0 = spark
+    graft.cache.Pins.release(spark0) // clean slate
+    val df = (1 to 100).toDF("n")
+    val (hi, lo) = graft.access.Split.splitEither(df, col("n") > 50)
+    assert(hi.count() == 50 && lo.count() == 50)
+    assert(graft.cache.Pins.trackedCount(spark0) == 1)
+    val storageBefore = spark0.sparkContext.getPersistentRDDs.size
+    assert(storageBefore >= 1, "split parent must be persisted")
+    assert(graft.cache.Pins.release(spark0) == 1)
+    assert(graft.cache.Pins.trackedCount(spark0) == 0)
+    assert(spark0.sparkContext.getPersistentRDDs.size < storageBefore)
+    // release with nothing tracked is a no-op
+    assert(graft.cache.Pins.release(spark0) == 0)
+  }
+
+  test("Star.invalidate: an in-process parquet overwrite is visible " +
+       "after invalidation") {
+    import spark.implicits._
+    val base = scratch("starinv")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$base/things.parquet")
+    val first = graft.queries.Star.table(spark, base, "things")
+    assert(first.count() == 1)
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$base/things.parquet")
+    graft.queries.Star.invalidate(base)
+    assert(graft.queries.Star.table(spark, base, "things").count() == 3)
+  }
+
   // ---- S3 accessor live path, against an in-JVM s3a FileSystem ----
   // (reference parity: porcupine-s3 TaskPipelineUtils.hs:77-175 —
   // upload/download/streamS3Folder through the accessor registry)

@@ -104,6 +104,154 @@ class ConfigSpec extends AnyFunSuite {
     assert(back.columns.toSet == Set("o_orderstatus", "n", "total"))
   }
 
+  test("CLI walkthrough golden: write-config-template → show-tree -m " +
+       "→ run → save (README sequence)") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    val base = "/root/repo/target/scratch/cli_walkthrough"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    def captured(args: String*): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+        CLI.run(args.toArray, spark)
+      }
+      bos.toString("UTF-8")
+    }
+    // 1. template: every required endpoint unmapped, defaults inline
+    val template = captured("orders_report", "write-config-template")
+    assert(template.trim ==
+      """{"variables":{},"data":{"minPrice":0},"locations":{"/Outputs/report":"_","/orders":"_"}}""")
+    // 2. bind endpoints, inspect the resolved tree pre-run
+    val specFile = s"$base/orders.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(specFile),
+      s"""data: {minPrice: 100000}
+         |locations:
+         |  /orders: /root/testdata/sf0.001/orders.parquet
+         |  /Outputs/report: $base/report.parquet
+         |""".stripMargin)
+    val tree = captured("orders_report", "show-tree", specFile, "-m", "-a")
+    assert(tree.trim ==
+      s"""/Outputs/report [w]
+         |  mapped to: $base/report.parquet
+         |  usable as: sink
+         |  extensions: parquet, csv
+         |  accessed with: write (parquet)
+         |/orders [r]
+         |  mapped to: /root/testdata/sf0.001/orders.parquet
+         |  usable as: source
+         |  extensions: parquet
+         |  accessed with: read (parquet)""".stripMargin, tree)
+    // 3. run with a CLI override on top of the spec
+    val ran = captured("orders_report", "run", specFile,
+      "-o", "minPrice=150000")
+    assert(ran.contains("[orders_report] done"))
+    assert(spark.read.parquet(s"$base/report.parquet").count() > 0)
+    // 4. persist the spec-with-overrides
+    captured("orders_report", "save", specFile, "-o", "minPrice=150000",
+      s"$base/saved.yaml")
+    val saved = JobSpec.parse(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$base/saved.yaml")))
+    assert((saved.data \ "minPrice").contains(JNum(150000)))
+    assert(saved.mappings.layersFor(VPath("/orders"), "parquet") ==
+      Resolved.Bound(
+        Seq(LocTemplate("/root/testdata/sf0.001/orders.parquet"))))
+  }
+
+  test("example2 port: indexed stock load → sliding average → CSV " +
+       "sink, end-to-end from a YAML spec") {
+    // reference examples/example2/Example2.hs:40-63: a fixed index
+    // list ["aapl","fb","googl"] -> loadDataList "company" of
+    // Stock-{company}.json -> 10-step forward sliding average of the
+    // close prices -> one CSV sink. Spark shape: ONE multi-path
+    // indexed scan, the sliding average as a rows-bounded window per
+    // company (short tail windows included, matching msliding), and
+    // the curve matrix written in long (company, t, avg10) form.
+    import graft.access.Access
+    import graft.model.{Usage, VirtualFile}
+    import graft.task.PTask
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    val base = "/root/repo/target/scratch/example2"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    new java.io.File(s"$base/Inputs").mkdirs()
+    val closes = Map(
+      "aapl" -> (1 to 12).map(_.toDouble),
+      "fb" -> (1 to 12).map(i => (i * 2).toDouble),
+      "googl" -> (1 to 12).map(i => 100.0 - i))
+    closes.foreach { case (c, xs) =>
+      val chart = xs.zipWithIndex.map { case (v, i) =>
+        s"""{"date":"2019-01-${i + 1}","close":$v}"""
+      }.mkString("[", ",", "]")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$base/Inputs/Stock-$c.json"),
+        s"""{"chart":$chart}""")
+    }
+    val spec = JobSpec.parse(
+      s"""locations:
+         |  /Inputs/Stock: "$base/Inputs/Stock-{company}.json"
+         |  /Outputs/globalData: $base/Outputs/globalData.csv
+         |""".stripMargin)
+    val stockVf =
+      VirtualFile(VPath("/Inputs/Stock"), Seq("json"), Usage.Source)
+    val sinkVf =
+      VirtualFile(VPath("/Outputs/globalData"), Seq("csv"), Usage.Sink)
+    val smooth: DataFrame => DataFrame = df => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("company").orderBy("t").rowsBetween(0, 9)
+      df.select(col("company"), posexplode(col("chart")).as(Seq("t", "day")))
+        .select(col("company"), col("t"), col("day.close").as("close"))
+        .withColumn("avg10", avg("close").over(w))
+        .select("company", "t", "avg10")
+    }
+    val task = PTask.const(Seq("aapl", "fb", "googl")) >>>
+      Access.loadIndexed(stockVf, "company", indexCol = "company") >>>
+      PTask.arr(smooth) >>>
+      Access.writeData(sinkVf)
+    Pipeline.run(spark, task, spec.mappings, ())
+    // golden: the reference's msliding — forward windows of ≤10 from
+    // every position — mirrored in plain Scala over the same inputs
+    def msliding(xs: Seq[Double]): Seq[Double] =
+      xs.tails.filter(_.nonEmpty).map(t => t.take(10))
+        .map(ws => ws.sum / ws.size).toSeq
+    val back = spark.read.option("header", "true")
+      .csv(s"$base/Outputs/globalData.csv")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1).toInt,
+        r.getString(2).toDouble))
+      .groupBy(_._1)
+      .view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(back.keySet == closes.keySet)
+    closes.foreach { case (c, xs) =>
+      val want = msliding(xs)
+      val got = back(c)
+      assert(got.size == want.size, s"$c curve length")
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 1e-9, s"$c: $got vs $want")
+      }
+    }
+    // ...and the zip-of-two-sources form of the same user code: pair
+    // two loaded curves ordinally (reference zipWith over streams)
+    val Seq(a, f) = Seq("aapl", "fb").map { c =>
+      val df = spark.read.json(s"$base/Inputs/Stock-$c.json")
+      smooth(df.withColumn("company", lit(c)))
+        .orderBy("t")
+        .select(col("avg10").as(s"avg_$c"))
+    }
+    val zipped = graft.rep.Streams.zipByIndex(a, f)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(zipped.length == 12)
+    val wantPairs = msliding(closes("aapl")).zip(msliding(closes("fb")))
+    assert(zipped.sortBy(_._1).zip(wantPairs).forall {
+      case ((ga, gf), (wa, wf)) =>
+        math.abs(ga - wa) < 1e-9 && math.abs(gf - wf) < 1e-9
+    })
+  }
+
   test("options virtual file: external yaml layer under data:, CLI on top") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")

@@ -172,6 +172,47 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("windowed Misra-Gries: watermark closes windows and evicts " +
+      "state — bounded state across many windows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)] // (epoch seconds, token)
+    val df = input.toDS().toDF("secs", "token")
+      .withColumn("ts", col("secs").cast("timestamp"))
+    val stream = graft.llm.HeavyHitters.windowedCandidates(
+      df, tsCol = "ts", tokenCol = "token", windowDur = "1 hour", m = 3,
+      watermark = "30 minutes")
+    // Append mode is the eviction regime: a window's MG buffer leaves
+    // the state store once the watermark passes its end (the 100×-scale
+    // claim for windowedCandidates — m counters per OPEN window only)
+    val q = stream.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("win_mg_evict").start()
+    val nWindows = 20
+    var maxState = 0L
+    try {
+      (0 until nWindows).foreach { w =>
+        val base = 3600L * w
+        input.addData((0 until 60).map(i => (base + i * 60L, s"tok${i % 5}")))
+        q.processAllAvailable()
+        val seen = (Option(q.lastProgress).toSeq ++ q.recentProgress)
+          .flatMap(_.stateOperators.map(_.numRowsTotal))
+        maxState = (maxState +: seen).max
+      }
+      // sentinel far past the last window so the watermark closes it
+      input.addData((3600L * (nWindows + 10L), "zz"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // every hour window closed and was emitted exactly once...
+    val emitted = spark.table("win_mg_evict")
+    assert(emitted.count() == nWindows)
+    assert(emitted.select("n").collect().forall(_.getLong(0) == 60L))
+    // ...while live state stayed at the open-window count, nowhere
+    // near the total window count
+    assert(maxState > 0 && maxState <= 4,
+      s"state rows should track OPEN windows, got $maxState of $nWindows")
+  }
+
   test("streaming dedup drops in-horizon duplicates, keeps distinct") {
     import spark.implicits._
     // build a source dir with planted duplicates
