@@ -133,31 +133,78 @@ object TextAnalysis {
   def bm25TopK(corpus: DataFrame, queries: DataFrame, k: Int,
                k1: Double = 1.2, b: Double = 0.75,
                textCol: String = "text", idCol: String = "doc_id",
-               queryIdCol: String = "query_id"): DataFrame = {
+               queryIdCol: String = "query_id"): DataFrame =
+    graft.cache.Pins.track(corpus.sparkSession,
+      bm25TopKManaged(corpus, queries, k, k1, b, textCol, idCol,
+        queryIdCol)).value
+
+  /** [[bm25TopK]] with query-term-frequency weighting: each query
+    * term contributes `qtf · idf · satur(tf)` instead of once per
+    * DISTINCT term — the bag-query BM25 form, for long or repetitive
+    * queries where term multiplicity carries signal. Same plan shape
+    * as [[bm25TopK]] (the qtf rides the broadcast query side). */
+  def bm25TopKWeighted(corpus: DataFrame, queries: DataFrame, k: Int,
+                       k1: Double = 1.2, b: Double = 0.75,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       queryIdCol: String = "query_id"): DataFrame =
+    graft.cache.Pins.track(corpus.sparkSession,
+      bm25Core(corpus, queries, k, k1, b, textCol, idCol, queryIdCol,
+        weighted = true)).value
+
+  /** [[bm25TopK]] with an explicit lifecycle for the persisted
+    * postings relation — the same Managed/Pins discipline as the
+    * dedup signature caches. */
+  def bm25TopKManaged(corpus: DataFrame, queries: DataFrame, k: Int,
+                      k1: Double = 1.2, b: Double = 0.75,
+                      textCol: String = "text", idCol: String = "doc_id",
+                      queryIdCol: String = "query_id")
+      : graft.access.Split.Branches[DataFrame] =
+    bm25Core(corpus, queries, k, k1, b, textCol, idCol, queryIdCol,
+      weighted = false)
+
+  private def bm25Core(corpus: DataFrame, queries: DataFrame, k: Int,
+                       k1: Double, b: Double, textCol: String,
+                       idCol: String, queryIdCol: String,
+                       weighted: Boolean)
+      : graft.access.Split.Branches[DataFrame] = {
     import org.apache.spark.sql.expressions.Window
     val toks = tokens(col(textCol))
-    // dl = |tokens(doc)| is row-local — computed BEFORE the explode,
-    // so it needs neither a doc-keyed window nor a join. df =
-    // |postings(term)| is a map-side-combined per-term aggregate
-    // joined back by term: NOT a count(*) over a term-partitioned
-    // window, because a stopword's postings (billions of rows at
-    // corpus scale) would all land in ONE window partition — windows
-    // can't skew-split, joins can (AQE skew-join), and at bench scale
-    // the vocab-sized df table simply broadcasts. The df branch
-    // re-reads the tf subtree; its exchange is canonically identical
-    // to the join side's, so ReuseExchange may serve it — and even
-    // recomputed, a second narrow aggregate pass is the right price
-    // for removing the one skew-unsplittable stage in the plan.
+    // One tokenize pass: explode feeds the (doc, term) aggregate, and
+    // dl = Σ tf comes from a DOC-keyed window over it (safe: a doc's
+    // postings are bounded by its length — a projection of size(toks)
+    // would instead re-run the tokenizer, since a Generate operator
+    // can't CSE with its input projection). df = |postings(term)| is a
+    // map-side-combined per-term aggregate joined back by term: NOT a
+    // count(*) over a term-partitioned window, because a stopword's
+    // postings (billions of rows at corpus scale) would all land in
+    // ONE window partition — windows can't skew-split, joins can (AQE
+    // skew-join), and at bench scale the vocab-sized df table simply
+    // broadcasts. The postings relation feeds both the df aggregate
+    // and the match join, so it is PERSISTED — computed once, consumed
+    // twice (at deployment scale this is the materialized postings/
+    // index layer every lexical-retrieval engine keeps next to the
+    // corpus; spill-safe here, parquet there).
     val tf = corpus
-      .select(col(idCol), size(toks).cast("long").as("dl"),
-        explode(toks).as("term"))
-      .groupBy(col(idCol), col("dl"), col("term"))
+      .select(col(idCol), explode(toks).as("term"))
+      .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .withColumn("dl",
+        sum(col("tf")).over(Window.partitionBy(col(idCol))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = corpus.agg(count(lit(1)).as("_n"),
       sum(size(toks).cast("long")).as("_sumdl"))
-    val qt = queries
-      .select(col(queryIdCol), explode(toks).as("term")).distinct()
+    // set-query form: DISTINCT terms, each counted once. bag-query
+    // form: terms carry their in-query frequency as a weight. Either
+    // way the query side stays queries-sized and broadcasts.
+    val qt =
+      if (weighted)
+        queries.select(col(queryIdCol), explode(toks).as("term"))
+          .groupBy(col(queryIdCol), col("term"))
+          .agg(count(lit(1)).as("qtf"))
+      else
+        queries.select(col(queryIdCol), explode(toks).as("term"))
+          .distinct()
     val avgdl = col("_sumdl").cast("double") / col("_n").cast("double")
     val idf = log(lit(1.0) +
       (col("_n").cast("double") - col("df").cast("double") + lit(0.5)) /
@@ -169,20 +216,30 @@ object TextAnalysis {
     // ONCE per (doc, term) before the query join, so the (query, doc,
     // term) match stream — up to |queries|x larger — carries one
     // precomputed decimal instead of redoing the formula per match
+    // weighted mode keeps _s as a double and applies qtf per match
+    // BEFORE the decimal cast (a decimal×bigint product would widen
+    // differently engine-to-engine; double-then-cast replays exactly)
     val posting = tf
       .join(dfT, Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("term"), col(idCol),
-        contrib.cast("decimal(38,18)").as("_s"))
+        (if (weighted) contrib
+         else contrib.cast("decimal(38,18)")).as("_s"))
+    val termSum =
+      if (weighted)
+        sum((col("_s") * col("qtf").cast("double")).cast("decimal(38,18)"))
+      else sum(col("_s"))
     val scored = qt
       .join(posting, Seq("term"))
       .groupBy(col(queryIdCol), col(idCol))
-      .agg(round(sum(col("_s")).cast("double"), 6).as("score"))
+      .agg(round(termSum.cast("double"), 6).as("score"))
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("score").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    val result = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col("rank"), col(idCol), col("score"))
+    graft.access.Split.Branches(result, tf)
   }
 
   /** Quality features: every signal a length/punct/stopword-ratio
@@ -509,6 +566,46 @@ object TextAnalysis {
       .agg(round(sum((ps * log(ps / p)).cast("decimal(38,18)"))
         .cast("double"), 6).as("kl"))
       .select(col(groupCol), col("ns").as("n_tokens"), col("kl"))
+  }
+
+  /** Per-source Jensen–Shannon drift vs the corpus token
+    * distribution — the symmetric, [0, ln 2]-bounded companion of
+    * [[sourceDrift]]'s KL: `JS(P_s‖P) = ½KL(P_s‖M) + ½KL(P‖M)`,
+    * `M = (P_s+P)/2`. Because a source's tokens are a subset of the
+    * corpus's, the sum splits exactly into the terms the source DOES
+    * have plus a closed form for the rest: for every token absent
+    * from the source, `p·ln(p/(p/2)) = p·ln 2`, so the absent mass
+    * contributes `½·ln 2·(1 − Σ_{t∈s} p(t))` — no vocab×sources
+    * cross join materializes, the join stays postings-shaped.
+    * Same determinism discipline as the KL: per-term contributions
+    * sum through DECIMAL(38,18), final arithmetic in doubles,
+    * round 6.
+    *
+    * Scale: identical plan shape to [[sourceDrift]] — one
+    * map-side-combined (source, token) aggregation is the only
+    * corpus-sized shuffle. */
+  def jsDrift(docs: DataFrame, groupCol: String = "source",
+              textCol: String = "text"): DataFrame = {
+    val c = docs
+      .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("c"))
+    val ct = c.groupBy(col("token")).agg(sum(col("c")).as("ct"))
+    val ns = c.groupBy(col(groupCol)).agg(sum(col("c")).as("ns"))
+    val nt = ct.agg(sum(col("ct")).as("nt"))
+    val ps = col("c").cast("double") / col("ns").cast("double")
+    val p = col("ct").cast("double") / col("nt").cast("double")
+    val m = (ps + p) / lit(2.0)
+    c.join(ct, Seq("token")).join(broadcast(ns), Seq(groupCol))
+      .crossJoin(broadcast(nt))
+      .groupBy(col(groupCol), col("ns"))
+      .agg(
+        sum((lit(0.5) * (ps * log(ps / m) + p * log(p / m)))
+          .cast("decimal(38,18)")).cast("double").as("_core"),
+        sum(p.cast("decimal(38,18)")).cast("double").as("_covered"))
+      .select(col(groupCol), col("ns").as("n_tokens"),
+        round(col("_core") +
+          (lit(0.5) * log(lit(2.0))) * (lit(1.0) - col("_covered")), 6)
+          .as("js"))
   }
 
   /** Per-group out-of-vocabulary rate: the fraction of token

@@ -774,6 +774,12 @@ object LlmQueries {
       TextAnalysis.sourceDrift(table(s, dir, "documents"))
         .orderBy(col("source"))),
 
+    // the symmetric, bounded JS variant of the same gauge (comparable
+    // across sources of very different sizes, unlike raw KL).
+    "llm_js_drift" -> ((s, dir) =>
+      TextAnalysis.jsDrift(table(s, dir, "documents"))
+        .orderBy(col("source"))),
+
     // BM25 top-5 lexical retrieval: 8-token prefix queries from every
     // 100th doc against the rest — the sparse counterpart of llm_topk.
     // (Short queries are the realistic shape; the synthetic corpus's
@@ -790,6 +796,22 @@ object LlmQueries {
             .select(col("doc_id").as("query_id"),
               array_join(slice(TextAnalysis.tokens(col("text")),
                 1, 8), " ").as("text")),
+          k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // bag-query BM25: 12-token prefixes so in-query term repeats
+    // actually occur and the qtf weighting is exercised, not vacuous
+    // (the corpus stays the 100%-overlap worst case, so the query set
+    // is halved to keep the genuine full-corpus scorings bounded).
+    "llm_bm25_weighted" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      TextAnalysis.bm25TopKWeighted(
+          docs.filter(col("doc_id") % 100 =!= 0),
+          docs.filter(col("doc_id") % 200 === 0)
+            .select(col("doc_id").as("query_id"),
+              array_join(slice(TextAnalysis.tokens(col("text")),
+                1, 12), " ").as("text")),
           k = 5)
         .orderBy(col("query_id"), col("rank"))
     })
@@ -2470,6 +2492,40 @@ object LlmQueries {
          FROM c JOIN ct USING (token) JOIN ns USING (source), nt
          GROUP BY c.source, ns.ns ORDER BY c.source""",
 
+    // JS-drift replay: same postings-shaped join as the KL; the
+    // absent-token mass enters through the closed form
+    // ½·ln2·(1 − covered) — identical formula trees on both sides.
+    "llm_js_drift" ->
+      raw"""WITH t AS (
+           SELECT source, unnest(list_filter(
+             regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         c AS (SELECT source, token, count(*) AS c
+               FROM t GROUP BY source, token),
+         ct AS (SELECT token, SUM(c) AS ct FROM c GROUP BY token),
+         ns AS (SELECT source, SUM(c) AS ns FROM c GROUP BY source),
+         nt AS (SELECT SUM(ct) AS nt FROM ct)
+         SELECT source, n_tokens,
+           round(core + (0.5 * ln(2.0)) * (1.0 - covered), 6) AS js
+         FROM (
+           SELECT c.source, CAST(ns.ns AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(0.5 * (
+               (CAST(c.c AS DOUBLE) / CAST(ns.ns AS DOUBLE)) *
+               ln((CAST(c.c AS DOUBLE) / CAST(ns.ns AS DOUBLE)) /
+                  (((CAST(c.c AS DOUBLE) / CAST(ns.ns AS DOUBLE)) +
+                    (CAST(ct.ct AS DOUBLE) / CAST(nt.nt AS DOUBLE))) / 2.0))
+               + (CAST(ct.ct AS DOUBLE) / CAST(nt.nt AS DOUBLE)) *
+               ln((CAST(ct.ct AS DOUBLE) / CAST(nt.nt AS DOUBLE)) /
+                  (((CAST(c.c AS DOUBLE) / CAST(ns.ns AS DOUBLE)) +
+                    (CAST(ct.ct AS DOUBLE) / CAST(nt.nt AS DOUBLE))) / 2.0))
+             ) AS DECIMAL(38,18))) AS DOUBLE) AS core,
+             CAST(SUM(CAST(
+               (CAST(ct.ct AS DOUBLE) / CAST(nt.nt AS DOUBLE))
+             AS DECIMAL(38,18))) AS DOUBLE) AS covered
+           FROM c JOIN ct USING (token) JOIN ns USING (source), nt
+           GROUP BY c.source, ns.ns)
+         ORDER BY source""",
+
     // BM25 replay: identical formula tree (left-assoc, same literal
     // subexpressions), per-term contributions summed via
     // DECIMAL(38,18), round-6 before ranking, ties to lower doc id.
@@ -2499,6 +2555,48 @@ object LlmQueries {
                * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
                / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
                    + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl)))
+             AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+           FROM qt JOIN tf USING (term) JOIN dft USING (term)
+             JOIN dl ON dl.doc_id = tf.doc_id, st
+           GROUP BY qt.query_id, tf.doc_id)
+         SELECT query_id, CAST(rk AS BIGINT) AS rank, doc_id, score
+         FROM (SELECT query_id, doc_id, score, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk
+           FROM sc)
+         WHERE rk <= 5 ORDER BY query_id, rank""",
+
+    // bag-query BM25 replay: per-term contribution times the query
+    // term frequency as a DOUBLE product, decimal-cast AFTER the
+    // product (a decimal×bigint would widen differently per engine).
+    "llm_bm25_weighted" ->
+      raw"""WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         corpus AS (SELECT doc_id, tk FROM tok WHERE doc_id % 100 <> 0),
+         q AS (SELECT doc_id AS query_id, tk[1:12] AS tk FROM tok
+               WHERE doc_id % 200 = 0),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+             SELECT doc_id, unnest(tk) AS term FROM corpus)
+           GROUP BY doc_id, term),
+         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         dl AS (SELECT doc_id, len(tk) AS dl FROM corpus),
+         st AS (SELECT count(*) AS n,
+                  CAST(SUM(len(tk)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                    AS avgdl
+                FROM corpus),
+         qt AS (SELECT query_id, term, count(*) AS qtf FROM (
+             SELECT query_id, unnest(tk) AS term FROM q)
+           GROUP BY query_id, term),
+         sc AS (
+           SELECT qt.query_id, tf.doc_id,
+             round(CAST(SUM(CAST(
+               ln(1.0 + (CAST(st.n AS DOUBLE) - CAST(dft.df AS DOUBLE)
+                   + 0.5) / (CAST(dft.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+                   + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl)))
+               * CAST(qt.qtf AS DOUBLE)
              AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
            FROM qt JOIN tf USING (term) JOIN dft USING (term)
              JOIN dl ON dl.doc_id = tf.doc_id, st

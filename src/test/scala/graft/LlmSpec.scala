@@ -1007,6 +1007,55 @@ class LlmSpec extends AnyFunSuite {
       Seq((11L, "zzz")).toDF("query_id", "text"), k = 5).count() == 0)
   }
 
+  test("bm25TopKWeighted: qtf multiplies per-term contributions; " +
+       "equals the set form when query terms are distinct") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "apple apple pear plum"),
+      (2L, "apple banana"),
+      (3L, "cherry cherry cherry")).toDF("doc_id", "text")
+    // distinct-term query: bag form must equal set form exactly
+    val qDistinct = Seq((10L, "apple banana")).toDF("query_id", "text")
+    val setForm = TextAnalysis.bm25TopK(corpus, qDistinct, k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val bagForm = TextAnalysis.bm25TopKWeighted(corpus, qDistinct, k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(setForm.sortBy(_._1).toSeq == bagForm.sortBy(_._1).toSeq)
+    // repeated query term: the weighted score is qtf × the set score
+    // (one matched term → exact scaling)
+    val qRep = Seq((11L, "banana banana banana")).toDF("query_id", "text")
+    val set1 = TextAnalysis.bm25TopK(corpus, qRep, k = 5)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    val bag3 = TextAnalysis.bm25TopKWeighted(corpus, qRep, k = 5)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(set1.keySet == Set(2L) && bag3.keySet == Set(2L))
+    assert(math.abs(bag3(2L) - 3.0 * set1(2L)) < 1e-6,
+      s"${bag3(2L)} vs 3x ${set1(2L)}")
+  }
+
+  test("jsDrift: zero for the only source, bounded by ln 2, symmetric " +
+       "weighting sees the same skew sourceDrift sees") {
+    import spark.implicits._
+    val one = Seq((1L, "a b c", "s1"), (2L, "a b", "s1"))
+      .toDF("doc_id", "text", "source")
+    val lone = TextAnalysis.jsDrift(one).collect()
+    assert(lone.length == 1 && lone(0).getDouble(2) == 0.0)
+    // a big source that IS most of the corpus mix (low drift) vs a
+    // small source concentrated on a token the corpus barely has
+    // (high drift — it both misses most corpus mass and spends its
+    // own mass where the corpus has little)
+    val docs = Seq(
+      (1L, "a b c a b c a b c a b c a b c", "rep"),
+      (2L, "a b c a b c a b c a b c a b c", "rep"),
+      (3L, "z z", "skew"))
+      .toDF("doc_id", "text", "source")
+    val js = TextAnalysis.jsDrift(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(js.values.forall(v => v >= 0.0 && v <= math.log(2.0) + 1e-9))
+    assert(js("skew") > js("rep"),
+      s"the concentrated minority source must drift more: $js")
+  }
+
   test("sourceDrift: same-mix sources tie, skewed source diverges most") {
     import spark.implicits._
     val docs = Seq(
