@@ -164,6 +164,27 @@ object ScaleBench {
       val (hh, t18) = timed(
         graft.llm.HeavyHitters.heavyHitters(docs, k = 30).count())
       report("heavy_hitters", f, nDocs, hh, t18)
+
+      // BM25: FIXED query workload (first-copy docs only) against the
+      // growing corpus — the deployment shape; match volume and the
+      // persisted postings both track corpus size, so the probe should
+      // scale near-linearly (a growing query set on this 100%-overlap
+      // corpus would instead measure the f² worst case)
+      val docStride = docs0.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val bmQ = docs
+        .filter(col("doc_id") < docStride && col("doc_id") % 200 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(graft.llm.TextAnalysis.tokens(col("text")),
+            1, 8), " ").as("text"))
+      val bmH = graft.llm.TextAnalysis.bm25TopKManaged(docs, bmQ, k = 10)
+      val (bm, t19) = try timed(bmH.value.count()) finally bmH.close()
+      report("bm25_fixed_queries", f, nDocs, bm, t19)
+
+      // JS drift: one (source, token) agg + vocab-sized joins — pure
+      // linear-scan proof point like gopher_repetition
+      val (jd, t20) = timed(
+        graft.llm.TextAnalysis.jsDrift(docs).count())
+      report("js_drift", f, nDocs, jd, t20)
     }
     spark.stop()
   }

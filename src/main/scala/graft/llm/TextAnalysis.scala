@@ -552,20 +552,28 @@ object TextAnalysis {
     * grand totals are broadcast-sized. */
   def sourceDrift(docs: DataFrame, groupCol: String = "source",
                   textCol: String = "text"): DataFrame = {
+    // the (source, token) count table feeds FOUR consumers (itself,
+    // per-token totals, per-source totals, the grand total) — without
+    // a persist each one re-runs the corpus explode. The table itself
+    // is vocab×sources-sized, so pinning it is cheap at any corpus
+    // size; the pin rides the session's Pins registry.
     val c = docs
       .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ct = c.groupBy(col("token")).agg(sum(col("c")).as("ct"))
     val ns = c.groupBy(col(groupCol)).agg(sum(col("c")).as("ns"))
     val nt = ct.agg(sum(col("ct")).as("nt"))
     val ps = col("c").cast("double") / col("ns").cast("double")
     val p = col("ct").cast("double") / col("nt").cast("double")
-    c.join(ct, Seq("token")).join(broadcast(ns), Seq(groupCol))
+    val result = c.join(ct, Seq("token")).join(broadcast(ns), Seq(groupCol))
       .crossJoin(broadcast(nt))
       .groupBy(col(groupCol), col("ns"))
       .agg(round(sum((ps * log(ps / p)).cast("decimal(38,18)"))
         .cast("double"), 6).as("kl"))
       .select(col(groupCol), col("ns").as("n_tokens"), col("kl"))
+    graft.cache.Pins.track(docs.sparkSession,
+      graft.access.Split.Branches(result, c)).value
   }
 
   /** Per-source Jensen–Shannon drift vs the corpus token
@@ -586,16 +594,19 @@ object TextAnalysis {
     * corpus-sized shuffle. */
   def jsDrift(docs: DataFrame, groupCol: String = "source",
               textCol: String = "text"): DataFrame = {
+    // same pinned (source, token) table as [[sourceDrift]] — one
+    // corpus explode, four vocab-sized consumers
     val c = docs
       .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ct = c.groupBy(col("token")).agg(sum(col("c")).as("ct"))
     val ns = c.groupBy(col(groupCol)).agg(sum(col("c")).as("ns"))
     val nt = ct.agg(sum(col("ct")).as("nt"))
     val ps = col("c").cast("double") / col("ns").cast("double")
     val p = col("ct").cast("double") / col("nt").cast("double")
     val m = (ps + p) / lit(2.0)
-    c.join(ct, Seq("token")).join(broadcast(ns), Seq(groupCol))
+    val result = c.join(ct, Seq("token")).join(broadcast(ns), Seq(groupCol))
       .crossJoin(broadcast(nt))
       .groupBy(col(groupCol), col("ns"))
       .agg(
@@ -606,6 +617,8 @@ object TextAnalysis {
         round(col("_core") +
           (lit(0.5) * log(lit(2.0))) * (lit(1.0) - col("_covered")), 6)
           .as("js"))
+    graft.cache.Pins.track(docs.sparkSession,
+      graft.access.Split.Branches(result, c)).value
   }
 
   /** Per-group out-of-vocabulary rate: the fraction of token

@@ -380,6 +380,30 @@ class PlanSpec extends AnyFunSuite {
       s"df must not come from a term-partitioned window:\n${plan.take(2500)}")
   }
 
+  test("jsDrift: postings-shaped plan — no window anywhere, no " +
+       "vocab×sources cross join (absent mass via the closed form)") {
+    val docs = graft.queries.Star.table(spark, sf, "documents")
+    val df = graft.llm.TextAnalysis.jsDrift(docs)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+    // the only nested-loop join allowed is the 1-row grand-total
+    // broadcast; a vocab×sources expansion would appear as a join with
+    // no equi-condition on a multi-row side
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the corpus explode materializes ONCE: every consumer of the
+    // (source, token) table reads the pinned relation (each
+    // InMemoryTableScan line is a reuse; the Generate lives only
+    // inside the cached plan it prints)
+    assert(plan.contains("InMemoryTableScan"),
+      s"the (source, token) table must be pinned:\n${plan.take(2500)}")
+    val cacheReads =
+      plan.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(cacheReads >= 2,
+      s"expected multiple consumers of the pinned table, got $cacheReads")
+    graft.cache.Pins.release(spark)
+  }
+
   test("substringDupSpans: window grams hash scan-side — no token " +
        "array or text on any shuffle") {
     val docs = graft.queries.Star.table(spark, sf, "documents")
