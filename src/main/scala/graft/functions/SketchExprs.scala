@@ -129,6 +129,31 @@ object SketchExprs {
       copy(child = newChild)
   }
 
+  /** SimHash over raw blob bytes: binary -> long | null (< 4 bytes) —
+    * distinct 4-byte windows vote, see [[SketchOps.simhashBytes]]. */
+  case class SimHashBytes(child: Expression, xx: Boolean)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires binary, got ${child.dataType}")
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "simhash_bytes"
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.simhashBytes(input.asInstanceOf[Array[Byte]], xx)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val res = ctx.freshName("simhashBytesRes")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        Object $res = graft.functions.SketchOps.simhashBytes($c, $xx);
+        if ($res == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ((java.lang.Long) $res).longValue(); }
+      """)
+    }
+    override protected def withNewChildInternal(newChild: Expression): SimHashBytes =
+      copy(child = newChild)
+  }
+
   /** One-pass text statistics: string -> struct<n_chars, n_tokens,
     * n_token_chars, n_punct, n_upper> (all long). Five quality-filter
     * signals in one codegen'd scan of the text — subexpression
@@ -495,6 +520,8 @@ object SketchExprs {
     toCol(SimHash64(toExpr(c), SketchOps.xxFamily()))
   def simhashText(c: Column): Column =
     toCol(SimHashText(toExpr(c), SketchOps.xxFamily()))
+  def simhashBytes(c: Column): Column =
+    toCol(SimHashBytes(toExpr(c), SketchOps.xxFamily()))
   def fingerprintText(c: Column, shingleSize: Int = 4): Column =
     toCol(FingerprintText(toExpr(c), shingleSize, SketchOps.xxFamily()))
   def shingleHashes(c: Column, shingleSize: Int): Column =

@@ -184,6 +184,44 @@ object SketchOps {
     * tokens (simhash counts, so multiplicity matters — match the
     * declarative `array_distinct` semantics), then [[simhash]] bit
     * voting. Null when the doc has no tokens. */
+  /** Byte-level SimHash over DISTINCT 4-byte sliding windows — the
+    * codec-free near-identical-blob sketch (the multimodal analog of
+    * [[simhashText]]: same voting, windows of raw bytes instead of
+    * tokens). A 4-byte window packs into one Int, so the distinct set
+    * is an IntOpenHashSet-shaped HashSet with no per-window
+    * allocation beyond boxing. null for blobs shorter than 4 bytes.
+    * xx family hashes the raw window bytes (UTF8String is just a byte
+    * carrier); md5 family hashes the same 4 bytes, so an ASCII blob
+    * replays in SQL as md5(substring(text, i, 4)). */
+  def simhashBytes(bytes: Array[Byte], xx: Boolean): Any = {
+    val n = bytes.length
+    if (n < 4) return null
+    val seen = new java.util.HashSet[Integer](n * 2)
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i <= n - 4) {
+      val key = ((bytes(i) & 0xFF) << 24) | ((bytes(i + 1) & 0xFF) << 16) |
+        ((bytes(i + 2) & 0xFF) << 8) | (bytes(i + 3) & 0xFF)
+      if (seen.add(Integer.valueOf(key))) {
+        val win = java.util.Arrays.copyOfRange(bytes, i, i + 4)
+        val h =
+          if (xx) xx64(org.apache.spark.unsafe.types.UTF8String
+            .fromBytes(win))
+          else md5Base64(win)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(out)
+  }
+
   def simhashText(text: org.apache.spark.unsafe.types.UTF8String,
                   xx: Boolean): Any = {
     val toks = spaceTokens(text.toString)

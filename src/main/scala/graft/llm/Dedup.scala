@@ -296,8 +296,13 @@ object Dedup {
     * one of 4 exact 16-bit bands by pigeonhole). */
   def simHashPairs(docs: DataFrame, maxDist: Int = 3,
                    textCol: String = "text", idCol: String = "doc_id")
-      : DataFrame = {
-    val sh = simHash(docs, textCol, idCol)
+      : DataFrame =
+    simHashPairsFromSigs(simHash(docs, textCol, idCol), maxDist)
+
+  /** Band-join core of [[simHashPairs]] over any `(id, simhash)`
+    * frame — also serves the byte-level blob sketch
+    * ([[graft.llm.Multimodal.blobNearDupPairs]]). */
+  def simHashPairsFromSigs(sh: DataFrame, maxDist: Int = 3): DataFrame = {
     // 4 exact 16-bit bands emitted by ONE generator pass (posexplode
     // of the band array: pos = band index), not a 4-way union that
     // would re-derive the simhash per band

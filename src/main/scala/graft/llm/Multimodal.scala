@@ -203,4 +203,28 @@ object Multimodal {
       .select(col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
           .as("frame_idx"))
+
+  /** Codec-free near-identical-blob pairs: byte-level SimHash
+    * (distinct 4-byte windows voting, native
+    * [[graft.functions.SketchExprs.simhashBytes]] kernel) banded into
+    * 4×16-bit exact joins — Hamming ≤ 3 is pigeonhole-complete, the
+    * same guarantee as the text SimHash. This is the dedup layer that
+    * needs NO decoder: re-uploads, byte-identical crops with altered
+    * headers, and re-encodes that keep most byte windows collide
+    * here; semantic near-dups (different encodings of the same image)
+    * belong to the embedding ops once a real decoder supplies
+    * vectors.
+    *
+    * Scale: the sketch is one codegen'd projection over the blob scan
+    * (blobs never shuffle — 8-byte sketches do); the band join moves
+    * (band, bh, id, sig) rows only. */
+  def blobNearDupPairs(blobs: DataFrame, maxDist: Int = 3,
+                       idCol: String = "media_id",
+                       contentCol: String = "content"): DataFrame =
+    graft.llm.Dedup.simHashPairsFromSigs(
+      blobs.select(col(idCol).as("id"),
+        graft.functions.SketchExprs.simhashBytes(col(contentCol))
+          .as("simhash"))
+        .where(col("simhash").isNotNull),
+      maxDist)
 }

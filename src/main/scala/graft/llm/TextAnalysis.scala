@@ -621,6 +621,41 @@ object TextAnalysis {
       graft.access.Split.Branches(result, c)).value
   }
 
+  /** BPE merge-pair statistics: corpus-wide counts of ADJACENT token
+    * pairs — the quantity a byte-pair/word-piece tokenizer trainer
+    * maximizes over at each merge step (Sennrich et al. 2016,
+    * arXiv:1508.07909, counted here at whole-token granularity). Top
+    * `k` pairs by count, ties broken lexicographically, with each
+    * pair's document frequency alongside (a pair concentrated in few
+    * docs is a memorization artifact, not a merge candidate).
+    *
+    * Scale: pair extraction is a row-local array zip over the token
+    * array (no self-join on a position table — that would shuffle the
+    * corpus twice); the only corpus-sized shuffle is the (a, b)
+    * count aggregate, map-side combined to vocab² at worst and to the
+    * observed-pair set in practice. Top-k is a single TakeOrdered. */
+  def bpePairStats(docs: DataFrame, k: Int, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = docs
+      .select(col(idCol).as("_doc"), tokens(col(textCol)).as("_tk"))
+      .where(size(col("_tk")) >= 2)
+      .select(col("_doc"), explode(expr(
+        "transform(sequence(1, size(_tk) - 1), " +
+          "i -> struct(_tk[i - 1] AS a, _tk[i] AS b))")).as("_p"))
+      .select(col("_doc"), col("_p.a").as("a"), col("_p.b").as("b"))
+    pairs
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(col("_doc")).as("n_docs"))
+      .orderBy(col("n_pairs").desc, col("a").asc, col("b").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("n_pairs").desc, col("a").asc, col("b").asc)).cast("long"))
+      .select(col("rank"), col("a"), col("b"), col("n_pairs"),
+        col("n_docs"))
+  }
+
   /** Per-group out-of-vocabulary rate: the fraction of token
     * INSTANCES not covered by `vocab` (a `vocabulary` result or any
     * frame with a `token` column). The vocab side is v rows —

@@ -780,6 +780,21 @@ object LlmQueries {
       TextAnalysis.jsDrift(table(s, dir, "documents"))
         .orderBy(col("source"))),
 
+    // tokenizer-training statistics: top adjacent-token merge pairs
+    // with corpus count and document frequency.
+    "llm_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairStats(table(s, dir, "documents"), k = 40)
+        .orderBy(col("rank"))),
+
+    // codec-free blob near-dup: byte-window SimHash over the binary
+    // content column, banded 16-bit join, Hamming <= 3 (pigeonhole-
+    // complete). MD5-oracle-verified under Verify's hash family.
+    "llm_mm_neardup" -> ((s, dir) =>
+      Multimodal.blobNearDupPairs(
+          Multimodal.asBlobs(table(s, dir, "documents"),
+            "doc_id", "text", "image"), maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // BM25 top-5 lexical retrieval: 8-token prefix queries from every
     // 100th doc against the rest — the sparse counterpart of llm_topk.
     // (Short queries are the realistic shape; the synthetic corpus's
@@ -2491,6 +2506,62 @@ object LlmQueries {
            AS DECIMAL(38,18))) AS DOUBLE), 6) AS kl
          FROM c JOIN ct USING (token) JOIN ns USING (source), nt
          GROUP BY c.source, ns.ns ORDER BY c.source""",
+
+    // blob-simhash replay: the blob is the ASCII text's bytes, so the
+    // distinct 4-byte windows are distinct 4-char substrings; same
+    // 32-bit-halves bit voting and brute Hamming as the text simhash.
+    "llm_mm_neardup" ->
+      """WITH dt AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, length(text) - 3),
+             i -> substring(text, i, 4))) AS wins
+           FROM documents WHERE length(text) >= 4),
+         hx AS (
+           SELECT doc_id, list_transform(wins, w ->
+             [CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT),
+              CAST(('0x' || substring(md5(w), 9, 8)) AS BIGINT)]) AS hs
+           FROM dt),
+         bits AS (
+           SELECT doc_id, list_transform(generate_series(0, 63), j ->
+             CASE WHEN list_sum(list_transform(hs, h ->
+               CASE WHEN ((CASE WHEN j >= 32 THEN h[1] >> (j - 32)
+                                ELSE h[2] >> j END) & 1) = 1
+                 THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) AS sb
+           FROM hx),
+         pp AS (
+           SELECT a.doc_id AS id_a, a.sb AS ba, b.doc_id AS id_b, b.sb AS bb
+           FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, hamming FROM (
+           SELECT id_a, id_b,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+               i -> CASE WHEN ba[i] = bb[i] THEN 0 ELSE 1 END)) AS BIGINT)
+               AS hamming
+           FROM pp)
+         WHERE hamming <= 3 ORDER BY id_a, id_b""",
+
+    // BPE merge-pair replay: row-local adjacent pairs via
+    // generate_series, identical count/df ranking.
+    "llm_bpe_pairs" ->
+      raw"""WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         pr AS (
+           SELECT doc_id, z.a AS a, z.b AS b FROM (
+             SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(tk) - 1),
+               i -> {'a': tk[i], 'b': tk[i + 1]})) AS z
+             FROM tok WHERE len(tk) >= 2)),
+         agg AS (
+           SELECT a, b, count(*) AS n_pairs,
+             count(DISTINCT doc_id) AS n_docs
+           FROM pr GROUP BY a, b)
+         SELECT CAST(row_number() OVER (
+             ORDER BY n_pairs DESC, a ASC, b ASC) AS BIGINT) AS rank,
+           a, b, n_pairs, n_docs
+         FROM agg
+         ORDER BY n_pairs DESC, a ASC, b ASC
+         LIMIT 40""",
 
     // JS-drift replay: same postings-shaped join as the KL; the
     // absent-token mass enters through the closed form

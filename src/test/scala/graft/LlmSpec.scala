@@ -1033,6 +1033,54 @@ class LlmSpec extends AnyFunSuite {
       s"${bag3(2L)} vs 3x ${set1(2L)}")
   }
 
+  test("blobNearDupPairs: byte-faithful on non-UTF8 binary; tampered " +
+       "copy collides, unrelated blob doesn't, short blob excluded") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill[Byte](4096)((rnd.nextInt(256) - 128).toByte)
+    val tampered = base.clone()
+    tampered(100) = (tampered(100) ^ 0x5A).toByte // one flipped byte
+    val other = Array.fill[Byte](4096)((rnd.nextInt(256) - 128).toByte)
+    val blobs = Seq(
+      (1L, base), (2L, tampered), (3L, other), (4L, Array[Byte](1, 2)))
+      .toDF("media_id", "content")
+    val pairs = graft.llm.Multimodal.blobNearDupPairs(blobs, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"only the tampered copy may collide: $pairs")
+    // determinism: interpreted eval and codegen agree (same kernel)
+    val sig = graft.functions.SketchExprs.simhashBytes(col("content"))
+    val s1 = blobs.select(sig).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(s1(3).isEmpty, "a 2-byte blob has no 4-byte window")
+    assert(s1(0).nonEmpty && s1(0) != s1(2))
+  }
+
+  test("bpePairStats: adjacent pairs only, counts + doc frequency, " +
+       "deterministic tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c"),   // (a,b)x2 (b,a)x1 (b,c)x1
+      (2L, "a b x"),       // (a,b)x1 (b,x)x1
+      (3L, "z")            // no pairs (single token)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bpePairStats(docs, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.head == ((1L, "a", "b", 3L, 2L)),
+      s"top pair: ${out.head}")
+    val asMap = out.map(t => (t._2, t._3) -> ((t._4, t._5))).toMap
+    assert(asMap(("b", "a")) == ((1L, 1L)))
+    assert(asMap(("b", "c")) == ((1L, 1L)))
+    assert(asMap(("b", "x")) == ((1L, 1L)))
+    assert(!asMap.contains(("a", "a")) && !asMap.contains(("c", "a")),
+      "non-adjacent or cross-doc pairs must not appear")
+    // ties (all the 1-count pairs) rank lexicographically
+    assert(out.map(t => (t._2, t._3)).toSeq ==
+      Seq(("a", "b"), ("b", "a"), ("b", "c"), ("b", "x")))
+  }
+
   test("jsDrift: zero for the only source, bounded by ln 2, symmetric " +
        "weighting sees the same skew sourceDrift sees") {
     import spark.implicits._
