@@ -392,6 +392,26 @@ object Relational {
           grouping($"l_returnflag").cast("long").as("g_flag"),
           grouping($"l_linestatus").cast("long").as("g_status"))
         .orderBy($"g_flag", $"g_status", $"l_returnflag", $"l_linestatus")
+    }),
+
+    // --- time-RANGE rolling window: per-user trailing-1h activity
+    // (sum of value + event count over a true time interval, not a
+    // row count). RangeFrame on the microsecond epoch — the telemetry
+    // staple q10's ROWS frame can't express. Scale: per-user window
+    // partitions (bounded per key), single shuffle on user_id, frame
+    // evaluated with the sliding-sum optimization; decimal sums for
+    // oracle parity.
+    "q27_rolling_range" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Star.events(s, dir).withColumn("tsu", unix_micros($"ts"))
+      val hourUs = 3600L * 1000000L
+      val w = Window.partitionBy($"user_id").orderBy($"tsu")
+        .rangeBetween(-hourUs, 0L)
+      ev.select($"user_id", $"event_id", $"tsu",
+          sum($"value".cast("decimal(28,10)")).over(w).cast("double")
+            .as("rolling_1h"),
+          count(lit(1)).over(w).as("n_1h"))
+        .orderBy($"user_id", $"tsu", $"event_id")
     })
   )
 
@@ -593,6 +613,21 @@ object Relational {
            CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
          FROM lineitem
          GROUP BY CUBE (l_returnflag, l_linestatus)
-         ORDER BY g_flag, g_status, l_returnflag, l_linestatus"""
+         ORDER BY g_flag, g_status, l_returnflag, l_linestatus""",
+    "q27_rolling_range" ->
+      """WITH ev AS (
+           SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value
+           FROM events)
+         SELECT user_id, event_id, tsu,
+           CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER (
+             PARTITION BY user_id ORDER BY tsu
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS rolling_1h,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY tsu
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_1h
+         FROM ev
+         ORDER BY user_id, tsu, event_id"""
   )
 }

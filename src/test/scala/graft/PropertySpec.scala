@@ -168,6 +168,36 @@ object PropertySpec extends Properties("graft") {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(xs.toArray)
 
+  // --- byte-SimHash kernel vs an independently-written naive mirror:
+  // distinct 4-byte windows, md5 first-8-bytes big-endian, ±1 bit
+  // voting — any divergence (window iteration, distinctness keying,
+  // byte signedness) falsifies immediately on random binaries.
+  property("kernel.simhash-bytes-naive-equivalence") =
+    forAll(Gen.chooseNum(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)))) { bl =>
+      val bytes = bl.toArray
+      val naive: Option[Long] =
+        if (bytes.length < 4) None
+        else {
+          val wins = bytes.sliding(4).map(_.toSeq).toSeq.distinct
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val counts = Array.fill(64)(0)
+          wins.foreach { w =>
+            val d = md.digest(w.toArray)
+            val h = (0 until 8).foldLeft(0L)((a, i) =>
+              (a << 8) | (d(i) & 0xFFL))
+            (0 until 64).foreach(b =>
+              if (((h >>> b) & 1L) == 1L) counts(b) += 1
+              else counts(b) -= 1)
+          }
+          Some((0 until 64).foldLeft(0L)((a, b) =>
+            if (counts(b) > 0) a | (1L << b) else a))
+        }
+      val kernel = Option(SketchOps.simhashBytes(bytes, xx = false))
+        .map(_.asInstanceOf[Long])
+      kernel == naive
+    }
+
   // --- Misra-Gries mergeable-summary laws (Misra & Gries 1982;
   // Agarwal et al. 2013): for ANY stream and ANY partitioning into
   // reduce+merge runs, the summary keeps exact n, at most m counters,
