@@ -323,6 +323,26 @@ object Dedup {
       .agg(first(col("hamming")).as("hamming"))
   }
 
+  /** Cross-side SimHash pairs: `(id_new, id_corpus, hamming)` between
+    * two `(id, simhash)` frames — the incremental-ingest form of
+    * [[simHashPairsFromSigs]] (no within-side pairs, no triangle
+    * restriction; the new side is small and broadcasts). */
+  def simHashPairsAcross(newSigs: DataFrame, corpusSigs: DataFrame,
+                         maxDist: Int = 3): DataFrame = {
+    def banded(sh: DataFrame, idAs: String, shAs: String) =
+      sh.select(col("id").as(idAs), col("simhash").as(shAs),
+        posexplode(array((0 until 4).map(i =>
+          shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band", "bh")))
+    val popcnt = bit_count(col("sh_n").bitwiseXOR(col("sh_c")))
+    banded(newSigs, "id_new", "sh_n")
+      .join(banded(corpusSigs, "id_corpus", "sh_c"), Seq("band", "bh"))
+      .select(col("id_new"), col("id_corpus"), popcnt.as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .groupBy(col("id_new"), col("id_corpus"))
+      .agg(first(col("hamming")).as("hamming"))
+  }
+
   // ---------------------------------------------------------------
   // pair set -> duplicate clusters (connected components)
   // ---------------------------------------------------------------

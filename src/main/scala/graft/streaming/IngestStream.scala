@@ -24,6 +24,45 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   */
 object IngestStream {
 
+  /** The pluggable sketch behind the ingest: how a batch turns into
+    * signature rows, and how two signature sets pair up. The replay /
+    * ordering / cache-lifecycle machinery of [[ingestBatch]] is
+    * sketch-agnostic — text MinHash and codec-free blob SimHash share
+    * it verbatim. */
+  trait SigScheme extends Serializable {
+    /** `(id, …signature columns)`; docs too small to sketch emit no
+      * row (they can never near-dup match — they always survive). */
+    def signatures(batch: DataFrame, idCol: String): DataFrame
+    /** `(id_new, id_corpus, …)` cross-side matches. */
+    def pairs(newSigs: DataFrame, corpusSigs: DataFrame): DataFrame
+  }
+
+  object SigScheme {
+    /** Text MinHash+LSH (the [[graft.llm.Dedup.minHashPairsAgainst]]
+      * sketch). */
+    final case class MinHash(threshold: Double = 0.7,
+                             textCol: String = "text") extends SigScheme {
+      def signatures(batch: DataFrame, idCol: String): DataFrame =
+        Dedup.minHashSignatures(batch, textCol = textCol, idCol = idCol)
+      def pairs(newSigs: DataFrame, corpusSigs: DataFrame): DataFrame =
+        Dedup.minHashPairsFromSigs(newSigs, corpusSigs, threshold)
+    }
+
+    /** Codec-free blob SimHash ([[graft.llm.Multimodal
+      * .blobNearDupPairs]]'s sketch): one long per blob in the layer. */
+    final case class BlobSimHash(maxDist: Int = 3,
+                                 contentCol: String = "content")
+        extends SigScheme {
+      def signatures(batch: DataFrame, idCol: String): DataFrame =
+        batch.select(col(idCol).as("id"),
+          graft.functions.SketchExprs.simhashBytes(col(contentCol))
+            .as("simhash"))
+          .where(col("simhash").isNotNull)
+      def pairs(newSigs: DataFrame, corpusSigs: DataFrame): DataFrame =
+        Dedup.simHashPairsAcross(newSigs, corpusSigs, maxDist)
+    }
+  }
+
   /** True when `dir` holds a readable parquet dataset. Uses an
     * actual read attempt rather than a top-level file listing, so
     * partitioned/bucketed layer layouts (subdirectories only at the
@@ -59,7 +98,16 @@ object IngestStream {
   def ingestBatch(batch: DataFrame, corpusDir: String, sigDir: String,
                   threshold: Double = 0.7, textCol: String = "text",
                   idCol: String = "doc_id",
-                  batchId: Option[Long] = None): Unit = {
+                  batchId: Option[Long] = None): Unit =
+    ingestBatchWith(batch, corpusDir, sigDir,
+      SigScheme.MinHash(threshold, textCol), idCol, batchId)
+
+  /** [[ingestBatch]] generalized over the sketch ([[SigScheme]]) —
+    * the replay contract, write ordering, and cache lifecycle are
+    * identical for every scheme. */
+  def ingestBatchWith(batch: DataFrame, corpusDir: String, sigDir: String,
+                      scheme: SigScheme, idCol: String,
+                      batchId: Option[Long] = None): Unit = {
     import org.apache.spark.storage.StorageLevel
     // the clustering path (connectedComponents driver union-find) and
     // the empty-layer stub are long-typed; fail fast on ids that
@@ -76,13 +124,13 @@ object IngestStream {
     val b = batch.withColumn(idCol, col(idCol).cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val sigs = Dedup.minHashSignatures(b, textCol = textCol,
-        idCol = idCol).persist(StorageLevel.MEMORY_AND_DISK)
+      val sigs = scheme.signatures(b, idCol)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       try {
         // within-batch near-dup clusters: drop non-representatives.
-        // FromSigs over the same side emits both directions and self
-        // pairs — restrict to the upper triangle first.
-        val within = Dedup.minHashPairsFromSigs(sigs, sigs, threshold)
+        // Cross-pairing a side with itself emits both directions and
+        // self pairs — restrict to the upper triangle first.
+        val within = scheme.pairs(sigs, sigs)
           .filter(col("id_new") < col("id_corpus"))
           .select(col("id_new").as("id_a"), col("id_corpus").as("id_b"))
         val comps = Dedup.connectedComponents(within)
@@ -107,7 +155,7 @@ object IngestStream {
                   layer0.filter(col("ingest_batch") =!= bid)
                 case _ => layer0
               }
-              Dedup.minHashPairsFromSigs(keptSigs, layer, threshold)
+              scheme.pairs(keptSigs, layer)
                 .select(col("id_new").as("id")).distinct()
                 .persist(StorageLevel.MEMORY_AND_DISK)
             case None => spark.emptyDataFrame
@@ -175,6 +223,31 @@ object IngestStream {
       }
       // AvailableNow by default (drain-and-stop, the batch-backfill
       // mode); pass ProcessingTime for a continuously running ingest
+      .trigger(trigger)
+      .start()
+
+  /** Streaming near-identical-BLOB ingest: [[nearDupIngest]] with the
+    * codec-free byte-SimHash sketch — the signature layer holds ONE
+    * long per blob, so the standing corpus of a 100 TB media store is
+    * consulted through a few GB of sketches. Same idempotent-replay
+    * contract; within-batch duplicate groups keep their min-id
+    * representative. */
+  def blobNearDupIngest(blobs: DataFrame, corpusDir: String,
+                        sigDir: String, maxDist: Int = 3,
+                        idCol: String = "media_id",
+                        contentCol: String = "content",
+                        checkpointDir: Option[String] = None,
+                        trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    blobs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$sigDir/_checkpoints"))
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        ingestBatchWith(batch.toDF(), corpusDir, sigDir,
+          SigScheme.BlobSimHash(maxDist, contentCol), idCol,
+          batchId = Some(bid))
+      }
       .trigger(trigger)
       .start()
 }

@@ -312,6 +312,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(sigIds == Set(1L, 3L, 5L), s"got $sigIds")
   }
 
+  test("blob ingest: byte-SimHash layer drops tampered re-uploads " +
+       "within and across batches (codec-free)") {
+    import spark.implicits._
+    import graft.streaming.IngestStream
+    val base = "/root/repo/target/scratch/ingest_blob"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val corpusDir = s"$base/corpus"
+    val sigDir = s"$base/sigs"
+    val rnd = new scala.util.Random(11)
+    def blob(n: Int) = Array.fill[Byte](n)((rnd.nextInt(256) - 128).toByte)
+    val a = blob(4096); val b = blob(4096); val c = blob(4096)
+    def tamper(x: Array[Byte]) = {
+      val y = x.clone(); y(7) = (y(7) ^ 0x11).toByte; y
+    }
+    val scheme = IngestStream.SigScheme.BlobSimHash()
+    // batch 1: A, a tampered copy of A (within-batch dup), B
+    IngestStream.ingestBatchWith(
+      Seq((1L, a), (2L, tamper(a)), (3L, b)).toDF("media_id", "content"),
+      corpusDir, sigDir, scheme, "media_id")
+    // batch 2: tampered A again (cross-batch, must drop via the
+    // layer), new C, and a 2-byte blob (no window -> always survives)
+    IngestStream.ingestBatchWith(
+      Seq((4L, tamper(a)), (5L, c), (6L, Array[Byte](9, 9)))
+        .toDF("media_id", "content"),
+      corpusDir, sigDir, scheme, "media_id")
+    val ids = spark.read.parquet(corpusDir)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L, 5L, 6L), s"got $ids")
+    // layer holds one LONG per signed survivor
+    val layer = spark.read.parquet(sigDir)
+    assert(layer.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 5L))
+    assert(layer.schema("simhash").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
   test("ingestBatch with batchId: at-least-once replay is idempotent") {
     import spark.implicits._
     import graft.streaming.IngestStream
