@@ -394,6 +394,23 @@ object Relational {
         .orderBy($"g_flag", $"g_status", $"l_returnflag", $"l_linestatus")
     }),
 
+    // --- arbitrary GROUPING SETS: the three-level subtotal a cube
+    // would over-produce and a rollup can't order — (flag, status),
+    // (status), and the grand total, in ONE shuffle via expand.
+    "q28_grouping_sets" -> ((s, dir) => {
+      import s.implicits._
+      Star.table(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_linestatus"),
+            Seq()),
+          $"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          Star.sumDec($"l_quantity").as("sum_qty"),
+          grouping($"l_returnflag").cast("long").as("g_flag"),
+          grouping($"l_linestatus").cast("long").as("g_status"))
+        .orderBy($"g_flag", $"g_status", $"l_returnflag", $"l_linestatus")
+    }),
+
     // --- time-RANGE rolling window: per-user trailing-1h activity
     // (sum of value + event count over a true time interval, not a
     // row count). RangeFrame on the microsecond epoch — the telemetry
@@ -613,6 +630,16 @@ object Relational {
            CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
          FROM lineitem
          GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY g_flag, g_status, l_returnflag, l_linestatus""",
+    "q28_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+           (l_linestatus), ())
          ORDER BY g_flag, g_status, l_returnflag, l_linestatus""",
     "q27_rolling_range" ->
       """WITH ev AS (

@@ -55,6 +55,37 @@ object EventsStream {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Watermarked stream-stream INTERVAL join: for every click, the
+    * same user's purchases within `horizon` after it — attribution,
+    * the canonical two-unbounded-sides join. Both sides carry a
+    * watermark and the join condition bounds event-time distance, so
+    * Spark can size the join state: each side buffers only rows
+    * younger than (watermark + horizon), evicting as the watermark
+    * advances — bounded state on an unbounded stream, the same
+    * discipline as the windowed-MG eviction. Works identically on
+    * batch frames (no watermark semantics, plain interval join). */
+  def clickPurchaseAttribution(clicks: DataFrame, purchases: DataFrame,
+                               horizon: String = "1 hour",
+                               watermark: String = "2 hours")
+      : DataFrame = {
+    val c = (if (clicks.isStreaming) clicks.withWatermark("ts", watermark)
+             else clicks)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val p = (if (purchases.isStreaming)
+               purchases.withWatermark("ts", watermark)
+             else purchases)
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Run a bounded FoldCol per micro-batch and append the batch folds
     * to `sink` — `foldStreamTask` stepped by micro-batch. */
   def foldPerBatch(events: DataFrame, sink: String): StreamingQuery = {

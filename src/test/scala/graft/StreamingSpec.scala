@@ -312,6 +312,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(sigIds == Set(1L, 3L, 5L), s"got $sigIds")
   }
 
+  test("stream-stream interval join (click->purchase attribution) " +
+       "equals the batch join") {
+    val clicks = EventsStream.readEvents(spark, eventsDir)
+      .filter(col("event_type") === "click")
+    val purchases = EventsStream.readEvents(spark, eventsDir)
+      .filter(col("event_type") === "purchase")
+    val q = EventsStream.clickPurchaseAttribution(clicks, purchases)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("attrib").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("attrib")
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = graft.queries.Star.events(spark, "/root/testdata/sf0.001")
+    val want = EventsStream.clickPurchaseAttribution(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "fixture must produce attributions")
+    assert(got == want,
+      s"missing ${(want -- got).take(5)}; extra ${(got -- want).take(5)}")
+  }
+
   test("blob ingest: byte-SimHash layer drops tampered re-uploads " +
        "within and across batches (codec-free)") {
     import spark.implicits._
