@@ -93,8 +93,11 @@ object Bench {
     // millisecond precision: sub-ms digits are pure noise, and the
     // compact line (~2.3 KB at 90 queries) must fit the driver's
     // bounded output-tail window IN FULL or it can't be parsed at all
-    // (BENCH_r06.json: parsed=null — the 9-decimal line overflowed it)
-    def sec(v: Double) = f"$v%.3f"
+    // (BENCH_r06.json: parsed=null — the 9-decimal line overflowed it).
+    // Locale.ROOT: a comma-decimal default locale would emit 0,123
+    // and break the JSON in a different way
+    def sec(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = good.map { case (k, v, _) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -46,9 +46,15 @@ object ScaleBench {
     val scratch = "/root/repo/target/scratch/scale"
 
     def report(op: String, f: Int, rowsIn: Long, rowsOut: Long,
-               sec: Double): Unit =
+               sec: Double): Unit = {
       println(s"""{"op":"$op","factor":$f,"rows_in":$rowsIn,""" +
         s""""rows_out":$rowsOut,"sec":${math.round(sec * 100) / 100.0}}""")
+      // each probe starts debt-free: the unmanaged shorthands'
+      // tracked pins are released OUTSIDE every timed window (same
+      // discipline as Bench — accumulated pins would distort the
+      // later probes and the factor-to-factor ratios)
+      graft.cache.Pins.release(spark)
+    }
 
     factors.foreach { f =>
       val docs = materialize(spark, docs0, "doc_id", f, s"$scratch/docs_$f")

@@ -27,10 +27,23 @@ object Pins {
     new ConcurrentHashMap[SparkSession, ConcurrentLinkedQueue[AutoCloseable]]
 
   /** Track `handle` for `spark` and return it (shorthands call
-    * `Pins.track(df.sparkSession, handle).value`). */
+    * `Pins.track(df.sparkSession, handle).value`). Safe against a
+    * concurrent [[release]]: if the queue we added to was removed
+    * from the registry mid-add, either we take the handle back and
+    * retry against the live queue, or the releaser already drained
+    * (and closed) it — in which case the pin is simply gone and the
+    * plan recomputes its parent per consumer, the documented
+    * unpinned semantics. */
   def track[H <: AutoCloseable](spark: SparkSession, handle: H): H = {
-    reg.computeIfAbsent(spark, _ => new ConcurrentLinkedQueue[AutoCloseable])
-      .add(handle)
+    var retry = true
+    while (retry) {
+      val q = reg.computeIfAbsent(spark,
+        _ => new ConcurrentLinkedQueue[AutoCloseable])
+      q.add(handle)
+      if (reg.get(spark) eq q) retry = false        // visibly registered
+      else if (!q.remove(handle)) retry = false     // releaser closed it
+      // else: orphaned queue, handle reclaimed — retry on the live one
+    }
     handle
   }
 

@@ -196,7 +196,11 @@ object SketchOps {
   def simhashBytes(bytes: Array[Byte], xx: Boolean): Any = {
     val n = bytes.length
     if (n < 4) return null
-    val seen = new java.util.HashSet[Integer](n * 2)
+    // capacity is only a hint — cap it so a GB-scale blob neither
+    // overflows the Int arithmetic nor pre-allocates a 2^30-slot
+    // table per row; the set still grows as needed
+    val seen = new java.util.HashSet[Integer](
+      math.min(n.toLong * 2, 1L << 20).toInt)
     val counts = new Array[Int](64)
     var i = 0
     while (i <= n - 4) {

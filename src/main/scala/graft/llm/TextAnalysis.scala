@@ -550,13 +550,17 @@ object TextAnalysis {
     * combine is the only corpus-sized shuffle; corpus totals
     * re-aggregate that table (vocab×sources rows); the per-source and
     * grand totals are broadcast-sized. */
-  def sourceDrift(docs: DataFrame, groupCol: String = "source",
-                  textCol: String = "text"): DataFrame = {
-    // the (source, token) count table feeds FOUR consumers (itself,
-    // per-token totals, per-source totals, the grand total) — without
-    // a persist each one re-runs the corpus explode. The table itself
-    // is vocab×sources-sized, so pinning it is cheap at any corpus
-    // size; the pin rides the session's Pins registry.
+  /** Shared skeleton of the drift gauges: the (group, token) count
+    * table `c` feeds FOUR consumers (itself, per-token totals,
+    * per-group totals, the grand total) — without a persist each one
+    * re-runs the corpus explode. The table itself is
+    * vocab×groups-sized, so pinning it is cheap at any corpus size;
+    * the pin rides the session's Pins registry and is attached to the
+    * returned plan. `formula` receives (c+ct+ns+nt joined row, ps, p)
+    * and produces the per-group aggregate columns. */
+  private def driftOver(docs: DataFrame, groupCol: String,
+                        textCol: String)(
+      formula: (Column, Column) => Seq[Column]): DataFrame = {
     val c = docs
       .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("c"))
@@ -566,15 +570,21 @@ object TextAnalysis {
     val nt = ct.agg(sum(col("ct")).as("nt"))
     val ps = col("c").cast("double") / col("ns").cast("double")
     val p = col("ct").cast("double") / col("nt").cast("double")
+    val aggs = formula(ps, p)
     val result = c.join(ct, Seq("token")).join(broadcast(ns), Seq(groupCol))
       .crossJoin(broadcast(nt))
       .groupBy(col(groupCol), col("ns"))
-      .agg(round(sum((ps * log(ps / p)).cast("decimal(38,18)"))
-        .cast("double"), 6).as("kl"))
-      .select(col(groupCol), col("ns").as("n_tokens"), col("kl"))
+      .agg(aggs.head, aggs.tail: _*)
     graft.cache.Pins.track(docs.sparkSession,
       graft.access.Split.Branches(result, c)).value
   }
+
+  def sourceDrift(docs: DataFrame, groupCol: String = "source",
+                  textCol: String = "text"): DataFrame =
+    driftOver(docs, groupCol, textCol) { (ps, p) =>
+      Seq(round(sum((ps * log(ps / p)).cast("decimal(38,18)"))
+        .cast("double"), 6).as("kl"))
+    }.select(col(groupCol), col("ns").as("n_tokens"), col("kl"))
 
   /** Per-source Jensen–Shannon drift vs the corpus token
     * distribution — the symmetric, [0, ln 2]-bounded companion of
@@ -593,33 +603,17 @@ object TextAnalysis {
     * map-side-combined (source, token) aggregation is the only
     * corpus-sized shuffle. */
   def jsDrift(docs: DataFrame, groupCol: String = "source",
-              textCol: String = "text"): DataFrame = {
-    // same pinned (source, token) table as [[sourceDrift]] — one
-    // corpus explode, four vocab-sized consumers
-    val c = docs
-      .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
-      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ct = c.groupBy(col("token")).agg(sum(col("c")).as("ct"))
-    val ns = c.groupBy(col(groupCol)).agg(sum(col("c")).as("ns"))
-    val nt = ct.agg(sum(col("ct")).as("nt"))
-    val ps = col("c").cast("double") / col("ns").cast("double")
-    val p = col("ct").cast("double") / col("nt").cast("double")
-    val m = (ps + p) / lit(2.0)
-    val result = c.join(ct, Seq("token")).join(broadcast(ns), Seq(groupCol))
-      .crossJoin(broadcast(nt))
-      .groupBy(col(groupCol), col("ns"))
-      .agg(
+              textCol: String = "text"): DataFrame =
+    driftOver(docs, groupCol, textCol) { (ps, p) =>
+      val m = (ps + p) / lit(2.0)
+      Seq(
         sum((lit(0.5) * (ps * log(ps / m) + p * log(p / m)))
           .cast("decimal(38,18)")).cast("double").as("_core"),
         sum(p.cast("decimal(38,18)")).cast("double").as("_covered"))
-      .select(col(groupCol), col("ns").as("n_tokens"),
-        round(col("_core") +
-          (lit(0.5) * log(lit(2.0))) * (lit(1.0) - col("_covered")), 6)
-          .as("js"))
-    graft.cache.Pins.track(docs.sparkSession,
-      graft.access.Split.Branches(result, c)).value
-  }
+    }.select(col(groupCol), col("ns").as("n_tokens"),
+      round(col("_core") +
+        (lit(0.5) * log(lit(2.0))) * (lit(1.0) - col("_covered")), 6)
+        .as("js"))
 
   /** BPE merge-pair statistics: corpus-wide counts of ADJACENT token
     * pairs — the quantity a byte-pair/word-piece tokenizer trainer
