@@ -380,6 +380,36 @@ class PlanSpec extends AnyFunSuite {
       s"df must not come from a term-partitioned window:\n${plan.take(2500)}")
   }
 
+  test("q27/q28 plans: RANGE window stays per-user (no global sort " +
+       "before it); grouping sets expand once, aggregate once") {
+    val dir = sf
+    // events.parquet carries TIMESTAMP(NANOS) — same conf Verify/Bench
+    // sessions set globally
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val q27 = graft.queries.Relational.queries("q27_rolling_range")(
+      spark, dir)
+    q27.collect()
+    val p27 = q27.queryExecution.executedPlan.toString
+    // the rolling frame must be a RANGE spec over the user partition —
+    // a ROWS rewrite or a missing partition key would change semantics
+    assert(p27.contains("specifiedwindowframe(RangeFrame"),
+      p27.take(2000))
+    assert(p27.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("user_id#")), p27.take(2000))
+    val q28 = graft.queries.Relational.queries("q28_grouping_sets")(
+      spark, dir)
+    q28.collect()
+    // AQE prints the final plan followed by the initial plan — count
+    // within the final section only
+    val p28 = q28.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // all three grouping levels ride ONE expand + one aggregation
+    // pipeline — k aggregates unioned would show k Expands/scans
+    assert(p28.linesIterator.count(_.contains("Expand")) == 1,
+      p28.take(2000))
+    graft.cache.Pins.release(spark)
+  }
+
   test("jsDrift: postings-shaped plan — no window anywhere, no " +
        "vocab×sources cross join (absent mass via the closed form)") {
     val docs = graft.queries.Star.table(spark, sf, "documents")
