@@ -1,6 +1,7 @@
 package graft.cache
 
 import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Session-scoped registry of executor-storage pins left behind by the
@@ -21,10 +22,38 @@ import org.apache.spark.sql.SparkSession
   * all. Handles are closed in registration order; `close()` is
   * idempotent because `DataFrame.unpersist` on an already-released
   * plan is a no-op.
+  *
+  * Lifetime bound: the first [[track]] for a session installs an
+  * application-end listener that drains that session's pins, so a
+  * consumer who never calls [[release]] still gets every handle
+  * closed (and the registry entry dropped) when the SparkContext
+  * stops — the registry cannot outlive the session it pins. Between
+  * those two points the map intentionally holds strong references:
+  * a pinned plan IS live executor storage, and reclaiming it silently
+  * (weak keys) would turn a measurable leak into an unmeasurable
+  * perf cliff. Long-lived services should still call
+  * [[release]] at idle points to return the storage early.
   */
 object Pins {
   private val reg =
     new ConcurrentHashMap[SparkSession, ConcurrentLinkedQueue[AutoCloseable]]
+
+  // sessions whose SparkContext already carries our end-of-app drain
+  // hook (one listener per session, installed on first track)
+  private val hooked = ConcurrentHashMap.newKeySet[SparkSession]
+
+  private def installHook(spark: SparkSession): Unit =
+    if (hooked.add(spark)) {
+      try spark.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(
+            end: SparkListenerApplicationEnd): Unit = {
+          release(spark); hooked.remove(spark)
+        }
+      })
+      catch { case _: IllegalStateException =>   // context already stopped
+        hooked.remove(spark); release(spark); ()
+      }
+    }
 
   /** Track `handle` for `spark` and return it (shorthands call
     * `Pins.track(df.sparkSession, handle).value`). Safe against a
@@ -35,6 +64,7 @@ object Pins {
     * plan recomputes its parent per consumer, the documented
     * unpinned semantics. */
   def track[H <: AutoCloseable](spark: SparkSession, handle: H): H = {
+    installHook(spark)
     var retry = true
     while (retry) {
       val q = reg.computeIfAbsent(spark,

@@ -556,8 +556,10 @@ object TextAnalysis {
     * re-runs the corpus explode. The table itself is
     * vocab×groups-sized, so pinning it is cheap at any corpus size;
     * the pin rides the session's Pins registry and is attached to the
-    * returned plan. `formula` receives (c+ct+ns+nt joined row, ps, p)
-    * and produces the per-group aggregate columns. */
+    * returned plan. `formula` receives `(ps, p)` — the per-group and
+    * corpus-wide token probabilities, evaluated against the
+    * c⋈ct⋈ns⋈nt joined row — and produces the per-group aggregate
+    * columns. */
   private def driftOver(docs: DataFrame, groupCol: String,
                         textCol: String)(
       formula: (Column, Column) => Seq[Column]): DataFrame = {

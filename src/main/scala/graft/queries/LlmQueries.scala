@@ -788,10 +788,16 @@ object LlmQueries {
 
     // codec-free blob near-dup: byte-window SimHash over the binary
     // content column, banded 16-bit join, Hamming <= 3 (pigeonhole-
-    // complete). MD5-oracle-verified under Verify's hash family.
+    // complete). MD5-oracle-verified under Verify's hash family. The
+    // ascii-only gate mirrors the oracle's: the replay models byte
+    // windows as char substrings, which is only faithful for
+    // single-byte text (see the oracle comment) — the kernel itself
+    // is byte-faithful for any blob.
     "llm_mm_neardup" -> ((s, dir) =>
       Multimodal.blobNearDupPairs(
-          Multimodal.asBlobs(table(s, dir, "documents"),
+          Multimodal.asBlobs(
+            table(s, dir, "documents")
+              .filter(length(col("text")) === octet_length(col("text"))),
             "doc_id", "text", "image"), maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -2508,14 +2514,19 @@ object LlmQueries {
          GROUP BY c.source, ns.ns ORDER BY c.source""",
 
     // blob-simhash replay: the blob is the ASCII text's bytes, so the
-    // distinct 4-byte windows are distinct 4-char substrings; same
-    // 32-bit-halves bit voting and brute Hamming as the text simhash.
+    // distinct 4-BYTE windows are distinct 4-CHAR substrings. That
+    // equivalence holds ONLY for single-byte (ASCII) text —
+    // substring/length are character-based in DuckDB — so the replay
+    // filters to ascii-only docs on BOTH sides (the Spark query
+    // applies the same gate): a future non-ASCII fixture doc drops
+    // out of the comparison instead of surfacing as a hash mismatch.
     "llm_mm_neardup" ->
       """WITH dt AS (
            SELECT doc_id, list_distinct(list_transform(
              generate_series(1, length(text) - 3),
              i -> substring(text, i, 4))) AS wins
-           FROM documents WHERE length(text) >= 4),
+           FROM documents
+           WHERE length(text) >= 4 AND length(text) = strlen(text)),
          hx AS (
            SELECT doc_id, list_transform(wins, w ->
              [CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT),

@@ -68,6 +68,15 @@ object EventsStream {
                                horizon: String = "1 hour",
                                watermark: String = "2 hours")
       : DataFrame = {
+    // State-correctness guard: the join buffers each side only up to
+    // the watermark, so a watermark SHORTER than the attribution
+    // horizon would evict purchase state while its window is still
+    // open — matches silently dropped, streaming diverging from
+    // batch. Fail loudly instead.
+    require(intervalMicros(watermark) >= intervalMicros(horizon),
+      s"watermark ($watermark) must be >= horizon ($horizon): " +
+        "join state is evicted at the watermark, so a shorter " +
+        "watermark drops in-horizon matches")
     val c = (if (clicks.isStreaming) clicks.withWatermark("ts", watermark)
              else clicks)
       .select(col("event_id").as("click_id"), col("user_id"),
@@ -84,6 +93,16 @@ object EventsStream {
         col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
+  /** Total microseconds of an `INTERVAL`-literal body like
+    * "90 minutes" (calendar months counted as 30 days — fine for the
+    * duration-style strings watermarks use). */
+  private def intervalMicros(s: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    (iv.months * 30L + iv.days) * 86400L * 1000000L + iv.microseconds
   }
 
   /** Run a bounded FoldCol per micro-batch and append the batch folds

@@ -336,6 +336,23 @@ class StreamingSpec extends AnyFunSuite {
       s"missing ${(want -- got).take(5)}; extra ${(got -- want).take(5)}")
   }
 
+  test("attribution rejects watermark < horizon (state evicted " +
+       "before the window closes would drop matches silently)") {
+    val ev = graft.queries.Star.events(spark, "/root/testdata/sf0.001")
+    val ex = intercept[IllegalArgumentException] {
+      EventsStream.clickPurchaseAttribution(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        horizon = "3 hours", watermark = "2 hours")
+    }
+    assert(ex.getMessage.contains("watermark"))
+    // boundary is allowed: watermark == horizon
+    EventsStream.clickPurchaseAttribution(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"),
+      horizon = "90 minutes", watermark = "90 minutes")
+  }
+
   test("blob ingest: byte-SimHash layer drops tampered re-uploads " +
        "within and across batches (codec-free)") {
     import spark.implicits._
