@@ -666,4 +666,150 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(when(col("_in_vocab").isNull, 1.0).otherwise(0.0)), 6)
           .as("oov_rate"))
+
+  /** Multinomial Naive-Bayes language classifier, trained in-engine —
+    * the model-based upgrade of the [[langId]] heuristic (the
+    * fastText-style classifier step of CCNet / FineWeb pipelines,
+    * re-expressed as pure relational algebra so training AND scoring
+    * are one Catalyst plan, SQL-replayable end to end). Trains
+    * per-label token counts with add-`alpha` (Laplace) smoothing on
+    * `train` and scores every `docs` row:
+    * `score(d, l) = ln P(l) + Σ_t tf(d,t) · ln((c(l,t)+α)/(n_l+α·V))`
+    * predicting the argmax label (ties to the lexicographically
+    * smallest, scores rounded to 6 places first — the oracle-parity
+    * rank key). Returns `(idCol, pred_lang, score)`.
+    *
+    * The dense likelihood table (vocab × labels — the MODEL) covers
+    * every (label, token) pair including unseen ones at the smoothed
+    * floor, so scoring needs no unseen-token branch for any doc whose
+    * tokens appear somewhere in `train`; tokens of `docs` absent from
+    * the training vocab are skipped entirely (the standard
+    * vocabulary-restricted NB convention — constant-per-label floors
+    * for true OOV would need one more left join, same plan shape).
+    *
+    * Scale shape: training counts aggregate map-side on (label,
+    * token) — the only corpus-sized shuffle on the training scan.
+    * The model is |vocab|·|labels| rows and broadcasts while it fits
+    * (a 1M-term × 20-label model is 20M narrow rows — beyond that
+    * Spark falls back to a shuffle join on `token`, still correct).
+    * Scoring re-aggregates the doc token stream per (doc, label) with
+    * partial aggregation; document text never rides a shuffle. The
+    * decimal-cast sum keeps the per-doc log-likelihood order-free so
+    * the score replays bit-exact in any ANSI engine. */
+  def nbLangId(docs: DataFrame, train: DataFrame, alpha: Double = 0.5,
+               textCol: String = "text", labelCol: String = "lang",
+               idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // training token stream -> (label, token, c) with per-label and
+    // vocab-size totals kept as lazy 1-row aggregates (no driver
+    // actions; everything stays one plan)
+    val tTok = train.select(col(labelCol).as("_lang"),
+      explode(tokens(col(textCol))).as("token"))
+    val c = tTok.groupBy(col("_lang"), col("token"))
+      .agg(count(lit(1)).as("_c"))
+    val nl = c.groupBy(col("_lang")).agg(sum(col("_c")).as("_nl"))
+    val vocab = c.select(col("token")).distinct()
+    val v = vocab.agg(count(lit(1)).as("_v"))
+    // dense model: every (label, token) pair at its smoothed log
+    // likelihood — unseen pairs land on the alpha floor via the left
+    // join's coalesce
+    val model = vocab.crossJoin(nl).crossJoin(v)
+      .join(c, Seq("_lang", "token"), "left")
+      .select(col("_lang"), col("token"),
+        log((coalesce(col("_c"), lit(0L)).cast("double") + lit(alpha)) /
+          (col("_nl").cast("double") + lit(alpha) * col("_v").cast("double")))
+          .as("_ll"))
+    val nd = train.groupBy(col(labelCol).as("_lang"))
+      .agg(count(lit(1)).as("_ndl"))
+    val ndTot = train.agg(count(lit(1)).as("_nd"))
+    val priors = nd.crossJoin(ndTot)
+      .select(col("_lang"),
+        log(col("_ndl").cast("double") / col("_nd").cast("double"))
+          .as("_prior"))
+    // score: per-doc term frequencies x the model, decimal-summed
+    val tf = docs.select(col(idCol),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("_tf"))
+    val scored = tf.join(broadcast(model), Seq("token"))
+      .groupBy(col(idCol), col("_lang"))
+      .agg(sum((col("_tf").cast("double") * col("_ll"))
+        .cast("decimal(38,18)")).cast("double").as("_sum"))
+      .join(broadcast(priors), Seq("_lang"))
+      .select(col(idCol), col("_lang").as("pred_lang"),
+        round(col("_prior") + col("_sum"), 6).as("score"))
+    scored.withColumn("_rn", row_number().over(Window
+        .partitionBy(col(idCol))
+        .orderBy(col("score").desc, col("pred_lang"))))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Per-doc lexical-diversity quality signals (the RedPajama /
+    * fastText-era signal-pack members NOT already covered by
+    * [[textStats]] / [[gopherStats]]): type-token ratio, the mass
+    * fraction of the single most frequent token, and unigram Shannon
+    * entropy at both word and character granularity (natural log;
+    * low-entropy docs are keyword stuffing / repeated boilerplate,
+    * the classic gibberish gate). Whitespace is excluded from the
+    * character alphabet.
+    *
+    * Entropy is computed by the order-free identity
+    * `H = ln n − (Σ c·ln c)/n` so the per-doc sum is a plain decimal
+    * aggregate — no per-term probability division, bit-exact replay
+    * in any ANSI engine. Zero-token docs report 0 for every signal.
+    *
+    * Scale shape: one token explode and one char explode, each
+    * aggregated per (doc, term) then per doc with map-side partials —
+    * document text itself never rides a shuffle, the exploded streams
+    * carry (id, short-term) rows. The two per-doc signal tables join
+    * back to `docs` on the id (AQE broadcasts them against a big
+    * corpus only if they fit; otherwise a co-partitioned shuffle
+    * join on the same key both aggregates already used). */
+  def qualitySignals(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    def entropyAgg(terms: DataFrame): DataFrame =
+      terms.groupBy(col(idCol), col("_t"))
+        .agg(count(lit(1)).as("_c"))
+        .groupBy(col(idCol))
+        .agg(sum(col("_c")).as("_n"), count(lit(1)).as("_u"),
+          max(col("_c")).as("_mx"),
+          sum((col("_c").cast("double") * log(col("_c").cast("double")))
+            .cast("decimal(38,18)")).cast("double").as("_sclnc"))
+        .select(col(idCol), col("_n"), col("_u"), col("_mx"),
+          round(log(col("_n").cast("double")) -
+            col("_sclnc") / col("_n").cast("double"), 6).as("_h"))
+    val wordSig = entropyAgg(docs.select(col(idCol),
+        explode(tokens(col(textCol))).as("_t")))
+      .select(col(idCol), col("_n").as("n_tokens"),
+        round(col("_u").cast("double") / col("_n").cast("double"), 6)
+          .as("ttr"),
+        round(col("_mx").cast("double") / col("_n").cast("double"), 6)
+          .as("top_token_frac"),
+        col("_h").as("token_entropy"))
+    val charSig = entropyAgg(docs.select(col(idCol),
+        explode(filter(split(col(textCol), ""), c => c =!= " "))
+          .as("_t")))
+      .select(col(idCol), col("_h").as("char_entropy"))
+    docs.select(col(idCol))
+      .join(wordSig, Seq(idCol), "left")
+      .join(charSig, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("ttr"), lit(0.0)).as("ttr"),
+        coalesce(col("top_token_frac"), lit(0.0)).as("top_token_frac"),
+        coalesce(col("token_entropy"), lit(0.0)).as("token_entropy"),
+        coalesce(col("char_entropy"), lit(0.0)).as("char_entropy"))
+  }
+
+  /** Label-vs-prediction confusion matrix of [[nbLangId]] over a
+    * labeled corpus: one row per observed (lang, pred_lang) with its
+    * document count — the compact training-data QA artifact (the
+    * diagonal mass is the classifier/label agreement rate). */
+  def nbLangIdConfusion(docs: DataFrame, alpha: Double = 0.5,
+                        textCol: String = "text",
+                        labelCol: String = "lang",
+                        idCol: String = "doc_id"): DataFrame =
+    nbLangId(docs, docs, alpha, textCol, labelCol, idCol)
+      .join(docs.select(col(idCol), col(labelCol)), Seq(idCol))
+      .groupBy(col(labelCol), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
 }

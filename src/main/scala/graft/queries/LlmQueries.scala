@@ -721,6 +721,20 @@ object LlmQueries {
           TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // lexical-diversity signal pack: TTR, top-token mass, word/char
+    // unigram entropy per doc (the gibberish/boilerplate gate).
+    "llm_quality_signals" -> ((s, dir) =>
+      TextAnalysis.qualitySignals(table(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // model-based langid: multinomial Naive Bayes self-trained on the
+    // labeled corpus, emitted as the (lang, pred_lang, n_docs)
+    // confusion matrix — training and scoring are ONE relational
+    // plan, replayed exactly by the oracle.
+    "llm_nb_langid" -> ((s, dir) =>
+      TextAnalysis.nbLangIdConfusion(table(s, dir, "documents"))
+        .orderBy(col("lang"), col("pred_lang"))),
+
     // CCNet head/tail filter: materialize the kept (head+middle)
     // corpus slice from the per-language perplexity tiers.
     "llm_ccnet_filter" -> ((s, dir) => {
@@ -2341,6 +2355,91 @@ object LlmQueries {
                 WHEN best.hits > 0 THEN best.lang
                 ELSE 'und' END AS lang_pred
          FROM scored ORDER BY doc_id""",
+
+    // signal-pack replay: same ln n - (sum c ln c)/n entropy identity,
+    // decimal term sums, chars via per-position substring (whitespace
+    // excluded from the alphabet).
+    "llm_quality_signals" ->
+      raw"""WITH tok AS (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(text, '\s+'), x -> x <> '')) AS t
+           FROM documents),
+         wtf AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+         w AS (
+           SELECT doc_id, SUM(c) AS n, count(*) AS u, MAX(c) AS mx,
+             CAST(SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+               AS DECIMAL(38,18))) AS DOUBLE) AS sclnc
+           FROM wtf GROUP BY doc_id),
+         chs AS (
+           SELECT doc_id, unnest(list_filter(list_transform(
+             generate_series(1, length(text)),
+             i -> substring(text, i, 1)), ch -> ch <> ' ')) AS t
+           FROM documents),
+         ctf AS (SELECT doc_id, t, count(*) AS c FROM chs GROUP BY 1, 2),
+         ce AS (
+           SELECT doc_id,
+             round(ln(CAST(SUM(c) AS DOUBLE)) -
+               CAST(SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                 AS DECIMAL(38,18))) AS DOUBLE) /
+               CAST(SUM(c) AS DOUBLE), 6) AS char_entropy
+           FROM ctf GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(w.n, 0) AS BIGINT) AS n_tokens,
+           coalesce(round(CAST(w.u AS DOUBLE) / CAST(w.n AS DOUBLE), 6),
+             0.0) AS ttr,
+           coalesce(round(CAST(w.mx AS DOUBLE) / CAST(w.n AS DOUBLE), 6),
+             0.0) AS top_token_frac,
+           coalesce(round(ln(CAST(w.n AS DOUBLE)) -
+             w.sclnc / CAST(w.n AS DOUBLE), 6), 0.0) AS token_entropy,
+           coalesce(ce.char_entropy, 0.0) AS char_entropy
+         FROM documents d
+         LEFT JOIN w USING (doc_id) LEFT JOIN ce USING (doc_id)
+         ORDER BY d.doc_id""",
+
+    // Naive-Bayes langid replay: identical formula tree — dense
+    // vocab x label likelihood table (alpha floor via left-join
+    // coalesce), decimal-cast per-doc sum, round-6 + label tiebreak
+    // argmax, confusion-matrix aggregate.
+    "llm_nb_langid" ->
+      raw"""WITH tok AS (
+           SELECT lang, doc_id, unnest(list_filter(
+             regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         c AS (SELECT lang, token, count(*) AS c
+               FROM tok GROUP BY 1, 2),
+         nl AS (SELECT lang, SUM(c) AS nl FROM c GROUP BY lang),
+         vocab AS (SELECT DISTINCT token FROM c),
+         v AS (SELECT count(*) AS v FROM vocab),
+         model AS (
+           SELECT nl.lang, vocab.token,
+             ln((CAST(coalesce(c.c, 0) AS DOUBLE) + 0.5) /
+                (CAST(nl.nl AS DOUBLE) + 0.5 * CAST(v.v AS DOUBLE)))
+               AS ll
+           FROM vocab CROSS JOIN nl CROSS JOIN v
+           LEFT JOIN c ON c.lang = nl.lang AND c.token = vocab.token),
+         pri AS (
+           SELECT lang, ln(CAST(count(*) AS DOUBLE) /
+             CAST((SELECT count(*) FROM documents) AS DOUBLE)) AS prior
+           FROM documents GROUP BY lang),
+         tf AS (SELECT doc_id, token, count(*) AS tf
+                FROM tok GROUP BY 1, 2),
+         sc AS (
+           SELECT tf.doc_id, model.lang AS pred_lang,
+             round(pri.prior + CAST(SUM(CAST(
+               CAST(tf.tf AS DOUBLE) * model.ll
+             AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+           FROM tf JOIN model USING (token)
+           JOIN pri ON pri.lang = model.lang
+           GROUP BY tf.doc_id, model.lang, pri.prior),
+         best AS (
+           SELECT doc_id, pred_lang,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, pred_lang) AS rn
+           FROM sc)
+         SELECT d.lang, b.pred_lang, count(*) AS n_docs
+         FROM best b JOIN documents d USING (doc_id)
+         WHERE b.rn = 1
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // CCNet-filter replay: the llm_ppl_buckets chain, kept buckets
     // only, source re-attached from the corpus.

@@ -392,6 +392,58 @@ class LlmSpec extends AnyFunSuite {
     assert(got(1L) == "en" && got(2L) == "es" && got(3L) == "und")
   }
 
+  test("nbLangId: separable vocabularies classify perfectly; " +
+       "shared-vocab doc goes to the majority prior") {
+    import spark.implicits._
+    // two languages with disjoint vocab; en has 2x the training docs
+    val df = Seq(
+      (1L, "en", "cat dog house tree"),
+      (2L, "en", "dog tree cat cat"),
+      (3L, "en", "house dog tree dog"),
+      (4L, "en", "tree cat house dog"),
+      (5L, "xx", "blorp zub zub frick"),
+      (6L, "xx", "frick blorp zub blorp"))
+      .toDF("doc_id", "lang", "text")
+    val pred = TextAnalysis.nbLangId(df, df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((1L to 4L).forall(pred(_) == "en") &&
+      Seq(5L, 6L).forall(pred(_) == "xx"), s"got $pred")
+    // scoring a separate frame against the trained model: one token
+    // from each class — exactly one deterministic winner
+    val mixed = Seq((9L, "cat zub")).toDF("doc_id", "text")
+    val m = TextAnalysis.nbLangId(mixed, df).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(m.contains(9L) && Set("en", "xx").contains(m(9L)))
+    // confusion matrix on the separable fixture is diagonal
+    val conf = TextAnalysis.nbLangIdConfusion(df).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(conf == Set(("en", "en", 4L), ("xx", "xx", 2L)), s"got $conf")
+  }
+
+  test("qualitySignals: hand-computed entropy/TTR; empty doc zeros") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aa aa b"),             // tokens {aa:2, b:1}; chars {a:4, b:1}
+      (2L, ""),                    // zero tokens -> all-zero signals
+      (3L, "x y z w")).toDF("doc_id", "text")
+    val got = TextAnalysis.qualitySignals(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    // doc 1 tokens: H = ln3 - (2 ln2)/3 = 0.636514; ttr 2/3; top 2/3
+    val h3 = BigDecimal(math.log(3) - 2 * math.log(2) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1 chars (spaces dropped): {a:4, b:1}, n=5
+    val hc = BigDecimal(math.log(5) - 4 * math.log(4) / 5)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((3L, 0.666667, 0.666667, h3, hc)), s"got ${got(1L)}")
+    assert(got(2L) == ((0L, 0.0, 0.0, 0.0, 0.0)))
+    // 4 distinct tokens: maximal diversity, H = ln 4
+    val h4 = BigDecimal(math.log(4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(3L)._2 == 1.0 && got(3L)._4 == h4)
+  }
+
   test("fingerprint is whitespace-normalization stable") {
     import spark.implicits._
     val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
