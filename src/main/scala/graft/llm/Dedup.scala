@@ -753,4 +753,47 @@ object Dedup {
           .otherwise((size(toks) - size(kept)).cast("long")))
       .drop("_cuts")
   }
+
+  /** Pairwise corpus-slice overlap matrix: Jaccard similarity of the
+    * DISTINCT `n`-token shingle sets of every group pair (default:
+    * per source) — the cross-source contamination / redundancy gauge
+    * a mixing stage consults before weighting sources (a pair of
+    * mirrors shows up near 1.0, disjoint domains near 0.0). Returns
+    * one row per unordered pair:
+    * `(src_a, src_b, n_a, n_b, n_common, jaccard)`.
+    *
+    * Scale shape: shingles ride as 60-bit window hashes from the
+    * native positional kernel ([[graft.functions.SketchExprs
+    * .windowHashes]] — XXH64 in production, md5-60 under oracle
+    * verification), so the per-group distinct and the intersection
+    * self-join shuffle 8-byte keys, never gram text. The self-join on
+    * `h` is skew-safe by construction: a hash key holds at most one
+    * row PER GROUP after the distinct, so the widest key fans out to
+    * at most |groups|² pairs. Group sizes and the full pair frame are
+    * |groups|-sized (broadcast). */
+  def sourceOverlap(docs: DataFrame, n: Int = 3,
+                    groupCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val ss = docs.select(col(groupCol).as("_g"),
+        explode(graft.functions.SketchExprs
+          .windowHashes(col(textCol), n)).as("_h"))
+      .distinct()
+    val sizes = ss.groupBy(col("_g")).agg(count(lit(1)).as("_n"))
+    val inter = ss.as("a")
+      .join(ss.as("b"),
+        col("a._h") === col("b._h") && col("a._g") < col("b._g"))
+      .groupBy(col("a._g").as("src_a"), col("b._g").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val pairs = sizes.as("sa")
+      .join(sizes.as("sb"), col("sa._g") < col("sb._g"))
+      .select(col("sa._g").as("src_a"), col("sb._g").as("src_b"),
+        col("sa._n").as("n_a"), col("sb._n").as("n_b"))
+    pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") -
+            coalesce(col("n_common"), lit(0L))).cast("double"), 6)
+          .as("jaccard"))
+  }
 }

@@ -721,6 +721,13 @@ object LlmQueries {
           TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // cross-source redundancy matrix: Jaccard of distinct 3-shingle
+    // sets per source pair (60-bit window hashes; md5 family under
+    // Verify so the oracle replays the hash set exactly).
+    "llm_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(table(s, dir, "documents"), n = 3)
+        .orderBy(col("src_a"), col("src_b"))),
+
     // lexical-diversity signal pack: TTR, top-token mass, word/char
     // unigram entropy per doc (the gibberish/boilerplate gate).
     "llm_quality_signals" -> ((s, dir) =>
@@ -2355,6 +2362,38 @@ object LlmQueries {
                 WHEN best.hits > 0 THEN best.lang
                 ELSE 'und' END AS lang_pred
          FROM scored ORDER BY doc_id""",
+
+    // source-overlap replay: distinct md5-60 window hashes per
+    // source, pairwise intersection via self-join, Jaccard round-6.
+    "llm_source_overlap" ->
+      raw"""WITH tok AS (
+           SELECT source, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT source, unnest(list_transform(
+             generate_series(1, len(tk) - 2),
+             i -> CAST(('0x' || substring(
+               md5(array_to_string(tk[i:i+2], ' ')), 1, 15)) AS BIGINT)))
+             AS h
+           FROM tok WHERE len(tk) >= 3),
+         sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+         it AS (
+           SELECT a.source AS src_a, b.source AS src_b,
+             count(*) AS n_common
+           FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT p.src_a, p.src_b, sa.n AS n_a, sb.n AS n_b,
+           CAST(coalesce(it.n_common, 0) AS BIGINT) AS n_common,
+           round(CAST(coalesce(it.n_common, 0) AS DOUBLE) /
+             CAST(sa.n + sb.n - coalesce(it.n_common, 0) AS DOUBLE), 6)
+             AS jaccard
+         FROM (SELECT a.source AS src_a, b.source AS src_b
+               FROM sz a JOIN sz b ON a.source < b.source) p
+         JOIN sz sa ON sa.source = p.src_a
+         JOIN sz sb ON sb.source = p.src_b
+         LEFT JOIN it ON it.src_a = p.src_a AND it.src_b = p.src_b
+         ORDER BY p.src_a, p.src_b""",
 
     // signal-pack replay: same ln n - (sum c ln c)/n entropy identity,
     // decimal term sums, chars via per-position substring (whitespace

@@ -420,6 +420,27 @@ class LlmSpec extends AnyFunSuite {
     assert(conf == Set(("en", "en", 4L), ("xx", "xx", 2L)), s"got $conf")
   }
 
+  test("sourceOverlap: identical slices at 1.0, disjoint at 0.0, " +
+       "half-shared in between") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "s1", "a b c d e f"),     // shingles abc bcd cde def
+      (2L, "s2", "a b c d e f"),     // mirror of s1
+      (3L, "s3", "x y z w v u"),     // disjoint
+      (4L, "s4", "a b c d x q r s")) // shares abc bcd of 6 total
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlap(df, n = 3, groupCol = "source")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(4), r.getDouble(5))).toMap
+    assert(got(("s1", "s2")) == ((4L, 1.0)))
+    assert(got(("s1", "s3")) == ((0L, 0.0)))
+    assert(got(("s3", "s4")) == ((0L, 0.0)))
+    // s4 shingles: abc bcd cdx dxq xqr qrs -> shares {abc,bcd}; union 8
+    assert(got(("s1", "s4")) == ((2L, 0.25)))
+    assert(got.size == 6)
+  }
+
   test("qualitySignals: hand-computed entropy/TTR; empty doc zeros") {
     import spark.implicits._
     val df = Seq(
