@@ -534,6 +534,49 @@ object Similarity {
     semDedup(emb, kmeansCentroids(emb, nCells, iters, idCol, vecCol), tau,
       idCol, vecCol)
 
+  /** Embedding-space outlier report: every vector's L2 distance to
+    * its assigned centroid, z-scored WITHIN its cell — the
+    * embedding-space anomaly gate of a curation pipeline (mislabeled
+    * / off-distribution / corrupted items sit far from any cluster
+    * they land in). Returns one row per vector:
+    * `(idCol, cell_id, dist, z, is_outlier)` with dist and z rounded
+    * to 6 places and `is_outlier` evaluated ON the rounded z (oracle
+    * replay rule); singleton / zero-variance cells report z = 0.
+    *
+    * Scale shape: assignment is the narrow codegen'd NearestCell
+    * pass; distances are a per-row expression against the broadcast
+    * centroid literals (dimension-ordered sum, so the value replays
+    * in ANSI SQL); the per-cell moment table is |cells| rows built
+    * with decimal-exact sums (map-side combined) and broadcast back.
+    * One corpus-sized shuffle total (the cell_id aggregate). */
+  def embedOutliers(emb: DataFrame, centroids: Seq[Seq[Double]],
+                    zThreshold: Double = 2.0, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val centLit = array(centroids.map(c =>
+      array(c.map(lit(_)): _*)): _*)
+    val ownCent = element_at(centLit, (col("cell_id") + 1).cast("int"))
+    val dist = sqrt(aggregate(
+      zip_with(col(vecCol), ownCent,
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, v) => acc + v))
+    val d = assignCells(emb, centroids, idCol, vecCol)
+      .select(col(idCol), col("cell_id"), dist.as("_d"))
+    val st = d.groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("_n"),
+        (sum(col("_d").cast("decimal(38,12)")).cast("double") /
+          count(lit(1))).as("_mu"),
+        (sum((col("_d") * col("_d")).cast("decimal(38,12)"))
+          .cast("double") / count(lit(1))).as("_msq"))
+      .select(col("cell_id"), col("_mu"),
+        sqrt(greatest(lit(0.0), col("_msq") - col("_mu") * col("_mu")))
+          .as("_sg"))
+    val z = round(when(col("_sg") > 0.0,
+      (col("_d") - col("_mu")) / col("_sg")).otherwise(0.0), 6)
+    d.join(broadcast(st), Seq("cell_id"))
+      .select(col(idCol), col("cell_id"), round(col("_d"), 6).as("dist"),
+        z.as("z"), (z >= zThreshold).as("is_outlier"))
+  }
+
   // ------------------------------------------------------------------
   // Product quantization (PQ): the memory-bound ANN path. A 64-dim
   // float32 vector (256 B) compresses to m sub-centroid codes (m=4,

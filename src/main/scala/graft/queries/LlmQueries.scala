@@ -205,6 +205,17 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // embedding-space outliers: per-cell z-scored distance to the
+    // shared k-means centroids (same memoized 16x2 model as
+    // llm_ivf_kmeans_topk — training cost paid once per corpus).
+    "llm_embed_outliers" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.embedOutliers(emb,
+          Similarity.kmeansCentroids(emb, nCells = 16, iters = 2),
+          zThreshold = 2.0)
+        .orderBy(col("vec_id"))
+    }),
+
     // Product quantization ADC top-k: 4 subspaces x 16 codes trained
     // by the same decimal-exact Lloyd chain; queries broadcast a
     // (sub, code) dot-product LUT and the corpus contributes codes
@@ -1252,6 +1263,37 @@ object LlmQueries {
        ORDER BY k.vec_id"""
   }
 
+  /** Embedding outliers: the final Lloyd assignment, L2 distance to
+    * the own-cell centroid (dimension-ordered sum = the engine's
+    * zip_with fold), decimal-exact per-cell moments, z on the rounded
+    * scale. */
+  private def embedOutliersOracle(iters: Int, z: Double): String = {
+    val (ctes, cN) = kmeansAsgCtes(iters)
+    s"""WITH $ctes,
+       d AS (
+         SELECT a.vec_id, a.cell_id,
+           sqrt(${sqdSql("a.embedding", "c.cvec")}) AS dist
+         FROM asgf a JOIN $cN c ON c.cell = a.cell_id),
+       st AS (
+         SELECT cell_id,
+           CAST(SUM(CAST(dist AS DECIMAL(38,12))) AS DOUBLE)
+             / COUNT(*) AS mu,
+           CAST(SUM(CAST(dist * dist AS DECIMAL(38,12))) AS DOUBLE)
+             / COUNT(*) AS msq
+         FROM d GROUP BY cell_id),
+       sg AS (
+         SELECT cell_id, mu,
+           sqrt(greatest(0.0, msq - mu * mu)) AS sg
+         FROM st),
+       zt AS (
+         SELECT d.vec_id, d.cell_id, round(d.dist, 6) AS dist,
+           round(CASE WHEN sg.sg > 0.0 THEN (d.dist - sg.mu) / sg.sg
+                      ELSE 0.0 END, 6) AS z
+         FROM d JOIN sg USING (cell_id))
+       SELECT vec_id, cell_id, dist, z, z >= $z AS is_outlier
+       FROM zt ORDER BY vec_id"""
+  }
+
   /** Multimodal features: the deterministic stub decoder's arithmetic
     * (h32 = first 4 MD5 bytes of the blob = of the UTF-8 text). */
   private val mmFeaturesOracle =
@@ -1764,6 +1806,7 @@ object LlmQueries {
     "llm_pq_rerank" -> pqRerankOracle(m = 4, kk = 16, iters = 2,
       sub = 16, k = 10, rerank = 100),
     "llm_semdedup" -> semDedupOracle(iters = 2, tau = 0.4),
+    "llm_embed_outliers" -> embedOutliersOracle(iters = 2, z = 2.0),
     "llm_mm_features" -> mmFeaturesOracle,
     // audio stub decoder: frames = 1 + (h32 >> 18) % 1000; byte_len is
     // a BYTE length (strlen is correct here, unlike codepoint stats)

@@ -420,6 +420,28 @@ class LlmSpec extends AnyFunSuite {
     assert(conf == Set(("en", "en", 4L), ("xx", "xx", 2L)), s"got $conf")
   }
 
+  test("embedOutliers: planted far vector flagged, tight cluster not; " +
+       "singleton cell z=0") {
+    import spark.implicits._
+    // cell around (1,0): small jitter; one vector way off; a second
+    // seed at (0,1) that stays a singleton
+    val rows = Seq(
+      (1L, Seq(1.00f, 0.01f)), (2L, Seq(0.99f, 0.00f)),
+      (3L, Seq(1.01f, 0.00f)), (4L, Seq(1.00f, -0.01f)),
+      (5L, Seq(0.98f, 0.02f)), (6L, Seq(1.02f, -0.02f)),
+      (7L, Seq(9.00f, 0.00f)),                 // planted outlier
+      (8L, Seq(0.00f, 1.00f)))                 // singleton cell
+    val emb = rows.toDF("vec_id", "embedding")
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val got = Similarity.embedOutliers(emb, cents, zThreshold = 2.0)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got(7L)._2, s"planted outlier not flagged: ${got(7L)}")
+    assert((1L to 6L).forall(!got(_)._2),
+      s"tight cluster misflagged: $got")
+    assert(got(8L) == ((0.0, false)), "singleton cell must report z=0")
+  }
+
   test("sourceOverlap: identical slices at 1.0, disjoint at 0.0, " +
        "half-shared in between") {
     import spark.implicits._
