@@ -534,6 +534,104 @@ object Similarity {
     semDedup(emb, kmeansCentroids(emb, nCells, iters, idCol, vecCol), tau,
       idCol, vecCol)
 
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998):
+    * diversified top-`k` — pick the best-cosine candidate first, then
+    * greedily the candidate maximizing
+    * `λ·cos(q,d) − (1−λ)·max_{s∈selected} cos(d,s)`, trading
+    * relevance against redundancy with what is already picked (the
+    * retrieval-side counterpart of SemDeDup: near-duplicate hits stop
+    * crowding out coverage). Returns `(qIdCol, rank, idCol, score)` —
+    * rank 1's score is its plain cosine, later ranks the MMR margin.
+    *
+    * Determinism/replay: every cosine is rounded to 6 places before
+    * entering the margin, the margin itself is rounded before the
+    * argmax, and ties break to the lowest id — so the greedy
+    * trajectory replays exactly in ANSI SQL (a recursive CTE; the
+    * λ-complement is written `1.0 − λ` on both sides to keep the
+    * IEEE value identical).
+    *
+    * Scale shape: candidate generation is the distributed scan
+    * ([[bruteTopK]] here; swap in [[ivfTopKWith]] output upstream for
+    * the ANN path — any `(qIdCol, idCol, cosine)` frame works via
+    * `nCandidates`); the greedy loop runs per query over its
+    * ≤ `nCandidates` candidates inside `flatMapGroups` — O(k·N·dim)
+    * per query, embarrassingly parallel across queries, no state
+    * larger than one candidate set ever materializes. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, k: Int,
+                nCandidates: Int = 20, lambda: Double = 0.7,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                qIdCol: String = "query_id", qVecCol: String = "query_vec")
+      : DataFrame = {
+    require(k >= 1 && nCandidates >= k,
+      s"need nCandidates ($nCandidates) >= k ($k) >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cands = bruteTopK(corpus, queries, nCandidates, idCol, vecCol,
+        qIdCol, qVecCol)
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(qIdCol).cast("long"), col(idCol).cast("long"),
+        col("cosine"), col(vecCol).cast("array<double>"))
+      .as[(Long, Long, Double, Seq[Double])]
+    cands.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cs = it.toArray
+        mmrSelect(cs.map(c => (c._2, c._3, c._4.toArray)), k, lambda)
+          .map(p => (qid, p._1, p._2, p._3))
+      }
+      .toDF(qIdCol, "rank", idCol, "score")
+      .select(col(qIdCol), col("rank"), col(idCol), col("score"))
+  }
+
+  /** The greedy MMR loop over one query's candidates
+    * (id, rounded query-cosine, vector): returns (rank, id, score). */
+  private def mmrSelect(cands: Array[(Long, Double, Array[Double])],
+                        k: Int, lambda: Double)
+      : Seq[(Long, Long, Double)] = {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val n = cands.length
+    if (n == 0) return Seq.empty
+    val pairSim = new java.util.HashMap[Long, Double]()
+    def sim(i: Int, j: Int): Double = {
+      val key = math.min(i, j).toLong * n + math.max(i, j)
+      pairSim.computeIfAbsent(key,
+        _ => round6(cos(cands(i)._3, cands(j)._3)))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    while (selected.size < math.min(k, n)) {
+      var bestIdx = -1; var bestScore = 0.0; var bestId = 0L
+      var i = 0
+      while (i < n) {
+        if (!selected.contains(i)) {
+          val (id, cosq, _) = cands(i)
+          val score =
+            if (selected.isEmpty) cosq
+            else {
+              var mx = Double.NegativeInfinity
+              selected.foreach(s => mx = math.max(mx, sim(i, s)))
+              round6(lambda * cosq - (1.0 - lambda) * mx)
+            }
+          if (bestIdx < 0 || score > bestScore ||
+              (score == bestScore && id < bestId)) {
+            bestIdx = i; bestScore = score; bestId = id
+          }
+        }
+        i += 1
+      }
+      selected += bestIdx
+      picks += ((selected.size.toLong, bestId, bestScore))
+    }
+    picks.toSeq
+  }
+
   /** Embedding-space outlier report: every vector's L2 distance to
     * its assigned centroid, z-scored WITHIN its cell — the
     * embedding-space anomaly gate of a curation pipeline (mislabeled

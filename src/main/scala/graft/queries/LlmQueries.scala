@@ -205,6 +205,19 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // MMR diversified retrieval: top-20 cosine candidates per query,
+    // greedy maximal-marginal-relevance selection of 5 (lambda 0.7)
+    // — the greedy trajectory replays in a recursive-CTE oracle.
+    "llm_mmr_rerank" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      Similarity.mmrRerank(emb, queries, k = 5, nCandidates = 20,
+          lambda = 0.7)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // embedding-space outliers: per-cell z-scored distance to the
     // shared k-means centroids (same memoized 16x2 model as
     // llm_ivf_kmeans_topk — training cost paid once per corpus).
@@ -1263,6 +1276,73 @@ object LlmQueries {
        ORDER BY k.vec_id"""
   }
 
+  /** MMR re-rank: top-`n` rounded-cosine candidates per query, then
+    * the greedy selection as a recursive CTE — each iteration's
+    * working row carries the chosen-id list, the margin is computed
+    * against the symmetric candidate-pair cosine table, and the
+    * argmax tiebreaks to the lowest id, exactly the engine's loop.
+    * The λ complement is written `1.0 - λ` so the IEEE double matches
+    * the engine's `1.0 - lambda`. */
+  private def mmrOracle(k: Int, n: Int, lambda: Double): String = {
+    def cosSql(x: String, y: String) =
+      s"""(list_sum(list_transform(list_zip($x, $y),
+            t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform($x,
+               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+           * sqrt(list_sum(list_transform($y,
+               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))))"""
+    s"""WITH RECURSIVE
+       qs AS (SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id % 100 = 0),
+       scored AS (
+         SELECT q.query_id, a.vec_id,
+           round(${cosSql("a.embedding", "q.qv")}, 6) AS cosq
+         FROM embeddings a, qs q),
+       cand AS (
+         SELECT query_id, vec_id, cosq FROM (
+           SELECT query_id, vec_id, cosq, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosq DESC, vec_id ASC) AS rn
+           FROM scored) WHERE rn <= $n),
+       pc AS (
+         SELECT ca.query_id, ca.vec_id AS va, cb.vec_id AS vb,
+           round(${cosSql("ea.embedding", "eb.embedding")}, 6) AS s
+         FROM cand ca
+         JOIN cand cb ON ca.query_id = cb.query_id
+           AND ca.vec_id < cb.vec_id
+         JOIN embeddings ea ON ea.vec_id = ca.vec_id
+         JOIN embeddings eb ON eb.vec_id = cb.vec_id),
+       pcs AS (SELECT query_id, va, vb, s FROM pc
+               UNION ALL SELECT query_id, vb AS va, va AS vb, s FROM pc),
+       sel AS (
+         SELECT query_id, CAST(1 AS BIGINT) AS rank, vec_id,
+           cosq AS score, [vec_id] AS chosen
+         FROM (SELECT query_id, vec_id, cosq, row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cosq DESC, vec_id ASC) AS rn
+               FROM cand) WHERE rn = 1
+         UNION ALL
+         SELECT query_id, rank + 1 AS rank, vec_id, score,
+           list_append(chosen, vec_id) AS chosen
+         FROM (
+           SELECT sb.query_id, sb.rank, sb.vec_id, sb.score, sb.chosen,
+             row_number() OVER (PARTITION BY sb.query_id
+               ORDER BY sb.score DESC, sb.vec_id ASC) AS rn
+           FROM (
+             SELECT s.query_id, s.rank, s.chosen, c.vec_id,
+               round($lambda * c.cosq
+                 - (1.0 - $lambda) * max(p.s), 6) AS score
+             FROM sel s
+             JOIN cand c ON c.query_id = s.query_id
+               AND NOT list_contains(s.chosen, c.vec_id)
+             JOIN pcs p ON p.query_id = s.query_id
+               AND p.va = c.vec_id AND list_contains(s.chosen, p.vb)
+             GROUP BY s.query_id, s.rank, s.chosen, c.vec_id, c.cosq
+           ) sb
+         ) WHERE rn = 1 AND rank < $k)
+       SELECT query_id, rank, vec_id, score FROM sel
+       ORDER BY query_id, rank"""
+  }
+
   /** Embedding outliers: the final Lloyd assignment, L2 distance to
     * the own-cell centroid (dimension-ordered sum = the engine's
     * zip_with fold), decimal-exact per-cell moments, z on the rounded
@@ -1807,6 +1887,7 @@ object LlmQueries {
       sub = 16, k = 10, rerank = 100),
     "llm_semdedup" -> semDedupOracle(iters = 2, tau = 0.4),
     "llm_embed_outliers" -> embedOutliersOracle(iters = 2, z = 2.0),
+    "llm_mmr_rerank" -> mmrOracle(k = 5, n = 20, lambda = 0.7),
     "llm_mm_features" -> mmFeaturesOracle,
     // audio stub decoder: frames = 1 + (h32 >> 18) % 1000; byte_len is
     // a BYTE length (strlen is correct here, unlike codepoint stats)

@@ -420,6 +420,29 @@ class LlmSpec extends AnyFunSuite {
     assert(conf == Set(("en", "en", 4L), ("xx", "xx", 2L)), s"got $conf")
   }
 
+  test("mmrRerank: clone excluded, orthogonal doc promoted over " +
+       "plain cosine order") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),   // = query
+      (2L, Seq(1.0f, 0.0f, 0.0f)),   // exact clone of 1
+      (3L, Seq(0.7071f, 0.7071f, 0.0f)),
+      (4L, Seq(0.0f, 1.0f, 0.0f)))   // orthogonal to the query
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, Seq(1.0f, 0.0f, 0.0f)))
+      .toDF("query_id", "query_vec")
+    // plain top-3 is (1, 2, 3): the clone crowds out coverage
+    val brute = Similarity.bruteTopK(corpus, queries, k = 3)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(brute == Seq(1L, 2L, 3L))
+    // MMR at lambda=0.3: clone's redundancy sinks it below even the
+    // orthogonal doc -> (1, 4, 3), no duplicate in the result
+    val mmr = Similarity.mmrRerank(corpus, queries, k = 3,
+        nCandidates = 4, lambda = 0.3)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(mmr == Seq(1L, 4L, 3L), s"got $mmr")
+  }
+
   test("embedOutliers: planted far vector flagged, tight cluster not; " +
        "singleton cell z=0") {
     import spark.implicits._
