@@ -700,41 +700,22 @@ object TextAnalysis {
                textCol: String = "text", labelCol: String = "lang",
                idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // training token stream -> (label, token, c) with per-label and
-    // vocab-size totals kept as lazy 1-row aggregates (no driver
-    // actions; everything stays one plan)
-    val tTok = train.select(col(labelCol).as("_lang"),
-      explode(tokens(col(textCol))).as("token"))
-    val c = tTok.groupBy(col("_lang"), col("token"))
-      .agg(count(lit(1)).as("_c"))
-    val nl = c.groupBy(col("_lang")).agg(sum(col("_c")).as("_nl"))
-    val vocab = c.select(col("token")).distinct()
-    val v = vocab.agg(count(lit(1)).as("_v"))
-    // dense model: every (label, token) pair at its smoothed log
-    // likelihood — unseen pairs land on the alpha floor via the left
-    // join's coalesce
-    val model = vocab.crossJoin(nl).crossJoin(v)
-      .join(c, Seq("_lang", "token"), "left")
-      .select(col("_lang"), col("token"),
-        log((coalesce(col("_c"), lit(0L)).cast("double") + lit(alpha)) /
-          (col("_nl").cast("double") + lit(alpha) * col("_v").cast("double")))
-          .as("_ll"))
-    val nd = train.groupBy(col(labelCol).as("_lang"))
-      .agg(count(lit(1)).as("_ndl"))
-    val ndTot = train.agg(count(lit(1)).as("_nd"))
-    val priors = nd.crossJoin(ndTot)
-      .select(col("_lang"),
-        log(col("_ndl").cast("double") / col("_nd").cast("double"))
-          .as("_prior"))
-    // score: per-doc term frequencies x the model, decimal-summed
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (model, priors) = nbModel(train, alpha, textCol, labelCol)
+    val modelDf = broadcast(
+      model.toSeq.toDF("_lang", "token", "_ll"))
+    val priorsDf = broadcast(priors.toSeq.toDF("_lang", "_prior"))
+    // score: per-doc term frequencies x the frozen model,
+    // decimal-summed so the per-doc log likelihood is order-free
     val tf = docs.select(col(idCol),
         explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("_tf"))
-    val scored = tf.join(broadcast(model), Seq("token"))
+    val scored = tf.join(modelDf, Seq("token"))
       .groupBy(col(idCol), col("_lang"))
       .agg(sum((col("_tf").cast("double") * col("_ll"))
         .cast("decimal(38,18)")).cast("double").as("_sum"))
-      .join(broadcast(priors), Seq("_lang"))
+      .join(priorsDf, Seq("_lang"))
       .select(col(idCol), col("_lang").as("pred_lang"),
         round(col("_prior") + col("_sum"), 6).as("score"))
     scored.withColumn("_rn", row_number().over(Window
@@ -742,6 +723,59 @@ object TextAnalysis {
         .orderBy(col("score").desc, col("pred_lang"))))
       .filter(col("_rn") === 1).drop("_rn")
   }
+
+  // NB models are corpus-version artifacts like centroids/codebooks
+  // (Similarity's train-once registry): keyed on the canonicalized
+  // train plan + params, collected once. The dense vocab x label
+  // model is the same size class a broadcast join would ship anyway;
+  // for vocabularies beyond driver/broadcast memory, cap the vocab
+  // upstream (vocabulary(v)) — the standard NB deployment shape.
+  private val nbMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Any, String), AnyRef]
+
+  /** Test hook: drop every memoized NB model. */
+  def clearNbCache(): Unit = nbMemo.clear()
+
+  /** Train the multinomial NB model on `train`: returns the DENSE
+    * per-(label, token) log likelihoods (unseen pairs at the alpha
+    * floor) and per-label log priors. Two distributed aggregates
+    * ((label, token) counts with map-side combine; per-label doc
+    * counts); the smoothing arithmetic runs driver-side on the
+    * collected vocab x label table with the same IEEE ops the
+    * engine's `log`/division would use, so oracle replay is
+    * unchanged. */
+  def nbModel(train: DataFrame, alpha: Double = 0.5,
+              textCol: String = "text", labelCol: String = "lang")
+      : (Array[(String, String, Double)], Array[(String, Double)]) =
+    nbMemo.computeIfAbsent(
+      (train.queryExecution.analyzed.canonicalized,
+        s"nb:$alpha:$textCol:$labelCol"),
+      _ => {
+        val c = train.select(col(labelCol).as("_lang"),
+            explode(tokens(col(textCol))).as("token"))
+          .groupBy(col("_lang"), col("token"))
+          .agg(count(lit(1)).as("_c"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val nl = c.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+        val vocab = c.map(_._2).distinct.sorted
+        val v = vocab.length.toDouble
+        val seen = c.map(t => (t._1, t._2) -> t._3).toMap
+        val model = for {
+          lang <- nl.keys.toArray.sorted
+          tok <- vocab
+        } yield (lang, tok,
+          math.log((seen.getOrElse((lang, tok), 0L).toDouble + alpha) /
+            (nl(lang).toDouble + alpha * v)))
+        val nd = train.groupBy(col(labelCol).as("_lang"))
+          .agg(count(lit(1)).as("_ndl"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val ndTot = nd.map(_._2).sum.toDouble
+        val priors = nd.sortBy(_._1)
+          .map { case (l, n) => (l, math.log(n.toDouble / ndTot)) }
+        (model, priors)
+      }).asInstanceOf[(Array[(String, String, Double)],
+        Array[(String, Double)])]
 
   /** Per-doc lexical-diversity quality signals (the RedPajama /
     * fastText-era signal-pack members NOT already covered by

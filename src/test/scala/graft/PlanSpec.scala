@@ -447,4 +447,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!badExchange,
       s"token array/text crossed a shuffle:\n${plan.take(2500)}")
   }
+
+  private def noTextOnExchanges(plan: String, cols: String*): Unit = {
+    val bad = plan.linesIterator.filter(l =>
+      l.contains("Exchange") && cols.exists(c => l.contains(c + "#")))
+    assert(bad.isEmpty,
+      s"wide column crossed a shuffle:\n${bad.mkString("\n")}")
+  }
+
+  test("round-8 ops: text/embeddings never ride a shuffle; models and " +
+       "moment tables broadcast") {
+    val docs = graft.queries.Star.table(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    // sourceOverlap: shingles leave the scan as 60-bit hashes
+    val so = Dedup.sourceOverlap(docs, n = 3)
+    so.collect()
+    noTextOnExchanges(so.queryExecution.executedPlan.toString, "text")
+    // qualitySignals: exchanges carry (id, term) rows only
+    val qs = graft.llm.TextAnalysis.qualitySignals(docs)
+    qs.collect()
+    noTextOnExchanges(qs.queryExecution.executedPlan.toString, "text")
+    // nbLangId: the vocab x label model and the priors broadcast;
+    // doc text stays scan-side
+    val nb = graft.llm.TextAnalysis.nbLangIdConfusion(docs)
+    nb.collect()
+    val nbPlan = nb.queryExecution.executedPlan.toString
+    noTextOnExchanges(nbPlan, "text")
+    assert(nbPlan.contains("BroadcastHashJoin"), nbPlan.take(2000))
+    // embedOutliers: vectors are dropped before the cell aggregate;
+    // the per-cell moment table comes back as a broadcast
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = graft.llm.Similarity.kmeansCentroids(emb, nCells = 16,
+      iters = 1)
+    val eo = graft.llm.Similarity.embedOutliers(emb, cents)
+    eo.collect()
+    val eoPlan = eo.queryExecution.executedPlan.toString
+    noTextOnExchanges(eoPlan, "embedding")
+    assert(eoPlan.contains("BroadcastHashJoin"), eoPlan.take(2000))
+  }
 }
