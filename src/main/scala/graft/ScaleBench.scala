@@ -191,6 +191,35 @@ object ScaleBench {
       val (jd, t20) = timed(
         graft.llm.TextAnalysis.jsDrift(docs).count())
       report("js_drift", f, nDocs, jd, t20)
+
+      // source overlap: the intersection self-join is keyed on shingle
+      // hashes with <=1 row per (hash, source) after the distinct —
+      // candidate fan-out per key is bounded by |sources|² whatever
+      // the corpus size; the probe verifies the per-source distinct
+      // (the only corpus-sized stage) dominates and scales linearly
+      val (so, t21) = timed(
+        graft.llm.Dedup.sourceOverlap(docs, n = 3).count())
+      report("source_overlap", f, nDocs, so, t21)
+
+      // NB langid: training = one (label, token) aggregate collected
+      // to a vocab x label artifact (size independent of corpus
+      // rows); scoring = one explode + two broadcast joins + per-doc
+      // window. Should track the token volume linearly.
+      graft.llm.TextAnalysis.clearNbCache()
+      val (nb, t22) = timed(
+        graft.llm.TextAnalysis.nbLangIdConfusion(docs).count())
+      report("nb_langid", f, nDocs, nb, t22)
+
+      // MMR: candidate generation is the broadcast-query corpus scan
+      // (Q fixed at the first-copy slice); the greedy loop is
+      // O(k·N·dim) per query, constant per query as the corpus grows
+      val mmrQ = emb.filter(col("vec_id") % 400 === 0 &&
+          col("vec_id") < nEmb / f)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val (mq, t23) = timed(graft.llm.Similarity.mmrRerank(
+        emb, mmrQ, k = 5, nCandidates = 20).count())
+      report("mmr_rerank", f, nEmb, mq, t23)
     }
     spark.stop()
   }

@@ -192,6 +192,56 @@ object EventsStream {
                     key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Baseline event-type distribution for [[windowedDrift]]: the
+    * probabilities of a reference slice (yesterday's traffic, the
+    * training corpus) as a tiny `(event_type, q)` frame — computed
+    * once on a BATCH frame and broadcast into the monitor. */
+  def driftBaseline(events: DataFrame): DataFrame = {
+    val c = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("_c"))
+    c.crossJoin(c.agg(sum(col("_c")).as("_n")))
+      .select(col("event_type"),
+        (col("_c").cast("double") / col("_n").cast("double")).as("q"))
+  }
+
+  /** Event-time windowed distribution-drift monitor: per hourly
+    * window, KL(window ‖ baseline) of the event-type distribution —
+    * the streaming form of [[graft.llm.TextAnalysis.sourceDrift]]'s
+    * gauge, watching live traffic drift away from a reference
+    * distribution as windows close. Uses the KL identity
+    * `Σ (c/n)·ln((c/n)/q) = (Σ c·ln(c/q))/n − ln n` so the
+    * per-window reduce is a plain sum — two CHAINED event-time
+    * windowed aggregations (type counts, then the window total),
+    * the Spark 3.4+ multiple-stateful-operator shape; state per
+    * window is one row per observed type, evicted at the watermark.
+    * `baseline` must be a batch frame from [[driftBaseline]] (it
+    * broadcasts between the two aggregations); window types missing
+    * from the baseline take the `qFloor` mass so drift spikes rather
+    * than silently dropping. Identical code path runs on batch
+    * frames (plain two-level aggregate). Emits
+    * `(window_start, n_events, kl)` per closed window. */
+  def windowedDrift(events: DataFrame, baseline: DataFrame,
+                    watermark: String = "2 hours",
+                    windowLen: String = "1 hour",
+                    qFloor: Double = 1e-9): DataFrame = {
+    val wc = (if (events.isStreaming)
+                events.withWatermark("ts", watermark)
+              else events)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("_c"))
+      .join(broadcast(baseline), Seq("event_type"), "left")
+      .withColumn("_q", coalesce(col("q"), lit(qFloor)))
+    wc.groupBy(window(col("window"), windowLen))
+      .agg(sum(col("_c")).as("_n"),
+        sum((col("_c").cast("double") *
+          log(col("_c").cast("double") / col("_q")))
+          .cast("decimal(38,18)")).cast("double").as("_s"))
+      .select(col("window.start").as("window_start"),
+        col("_n").as("n_events"),
+        round(col("_s") / col("_n").cast("double") -
+          log(col("_n").cast("double")), 6).as("kl"))
+  }
+
   /** Multi-sink streaming write — the reference's write-to-every-layer
     * semantics under streaming: one stream, N sinks via foreachBatch
     * (persist the batch once, write it N times). */

@@ -336,6 +336,33 @@ class StreamingSpec extends AnyFunSuite {
       s"missing ${(want -- got).take(5)}; extra ${(got -- want).take(5)}")
   }
 
+  test("windowedDrift: stream equals batch; self-baseline on a " +
+       "uniform slice scores ~0") {
+    val ev = graft.queries.Star.events(spark, "/root/testdata/sf0.001")
+    val baseline = EventsStream.driftBaseline(ev)
+    val q = EventsStream.windowedDrift(
+        EventsStream.readEvents(spark, eventsDir), baseline)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("wdrift").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("wdrift").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+    // append mode emits a window once the watermark passes its END:
+    // the batch reference keeps only windows closed at the final
+    // watermark (maxTs - 2h), i.e. window_start <= maxTs - 3h
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val want = EventsStream.windowedDrift(ev, baseline).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._1.getTime <= maxTs.getTime - 3L * 3600 * 1000).toSet
+    assert(want.nonEmpty, "fixture must close at least one window")
+    assert(got == want,
+      s"missing ${(want -- got).take(3)}; extra ${(got -- want).take(3)}")
+    // KL >= 0 always (Gibbs), and a window identical in distribution
+    // to the baseline would sit at 0 — the fixture windows should
+    // hover near but above zero
+    assert(want.forall(_._3 >= 0.0), s"negative KL: $want")
+  }
+
   test("attribution rejects watermark < horizon (state evicted " +
        "before the window closes would drop matches silently)") {
     val ev = graft.queries.Star.events(spark, "/root/testdata/sf0.001")
