@@ -26,44 +26,68 @@ object LlmQueries {
 
   // Near-dup clusters are a corpus-version artifact, like centroids
   // and codebooks (Similarity's train-once registry): build the
-  // MinHash-LSH pair set + connected components ONCE per (session,
-  // corpus) and let every consumer (cluster listing, best-per-cluster
+  // MinHash-LSH pair set + connected components ONCE per corpus
+  // snapshot and let every consumer (cluster listing, best-per-cluster
   // selection, representative dedup) read the same small table. The
-  // result is collected (clusters ≪ corpus by construction) and
-  // re-emitted as a local relation, so the signature caches of the
-  // pair build are released and reuse carries no lineage.
+  // artifact is persisted through the content-addressed Parquet
+  // [[graft.cache.Memo]] (key = op version + hash family + corpus
+  // fingerprint), so consumers scan a memo parquet — nothing is
+  // collected to the driver, the result survives the JVM, and on a
+  // cluster the memo root can live on shared storage. The per-session
+  // map only caches the (cheap) parquet-read handle so repeated calls
+  // skip re-fingerprinting the corpus listing.
   private val componentsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       DataFrame]
 
+  /** Memo root for corpus-version artifacts: session conf / sysprop
+    * `spark.graft.memo.root`, defaulting to a JVM-tmpdir store. Set it
+    * to shared storage (s3a://...) for cluster-wide reuse. */
+  private def memoRoot(s: SparkSession): String =
+    s.conf.getOption(MemoRootKey)
+      .orElse(sys.props.get(MemoRootKey))
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft-corpus-memo")
+
+  val MemoRootKey = "spark.graft.memo.root"
+
   private def components035(s: SparkSession, dir: String): DataFrame =
     componentsMemo.computeIfAbsent((s, dir), _ => {
-      val handle = Dedup.minHashPairsManaged(
-        table(s, dir, "documents"), threshold = 0.35)
-      val (rows, schema) =
-        try {
-          val df = Dedup.connectedComponents(handle.value)
-          (df.collect(), df.schema)
-        } finally handle.close()
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      val memo = graft.cache.Memo(s, memoRoot(s))
+      // the pair kernels hash under the configured family, so the
+      // md5 (oracle) and xx (production) artifacts must not alias
+      val fam =
+        if (graft.functions.SketchOps.xxFamily()) "xx" else "md5"
+      val key = memo.keyOf(Seq("components035", "v1", fam,
+        memo.fingerprint(s"$dir/documents.parquet")))
+      memo.lookup(key).getOrElse {
+        val handle = Dedup.minHashPairsManaged(
+          table(s, dir, "documents"), threshold = 0.35)
+        try memo.store(key, Dedup.connectedComponents(handle.value))
+        finally handle.close()
+      }
     })
 
   // The bigram-LM scoring is the same kind of corpus-version
   // artifact: score once (self-trained, alpha=0.5), keep the narrow
-  // (doc_id, n_bigrams, avg_logprob) table, and let the raw-score,
-  // tier and head/tail-filter queries all read it. Deployment shape =
-  // persist this table next to the corpus snapshot
-  // (TextAnalysis.pplBucketsScored / ccnetFilterScored consume it).
+  // (doc_id, n_bigrams, avg_logprob) table in the Parquet memo, and
+  // let the raw-score, tier and head/tail-filter queries all scan it.
+  // Deployment shape = this IS the score table persisted next to the
+  // corpus snapshot (TextAnalysis.pplBucketsScored / ccnetFilterScored
+  // consume it). Family-independent (pure text math — no sketch
+  // kernels), so verify and bench share one artifact.
   private val lmScoreMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       DataFrame]
 
   private def lmScore05(s: SparkSession, dir: String): DataFrame =
     lmScoreMemo.computeIfAbsent((s, dir), _ => {
-      val docs = table(s, dir, "documents")
-      val df = TextAnalysis.bigramLmScore(docs, docs, alpha = 0.5)
-      s.createDataFrame(
-        java.util.Arrays.asList(df.collect(): _*), df.schema)
+      val memo = graft.cache.Memo(s, memoRoot(s))
+      val key = memo.keyOf(Seq("lmScore05", "v1", "alpha=0.5",
+        memo.fingerprint(s"$dir/documents.parquet")))
+      memo.getOrElseUpdate(key) {
+        val docs = table(s, dir, "documents")
+        TextAnalysis.bigramLmScore(docs, docs, alpha = 0.5)
+      }
     })
 
   /** Drop the corpus-version artifacts derived from `dir` (all

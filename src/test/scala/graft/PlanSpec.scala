@@ -485,4 +485,22 @@ class PlanSpec extends AnyFunSuite {
     noTextOnExchanges(eoPlan, "embedding")
     assert(eoPlan.contains("BroadcastHashJoin"), eoPlan.take(2000))
   }
+
+  test("corpus-version memos scan a persisted parquet artifact, " +
+       "not a driver-collected local relation") {
+    // the LM-score and near-dup-cluster artifacts route through the
+    // content-addressed Parquet memo: consumers must show a parquet
+    // scan rooted at the memo store and no LocalTableScan (the old
+    // collect-and-reemit shape that held the whole artifact on the
+    // driver)
+    graft.queries.LlmQueries.clearMemos()
+    for (q <- Seq("llm_lm_score", "llm_dedup_clusters")) {
+      val plan = planOf(graft.queries.LlmQueries.queries(q)(spark, sf))
+      assert(plan.contains("graft-corpus-memo"),
+        s"$q must scan the memo parquet:\n${plan.take(1500)}")
+      assert(!plan.contains("LocalTableScan"),
+        s"$q must not re-emit a driver-collected relation:\n" +
+          plan.take(1500))
+    }
+  }
 }
