@@ -233,6 +233,17 @@ object TextAnalysis {
       .join(posting, Seq("term"))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(round(termSum.cast("double"), 6).as("score"))
+    // Per-query top-k: logically a single rank window over the scored
+    // stream, physically TWO-PHASE — Catalyst's InferWindowGroupLimit
+    // (on by default, spark.sql.window.group.limit.threshold) splits
+    // the rank<=k filter into a map-side `WindowGroupLimit Partial`
+    // BELOW the exchange and a `Final` above it, so every map
+    // partition ships at most k rows per query and the reduce-side
+    // partition for a query holds <= k x numMapPartitions rows — never
+    // the query's whole scored corpus. A hand-salted two-phase rank
+    // would re-shuffle the full scored stream a second time for the
+    // same bound; the native form is asserted by PlanSpec's
+    // "WindowGroupLimit Partial below the exchange" gate instead.
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("score").desc, col(idCol).asc)
     val result = scored

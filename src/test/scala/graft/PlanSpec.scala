@@ -378,6 +378,27 @@ class PlanSpec extends AnyFunSuite {
       l.contains("Window") && l.matches(""".*\]\s*,\s*\[term#\d+\].*"""))
     assert(!termWindow,
       s"df must not come from a term-partitioned window:\n${plan.take(2500)}")
+    // the per-query rank<=k must execute TWO-PHASE: Catalyst's
+    // InferWindowGroupLimit puts a `WindowGroupLimit ... Partial` on
+    // the MAP side (below the query_id exchange), so each map
+    // partition ships at most k rows per query and the reduce
+    // partition holds <= k x numMapPartitions rows, never a query's
+    // whole scored corpus. If this gate breaks (threshold conf, a
+    // rank expression the rule can't match), the skew-safe fallback
+    // is a hand-salted two-phase rank — see bm25Core's top-k comment.
+    val lines = plan.linesIterator.toSeq
+    // the rank exchange partitions by query_id ALONE (the (query_id,
+    // term) exchange belongs to the query-side distinct, not the rank)
+    val rankExchange = lines.indexWhere(
+      _.matches(""".*Exchange hashpartitioning\(query_id#\d+L?, \d+\).*"""))
+    assert(rankExchange >= 0,
+      s"per-query rank exchange missing:\n${plan.take(2500)}")
+    val below = lines.drop(rankExchange + 1)
+      .takeWhile(!_.contains("Exchange hashpartitioning"))
+    assert(below.exists(l =>
+        l.contains("WindowGroupLimit") && l.contains("Partial")),
+      "WindowGroupLimit Partial must sit BELOW the rank exchange " +
+        s"(map side):\n${below.mkString("\n")}")
   }
 
   test("q27/q28 plans: RANGE window stays per-user (no global sort " +
