@@ -90,19 +90,36 @@ object Bench {
     // listed separately so the run is visibly broken
     val good = results.filter(_._3)
     val failed = results.filterNot(_._3).map(_._1)
-    // millisecond precision: sub-ms digits are pure noise, and the
-    // compact line (~2.3 KB at 90 queries) must fit the driver's
-    // bounded output-tail window IN FULL or it can't be parsed at all
-    // (BENCH_r06.json: parsed=null — the 9-decimal line overflowed it).
+    // millisecond precision: sub-ms digits are pure noise.
     // Locale.ROOT: a comma-decimal default locale would emit 0,123
-    // and break the JSON in a different way
+    // and break the JSON
     def sec(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = good.map { case (k, v, _) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
-    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the failed list must stay bounded too — a catastrophic run with
+    // 100 failures would otherwise blow the summary line off the tail
+    val fsShown = failed.take(20)
+    val fs = fsShown.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (good.nonEmpty) good.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${good.size},"failed":$fs,"sf":"$sfDir","queries":$qs}""")
+    val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${good.size},"n_failed":${failed.size},"failed":$fs,"sf":"$sfDir","queries":$qs}"""
+    // The driver captures a bounded stdout TAIL (~2.9 KB, which also
+    // holds sbt's ~80-byte epilogue). At ~100 queries the full record
+    // alone overflows it, clipping its HEAD mid-map — BENCH_r06 and
+    // BENCH_r07 both came back parsed=null that way. So: the full
+    // record goes FIRST (humans + sidecar file for tooling), and the
+    // LAST line printed is a compact, size-bounded summary (~200 B)
+    // that is always intact inside the tail window.
+    println(full)
+    try {
+      val side = java.nio.file.Paths.get("target/bench_queries.json")
+      java.nio.file.Files.createDirectories(side.getParent)
+      java.nio.file.Files.write(side,
+        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${good.size},"n_failed":${failed.size},"failed":$fs,"sf":"$sfDir","queries_file":"target/bench_queries.json"}""")
     spark.stop()
   }
 }
