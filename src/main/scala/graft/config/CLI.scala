@@ -67,6 +67,96 @@ object CLI {
           Access.writeData(snk)
       }),
 
+    // Port of the reference's example-radon (ExampleRadon.hs:76-158):
+    // load observations (CSV-with-header or JSON — the example's
+    // BidirSerials pair), mirror them to a debug sink unchanged, run
+    // foldSummary (count ⊗ nub-states ⊗ distinct-county-count,
+    // ExampleRadon.hs:76-79) PLUS the per-basement-group moments in
+    // the SAME one-pass Applicative fold, and forward-sample the
+    // fitted two-group model. The reference fits ModelParams by
+    // Metropolis-Hastings over monad-bayes (out of a data engine's
+    // scope); the moment-matched analog is deterministic and targets
+    // the same quantities (rate = Bernoulli MLE, radon/noise = group
+    // mean/stddev), and the forward draws replace sampleIOfixed with
+    // hash-seeded uniforms over spark.range — distributed, replayable,
+    // no driver loop.
+    "radon_summary" -> Registered(
+      "radon_summary",
+      "radon observations: debug copy + one-pass fold summary + " +
+        "moment-matched model params + forward samples",
+      OptionsSchema(Seq(
+        OptField("nsamples", Some(OptNum(5000)),
+          "Number of samples to draw"),
+        OptField("vizSize", Some(OptStr("400x400")),
+          "Width & height of visualisations"))),
+      (spark, opts) => {
+        import graft.fold.FoldCol
+        val nsamples = (opts("nsamples") match {
+          case OptNum(n) => n
+          case v         => v.render.toDouble
+        }).toLong
+        val vizSize = opts("vizSize").render
+        val src = VirtualFile(VPath("/data/radon"), Seq("csv", "json"),
+          Usage.Source)
+        val filtered = VirtualFile(VPath("/debug/radon-filtered"),
+          Seq("csv"), Usage.Sink)
+        val vizSummary = VirtualFile(VPath("/viz/summary"), Seq("json"),
+          Usage.Sink)
+        val vizForward = VirtualFile(VPath("/viz/forward"), Seq("json"),
+          Usage.Sink)
+        val withB = col("basement") === "Y"
+        val lr = col("log_radon")
+        // ONE df.agg pass: the fold-applicative product of the
+        // example's Summary AND the five ModelParams moments
+        val fold = FoldCol.count
+          .zip(FoldCol.collectSet(col("state")))
+          .zip(FoldCol.countDistinctOf(col("county")))
+          .zip(FoldCol.countIf(withB))
+          .zip(FoldCol.avgD(FoldCol.prefiltered(withB, lr)))
+          .zip(FoldCol.stddevPopD(FoldCol.prefiltered(withB, lr)))
+          .zip(FoldCol.avgD(FoldCol.prefiltered(!withB, lr)))
+          .zip(FoldCol.stddevPopD(FoldCol.prefiltered(!withB, lr)))
+        val analyse: PTask[DataFrame, (DataFrame, DataFrame)] =
+          PTask.arr { (df: DataFrame) =>
+            val (((((((n, states), nCty), nB), rB), sB), rN), sN) =
+              fold.run(df)
+            import spark.implicits._
+            val rate = nB.toDouble / n
+            val summary = Seq((n, states.map(_.toString).sorted, nCty,
+                rate, rB, rN, sB, sN, vizSize))
+              .toDF("num_rows", "unique_states", "num_unique_counties",
+                "rate_with_b", "radon_with_b", "radon_without_b",
+                "noise_with_b", "noise_without_b", "viz_size")
+            // posteriorForward (ExampleRadon.hs:119-127): Bernoulli on
+            // the basement rate picks the group, a Box–Muller normal
+            // draws the level; uniforms are md5-hash-seeded per (tag,
+            // sample id) so the draw is a pure function of nsamples
+            def u(tag: String) =
+              (conv(substring(md5(concat_ws("_", lit(tag),
+                col("id"))), 1, 8), 16, 10).cast("double") + 1.0) /
+                4294967297.0
+            val z = sqrt(lit(-2.0) * log(u("u1"))) *
+              cos(lit(2.0 * math.Pi) * u("u2"))
+            val forward = spark.range(nsamples)
+              .select(col("id"), (u("b") < lit(rate)).as("has_basement"),
+                z.as("_z"))
+              .select(col("id"), col("has_basement"),
+                round(when(col("has_basement"),
+                    lit(rB) + lit(sB) * col("_z"))
+                  .otherwise(lit(rN) + lit(sN) * col("_z")), 6)
+                  .as("log_radon"))
+            (summary, forward)
+          }
+        Access.loadData(src) >>>
+          (Access.writeData(filtered) &&&
+            (analyse >>>
+              ((PTask.arr((p: (DataFrame, DataFrame)) => p._1) >>>
+                Access.writeData(vizSummary)) &&&
+               (PTask.arr((p: (DataFrame, DataFrame)) => p._2) >>>
+                Access.writeData(vizForward))))) >>>
+          PTask.arr((_: (Unit, (Unit, Unit))) => ())
+      }),
+
     // Port of the reference's example1 (Example1.hs:47-75): repeat an
     // analysis over an index range of users, reading User-{userId}.json
     // and writing Analysis-{userId}.json via path templates.

@@ -70,14 +70,21 @@ object FoldCol {
     single(avg(c))(v => Option(v).fold(Double.NaN)(_.asInstanceOf[Double]))
   def minOf[B](c: Column): FoldCol[B] = single(min(c))(_.asInstanceOf[B])
   def maxOf[B](c: Column): FoldCol[B] = single(max(c))(_.asInstanceOf[B])
-  /** distinct-collect (reference `L.nub` — exact, small domains). */
+  /** distinct-collect (reference `L.nub` — exact, small domains).
+    * Row-level arrays come back as mutable.ArraySeq — `.toSeq` them
+    * into the immutable Seq the signature promises (a bare cast
+    * ClassCastExceptions under Scala 2.13). */
   def collectSet(c: Column): FoldCol[Seq[Any]] =
-    single(collect_set(c))(_.asInstanceOf[Seq[Any]])
+    single(collect_set(c))(_.asInstanceOf[scala.collection.Seq[Any]].toSeq)
   def collectList(c: Column): FoldCol[Seq[Any]] =
-    single(collect_list(c))(_.asInstanceOf[Seq[Any]])
+    single(collect_list(c))(_.asInstanceOf[scala.collection.Seq[Any]].toSeq)
   /** distinct count — exact. */
   def countDistinctOf(c: Column): FoldCol[Long] =
     single(count_distinct(c))(_.asInstanceOf[Long])
+  /** population stddev — the second moment the radon example's noise
+    * params match (ExampleRadon.hs:85-96 ModelParams). */
+  def stddevPopD(c: Column): FoldCol[Double] =
+    single(stddev_pop(c))(v => Option(v).fold(Double.NaN)(_.asInstanceOf[Double]))
   /** distinct count — approx (HLL): the 100TB-scale variant; exact
     * distinct over a high-cardinality key is a full shuffle, HLL is a
     * map-side sketch merge. */

@@ -281,6 +281,80 @@ class ConfigSpec extends AnyFunSuite {
     assert(highCut < noCut, s"file layer must gate rows: $highCut vs $noCut")
   }
 
+  test("radon_summary (example-radon port): CSV load → debug copy → " +
+       "one-pass foldSummary+moments → forward samples, from a YAML " +
+       "spec") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    val base = "/root/repo/target/scratch/radon"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    // reference data/radon.csv shape, cut to the columns the example
+    // reads (state, county, basement, log_radon)
+    val withB = Seq(1.0, 1.1, 0.9, 1.2, 0.8)    // mean 1.0, sd_pop .1414
+    val withoutB = Seq(0.0, 0.2, -0.2)          // mean 0.0, sd_pop .1633
+    val rows =
+      withB.zipWithIndex.map { case (v, i) =>
+        val county = Seq("AITKIN", "BELTRAMI", "CASS")(i % 3)
+        s"MN,$county,Y,$v"
+      } ++ withoutB.map(v => s"WI,DANE,N,$v")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/radon.csv"),
+      "state,county,basement,log_radon\n" + rows.mkString("\n") + "\n")
+    val spec = JobSpec.parse(
+      s"""data: {nsamples: 400}
+         |locations:
+         |  /data/radon: "$base/radon.csv"
+         |  /debug/radon-filtered: "$base/debug/radon-filtered.csv"
+         |  /viz/summary: "$base/viz/summary.json"
+         |  /viz/forward: "$base/viz/forward.json"
+         |""".stripMargin)
+    val reg = CLI.registry("radon_summary")
+    val opts = reg.options.resolveStrict(Some(spec.data), Nil)
+    val task = reg.build(spark, opts)
+    Pipeline.run(spark, task.asInstanceOf[graft.task.PTask[Unit, Any]],
+      spec.mappings, ())
+    // debug sink holds the observations unchanged
+    val back = spark.read.option("header", "true")
+      .csv(s"$base/debug/radon-filtered.csv")
+    assert(back.count() == 8)
+    assert(back.columns.toSet ==
+      Set("state", "county", "basement", "log_radon"))
+    // foldSummary golden (ExampleRadon.hs:76-79) + the moment fields
+    val s = spark.read.json(s"$base/viz/summary.json").head()
+    assert(s.getAs[Long]("num_rows") == 8L)
+    assert(s.getAs[scala.collection.Seq[String]]("unique_states").toSeq ==
+      Seq("MN", "WI"))
+    assert(s.getAs[Long]("num_unique_counties") == 4L)
+    def close(a: Double, b: Double, tol: Double = 1e-6) =
+      math.abs(a - b) < tol
+    assert(close(s.getAs[Double]("rate_with_b"), 5.0 / 8.0))
+    assert(close(s.getAs[Double]("radon_with_b"), 1.0))
+    assert(close(s.getAs[Double]("radon_without_b"), 0.0))
+    assert(close(s.getAs[Double]("noise_with_b"),
+      math.sqrt(0.02), 1e-4))
+    assert(close(s.getAs[Double]("noise_without_b"),
+      math.sqrt(0.08 / 3.0), 1e-4))
+    assert(s.getAs[String]("viz_size") == "400x400")
+    // forward draws: nsamples rows from the fitted two-group model —
+    // deterministic (hash-seeded), so the sample moments sit tight on
+    // the fitted params
+    val fw = spark.read.json(s"$base/viz/forward.json")
+    assert(fw.count() == 400L)
+    val frac = fw.filter(org.apache.spark.sql.functions.col(
+      "has_basement")).count().toDouble / 400.0
+    assert(math.abs(frac - 0.625) < 0.1, s"basement rate $frac")
+    val mB = fw.filter("has_basement")
+      .agg(org.apache.spark.sql.functions.avg("log_radon")).head()
+      .getDouble(0)
+    val mN = fw.filter("NOT has_basement")
+      .agg(org.apache.spark.sql.functions.avg("log_radon")).head()
+      .getDouble(0)
+    assert(math.abs(mB - 1.0) < 0.05, s"with-basement mean $mB")
+    assert(math.abs(mN - 0.0) < 0.05, s"without-basement mean $mN")
+  }
+
   test("user_analysis (example1 port): templated read/write per index") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")
