@@ -796,4 +796,41 @@ object Dedup {
             coalesce(col("n_common"), lit(0L))).cast("double"), 6)
           .as("jaccard"))
   }
+
+  /** Rare-n-gram exposure stats — the memorization / privacy gate a
+    * curation stage runs before training (Carlini et al.'s
+    * memorization studies key on sequences that occur once or a
+    * handful of times corpus-wide). For every doc with at least one
+    * `n`-token window: the count of DISTINCT window-grams, how many
+    * of those are globally unique (`df == 1`), how many are rare
+    * (`df <= rareMax`), the rare fraction, and a `high_exposure`
+    * verdict (`rare_frac >= tau`) — the docs whose content the model
+    * could only have seen here.
+    *
+    * Scale shape: grams ride as 60-bit hashes from the native
+    * positional kernel ([[graft.functions.SketchExprs.windowHashes]]
+    * — XXH64 in production, md5-60 under oracle verification); the
+    * per-doc distinct is row-local (`array_distinct` before the
+    * explode), so the only shuffles are the hash-keyed df aggregate
+    * and the hash-keyed join back — text never shuffles, and the df
+    * relation is vocabulary-sized, not corpus-sized. */
+  def rareNgramStats(docs: DataFrame, n: Int = 8, rareMax: Long = 2,
+                     tau: Double = 0.5, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val grams = docs.select(col(idCol), explode(array_distinct(
+        graft.functions.SketchExprs.windowHashes(col(textCol), n)))
+      .as("_h"))
+    val df = grams.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_df"))
+    grams.join(df, Seq("_h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_df") === 1, 1L).otherwise(0L)).as("n_unique"),
+        sum(when(col("_df") <= rareMax, 1L).otherwise(0L))
+          .as("n_rare"))
+      .withColumn("rare_frac",
+        round(col("n_rare").cast("double") /
+          col("n_grams").cast("double"), 6))
+      .withColumn("high_exposure", col("rare_frac") >= tau)
+  }
 }

@@ -825,6 +825,14 @@ object LlmQueries {
       Dedup.substringDupSpans(table(s, dir, "documents"), l = 8)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // rare-n-gram exposure (memorization/privacy gate): per doc, the
+    // distinct 8-token window-grams, how many are globally unique /
+    // rare (df <= 2), and the high-exposure verdict.
+    "llm_rare_ngrams" -> ((s, dir) =>
+      Dedup.rareNgramStats(table(s, dir, "documents"), n = 8,
+        rareMax = 2, tau = 0.5)
+        .orderBy(col("doc_id"))),
+
     // exact-substring dedup, materialized: duplicated spans cut from
     // every doc except the canonical (globally-first) occurrence.
     "llm_substring_dedup" -> ((s, dir) =>
@@ -2731,6 +2739,36 @@ object LlmQueries {
            count(*) AS n_windows
          FROM isl GROUP BY doc_id, grp
          ORDER BY doc_id, span_start""",
+
+    // rare-n-gram replay: distinct md5-60 window hashes per doc,
+    // hash df across docs, unique/rare counts + exposure verdict.
+    "llm_rare_ngrams" ->
+      raw"""WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         win AS (
+           SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(tk) - 7),
+             i -> CAST(('0x' || substring(
+               md5(array_to_string(tk[i:i+7], ' ')), 1, 15)) AS BIGINT)))
+             AS h
+           FROM tok WHERE len(tk) >= 8),
+         w2 AS (SELECT DISTINCT doc_id, h FROM win),
+         df AS (SELECT h, count(*) AS df FROM w2 GROUP BY h),
+         agg AS (
+           SELECT doc_id, count(*) AS n_grams,
+             CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique,
+             CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rare
+           FROM w2 JOIN df USING (h) GROUP BY doc_id)
+         SELECT doc_id, n_grams, n_unique, n_rare,
+           round(CAST(n_rare AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+             AS rare_frac,
+           (round(CAST(n_rare AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+             >= 0.5) AS high_exposure
+         FROM agg ORDER BY doc_id""",
 
     // substring-dedup replay: spans + leading-window hash, canonical
     // election by (doc, pos), cut ranges anti-joined against the

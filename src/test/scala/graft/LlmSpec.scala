@@ -1281,4 +1281,43 @@ class LlmSpec extends AnyFunSuite {
       .select("text_clean", "n_tokens_dropped").head()
     assert(nRow.isNullAt(0) && nRow.getLong(1) == 0L)
   }
+
+  test("rareNgramStats: duplicated docs score zero exposure, unique " +
+       "docs score full; short docs drop out") {
+    import spark.implicits._
+    val shared = "a b c d e f g h i j"        // 10 tokens -> 3 8-grams
+    val unique = "p q r s t u v w x y"
+    val planted = Seq((1L, shared), (2L, shared), (3L, unique),
+        (4L, "short text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.rareNgramStats(planted, n = 8, rareMax = 1,
+        tau = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+         r.getBoolean(5))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "4-token doc has no 8-gram")
+    assert(out(1L) == ((3L, 0L, 0L, 0.0, false)),
+      "every gram of a duplicated doc has df=2: nothing unique")
+    assert(out(2L) == out(1L))
+    assert(out(3L) == ((3L, 3L, 3L, 1.0, true)),
+      "all grams of the unique doc are globally unique")
+  }
+
+  test("rareNgramStats: repeated gram inside ONE doc counts once " +
+       "(distinct-per-doc, df stays 1)") {
+    import spark.implicits._
+    // the 8-gram "a b c d e f g h" occurs twice in doc 1 (positions
+    // 1 and 9) but in no other doc -> df must be 1, not 2
+    val d1 = "a b c d e f g h a b c d e f g h"
+    val planted = Seq((1L, d1), (2L, "m n o p q r s t u")).toDF(
+      "doc_id", "text")
+    val out = Dedup.rareNgramStats(planted, n = 8, rareMax = 1,
+        tau = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // doc1: 9 window positions but duplicates collapse; every
+    // surviving distinct gram appears only in doc1 -> all unique
+    assert(out(1L)._1 == out(1L)._2,
+      s"in-doc repetition must not inflate df: ${out(1L)}")
+  }
 }
