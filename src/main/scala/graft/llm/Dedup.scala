@@ -797,6 +797,59 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Per-source boilerplate removal — the template/navigation-chrome
+    * strip of web curation pipelines (CCNet dedups common lines per
+    * shard; RefinedWeb strips site chrome): a chunk is boilerplate
+    * for a SOURCE when it appears in at least `minDocs` docs AND at
+    * least `tau` fraction of that source's docs — a relative,
+    * group-local criterion, unlike [[chunkDedup]]'s global absolute
+    * frequency cut. Every occurrence of a boilerplate chunk is
+    * removed from every doc of the source (templates have no
+    * canonical copy worth keeping); returns the doc id/group plus
+    * `text_clean` and `n_chunks_removed`. Token chunks stand in for
+    * lines ([[tokenChunks]] — the corpus has no line structure).
+    *
+    * Scale shape: chunk content rides as 64-bit hashes; the per-source
+    * df aggregates `(group, hash, doc)` distincts with map-side
+    * combine; qualifying templates are a tiny relation joined back on
+    * `(group, hash)`; only boilerplate (doc, pos) hits ride the join
+    * onto the corpus (sparse for a mostly-clean corpus, AQE
+    * broadcasts); untouched docs take the null fast path without
+    * re-tokenizing. Group sizes are |groups|-sized (broadcast). */
+  def stripSourceBoilerplate(docs: DataFrame, chunkTokens: Int = 10,
+                             minDocs: Long = 2, tau: Double = 0.08,
+                             groupCol: String = "source",
+                             textCol: String = "text",
+                             idCol: String = "doc_id"): DataFrame = {
+    val chunks = docs.select(col(idCol), col(groupCol).as("_g"),
+        posexplode(tokenChunks(col(textCol), chunkTokens))
+          .as(Seq("_pos", "_c")))
+      .select(col(idCol), col("_g"), col("_pos"),
+        xxhash64(col("_c")).as("_h"))
+    val sizes = docs.groupBy(col(groupCol).as("_g"))
+      .agg(count(lit(1)).as("_nd"))
+    val dfRel = chunks.select(col("_g"), col("_h"), col(idCol))
+      .distinct()
+      .groupBy(col("_g"), col("_h"))
+      .agg(count(lit(1)).as("_df"))
+    val boiler = dfRel.join(sizes, Seq("_g"))
+      .filter(col("_df") >= minDocs &&
+        col("_df").cast("double") / col("_nd").cast("double") >= tau)
+      .select(col("_g"), col("_h"))
+    val badPos = chunks.join(boiler, Seq("_g", "_h"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("_pos"))).as("_bad"))
+    docs.join(badPos, Seq(idCol), "left")
+      .withColumn("text_clean",
+        when(col("_bad").isNull, col(textCol))
+          .otherwise(array_join(filter(
+            tokenChunks(col(textCol), chunkTokens),
+            (c, i) => !array_contains(col("_bad"), i)), " ")))
+      .withColumn("n_chunks_removed",
+        coalesce(size(col("_bad")), lit(0)).cast("long"))
+      .drop("_bad")
+  }
+
   /** Rare-n-gram exposure stats — the memorization / privacy gate a
     * curation stage runs before training (Carlini et al.'s
     * memorization studies key on sequences that occur once or a

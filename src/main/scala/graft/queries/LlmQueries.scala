@@ -825,6 +825,16 @@ object LlmQueries {
       Dedup.substringDupSpans(table(s, dir, "documents"), l = 8)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // per-source boilerplate strip: chunks present in >= 2 docs AND
+    // >= 8% of a source's docs are templates; every occurrence
+    // removed from that source's docs.
+    "llm_boilerplate" -> ((s, dir) =>
+      Dedup.stripSourceBoilerplate(table(s, dir, "documents"),
+          chunkTokens = 10, minDocs = 2, tau = 0.08)
+        .select(col("doc_id"), col("source"), col("text_clean"),
+          col("n_chunks_removed"))
+        .orderBy(col("doc_id"))),
+
     // rare-n-gram exposure (memorization/privacy gate): per doc, the
     // distinct 8-token window-grams, how many are globally unique /
     // rare (df <= 2), and the high-exposure verdict.
@@ -2739,6 +2749,44 @@ object LlmQueries {
            count(*) AS n_windows
          FROM isl GROUP BY doc_id, grp
          ORDER BY doc_id, span_start""",
+
+    // boilerplate replay on chunk TEXT (the engine's chunk hash is
+    // internal); a chunk position is removed iff its VALUE is a
+    // qualifying template for the doc's source.
+    "llm_boilerplate" ->
+      """WITH toks AS (
+           SELECT doc_id, source, text,
+             list_filter(string_split(text, ' '), t -> t <> '') AS tk
+           FROM documents),
+         ch AS (
+           SELECT doc_id, source, text,
+             CASE WHEN len(tk) > 0 THEN
+               list_transform(generate_series(0, (len(tk) - 1) // 10),
+                 i -> array_to_string(tk[i*10+1 : i*10+10], ' '))
+             ELSE [] END AS chunks
+           FROM toks),
+         sz AS (SELECT source, count(*) AS nd FROM documents
+                GROUP BY source),
+         dfq AS (
+           SELECT source, c, count(DISTINCT doc_id) AS df
+           FROM (SELECT doc_id, source, unnest(chunks) AS c FROM ch)
+           GROUP BY source, c),
+         boiler AS (
+           SELECT dfq.source, list(c) AS bad
+           FROM dfq JOIN sz USING (source)
+           WHERE df >= 2 AND CAST(df AS DOUBLE) / nd >= 0.08
+           GROUP BY dfq.source)
+         SELECT doc_id, source,
+           CASE WHEN len(kept) = len(chunks) THEN text
+                ELSE coalesce(array_to_string(kept, ' '), '') END
+             AS text_clean,
+           CAST(len(chunks) - len(kept) AS BIGINT) AS n_chunks_removed
+         FROM (
+           SELECT ch.doc_id, ch.source, ch.text, ch.chunks,
+             list_filter(ch.chunks, x -> NOT list_contains(
+               coalesce(b.bad, []), x)) AS kept
+           FROM ch LEFT JOIN boiler b ON ch.source = b.source)
+         ORDER BY doc_id""",
 
     // rare-n-gram replay: distinct md5-60 window hashes per doc,
     // hash df across docs, unique/rare counts + exposure verdict.

@@ -1282,6 +1282,30 @@ class LlmSpec extends AnyFunSuite {
     assert(nRow.isNullAt(0) && nRow.getLong(1) == 0L)
   }
 
+  test("stripSourceBoilerplate: templates are group-local and every " +
+       "occurrence is removed") {
+    import spark.implicits._
+    val header = (1 to 10).map(i => s"h$i").mkString(" ")
+    def body(p: String) = (1 to 10).map(i => s"$p$i").mkString(" ")
+    val planted = Seq(
+      (1L, "A", s"$header $header ${body("a")}"),  // template twice
+      (2L, "A", s"$header ${body("b")}"),
+      (3L, "A", s"$header ${body("c")}"),
+      (4L, "B", s"$header ${body("d")}"))          // df=1 in B
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.stripSourceBoilerplate(planted, chunkTokens = 10,
+        minDocs = 2, tau = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text_clean"),
+         r.getAs[Long]("n_chunks_removed"))).toMap
+    assert(out(1L) == ((body("a"), 2L)),
+      "both in-doc occurrences of the template must go")
+    assert(out(2L) == ((body("b"), 1L)))
+    assert(out(3L) == ((body("c"), 1L)))
+    assert(out(4L) == ((s"$header ${body("d")}", 0L)),
+      "the same chunk in a source where it is NOT frequent survives")
+  }
+
   test("rareNgramStats: duplicated docs score zero exposure, unique " +
        "docs score full; short docs drop out") {
     import spark.implicits._
