@@ -757,6 +757,32 @@ object LlmQueries {
           round(expr("percentile(n_tok, 0.99)"), 6).as("p99"))
         .orderBy(col("lang"))),
 
+    // approx-quantile verdict (same shape as llm_approx_stats): each
+    // engine checks ITS OWN mergeable quantile sketch (Spark
+    // approx_percentile, DuckDB t-digest) against the exact
+    // interpolated percentile; the hash compares exact values + the
+    // within_band boolean, never raw sketch output. The sketch is the
+    // 100 TB scale path — exact percentile is a full sort per group.
+    "llm_len_approx" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("lang"),
+          TextAnalysis.textStats(col("text")).getField("n_tokens")
+            .cast("double").as("n_tok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(expr("percentile(n_tok, 0.5)"), 6).as("p50"),
+          round(expr("percentile(n_tok, 0.9)"), 6).as("p90"),
+          round(expr("percentile(n_tok, 0.99)"), 6).as("p99"),
+          expr("approx_percentile(n_tok, array(0.5D, 0.9D, 0.99D), " +
+            "10000)").as("_ap"))
+        .select(col("lang"), col("n_docs"), col("p50"), col("p90"),
+          col("p99"),
+          ((abs(col("_ap")(0) - col("p50")) / col("p50") < 0.05) &&
+           (abs(col("_ap")(1) - col("p90")) / col("p90") < 0.05) &&
+           (abs(col("_ap")(2) - col("p99")) / col("p99") < 0.05))
+            .cast("int").as("within_band"))
+        .orderBy(col("lang"))),
+
     // temperature-balanced source mix: alpha=0.6 flattening, smallest
     // source keeps all, dominant sources thinned by the md5-id gate.
     // The testdata's sources are uniform, so a deterministic skew
@@ -2395,6 +2421,30 @@ object LlmQueries {
            round(quantile_cont(n_tok, 0.9), 6) AS p90,
            round(quantile_cont(n_tok, 0.99), 6) AS p99
          FROM tok GROUP BY lang ORDER BY lang""",
+
+    // approx-quantile verdict: DuckDB's own t-digest checked against
+    // its exact quantile_cont; only exact values + verdict are hashed.
+    "llm_len_approx" ->
+      raw"""WITH tok AS (
+           SELECT lang, CAST(len(list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> ''))
+             AS DOUBLE) AS n_tok
+           FROM documents),
+         agg AS (
+           SELECT lang, count(*) AS n_docs,
+             round(quantile_cont(n_tok, 0.5), 6) AS p50,
+             round(quantile_cont(n_tok, 0.9), 6) AS p90,
+             round(quantile_cont(n_tok, 0.99), 6) AS p99,
+             CAST(approx_quantile(n_tok, 0.5) AS DOUBLE) AS a50,
+             CAST(approx_quantile(n_tok, 0.9) AS DOUBLE) AS a90,
+             CAST(approx_quantile(n_tok, 0.99) AS DOUBLE) AS a99
+           FROM tok GROUP BY lang)
+         SELECT lang, n_docs, p50, p90, p99,
+           CAST(abs(a50 - p50) / p50 < 0.05
+                AND abs(a90 - p90) / p90 < 0.05
+                AND abs(a99 - p99) / p99 < 0.05 AS INTEGER)
+             AS within_band
+         FROM agg ORDER BY lang""",
 
     // temperature-mix replay: identical rate formula and division
     // order ((n/total)/(nmin/total), pow, round-6), md5-id gate.
