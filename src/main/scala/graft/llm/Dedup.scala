@@ -797,6 +797,78 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Winnowed document fingerprints — Schleimer/Wilkerson/Aiken 2003
+    * (the MOSS algorithm): over the positional `k`-token window-gram
+    * hashes, slide a window of `w` consecutive hashes and select the
+    * minimum (rightmost occurrence on ties); adjacent windows mostly
+    * re-select the same position, so the distinct selections are a
+    * ~`2/(w+1)` density sample of the gram stream with the winnowing
+    * guarantee: any shared run of at least `w + k - 1` tokens yields
+    * at least one shared fingerprint. Returns one row per selected
+    * print: `(id, pos, print_hash)` with 1-based token offsets.
+    *
+    * Scale shape: selection is ROW-LOCAL — the native positional
+    * kernel ([[graft.functions.SketchExprs.windowHashes]], XXH64 in
+    * production / md5-60 under oracle verification) materializes the
+    * per-doc hash array once, and the argmin-per-window + distinct
+    * all run inside the projection, so fingerprinting a corpus is a
+    * pure scan: zero shuffles, text never leaves the scan, and the
+    * downstream index is `w`-fold smaller than the full gram
+    * stream. */
+  def winnowPrints(docs: DataFrame, k: Int = 5, w: Int = 4,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(w >= 2, "winnow window must cover at least 2 grams")
+    val zero = struct(lit(Long.MaxValue).as("h"),
+      lit(-1).cast("int").as("p"))
+    val withSel = docs
+      .select(col(idCol), graft.functions.SketchExprs
+        .windowHashes(col(textCol), k).as("_hs"))
+      .filter(size(col("_hs")) >= w)
+      .select(col(idCol), col("_hs"), array_distinct(
+        transform(sequence(lit(1), size(col("_hs")) - (w - 1)),
+          p => aggregate(sequence(lit(0), lit(w - 1)), zero,
+            (acc, i) => {
+              val pi = (p + i).cast("int")
+              val cand = struct(
+                element_at(col("_hs"), pi).as("h"), pi.as("p"))
+              when(cand.getField("h") <= acc.getField("h"), cand)
+                .otherwise(acc)
+            }).getField("p"))).as("_sel"))
+    withSel
+      .select(col(idCol), explode(col("_sel")).as("pos"), col("_hs"))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        element_at(col("_hs"), col("pos").cast("int"))
+          .as("print_hash"))
+  }
+
+  /** Near-dup candidate pairs from shared winnowed fingerprints —
+    * the MOSS match step at corpus scale: docs sharing at least
+    * `minShared` DISTINCT selected prints. Prints whose total
+    * occurrence count exceeds `maxDf` are dropped first (the
+    * standard high-frequency-print ignore: boilerplate grams would
+    * otherwise fan the self-join out quadratically — the same skew
+    * bound as LSH bucket caps). Only 8-byte print hashes shuffle;
+    * the self-join is keyed on the winnowed (≈ `1/w`-density,
+    * df-capped) print stream, not the corpus. */
+  def winnowPairs(docs: DataFrame, k: Int = 5, w: Int = 4,
+                  minShared: Long = 2, maxDf: Long = 50,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val pr = winnowPrints(docs, k, w, textCol, idCol)
+      .select(col(idCol).as("_id"), col("print_hash").as("_h"))
+    val rare = pr.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxDf)
+      .select(col("_h"))
+    val keep = pr.join(rare, Seq("_h"))
+    keep.as("a")
+      .join(keep.as("b"),
+        col("a._h") === col("b._h") && col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .agg(count_distinct(col("a._h")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Per-source boilerplate removal — the template/navigation-chrome
     * strip of web curation pipelines (CCNet dedups common lines per
     * shard; RefinedWeb strips site chrome): a chunk is boilerplate

@@ -851,6 +851,14 @@ object LlmQueries {
       Dedup.substringDupSpans(table(s, dir, "documents"), l = 8)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // winnowed-fingerprint near-dup candidates (MOSS): shared
+    // rightmost-min prints over 5-gram hashes, winnow window 4,
+    // high-frequency prints (df > 50) ignored.
+    "llm_winnow" -> ((s, dir) =>
+      Dedup.winnowPairs(table(s, dir, "documents"), k = 5, w = 4,
+          minShared = 2, maxDf = 50)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // per-source boilerplate strip: chunks present in >= 2 docs AND
     // >= 8% of a source's docs are templates; every occurrence
     // removed from that source's docs.
@@ -2799,6 +2807,49 @@ object LlmQueries {
            count(*) AS n_windows
          FROM isl GROUP BY doc_id, grp
          ORDER BY doc_id, span_start""",
+
+    // winnow replay: md5-60 5-gram hashes, rightmost-min (<=) reduce
+    // per start, position-distinct prints, df cap, shared-print pairs.
+    // The (h, p) struct list is built ONCE and sliced per window
+    // start — DuckDB 1.0 mis-captures an outer lambda variable inside
+    // a nested generate_series lambda (each window silently reduced
+    // to its first element), so the replay must not nest lambdas.
+    "llm_winnow" ->
+      raw"""WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         hs AS (
+           SELECT doc_id, list_transform(
+             generate_series(1, len(tk) - 4),
+             i -> CAST(('0x' || substring(
+               md5(array_to_string(tk[i:i+4], ' ')), 1, 15)) AS BIGINT))
+             AS h
+           FROM tok WHERE len(tk) >= 5),
+         zh AS (
+           SELECT doc_id, h, list_transform(generate_series(1, len(h)),
+             i -> {'h': h[i], 'p': i}) AS z
+           FROM hs WHERE len(h) >= 4),
+         sel AS (
+           SELECT doc_id, h, list_distinct(list_transform(
+             generate_series(1, len(h) - 3),
+             p -> list_reduce(z[p : p + 3],
+               (a, b) -> CASE WHEN b.h <= a.h THEN b ELSE a END).p))
+             AS selpos
+           FROM zh),
+         pr AS (
+           SELECT doc_id, unnest(list_transform(selpos, p -> h[p]))
+             AS ph
+           FROM sel),
+         rare AS (SELECT ph FROM pr GROUP BY ph
+                  HAVING count(*) <= 50),
+         keep AS (SELECT doc_id, ph FROM pr JOIN rare USING (ph))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(DISTINCT a.ph) AS n_shared
+         FROM keep a JOIN keep b
+           ON a.ph = b.ph AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(DISTINCT a.ph) >= 2
+         ORDER BY id_a, id_b""",
 
     // boilerplate replay on chunk TEXT (the engine's chunk hash is
     // internal); a chunk position is removed iff its VALUE is a

@@ -1282,6 +1282,59 @@ class LlmSpec extends AnyFunSuite {
     assert(nRow.isNullAt(0) && nRow.getLong(1) == 0L)
   }
 
+  test("winnowPrints: guarantee (shared run >= w+k-1 tokens shares a " +
+       "print), density ~2/(w+1), rightmost-min tie rule") {
+    import spark.implicits._
+    // docs 1 and 2 share an 8-token run (= w + k - 1 with k=5, w=4):
+    // the winnowing guarantee promises at least one common print
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val d1 = s"a1 a2 a3 $shared a4 a5 a6"
+    val d2 = s"b1 b2 $shared b3 b4 b5 b6 b7"
+    val d3 = (1 to 60).map(i => s"c$i").mkString(" ")
+    val planted = Seq((1L, d1), (2L, d2), (3L, d3))
+      .toDF("doc_id", "text")
+    val pr = Dedup.winnowPrints(planted, k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = pr.groupBy(_._1)
+    val h1 = byDoc(1L).map(_._3).toSet
+    val h2 = byDoc(2L).map(_._3).toSet
+    assert((h1 & h2).nonEmpty, "shared 8-token run must share a print")
+    assert(byDoc(3L).map(_._3).toSet.intersect(h1).isEmpty)
+    // density: doc 3 has 56 grams, 53 windows; expected ~2/5 of
+    // positions selected; winnowing bounds it to [1/w, 1] per window
+    val n3 = byDoc(3L).length
+    assert(n3 >= 53 / 4 && n3 <= 53, s"density out of range: $n3")
+    // every selected position's hash is the min of SOME w-window and
+    // positions are distinct
+    assert(byDoc(3L).map(_._2).distinct.length == n3)
+  }
+
+  test("winnowPairs: planted near-dup found, boilerplate print df cap " +
+       "suppresses spurious pairs") {
+    import spark.implicits._
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    // a 20-token template present in EVERY doc: its interior prints
+    // alone would pair the otherwise-disjoint docs 3 and 4
+    val boiler = (1 to 20).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared $boiler a1 a2 a3"),
+      (2L, s"x1 x2 $shared $boiler"),
+      (3L, s"$boiler " + (1 to 30).map(i => s"y$i").mkString(" ")),
+      (4L, s"$boiler " + (1 to 30).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.winnowPairs(docs, k = 5, w = 4,
+        minShared = 2, maxDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((3L, 4L)),
+      s"without the cap the template pairs disjoint docs: $uncapped")
+    val pairs = Dedup.winnowPairs(docs, k = 5, w = 4, minShared = 2,
+        maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "20-token shared run must pair")
+    assert(!pairs.contains((3L, 4L)),
+      s"df-capped template prints must not pair disjoint docs: $pairs")
+  }
+
   test("stripSourceBoilerplate: templates are group-local and every " +
        "occurrence is removed") {
     import spark.implicits._

@@ -55,6 +55,13 @@ class PlanSpec extends AnyFunSuite {
       s"simhash stage must not shuffle:\n${shPlan.take(1500)}")
   }
 
+  test("winnowPrints fingerprinting is a shuffle-free pure scan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(Dedup.winnowPrints(docs, k = 5, w = 4))
+    assert(!plan.contains("Exchange"),
+      s"winnow selection must stay row-local:\n${plan.take(1500)}")
+  }
+
   test("native sketch expressions stay inside whole-stage codegen") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = planOf(Dedup.simHash(docs))
