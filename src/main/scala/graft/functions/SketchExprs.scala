@@ -272,6 +272,35 @@ object SketchExprs {
       copy(child = newChild)
   }
 
+  /** Winnowed fingerprint selection (see [[SketchOps.winnowPrints]]):
+    * string -> array<struct<pos:int, h:long>> of MOSS-selected
+    * prints. Fused tokenize + window-hash + winnow so the text is
+    * scanned once per row — the higher-order-function formulation
+    * re-evaluates the hash kernel per element under Catalyst's
+    * projection collapse. */
+  case class WinnowPrintsExpr(child: Expression, k: Int, w: Int,
+                              xx: Boolean)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${child.dataType}")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "winnow_prints"
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.winnowPrints(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        k, w, xx)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchOps.winnowPrints($c, $k, $w, $xx);")
+    override protected def withNewChildInternal(newChild: Expression): WinnowPrintsExpr =
+      copy(child = newChild)
+  }
+
   /** Canonical text normalization: string -> string (NFC, root-locale
     * lowercase, whitespace collapse, trim). */
   case class NormalizeText(child: Expression) extends UnaryExpression {
@@ -528,6 +557,8 @@ object SketchExprs {
     toCol(ShingleHashes(toExpr(c), shingleSize, SketchOps.xxFamily()))
   def windowHashes(c: Column, windowSize: Int): Column =
     toCol(WindowHashes(toExpr(c), windowSize, SketchOps.xxFamily()))
+  def winnowPrints(c: Column, k: Int, w: Int): Column =
+    toCol(WinnowPrintsExpr(toExpr(c), k, w, SketchOps.xxFamily()))
   def bloomHits(c: Column, words: Array[Long], k: Int, log2m: Int,
                 shift: Int): Column =
     toCol(BloomHits(toExpr(c), words, k, log2m, shift))

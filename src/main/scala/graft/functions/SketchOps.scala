@@ -379,6 +379,59 @@ object SketchOps {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Winnowed fingerprints (Schleimer et al. 2003) in ONE pass:
+    * tokenize, hash every `k`-token window (same family rule as
+    * [[windowHashes]]), then select the rightmost minimum of each
+    * run of `w` consecutive hashes. Selected positions are
+    * monotonically non-decreasing as the window slides (the argmin
+    * either stays, moves right on a new <= hash, or — when it falls
+    * off the left edge — lands on a position to its right), so the
+    * position-distinct dedup is a last-selected compare. Returns
+    * array<struct<pos:int, h:long>> with 1-based token positions;
+    * density ~2/(w+1) of the gram stream. */
+  def winnowPrints(text: org.apache.spark.unsafe.types.UTF8String,
+                   k: Int, w: Int, xx: Boolean): ArrayData = {
+    val toks = spaceTokens(text.toString)
+    val nWin = toks.length - (k - 1)
+    if (nWin < w)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](0))
+    val hs = new Array[Long](nWin)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < nWin) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val s = sb.toString
+      hs(i) = if (xx) xx64Str(s) >>> 4 else md5Base60(utf8(s))
+      i += 1
+    }
+    val sel = new scala.collection.mutable.ArrayBuffer[Any](
+      nWin / (w / 2 + 1) + 2)
+    var last = -1
+    var p = 0
+    while (p + w <= nWin) {
+      var best = p
+      var j = p + 1
+      while (j < p + w) {
+        if (hs(j) <= hs(best)) best = j
+        j += 1
+      }
+      if (best != last) {
+        sel += new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](best + 1, hs(best)))
+        last = best
+      }
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sel.toArray)
+  }
+
   /** Canonical text normalization: unicode NFC, lowercase (root
     * locale — no Turkish-i surprises from the JVM default), whitespace
     * runs collapsed to single spaces, ends trimmed. The standard

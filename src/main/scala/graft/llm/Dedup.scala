@@ -807,39 +807,27 @@ object Dedup {
     * at least one shared fingerprint. Returns one row per selected
     * print: `(id, pos, print_hash)` with 1-based token offsets.
     *
-    * Scale shape: selection is ROW-LOCAL — the native positional
-    * kernel ([[graft.functions.SketchExprs.windowHashes]], XXH64 in
-    * production / md5-60 under oracle verification) materializes the
-    * per-doc hash array once, and the argmin-per-window + distinct
-    * all run inside the projection, so fingerprinting a corpus is a
-    * pure scan: zero shuffles, text never leaves the scan, and the
-    * downstream index is `w`-fold smaller than the full gram
-    * stream. */
+    * Scale shape: selection is ROW-LOCAL and FUSED — the native
+    * [[graft.functions.SketchExprs.winnowPrints]] kernel (XXH64 in
+    * production / md5-60 under oracle verification) tokenizes,
+    * hashes and winnows in one codegen'd pass per row, so
+    * fingerprinting a corpus is a pure scan: zero shuffles, text
+    * never leaves the scan, and the downstream index is `w`-fold
+    * smaller than the full gram stream. (A higher-order-function
+    * formulation is NOT equivalent at scale: Catalyst's projection
+    * collapse inlines the hash-array child into every element access
+    * and re-runs the tokenizer per window element — measured ~40x
+    * slower at sf0.1.) */
   def winnowPrints(docs: DataFrame, k: Int = 5, w: Int = 4,
                    textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
     require(w >= 2, "winnow window must cover at least 2 grams")
-    val zero = struct(lit(Long.MaxValue).as("h"),
-      lit(-1).cast("int").as("p"))
-    val withSel = docs
-      .select(col(idCol), graft.functions.SketchExprs
-        .windowHashes(col(textCol), k).as("_hs"))
-      .filter(size(col("_hs")) >= w)
-      .select(col(idCol), col("_hs"), array_distinct(
-        transform(sequence(lit(1), size(col("_hs")) - (w - 1)),
-          p => aggregate(sequence(lit(0), lit(w - 1)), zero,
-            (acc, i) => {
-              val pi = (p + i).cast("int")
-              val cand = struct(
-                element_at(col("_hs"), pi).as("h"), pi.as("p"))
-              when(cand.getField("h") <= acc.getField("h"), cand)
-                .otherwise(acc)
-            }).getField("p"))).as("_sel"))
-    withSel
-      .select(col(idCol), explode(col("_sel")).as("pos"), col("_hs"))
-      .select(col(idCol), col("pos").cast("long").as("pos"),
-        element_at(col("_hs"), col("pos").cast("int"))
-          .as("print_hash"))
+    docs
+      .select(col(idCol), explode(graft.functions.SketchExprs
+        .winnowPrints(col(textCol), k, w)).as("_pr"))
+      .select(col(idCol),
+        col("_pr").getField("pos").cast("long").as("pos"),
+        col("_pr").getField("h").as("print_hash"))
   }
 
   /** Near-dup candidate pairs from shared winnowed fingerprints —
@@ -854,19 +842,39 @@ object Dedup {
   def winnowPairs(docs: DataFrame, k: Int = 5, w: Int = 4,
                   minShared: Long = 2, maxDf: Long = 50,
                   textCol: String = "text",
-                  idCol: String = "doc_id"): DataFrame = {
+                  idCol: String = "doc_id"): DataFrame =
+    graft.cache.Pins.track(docs.sparkSession,
+      winnowPairsManaged(docs, k, w, minShared, maxDf, textCol,
+        idCol)).value
+
+  /** [[winnowPairs]] with an explicit cache lifecycle: the persisted
+    * print stream backing the returned plan is released by `close()`
+    * — the unmanaged shorthand tracks its pin in
+    * [[graft.cache.Pins]] instead. */
+  def winnowPairsManaged(docs: DataFrame, k: Int = 5, w: Int = 4,
+                         minShared: Long = 2, maxDf: Long = 50,
+                         textCol: String = "text",
+                         idCol: String = "doc_id")
+      : graft.access.Split.Branches[DataFrame] = {
+    // persist the winnowed prints: ~1/w of the gram stream, 16-byte
+    // rows — consumed three times (df cap + both join sides); without
+    // the persist each consumer re-runs the scan + kernel. At 100 TB
+    // the prints are the parquet fingerprint layer you'd write once
+    // per corpus snapshot.
     val pr = winnowPrints(docs, k, w, textCol, idCol)
       .select(col(idCol).as("_id"), col("print_hash").as("_h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = pr.groupBy(col("_h"))
       .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxDf)
       .select(col("_h"))
     val keep = pr.join(rare, Seq("_h"))
-    keep.as("a")
+    val result = keep.as("a")
       .join(keep.as("b"),
         col("a._h") === col("b._h") && col("a._id") < col("b._id"))
       .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .agg(count_distinct(col("a._h")).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+    graft.access.Split.Branches(result, pr)
   }
 
   /** Per-source boilerplate removal — the template/navigation-chrome
