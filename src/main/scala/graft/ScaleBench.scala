@@ -210,6 +210,15 @@ object ScaleBench {
         graft.llm.TextAnalysis.nbLangIdConfusion(docs).count())
       report("nb_langid", f, nDocs, nb, t22)
 
+      // winnow: fingerprint selection is a fused zero-shuffle scan
+      // (should be flat like gopher); the pair join runs on the
+      // df-capped ~1/w print stream, so growth tracks true shared
+      // prints (output-bound), not the corpus square
+      val (wp, t24) = timed(
+        graft.llm.Dedup.winnowPairs(docs, k = 5, w = 4,
+          minShared = 2, maxDf = 50).count())
+      report("winnow_pairs", f, nDocs, wp, t24)
+
       // MMR: candidate generation is the broadcast-query corpus scan
       // (Q fixed at the first-copy slice); the greedy loop is
       // O(k·N·dim) per query, constant per query as the corpus grows

@@ -845,6 +845,59 @@ object TextAnalysis {
         coalesce(col("char_entropy"), lit(0.0)).as("char_entropy"))
   }
 
+  /** Secret / credential scan — the entropy heuristic of code-corpus
+    * secret scanners (truffleHog-family): a token is secret-like when
+    * it is long (`>= minLen`), drawn from a key-ish charset
+    * (base64/hex/url-safe), and has high character-level Shannon
+    * entropy (`>= minEntropy` nats — 32-char hex keys cluster near
+    * 2.68, the longest natural words stay under ~2.4). Returns per doc:
+    * candidate count, secret-like count, max candidate entropy
+    * (−1 when no candidate) and a `has_secret` verdict — the strip
+    * gate a code/web curation pass runs before training.
+    *
+    * Scale shape: the length+charset gate is a row-local prefilter on
+    * the token stream, so only the sparse candidate set (rare in
+    * prose) explodes to characters; entropy uses the order-free
+    * `ln n − (Σ c·ln c)/n` identity with the decimal-summed middle
+    * term (engine-replayable, accumulation-order-free). For corpora
+    * that are MOSTLY blobs (the gate stops being sparse), fold the
+    * per-token loop into a native kernel like [[graft.functions
+    * .SketchExprs.winnowPrints]] — same trade, different corpus. */
+  def secretScan(docs: DataFrame, minLen: Int = 20,
+                 minEntropy: Double = 2.5, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val cand = docs
+      .select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("_pos", "_t")))
+      .filter(length(col("_t")) >= minLen &&
+        col("_t").rlike("^[A-Za-z0-9+/=_.-]+$"))
+    val ent = cand
+      .select(col(idCol), col("_pos"),
+        explode(filter(split(col("_t"), ""), c => c =!= ""))
+          .as("_ch"))
+      .groupBy(col(idCol), col("_pos"), col("_ch"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol), col("_pos"))
+      .agg(sum(col("_c")).as("_n"),
+        sum((col("_c").cast("double") * log(col("_c").cast("double")))
+          .cast("decimal(38,18)")).cast("double").as("_sclnc"))
+      .select(col(idCol),
+        round(log(col("_n").cast("double")) -
+          col("_sclnc") / col("_n").cast("double"), 6).as("_ent"))
+    docs.join(
+      ent.groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_long_tokens"),
+          sum(when(col("_ent") >= minEntropy, 1L).otherwise(0L))
+            .as("n_secretish"),
+          round(max(col("_ent")), 6).as("max_entropy")),
+      Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_long_tokens"), lit(0L)).as("n_long_tokens"),
+        coalesce(col("n_secretish"), lit(0L)).as("n_secretish"),
+        coalesce(col("max_entropy"), lit(-1.0)).as("max_entropy"),
+        (coalesce(col("n_secretish"), lit(0L)) > 0).as("has_secret"))
+  }
+
   /** Label-vs-prediction confusion matrix of [[nbLangId]] over a
     * labeled corpus: one row per observed (lang, pred_lang) with its
     * document count — the compact training-data QA artifact (the

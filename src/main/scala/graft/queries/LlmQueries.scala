@@ -851,6 +851,19 @@ object LlmQueries {
       Dedup.substringDupSpans(table(s, dir, "documents"), l = 8)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // secret scan over planted credentials (the pii_redact device:
+    // every 5th doc gets a deterministic high-entropy key appended,
+    // both engines inject identically so the hash checks every rule).
+    "llm_secret_scan" -> ((s, dir) =>
+      TextAnalysis.secretScan(
+        table(s, dir, "documents").withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" sk_"),
+              md5(col("doc_id").cast("string"))))
+            .otherwise(col("text"))),
+        minLen = 20, minEntropy = 2.5)
+        .orderBy(col("doc_id"))),
+
     // winnowed-fingerprint near-dup candidates (MOSS): shared
     // rightmost-min prints over 5-gram hashes, winnow window 4,
     // high-frequency prints (df > 50) ignored.
@@ -2807,6 +2820,51 @@ object LlmQueries {
            count(*) AS n_windows
          FROM isl GROUP BY doc_id, grp
          ORDER BY doc_id, span_start""",
+
+    // secret-scan replay: same injection, same charset gate, same
+    // decimal-summed entropy identity, round-6 before the threshold.
+    "llm_secret_scan" ->
+      raw"""WITH injected AS (
+           SELECT doc_id, CASE WHEN doc_id % 5 = 0
+             THEN text || ' sk_' || md5(CAST(doc_id AS VARCHAR))
+             ELSE text END AS text
+           FROM documents),
+         cand AS (
+           SELECT doc_id, z.pos AS pos, z.t AS t FROM (
+             SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(tk)),
+               i -> {'pos': i, 't': tk[i]})) AS z
+             FROM (SELECT doc_id, list_filter(
+                     regexp_split_to_array(text, '\s+'), x -> x <> '')
+                     AS tk
+                   FROM injected))
+           WHERE len(z.t) >= 20
+             AND regexp_full_match(z.t, '[A-Za-z0-9+/=_.-]+')),
+         cc AS (
+           SELECT doc_id, pos, c, count(*) AS n FROM (
+             SELECT doc_id, pos, unnest(string_split(t, '')) AS c
+             FROM cand)
+           GROUP BY doc_id, pos, c),
+         ent AS (
+           SELECT doc_id,
+             round(ln(CAST(SUM(n) AS DOUBLE)) -
+               CAST(SUM(CAST(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+                 AS DECIMAL(38,18))) AS DOUBLE) /
+               CAST(SUM(n) AS DOUBLE), 6) AS e
+           FROM cc GROUP BY doc_id, pos),
+         agg AS (
+           SELECT doc_id, count(*) AS n_long_tokens,
+             CAST(sum(CASE WHEN e >= 2.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_secretish,
+             round(max(e), 6) AS max_entropy
+           FROM ent GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(n_long_tokens, 0) AS n_long_tokens,
+           coalesce(n_secretish, 0) AS n_secretish,
+           coalesce(max_entropy, -1.0) AS max_entropy,
+           coalesce(n_secretish, 0) > 0 AS has_secret
+         FROM documents d LEFT JOIN agg USING (doc_id)
+         ORDER BY d.doc_id""",
 
     // winnow replay: md5-60 5-gram hashes, rightmost-min (<=) reduce
     // per start, position-distinct prints, df cap, shared-print pairs.

@@ -1282,6 +1282,27 @@ class LlmSpec extends AnyFunSuite {
     assert(nRow.isNullAt(0) && nRow.getLong(1) == 0L)
   }
 
+  test("secretScan: flags high-entropy keys, passes long natural " +
+       "words and non-charset tokens") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "deploy with key aB3dE9fGh12KlmNop456QrsTuv78 done"),
+      (2L, "the internationalization disestablishmentarianism effort"),
+      (3L, "short words only here"),
+      (4L, "url http://example.com/a/very/long/path?q=1&r=2 follows"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.secretScan(planted, minLen = 20,
+        minEntropy = 2.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(out(1L)._3, "random-charset 28-char key must flag")
+    assert(out(2L) == ((2L, 0L, false)),
+      s"long natural words are candidates but low-entropy: ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, false)))
+    assert(out(4L) == ((0L, 0L, false)),
+      "URL fails the charset gate (:/? not key-ish), never a candidate")
+  }
+
   test("winnowPrints: guarantee (shared run >= w+k-1 tokens shares a " +
        "print), density ~2/(w+1), rightmost-min tie rule") {
     import spark.implicits._
