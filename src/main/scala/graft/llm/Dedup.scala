@@ -930,6 +930,40 @@ object Dedup {
       .drop("_bad")
   }
 
+  /** Batch novelty vs a standing corpus — the incremental-ingest
+    * health gauge: for every doc of a NEW batch, the fraction of its
+    * distinct `n`-token window-grams never seen in the standing
+    * corpus (crawl refreshes full of already-ingested content score
+    * near 0; genuinely new material near 1). The two-corpus analog
+    * of [[rareNgramStats]] and the content-level complement of
+    * [[minHashPairsAgainst]]'s doc-level incremental dedup.
+    *
+    * Scale shape: both sides ride 60-bit hashes from the positional
+    * kernel with row-local per-doc distincts; the corpus-side
+    * distinct is the one corpus-sized aggregate (in production: read
+    * the persisted gram layer instead — the same artifact the
+    * substring-dedup family maintains) and the seen-check is a
+    * hash-keyed left join where the small batch side broadcasts. */
+  def batchNovelty(corpus: DataFrame, batch: DataFrame, n: Int = 8,
+                   tau: Double = 0.5, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val bg = batch.select(col(idCol), explode(array_distinct(
+        graft.functions.SketchExprs.windowHashes(col(textCol), n)))
+      .as("_h"))
+    val cg = corpus.select(explode(array_distinct(
+        graft.functions.SketchExprs.windowHashes(col(textCol), n)))
+      .as("_h")).distinct()
+    bg.join(cg.withColumn("_seen", lit(1)), Seq("_h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_seen").isNull, 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_frac",
+        round(col("n_novel").cast("double") /
+          col("n_grams").cast("double"), 6))
+      .withColumn("is_novel", col("novelty_frac") >= tau)
+  }
+
   /** Rare-n-gram exposure stats — the memorization / privacy gate a
     * curation stage runs before training (Carlini et al.'s
     * memorization studies key on sequences that occur once or a

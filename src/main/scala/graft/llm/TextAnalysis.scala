@@ -845,6 +845,52 @@ object TextAnalysis {
         coalesce(col("char_entropy"), lit(0.0)).as("char_entropy"))
   }
 
+  /** Zipf rank-frequency slope per group — the classic corpus-health
+    * diagnostic: natural language sits near slope −1 on the log-log
+    * rank/frequency line; generated or templated text bends it (flat
+    * head = boilerplate saturation, steep tail = vocabulary
+    * collapse). Fits OLS over the top `topV` ranks with count >=
+    * `minCount` (the power-law region), via the explicit
+    * `(nΣxy − ΣxΣy)/(nΣx² − (Σx)²)` form with every sum
+    * decimal-exact — accumulation-order-free, so the slope replays
+    * bit-identically in any engine (`regr_slope`'s float sums do
+    * not).
+    *
+    * Scale: one (group, token) aggregate with map-side combine
+    * (vocab-sized result); the rank window is per-group over vocab
+    * rows and the `rank <= topV` cut runs as a per-partition group
+    * limit; the fit itself aggregates topV rows per group. */
+  def zipfSlope(docs: DataFrame, topV: Int = 100, minCount: Long = 2,
+                groupCol: String = "source", textCol: String = "text")
+      : DataFrame = {
+    val counts = docs
+      .select(col(groupCol).as("_g"),
+        explode(tokens(col(textCol))).as("_t"))
+      .groupBy(col("_g"), col("_t"))
+      .agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g")).orderBy(col("_c").desc, col("_t").asc)
+    val xy = counts.withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= topV)
+      .select(col("_g"),
+        log(col("_r").cast("double")).as("_x"),
+        log(col("_c").cast("double")).as("_y"))
+    xy.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_ranked"),
+        sum(col("_x").cast("decimal(38,18)")).cast("double").as("_sx"),
+        sum(col("_y").cast("decimal(38,18)")).cast("double").as("_sy"),
+        sum((col("_x") * col("_y")).cast("decimal(38,18)"))
+          .cast("double").as("_sxy"),
+        sum((col("_x") * col("_x")).cast("decimal(38,18)"))
+          .cast("double").as("_sxx"))
+      .select(col("_g").as(groupCol), col("n_ranked"),
+        round((col("n_ranked").cast("double") * col("_sxy") -
+            col("_sx") * col("_sy")) /
+          (col("n_ranked").cast("double") * col("_sxx") -
+            col("_sx") * col("_sx")), 6).as("zipf_slope"))
+  }
+
   /** Secret / credential scan — the entropy heuristic of code-corpus
     * secret scanners (truffleHog-family): a token is secret-like when
     * it is long (`>= minLen`), drawn from a key-ish charset

@@ -851,6 +851,13 @@ object LlmQueries {
       Dedup.substringDupSpans(table(s, dir, "documents"), l = 8)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // Zipf rank-frequency slope per source over the top-100 power-law
+    // region (decimal-exact OLS — see zipfSlope).
+    "llm_zipf" -> ((s, dir) =>
+      TextAnalysis.zipfSlope(table(s, dir, "documents"), topV = 100,
+        minCount = 2)
+        .orderBy(col("source"))),
+
     // secret scan over planted credentials (the pii_redact device:
     // every 5th doc gets a deterministic high-entropy key appended,
     // both engines inject identically so the hash checks every rule).
@@ -881,6 +888,15 @@ object LlmQueries {
         .select(col("doc_id"), col("source"), col("text_clean"),
           col("n_chunks_removed"))
         .orderBy(col("doc_id"))),
+
+    // batch novelty: docs >= 450 play the incoming batch, the rest
+    // the standing corpus; per batch doc the unseen-gram fraction.
+    "llm_novelty" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Dedup.batchNovelty(d.filter(col("doc_id") < 450),
+          d.filter(col("doc_id") >= 450), n = 8, tau = 0.5)
+        .orderBy(col("doc_id"))
+    }),
 
     // rare-n-gram exposure (memorization/privacy gate): per doc, the
     // distinct 8-token window-grams, how many are globally unique /
@@ -2821,6 +2837,33 @@ object LlmQueries {
          FROM isl GROUP BY doc_id, grp
          ORDER BY doc_id, span_start""",
 
+    // zipf replay: identical rank window, ln in double, decimal sums,
+    // identical double formula tree, round-6.
+    "llm_zipf" ->
+      raw"""WITH tok AS (
+           SELECT source, unnest(list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '')) AS t
+           FROM documents),
+         c AS (SELECT source, t, count(*) AS c FROM tok
+               GROUP BY source, t HAVING count(*) >= 2),
+         r AS (SELECT source, t, c, row_number() OVER (
+                 PARTITION BY source ORDER BY c DESC, t ASC) AS r
+               FROM c),
+         xy AS (SELECT source, ln(CAST(r AS DOUBLE)) AS x,
+                  ln(CAST(c AS DOUBLE)) AS y
+                FROM r WHERE r <= 100),
+         s AS (SELECT source, count(*) AS n_ranked,
+             CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+           FROM xy GROUP BY source)
+         SELECT source, n_ranked,
+           round((CAST(n_ranked AS DOUBLE) * sxy - sx * sy) /
+             (CAST(n_ranked AS DOUBLE) * sxx - sx * sx), 6)
+             AS zipf_slope
+         FROM s ORDER BY source""",
+
     // secret-scan replay: same injection, same charset gate, same
     // decimal-summed entropy identity, round-6 before the threshold.
     "llm_secret_scan" ->
@@ -2946,6 +2989,35 @@ object LlmQueries {
                coalesce(b.bad, []), x)) AS kept
            FROM ch LEFT JOIN boiler b ON ch.source = b.source)
          ORDER BY doc_id""",
+
+    // novelty replay: distinct md5-60 grams per batch doc, corpus
+    // gram set, unseen fraction.
+    "llm_novelty" ->
+      raw"""WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         win AS (
+           SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(tk) - 7),
+             i -> CAST(('0x' || substring(
+               md5(array_to_string(tk[i:i+7], ' ')), 1, 15)) AS BIGINT)))
+             AS h
+           FROM tok WHERE len(tk) >= 8),
+         bg AS (SELECT DISTINCT doc_id, h FROM win WHERE doc_id >= 450),
+         cg AS (SELECT DISTINCT h FROM win WHERE doc_id < 450),
+         agg AS (
+           SELECT bg.doc_id, count(*) AS n_grams,
+             CAST(sum(CASE WHEN cg.h IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel
+           FROM bg LEFT JOIN cg ON bg.h = cg.h
+           GROUP BY bg.doc_id)
+         SELECT doc_id, n_grams, n_novel,
+           round(CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+             AS novelty_frac,
+           (round(CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+             >= 0.5) AS is_novel
+         FROM agg ORDER BY doc_id""",
 
     // rare-n-gram replay: distinct md5-60 window hashes per doc,
     // hash df across docs, unique/rare counts + exposure verdict.

@@ -1282,6 +1282,41 @@ class LlmSpec extends AnyFunSuite {
     assert(nRow.isNullAt(0) && nRow.getLong(1) == 0L)
   }
 
+  test("batchNovelty: re-ingested content scores 0, new content 1, " +
+       "short docs drop") {
+    import spark.implicits._
+    val known = "a b c d e f g h i j"
+    val corpus = Seq((1L, known)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, known),                         // full re-ingest
+      (11L, "p q r s t u v w x y"),         // all new
+      (12L, "too short"))
+      .toDF("doc_id", "text")
+    val out = Dedup.batchNovelty(corpus, batch, n = 8, tau = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("novelty_frac"), r.getAs[Boolean]("is_novel")))
+      .toMap
+    assert(out.keySet == Set(10L, 11L))
+    assert(out(10L) == ((0.0, false)))
+    assert(out(11L) == ((1.0, true)))
+  }
+
+  test("zipfSlope: exact -1 on a perfect power law, minCount gates " +
+       "the tail") {
+    import spark.implicits._
+    // counts 12/r at ranks 1..4 -> log-log is an exact line of
+    // slope -1; a count-1 straggler must be cut by minCount=2
+    val text = (Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(3)("dd") ++ Seq("once"))
+      .mkString(" ")
+    val planted = Seq((1L, "s1", text)).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.zipfSlope(planted, topV = 100,
+        minCount = 2, groupCol = "source").head()
+    assert(out.getAs[Long]("n_ranked") == 4L)
+    assert(math.abs(out.getAs[Double]("zipf_slope") - (-1.0)) < 1e-6,
+      s"slope ${out.getAs[Double]("zipf_slope")}")
+  }
+
   test("secretScan: flags high-entropy keys, passes long natural " +
        "words and non-charset tokens") {
     import spark.implicits._
