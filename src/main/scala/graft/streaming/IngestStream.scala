@@ -226,6 +226,93 @@ object IngestStream {
       .trigger(trigger)
       .start()
 
+  /** One novelty-scoring step (batch semantics — unit-testable; the
+    * streaming wrapper calls this per micro-batch): score every doc
+    * of the batch against the persisted GRAM layer
+    * ([[graft.llm.Dedup.batchNovelty]]'s standing-corpus side as an
+    * on-disk artifact of distinct 60-bit window-gram hashes), write
+    * the per-doc novelty report, then publish the batch's novel
+    * grams to the layer. The layer is the only state — restart
+    * recovery is re-reading it, and it grows by NOVEL grams only, so
+    * a crawl full of re-ingested content adds ~nothing.
+    *
+    * Same idempotent-replay contract as [[ingestBatch]]: with
+    * `batchId` both outputs are batch-keyed overwrite partitions and
+    * the layer read excludes this batch's own partition. ORDER
+    * MATTERS: the report is written FIRST — both plans read
+    * `gramDir`, and publishing the grams first would recache the
+    * layer path and score the report against a layer already
+    * containing this batch (novelty would collapse to zero on
+    * replay-free runs too, via recacheByPath). */
+  def noveltyBatch(batch: DataFrame, gramDir: String, reportDir: String,
+                  n: Int = 8, tau: Double = 0.5,
+                  textCol: String = "text", idCol: String = "doc_id",
+                  batchId: Option[Long] = None): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = batch.sparkSession
+    val bg = batch.select(col(idCol), explode(array_distinct(
+        graft.functions.SketchExprs.windowHashes(col(textCol), n)))
+        .as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val layer = layerReadable(spark, gramDir).map { l0 =>
+        val l = batchId match {
+          case Some(bid) if l0.columns.contains("ingest_batch") =>
+            l0.filter(col("ingest_batch") =!= bid)
+          case _ => l0
+        }
+        l.select(col("h")).distinct()
+      }
+      val seen = layer match {
+        case Some(l) =>
+          bg.join(l.withColumn("_seen", lit(1)), Seq("h"), "left")
+        case None => bg.withColumn("_seen", lit(null).cast("int"))
+      }
+      val report = seen.groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("_seen").isNull, 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty_frac",
+          round(col("n_novel").cast("double") /
+            col("n_grams").cast("double"), 6))
+        .withColumn("is_novel", col("novelty_frac") >= tau)
+      val novelGrams = seen.filter(col("_seen").isNull)
+        .select(col("h")).distinct()
+      batchId match {
+        case Some(bid) =>
+          report.write.mode("overwrite")
+            .parquet(s"$reportDir/ingest_batch=$bid")
+          novelGrams.write.mode("overwrite")
+            .parquet(s"$gramDir/ingest_batch=$bid")
+        case None =>
+          report.write.mode("append").parquet(reportDir)
+          novelGrams.write.mode("append").parquet(gramDir)
+      }
+    } finally { bg.unpersist(); () }
+  }
+
+  /** Streaming novelty monitor: [[noveltyBatch]] over a document
+    * stream — the live gauge of how much of an ingest feed is new
+    * content vs re-crawl, with the gram layer as the only (on-disk,
+    * bounded-growth) state. Batch-keyed overwrite publishing makes
+    * at-least-once replay idempotent. */
+  def noveltyMonitor(docs: DataFrame, gramDir: String,
+                     reportDir: String, n: Int = 8, tau: Double = 0.5,
+                     textCol: String = "text", idCol: String = "doc_id",
+                     checkpointDir: Option[String] = None,
+                     trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$gramDir/_checkpoints"))
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        noveltyBatch(batch.toDF(), gramDir, reportDir, n, tau,
+          textCol, idCol, batchId = Some(bid))
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming near-identical-BLOB ingest: [[nearDupIngest]] with the
     * codec-free byte-SimHash sketch — the signature layer holds ONE
     * long per blob, so the standing corpus of a 100 TB media store is

@@ -507,6 +507,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(sigIds == Set(1L, 2L, 4L), s"got $sigIds")
   }
 
+  test("noveltyBatch: per-batch novelty vs the gram layer, layer " +
+       "grows by novel grams only, replay is idempotent") {
+    import spark.implicits._
+    import graft.streaming.IngestStream
+    val base = "/root/repo/target/scratch/novelty_stream"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val gramDir = s"$base/grams"
+    val reportDir = s"$base/report"
+    val textA = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val textB = "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10"
+    IngestStream.noveltyBatch(
+      Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"),
+      gramDir, reportDir, n = 8, batchId = Some(0L))
+    def report(bid: Long): Map[Long, (Double, Boolean)] =
+      spark.read.parquet(s"$reportDir/ingest_batch=$bid")
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Double]("novelty_frac"), r.getAs[Boolean]("is_novel")))
+        .toMap
+    assert(report(0L) == Map(1L -> ((1.0, true)), 2L -> ((1.0, true))),
+      "empty layer: everything is novel")
+    // batch 1: one full re-ingest, one new doc
+    val batch1 = Seq((3L, textA), (4L, "u1 u2 u3 u4 u5 u6 u7 u8"))
+      .toDF("doc_id", "text")
+    IngestStream.noveltyBatch(batch1, gramDir, reportDir, n = 8,
+      batchId = Some(1L))
+    assert(report(1L) == Map(3L -> ((0.0, false)), 4L -> ((1.0, true))))
+    // crash-and-replay of batch 1 under the same id: the layer read
+    // excludes its own partition, so doc 3 does not self-match to
+    // novelty 0 *because of its own prior publish*, and doc 4 does
+    // not flip to seen; the overwrite replaces, never doubles
+    IngestStream.noveltyBatch(batch1, gramDir, reportDir, n = 8,
+      batchId = Some(1L))
+    assert(report(1L) == Map(3L -> ((0.0, false)), 4L -> ((1.0, true))),
+      "replay must reproduce the report")
+    // layer holds each gram once: batch 0 published 3+3, batch 1 only
+    // doc 4's single novel gram (doc 3's grams were all seen)
+    val layer = spark.read.parquet(gramDir)
+    assert(layer.count() == 7L, s"layer rows: ${layer.count()}")
+    assert(layer.select("h").distinct().count() == 7L)
+  }
+
   test("streaming bloom decontamination gate matches the batch filter") {
     // the bloom filter is a plan literal, so the same stateless
     // scan->filter gates an unbounded stream: no state store, no
