@@ -227,4 +227,44 @@ object PropertySpec extends Properties("graft") {
         cand.forall { case (t, c) =>
           c <= exact(t) && exact(t) - c <= bound + 1e-9 }
     }
+
+  // --- winnow kernel vs an independently-written naive mirror: md5-60
+  // gram hashes, rightmost-min (<=) per w-window, order-preserving
+  // position dedup. A 3-symbol vocabulary makes grams repeat, so the
+  // tie rule and the dedup both get exercised; any divergence
+  // (iteration bounds, tie direction, 1-based offsets) falsifies.
+  property("kernel.winnow-naive-equivalence") =
+    forAll(
+      Gen.chooseNum(0, 30).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "c"))),
+      Gen.chooseNum(2, 3), Gen.chooseNum(2, 4)) { (toks, k, w) =>
+      val text = toks.mkString(" ")
+      val naive: Seq[(Int, Long)] = {
+        val m = toks.length - (k - 1)
+        if (m < w) Seq.empty
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hs = (0 until m).map { i =>
+            val d = md.digest(toks.slice(i, i + k).mkString(" ")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            ((0 until 8).foldLeft(0L)((a, j) =>
+              (a << 8) | (d(j) & 0xFFL))) >>> 4
+          }
+          (0 until (m - w + 1)).map { p =>
+            (p until p + w).foldLeft(p)((best, j) =>
+              if (hs(j) <= hs(best)) j else best)
+          }.distinct.map(b => (b + 1, hs(b)))
+        }
+      }
+      val kernel = SketchOps.winnowPrints(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text),
+        k, w, xx = false)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .array.toSeq.map { r =>
+          val row = r.asInstanceOf[
+            org.apache.spark.sql.catalyst.InternalRow]
+          (row.getInt(0), row.getLong(1))
+        }
+      kernel == naive
+    }
 }
