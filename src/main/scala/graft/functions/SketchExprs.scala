@@ -281,6 +281,11 @@ object SketchExprs {
   case class WinnowPrintsExpr(child: Expression, k: Int, w: Int,
                               xx: Boolean)
       extends UnaryExpression {
+    // fail at plan build, not per row on an executor: w < 2 would
+    // index past the hash array (negative w) or degrade to
+    // density-1 selection (w = 1)
+    require(k >= 1, s"winnow gram length must be >= 1, got $k")
+    require(w >= 2, s"winnow window must cover >= 2 grams, got $w")
     override def checkInputDataTypes(): TypeCheckResult =
       if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(

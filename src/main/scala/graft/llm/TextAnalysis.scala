@@ -884,6 +884,9 @@ object TextAnalysis {
           .cast("double").as("_sxy"),
         sum((col("_x") * col("_x")).cast("decimal(38,18)"))
           .cast("double").as("_sxx"))
+      // a 1-point group has no line (denominator 0: Spark NULL vs
+      // IEEE NaN across engines) — a slope needs >= 2 ranks
+      .filter(col("n_ranked") >= 2)
       .select(col("_g").as(groupCol), col("n_ranked"),
         round((col("n_ranked").cast("double") * col("_sxy") -
             col("_sx") * col("_sy")) /

@@ -777,9 +777,12 @@ object LlmQueries {
             "10000)").as("_ap"))
         .select(col("lang"), col("n_docs"), col("p50"), col("p90"),
           col("p99"),
-          ((abs(col("_ap")(0) - col("p50")) / col("p50") < 0.05) &&
-           (abs(col("_ap")(1) - col("p90")) / col("p90") < 0.05) &&
-           (abs(col("_ap")(2) - col("p99")) / col("p99") < 0.05))
+          // multiplied-out band (|a - p| <= 0.05 p): no division, so
+          // a degenerate all-zero percentile stays engine-consistent
+          // (a/0 is NULL in Spark but NaN in IEEE engines)
+          ((abs(col("_ap")(0) - col("p50")) <= col("p50") * 0.05) &&
+           (abs(col("_ap")(1) - col("p90")) <= col("p90") * 0.05) &&
+           (abs(col("_ap")(2) - col("p99")) <= col("p99") * 0.05))
             .cast("int").as("within_band"))
         .orderBy(col("lang"))),
 
@@ -2477,9 +2480,9 @@ object LlmQueries {
              CAST(approx_quantile(n_tok, 0.99) AS DOUBLE) AS a99
            FROM tok GROUP BY lang)
          SELECT lang, n_docs, p50, p90, p99,
-           CAST(abs(a50 - p50) / p50 < 0.05
-                AND abs(a90 - p90) / p90 < 0.05
-                AND abs(a99 - p99) / p99 < 0.05 AS INTEGER)
+           CAST(abs(a50 - p50) <= p50 * 0.05
+                AND abs(a90 - p90) <= p90 * 0.05
+                AND abs(a99 - p99) <= p99 * 0.05 AS INTEGER)
              AS within_band
          FROM agg ORDER BY lang""",
 
@@ -2862,7 +2865,7 @@ object LlmQueries {
            round((CAST(n_ranked AS DOUBLE) * sxy - sx * sy) /
              (CAST(n_ranked AS DOUBLE) * sxx - sx * sx), 6)
              AS zipf_slope
-         FROM s ORDER BY source""",
+         FROM s WHERE n_ranked >= 2 ORDER BY source""",
 
     // secret-scan replay: same injection, same charset gate, same
     // decimal-summed entropy identity, round-6 before the threshold.

@@ -253,29 +253,25 @@ object IngestStream {
     val bg = batch.select(col(idCol), explode(array_distinct(
         graft.functions.SketchExprs.windowHashes(col(textCol), n)))
         .as("h"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val layer = layerReadable(spark, gramDir).map { l0 =>
+      val l = batchId match {
+        case Some(bid) if l0.columns.contains("ingest_batch") =>
+          l0.filter(col("ingest_batch") =!= bid)
+        case _ => l0
+      }
+      l.select(col("h")).distinct()
+    }
+    // persist the JOINED stream (batch-sized): both outputs derive
+    // from it, so the standing-layer scan + distinct + join run once
+    // per micro-batch and both writes see one consistent layer
+    // snapshot
+    val seen = (layer match {
+      case Some(l) =>
+        bg.join(l.withColumn("_seen", lit(1)), Seq("h"), "left")
+      case None => bg.withColumn("_seen", lit(null).cast("int"))
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val layer = layerReadable(spark, gramDir).map { l0 =>
-        val l = batchId match {
-          case Some(bid) if l0.columns.contains("ingest_batch") =>
-            l0.filter(col("ingest_batch") =!= bid)
-          case _ => l0
-        }
-        l.select(col("h")).distinct()
-      }
-      val seen = layer match {
-        case Some(l) =>
-          bg.join(l.withColumn("_seen", lit(1)), Seq("h"), "left")
-        case None => bg.withColumn("_seen", lit(null).cast("int"))
-      }
-      val report = seen.groupBy(col(idCol))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("_seen").isNull, 1L).otherwise(0L))
-            .as("n_novel"))
-        .withColumn("novelty_frac",
-          round(col("n_novel").cast("double") /
-            col("n_grams").cast("double"), 6))
-        .withColumn("is_novel", col("novelty_frac") >= tau)
+      val report = graft.llm.Dedup.noveltyScore(seen, tau, idCol)
       val novelGrams = seen.filter(col("_seen").isNull)
         .select(col("h")).distinct()
       batchId match {
@@ -288,7 +284,7 @@ object IngestStream {
           report.write.mode("append").parquet(reportDir)
           novelGrams.write.mode("append").parquet(gramDir)
       }
-    } finally { bg.unpersist(); () }
+    } finally { seen.unpersist(); () }
   }
 
   /** Streaming novelty monitor: [[noveltyBatch]] over a document
