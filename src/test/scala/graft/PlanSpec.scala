@@ -55,6 +55,26 @@ class PlanSpec extends AnyFunSuite {
       s"simhash stage must not shuffle:\n${shPlan.take(1500)}")
   }
 
+  test("boilerplate + rare-ngram + novelty shuffles partition on " +
+       "hashes/ids, never on text or chunk strings") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def exchanges(plan: String): Seq[String] =
+      plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    def assertNoTextKeys(tag: String, plan: String): Unit = {
+      val bad = exchanges(plan).filter(l =>
+        l.contains("text#") || l.contains("_c#") || l.contains("_t#"))
+      assert(bad.isEmpty,
+        s"$tag shuffles must carry hashes, not strings:\n" +
+          bad.mkString("\n"))
+    }
+    assertNoTextKeys("boilerplate",
+      planOf(Dedup.stripSourceBoilerplate(docs)))
+    assertNoTextKeys("rare_ngrams", planOf(Dedup.rareNgramStats(docs)))
+    assertNoTextKeys("novelty", planOf(Dedup.batchNovelty(
+      docs.filter(col("doc_id") < 400),
+      docs.filter(col("doc_id") >= 400))))
+  }
+
   test("winnowPrints fingerprinting is a shuffle-free pure scan") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = planOf(Dedup.winnowPrints(docs, k = 5, w = 4))
