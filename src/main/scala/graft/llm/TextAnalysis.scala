@@ -845,6 +845,42 @@ object TextAnalysis {
         coalesce(col("char_entropy"), lit(0.0)).as("char_entropy"))
   }
 
+  /** Mixed-language / code-switch detection: [[langId]] applied per
+    * token CHUNK (the line stand-in, as in [[graft.llm.Dedup
+    * .tokenChunks]]) and aggregated to a per-doc dominance report —
+    * `purity` = share of chunks agreeing with the dominant language,
+    * `is_mixed` flags below-`tau` docs (translations pasted mid-page,
+    * boilerplate in another language, code-switched forums). The
+    * doc-level [[langId]] can only name ONE language; this is the op
+    * that notices when that answer is a blend.
+    *
+    * Ties on the dominant count resolve to the lexicographically
+    * LAST language via a struct max — the same rule as [[langId]]'s
+    * own argmax, so the whole report replays in SQL.
+    *
+    * Scale: chunking and per-chunk langid are row-local (one
+    * tokenize pass per chunk through the native kernel); the only
+    * shuffles are the (doc, lang) count and the per-doc fold —
+    * chunk-bounded, text never leaves the scan. */
+  def langPurity(docs: DataFrame, chunkTokens: Int = 10,
+                 tau: Double = 0.8, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val perChunk = docs.select(col(idCol),
+        explode(graft.llm.Dedup.tokenChunks(col(textCol), chunkTokens))
+          .as("_c"))
+      .select(col(idCol), langId(col("_c")).as("_l"))
+    perChunk.groupBy(col(idCol), col("_l"))
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_n")).as("n_chunks"),
+        max(struct(col("_n").as("n"), col("_l").as("l"))).as("_best"))
+      .select(col(idCol), col("n_chunks"),
+        col("_best").getField("l").as("dominant_lang"),
+        round(col("_best").getField("n").cast("double") /
+          col("n_chunks").cast("double"), 6).as("purity"))
+      .withColumn("is_mixed", col("purity") < tau)
+  }
+
   /** Zipf rank-frequency slope per group — the classic corpus-health
     * diagnostic: natural language sits near slope −1 on the log-log
     * rank/frequency line; generated or templated text bends it (flat

@@ -854,6 +854,13 @@ object LlmQueries {
       Dedup.substringDupSpans(table(s, dir, "documents"), l = 8)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // mixed-language detection: per-10-token-chunk langid, per-doc
+    // dominance; purity < 0.8 flags code-switched docs.
+    "llm_lang_purity" -> ((s, dir) =>
+      TextAnalysis.langPurity(table(s, dir, "documents"),
+        chunkTokens = 10, tau = 0.8)
+        .orderBy(col("doc_id"))),
+
     // Zipf rank-frequency slope per source over the top-100 power-law
     // region (decimal-exact OLS — see zipfSlope).
     "llm_zipf" -> ((s, dir) =>
@@ -2839,6 +2846,53 @@ object LlmQueries {
            count(*) AS n_windows
          FROM isl GROUP BY doc_id, grp
          ORDER BY doc_id, span_start""",
+
+    // lang-purity replay: chunk slicing as in chunk_dedup, the
+    // langid_docs marker-argmax per chunk, struct-max dominance.
+    "llm_lang_purity" ->
+      raw"""WITH toks AS (
+           SELECT doc_id, list_filter(string_split(text, ' '),
+             t -> t <> '') AS tk
+           FROM documents),
+         ch AS (
+           SELECT doc_id, unnest(
+             CASE WHEN len(tk) > 0 THEN
+               list_transform(generate_series(0, (len(tk) - 1) // 10),
+                 i -> array_to_string(tk[i*10+1 : i*10+10], ' '))
+             ELSE [] END) AS c
+           FROM toks),
+         lang AS (
+           SELECT doc_id,
+             CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS l
+           FROM (
+             SELECT doc_id, list_max([
+               {'hits': len(list_filter(ct, t -> list_contains(
+                  ['the','a','of','and','to','in','is','that'], t))), 'lang': 'en'},
+               {'hits': len(list_filter(ct, t -> list_contains(
+                  ['el','la','de','y','que','en','los','se'], t))), 'lang': 'es'},
+               {'hits': len(list_filter(ct, t -> list_contains(
+                  ['le','la','de','et','que','les','des','un'], t))), 'lang': 'fr'},
+               {'hits': len(list_filter(ct, t -> list_contains(
+                  ['der','die','und','das','ist','nicht','ein','zu'], t))), 'lang': 'de'},
+               {'hits': len(list_filter(ct, t -> list_contains(
+                  ['的','是','在','了','和','有','我','不'], t))), 'lang': 'zh'}
+             ]) AS best
+             FROM (SELECT doc_id, list_filter(
+                     regexp_split_to_array(lower(c), '\s+'),
+                     t -> t <> '') AS ct
+                   FROM ch))),
+         counts AS (SELECT doc_id, l, count(*) AS n FROM lang
+                    GROUP BY doc_id, l),
+         agg AS (
+           SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chunks,
+             max({'n': n, 'l': l}) AS best
+           FROM counts GROUP BY doc_id)
+         SELECT doc_id, n_chunks, best.l AS dominant_lang,
+           round(CAST(best.n AS DOUBLE) / CAST(n_chunks AS DOUBLE), 6)
+             AS purity,
+           (round(CAST(best.n AS DOUBLE) / CAST(n_chunks AS DOUBLE), 6)
+             < 0.8) AS is_mixed
+         FROM agg ORDER BY doc_id""",
 
     // zipf replay: identical rank window, ln in double, decimal sums,
     // identical double formula tree, round-6.

@@ -1282,6 +1282,23 @@ class LlmSpec extends AnyFunSuite {
     assert(nRow.isNullAt(0) && nRow.getLong(1) == 0L)
   }
 
+  test("langPurity: code-switched doc flagged, monolingual doc pure") {
+    import spark.implicits._
+    val en = "the cat and the dog of the house is that"   // 10 tokens
+    val es = "el la de y que en los se algo mas"
+    val planted = Seq(
+      (1L, s"$en $es $en"),   // 3 chunks: en, es, en -> purity 2/3
+      (2L, s"$en $en"))       // pure
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.langPurity(planted, chunkTokens = 10,
+        tau = 0.8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getDouble(3),
+         r.getAs[Boolean]("is_mixed"))).toMap
+    assert(out(1L) == ((3L, "en", 0.666667, true)), s"${out(1L)}")
+    assert(out(2L) == ((2L, "en", 1.0, false)), s"${out(2L)}")
+  }
+
   test("batchNovelty: re-ingested content scores 0, new content 1, " +
        "short docs drop") {
     import spark.implicits._
