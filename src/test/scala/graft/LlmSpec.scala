@@ -1282,6 +1282,24 @@ class LlmSpec extends AnyFunSuite {
     assert(nRow.isNullAt(0) && nRow.getLong(1) == 0L)
   }
 
+  test("winnowPairsManaged: same pairs as the shorthand, close() " +
+       "releases the print cache") {
+    import org.apache.spark.storage.StorageLevel
+    val handle = Dedup.winnowPairsManaged(docs, k = 5, w = 4,
+      minShared = 2, maxDf = 50)
+    val managed = handle.value.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(handle.parent.storageLevel != StorageLevel.NONE,
+      "print stream must be pinned while the plan is live")
+    handle.close()
+    assert(handle.parent.storageLevel == StorageLevel.NONE)
+    val shorthand = Dedup.winnowPairs(docs, k = 5, w = 4,
+      minShared = 2, maxDf = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.cache.Pins.release(spark)
+    assert(managed == shorthand && managed.nonEmpty)
+  }
+
   test("langPurity: code-switched doc flagged, monolingual doc pure") {
     import spark.implicits._
     val en = "the cat and the dog of the house is that"   // 10 tokens

@@ -548,6 +548,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(layer.select("h").distinct().count() == 7L)
   }
 
+  test("noveltyMonitor end-to-end: file-source stream drains through " +
+       "foreachBatch and reports per-doc novelty") {
+    import graft.streaming.IngestStream
+    val base = "/root/repo/target/scratch/novelty_e2e"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    new java.io.File(s"$base/src").mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      java.nio.file.Paths.get(s"$base/src/part-0.parquet"))
+    val docsStatic = spark.read.parquet(s"$base/src")
+    val stream = spark.readStream.schema(docsStatic.schema)
+      .parquet(s"$base/src")
+    val q = IngestStream.noveltyMonitor(stream, s"$base/grams",
+      s"$base/report", n = 8)
+    q.awaitTermination(60000)
+    val report = spark.read.parquet(s"$base/report")
+    val expected = graft.llm.Dedup.batchNovelty(
+      docsStatic.limit(0), docsStatic, n = 8)
+    // first-ever batch == batch semantics against an empty corpus
+    assert(report.count() == expected.count() && report.count() > 0)
+    val joined = report.as("s").join(expected.as("b"), Seq("doc_id"))
+      .filter(col("s.novelty_frac") =!= col("b.novelty_frac"))
+    assert(joined.count() == 0,
+      "streaming report must equal the batch op on the same data")
+  }
+
   test("streaming bloom decontamination gate matches the batch filter") {
     // the bloom filter is a plan literal, so the same stateless
     // scan->filter gates an unbounded stream: no state store, no
