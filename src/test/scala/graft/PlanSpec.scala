@@ -55,6 +55,41 @@ class PlanSpec extends AnyFunSuite {
       s"simhash stage must not shuffle:\n${shPlan.take(1500)}")
   }
 
+  test("runtime bloom filter: a selective dim predicate reaches the " +
+       "fact scan as might_contain (the 100 TB shuffle-join pruner)") {
+    // Spark injects a bloom filter built from the filtered dim side
+    // into the fact scan when the join shuffles. The feature is ON by
+    // default in our sessions; its size thresholds are tuned for
+    // cluster scale, so at test scale we lower them to observe the
+    // plan shape the 100 TB run would get for free.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      assert(spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true",
+        "runtime bloom filtering must stay enabled by default")
+      val fact = spark.read.parquet(s"$sf/lineitem.parquet")
+      val dim = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_totalprice") > 500000)
+      val j = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("q"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"bloom filter must reach the fact side:\n${plan.take(2000)}")
+      assert(plan.contains("bloom_filter_agg"),
+        s"dim side must build the filter:\n${plan.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("boilerplate + rare-ngram + novelty shuffles partition on " +
        "hashes/ids, never on text or chunk strings") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
