@@ -794,7 +794,13 @@ object Dedup {
         round(coalesce(col("n_common"), lit(0L)).cast("double") /
           (col("n_a") + col("n_b") -
             coalesce(col("n_common"), lit(0L))).cast("double"), 6)
-          .as("jaccard"))
+          .as("jaccard"),
+        // directional containment (overlap coefficient): a SUBSET
+        // mirror shows near-1 containment with low Jaccard when the
+        // sides differ in size — the case Jaccard alone hides
+        round(coalesce(col("n_common"), lit(0L)).cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 6)
+          .as("containment"))
   }
 
   /** Winnowed document fingerprints — Schleimer/Wilkerson/Aiken 2003

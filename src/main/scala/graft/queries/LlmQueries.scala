@@ -2673,7 +2673,9 @@ object LlmQueries {
            CAST(coalesce(it.n_common, 0) AS BIGINT) AS n_common,
            round(CAST(coalesce(it.n_common, 0) AS DOUBLE) /
              CAST(sa.n + sb.n - coalesce(it.n_common, 0) AS DOUBLE), 6)
-             AS jaccard
+             AS jaccard,
+           round(CAST(coalesce(it.n_common, 0) AS DOUBLE) /
+             CAST(least(sa.n, sb.n) AS DOUBLE), 6) AS containment
          FROM (SELECT a.source AS src_a, b.source AS src_b
                FROM sz a JOIN sz b ON a.source < b.source) p
          JOIN sz sa ON sa.source = p.src_a

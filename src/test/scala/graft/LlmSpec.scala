@@ -484,6 +484,16 @@ class LlmSpec extends AnyFunSuite {
     // s4 shingles: abc bcd cdx dxq xqr qrs -> shares {abc,bcd}; union 8
     assert(got(("s1", "s4")) == ((2L, 0.25)))
     assert(got.size == 6)
+    // containment exposes the subset mirror Jaccard hides: s5 is a
+    // strict subset of s1's shingles (2 of 4) -> containment 1.0
+    // while jaccard is only 0.5
+    val df2 = df.union(Seq((5L, "s5", "a b c d"))
+      .toDF("doc_id", "source", "text"))
+    val cont = Dedup.sourceOverlap(df2, n = 3, groupCol = "source")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(5), r.getDouble(6))).toMap
+    assert(cont(("s1", "s5")) == ((0.5, 1.0)), s"${cont(("s1", "s5"))}")
   }
 
   test("qualitySignals: hand-computed entropy/TTR; empty doc zeros") {
