@@ -219,6 +219,21 @@ object ScaleBench {
           minShared = 2, maxDf = 50).count())
       report("winnow_pairs", f, nDocs, wp, t24)
 
+      // rare n-grams: kernel scan + hash-keyed df agg + join back —
+      // the df relation is vocab-shaped, so growth should track the
+      // corpus linearly like substring_spans
+      val (rn, t25) = timed(
+        graft.llm.Dedup.rareNgramStats(docs).count())
+      report("rare_ngrams", f, nDocs, rn, t25)
+
+      // novelty: a fixed-size batch (the 1x slice) scored against a
+      // growing standing corpus — the per-ingest cost at 100 TB is
+      // the corpus-side distinct; the batch side is constant
+      val batchSlice = docs.filter(col("doc_id") < 500)
+      val (nv, t26) = timed(graft.llm.Dedup.batchNovelty(
+        docs.filter(col("doc_id") >= 500), batchSlice).count())
+      report("novelty_fixed_batch", f, nDocs, nv, t26)
+
       // MMR: candidate generation is the broadcast-query corpus scan
       // (Q fixed at the first-copy slice); the greedy loop is
       // O(k·N·dim) per query, constant per query as the corpus grows

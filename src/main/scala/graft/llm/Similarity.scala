@@ -782,11 +782,44 @@ object Similarity {
              books: Seq[Seq[Seq[Double]]], k: Int,
              idCol: String = "vec_id", vecCol: String = "embedding",
              qIdCol: String = "query_id", qVecCol: String = "query_vec")
-      : DataFrame = {
+      : DataFrame =
+    pqTopKFromCodes(pqEncode(corpus, books, idCol, vecCol), queries,
+      books, k, idCol, qIdCol, qVecCol)
+
+  /** Persist the PQ code table — the other half of the ANN artifact
+    * story next to [[ivfWriteIndex]]: encode once per corpus version
+    * and search the (id, m-byte codes) parquet forever after. At
+    * 100 TB the code table is ~dim·4/m smaller than the vectors
+    * (64-dim float -> 4 codes is 64x), so the ADC scan reads
+    * gigabytes where the vector scan reads terabytes. */
+  def pqWriteIndex(corpus: DataFrame, books: Seq[Seq[Seq[Double]]],
+                   indexDir: String, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Unit =
+    pqEncode(corpus, books, idCol, vecCol)
+      .write.mode("overwrite").parquet(indexDir)
+
+  /** ADC top-k over a persisted [[pqWriteIndex]] code table: no
+    * vector read, no encode recompute — the scan is the code-width
+    * parquet. Books must be the set the index was encoded with. */
+  def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                    indexDir: String, books: Seq[Seq[Seq[Double]]],
+                    queries: DataFrame, k: Int,
+                    idCol: String = "vec_id",
+                    qIdCol: String = "query_id",
+                    qVecCol: String = "query_vec"): DataFrame =
+    pqTopKFromCodes(spark.read.parquet(indexDir), queries, books, k,
+      idCol, qIdCol, qVecCol)
+
+  /** The ADC scoring core shared by [[pqTopK]] (inline encode) and
+    * [[pqTopKIndexed]] (persisted codes): `codes` is any
+    * `(id, codes array<long>)` relation. */
+  private def pqTopKFromCodes(codes: DataFrame, queries: DataFrame,
+                              books: Seq[Seq[Seq[Double]]], k: Int,
+                              idCol: String, qIdCol: String,
+                              qVecCol: String): DataFrame = {
     val m = books.length
     val kk = books.head.length
     val sub = books.head.head.length
-    val codes = pqEncode(corpus, books, idCol, vecCol)
     // |c_{s,code}|² flattened to a literal (index s*kk + code):
     // driver-side left-to-right sums, same order as the oracle's
     // list_sum over the centroid vector

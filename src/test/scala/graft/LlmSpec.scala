@@ -241,6 +241,31 @@ class LlmSpec extends AnyFunSuite {
       s"expected a cell_id partition filter in:\n$plan")
   }
 
+  test("pqTopKIndexed: persisted code table matches inline ADC; the " +
+       "indexed scan reads codes, never vectors") {
+    val indexDir = "/root/repo/target/scratch/pq_index"
+    val books = Similarity.pqCodebooks(emb, m = 4, k = 16)
+    Similarity.pqWriteIndex(emb, books, indexDir)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+    val fromIndex = Similarity.pqTopKIndexed(spark, indexDir, books,
+      queries, k = 10)
+    val inline = Similarity.pqTopK(emb, queries, books, k = 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(rows(fromIndex) == rows(inline))
+    // the corpus-side scan of the indexed plan is the code parquet:
+    // its read schema must not include the embedding column
+    val scanLines = fromIndex.queryExecution.executedPlan.toString
+      .linesIterator.filter(l => l.contains("FileScan") &&
+        l.contains("pq_index")).toSeq
+    assert(scanLines.nonEmpty && scanLines.forall(
+      !_.contains("embedding")),
+      s"indexed scan must be code-width:\n${scanLines.mkString("\n")}")
+  }
+
   test("minHashPairsAgainstManaged: same pairs, close() releases both sides") {
     import org.apache.spark.storage.StorageLevel
     val newDocs = docs.filter(col("doc_id") % 7 === 0)
