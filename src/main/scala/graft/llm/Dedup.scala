@@ -936,6 +936,36 @@ object Dedup {
       .drop("_bad")
   }
 
+  /** Per-group exact-dedup savings report — the ops dashboard a
+    * dedup run publishes: per source, how many docs are non-canonical
+    * exact copies (representative = globally-first id, so a doc
+    * duplicating ANOTHER source's content counts against its own
+    * source) and how many characters a dedup pass saves. The
+    * decision input for source weighting: a 40%-duplicate source is
+    * over-represented before mixing even starts.
+    *
+    * Scale: one window over 64-bit content hashes (group sizes =
+    * duplicate multiplicity, bounded) + one group-by; text never
+    * shuffles beyond its content hash. */
+  def dedupStats(docs: DataFrame, groupCol: String = "source",
+                 textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(xxhash64(col(textCol)))
+      .orderBy(col(idCol).asc)
+    docs.withColumn("_rn", row_number().over(w))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_rn") === 1, 0L).otherwise(1L)).as("n_dup_docs"),
+        sum(length(col(textCol)).cast("long")).as("chars_total"),
+        sum(when(col("_rn") === 1, 0L)
+          .otherwise(length(col(textCol)).cast("long")))
+          .as("chars_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup_docs").cast("double") /
+          col("n_docs").cast("double"), 6))
+  }
+
   /** Batch novelty vs a standing corpus — the incremental-ingest
     * health gauge: for every doc of a NEW batch, the fraction of its
     * distinct `n`-token window-grams never seen in the standing

@@ -899,6 +899,13 @@ object LlmQueries {
           col("n_chunks_removed"))
         .orderBy(col("doc_id"))),
 
+    // per-source exact-dedup savings report (globally-first
+    // representative; cross-source copies count against their own
+    // source).
+    "llm_dedup_stats" -> ((s, dir) =>
+      Dedup.dedupStats(table(s, dir, "documents"))
+        .orderBy(col("source"))),
+
     // batch novelty: docs >= 450 play the incoming batch, the rest
     // the standing corpus; per batch doc the unseen-gram fraction.
     "llm_novelty" -> ((s, dir) => {
@@ -3048,6 +3055,23 @@ object LlmQueries {
                coalesce(b.bad, []), x)) AS kept
            FROM ch LEFT JOIN boiler b ON ch.source = b.source)
          ORDER BY doc_id""",
+
+    // dedup-stats replay: canonical election by (text, doc_id) — the
+    // engine's 64-bit content hash is internal, value == hash here.
+    "llm_dedup_stats" ->
+      """WITH r AS (
+           SELECT doc_id, source, text, row_number() OVER (
+             PARTITION BY text ORDER BY doc_id) AS rn
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(sum(length(text)) AS BIGINT) AS chars_total,
+           CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE length(text) END)
+             AS BIGINT) AS chars_dup,
+           round(CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+         FROM r GROUP BY source ORDER BY source""",
 
     // novelty replay: distinct md5-60 grams per batch doc, corpus
     // gram set, unseen fraction.

@@ -1352,6 +1352,22 @@ class LlmSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, "en", 1.0, false)), s"${out(2L)}")
   }
 
+  test("dedupStats: cross-source copy counts against ITS OWN source") {
+    import spark.implicits._
+    val t = "shared content here"
+    val planted = Seq(
+      (1L, "A", t), (2L, "B", t),       // B's copy is the duplicate
+      (3L, "B", "unique b text"))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.dedupStats(planted)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+         r.getDouble(5))).toMap
+    assert(out("A") == ((1L, 0L, t.length.toLong, 0L, 0.0)))
+    assert(out("B") == ((2L, 1L, (t.length + 13).toLong,
+      t.length.toLong, 0.5)), s"${out("B")}")
+  }
+
   test("batchNovelty: re-ingested content scores 0, new content 1, " +
        "short docs drop") {
     import spark.implicits._
