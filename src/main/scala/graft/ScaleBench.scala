@@ -201,11 +201,11 @@ object ScaleBench {
         graft.llm.Dedup.sourceOverlap(docs, n = 3).count())
       report("source_overlap", f, nDocs, so, t21)
 
-      // NB langid: training = one (label, token) aggregate collected
-      // to a vocab x label artifact (size independent of corpus
-      // rows); scoring = one explode + two broadcast joins + per-doc
-      // window. Should track the token volume linearly.
-      graft.llm.TextAnalysis.clearNbCache()
+      // NB langid: training = one (label, token) aggregate cut to a
+      // vocab-capped SPARSE seen-pair table (size bounded by the
+      // vocab cap however large the corpus); scoring = two linear
+      // passes over the corpus + per-doc window. Should track the
+      // token volume linearly with a corpus-independent model cost.
       val (nb, t22) = timed(
         graft.llm.TextAnalysis.nbLangIdConfusion(docs).count())
       report("nb_langid", f, nDocs, nb, t22)

@@ -690,103 +690,155 @@ object TextAnalysis {
     * smallest, scores rounded to 6 places first — the oracle-parity
     * rank key). Returns `(idCol, pred_lang, score)`.
     *
-    * The dense likelihood table (vocab × labels — the MODEL) covers
-    * every (label, token) pair including unseen ones at the smoothed
-    * floor, so scoring needs no unseen-token branch for any doc whose
-    * tokens appear somewhere in `train`; tokens of `docs` absent from
-    * the training vocab are skipped entirely (the standard
-    * vocabulary-restricted NB convention — constant-per-label floors
-    * for true OOV would need one more left join, same plan shape).
+    * The model is SPARSE: only the observed (label, token) pairs are
+    * materialized, each carrying its likelihood DELTA above the
+    * label's smoothed floor `ln(α/(n_l+α·V))`; the floor itself is a
+    * per-label CONSTANT, so the full score decomposes exactly as
+    * `ln P(l) + T_d·floor_l + Σ_{(t,l) seen} tf·(ll − floor_l)` with
+    * `T_d` the doc's in-vocab token total — algebraically identical
+    * to the dense sum, but nothing |vocab|·|labels|-sized ever
+    * exists. Tokens of `docs` outside the (capped) training vocab
+    * are skipped entirely (the standard vocabulary-restricted NB
+    * convention). `maxVocab` bounds the vocabulary to the top-V
+    * tokens by corpus frequency (ties lexicographic — a TakeOrdered
+    * cut, the [[vocabulary]] rule), so the model stays
+    * vocab-bounded however large the corpus grows.
     *
     * Scale shape: training counts aggregate map-side on (label,
-    * token) — the only corpus-sized shuffle on the training scan.
-    * The model is |vocab|·|labels| rows and broadcasts while it fits
-    * (a 1M-term × 20-label model is 20M narrow rows — beyond that
-    * Spark falls back to a shuffle join on `token`, still correct).
-    * Scoring re-aggregates the doc token stream per (doc, label) with
-    * partial aggregation; document text never rides a shuffle. The
-    * decimal-cast sum keeps the per-doc log-likelihood order-free so
-    * the score replays bit-exact in any ANSI engine. */
+    * token) — the only corpus-sized shuffle on the training scan;
+    * the capped count table is pinned (vocab-sized — cheap at any
+    * corpus size) because the label totals, vocab size, and delta
+    * table all derive from it. Scoring makes two linear passes over
+    * `docs` (in-vocab token total; seen-pair delta sums), each a
+    * map-side-combined aggregate — document text never rides a
+    * shuffle, and the per-label constants join in as a broadcast
+    * nested-loop against |docs| rows. The decimal-cast delta sum
+    * keeps the per-doc log-likelihood order-free so the score
+    * replays bit-exact in any ANSI engine. */
   def nbLangId(docs: DataFrame, train: DataFrame, alpha: Double = 0.5,
                textCol: String = "text", labelCol: String = "lang",
-               idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val (model, priors) = nbModel(train, alpha, textCol, labelCol)
-    val modelDf = broadcast(
-      model.toSeq.toDF("_lang", "token", "_ll"))
-    val priorsDf = broadcast(priors.toSeq.toDF("_lang", "_prior"))
-    // score: per-doc term frequencies x the frozen model,
-    // decimal-summed so the per-doc log likelihood is order-free
-    val tf = docs.select(col(idCol),
-        explode(tokens(col(textCol))).as("token"))
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("_tf"))
-    val scored = tf.join(modelDf, Seq("token"))
-      .groupBy(col(idCol), col("_lang"))
-      .agg(sum((col("_tf").cast("double") * col("_ll"))
-        .cast("decimal(38,18)")).cast("double").as("_sum"))
-      .join(priorsDf, Seq("_lang"))
-      .select(col(idCol), col("_lang").as("pred_lang"),
-        round(col("_prior") + col("_sum"), 6).as("score"))
-    scored.withColumn("_rn", row_number().over(Window
-        .partitionBy(col(idCol))
-        .orderBy(col("score").desc, col("pred_lang"))))
-      .filter(col("_rn") === 1).drop("_rn")
+               idCol: String = "doc_id", maxVocab: Int = 1 << 16,
+               carryCols: Seq[String] = Nil): DataFrame = {
+    val (seen, labels) = nbModel(train, alpha, textCol, labelCol,
+      maxVocab)
+    // the per-label constants are |labels| rows in a LocalRelation —
+    // lifting them into per-label AGG COLUMNS makes scoring ONE
+    // corpus shuffle: tf ⋈ (token → {label: dll} map, broadcast),
+    // then a single per-doc aggregate with one decimal sum per label
+    // (summand tf·(floor + dll_if_seen) — the dense model's own
+    // per-token term), and a row-local struct-min argmax (score
+    // negated so ties fall to the lexicographically smallest label,
+    // the rank rule). No window, no per-label row explosion.
+    val labArr = labels.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val keyCols = col(idCol) +: carryCols.map(col)
+    if (labArr.isEmpty)
+      return docs.select(keyCols :+ lit("").as("pred_lang")
+        :+ lit(0.0).as("score"): _*).limit(0)
+    val tokModel = seen.groupBy(col("token"))
+      .agg(map_from_entries(collect_list(struct(col("_lang"),
+        col("_dll")))).as("_lm"))
+    val tf = docs.select(keyCols
+        :+ explode(tokens(col(textCol))).as("token"): _*)
+      .groupBy(keyCols :+ col("token"): _*)
+      .agg(count(lit(1)).as("_tf"))
+    val aggCols = labArr.zipWithIndex.map { case ((l, floor, _), i) =>
+      sum((col("_tf").cast("double") *
+          (lit(floor) + coalesce(element_at(col("_lm"), lit(l)),
+            lit(0.0))))
+        .cast("decimal(38,18)")).as(s"_s_$i")
+    }
+    val sums = tf.join(broadcast(tokModel), Seq("token"))
+      .groupBy(keyCols: _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    val cand = labArr.zipWithIndex.map { case ((l, _, prior), i) =>
+      struct((-round(lit(prior) + col(s"_s_$i").cast("double"), 6))
+        .as("_m"), lit(l).as("_l"))
+    }
+    val best =
+      if (cand.length == 1) cand.head else least(cand: _*)
+    sums.select(keyCols :+ best.as("_b"): _*)
+      .select(keyCols :+ col("_b._l").as("pred_lang")
+        :+ (-col("_b._m")).as("score"): _*)
   }
 
-  // NB models are corpus-version artifacts like centroids/codebooks
-  // (Similarity's train-once registry): keyed on the canonicalized
-  // train plan + params, collected once. The dense vocab x label
-  // model is the same size class a broadcast join would ship anyway;
-  // for vocabularies beyond driver/broadcast memory, cap the vocab
-  // upstream (vocabulary(v)) — the standard NB deployment shape.
-  private val nbMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Any, String), AnyRef]
-
-  /** Test hook: drop every memoized NB model. */
-  def clearNbCache(): Unit = nbMemo.clear()
-
-  /** Train the multinomial NB model on `train`: returns the DENSE
-    * per-(label, token) log likelihoods (unseen pairs at the alpha
-    * floor) and per-label log priors. Two distributed aggregates
-    * ((label, token) counts with map-side combine; per-label doc
-    * counts); the smoothing arithmetic runs driver-side on the
-    * collected vocab x label table with the same IEEE ops the
-    * engine's `log`/division would use, so oracle replay is
-    * unchanged. */
+  /** Train the multinomial NB model on `train`. Returns `(seen,
+    * labels)`: `seen(token, _lang, _dll)` holds ONLY the observed
+    * (label, token) pairs (vocab-capped to the top-`maxVocab` tokens
+    * by corpus frequency, ties lexicographic), `_dll` the likelihood
+    * delta above the label's floor
+    * `ln((c+α)/(n_l+α·V)) − ln(α/(n_l+α·V))`;
+    * `labels(_lang, _floor, _prior)` the per-label smoothed floor
+    * and log prior. A scorer reconstructs the exact dense-model sum
+    * as `prior + T·floor + Σ tf·dll` (see [[nbLangId]]) — nothing
+    * |vocab|·|labels|-sized ever exists, on the driver or off it.
+    *
+    * Driver/engine split follows the centroid/codebook convention:
+    * the per-label CONSTANTS (token total, doc count, floor, prior —
+    * |labels| rows, corpus-independent) are collected in one bounded
+    * action; the vocab-sized `seen` table stays fully relational,
+    * built from the pinned (label, token) count table (corpus-
+    * sublinear, three consumers) joined to the broadcast constants.
+    * Every label keeps its constants row even if the vocab cap cut
+    * all its tokens (token total coalesces to 0, floor = ln(1/V) —
+    * the dense formula's own nl=0 value). */
   def nbModel(train: DataFrame, alpha: Double = 0.5,
-              textCol: String = "text", labelCol: String = "lang")
-      : (Array[(String, String, Double)], Array[(String, Double)]) =
-    nbMemo.computeIfAbsent(
-      (train.queryExecution.analyzed.canonicalized,
-        s"nb:$alpha:$textCol:$labelCol"),
-      _ => {
-        val c = train.select(col(labelCol).as("_lang"),
-            explode(tokens(col(textCol))).as("token"))
-          .groupBy(col("_lang"), col("token"))
-          .agg(count(lit(1)).as("_c"))
-          .collect()
-          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-        val nl = c.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
-        val vocab = c.map(_._2).distinct.sorted
-        val v = vocab.length.toDouble
-        val seen = c.map(t => (t._1, t._2) -> t._3).toMap
-        val model = for {
-          lang <- nl.keys.toArray.sorted
-          tok <- vocab
-        } yield (lang, tok,
-          math.log((seen.getOrElse((lang, tok), 0L).toDouble + alpha) /
-            (nl(lang).toDouble + alpha * v)))
-        val nd = train.groupBy(col(labelCol).as("_lang"))
-          .agg(count(lit(1)).as("_ndl"))
-          .collect().map(r => (r.getString(0), r.getLong(1)))
-        val ndTot = nd.map(_._2).sum.toDouble
-        val priors = nd.sortBy(_._1)
-          .map { case (l, n) => (l, math.log(n.toDouble / ndTot)) }
-        (model, priors)
-      }).asInstanceOf[(Array[(String, String, Double)],
-        Array[(String, Double)])]
+              textCol: String = "text", labelCol: String = "lang",
+              maxVocab: Int = 1 << 16): (DataFrame, DataFrame) = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val c = train.select(col(labelCol).as("_lang"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("_lang"), col("token"))
+      .agg(count(lit(1)).as("_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one bounded action: per-label doc counts + UNCAPPED per-label
+    // token totals and vocab size. When the vocab already fits the
+    // cap (the common case — vocab is corpus-sublinear), the cap is
+    // an identity and its whole subplan (top-V cut, re-count,
+    // re-total) is skipped; only a genuinely over-cap vocab pays a
+    // second bounded action for the capped stats.
+    val statsFull = train.groupBy(col(labelCol).as("_lang"))
+      .agg(count(lit(1)).as("_ndl"))
+      .join(c.groupBy(col("_lang")).agg(sum(col("_c")).as("_nl")),
+        Seq("_lang"), "left")
+      .crossJoin(c.agg(countDistinct(col("token")).as("_v")))
+      .collect()
+    val capped = statsFull.nonEmpty &&
+      statsFull.head.getAs[Long]("_v") > maxVocab
+    val vocabDf = c.groupBy(col("token")).agg(sum(col("_c")).as("_tot"))
+      .orderBy(col("_tot").desc, col("token").asc).limit(maxVocab)
+      .select(col("token"))
+    val cc = if (!capped) c else c.join(vocabDf, Seq("token"))
+    val stats =
+      if (!capped) statsFull
+      else train.groupBy(col(labelCol).as("_lang"))
+        .agg(count(lit(1)).as("_ndl"))
+        .join(cc.groupBy(col("_lang")).agg(sum(col("_c")).as("_nl")),
+          Seq("_lang"), "left")
+        // vocabDf is already distinct — a plain count, not a
+        // countDistinct expand over the capped pair table
+        .crossJoin(vocabDf.agg(count(lit(1)).as("_v")))
+        .collect()
+    val ndTot = stats.map(_.getAs[Long]("_ndl")).sum.toDouble
+    val labels = stats.map { r =>
+      val nl = if (r.isNullAt(r.fieldIndex("_nl"))) 0.0
+               else r.getAs[Long]("_nl").toDouble
+      val denom = nl + alpha * r.getAs[Long]("_v").toDouble
+      (r.getAs[String]("_lang"), denom, math.log(alpha / denom),
+        math.log(r.getAs[Long]("_ndl").toDouble / ndTot))
+    }.sortBy(_._1).toSeq.toDF("_lang", "_denom", "_floor", "_prior")
+    val seen = cc
+      .join(broadcast(labels.select(col("_lang"), col("_denom"),
+        col("_floor"))), Seq("_lang"))
+      .select(col("token"), col("_lang"),
+        (log((col("_c").cast("double") + lit(alpha)) / col("_denom"))
+          - col("_floor")).as("_dll"))
+    (graft.cache.Pins.track(spark,
+      graft.access.Split.Branches(seen, c)).value,
+      labels.select(col("_lang"), col("_floor"), col("_prior")))
+  }
 
   /** Per-doc lexical-diversity quality signals (the RedPajama /
     * fastText-era signal-pack members NOT already covered by
@@ -843,6 +895,37 @@ object TextAnalysis {
         coalesce(col("top_token_frac"), lit(0.0)).as("top_token_frac"),
         coalesce(col("token_entropy"), lit(0.0)).as("token_entropy"),
         coalesce(col("char_entropy"), lit(0.0)).as("char_entropy"))
+  }
+
+  /** In-engine quality classifier (the fastText-classifier analog of
+    * the curation stack): a binary multinomial NB trained on the
+    * corpus's own Gopher-repetition verdicts — the weak-supervision
+    * bootstrap CCNet/FineWeb-style pipelines use when no hand labels
+    * exist. Docs passing every [[gopherThresholds]] bound (evaluated
+    * on round-6 fractions, the [[gopherRepetition]] rule) become
+    * `pass` exemplars, the rest `fail`; [[nbLangId]]'s sparse model
+    * then trains and scores in the SAME relational plan, yielding
+    * per doc the weak label, the model's verdict, and its score —
+    * disagreements (`pass`-labeled docs the token model rejects, and
+    * vice versa) are exactly the curation review queue.
+    *
+    * Scale shape inherits [[nbLangId]]: the gate is a row-local
+    * kernel call, training is one (label, token) aggregate, the
+    * model is vocab-capped and broadcast, scoring is one corpus
+    * shuffle. */
+  def qualityNb(docs: DataFrame, alpha: Double = 0.5,
+                textCol: String = "text", idCol: String = "doc_id",
+                maxVocab: Int = 1 << 16): DataFrame = {
+    val g = gopherStats(col(textCol))
+    val gate = gopherThresholds
+      .map { case (f, th) => round(g.getField(f), 6) <= lit(th) }
+      .reduce(_ && _)
+    val labeled = docs.withColumn("_q",
+      when(gate, "pass").otherwise("fail"))
+    nbLangId(labeled, labeled, alpha, textCol, labelCol = "_q",
+        idCol, maxVocab, carryCols = Seq("_q"))
+      .select(col(idCol), col("_q").as("gopher_label"),
+        col("pred_lang").as("pred_label"), col("score"))
   }
 
   /** Mixed-language / code-switch detection: [[langId]] applied per
@@ -991,8 +1074,10 @@ object TextAnalysis {
                         textCol: String = "text",
                         labelCol: String = "lang",
                         idCol: String = "doc_id"): DataFrame =
-    nbLangId(docs, docs, alpha, textCol, labelCol, idCol)
-      .join(docs.select(col(idCol), col(labelCol)), Seq(idCol))
+    // the true label rides THROUGH the scorer (carryCols) — no
+    // re-scan of docs and no id join just to re-attach it
+    nbLangId(docs, docs, alpha, textCol, labelCol, idCol,
+        carryCols = Seq(labelCol))
       .groupBy(col(labelCol), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
 }

@@ -828,6 +828,13 @@ object LlmQueries {
       TextAnalysis.nbLangIdConfusion(table(s, dir, "documents"))
         .orderBy(col("lang"), col("pred_lang"))),
 
+    // in-engine quality classifier: binary NB trained on the
+    // corpus's own Gopher verdicts (weak supervision), scored per
+    // doc — label, model verdict, and score in one relational plan.
+    "llm_quality_nb" -> ((s, dir) =>
+      TextAnalysis.qualityNb(table(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // CCNet head/tail filter: materialize the kept (head+middle)
     // corpus slice from the per-language perplexity tiers.
     "llm_ccnet_filter" -> ((s, dir) => {
@@ -1639,7 +1646,10 @@ object LlmQueries {
     * both engines. n-gram coverage (n>=5) is interval-union over
     * token positions — `DISTINCT (doc, n, pos)` — exactly the
     * kernel's boolean-array sweep. */
-  private def gopherOracle: String = {
+  /** Gopher-repetition CTE chain ending in `gfr(doc_id, n_lines,
+    * <11 round-6 fracs>, kept)` — shared by the llm_gopher replay
+    * and the llm_quality_nb weak-label source. */
+  private def gopherCtes: String = {
     def covCol(n: Int) =
       s"SUM(CASE WHEN c.n = $n THEN length(t.tk[c.p]) ELSE 0 END)"
     def topCol(n: Int) =
@@ -1654,7 +1664,7 @@ object LlmQueries {
       fracCol(s"cv.c$n", s"dup_${n}gram_frac")).mkString(",\n           ")
     val gate = graft.llm.TextAnalysis.gopherThresholds
       .map { case (f, th) => s"$f <= $th" }.mkString(" AND ")
-    s"""WITH tokc AS (
+    s"""tokc AS (
          SELECT doc_id, tk, len(tk) AS ntok,
            CAST(COALESCE(list_sum(list_transform(tk, t -> length(t))), 0)
              AS BIGINT) AS tchars
@@ -1703,29 +1713,102 @@ object LlmQueries {
            ${covCol(7)} AS c7, ${covCol(8)} AS c8, ${covCol(9)} AS c9,
            ${covCol(10)} AS c10
          FROM cpos c JOIN tokc t USING (doc_id)
-         GROUP BY c.doc_id)
+         GROUP BY c.doc_id),
+       gfr AS (
+         SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+           top_2gram_frac, top_3gram_frac, top_4gram_frac,
+           dup_5gram_frac, dup_6gram_frac, dup_7gram_frac,
+           dup_8gram_frac, dup_9gram_frac, dup_10gram_frac,
+           ($gate) AS kept
+         FROM (
+           SELECT d.doc_id,
+             CAST(COALESCE(l.n_lines, 0) AS BIGINT) AS n_lines,
+             round(CASE WHEN COALESCE(l.n_lines, 0) = 0 THEN 0.0
+               ELSE CAST(l.dup_lines AS DOUBLE) / l.n_lines END, 6)
+               AS dup_line_frac,
+             round(CASE WHEN COALESCE(l.line_chars, 0) = 0 THEN 0.0
+               ELSE CAST(l.dup_line_chars AS DOUBLE) / l.line_chars END, 6)
+               AS dup_line_char_frac,
+             $tops,
+             $covs
+           FROM tokc d
+           LEFT JOIN lstat l USING (doc_id)
+           LEFT JOIN topf t USING (doc_id)
+           LEFT JOIN covf cv USING (doc_id)))"""
+  }
+
+  private def gopherOracle: String =
+    s"""WITH $gopherCtes
        SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
          top_2gram_frac, top_3gram_frac, top_4gram_frac,
          dup_5gram_frac, dup_6gram_frac, dup_7gram_frac,
-         dup_8gram_frac, dup_9gram_frac, dup_10gram_frac,
-         ($gate) AS kept
-       FROM (
-         SELECT d.doc_id,
-           CAST(COALESCE(l.n_lines, 0) AS BIGINT) AS n_lines,
-           round(CASE WHEN COALESCE(l.n_lines, 0) = 0 THEN 0.0
-             ELSE CAST(l.dup_lines AS DOUBLE) / l.n_lines END, 6)
-             AS dup_line_frac,
-           round(CASE WHEN COALESCE(l.line_chars, 0) = 0 THEN 0.0
-             ELSE CAST(l.dup_line_chars AS DOUBLE) / l.line_chars END, 6)
-             AS dup_line_char_frac,
-           $tops,
-           $covs
-         FROM tokc d
-         LEFT JOIN lstat l USING (doc_id)
-         LEFT JOIN topf t USING (doc_id)
-         LEFT JOIN covf cv USING (doc_id))
+         dup_8gram_frac, dup_9gram_frac, dup_10gram_frac, kept
+       FROM gfr
        ORDER BY doc_id"""
-  }
+
+  /** llm_quality_nb replay: Gopher verdicts label the corpus
+    * (pass/fail), then the sparse-NB score replay (the llm_nb_langid
+    * device, binary labels) picks each doc's argmax label. */
+  private def qualityNbOracle: String =
+    raw"""WITH $gopherCtes,
+         lb AS (
+           SELECT d.doc_id,
+             CASE WHEN g.kept THEN 'pass' ELSE 'fail' END AS lab,
+             d.text
+           FROM documents d JOIN gfr g USING (doc_id)),
+         qtok AS (
+           SELECT lab, doc_id, unnest(list_filter(
+             regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
+           FROM lb),
+         qc AS (SELECT lab, token, count(*) AS c
+                FROM qtok GROUP BY 1, 2),
+         qvocab AS (
+           SELECT token FROM (
+             SELECT token, SUM(c) AS tot FROM qc GROUP BY token
+             ORDER BY tot DESC, token ASC LIMIT 65536)),
+         qcc AS (SELECT qc.* FROM qc JOIN qvocab USING (token)),
+         qnl AS (SELECT lab, SUM(c) AS nl FROM qcc GROUP BY lab),
+         qv AS (SELECT count(DISTINCT token) AS v FROM qcc),
+         qlab AS (
+           SELECT d.lab,
+             ln(0.5 / (CAST(coalesce(qnl.nl, 0) AS DOUBLE)
+               + 0.5 * CAST(qv.v AS DOUBLE))) AS flr
+           FROM (SELECT DISTINCT lab FROM lb) d
+           LEFT JOIN qnl USING (lab), qv),
+         qseen AS (
+           SELECT qcc.lab, qcc.token,
+             ln((CAST(qcc.c AS DOUBLE) + 0.5) /
+                (CAST(qnl.nl AS DOUBLE) + 0.5 * CAST(qv.v AS DOUBLE)))
+               - qlab.flr AS dll
+           FROM qcc JOIN qnl USING (lab) JOIN qlab USING (lab), qv),
+         qpri AS (
+           SELECT lab, ln(CAST(count(*) AS DOUBLE) /
+             CAST((SELECT count(*) FROM lb) AS DOUBLE)) AS prior
+           FROM lb GROUP BY lab),
+         qtf AS (SELECT doc_id, token, count(*) AS tf
+                 FROM qtok GROUP BY 1, 2),
+         qsc AS (
+           SELECT qtf.doc_id, qlab.lab AS pred_label,
+             round(qpri.prior + CAST(SUM(CAST(
+               CAST(qtf.tf AS DOUBLE)
+                 * (qlab.flr + coalesce(qseen.dll, 0.0))
+             AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+           FROM qtf JOIN qvocab USING (token)
+           CROSS JOIN qlab
+           JOIN qpri ON qpri.lab = qlab.lab
+           LEFT JOIN qseen ON qseen.lab = qlab.lab
+             AND qseen.token = qtf.token
+           GROUP BY qtf.doc_id, qlab.lab, qpri.prior),
+         qbest AS (
+           SELECT doc_id, pred_label, score,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, pred_label) AS rn
+           FROM qsc)
+         SELECT b.doc_id, l.lab AS gopher_label,
+           b.pred_label, b.score
+         FROM qbest b JOIN lb l USING (doc_id)
+         WHERE b.rn = 1
+         ORDER BY b.doc_id"""
 
   val oracleSql: Map[String, String] = Map(
     "llm_exact_dedup" ->
@@ -1796,6 +1879,7 @@ object LlmQueries {
              / CAST(len(tk) - 2 AS DOUBLE), 6) AS rep_ratio
          FROM tk WHERE len(tk) >= 3 ORDER BY doc_id""",
     "llm_gopher" -> gopherOracle,
+    "llm_quality_nb" -> qualityNbOracle,
     "llm_quality" ->
       """SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -2734,6 +2818,10 @@ object LlmQueries {
     // vocab x label likelihood table (alpha floor via left-join
     // coalesce), decimal-cast per-doc sum, round-6 + label tiebreak
     // argmax, confusion-matrix aggregate.
+    // sparse-model replay: only SEEN (label, token) pairs carry a
+    // likelihood delta above the per-label smoothed floor; the score
+    // reassembles as prior + T*floor + sum(tf*dll) — algebraically
+    // the dense sum, never materializing vocab x labels.
     "llm_nb_langid" ->
       raw"""WITH tok AS (
            SELECT lang, doc_id, unnest(list_filter(
@@ -2741,16 +2829,25 @@ object LlmQueries {
            FROM documents),
          c AS (SELECT lang, token, count(*) AS c
                FROM tok GROUP BY 1, 2),
-         nl AS (SELECT lang, SUM(c) AS nl FROM c GROUP BY lang),
-         vocab AS (SELECT DISTINCT token FROM c),
-         v AS (SELECT count(*) AS v FROM vocab),
-         model AS (
-           SELECT nl.lang, vocab.token,
-             ln((CAST(coalesce(c.c, 0) AS DOUBLE) + 0.5) /
+         vocab AS (
+           SELECT token FROM (
+             SELECT token, SUM(c) AS tot FROM c GROUP BY token
+             ORDER BY tot DESC, token ASC LIMIT 65536)),
+         cc AS (SELECT c.* FROM c JOIN vocab USING (token)),
+         nl AS (SELECT lang, SUM(c) AS nl FROM cc GROUP BY lang),
+         v AS (SELECT count(DISTINCT token) AS v FROM cc),
+         lab AS (
+           SELECT d.lang,
+             ln(0.5 / (CAST(coalesce(nl.nl, 0) AS DOUBLE)
+               + 0.5 * CAST(v.v AS DOUBLE))) AS flr
+           FROM (SELECT DISTINCT lang FROM documents) d
+           LEFT JOIN nl USING (lang), v),
+         seen AS (
+           SELECT cc.lang, cc.token,
+             ln((CAST(cc.c AS DOUBLE) + 0.5) /
                 (CAST(nl.nl AS DOUBLE) + 0.5 * CAST(v.v AS DOUBLE)))
-               AS ll
-           FROM vocab CROSS JOIN nl CROSS JOIN v
-           LEFT JOIN c ON c.lang = nl.lang AND c.token = vocab.token),
+               - lab.flr AS dll
+           FROM cc JOIN nl USING (lang) JOIN lab USING (lang), v),
          pri AS (
            SELECT lang, ln(CAST(count(*) AS DOUBLE) /
              CAST((SELECT count(*) FROM documents) AS DOUBLE)) AS prior
@@ -2758,13 +2855,17 @@ object LlmQueries {
          tf AS (SELECT doc_id, token, count(*) AS tf
                 FROM tok GROUP BY 1, 2),
          sc AS (
-           SELECT tf.doc_id, model.lang AS pred_lang,
+           SELECT tf.doc_id, lab.lang AS pred_lang,
              round(pri.prior + CAST(SUM(CAST(
-               CAST(tf.tf AS DOUBLE) * model.ll
+               CAST(tf.tf AS DOUBLE)
+                 * (lab.flr + coalesce(seen.dll, 0.0))
              AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
-           FROM tf JOIN model USING (token)
-           JOIN pri ON pri.lang = model.lang
-           GROUP BY tf.doc_id, model.lang, pri.prior),
+           FROM tf JOIN vocab USING (token)
+           CROSS JOIN lab
+           JOIN pri ON pri.lang = lab.lang
+           LEFT JOIN seen ON seen.lang = lab.lang
+             AND seen.token = tf.token
+           GROUP BY tf.doc_id, lab.lang, pri.prior),
          best AS (
            SELECT doc_id, pred_lang,
              row_number() OVER (PARTITION BY doc_id

@@ -445,6 +445,61 @@ class LlmSpec extends AnyFunSuite {
     assert(conf == Set(("en", "en", 4L), ("xx", "xx", 2L)), s"got $conf")
   }
 
+  test("nbModel is sparse (only observed pairs) and vocab-capped; " +
+       "capped-out labels keep their floor row") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", "cat dog house tree"),
+      (2L, "en", "dog tree cat cat"),
+      (3L, "en", "house dog tree dog"),
+      (4L, "en", "tree cat house dog"),
+      (5L, "xx", "blorp zub zub frick"),
+      (6L, "xx", "frick blorp zub blorp"))
+      .toDF("doc_id", "lang", "text")
+    // disjoint vocabularies: 7 observed (label, token) pairs — the
+    // dense cross-product would be 7 x 2 = 14
+    val (seen, labels) = TextAnalysis.nbModel(df)
+    assert(seen.count() == 7L, "sparse model must be |seen|-sized")
+    assert(labels.count() == 2L)
+    // cap to the top-2 tokens by corpus frequency (dog=5, then the
+    // cat/tree tie at 4 breaks lexicographically to cat) — both are
+    // en-only, yet BOTH labels keep their (floor, prior) row so xx
+    // remains scoreable
+    val (seen2, labels2) = TextAnalysis.nbModel(df, maxVocab = 2)
+    val s2 = seen2.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(s2.map(_._1).toSet == Set("cat", "dog") &&
+      s2.forall(_._2 == "en"), s"got ${s2.toSeq}")
+    val l2 = labels2.select("_lang", "_floor").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(l2.keySet == Set("en", "xx"))
+    // capped-out label's floor is the nl=0 dense value ln(alpha/(alpha*V))
+    assert(math.abs(l2("xx") - math.log(1.0 / 2.0)) < 1e-12, l2)
+  }
+
+  test("qualityNb: gopher verdicts label the corpus; the NB recovers " +
+       "them on a separable fixture") {
+    import spark.implicits._
+    // fail docs: one token repeated (top-2gram fraction 1.0 >> 0.2);
+    // pass docs: all-distinct tokens, long enough that even the top
+    // singleton n-gram stays under the char-fraction bounds —
+    // vocabularies disjoint, so the classifier separates perfectly
+    val passWords = (0 until 40).map(i => s"w${i}word$i")
+    val df = Seq(
+      (1L, passWords.mkString(" ")),
+      (2L, passWords.map(_ + "b").mkString(" ")),
+      (3L, passWords.map(_ + "c").mkString(" ")),
+      (4L, "spam spam spam spam spam spam spam spam"),
+      (5L, "ham ham ham ham ham ham ham ham"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.qualityNb(df).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got.size == 5)
+    (1L to 3L).foreach { i =>
+      assert(got(i) == (("pass", "pass")), s"doc $i: ${got(i)}") }
+    Seq(4L, 5L).foreach { i =>
+      assert(got(i) == (("fail", "fail")), s"doc $i: ${got(i)}") }
+  }
+
   test("mmrRerank: clone excluded, orthogonal doc promoted over " +
        "plain cosine order") {
     import spark.implicits._

@@ -550,13 +550,19 @@ class PlanSpec extends AnyFunSuite {
     val qs = graft.llm.TextAnalysis.qualitySignals(docs)
     qs.collect()
     noTextOnExchanges(qs.queryExecution.executedPlan.toString, "text")
-    // nbLangId: the vocab x label model and the priors broadcast;
-    // doc text stays scan-side
+    // nbLangId: the SPARSE seen-pair model stays relational — the
+    // only driver-materialized relation in the plan is the |labels|-
+    // row constants table (no `token` column = no dense vocab x
+    // labels cross-product); doc text stays scan-side
     val nb = graft.llm.TextAnalysis.nbLangIdConfusion(docs)
     nb.collect()
     val nbPlan = nb.queryExecution.executedPlan.toString
     noTextOnExchanges(nbPlan, "text")
     assert(nbPlan.contains("BroadcastHashJoin"), nbPlan.take(2000))
+    assert(!nbPlan.linesIterator.exists(l =>
+        l.contains("LocalTableScan") && l.contains("token")),
+      "NB model (token-level) must not materialize on the driver:\n" +
+        nbPlan.take(2000))
     // embedOutliers: vectors are dropped before the cell aggregate;
     // the per-cell moment table comes back as a broadcast
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
