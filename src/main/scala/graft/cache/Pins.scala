@@ -42,16 +42,20 @@ object Pins {
   // hook (one listener per session, installed on first track)
   private val hooked = ConcurrentHashMap.newKeySet[SparkSession]
 
-  private def installHook(spark: SparkSession): Unit =
-    if (hooked.add(spark)) {
-      try spark.sparkContext.addSparkListener(new SparkListener {
+  /** Returns false when the context is already stopped (no listener
+    * could be installed) — the caller must not leave handles in the
+    * registry in that case, or they would linger undrained. */
+  private def installHook(spark: SparkSession): Boolean =
+    if (!hooked.add(spark)) true
+    else {
+      try { spark.sparkContext.addSparkListener(new SparkListener {
         override def onApplicationEnd(
             end: SparkListenerApplicationEnd): Unit = {
           release(spark); hooked.remove(spark)
         }
-      })
+      }); true }
       catch { case _: IllegalStateException =>   // context already stopped
-        hooked.remove(spark); release(spark); ()
+        hooked.remove(spark); false
       }
     }
 
@@ -64,7 +68,14 @@ object Pins {
     * plan recomputes its parent per consumer, the documented
     * unpinned semantics. */
   def track[H <: AutoCloseable](spark: SparkSession, handle: H): H = {
-    installHook(spark)
+    if (!installHook(spark)) {
+      // context already stopped: executor storage is gone and no
+      // end-of-app hook can ever drain a registry entry — don't
+      // create one; close the handle now and hand it back (close is
+      // an unpersist, a no-op against a stopped context)
+      try handle.close() catch { case _: IllegalStateException => () }
+      return handle
+    }
     var retry = true
     while (retry) {
       val q = reg.computeIfAbsent(spark,

@@ -979,7 +979,13 @@ object Dedup {
     * distinct is the one corpus-sized aggregate (in production: read
     * the persisted gram layer instead — the same artifact the
     * substring-dedup family maintains) and the seen-check is a
-    * hash-keyed left join where the small batch side broadcasts. */
+    * hash-keyed LEFT join on the gram hash. The left (batch) side of
+    * an outer join is not broadcast-eligible, so this runs as a
+    * shuffle join co-partitioned with the corpus distinct — the
+    * batch side is small, the shuffle is gram-keyed on both sides,
+    * and a semi/anti pair (which COULD broadcast the batch) would
+    * scan the corpus layer twice; one shuffled pass is the cheaper
+    * shape. */
   def batchNovelty(corpus: DataFrame, batch: DataFrame, n: Int = 8,
                    tau: Double = 0.5, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {

@@ -236,29 +236,31 @@ object IngestStream {
     * recovery is re-reading it, and it grows by NOVEL grams only, so
     * a crawl full of re-ingested content adds ~nothing.
     *
-    * Same idempotent-replay contract as [[ingestBatch]]: with
-    * `batchId` both outputs are batch-keyed overwrite partitions and
-    * the layer read excludes this batch's own partition. ORDER
-    * MATTERS: the report is written FIRST — both plans read
-    * `gramDir`, and publishing the grams first would recache the
-    * layer path and score the report against a layer already
-    * containing this batch (novelty would collapse to zero on
-    * replay-free runs too, via recacheByPath). */
+    * Same idempotent-replay contract as [[ingestBatch]]: `batchId`
+    * is REQUIRED — both outputs are batch-keyed overwrite partitions
+    * and the layer read excludes this batch's own partition, so an
+    * at-least-once replay of the same id replaces rather than
+    * doubles (an unkeyed append path would silently double the gram
+    * layer under retry, so it is not offered). ORDER MATTERS: the
+    * report is written FIRST — both plans read `gramDir`, and
+    * publishing the grams first would recache the layer path and
+    * score the report against a layer already containing this batch
+    * (novelty would collapse to zero on replay-free runs too, via
+    * recacheByPath). */
   def noveltyBatch(batch: DataFrame, gramDir: String, reportDir: String,
                   n: Int = 8, tau: Double = 0.5,
                   textCol: String = "text", idCol: String = "doc_id",
-                  batchId: Option[Long] = None): Unit = {
+                  batchId: Long): Unit = {
     import org.apache.spark.storage.StorageLevel
     val spark = batch.sparkSession
     val bg = batch.select(col(idCol), explode(array_distinct(
         graft.functions.SketchExprs.windowHashes(col(textCol), n)))
         .as("h"))
     val layer = layerReadable(spark, gramDir).map { l0 =>
-      val l = batchId match {
-        case Some(bid) if l0.columns.contains("ingest_batch") =>
-          l0.filter(col("ingest_batch") =!= bid)
-        case _ => l0
-      }
+      val l =
+        if (l0.columns.contains("ingest_batch"))
+          l0.filter(col("ingest_batch") =!= batchId)
+        else l0
       l.select(col("h")).distinct()
     }
     // persist the JOINED stream (batch-sized): both outputs derive
@@ -274,16 +276,10 @@ object IngestStream {
       val report = graft.llm.Dedup.noveltyScore(seen, tau, idCol)
       val novelGrams = seen.filter(col("_seen").isNull)
         .select(col("h")).distinct()
-      batchId match {
-        case Some(bid) =>
-          report.write.mode("overwrite")
-            .parquet(s"$reportDir/ingest_batch=$bid")
-          novelGrams.write.mode("overwrite")
-            .parquet(s"$gramDir/ingest_batch=$bid")
-        case None =>
-          report.write.mode("append").parquet(reportDir)
-          novelGrams.write.mode("append").parquet(gramDir)
-      }
+      report.write.mode("overwrite")
+        .parquet(s"$reportDir/ingest_batch=$batchId")
+      novelGrams.write.mode("overwrite")
+        .parquet(s"$gramDir/ingest_batch=$batchId")
     } finally { seen.unpersist(); () }
   }
 
@@ -304,7 +300,7 @@ object IngestStream {
         checkpointDir.getOrElse(s"$gramDir/_checkpoints"))
       .foreachBatch { (batch: Dataset[Row], bid: Long) =>
         noveltyBatch(batch.toDF(), gramDir, reportDir, n, tau,
-          textCol, idCol, batchId = Some(bid))
+          textCol, idCol, batchId = bid)
       }
       .trigger(trigger)
       .start()

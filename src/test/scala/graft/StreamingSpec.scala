@@ -519,7 +519,7 @@ class StreamingSpec extends AnyFunSuite {
     val textB = "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10"
     IngestStream.noveltyBatch(
       Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"),
-      gramDir, reportDir, n = 8, batchId = Some(0L))
+      gramDir, reportDir, n = 8, batchId = 0L)
     def report(bid: Long): Map[Long, (Double, Boolean)] =
       spark.read.parquet(s"$reportDir/ingest_batch=$bid")
         .collect().map(r => r.getAs[Long]("doc_id") ->
@@ -531,14 +531,14 @@ class StreamingSpec extends AnyFunSuite {
     val batch1 = Seq((3L, textA), (4L, "u1 u2 u3 u4 u5 u6 u7 u8"))
       .toDF("doc_id", "text")
     IngestStream.noveltyBatch(batch1, gramDir, reportDir, n = 8,
-      batchId = Some(1L))
+      batchId = 1L)
     assert(report(1L) == Map(3L -> ((0.0, false)), 4L -> ((1.0, true))))
     // crash-and-replay of batch 1 under the same id: the layer read
     // excludes its own partition, so doc 3 does not self-match to
     // novelty 0 *because of its own prior publish*, and doc 4 does
     // not flip to seen; the overwrite replaces, never doubles
     IngestStream.noveltyBatch(batch1, gramDir, reportDir, n = 8,
-      batchId = Some(1L))
+      batchId = 1L)
     assert(report(1L) == Map(3L -> ((0.0, false)), 4L -> ((1.0, true))),
       "replay must reproduce the report")
     // layer holds each gram once: batch 0 published 3+3, batch 1 only
