@@ -157,8 +157,8 @@ object Similarity {
   private val trainedMemo =
     new java.util.concurrent.ConcurrentHashMap[(Any, String), AnyRef]
 
-  private def memoized[T <: AnyRef](corpus: DataFrame, tag: String)
-                                   (train: => T): T =
+  private[llm] def memoized[T <: AnyRef](corpus: DataFrame, tag: String)
+                                        (train: => T): T =
     trainedMemo.computeIfAbsent(
       (corpus.queryExecution.analyzed.canonicalized, tag),
       _ => train).asInstanceOf[T]

@@ -663,6 +663,92 @@ object TextAnalysis {
         col("n_docs"))
   }
 
+  /** BPE tokenizer TRAINER (Sennrich et al. 2016, arXiv:1508.07909):
+    * `merges` rounds of (adjacent-pair count → argmax pair → greedy
+    * leftmost merge) at character granularity over whitespace
+    * tokens, completing the tokenizer story [[bpePairStats]] starts.
+    * Returns the ordered merge table `(rank, sym_a, sym_b, n_occ)` —
+    * `n_occ` the pair's corpus count AT merge time. Argmax ties
+    * break lexicographically on (sym_a, sym_b); training stops early
+    * once no adjacent pair remains.
+    *
+    * The working set is the DISTINCT-WORD table with counts (the
+    * standard trainer compression): every round's pair aggregate and
+    * merge run over vocab-sized data, however large the corpus — the
+    * corpus is scanned exactly once, to build the word table. The
+    * merge itself is a row-local string `replace` over a
+    * U+0001-delimited symbol string (pattern `␁a␁␁b␁` →
+    * `␁ab␁`): left-to-right non-overlapping replacement IS greedy
+    * leftmost BPE merging, and the doubled delimiter keeps symbol
+    * boundaries intact across consecutive merges — so the whole
+    * round replays in any ANSI engine with a plain `replace`.
+    * (Symbols therefore must not contain U+0001 — true of any text
+    * a tokenizer would see.)
+    *
+    * Like centroids/codebooks, the merge list is a train-once
+    * corpus-version artifact (k bounded rows) and rides the same
+    * registry ([[Similarity.memoized]], canonicalized-plan key). */
+  def bpeMerges(docs: DataFrame, merges: Int,
+                textCol: String = "text")
+      : Array[(Long, String, String, Long)] =
+    Similarity.memoized(docs, s"bpeTrain:$merges:$textCol") {
+      import org.apache.spark.storage.StorageLevel
+      val SEP = "\u0001"
+      val D = SEP + SEP
+      var words = docs
+        .select(explode(tokens(col(textCol))).as("_w"))
+        .groupBy(col("_w")).agg(count(lit(1)).as("_n"))
+        .select(filter(split(col("_w"), ""), c => c =!= "").as("_a"),
+          col("_n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var prev: Option[DataFrame] = None
+      val out = scala.collection.mutable
+        .ArrayBuffer[(Long, String, String, Long)]()
+      var i = 0
+      var dry = false
+      while (i < merges && !dry) {
+        val top = words.where(size(col("_a")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(_a) - 1), " +
+              "i -> struct(_a[i - 1] AS x, _a[i] AS y))")).as("_p"),
+            col("_n"))
+          .select(col("_p.x").as("x"), col("_p.y").as("y"), col("_n"))
+          .groupBy(col("x"), col("y")).agg(sum(col("_n")).as("c"))
+          .orderBy(col("c").desc, col("x").asc, col("y").asc)
+          .limit(1).collect()
+        // the previous round's table fed this action; release it now
+        prev.foreach(_.unpersist()); prev = None
+        if (top.isEmpty) dry = true
+        else {
+          val (x, y, c) = (top.head.getString(0), top.head.getString(1),
+            top.head.getLong(2))
+          out += ((i + 1L, x, y, c))
+          val merged = call_function("replace",
+            concat(lit(D), array_join(col("_a"), D), lit(D)),
+            lit(SEP + x + D + y + SEP), lit(SEP + x + y + SEP))
+          val next = words
+            .select(filter(split(merged, D), s => s =!= "").as("_a"),
+              col("_n"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          prev = Some(words)
+          words = next
+        }
+        i += 1
+      }
+      words.unpersist(); prev.foreach(_.unpersist())
+      out.toArray
+    }
+
+  /** [[bpeMerges]] as a DataFrame `(rank, sym_a, sym_b, n_occ)` —
+    * the `queries()` face of the trainer. */
+  def bpeTrain(docs: DataFrame, merges: Int,
+               textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeMerges(docs, merges, textCol).toSeq
+      .toDF("rank", "sym_a", "sym_b", "n_occ")
+  }
+
   /** Per-group out-of-vocabulary rate: the fraction of token
     * INSTANCES not covered by `vocab` (a `vocabulary` result or any
     * frame with a `token` column). The vocab side is v rows —

@@ -835,6 +835,13 @@ object LlmQueries {
       TextAnalysis.qualityNb(table(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // BPE tokenizer trainer: 8 greedy merge rounds at char
+    // granularity over the distinct-word table; the oracle unrolls
+    // the same 8 rounds in SQL (pair count -> argmax -> replace).
+    "llm_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(table(s, dir, "documents"), merges = 8)
+        .orderBy(col("rank"))),
+
     // CCNet head/tail filter: materialize the kept (head+middle)
     // corpus slice from the per-language perplexity tiers.
     "llm_ccnet_filter" -> ((s, dir) => {
@@ -1810,6 +1817,54 @@ object LlmQueries {
          WHERE b.rn = 1
          ORDER BY b.doc_id"""
 
+  /** llm_bpe_train replay: `k` merge rounds unrolled as CTE chains —
+    * round i = pair count over the round i-1 symbol lists (weighted
+    * by word count), argmax with lexicographic tie-break, greedy
+    * merge via the same doubled-U+0001 `replace` trick the engine
+    * uses (left-to-right non-overlapping replacement = leftmost BPE
+    * merging). */
+  private def bpeTrainOracle(k: Int): String = {
+    val d = "chr(1) || chr(1)"
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (
+           SELECT x, y, CAST(SUM(n) AS BIGINT) AS c FROM (
+             SELECT a[i] AS x, a[i + 1] AS y, n FROM (
+               SELECT a, n, unnest(generate_series(1, len(a) - 1)) AS i
+               FROM a${i - 1} WHERE len(a) >= 2))
+           GROUP BY x, y),
+         t$i AS (SELECT x, y, c FROM p$i
+                 ORDER BY c DESC, x ASC, y ASC LIMIT 1),
+         w$i AS (
+           SELECT replace(w.s,
+               chr(1) || t.x || $d || t.y || chr(1),
+               chr(1) || t.x || t.y || chr(1)) AS s, w.n
+           FROM w${i - 1} w, t$i t),
+         a$i AS (
+           SELECT list_filter(string_split(s, $d), z -> z <> '') AS a, n
+           FROM w$i)"""
+    }.mkString(",\n         ")
+    val union = (1 to k).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, x AS sym_a, y AS sym_b, " +
+        s"c AS n_occ FROM t$i"
+    }.mkString("\n           UNION ALL ")
+    raw"""WITH tok AS (
+           SELECT unnest(list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '')) AS w
+           FROM documents),
+         wc AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+         a0 AS (
+           SELECT list_filter(regexp_split_to_array(w, ''),
+             c -> c <> '') AS a, n
+           FROM wc),
+         w0 AS (
+           SELECT $d || array_to_string(a, $d) || $d AS s, n
+           FROM a0),
+         $rounds
+         SELECT * FROM (
+           $union)
+         ORDER BY rank"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "llm_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
@@ -1880,6 +1935,7 @@ object LlmQueries {
          FROM tk WHERE len(tk) >= 3 ORDER BY doc_id""",
     "llm_gopher" -> gopherOracle,
     "llm_quality_nb" -> qualityNbOracle,
+    "llm_bpe_train" -> bpeTrainOracle(8),
     "llm_quality" ->
       """SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,

@@ -476,6 +476,29 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(l2("xx") - math.log(1.0 / 2.0)) < 1e-12, l2)
   }
 
+  test("bpeMerges: planted merges come out in order, ties break " +
+       "lexicographically, training stops when dry, greedy-leftmost " +
+       "on overlaps") {
+    import spark.implicits._
+    // "abc" x2: round 1 ties (a,b)=(b,c)=2 -> lexicographic (a,b);
+    // round 2: [ab,c] pair (ab,c)=2; round 3 dry (single-symbol
+    // words) even though k=5 asks for more
+    val df1 = Seq((1L, "abc abc")).toDF("doc_id", "text")
+    val m1 = TextAnalysis.bpeMerges(df1, merges = 5)
+    assert(m1.toSeq == Seq((1L, "a", "b", 2L), (2L, "ab", "c", 2L)),
+      s"got ${m1.toSeq}")
+    // overlap: "aaa" with pair (a,a) merges LEFTMOST only -> [aa, a];
+    // round 2 merges (aa, a)
+    val df2 = Seq((1L, "aaa aaa aaa")).toDF("doc_id", "text")
+    val m2 = TextAnalysis.bpeMerges(df2, merges = 2)
+    assert(m2.toSeq == Seq((1L, "a", "a", 6L), (2L, "aa", "a", 3L)),
+      s"got ${m2.toSeq}")
+    // word counts weight the pair counts: "xy" x3 beats "pq" x2
+    val df3 = Seq((1L, "xy xy pq"), (2L, "xy pq")).toDF("doc_id", "text")
+    val m3 = TextAnalysis.bpeMerges(df3, merges = 1)
+    assert(m3.toSeq == Seq((1L, "x", "y", 3L)), s"got ${m3.toSeq}")
+  }
+
   test("qualityNb: gopher verdicts label the corpus; the NB recovers " +
        "them on a separable fixture") {
     import spark.implicits._
