@@ -663,6 +663,48 @@ object TextAnalysis {
         col("n_docs"))
   }
 
+  /** Blocklist / keyword scrub (the RefinedWeb-style URL+word
+    * blocklist gate): per doc, the count and fraction of token
+    * instances whose lowercase form exactly matches a blocklist
+    * term, a document-level `blocked` verdict (`hit_frac >= tau` —
+    * the page-removal rule), and the scrubbed text with every hit
+    * removed (the word-level scrub for docs kept). Matching compiles
+    * the whole list into ONE anchored literal alternation
+    * (`^(?:t1|t2|…)$`, metachars escaped) — a single regex automaton
+    * per task whose match cost is independent of list size, against
+    * `lower(token)` so case rules replay identically in any engine.
+    *
+    * Scale shape: entirely row-local — the pattern ships inside the
+    * plan (a blocklist is KBs), tokens never explode, text never
+    * shuffles; the output is a narrow per-doc projection. */
+  def blocklistScrub(docs: DataFrame, terms: Seq[String],
+                     tau: Double = 0.1, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "blocklist must not be empty")
+    val pat = terms.map(escapeRegex).mkString("^(?:", "|", ")$")
+    val toks = tokens(col(textCol))
+    val kept = filter(toks, t => !lower(t).rlike(pat))
+    docs.select(col(idCol), size(toks).cast("long").as("n_tokens"),
+        kept.as("_kept"))
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - size(col("_kept"))).cast("long")
+          .as("n_hits"),
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(round((col("n_tokens") - size(col("_kept")))
+            .cast("double") / col("n_tokens").cast("double"), 6))
+          .as("hit_frac"),
+        array_join(col("_kept"), " ").as("text_clean"))
+      .withColumn("blocked", col("hit_frac") >= tau)
+  }
+
+  /** Escape every regex metacharacter with a backslash — the
+    * portable literal-escaping (unlike `\Q…\E`) that Java regex and
+    * RE2 read identically, so the alternation replays in DuckDB. */
+  private[llm] def escapeRegex(s: String): String =
+    s.flatMap { c =>
+      if ("\\^$.|?*+()[]{}".contains(c)) s"\\$c" else c.toString
+    }
+
   /** BPE tokenizer TRAINER (Sennrich et al. 2016, arXiv:1508.07909):
     * `merges` rounds of (adjacent-pair count → argmax pair → greedy
     * leftmost merge) at character granularity over whitespace

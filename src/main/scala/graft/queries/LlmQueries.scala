@@ -842,6 +842,20 @@ object LlmQueries {
       TextAnalysis.bpeTrain(table(s, dir, "documents"), merges = 8)
         .orderBy(col("rank"))),
 
+    // blocklist scrub over planted terms (the pii_redact/secret_scan
+    // device: every 7th doc gets deterministic blocklisted words,
+    // one uppercased to exercise the lower() rule; both engines
+    // inject identically so the hash checks match+scrub+verdict).
+    "llm_blocklist" -> ((s, dir) =>
+      TextAnalysis.blocklistScrub(
+        table(s, dir, "documents").withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" badterm1 casino777 BADTERM1")))
+            .otherwise(col("text"))),
+        terms = Seq("badterm1", "casino777", "unused.term"),
+        tau = 0.05)
+        .orderBy(col("doc_id"))),
+
     // CCNet head/tail filter: materialize the kept (head+middle)
     // corpus slice from the per-language perplexity tiers.
     "llm_ccnet_filter" -> ((s, dir) => {
@@ -1936,6 +1950,33 @@ object LlmQueries {
     "llm_gopher" -> gopherOracle,
     "llm_quality_nb" -> qualityNbOracle,
     "llm_bpe_train" -> bpeTrainOracle(8),
+    "llm_blocklist" ->
+      raw"""WITH src AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+               THEN text || ' badterm1 casino777 BADTERM1'
+               ELSE text END AS text
+           FROM documents),
+         t AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+           FROM src),
+         k AS (
+           SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+             list_filter(tk, x -> NOT regexp_matches(lower(x),
+               '^(?:badterm1|casino777|unused\.term)$$')) AS kept
+           FROM t),
+         r AS (
+           SELECT doc_id, n_tokens,
+             CAST(n_tokens - len(kept) AS BIGINT) AS n_hits,
+             CASE WHEN n_tokens = 0 THEN 0.0
+               ELSE round(CAST(n_tokens - len(kept) AS DOUBLE)
+                 / n_tokens, 6) END AS hit_frac,
+             array_to_string(kept, ' ') AS text_clean
+           FROM k)
+         SELECT doc_id, n_tokens, n_hits, hit_frac, text_clean,
+           hit_frac >= 0.05 AS blocked
+         FROM r ORDER BY doc_id""",
     "llm_quality" ->
       """SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,

@@ -476,6 +476,30 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(l2("xx") - math.log(1.0 / 2.0)) < 1e-12, l2)
   }
 
+  test("blocklistScrub: exact lowercase token match, metachars " +
+       "escaped, scrubbed text, doc-level verdict") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "good text SPAM more spam here"),      // 2/6 hits
+      (2L, "clean document with nothing bad"),    // 0 hits
+      (3L, "a.b axb a-b"),                        // only literal a.b
+      (4L, ""))                                   // empty
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistScrub(df,
+        terms = Seq("spam", "a.b"), tau = 0.3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getString(4), r.getBoolean(5)))).toMap
+    assert(got(1L) == ((6L, 2L, 0.333333, "good text more here", true)),
+      s"got ${got(1L)}")
+    assert(got(2L) ==
+      ((5L, 0L, 0.0, "clean document with nothing bad", false)))
+    // the dot is a literal: "axb" must survive, "a.b" must not
+    assert(got(3L) == ((3L, 1L, 0.333333, "axb a-b", true)),
+      s"got ${got(3L)}")
+    assert(got(4L) == ((0L, 0L, 0.0, "", false)))
+  }
+
   test("bpeMerges: planted merges come out in order, ties break " +
        "lexicographically, training stops when dry, greedy-leftmost " +
        "on overlaps") {
