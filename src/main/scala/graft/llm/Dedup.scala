@@ -883,6 +883,55 @@ object Dedup {
     graft.access.Split.Branches(result, pr)
   }
 
+  /** Cross-doc attribution report over the winnowed fingerprints —
+    * the MOSS result page as a relation: for every candidate pair,
+    * the DISTINCT shared print count plus each side's own print
+    * count and the COVERAGE fraction `n_shared / n_prints` (the
+    * "percent matched" both directions — near-1 coverage of the
+    * smaller side is containment/plagiarism, symmetric mid coverage
+    * is shared boilerplate). Same selection, df cap and `minShared`
+    * cut as [[winnowPairs]]; the per-doc print counts come from the
+    * SAME capped stream, so coverages are internally consistent.
+    *
+    * Scale shape: identical to [[winnowPairs]] (one fused zero-
+    * shuffle fingerprint scan, persisted ~1/w print stream, 8-byte
+    * hash joins); the additions are a doc-keyed distinct + count
+    * (corpus-sublinear) and two id-keyed joins AQE broadcasts. */
+  def winnowReport(docs: DataFrame, k: Int = 5, w: Int = 4,
+                   minShared: Long = 2, maxDf: Long = 50,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame =
+    graft.cache.Pins.track(docs.sparkSession, {
+      val pr = winnowPrints(docs, k, w, textCol, idCol)
+        .select(col(idCol).as("_id"), col("print_hash").as("_h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rare = pr.groupBy(col("_h"))
+        .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxDf)
+        .select(col("_h"))
+      val keepd = pr.join(rare, Seq("_h"))
+        .select(col("_id"), col("_h")).distinct()
+      val dc = keepd.groupBy(col("_id"))
+        .agg(count(lit(1)).as("_np"))
+      val pairs = keepd.as("a")
+        .join(keepd.as("b"),
+          col("a._h") === col("b._h") && col("a._id") < col("b._id"))
+        .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+      val result = pairs
+        .join(dc.select(col("_id").as("id_a"),
+          col("_np").as("n_prints_a")), Seq("id_a"))
+        .join(dc.select(col("_id").as("id_b"),
+          col("_np").as("n_prints_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("n_shared"),
+          col("n_prints_a"), col("n_prints_b"),
+          round(col("n_shared").cast("double") /
+            col("n_prints_a").cast("double"), 6).as("cov_a"),
+          round(col("n_shared").cast("double") /
+            col("n_prints_b").cast("double"), 6).as("cov_b"))
+      graft.access.Split.Branches(result, pr)
+    }).value
+
   /** Per-source boilerplate removal — the template/navigation-chrome
     * strip of web curation pipelines (CCNet dedups common lines per
     * shard; RefinedWeb strips site chrome): a chunk is boilerplate

@@ -917,6 +917,14 @@ object LlmQueries {
           minShared = 2, maxDf = 50)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // winnow attribution report (the MOSS result page): per pair,
+    // shared distinct prints + each side's print count + coverage
+    // fractions — containment shows as near-1 coverage of one side.
+    "llm_winnow_report" -> ((s, dir) =>
+      Dedup.winnowReport(table(s, dir, "documents"), k = 5, w = 4,
+          minShared = 2, maxDf = 50)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // per-source boilerplate strip: chunks present in >= 2 docs AND
     // >= 8% of a source's docs are templates; every occurrence
     // removed from that source's docs.
@@ -3215,6 +3223,57 @@ object LlmQueries {
            ON a.ph = b.ph AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(DISTINCT a.ph) >= 2
          ORDER BY id_a, id_b""",
+
+    // winnow-report replay: the llm_winnow chain through `keep`,
+    // deduped to (doc, print), plus per-doc print counts and the
+    // two coverage fractions.
+    "llm_winnow_report" ->
+      raw"""WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         hs AS (
+           SELECT doc_id, list_transform(
+             generate_series(1, len(tk) - 4),
+             i -> CAST(('0x' || substring(
+               md5(array_to_string(tk[i:i+4], ' ')), 1, 15)) AS BIGINT))
+             AS h
+           FROM tok WHERE len(tk) >= 5),
+         zh AS (
+           SELECT doc_id, h, list_transform(generate_series(1, len(h)),
+             i -> {'h': h[i], 'p': i}) AS z
+           FROM hs WHERE len(h) >= 4),
+         sel AS (
+           SELECT doc_id, h, list_distinct(list_transform(
+             generate_series(1, len(h) - 3),
+             p -> list_reduce(z[p : p + 3],
+               (a, b) -> CASE WHEN b.h <= a.h THEN b ELSE a END).p))
+             AS selpos
+           FROM zh),
+         pr AS (
+           SELECT doc_id, unnest(list_transform(selpos, p -> h[p]))
+             AS ph
+           FROM sel),
+         rare AS (SELECT ph FROM pr GROUP BY ph
+                  HAVING count(*) <= 50),
+         keepd AS (SELECT DISTINCT doc_id, ph
+                   FROM pr JOIN rare USING (ph)),
+         dc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS np
+                FROM keepd GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+           FROM keepd a JOIN keepd b
+             ON a.ph = b.ph AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT p.id_a, p.id_b, p.n_shared,
+           da.np AS n_prints_a, db.np AS n_prints_b,
+           round(CAST(p.n_shared AS DOUBLE) / da.np, 6) AS cov_a,
+           round(CAST(p.n_shared AS DOUBLE) / db.np, 6) AS cov_b
+         FROM pairs p
+         JOIN dc da ON da.doc_id = p.id_a
+         JOIN dc db ON db.doc_id = p.id_b
+         ORDER BY p.id_a, p.id_b""",
 
     // boilerplate replay on chunk TEXT (the engine's chunk hash is
     // internal); a chunk position is removed iff its VALUE is a

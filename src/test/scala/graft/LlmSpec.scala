@@ -476,6 +476,30 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(l2("xx") - math.log(1.0 / 2.0)) < 1e-12, l2)
   }
 
+  test("winnowReport: containment shows as full coverage of the " +
+       "contained side; unrelated docs don't pair") {
+    import spark.implicits._
+    // doc 2 is a strict substring of doc 1 (the plagiarism shape);
+    // doc 3 shares nothing
+    val stolen = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, stolen + " " + (31 to 60).map(i => s"tok$i").mkString(" ")),
+      (2L, stolen),
+      (3L, (1 to 40).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = Dedup.winnowReport(df, k = 5, w = 4, minShared = 2,
+      maxDf = 50).collect()
+    assert(rows.length == 1, s"got ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    val (nShared, npA, npB) = (r.getLong(2), r.getLong(3), r.getLong(4))
+    val (covA, covB) = (r.getDouble(5), r.getDouble(6))
+    // every print of the contained doc is shared: cov_b = 1.0, and
+    // the containing doc's coverage is partial
+    assert(nShared == npB && covB == 1.0, s"got $r")
+    assert(npA > npB && covA < 1.0, s"got $r")
+  }
+
   test("blocklistScrub: exact lowercase token match, metachars " +
        "escaped, scrubbed text, doc-level verdict") {
     import spark.implicits._
