@@ -791,6 +791,43 @@ object TextAnalysis {
       .toDF("rank", "sym_a", "sym_b", "n_occ")
   }
 
+  /** APPLY a trained BPE model (the encode half of the tokenizer
+    * story): per doc, the whitespace token count, the token count
+    * under the `merges`-round [[bpeMerges]] model, and the
+    * `fertility` (BPE tokens per word — the standard tokenizer-fit
+    * gauge: high-fertility docs are out-of-domain for the trained
+    * vocabulary). The merge list applies as `merges` chained
+    * row-local string replaces in rank order — the exact training
+    * replay, one codegen'd projection per (doc, word); no join, no
+    * extra explode, text never shuffles. Docs with no tokens are
+    * absent (nothing to encode). */
+  def bpeEncode(docs: DataFrame, merges: Int = 8,
+                textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    val ms = bpeMerges(docs, merges, textCol)
+    val SEP = "\u0001"
+    val D = SEP + SEP
+    val sym0: Column = concat(lit(D),
+      array_join(filter(split(col("_w"), ""), c => c =!= ""), D),
+      lit(D))
+    val symK = ms.foldLeft(sym0) { case (s, (_, a, b, _)) =>
+      call_function("replace", s,
+        lit(SEP + a + D + b + SEP), lit(SEP + a + b + SEP))
+    }
+    docs.select(col(idCol),
+        explode(tokens(col(textCol))).as("_w"))
+      .groupBy(col(idCol), col("_w")).agg(count(lit(1)).as("_tf"))
+      .select(col(idCol), col("_tf"),
+        size(filter(split(symK, D), s => s =!= "")).cast("long")
+          .as("_nsym"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_tf")).as("n_tokens"),
+        sum(col("_tf") * col("_nsym")).as("n_bpe_tokens"))
+      .select(col(idCol), col("n_tokens"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6).as("fertility"))
+  }
+
   /** Per-group out-of-vocabulary rate: the fraction of token
     * INSTANCES not covered by `vocab` (a `vocabulary` result or any
     * frame with a `token` column). The vocab side is v rows —

@@ -842,6 +842,13 @@ object LlmQueries {
       TextAnalysis.bpeTrain(table(s, dir, "documents"), merges = 8)
         .orderBy(col("rank"))),
 
+    // BPE encode: the 8 trained merges applied in rank order to
+    // every distinct word, weighted by per-doc tf -> per-doc BPE
+    // token count and fertility (tokenizer-fit gauge).
+    "llm_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(table(s, dir, "documents"), merges = 8)
+        .orderBy(col("doc_id"))),
+
     // blocklist scrub over planted terms (the pii_redact/secret_scan
     // device: every 7th doc gets deterministic blocklisted words,
     // one uppercased to exercise the lower() rule; both engines
@@ -1845,7 +1852,10 @@ object LlmQueries {
     * merge via the same doubled-U+0001 `replace` trick the engine
     * uses (left-to-right non-overlapping replacement = leftmost BPE
     * merging). */
-  private def bpeTrainOracle(k: Int): String = {
+  /** Shared CTE chain of the BPE oracles: `tok(doc_id, w)` token
+    * instances, the distinct-word table, and `k` unrolled merge
+    * rounds ending in per-round argmax tables `t1..tk`. */
+  private def bpeCtes(k: Int): String = {
     val d = "chr(1) || chr(1)"
     val rounds = (1 to k).map { i =>
       s"""p$i AS (
@@ -1865,12 +1875,8 @@ object LlmQueries {
            SELECT list_filter(string_split(s, $d), z -> z <> '') AS a, n
            FROM w$i)"""
     }.mkString(",\n         ")
-    val union = (1 to k).map { i =>
-      s"SELECT CAST($i AS BIGINT) AS rank, x AS sym_a, y AS sym_b, " +
-        s"c AS n_occ FROM t$i"
-    }.mkString("\n           UNION ALL ")
-    raw"""WITH tok AS (
-           SELECT unnest(list_filter(
+    raw"""tok AS (
+           SELECT doc_id, unnest(list_filter(
              regexp_split_to_array(text, '\s+'), t -> t <> '')) AS w
            FROM documents),
          wc AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
@@ -1881,10 +1887,54 @@ object LlmQueries {
          w0 AS (
            SELECT $d || array_to_string(a, $d) || $d AS s, n
            FROM a0),
-         $rounds
+         $rounds"""
+  }
+
+  private def bpeTrainOracle(k: Int): String = {
+    val union = (1 to k).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, x AS sym_a, y AS sym_b, " +
+        s"c AS n_occ FROM t$i"
+    }.mkString("\n           UNION ALL ")
+    s"""WITH ${bpeCtes(k)}
          SELECT * FROM (
            $union)
          ORDER BY rank"""
+  }
+
+  /** llm_bpe_encode replay: re-derive the k merges, apply them in
+    * rank order to every distinct word (the same doubled-U+0001
+    * replace), then weight symbol counts by per-doc term
+    * frequencies. */
+  private def bpeEncodeOracle(k: Int): String = {
+    val d = "chr(1) || chr(1)"
+    val applies = (1 to k).map { i =>
+      s"""e$i AS (
+           SELECT w, replace(e.s,
+               chr(1) || t.x || $d || t.y || chr(1),
+               chr(1) || t.x || t.y || chr(1)) AS s
+           FROM e${i - 1} e, t$i t)"""
+    }.mkString(",\n         ")
+    s"""WITH ${bpeCtes(k)},
+         e0 AS (
+           SELECT w, $d || array_to_string(list_filter(
+             regexp_split_to_array(w, ''), c -> c <> ''), $d) || $d
+             AS s
+           FROM (SELECT DISTINCT w FROM tok)),
+         $applies,
+         ns AS (
+           SELECT w, CAST(len(list_filter(string_split(s, $d),
+             z -> z <> '')) AS BIGINT) AS nsym
+           FROM e$k),
+         tf AS (SELECT doc_id, w, count(*) AS tf
+                FROM tok GROUP BY 1, 2)
+         SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(tf * nsym) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(SUM(tf * nsym) AS DOUBLE) / SUM(tf), 6)
+             AS fertility
+         FROM tf JOIN ns USING (w)
+         GROUP BY doc_id
+         ORDER BY doc_id"""
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -1958,6 +2008,7 @@ object LlmQueries {
     "llm_gopher" -> gopherOracle,
     "llm_quality_nb" -> qualityNbOracle,
     "llm_bpe_train" -> bpeTrainOracle(8),
+    "llm_bpe_encode" -> bpeEncodeOracle(8),
     "llm_blocklist" ->
       raw"""WITH src AS (
            SELECT doc_id,

@@ -547,6 +547,22 @@ class LlmSpec extends AnyFunSuite {
     assert(m3.toSeq == Seq((1L, "x", "y", 3L)), s"got ${m3.toSeq}")
   }
 
+  test("bpeEncode: trained words collapse to one symbol, unseen-" +
+       "structure words stay char-fertile") {
+    import spark.implicits._
+    // training mass on "abab": merges (a,b) then (ab,ab) -> one
+    // symbol; "cd" never merges (k=2 spent) -> 2 symbols for 2 chars
+    val df = Seq((1L, "abab abab abab cd"), (2L, "abab cd"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(df, merges = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1: 4 tokens; abab x3 -> 1 sym each, cd -> 2 syms = 5
+    assert(got(1L) == ((4L, 5L, 1.25)), s"got ${got(1L)}")
+    // doc 2: 2 tokens -> 1 + 2 = 3
+    assert(got(2L) == ((2L, 3L, 1.5)), s"got ${got(2L)}")
+  }
+
   test("qualityNb: gopher verdicts label the corpus; the NB recovers " +
        "them on a separable fixture") {
     import spark.implicits._
