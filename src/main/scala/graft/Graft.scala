@@ -32,6 +32,12 @@ object Graft {
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // parquet TIMESTAMP columns written without the UTC-adjusted
+      // annotation read as TIMESTAMP (session-tz) not TIMESTAMP_NTZ,
+      // whichever way the writer set isAdjustedToUTC — keeps the
+      // engine's time functions (unix_micros, windows, watermarks)
+      // applicable to any vendor's parquet under the UTC session tz
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .withExtensions(new graft.functions.GraftExtensions)
 }

@@ -199,6 +199,7 @@ object CLI {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
     .getOrCreate()
 

@@ -19,6 +19,7 @@ class AccessOpsSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .getOrCreate()
 
   val sf = "/root/testdata/sf0.001"

@@ -13,6 +13,7 @@ class ExtensionsSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .withExtensions(new graft.functions.GraftExtensions)
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .getOrCreate()
 
   test("Graft.builder carries engine conf + extensions") {

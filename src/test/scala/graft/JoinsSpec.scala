@@ -16,6 +16,7 @@ class JoinsSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .getOrCreate()
 
   test("asofJoin: backward match, exact-ts match, no-match null") {

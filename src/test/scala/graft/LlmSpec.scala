@@ -15,6 +15,7 @@ class LlmSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .getOrCreate()
 
   val sf = "/root/testdata/sf0.01"

@@ -19,6 +19,7 @@ class PlanSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir",
       "/root/repo/target/scratch/plan_warehouse")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .getOrCreate()
 
   val sf = "/root/testdata/sf0.001"

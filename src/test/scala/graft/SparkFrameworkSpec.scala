@@ -21,6 +21,7 @@ class SparkFrameworkSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .getOrCreate()
 
   val sf = "/root/testdata/sf0.001"
