@@ -29,5 +29,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // All test/bench sessions must agree on timestamp typing: the shared
+  // getOrCreate() singleton would otherwise depend on which spec's
+  // builder wins first.
+  "-Dspark.sql.parquet.inferTimestampNTZ.enabled=false",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -13,9 +13,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Env knobs: SPARK_GRAFT_ONLY=q1,q2 restricts the set (local
   * debugging); SPARK_GRAFT_CPUS sets local parallelism;
-  * SPARK_GRAFT_BENCH_N=3 repeats each query in-JVM and adds a
-  * per-query `queries_min` map next to the single-shot `queries`
-  * (min is hiccup-immune — prefer it for cross-round ratios).
+  * SPARK_GRAFT_BENCH_N=k repeats each query in-JVM (default 2) and
+  * adds a per-query `queries_min` map next to the single-shot
+  * `queries` (min is hiccup-immune — prefer it for cross-round
+  * ratios); set k=1 for the historical single-shot-only protocol.
   */
 object Bench {
   /** O(N²)-by-design ground-truth baselines, excluded from the bench. */
@@ -67,8 +68,12 @@ object Bench {
     // the per-query MIN alongside the single-shot number: one machine
     // hiccup can inflate a single shot, it cannot deflate the min, so
     // cross-round ratios should prefer the min column when present.
+    // Default N=2: round-9/10 measured ambient noise up to 6x on
+    // single shots of the SAME plan in the SAME JVM (BASELINE.md
+    // round-10 notes) — one repeat halves the odds a hiccup lands in
+    // the recorded number, and the min column makes it visible.
     val benchN = sys.env.get("SPARK_GRAFT_BENCH_N")
-      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
     val results = selected.map { case (name, fn) =>
       val reps = (1 to benchN).map { rep =>
         val t0 = System.nanoTime()

@@ -199,6 +199,10 @@ object CLI {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // NTZ inference is off, so unannotated parquet timestamps are read
+    // as TIMESTAMP_LTZ — pin the session to UTC so their wall-clock
+    // rendering matches Graft.builder regardless of machine zone.
+    .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
     .getOrCreate()
