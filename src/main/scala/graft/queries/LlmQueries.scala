@@ -122,6 +122,14 @@ object LlmQueries {
       Dedup.minHashPairs(table(s, dir, "documents"), threshold = 0.35)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // two-stage verified near-dup: LSH candidates confirmed by exact
+    // thresholded edit distance — candidate/verify, the legal-grade
+    // dedup shape; text joins in for the candidate set only.
+    "llm_verified_pairs" -> ((s, dir) =>
+      Dedup.verifiedNearDupPairs(table(s, dir, "documents"),
+          tau = 0.8, estThreshold = 0.35)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // SimHash near-dup pairs, MD5-oracle-verified (maxDist 3 is the
     // regime the 4x16-bit band join covers completely by pigeonhole).
     "llm_simhash_pairs" -> ((s, dir) =>
@@ -786,6 +794,27 @@ object LlmQueries {
             .cast("int").as("within_band"))
         .orderBy(col("lang"))),
 
+    // HLL approx-distinct verdict (the llm_len_approx device applied
+    // to cardinality): per source, exact distinct token count
+    // checked against each engine's own HLL sketch
+    // (approx_count_distinct at rsd 0.01 / DuckDB's HLL) with a 5%
+    // band; the hash covers exact values + the verdict only. The
+    // sketch is the 100 TB path — one pass, mergeable, no
+    // count-distinct expand over the token shuffle.
+    "llm_distinct_approx" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("token")).as("n_distinct"),
+          approx_count_distinct(col("token"), 0.01).as("_ad"))
+        .select(col("source"), col("n_tokens"), col("n_distinct"),
+          (abs(col("_ad") - col("n_distinct")) <=
+            col("n_distinct").cast("double") * 0.05)
+            .cast("int").as("within_band"))
+        .orderBy(col("source"))),
+
     // temperature-balanced source mix: alpha=0.6 flattening, smallest
     // source keeps all, dominant sources thinned by the md5-id gate.
     // The testdata's sources are uniform, so a deterministic skew
@@ -1133,6 +1162,34 @@ object LlmQueries {
        SELECT id_a, id_b, est_jaccard FROM scored
        WHERE nb > 0 AND est_jaccard >= 0.35
        ORDER BY id_a, id_b"""
+
+  /** Verified-pairs oracle: the minhash candidate CTEs, then exact
+    * levenshtein on the candidate pairs' text with the SAME integer
+    * bound rule (`lv <= floor(maxlen·(1−tau))` ⟺ thresholded-kernel
+    * dist != -1 — integer dist makes the floor exact); the -1
+    * sentinel and the null edit_sim replay as CASE arms. */
+  private val verifiedPairsOracle =
+    s"""WITH $minhashScoredCtes,
+       cand AS (SELECT id_a, id_b, est_jaccard FROM scored
+                WHERE nb > 0 AND est_jaccard >= 0.35),
+       j AS (
+         SELECT id_a, id_b, est_jaccard,
+           levenshtein(a.text, b.text) AS lv,
+           greatest(len(a.text), len(b.text)) AS ml
+         FROM cand
+         JOIN documents a ON cand.id_a = a.doc_id
+         JOIN documents b ON cand.id_b = b.doc_id),
+       d AS (
+         SELECT id_a, id_b, est_jaccard, lv, ml,
+           CAST(floor(ml * (1.0 - 0.8)) AS BIGINT) AS md
+         FROM j)
+       SELECT id_a, id_b, est_jaccard,
+         CAST(CASE WHEN lv <= md THEN lv ELSE -1 END AS INTEGER)
+           AS edit_dist,
+         CASE WHEN lv <= md
+           THEN round(1.0 - CAST(lv AS DOUBLE) / ml, 6) END AS edit_sim,
+         (lv <= md) AS verified
+       FROM d ORDER BY id_a, id_b"""
 
   /** Incremental dedup oracle: same signature/band CTEs, but pairs
     * join a new-batch side (doc_id % 10 = 0) against the corpus side
@@ -2244,6 +2301,7 @@ object LlmQueries {
          FROM documents GROUP BY lang ORDER BY lang""",
     "llm_neardup_dedup" -> nearDupDedupOracle,
     "llm_minhash_pairs" -> minhashPairsOracle,
+    "llm_verified_pairs" -> verifiedPairsOracle,
     "llm_incremental_pairs" -> incrementalPairsOracle,
     "llm_dedup_clusters" -> dedupClustersOracle,
     "llm_cluster_best" -> clusterBestOracle,
@@ -2739,6 +2797,21 @@ object LlmQueries {
                 AND abs(a99 - p99) <= p99 * 0.05 AS INTEGER)
              AS within_band
          FROM agg ORDER BY lang""",
+
+    // HLL verdict: DuckDB's own approx_count_distinct checked against
+    // its exact count(DISTINCT); only exact values + verdict hashed.
+    "llm_distinct_approx" ->
+      raw"""WITH tok AS (
+           SELECT source, unnest(list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '')) AS token
+           FROM documents)
+         SELECT source, count(*) AS n_tokens,
+           count(DISTINCT token) AS n_distinct,
+           CAST(abs(approx_count_distinct(token)
+                    - count(DISTINCT token))
+                <= count(DISTINCT token) * 0.05 AS INTEGER)
+             AS within_band
+         FROM tok GROUP BY source ORDER BY source""",
 
     // temperature-mix replay: identical rate formula and division
     // order ((n/total)/(nmin/total), pow, round-6), md5-id gate.

@@ -50,6 +50,53 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs.head._2 > 0.7)
   }
 
+  test("verifiedNearDupPairs: small edit verifies, shared-vocab " +
+       "shuffle is rejected with the -1 sentinel") {
+    import spark.implicits._
+    val base = (0 until 100).map(i => s"w$i").mkString(" ")
+    // one word changed: tiny edit distance -> verified at tau=0.8
+    val nearDup = base.replace("w50", "wxx")
+    // same 100-word vocabulary, reversed order: high Jaccard on
+    // 1-shingles-of-3 still collides in LSH occasionally? no — use
+    // a doc built from the same words but fully reordered so many
+    // 3-shingles differ yet minhash overlap stays high enough to
+    // candidate at the permissive threshold; its EDIT distance from
+    // base is large, so verification must reject it.
+    val shuffled = (0 until 100).map(i => s"w${(i * 37) % 100}")
+      .mkString(" ")
+    val planted = Seq((1L, base), (2L, nearDup), (3L, shuffled))
+      .toDF("doc_id", "text")
+    val out = Dedup.verifiedNearDupPairs(planted, tau = 0.8,
+        estThreshold = 0.05)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getInt(3), r.getAs[Any]("edit_sim"), r.getBoolean(5))))
+      .toMap
+    assert(out.contains((1L, 2L)), "planted near-dup must candidate")
+    val (d12, s12, v12) = out((1L, 2L))
+    assert(v12 && d12 >= 1 && d12 <= 3, s"small edit: dist $d12")
+    assert(s12.asInstanceOf[Double] > 0.99)
+    // any candidate involving the reordered doc must fail verify
+    out.filterKeys(k => k._1 == 3L || k._2 == 3L).foreach {
+      case (k, (d, s, v)) =>
+        assert(!v && d == -1 && s == null,
+          s"reordered doc pair $k must be rejected, got ($d, $s, $v)")
+    }
+  }
+
+  test("verifiedNearDupPairs: real-corpus verified set is the " +
+       "edit-sim filter of the candidate set") {
+    val cand = Dedup.minHashPairs(docs, threshold = 0.35)
+    val ver = Dedup.verifiedNearDupPairs(docs, tau = 0.8,
+      estThreshold = 0.35)
+    assert(ver.count() == cand.count(),
+      "one verification row per candidate")
+    // thresholded-kernel sentinel agrees with the full-distance rule
+    val full = ver.filter(col("verified"))
+      .select(col("id_a"), col("id_b")).collect().toSet
+    assert(full.nonEmpty, "testdata's planted dups must verify")
+  }
+
   test("simhash: identical docs at distance 0; banding finds them") {
     import spark.implicits._
     val a = "alpha beta gamma delta epsilon zeta eta theta"
