@@ -415,6 +415,78 @@ object TextAnalysis {
           count(lit(1)), 6).as("avg_logprob"))
   }
 
+  /** Per-document average bigram log-probability under an
+    * INTERPOLATED KNESER–NEY LM (Kneser & Ney 1995; the Chen &
+    * Goodman 1999 formulation with a fixed absolute discount `d`) —
+    * the smoothing real n-gram LMs (KenLM) actually use, upgrading
+    * [[bigramLmScore]]'s add-alpha floor:
+    * {{{
+    *   P(w2|w1) = max(c(w1,w2) − d, 0)/c(w1·)
+    *              + d·N1+(w1·)/c(w1·) · Pc(w2)
+    * }}}
+    * with `c(w1·)` the history's bigram-instance count, `N1+(w1·)`
+    * its distinct-continuation count, and the continuation
+    * distribution `Pc(w2) = (N1+(·w2)+1)/(N1+(··)+V)` — the KN
+    * continuation probability with an add-one floor over the
+    * vocabulary (V = train types + 1 OOV type), a deterministic,
+    * engine-replayable choice that keeps every score finite: an
+    * unseen history backs off to `Pc(w2)` alone, an unseen
+    * continuation takes the `1/(N1+(··)+V)` floor. Emits
+    * `(idCol, n_bigrams, avg_logprob, ppl)` with `ppl =
+    * exp(−avg_logprob)` — the per-word perplexity gauge.
+    *
+    * Scale shape mirrors [[bigramLmScore]]: the bigram-type table is
+    * the one train-side aggregate (pinned — four consumers: history
+    * totals, continuation counts, type count, instance join); all
+    * model relations are type-bounded, join back onto the instance
+    * stream (AQE broadcasts them while they fit), and the per-doc
+    * aggregate is one shuffle on the doc key with a decimal sum so
+    * the average replays bit-exact. */
+  def knLmScore(docs: DataFrame, train: DataFrame,
+                discount: Double = 0.75, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    def biInst(df: DataFrame, cols: Column*): DataFrame = {
+      val tk = df.withColumn("_tk", tokens(col(textCol)))
+        .filter(size(col("_tk")) >= 2)
+      val n1 = size(col("_tk")) - 1
+      tk.select(cols :+ explode(arrays_zip(
+          slice(col("_tk"), lit(1), n1).as("w1"),
+          slice(col("_tk"), lit(2), n1).as("w2"))).as("z"): _*)
+        .select(cols :+ col("z.w1").as("w1") :+ col("z.w2").as("w2"): _*)
+    }
+    val cb = biInst(train).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("_cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = cb.groupBy(col("w1"))
+      .agg(sum(col("_cb")).as("_c1"), count(lit(1)).as("_n1f"))
+    val n1b = cb.groupBy(col("w2")).agg(count(lit(1)).as("_n1b"))
+    val nbb = cb.agg(count(lit(1)).as("_nbb"))
+    val vDf = train.select(explode(tokens(col(textCol))).as("w"))
+      .agg((countDistinct(col("w")) + lit(1L)).as("_v"))
+    val pc = (coalesce(col("_n1b"), lit(0L)).cast("double") + lit(1.0)) /
+      (col("_nbb").cast("double") + col("_v").cast("double"))
+    val lp = when(col("_c1").isNull, log(pc))
+      .otherwise(log(
+        greatest(coalesce(col("_cb"), lit(0L)).cast("double")
+            - lit(discount), lit(0.0)) / col("_c1").cast("double") +
+          lit(discount) * col("_n1f").cast("double") /
+            col("_c1").cast("double") * pc))
+    val result = biInst(docs, col(idCol))
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(hist, Seq("w1"), "left")
+      .join(n1b, Seq("w2"), "left")
+      .crossJoin(broadcast(nbb))
+      .crossJoin(broadcast(vDf))
+      .select(col(idCol), lp.as("_lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("_lp").cast("decimal(38,18)")).cast("double") /
+          count(lit(1)), 6).as("avg_logprob"))
+      .withColumn("ppl", round(exp(-col("avg_logprob")), 6))
+    graft.cache.Pins.track(docs.sparkSession,
+      graft.access.Split.Branches(result, cb)).value
+  }
+
   /** CCNet-style perplexity tiering: every document gets a
     * per-language quality bucket from an `ntile` over its
     * [[bigramLmScore]] average log-probability — bucket 1 = the

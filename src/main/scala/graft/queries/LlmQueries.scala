@@ -576,6 +576,15 @@ object LlmQueries {
     "llm_lm_score" -> ((s, dir) =>
       lmScore05(s, dir).orderBy(col("doc_id"))),
 
+    // interpolated Kneser-Ney bigram LM: trained on the 90% split
+    // (doc_id % 10 <> 0), scoring the WHOLE corpus so the held-out
+    // docs exercise the unseen-bigram / unseen-history backoff arms.
+    "llm_kn_score" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      TextAnalysis.knLmScore(d, d.filter(col("doc_id") % 10 =!= 0))
+        .orderBy(col("doc_id"))
+    }),
+
     // canonical text normalization (NFC + lowercase + whitespace
     // collapse) — the pre-dedup canonicalization kernel.
     "llm_norm_text" -> ((s, dir) =>
@@ -2480,6 +2489,53 @@ object LlmQueries {
            round(CAST(SUM(CAST(lp AS DECIMAL(38,18))) AS DOUBLE)
              / count(*), 6) AS avg_logprob
          FROM lp GROUP BY doc_id ORDER BY doc_id""",
+
+    // Kneser-Ney replay: identical formula text and operation order
+    // (discount arm, add-one continuation floor, decimal avg, ppl
+    // from the ROUNDED avg) so doubles match bit-for-bit.
+    "llm_kn_score" ->
+      raw"""WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         inst AS (
+           SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(tk) - 1),
+               i -> tk[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(tk) - 1),
+               i -> tk[i+1])) AS w2
+           FROM tok WHERE len(tk) >= 2),
+         cb AS (SELECT w1, w2, count(*) AS cb FROM inst
+                WHERE doc_id % 10 <> 0 GROUP BY w1, w2),
+         hist AS (SELECT w1, sum(cb) AS c1, count(*) AS n1f
+                  FROM cb GROUP BY w1),
+         cont AS (SELECT w2, count(*) AS n1b FROM cb GROUP BY w2),
+         nbb AS (SELECT count(*) AS nbb FROM cb),
+         vn AS (SELECT count(DISTINCT w) + 1 AS v FROM (
+             SELECT unnest(tk) AS w FROM tok WHERE doc_id % 10 <> 0)),
+         lp AS (
+           SELECT doc_id,
+             CASE WHEN c1 IS NULL THEN
+               ln((CAST(coalesce(n1b, 0) AS DOUBLE) + 1.0) /
+                  (CAST(nbb AS DOUBLE) + CAST(v AS DOUBLE)))
+             ELSE
+               ln(greatest(CAST(coalesce(cb, 0) AS DOUBLE) - 0.75, 0.0)
+                    / CAST(c1 AS DOUBLE)
+                  + 0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)
+                    * ((CAST(coalesce(n1b, 0) AS DOUBLE) + 1.0) /
+                       (CAST(nbb AS DOUBLE) + CAST(v AS DOUBLE))))
+             END AS lp
+           FROM inst LEFT JOIN cb USING (w1, w2)
+             LEFT JOIN hist USING (w1) LEFT JOIN cont USING (w2),
+             nbb, vn),
+         agg AS (
+           SELECT doc_id, count(*) AS n_bigrams,
+             round(CAST(SUM(CAST(lp AS DECIMAL(38,18))) AS DOUBLE)
+               / count(*), 6) AS avg_logprob
+           FROM lp GROUP BY doc_id)
+         SELECT doc_id, n_bigrams, avg_logprob,
+           round(exp(-avg_logprob), 6) AS ppl
+         FROM agg ORDER BY doc_id""",
 
     // curation -> pack replay: the proven curation CTE chain up to
     // `dedup`, then the proven llm_pack CTEs over text_clean.

@@ -97,6 +97,39 @@ class LlmSpec extends AnyFunSuite {
     assert(full.nonEmpty, "testdata's planted dups must verify")
   }
 
+  test("knLmScore: discount, backoff, and unseen-history arms match " +
+       "the closed-form values on a planted fixture") {
+    import spark.implicits._
+    // train "a b a c": cb {ab,ba,ac}=1; hist a:(c1 2,n1f 2) b:(1,1);
+    // every continuation n1b=1; nbb=3; V = 3 types + 1 = 4 => Pc(seen)
+    // = 2/7, Pc(unseen) = 1/7
+    val train = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b"),  // seen bigram: (1-0.75)/2 + 0.75*2/2 * 2/7
+      (11L, "a a"),  // unseen bigram, seen history: 0.75*2/2 * 2/7
+      (12L, "z a"),  // unseen history: Pc(a) = 2/7
+      (13L, "z q")   // unseen history + continuation: 1/7
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.knLmScore(score, train)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val pcSeen = 2.0 / 7.0
+    val exp = Map(
+      10L -> r6(math.log(0.25 / 2.0 + 0.75 * 2.0 / 2.0 * pcSeen)),
+      11L -> r6(math.log(0.0 + 0.75 * 2.0 / 2.0 * pcSeen)),
+      12L -> r6(math.log(pcSeen)),
+      13L -> r6(math.log(1.0 / 7.0)))
+    exp.foreach { case (id, lp) =>
+      assert(out(id)._1 == 1L, s"doc $id has one bigram")
+      assert(math.abs(out(id)._2 - lp) < 1e-9,
+        s"doc $id: got ${out(id)._2}, want $lp")
+      assert(math.abs(out(id)._3 - r6(math.exp(-out(id)._2))) < 1e-9)
+    }
+    // ordering sanity: the in-distribution doc outscores the OOV one
+    assert(out(10L)._2 > out(13L)._2)
+  }
+
   test("simhash: identical docs at distance 0; banding finds them") {
     import spark.implicits._
     val a = "alpha beta gamma delta epsilon zeta eta theta"
