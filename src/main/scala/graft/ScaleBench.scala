@@ -12,6 +12,8 @@ import org.apache.spark.sql.functions._
   * BASELINE.md's scaling section.
   *
   * Usage: graft.ScaleBench [sfDir] [factors csv, default 1,4,16]
+  * Env: SPARK_GRAFT_SCALE_ONLY=csv of op-name prefixes restricts the
+  * probe set (local iteration on one family).
   */
 object ScaleBench {
 
@@ -45,6 +47,9 @@ object ScaleBench {
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val scratch = "/root/repo/target/scratch/scale"
 
+    val onlyOps = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+
     def report(op: String, f: Int, rowsIn: Long, rowsOut: Long,
                sec: Double): Unit = {
       println(s"""{"op":"$op","factor":$f,"rows_in":$rowsIn,""" +
@@ -56,6 +61,17 @@ object ScaleBench {
       graft.cache.Pins.release(spark)
     }
 
+    /** SPARK_GRAFT_SCALE_ONLY prefixes gate each probe. */
+    def enabled(op: String): Boolean =
+      onlyOps.forall(_.exists(op.startsWith))
+
+    /** Time `body` and report, unless filtered out. */
+    def runProbe(op: String, f: Int, rowsIn: Long)(body: => Long): Unit =
+      if (enabled(op)) {
+        val (out, sec) = timed(body)
+        report(op, f, rowsIn, out, sec)
+      }
+
     factors.foreach { f =>
       val docs = materialize(spark, docs0, "doc_id", f, s"$scratch/docs_$f")
       val emb = materialize(spark, emb0, "vec_id", f, s"$scratch/emb_$f")
@@ -63,187 +79,206 @@ object ScaleBench {
       // warm the scans so timings measure the operators
       docs.count(); emb.count()
 
-      val (g, t1) = timed(graft.llm.Dedup.exactGroups(docs).count())
-      report("exact_dedup_groups", f, nDocs, g, t1)
+      runProbe("exact_dedup_groups", f, nDocs)(
+        graft.llm.Dedup.exactGroups(docs).count())
 
-      val (sg, t2) = timed(
+      runProbe("minhash_signatures", f, nDocs)(
         graft.llm.Dedup.minHashSignatures(docs).count())
-      report("minhash_signatures", f, nDocs, sg, t2)
 
-      val (p, t3) = timed(
+      runProbe("minhash_lsh_pairs", f, nDocs)(
         graft.llm.Dedup.minHashPairs(docs, threshold = 0.35).count())
-      report("minhash_lsh_pairs", f, nDocs, p, t3)
 
-      val (c, t4) = timed(graft.llm.Dedup.connectedComponents(
-        graft.llm.Dedup.minHashPairs(docs, threshold = 0.35)).count())
-      report("dedup_clusters", f, nDocs, c, t4)
+      runProbe("dedup_clusters", f, nDocs)(
+        graft.llm.Dedup.connectedComponents(
+          graft.llm.Dedup.minHashPairs(docs, threshold = 0.35)).count())
 
-      val (ts, t5) = timed(docs.select(
+      runProbe("token_stats", f, nDocs)(docs.select(
         graft.functions.SketchExprs.textStats(col("text")).as("st"))
         .agg(sum(col("st.n_tokens"))).collect().length.toLong)
-      report("token_stats", f, nDocs, ts, t5)
 
       // fixed recall-first config (16 tables x 4 planes)...
-      val (l1, t6) = timed(graft.llm.Similarity.lshCosinePairs(
-        emb, threshold = 0.4, nTables = 16, planesPerTable = 4).count())
-      report("lsh_cosine_16x4", f, nEmb, l1, t6)
+      runProbe("lsh_cosine_16x4", f, nEmb)(
+        graft.llm.Similarity.lshCosinePairs(
+          emb, threshold = 0.4, nTables = 16, planesPerTable = 4).count())
       // ...vs the fixed scale point (96 tables x 8 planes: 256-bucket
       // tables keep candidate density near-linear as the corpus grows,
       // at recall 0.90 vs 0.97 measured)
-      val (l2, t7) = timed(graft.llm.Similarity.lshCosinePairs(
-        emb, threshold = 0.4, nTables = 96, planesPerTable = 8).count())
-      report("lsh_cosine_96x8", f, nEmb, l2, t7)
+      runProbe("lsh_cosine_96x8", f, nEmb)(
+        graft.llm.Similarity.lshCosinePairs(
+          emb, threshold = 0.4, nTables = 96, planesPerTable = 8).count())
       // ...vs the DEFAULT: corpus-size-derived auto-tune
       // (Similarity.lshAutoConfig — planes grow with n, tables restore
       // recall 0.9; managed handle releases the bucket cache per run)
-      val handle = graft.llm.Similarity.lshCosinePairsManaged(
-        emb, threshold = 0.4)
-      val (l3, t8) = try timed(handle.value.count()) finally handle.close()
-      val (at, ap) = graft.llm.Similarity.lshAutoConfig(nEmb, 0.4)
-      report(s"lsh_cosine_auto_${at}x$ap", f, nEmb, l3, t8)
+      if (enabled("lsh_cosine_auto")) {
+        val handle = graft.llm.Similarity.lshCosinePairsManaged(
+          emb, threshold = 0.4)
+        val (l3, t8) =
+          try timed(handle.value.count()) finally handle.close()
+        val (at, ap) = graft.llm.Similarity.lshAutoConfig(nEmb, 0.4)
+        report(s"lsh_cosine_auto_${at}x$ap", f, nEmb, l3, t8)
+      }
 
       // chunk-level dedup: the planted copies make EVERY chunk over-
       // frequent (worst case — every doc is affected, no fast path)
-      val (cd, t9) = timed(
+      runProbe("chunk_dedup", f, nDocs)(
         graft.llm.Dedup.chunkDedup(docs).count())
-      report("chunk_dedup", f, nDocs, cd, t9)
 
       // sequence packing: bucketed global prefix sum
-      val (pk, t10) = timed(
+      runProbe("pack_sequences", f, nDocs)(
         graft.llm.Mixing.packSequences(docs, seqTokens = 2048).count())
-      report("pack_sequences", f, nDocs, pk, t10)
 
       // quantized brute top-k: 1/100 of the corpus queries the rest
       val q = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"),
           col("embedding").as("query_vec"))
-      val (qt, t11) = timed(
+      runProbe("quant_topk", f, nEmb)(
         graft.llm.Similarity.bruteTopKQuantized(emb, q, k = 10).count())
-      report("quant_topk", f, nEmb, qt, t11)
 
       // SemDeDup: cells scaled with the corpus (the paper's recipe) so
       // expected cell size — and with it the within-cell self-join
       // cost per row — stays constant as the corpus grows
-      val (sd, t12) = timed(graft.llm.Similarity.semDedupKmeans(
-        emb, nCells = 16 * f, iters = 2, tau = 0.4).count())
-      report(s"semdedup_${16 * f}cells", f, nEmb, sd, t12)
+      runProbe(s"semdedup_${16 * f}cells", f, nEmb)(
+        graft.llm.Similarity.semDedupKmeans(
+          emb, nCells = 16 * f, iters = 2, tau = 0.4).count())
 
       // Gopher repetition stats: pure scan+map kernel — the proof
       // point is near-perfect linear scaling (no shuffle at any f)
-      val (gr, t13) = timed(
+      runProbe("gopher_repetition", f, nDocs)(
         graft.llm.TextAnalysis.gopherRepetition(docs).count())
-      report("gopher_repetition", f, nDocs, gr, t13)
 
       // PQ + exact re-rank: books train on the ORIGINAL-size slice
       // (first copy), the full scaled corpus only encodes + re-ranks —
       // the fixed-training-sample deployment recipe
-      val pqQ = emb.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("query_id"),
-          col("embedding").as("query_vec"))
-      val books = graft.llm.Similarity.pqCodebooks(
-        emb.orderBy(col("vec_id")).limit(nEmb.toInt / f), m = 4, k = 16,
-        iters = 2)
-      val (pq, t14) = timed(graft.llm.Similarity.pqTopKRerank(
-        emb, pqQ, books, k = 10, rerank = 100).count())
-      report("pq_rerank_topk", f, nEmb, pq, t14)
+      if (enabled("pq_rerank_topk")) {
+        val pqQ = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("query_vec"))
+        val books = graft.llm.Similarity.pqCodebooks(
+          emb.orderBy(col("vec_id")).limit(nEmb.toInt / f), m = 4,
+          k = 16, iters = 2)
+        val (pq, t14) = timed(graft.llm.Similarity.pqTopKRerank(
+          emb, pqQ, books, k = 10, rerank = 100).count())
+        report("pq_rerank_topk", f, nEmb, pq, t14)
+      }
 
       // sliding-window chunking: narrow explode, should scale linearly
-      val (rc, t15) = timed(
+      runProbe("rag_chunks", f, nDocs)(
         graft.llm.Mixing.slidingChunks(docs).count())
-      report("rag_chunks", f, nDocs, rc, t15)
 
       // temperature mix: one tiny count agg + a literal-rate filter
-      val (tm, t16) = timed(
+      runProbe("temperature_sample", f, nDocs)(
         graft.llm.Sampling.temperatureSample(docs, alpha = 0.6).count())
-      report("temperature_sample", f, nDocs, tm, t16)
 
       // exact-substring spans: at f>=2 every copy duplicates EVERY
       // window, so the dup-hash side is the whole distinct-window set
       // — the worst case for the join-back (no broadcast, no
       // dups<<windows shortcut)
-      val (ss, t17) = timed(
+      runProbe("substring_spans", f, nDocs)(
         graft.llm.Dedup.substringDupSpans(docs, l = 8).count())
-      report("substring_spans", f, nDocs, ss, t17)
 
       // Misra-Gries + exact verify: two linear passes, sketch state
       // fixed at m entries per partition whatever the corpus size
-      val (hh, t18) = timed(
+      runProbe("heavy_hitters", f, nDocs)(
         graft.llm.HeavyHitters.heavyHitters(docs, k = 30).count())
-      report("heavy_hitters", f, nDocs, hh, t18)
 
       // BM25: FIXED query workload (first-copy docs only) against the
       // growing corpus — the deployment shape; match volume and the
       // persisted postings both track corpus size, so the probe should
       // scale near-linearly (a growing query set on this 100%-overlap
       // corpus would instead measure the f² worst case)
-      val docStride = docs0.agg(max(col("doc_id"))).head().getLong(0) + 1L
-      val bmQ = docs
-        .filter(col("doc_id") < docStride && col("doc_id") % 200 === 0)
-        .select(col("doc_id").as("query_id"),
-          array_join(slice(graft.llm.TextAnalysis.tokens(col("text")),
-            1, 8), " ").as("text"))
-      val bmH = graft.llm.TextAnalysis.bm25TopKManaged(docs, bmQ, k = 10)
-      val (bm, t19) = try timed(bmH.value.count()) finally bmH.close()
-      report("bm25_fixed_queries", f, nDocs, bm, t19)
+      if (enabled("bm25_fixed_queries")) {
+        val docStride =
+          docs0.agg(max(col("doc_id"))).head().getLong(0) + 1L
+        val bmQ = docs
+          .filter(col("doc_id") < docStride && col("doc_id") % 200 === 0)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(graft.llm.TextAnalysis.tokens(col("text")),
+              1, 8), " ").as("text"))
+        val bmH =
+          graft.llm.TextAnalysis.bm25TopKManaged(docs, bmQ, k = 10)
+        val (bm, t19) = try timed(bmH.value.count()) finally bmH.close()
+        report("bm25_fixed_queries", f, nDocs, bm, t19)
+      }
 
       // JS drift: one (source, token) agg + vocab-sized joins — pure
       // linear-scan proof point like gopher_repetition
-      val (jd, t20) = timed(
+      runProbe("js_drift", f, nDocs)(
         graft.llm.TextAnalysis.jsDrift(docs).count())
-      report("js_drift", f, nDocs, jd, t20)
 
       // source overlap: the intersection self-join is keyed on shingle
       // hashes with <=1 row per (hash, source) after the distinct —
       // candidate fan-out per key is bounded by |sources|² whatever
       // the corpus size; the probe verifies the per-source distinct
       // (the only corpus-sized stage) dominates and scales linearly
-      val (so, t21) = timed(
+      runProbe("source_overlap", f, nDocs)(
         graft.llm.Dedup.sourceOverlap(docs, n = 3).count())
-      report("source_overlap", f, nDocs, so, t21)
 
       // NB langid: training = one (label, token) aggregate cut to a
       // vocab-capped SPARSE seen-pair table (size bounded by the
       // vocab cap however large the corpus); scoring = two linear
       // passes over the corpus + per-doc window. Should track the
       // token volume linearly with a corpus-independent model cost.
-      val (nb, t22) = timed(
+      runProbe("nb_langid", f, nDocs)(
         graft.llm.TextAnalysis.nbLangIdConfusion(docs).count())
-      report("nb_langid", f, nDocs, nb, t22)
 
       // winnow: fingerprint selection is a fused zero-shuffle scan
       // (should be flat like gopher); the pair join runs on the
       // df-capped ~1/w print stream, so growth tracks true shared
       // prints (output-bound), not the corpus square
-      val (wp, t24) = timed(
+      runProbe("winnow_pairs", f, nDocs)(
         graft.llm.Dedup.winnowPairs(docs, k = 5, w = 4,
           minShared = 2, maxDf = 50).count())
-      report("winnow_pairs", f, nDocs, wp, t24)
 
       // rare n-grams: kernel scan + hash-keyed df agg + join back —
       // the df relation is vocab-shaped, so growth should track the
       // corpus linearly like substring_spans
-      val (rn, t25) = timed(
+      runProbe("rare_ngrams", f, nDocs)(
         graft.llm.Dedup.rareNgramStats(docs).count())
-      report("rare_ngrams", f, nDocs, rn, t25)
 
       // novelty: a fixed-size batch (the 1x slice) scored against a
       // growing standing corpus — the per-ingest cost at 100 TB is
       // the corpus-side distinct; the batch side is constant
-      val batchSlice = docs.filter(col("doc_id") < 500)
-      val (nv, t26) = timed(graft.llm.Dedup.batchNovelty(
-        docs.filter(col("doc_id") >= 500), batchSlice).count())
-      report("novelty_fixed_batch", f, nDocs, nv, t26)
+      runProbe("novelty_fixed_batch", f, nDocs)(graft.llm.Dedup
+        .batchNovelty(docs.filter(col("doc_id") >= 500),
+          docs.filter(col("doc_id") < 500)).count())
+
+      // verified near-dup: stage-1 LSH is output-bound (like
+      // minhash_lsh_pairs); the verify stage prices per CANDIDATE —
+      // on this duplicate-saturated corpus candidates grow with the
+      // planted-clique pair volume, so wall tracks stage-1 output,
+      // never the corpus square
+      runProbe("verified_pairs", f, nDocs)(
+        graft.llm.Dedup.verifiedNearDupPairs(
+          docs, tau = 0.8, estThreshold = 0.35).count())
+
+      // KN LM: model relations are bigram-TYPE-bounded (flat on this
+      // copy-scaled corpus — the type set never grows), scoring
+      // tracks instance volume linearly
+      runProbe("kn_lm_score", f, nDocs)(graft.llm.TextAnalysis
+        .knLmScore(docs, docs.filter(col("doc_id") % 10 =!= 0)).count())
+
+      // HLL approx-distinct: one pass, fixed sketch state per
+      // partition — should be flat-per-byte like token_stats
+      runProbe("hll_distinct", f, nDocs)(docs
+        .select(col("source"),
+          explode(graft.llm.TextAnalysis.tokens(col("text")))
+            .as("token"))
+        .groupBy(col("source"))
+        .agg(approx_count_distinct(col("token"), 0.01).as("ad"))
+        .count())
 
       // MMR: candidate generation is the broadcast-query corpus scan
       // (Q fixed at the first-copy slice); the greedy loop is
       // O(k·N·dim) per query, constant per query as the corpus grows
-      val mmrQ = emb.filter(col("vec_id") % 400 === 0 &&
-          col("vec_id") < nEmb / f)
-        .select(col("vec_id").as("query_id"),
-          col("embedding").as("query_vec"))
-      val (mq, t23) = timed(graft.llm.Similarity.mmrRerank(
-        emb, mmrQ, k = 5, nCandidates = 20).count())
-      report("mmr_rerank", f, nEmb, mq, t23)
+      if (enabled("mmr_rerank")) {
+        val mmrQ = emb.filter(col("vec_id") % 400 === 0 &&
+            col("vec_id") < nEmb / f)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("query_vec"))
+        val (mq, t23) = timed(graft.llm.Similarity.mmrRerank(
+          emb, mmrQ, k = 5, nCandidates = 20).count())
+        report("mmr_rerank", f, nEmb, mq, t23)
+      }
     }
     spark.stop()
   }

@@ -900,6 +900,37 @@ object TextAnalysis {
           col("n_tokens").cast("double"), 6).as("fertility"))
   }
 
+  /** Per-group n-gram diversity: `distinct n-grams / total n-grams`
+    * at each window size in `ns` — the self-repetition gauge that
+    * flags templated / machine-generated / boilerplate-heavy sources
+    * (natural text keeps bigram/trigram diversity high; generated or
+    * mirrored content collapses it long before unigram stats notice).
+    * One row per (group, n): total window count, distinct count, and
+    * the round-6 ratio.
+    *
+    * Scale shape: per n, one pass — grams leave the scan as 60-bit
+    * hashes from the positional kernel (text never shuffles), the
+    * group aggregate moves (group, hash) rows with map-side
+    * partials. `countDistinct` is exact (the oracle contract); at
+    * 100 TB swap `approx_count_distinct` for the one-pass HLL — the
+    * `llm_distinct_approx` verdict is the accuracy evidence for that
+    * substitution. */
+  def ngramDiversity(docs: DataFrame, ns: Seq[Int] = Seq(1, 2, 3),
+                     groupCol: String = "source",
+                     textCol: String = "text"): DataFrame =
+    ns.map { n =>
+      docs.select(col(groupCol),
+          explode(graft.functions.SketchExprs
+            .windowHashes(col(textCol), n)).as("_h"))
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n_total"),
+          countDistinct(col("_h")).as("n_distinct"))
+        .select(col(groupCol), lit(n).as("n"), col("n_total"),
+          col("n_distinct"),
+          round(col("n_distinct").cast("double") /
+            col("n_total").cast("double"), 6).as("diversity"))
+    }.reduce(_ unionByName _)
+
   /** Per-group out-of-vocabulary rate: the fraction of token
     * INSTANCES not covered by `vocab` (a `vocabulary` result or any
     * frame with a `token` column). The vocab side is v rows —

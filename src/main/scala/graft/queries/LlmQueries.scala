@@ -803,6 +803,12 @@ object LlmQueries {
             .cast("int").as("within_band"))
         .orderBy(col("lang"))),
 
+    // per-source n-gram diversity at n=1,2,3: the self-repetition /
+    // templated-content gauge (distinct windows over total windows).
+    "llm_ngram_diversity" -> ((s, dir) =>
+      TextAnalysis.ngramDiversity(table(s, dir, "documents"))
+        .orderBy(col("source"), col("n"))),
+
     // HLL approx-distinct verdict (the llm_len_approx device applied
     // to cardinality): per source, exact distinct token count
     // checked against each engine's own HLL sketch
@@ -2853,6 +2859,27 @@ object LlmQueries {
                 AND abs(a99 - p99) <= p99 * 0.05 AS INTEGER)
              AS within_band
          FROM agg ORDER BY lang""",
+
+    // n-gram diversity replay: md5-60 window hashes per n (the
+    // rare_ngrams device), distinct/total ratio per (source, n).
+    "llm_ngram_diversity" ->
+      raw"""WITH tok AS (
+           SELECT source, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         ns(n) AS (VALUES (1), (2), (3)),
+         g AS (
+           SELECT source, n, unnest(list_transform(
+             generate_series(1, len(tk) - n + 1),
+             i -> CAST(('0x' || substring(
+               md5(array_to_string(tk[i:i+n-1], ' ')), 1, 15))
+               AS BIGINT))) AS h
+           FROM tok, ns WHERE len(tk) >= n)
+         SELECT source, CAST(n AS INTEGER) AS n, count(*) AS n_total,
+           count(DISTINCT h) AS n_distinct,
+           round(CAST(count(DISTINCT h) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE), 6) AS diversity
+         FROM g GROUP BY source, n ORDER BY source, n""",
 
     // HLL verdict: DuckDB's own approx_count_distinct checked against
     // its exact count(DISTINCT); only exact values + verdict hashed.

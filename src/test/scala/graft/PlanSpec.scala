@@ -576,6 +576,41 @@ class PlanSpec extends AnyFunSuite {
     assert(eoPlan.contains("BroadcastHashJoin"), eoPlan.take(2000))
   }
 
+  test("round-10 ops: verified pairs attach text AFTER the candidate " +
+       "distinct; KN model relations shuffle tokens only") {
+    val docs = graft.queries.Star.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    // verifiedNearDupPairs: the band self-join and pair-distinct
+    // exchanges carry (band, hash, id) — text joins in by id for the
+    // bounded candidate set only (broadcast at this volume), so no
+    // exchange anywhere carries a text column
+    // (BroadcastExchange of the doc-id+text side is fine — that is
+    // the stats-driven small-corpus plan; at scale it degrades to an
+    // id-keyed shuffle, which is still candidate-bounded. What must
+    // NEVER happen is text riding the band-join / pair-distinct hash
+    // exchanges.)
+    val vp = Dedup.verifiedNearDupPairs(docs, tau = 0.8,
+      estThreshold = 0.35)
+    vp.collect()
+    val vpPlan = vp.queryExecution.executedPlan.toString
+    val vpBad = vpPlan.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") &&
+        Seq("text#", "_ta#", "_tb#", "sig#").exists(l.contains))
+    assert(vpBad.isEmpty,
+      s"text/sig crossed a hash shuffle:\n${vpBad.mkString("\n")}")
+    graft.cache.Pins.release(spark)
+    // knLmScore: the corpus explodes to (w1, w2) token pairs at the
+    // scan; text and the token array never ride a shuffle, and the
+    // type-bounded count tables come back as broadcasts
+    val kn = graft.llm.TextAnalysis.knLmScore(docs,
+      docs.filter(col("doc_id") % 10 =!= 0))
+    kn.collect()
+    val knPlan = kn.queryExecution.executedPlan.toString
+    noTextOnExchanges(knPlan, "text", "_tk")
+    assert(knPlan.contains("BroadcastHashJoin"), knPlan.take(2000))
+    graft.cache.Pins.release(spark)
+  }
+
   test("corpus-version memos scan a persisted parquet artifact, " +
        "not a driver-collected local relation") {
     // the LM-score and near-dup-cluster artifacts route through the
