@@ -47,6 +47,33 @@ object Similarity {
       .select(col(qIdCol), col("rank"), col(idCol), col("cosine"))
   }
 
+  /** Eval-set EMBEDDING contamination report — the semantic
+    * complement of the n-gram/Bloom decontamination family: for each
+    * held-out eval vector, the nearest training-corpus neighbor by
+    * cosine and a `contaminated` verdict (`max_cosine >= tau`) —
+    * paraphrased or lightly-edited eval leakage that exact n-gram
+    * overlap misses (the embedding-dedup argument of SemDeDup applied
+    * to train/test hygiene). One row per eval vector: `(eval_id,
+    * nearest_id, max_cosine, contaminated)`; ties on the rounded
+    * cosine resolve to the smallest corpus id (the [[bruteTopK]]
+    * rank rule).
+    *
+    * Scale shape: the eval set is small and fixed-size by nature, so
+    * it broadcasts and the train corpus is scanned ONCE with fused
+    * dot products — the per-query cost model of [[bruteTopK]] with
+    * k=1; no corpus shuffle beyond the per-eval top-1 TakeOrdered.
+    * For repeated audits against a growing corpus, compose with the
+    * IVF index ([[ivfTopKIndexed]]) exactly as search does. */
+  def embedContamination(corpus: DataFrame, eval: DataFrame,
+                         tau: Double = 0.4, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame =
+    bruteTopK(corpus,
+        eval.select(col(idCol).as("query_id"),
+          col(vecCol).as("query_vec")), k = 1, idCol, vecCol)
+      .select(col("query_id").as("eval_id"),
+        col(idCol).as("nearest_id"), col("cosine").as("max_cosine"),
+        (col("cosine") >= tau).as("contaminated"))
+
   /** [[bruteTopK]] over int8-quantized vectors ([[VectorOps.quantizeInt8]]):
     * same output contract (query_id, rank, vec_id, cosine-of-quantized).
     * In deployment the quantized corpus is persisted ONCE and every

@@ -212,6 +212,17 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // embedding contamination: held-out eval slice (vec_id % 50 = 0)
+    // vs the disjoint train corpus - nearest-neighbor cosine + verdict
+    // (the paraphrase-leakage complement of n-gram decontamination).
+    "llm_embed_contamination" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.embedContamination(
+          emb.filter(col("vec_id") % 50 =!= 0),
+          emb.filter(col("vec_id") % 50 === 0), tau = 0.4)
+        .orderBy(col("eval_id"))
+    }),
+
     // IVF cell-probed approximate top-k, oracle-verified (probe and
     // assignment replayed in SQL); recall vs exact top-k in LlmSpec.
     "llm_ivf_topk" -> ((s, dir) => {
@@ -2055,6 +2066,22 @@ object LlmQueries {
                ORDER BY cosine DESC, vec_id ASC) AS rank
            FROM scored)
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    // contamination replay: same cosine arithmetic + tie rule as the
+    // llm_topk oracle, exclusive sides, top-1 + verdict.
+    "llm_embed_contamination" ->
+      s"""WITH scored AS (
+           SELECT b.vec_id AS eval_id, a.vec_id AS nearest_id,
+             $cosineSql AS cosine
+           FROM embeddings a, embeddings b
+           WHERE b.vec_id % 50 = 0 AND a.vec_id % 50 <> 0),
+         best AS (
+           SELECT eval_id, nearest_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY eval_id
+               ORDER BY cosine DESC, nearest_id ASC) AS rn
+           FROM scored)
+         SELECT eval_id, nearest_id, cosine AS max_cosine,
+           (cosine >= 0.4) AS contaminated
+         FROM best WHERE rn = 1 ORDER BY eval_id""",
     "llm_token_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
