@@ -596,6 +596,17 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // KN perplexity tiers: the ppl_buckets ntile over the KN scores -
+    // the real-LM upgrade of the CCNet tiering, proving the two
+    // stages COMPOSE (same deployment shape: score once, tier many).
+    "llm_kn_buckets" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      TextAnalysis.pplBucketsScored(d,
+          TextAnalysis.knLmScore(d, d.filter(col("doc_id") % 10 =!= 0)),
+          nBuckets = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // canonical text normalization (NFC + lowercase + whitespace
     // collapse) — the pre-dedup canonicalization kernel.
     "llm_norm_text" -> ((s, dir) =>
@@ -1216,6 +1227,51 @@ object LlmQueries {
            THEN round(1.0 - CAST(lv AS DOUBLE) / ml, 6) END AS edit_sim,
          (lv <= md) AS verified
        FROM d ORDER BY id_a, id_b"""
+
+  /** Kneser-Ney CTE chain shared by the llm_kn_score and
+    * llm_kn_buckets oracles: 90 % train split (doc_id % 10 <> 0),
+    * type-level counts, the interpolated-KN per-instance log-prob,
+    * and the per-doc decimal average in `agg`. */
+  private val knScoreCtes =
+    raw"""tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         inst AS (
+           SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(tk) - 1),
+               i -> tk[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(tk) - 1),
+               i -> tk[i+1])) AS w2
+           FROM tok WHERE len(tk) >= 2),
+         cb AS (SELECT w1, w2, count(*) AS cb FROM inst
+                WHERE doc_id % 10 <> 0 GROUP BY w1, w2),
+         hist AS (SELECT w1, sum(cb) AS c1, count(*) AS n1f
+                  FROM cb GROUP BY w1),
+         cont AS (SELECT w2, count(*) AS n1b FROM cb GROUP BY w2),
+         nbb AS (SELECT count(*) AS nbb FROM cb),
+         vn AS (SELECT count(DISTINCT w) + 1 AS v FROM (
+             SELECT unnest(tk) AS w FROM tok WHERE doc_id % 10 <> 0)),
+         lp AS (
+           SELECT doc_id,
+             CASE WHEN c1 IS NULL THEN
+               ln((CAST(coalesce(n1b, 0) AS DOUBLE) + 1.0) /
+                  (CAST(nbb AS DOUBLE) + CAST(v AS DOUBLE)))
+             ELSE
+               ln(greatest(CAST(coalesce(cb, 0) AS DOUBLE) - 0.75, 0.0)
+                    / CAST(c1 AS DOUBLE)
+                  + 0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)
+                    * ((CAST(coalesce(n1b, 0) AS DOUBLE) + 1.0) /
+                       (CAST(nbb AS DOUBLE) + CAST(v AS DOUBLE))))
+             END AS lp
+           FROM inst LEFT JOIN cb USING (w1, w2)
+             LEFT JOIN hist USING (w1) LEFT JOIN cont USING (w2),
+             nbb, vn),
+         agg AS (
+           SELECT doc_id, count(*) AS n_bigrams,
+             round(CAST(SUM(CAST(lp AS DECIMAL(38,18))) AS DOUBLE)
+               / count(*), 6) AS avg_logprob
+           FROM lp GROUP BY doc_id)"""
 
   /** Incremental dedup oracle: same signature/band CTEs, but pairs
     * join a new-batch side (doc_id % 10 = 0) against the corpus side
@@ -2527,48 +2583,20 @@ object LlmQueries {
     // (discount arm, add-one continuation floor, decimal avg, ppl
     // from the ROUNDED avg) so doubles match bit-for-bit.
     "llm_kn_score" ->
-      raw"""WITH tok AS (
-           SELECT doc_id, list_filter(
-             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
-           FROM documents),
-         inst AS (
-           SELECT doc_id,
-             unnest(list_transform(generate_series(1, len(tk) - 1),
-               i -> tk[i])) AS w1,
-             unnest(list_transform(generate_series(1, len(tk) - 1),
-               i -> tk[i+1])) AS w2
-           FROM tok WHERE len(tk) >= 2),
-         cb AS (SELECT w1, w2, count(*) AS cb FROM inst
-                WHERE doc_id % 10 <> 0 GROUP BY w1, w2),
-         hist AS (SELECT w1, sum(cb) AS c1, count(*) AS n1f
-                  FROM cb GROUP BY w1),
-         cont AS (SELECT w2, count(*) AS n1b FROM cb GROUP BY w2),
-         nbb AS (SELECT count(*) AS nbb FROM cb),
-         vn AS (SELECT count(DISTINCT w) + 1 AS v FROM (
-             SELECT unnest(tk) AS w FROM tok WHERE doc_id % 10 <> 0)),
-         lp AS (
-           SELECT doc_id,
-             CASE WHEN c1 IS NULL THEN
-               ln((CAST(coalesce(n1b, 0) AS DOUBLE) + 1.0) /
-                  (CAST(nbb AS DOUBLE) + CAST(v AS DOUBLE)))
-             ELSE
-               ln(greatest(CAST(coalesce(cb, 0) AS DOUBLE) - 0.75, 0.0)
-                    / CAST(c1 AS DOUBLE)
-                  + 0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)
-                    * ((CAST(coalesce(n1b, 0) AS DOUBLE) + 1.0) /
-                       (CAST(nbb AS DOUBLE) + CAST(v AS DOUBLE))))
-             END AS lp
-           FROM inst LEFT JOIN cb USING (w1, w2)
-             LEFT JOIN hist USING (w1) LEFT JOIN cont USING (w2),
-             nbb, vn),
-         agg AS (
-           SELECT doc_id, count(*) AS n_bigrams,
-             round(CAST(SUM(CAST(lp AS DECIMAL(38,18))) AS DOUBLE)
-               / count(*), 6) AS avg_logprob
-           FROM lp GROUP BY doc_id)
+      s"""WITH $knScoreCtes
          SELECT doc_id, n_bigrams, avg_logprob,
            round(exp(-avg_logprob), 6) AS ppl
          FROM agg ORDER BY doc_id""",
+
+    // KN tiering: the proven KN CTEs + the llm_ppl_buckets ntile.
+    "llm_kn_buckets" ->
+      s"""WITH $knScoreCtes
+         SELECT d.doc_id, d.lang, agg.avg_logprob,
+           CAST(ntile(3) OVER (PARTITION BY d.lang
+             ORDER BY agg.avg_logprob DESC, d.doc_id ASC) AS BIGINT)
+             AS ppl_bucket
+         FROM agg JOIN documents d ON d.doc_id = agg.doc_id
+         ORDER BY d.doc_id""",
 
     // curation -> pack replay: the proven curation CTE chain up to
     // `dedup`, then the proven llm_pack CTEs over text_clean.
