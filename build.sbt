@@ -31,7 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // All test/bench sessions must agree on timestamp typing: the shared
   // getOrCreate() singleton would otherwise depend on which spec's
-  // builder wins first.
+  // builder wins first. BOTH configs are needed — with NTZ inference
+  // off but nanosAsLong unset, events.parquet's TIMESTAMP(NANOS)
+  // column reads as a mis-scaled 1970 LTZ instead of the raw long the
+  // readers convert explicitly.
   "-Dspark.sql.parquet.inferTimestampNTZ.enabled=false",
+  "-Dspark.sql.legacy.parquet.nanosAsLong=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -22,25 +22,35 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events.parquet schema, with ts as TIMESTAMP (the static reader
-    * uses nanosAsLong; readStream gets an explicit schema so we declare
-    * LongType nanos and convert). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),              // nanos since epoch
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** events schema with `ts` at the given type. readStream requires
+    * an explicit schema; the ts type depends on how the vendor wrote
+    * the column (TIMESTAMP(NANOS) surfaces as a raw nanos LONG under
+    * `nanosAsLong`, TIMESTAMP(MICROS) as a plain timestamp), so
+    * [[readEvents]] mirrors the batch reader's adaptation
+    * ([[graft.queries.Star.events]]) instead of hardcoding one. */
+  def eventsRawSchema(tsType: DataType = TimestampType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
   /** Unbounded read of an events directory (files appearing over time
-    * = the stream). */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsRawSchema)
+    * = the stream). One static footer read up front decides the ts
+    * shape — the same LongType guard the batch reader uses — so the
+    * stream works against either vintage of the events table. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val tsIsLong =
+      spark.read.parquet(dir).schema("ts").dataType == LongType
+    val raw = spark.readStream
+      .schema(eventsRawSchema(if (tsIsLong) LongType else TimestampType))
       .option("maxFilesPerTrigger", "8")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    if (tsIsLong) raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else raw
+  }
 
   /** Event-time tumbling-window aggregation with a watermark: count +
     * sum(value) per (window, event_type). The streaming form of

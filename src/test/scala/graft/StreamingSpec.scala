@@ -90,7 +90,7 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy("event_type", "category").count().collect()
       .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2)))
       .toSet
-    val want = spark.read.schema(EventsStream.eventsRawSchema)
+    val want = spark.read.schema(EventsStream.eventsRawSchema())
       .parquet(eventsDir)
       .join(broadcast(dim), Seq("event_type"), "left")
       .groupBy("event_type", "category").count().collect()
