@@ -175,6 +175,21 @@ object LlmQueries {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // end-to-end VERIFIED dedup: candidates -> edit-distance confirm
+    // -> components over verified edges only -> min-id survivors (the
+    // llm_neardup_dedup chain with the verification stage inserted -
+    // unverified candidates cannot glue clusters together).
+    "llm_verified_dedup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val vp = Dedup.verifiedNearDupPairs(docs, tau = 0.8,
+          estThreshold = 0.35)
+        .filter(col("verified"))
+        .select(col("id_a"), col("id_b"))
+      Dedup.keepRepresentatives(docs, Dedup.connectedComponents(vp))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // embedding-cosine near-dup pairs (brute-force ground truth).
     "llm_embedding_pairs" -> ((s, dir) =>
       Dedup.embeddingPairsBrute(table(s, dir, "embeddings"),
@@ -1357,6 +1372,35 @@ object LlmQueries {
                          WHERE c.id = d.doc_id AND c.component < c.id)
        ORDER BY doc_id"""
 
+  /** Verified end-to-end dedup oracle: candidates -> levenshtein
+    * verify (the llm_verified_pairs rule) -> recursive closure ->
+    * survivors (the nearDupDedup device over VERIFIED edges only). */
+  private val verifiedDedupOracle =
+    s"""WITH RECURSIVE $minhashScoredCtes,
+       cand AS (SELECT id_a, id_b FROM scored
+                WHERE nb > 0 AND est_jaccard >= 0.35),
+       vp AS (
+         SELECT id_a, id_b FROM (
+           SELECT id_a, id_b, levenshtein(a.text, b.text) AS lv,
+             CAST(floor(greatest(len(a.text), len(b.text))
+               * (1.0 - 0.8)) AS BIGINT) AS md
+           FROM cand
+           JOIN documents a ON cand.id_a = a.doc_id
+           JOIN documents b ON cand.id_b = b.doc_id)
+         WHERE lv <= md),
+       edges AS (SELECT id_a AS a, id_b AS b FROM vp
+                 UNION ALL SELECT id_b, id_a FROM vp),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       comp AS (SELECT a AS id, least(a, min(b)) AS component
+                FROM reach GROUP BY a)
+       SELECT d.doc_id FROM documents d
+       WHERE NOT EXISTS (SELECT 1 FROM comp c
+                         WHERE c.id = d.doc_id AND c.component < c.id)
+       ORDER BY doc_id"""
+
   /** SimHash bits: per doc, 64 sign-votes over DISTINCT token hashes;
     * token hash bits j<32 come from MD5 hex chars 9-16, j>=32 from
     * chars 1-8 (big-endian 8-byte value, split to stay in BIGINT). */
@@ -2398,6 +2442,7 @@ object LlmQueries {
              AS BIGINT) AS total_subwords
          FROM documents GROUP BY lang ORDER BY lang""",
     "llm_neardup_dedup" -> nearDupDedupOracle,
+    "llm_verified_dedup" -> verifiedDedupOracle,
     "llm_minhash_pairs" -> minhashPairsOracle,
     "llm_verified_pairs" -> verifiedPairsOracle,
     "llm_incremental_pairs" -> incrementalPairsOracle,
