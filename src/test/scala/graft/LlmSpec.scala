@@ -130,6 +130,39 @@ class LlmSpec extends AnyFunSuite {
     assert(out(10L)._2 > out(13L)._2)
   }
 
+  test("embedContamination: planted duplicate eval vector flags, " +
+       "orthogonal one does not") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val eval = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),   // exact copy of corpus #1
+      (101L, Array(0.0f, 0.0f, 1.0f)))   // orthogonal to everything
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embedContamination(corpus, eval, tau = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out(100L) == ((1L, 1.0, true)))
+    assert(out(101L)._2 == 0.0 && !out(101L)._3)
+  }
+
+  test("ngramDiversity: repeated text collapses the ratio; distinct " +
+       "text keeps it at 1") {
+    import spark.implicits._
+    val planted = Seq(
+      ("rep", "a b a b a b a b"),        // 2 distinct unigrams / 8
+      ("uni", "w x y z")                 // all windows distinct
+    ).toDF("source", "text")
+    val out = TextAnalysis.ngramDiversity(planted)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(("rep", 1)) == ((8L, 2L, 0.25)))
+    assert(out(("rep", 2)) == ((7L, 2L, math.rint(2.0 / 7 * 1e6) / 1e6)))
+    assert(out(("uni", 1)) == ((4L, 4L, 1.0)))
+    assert(out(("uni", 3)) == ((2L, 2L, 1.0)))
+  }
+
   test("simhash: identical docs at distance 0; banding finds them") {
     import spark.implicits._
     val a = "alpha beta gamma delta epsilon zeta eta theta"
