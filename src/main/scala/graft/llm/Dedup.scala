@@ -34,6 +34,30 @@ object Dedup {
     docs.groupBy(xxhash64(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Duplicate-aware training weights — the soft alternative to
+    * dropping duplicates (down-weighting repeated content instead of
+    * deleting it keeps coverage while removing the memorization
+    * gradient bias): every doc gets its exact-duplicate group size
+    * and `weight = 1/n_copies`, so each distinct content contributes
+    * unit total mass to the training mix however often it was
+    * crawled. Emits `(idCol, n_copies, weight)` for every doc.
+    *
+    * Scale: the [[exactGroups]] aggregate keyed on the 64-bit
+    * content hash, joined back hash-to-hash — text never shuffles
+    * (both sides key on the hash computed scan-side), and the group
+    * table is distinct-content-sized. */
+  def dupWeights(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val groups = docs
+      .groupBy(xxhash64(col(textCol)).as("_h"))
+      .agg(count(lit(1)).as("n_copies"))
+    docs.select(col(idCol), xxhash64(col(textCol)).as("_h"))
+      .join(groups, Seq("_h"))
+      .select(col(idCol), col("n_copies"),
+        round(lit(1.0) / col("n_copies").cast("double"), 6)
+          .as("weight"))
+  }
+
   /** Exact dedup: keep the min-id representative of each group. */
   def exactDedup(docs: DataFrame, textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame = {

@@ -110,6 +110,13 @@ object LlmQueries {
         .select(col("keep_id"), col("n_copies"))
         .orderBy(col("keep_id"))),
 
+    // duplicate-aware training weights: weight = 1/n_copies per doc
+    // (down-weight repeats instead of dropping - unit mass per
+    // distinct content in the training mix).
+    "llm_dup_weights" -> ((s, dir) =>
+      Dedup.dupWeights(table(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // exact n-gram Jaccard near-dup pairs (brute-force ground truth).
     "llm_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairsBrute(table(s, dir, "documents"), n = 3,
@@ -2124,6 +2131,15 @@ object LlmQueries {
     "llm_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keep_id""",
+    // dup weights: group by VALUE (the engine's 64-bit hash is an
+    // internal key; same-value grouping is the same partition).
+    "llm_dup_weights" ->
+      """WITH g AS (SELECT text, COUNT(*) AS n_copies
+                    FROM documents GROUP BY text)
+         SELECT d.doc_id, g.n_copies,
+           round(1.0 / CAST(g.n_copies AS DOUBLE), 6) AS weight
+         FROM documents d JOIN g USING (text)
+         ORDER BY d.doc_id""",
     "llm_jaccard_pairs" ->
       s"""WITH sh AS (
            SELECT doc_id, $shingleSql AS s
