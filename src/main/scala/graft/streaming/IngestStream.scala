@@ -48,6 +48,40 @@ object IngestStream {
         Dedup.minHashPairsFromSigs(newSigs, corpusSigs, threshold)
     }
 
+    /** [[MinHash]] with the two-stage verify
+      * ([[graft.llm.Dedup.verifiedNearDupPairs]]'s rule): LSH
+      * candidates at the permissive `estThreshold`, then each pair
+      * confirmed by thresholded Levenshtein under the per-pair bound
+      * `floor(maxlen·(1−tau))` — an ingest that never drops a doc on
+      * sketch evidence alone. `textOf` resolves `(id, text)` for any
+      * id a pair can mention (the current batch plus the standing
+      * corpus); it is invoked lazily at pair time, BEFORE this
+      * batch's own writes, so it reads the pre-batch corpus. */
+    final case class VerifiedMinHash(textOf: () => DataFrame,
+                                     tau: Double = 0.8,
+                                     estThreshold: Double = 0.35,
+                                     textCol: String = "text")
+        extends SigScheme {
+      def signatures(batch: DataFrame, idCol: String): DataFrame =
+        Dedup.minHashSignatures(batch, textCol = textCol, idCol = idCol)
+      def pairs(newSigs: DataFrame, corpusSigs: DataFrame): DataFrame = {
+        val cand =
+          Dedup.minHashPairsFromSigs(newSigs, corpusSigs, estThreshold)
+        val txt = textOf()
+        val maxLen = greatest(length(col("_ta")), length(col("_tb")))
+        val maxDist = floor(maxLen.cast("double") * lit(1.0 - tau))
+          .cast("int")
+        cand
+          .join(txt.select(col("id").as("id_new"), col(textCol).as("_ta")),
+            Seq("id_new"))
+          .join(txt.select(col("id").as("id_corpus"),
+            col(textCol).as("_tb")), Seq("id_corpus"))
+          .filter(call_function("levenshtein", col("_ta"), col("_tb"),
+            maxDist) >= 0)
+          .select(col("id_new"), col("id_corpus"), col("est_jaccard"))
+      }
+    }
+
     /** Codec-free blob SimHash ([[graft.llm.Multimodal
       * .blobNearDupPairs]]'s sketch): one long per blob in the layer. */
     final case class BlobSimHash(maxDist: Int = 3,
@@ -200,6 +234,36 @@ object IngestStream {
     } finally { b.unpersist(); () }
   }
 
+  /** [[ingestBatch]] with the two-stage verify: candidates never drop
+    * a doc on sketch evidence alone — each within-batch and
+    * cross-layer pair is confirmed by thresholded edit distance
+    * before it counts as a duplicate ([[SigScheme.VerifiedMinHash]]).
+    * The text resolver unions the batch with the standing corpus
+    * (pre-batch — pairs are built before this batch's writes) and
+    * dedups on id so an at-least-once replay, whose first attempt
+    * already published this batch's corpus partition, cannot double
+    * pair rows. */
+  def ingestBatchVerified(batch: DataFrame, corpusDir: String,
+                          sigDir: String, tau: Double = 0.8,
+                          estThreshold: Double = 0.35,
+                          textCol: String = "text",
+                          idCol: String = "doc_id",
+                          batchId: Option[Long] = None): Unit = {
+    val spark = batch.sparkSession
+    val textOf = () => {
+      val bt = batch.select(col(idCol).cast("long").as("id"),
+        col(textCol))
+      (layerReadable(spark, corpusDir) match {
+        case Some(c) => bt.unionByName(
+          c.select(col(idCol).cast("long").as("id"), col(textCol)))
+        case None => bt
+      }).dropDuplicates("id")
+    }
+    ingestBatchWith(batch, corpusDir, sigDir,
+      SigScheme.VerifiedMinHash(textOf, tau, estThreshold, textCol),
+      idCol, batchId)
+  }
+
   /** The streaming wrapper: foreachBatch over a document stream. The
     * checkpoint (source offsets + batch ids) defaults to a hidden dir
     * under the signature layer — without one, every restart would
@@ -223,6 +287,27 @@ object IngestStream {
       }
       // AvailableNow by default (drain-and-stop, the batch-backfill
       // mode); pass ProcessingTime for a continuously running ingest
+      .trigger(trigger)
+      .start()
+
+  /** [[nearDupIngest]] with the two-stage verify per micro-batch
+    * ([[ingestBatchVerified]]) — same checkpoint/replay contract. */
+  def nearDupIngestVerified(docs: DataFrame, corpusDir: String,
+                            sigDir: String, tau: Double = 0.8,
+                            estThreshold: Double = 0.35,
+                            textCol: String = "text",
+                            idCol: String = "doc_id",
+                            checkpointDir: Option[String] = None,
+                            trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$sigDir/_checkpoints"))
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        ingestBatchVerified(batch.toDF(), corpusDir, sigDir, tau,
+          estThreshold, textCol, idCol, batchId = Some(bid))
+      }
       .trigger(trigger)
       .start()
 

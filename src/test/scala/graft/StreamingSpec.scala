@@ -313,6 +313,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(sigIds == Set(1L, 3L, 5L), s"got $sigIds")
   }
 
+  test("verified ingest: sketch-only candidate survives, true " +
+       "near-dup drops within and across batches") {
+    import spark.implicits._
+    import graft.streaming.IngestStream
+    val base = "/root/repo/target/scratch/verified_ingest"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val corpusDir = s"$base/corpus"
+    val sigDir = s"$base/sigs"
+    val baseText = (0 until 60).map(i => s"w$i").mkString(" ")
+    // same 60-word vocabulary fully reordered: minhash similarity is
+    // high (identical 1-token sets, many shared shingles at the
+    // permissive estThreshold) but edit distance is large - an
+    // UNVERIFIED candidate that must survive
+    val reordered = (0 until 60).map(i => s"w${(i * 37) % 60}")
+      .mkString(" ")
+    val other = (0 until 60).map(i => s"z$i").mkString(" ")
+    // batch 1: base, reordered (sketch candidate, verify rejects),
+    // a true within-batch near-dup of base (one word changed), other
+    IngestStream.ingestBatchVerified(
+      Seq((1L, baseText), (2L, reordered),
+        (3L, baseText.replace("w30", "wxx")), (4L, other))
+        .toDF("doc_id", "text"),
+      corpusDir, sigDir, tau = 0.8, estThreshold = 0.05)
+    val ids1 = spark.read.parquet(corpusDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == Set(1L, 2L, 4L), s"got $ids1")
+    // batch 2: a cross-layer true near-dup of base (drops) and
+    // ANOTHER reordering of base's vocabulary (candidate, survives)
+    IngestStream.ingestBatchVerified(
+      Seq((10L, baseText.replace("w10", "wyy")),
+        (11L, (0 until 60).map(i => s"w${(i * 41) % 60}").mkString(" ")))
+        .toDF("doc_id", "text"),
+      corpusDir, sigDir, tau = 0.8, estThreshold = 0.05)
+    val ids2 = spark.read.parquet(corpusDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids2 == Set(1L, 2L, 4L, 11L), s"got $ids2")
+  }
+
   test("stream-stream interval join (click->purchase attribution) " +
        "equals the batch join") {
     val clicks = EventsStream.readEvents(spark, eventsDir)
