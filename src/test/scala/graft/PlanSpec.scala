@@ -609,6 +609,18 @@ class PlanSpec extends AnyFunSuite {
     noTextOnExchanges(knPlan, "text", "_tk")
     assert(knPlan.contains("BroadcastHashJoin"), knPlan.take(2000))
     graft.cache.Pins.release(spark)
+    // ngramDiversity: grams leave the scan as 60-bit hashes; text
+    // never rides any exchange
+    val docsSrc = graft.queries.Star.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val nd = graft.llm.TextAnalysis.ngramDiversity(docsSrc)
+    nd.collect()
+    noTextOnExchanges(nd.queryExecution.executedPlan.toString, "text")
+    // dupWeights: both the group and the join-back key on the
+    // scan-side 64-bit content hash — text never shuffles
+    val dw = graft.llm.Dedup.dupWeights(docsSrc)
+    dw.collect()
+    noTextOnExchanges(dw.queryExecution.executedPlan.toString, "text")
   }
 
   test("corpus-version memos scan a persisted parquet artifact, " +
