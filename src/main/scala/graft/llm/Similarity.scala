@@ -222,6 +222,36 @@ object Similarity {
       graft.functions.SketchExprs.nearestCell(col(vecCol), centroids)
         .as("cell_id"))
 
+  /** Per-label topic-mix report — the corpus-composition diagnostic
+    * a mixture-balancing stage reads before setting sampling rates:
+    * k-means cells over the embedding space stand in for topics, and
+    * every (label, cell) pair reports its count and its share of the
+    * label (`frac`). A label concentrated in one cell is
+    * single-topic; a flat mix is broad coverage — the same lens
+    * SemDeDup/cluster-balance papers use to describe what each slice
+    * of a corpus actually contains.
+    *
+    * Scale: centroids ride the train-once registry
+    * ([[kmeansCentroids]]); assignment is one narrow codegen'd pass
+    * (vectors never shuffle); the cross-tab aggregate moves
+    * (label, cell) keys only, and the label-share window runs over
+    * the |labels|·|cells|-sized count table, not the corpus. */
+  def topicMix(emb: DataFrame, nCells: Int = 16, iters: Int = 2,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               labelCol: String = "label"): DataFrame = {
+    val cents = kmeansCentroids(emb, nCells, iters, idCol, vecCol)
+    val asg = assignCells(emb, cents, idCol, vecCol)
+      .select(col(idCol), col("cell_id"))
+    val counts = emb.select(col(idCol), col(labelCol))
+      .join(asg, Seq(idCol))
+      .groupBy(col(labelCol), col("cell_id"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(labelCol))
+    counts.select(col(labelCol), col("cell_id"), col("n"),
+      round(col("n").cast("double") /
+        sum(col("n")).over(w).cast("double"), 6).as("frac"))
+  }
+
   /** Distributed Lloyd refinement of the [[collectCentroids]] seeds:
     * `iters` rounds of assign (native NearestCell — one narrow
     * codegen'd pass over the corpus) then per-cell mean. Means use

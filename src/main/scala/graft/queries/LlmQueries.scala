@@ -234,6 +234,14 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // per-label topic mix: k-means cells as topics, (label, cell)
+    // counts + label shares - the corpus-composition diagnostic a
+    // mixture-balancing stage reads before setting sampling rates.
+    "llm_topic_mix" -> ((s, dir) =>
+      Similarity.topicMix(table(s, dir, "embeddings"), nCells = 16,
+          iters = 2)
+        .orderBy(col("label"), col("cell_id"))),
+
     // embedding contamination: held-out eval slice (vec_id % 50 = 0)
     // vs the disjoint train corpus - nearest-neighbor cosine + verdict
     // (the paraphrase-leakage complement of n-gram decontamination).
@@ -1738,6 +1746,21 @@ object LlmQueries {
        FROM zt ORDER BY vec_id"""
   }
 
+  /** Topic-mix replay: the kmeans assignment chain, label join,
+    * per-label share window over the (label, cell) count table. */
+  private def topicMixOracle(iters: Int): String = {
+    val (ctes, _) = kmeansAsgCtes(iters)
+    s"""WITH $ctes,
+       cnt AS (
+         SELECT e.label, a.cell_id, count(*) AS n
+         FROM asgf a JOIN embeddings e USING (vec_id)
+         GROUP BY e.label, a.cell_id)
+       SELECT label, cell_id, n,
+         round(CAST(n AS DOUBLE) /
+           CAST(SUM(n) OVER (PARTITION BY label) AS DOUBLE), 6) AS frac
+       FROM cnt ORDER BY label, cell_id"""
+  }
+
   /** Multimodal features: the deterministic stub decoder's arithmetic
     * (h32 = first 4 MD5 bytes of the blob = of the UTF-8 text). */
   private val mmFeaturesOracle =
@@ -2475,6 +2498,7 @@ object LlmQueries {
       sub = 16, k = 10, rerank = 100),
     "llm_semdedup" -> semDedupOracle(iters = 2, tau = 0.4),
     "llm_embed_outliers" -> embedOutliersOracle(iters = 2, z = 2.0),
+    "llm_topic_mix" -> topicMixOracle(iters = 2),
     "llm_mmr_rerank" -> mmrOracle(k = 5, n = 20, lambda = 0.7),
     "llm_mm_features" -> mmFeaturesOracle,
     // audio stub decoder: frames = 1 + (h32 >> 18) % 1000; byte_len is
