@@ -267,6 +267,16 @@ object ScaleBench {
         .agg(approx_count_distinct(col("token"), 0.01).as("ad"))
         .count())
 
+      // dup weights: hash-keyed group + join-back, both corpus-linear
+      runProbe("dup_weights", f, nDocs)(
+        graft.llm.Dedup.dupWeights(docs).count())
+
+      // topic mix: train-once centroids + one narrow assignment pass;
+      // the cross-tab is (label, cell)-bounded
+      runProbe("topic_mix", f, nEmb)(
+        graft.llm.Similarity.topicMix(emb, nCells = 16, iters = 2)
+          .count())
+
       // MMR: candidate generation is the broadcast-query corpus scan
       // (Q fixed at the first-copy slice); the greedy loop is
       // O(k·N·dim) per query, constant per query as the corpus grows
