@@ -58,6 +58,33 @@ object Dedup {
           .as("weight"))
   }
 
+  /** NEAR-dup generalization of [[dupWeights]]: weight
+    * `1/|cluster|` per doc over the connected components of any
+    * near-dup pair set — each cluster of mutually-near-duplicate
+    * documents contributes unit total mass to the training mix, docs
+    * outside every cluster keep weight 1. Pair with
+    * [[verifiedNearDupPairs]] so sketch false-positives cannot
+    * down-weight distinct content. Emits `(idCol, n_members,
+    * weight)` for every doc.
+    *
+    * Scale: component labels ride the [[connectedComponents]] path
+    * (driver union-find under the edge threshold, distributed label
+    * propagation beyond); sizes and the join-back move (id, long)
+    * rows over the clustered-vertex set, which is ≪ corpus. */
+  def nearDupWeights(docs: DataFrame, pairs: DataFrame,
+                     idCol: String = "doc_id"): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val sizes = comps.groupBy(col("component"))
+      .agg(count(lit(1)).as("_n"))
+    val m = comps.join(sizes, Seq("component"))
+      .select(col("id").as(idCol), col("_n"))
+    docs.select(col(idCol)).join(m, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_n"), lit(1L)).as("n_members"),
+        round(lit(1.0) / coalesce(col("_n"), lit(1L)).cast("double"), 6)
+          .as("weight"))
+  }
+
   /** Exact dedup: keep the min-id representative of each group. */
   def exactDedup(docs: DataFrame, textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame = {

@@ -197,6 +197,18 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // near-dup-aware soft weights: 1/|verified cluster| per doc (the
+    // dup_weights idea over VERIFIED near-dup components - sketch
+    // false positives cannot down-weight distinct content).
+    "llm_neardup_weights" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val vp = Dedup.verifiedNearDupPairs(docs, tau = 0.8,
+          estThreshold = 0.35)
+        .filter(col("verified"))
+        .select(col("id_a"), col("id_b"))
+      Dedup.nearDupWeights(docs, vp).orderBy(col("doc_id"))
+    }),
+
     // embedding-cosine near-dup pairs (brute-force ground truth).
     "llm_embedding_pairs" -> ((s, dir) =>
       Dedup.embeddingPairsBrute(table(s, dir, "embeddings"),
@@ -1416,6 +1428,40 @@ object LlmQueries {
                          WHERE c.id = d.doc_id AND c.component < c.id)
        ORDER BY doc_id"""
 
+  /** Near-dup weights oracle: the verified closure (the
+    * llm_verified_dedup device), component sizes, left join with the
+    * weight-1 fallback for unclustered docs. */
+  private val nearDupWeightsOracle =
+    s"""WITH RECURSIVE $minhashScoredCtes,
+       cand AS (SELECT id_a, id_b FROM scored
+                WHERE nb > 0 AND est_jaccard >= 0.35),
+       vp AS (
+         SELECT id_a, id_b FROM (
+           SELECT id_a, id_b, levenshtein(a.text, b.text) AS lv,
+             CAST(floor(greatest(len(a.text), len(b.text))
+               * (1.0 - 0.8)) AS BIGINT) AS md
+           FROM cand
+           JOIN documents a ON cand.id_a = a.doc_id
+           JOIN documents b ON cand.id_b = b.doc_id)
+         WHERE lv <= md),
+       edges AS (SELECT id_a AS a, id_b AS b FROM vp
+                 UNION ALL SELECT id_b, id_a FROM vp),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       comp AS (SELECT a AS id, least(a, min(b)) AS component
+                FROM reach GROUP BY a),
+       sz AS (SELECT component, count(*) AS n FROM comp
+              GROUP BY component)
+       SELECT d.doc_id,
+         coalesce(sz.n, 1) AS n_members,
+         round(1.0 / CAST(coalesce(sz.n, 1) AS DOUBLE), 6) AS weight
+       FROM documents d
+       LEFT JOIN comp c ON c.id = d.doc_id
+       LEFT JOIN sz ON sz.component = c.component
+       ORDER BY d.doc_id"""
+
   /** SimHash bits: per doc, 64 sign-votes over DISTINCT token hashes;
     * token hash bits j<32 come from MD5 hex chars 9-16, j>=32 from
     * chars 1-8 (big-endian 8-byte value, split to stay in BIGINT). */
@@ -2482,6 +2528,7 @@ object LlmQueries {
          FROM documents GROUP BY lang ORDER BY lang""",
     "llm_neardup_dedup" -> nearDupDedupOracle,
     "llm_verified_dedup" -> verifiedDedupOracle,
+    "llm_neardup_weights" -> nearDupWeightsOracle,
     "llm_minhash_pairs" -> minhashPairsOracle,
     "llm_verified_pairs" -> verifiedPairsOracle,
     "llm_incremental_pairs" -> incrementalPairsOracle,
