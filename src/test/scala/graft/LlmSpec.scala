@@ -130,6 +130,40 @@ class LlmSpec extends AnyFunSuite {
     assert(out(10L)._2 > out(13L)._2)
   }
 
+  test("knLmScore: P(.|h) is a PROPER distribution — per history the " +
+       "probabilities over train types + one OOV token sum to 1") {
+    import spark.implicits._
+    // algebra: sum over seen w2 of max(c-d,0)/c1 = 1 - d*n1f/c1, and
+    // the add-one continuation Pc sums to exactly 1 over the V-domain
+    // (train types + the OOV type), so the interpolated sum is 1 per
+    // history - for the UNSEEN history too (pure Pc). Checked on
+    // three deterministic pseudo-random corpora.
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val types = (0 until (5 + trial * 3)).map(i => s"t$i")
+      val corpus = (1 to 6).map { d =>
+        (d.toLong, Seq.fill(8 + rng.nextInt(8))(
+          types(rng.nextInt(types.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val domain = types :+ "OOVTOK"
+      val probes = (types :+ "UNSEENH").zipWithIndex.flatMap {
+        case (h, hi) => domain.zipWithIndex.map { case (w, wi) =>
+          (hi * 1000L + wi, s"$h $w", h)
+        }
+      }.toDF("doc_id", "text", "hist")
+      val scored = TextAnalysis.knLmScore(probes, corpus)
+        .join(probes.select(col("doc_id"), col("hist")), Seq("doc_id"))
+        .select(col("hist"), exp(col("avg_logprob")).as("p"))
+        .groupBy(col("hist")).agg(sum(col("p")).as("total"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1))
+      assert(scored.nonEmpty)
+      scored.foreach { case (h, tot) =>
+        assert(math.abs(tot - 1.0) < 1e-3,
+          s"trial $trial history '$h': probabilities sum to $tot")
+      }
+    }
+  }
+
   test("embedContamination: planted duplicate eval vector flags, " +
        "orthogonal one does not") {
     import spark.implicits._
