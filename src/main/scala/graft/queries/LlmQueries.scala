@@ -197,6 +197,28 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // split-leakage audit: VERIFIED near-dup pairs whose members land
+    // in different content-hash splits - exact dups hash identically
+    // (cannot leak by construction), but near-dups draw independent
+    // hashes and cross the train/val/test boundary; this is the
+    // pre-training leakage check over the llm_split assignment.
+    "llm_split_leakage" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val sp = docs.select(col("doc_id"),
+        Sampling.splitColumn(col("text"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))
+      Dedup.verifiedNearDupPairs(docs, tau = 0.8, estThreshold = 0.35)
+        .filter(col("verified"))
+        .join(sp.select(col("doc_id").as("id_a"),
+          col("split").as("split_a")), Seq("id_a"))
+        .join(sp.select(col("doc_id").as("id_b"),
+          col("split").as("split_b")), Seq("id_b"))
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("id_a"), col("id_b"), col("split_a"),
+          col("split_b"), col("edit_sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // near-dup-aware soft weights: 1/|verified cluster| per doc (the
     // dup_weights idea over VERIFIED near-dup components - sketch
     // false positives cannot down-weight distinct content).
@@ -1428,6 +1450,40 @@ object LlmQueries {
                          WHERE c.id = d.doc_id AND c.component < c.id)
        ORDER BY doc_id"""
 
+  /** Split-leakage oracle: verified pairs + the llm_split
+    * content-hash assignment on both sides, cross-split rows only. */
+  private val splitLeakageOracle =
+    s"""WITH $minhashScoredCtes,
+       cand AS (SELECT id_a, id_b FROM scored
+                WHERE nb > 0 AND est_jaccard >= 0.35),
+       vp AS (
+         SELECT id_a, id_b,
+           round(1.0 - CAST(lv AS DOUBLE) / ml, 6) AS edit_sim
+         FROM (
+           SELECT id_a, id_b, levenshtein(a.text, b.text) AS lv,
+             greatest(len(a.text), len(b.text)) AS ml,
+             CAST(floor(greatest(len(a.text), len(b.text))
+               * (1.0 - 0.8)) AS BIGINT) AS md
+           FROM cand
+           JOIN documents a ON cand.id_a = a.doc_id
+           JOIN documents b ON cand.id_b = b.doc_id)
+         WHERE lv <= md),
+       sp AS (
+         SELECT doc_id,
+           CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)
+                   % 100 AS h
+               FROM documents))
+       SELECT v.id_a, v.id_b, sa.split AS split_a, sb.split AS split_b,
+         v.edit_sim
+       FROM vp v
+       JOIN sp sa ON sa.doc_id = v.id_a
+       JOIN sp sb ON sb.doc_id = v.id_b
+       WHERE sa.split <> sb.split
+       ORDER BY v.id_a, v.id_b"""
+
   /** Near-dup weights oracle: the verified closure (the
     * llm_verified_dedup device), component sizes, left join with the
     * weight-1 fallback for unclustered docs. */
@@ -2529,6 +2585,7 @@ object LlmQueries {
     "llm_neardup_dedup" -> nearDupDedupOracle,
     "llm_verified_dedup" -> verifiedDedupOracle,
     "llm_neardup_weights" -> nearDupWeightsOracle,
+    "llm_split_leakage" -> splitLeakageOracle,
     "llm_minhash_pairs" -> minhashPairsOracle,
     "llm_verified_pairs" -> verifiedPairsOracle,
     "llm_incremental_pairs" -> incrementalPairsOracle,
