@@ -218,6 +218,31 @@ object CLI {
       pipelines.toSeq.sortBy(_._1).foreach { case (n, r) =>
         println(f"$n%-16s ${r.doc}")
       }
+    // the operator-inventory surface: every SparkEntry query runnable
+    // from the CLI (`query list`, `query run <name> [--sf-dir D]
+    // [--out parquet-dir] [--limit N]`) — the driver's Verify/Bench
+    // mains use the same map; this is the human entry point.
+    case Seq("query", "list") =>
+      graft.SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+    case Seq("query", "run", qname, rest @ _*)
+        if graft.SparkEntry.queries.contains(qname) =>
+      def flag(k: String): Option[String] =
+        rest.sliding(2).collectFirst {
+          case Seq(`k`, v) if !v.startsWith("--") => v }
+      val sfDir = flag("--sf-dir")
+        .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+        .getOrElse("/root/testdata/sf0.001")
+      val df = graft.SparkEntry.queries(qname)(spark, sfDir)
+      flag("--out") match {
+        case Some(out) =>
+          df.write.mode("overwrite").parquet(out)
+          println(s"[$qname] written to $out")
+        case None =>
+          df.show(flag("--limit").flatMap(_.toIntOption).getOrElse(20),
+            truncate = false)
+      }
+    case Seq("query", "run", qname, _*) =>
+      sys.error(s"unknown query: $qname (see `query list`)")
     case name +: cmd +: rest if pipelines.contains(name) =>
       val reg = pipelines(name)
       val (specOpt, cliArgs0) = rest match {
@@ -307,7 +332,9 @@ object CLI {
     case _ =>
       println("usage: graft.Main <pipeline> <run|show-tree|write-config-template> " +
         "[spec.yaml] [--loc p=l] [--var k=v] [-o k=v] [--cache-root dir] " +
-        "| graft.Main list")
+        "| graft.Main list " +
+        "| graft.Main query list " +
+        "| graft.Main query run <name> [--sf-dir D] [--out dir] [--limit N]")
       println("pipelines:")
       pipelines.toSeq.sortBy(_._1).foreach { case (n, r) =>
         println(f"  $n%-16s ${r.doc}")

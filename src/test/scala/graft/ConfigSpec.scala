@@ -638,4 +638,29 @@ class ConfigSpec extends AnyFunSuite {
       MappingRhs.Layers(Seq(LocTemplate("/l1"))))
   }
 
+  test("CLI query surface: list names the inventory; run writes parquet") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    def captured(args: String*): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+        CLI.run(args.toArray, spark)
+      }
+      bos.toString("UTF-8")
+    }
+    val names = captured("query", "list").linesIterator.toSeq
+    assert(names.contains("q01_agg") && names.contains("llm_vocab"))
+    assert(names == names.sorted)
+    val out = "/root/repo/target/scratch/cli_query_out"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    captured("query", "run", "llm_vocab",
+      "--sf-dir", "/root/testdata/sf0.001", "--out", out)
+    val rows = spark.read.parquet(out)
+    assert(rows.columns.contains("token") && rows.count() > 0)
+    intercept[RuntimeException] {
+      CLI.run(Array("query", "run", "no_such_query"), spark)
+    }
+  }
+
 }
