@@ -67,6 +67,51 @@ object CLI {
           Access.writeData(snk)
       }),
 
+    // The llm pack driven through the task algebra: a reference-style
+    // pipeline (virtual files, documented options, memo-able shape)
+    // whose body is the round-10 curation chain — proof the two
+    // halves of the library compose: porcupine-surface lifecycle
+    // around Spark-native corpus operators.
+    "curate" -> Registered(
+      "curate",
+      "LLM-corpus curation: length gate -> verified near-dup dedup " +
+        "-> duplicate-aware weights, written as parquet",
+      OptionsSchema(Seq(
+        OptField("minTokens", Some(OptNum(20)),
+          "drop docs with fewer tokens than this"),
+        OptField("tau", Some(OptNum(0.8)),
+          "edit-similarity threshold confirming a candidate pair"),
+        OptField("estThreshold", Some(OptNum(0.35)),
+          "MinHash-LSH candidate threshold (permissive stage 1)"))),
+      (spark, opts) => {
+        def num(v: OptValue): Double = v match {
+          case OptNum(n) => n
+          case other     => other.render.toDouble
+        }
+        val minTokens = num(opts("minTokens"))
+        val tau = num(opts("tau"))
+        val est = num(opts("estThreshold"))
+        val src = VirtualFile(VPath("/documents"), Seq("parquet"),
+          Usage.Source)
+        val snk = VirtualFile(VPath("/Outputs/curated"), Seq("parquet"),
+          Usage.Sink)
+        Access.getDataReader(src) >>>
+          PTask.arr { (r: Access.DataReader) =>
+            import graft.llm.{Dedup, TextAnalysis}
+            val gated = r.read()
+              .filter(TextAnalysis.tokenCount(col("text")) >= minTokens)
+            val vp = Dedup.verifiedNearDupPairs(gated, tau, est)
+              .filter(col("verified"))
+              .select(col("id_a"), col("id_b"))
+            val kept = Dedup.keepRepresentatives(gated,
+              Dedup.connectedComponents(vp))
+            // each representative carries its cluster size and the
+            // unit-mass weight, so downstream sampling can soft-count
+            kept.join(Dedup.nearDupWeights(gated, vp), Seq("doc_id"))
+          } >>>
+          Access.writeData(snk)
+      }),
+
     // Port of the reference's example-radon (ExampleRadon.hs:76-158):
     // load observations (CSV-with-header or JSON — the example's
     // BidirSerials pair), mirror them to a debug sink unchanged, run

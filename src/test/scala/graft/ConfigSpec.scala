@@ -638,6 +638,39 @@ class ConfigSpec extends AnyFunSuite {
       MappingRhs.Layers(Seq(LocTemplate("/l1"))))
   }
 
+  test("curate pipeline: task-algebra lifecycle around the llm pack " +
+       "(length gate -> verified dedup -> weights)") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    val base = "/root/repo/target/scratch/cli_curate"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    val specFile = s"$base/curate.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(specFile),
+      s"""data: {minTokens: 10}
+         |locations:
+         |  /documents: /root/testdata/sf0.001/documents.parquet
+         |  /Outputs/curated: $base/curated.parquet
+         |""".stripMargin)
+    CLI.run(Array("curate", "run", specFile), spark)
+    val in = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = spark.read.parquet(s"$base/curated.parquet")
+    assert(out.columns.toSet
+      .intersect(Set("doc_id", "n_members", "weight")).size == 3)
+    val n = out.count()
+    assert(n > 0 && n <= in.count())
+    // every surviving cluster representative carries unit-mass info:
+    // weight == 1/n_members, and clusters with n_members > 1 exist in
+    // the planted-near-dup testdata
+    import org.apache.spark.sql.functions.{col => c, lit, round}
+    assert(out.filter(c("weight") =!=
+      round(lit(1.0) / c("n_members").cast("double"), 6)).count() == 0)
+    assert(out.filter(c("n_members") > 1).count() > 0)
+    graft.cache.Pins.release(spark)
+  }
+
   test("CLI query surface: list names the inventory; run writes parquet") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")
