@@ -222,6 +222,64 @@ object Similarity {
       graft.functions.SketchExprs.nearestCell(col(vecCol), centroids)
         .as("cell_id"))
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019's ratio
+    * margin, the LASER/CCMatrix parallel-corpus recipe): for every
+    * vector of side `a`, the best side-`b` match scored not by raw
+    * cosine but by the MARGIN
+    * `cos(x,y) / ((avgK(x) + avgK(y)) / 2)` — cosine relative to
+    * each side's own k-NN neighborhood density — which suppresses
+    * hubs (vectors close to everything) and rescues translation
+    * pairs in sparse regions. Emits the forward-mined top-1 per `a`
+    * vector with its cosine and margin, `mined = margin >= minMargin`.
+    *
+    * Determinism: cosines are rounded per pair; the k-NN averages
+    * sum through DECIMAL(38,18) so neighborhood density is
+    * partition-order-free; the margin divides in fixed textual order
+    * and rounds — the whole report replays bit-exact in SQL.
+    *
+    * Scale shape: this is the per-query-batch corpus-scan cost model
+    * of [[bruteTopK]] run both directions (the smaller side
+    * broadcasts; only (id, id, cos) rows shuffle into the window
+    * cuts). At corpus-x-corpus scale, feed both the pair stream and
+    * the k-NN sets from the IVF index ([[ivfTopKIndexed]]) — the
+    * margin arithmetic is unchanged, which is why it is factored
+    * over a scored pair set rather than fused into the scan. */
+  def bitextMine(a: DataFrame, b: DataFrame, k: Int = 4,
+                 minMargin: Double = 1.0,
+                 idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val an = a.select(col(idCol).as("id_a"), col(vecCol).as("_va"),
+      VectorOps.norm(col(vecCol)).as("_na"))
+    val bn = b.select(col(idCol).as("id_b"), col(vecCol).as("_vb"),
+      VectorOps.norm(col(vecCol)).as("_nb"))
+    val scored = an.crossJoin(broadcast(bn))
+      .select(col("id_a"), col("id_b"),
+        round(VectorOps.cosineHoisted(col("_va"), col("_vb"),
+          col("_na"), col("_nb")), 6).as("cosine"))
+    val wa = Window.partitionBy(col("id_a"))
+      .orderBy(col("cosine").desc, col("id_b").asc)
+    val wb = Window.partitionBy(col("id_b"))
+      .orderBy(col("cosine").desc, col("id_a").asc)
+    val ka = scored.withColumn("_r", row_number().over(wa))
+      .filter(col("_r") <= k).groupBy(col("id_a"))
+      .agg((sum(col("cosine").cast("decimal(38,18)")).cast("double") /
+        lit(k.toDouble)).as("_ka"))
+    val kb = scored.withColumn("_r", row_number().over(wb))
+      .filter(col("_r") <= k).groupBy(col("id_b"))
+      .agg((sum(col("cosine").cast("decimal(38,18)")).cast("double") /
+        lit(k.toDouble)).as("_kb"))
+    val margined = scored.join(ka, Seq("id_a")).join(kb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("cosine"),
+        round(col("cosine") / ((col("_ka") + col("_kb")) / lit(2.0)), 6)
+          .as("margin"))
+    val wm = Window.partitionBy(col("id_a"))
+      .orderBy(col("margin").desc, col("id_b").asc)
+    margined.withColumn("_rn", row_number().over(wm))
+      .filter(col("_rn") === 1)
+      .select(col("id_a"), col("id_b"), col("cosine"), col("margin"),
+        (col("margin") >= minMargin).as("mined"))
+  }
+
   /** Per-label topic-mix report — the corpus-composition diagnostic
     * a mixture-balancing stage reads before setting sampling rates:
     * k-means cells over the embedding space stand in for topics, and

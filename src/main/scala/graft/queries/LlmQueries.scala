@@ -268,6 +268,17 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // margin-based bitext mining (ratio margin): label-0 vs label-1
+    // slices as the two "languages"; forward top-1 per left vector
+    // by cosine over neighborhood density, mined verdict.
+    "llm_bitext_mine" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.bitextMine(
+          emb.filter(col("label") === 0),
+          emb.filter(col("label") === 1), k = 4, minMargin = 1.0)
+        .orderBy(col("id_a"))
+    }),
+
     // per-label topic mix: k-means cells as topics, (label, cell)
     // counts + label shares - the corpus-composition diagnostic a
     // mixture-balancing stage reads before setting sampling rates.
@@ -2307,6 +2318,46 @@ object LlmQueries {
                ORDER BY cosine DESC, vec_id ASC) AS rank
            FROM scored)
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    // bitext-margin replay: same cosine arithmetic, decimal-exact
+    // k-NN averages, fixed division order, forward top-1 by margin.
+    "llm_bitext_mine" ->
+      s"""WITH la AS (SELECT vec_id AS id_a, embedding
+                      FROM embeddings WHERE label = 0),
+         lb AS (SELECT vec_id AS id_b, embedding
+                FROM embeddings WHERE label = 1),
+         scored AS (
+           SELECT a.id_a, b.id_b, $cosineSql AS cosine
+           FROM la a, lb b),
+         ka AS (
+           SELECT id_a,
+             CAST(SUM(CAST(cosine AS DECIMAL(38,18))) AS DOUBLE) / 4.0
+               AS ka
+           FROM (SELECT id_a, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY id_a
+                     ORDER BY cosine DESC, id_b ASC) AS r
+                 FROM scored)
+           WHERE r <= 4 GROUP BY id_a),
+         kb AS (
+           SELECT id_b,
+             CAST(SUM(CAST(cosine AS DECIMAL(38,18))) AS DOUBLE) / 4.0
+               AS kb
+           FROM (SELECT id_b, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY id_b
+                     ORDER BY cosine DESC, id_a ASC) AS r
+                 FROM scored)
+           WHERE r <= 4 GROUP BY id_b),
+         mg AS (
+           SELECT s.id_a, s.id_b, s.cosine,
+             round(s.cosine / ((ka.ka + kb.kb) / 2.0), 6) AS margin
+           FROM scored s JOIN ka USING (id_a) JOIN kb USING (id_b)),
+         sel AS (
+           SELECT id_a, id_b, cosine, margin,
+             ROW_NUMBER() OVER (PARTITION BY id_a
+               ORDER BY margin DESC, id_b ASC) AS rn
+           FROM mg)
+       SELECT id_a, id_b, cosine, margin, margin >= 1.0 AS mined
+       FROM sel WHERE rn = 1 ORDER BY id_a""",
+
     // contamination replay: same cosine arithmetic + tie rule as the
     // llm_topk oracle, exclusive sides, top-1 + verdict.
     "llm_embed_contamination" ->

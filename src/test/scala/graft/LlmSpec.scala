@@ -164,6 +164,28 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("bitextMine: planted translations pair up; the hub vector " +
+       "does not steal matches") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val h = (math.sqrt(0.5)).toFloat
+    val b = Seq(
+      (10L, Array(1.0f, 0.0f)),   // exact counterpart of a1
+      (11L, Array(h, h)),          // hub: cos 0.707 to BOTH a vectors
+      (12L, Array(0.0f, 1.0f)))    // exact counterpart of a2
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bitextMine(a, b, k = 2, minMargin = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(3), r.getBoolean(4))).toMap
+    // the hub's own neighborhood average is high, so its margin is
+    // deflated; the exact counterparts win and are mined
+    assert(out(1L)._1 == 10L && out(1L)._3, s"got ${out(1L)}")
+    assert(out(2L)._1 == 12L && out(2L)._3, s"got ${out(2L)}")
+    assert(out(1L)._2 > 1.0 && out(2L)._2 > 1.0)
+  }
+
   test("embedContamination: planted duplicate eval vector flags, " +
        "orthogonal one does not") {
     import spark.implicits._
