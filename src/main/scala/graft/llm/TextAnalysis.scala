@@ -1165,6 +1165,36 @@ object TextAnalysis {
         coalesce(col("char_entropy"), lit(0.0)).as("char_entropy"))
   }
 
+  /** Per-source corpus CARD — the one-row-per-source datasheet a
+    * curation run publishes (Datasheets-for-Datasets distilled to the
+    * relational facts): doc and token volume, the exact-duplicate
+    * fraction, and the mean lexical-diversity signals
+    * ([[qualitySignals]]'s ttr / token entropy averaged with
+    * decimal-exact sums). The glanceable table that says which
+    * sources are big, redundant, or templated before any deeper
+    * audit runs.
+    *
+    * Scale: one [[qualitySignals]] pass (text never shuffles), one
+    * 64-bit content-hash distinct per source, and a source-keyed
+    * aggregate over per-doc narrow rows. */
+  def sourceCard(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id",
+                 groupCol: String = "source"): DataFrame = {
+    val sig = qualitySignals(docs, textCol, idCol)
+    docs.select(col(idCol), col(groupCol),
+        xxhash64(col(textCol)).as("_h"))
+      .join(sig, Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        round(lit(1.0) - countDistinct(col("_h")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("dup_frac"),
+        round(sum(col("ttr").cast("decimal(38,18)")).cast("double") /
+          count(lit(1)), 6).as("avg_ttr"),
+        round(sum(col("token_entropy").cast("decimal(38,18)"))
+          .cast("double") / count(lit(1)), 6).as("avg_token_entropy"))
+  }
+
   /** In-engine quality classifier (the fastText-classifier analog of
     * the curation stack): a binary multinomial NB trained on the
     * corpus's own Gopher-repetition verdicts — the weak-supervision

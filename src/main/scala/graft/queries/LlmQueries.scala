@@ -961,6 +961,12 @@ object LlmQueries {
       TextAnalysis.qualitySignals(table(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // per-source corpus card: the one-row-per-source datasheet
+    // (volume, exact-dup fraction, mean diversity signals).
+    "llm_source_card" -> ((s, dir) =>
+      TextAnalysis.sourceCard(table(s, dir, "documents"))
+        .orderBy(col("source"))),
+
     // model-based langid: multinomial Naive Bayes self-trained on the
     // labeled corpus, emitted as the (lang, pred_lang, n_docs)
     // confusion matrix — training and scoring are ONE relational
@@ -3420,6 +3426,37 @@ object LlmQueries {
          FROM documents d
          LEFT JOIN w USING (doc_id) LEFT JOIN ce USING (doc_id)
          ORDER BY d.doc_id""",
+
+    // source-card replay: the quality-signals per-doc word fragment,
+    // value-distinct dup fraction, decimal-exact averages.
+    "llm_source_card" ->
+      raw"""WITH tok AS (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(text, '\s+'), x -> x <> '')) AS t
+           FROM documents),
+         wtf AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+         w AS (
+           SELECT doc_id, SUM(c) AS n, count(*) AS u,
+             CAST(SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+               AS DECIMAL(38,18))) AS DOUBLE) AS sclnc
+           FROM wtf GROUP BY doc_id),
+         per AS (
+           SELECT d.doc_id, d.source, d.text,
+             CAST(coalesce(w.n, 0) AS BIGINT) AS n,
+             coalesce(round(CAST(w.u AS DOUBLE) / CAST(w.n AS DOUBLE),
+               6), 0.0) AS ttr,
+             coalesce(round(ln(CAST(w.n AS DOUBLE)) -
+               w.sclnc / CAST(w.n AS DOUBLE), 6), 0.0) AS ent
+           FROM documents d LEFT JOIN w USING (doc_id))
+         SELECT source, count(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           round(1.0 - CAST(count(DISTINCT text) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE), 6) AS dup_frac,
+           round(CAST(SUM(CAST(ttr AS DECIMAL(38,18))) AS DOUBLE) /
+             count(*), 6) AS avg_ttr,
+           round(CAST(SUM(CAST(ent AS DECIMAL(38,18))) AS DOUBLE) /
+             count(*), 6) AS avg_token_entropy
+         FROM per GROUP BY source ORDER BY source""",
 
     // Naive-Bayes langid replay: identical formula tree — dense
     // vocab x label likelihood table (alpha floor via left-join
