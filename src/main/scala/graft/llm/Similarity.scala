@@ -248,6 +248,42 @@ object Similarity {
                  minMargin: Double = 1.0,
                  idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
+    val margined = bitextMargins(a, b, k, idCol, vecCol)
+    val wm = Window.partitionBy(col("id_a"))
+      .orderBy(col("margin").desc, col("id_b").asc)
+    margined.withColumn("_rn", row_number().over(wm))
+      .filter(col("_rn") === 1)
+      .select(col("id_a"), col("id_b"), col("cosine"), col("margin"),
+        (col("margin") >= minMargin).as("mined"))
+  }
+
+  /** [[bitextMine]] with the INTERSECT strategy (the paper's
+    * stricter mode): a pair is mined only when it is simultaneously
+    * `x`'s forward top-1 AND `y`'s backward top-1 by margin — the
+    * mutual-best handshake that trades recall for near-zero false
+    * pairs. Emits only the mutual pairs at `margin >= minMargin`. */
+  def bitextMineMutual(a: DataFrame, b: DataFrame, k: Int = 4,
+                       minMargin: Double = 1.0,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val margined = bitextMargins(a, b, k, idCol, vecCol)
+    val fw = Window.partitionBy(col("id_a"))
+      .orderBy(col("margin").desc, col("id_b").asc)
+    val bw = Window.partitionBy(col("id_b"))
+      .orderBy(col("margin").desc, col("id_a").asc)
+    margined
+      .withColumn("_rf", row_number().over(fw))
+      .withColumn("_rb", row_number().over(bw))
+      .filter(col("_rf") === 1 && col("_rb") === 1 &&
+        col("margin") >= minMargin)
+      .select(col("id_a"), col("id_b"), col("cosine"), col("margin"))
+  }
+
+  /** Shared margin table of the two mining strategies: all (a, b)
+    * pairs with round-6 cosine and the ratio margin (decimal-exact
+    * k-NN density averages, fixed division order). */
+  private def bitextMargins(a: DataFrame, b: DataFrame, k: Int,
+                            idCol: String, vecCol: String): DataFrame = {
     val an = a.select(col(idCol).as("id_a"), col(vecCol).as("_va"),
       VectorOps.norm(col(vecCol)).as("_na"))
     val bn = b.select(col(idCol).as("id_b"), col(vecCol).as("_vb"),
@@ -268,16 +304,10 @@ object Similarity {
       .filter(col("_r") <= k).groupBy(col("id_b"))
       .agg((sum(col("cosine").cast("decimal(38,18)")).cast("double") /
         lit(k.toDouble)).as("_kb"))
-    val margined = scored.join(ka, Seq("id_a")).join(kb, Seq("id_b"))
+    scored.join(ka, Seq("id_a")).join(kb, Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("cosine"),
         round(col("cosine") / ((col("_ka") + col("_kb")) / lit(2.0)), 6)
           .as("margin"))
-    val wm = Window.partitionBy(col("id_a"))
-      .orderBy(col("margin").desc, col("id_b").asc)
-    margined.withColumn("_rn", row_number().over(wm))
-      .filter(col("_rn") === 1)
-      .select(col("id_a"), col("id_b"), col("cosine"), col("margin"),
-        (col("margin") >= minMargin).as("mined"))
   }
 
   /** Per-label topic-mix report — the corpus-composition diagnostic

@@ -279,6 +279,16 @@ object LlmQueries {
         .orderBy(col("id_a"))
     }),
 
+    // mutual-best bitext mining: forward AND backward top-1 (the
+    // intersect strategy - near-zero false pairs at lower recall).
+    "llm_bitext_mutual" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.bitextMineMutual(
+          emb.filter(col("label") === 0),
+          emb.filter(col("label") === 1), k = 4, minMargin = 1.0)
+        .orderBy(col("id_a"))
+    }),
+
     // per-label topic mix: k-means cells as topics, (label, cell)
     // counts + label shares - the corpus-composition diagnostic a
     // mixture-balancing stage reads before setting sampling rates.
@@ -1901,6 +1911,40 @@ object LlmQueries {
                    ELSE 0 END AS BIGINT) AS n_sampled
        FROM g ORDER BY media_id"""
 
+  /** Margin table shared by the two bitext-mining oracles: label
+    * slices, cosine, decimal-exact k-NN density averages, ratio
+    * margin in fixed division order. */
+  private lazy val bitextMarginCtes =
+    s"""la AS (SELECT vec_id AS id_a, embedding
+               FROM embeddings WHERE label = 0),
+       lb AS (SELECT vec_id AS id_b, embedding
+              FROM embeddings WHERE label = 1),
+       scored AS (
+         SELECT a.id_a, b.id_b, $cosineSql AS cosine
+         FROM la a, lb b),
+       ka AS (
+         SELECT id_a,
+           CAST(SUM(CAST(cosine AS DECIMAL(38,18))) AS DOUBLE) / 4.0
+             AS ka
+         FROM (SELECT id_a, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY id_a
+                   ORDER BY cosine DESC, id_b ASC) AS r
+               FROM scored)
+         WHERE r <= 4 GROUP BY id_a),
+       kb AS (
+         SELECT id_b,
+           CAST(SUM(CAST(cosine AS DECIMAL(38,18))) AS DOUBLE) / 4.0
+             AS kb
+         FROM (SELECT id_b, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY id_b
+                   ORDER BY cosine DESC, id_a ASC) AS r
+               FROM scored)
+         WHERE r <= 4 GROUP BY id_b),
+       mg AS (
+         SELECT s.id_a, s.id_b, s.cosine,
+           round(s.cosine / ((ka.ka + kb.kb) / 2.0), 6) AS margin
+         FROM scored s JOIN ka USING (id_a) JOIN kb USING (id_b))"""
+
   private val cosineSql =
     """round(
          list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -2327,35 +2371,7 @@ object LlmQueries {
     // bitext-margin replay: same cosine arithmetic, decimal-exact
     // k-NN averages, fixed division order, forward top-1 by margin.
     "llm_bitext_mine" ->
-      s"""WITH la AS (SELECT vec_id AS id_a, embedding
-                      FROM embeddings WHERE label = 0),
-         lb AS (SELECT vec_id AS id_b, embedding
-                FROM embeddings WHERE label = 1),
-         scored AS (
-           SELECT a.id_a, b.id_b, $cosineSql AS cosine
-           FROM la a, lb b),
-         ka AS (
-           SELECT id_a,
-             CAST(SUM(CAST(cosine AS DECIMAL(38,18))) AS DOUBLE) / 4.0
-               AS ka
-           FROM (SELECT id_a, cosine,
-                   ROW_NUMBER() OVER (PARTITION BY id_a
-                     ORDER BY cosine DESC, id_b ASC) AS r
-                 FROM scored)
-           WHERE r <= 4 GROUP BY id_a),
-         kb AS (
-           SELECT id_b,
-             CAST(SUM(CAST(cosine AS DECIMAL(38,18))) AS DOUBLE) / 4.0
-               AS kb
-           FROM (SELECT id_b, cosine,
-                   ROW_NUMBER() OVER (PARTITION BY id_b
-                     ORDER BY cosine DESC, id_a ASC) AS r
-                 FROM scored)
-           WHERE r <= 4 GROUP BY id_b),
-         mg AS (
-           SELECT s.id_a, s.id_b, s.cosine,
-             round(s.cosine / ((ka.ka + kb.kb) / 2.0), 6) AS margin
-           FROM scored s JOIN ka USING (id_a) JOIN kb USING (id_b)),
+      s"""WITH $bitextMarginCtes,
          sel AS (
            SELECT id_a, id_b, cosine, margin,
              ROW_NUMBER() OVER (PARTITION BY id_a
@@ -2363,6 +2379,21 @@ object LlmQueries {
            FROM mg)
        SELECT id_a, id_b, cosine, margin, margin >= 1.0 AS mined
        FROM sel WHERE rn = 1 ORDER BY id_a""",
+
+    // mutual strategy: the same margin table, mined only when the
+    // pair is forward AND backward top-1 (the intersect handshake).
+    "llm_bitext_mutual" ->
+      s"""WITH $bitextMarginCtes,
+         sel AS (
+           SELECT id_a, id_b, cosine, margin,
+             ROW_NUMBER() OVER (PARTITION BY id_a
+               ORDER BY margin DESC, id_b ASC) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY id_b
+               ORDER BY margin DESC, id_a ASC) AS rb
+           FROM mg)
+       SELECT id_a, id_b, cosine, margin
+       FROM sel WHERE rf = 1 AND rb = 1 AND margin >= 1.0
+       ORDER BY id_a""",
 
     // contamination replay: same cosine arithmetic + tie rule as the
     // llm_topk oracle, exclusive sides, top-1 + verdict.
