@@ -135,4 +135,12 @@ class CoreSpec extends AnyFunSuite {
     val t = graft.access.Access.loadData(vf).inSubtree(VPath("/a/b"))
     assert(t.requirements.paths == Seq(VPath("/a/b/c")))
   }
+
+  test("inventory completeness: every query has an oracle and every " +
+       "oracle has a query (no silent rows-only degradation)") {
+    val q = graft.SparkEntry.queries.keySet
+    val o = graft.SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle: ${q -- o}")
+    assert((o -- q).isEmpty, s"oracles without query: ${o -- q}")
+  }
 }
