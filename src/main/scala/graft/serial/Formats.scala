@@ -200,8 +200,37 @@ object Formats {
     }
   }
 
+  /** ORC — the second columnar scale format (Spark-native datasource;
+    * same pushdown/pruning story as parquet). The reference's serial
+    * registry is extension-open (SerializationMethod.hs:606-611 maps
+    * are user-extendable); ORC is the natural extra columnar entry a
+    * Spark deployment expects (Hive-ecosystem interchange). */
+  object Orc extends Format {
+    val ext = "orc"
+    def read(s: SparkSession, paths: Seq[String], schema: Option[StructType]) = {
+      val r = s.read
+      schema.foreach(r.schema)
+      r.orc(paths: _*)
+    }
+    def write(df: DataFrame, path: String): Unit =
+      df.write.mode("overwrite").orc(path)
+    override def write(df: DataFrame, path: String, codec: Option[String]): Unit = {
+      val w = df.write.mode("overwrite")
+      codec.foreach(c => w.option("compression", c))
+      w.orc(path)
+    }
+    override def writePartitioned(df: DataFrame, path: String,
+                                  partitionCol: String,
+                                  codec: Option[String]): Unit = {
+      val w = df.write.mode("overwrite").partitionBy(partitionCol)
+      codec.foreach(c => w.option("compression", c))
+      w.orc(path)
+    }
+  }
+
   val builtins: Map[String, Format] = Map(
     "parquet" -> Parquet,
+    "orc" -> Orc,
     "json" -> Json(),
     "csv" -> Csv(),
     "txt" -> Txt(),

@@ -422,6 +422,27 @@ class AccessOpsSpec extends AnyFunSuite {
     assert(back == Set((1L, "a"), (2L, "b")))
   }
 
+  test("orc format round-trips: write (zlib codec + partitioned) then " +
+       "read back the same rows") {
+    import spark.implicits._
+    val base = scratch("orc")
+    val df = Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y"))
+      .toDF("id", "name", "k")
+    graft.serial.Formats("orc").write(df, s"$base/flat.orc", Some("zlib"))
+    val back = graft.serial.Formats("orc")
+      .read(spark, Seq(s"$base/flat.orc"), None)
+      .select("id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // partitioned sink honors the declared format: k=<v>/ subdirs of orc
+    graft.serial.Formats("orc")
+      .writePartitioned(df, s"$base/part.orc", "k", None)
+    assert(new java.io.File(s"$base/part.orc/k=x").exists())
+    val part = spark.read.orc(s"$base/part.orc")
+    assert(part.count() == 3 &&
+      part.filter(col("k") === "y").count() == 1)
+  }
+
   test("Pins: unmanaged split shorthands register their pin; release " +
        "drops the cached parent") {
     import spark.implicits._
