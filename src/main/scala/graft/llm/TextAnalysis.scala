@@ -769,6 +769,50 @@ object TextAnalysis {
       .withColumn("blocked", col("hit_frac") >= tau)
   }
 
+  /** C4 heuristic cleaning pack (Raffel et al. 2020 §2.2, the
+    * "Colossal Clean Crawled Corpus" rules at their published
+    * granularity): a LINE is kept iff it ends in a terminal
+    * punctuation mark (`.` `!` `?` or a closing double quote), has
+    * at least `minWordsPerLine` words, and does not mention
+    * javascript; the DOC additionally reports the page-level kill
+    * signals — any curly brace (code page) or the phrase
+    * "lorem ipsum" (placeholder chrome) — and the final verdict
+    * `kept` = at least `minKeptLines` surviving lines and no
+    * page-level signal. Output: `(doc_id, n_lines, n_kept,
+    * kept_frac, clean_chars, has_brace, has_lorem, kept)`.
+    *
+    * Scale shape: entirely row-local — one line split + ONE
+    * projected filtered array per doc (projected once and reused,
+    * the [[blocklistScrub]] no-recompute discipline, since HOFs are
+    * CodegenFallback with no CSE); text never shuffles, nothing
+    * explodes. Every predicate is ANSI-replayable (`trim` +
+    * character-class regex + `lower`/`contains`), so the whole pack
+    * oracle-checks line by line. */
+  def c4Filter(docs: DataFrame, minWordsPerLine: Int = 3,
+               minKeptLines: Int = 1, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val keptL = filter(lines, l =>
+      size(filter(split(trim(l), " "), w => w =!= "")) >=
+        minWordsPerLine &&
+      trim(l).rlike("[.!?\"]$") &&
+      !lower(l).contains("javascript"))
+    docs.select(col(idCol),
+        size(lines).cast("long").as("n_lines"),
+        keptL.as("_kept"),
+        col(textCol).contains("{").as("has_brace"),
+        lower(col(textCol)).contains("lorem ipsum").as("has_lorem"))
+      .select(col(idCol), col("n_lines"),
+        size(col("_kept")).cast("long").as("n_kept"),
+        round(size(col("_kept")).cast("double") /
+          col("n_lines").cast("double"), 6).as("kept_frac"),
+        length(array_join(col("_kept"), "\n")).cast("long")
+          .as("clean_chars"),
+        col("has_brace"), col("has_lorem"),
+        (size(col("_kept")) >= minKeptLines &&
+          !col("has_brace") && !col("has_lorem")).as("kept"))
+  }
+
   /** Escape every regex metacharacter with a backslash — the
     * portable literal-escaping (unlike `\Q…\E`) that Java regex and
     * RE2 read identically, so the alternation replays in DuckDB. */

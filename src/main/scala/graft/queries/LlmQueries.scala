@@ -1020,6 +1020,29 @@ object LlmQueries {
         tau = 0.05)
         .orderBy(col("doc_id"))),
 
+    // C4 line/page cleaning over planted page structure (the
+    // blocklist/secret_scan device: deterministic extra lines by
+    // doc_id in BOTH engines, so every rule fires somewhere — a
+    // 2-word unpunctuated line, a javascript line, a lorem-ipsum
+    // line, a curly-brace code line).
+    "llm_c4_filter" -> ((s, dir) =>
+      TextAnalysis.c4Filter(
+        table(s, dir, "documents").withColumn("text", concat(
+          col("text"), lit("."),
+          when(col("doc_id") % 3 === 0, lit("\ntoo short"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\nplease enable javascript to view this page."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit("\nlorem ipsum dolor sit amet."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit("\nif (x) { return y; } end of code sample."))
+            .otherwise(lit("")))),
+        minWordsPerLine = 3, minKeptLines = 1)
+        .orderBy(col("doc_id"))),
+
     // CCNet head/tail filter: materialize the kept (head+middle)
     // corpus slice from the per-language perplexity tiers.
     "llm_ccnet_filter" -> ((s, dir) => {
@@ -2464,6 +2487,49 @@ object LlmQueries {
          SELECT doc_id, n_tokens, n_hits, hit_frac, text_clean,
            hit_frac >= 0.05 AS blocked
          FROM r ORDER BY doc_id""",
+    "llm_c4_filter" ->
+      raw"""WITH src AS (
+           SELECT doc_id, text || '.'
+             || CASE WHEN doc_id % 3 = 0
+                  THEN chr(10) || 'too short' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                  THEN chr(10) ||
+                    'please enable javascript to view this page.'
+                  ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                  THEN chr(10) || 'lorem ipsum dolor sit amet.'
+                  ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                  THEN chr(10) ||
+                    'if (x) { return y; } end of code sample.'
+                  ELSE '' END AS text
+           FROM documents),
+         l AS (
+           SELECT doc_id, text,
+             string_split(text, chr(10)) AS lines
+           FROM src),
+         k AS (
+           SELECT doc_id, lines,
+             list_filter(lines, ln ->
+               len(list_filter(string_split(trim(ln), ' '),
+                 w -> w <> '')) >= 3
+               AND regexp_matches(trim(ln), '[.!?"]$$')
+               AND NOT contains(lower(ln), 'javascript'))
+               AS kept_lines,
+             contains(text, '{') AS has_brace,
+             contains(lower(text), 'lorem ipsum') AS has_lorem
+           FROM l)
+         SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept_lines) AS BIGINT) AS n_kept,
+           round(CAST(len(kept_lines) AS DOUBLE) / len(lines), 6)
+             AS kept_frac,
+           CAST(length(array_to_string(kept_lines, chr(10)))
+             AS BIGINT) AS clean_chars,
+           has_brace, has_lorem,
+           (len(kept_lines) >= 1 AND NOT has_brace
+             AND NOT has_lorem) AS kept
+         FROM k ORDER BY doc_id""",
     "llm_quality" ->
       """SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,

@@ -1851,4 +1851,42 @@ class LlmSpec extends AnyFunSuite {
     assert(out(1L)._1 == out(1L)._2,
       s"in-doc repetition must not inflate df: ${out(1L)}")
   }
+
+  test("c4Filter: every line rule and page signal fires on its " +
+       "planted line; clean doc passes") {
+    import spark.implicits._
+    val planted = Seq(
+      // clean 2-line page: both lines kept, doc kept
+      (1L, "this sentence ends with a period.\n" +
+           "does this question have enough words?"),
+      // short line + unpunctuated line: both dropped, no kept line
+      (2L, "too short.\nthis line has no terminal punctuation"),
+      // javascript line dropped even though well-formed; other kept
+      (3L, "please enable JavaScript to continue here.\n" +
+           "a perfectly fine sentence stays behind."),
+      // lorem ipsum: line itself is well-formed (kept) but the page
+      // signal kills the doc
+      (4L, "lorem ipsum dolor sit amet.\nanother good line is here."),
+      // curly brace code page
+      (5L, "function f() { return 1; } end of sample.")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Filter(planted, minWordsPerLine = 3,
+        minKeptLines = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(5), r.getBoolean(6),
+         r.getBoolean(7))).toMap
+    assert(out(1L) == ((2L, 2L, false, false, true)), s"${out(1L)}")
+    // "too short." ends with '.' but has 2 words -> word rule alone
+    assert(out(2L) == ((2L, 0L, false, false, false)), s"${out(2L)}")
+    // javascript match is case-insensitive; 1 of 2 lines survives
+    assert(out(3L) == ((2L, 1L, false, false, true)), s"${out(3L)}")
+    assert(out(4L) == ((2L, 2L, false, true, false)),
+      s"lorem page: lines kept but doc killed: ${out(4L)}")
+    assert(out(5L) == ((1L, 1L, true, false, false)), s"${out(5L)}")
+    // clean_chars of doc 1 = full text length (both lines kept)
+    val cc = TextAnalysis.c4Filter(planted).filter(col("doc_id") === 1)
+      .select("clean_chars").head.getLong(0)
+    assert(cc == planted.filter(col("doc_id") === 1)
+      .select(length(col("text"))).head.getInt(0).toLong)
+  }
 }
