@@ -820,6 +820,56 @@ object Similarity {
         z.as("z"), (z >= zThreshold).as("is_outlier"))
   }
 
+  /** Prototype-hardness pruning (the SSL-prototypes rule of Sorscher
+    * et al. 2022, "Beyond neural scaling laws", arXiv:2206.14486):
+    * k-means cells stand in for prototypes; an example's difficulty
+    * is its L2 distance to its own prototype, and pruning keeps the
+    * HARDEST `keepFrac` of every cell — in the abundant-data regime
+    * the near-prototype examples are the redundant ones, and
+    * cell-local ranking keeps the kept set spread across the space
+    * instead of concentrating in the globally-hardest cluster.
+    * Per vector: `(idCol, cell_id, dist, rank, n_cell, kept)` —
+    * rank 1 = hardest, ties on the ROUNDED distance break to the
+    * lower id (oracle replay rule), and
+    * `kept = rank <= ceil(n_cell * keepFrac)`, so every non-empty
+    * cell keeps at least one example (prototype coverage survives
+    * pruning).
+    *
+    * Scale shape: assignment is the narrow codegen'd NearestCell
+    * pass (centroids ride the train-once registry at call sites);
+    * distances are per-row expressions against broadcast centroid
+    * literals; the one corpus-sized shuffle is the per-cell rank
+    * window. At 100 TB swap the exact window for a per-cell
+    * approx-quantile distance cut (`approx_percentile(dist,
+    * 1-keepFrac)` per cell — |cells| rows — broadcast back, keep
+    * `dist >= cut`): same report shape with no rank window; the
+    * exact window here is the oracle contract, the same
+    * exact-vs-sketch split every sketch family in this pack
+    * documents. */
+  def protoPrune(emb: DataFrame, centroids: Seq[Seq[Double]],
+                 keepFrac: Double = 0.5, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0, s"keepFrac $keepFrac")
+    val centLit = array(centroids.map(c =>
+      array(c.map(lit(_)): _*)): _*)
+    val ownCent = element_at(centLit, (col("cell_id") + 1).cast("int"))
+    val dist = sqrt(aggregate(
+      zip_with(col(vecCol), ownCent,
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, v) => acc + v))
+    val d = assignCells(emb, centroids, idCol, vecCol)
+      .select(col(idCol), col("cell_id"), round(dist, 6).as("dist"))
+    val wr = Window.partitionBy(col("cell_id"))
+      .orderBy(col("dist").desc, col(idCol).asc)
+    val wc = Window.partitionBy(col("cell_id"))
+    d.withColumn("rank", row_number().over(wr).cast("long"))
+      .withColumn("n_cell", count(lit(1)).over(wc))
+      .select(col(idCol), col("cell_id"), col("dist"), col("rank"),
+        col("n_cell"),
+        (col("rank") <= ceil(col("n_cell") * lit(keepFrac)))
+          .as("kept"))
+  }
+
   // ------------------------------------------------------------------
   // Product quantization (PQ): the memory-bound ANN path. A 64-dim
   // float32 vector (256 B) compresses to m sub-centroid codes (m=4,

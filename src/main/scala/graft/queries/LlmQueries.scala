@@ -297,6 +297,18 @@ object LlmQueries {
           iters = 2)
         .orderBy(col("label"), col("cell_id"))),
 
+    // prototype-hardness pruning: keep the hardest half of every
+    // k-means cell (distance to own prototype = difficulty; the
+    // SSL-prototypes data-pruning rule). Same train-once Lloyd
+    // centroids as llm_topic_mix / llm_embed_outliers.
+    "llm_proto_prune" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.protoPrune(emb,
+          Similarity.kmeansCentroids(emb, nCells = 16, iters = 2),
+          keepFrac = 0.5)
+        .orderBy(col("vec_id"))
+    }),
+
     // embedding contamination: held-out eval slice (vec_id % 50 = 0)
     // vs the disjoint train corpus - nearest-neighbor cosine + verdict
     // (the paraphrase-leakage complement of n-gram decontamination).
@@ -1898,6 +1910,28 @@ object LlmQueries {
        FROM zt ORDER BY vec_id"""
   }
 
+  /** Prototype-pruning replay: the kmeans assignment chain, rounded
+    * own-centroid distance (the embedOutliers arithmetic), per-cell
+    * hardest-first rank with the lower-id tiebreak, keep rule on
+    * `ceil(n_cell * keepFrac)`. */
+  private def protoPruneOracle(iters: Int, keepFrac: Double): String = {
+    val (ctes, cN) = kmeansAsgCtes(iters)
+    s"""WITH $ctes,
+       d AS (
+         SELECT a.vec_id, a.cell_id,
+           round(sqrt(${sqdSql("a.embedding", "c.cvec")}), 6) AS dist
+         FROM asgf a JOIN $cN c ON c.cell = a.cell_id),
+       r AS (
+         SELECT vec_id, cell_id, dist,
+           CAST(row_number() OVER (PARTITION BY cell_id
+             ORDER BY dist DESC, vec_id ASC) AS BIGINT) AS rank,
+           COUNT(*) OVER (PARTITION BY cell_id) AS n_cell
+         FROM d)
+       SELECT vec_id, cell_id, dist, rank, n_cell,
+         rank <= ceil(n_cell * $keepFrac) AS kept
+       FROM r ORDER BY vec_id"""
+  }
+
   /** Topic-mix replay: the kmeans assignment chain, label join,
     * per-label share window over the (label, cell) count table. */
   private def topicMixOracle(iters: Int): String = {
@@ -2757,6 +2791,7 @@ object LlmQueries {
     "llm_semdedup" -> semDedupOracle(iters = 2, tau = 0.4),
     "llm_embed_outliers" -> embedOutliersOracle(iters = 2, z = 2.0),
     "llm_topic_mix" -> topicMixOracle(iters = 2),
+    "llm_proto_prune" -> protoPruneOracle(iters = 2, keepFrac = 0.5),
     "llm_mmr_rerank" -> mmrOracle(k = 5, n = 20, lambda = 0.7),
     "llm_mm_features" -> mmFeaturesOracle,
     // audio stub decoder: frames = 1 + (h32 >> 18) % 1000; byte_len is

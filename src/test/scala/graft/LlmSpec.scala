@@ -1852,6 +1852,38 @@ class LlmSpec extends AnyFunSuite {
       s"in-doc repetition must not inflate df: ${out(1L)}")
   }
 
+  test("protoPrune: hardest-per-cell kept, easy near-prototype " +
+       "dropped, singleton cell survives") {
+    import spark.implicits._
+    // two prototypes at x=0 and x=10; cell 0 has 4 points at
+    // increasing distance, cell 1 has a single point
+    val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0))
+    val pts = Seq(
+      (1L, Seq(0.1f, 0.0f)),   // easiest in cell 0 -> dropped
+      (2L, Seq(0.2f, 0.0f)),   // dropped (keepFrac 0.5 of 4 = 2 kept)
+      (3L, Seq(1.0f, 0.0f)),   // kept
+      (4L, Seq(2.0f, 0.0f)),   // hardest -> rank 1, kept
+      (5L, Seq(10.0f, 0.5f))   // singleton cell: ceil(1*0.5)=1 kept
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.protoPrune(pts, cents, keepFrac = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4),
+         r.getAs[Boolean]("kept"))).toMap
+    assert(out(4L) == ((0L, 1L, 4L, true)), s"${out(4L)}")
+    assert(out(3L) == ((0L, 2L, 4L, true)), s"${out(3L)}")
+    assert(!out(1L)._4 && !out(2L)._4,
+      s"near-prototype points must be pruned: ${out(1L)} ${out(2L)}")
+    assert(out(5L) == ((1L, 1L, 1L, true)),
+      s"non-empty cell must keep >= 1: ${out(5L)}")
+    // tie on rounded dist breaks to the LOWER id
+    val tied = Seq((7L, Seq(1.0f, 0.0f)), (6L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val ranks = Similarity.protoPrune(tied, Seq(Seq(0.0, 0.0)),
+        keepFrac = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(ranks(6L) == 1L && ranks(7L) == 2L, s"$ranks")
+  }
+
   test("c4Filter: every line rule and page signal fires on its " +
        "planted line; clean doc passes") {
     import spark.implicits._
