@@ -526,6 +526,51 @@ object TextAnalysis {
         col("ppl_bucket"))
   }
 
+  /** Per-source excess-loss reweighting — the DoReMi-flavored
+    * mixture adjustment (Xie et al. 2023, arXiv:2305.10429, reduced
+    * to its one-shot deterministic core): sources whose documents a
+    * reference LM finds HARD (high mean negative log-probability)
+    * get upweighted relative to easy ones, mixing a uniform floor
+    * with the excess term —
+    * `raw_s = 1 + max(0, mean_loss_s - min_s mean_loss)`,
+    * `weight_s = raw_s / sum raw` — so the easiest source anchors at
+    * the floor and no source is zeroed. Consumes a PRECOMPUTED
+    * per-doc score table (the [[pplBucketsScored]] deployment shape:
+    * score once with [[knLmScore]] / [[bigramLmScore]], persist,
+    * reweight many). Output one row per source:
+    * `(source, n_docs, mean_loss, excess, weight)`.
+    *
+    * Determinism: mean loss sums the per-doc (already-rounded)
+    * averages through DECIMAL(38,18); the min/sum/divide run over
+    * the |sources|-row table in decimal, so the whole report replays
+    * bit-exact in SQL.
+    *
+    * Scale shape: one narrow (id, source) ⋈ (id, score) join onto a
+    * per-source aggregate — the corpus-sized work is in the scoring
+    * pass, already paid; everything after the groupBy is
+    * |sources|-row arithmetic (two broadcast scalars, no second
+    * corpus shuffle). */
+  def domainReweight(docs: DataFrame, scored: DataFrame,
+                     idCol: String = "doc_id",
+                     srcCol: String = "source"): DataFrame = {
+    val per = docs.select(col(idCol), col(srcCol))
+      .join(scored.select(col(idCol), col("avg_logprob")), Seq(idCol))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        round(-(sum(col("avg_logprob").cast("decimal(38,18)"))
+          .cast("double")) / count(lit(1)), 6).as("mean_loss"))
+    val mn = per.agg(min(col("mean_loss")).as("_mn"))
+    val raw = per.crossJoin(broadcast(mn))
+      .withColumn("excess", round(col("mean_loss") - col("_mn"), 6))
+      .withColumn("_raw", lit(1.0) + col("excess"))
+    val tot = raw.agg(
+      sum(col("_raw").cast("decimal(38,12)")).cast("double").as("_tot"))
+    raw.crossJoin(broadcast(tot))
+      .select(col(srcCol), col("n_docs"), col("mean_loss"),
+        col("excess"),
+        round(col("_raw") / col("_tot"), 6).as("weight"))
+  }
+
   /** CCNet head/tail corpus filter: materialize the kept slice of the
     * corpus from [[pplBuckets]]'s per-language perplexity tiers —
     * original doc schema plus the `ppl_bucket` column, keeping buckets

@@ -704,6 +704,17 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // per-source excess-loss reweighting over the SAME persisted KN
+    // score table (score once, reweight many): hard sources get
+    // upweighted with a uniform floor — the DoReMi-flavored mixture
+    // adjustment, one |sources|-row arithmetic pass after scoring.
+    "llm_domain_reweight" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      TextAnalysis.domainReweight(d,
+          TextAnalysis.knLmScore(d, d.filter(col("doc_id") % 10 =!= 0)))
+        .orderBy(col("source"))
+    }),
+
     // canonical text normalization (NFC + lowercase + whitespace
     // collapse) — the pre-dedup canonicalization kernel.
     "llm_norm_text" -> ((s, dir) =>
@@ -2965,6 +2976,29 @@ object LlmQueries {
          SELECT doc_id, n_bigrams, avg_logprob,
            round(exp(-avg_logprob), 6) AS ppl
          FROM agg ORDER BY doc_id""",
+
+    // domain reweighting: the proven KN CTEs feed the per-source
+    // mean-loss aggregate, then |sources|-row decimal arithmetic.
+    "llm_domain_reweight" ->
+      s"""WITH $knScoreCtes,
+         per AS (
+           SELECT d.source, count(*) AS n_docs,
+             round(-(CAST(SUM(CAST(agg.avg_logprob AS DECIMAL(38,18)))
+               AS DOUBLE)) / count(*), 6) AS mean_loss
+           FROM agg JOIN documents d ON d.doc_id = agg.doc_id
+           GROUP BY d.source),
+         mn AS (SELECT min(mean_loss) AS mn FROM per),
+         rw AS (
+           SELECT source, n_docs, mean_loss,
+             round(mean_loss - mn.mn, 6) AS excess,
+             1.0 + round(mean_loss - mn.mn, 6) AS raw
+           FROM per, mn),
+         tot AS (
+           SELECT CAST(SUM(CAST(raw AS DECIMAL(38,12))) AS DOUBLE)
+             AS tot FROM rw)
+         SELECT source, n_docs, mean_loss, excess,
+           round(raw / tot.tot, 6) AS weight
+         FROM rw, tot ORDER BY source""",
 
     // KN tiering: the proven KN CTEs + the llm_ppl_buckets ntile.
     "llm_kn_buckets" ->

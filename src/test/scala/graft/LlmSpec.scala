@@ -1852,6 +1852,32 @@ class LlmSpec extends AnyFunSuite {
       s"in-doc repetition must not inflate df: ${out(1L)}")
   }
 
+  test("domainReweight: easiest source anchors the floor, hard " +
+       "source upweighted, weights sum to 1") {
+    import spark.implicits._
+    val docsF = Seq((1L, "easy"), (2L, "easy"), (3L, "hard"),
+      (4L, "hard")).toDF("doc_id", "source")
+    // mean loss: easy = 1.0, hard = 2.5 -> excess 0 / 1.5,
+    // raw 1.0 / 2.5 -> weights 1/3.5 and 2.5/3.5
+    val scored = Seq((1L, -0.5), (2L, -1.5), (3L, -2.0), (4L, -3.0))
+      .toDF("doc_id", "avg_logprob")
+    val out = TextAnalysis.domainReweight(docsF, scored)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out("easy") == ((2L, 1.0, 0.0, 0.285714)), s"${out("easy")}")
+    assert(out("hard") == ((2L, 2.5, 1.5, 0.714286)), s"${out("hard")}")
+    assert(math.abs(out.values.map(_._4).sum - 1.0) < 1e-5)
+    // invariance: shifting every score by a constant leaves the
+    // weights unchanged (only excess over the floor matters)
+    val shifted = scored.withColumn("avg_logprob",
+      col("avg_logprob") - lit(7.0))
+    val out2 = TextAnalysis.domainReweight(docsF, shifted)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(out2("easy") == out("easy")._4 &&
+      out2("hard") == out("hard")._4, s"$out2")
+  }
+
   test("protoPrune: hardest-per-cell kept, easy near-prototype " +
        "dropped, singleton cell survives") {
     import spark.implicits._
