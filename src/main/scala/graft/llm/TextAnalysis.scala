@@ -526,6 +526,44 @@ object TextAnalysis {
         col("ppl_bucket"))
   }
 
+  /** Quality-gate ensemble scorecard: the three independent
+    * row-local gates of the curation stack — the Gopher repetition
+    * gate ([[gopherRepetition]]'s full 12-signal rule), the classic
+    * length/punctuation gate ([[qualityFeatures]]'s thresholds), and
+    * the n-gram repetition gate ([[repetitionRatio]] `< repTau`) —
+    * evaluated together per document with a majority `keep` verdict
+    * (`n_pass >= 2`). Disagreement between gates is the signal a
+    * curation review reads: a doc passing Gopher but failing the
+    * punctuation gate is markup, one failing only repetition is
+    * template spam. Output: `(doc_id, source, gopher_kept,
+    * quality_ok, low_rep, n_pass, keep)`.
+    *
+    * Scale shape: ONE row-local projection over the corpus scan —
+    * all three gates are pure expressions (two native kernel calls +
+    * array ops), no join of separately-materialized verdict tables,
+    * no shuffle, text never leaves the scan. */
+  def qualityEnsemble(docs: DataFrame, minTokens: Int = 20,
+                      punctTau: Double = 0.05, repTau: Double = 0.2,
+                      textCol: String = "text", idCol: String = "doc_id",
+                      srcCol: String = "source"): DataFrame = {
+    val g = gopherStats(col(textCol))
+    val gKept = gopherThresholds
+      .map { case (f, th) => round(g.getField(f), 6) <= lit(th) }
+      .reduce(_ && _)
+    val st = textStats(col(textCol))
+    val punct = when(st.getField("n_chars") > 0,
+      st.getField("n_punct").cast("double") /
+        st.getField("n_chars").cast("double")).otherwise(0.0)
+    val qOk = st.getField("n_tokens") >= minTokens && punct < punctTau
+    val rOk = round(repetitionRatio(col(textCol), 3), 6) < repTau
+    docs.select(col(idCol), col(srcCol), gKept.as("gopher_kept"),
+        qOk.as("quality_ok"), rOk.as("low_rep"))
+      .withColumn("n_pass",
+        (col("gopher_kept").cast("int") + col("quality_ok").cast("int")
+          + col("low_rep").cast("int")).cast("long"))
+      .withColumn("keep", col("n_pass") >= 2)
+  }
+
   /** Per-source excess-loss reweighting — the DoReMi-flavored
     * mixture adjustment (Xie et al. 2023, arXiv:2305.10429, reduced
     * to its one-shot deterministic core): sources whose documents a

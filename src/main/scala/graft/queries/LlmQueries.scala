@@ -463,6 +463,13 @@ object LlmQueries {
       TextAnalysis.gopherRepetition(table(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // quality-gate ensemble: Gopher + length/punct + repetition
+    // verdicts in ONE row-local pass, majority keep — the scorecard
+    // a curation review reads when gates disagree.
+    "llm_quality_ensemble" -> ((s, dir) =>
+      TextAnalysis.qualityEnsemble(table(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // quality features + filter: the classic length/punct gate.
     "llm_quality" -> ((s, dir) =>
       TextAnalysis.qualityFeatures(table(s, dir, "documents"))
@@ -2503,6 +2510,46 @@ object LlmQueries {
          FROM tk WHERE len(tk) >= 3 ORDER BY doc_id""",
     "llm_gopher" -> gopherOracle,
     "llm_quality_nb" -> qualityNbOracle,
+    // ensemble: the proven gopher CTEs + the llm_quality punct/token
+    // replay + the llm_repetition replay, folded to the majority rule.
+    "llm_quality_ensemble" ->
+      raw"""WITH $gopherCtes,
+         tkq AS (
+           SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+               t -> t <> '')) AS n_tok,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text,
+               '[^A-Za-z0-9\s]', '', 'g')) AS n_punct
+           FROM documents),
+         rp AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               round(1.0 - len(list_distinct(list_transform(
+                   generate_series(1, len(tk) - 2),
+                   i -> array_to_string(tk[i:i+2], ' '))))
+                 / CAST(len(tk) - 2 AS DOUBLE), 6)
+             ELSE 0.0 END AS rep_ratio
+           FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '')
+                   AS tk FROM documents)),
+         v AS (
+           SELECT d.doc_id, d.source, g.kept AS gopher_kept,
+             (t.n_tok >= 20 AND
+               (CASE WHEN t.n_chars > 0
+                  THEN CAST(t.n_punct AS DOUBLE) / t.n_chars
+                  ELSE 0.0 END) < 0.05) AS quality_ok,
+             (rp.rep_ratio < 0.2) AS low_rep
+           FROM documents d
+           JOIN gfr g ON g.doc_id = d.doc_id
+           JOIN tkq t ON t.doc_id = d.doc_id
+           JOIN rp ON rp.doc_id = d.doc_id)
+         SELECT doc_id, source, gopher_kept, quality_ok, low_rep,
+           CAST(CAST(gopher_kept AS INT) + CAST(quality_ok AS INT)
+             + CAST(low_rep AS INT) AS BIGINT) AS n_pass,
+           (CAST(gopher_kept AS INT) + CAST(quality_ok AS INT)
+             + CAST(low_rep AS INT)) >= 2 AS keep
+         FROM v ORDER BY doc_id""",
     "llm_bpe_train" -> bpeTrainOracle(8),
     "llm_bpe_encode" -> bpeEncodeOracle(8),
     "llm_blocklist" ->

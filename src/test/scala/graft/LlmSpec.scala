@@ -1852,6 +1852,31 @@ class LlmSpec extends AnyFunSuite {
       s"in-doc repetition must not inflate df: ${out(1L)}")
   }
 
+  test("qualityEnsemble: majority rule — gates disagree per doc, " +
+       "keep iff >= 2 pass") {
+    import spark.implicits._
+    val good = (1 to 40).map(i => s"word$i").mkString(" ") + "."
+    // fails quality (too short) AND repetition (one trigram repeated)
+    val shortRep = "a b c a b c a b c a b c"
+    // passes quality + gopher, fails repetition: 30 distinct tokens
+    // then the same trigram run repeated to push rep_ratio over 0.2
+    val repHeavy = (1 to 30).map(i => s"u$i").mkString(" ") +
+      (" x y z" * 12)
+    val planted = Seq((1L, good, "s"), (2L, shortRep, "s"),
+      (3L, repHeavy, "s")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.qualityEnsemble(planted)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+         r.getLong(5), r.getBoolean(6))).toMap
+    assert(out(1L) == ((true, true, true, 3L, true)), s"${out(1L)}")
+    assert(!out(2L)._2 && !out(2L)._3,
+      s"short repetitive doc fails quality+rep: ${out(2L)}")
+    assert(!out(2L)._5, s"${out(2L)}")
+    assert(out(3L)._2 && !out(3L)._3,
+      s"rep-heavy doc passes quality, fails repetition: ${out(3L)}")
+    assert(out(3L)._4 >= 2 == out(3L)._5, s"${out(3L)}")
+  }
+
   test("domainReweight: easiest source anchors the floor, hard " +
        "source upweighted, weights sum to 1") {
     import spark.implicits._

@@ -118,6 +118,18 @@ class PlanSpec extends AnyFunSuite {
       s"winnow selection must stay row-local:\n${plan.take(1500)}")
   }
 
+  test("qualityEnsemble is a shuffle-free single pass (no verdict-" +
+       "table joins)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.llm.TextAnalysis.qualityEnsemble(docs))
+    assert(!plan.contains("Exchange"),
+      s"ensemble gates must fuse into one row-local scan:\n" +
+        plan.take(1500))
+    assert(!plan.contains("Join"),
+      s"ensemble must not join materialized verdict tables:\n" +
+        plan.take(1500))
+  }
+
   test("native sketch expressions stay inside whole-stage codegen") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = planOf(Dedup.simHash(docs))
