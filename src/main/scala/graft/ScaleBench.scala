@@ -277,6 +277,32 @@ object ScaleBench {
         graft.llm.Similarity.topicMix(emb, nCells = 16, iters = 2)
           .count())
 
+      // C4 cleaning + ensemble: pure row-local scans — both must
+      // track corpus volume with no shuffle cost at all. The filter
+      // on the computed verdict keeps count() from pruning the
+      // kernel work out of the plan.
+      runProbe("c4_filter", f, nDocs)(
+        graft.llm.TextAnalysis.c4Filter(docs)
+          .filter(col("kept")).count())
+      runProbe("quality_ensemble", f, nDocs)(
+        graft.llm.TextAnalysis.qualityEnsemble(docs)
+          .filter(col("keep")).count())
+
+      // prototype pruning: train-once centroids + narrow assignment;
+      // the per-cell rank window is the one corpus shuffle
+      runProbe("proto_prune", f, nEmb)(
+        graft.llm.Similarity.protoPrune(emb,
+          graft.llm.Similarity.kmeansCentroids(emb, nCells = 16,
+            iters = 2), keepFrac = 0.5)
+          .filter(col("kept")).count())
+
+      // domain reweight: cost IS the KN scoring pass (already probed
+      // as kn_lm_score); the reweight tail is |sources|-row work
+      runProbe("domain_reweight", f, nDocs)(
+        graft.llm.TextAnalysis.domainReweight(docs,
+          graft.llm.TextAnalysis.knLmScore(docs,
+            docs.filter(col("doc_id") % 10 =!= 0))).count())
+
       // MMR: candidate generation is the broadcast-query corpus scan
       // (Q fixed at the first-copy slice); the greedy loop is
       // O(k·N·dim) per query, constant per query as the corpus grows
