@@ -83,7 +83,10 @@ object ScaleBench {
         graft.llm.Dedup.exactGroups(docs).count())
 
       runProbe("minhash_signatures", f, nDocs)(
-        graft.llm.Dedup.minHashSignatures(docs).count())
+        // agg over a signature element forces the sketch computation
+        // (a bare count() would prune the projection to a scan)
+        graft.llm.Dedup.minHashSignatures(docs)
+          .agg(sum(element_at(col("sig"), 1))).collect().length.toLong)
 
       runProbe("minhash_lsh_pairs", f, nDocs)(
         graft.llm.Dedup.minHashPairs(docs, threshold = 0.35).count())
@@ -144,7 +147,9 @@ object ScaleBench {
       // Gopher repetition stats: pure scan+map kernel — the proof
       // point is near-perfect linear scaling (no shuffle at any f)
       runProbe("gopher_repetition", f, nDocs)(
-        graft.llm.TextAnalysis.gopherRepetition(docs).count())
+        // verdict filter forces the kernel (see c4_filter note)
+        graft.llm.TextAnalysis.gopherRepetition(docs)
+          .filter(col("kept")).count())
 
       // PQ + exact re-rank: books train on the ORIGINAL-size slice
       // (first copy), the full scaled corpus only encodes + re-ranks —
