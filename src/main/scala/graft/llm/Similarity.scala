@@ -870,6 +870,55 @@ object Similarity {
           .as("kept"))
   }
 
+  /** The 100 TB form of [[protoPrune]], with its accuracy PROVEN
+    * rather than documented: instead of the exact per-cell rank
+    * window (a corpus-sized shuffle sorted within every cell), each
+    * cell takes an approx-quantile distance cut
+    * (`approx_percentile(dist, 1-keepFrac)` — mergeable sketch,
+    * map-side combined, |cells| output rows) and keeps
+    * `dist >= cut`. Emits one row per cell:
+    * `(cell_id, n_cell, kept_target, within_band)` where
+    * `kept_target = ceil(n_cell·keepFrac)` is the exact rule's keep
+    * count and `within_band` checks the approx path kept a count
+    * within `max(2, tolFrac·n_cell)` of it. The sketch-dependent
+    * count itself is NOT emitted — the verdict is the contract, so
+    * an oracle engine checks its OWN quantile sketch the same way
+    * (the llm_len_approx device).
+    *
+    * Scale shape: same narrow assignment scan as [[protoPrune]];
+    * the rank window is replaced by one map-side-combined sketch
+    * aggregate plus a broadcast-back join — nothing corpus-sized is
+    * ever sorted. */
+  def protoPruneApprox(emb: DataFrame, centroids: Seq[Seq[Double]],
+                       keepFrac: Double = 0.5, tolFrac: Double = 0.1,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac < 1.0, s"keepFrac $keepFrac")
+    val centLit = array(centroids.map(c =>
+      array(c.map(lit(_)): _*)): _*)
+    val ownCent = element_at(centLit, (col("cell_id") + 1).cast("int"))
+    val dist = sqrt(aggregate(
+      zip_with(col(vecCol), ownCent,
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, v) => acc + v))
+    val d = assignCells(emb, centroids, idCol, vecCol)
+      .select(col(idCol), col("cell_id"), round(dist, 6).as("dist"))
+    val cuts = d.groupBy(col("cell_id"))
+      .agg(expr(s"approx_percentile(dist, ${1.0 - keepFrac}D, 10000)")
+        .as("_cut"))
+    d.join(broadcast(cuts), Seq("cell_id"))
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_cell"),
+        sum(when(col("dist") >= col("_cut"), 1L).otherwise(0L))
+          .as("_ak"))
+      .select(col("cell_id"), col("n_cell"),
+        ceil(col("n_cell") * lit(keepFrac)).as("kept_target"),
+        (abs(col("_ak") - ceil(col("n_cell") * lit(keepFrac)))
+          .cast("double") <=
+          greatest(lit(2.0), col("n_cell").cast("double") * lit(tolFrac)))
+          .cast("int").as("within_band"))
+  }
+
   // ------------------------------------------------------------------
   // Product quantization (PQ): the memory-bound ANN path. A 64-dim
   // float32 vector (256 B) compresses to m sub-centroid codes (m=4,

@@ -309,6 +309,18 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // the 100 TB form of proto_prune: per-cell approx-quantile cut
+    // instead of the exact rank window, with a within_band verdict
+    // against the exact keep target (each engine checks its OWN
+    // quantile sketch — the llm_len_approx device).
+    "llm_proto_prune_approx" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.protoPruneApprox(emb,
+          Similarity.kmeansCentroids(emb, nCells = 16, iters = 2),
+          keepFrac = 0.5, tolFrac = 0.1)
+        .orderBy(col("cell_id"))
+    }),
+
     // embedding contamination: held-out eval slice (vec_id % 50 = 0)
     // vs the disjoint train corpus - nearest-neighbor cosine + verdict
     // (the paraphrase-leakage complement of n-gram decontamination).
@@ -1950,6 +1962,36 @@ object LlmQueries {
        FROM r ORDER BY vec_id"""
   }
 
+  /** Approx proto-prune replay: same assignment + distance chain,
+    * then DuckDB's own approx_quantile cut per cell and the SAME
+    * band rule — the sketch count never leaves either engine, only
+    * the verdict. */
+  private def protoPruneApproxOracle(iters: Int, keepFrac: Double,
+                                     tolFrac: Double): String = {
+    val (ctes, cN) = kmeansAsgCtes(iters)
+    s"""WITH $ctes,
+       d AS (
+         SELECT a.vec_id, a.cell_id,
+           round(sqrt(${sqdSql("a.embedding", "c.cvec")}), 6) AS dist
+         FROM asgf a JOIN $cN c ON c.cell = a.cell_id),
+       cuts AS (
+         SELECT cell_id,
+           CAST(approx_quantile(dist, ${1.0 - keepFrac})
+             AS DOUBLE) AS cut
+         FROM d GROUP BY cell_id),
+       agg AS (
+         SELECT d.cell_id, count(*) AS n_cell,
+           SUM(CASE WHEN d.dist >= cuts.cut THEN 1 ELSE 0 END) AS ak
+         FROM d JOIN cuts ON cuts.cell_id = d.cell_id
+         GROUP BY d.cell_id)
+       SELECT cell_id, n_cell,
+         CAST(ceil(n_cell * $keepFrac) AS BIGINT) AS kept_target,
+         CAST(abs(ak - ceil(n_cell * $keepFrac))
+           <= greatest(2.0, n_cell * $tolFrac) AS INTEGER)
+           AS within_band
+       FROM agg ORDER BY cell_id"""
+  }
+
   /** Topic-mix replay: the kmeans assignment chain, label join,
     * per-label share window over the (label, cell) count table. */
   private def topicMixOracle(iters: Int): String = {
@@ -2850,6 +2892,8 @@ object LlmQueries {
     "llm_embed_outliers" -> embedOutliersOracle(iters = 2, z = 2.0),
     "llm_topic_mix" -> topicMixOracle(iters = 2),
     "llm_proto_prune" -> protoPruneOracle(iters = 2, keepFrac = 0.5),
+    "llm_proto_prune_approx" ->
+      protoPruneApproxOracle(iters = 2, keepFrac = 0.5, tolFrac = 0.1),
     "llm_mmr_rerank" -> mmrOracle(k = 5, n = 20, lambda = 0.7),
     "llm_mm_features" -> mmFeaturesOracle,
     // audio stub decoder: frames = 1 + (h32 >> 18) % 1000; byte_len is

@@ -1935,6 +1935,30 @@ class LlmSpec extends AnyFunSuite {
     assert(ranks(6L) == 1L && ranks(7L) == 2L, s"$ranks")
   }
 
+  test("protoPruneApprox: verdict in band on real data, no rank " +
+       "window in the plan") {
+    val cents = Similarity.kmeansCentroids(emb, nCells = 16, iters = 2)
+    val out = Similarity.protoPruneApprox(emb, cents, keepFrac = 0.5)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(3) == 1),
+      s"approx cut must track the exact keep target on every cell: " +
+        rows.filter(_.getInt(3) != 1).mkString(", "))
+    // the scale path's whole point: no per-cell sort of the corpus
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Window"),
+      s"approx path must not contain a rank window:\n${plan.take(1200)}")
+    // agreement with the exact path's per-cell keep counts
+    val exact = Similarity.protoPrune(emb, cents, keepFrac = 0.5)
+      .filter(col("kept")).groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val targets = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(exact == targets,
+      "exact window path keeps exactly ceil(n_cell * f) per cell")
+  }
+
   test("c4Filter: every line rule and page signal fires on its " +
        "planted line; clean doc passes") {
     import spark.implicits._
