@@ -81,6 +81,52 @@ object Sampling {
       .select(col(idCol), col("cell_id"))
   }
 
+  /** Realize an EXPLICIT target source mixture by deterministic
+    * thinning — the apply step for a computed mixture plan (e.g.
+    * [[graft.llm.TextAnalysis.domainReweight]]'s weights): with
+    * current shares `c_s = n_s / N` and target shares `w_s`, the
+    * downsample-only rates are `r_s = (w_s / c_s) / max_t (w_t/c_t)`
+    * — the most-under-represented source keeps everything (rate 1)
+    * and every other source thins toward the target mix; no
+    * upsampling, so the op stays a filter. The keep decision is the
+    * repo's deterministic md5 bucket on the id (no rand()); rates
+    * round to 6 decimals before the threshold (the replayability
+    * convention). Sources absent from `weights` are dropped (target
+    * share zero). Returns kept rows as (idCol, sourceCol,
+    * keep_rate).
+    *
+    * Scale: [[temperatureSample]]'s exact mechanics — one map-side-
+    * combined count aggregation (|sources| rows to the driver), then
+    * a shuffle-free scan+filter with the rate table as a plan
+    * literal. No per-row join, no window. */
+  def mixtureSample(docs: DataFrame, weights: Map[String, Double],
+                    sourceCol: String = "source",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty, "target mixture must not be empty")
+    val strat = docs.filter(col(sourceCol).isNotNull &&
+      col(sourceCol).cast("string").isin(weights.keys.toSeq: _*))
+    val counts = strat.groupBy(col(sourceCol).cast("string").as("_src"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty)
+      return strat
+        .select(col(idCol), col(sourceCol), lit(1.0).as("keep_rate"))
+        .limit(0)
+    val total = counts.values.sum.toDouble
+    val raw = counts.map { case (s, n) => s -> weights(s) / (n / total) }
+    val maxR = raw.values.max
+    val rate = raw.map { case (s, r) =>
+      s -> BigDecimal(r / maxR)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val rateCol = rate.foldLeft(lit(Double.NaN)) { case (acc, (s, r)) =>
+      when(col(sourceCol).cast("string") === s, lit(r)).otherwise(acc)
+    }
+    strat.select(col(idCol), col(sourceCol), rateCol.as("keep_rate"))
+      .filter(hashBucket32(col(idCol).cast("string")).cast("double") <
+        col("keep_rate") * (1L << 32).toDouble)
+  }
+
   /** Temperature-scaled multinomial source balancing (the mT5/XLM-R
     * mixture move): with source shares `p_s = n_s / N`, resampling to
     * `q_s ∝ p_s^alpha` (alpha < 1 flattens the mix toward the tail)

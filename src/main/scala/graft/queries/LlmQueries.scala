@@ -734,6 +734,18 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // the apply step of the reweighting plan: realize the computed
+    // target mixture by deterministic md5 thinning (downsample-only
+    // rates; the most-under-represented source keeps everything).
+    "llm_reweight_sample" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val w = TextAnalysis.domainReweight(d,
+          TextAnalysis.knLmScore(d, d.filter(col("doc_id") % 10 =!= 0)))
+        .select(col("source"), col("weight")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      Sampling.mixtureSample(d, w).orderBy(col("doc_id"))
+    }),
+
     // canonical text normalization (NFC + lowercase + whitespace
     // collapse) — the pre-dedup canonicalization kernel.
     "llm_norm_text" -> ((s, dir) =>
@@ -3090,6 +3102,44 @@ object LlmQueries {
          SELECT source, n_docs, mean_loss, excess,
            round(raw / tot.tot, 6) AS weight
          FROM rw, tot ORDER BY source""",
+
+    // reweight-sample: the domain_reweight weight CTEs + current
+    // shares -> downsample-only rates -> the md5 acceptance filter
+    // (the temperature_sample device with caller-supplied targets).
+    "llm_reweight_sample" ->
+      s"""WITH $knScoreCtes,
+         per AS (
+           SELECT d.source, count(*) AS n_docs,
+             round(-(CAST(SUM(CAST(agg.avg_logprob AS DECIMAL(38,18)))
+               AS DOUBLE)) / count(*), 6) AS mean_loss
+           FROM agg JOIN documents d ON d.doc_id = agg.doc_id
+           GROUP BY d.source),
+         mn AS (SELECT min(mean_loss) AS mn FROM per),
+         rw AS (
+           SELECT source, n_docs,
+             1.0 + round(mean_loss - mn.mn, 6) AS raw
+           FROM per, mn),
+         tot AS (
+           SELECT CAST(SUM(CAST(raw AS DECIMAL(38,12))) AS DOUBLE)
+             AS tot FROM rw),
+         wts AS (
+           SELECT source, round(raw / tot.tot, 6) AS weight
+           FROM rw, tot),
+         cnt AS (SELECT source, count(*) AS n FROM documents
+                 GROUP BY source),
+         ctot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM cnt),
+         rr AS (
+           SELECT w.source, w.weight / (cnt.n / ctot.total) AS r
+           FROM wts w JOIN cnt USING (source), ctot),
+         mx AS (SELECT max(r) AS mr FROM rr),
+         rt AS (SELECT source, round(r / mx.mr, 6) AS keep_rate
+                FROM rr, mx)
+         SELECT d.doc_id, d.source, rt.keep_rate
+         FROM documents d JOIN rt USING (source)
+         WHERE CAST(CAST(('0x' ||
+             substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             AS DOUBLE) < keep_rate * 4294967296.0
+         ORDER BY d.doc_id""",
 
     // KN tiering: the proven KN CTEs + the llm_ppl_buckets ntile.
     "llm_kn_buckets" ->

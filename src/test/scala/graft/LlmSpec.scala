@@ -1852,6 +1852,31 @@ class LlmSpec extends AnyFunSuite {
       s"in-doc repetition must not inflate df: ${out(1L)}")
   }
 
+  test("mixtureSample: under-represented source keeps rate 1, " +
+       "dominant source thins toward the target share") {
+    import spark.implicits._
+    val planted = ((1L to 9L).map(i => (i, "A")) :+ ((10L, "B")))
+      .toDF("doc_id", "source")
+    // c_A = 0.9, c_B = 0.1; equal targets -> r_A = 0.5/0.9,
+    // r_B = 0.5/0.1 = max -> rate_B = 1, rate_A = 1/9
+    val out = Sampling.mixtureSample(planted,
+      Map("A" -> 0.5, "B" -> 0.5))
+    val rates = out.select("source", "keep_rate").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates.get("B").contains(1.0), s"$rates")
+    assert(rates.get("A").forall(_ == 0.111111) || !rates.contains("A"),
+      s"$rates")
+    // B's single doc always survives (rate 1); determinism
+    assert(out.filter(col("source") === "B").count() == 1)
+    assert(out.collect().toSeq ==
+      Sampling.mixtureSample(planted,
+        Map("A" -> 0.5, "B" -> 0.5)).collect().toSeq)
+    // a source absent from the target mix is dropped entirely
+    val only = Sampling.mixtureSample(planted, Map("B" -> 1.0))
+    assert(only.select("source").distinct().collect()
+      .map(_.getString(0)).toSet == Set("B"))
+  }
+
   test("qualityEnsemble: majority rule — gates disagree per doc, " +
        "keep iff >= 2 pass") {
     import spark.implicits._
