@@ -1491,6 +1491,56 @@ object TextAnalysis {
         (coalesce(col("n_secretish"), lit(0L)) > 0).as("has_secret"))
   }
 
+  /** Fused safety scan — the pre-release compliance sweep as ONE
+    * report: per document the typed PII match counts (email / IPv4 /
+    * phone, counted SEQUENTIALLY on the progressively-redacted text
+    * so the same [[piiPatterns]] precedence that keeps [[redactPii]]
+    * sound also keeps the counts disjoint — a dotted quad is never
+    * double-counted as a phone run), the blocklist hit count (the
+    * [[blocklistScrub]] anchored-alternation rule), the
+    * [[secretScan]] verdict, and the rollup `flagged` = any signal
+    * fired. The one-stop answer to "what must legal review before
+    * this corpus ships".
+    *
+    * Scale shape: the PII/blocklist side is a pure row-local
+    * projection (chained codegen'd regexes, text never shuffles);
+    * the entropy side is [[secretScan]]'s sparse-candidate plan; the
+    * two meet in one narrow per-doc join (id + 3 small columns) —
+    * no second corpus shuffle, no text on any exchange. */
+  def safetyScan(docs: DataFrame, blockTerms: Seq[String],
+                 minLen: Int = 20, minEntropy: Double = 2.5,
+                 textCol: String = "text", idCol: String = "doc_id",
+                 srcCol: String = "source"): DataFrame = {
+    require(blockTerms.nonEmpty, "blocklist must not be empty")
+    val Seq((emailP, emailR), (ipP, ipR), (phoneP, _)) = piiPatterns
+    val blockPat = blockTerms.map(escapeRegex)
+      .mkString("^(?:", "|", ")$")
+    val toks = tokens(col(textCol))
+    // stepwise projection: each redaction stage is projected once
+    // and reused (regexes are expensive; HOF-style recompute would
+    // double every stage)
+    docs.select(col(idCol), col(srcCol), col(textCol),
+        size(regexp_extract_all(col(textCol), lit(emailP), lit(0)))
+          .cast("long").as("n_email"),
+        regexp_replace(col(textCol), emailP, emailR).as("_t1"),
+        (size(toks) - size(filter(toks, t => !lower(t).rlike(blockPat))))
+          .cast("long").as("n_blocked"))
+      .select(col(idCol), col(srcCol), col("n_email"), col("n_blocked"),
+        size(regexp_extract_all(col("_t1"), lit(ipP), lit(0)))
+          .cast("long").as("n_ip"),
+        regexp_replace(col("_t1"), ipP, ipR).as("_t2"))
+      .select(col(idCol), col(srcCol), col("n_email"), col("n_ip"),
+        size(regexp_extract_all(col("_t2"), lit(phoneP), lit(0)))
+          .cast("long").as("n_phone"),
+        col("n_blocked"))
+      .join(secretScan(docs, minLen, minEntropy, textCol, idCol)
+        .select(col(idCol), col("has_secret")), Seq(idCol))
+      .select(col(idCol), col(srcCol), col("n_email"), col("n_ip"),
+        col("n_phone"), col("n_blocked"), col("has_secret"),
+        (col("n_email") + col("n_ip") + col("n_phone") +
+          col("n_blocked") > 0 || col("has_secret")).as("flagged"))
+  }
+
   /** Label-vs-prediction confusion matrix of [[nbLangId]] over a
     * labeled corpus: one row per observed (lang, pred_lang) with its
     * document count — the compact training-data QA artifact (the

@@ -1150,6 +1150,26 @@ object LlmQueries {
         minLen = 20, minEntropy = 2.5)
         .orderBy(col("doc_id"))),
 
+    // fused safety scan over the triple injection device (pii +
+    // secret + blockterm planted on different doc_id moduli, both
+    // engines identically): typed pii counts, blocklist hits,
+    // secret verdict, one flagged rollup.
+    "llm_safety_scan" -> ((s, dir) =>
+      TextAnalysis.safetyScan(
+        table(s, dir, "documents").withColumn("text", concat(
+          col("text"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@example.com from 10.0."), col("doc_id") % 256,
+              lit(".7"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" sk_"), md5(col("doc_id").cast("string"))))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit(" badterm1 casino777")).otherwise(lit("")))),
+        blockTerms = Seq("badterm1", "casino777", "unused.term"))
+        .orderBy(col("doc_id"))),
+
     // winnowed-fingerprint near-dup candidates (MOSS): shared
     // rightmost-min prints over 5-gram hashes, winnow window 4,
     // high-frequency prints (df > 50) ignored.
@@ -3984,6 +4004,89 @@ object LlmQueries {
 
     // secret-scan replay: same injection, same charset gate, same
     // decimal-summed entropy identity, round-6 before the threshold.
+    // safety scan: triple injection, sequential pii counting on the
+    // progressively-redacted text (email -> ip -> phone, the
+    // redactPii precedence), blocklist instance count, the proven
+    // secret-scan entropy CTEs, one flagged rollup.
+    "llm_safety_scan" ->
+      raw"""WITH injected AS (
+           SELECT doc_id, source, text
+             || CASE WHEN doc_id % 4 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com from 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                  ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                  THEN ' sk_' || md5(CAST(doc_id AS VARCHAR))
+                  ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                  THEN ' badterm1 casino777' ELSE '' END AS text
+           FROM documents),
+         p1 AS (
+           SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS BIGINT) AS n_email,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t1,
+             CAST(len(tk) - len(list_filter(tk,
+               x -> NOT regexp_matches(lower(x),
+                 '^(?:badterm1|casino777|unused\.term)$$')))
+               AS BIGINT) AS n_blocked
+           FROM (SELECT doc_id, source, text, list_filter(
+                   regexp_split_to_array(text, '\s+'), x -> x <> '')
+                   AS tk
+                 FROM injected)),
+         p2 AS (
+           SELECT doc_id, source, n_email, n_blocked,
+             CAST(len(regexp_extract_all(t1,
+               '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
+             regexp_replace(t1, '\b(\d{1,3}\.){3}\d{1,3}\b',
+               '<IP>', 'g') AS t2
+           FROM p1),
+         p3 AS (
+           SELECT doc_id, source, n_email, n_ip,
+             CAST(len(regexp_extract_all(t2,
+               '\+?\d[\d().\- ]{6,}\d')) AS BIGINT) AS n_phone,
+             n_blocked
+           FROM p2),
+         cand AS (
+           SELECT doc_id, z.pos AS pos, z.t AS t FROM (
+             SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(tk)),
+               i -> {'pos': i, 't': tk[i]})) AS z
+             FROM (SELECT doc_id, list_filter(
+                     regexp_split_to_array(text, '\s+'), x -> x <> '')
+                     AS tk
+                   FROM injected))
+           WHERE len(z.t) >= 20
+             AND regexp_full_match(z.t, '[A-Za-z0-9+/=_.-]+')),
+         cc AS (
+           SELECT doc_id, pos, c, count(*) AS n FROM (
+             SELECT doc_id, pos, unnest(string_split(t, '')) AS c
+             FROM cand)
+           GROUP BY doc_id, pos, c),
+         ent AS (
+           SELECT doc_id,
+             round(ln(CAST(SUM(n) AS DOUBLE)) -
+               CAST(SUM(CAST(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+                 AS DECIMAL(38,18))) AS DOUBLE) /
+               CAST(SUM(n) AS DOUBLE), 6) AS e
+           FROM cc GROUP BY doc_id, pos),
+         sec AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN e >= 2.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_secretish
+           FROM ent GROUP BY doc_id)
+         SELECT p3.doc_id, p3.source, n_email, n_ip, n_phone,
+           n_blocked,
+           coalesce(n_secretish, 0) > 0 AS has_secret,
+           (n_email + n_ip + n_phone + n_blocked > 0 OR
+             coalesce(n_secretish, 0) > 0) AS flagged
+         FROM p3 LEFT JOIN sec USING (doc_id)
+         ORDER BY p3.doc_id""",
+
     "llm_secret_scan" ->
       raw"""WITH injected AS (
            SELECT doc_id, CASE WHEN doc_id % 5 = 0

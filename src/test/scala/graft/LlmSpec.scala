@@ -1852,6 +1852,33 @@ class LlmSpec extends AnyFunSuite {
       s"in-doc repetition must not inflate df: ${out(1L)}")
   }
 
+  test("safetyScan: each signal fires alone; dotted quad counted as " +
+       "IP, never re-counted as phone") {
+    import spark.implicits._
+    val clean = (1 to 25).map(i => s"w$i").mkString(" ")
+    val planted = Seq(
+      (1L, s"$clean reach me at jo.doe+x@mail.example.org ok", "s"),
+      (2L, s"$clean node at 192.168.10.44 responded", "s"),
+      (3L, s"$clean call +1 (555) 010-7788 now", "s"),
+      (4L, s"$clean aws key AKIA9uT3xZ8qLw4mN6pQr5sV2dY7 here", "s"),
+      (5L, s"$clean visit casino777 tonight", "s"),
+      (6L, s"$clean nothing to see", "s")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.safetyScan(planted,
+        blockTerms = Seq("casino777"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+         r.getBoolean(6), r.getBoolean(7))).toMap
+    assert(out(1L) == ((1L, 0L, 0L, 0L, false, true)), s"${out(1L)}")
+    assert(out(2L) == ((0L, 1L, 0L, 0L, false, true)),
+      s"ip must not leak into the phone count: ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 1L, 0L, false, true)), s"${out(3L)}")
+    assert(out(4L)._5 && out(4L)._6,
+      s"high-entropy key token must flag: ${out(4L)}")
+    assert(out(5L) == ((0L, 0L, 0L, 1L, false, true)), s"${out(5L)}")
+    assert(out(6L) == ((0L, 0L, 0L, 0L, false, false)), s"${out(6L)}")
+  }
+
   test("mixtureSample: under-represented source keeps rate 1, " +
        "dominant source thins toward the target share") {
     import spark.implicits._
