@@ -58,6 +58,46 @@ object Dedup {
           .as("weight"))
   }
 
+  /** Corpus version diff — the dataset-changelog audit between two
+    * versions of a corpus (the re-crawl / re-extraction QA step): a
+    * full outer join on the document key classifies every id as
+    * `added` (new only), `removed` (old only), `changed` (both,
+    * content hash differs) or `unchanged`, rolled up to one row per
+    * (source, status) with doc and char counts (chars from the
+    * surviving side — new for added/changed/unchanged, old for
+    * removed). A re-crawl that silently drops a source or rewrites
+    * its extraction shows up as a removed/changed spike long before
+    * any model-side metric moves.
+    *
+    * Scale shape: each side projects to (id, source, 8-byte content
+    * hash, char count) before the join — text never shuffles; the
+    * one shuffle is the id-keyed join, and the rollup is a
+    * (source, status)-bounded aggregate. For repeated diffs of a
+    * living corpus, bucket both versions by the id (the PlanSpec
+    * bucketed-join shape) and the join needs no exchange at all. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 textCol: String = "text", idCol: String = "doc_id",
+                 srcCol: String = "source"): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      df.select(col(idCol).as(s"_id_$tag"),
+        col(srcCol).as(s"_src_$tag"),
+        xxhash64(col(textCol)).as(s"_h_$tag"),
+        length(col(textCol)).cast("long").as(s"_len_$tag"))
+    val joined = side(oldDocs, "o").join(side(newDocs, "n"),
+      col("_id_o") === col("_id_n"), "full_outer")
+    val status = when(col("_id_o").isNull, lit("added"))
+      .when(col("_id_n").isNull, lit("removed"))
+      .when(col("_h_o") =!= col("_h_n"), lit("changed"))
+      .otherwise(lit("unchanged"))
+    joined.select(
+        coalesce(col("_src_n"), col("_src_o")).as(srcCol),
+        status.as("status"),
+        coalesce(col("_len_n"), col("_len_o")).as("_chars"))
+      .groupBy(col(srcCol), col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_chars")).as("n_chars"))
+  }
+
   /** NEAR-dup generalization of [[dupWeights]]: weight
     * `1/|cluster|` per doc over the connected components of any
     * near-dup pair set — each cluster of mutually-near-duplicate

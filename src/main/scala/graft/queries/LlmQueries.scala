@@ -1150,6 +1150,23 @@ object LlmQueries {
         minLen = 20, minEntropy = 2.5)
         .orderBy(col("doc_id"))),
 
+    // corpus version diff over a simulated re-crawl (deterministic
+    // v2 in BOTH engines: %13 docs dropped, %7 rewritten, %11
+    // re-ingested under shifted ids): per (source, status) doc and
+    // char counts — the dataset changelog audit.
+    "llm_corpus_diff" -> ((s, dir) => {
+      val old = table(s, dir, "documents")
+      val v2base = old.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      val v2 = v2base.unionByName(
+        old.filter(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      Dedup.corpusDiff(old, v2)
+        .orderBy(col("source"), col("status"))
+    }),
+
     // fused safety scan over the triple injection device (pii +
     // secret + blockterm planted on different doc_id moduli, both
     // engines identically): typed pii counts, blocklist hits,
@@ -4004,6 +4021,33 @@ object LlmQueries {
 
     // secret-scan replay: same injection, same charset gate, same
     // decimal-summed entropy identity, round-6 before the threshold.
+    // corpus diff: same simulated v2, FULL OUTER JOIN on the id,
+    // value-compare for `changed` (the engine's 8-byte content hash
+    // stands in for text equality — the dup_weights device).
+    "llm_corpus_diff" ->
+      """WITH oldd AS (
+           SELECT doc_id, source, text FROM documents),
+         v2 AS (
+           SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+               AS text
+           FROM documents WHERE doc_id % 13 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000, source, text
+           FROM documents WHERE doc_id % 11 = 0),
+         j AS (
+           SELECT coalesce(n.source, o.source) AS source,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.text <> n.text THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             coalesce(length(n.text), length(o.text)) AS chars
+           FROM oldd o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id)
+         SELECT source, status, count(*) AS n_docs,
+           CAST(sum(chars) AS BIGINT) AS n_chars
+         FROM j GROUP BY source, status
+         ORDER BY source, status""",
+
     // safety scan: triple injection, sequential pii counting on the
     // progressively-redacted text (email -> ip -> phone, the
     // redactPii precedence), blocklist instance count, the proven

@@ -1852,6 +1852,27 @@ class LlmSpec extends AnyFunSuite {
       s"in-doc repetition must not inflate df: ${out(1L)}")
   }
 
+  test("corpusDiff: added/removed/changed/unchanged classified per " +
+       "source; chars from the surviving side") {
+    import spark.implicits._
+    val old = Seq((1L, "alpha text", "A"), (2L, "beta", "A"),
+      (3L, "gamma", "B")).toDF("doc_id", "text", "source")
+    val v2 = Seq((1L, "alpha text", "A"),      // unchanged
+      (2L, "beta rewritten", "A"),             // changed
+      (4L, "delta new", "B"))                  // added; 3 removed
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.corpusDiff(old, v2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("A", "unchanged")) == ((1L, 10L)), s"$out")
+    assert(out(("A", "changed")) == ((1L, 14L)),
+      s"changed chars must come from the NEW side: $out")
+    assert(out(("B", "added")) == ((1L, 9L)), s"$out")
+    assert(out(("B", "removed")) == ((1L, 5L)),
+      s"removed chars come from the old side: $out")
+    assert(out.size == 4)
+  }
+
   test("safetyScan: each signal fires alone; dotted quad counted as " +
        "IP, never re-counted as phone") {
     import spark.implicits._
