@@ -340,6 +340,53 @@ object Similarity {
         sum(col("n")).over(w).cast("double"), 6).as("frac"))
   }
 
+  /** Label↔topic mutual information — how much a label's identity
+    * predicts WHERE its vectors live in embedding space (topics =
+    * the same train-once k-means cells as [[topicMix]]). Per label:
+    * its vector count and its MI contribution
+    * `Σ_c (n_lc/N)·ln(n_lc·N / (n_l·n_c))`, so the corpus MI is the
+    * column sum. Near-zero contribution = the label is spread like
+    * the corpus (topic-diverse); a large one = the label is its own
+    * topic island — the diagnostic read before deciding whether
+    * mixture balancing should stratify by that label at all.
+    *
+    * Determinism: every ratio is a ratio of exact counts; the
+    * per-label sum runs through DECIMAL(38,18) and rounds to 6 —
+    * bit-replayable in SQL.
+    *
+    * Scale shape: one narrow assignment pass + one (label, cell)
+    * count aggregate (map-side combined); ALL the MI arithmetic runs
+    * on the |labels|·|cells|-bounded count table — the corpus never
+    * shuffles twice. */
+  def sourceTopicMi(emb: DataFrame, nCells: Int = 16, iters: Int = 2,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val cents = kmeansCentroids(emb, nCells, iters, idCol, vecCol)
+    val joint = emb.select(col(idCol), col(labelCol))
+      .join(assignCells(emb, cents, idCol, vecCol)
+        .select(col(idCol), col("cell_id")), Seq(idCol))
+      .groupBy(col(labelCol), col("cell_id"))
+      .agg(count(lit(1)).as("_nlc"))
+    val perL = joint.groupBy(col(labelCol))
+      .agg(sum(col("_nlc")).as("_nl"))
+    val perC = joint.groupBy(col("cell_id"))
+      .agg(sum(col("_nlc")).as("_nc"))
+    val tot = joint.agg(sum(col("_nlc")).as("_n"))
+    joint.join(broadcast(perL), Seq(labelCol))
+      .join(broadcast(perC), Seq("cell_id"))
+      .crossJoin(broadcast(tot))
+      .select(col(labelCol), col("_nl"),
+        ((col("_nlc").cast("double") / col("_n").cast("double")) *
+          log(col("_nlc").cast("double") * col("_n").cast("double") /
+            (col("_nl").cast("double") * col("_nc").cast("double"))))
+          .as("_term"))
+      .groupBy(col(labelCol))
+      .agg(max(col("_nl")).as("n_vecs"),
+        round(sum(col("_term").cast("decimal(38,18)")).cast("double"),
+          6).as("mi_part"))
+  }
+
   /** Distributed Lloyd refinement of the [[collectCentroids]] seeds:
     * `iters` rounds of assign (native NearestCell — one narrow
     * codegen'd pass over the corpus) then per-cell mean. Means use

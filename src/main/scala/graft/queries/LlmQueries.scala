@@ -297,6 +297,14 @@ object LlmQueries {
           iters = 2)
         .orderBy(col("label"), col("cell_id"))),
 
+    // label<->topic mutual information over the shared k-means
+    // cells: per-label MI contribution (corpus MI = column sum) —
+    // the stratify-or-not diagnostic before mixture balancing.
+    "llm_source_topic_mi" -> ((s, dir) =>
+      Similarity.sourceTopicMi(table(s, dir, "embeddings"),
+          nCells = 16, iters = 2)
+        .orderBy(col("label"))),
+
     // prototype-hardness pruning: keep the hardest half of every
     // k-means cell (distance to own prototype = difficulty; the
     // SSL-prototypes data-pruning rule). Same train-once Lloyd
@@ -2041,6 +2049,34 @@ object LlmQueries {
        FROM agg ORDER BY cell_id"""
   }
 
+  /** Label↔topic MI replay: the kmeans assignment chain, the
+    * (label, cell) joint counts, margins, and the decimal-summed
+    * per-label MI contribution. */
+  private def sourceTopicMiOracle(iters: Int): String = {
+    val (ctes, _) = kmeansAsgCtes(iters)
+    s"""WITH $ctes,
+       joint AS (
+         SELECT e.label, a.cell_id, count(*) AS nlc
+         FROM asgf a JOIN embeddings e USING (vec_id)
+         GROUP BY e.label, a.cell_id),
+       pl AS (SELECT label, sum(nlc) AS nl FROM joint GROUP BY label),
+       pc AS (SELECT cell_id, sum(nlc) AS nc FROM joint
+              GROUP BY cell_id),
+       tt AS (SELECT sum(nlc) AS n FROM joint),
+       terms AS (
+         SELECT j.label, pl.nl,
+           (CAST(j.nlc AS DOUBLE) / CAST(tt.n AS DOUBLE)) *
+             ln(CAST(j.nlc AS DOUBLE) * CAST(tt.n AS DOUBLE) /
+               (CAST(pl.nl AS DOUBLE) * CAST(pc.nc AS DOUBLE)))
+             AS term
+         FROM joint j
+         JOIN pl USING (label) JOIN pc USING (cell_id), tt)
+       SELECT label, CAST(max(nl) AS BIGINT) AS n_vecs,
+         round(CAST(SUM(CAST(term AS DECIMAL(38,18))) AS DOUBLE), 6)
+           AS mi_part
+       FROM terms GROUP BY label ORDER BY label"""
+  }
+
   /** Topic-mix replay: the kmeans assignment chain, label join,
     * per-label share window over the (label, cell) count table. */
   private def topicMixOracle(iters: Int): String = {
@@ -2940,6 +2976,7 @@ object LlmQueries {
     "llm_semdedup" -> semDedupOracle(iters = 2, tau = 0.4),
     "llm_embed_outliers" -> embedOutliersOracle(iters = 2, z = 2.0),
     "llm_topic_mix" -> topicMixOracle(iters = 2),
+    "llm_source_topic_mi" -> sourceTopicMiOracle(iters = 2),
     "llm_proto_prune" -> protoPruneOracle(iters = 2, keepFrac = 0.5),
     "llm_proto_prune_approx" ->
       protoPruneApproxOracle(iters = 2, keepFrac = 0.5, tolFrac = 0.1),

@@ -1852,6 +1852,35 @@ class LlmSpec extends AnyFunSuite {
       s"in-doc repetition must not inflate df: ${out(1L)}")
   }
 
+  test("sourceTopicMi: label==cell gives ln(k) per-label total; " +
+       "label independent of cell gives ~0") {
+    import spark.implicits._
+    // two tight clusters at x=0 and x=10; centroids seed from the
+    // two lowest ids, one per cluster -> cells == clusters
+    def vec(x: Double, i: Int) = Seq(x.toFloat, (i % 3) * 0.01f)
+    // perfectly dependent: label 0 <-> cell 0, label 1 <-> cell 1
+    val dep = ((0 until 8).map(i => (i.toLong * 2, vec(0, i), 0)) ++
+      (0 until 8).map(i => (i.toLong * 2 + 1, vec(10, i), 1)))
+      .toDF("vec_id", "embedding", "label")
+    Similarity.clearTrainedCache()
+    val depOut = Similarity.sourceTopicMi(dep, nCells = 2, iters = 1)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    // corpus MI = ln 2; each label holds half the mass -> ln(2)/2
+    assert(depOut.values.forall(v =>
+      math.abs(v - math.log(2.0) / 2) < 1e-6), s"$depOut")
+    // independent: both labels spread evenly over both clusters
+    val ind = ((0 until 8).map(i =>
+      (i.toLong * 2, vec(if (i % 2 == 0) 0 else 10, i), 0)) ++
+      (0 until 8).map(i =>
+        (i.toLong * 2 + 1, vec(if (i % 2 == 0) 0 else 10, i), 1)))
+      .toDF("vec_id", "embedding", "label")
+    Similarity.clearTrainedCache()
+    val indOut = Similarity.sourceTopicMi(ind, nCells = 2, iters = 1)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(indOut.values.forall(v => math.abs(v) < 1e-6), s"$indOut")
+    Similarity.clearTrainedCache()
+  }
+
   test("corpusDiff: added/removed/changed/unchanged classified per " +
        "source; chars from the surviving side") {
     import spark.implicits._
