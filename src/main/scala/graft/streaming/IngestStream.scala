@@ -390,6 +390,52 @@ object IngestStream {
       .trigger(trigger)
       .start()
 
+  /** Per-batch safety rollup: [[graft.llm.TextAnalysis.safetyScan]]
+    * over one micro-batch, aggregated to one row per source
+    * (docs, typed-PII instances, blocklist hits, secret docs,
+    * flagged docs) and published under `ingest_batch=<id>` — the
+    * compliance gauge of a live ingest feed. Batch-keyed overwrite
+    * keeps at-least-once replay idempotent (the [[noveltyBatch]]
+    * contract). */
+  def safetyBatch(batch: DataFrame, reportDir: String,
+                  blockTerms: Seq[String], minLen: Int = 20,
+                  minEntropy: Double = 2.5, textCol: String = "text",
+                  idCol: String = "doc_id", srcCol: String = "source",
+                  batchId: Long): Unit =
+    graft.llm.TextAnalysis.safetyScan(batch, blockTerms, minLen,
+        minEntropy, textCol, idCol, srcCol)
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_email") + col("n_ip") + col("n_phone")).as("n_pii"),
+        sum(col("n_blocked")).as("n_blocked"),
+        sum(when(col("has_secret"), 1L).otherwise(0L)).as("n_secret"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))
+      .write.mode("overwrite")
+      .parquet(s"$reportDir/ingest_batch=$batchId")
+
+  /** Streaming safety monitor: [[safetyBatch]] over a document
+    * stream. STATELESS by design — every signal is row-local or
+    * batch-local, so there is no standing layer, no state store and
+    * no shuffle beyond the per-batch source rollup; the unbounded
+    * feed is gated at scan speed. */
+  def safetyMonitor(docs: DataFrame, reportDir: String,
+                    blockTerms: Seq[String], minLen: Int = 20,
+                    minEntropy: Double = 2.5, textCol: String = "text",
+                    idCol: String = "doc_id", srcCol: String = "source",
+                    checkpointDir: Option[String] = None,
+                    trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$reportDir/_checkpoints"))
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        safetyBatch(batch.toDF(), reportDir, blockTerms, minLen,
+          minEntropy, textCol, idCol, srcCol, batchId = bid)
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming near-identical-BLOB ingest: [[nearDupIngest]] with the
     * codec-free byte-SimHash sketch — the signature layer holds ONE
     * long per blob, so the standing corpus of a 100 TB media store is

@@ -613,6 +613,43 @@ class StreamingSpec extends AnyFunSuite {
       "streaming report must equal the batch op on the same data")
   }
 
+  test("safetyMonitor: stream report equals the batch safetyScan " +
+       "rollup; stateless (no standing layer)") {
+    import graft.streaming.IngestStream
+    val base = "/root/repo/target/scratch/safety_e2e"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    new java.io.File(s"$base/src").mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      java.nio.file.Paths.get(s"$base/src/part-0.parquet"))
+    val docsStatic = spark.read.parquet(s"$base/src")
+    val stream = spark.readStream.schema(docsStatic.schema)
+      .parquet(s"$base/src")
+    val terms = Seq("merge", "casino777")   // 'merge' occurs naturally
+    val q = IngestStream.safetyMonitor(stream, s"$base/report", terms)
+    q.awaitTermination(60000)
+    val report = spark.read.parquet(s"$base/report")
+      .select("source", "n_docs", "n_pii", "n_blocked", "n_secret",
+        "n_flagged")
+    val batch = graft.llm.TextAnalysis.safetyScan(docsStatic, terms)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_email") + col("n_ip") + col("n_phone")).as("n_pii"),
+        sum(col("n_blocked")).as("n_blocked"),
+        sum(when(col("has_secret"), 1L).otherwise(0L)).as("n_secret"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))
+    assert(report.count() > 0)
+    assert(report.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(report).count() == 0,
+      "stream rollup must equal the batch op on the same data")
+    // blocklist actually fired on natural text
+    assert(report.agg(sum(col("n_blocked"))).head.getLong(0) > 0)
+    // stateless: the report dir holds only batch partitions + spark
+    // metadata, no gram/signature layer
+    assert(!new java.io.File(s"$base/report").listFiles()
+      .exists(_.getName.contains("layer")))
+  }
+
   test("streaming bloom decontamination gate matches the batch filter") {
     // the bloom filter is a plan literal, so the same stateless
     // scan->filter gates an unbounded stream: no state store, no
