@@ -340,6 +340,49 @@ object Similarity {
         sum(col("n")).over(w).cast("double"), 6).as("frac"))
   }
 
+  /** Johnson–Lindenstrauss random SIGN projection (Achlioptas 2003's
+    * database-friendly ±1 form): project `inDim`-dim embeddings to
+    * `outDim` dims with a deterministic ±1 matrix — entry (k, j) is
+    * the first hex nibble of `md5("<seed>:k:j")` (< 8 → +1), so the
+    * matrix is a pure function of the seed and replays in ANY engine
+    * with an md5 — then scale by `1/sqrt(outDim)` so expected
+    * pairwise distances are preserved. Output is long-form
+    * `(idCol, k, p)` — the shape downstream LSH / brute scans
+    * consume. Exact duplicates project identically by construction;
+    * distances concentrate per JL as outDim grows.
+    *
+    * Why it's here: at 100 TB the ANN families' dominant cost is the
+    * dot-product volume; an 8x narrower projected corpus cuts every
+    * downstream scan and bucket join by the same factor, at a recall
+    * cost the caller tunes with outDim (run the candidate stage
+    * projected, re-rank survivors on the full vectors — the
+    * [[pqTopKRerank]] shape with JL instead of PQ).
+    *
+    * Scale shape: pure row-local projection — the matrix is a plan
+    * literal (outDim·inDim doubles), vectors never shuffle, the fold
+    * runs in dimension order so the doubles replay bit-exact. */
+  def randProject(emb: DataFrame, outDim: Int = 8, inDim: Int = 64,
+                  seed: String = "jl", idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val projs = (0 until outDim).map { k =>
+      val signs = (0 until inDim).map { j =>
+        if (Character.digit(md5hex(s"$seed:$k:$j").charAt(0), 16) < 8)
+          1.0 else -1.0
+      }
+      val signsLit = array(signs.map(lit(_)): _*)
+      round(aggregate(
+        zip_with(col(vecCol), signsLit,
+          (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v) * lit(scale), 6)
+    }
+    emb.select(col(idCol), posexplode(array(projs: _*)).as(Seq("k", "p")))
+      .select(col(idCol), col("k").cast("long").as("k"), col("p"))
+  }
+
   /** Label↔topic mutual information — how much a label's identity
     * predicts WHERE its vectors live in embedding space (topics =
     * the same train-once k-means cells as [[topicMix]]). Per label:

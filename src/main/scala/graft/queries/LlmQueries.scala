@@ -297,6 +297,13 @@ object LlmQueries {
           iters = 2)
         .orderBy(col("label"), col("cell_id"))),
 
+    // JL random sign projection to 8 dims (long form): the row-local
+    // pre-projection that cuts downstream ANN scan cost 8x; matrix
+    // from md5(seed:k:j) nibbles so both engines build it identically.
+    "llm_rand_proj" -> ((s, dir) =>
+      Similarity.randProject(table(s, dir, "embeddings"), outDim = 8)
+        .orderBy(col("vec_id"), col("k"))),
+
     // label<->topic mutual information over the shared k-means
     // cells: per-label MI contribution (corpus MI = column sum) —
     // the stratify-or-not diagnostic before mixture balancing.
@@ -2977,6 +2984,21 @@ object LlmQueries {
     "llm_embed_outliers" -> embedOutliersOracle(iters = 2, z = 2.0),
     "llm_topic_mix" -> topicMixOracle(iters = 2),
     "llm_source_topic_mi" -> sourceTopicMiOracle(iters = 2),
+    // JL projection replay: the md5-nibble sign matrix inline in a
+    // dimension-ordered list_sum fold, same 1/sqrt(d') constant.
+    "llm_rand_proj" ->
+      """SELECT e.vec_id, CAST(ks.k AS BIGINT) AS k,
+           round(list_sum(list_transform(
+             generate_series(1, len(e.embedding)),
+             j -> CAST(e.embedding[j] AS DOUBLE) *
+               (CASE WHEN substring(md5('jl:' || CAST(ks.k AS VARCHAR)
+                   || ':' || CAST(j - 1 AS VARCHAR)), 1, 1)
+                 IN ('0','1','2','3','4','5','6','7')
+                 THEN 1.0 ELSE -1.0 END)))
+             * (1.0 / sqrt(8.0)), 6) AS p
+         FROM embeddings e
+         CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) ks
+         ORDER BY e.vec_id, k""",
     "llm_proto_prune" -> protoPruneOracle(iters = 2, keepFrac = 0.5),
     "llm_proto_prune_approx" ->
       protoPruneApproxOracle(iters = 2, keepFrac = 0.5, tolFrac = 0.1),

@@ -1852,6 +1852,51 @@ class LlmSpec extends AnyFunSuite {
       s"in-doc repetition must not inflate df: ${out(1L)}")
   }
 
+  test("randProject: duplicates collide, separated clusters stay " +
+       "separated, projection is shuffle-free") {
+    import spark.implicits._
+    val a = (0 until 64).map(i => (i % 7).toFloat / 7f)
+    val far = (0 until 64).map(i => 5f + (i % 3).toFloat)
+    val fix = Seq((1L, a), (2L, a), (3L, far))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.randProject(fix, outDim = 8)
+    val p = out.collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq)
+      .toMap
+    assert(p(1L) == p(2L), "exact duplicates must project identically")
+    def d2(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).map { case (u, v) => (u - v) * (u - v) }.sum
+    assert(d2(p(1L), p(3L)) > 100 * 1e-12,
+      s"far points must stay separated: ${d2(p(1L), p(3L))}")
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Exchange"),
+      s"projection must be row-local:\n${plan.take(1200)}")
+    // the actual JL guarantee on the real corpus: pairwise squared
+    // distances concentrate — d2_proj/d2_full ~ chi2(d')/d'
+    // (sd = sqrt(2/32) ~ 0.25 at d'=32), so the bulk of pairs must
+    // land inside a +-2.8sd band. (These near-isotropic embeddings
+    // make top-k RANKING a near-tie shuffle at any compression —
+    // distortion, not rank order, is what JL promises; the re-rank
+    // stage restores exact order downstream.)
+    val real = emb.limit(50)
+    val pr = Similarity.randProject(real, outDim = 32).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq)
+      .toMap
+    val full = real.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toSeq).toMap
+    val ids = full.keys.toSeq.sorted
+    val ratios = for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      df = d2(full(ids(i)), full(ids(j))) if df > 1e-12
+    } yield d2(pr(ids(i)), pr(ids(j))) / df
+    val inBand = ratios.count(r => r >= 0.3 && r <= 1.7)
+    assert(inBand.toDouble / ratios.size >= 0.9,
+      s"JL distortion band violated: $inBand/${ratios.size} in band")
+  }
+
   test("sourceTopicMi: label==cell gives ln(k) per-label total; " +
        "label independent of cell gives ~0") {
     import spark.implicits._
