@@ -308,6 +308,26 @@ object ScaleBench {
           graft.llm.TextAnalysis.knLmScore(docs,
             docs.filter(col("doc_id") % 10 =!= 0))).count())
 
+      // safety scan: row-local regex side + sparse entropy side
+      runProbe("safety_scan", f, nDocs)(
+        graft.llm.TextAnalysis.safetyScan(docs,
+          blockTerms = Seq("merge", "casino777"))
+          .filter(col("flagged")).count())
+
+      // corpus diff: id-keyed join of two hash projections (v2 =
+      // same corpus with a deterministic 1/7 rewritten slice)
+      runProbe("corpus_diff", f, nDocs)(
+        graft.llm.Dedup.corpusDiff(docs,
+          docs.withColumn("text",
+            when(col("doc_id") % 7 === 0,
+              concat(col("text"), lit(" v2"))).otherwise(col("text"))))
+          .count())
+
+      // JL projection: row-local fold, linear scan shape
+      runProbe("rand_proj", f, nEmb)(
+        graft.llm.Similarity.randProject(emb, outDim = 8)
+          .agg(sum(col("p"))).collect().length.toLong)
+
       // MMR: candidate generation is the broadcast-query corpus scan
       // (Q fixed at the first-copy slice); the greedy loop is
       // O(k·N·dim) per query, constant per query as the corpus grows

@@ -118,6 +118,17 @@ class PlanSpec extends AnyFunSuite {
       s"winnow selection must stay row-local:\n${plan.take(1500)}")
   }
 
+  test("corpusDiff join moves hashes and counts, never text") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+    val plan = planOf(graft.llm.Dedup.corpusDiff(docs, v2))
+    val badLines = plan.linesIterator.filter(l =>
+      l.contains("Exchange") && l.contains("text#")).toSeq
+    assert(badLines.isEmpty,
+      s"diff must project text to hashes before the join:\n" +
+        badLines.mkString("\n"))
+  }
+
   test("qualityEnsemble is a shuffle-free single pass (no verdict-" +
        "table joins)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
