@@ -112,6 +112,64 @@ object CLI {
           Access.writeData(snk)
       }),
 
+    // The compliance sweep through the same task-algebra lifecycle:
+    // per-doc typed-PII/blocklist/secret verdicts to one sink, the
+    // per-source rollup (the safetyMonitor batch shape) to another —
+    // one registered pipeline covers both the review queue and the
+    // dashboard feed.
+    "safety" -> Registered(
+      "safety",
+      "corpus safety scan: typed PII counts + blocklist + secret " +
+        "entropy verdicts per doc, plus a per-source rollup",
+      OptionsSchema(Seq(
+        OptField("blockTerms", Some(OptStr("casino777")),
+          "comma-separated blocklist terms"),
+        OptField("minLen", Some(OptNum(20)),
+          "minimum token length for secret candidates"),
+        OptField("minEntropy", Some(OptNum(2.5)),
+          "minimum char entropy (nats) for a secret verdict"))),
+      (spark, opts) => {
+        def num(v: OptValue): Double = v match {
+          case OptNum(n) => n
+          case other     => other.render.toDouble
+        }
+        val terms = opts("blockTerms").render.split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        val minLen = num(opts("minLen")).toInt
+        val minEnt = num(opts("minEntropy"))
+        val src = VirtualFile(VPath("/documents"), Seq("parquet"),
+          Usage.Source)
+        val docSnk = VirtualFile(VPath("/Outputs/safety"),
+          Seq("parquet"), Usage.Sink)
+        val rollSnk = VirtualFile(VPath("/Outputs/safety_by_source"),
+          Seq("parquet"), Usage.Sink)
+        Access.getDataReader(src) >>>
+          PTask.arr { (r: Access.DataReader) =>
+            graft.llm.TextAnalysis.safetyScan(r.read(), terms,
+              minLen, minEnt)
+          } >>>
+          // split the scan into the per-doc queue and the rollup —
+          // both sinks from ONE cached pass over the corpus (pin
+          // tracked by Pins, released at the app-end boundary)
+          PTask.arr { (scan: org.apache.spark.sql.DataFrame) =>
+            val parent = scan.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val rollup = parent.groupBy(col("source"))
+              .agg(count(lit(1)).as("n_docs"),
+                sum(col("n_email") + col("n_ip") + col("n_phone"))
+                  .as("n_pii"),
+                sum(col("n_blocked")).as("n_blocked"),
+                sum(when(col("has_secret"), 1L).otherwise(0L))
+                  .as("n_secret"),
+                sum(when(col("flagged"), 1L).otherwise(0L))
+                  .as("n_flagged"))
+            graft.cache.Pins.track(spark,
+              graft.access.Split.Branches((), parent))
+            (parent, rollup)
+          } >>>
+          (Access.writeData(docSnk) *** Access.writeData(rollSnk))
+      }),
+
     // Port of the reference's example-radon (ExampleRadon.hs:76-158):
     // load observations (CSV-with-header or JSON — the example's
     // BidirSerials pair), mirror them to a debug sink unchanged, run

@@ -671,6 +671,39 @@ class ConfigSpec extends AnyFunSuite {
     graft.cache.Pins.release(spark)
   }
 
+  test("safety pipeline: one cached scan feeds both the per-doc " +
+       "queue and the per-source rollup sink") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    val base = "/root/repo/target/scratch/cli_safety"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    val specFile = s"$base/safety.yaml"
+    // 'merge' occurs in the natural corpus -> the blocklist fires
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(specFile),
+      s"""data: {blockTerms: "merge, casino777"}
+         |locations:
+         |  /documents: /root/testdata/sf0.001/documents.parquet
+         |  /Outputs/safety: $base/safety.parquet
+         |  /Outputs/safety_by_source: $base/by_source.parquet
+         |""".stripMargin)
+    CLI.run(Array("safety", "run", specFile), spark)
+    val in = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = spark.read.parquet(s"$base/safety.parquet")
+    val roll = spark.read.parquet(s"$base/by_source.parquet")
+    assert(docs.count() == in.count(), "one verdict row per doc")
+    import org.apache.spark.sql.functions.{col => c, sum => s}
+    assert(docs.filter(c("n_blocked") > 0).count() > 0,
+      "blocklist must fire on natural text")
+    // rollup is consistent with the per-doc sink it branched from
+    assert(roll.agg(s(c("n_docs"))).head.getLong(0) == in.count())
+    assert(roll.agg(s(c("n_blocked"))).head.getLong(0) ==
+      docs.agg(s(c("n_blocked"))).head.getLong(0))
+    graft.cache.Pins.release(spark)
+  }
+
   test("CLI query surface: list names the inventory; run writes parquet") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")
