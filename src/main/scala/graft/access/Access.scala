@@ -4,7 +4,7 @@ import graft.model._
 import graft.serial.Formats
 import graft.task.{PTask, RunCtx}
 import graft.loc.LocTemplate
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The IO access operators: virtual-file reads/writes with layer-merge
@@ -112,6 +112,57 @@ object Access {
   def writeData(vf: VirtualFile): PTask[DataFrame, Unit] =
     PTask(Catalog.of(vf.copy(usage = Usage.Sink)),
       (ctx, df) => writeVF(ctx, vf, df))
+
+  /** Balanced sharded sink — the output-file-sizing planner a
+    * 100 TB write needs: per `partitionCol` value, estimate bytes
+    * from the caller's `bytesPerRow` expression, plan
+    * `ceil(bytes / targetBytes)` shards, route rows to shards by a
+    * deterministic hash, and repartition by (partition, shard) so
+    * each shard lands as ONE file of ~targetBytes under its
+    * `partitionCol=<v>/` directory. Without this, a skewed source
+    * writes one multi-GB file per big partition (unsplittable
+    * downstream hot spots) or thousands of KB files per small one
+    * (namenode pressure + open-cost-dominated scans).
+    *
+    * Mechanics: the shard plan is a |partitions|-row aggregate to
+    * the driver (the rate-table device); the input is cached ONCE
+    * and each partition value writes with an EXACT
+    * `repartition(n_shards)` (round-robin → exactly n files) — one
+    * corpus scan, |partitions| small write jobs, total shuffled
+    * bytes = the corpus, i.e. the same volume a single balanced
+    * repartition would move, but with per-value exactness a global
+    * hash shuffle cannot give (hash-sharing of tasks merges shards
+    * unpredictably). Returns the plan
+    * `(partition value, est_bytes, n_shards)` for the caller's
+    * manifest. */
+  def writeShardedBalanced(df: DataFrame, path: String,
+                           partitionCol: String, bytesPerRow: Column,
+                           targetBytes: Long = 256L << 20)
+      : Seq[(String, Long, Int)] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val parent = df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val plan = parent
+        .groupBy(col(partitionCol).cast("string").as("_p"))
+        .agg(sum(bytesPerRow.cast("long")).as("_b")).collect()
+        .map { r =>
+          val b = math.max(0L, r.getLong(1))
+          (r.getString(0), b,
+            math.max(1L, (b + targetBytes - 1) / targetBytes).toInt)
+        }.toSeq
+      plan.foreach { case (p, _, n) =>
+        // partition value lives in the directory name (Hive layout);
+        // dropping the column from the files keeps read-back clean
+        parent.filter(col(partitionCol).cast("string") === p)
+          .repartition(n)
+          .drop(partitionCol)
+          .write.mode("overwrite")
+          .parquet(s"$path/$partitionCol=$p")
+      }
+      plan
+    } finally { parent.unpersist(); () }
+  }
 
   /** `writeEffData` (VFA:141-148): lazily-produced write, the producer
     * thunk is only forced if the sink is bound. */

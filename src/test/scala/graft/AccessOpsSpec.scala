@@ -422,6 +422,30 @@ class AccessOpsSpec extends AnyFunSuite {
     assert(back == Set((1L, "a"), (2L, "b")))
   }
 
+  test("writeShardedBalanced: big partition splits into ~target-" +
+       "sized shards, small partition stays one file") {
+    import spark.implicits._
+    val base = scratch("sharded")
+    // source A: 100 rows x 1000 bytes = ~100 KB; source B: 2 rows
+    val df = ((1 to 100).map(i => (i.toLong, "A", "x" * 1000)) ++
+      Seq((200L, "B", "y"), (201L, "B", "z")))
+      .toDF("id", "source", "payload")
+    val plan = graft.access.Access.writeShardedBalanced(df,
+      s"$base/out", "source", length(col("payload")),
+      targetBytes = 20000L)   // ~100KB/20KB -> 5 shards for A
+    val pm = plan.map(p => p._1 -> p._3).toMap
+    assert(pm("A") == 5 && pm("B") == 1, s"$plan")
+    def files(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files(s"$base/out/source=A") == 5,
+      s"A must land as 5 shard files, got ${files(s"$base/out/source=A")}")
+    assert(files(s"$base/out/source=B") == 1)
+    // content survives the reshard
+    val back = spark.read.parquet(s"$base/out")
+    assert(back.count() == 102 &&
+      back.filter(col("source") === "B").count() == 2)
+  }
+
   test("orc format round-trips: write (zlib codec + partitioned) then " +
        "read back the same rows") {
     import spark.implicits._
