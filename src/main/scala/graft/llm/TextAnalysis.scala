@@ -1491,6 +1491,45 @@ object TextAnalysis {
         (coalesce(col("n_secretish"), lit(0L)) > 0).as("has_secret"))
   }
 
+  /** HTML/markup strip — the extraction kernel between a raw web
+    * crawl and every text operator in this pack: drop tags
+    * (`<[^>]+>` → space), decode the five ubiquitous entities
+    * (`&lt; &gt; &quot; &#39;` first, `&amp;` LAST so
+    * `&amp;lt;` correctly yields the literal `&lt;` rather than
+    * double-decoding), collapse whitespace runs, and report
+    * `(doc_id, tag_count, text_clean, markup_ratio, is_markup)` —
+    * `markup_ratio` the char fraction the strip removed,
+    * `is_markup` the page-level gate (`tag_count >= minTags`).
+    * Every rule is a plain regex/literal replace, so the kernel
+    * replays in any engine.
+    *
+    * Scale shape: pure row-local projection (chained codegen'd
+    * regex/literal replaces, each stage projected once — the
+    * no-recompute discipline); text never shuffles. */
+  def htmlStrip(docs: DataFrame, minTags: Int = 2,
+                textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+    docs
+      .select(col(idCol), length(col(textCol)).as("_n0"),
+        size(expr(s"regexp_extract_all($textCol, '<[^>]+>', 0)"))
+          .cast("long").as("tag_count"),
+        regexp_replace(col(textCol), "<[^>]+>", " ").as("_t"))
+      .select(col(idCol), col("_n0"), col("tag_count"),
+        trim(regexp_replace(
+          entities.foldLeft(col("_t")) { case (c, (e, r)) =>
+            regexp_replace(c, e, r)
+          }, "\\s+", " ")).as("text_clean"))
+      .select(col(idCol), col("tag_count"), col("text_clean"),
+        when(col("_n0") > 0,
+          round(lit(1.0) -
+            length(col("text_clean")).cast("double") /
+              col("_n0").cast("double"), 6)).otherwise(0.0)
+          .as("markup_ratio"),
+        (col("tag_count") >= minTags).as("is_markup"))
+  }
+
   /** Fused safety scan — the pre-release compliance sweep as ONE
     * report: per document the typed PII match counts (email / IPv4 /
     * phone, counted SEQUENTIALLY on the progressively-redacted text

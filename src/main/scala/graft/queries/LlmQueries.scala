@@ -1182,6 +1182,18 @@ object LlmQueries {
         .orderBy(col("source"), col("status"))
     }),
 
+    // HTML strip over planted markup (every 6th doc wrapped in tags
+    // with entity-encoded tail, both engines identically): tag
+    // count, cleaned text, markup ratio, page gate.
+    "llm_html_strip" -> ((s, dir) =>
+      TextAnalysis.htmlStrip(
+        table(s, dir, "documents").withColumn("text",
+          when(col("doc_id") % 6 === 0,
+            concat(lit("<div class=\"hero\"><p>"), col("text"),
+              lit("</p></div> &amp;lt; tail &quot;quoted&#39;")))
+            .otherwise(col("text"))))
+        .orderBy(col("doc_id"))),
+
     // fused safety scan over the triple injection device (pii +
     // secret + blockterm planted on different doc_id moduli, both
     // engines identically): typed pii counts, blocklist hits,
@@ -4080,6 +4092,36 @@ object LlmQueries {
 
     // secret-scan replay: same injection, same charset gate, same
     // decimal-summed entropy identity, round-6 before the threshold.
+    // html strip: tag regex + the five literal entity decodes in
+    // the engine's order (amp LAST), whitespace collapse, ratio.
+    "llm_html_strip" ->
+      raw"""WITH injected AS (
+           SELECT doc_id, CASE WHEN doc_id % 6 = 0
+             THEN '<div class="hero"><p>' || text ||
+               '</p></div> &amp;lt; tail &quot;quoted&#39;'
+             ELSE text END AS text
+           FROM documents),
+         s1 AS (
+           SELECT doc_id, length(text) AS n0,
+             CAST(len(regexp_extract_all(text, '<[^>]+>'))
+               AS BIGINT) AS tag_count,
+             regexp_replace(text, '<[^>]+>', ' ', 'g') AS t
+           FROM injected),
+         s2 AS (
+           SELECT doc_id, n0, tag_count,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(t,
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&amp;', '&'),
+               '\s+', ' ', 'g')) AS text_clean
+           FROM s1)
+         SELECT doc_id, tag_count, text_clean,
+           CASE WHEN n0 > 0
+             THEN round(1.0 - CAST(length(text_clean) AS DOUBLE) / n0, 6)
+             ELSE 0.0 END AS markup_ratio,
+           tag_count >= 2 AS is_markup
+         FROM s2 ORDER BY doc_id""",
+
     // corpus diff: same simulated v2, FULL OUTER JOIN on the id,
     // value-compare for `changed` (the engine's 8-byte content hash
     // stands in for text equality — the dup_weights device).

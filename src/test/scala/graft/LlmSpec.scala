@@ -1926,6 +1926,29 @@ class LlmSpec extends AnyFunSuite {
     Similarity.clearTrainedCache()
   }
 
+  test("htmlStrip: tags cut, entities decode in amp-last order, " +
+       "whitespace collapses, plain text untouched") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "<html><body  class='x'><p>hello   world</p></body></html>"),
+      (2L, "tom &amp; jerry say &quot;hi&quot;"),
+      // &amp;lt; must decode to the LITERAL '&lt;', not to '<'
+      (3L, "escaped: &amp;lt;tag&amp;gt;"),
+      (4L, "plain text with no markup at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.htmlStrip(planted, minTags = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getAs[Boolean]("is_markup")))
+      .toMap
+    assert(out(1L) == ((6L, "hello world", true)), s"${out(1L)}")
+    assert(out(2L) == ((0L, "tom & jerry say \"hi\"", false)),
+      s"${out(2L)}")
+    assert(out(3L)._2 == "escaped: &lt;tag&gt;",
+      s"double-encoded entities must single-decode: ${out(3L)}")
+    assert(out(4L) == ((0L, "plain text with no markup at all",
+      false)), s"${out(4L)}")
+  }
+
   test("corpusDiff: added/removed/changed/unchanged classified per " +
        "source; chars from the surviving side") {
     import spark.implicits._
