@@ -45,6 +45,44 @@ object Mixing {
     * doc). `nBuckets` trades driver memory (|strata| * nBuckets rows
     * collected) against cutoff-window size (stratum_size / nBuckets
     * rows sorted); the default suits strata up to ~10^9 docs. */
+  /** Epoch plan — the UPSAMPLING complement of
+    * [[graft.llm.Sampling.mixtureSample]] (which only thins): given
+    * target shares `w_s` and a total token budget, each source
+    * should contribute `target·w_s` tokens, i.e. be repeated for
+    * `epochs_s = target·w_s / tokens_s` effective epochs (>1 =
+    * upsample, <1 = subsample within one pass). Reports per source:
+    * available tokens, target tokens (floored long), epochs
+    * (rounded 6) and the integer repeat count `ceil(epochs)` a
+    * loader would use with a final-partial-pass fraction. The
+    * datasets-mixture arithmetic every training-run config encodes
+    * (shares × budget → per-source epochs), as one relation.
+    *
+    * Scale: one token-count aggregate over the corpus (the only
+    * corpus-sized work), then |sources|-row arithmetic. */
+  def epochPlan(docs: DataFrame, weights: Map[String, Double],
+                targetTokens: Long, textCol: String = "text",
+                srcCol: String = "source"): DataFrame = {
+    require(weights.nonEmpty, "target mixture must not be empty")
+    require(targetTokens > 0, "token budget must be positive")
+    val wCol = weights.foldLeft(lit(Double.NaN)) { case (acc, (s, w)) =>
+      when(col(srcCol).cast("string") === s, lit(w)).otherwise(acc)
+    }
+    docs.filter(col(srcCol).cast("string")
+        .isin(weights.keys.toSeq: _*))
+      .groupBy(col(srcCol))
+      .agg(sum(graft.llm.TextAnalysis.tokenCount(col(textCol)))
+        .as("tokens_avail"))
+      .select(col(srcCol), col("tokens_avail"),
+        // explicit floor: engines disagree on double->int cast
+        // semantics (truncate vs round), floor is portable
+        floor(wCol * lit(targetTokens.toDouble)).cast("long")
+          .as("tokens_target"))
+      .withColumn("epochs",
+        round(col("tokens_target").cast("double") /
+          col("tokens_avail").cast("double"), 6))
+      .withColumn("n_repeats", ceil(col("epochs")).cast("long"))
+  }
+
   def tokenBudgetSample(docs: DataFrame, budgets: Map[String, Long],
                         strataCol: String = "lang",
                         textCol: String = "text",

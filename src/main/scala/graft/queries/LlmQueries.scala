@@ -749,6 +749,14 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // epoch plan: shares x token budget -> per-source epochs and
+    // repeat counts (the upsampling complement of reweight_sample).
+    "llm_epoch_plan" -> ((s, dir) =>
+      Mixing.epochPlan(table(s, dir, "documents"),
+          weights = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25),
+          targetTokens = 1000000L)
+        .orderBy(col("source"))),
+
     // the apply step of the reweighting plan: realize the computed
     // target mixture by deterministic md5 thinning (downsample-only
     // rates; the most-under-represented source keeps everything).
@@ -3210,6 +3218,31 @@ object LlmQueries {
          SELECT source, n_docs, mean_loss, excess,
            round(raw / tot.tot, 6) AS weight
          FROM rw, tot ORDER BY source""",
+
+    // epoch plan: token counts for the three targeted sources, the
+    // floored share x budget targets, rounded epochs, ceil repeats.
+    "llm_epoch_plan" ->
+      raw"""WITH cnt AS (
+           SELECT source, CAST(SUM(len(list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '')))
+             AS BIGINT) AS tokens_avail
+           FROM documents
+           WHERE source IN ('src0', 'src1', 'src2')
+           GROUP BY source),
+         t AS (
+           SELECT source, tokens_avail,
+             CAST(floor((CASE source WHEN 'src0' THEN 0.5
+               WHEN 'src1' THEN 0.25 ELSE 0.25 END) * 1000000.0)
+               AS BIGINT) AS tokens_target
+           FROM cnt),
+         e AS (
+           SELECT source, tokens_avail, tokens_target,
+             round(CAST(tokens_target AS DOUBLE) / tokens_avail, 6)
+               AS epochs
+           FROM t)
+         SELECT source, tokens_avail, tokens_target, epochs,
+           CAST(ceil(epochs) AS BIGINT) AS n_repeats
+         FROM e ORDER BY source""",
 
     // reweight-sample: the domain_reweight weight CTEs + current
     // shares -> downsample-only rates -> the md5 acceptance filter

@@ -1926,6 +1926,27 @@ class LlmSpec extends AnyFunSuite {
     Similarity.clearTrainedCache()
   }
 
+  test("epochPlan: upsampled source gets epochs > 1, oversupplied " +
+       "source < 1; untargeted source dropped") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, ("w " * 10).trim, "small"),    // 10 tokens available
+      (2L, ("w " * 100).trim, "big"),     // 100 tokens available
+      (3L, "x y z", "other")
+    ).toDF("doc_id", "text", "source")
+    val out = Mixing.epochPlan(planted,
+        weights = Map("small" -> 0.5, "big" -> 0.5),
+        targetTokens = 100L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    // small: target 50 of 10 avail -> 5 epochs, 5 repeats
+    assert(out("small") == ((10L, 50L, 5.0, 5L)), s"${out("small")}")
+    // big: target 50 of 100 -> half an epoch, 1 pass
+    assert(out("big") == ((100L, 50L, 0.5, 1L)), s"${out("big")}")
+    assert(!out.contains("other"))
+  }
+
   test("htmlStrip: tags cut, entities decode in amp-last order, " +
        "whitespace collapses, plain text untouched") {
     import spark.implicits._
