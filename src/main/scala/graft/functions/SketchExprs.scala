@@ -325,6 +325,25 @@ object SketchExprs {
       copy(child = newChild)
   }
 
+  /** Accent fold: string -> string (NFD + non-spacing-mark strip —
+    * the strip_accents semantics; see SketchOps.accentFold). */
+  case class AccentFold(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${child.dataType}")
+    override def dataType: DataType = StringType
+    override def prettyName: String = "accent_fold"
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.accentFold(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SketchOps.accentFold($c)")
+    override protected def withNewChildInternal(newChild: Expression): AccentFold =
+      copy(child = newChild)
+  }
+
   /** Bloom membership count: array<long> of shingle hashes -> number
     * with all `k` bloom bits set. The word array rides into codegen as
     * one reference object (like MinHashSig's coefficient tables). */
@@ -568,6 +587,7 @@ object SketchExprs {
                 shift: Int): Column =
     toCol(BloomHits(toExpr(c), words, k, log2m, shift))
   def normalizeText(c: Column): Column = toCol(NormalizeText(toExpr(c)))
+  def accentFold(c: Column): Column = toCol(AccentFold(toExpr(c)))
   def textStats(c: Column): Column = toCol(TextStats(toExpr(c)))
   def gopherStats(c: Column): Column = toCol(GopherStats(toExpr(c)))
   def bandHashes(c: Column, bands: Int): Column =

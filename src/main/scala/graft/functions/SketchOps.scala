@@ -461,6 +461,31 @@ object SketchOps {
     org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
   }
 
+  /** Accent fold: NFD decomposition, then every non-spacing mark
+    * (category Mn) dropped — café→cafe, Zürich→Zurich — the
+    * multilingual matching/dedup canonicalization BEYOND
+    * [[normalizeText]] (which deliberately preserves accents). Same
+    * semantics as utf8proc-family `strip_accents` (NFD + mark
+    * strip), so the kernel replays against engines that ship it.
+    * Characters with no decomposition (ø, ß) pass through — this is
+    * accent folding, not lossy transliteration. */
+  def accentFold(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val s = text.toString
+    val nfd =
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFD)) s
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < nfd.length) {
+      val c = nfd.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK)
+        sb.append(c)
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
   /** Bloom membership over a shingle-hash array: the number of hashes
     * whose `k` bloom positions are ALL set in `words` (the bit array
     * as 32-bit masks in the low half of each long — see

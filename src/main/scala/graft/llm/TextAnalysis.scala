@@ -294,6 +294,13 @@ object TextAnalysis {
   def normalizeText(text: Column): Column =
     graft.functions.SketchExprs.normalizeText(text)
 
+  /** Accent fold (NFD + mark strip — strip_accents semantics): the
+    * multilingual canonicalization step BEYOND [[normalizeText]],
+    * for matching/dedup across accent variants (café == cafe).
+    * Native codegen'd kernel; row-local. */
+  def accentFold(text: Column): Column =
+    graft.functions.SketchExprs.accentFold(text)
+
   /** Stopword ratio against a given list. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val toks = tokens(text)

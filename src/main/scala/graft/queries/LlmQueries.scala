@@ -777,6 +777,22 @@ object LlmQueries {
           TextAnalysis.normalizeText(col("text")).as("text_norm"))
         .orderBy(col("doc_id"))),
 
+    // accent fold over planted accented spans (every 9th doc), with
+    // a changed verdict — the multilingual match canonicalization.
+    "llm_accent_fold" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .withColumn("text",
+          when(col("doc_id") % 9 === 0,
+            concat(col("text"),
+              lit(" café naïve São Zürich " +
+                "ÀÉÎÕÜ")))
+            .otherwise(col("text")))
+        .select(col("doc_id"),
+          TextAnalysis.accentFold(col("text")).as("text_fold"),
+          (TextAnalysis.accentFold(col("text")) =!= col("text"))
+            .as("changed"))
+        .orderBy(col("doc_id"))),
+
     // per-document top-3 characteristic terms by tf-idf (score rounded
     // to 6 decimals BEFORE ranking; ties break lexicographically).
     "llm_tfidf" -> ((s, dir) =>
@@ -4125,6 +4141,18 @@ object LlmQueries {
 
     // secret-scan replay: same injection, same charset gate, same
     // decimal-summed entropy identity, round-6 before the threshold.
+    // accent fold: DuckDB's utf8proc strip_accents == the kernel's
+    // NFD + mark strip on decomposable accents.
+    "llm_accent_fold" ->
+      """WITH injected AS (
+           SELECT doc_id, CASE WHEN doc_id % 9 = 0
+             THEN text || ' café naïve São Zürich ÀÉÎÕÜ'
+             ELSE text END AS text
+           FROM documents)
+         SELECT doc_id, strip_accents(text) AS text_fold,
+           strip_accents(text) <> text AS changed
+         FROM injected ORDER BY doc_id""",
+
     // html strip: tag regex + the five literal entity decodes in
     // the engine's order (amp LAST), whitespace collapse, ratio.
     "llm_html_strip" ->

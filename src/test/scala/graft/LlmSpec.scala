@@ -1926,6 +1926,26 @@ class LlmSpec extends AnyFunSuite {
     Similarity.clearTrainedCache()
   }
 
+  test("accentFold: decomposable accents strip, ascii and non-" +
+       "decomposable chars pass through, precomposed == decomposed") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "café Zürich ÀÉ"),   // precomposed
+      (2L, "café"),                            // decomposed e+mark
+      (3L, "plain ascii stays"),
+      (4L, "ø and ß survive")              // ø ß: no marks
+    ).toDF("doc_id", "text")
+    val out = planted
+      .select(col("doc_id"), TextAnalysis.accentFold(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "cafe Zurich AE", s"${out(1L)}")
+    assert(out(2L) == "cafe",
+      "NFD input folds the same as precomposed")
+    assert(out(3L) == "plain ascii stays")
+    assert(out(4L) == "ø and ß survive",
+      "accent folding is not transliteration")
+  }
+
   test("epochPlan: upsampled source gets epochs > 1, oversupplied " +
        "source < 1; untargeted source dropped") {
     import spark.implicits._
