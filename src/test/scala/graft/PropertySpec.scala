@@ -267,4 +267,34 @@ object PropertySpec extends Properties("graft") {
         }
       kernel == naive
     }
+
+  // --- accent fold laws
+  private def fold(s: String): String =
+    SketchOps.accentFold(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+
+  property("accentFold.idempotent") = forAll { (s: String) =>
+    fold(fold(s)) == fold(s)
+  }
+
+  property("accentFold.normalization-invariant") = forAll { (s: String) =>
+    // precomposed and decomposed spellings fold to the same string
+    val nfc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    val nfd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    fold(nfc) == fold(nfd)
+  }
+
+  property("accentFold.ascii-fixed-point") =
+    forAll(Gen.asciiPrintableStr) { (s: String) =>
+      fold(s) == s   // ascii is NFD-stable and mark-free
+    }
+
+  // --- normalizeText/accentFold interaction: folding commutes with
+  // the lowercase+collapse canonicalization on ascii-space text
+  property("accentFold.never-grows-codepoints") = forAll { (s: String) =>
+    fold(s).codePointCount(0, fold(s).length) <=
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+        .codePointCount(0, java.text.Normalizer.normalize(s,
+          java.text.Normalizer.Form.NFD).length)
+  }
 }
