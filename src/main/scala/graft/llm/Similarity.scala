@@ -383,6 +383,65 @@ object Similarity {
       .select(col(idCol), col("k").cast("long").as("k"), col("p"))
   }
 
+  /** [[randProject]] in ARRAY form — `(idCol, proj: array<double>)`
+    * — the shape the ANN operators consume directly. Same matrix,
+    * same arithmetic. */
+  def randProjectVec(emb: DataFrame, outDim: Int = 16, inDim: Int = 64,
+                     seed: String = "jl", idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val projs = (0 until outDim).map { k =>
+      val signs = (0 until inDim).map { j =>
+        if (Character.digit(md5hex(s"$seed:$k:$j").charAt(0), 16) < 8)
+          1.0 else -1.0
+      }
+      aggregate(
+        zip_with(col(vecCol), array(signs.map(lit(_)): _*),
+          (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v) * lit(scale)
+    }
+    emb.select(col(idCol), array(projs: _*).as("proj"))
+  }
+
+  /** JL-accelerated top-k: candidates from a [[randProjectVec]]
+    * space (`outDim` ≪ dim — every candidate dot costs outDim/dim of
+    * a full one), exact re-rank of the top-`rerank` survivors on the
+    * full vectors — the [[pqTopKRerank]] recall-restoration shape
+    * with a projection instead of a code table. The projected
+    * candidate scan is where ~all the work is at corpus scale, so
+    * the speedup is ~dim/outDim on the dominant term; recall is
+    * tuned by `rerank` (see LlmSpec's measured recall on the
+    * near-isotropic test embeddings — the hard case for any metric
+    * sketch, since true neighbors are near-ties). */
+  def jlTopKRerank(corpus: DataFrame, queries: DataFrame, k: Int,
+                   outDim: Int = 16, rerank: Int = 50,
+                   seed: String = "jl",
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   qIdCol: String = "query_id",
+                   qVecCol: String = "query_vec"): DataFrame = {
+    val pc = randProjectVec(corpus, outDim, seed = seed,
+      idCol = idCol, vecCol = vecCol)
+    val pq = randProjectVec(queries, outDim, seed = seed,
+      idCol = qIdCol, vecCol = qVecCol)
+      .withColumnRenamed("proj", "qproj")
+    val cand = bruteTopK(pc, pq, rerank, idCol, "proj", qIdCol, "qproj")
+      .select(col(qIdCol), col(idCol))
+    val rescored = cand
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col(qIdCol), col(qVecCol))),
+        Seq(qIdCol))
+      .withColumn("cosine",
+        round(VectorOps.cosine(col(vecCol), col(qVecCol)), 6))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    rescored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col("rank"), col(idCol), col("cosine"))
+  }
+
   /** Label↔topic mutual information — how much a label's identity
     * predicts WHERE its vectors live in embedding space (topics =
     * the same train-once k-means cells as [[topicMix]]). Per label:

@@ -1926,6 +1926,41 @@ class LlmSpec extends AnyFunSuite {
     Similarity.clearTrainedCache()
   }
 
+  test("jlTopKRerank: projected candidates + exact rerank recover " +
+       "most of the true top-10") {
+    import spark.implicits._
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+    val truth = Similarity.bruteTopK(emb, q, 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.jlTopKRerank(emb, q, 10, outDim = 16,
+        rerank = 100)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    // measured 0.66 on these near-isotropic embeddings (the hard
+    // case: true neighbors are near-ties, see randProject spec) —
+    // ~3.3x the 0.2 random-pool baseline; margin below that reading
+    assert(recall >= 0.5, s"recall=$recall vs random-baseline 0.2")
+    // exact duplicates of a query vector are unmissable: the clone
+    // projects identically, so it is always a candidate and reranks
+    // to cosine 1.0
+    val clone = emb.limit(1)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding"))
+    val withClone = emb.select("vec_id", "embedding")
+      .unionByName(clone)
+    val q1 = emb.limit(1).select(col("vec_id").as("query_id"),
+      col("embedding").as("query_vec"))
+    val top = Similarity.jlTopKRerank(withClone, q1, 2, outDim = 8,
+        rerank = 10)
+      .orderBy(col("rank")).collect()
+    assert(top.take(2).map(_.getDouble(3)).forall(_ == 1.0),
+      s"query itself + its clone must lead: ${top.mkString(", ")}")
+  }
+
   test("accentFold: decomposable accents strip, ascii and non-" +
        "decomposable chars pass through, precomposed == decomposed") {
     import spark.implicits._
