@@ -141,6 +141,29 @@ class PlanSpec extends AnyFunSuite {
         plan.take(1500))
   }
 
+  test("sourceTopicMi: count-table arithmetic joins broadcast; one " +
+       "corpus-keyed exchange feeds the joint aggregate") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    graft.llm.Similarity.clearTrainedCache()
+    val plan = planOf(graft.llm.Similarity.sourceTopicMi(emb,
+      nCells = 4, iters = 1))
+    // margins + total are |labels| / |cells| / 1-row relations: they
+    // must reach their joins as broadcasts, not shuffles
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    graft.llm.Similarity.clearTrainedCache()
+  }
+
+  test("accentFold stays inside whole-stage codegen") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(docs.select(
+      graft.llm.TextAnalysis.accentFold(col("text")).as("f"))
+      .filter(col("f").isNotNull))
+    assert(plan.contains("accent_fold"), plan.take(1000))
+    assert(plan.contains("* Project") || plan.contains("* Filter"),
+      s"accent_fold must not fall out of codegen:\n${plan.take(1000)}")
+  }
+
   test("native sketch expressions stay inside whole-stage codegen") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = planOf(Dedup.simHash(docs))
