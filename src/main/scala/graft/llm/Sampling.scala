@@ -81,6 +81,45 @@ object Sampling {
       .select(col(idCol), col("cell_id"))
   }
 
+  /** EXACT stratified train/val/test split: per source, rank docs
+    * by the deterministic md5 bucket (lowest-id tiebreak) and cut
+    * exactly `floor(n·testFrac)` test rows then `floor(n·valFrac)`
+    * val rows — the eval-set-size guarantee the content-hash split
+    * (`llm_split`) deliberately trades away for shuffle-freedom:
+    * hash assignment gives only EXPECTED proportions, while an eval
+    * harness usually needs exact per-source counts. Still a pure
+    * function of the corpus (no rand()); adding docs to a source
+    * reshuffles only that source's cut line.
+    *
+    * Scale shape: one narrow (id, source) projection, one shuffle
+    * for the per-source rank window. A dominant source concentrates
+    * its sort on one partition — at 100 TB take the split threshold
+    * from the per-source approx-quantile of the hash instead (the
+    * protoPruneApprox device: |sources| cut rows, no rank window)
+    * and accept ±sketch-error counts. */
+  def stratifiedSplit(docs: DataFrame, valFrac: Double = 0.1,
+                      testFrac: Double = 0.1,
+                      sourceCol: String = "source",
+                      idCol: String = "doc_id"): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1,
+      s"bad fracs: val=$valFrac test=$testFrac")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(hashBucket32(col(idCol).cast("string")).asc,
+        col(idCol).asc)
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+    val nTest = floor(col("_n") * lit(testFrac))
+    val nVal = floor(col("_n") * lit(valFrac))
+    docs.select(col(idCol), col(sourceCol))
+      .withColumn("_r", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(cw))
+      .select(col(idCol), col(sourceCol),
+        when(col("_r") <= nTest, lit("test"))
+          .when(col("_r") <= nTest + nVal, lit("val"))
+          .otherwise(lit("train")).as("split"))
+  }
+
   /** Realize an EXPLICIT target source mixture by deterministic
     * thinning — the apply step for a computed mixture plan (e.g.
     * [[graft.llm.TextAnalysis.domainReweight]]'s weights): with

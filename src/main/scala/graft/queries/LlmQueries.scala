@@ -749,6 +749,14 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // exact stratified split: per-source md5 rank with floor cut
+    // lines — eval sets get exact per-source sizes (the guarantee
+    // the shuffle-free content-hash split trades away).
+    "llm_split_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSplit(table(s, dir, "documents"),
+          valFrac = 0.1, testFrac = 0.1)
+        .orderBy(col("doc_id"))),
+
     // epoch plan: shares x token budget -> per-source epochs and
     // repeat counts (the upsampling complement of reweight_sample).
     "llm_epoch_plan" -> ((s, dir) =>
@@ -3234,6 +3242,22 @@ object LlmQueries {
          SELECT source, n_docs, mean_loss, excess,
            round(raw / tot.tot, 6) AS weight
          FROM rw, tot ORDER BY source""",
+
+    // stratified split: md5-rank window per source, floor cut lines.
+    "llm_split_stratified" ->
+      raw"""WITH r AS (
+           SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY CAST(('0x' || substring(
+                 md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) ASC,
+                 doc_id ASC) AS BIGINT) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+           FROM documents)
+         SELECT doc_id, source,
+           CASE WHEN rk <= floor(n * 0.1) THEN 'test'
+                WHEN rk <= floor(n * 0.1) + floor(n * 0.1) THEN 'val'
+                ELSE 'train' END AS split
+         FROM r ORDER BY doc_id""",
 
     // epoch plan: token counts for the three targeted sources, the
     // floored share x budget targets, rounded epochs, ceil repeats.

@@ -1926,6 +1926,35 @@ class LlmSpec extends AnyFunSuite {
     Similarity.clearTrainedCache()
   }
 
+  test("stratifiedSplit: exact floor counts per source, stable " +
+       "under adding docs to OTHER sources") {
+    import spark.implicits._
+    val planted = ((1L to 25L).map(i => (i, "A")) ++
+      (100L to 103L).map(i => (i, "B"))).toDF("doc_id", "source")
+    val out = Sampling.stratifiedSplit(planted, valFrac = 0.2,
+      testFrac = 0.2)
+    val byS = out.collect()
+      .groupBy(r => (r.getString(1), r.getString(2)))
+      .view.mapValues(_.length).toMap
+    // A: 25 docs -> floor(5) test, floor(5) val, 15 train
+    assert(byS(("A", "test")) == 5 && byS(("A", "val")) == 5 &&
+      byS(("A", "train")) == 15, s"$byS")
+    // B: 4 docs -> floor(0.8)=0 test/val, all train
+    assert(byS.get(("B", "test")).isEmpty &&
+      byS(("B", "train")) == 4, s"$byS")
+    // determinism + isolation: growing B must not move A's rows
+    val aBefore = out.filter(col("source") === "A").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val grown = planted.unionByName(
+      (200L to 220L).map(i => (i, "B")).toDF("doc_id", "source"))
+    val aAfter = Sampling.stratifiedSplit(grown, valFrac = 0.2,
+        testFrac = 0.2)
+      .filter(col("source") === "A").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(aBefore == aAfter,
+      "another source's growth must not reshuffle A's split")
+  }
+
   test("jlTopKRerank: projected candidates + exact rerank recover " +
        "most of the true top-10") {
     import spark.implicits._
