@@ -58,6 +58,55 @@ object Dedup {
           .as("weight"))
   }
 
+  /** Sparse tf-idf cosine pairs — the lexical-WEIGHTED near-dup
+    * lens (docs sharing rare, characteristic vocabulary), completing
+    * the family next to set-based MinHash-Jaccard and bit-based
+    * SimHash: postings get `tf·ln(N/df)` weights, unit-normalize per
+    * doc (decimal-exact norms over ALL terms), then a term-keyed
+    * self-join restricted to `df <= maxDf` accumulates the dot
+    * product per pair. The df cap is the classic sparse-similarity
+    * prune: ubiquitous terms carry ~zero idf weight anyway
+    * (`ln(N/df) → 0`) but would blow the term join up to df² pairs —
+    * cutting them bounds every term's pair fan-out at maxDf² while
+    * the reported `sim` (a lower bound on true weighted cosine, over
+    * full-corpus norms) loses only near-zero mass. Zero-norm docs
+    * (every term at df = N) have no direction and are excluded.
+    *
+    * Scale shape: tf/df are the one-shuffle map-side-combined
+    * aggregates every lexical op here uses; the pair join moves only
+    * (id, term-hashable, rounded weight) rows of capped terms;
+    * the per-pair aggregate shuffles surviving candidate pairs only.
+    * All sums decimal — the report replays bit-exact. */
+  def tfidfCosinePairs(docs: DataFrame, minSim: Double = 0.1,
+                       maxDf: Long = 50, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val nDf = docs.select(count(lit(1)).as("_n"))
+    val tf = docs
+      .select(col(idCol).as("_id"),
+        explode(graft.llm.TextAnalysis.tokens(col(textCol)))
+          .as("term"))
+      .groupBy(col("_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wgt = tf.join(dfT, "term").crossJoin(broadcast(nDf))
+      .withColumn("_w",
+        col("tf") * log(col("_n").cast("double") / col("df")))
+    val nrm = wgt.groupBy(col("_id"))
+      .agg(sqrt(sum((col("_w") * col("_w")).cast("decimal(38,12)"))
+        .cast("double")).as("_nm"))
+    val unit = wgt.join(nrm, "_id")
+      .filter(col("_nm") > 0.0 && col("df") <= maxDf)
+      .select(col("_id"), col("term"),
+        round(col("_w") / col("_nm"), 6).as("w"))
+    unit.as("a").join(unit.as("b"),
+        col("a.term") === col("b.term") &&
+          col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .agg(round(sum((col("a.w") * col("b.w"))
+        .cast("decimal(38,18)")).cast("double"), 6).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
   /** Corpus version diff — the dataset-changelog audit between two
     * versions of a corpus (the re-crawl / re-extraction QA step): a
     * full outer join on the document key classifies every id as

@@ -749,6 +749,21 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // sparse tf-idf cosine pairs over planted rare vocabulary
+    // (every 17th doc gets two zq-tokens keyed by doc_id % 5, both
+    // engines identically — natural terms here are ubiquitous, so
+    // idf weight and the df cap leave only the planted signal).
+    "llm_tfidf_pairs" -> ((s, dir) =>
+      Dedup.tfidfCosinePairs(
+        table(s, dir, "documents").withColumn("text",
+          when(col("doc_id") % 17 === 0,
+            concat(col("text"), lit(" zqtok"),
+              (col("doc_id") % 5).cast("string"), lit(" zqext"),
+              (col("doc_id") % 5).cast("string")))
+            .otherwise(col("text"))),
+        minSim = 0.1, maxDf = 50)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // exact stratified split: per-source md5 rank with floor cut
     // lines — eval sets get exact per-source sizes (the guarantee
     // the shuffle-free content-hash split trades away).
@@ -3242,6 +3257,45 @@ object LlmQueries {
          SELECT source, n_docs, mean_loss, excess,
            round(raw / tot.tot, 6) AS weight
          FROM rw, tot ORDER BY source""",
+
+    // tfidf pairs: same injection, tf/df/weight/norm/unit/dot chain
+    // with decimal sums at the norm and dot stages.
+    "llm_tfidf_pairs" ->
+      raw"""WITH src AS (
+           SELECT doc_id, CASE WHEN doc_id % 17 = 0
+             THEN text || ' zqtok' || CAST(doc_id % 5 AS VARCHAR)
+               || ' zqext' || CAST(doc_id % 5 AS VARCHAR)
+             ELSE text END AS text
+           FROM documents),
+         nn AS (SELECT count(*) AS n FROM src),
+         tf AS (
+           SELECT doc_id AS id, t AS term, count(*) AS tf FROM (
+             SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(text, '\s+'), x -> x <> '')) AS t
+             FROM src)
+           GROUP BY doc_id, t),
+         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         wgt AS (
+           SELECT tf.id, tf.term, dft.df,
+             tf.tf * ln(CAST(nn.n AS DOUBLE) / dft.df) AS w
+           FROM tf JOIN dft USING (term), nn),
+         nrm AS (
+           SELECT id, sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,12)))
+             AS DOUBLE)) AS nm
+           FROM wgt GROUP BY id),
+         unitw AS (
+           SELECT wgt.id, wgt.term, round(wgt.w / nrm.nm, 6) AS w
+           FROM wgt JOIN nrm USING (id)
+           WHERE nrm.nm > 0.0 AND wgt.df <= 50),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b,
+             round(CAST(SUM(CAST(a.w * b.w AS DECIMAL(38,18)))
+               AS DOUBLE), 6) AS sim
+           FROM unitw a JOIN unitw b
+             ON a.term = b.term AND a.id < b.id
+           GROUP BY a.id, b.id)
+         SELECT id_a, id_b, sim FROM pairs
+         WHERE sim >= 0.1 ORDER BY id_a, id_b""",
 
     // stratified split: md5-rank window per source, floor cut lines.
     "llm_split_stratified" ->

@@ -1926,6 +1926,26 @@ class LlmSpec extends AnyFunSuite {
     Similarity.clearTrainedCache()
   }
 
+  test("tfidfCosinePairs: rare shared vocabulary pairs up, " +
+       "ubiquitous terms carry nothing, zero-norm docs excluded") {
+    import spark.implicits._
+    val common = "the quick brown fox"   // in every doc -> idf 0
+    val planted = Seq(
+      (1L, s"$common unicorn rainbow"),
+      (2L, s"$common unicorn rainbow"),   // pairs with 1 on rare terms
+      (3L, s"$common dragon"),            // rare but unshared
+      (4L, common)                        // zero-norm (all idf-0)
+    ).toDF("doc_id", "text")
+    val out = Dedup.tfidfCosinePairs(planted, minSim = 0.1,
+        maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getDouble(2)).toMap
+    assert(out.keySet == Set((1L, 2L)),
+      s"only the rare-vocab pair must surface: ${out.keySet}")
+    // docs 1,2 are identical -> unit vectors equal -> sim ~ 1
+    assert(math.abs(out((1L, 2L)) - 1.0) < 1e-4, s"${out((1L, 2L))}")
+  }
+
   test("stratifiedSplit: exact floor counts per source, stable " +
        "under adding docs to OTHER sources") {
     import spark.implicits._
