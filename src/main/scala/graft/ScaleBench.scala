@@ -328,6 +328,28 @@ object ScaleBench {
         graft.llm.Similarity.randProject(emb, outDim = 8)
           .agg(sum(col("p"))).collect().length.toLong)
 
+      // html strip + accent fold: row-local kernels (verdict filter
+      // forces evaluation)
+      runProbe("html_strip", f, nDocs)(
+        graft.llm.TextAnalysis.htmlStrip(docs)
+          .filter(col("markup_ratio") >= 0.0).count())
+      runProbe("accent_fold", f, nDocs)(docs
+        .select(graft.llm.TextAnalysis.accentFold(col("text"))
+          .as("ff"))
+        .filter(length(col("ff")) >= 0).count())
+
+      // stratified split: one rank-window shuffle keyed by source
+      runProbe("split_stratified", f, nDocs)(
+        graft.llm.Sampling.stratifiedSplit(docs)
+          .filter(col("split") === "val").count())
+
+      // tf-idf pairs: term-keyed join under the df cap — output-
+      // bound like every pair family (copy-scaled corpus saturates
+      // term df, so the cap prunes harder as f grows)
+      runProbe("tfidf_pairs", f, nDocs)(
+        graft.llm.Dedup.tfidfCosinePairs(docs, minSim = 0.1,
+          maxDf = 50).count())
+
       // MMR: candidate generation is the broadcast-query corpus scan
       // (Q fixed at the first-copy slice); the greedy loop is
       // O(k·N·dim) per query, constant per query as the corpus grows
