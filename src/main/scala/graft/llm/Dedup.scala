@@ -58,6 +58,68 @@ object Dedup {
           .as("weight"))
   }
 
+  /** Content-defined chunking (the rsync/LBFS rolling-cut idea at
+    * token granularity): a chunk boundary falls AFTER token
+    * `p + n - 1` wherever the n-gram starting at `p` hashes to
+    * `0 mod div` — boundaries are decided by LOCAL content, so an
+    * insertion reshuffles only the chunk it lands in while fixed-
+    * size chunking shifts every chunk after it (the property that
+    * makes CDC the shift-robust dedup granularity; expected chunk
+    * length ≈ `div` tokens). Emits one row per chunk with its
+    * 60-bit hex content key and corpus frequency:
+    * `(doc_id, chunk_idx, n_tokens, chunk_hash, df)` — `df > 1`
+    * marks corpus-repeated content at CDC granularity.
+    *
+    * Scale shape: boundary selection and chunk construction are
+    * ROW-LOCAL array ops over the positional gram-hash kernel
+    * (same scan shape as winnowing); only (doc, idx, 15-char hash
+    * key, count) rows shuffle — chunk text never leaves the scan
+    * except as its hash. The df aggregate is the one shuffle,
+    * map-side combined. */
+  def cdcChunks(docs: DataFrame, n: Int = 4, div: Int = 16,
+                textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    require(div >= 2, s"div $div must be >= 2")
+    val base = docs
+      .select(col(idCol),
+        graft.llm.TextAnalysis.tokens(col(textCol)).as("_tk"),
+        graft.functions.SketchExprs.windowHashes(col(textCol), n)
+          .as("_hs"))
+      .filter(size(col("_tk")) >= 1)
+    // interior cuts only (a cut at the last token would duplicate
+    // the final boundary): strictly increasing, no dedupe needed
+    val cutsAfter = filter(
+      transform(
+        filter(
+          when(size(col("_hs")) >= 1,
+            sequence(lit(1), size(col("_hs"))))
+            .otherwise(array().cast("array<int>")),
+          p => pmod(element_at(col("_hs"), p), lit(div.toLong)) === 0),
+        p => p + lit(n - 1)),
+      c => c < size(col("_tk")))
+    val withB = base.select(col(idCol), col("_tk"),
+      concat(array(lit(0)), cutsAfter, array(size(col("_tk"))))
+        .as("_b"))
+    val chunks = transform(sequence(lit(1), size(col("_b")) - 1),
+      j => array_join(
+        slice(col("_tk"), element_at(col("_b"), j) + 1,
+          element_at(col("_b"), j + 1) - element_at(col("_b"), j)),
+        " "))
+    val rel = withB
+      .select(col(idCol), col("_b"),
+        posexplode(chunks).as(Seq("_j", "chunk")))
+      .select(col(idCol), (col("_j") + 1).cast("long").as("chunk_idx"),
+        (element_at(col("_b"), col("_j") + 2) -
+          element_at(col("_b"), col("_j") + 1)).cast("long")
+          .as("n_tokens"),
+        substring(md5(col("chunk")), 1, 15).as("chunk_hash"))
+    val freq = rel.groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("df"))
+    rel.join(freq, Seq("chunk_hash"))
+      .select(col(idCol), col("chunk_idx"), col("n_tokens"),
+        col("chunk_hash"), col("df"))
+  }
+
   /** Sparse tf-idf cosine pairs — the lexical-WEIGHTED near-dup
     * lens (docs sharing rare, characteristic vocabulary), completing
     * the family next to set-based MinHash-Jaccard and bit-based

@@ -749,6 +749,13 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // content-defined chunking: rolling-cut boundaries from the
+    // 4-gram hash stream (cut where h % 16 == 0), per-chunk 60-bit
+    // key + corpus frequency — the shift-robust dedup granularity.
+    "llm_cdc_chunks" -> ((s, dir) =>
+      Dedup.cdcChunks(table(s, dir, "documents"), n = 4, div = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // sparse tf-idf cosine pairs over planted rare vocabulary
     // (every 17th doc gets two zq-tokens keyed by doc_id % 5, both
     // engines identically — natural terms here are ubiquitous, so
@@ -3257,6 +3264,52 @@ object LlmQueries {
          SELECT source, n_docs, mean_loss, excess,
            round(raw / tot.tot, 6) AS weight
          FROM rw, tot ORDER BY source""",
+
+    // cdc chunks: md5-60 4-gram hash stream, interior cuts at
+    // h % 16 == 0 (cut after token p+3, < len), chunk slices,
+    // 15-hex chunk keys, df join. Single-level lambdas only (the
+    // DuckDB nested-lambda capture bug — see llm_winnow note).
+    "llm_cdc_chunks" ->
+      raw"""WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         hstream AS (
+           SELECT doc_id, tk,
+             CASE WHEN len(tk) >= 4 THEN
+               list_transform(generate_series(1, len(tk) - 3),
+                 i -> CAST(('0x' || substring(md5(
+                   array_to_string(tk[i:i+3], ' ')), 1, 15))
+                   AS BIGINT))
+             ELSE CAST([] AS BIGINT[]) END AS hs
+           FROM tok WHERE len(tk) >= 1),
+         bt AS (
+           SELECT doc_id, tk,
+             CAST([0] AS BIGINT[]) ||
+               list_filter(list_transform(
+                 list_filter(generate_series(1, len(hs)),
+                   p -> hs[p] % 16 = 0), p -> p + 3),
+                 c -> c < len(tk)) ||
+               CAST([len(tk)] AS BIGINT[]) AS bnd
+           FROM hstream),
+         ch AS (
+           SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(bnd) - 1),
+             j -> {'idx': j,
+                   'nt': bnd[j+1] - bnd[j],
+                   'h': substring(md5(array_to_string(
+                     tk[bnd[j]+1 : bnd[j+1]], ' ')), 1, 15)})) AS z
+           FROM bt),
+         rel AS (
+           SELECT doc_id, CAST(z.idx AS BIGINT) AS chunk_idx,
+             CAST(z.nt AS BIGINT) AS n_tokens, z.h AS chunk_hash
+           FROM ch),
+         freq AS (
+           SELECT chunk_hash, count(*) AS df FROM rel
+           GROUP BY chunk_hash)
+         SELECT r.doc_id, r.chunk_idx, r.n_tokens, r.chunk_hash, f.df
+         FROM rel r JOIN freq f USING (chunk_hash)
+         ORDER BY r.doc_id, r.chunk_idx""",
 
     // tfidf pairs: same injection, tf/df/weight/norm/unit/dot chain
     // with decimal sums at the norm and dot stages.

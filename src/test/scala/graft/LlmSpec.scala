@@ -1926,6 +1926,38 @@ class LlmSpec extends AnyFunSuite {
     Similarity.clearTrainedCache()
   }
 
+  test("cdcChunks: chunks partition the token stream; a front " +
+       "insertion leaves most chunk hashes intact (shift " +
+       "robustness)") {
+    import spark.implicits._
+    val words = (1 to 400).map(i => s"w${i * 7 % 127}x$i")
+    val orig = words.mkString(" ")
+    val shifted = "inserted " + orig
+    val both = Seq((1L, orig), (2L, shifted)).toDF("doc_id", "text")
+    val out = Dedup.cdcChunks(both, n = 4, div = 16).collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    // partition invariant: chunk token counts sum to the doc length
+    assert(byDoc(1L).map(_.getLong(2)).sum == 400)
+    assert(byDoc(2L).map(_.getLong(2)).sum == 401)
+    // shift robustness: the insertion may only disturb the first
+    // chunk(s); the boundary stream re-synchronizes, so the bulk of
+    // doc 1's chunks reappear verbatim in doc 2
+    val h1 = byDoc(1L).map(_.getString(3)).toSet
+    val h2 = byDoc(2L).map(_.getString(3)).toSet
+    val survived = h1.intersect(h2).size.toDouble / h1.size
+    assert(survived >= 0.8,
+      s"CDC must re-synchronize after an insertion: $survived " +
+        s"(${h1.size} chunks)")
+    // contrast: FIXED 16-token chunking loses every chunk after a
+    // 1-token shift (chunkDedup-style grid) — computed inline
+    def fixedHashes(ws: Seq[String]) =
+      ws.grouped(16).map(_.mkString(" ")).toSet
+    val f1 = fixedHashes(words)
+    val f2 = fixedHashes("inserted" +: words)
+    assert(f1.intersect(f2).size <= 1,
+      "fixed grid must shear (else this fixture proves nothing)")
+  }
+
   test("tfidfCosinePairs: rare shared vocabulary pairs up, " +
        "ubiquitous terms carry nothing, zero-norm docs excluded") {
     import spark.implicits._
