@@ -429,6 +429,24 @@ object Relational {
             .as("rolling_1h"),
           count(lit(1)).over(w).as("n_1h"))
         .orderBy($"user_id", $"tsu", $"event_id")
+    }),
+
+    // --- ordered conversion funnel: per user, the longest prefix of
+    // view -> click -> signup -> purchase reached IN TIMESTAMP ORDER
+    // (each stage's first instant strictly after the previous
+    // stage's). Expressed as 4 chained per-user min-aggregates —
+    // each stage is one map-side-combined agg + a broadcast-back
+    // join of a |users|-sized stage table; no per-user sort, no
+    // window over the event stream, no collect. Ties at the exact
+    // same microsecond do NOT advance the funnel (strict >), which
+    // makes the stage definition total and replayable.
+    "q29_funnel" -> ((s, dir) => {
+      import s.implicits._
+      graft.rep.Joins.funnel(
+        Star.events(s, dir).select($"user_id", $"event_type",
+          unix_micros($"ts").as("tsu")),
+        stages = Seq("view", "click", "signup", "purchase"))
+        .orderBy($"user_id")
     })
   )
 
@@ -655,6 +673,41 @@ object Relational {
              PARTITION BY user_id ORDER BY tsu
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_1h
          FROM ev
-         ORDER BY user_id, tsu, event_id"""
+         ORDER BY user_id, tsu, event_id""",
+
+    // funnel replay: 4 chained conditional min-aggregates, strict >
+    // between stages, left joins onto the user universe.
+    "q29_funnel" ->
+      """WITH ev AS (
+           SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+           FROM events),
+         u AS (SELECT DISTINCT user_id FROM ev),
+         s1 AS (SELECT user_id, min(tsu) AS t_view FROM ev
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.tsu) AS t_click
+                FROM ev e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.tsu > s1.t_view
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.tsu) AS t_signup
+                FROM ev e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'signup' AND e.tsu > s2.t_click
+                GROUP BY e.user_id),
+         s4 AS (SELECT e.user_id, min(e.tsu) AS t_purchase
+                FROM ev e JOIN s3 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.tsu > s3.t_signup
+                GROUP BY e.user_id)
+         SELECT u.user_id,
+           CAST(CAST(t_view IS NOT NULL AS INT)
+             + CAST(t_click IS NOT NULL AS INT)
+             + CAST(t_signup IS NOT NULL AS INT)
+             + CAST(t_purchase IS NOT NULL AS INT) AS BIGINT)
+             AS funnel_stage,
+           t_view, t_click, t_signup, t_purchase
+         FROM u LEFT JOIN s1 USING (user_id)
+           LEFT JOIN s2 USING (user_id)
+           LEFT JOIN s3 USING (user_id)
+           LEFT JOIN s4 USING (user_id)
+         ORDER BY user_id"""
   )
 }

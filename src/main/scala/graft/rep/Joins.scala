@@ -164,4 +164,43 @@ object Joins {
     val w = df.write.mode("overwrite").bucketBy(numBuckets, key)
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }
+
+  /** Ordered conversion funnel: per key, the longest prefix of
+    * `stages` reached IN TIMESTAMP ORDER — stage i+1 counts only at
+    * an instant STRICTLY after stage i's first instant (a same-
+    * microsecond tie does not advance, keeping the definition total
+    * and replayable). Emits one row per key:
+    * `(keyCol, funnel_stage, t_<stage1>, …)` with each stage's
+    * first qualifying instant (null once the funnel stalls).
+    *
+    * Shape: |stages| chained conditional min-aggregates — each is
+    * one map-side-combined agg over the event stream plus a
+    * broadcast-back join of a |keys|-sized stage table. No per-key
+    * sort, no window over the events, no state machine scan — the
+    * standard analytics funnel as pure relational algebra. */
+  def funnel(events: DataFrame, stages: Seq[String],
+             keyCol: String = "user_id", typeCol: String = "event_type",
+             tsCol: String = "tsu"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val names = stages.map(s => s"t_$s")
+    val universe = events.select(col(keyCol)).distinct()
+    val acc = stages.zip(names).zipWithIndex
+      .foldLeft(universe) { case (prev, ((st, nm), i)) =>
+        val cond =
+          if (i == 0) col(typeCol) === st
+          else col(typeCol) === st &&
+            col(names(i - 1)).isNotNull && col(tsCol) > col(names(i - 1))
+        val base =
+          if (i == 0) events
+          else events.join(broadcast(prev), Seq(keyCol))
+        prev.join(
+          base.filter(cond).groupBy(col(keyCol))
+            .agg(min(col(tsCol)).as(nm)),
+          Seq(keyCol), "left")
+      }
+    acc.select(col(keyCol) +:
+      names.map(n => col(n).isNotNull.cast("int"))
+        .reduce(_ + _).cast("long").as("funnel_stage") +:
+      names.map(col): _*)
+  }
 }

@@ -85,6 +85,33 @@ class JoinsSpec extends AnyFunSuite {
       (1L, 31L, 1L), (2L, 5L, 0L)))
   }
 
+  test("funnel: strict ordering between stages, same-instant tie " +
+       "does not advance, stall nulls the tail") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "signup", 30L),
+      (1L, "purchase", 40L),
+      // user 2: purchase BEFORE signup -> stalls at click
+      (2L, "view", 10L), (2L, "click", 20L), (2L, "purchase", 25L),
+      (2L, "signup", 30L),
+      // user 3: click at the SAME instant as view -> tie, no advance
+      (3L, "view", 10L), (3L, "click", 10L),
+      // user 4: never viewed -> stage 0 despite later events
+      (4L, "click", 5L), (4L, "purchase", 6L)
+    ).toDF("user_id", "event_type", "tsu")
+    val out = graft.rep.Joins.funnel(ev,
+        Seq("view", "click", "signup", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 4L, s"$out")
+    // user 2's purchase@25 precedes signup@30: the signup stage
+    // still completes (30 > click@20) but purchase cannot follow it
+    assert(out(2L) == 3L,
+      s"out-of-order purchase must not close the funnel: $out")
+    assert(out(3L) == 1L, s"same-instant tie must not advance: $out")
+    assert(out(4L) == 0L, s"$out")
+  }
+
   test("bloom decontamination: finds every truly contaminated doc " +
        "(no false negatives), and the planted-clean doc survives") {
     import spark.implicits._
