@@ -112,6 +112,51 @@ object CLI {
           Access.writeData(snk)
       }),
 
+    // The crawl->clean-text extraction chain through the lifecycle:
+    // strip markup, apply the C4 line/page rules, canonicalize
+    // (NFC+lower+collapse, optional accent fold) — the stage every
+    // text operator downstream assumes has already run.
+    "preprocess" -> Registered(
+      "preprocess",
+      "extraction chain: html strip -> C4 line/page gate -> " +
+        "normalize (+ optional accent fold), kept docs as parquet",
+      OptionsSchema(Seq(
+        OptField("minWordsPerLine", Some(OptNum(3)),
+          "C4: minimum words for a line to survive"),
+        OptField("foldAccents", Some(OptBool(false)),
+          "also accent-fold the cleaned text"))),
+      (spark, opts) => {
+        def num(v: OptValue): Double = v match {
+          case OptNum(n) => n
+          case other     => other.render.toDouble
+        }
+        val minWords = num(opts("minWordsPerLine")).toInt
+        val foldAcc = opts("foldAccents") match {
+          case OptBool(b) => b
+          case other      => other.render.toBoolean
+        }
+        val src = VirtualFile(VPath("/documents"), Seq("parquet"),
+          Usage.Source)
+        val snk = VirtualFile(VPath("/Outputs/clean"), Seq("parquet"),
+          Usage.Sink)
+        Access.getDataReader(src) >>>
+          PTask.arr { (r: Access.DataReader) =>
+            import graft.llm.TextAnalysis
+            val stripped = TextAnalysis.htmlStrip(r.read(),
+                minTags = 2)
+              .select(col("doc_id"), col("text_clean").as("text"))
+            val gated = TextAnalysis.c4Filter(stripped,
+                minWordsPerLine = minWords)
+              .filter(col("kept")).select(col("doc_id"))
+            val norm0 = TextAnalysis.normalizeText(col("text"))
+            val norm = if (foldAcc) TextAnalysis.accentFold(norm0)
+                       else norm0
+            stripped.join(gated, Seq("doc_id"))
+              .select(col("doc_id"), norm.as("text"))
+          } >>>
+          Access.writeData(snk)
+      }),
+
     // The compliance sweep through the same task-algebra lifecycle:
     // per-doc typed-PII/blocklist/secret verdicts to one sink, the
     // per-source rollup (the safetyMonitor batch shape) to another —

@@ -671,6 +671,39 @@ class ConfigSpec extends AnyFunSuite {
     graft.cache.Pins.release(spark)
   }
 
+  test("preprocess pipeline: html strip + C4 gate + normalization " +
+       "chain end-to-end") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    import spark.implicits._
+    val base = "/root/repo/target/scratch/cli_preprocess"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    // planted raw corpus: one markup page that cleans to a kept doc,
+    // one line-rule casualty, one lorem page
+    Seq(
+      (1L, "<p>This  Sentence   survives the whole chain.</p>"),
+      (2L, "too short"),
+      (3L, "lorem ipsum dolor sit amet. fine line here."))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$base/raw.parquet")
+    val specFile = s"$base/pre.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(specFile),
+      s"""data: {minWordsPerLine: 3}
+         |locations:
+         |  /documents: $base/raw.parquet
+         |  /Outputs/clean: $base/clean.parquet
+         |""".stripMargin)
+    CLI.run(Array("preprocess", "run", specFile), spark)
+    val out = spark.read.parquet(s"$base/clean.parquet")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L),
+      s"only the clean page survives: ${out.keySet}")
+    assert(out(1L) == "this sentence survives the whole chain.",
+      s"strip + normalize must compose: '${out(1L)}'")
+  }
+
   test("safety pipeline: one cached scan feeds both the per-doc " +
        "queue and the per-source rollup sink") {
     val spark = org.apache.spark.sql.SparkSession.builder()
