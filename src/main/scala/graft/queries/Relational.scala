@@ -447,6 +447,27 @@ object Relational {
           unix_micros($"ts").as("tsu")),
         stages = Seq("view", "click", "signup", "purchase"))
         .orderBy($"user_id")
+    }),
+
+    // --- cohort retention matrix: users grouped by first-activity
+    // week, distinct-active counts at each week offset — the classic
+    // retention triangle. Week-truncated stamps make every offset an
+    // exact multiple of 7 days (floor is belt-and-braces); cohorts
+    // come from one min-aggregate broadcast back onto the stream,
+    // and the matrix is a (cohorts x offsets)-bounded aggregate.
+    "q30_retention" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Star.events(s, dir)
+        .select($"user_id", date_trunc("week", $"ts").as("wk"))
+      val first = ev.groupBy($"user_id").agg(min($"wk").as("cohort"))
+      ev.join(broadcast(first), Seq("user_id"))
+        .select($"cohort",
+          floor(datediff($"wk".cast("date"), $"cohort".cast("date"))
+            .cast("double") / 7.0).cast("long").as("week_offset"),
+          $"user_id")
+        .groupBy($"cohort", $"week_offset")
+        .agg(count_distinct($"user_id").as("n_active"))
+        .orderBy($"cohort", $"week_offset")
     })
   )
 
@@ -708,6 +729,24 @@ object Relational {
            LEFT JOIN s2 USING (user_id)
            LEFT JOIN s3 USING (user_id)
            LEFT JOIN s4 USING (user_id)
-         ORDER BY user_id"""
+         ORDER BY user_id""",
+
+    // retention replay: same week truncation (ISO Monday start in
+    // both engines), min-week cohort, floor day-diff / 7 offsets.
+    "q30_retention" ->
+      """WITH ev AS (
+           SELECT user_id,
+             date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+           FROM events),
+         first AS (
+           SELECT user_id, min(wk) AS cohort FROM ev
+           GROUP BY user_id)
+         SELECT f.cohort,
+           CAST(floor(date_diff('day', CAST(f.cohort AS DATE),
+             CAST(e.wk AS DATE)) / 7.0) AS BIGINT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_active
+         FROM ev e JOIN first f USING (user_id)
+         GROUP BY f.cohort, week_offset
+         ORDER BY f.cohort, week_offset"""
   )
 }
