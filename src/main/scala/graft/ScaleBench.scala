@@ -350,6 +350,10 @@ object ScaleBench {
         graft.llm.Dedup.tfidfCosinePairs(docs, minSim = 0.1,
           maxDf = 50).count())
 
+      // CDC chunking: row-local boundary/slice arrays + one df agg
+      runProbe("cdc_chunks", f, nDocs)(
+        graft.llm.Dedup.cdcChunks(docs).count())
+
       // MMR: candidate generation is the broadcast-query corpus scan
       // (Q fixed at the first-copy slice); the greedy loop is
       // O(k·N·dim) per query, constant per query as the corpus grows

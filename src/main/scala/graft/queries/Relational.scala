@@ -468,6 +468,32 @@ object Relational {
         .groupBy($"cohort", $"week_offset")
         .agg(count_distinct($"user_id").as("n_active"))
         .orderBy($"cohort", $"week_offset")
+    }),
+
+    // --- hourly rate anomaly: per event_type, each observed hour's
+    // count z-scored against its trailing 24 OBSERVED hours (row
+    // frame — empty hours are absent in both engines, so the basis
+    // is identical). Decimal-exact trailing moments; z on the
+    // rounded scale; hours with < 6 trailing observations report
+    // z = 0 (no baseline). The telemetry burst/outage detector.
+    "q31_rate_anomaly" -> ((s, dir) => {
+      import s.implicits._
+      val hourly = Star.events(s, dir)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"event_type").orderBy($"hour")
+        .rowsBetween(-24, -1)
+      val cnt = count(lit(1)).over(w)
+      val mu = sum($"n".cast("decimal(38,12)")).over(w)
+        .cast("double") / cnt.cast("double")
+      val msq = sum(($"n" * $"n").cast("decimal(38,12)")).over(w)
+        .cast("double") / cnt.cast("double")
+      val sg = sqrt(greatest(lit(0.0), msq - mu * mu))
+      val z = when(cnt >= 6 && sg > 0.0,
+        round(($"n".cast("double") - mu) / sg, 6)).otherwise(0.0)
+      hourly.select($"event_type", $"hour", $"n", z.as("z"))
+        .withColumn("anomalous", abs($"z") >= 3.0)
+        .orderBy($"event_type", $"hour")
     })
   )
 
@@ -747,6 +773,37 @@ object Relational {
            COUNT(DISTINCT e.user_id) AS n_active
          FROM ev e JOIN first f USING (user_id)
          GROUP BY f.cohort, week_offset
-         ORDER BY f.cohort, week_offset"""
+         ORDER BY f.cohort, week_offset""",
+
+    // rate-anomaly replay: same observed-hour basis, decimal
+    // trailing moments over ROWS 24 PRECEDING .. 1 PRECEDING.
+    "q31_rate_anomaly" ->
+      """WITH hourly AS (
+           SELECT event_type,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             count(*) AS n
+           FROM events GROUP BY event_type, hour),
+         m AS (
+           SELECT event_type, hour, n,
+             COUNT(*) OVER tw AS cnt,
+             CAST(SUM(CAST(n AS DECIMAL(38,12))) OVER tw AS DOUBLE)
+               AS s1,
+             CAST(SUM(CAST(n * n AS DECIMAL(38,12))) OVER tw
+               AS DOUBLE) AS s2
+           FROM hourly
+           WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+         zt AS (
+           SELECT event_type, hour, n,
+             CASE WHEN cnt >= 6 AND
+               sqrt(greatest(0.0, s2 / cnt - (s1/cnt) * (s1/cnt)))
+                 > 0.0
+               THEN round((CAST(n AS DOUBLE) - s1 / cnt) /
+                 sqrt(greatest(0.0, s2 / cnt - (s1/cnt) * (s1/cnt))),
+                 6)
+               ELSE 0.0 END AS z
+           FROM m)
+         SELECT event_type, hour, n, z, abs(z) >= 3.0 AS anomalous
+         FROM zt ORDER BY event_type, hour"""
   )
 }
