@@ -58,6 +58,37 @@ object Dedup {
           .as("weight"))
   }
 
+  /** Effective dataset size — the headline accounting table a
+    * dataset card quotes: per source, raw docs/tokens vs the
+    * EFFECTIVE token count under [[dupWeights]]'s soft dedup
+    * (`Σ weight·n_tokens`, unit mass per distinct content, copies
+    * charged where they live), plus the savings fraction a hard
+    * exact-dedup pass would realize. Dashboards read this before
+    * any mixture decision: a source whose effective size is half
+    * its raw size is buying its share with copies.
+    *
+    * Scale shape: [[dupWeights]]'s hash-group + join-back plan plus
+    * one token-count aggregate — text never shuffles, the report is
+    * |sources| rows; the weighted sum is decimal so the table
+    * replays bit-exact. */
+  def effectiveSize(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id",
+                    srcCol: String = "source"): DataFrame = {
+    val nt = docs.select(col(idCol), col(srcCol),
+      graft.llm.TextAnalysis.tokenCount(col(textCol)).as("_nt"))
+    nt.join(dupWeights(docs, textCol, idCol), Seq(idCol))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("raw_tokens"),
+        round(sum((col("weight") * col("_nt").cast("double"))
+          .cast("decimal(38,12)")).cast("double"), 6)
+          .as("eff_tokens"))
+      .withColumn("savings_frac",
+        when(col("raw_tokens") > 0,
+          round(lit(1.0) - col("eff_tokens") /
+            col("raw_tokens").cast("double"), 6)).otherwise(0.0))
+  }
+
   /** Content-defined chunking (the rsync/LBFS rolling-cut idea at
     * token granularity): a chunk boundary falls AFTER token
     * `p + n - 1` wherever the n-gram starting at `p` hashes to

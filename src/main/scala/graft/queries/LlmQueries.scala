@@ -749,6 +749,13 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // effective dataset size: per-source raw vs dup-weighted token
+    // accounting + exact-dedup savings fraction (the dataset-card
+    // headline table).
+    "llm_effective_size" -> ((s, dir) =>
+      Dedup.effectiveSize(table(s, dir, "documents"))
+        .orderBy(col("source"))),
+
     // content-defined chunking: rolling-cut boundaries from the
     // 4-gram hash stream (cut where h % 16 == 0), per-chunk 60-bit
     // key + corpus frequency — the shift-robust dedup granularity.
@@ -2601,6 +2608,27 @@ object LlmQueries {
            round(1.0 / CAST(g.n_copies AS DOUBLE), 6) AS weight
          FROM documents d JOIN g USING (text)
          ORDER BY d.doc_id""",
+    // effective size: the dup_weights value-group device + token
+    // counts, decimal-summed weighted tokens, savings fraction.
+    "llm_effective_size" ->
+      raw"""WITH g AS (SELECT text, COUNT(*) AS n_copies
+                    FROM documents GROUP BY text),
+         t AS (
+           SELECT d.doc_id, d.source,
+             CAST(len(list_filter(regexp_split_to_array(d.text,
+               '\s+'), x -> x <> '')) AS BIGINT) AS nt,
+             round(1.0 / CAST(g.n_copies AS DOUBLE), 6) AS weight
+           FROM documents d JOIN g USING (text))
+         SELECT source, count(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS raw_tokens,
+           round(CAST(SUM(CAST(weight * CAST(nt AS DOUBLE)
+             AS DECIMAL(38,12))) AS DOUBLE), 6) AS eff_tokens,
+           CASE WHEN SUM(nt) > 0 THEN
+             round(1.0 - round(CAST(SUM(CAST(weight *
+               CAST(nt AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE), 6)
+               / CAST(SUM(nt) AS DOUBLE), 6)
+           ELSE 0.0 END AS savings_frac
+         FROM t GROUP BY source ORDER BY source""",
     "llm_jaccard_pairs" ->
       s"""WITH sh AS (
            SELECT doc_id, $shingleSql AS s

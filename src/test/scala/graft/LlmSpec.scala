@@ -1926,6 +1926,26 @@ class LlmSpec extends AnyFunSuite {
     Similarity.clearTrainedCache()
   }
 
+  test("effectiveSize: fully-duplicated source halves its effective " +
+       "tokens; cross-source copies charged where they live") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "a b c d", "dup"), (2L, "a b c d", "dup"),   // 2x copy
+      (3L, "e f g h", "clean"),
+      (4L, "a b c d", "leech")   // third copy, in another source
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.effectiveSize(planted)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // content "a b c d" has 3 copies -> weight 1/3 each
+    assert(out("dup") == ((2L, 8L, 2.666664, 0.666667)),
+      s"${out("dup")}")
+    assert(out("clean") == ((1L, 4L, 4.0, 0.0)), s"${out("clean")}")
+    assert(out("leech")._3 == 1.333332,
+      s"the cross-source copy pays its own share: ${out("leech")}")
+  }
+
   test("cdcChunks: chunks partition the token stream; a front " +
        "insertion leaves most chunk hashes intact (shift " +
        "robustness)") {
