@@ -335,12 +335,38 @@ object IngestStream {
   def noveltyBatch(batch: DataFrame, gramDir: String, reportDir: String,
                   n: Int = 8, tau: Double = 0.5,
                   textCol: String = "text", idCol: String = "doc_id",
-                  batchId: Long): Unit = {
-    import org.apache.spark.storage.StorageLevel
-    val spark = batch.sparkSession
-    val bg = batch.select(col(idCol), explode(array_distinct(
+                  batchId: Long): Unit =
+    noveltyBatchWith(
+      batch.select(col(idCol), explode(array_distinct(
         graft.functions.SketchExprs.windowHashes(col(textCol), n)))
-        .as("h"))
+        .as("h")),
+      batch.sparkSession, gramDir, reportDir, tau, idCol, batchId)
+
+  /** [[noveltyBatch]] over CDC chunk keys instead of window grams —
+    * the SAME novelty contract with a standing layer ~`div`× smaller
+    * (one key per chunk, not per token position), and chunk
+    * boundaries that re-synchronize after edits
+    * ([[graft.llm.Dedup.cdcChunks]]), so a lightly-edited re-ingest
+    * still scores near zero. The layer a continuously-deduped corpus
+    * actually wants to carry at 100 TB. */
+  def cdcNoveltyBatch(batch: DataFrame, chunkDir: String,
+                      reportDir: String, n: Int = 4, div: Int = 16,
+                      tau: Double = 0.5, textCol: String = "text",
+                      idCol: String = "doc_id", batchId: Long): Unit =
+    noveltyBatchWith(
+      graft.llm.Dedup.cdcChunks(batch, n, div, textCol, idCol)
+        .select(col(idCol), col("chunk_hash").as("h")).distinct(),
+      batch.sparkSession, chunkDir, reportDir, tau, idCol, batchId)
+
+  /** Shared novelty core: per-doc unseen-key fraction against the
+    * standing key layer, batch-keyed overwrite publishing of both
+    * the report and the layer's novel-key growth. */
+  private def noveltyBatchWith(bg: DataFrame,
+                               spark: org.apache.spark.sql.SparkSession,
+                               gramDir: String, reportDir: String,
+                               tau: Double, idCol: String,
+                               batchId: Long): Unit = {
+    import org.apache.spark.storage.StorageLevel
     val layer = layerReadable(spark, gramDir).map { l0 =>
       val l =
         if (l0.columns.contains("ingest_batch"))
@@ -386,6 +412,27 @@ object IngestStream {
       .foreachBatch { (batch: Dataset[Row], bid: Long) =>
         noveltyBatch(batch.toDF(), gramDir, reportDir, n, tau,
           textCol, idCol, batchId = bid)
+      }
+      .trigger(trigger)
+      .start()
+
+  /** Streaming CDC-novelty monitor: [[cdcNoveltyBatch]] over a
+    * document stream — [[noveltyMonitor]]'s contract with the
+    * chunk-granularity layer. */
+  def cdcNoveltyMonitor(docs: DataFrame, chunkDir: String,
+                        reportDir: String, n: Int = 4, div: Int = 16,
+                        tau: Double = 0.5, textCol: String = "text",
+                        idCol: String = "doc_id",
+                        checkpointDir: Option[String] = None,
+                        trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$chunkDir/_checkpoints"))
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        cdcNoveltyBatch(batch.toDF(), chunkDir, reportDir, n, div,
+          tau, textCol, idCol, batchId = bid)
       }
       .trigger(trigger)
       .start()

@@ -613,6 +613,40 @@ class StreamingSpec extends AnyFunSuite {
       "streaming report must equal the batch op on the same data")
   }
 
+  test("cdcNoveltyBatch: re-ingest scores ~0, an EDITED re-ingest " +
+       "stays low (chunk boundaries re-sync), layer is chunk-sized") {
+    import graft.streaming.IngestStream
+    import spark.implicits._
+    val base = "/root/repo/target/scratch/cdc_novelty"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val words = (1 to 600).map(i => s"t${i * 11 % 509}n$i")
+    val docs1 = Seq((1L, words.take(300).mkString(" ")),
+      (2L, words.drop(300).mkString(" "))).toDF("doc_id", "text")
+    IngestStream.cdcNoveltyBatch(docs1, s"$base/chunks",
+      s"$base/report", batchId = 0L)
+    val r0 = spark.read.parquet(s"$base/report/ingest_batch=0")
+    assert(r0.filter(col("novelty_frac") =!= 1.0).count() == 0,
+      "first batch against an empty layer is all-novel")
+    // batch 1: doc 1 re-ingested verbatim, doc 2 with ONE token
+    // inserted at the front
+    val docs2 = Seq((11L, words.take(300).mkString(" ")),
+      (12L, "editmarker " + words.drop(300).mkString(" ")))
+      .toDF("doc_id", "text")
+    IngestStream.cdcNoveltyBatch(docs2, s"$base/chunks",
+      s"$base/report", batchId = 1L)
+    val r1 = spark.read.parquet(s"$base/report/ingest_batch=1")
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[Double]("novelty_frac")).toMap
+    assert(r1(11L) == 0.0, s"verbatim re-ingest must score 0: $r1")
+    assert(r1(12L) <= 0.35,
+      s"CDC boundaries must re-sync after the edit: $r1")
+    // the standing layer is chunk-sized: far fewer keys than the
+    // 8-gram layer the gram-novelty monitor would carry
+    val layer = spark.read.parquet(s"$base/chunks")
+    assert(layer.count() < 120,
+      s"chunk layer must be ~n_tokens/div keys, got ${layer.count()}")
+  }
+
   test("safetyMonitor: stream report equals the batch safetyScan " +
        "rollup; stateless (no standing layer)") {
     import graft.streaming.IngestStream
