@@ -297,6 +297,20 @@ object LlmQueries {
           iters = 2)
         .orderBy(col("label"), col("cell_id"))),
 
+    // JL-accelerated top-k: candidates in the 16-dim projected space
+    // (4x cheaper dots), exact rerank of the top-50 survivors on the
+    // full vectors — the projection's scale path, hash-verified
+    // end-to-end.
+    "llm_jl_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      Similarity.jlTopKRerank(emb, q, k = 10, outDim = 16,
+          rerank = 50)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // JL random sign projection to 8 dims (long form): the row-local
     // pre-projection that cuts downstream ANN scan cost 8x; matrix
     // from md5(seed:k:j) nibbles so both engines build it identically.
@@ -3078,6 +3092,56 @@ object LlmQueries {
     "llm_embed_outliers" -> embedOutliersOracle(iters = 2, z = 2.0),
     "llm_topic_mix" -> topicMixOracle(iters = 2),
     "llm_source_topic_mi" -> sourceTopicMiOracle(iters = 2),
+    // JL top-k replay: the rand_proj matrix via a k-join (no nested
+    // lambdas — the llm_winnow capture-bug rule), ordered list() to
+    // 16-dim vectors, projected cosine cut at 50, exact-cosine
+    // rerank to 10 (the llm_topk tie rule at both stages).
+    "llm_jl_topk" ->
+      s"""WITH prj AS (
+           SELECT e.vec_id, ks.k,
+             list_sum(list_transform(
+               generate_series(1, len(e.embedding)),
+               j -> CAST(e.embedding[j] AS DOUBLE) *
+                 (CASE WHEN substring(md5('jl:' ||
+                     CAST(ks.k AS VARCHAR) || ':' ||
+                     CAST(j - 1 AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+                   THEN 1.0 ELSE -1.0 END)))
+               * (1.0 / sqrt(16.0)) AS p
+           FROM embeddings e
+           CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks),
+         pvec AS (
+           SELECT vec_id, list(p ORDER BY k) AS pv
+           FROM prj GROUP BY vec_id),
+         qs AS (
+           SELECT vec_id AS query_id, pv AS qv FROM pvec
+           WHERE vec_id % 100 = 0),
+         cscore AS (
+           SELECT q.query_id, c.vec_id,
+             round(list_sum(list_transform(list_zip(c.pv, q.qv),
+                 t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(c.pv, x -> x * x)))
+                * sqrt(list_sum(list_transform(q.qv, x -> x * x)))),
+               6) AS cosp
+           FROM pvec c CROSS JOIN qs q),
+         cand AS (
+           SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY cosp DESC, vec_id ASC)
+               AS rn
+             FROM cscore) WHERE rn <= 50),
+         ex AS (
+           SELECT c.query_id, c.vec_id, $cosineSql AS cosine
+           FROM cand c
+           JOIN embeddings a ON a.vec_id = c.vec_id
+           JOIN embeddings b ON b.vec_id = c.query_id)
+         SELECT query_id, rank, vec_id, cosine FROM (
+           SELECT query_id, vec_id, cosine, ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id ASC) AS rank
+           FROM ex) WHERE rank <= 10
+         ORDER BY query_id, rank""",
+
     // JL projection replay: the md5-nibble sign matrix inline in a
     // dimension-ordered list_sum fold, same 1/sqrt(d') constant.
     "llm_rand_proj" ->
