@@ -571,6 +571,39 @@ object TextAnalysis {
       .withColumn("keep", col("n_pass") >= 2)
   }
 
+  /** Per-source quality pass rates WITH uncertainty — the Wilson
+    * score interval (the small-n-safe binomial CI) over
+    * [[qualityEnsemble]]'s majority verdict: a 300-doc source at
+    * 0.72 and a 3M-doc source at 0.72 are different facts, and
+    * threshold decisions ("drop sources under 0.5") should compare
+    * interval bounds, not point rates. One row per source:
+    * `(source, n_docs, n_keep, rate, ci_lo, ci_hi)`, all arithmetic
+    * from exact counts in fixed textual order (replays bit-exact).
+    *
+    * Scale: the ensemble's zero-shuffle scan + one |sources|-row
+    * aggregate; the CI math is per-row arithmetic on the tiny
+    * rollup. */
+  def qualityCi(docs: DataFrame, z: Double = 1.96,
+                textCol: String = "text", idCol: String = "doc_id",
+                srcCol: String = "source"): DataFrame = {
+    val agg = qualityEnsemble(docs, textCol = textCol, idCol = idCol,
+        srcCol = srcCol)
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+    val n = col("n_docs").cast("double")
+    val p = col("n_keep").cast("double") / n
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / n +
+      z2 / (lit(4.0) * n * n))) / denom
+    agg.select(col(srcCol), col("n_docs"), col("n_keep"),
+      round(p, 6).as("rate"),
+      round(center - half, 6).as("ci_lo"),
+      round(center + half, 6).as("ci_hi"))
+  }
+
   /** Per-source excess-loss reweighting — the DoReMi-flavored
     * mixture adjustment (Xie et al. 2023, arXiv:2305.10429, reduced
     * to its one-shot deterministic core): sources whose documents a

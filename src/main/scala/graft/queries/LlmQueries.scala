@@ -511,6 +511,12 @@ object LlmQueries {
       TextAnalysis.qualityEnsemble(table(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // per-source quality pass rates with Wilson CIs — threshold
+    // decisions compare interval bounds, not point rates.
+    "llm_quality_ci" -> ((s, dir) =>
+      TextAnalysis.qualityCi(table(s, dir, "documents"))
+        .orderBy(col("source"))),
+
     // quality features + filter: the classic length/punct gate.
     "llm_quality" -> ((s, dir) =>
       TextAnalysis.qualityFeatures(table(s, dir, "documents"))
@@ -2752,6 +2758,76 @@ object LlmQueries {
          FROM tk WHERE len(tk) >= 3 ORDER BY doc_id""",
     "llm_gopher" -> gopherOracle,
     "llm_quality_nb" -> qualityNbOracle,
+    // quality CI: the ensemble verdict chain rolled to per-source
+    // counts, then the Wilson interval in the engine's exact
+    // operation order.
+    "llm_quality_ci" ->
+      raw"""WITH $gopherCtes,
+         tkq AS (
+           SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+               t -> t <> '')) AS n_tok,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text,
+               '[^A-Za-z0-9\s]', '', 'g')) AS n_punct
+           FROM documents),
+         rp AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               round(1.0 - len(list_distinct(list_transform(
+                   generate_series(1, len(tk) - 2),
+                   i -> array_to_string(tk[i:i+2], ' '))))
+                 / CAST(len(tk) - 2 AS DOUBLE), 6)
+             ELSE 0.0 END AS rep_ratio
+           FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '')
+                   AS tk FROM documents)),
+         v AS (
+           SELECT d.source,
+             (CAST(g.kept AS INT) +
+              CAST((t.n_tok >= 20 AND
+                (CASE WHEN t.n_chars > 0
+                   THEN CAST(t.n_punct AS DOUBLE) / t.n_chars
+                   ELSE 0.0 END) < 0.05) AS INT) +
+              CAST((rp.rep_ratio < 0.2) AS INT)) >= 2 AS keep
+           FROM documents d
+           JOIN gfr g ON g.doc_id = d.doc_id
+           JOIN tkq t ON t.doc_id = d.doc_id
+           JOIN rp ON rp.doc_id = d.doc_id),
+         agg AS (
+           SELECT source, count(*) AS n_docs,
+             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep
+           FROM v GROUP BY source)
+         SELECT source, n_docs, n_keep,
+           round(CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+             AS rate,
+           round((CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE)
+               + (1.96*1.96) / (2.0 * CAST(n_docs AS DOUBLE)))
+             / (1.0 + (1.96*1.96) / CAST(n_docs AS DOUBLE))
+             - (1.96 * sqrt(
+                 (CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                 * (1.0 - CAST(n_keep AS DOUBLE)
+                     / CAST(n_docs AS DOUBLE))
+                 / CAST(n_docs AS DOUBLE)
+                 + (1.96*1.96) / (4.0 * CAST(n_docs AS DOUBLE)
+                     * CAST(n_docs AS DOUBLE))))
+               / (1.0 + (1.96*1.96) / CAST(n_docs AS DOUBLE)), 6)
+             AS ci_lo,
+           round((CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE)
+               + (1.96*1.96) / (2.0 * CAST(n_docs AS DOUBLE)))
+             / (1.0 + (1.96*1.96) / CAST(n_docs AS DOUBLE))
+             + (1.96 * sqrt(
+                 (CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                 * (1.0 - CAST(n_keep AS DOUBLE)
+                     / CAST(n_docs AS DOUBLE))
+                 / CAST(n_docs AS DOUBLE)
+                 + (1.96*1.96) / (4.0 * CAST(n_docs AS DOUBLE)
+                     * CAST(n_docs AS DOUBLE))))
+               / (1.0 + (1.96*1.96) / CAST(n_docs AS DOUBLE)), 6)
+             AS ci_hi
+         FROM agg ORDER BY source""",
+
     // ensemble: the proven gopher CTEs + the llm_quality punct/token
     // replay + the llm_repetition replay, folded to the majority rule.
     "llm_quality_ensemble" ->

@@ -1926,6 +1926,32 @@ class LlmSpec extends AnyFunSuite {
     Similarity.clearTrainedCache()
   }
 
+  test("qualityCi: Wilson bounds bracket the rate, stay in [0,1], " +
+       "and tighten with n") {
+    import spark.implicits._
+    val good = (1 to 40).map(i => s"word$i").mkString(" ")
+    val bad = "x y x y x y x y x y x y"
+    // small source: 2 good + 2 bad; big source: 40 good + 10 bad
+    val planted = ((1 to 2).map(i => (i.toLong, good, "small")) ++
+      (3 to 4).map(i => (i.toLong, bad, "small")) ++
+      (10 to 49).map(i => (i.toLong, good, "big")) ++
+      (50 to 59).map(i => (i.toLong, bad, "big")))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.qualityCi(planted)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(4),
+         r.getDouble(5))).toMap
+    out.foreach { case (s, (n, rate, lo, hi)) =>
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= rate && rate <= hi,
+        s"$s: n=$n rate=$rate [$lo, $hi]")
+    }
+    // the small source's interval must be wider than the big one's
+    val wSmall = out("small")._4 - out("small")._3
+    val wBig = out("big")._4 - out("big")._3
+    assert(wSmall > wBig,
+      s"CI must tighten with n: small=$wSmall big=$wBig")
+  }
+
   test("effectiveSize: fully-duplicated source halves its effective " +
        "tokens; cross-source copies charged where they live") {
     import spark.implicits._
