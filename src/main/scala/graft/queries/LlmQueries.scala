@@ -1399,6 +1399,22 @@ object LlmQueries {
             "doc_id", "text", "image"), maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // multimodal dedup END-TO-END: byte-SimHash near-dup pairs ->
+    // connected components -> min-id representative per blob cluster
+    // (the text neardup_dedup chain at blob granularity).
+    "llm_mm_dedup" -> ((s, dir) => {
+      val blobs = Multimodal.asBlobs(
+        table(s, dir, "documents")
+          .filter(length(col("text")) === octet_length(col("text"))),
+        "doc_id", "text", "image")
+      Dedup.keepRepresentatives(blobs,
+          Dedup.connectedComponents(
+            Multimodal.blobNearDupPairs(blobs, maxDist = 3)),
+          idCol = "media_id")
+        .select(col("media_id"))
+        .orderBy(col("media_id"))
+    }),
+
     // BM25 top-5 lexical retrieval: 8-token prefix queries from every
     // 100th doc against the rest — the sparse counterpart of llm_topk.
     // (Short queries are the realistic shape; the synthetic corpus's
@@ -4969,6 +4985,54 @@ object LlmQueries {
                AS hamming
            FROM pp)
          WHERE hamming <= 3 ORDER BY id_a, id_b""",
+
+    // mm dedup: the proven bit-vote pair CTEs + the recursive
+    // closure + min-id keep (the verified_dedup device at blob
+    // granularity); universe = the ascii-eligible blob set.
+    "llm_mm_dedup" ->
+      """WITH RECURSIVE dt AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, length(text) - 3),
+             i -> substring(text, i, 4))) AS wins
+           FROM documents
+           WHERE length(text) >= 4 AND length(text) = strlen(text)),
+         hx AS (
+           SELECT doc_id, list_transform(wins, w ->
+             [CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT),
+              CAST(('0x' || substring(md5(w), 9, 8)) AS BIGINT)]) AS hs
+           FROM dt),
+         bits AS (
+           SELECT doc_id, list_transform(generate_series(0, 63), j ->
+             CASE WHEN list_sum(list_transform(hs, h ->
+               CASE WHEN ((CASE WHEN j >= 32 THEN h[1] >> (j - 32)
+                                ELSE h[2] >> j END) & 1) = 1
+                 THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) AS sb
+           FROM hx),
+         pp AS (
+           SELECT a.doc_id AS id_a, a.sb AS ba, b.doc_id AS id_b,
+             b.sb AS bb
+           FROM bits a JOIN bits b ON a.doc_id < b.doc_id),
+         vp AS (
+           SELECT id_a, id_b FROM (
+             SELECT id_a, id_b,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                 i -> CASE WHEN ba[i] = bb[i] THEN 0 ELSE 1 END))
+                 AS BIGINT) AS hamming
+             FROM pp)
+           WHERE hamming <= 3),
+         edges AS (SELECT id_a AS a, id_b AS b FROM vp
+                   UNION ALL SELECT id_b, id_a FROM vp),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (SELECT a AS id, least(a, min(b)) AS component
+                  FROM reach GROUP BY a)
+         SELECT d.doc_id AS media_id FROM documents d
+         WHERE length(d.text) = strlen(d.text)
+           AND NOT EXISTS (SELECT 1 FROM comp c
+                           WHERE c.id = d.doc_id AND c.component < c.id)
+         ORDER BY media_id""",
 
     // BPE merge-pair replay: row-local adjacent pairs via
     // generate_series, identical count/df ranking.

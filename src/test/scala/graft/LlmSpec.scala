@@ -1926,6 +1926,31 @@ class LlmSpec extends AnyFunSuite {
     Similarity.clearTrainedCache()
   }
 
+  test("mm dedup chain: tampered re-upload collapses to the lower " +
+       "media_id, distinct blob survives") {
+    import spark.implicits._
+    // high-entropy payload: a short cyclic string would collapse to
+    // a handful of distinct 4-byte windows and the one-char tamper
+    // would flip too many vote bits
+    val rnd = new scala.util.Random(7)
+    val payload = Array.fill(2000)(('a' + rnd.nextInt(26)).toChar)
+      .mkString
+    val other = Array.fill(2000)(('a' + rnd.nextInt(26)).toChar)
+      .mkString
+    val planted = Seq(
+      (1L, payload), (2L, payload.updated(50, 'Z')),  // near-dup pair
+      (3L, other)                                      // distinct
+    ).toDF("doc_id", "text")
+    val blobs = Multimodal.asBlobs(planted, "doc_id", "text", "image")
+    val kept = Dedup.keepRepresentatives(blobs,
+        Dedup.connectedComponents(
+          Multimodal.blobNearDupPairs(blobs, maxDist = 3)),
+        idCol = "media_id")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L),
+      s"cluster keeps its min id, distinct blob survives: $kept")
+  }
+
   test("qualityCi: Wilson bounds bracket the rate, stay in [0,1], " +
        "and tighten with n") {
     import spark.implicits._
