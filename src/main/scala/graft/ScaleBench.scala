@@ -350,6 +350,18 @@ object ScaleBench {
         graft.llm.Dedup.tfidfCosinePairs(docs, minSim = 0.1,
           maxDf = 50).count())
 
+      // multimodal dedup end-to-end: banded byte-SimHash pairs ->
+      // components -> keep; sketches shuffle, blobs never do
+      runProbe("mm_dedup", f, nDocs) {
+        val blobs = graft.llm.Multimodal.asBlobs(
+          docs.filter(length(col("text")) === octet_length(col("text"))),
+          "doc_id", "text", "image")
+        graft.llm.Dedup.keepRepresentatives(blobs,
+          graft.llm.Dedup.connectedComponents(
+            graft.llm.Multimodal.blobNearDupPairs(blobs, maxDist = 3)),
+          idCol = "media_id").count()
+      }
+
       // CDC chunking: row-local boundary/slice arrays + one df agg
       runProbe("cdc_chunks", f, nDocs)(
         graft.llm.Dedup.cdcChunks(docs).count())
