@@ -220,6 +220,26 @@ object Mixing {
       .drop("_b")
   }
 
+  /** Packing report over a [[packSequences]] result — the gauge a
+    * training-loader config reads: per pack, how many docs START in
+    * it, how many of those SPILL over the boundary
+    * (`pack_offset + n_tokens > seqTokens` — exactly the docs whose
+    * attention mask must handle a cross-pack boundary, the cost of
+    * contiguous stream packing), and the token mass starting there.
+    * A high split fraction at a given seqTokens argues for a longer
+    * sequence or a doc-boundary-aware packer.
+    *
+    * Scale: one (pack_id)-keyed aggregate over the packed relation —
+    * the packing's own bucketed plan already did the heavy work. */
+  def packReport(packed: DataFrame, seqTokens: Long): DataFrame = {
+    require(seqTokens > 0, "seqTokens must be positive")
+    packed.groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pack_offset") + col("n_tokens") > seqTokens,
+          1L).otherwise(0L)).as("n_split"),
+        sum(col("n_tokens")).as("tokens_started"))
+  }
+
   /** The direct form of [[packSequences]]: ONE global running-sum
     * window (single partition — the semantic reference, not the scale
     * path). */

@@ -865,6 +865,14 @@ object LlmQueries {
           col("pack_id"), col("pack_offset"))
         .orderBy(col("doc_id"))),
 
+    // packing report: per pack, docs starting there and the
+    // boundary-spill count — the cross-pack-attention gauge.
+    "llm_pack_report" -> ((s, dir) =>
+      Mixing.packReport(
+        Mixing.packSequences(table(s, dir, "documents"),
+          seqTokens = 2048), seqTokens = 2048)
+        .orderBy(col("pack_id"))),
+
     // end-to-end curation pipeline: quality gate -> corpus-wide
     // repeated-passage removal -> exact dedup of the cleaned text ->
     // deterministic split. Each stage is green on its own oracle; this
@@ -4050,6 +4058,32 @@ object LlmQueries {
            token_start // 2048 AS pack_id,
            token_start % 2048 AS pack_offset
          FROM s ORDER BY doc_id""",
+    // pack report: the proven llm_pack CTEs + the per-pack rollup.
+    "llm_pack_report" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+             CAST(coalesce(len(list_filter(
+               regexp_split_to_array(text, '\\s+'),
+               x -> x <> '')), 0) AS BIGINT) AS n_tokens,
+             ${h32Sql("text")} AS h
+           FROM documents),
+         s AS (
+           SELECT doc_id, n_tokens,
+             CAST(coalesce(SUM(n_tokens) OVER (
+               ORDER BY h ASC NULLS FIRST, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS token_start
+           FROM t),
+         p AS (
+           SELECT token_start // 2048 AS pack_id,
+             token_start % 2048 AS pack_offset, n_tokens
+           FROM s)
+         SELECT pack_id, count(*) AS n_docs,
+           CAST(SUM(CASE WHEN pack_offset + n_tokens > 2048
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_split,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_started
+         FROM p GROUP BY pack_id ORDER BY pack_id""",
+
     // whole-chain replay of the curation pipeline; each CTE is the
     // already-proven oracle fragment of its stage.
     "llm_curation_pipeline" ->

@@ -1926,6 +1926,30 @@ class LlmSpec extends AnyFunSuite {
     Similarity.clearTrainedCache()
   }
 
+  test("packReport: per-pack start counts conserve docs; spill " +
+       "flags exactly the boundary-crossing docs") {
+    import spark.implicits._
+    // 5 docs x 600 tokens into 1024-token packs: doc boundaries at
+    // 600/1200/1800/2400 -> starts in packs 0,0,1,1,2; the 600- and
+    // 1800-start docs cross the 1024/2048 boundaries
+    val planted = (1 to 5).map(i =>
+      (i.toLong, (1 to 600).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packed = Mixing.packSequencesWindowed(planted, seqTokens = 1024)
+    val rep = Mixing.packReport(packed, seqTokens = 1024)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rep.values.map(_._1).sum == 5, s"$rep")
+    assert(rep.values.map(_._3).sum == 3000, s"$rep")
+    // every pack holding 2 starts has exactly 1 spiller (600+600 >
+    // 1024); the final pack's single doc ends at 3000 > 2048+1024? no
+    // -> derive expected spills from the packing itself
+    val expSpill = packed.collect().count(r =>
+      r.getAs[Long]("pack_offset") + r.getAs[Long]("n_tokens") > 1024)
+    assert(rep.values.map(_._2).sum == expSpill.toLong, s"$rep")
+    assert(expSpill > 0, "fixture must actually cross boundaries")
+  }
+
   test("mm dedup chain: tampered re-upload collapses to the lower " +
        "media_id, distinct blob survives") {
     import spark.implicits._
