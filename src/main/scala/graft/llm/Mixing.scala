@@ -220,6 +220,75 @@ object Mixing {
       .drop("_b")
   }
 
+  /** Doc-boundary-PRESERVING sequence packing — the padded mode
+    * ([[packSequences]] is the contiguous/splitting mode): a doc
+    * never crosses a pack boundary; if it would, its pack is padded
+    * out and the doc starts on the next boundary. Oversize docs
+    * (`n_tokens > seqTokens`) start on a boundary and occupy their
+    * `ceil(n/seq)` packs exclusively. The price of clean attention
+    * masks is the padding waste [[packReport]] exposes (its
+    * `n_split` is 0 here for non-oversize docs, by construction).
+    *
+    * Scale shape: the same bucketed layout as [[packSequences]] —
+    * docs hash into `nBuckets` buckets, each bucket's sequential
+    * first-fit walk runs inside `flatMapGroups` (parallel across
+    * buckets, deterministic (hash, id) order), bucket footprints are
+    * PADDED to a pack boundary so buckets tile independently, and
+    * the |buckets|-sized footprint table prefixes on the driver
+    * exactly like the splitting packer's offsets. Same output
+    * contract: `(idCol, n_tokens, token_start, pack_id,
+    * pack_offset)`. */
+  def packPadded(docs: DataFrame, seqTokens: Long,
+                 textCol: String = "text", idCol: String = "doc_id",
+                 nBuckets: Int = 16): DataFrame = {
+    require(seqTokens > 0, "seqTokens must be positive")
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
+      "nBuckets must be a power of two")
+    val shift = 32 - Integer.numberOfTrailingZeros(nBuckets)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def ceilB(x: Long): Long =
+      ((x + seqTokens - 1) / seqTokens) * seqTokens
+    val base = docs.select(
+        coalesce(shiftright(Sampling.hashBucket32(col(textCol)), shift),
+          lit(0L)).as("_b"),
+        col(idCol).cast("long").as("_id"),
+        coalesce(Sampling.hashBucket32(col(textCol)), lit(0L))
+          .as("_h"),
+        coalesce(tokenCount(textCol).cast("long"), lit(0L)).as("_nt"))
+      .as[(Long, Long, Long, Long)]
+    val placed = base.groupByKey(_._1).flatMapGroups { (b, it) =>
+      val ds = it.toArray.sortBy(d => (d._3, d._2))
+      var free = 0L
+      val rows = ds.map { case (_, id, _, nt) =>
+        val start =
+          if (nt > seqTokens) ceilB(free)
+          else if (free % seqTokens + nt > seqTokens) ceilB(free)
+          else free
+        free = if (nt > seqTokens) ceilB(start + nt) else start + nt
+        (id, nt, start)
+      }
+      val footprint = ceilB(free)
+      rows.iterator.map { case (id, nt, st) =>
+        (b, id, nt, st, footprint)
+      }
+    }.toDF("_b", idCol, "n_tokens", "_local", "_bsize")
+    val sizes = placed.select(col("_b"), col("_bsize")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val bases: Map[Long, Long] = {
+      var cum = 0L
+      sizes.map { case (b, s) => val o = b -> cum; cum += s; o }.toMap
+    }
+    placed
+      .withColumn("token_start",
+        element_at(typedLit(bases), col("_b")) + col("_local"))
+      .withColumn("pack_id",
+        (col("token_start") / seqTokens).cast("long"))
+      .withColumn("pack_offset", col("token_start") % seqTokens)
+      .select(col(idCol), col("n_tokens"), col("token_start"),
+        col("pack_id"), col("pack_offset"))
+  }
+
   /** Packing report over a [[packSequences]] result — the gauge a
     * training-loader config reads: per pack, how many docs START in
     * it, how many of those SPILL over the boundary

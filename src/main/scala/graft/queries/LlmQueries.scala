@@ -865,6 +865,13 @@ object LlmQueries {
           col("pack_id"), col("pack_offset"))
         .orderBy(col("doc_id"))),
 
+    // padded (non-splitting) packing: docs never cross boundaries —
+    // the clean-attention-mask mode; waste is the padding.
+    "llm_pack_padded" -> ((s, dir) =>
+      Mixing.packPadded(table(s, dir, "documents"), seqTokens = 2048,
+          nBuckets = 16)
+        .orderBy(col("doc_id"))),
+
     // packing report: per pack, docs starting there and the
     // boundary-spill count — the cross-pack-attention gauge.
     "llm_pack_report" -> ((s, dir) =>
@@ -4058,6 +4065,63 @@ object LlmQueries {
            token_start // 2048 AS pack_id,
            token_start % 2048 AS pack_offset
          FROM s ORDER BY doc_id""",
+    // padded packing: per-bucket sequential first-fit walk as a
+    // recursive CTE (recursion advances one rank per step across all
+    // 16 buckets in parallel), bucket footprints padded to a
+    // boundary, driver-prefix replayed as a window over footprints.
+    "llm_pack_padded" ->
+      s"""WITH RECURSIVE t AS (
+           SELECT doc_id,
+             CAST(coalesce(len(list_filter(
+               regexp_split_to_array(text, '\\s+'),
+               x -> x <> '')), 0) AS BIGINT) AS nt,
+             ${h32Sql("text")} AS h
+           FROM documents),
+         r AS (
+           SELECT doc_id, nt, h, h // 268435456 AS b,
+             row_number() OVER (PARTITION BY h // 268435456
+               ORDER BY h, doc_id) AS rn
+           FROM t),
+         walk(b, rn, doc_id, nt, start_off, free) AS (
+           SELECT b, rn, doc_id, nt, CAST(0 AS BIGINT),
+             CASE WHEN nt > 2048
+               THEN ((nt + 2047) // 2048) * 2048 ELSE nt END
+           FROM r WHERE rn = 1
+           UNION ALL
+           SELECT r.b, r.rn, r.doc_id, r.nt,
+             CASE WHEN r.nt > 2048
+                    THEN ((w.free + 2047) // 2048) * 2048
+                  WHEN (w.free % 2048) + r.nt > 2048
+                    THEN ((w.free + 2047) // 2048) * 2048
+                  ELSE w.free END,
+             CASE WHEN r.nt > 2048
+               THEN ((((CASE WHEN r.nt > 2048
+                          THEN ((w.free + 2047) // 2048) * 2048
+                        WHEN (w.free % 2048) + r.nt > 2048
+                          THEN ((w.free + 2047) // 2048) * 2048
+                        ELSE w.free END) + r.nt) + 2047) // 2048)
+                 * 2048
+               ELSE (CASE WHEN r.nt > 2048
+                       THEN ((w.free + 2047) // 2048) * 2048
+                     WHEN (w.free % 2048) + r.nt > 2048
+                       THEN ((w.free + 2047) // 2048) * 2048
+                     ELSE w.free END) + r.nt END
+           FROM walk w JOIN r ON r.b = w.b AND r.rn = w.rn + 1),
+         fp AS (
+           SELECT b, ((max(free) + 2047) // 2048) * 2048 AS bsize
+           FROM walk GROUP BY b),
+         bases AS (
+           SELECT b, CAST(coalesce(SUM(bsize) OVER (
+             ORDER BY b ASC ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS BIGINT) AS base
+           FROM fp)
+         SELECT w.doc_id, w.nt AS n_tokens,
+           CAST(bases.base + w.start_off AS BIGINT) AS token_start,
+           (bases.base + w.start_off) // 2048 AS pack_id,
+           (bases.base + w.start_off) % 2048 AS pack_offset
+         FROM walk w JOIN bases ON bases.b = w.b
+         ORDER BY w.doc_id""",
+
     // pack report: the proven llm_pack CTEs + the per-pack rollup.
     "llm_pack_report" ->
       s"""WITH t AS (

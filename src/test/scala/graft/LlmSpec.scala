@@ -1926,6 +1926,39 @@ class LlmSpec extends AnyFunSuite {
     Similarity.clearTrainedCache()
   }
 
+  test("packPadded: no doc crosses a boundary, oversize docs start " +
+       "on one, intervals are disjoint") {
+    import spark.implicits._
+    val planted = ((1 to 30).map(i =>
+      (i.toLong, (1 to (i * 37 % 900 + 10)).map(j => s"w$j")
+        .mkString(" "))) :+
+      ((99L, (1 to 2500).map(j => s"x$j").mkString(" "))))  // oversize
+      .toDF("doc_id", "text")
+    val out = Mixing.packPadded(planted, seqTokens = 1024,
+        nBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // no non-oversize doc crosses its pack boundary
+    out.filter(_._2 <= 1024).foreach { case (id, nt, _, _, off) =>
+      assert(off + nt <= 1024, s"doc $id crosses: off=$off nt=$nt")
+    }
+    // the oversize doc starts ON a boundary
+    val big = out.find(_._1 == 99L).get
+    assert(big._5 == 0L, s"oversize must start on a boundary: $big")
+    // token intervals are pairwise disjoint (padding never overlaps)
+    val iv = out.map(r => (r._3, r._3 + r._2)).sortBy(_._1).toSeq
+    iv.sliding(2).foreach { w =>
+      if (w.size == 2)
+        assert(w(0)._2 <= w(1)._1, s"overlap: $iv")
+    }
+    // and packReport over the padded layout reports zero splits for
+    // non-oversize docs (the mode's whole point)
+    val rep = Mixing.packReport(
+      Mixing.packPadded(planted.filter(col("doc_id") =!= 99L),
+        seqTokens = 1024, nBuckets = 4), seqTokens = 1024)
+    assert(rep.agg(sum(col("n_split"))).head.getLong(0) == 0L)
+  }
+
   test("packReport: per-pack start counts conserve docs; spill " +
        "flags exactly the boundary-crossing docs") {
     import spark.implicits._
