@@ -775,6 +775,73 @@ object Dedup {
     docs.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Per-document dedup PROVENANCE across the staged dedup chain —
+    * the audit trail a curation pipeline ships next to the cleaned
+    * corpus ("why is doc X gone, and what replaced it"): for every
+    * doc, the FIRST stage that claims it and the direct representative
+    * at that stage.
+    *
+    *  - `stage = 'exact'`: a smaller doc id carries byte-identical
+    *    content — `keep_id` is that exact representative;
+    *  - `stage = 'near_dup'`: survives exact dedup but sits in a
+    *    near-dup component (`comps` = [[connectedComponents]] over the
+    *    MinHash pair set) whose min id is smaller — `keep_id` is the
+    *    component representative;
+    *  - `stage = 'kept'`: the doc survives the whole chain
+    *    (`keep_id` = itself) — exactly the
+    *    [[keepRepresentatives]] survivor set restricted to exact
+    *    representatives.
+    *
+    * `keep_id` is the DIRECT representative at the claiming stage;
+    * chains (an exact keep that is itself a near-dup) resolve by
+    * following `keep_id` — the table is its own lookup.
+    *
+    * Scale: the exact stage shuffles 64-bit content hashes (text
+    * never moves), the component assignment is the (small) clustered
+    * vertex set joined by id — both the shapes the individual stages
+    * already use; the lineage is one extra hash-keyed join over them. */
+  def dedupLineage(docs: DataFrame, comps: DataFrame,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val hashed = docs.select(col(idCol), xxhash64(col(textCol)).as("_h"))
+    val eKeep = hashed.groupBy(col("_h"))
+      .agg(min(col(idCol)).as("_exact_keep"))
+    hashed.join(eKeep, Seq("_h"))
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_exact_keep") < col(idCol), lit("exact"))
+          .when(col("component").isNotNull &&
+            col("component") < col(idCol), lit("near_dup"))
+          .otherwise(lit("kept")).as("stage"),
+        when(col("_exact_keep") < col(idCol), col("_exact_keep"))
+          .when(col("component").isNotNull &&
+            col("component") < col(idCol), col("component"))
+          .otherwise(col(idCol)).as("keep_id"))
+  }
+
+  /** Prefix-hash duplicate groups — the cheap first-pass crawl dedup
+    * (mirror pages, pagination tails, and truncated re-crawls share
+    * long identical PREFIXES while differing later): group docs by
+    * their first `nTok` tokens and report every group with more than
+    * one member as `(keep_id = min id, n_docs)`.
+    *
+    * Scale: row-local prefix extraction, then the [[exactGroups]]
+    * shape keyed on `xxhash64(prefix)` — 8 bytes shuffle per doc
+    * regardless of document length; no pairwise comparison anywhere.
+    * A doc shorter than `nTok` tokens groups by its full token
+    * sequence. */
+  def prefixGroups(docs: DataFrame, nTok: Int = 8,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val prefix = array_join(
+      slice(TextAnalysis.tokens(col(textCol)), 1, nTok), " ")
+    docs.select(col(idCol), xxhash64(prefix).as("_ph"))
+      .groupBy(col("_ph"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select(col("keep_id"), col("n_docs"))
+  }
+
   /** Per-cluster representative selection by QUALITY (the RefinedWeb
     * move): over a `(id, component)` cluster assignment, keep the
     * member maximizing `quality` (ties to the lowest id) — "keep the

@@ -212,4 +212,103 @@ object HeavyHitters {
         col("n_occurrences").desc, col("token").asc)).cast("long"))
       .select(col("rank"), col("token"), col("n_occurrences"))
   }
+
+  // ---------------------------------------------------------------
+  // Count-min sketch (Cormode & Muthukrishnan 2005, "An improved data
+  // stream summary: the count-min sketch and its applications").
+  // ---------------------------------------------------------------
+
+  /** Family-aware 32-bit base hash as a Column — the same arithmetic
+    * as [[graft.functions.SketchOps]] base32: XXH64(seed 42) folded
+    * mod 2^32 in production, first 4 MD5 bytes under the oracle
+    * family (replayed in DuckDB as
+    * `CAST('0x'||substring(md5(x),1,8) AS BIGINT)`). */
+  private def h32Col(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    if (graft.functions.SketchOps.xxFamily())
+      pmod(xxhash64(c), lit(1L << 32))
+    else conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Build a `depth x width` count-min sketch over an item column:
+    * one counter row per `(row, bucket)` cell, `bucket_i(x) =
+    * ((a_i·h32(x) + b_i) mod P) mod width` with the seeded affine
+    * family [[graft.functions.SketchOps.coeffs]] (a·x+b stays inside
+    * signed 64-bit for x < 2^32).
+    *
+    * Scale: THE fixed-state frequency summary — the aggregate has at
+    * most `depth·width` distinct keys, so map-side partial
+    * aggregation collapses every partition's token stream to ≤ d·w
+    * rows before the (one) shuffle, and the sketch's size is
+    * independent of both corpus and vocabulary size. Point estimates
+    * via [[cmsLookup]] overestimate by ≤ εN (ε = e/width) with
+    * probability 1-δ (δ = e^-depth) and NEVER underestimate. The
+    * base hash is computed once per instance (buckets derive from the
+    * carried `_h32` after the row explode — the d affine maps never
+    * re-hash). */
+  def cmsSketch(items: DataFrame, itemCol: String = "token",
+                depth: Int = 4, width: Int = 16, seed: Long = 7L)
+      : DataFrame = {
+    val bucketed = cmsBucketed(items, itemCol, depth, width, seed)
+    bucketed.groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-instance `(item, row, bucket)` expansion shared by sketch
+    * build and lookup: hash once, explode the d row indices, index
+    * the affine coefficient literals by row. */
+  private def cmsBucketed(items: DataFrame, itemCol: String,
+                          depth: Int, width: Int, seed: Long)
+      : DataFrame = {
+    val (as, bs) = graft.functions.SketchOps.coeffs(depth, seed)
+    val aArr = array(as.map(lit(_)): _*)
+    val bArr = array(bs.map(lit(_)): _*)
+    items.select(col(itemCol), h32Col(col(itemCol)).as("_h32"))
+      .select(col(itemCol), col("_h32"),
+        explode(array((0 until depth).map(i => lit(i)): _*)).as("row"))
+      .select(col(itemCol), col("row"),
+        pmod(pmod(element_at(aArr, col("row") + 1) * col("_h32") +
+            element_at(bArr, col("row") + 1),
+          lit(graft.functions.SketchOps.P)), lit(width.toLong))
+          .as("bucket"))
+  }
+
+  /** Point-estimate item frequencies from a [[cmsSketch]]: for each
+    * distinct probe item, `min_i sketch[i][bucket_i(item)]` (missing
+    * cells count 0 — an unseen item estimates its collision mass).
+    * Output `(item, cms_est)`.
+    *
+    * Scale: the sketch side is ≤ d·w rows — it broadcasts; probes
+    * stay distributed and never shuffle anything wider than the probe
+    * key itself. */
+  def cmsLookup(sketch: DataFrame, probes: DataFrame,
+                itemCol: String = "token",
+                depth: Int = 4, width: Int = 16, seed: Long = 7L)
+      : DataFrame =
+    cmsBucketed(probes, itemCol, depth, width, seed)
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(col(itemCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+
+  /** Verification harness: exact counts vs CMS estimates for the
+    * `topN` most frequent items (ties to the smaller item), with the
+    * per-item overestimate. At deployment scale you keep the sketch
+    * INSTEAD of the exact histogram — this harness exists to make the
+    * sketch's one-sided error auditable (and oracle-replayable). */
+  def cmsCompare(items: DataFrame, itemCol: String = "token",
+                 topN: Int = 20, depth: Int = 4, width: Int = 16,
+                 seed: Long = 7L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exact = items.groupBy(col(itemCol))
+      .agg(count(lit(1)).as("exact_cnt"))
+    val top = exact
+      .withColumn("_rk", row_number().over(Window.orderBy(
+        col("exact_cnt").desc, col(itemCol).asc)))
+      .filter(col("_rk") <= topN)
+      .drop("_rk")
+    val sk = cmsSketch(items, itemCol, depth, width, seed)
+    top.join(cmsLookup(sk, top.select(col(itemCol)), itemCol,
+        depth, width, seed), Seq(itemCol))
+      .select(col(itemCol), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overestimate"))
+  }
 }

@@ -1283,4 +1283,48 @@ object Similarity {
     pqTopK(corpus, queries,
       pqCodebooks(corpus, m, nCodes, iters, dim, idCol, vecCol), k,
       idCol, vecCol, qIdCol, qVecCol)
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09) of
+    * two per-query rankings — the standard hybrid-search combiner for
+    * a lexical ranker (BM25) and a dense ranker (embedding cosine):
+    * `rrf(d) = Σ_r 1/(c + rank_r(d))`, summed over the rankers that
+    * retrieved `d` (absent ⇒ contributes 0). Rank fusion needs no
+    * score calibration between rankers, which is exactly why it wins
+    * over weighted score sums when the two score scales are alien
+    * (log-idf sums vs cosines).
+    *
+    * Inputs are `(query_id, doc_id, rank)` relations — top-n lists
+    * from any two rankers with aligned ids. Output: `(query_id, rank,
+    * doc_id, rrf_score, rank_a, rank_b)`, top `k` per query, ties on
+    * the rounded score to the smaller doc id; `rank_a`/`rank_b` are
+    * null when that ranker did not retrieve the doc.
+    *
+    * Scale: both inputs are candidate-bounded (≤ n·|queries| rows) —
+    * the expensive part of hybrid search is the rankers themselves
+    * (BM25's postings join, the ANN index probe), each already shaped
+    * for 100 TB; the fusion is one join + one per-query window over
+    * ≤ 2n rows per query, negligible at any corpus size. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60,
+              qIdCol: String = "query_id", idCol: String = "doc_id",
+              rankCol: String = "rank"): DataFrame = {
+    val ra = a.select(col(qIdCol), col(idCol),
+      col(rankCol).cast("long").as("rank_a"))
+    val rb = b.select(col(qIdCol), col(idCol),
+      col(rankCol).cast("long").as("rank_b"))
+    // full outer: a doc retrieved by either ranker is a candidate.
+    // 1/(c+rank) terms are added a-then-b (the oracle replays the
+    // same left-to-right double adds before the round).
+    val fused = ra.join(rb, Seq(qIdCol, idCol), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(c).cast("double") +
+          col("rank_a").cast("double")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(c).cast("double") +
+          col("rank_b").cast("double")), lit(0.0)), 6))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col("rank"), col(idCol), col("rrf_score"),
+        col("rank_a"), col("rank_b"))
+  }
 }

@@ -1464,7 +1464,62 @@ object LlmQueries {
                 1, 12), " ").as("text")),
           k = 5)
         .orderBy(col("query_id"), col("rank"))
-    })
+    }),
+
+    // hybrid retrieval: the llm_bm25 lexical ranker and the llm_topk
+    // dense ranker, each producing a top-20 candidate list over the
+    // SAME corpus slice (doc_id == vec_id), fused by reciprocal rank
+    // (RRF, c=60) into the final top-10 — no score calibration
+    // between the log-idf and cosine scales, by construction.
+    "llm_rrf_fusion" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      val lex = TextAnalysis.bm25TopK(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(TextAnalysis.tokens(col("text")), 1, 8),
+              " ").as("text")),
+        k = 20)
+      val dense = Similarity.bruteTopK(
+        emb.filter(col("vec_id") % 100 =!= 0),
+        emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("query_vec")),
+        k = 20)
+      Similarity.rrfFuse(
+          lex.select(col("query_id"), col("doc_id"), col("rank")),
+          dense.select(col("query_id"),
+            col("vec_id").as("doc_id"), col("rank")),
+          k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // count-min sketch audit: 4x16 counter state (vs the 31-token
+    // vocab, so collisions actually occur and the one-sided error is
+    // visible) graded against exact counts for the top-20 tokens.
+    "llm_cms" -> ((s, dir) =>
+      HeavyHitters.cmsCompare(
+          table(s, dir, "documents")
+            .select(explode(TextAnalysis.tokens(col("text")))
+              .as("token")),
+          topN = 20, depth = 4, width = 16, seed = 7L)
+        .orderBy(col("token"))),
+
+    // per-doc dedup provenance: first claiming stage (exact ->
+    // near-dup components -> kept) + the direct representative —
+    // the audit trail over the llm_exact_dedup / llm_neardup_dedup
+    // chain, from the same memoized component artifact.
+    "llm_dedup_lineage" -> ((s, dir) =>
+      Dedup.dedupLineage(table(s, dir, "documents"),
+          components035(s, dir))
+        .orderBy(col("doc_id"))),
+
+    // prefix-hash duplicate groups: docs sharing their first 8
+    // tokens (mirror/truncation dupes) — the cheap crawl first pass.
+    "llm_prefix_dedup" -> ((s, dir) =>
+      Dedup.prefixGroups(table(s, dir, "documents"), nTok = 8)
+        .orderBy(col("keep_id")))
   )
 
   // DuckDB shingle expression shared by the jaccard oracle
@@ -5269,6 +5324,172 @@ object LlmQueries {
          FROM (SELECT query_id, doc_id, score, row_number() OVER (
              PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk
            FROM sc)
-         WHERE rk <= 5 ORDER BY query_id, rank"""
+         WHERE rk <= 5 ORDER BY query_id, rank""",
+
+    // RRF hybrid replay: the llm_bm25 sc chain ranked to 20, the
+    // llm_topk cosine chain ranked to 20 (corpus excludes query ids
+    // on both sides), full-outer fused with 1/(60+rank) terms added
+    // lexical-then-dense before the round — the engine's exact
+    // double-add order.
+    "llm_rrf_fusion" ->
+      raw"""WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         corpus AS (SELECT doc_id, tk FROM tok WHERE doc_id % 100 <> 0),
+         q AS (SELECT doc_id AS query_id, tk[1:8] AS tk FROM tok
+               WHERE doc_id % 100 = 0),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+             SELECT doc_id, unnest(tk) AS term FROM corpus)
+           GROUP BY doc_id, term),
+         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         dl AS (SELECT doc_id, len(tk) AS dl FROM corpus),
+         st AS (SELECT count(*) AS n,
+                  CAST(SUM(len(tk)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                    AS avgdl
+                FROM corpus),
+         qt AS (SELECT DISTINCT query_id, unnest(tk) AS term FROM q),
+         sc AS (
+           SELECT qt.query_id, tf.doc_id,
+             round(CAST(SUM(CAST(
+               ln(1.0 + (CAST(st.n AS DOUBLE) - CAST(dft.df AS DOUBLE)
+                   + 0.5) / (CAST(dft.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+                   + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl)))
+             AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+           FROM qt JOIN tf USING (term) JOIN dft USING (term)
+             JOIN dl ON dl.doc_id = tf.doc_id, st
+           GROUP BY qt.query_id, tf.doc_id),
+         lex AS (
+           SELECT query_id, doc_id, CAST(rk AS BIGINT) AS rank_a
+           FROM (SELECT query_id, doc_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id ASC)
+               AS rk
+             FROM sc)
+           WHERE rk <= 20),
+         den0 AS (
+           SELECT b.vec_id AS query_id, a.vec_id AS doc_id,
+             round(
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                 t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(a.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+               AS cosine
+           FROM embeddings a, embeddings b
+           WHERE b.vec_id % 100 = 0 AND a.vec_id % 100 <> 0),
+         den AS (
+           SELECT query_id, doc_id, CAST(rk AS BIGINT) AS rank_b
+           FROM (SELECT query_id, doc_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC)
+               AS rk
+             FROM den0)
+           WHERE rk <= 20),
+         fused AS (
+           SELECT coalesce(l.query_id, d.query_id) AS query_id,
+             coalesce(l.doc_id, d.doc_id) AS doc_id,
+             l.rank_a AS rank_a, d.rank_b AS rank_b,
+             round(coalesce(1.0 / (60.0 + l.rank_a), 0.0)
+                 + coalesce(1.0 / (60.0 + d.rank_b), 0.0), 6)
+               AS rrf_score
+           FROM lex l FULL OUTER JOIN den d
+             ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+         SELECT query_id, CAST(rk AS BIGINT) AS rank, doc_id,
+           rrf_score, rank_a, rank_b
+         FROM (SELECT query_id, doc_id, rrf_score, rank_a, rank_b,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf_score DESC, doc_id ASC) AS rk
+           FROM fused)
+         WHERE rk <= 10 ORDER BY query_id, rank""",
+
+    "llm_cms" -> cmsOracle,
+
+    "llm_dedup_lineage" -> dedupLineageOracle,
+
+    // prefix groups: first-8-token string grouping (the engine keys
+    // on xxhash64 of the same prefix — value grouping == hash
+    // grouping modulo the documented collision convention).
+    "llm_prefix_dedup" ->
+      raw"""WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         g AS (SELECT min(doc_id) AS keep_id, count(*) AS n_docs
+           FROM (SELECT doc_id, array_to_string(tk[1:8], ' ') AS p
+                 FROM tok)
+           GROUP BY p)
+         SELECT keep_id, n_docs FROM g WHERE n_docs > 1
+         ORDER BY keep_id"""
   )
+
+  /** Count-min replay: md5 base-32 hashes, the seeded affine rows as
+    * a literal VALUES relation, bucket/sketch/estimate arithmetic
+    * identical to [[graft.llm.HeavyHitters.cmsSketch]]/`cmsLookup`. */
+  private lazy val cmsOracle: String = {
+    val (as, bs) = graft.functions.SketchOps.coeffs(4, 7L)
+    val p = graft.functions.SketchOps.P
+    val rows = (0 until 4).map(i => s"($i, ${as(i)}, ${bs(i)})")
+      .mkString(", ")
+    raw"""WITH inst AS (
+         SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+           t -> t <> '')) AS token
+         FROM documents),
+       prm(rw, a, b) AS (VALUES $rows),
+       bkt AS (SELECT token, prm.rw AS rw,
+           ((prm.a * CAST(('0x' || substring(md5(token), 1, 8))
+             AS BIGINT) + prm.b) % $p) % 16 AS bucket
+         FROM inst CROSS JOIN prm),
+       sk AS (SELECT rw, bucket, count(*) AS cnt
+         FROM bkt GROUP BY rw, bucket),
+       ex AS (SELECT token, count(*) AS exact_cnt FROM inst
+         GROUP BY token),
+       top AS (SELECT token, exact_cnt FROM (
+           SELECT token, exact_cnt, row_number() OVER (
+             ORDER BY exact_cnt DESC, token ASC) AS rk FROM ex)
+         WHERE rk <= 20),
+       pb AS (SELECT t.token, prm.rw AS rw,
+           ((prm.a * CAST(('0x' || substring(md5(t.token), 1, 8))
+             AS BIGINT) + prm.b) % $p) % 16 AS bucket
+         FROM top t CROSS JOIN prm),
+       est AS (SELECT pb.token,
+           min(coalesce(sk.cnt, 0)) AS cms_est
+         FROM pb LEFT JOIN sk ON sk.rw = pb.rw AND sk.bucket = pb.bucket
+         GROUP BY pb.token)
+       SELECT t.token, t.exact_cnt, e.cms_est,
+         e.cms_est - t.exact_cnt AS overestimate
+       FROM top t JOIN est e USING (token)
+       ORDER BY t.token"""
+  }
+
+  /** Lineage replay: the nearDupDedup recursive closure + an exact
+    * min-per-text window, stage CASE identical to
+    * [[graft.llm.Dedup.dedupLineage]]. */
+  private lazy val dedupLineageOracle: String =
+    s"""WITH RECURSIVE $minhashScoredCtes,
+       pairs AS (SELECT id_a, id_b FROM scored
+                 WHERE nb > 0 AND est_jaccard >= 0.35),
+       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION ALL SELECT id_b, id_a FROM pairs),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       comp AS (SELECT a AS id, least(a, min(b)) AS component
+                FROM reach GROUP BY a),
+       ex AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text)
+                AS exact_keep
+              FROM documents)
+       SELECT e.doc_id,
+         CASE WHEN e.exact_keep < e.doc_id THEN 'exact'
+              WHEN c.component IS NOT NULL AND c.component < e.doc_id
+                THEN 'near_dup'
+              ELSE 'kept' END AS stage,
+         CASE WHEN e.exact_keep < e.doc_id THEN e.exact_keep
+              WHEN c.component IS NOT NULL AND c.component < e.doc_id
+                THEN c.component
+              ELSE e.doc_id END AS keep_id
+       FROM ex e LEFT JOIN comp c ON c.id = e.doc_id
+       ORDER BY e.doc_id"""
 }

@@ -494,7 +494,19 @@ object Relational {
       hourly.select($"event_type", $"hour", $"n", z.as("z"))
         .withColumn("anomalous", abs($"z") >= 3.0)
         .orderBy($"event_type", $"hour")
-    })
+    }),
+
+    // --- table profiler ("ANALYZE" as an operator): per-column
+    // nonnull counts + exact cardinality in one pass, with the HLL
+    // estimate graded against the exact value (ndv_ok) — the catalog
+    // statistics that drive broadcast/join-order decisions. At scale
+    // the approx column alone is the product; the exact pass is the
+    // audit harness.
+    "q32_profile" -> ((s, dir) =>
+      graft.functions.Profile.profile(table(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
+            "l_shipdate"))
+        .orderBy(col("col_name")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -804,6 +816,29 @@ object Relational {
                ELSE 0.0 END AS z
            FROM m)
          SELECT event_type, hour, n, z, abs(z) >= 3.0 AS anomalous
-         FROM zt ORDER BY event_type, hour"""
+         FROM zt ORDER BY event_type, hour""",
+
+    // profiler replay: exact per-column counts; ndv_ok is the
+    // engine-side HLL-vs-exact verdict (deterministic on fixed data),
+    // expected true for every profiled column.
+    "q32_profile" ->
+      """SELECT * FROM (
+           SELECT 'l_orderkey' AS col_name,
+             count(l_orderkey) AS n_nonnull,
+             count(DISTINCT l_orderkey) AS ndv, true AS ndv_ok
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_partkey', count(l_partkey),
+             count(DISTINCT l_partkey), true FROM lineitem
+           UNION ALL
+           SELECT 'l_quantity', count(l_quantity),
+             count(DISTINCT l_quantity), true FROM lineitem
+           UNION ALL
+           SELECT 'l_returnflag', count(l_returnflag),
+             count(DISTINCT l_returnflag), true FROM lineitem
+           UNION ALL
+           SELECT 'l_shipdate', count(l_shipdate),
+             count(DISTINCT l_shipdate), true FROM lineitem)
+         ORDER BY col_name"""
   )
 }

@@ -2451,4 +2451,109 @@ class LlmSpec extends AnyFunSuite {
     assert(cc == planted.filter(col("doc_id") === 1)
       .select(length(col("text"))).head.getInt(0).toLong)
   }
+
+  test("rrfFuse: fusion math, one-sided candidates, tie to smaller id") {
+    import spark.implicits._
+    // q1: doc 10 in both lists, 20 lexical-only, 30 dense-only.
+    // q2: 9 lexical rank-1 vs 7 dense rank-1 — equal rrf, id breaks.
+    val lex = Seq((1L, 10L, 1L), (1L, 20L, 2L), (2L, 9L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val den = Seq((1L, 10L, 2L), (1L, 30L, 1L), (2L, 7L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Similarity.rrfFuse(lex, den, k = 5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), Option(r.get(4)),
+          Option(r.get(5))))).toMap
+    // doc 10: 1/61 + 1/62; doc 30: 1/61; doc 20: 1/62 (rounded 6)
+    assert(out((1L, 1L)) == ((10L, 0.032522, Some(1L), Some(2L))))
+    assert(out((1L, 2L)) == ((30L, 0.016393, None, Some(1L))))
+    assert(out((1L, 3L)) == ((20L, 0.016129, Some(2L), None)))
+    // equal scores: smaller doc id first
+    assert(out((2L, 1L))._1 == 7L && out((2L, 2L))._1 == 9L)
+    assert(out((2L, 1L))._2 == out((2L, 2L))._2)
+  }
+
+  test("count-min sketch: one-sided error, fixed state, row mass " +
+       "conservation") {
+    import spark.implicits._
+    val items = (Seq.fill(10)("a") ++ Seq.fill(5)("b") ++
+      Seq.fill(2)("c") ++ Seq("d")).toDF("token")
+    // wide sketch: collision-free at this vocab -> estimates exact
+    val wide = HeavyHitters.cmsCompare(items, topN = 4, depth = 4,
+      width = 64).collect()
+    assert(wide.length == 4)
+    wide.foreach { r =>
+      assert(r.getLong(3) == 0L, s"width-64 overestimate on $r")
+    }
+    // state bound: depth x width cells at most, regardless of stream
+    val sk = HeavyHitters.cmsSketch(items, depth = 4, width = 8)
+    assert(sk.count() <= 32)
+    // every sketch row carries the full stream mass (18 instances)
+    val mass = sk.groupBy(col("row")).agg(sum(col("cnt")).as("m"))
+      .collect().map(_.getLong(1))
+    assert(mass.length == 4 && mass.forall(_ == 18L))
+    // narrow sketch: collisions guaranteed, error stays one-sided
+    val narrow = HeavyHitters.cmsCompare(items, topN = 4, depth = 2,
+      width = 2).collect()
+    narrow.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS must never underestimate: $r")
+    }
+    // unseen probe: estimate is its cells' collision mass, >= 0
+    val unseen = HeavyHitters.cmsLookup(sk,
+      Seq("zzz").toDF("token")).collect()
+    assert(unseen.length == 1 && unseen.head.getLong(1) >= 0L)
+  }
+
+  test("dedupLineage: exact beats near_dup, direct representatives") {
+    import spark.implicits._
+    val base = (0 until 100).map(i => s"w$i").mkString(" ")
+    val near = base.replace("w50", "changed")
+    val other = (0 until 100).map(i => s"z$i").mkString(" ")
+    val planted = Seq((1L, base), (2L, base), (3L, near), (4L, other))
+      .toDF("doc_id", "text")
+    val comps = Dedup.connectedComponents(
+      Dedup.minHashPairs(planted, threshold = 0.35)
+        .select(col("id_a"), col("id_b")))
+    val out = Dedup.dedupLineage(planted, comps).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) == (("kept", 1L)))
+    // doc 2 is byte-identical to 1: claimed by the EXACT stage even
+    // though it also sits in the near-dup component
+    assert(out(2L) == (("exact", 1L)))
+    assert(out(3L) == (("near_dup", 1L)))
+    assert(out(4L) == (("kept", 4L)))
+  }
+
+  test("prefixGroups: shared first-k tokens group, tails ignored") {
+    import spark.implicits._
+    val head = (0 until 8).map(i => s"p$i").mkString(" ")
+    val planted = Seq(
+      (1L, s"$head tail one extra words here"),
+      (2L, s"$head completely different continuation text"),
+      (3L, "another doc entirely unrelated to the first pair"))
+      .toDF("doc_id", "text")
+    val out = Dedup.prefixGroups(planted, nTok = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+    // shorter prefix window separates nothing extra; a doc shorter
+    // than the window groups by its full token run
+    val short = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val so = Dedup.prefixGroups(short, nTok = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(so.toSeq == Seq((1L, 2L)))
+  }
+
+  test("Profile.profile: exact ndv, null handling, HLL verdict") {
+    import spark.implicits._
+    val df = Seq((1, Some("a")), (2, Some("b")), (2, Some("b")),
+      (3, None)).toDF("k", "v")
+    val out = graft.functions.Profile.profile(df, Seq("k", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("k") == ((4L, 3L, true)))
+    assert(out("v") == ((3L, 2L, true)))
+  }
 }

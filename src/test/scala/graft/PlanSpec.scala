@@ -686,4 +686,46 @@ class PlanSpec extends AnyFunSuite {
           plan.take(1500))
     }
   }
+
+  test("cmsSketch: two-phase agg on (row, bucket) — the shuffle " +
+       "carries at most depth x width rows per map partition") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sk = graft.llm.HeavyHitters.cmsSketch(
+      docs.select(explode(graft.llm.TextAnalysis.tokens(col("text")))
+        .as("token")),
+      depth = 4, width = 16)
+    val plan = planOf(sk)
+    // partial + final HashAggregate around one hash exchange: the
+    // token stream collapses to <= d*w cells BEFORE the shuffle
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      plan.take(2000))
+    assert(plan.contains("hashpartitioning"), plan.take(2000))
+    // exactly one shuffle: build is a single aggregation pass
+    // (formatted explain lists each operator once in the tree and
+    // once as a numbered detail block)
+    assert(plan.linesIterator.count(l =>
+      l.trim.matches("""\(\d+\) Exchange.*""")) == 1, plan.take(2000))
+  }
+
+  test("rrfFuse: sketch-side sketch broadcast in cmsLookup; fusion " +
+       "window partitions by query") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val toks = docs.select(
+      explode(graft.llm.TextAnalysis.tokens(col("text"))).as("token"))
+    val lk = graft.llm.HeavyHitters.cmsLookup(
+      graft.llm.HeavyHitters.cmsSketch(toks), toks.distinct())
+    val lkPlan = planOf(lk)
+    // the d*w sketch must broadcast — probes never shuffle to meet it
+    assert(lkPlan.contains("BroadcastHashJoin") ||
+      lkPlan.contains("BroadcastNestedLoopJoin"), lkPlan.take(2000))
+    import spark.implicits._
+    val a = Seq((1L, 10L, 1L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 10L, 2L)).toDF("query_id", "doc_id", "rank")
+    val fPlan = planOf(graft.llm.Similarity.rrfFuse(a, b, k = 3))
+    // the final rank window keys on query_id — never a global window
+    assert(fPlan.contains("Window"), fPlan.take(2000))
+    assert(fPlan.linesIterator.exists(l =>
+      l.contains("windowspecdefinition") && l.contains("query_id")),
+      fPlan.take(3000))
+  }
 }
