@@ -378,6 +378,55 @@ object ScaleBench {
           emb, mmrQ, k = 5, nCandidates = 20).count())
         report("mmr_rerank", f, nEmb, mq, t23)
       }
+
+      // count-min sketch: the fixed-state proof point — output is
+      // ALWAYS <= depth*width rows; wall should track the scan, state
+      // never grows with the corpus (sum over cnt forces evaluation)
+      runProbe("cms_sketch", f, nDocs)(
+        graft.llm.HeavyHitters.cmsSketch(
+          docs.select(explode(graft.llm.TextAnalysis.tokens(
+            col("text"))).as("token")), depth = 4, width = 16)
+          .agg(sum(col("cnt"))).collect().length.toLong)
+
+      // dedup lineage: the exact-hash agg + component join over the
+      // standing pair set — composition cost on top of dedup_clusters
+      runProbe("dedup_lineage", f, nDocs)(
+        graft.llm.Dedup.dedupLineage(docs,
+          graft.llm.Dedup.connectedComponents(
+            graft.llm.Dedup.minHashPairs(docs, threshold = 0.35)))
+          .filter(col("stage") =!= "kept").count())
+
+      // prefix dedup: one 8-byte-hash aggregate — the exact_dedup
+      // shape on a prefix slice
+      runProbe("prefix_dedup", f, nDocs)(
+        graft.llm.Dedup.prefixGroups(docs, nTok = 8).count())
+
+      // RRF hybrid: both rankers at their scale shapes (fixed query
+      // set = the first-copy slice), fusion over 2k-bounded lists
+      if (enabled("rrf_fusion")) {
+        val qIds = col("doc_id") % 400 === 0 && col("doc_id") < nDocs / f
+        val lexQ = docs.filter(qIds)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(graft.llm.TextAnalysis.tokens(col("text")),
+              1, 8), " ").as("text"))
+        val denQ = emb.filter(col("vec_id") % 400 === 0 &&
+            col("vec_id") < nEmb / f)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("query_vec"))
+        val (rr, trr) = timed(graft.llm.Similarity.rrfFuse(
+          graft.llm.TextAnalysis.bm25TopK(docs, lexQ, k = 20)
+            .select(col("query_id"), col("doc_id"), col("rank")),
+          graft.llm.Similarity.bruteTopK(emb, denQ, k = 20)
+            .select(col("query_id"), col("vec_id").as("doc_id"),
+              col("rank")),
+          k = 10).count())
+        report("rrf_fusion", f, nDocs, rr, trr)
+      }
+
+      // profiler: one multi-distinct pass over the copy-scaled docs
+      runProbe("profile", f, nDocs)(
+        graft.functions.Profile.profile(docs,
+          Seq("doc_id", "source", "lang", "n_chars")).count())
     }
     spark.stop()
   }
