@@ -427,6 +427,12 @@ object ScaleBench {
       runProbe("profile", f, nDocs)(
         graft.functions.Profile.profile(docs,
           Seq("doc_id", "source", "lang", "n_chars")).count())
+
+      // per-source percentile gate: one source-keyed rank window
+      // (the stratified_split shape on a score column)
+      runProbe("source_percentile", f, nDocs)(
+        graft.llm.Sampling.quantileGate(docs, "n_chars",
+          keepFrac = 0.5).filter(col("keep")).count())
     }
     spark.stop()
   }

@@ -842,6 +842,33 @@ object Dedup {
       .select(col("keep_id"), col("n_docs"))
   }
 
+  /** Lens-agreement matrix between the LEXICAL near-dup detector
+    * (MinHash-Jaccard pairs, `(id_a, id_b, est_jaccard)`) and the
+    * EMBEDDING one (cosine pairs, `(id_a, id_b, cosine)`) — the
+    * diagnostic that tells you whether the two lenses see the same
+    * duplication (crank one threshold) or disjoint phenomena (near-
+    * verbatim copies vs paraphrases — run both, as SemDeDup argues).
+    * Full outer on the (upper-triangular) pair key; each row carries
+    * `category` ∈ {both, lexical_only, embedding_only} plus whichever
+    * scores exist.
+    *
+    * Scale: both inputs are the output-bound pair sets their
+    * detectors already produce; the agreement join is pair-keyed and
+    * pair-sized — nothing rescans the corpus. */
+  def dedupAgreement(lexPairs: DataFrame, embPairs: DataFrame)
+      : DataFrame = {
+    val l = lexPairs.select(col("id_a"), col("id_b"),
+      col("est_jaccard"))
+    val e = embPairs.select(col("id_a"), col("id_b"), col("cosine"))
+    l.join(e, Seq("id_a", "id_b"), "full_outer")
+      .select(col("id_a"), col("id_b"),
+        when(col("est_jaccard").isNotNull && col("cosine").isNotNull,
+          lit("both"))
+          .when(col("est_jaccard").isNotNull, lit("lexical_only"))
+          .otherwise(lit("embedding_only")).as("category"),
+        col("est_jaccard"), col("cosine"))
+  }
+
   /** Per-cluster representative selection by QUALITY (the RefinedWeb
     * move): over a `(id, component)` cluster assignment, keep the
     * member maximizing `quality` (ties to the lowest id) — "keep the

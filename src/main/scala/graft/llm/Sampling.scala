@@ -297,4 +297,31 @@ object Sampling {
         round(sum(col("lr").cast("decimal(38,18)")).cast("double"), 6)
           .as("dsir_weight"))
   }
+
+  /** Per-group quantile gate — the CCNet/DoReMi "per-domain adaptive
+    * threshold" move: a single global score cutoff lets one clean
+    * source crowd out every other domain, so instead each doc is
+    * placed at its PERCENTILE within its own group and the gate keeps
+    * the top `keepFrac` of every group. Output `(idCol, groupCol,
+    * scoreCol, pct, keep)` with `pct` = cume_dist over
+    * (score asc, id asc) — strict total order, deterministic — and
+    * `keep = pct > 1 - keepFrac`. cume_dist (not percent_rank): a
+    * doc is kept iff it sits inside the top `keepFrac` MASS of its
+    * group, so a singleton group keeps its one doc (pct = 1) instead
+    * of a rare source being silently erased.
+    *
+    * Scale: one rank window keyed by group. Like [[stratifiedSplit]],
+    * a giant group serializes its window partition; the 100 TB swap
+    * is the per-group approx-quantile score threshold (|groups| cut
+    * rows, no window) at ±sketch-error keep rates. */
+  def quantileGate(df: DataFrame, scoreCol: String,
+                   keepFrac: Double = 0.5, groupCol: String = "source",
+                   idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).asc, col(idCol).asc)
+    df.select(col(idCol), col(groupCol), col(scoreCol))
+      .withColumn("pct", round(cume_dist().over(w), 6))
+      .withColumn("keep", col("pct") > lit(1.0 - keepFrac))
+  }
 }

@@ -1284,6 +1284,32 @@ object Similarity {
       pqCodebooks(corpus, m, nCodes, iters, dim, idCol, vecCol), k,
       idCol, vecCol, qIdCol, qVecCol)
 
+  /** Recall@k — the ANN quality gauge as an operator: fraction of the
+    * EXACT top-k retrieved by the approximate ranking, per query.
+    * `exact` and `approx` are `(query_id, vec_id, ...)` top-k lists
+    * (ranks beyond `k` on the approx side still count as hits only if
+    * the pair matches — pass rank-trimmed lists). Output `(query_id,
+    * n_hits, recall)`.
+    *
+    * This is the harness that justifies an index config (IVF nProbe,
+    * LSH tables, PQ bits) BEFORE committing a 100 TB scan to it —
+    * run on a query sample, read the recall distribution, then dial
+    * the index. Both inputs are k-bounded per query, so the join and
+    * aggregate are |queries|·k-sized regardless of corpus size. */
+  def annRecall(exact: DataFrame, approx: DataFrame, k: Int,
+                qIdCol: String = "query_id", idCol: String = "vec_id")
+      : DataFrame = {
+    val e = exact.select(col(qIdCol), col(idCol))
+    val a = approx.select(col(qIdCol), col(idCol))
+      .withColumn("_hit", lit(1L))
+    e.join(a, Seq(qIdCol, idCol), "left")
+      .groupBy(col(qIdCol))
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
+      .select(col(qIdCol), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(k).cast("double"), 6)
+          .as("recall"))
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09) of
     * two per-query rankings — the standard hybrid-search combiner for
     * a lexical ranker (BM25) and a dense ranker (embedding cosine):

@@ -1519,7 +1519,40 @@ object LlmQueries {
     // tokens (mirror/truncation dupes) — the cheap crawl first pass.
     "llm_prefix_dedup" -> ((s, dir) =>
       Dedup.prefixGroups(table(s, dir, "documents"), nTok = 8)
-        .orderBy(col("keep_id")))
+        .orderBy(col("keep_id"))),
+
+    // ANN recall@10: the IVF(16 cells, probe 4) ranking graded
+    // against exact cosine top-10 per query — the harness that
+    // justifies an index config before committing a corpus scan.
+    "llm_ann_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      Similarity.annRecall(
+          Similarity.bruteTopK(emb, q, k = 10),
+          Similarity.ivfTopK(emb, q, k = 10, nCells = 16, nProbe = 4),
+          k = 10)
+        .orderBy(col("query_id"))
+    }),
+
+    // lexical vs embedding near-dup lens agreement: MinHash pairs
+    // full-outer cosine pairs (doc_id == vec_id), categorized.
+    "llm_dedup_agreement" -> ((s, dir) =>
+      Dedup.dedupAgreement(
+          Dedup.minHashPairs(table(s, dir, "documents"),
+            threshold = 0.35),
+          Dedup.embeddingPairsBrute(table(s, dir, "embeddings"),
+            threshold = 0.4))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // per-source percentile gate: each doc at its within-source
+    // score percentile, keep the top half of EVERY source — the
+    // per-domain adaptive threshold (scored here on n_chars).
+    "llm_source_percentile" -> ((s, dir) =>
+      Sampling.quantileGate(table(s, dir, "documents"), "n_chars",
+          keepFrac = 0.5)
+        .orderBy(col("doc_id")))
   )
 
   // DuckDB shingle expression shared by the jaccard oracle
@@ -1945,7 +1978,9 @@ object LlmQueries {
   /** IVF: centroids = the 16 lowest-id vectors (cell = rank order);
     * assignment/probes = squared-L2 argmin with (distance, cell)
     * tie-break — the exact NearestCell / ProbeCells semantics. */
-  private def ivfOracle: String = {
+  /** IVF CTE chain ending in `scored(query_id, vec_id, cosine)` —
+    * shared by the ivf top-k oracle and the recall harness. */
+  private def ivfScoredCtes: String = {
     def sqd(v: String, c: String) =
       s"""list_sum(list_transform(list_zip($v, $c),
            z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
@@ -1957,7 +1992,7 @@ object LlmQueries {
                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
            * sqrt(list_sum(list_transform(p.qv,
                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
-    s"""WITH cents AS (
+    s"""cents AS (
          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
            embedding AS cvec
          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
@@ -1978,14 +2013,46 @@ object LlmQueries {
            WHERE e.vec_id % 100 = 0) WHERE rnk <= 4),
        scored AS (
          SELECT p.query_id, a.vec_id, round($cos, 6) AS cosine
-         FROM asg a JOIN prb p ON a.cell_id = p.cell)
+         FROM asg a JOIN prb p ON a.cell_id = p.cell)"""
+  }
+
+  private def ivfOracle: String =
+    s"""WITH $ivfScoredCtes
        SELECT query_id, rank, vec_id, cosine FROM (
          SELECT query_id, vec_id, cosine,
            ROW_NUMBER() OVER (PARTITION BY query_id
              ORDER BY cosine DESC, vec_id ASC) AS rank
          FROM scored) WHERE rank <= 10
        ORDER BY query_id, rank"""
-  }
+
+  /** Recall harness replay: the ivf chain trimmed to k=10 joined
+    * against the exact-cosine chain trimmed to k=10, hit counts and
+    * recall with the engine's double-division order. */
+  private def annRecallOracle: String =
+    s"""WITH $ivfScoredCtes,
+       iv AS (SELECT query_id, vec_id FROM (
+           SELECT query_id, vec_id, ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC)
+             AS rank FROM scored)
+         WHERE rank <= 10),
+       exsc AS (
+         SELECT b.vec_id AS query_id, a.vec_id AS vec_id,
+           $cosineSql AS cosine
+         FROM embeddings a, embeddings b
+         WHERE b.vec_id % 100 = 0),
+       ex AS (SELECT query_id, vec_id FROM (
+           SELECT query_id, vec_id, ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC)
+             AS rank FROM exsc)
+         WHERE rank <= 10)
+       SELECT e.query_id,
+         CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_hits,
+         round(CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0
+           END) AS DOUBLE) / 10.0, 6) AS recall
+       FROM ex e LEFT JOIN iv i
+         ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+       GROUP BY e.query_id ORDER BY e.query_id"""
 
   private def sqdSql(v: String, c: String) =
     s"""list_sum(list_transform(list_zip($v, $c),
@@ -5408,6 +5475,22 @@ object LlmQueries {
 
     "llm_dedup_lineage" -> dedupLineageOracle,
 
+    "llm_ann_recall" -> annRecallOracle,
+
+    // agreement replay: minhash pair CTEs full-outer the brute
+    // cosine pair scan, category CASE identical to the engine's.
+    "llm_dedup_agreement" -> dedupAgreementOracle,
+
+    // per-source cume_dist (strict (score, id) order) — identical
+    // top-mass definition (rank/n; singleton groups keep their doc).
+    "llm_source_percentile" ->
+      """SELECT doc_id, source, n_chars,
+           round(cume_dist() OVER (PARTITION BY source
+             ORDER BY n_chars ASC, doc_id ASC), 6) AS pct,
+           round(cume_dist() OVER (PARTITION BY source
+             ORDER BY n_chars ASC, doc_id ASC), 6) > 0.5 AS keep
+         FROM documents ORDER BY doc_id""",
+
     // prefix groups: first-8-token string grouping (the engine keys
     // on xxhash64 of the same prefix — value grouping == hash
     // grouping modulo the documented collision convention).
@@ -5462,6 +5545,28 @@ object LlmQueries {
        FROM top t JOIN est e USING (token)
        ORDER BY t.token"""
   }
+
+  /** Agreement replay: minhash scored pairs at 0.35 vs the brute
+    * cosine pair scan at 0.4, full outer on the upper-triangular
+    * key. */
+  private lazy val dedupAgreementOracle: String =
+    s"""WITH $minhashScoredCtes,
+       lx AS (SELECT id_a, id_b, est_jaccard FROM scored
+              WHERE nb > 0 AND est_jaccard >= 0.35),
+       ep AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                $cosineSql AS cosine
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < b.vec_id AND $cosineSql >= 0.4)
+       SELECT coalesce(l.id_a, e.id_a) AS id_a,
+         coalesce(l.id_b, e.id_b) AS id_b,
+         CASE WHEN l.id_a IS NOT NULL AND e.id_a IS NOT NULL
+                THEN 'both'
+              WHEN l.id_a IS NOT NULL THEN 'lexical_only'
+              ELSE 'embedding_only' END AS category,
+         l.est_jaccard AS est_jaccard, e.cosine AS cosine
+       FROM lx l FULL OUTER JOIN ep e
+         ON l.id_a = e.id_a AND l.id_b = e.id_b
+       ORDER BY id_a, id_b"""
 
   /** Lineage replay: the nearDupDedup recursive closure + an exact
     * min-per-text window, stage CASE identical to

@@ -2546,6 +2546,49 @@ class LlmSpec extends AnyFunSuite {
     assert(so.toSeq == Seq((1L, 2L)))
   }
 
+  test("annRecall: hit counting, zero-hit queries present, k scaling") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (2L, 22L))
+      .toDF("query_id", "vec_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 99L),
+      (2L, 97L), (2L, 98L), (2L, 99L))
+      .toDF("query_id", "vec_id")
+    val out = Similarity.annRecall(exact, approx, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((2L, 0.666667)))
+    // a query the index completely misses still reports (recall 0)
+    assert(out(2L) == ((0L, 0.0)))
+  }
+
+  test("dedupAgreement: both / lexical_only / embedding_only") {
+    import spark.implicits._
+    val lex = Seq((1L, 2L, 0.9), (1L, 3L, 0.8))
+      .toDF("id_a", "id_b", "est_jaccard")
+    val emb = Seq((1L, 2L, 0.95), (4L, 5L, 0.5))
+      .toDF("id_a", "id_b", "cosine")
+    val out = Dedup.dedupAgreement(lex, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(out((1L, 2L)) == (("both", Some(0.9), Some(0.95))))
+    assert(out((1L, 3L)) == (("lexical_only", Some(0.8), None)))
+    assert(out((4L, 5L)) == (("embedding_only", None, Some(0.5))))
+  }
+
+  test("quantileGate: top-mass keep per group, singleton survives") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "b", 5L)).toDF("doc_id", "source", "score")
+    val out = Sampling.quantileGate(df, "score", keepFrac = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((0.333333, false)))
+    assert(out(2L) == ((0.666667, true)))
+    assert(out(3L) == ((1.0, true)))
+    // rare source: its single doc is its own top mass — kept
+    assert(out(4L) == ((1.0, true)))
+  }
+
   test("Profile.profile: exact ndv, null handling, HLL verdict") {
     import spark.implicits._
     val df = Seq((1, Some("a")), (2, Some("b")), (2, Some("b")),
