@@ -32,6 +32,14 @@ object Graft {
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // small-file split ergonomics: the default 4 MiB open-cost floor
+      // collapses a single small parquet into ONE scan partition, so
+      // every expression upstream of the first exchange runs on one
+      // core (measured 6.5s single-threaded vs 0.3s split for the
+      // shingle kernel on a 3 MiB file). 128 KiB keeps local/bench
+      // scans parallel across cores; INERT at deployment scale, where
+      // files exceed maxPartitionBytes and split on size alone
+      .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
       // parquet TIMESTAMP columns written without the UTC-adjusted
       // annotation read as TIMESTAMP (session-tz) not TIMESTAMP_NTZ,
       // whichever way the writer set isAdjustedToUTC — keeps the

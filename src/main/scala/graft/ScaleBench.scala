@@ -433,6 +433,25 @@ object ScaleBench {
       runProbe("source_percentile", f, nDocs)(
         graft.llm.Sampling.quantileGate(docs, "n_chars",
           keepFrac = 0.5).filter(col("keep")).count())
+
+      // prefix-filtered EXACT jaccard join vs its brute baseline at
+      // the same threshold: cost tracks the candidate stream
+      // (prefix-shingle collisions), not N². NOTE the regime: the
+      // filter prunes with rarest-first prefixes — on this
+      // duplicate-saturated tiny-vocab corpus at LOW thresholds the
+      // prefix is ~(1-t) of each doc and every shingle is common, so
+      // brute's codegen cross join can win; at t >= 0.5 (and on any
+      // Zipfian real corpus) the equi-join path is the one that
+      // survives scale (probe evidence in BASELINE.md).
+      runProbe("jaccard_prefix", f, nDocs)(
+        graft.llm.Dedup.jaccardPairsPrefix(docs, n = 3,
+          threshold = 0.5).count())
+      // brute baseline at factor 1 ONLY: at 4x it is a 400M-pair
+      // cross join — the probe would spend its whole budget proving
+      // the O(N²) it is declared to be
+      if (f == 1) runProbe("jaccard_brute", f, nDocs)(
+        graft.llm.Dedup.jaccardPairsBrute(docs, n = 3,
+          threshold = 0.5).count())
     }
     spark.stop()
   }

@@ -328,6 +328,102 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** EXACT n-gram Jaccard pairs via prefix filtering (Chaudhuri et
+    * al. SSJoin / Bayardo AllPairs) — the scale path that keeps the
+    * brute-force ANSWER: same output as [[jaccardPairsBrute]] at the
+    * same threshold, with the all-pairs cross join replaced by an
+    * EQUI-join on prefix shingles.
+    *
+    * Prefix-filter lemma: order every doc's shingle set by one global
+    * total order (document frequency asc — rarest first prunes
+    * hardest — then shingle); if `jaccard(A,B) >= t` then
+    * `|A∩B| >= ceil(t·|A|)`, so A's first `|A| - ceil(t·|A|) + 1`
+    * ordered shingles must contain one of the matches — candidate
+    * pairs are exactly the pairs sharing a PREFIX shingle (both
+    * sides), plus the size bound `t·|B| <= |A| <= |B|/t`. Candidates
+    * are then verified with the exact intersection/union arithmetic,
+    * so false candidates cost work but never appear in the output.
+    * The ceil runs on `t·sz - 1e-9`: double noise may only LENGTHEN
+    * the prefix (more candidates), never shorten it (lost pairs).
+    *
+    * The whole pipeline runs in the HASH domain: the native
+    * [[graft.functions.SketchExprs.ShingleHashes]] kernel (codegen'd,
+    * ~20x the interpreted string-shingle HOF) emits each doc's
+    * distinct 60-bit shingle hashes, and ordering/joins/verification
+    * all operate on those 8-byte keys — the same value-equals-hash
+    * convention [[exactGroups]] and the MinHash family already
+    * document (a 60-bit collision across a corpus vocabulary is
+    * ~|shingles|²/2^61; the brute-equality spec pins the answer on
+    * real data).
+    *
+    * Scale: shuffle keys are (8-byte prefix hash, id, size) — the
+    * candidate join is term-keyed like the BM25 postings join (AQE
+    * skew-splittable, broadcastable df side), the verify join touches
+    * candidate pairs only; nothing is O(N²) unless the data itself
+    * is (every doc sharing one rare shingle). */
+  def jaccardPairsPrefix(docs: DataFrame, n: Int, threshold: Double,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame =
+    graft.cache.Pins.track(docs.sparkSession,
+      jaccardPairsPrefixManaged(docs, n, threshold, textCol,
+        idCol)).value
+
+  /** [[jaccardPairsPrefix]] with an explicit lifecycle for the
+    * persisted shingle-set relation — it feeds the df aggregate, the
+    * prefix stream AND both sides of the verify join (the bm25
+    * postings discipline: computed once, consumed three times; the
+    * interpreted shingle HOF kernel is the dominant per-row cost). */
+  def jaccardPairsPrefixManaged(docs: DataFrame, n: Int,
+                                threshold: Double,
+                                textCol: String = "text",
+                                idCol: String = "doc_id")
+      : graft.access.Split.Branches[DataFrame] = {
+    import org.apache.spark.sql.expressions.Window
+    val withSh = docs
+      .select(col(idCol).as("id"),
+        graft.functions.SketchExprs.shingleHashes(col(textCol), n)
+          .as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = withSh.select(col("id"), col("sz"),
+      explode(col("sh")).as("s"))
+    val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val minOverlap = ceil(lit(threshold) * col("sz").cast("double")
+      - lit(1e-9))
+    val prefix = ex.join(freq, Seq("s"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("id"))
+        .orderBy(col("df").asc, col("s").asc)))
+      .filter(col("rk") <= col("sz") - minOverlap + 1)
+      .select(col("s"), col("id"), col("sz"))
+    val cand = prefix.select(col("s"), col("id").as("id_a"),
+        col("sz").as("sz_a"))
+      .join(prefix.select(col("s"), col("id").as("id_b"),
+        col("sz").as("sz_b")), Seq("s"))
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_a").cast("double") >=
+          lit(threshold) * col("sz_b").cast("double") - lit(1e-9) &&
+        col("sz_b").cast("double") >=
+          lit(threshold) * col("sz_a").cast("double") - lit(1e-9))
+      .select(col("id_a"), col("id_b")).distinct()
+    // exact verification — the jaccardPairsBrute arithmetic verbatim,
+    // evaluated on candidate pairs only
+    val verified = cand
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("n_union",
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", col("n_inter") / col("n_union"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+    graft.access.Split.Branches(verified, withSh)
+  }
+
   // ---------------------------------------------------------------
   // MinHash + LSH — the scale path
   // ---------------------------------------------------------------

@@ -1067,6 +1067,186 @@ object TextAnalysis {
           col("n_tokens").cast("double"), 6).as("fertility"))
   }
 
+  /** Unigram-LM tokenizer trainer (Kudo 2018, arXiv:1804.10959 — the
+    * SentencePiece unigram model), the probabilistic companion to the
+    * greedy [[bpeMerges]] trainer. Simplified faithfully:
+    *
+    *  1. SEED: every positional substring (length ≤ `maxPieceLen`)
+    *     of every word TYPE, weighted by corpus word count; the vocab
+    *     keeps ALL single characters (so every word stays segmentable)
+    *     plus the top multi-char pieces by (count desc, piece asc) up
+    *     to `vocabSize`; initial `logp = ln(cnt / Σcnt)`.
+    *  2. EM (`iters` rounds, fixed vocab): E-step Viterbi-segments
+    *     each word type under the current piece log-probs (ties:
+    *     fewer pieces, then lexicographically smallest U+0001-joined
+    *     path — a suffix-monotonic rule, so the DP and a full
+    *     enumeration agree); M-step re-estimates
+    *     `logp = ln((c + 1) / (C + |V|))` (Laplace) from the
+    *     count-weighted best segmentations. (The reference algorithm
+    *     also PRUNES the vocab between rounds; fixed-vocab EM keeps
+    *     the oracle replayable and is the documented simplification.)
+    *
+    * Scale: word types stay DISTRIBUTED — seeding is one explode +
+    * sum aggregate, each E-step is a row-local Viterbi over the type
+    * table with the ≤`vocabSize`-row model broadcast, each M-step one
+    * sum aggregate; only the model (≤ vocabSize rows) ever reaches
+    * the driver — the Lloyd-iteration / [[bpeMerges]] registry shape.
+    * Returns `(piece, n_occ, logp)`: occurrences in the final E-step
+    * and the post-final-M-step log-prob. */
+  def unigramModel(docs: DataFrame, vocabSize: Int = 40,
+                   maxPieceLen: Int = 4, iters: Int = 2,
+                   textCol: String = "text")
+      : Array[(String, Long, Double)] =
+    Similarity.memoized(docs,
+      s"unigramTrain:$vocabSize:$maxPieceLen:$iters:$textCol") {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      import org.apache.spark.storage.StorageLevel
+      val wt = docs.select(explode(tokens(col(textCol))).as("_w"))
+        .groupBy(col("_w")).agg(count(lit(1)).as("_n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val w = col("_w")
+      val subs = flatten(transform(sequence(lit(0), length(w) - 1), i =>
+        transform(
+          sequence(lit(1), least(lit(maxPieceLen), length(w) - i)),
+          l => w.substr(i + lit(1), l))))
+      val seed = wt.select(explode(subs).as("piece"), col("_n"))
+        .groupBy(col("piece")).agg(sum(col("_n")).as("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val singles = seed.filter(length(col("piece")) === 1).collect()
+      val nMulti = math.max(vocabSize - singles.length, 0)
+      val multi = seed.filter(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece").asc)
+        .limit(nMulti).collect()
+      seed.unpersist()
+      val vocab0 = (singles ++ multi)
+        .map(r => r.getString(0) -> r.getLong(1))
+      val total0 = vocab0.map(_._2).sum.toDouble
+      var probs: Map[String, Double] =
+        vocab0.map { case (p, c) =>
+          p -> math.log(c.toDouble / total0)
+        }.toMap
+      val vSize = probs.size
+      var lastCounts: Map[String, Long] = Map.empty
+      var it = 0
+      while (it < iters) {
+        val bc = spark.sparkContext.broadcast(probs)
+        val ml = maxPieceLen
+        val cm = wt.as[(String, Long)]
+          .flatMap { case (word, n) =>
+            viterbiPieces(word, bc.value, ml).map(p => (p, n))
+          }
+          .toDF("piece", "n")
+          .groupBy(col("piece")).agg(sum(col("n")).as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        lastCounts = cm
+        val ctot = cm.values.sum.toDouble
+        probs = probs.keysIterator.map { p =>
+          val c = cm.getOrElse(p, 0L).toDouble
+          p -> math.log((c + 1.0) / (ctot + vSize.toDouble))
+        }.toMap
+        bc.unpersist()
+        it += 1
+      }
+      wt.unpersist()
+      probs.toArray.sortBy(_._1).map { case (p, lp) =>
+        (p, lastCounts.getOrElse(p, 0L), lp)
+      }
+    }
+
+  /** Viterbi best segmentation of `word` under piece log-probs:
+    * maximize Σ logp, ties to fewer pieces, then the smallest
+    * U+0001-joined path. With equal piece counts the joined-string
+    * order equals element-wise piece order (the separator sorts below
+    * every corpus char), so the tie rule is suffix-monotonic and the
+    * DP agrees with full enumeration — which is what makes the
+    * trainer oracle-replayable. Prefix sums accumulate left-to-right
+    * (the enumeration order), so double comparisons are bit-stable. */
+  private[graft] def viterbiPieces(word: String,
+                                 probs: Map[String, Double],
+                                 maxLen: Int): Seq[String] = {
+    val n = word.length
+    if (n == 0) return Nil
+    val SEP = "\u0001"
+    val lp = new Array[Double](n + 1)
+    val np = new Array[Int](n + 1)
+    val path = new Array[String](n + 1)
+    path(0) = ""
+    var i = 1
+    while (i <= n) {
+      var bl = Double.NegativeInfinity
+      var bn = 0
+      var bp: String = null
+      val lmax = math.min(maxLen, i)
+      var l = 1
+      while (l <= lmax) {
+        if (path(i - l) != null) {
+          val piece = word.substring(i - l, i)
+          probs.get(piece) match {
+            case Some(plp) =>
+              val clp = lp(i - l) + plp
+              val cn = np(i - l) + 1
+              val cp = if (path(i - l).isEmpty) piece
+                       else path(i - l) + SEP + piece
+              if (bp == null || clp > bl || (clp == bl &&
+                  (cn < bn || (cn == bn && cp.compareTo(bp) < 0)))) {
+                bl = clp; bn = cn; bp = cp
+              }
+            case None => ()
+          }
+        }
+        l += 1
+      }
+      lp(i) = bl; np(i) = bn; path(i) = bp
+      i += 1
+    }
+    if (path(n) == null) word.map(_.toString)  // uncovered: fall back
+    else path(n).split(SEP, -1).toSeq
+  }
+
+  /** [[unigramModel]] as a DataFrame `(piece, n_occ, logp)` — the
+    * `queries()` face of the trainer (the [[bpeTrain]] shape). */
+  def unigramTrain(docs: DataFrame, vocabSize: Int = 40,
+                   maxPieceLen: Int = 4, iters: Int = 2,
+                   textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    unigramModel(docs, vocabSize, maxPieceLen, iters, textCol).toSeq
+      .toDF("piece", "n_occ", "logp")
+      .select(col("piece"), col("n_occ"), round(col("logp"), 6).as("logp"))
+  }
+
+  /** APPLY the trained unigram model: per doc, whitespace token
+    * count, Viterbi piece count, and fertility — the [[bpeEncode]]
+    * gauge under the probabilistic tokenizer. Distinct words segment
+    * once (broadcast model, row-local DP), then per-doc tf weights
+    * the piece counts — text never shuffles, the join is
+    * word-type-keyed. */
+  def unigramEncode(docs: DataFrame, vocabSize: Int = 40,
+                    maxPieceLen: Int = 4, iters: Int = 2,
+                    textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val model = unigramModel(docs, vocabSize, maxPieceLen, iters,
+      textCol)
+    val probs = model.map(t => t._1 -> t._3).toMap
+    val bc = spark.sparkContext.broadcast(probs)
+    val ml = maxPieceLen
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("_w"))
+      .groupBy(col(idCol), col("_w")).agg(count(lit(1)).as("_tf"))
+    val npieces = tf.select(col("_w")).distinct().as[String]
+      .map(word => (word, viterbiPieces(word, bc.value, ml).length.toLong))
+      .toDF("_w", "_np")
+    tf.join(npieces, Seq("_w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_tf")).as("n_tokens"),
+        sum(col("_tf") * col("_np")).as("n_pieces"))
+      .select(col(idCol), col("n_tokens"), col("n_pieces"),
+        round(col("n_pieces").cast("double") /
+          col("n_tokens").cast("double"), 6).as("fertility"))
+  }
+
   /** Per-group n-gram diversity: `distinct n-grams / total n-grams`
     * at each window size in `ns` — the self-repetition gauge that
     * flags templated / machine-generated / boilerplate-heavy sources

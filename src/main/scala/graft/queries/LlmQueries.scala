@@ -123,6 +123,16 @@ object LlmQueries {
           threshold = 0.2)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // EXACT pairs via prefix filtering (AllPairs/SSJoin): equi-join
+    // on rarest-first prefix shingles + size bounds + exact verify —
+    // brute-identical answers with no cross join anywhere (PlanSpec
+    // gate; LlmSpec equality vs brute). Registered at t=0.5, the
+    // regime where the filter prunes (prefix ≈ half the doc).
+    "llm_jaccard_prefix" -> ((s, dir) =>
+      Dedup.jaccardPairsPrefix(table(s, dir, "documents"), n = 3,
+          threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // MinHash+LSH near-dup pairs — the scale path. MD5-oracle-verified
     // under Verify's hash family; recall vs brute force in LlmSpec.
     "llm_minhash_pairs" -> ((s, dir) =>
@@ -1169,6 +1179,23 @@ object LlmQueries {
     // token count and fertility (tokenizer-fit gauge).
     "llm_bpe_encode" -> ((s, dir) =>
       TextAnalysis.bpeEncode(table(s, dir, "documents"), merges = 8)
+        .orderBy(col("doc_id"))),
+
+    // unigram-LM (SentencePiece) tokenizer trainer: substring seed
+    // vocab (40 pieces, len<=4) + 2 fixed-vocab EM rounds; the
+    // oracle replays seeding, both Viterbi E-steps (full
+    // segmentation enumeration per word type via recursive CTE —
+    // the DP's tie rule is suffix-monotonic, so they agree) and
+    // both Laplace M-steps bit-for-bit.
+    "llm_unigram_train" -> ((s, dir) =>
+      TextAnalysis.unigramTrain(table(s, dir, "documents"))
+        .orderBy(col("piece"))),
+
+    // unigram encode: Viterbi piece counts under the final model,
+    // tf-weighted per doc -> fertility (the bpe_encode gauge under
+    // the probabilistic tokenizer).
+    "llm_unigram_encode" -> ((s, dir) =>
+      TextAnalysis.unigramEncode(table(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
     // blocklist scrub over planted terms (the pii_redact/secret_scan
@@ -2815,6 +2842,22 @@ object LlmQueries {
          WHERE a.doc_id < b.doc_id
            AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                / len(list_distinct(a.s || b.s)) >= 0.2
+         ORDER BY id_a, id_b""",
+    // prefix-filtered exact join: same answer as the brute oracle —
+    // prefix filtering changes the PLAN, not the result set.
+    "llm_jaccard_prefix" ->
+      s"""WITH sh AS (
+           SELECT doc_id, $shingleSql AS s
+           FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+                 FROM documents))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(a.s || b.s)), 6) AS jaccard
+         FROM sh a, sh b
+         WHERE a.doc_id < b.doc_id
+           AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(a.s || b.s)) >= 0.5
          ORDER BY id_a, id_b""",
     "llm_embedding_pairs" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cosineSql AS cosine
@@ -5477,6 +5520,10 @@ object LlmQueries {
 
     "llm_ann_recall" -> annRecallOracle,
 
+    "llm_unigram_train" -> unigramTrainOracle,
+
+    "llm_unigram_encode" -> unigramEncodeOracle,
+
     // agreement replay: minhash pair CTEs full-outer the brute
     // cosine pair scan, category CASE identical to the engine's.
     "llm_dedup_agreement" -> dedupAgreementOracle,
@@ -5545,6 +5592,101 @@ object LlmQueries {
        FROM top t JOIN est e USING (token)
        ORDER BY t.token"""
   }
+
+  /** Unigram-LM trainer replay. One Viterbi iteration's CTEs: segK =
+    * ALL segmentations of every word type under the prob table `pin`
+    * (recursive enumeration — branching ≤ maxPieceLen per step, words
+    * are short), bestK = per-word argmax under (Σlogp DESC, pieces
+    * ASC, U+0001-path ASC) — the engine DP's exact (suffix-monotonic)
+    * tie rule, so enumeration and DP select identical paths and the
+    * left-to-right double sums compare bit-equal; cK = count-weighted
+    * piece counts; pK = the Laplace M-step. */
+  private def unigramIterCtes(k: Int, pin: String): String =
+    s"""seg$k(w, pos, lp, np, path) AS (
+         SELECT w, 0, CAST(0.0 AS DOUBLE), 0, '' FROM wt
+         UNION ALL
+         SELECT s.w, s.pos + len(p.piece), s.lp + p.lp, s.np + 1,
+           CASE WHEN s.path = '' THEN p.piece
+                ELSE s.path || chr(1) || p.piece END
+         FROM seg$k s JOIN $pin p
+           ON s.pos < len(s.w)
+          AND len(p.piece) <= len(s.w) - s.pos
+          AND p.piece = substring(s.w, s.pos + 1, len(p.piece))),
+       best$k AS (SELECT w, path FROM (
+           SELECT w, path, row_number() OVER (PARTITION BY w
+             ORDER BY lp DESC, np ASC, path ASC) AS rk
+           FROM seg$k WHERE pos = len(w))
+         WHERE rk = 1),
+       c$k AS (SELECT piece, CAST(SUM(n) AS BIGINT) AS c FROM (
+           SELECT b.w, unnest(string_split(b.path, chr(1))) AS piece
+           FROM best$k b) bp
+         JOIN wt USING (w) GROUP BY piece),
+       p$k AS (SELECT v.piece,
+           ln((CAST(coalesce(c.c, 0) AS DOUBLE) + 1.0) /
+              ((SELECT CAST(SUM(c) AS DOUBLE) FROM c$k)
+               + CAST((SELECT count(*) FROM v0) AS DOUBLE))) AS lp
+         FROM v0 v LEFT JOIN c$k c USING (piece))"""
+
+  /** Shared trainer chain: word types -> positional substring seed
+    * (two unnest levels, no nested lambdas) -> all-singles + top-
+    * multi vocab of 40 -> initial ln(cnt/total) probs -> EM rounds
+    * 1 and 2. */
+  private lazy val unigramCtes: String =
+    raw"""wt AS (
+         SELECT t AS w, count(*) AS n FROM (
+           SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '')) AS t
+           FROM documents) tt
+         GROUP BY t),
+       us1 AS (SELECT w, n, unnest(generate_series(1, len(w))) AS i
+               FROM wt),
+       us2 AS (SELECT w, n, i,
+           unnest(generate_series(1, least(4, len(w) - i + 1))) AS l
+         FROM us1),
+       seed AS (SELECT substring(w, i, l) AS piece,
+           CAST(SUM(n) AS BIGINT) AS cnt
+         FROM us2 GROUP BY piece),
+       singles AS (SELECT piece, cnt FROM seed WHERE len(piece) = 1),
+       multi AS (SELECT piece, cnt FROM (
+           SELECT piece, cnt, row_number() OVER (
+             ORDER BY cnt DESC, piece ASC) AS rk
+           FROM seed WHERE len(piece) > 1) rs
+         WHERE rk <= 40 - (SELECT count(*) FROM singles)),
+       v0 AS (SELECT piece, cnt FROM singles
+              UNION ALL SELECT piece, cnt FROM multi),
+       p0 AS (SELECT piece,
+           ln(CAST(cnt AS DOUBLE) /
+              (SELECT CAST(SUM(cnt) AS DOUBLE) FROM v0)) AS lp
+         FROM v0),
+       ${unigramIterCtes(1, "p0")},
+       ${unigramIterCtes(2, "p1")}"""
+
+  private lazy val unigramTrainOracle: String =
+    s"""WITH RECURSIVE $unigramCtes
+       SELECT p2.piece,
+         CAST(coalesce(c2.c, 0) AS BIGINT) AS n_occ,
+         round(p2.lp, 6) AS logp
+       FROM p2 LEFT JOIN c2 USING (piece)
+       ORDER BY piece"""
+
+  private lazy val unigramEncodeOracle: String =
+    raw"""WITH RECURSIVE $unigramCtes,
+       ${unigramIterCtes(3, "p2")},
+       np AS (SELECT w,
+           CAST(len(string_split(path, chr(1))) AS BIGINT) AS npiece
+         FROM best3),
+       utf AS (SELECT doc_id, t AS w, count(*) AS tf FROM (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(text, '\s+'), x -> x <> '')) AS t
+           FROM documents) dt
+         GROUP BY doc_id, t)
+       SELECT doc_id,
+         CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         CAST(SUM(tf * npiece) AS BIGINT) AS n_pieces,
+         round(CAST(SUM(tf * npiece) AS DOUBLE)
+               / CAST(SUM(tf) AS DOUBLE), 6) AS fertility
+       FROM utf JOIN np USING (w)
+       GROUP BY doc_id ORDER BY doc_id"""
 
   /** Agreement replay: minhash scored pairs at 0.35 vs the brute
     * cosine pair scan at 0.4, full outer on the upper-triangular

@@ -2546,6 +2546,29 @@ class LlmSpec extends AnyFunSuite {
     assert(so.toSeq == Seq((1L, 2L)))
   }
 
+  test("jaccardPairsPrefix == jaccardPairsBrute (exact join, " +
+       "pruned plan) on real data and on a boundary fixture") {
+    import spark.implicits._
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = asSet(Dedup.jaccardPairsBrute(docs, n = 3,
+      threshold = 0.2))
+    val pref = asSet(Dedup.jaccardPairsPrefix(docs, n = 3,
+      threshold = 0.2))
+    assert(brute.nonEmpty && pref == brute,
+      s"prefix path must reproduce brute exactly: " +
+        s"missing=${(brute -- pref).take(3)} extra=${(pref -- brute).take(3)}")
+    // boundary fixture: t*|sz| lands on an exact integer (the ceil
+    // epsilon case) — a pair at exactly the threshold must survive
+    val a = "x1 x2 x3 x4 x5 x6 x7"          // 5 3-shingles
+    val b = "x3 x4 x5 x6 x7 y1 y2"          // shares 3 of its 5
+    val planted = Seq((1L, a), (2L, b), (3L, "z z z")).toDF("doc_id", "text")
+    val bs = asSet(Dedup.jaccardPairsBrute(planted, 3, 0.42857))
+    val ps = asSet(Dedup.jaccardPairsPrefix(planted, 3, 0.42857))
+    assert(ps == bs && bs.exists(t => t._1 == 1L && t._2 == 2L))
+  }
+
   test("annRecall: hit counting, zero-hit queries present, k scaling") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
@@ -2587,6 +2610,51 @@ class LlmSpec extends AnyFunSuite {
     assert(out(3L) == ((1.0, true)))
     // rare source: its single doc is its own top mass — kept
     assert(out(4L) == ((1.0, true)))
+  }
+
+  test("viterbiPieces: coverage, probability preference, tie rules") {
+    val lp = Map("a" -> -1.0, "b" -> -1.0, "c" -> -1.0,
+      "ab" -> -0.5, "bc" -> -3.0)
+    // concatenation always reconstructs the word
+    val seg = TextAnalysis.viterbiPieces("abc", lp, 4)
+    assert(seg.mkString == "abc")
+    // "ab"+"c" (-1.5) beats "a"+"bc" (-4.0) and "a"+"b"+"c" (-3.0)
+    assert(seg == Seq("ab", "c"))
+    // maxLen respected: with maxLen=1 only singles are available
+    assert(TextAnalysis.viterbiPieces("abc", lp, 1) ==
+      Seq("a", "b", "c"))
+    // tie on total logp -> fewer pieces wins
+    val tie = Map("a" -> -1.0, "b" -> -1.0, "ab" -> -2.0)
+    assert(TextAnalysis.viterbiPieces("ab", tie, 4) == Seq("ab"))
+    // tie on logp AND piece count -> lexicographically smaller path
+    val tie2 = Map("x" -> -1.0, "yz" -> -1.0, "xy" -> -1.0, "z" -> -1.0)
+    assert(TextAnalysis.viterbiPieces("xyz", tie2, 4) ==
+      Seq("x", "yz"))
+  }
+
+  test("unigramTrain/Encode: whole-word pieces win on a repetitive " +
+       "corpus; fertility reflects it") {
+    import spark.implicits._
+    val planted = Seq.tabulate(20)(i =>
+        (i.toLong, "wxyz wxyz wxyz qq")).toDF("doc_id", "text")
+    val model = TextAnalysis.unigramTrain(planted, vocabSize = 12,
+        maxPieceLen = 4, iters = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    // every corpus char survives as a single-char piece
+    Seq("w", "x", "y", "z", "q").foreach(c => assert(model.contains(c)))
+    // the dominant whole word is in the vocab and carries the mass
+    assert(model.contains("wxyz") && model("wxyz")._1 == 60L)
+    assert(model("wxyz")._2 > model("w")._2)
+    val enc = TextAnalysis.unigramEncode(planted, vocabSize = 12,
+        maxPieceLen = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // 4 words/doc: wxyz x3 (1 piece each) + qq (1 piece) = 4 pieces
+    enc.foreach { case (_, nt, npc, fert) =>
+      assert(nt == 4L && npc == 4L && fert == 1.0)
+    }
+    graft.llm.Similarity.clearTrainedCache()
   }
 
   test("Profile.profile: exact ndv, null handling, HLL verdict") {

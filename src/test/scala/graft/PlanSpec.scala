@@ -707,6 +707,21 @@ class PlanSpec extends AnyFunSuite {
       l.trim.matches("""\(\d+\) Exchange.*""")) == 1, plan.take(2000))
   }
 
+  test("jaccardPairsPrefix: no cross join anywhere — candidates come " +
+       "from an equi-join on prefix shingles") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.llm.Dedup.jaccardPairsPrefix(docs, n = 3,
+      threshold = 0.2))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix path must never cross-join:\n${plan.take(2000)}")
+    // brute, by contrast, IS the declared cross join baseline
+    val bPlan = planOf(graft.llm.Dedup.jaccardPairsBrute(docs, n = 3,
+      threshold = 0.2))
+    assert(bPlan.contains("CartesianProduct") ||
+      bPlan.contains("BroadcastNestedLoopJoin"), bPlan.take(2000))
+  }
+
   test("rrfFuse: sketch-side sketch broadcast in cmsLookup; fusion " +
        "window partitions by query") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
