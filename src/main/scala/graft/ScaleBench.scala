@@ -452,6 +452,14 @@ object ScaleBench {
       if (f == 1) runProbe("jaccard_brute", f, nDocs)(
         graft.llm.Dedup.jaccardPairsBrute(docs, n = 3,
           threshold = 0.5).count())
+
+      // unigram trainer: type-bounded model — word TYPES are fixed
+      // under copy-scaling, so the whole train should be flat; the
+      // memo registry is cleared so every factor trains fresh
+      runProbe("unigram_train", f, nDocs) {
+        graft.llm.Similarity.clearTrainedCache()
+        graft.llm.TextAnalysis.unigramTrain(docs).count()
+      }
     }
     spark.stop()
   }

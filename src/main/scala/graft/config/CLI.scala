@@ -112,6 +112,49 @@ object CLI {
           Access.writeData(snk)
       }),
 
+    // The dedup AUDIT through the lifecycle: per-doc provenance
+    // (first claiming stage + direct representative) to one sink,
+    // the surviving corpus to another — ship the cleaned corpus WITH
+    // the table that explains every removal (the safety pipeline's
+    // two-sink shape).
+    "dedup_audit" -> Registered(
+      "dedup_audit",
+      "staged dedup provenance: per-doc (stage, keep_id) lineage " +
+        "plus the kept-only corpus",
+      OptionsSchema(Seq(
+        OptField("threshold", Some(OptNum(0.35)),
+          "MinHash-Jaccard candidate threshold for the near-dup stage"))),
+      (spark, opts) => {
+        val thr = opts("threshold") match {
+          case OptNum(n) => n
+          case other     => other.render.toDouble
+        }
+        val src = VirtualFile(VPath("/documents"), Seq("parquet"),
+          Usage.Source)
+        val linSnk = VirtualFile(VPath("/Outputs/lineage"),
+          Seq("parquet"), Usage.Sink)
+        val keptSnk = VirtualFile(VPath("/Outputs/deduped"),
+          Seq("parquet"), Usage.Sink)
+        Access.getDataReader(src) >>>
+          PTask.arr { (r: Access.DataReader) =>
+            import graft.llm.Dedup
+            val docs = r.read()
+            val lineage = Dedup.dedupLineage(docs,
+              Dedup.connectedComponents(
+                Dedup.minHashPairs(docs, threshold = thr)
+                  .select(col("id_a"), col("id_b"))))
+              .persist(org.apache.spark.storage.StorageLevel
+                .MEMORY_AND_DISK)
+            graft.cache.Pins.track(spark,
+              graft.access.Split.Branches((), lineage))
+            val kept = docs.join(
+              lineage.filter(col("stage") === "kept")
+                .select(col("doc_id")), Seq("doc_id"))
+            (lineage, kept)
+          } >>>
+          (Access.writeData(linSnk) *** Access.writeData(keptSnk))
+      }),
+
     // The crawl->clean-text extraction chain through the lifecycle:
     // strip markup, apply the C4 line/page rules, canonicalize
     // (NFC+lower+collapse, optional accent fold) — the stage every

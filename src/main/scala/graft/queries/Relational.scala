@@ -506,7 +506,20 @@ object Relational {
       graft.functions.Profile.profile(table(s, dir, "lineitem"),
           Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
             "l_shipdate"))
-        .orderBy(col("col_name")))
+        .orderBy(col("col_name"))),
+
+    // --- Z-order layout audit: 32 equal Morton-curve segments over
+    // (l_partkey, l_suppkey) with each segment's span in BOTH keys —
+    // the per-file min/max stats a scan would prune against after an
+    // OPTIMIZE-ZORDER rewrite (ZOrder.zorderLayout is the write
+    // path; this is its audit. The global ntile window is the
+    // bounded diagnostic — production layout uses the range
+    // shuffle, never a global window).
+    "q33_zorder" -> ((s, dir) =>
+      graft.functions.ZOrder.zorderAudit(table(s, dir, "lineitem"),
+          "l_partkey", "l_suppkey", nBuckets = 32,
+          tieCols = Seq("l_orderkey", "l_linenumber"))
+        .orderBy(col("bucket")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -839,6 +852,29 @@ object Relational {
            UNION ALL
            SELECT 'l_shipdate', count(l_shipdate),
              count(DISTINCT l_shipdate), true FROM lineitem)
-         ORDER BY col_name"""
+         ORDER BY col_name""",
+
+    // zorder replay: the Morton interleave unrolled as literal bit
+    // arithmetic, identical ntile order (strict (z, orderkey,
+    // linenumber) total order).
+    "q33_zorder" -> {
+      def spread(x: String, sh: Int) = (0 until 16).map(i =>
+        s"((((($x) % 65536) >> $i) & 1) << ${2 * i + sh})")
+        .mkString(" | ")
+      val z = s"(${spread("l_partkey", 0)} | ${spread("l_suppkey", 1)})"
+      s"""WITH z AS (
+           SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
+             $z AS _z
+           FROM lineitem),
+         b AS (SELECT *, CAST(ntile(32) OVER (
+             ORDER BY _z ASC, l_orderkey ASC, l_linenumber ASC)
+             AS BIGINT) AS bucket FROM z)
+         SELECT bucket, count(*) AS n_rows,
+           min(l_partkey) AS min_l_partkey,
+           max(l_partkey) AS max_l_partkey,
+           min(l_suppkey) AS min_l_suppkey,
+           max(l_suppkey) AS max_l_suppkey
+         FROM b GROUP BY bucket ORDER BY bucket"""
+    }
   )
 }

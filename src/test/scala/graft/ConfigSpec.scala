@@ -704,6 +704,41 @@ class ConfigSpec extends AnyFunSuite {
       s"strip + normalize must compose: '${out(1L)}'")
   }
 
+  test("dedup_audit pipeline: lineage sink explains every removal, " +
+       "kept sink is exactly the 'kept' slice") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    import spark.implicits._
+    val base = "/root/repo/target/scratch/cli_dedup_audit"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    val w100 = (0 until 100).map(i => s"w$i").mkString(" ")
+    Seq((1L, w100), (2L, w100), (3L, w100.replace("w50", "changed")),
+      (4L, (0 until 100).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$base/raw.parquet")
+    val specFile = s"$base/audit.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(specFile),
+      s"""locations:
+         |  /documents: $base/raw.parquet
+         |  /Outputs/lineage: $base/lineage.parquet
+         |  /Outputs/deduped: $base/deduped.parquet
+         |""".stripMargin)
+    CLI.run(Array("dedup_audit", "run", specFile), spark)
+    val lin = spark.read.parquet(s"$base/lineage.parquet")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    assert(lin(1L) == (("kept", 1L)))
+    assert(lin(2L) == (("exact", 1L)))
+    assert(lin(3L) == (("near_dup", 1L)))
+    assert(lin(4L) == (("kept", 4L)))
+    val kept = spark.read.parquet(s"$base/deduped.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L))
+    graft.cache.Pins.release(spark)
+  }
+
   test("safety pipeline: one cached scan feeds both the per-doc " +
        "queue and the per-source rollup sink") {
     val spark = org.apache.spark.sql.SparkSession.builder()

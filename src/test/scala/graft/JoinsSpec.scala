@@ -138,4 +138,37 @@ class JoinsSpec extends AnyFunSuite {
     assert(exact == Set(1L))
     assert(exact.subsetOf(flagged))
   }
+
+  test("ZOrder: morton interleave bit-exact; z-layout bounds BOTH " +
+       "key spans where a single-key sort leaves one at full width") {
+    import spark.implicits._
+    import graft.functions.ZOrder
+    // hand-checked interleaves at bits=2
+    val m = Seq((3L, 1L), (2L, 3L), (0L, 0L)).toDF("a", "b")
+      .select(ZOrder.morton2($"a", $"b", bits = 2).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(m == Seq(7L, 14L, 0L))  // 11&01->0111; 10&11->1110; 0
+    // 32x32 grid: audit 16 z-buckets vs 16 single-key-sort buckets
+    val grid = (for { x <- 0 until 32; y <- 0 until 32 }
+      yield (x.toLong, y.toLong, (x * 32 + y).toLong))
+      .toDF("x", "y", "id")
+    val zspans = ZOrder.zorderAudit(grid, "x", "y", nBuckets = 16,
+        tieCols = Seq("id"), bits = 8)
+      .collect().map(r => (r.getLong(3) - r.getLong(2),
+        r.getLong(5) - r.getLong(4)))
+    // every z-segment is a compact curve region: both spans <= 15
+    // (vs domain width 31); a sort by x alone leaves every bucket's
+    // y-span at the full 31
+    zspans.foreach { case (sx, sy) =>
+      assert(sx <= 15 && sy <= 15, s"span ($sx, $sy)")
+    }
+    val naive = grid.withColumn("bucket",
+        org.apache.spark.sql.functions.ntile(16).over(
+          org.apache.spark.sql.expressions.Window.orderBy($"x", $"id")))
+      .groupBy($"bucket")
+      .agg(org.apache.spark.sql.functions.max($"y") -
+        org.apache.spark.sql.functions.min($"y"))
+      .collect().map(_.getLong(1))
+    assert(naive.forall(_ == 31L), "single-key sort: full y width")
+  }
 }
