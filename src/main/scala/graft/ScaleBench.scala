@@ -460,6 +460,12 @@ object ScaleBench {
         graft.llm.Similarity.clearTrainedCache()
         graft.llm.TextAnalysis.unigramTrain(docs).count()
       }
+
+      // feature-hash embeddings: token agg + 8-byte (id, bucket)
+      // keys — linear scan shape, state <= dim per doc
+      runProbe("hash_embed", f, nDocs)(
+        graft.llm.TextAnalysis.hashEmbedSparse(docs, dim = 64)
+          .agg(sum(col("v"))).collect().length.toLong)
     }
     spark.stop()
   }

@@ -116,6 +116,19 @@ object SketchOps {
   /** Modulus for the affine MinHash family: prime > 2^32. */
   val P: Long = 4294967311L
 
+  /** Family-aware 32-bit base hash as a Column (the base32
+    * arithmetic at the DataFrame level): XXH64(seed 42) folded mod
+    * 2^32 in production, first 4 MD5 bytes under the oracle family
+    * (`CAST('0x'||substring(md5(x),1,8) AS BIGINT)` in SQL).
+    * Resolved at plan construction, like the [[graft.functions
+    * .SketchExprs]] Column API. */
+  def h32Column(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    if (xxFamily()) pmod(xxhash64(c), lit(1L << 32))
+    else conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  }
+
   /** Seeded affine-hash coefficients (a_i odd < 2^31, b_i < 2^31):
     * a*x+b stays inside signed 64-bit for x < 2^32. */
   def coeffs(k: Int, seed: Long): (Array[Long], Array[Long]) = {

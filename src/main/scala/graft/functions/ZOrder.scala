@@ -32,6 +32,19 @@ object ZOrder {
     spread(a, 0).bitwiseOR(spread(b, 1))
   }
 
+  /** Scalar reference form of [[morton2]] (same arithmetic, plain
+    * longs) — driver-side tooling (computing range boundaries,
+    * planning splits) and the law-check target for the Column form. */
+  def morton2Long(a: Long, b: Long, bits: Int = 16): Long = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    def spread(x: Long, sh: Int): Long = {
+      val q = java.lang.Math.floorMod(x, 1L << bits)
+      (0 until bits).foldLeft(0L)((acc, i) =>
+        acc | (((q >>> i) & 1L) << (2 * i + sh)))
+    }
+    spread(a, 0) | spread(b, 1)
+  }
+
   /** Rewrite `df` in Z-order layout: range-partition by the Morton
     * code of `(keyA, keyB)` into `numFiles` partitions and sort each
     * partition by it — every output file covers one compact Z-curve

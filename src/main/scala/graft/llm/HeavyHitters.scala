@@ -218,16 +218,11 @@ object HeavyHitters {
   // stream summary: the count-min sketch and its applications").
   // ---------------------------------------------------------------
 
-  /** Family-aware 32-bit base hash as a Column — the same arithmetic
-    * as [[graft.functions.SketchOps]] base32: XXH64(seed 42) folded
-    * mod 2^32 in production, first 4 MD5 bytes under the oracle
-    * family (replayed in DuckDB as
-    * `CAST('0x'||substring(md5(x),1,8) AS BIGINT)`). */
+  /** Family-aware 32-bit base hash — see
+    * [[graft.functions.SketchOps.h32Column]]. */
   private def h32Col(c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
-    if (graft.functions.SketchOps.xxFamily())
-      pmod(xxhash64(c), lit(1L << 32))
-    else conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    graft.functions.SketchOps.h32Column(c)
 
   /** Build a `depth x width` count-min sketch over an item column:
     * one counter row per `(row, bucket)` cell, `bucket_i(x) =

@@ -1247,6 +1247,52 @@ object TextAnalysis {
           col("n_tokens").cast("double"), 6).as("fertility"))
   }
 
+  /** Feature-hashing document vectors, SPARSE form (Weinberger et
+    * al. 2009, "Feature hashing for large scale multitask
+    * learning"): each token lands in `pmod(h32(token), dim)` with a
+    * hash-derived ±1 sign (bit 16 of the base hash — independent of
+    * the bucket bits) debiasing collisions; `v = Σ sign·tf` per
+    * (doc, bucket). The MODEL-FREE document embedding: no training,
+    * no vocabulary table, pure hash arithmetic — the standard trick
+    * for wiring text into the vector operators (ANN, SemDeDup,
+    * outliers, k-means topics) when no learned embeddings exist.
+    *
+    * Everything up to `v` is EXACT integer arithmetic (the audit
+    * query and oracle touch doubles only at the final norm/divide).
+    * Scale: one token aggregate, then 8-byte (id, bucket) keys —
+    * state per doc ≤ dim entries; text never shuffles. */
+  def hashEmbedSparse(docs: DataFrame, dim: Int = 64,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val h = graft.functions.SketchOps.h32Column(col("_tok"))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("_tok"))
+      .groupBy(col(idCol), col("_tok")).agg(count(lit(1)).as("_tf"))
+      .select(col(idCol), pmod(h, lit(dim.toLong)).as("bucket"),
+        (when(shiftrightunsigned(h, 16).bitwiseAND(lit(1L)) === 1L,
+          lit(1L)).otherwise(lit(-1L)) * col("_tf")).as("_v"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("_v")).as("v"))
+  }
+
+  /** [[hashEmbedSparse]] densified to an L2-normalized
+    * `array<double>` of length `dim` — drop-in for the `embedding`
+    * column every vector operator consumes. All-zero vectors (a doc
+    * whose signs cancel entirely) stay zero. */
+  def hashEmbed(docs: DataFrame, dim: Int = 64,
+                textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val dense = hashEmbedSparse(docs, dim, textCol, idCol)
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("v")))).as("_m"))
+      .select(col(idCol),
+        transform(sequence(lit(0L), lit(dim - 1L)),
+          j => coalesce(element_at(col("_m"), j), lit(0L))
+            .cast("double")).as("_raw"))
+    dense.select(col(idCol),
+      VectorOps.l2Normalize(col("_raw")).as("embedding"))
+  }
+
   /** Per-group n-gram diversity: `distinct n-grams / total n-grams`
     * at each window size in `ns` — the self-repetition gauge that
     * flags templated / machine-generated / boilerplate-heavy sources

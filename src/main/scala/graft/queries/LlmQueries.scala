@@ -1198,6 +1198,26 @@ object LlmQueries {
       TextAnalysis.unigramEncode(table(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // feature-hashing document vectors (model-free embeddings):
+    // per-doc audit over the EXACT-integer sparse relation —
+    // nonzero-bucket count, vector norm, first normalized component
+    // (the llm_normalize device; doubles only at the final
+    // sqrt/divide).
+    "llm_hash_embed" -> ((s, dir) =>
+      TextAnalysis.hashEmbedSparse(table(s, dir, "documents"),
+          dim = 64)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_nz"),
+          sum(col("v") * col("v")).as("_nsq"),
+          sum(when(col("bucket") === 0, col("v")).otherwise(lit(0L)))
+            .as("_v0"))
+        .select(col("doc_id"), col("n_nz"),
+          round(sqrt(col("_nsq").cast("double")), 6).as("norm"),
+          round(when(col("_nsq") > 0, col("_v0").cast("double") /
+              sqrt(col("_nsq").cast("double"))).otherwise(lit(0.0)),
+            6).as("first_dim"))
+        .orderBy(col("doc_id"))),
+
     // blocklist scrub over planted terms (the pii_redact/secret_scan
     // device: every 7th doc gets deterministic blocklisted words,
     // one uppercased to exercise the lower() rule; both engines
@@ -5523,6 +5543,31 @@ object LlmQueries {
     "llm_unigram_train" -> unigramTrainOracle,
 
     "llm_unigram_encode" -> unigramEncodeOracle,
+
+    // feature-hash replay: md5 base-32, bucket = h % 64, sign from
+    // bit 16, exact-integer v and Σv² — doubles only at the end.
+    "llm_hash_embed" ->
+      raw"""WITH htf AS (
+           SELECT doc_id, t AS tok, count(*) AS tf FROM (
+             SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(text, '\s+'), x -> x <> '')) AS t
+             FROM documents) dt
+           GROUP BY doc_id, t),
+         hv AS (SELECT doc_id, (h % 64) AS bucket,
+             (CASE WHEN ((h >> 16) & 1) = 1 THEN 1 ELSE -1 END) * tf
+               AS v0
+           FROM (SELECT doc_id, tf,
+               CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h
+             FROM htf) hh),
+         sb AS (SELECT doc_id, bucket, CAST(SUM(v0) AS BIGINT) AS v
+           FROM hv GROUP BY doc_id, bucket)
+         SELECT doc_id, count(*) AS n_nz,
+           round(sqrt(CAST(SUM(v * v) AS DOUBLE)), 6) AS norm,
+           round(CASE WHEN SUM(v * v) > 0
+             THEN CAST(SUM(CASE WHEN bucket = 0 THEN v ELSE 0 END)
+                  AS DOUBLE) / sqrt(CAST(SUM(v * v) AS DOUBLE))
+             ELSE 0.0 END, 6) AS first_dim
+         FROM sb GROUP BY doc_id ORDER BY doc_id""",
 
     // agreement replay: minhash pair CTEs full-outer the brute
     // cosine pair scan, category CASE identical to the engine's.

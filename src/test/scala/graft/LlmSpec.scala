@@ -2657,6 +2657,35 @@ class LlmSpec extends AnyFunSuite {
     graft.llm.Similarity.clearTrainedCache()
   }
 
+  test("hashEmbed: unit vectors, content-determined, feeds ANN " +
+       "end-to-end (exact dup is its own nearest neighbor)") {
+    import spark.implicits._
+    val base = (0 until 60).map(i => s"w${i % 17}").mkString(" ")
+    val other = (0 until 60).map(i => s"z${(i * 7) % 13}").mkString(" ")
+    val planted = Seq((1L, base), (2L, base), (3L, other))
+      .toDF("doc_id", "text")
+    val emb = TextAnalysis.hashEmbed(planted, dim = 32)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // L2-normalized (non-degenerate docs) and content-determined
+    Seq(1L, 2L, 3L).foreach { id =>
+      val n = math.sqrt(vecs(id).map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"doc $id norm $n")
+    }
+    assert(vecs(1L) == vecs(2L), "same text -> same vector")
+    assert(vecs(1L) != vecs(3L), "different text -> different vector")
+    // the vectors are drop-in for the similarity operators
+    val top = Similarity.bruteTopK(
+        emb.withColumnRenamed("doc_id", "vec_id"),
+        emb.filter(col("doc_id") === 1)
+          .select(col("doc_id").as("query_id"),
+            col("embedding").as("query_vec")),
+        k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toList
+    // rank 1 = doc 1 itself (cosine 1), rank 2 = its exact dup
+    assert(top == List((1L, 1L), (2L, 2L)), s"$top")
+  }
+
   test("Profile.profile: exact ndv, null handling, HLL verdict") {
     import spark.implicits._
     val df = Seq((1, Some("a")), (2, Some("b")), (2, Some("b")),

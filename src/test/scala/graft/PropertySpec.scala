@@ -297,4 +297,73 @@ object PropertySpec extends Properties("graft") {
         .codePointCount(0, java.text.Normalizer.normalize(s,
           java.text.Normalizer.Form.NFD).length)
   }
+
+  // --- Morton interleave laws (scalar reference form; JoinsSpec
+  // pins the Column kernel to hand-checked values)
+  import graft.functions.ZOrder.morton2Long
+
+  private val genKey = Gen.chooseNum(0L, (1L << 16) - 1)
+
+  property("morton.bit-planes-disjoint-and-compose") =
+    forAll(genKey, genKey) { (a, b) =>
+      val ma = morton2Long(a, 0L)
+      val mb = morton2Long(0L, b)
+      (ma & mb) == 0L && (ma | mb) == morton2Long(a, b)
+    }
+
+  property("morton.injective-via-deinterleave") =
+    forAll(genKey, genKey) { (a, b) =>
+      val z = morton2Long(a, b)
+      def gather(sh: Int): Long =
+        (0 until 16).foldLeft(0L)((acc, i) =>
+          acc | (((z >>> (2 * i + sh)) & 1L) << i))
+      gather(0) == a && gather(1) == b
+    }
+
+  // --- unigram Viterbi: the DP equals full segmentation enumeration
+  // under the exact (Σlogp desc, pieces asc, path asc) order — the
+  // law the oracle's recursive-CTE replay is built on. Log-probs are
+  // drawn from a SMALL set so ties are common and the tie rules are
+  // actually exercised.
+  private val abc = Gen.listOfN(6, Gen.oneOf('a', 'b', 'c'))
+    .map(_.mkString)
+  private val genLp = Gen.oneOf(-0.5, -1.0, -1.5, -2.0)
+  private val genProbs: Gen[Map[String, Double]] = {
+    val pieces = for {
+      ls <- Gen.listOfN(4,
+        Gen.listOfN(2, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+      ps <- Gen.listOfN(4 + 3, genLp)
+    } yield (ls ++ Seq("a", "b", "c")).distinct.zip(ps).toMap
+    pieces
+  }
+
+  private def allSegs(word: String, probs: Map[String, Double],
+                      maxLen: Int): Seq[Seq[String]] =
+    if (word.isEmpty) Seq(Nil)
+    else (1 to math.min(maxLen, word.length)).flatMap { l =>
+      val p = word.take(l)
+      if (probs.contains(p))
+        allSegs(word.drop(l), probs, maxLen).map(p +: _)
+      else Nil
+    }
+
+  property("viterbi.equals-enumeration-with-ties") =
+    forAll(abc, genProbs) { (word, probs) =>
+      val maxLen = 2
+      val dp = graft.llm.TextAnalysis.viterbiPieces(word, probs, maxLen)
+      val enum = allSegs(word, probs, maxLen)
+        .map { segs =>
+          (segs.foldLeft(0.0)((s, p) => s + probs(p)), segs.length,
+            segs.mkString("\u0001"))
+        }
+        .sortBy { case (lp, n, path) => (-lp, n, path) }
+      word.isEmpty ||
+        (enum.nonEmpty && dp.mkString("\u0001") == enum.head._3)
+    }
+
+  property("viterbi.reconstructs-word") =
+    forAll(abc, genProbs) { (word, probs) =>
+      graft.llm.TextAnalysis.viterbiPieces(word, probs, 2)
+        .mkString == word
+    }
 }
