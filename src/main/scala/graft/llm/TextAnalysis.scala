@@ -1293,6 +1293,57 @@ object TextAnalysis {
       VectorOps.l2Normalize(col("_raw")).as("embedding"))
   }
 
+  /** Text-only cosine top-k over the [[hashEmbedSparse]] vectors —
+    * similarity search with NO model and NO dense scan: the sparse
+    * dot product runs as a posting-style equi-join on the bucket key
+    * (`Σ v_a·v_b` over shared buckets, exact integers), norms are
+    * per-doc integer aggregates, and doubles appear only at the
+    * final `dot/(|a||b|)`. Query docs are identified by id; `k`
+    * results per query ranked by rounded cosine, ties to the
+    * smaller doc id (the [[graft.llm.Similarity.bruteTopK]] rule).
+    *
+    * Sparse-retrieval semantics (the BM25 contract): only docs
+    * sharing at least one bucket with the query are scored — a doc
+    * with NO shared bucket (true cosine 0) is absent rather than
+    * ranked, exactly like a lexical engine never returns a
+    * zero-term-overlap doc.
+    *
+    * Scale: both sides shuffle 8-byte (bucket, id, v) rows; the
+    * query side is queries-sized and broadcasts; the per-query rank
+    * is the two-phase WindowGroupLimit shape. The dense
+    * [[hashEmbed]] + brute path exists for parity, but THIS is the
+    * plan you run at corpus scale. */
+  def hashTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+               dim: Int = 64, textCol: String = "text",
+               idCol: String = "doc_id",
+               queryIdCol: String = "query_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = hashEmbedSparse(corpus, dim, textCol, idCol)
+    val q = hashEmbedSparse(
+      queries.withColumnRenamed(queryIdCol, idCol), dim, textCol,
+      idCol).select(col(idCol).as(queryIdCol),
+        col("bucket"), col("v").as("_qv"))
+    val cn = c.groupBy(col(idCol))
+      .agg(sum(col("v") * col("v")).as("_cn2"))
+    val qn = q.groupBy(col(queryIdCol))
+      .agg(sum(col("_qv") * col("_qv")).as("_qn2"))
+    val dots = c.join(broadcast(q), Seq("bucket"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("v") * col("_qv")).as("_dot"))
+    val scored = dots
+      .join(cn, Seq(idCol))
+      .join(broadcast(qn), Seq(queryIdCol))
+      .filter(col("_cn2") > 0 && col("_qn2") > 0)
+      .withColumn("cosine", round(col("_dot").cast("double") /
+        (sqrt(col("_cn2").cast("double")) *
+          sqrt(col("_qn2").cast("double"))), 6))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col(idCol), col("cosine"))
+  }
+
   /** Per-group n-gram diversity: `distinct n-grams / total n-grams`
     * at each window size in `ns` — the self-repetition gauge that
     * flags templated / machine-generated / boilerplate-heavy sources

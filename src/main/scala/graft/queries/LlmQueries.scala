@@ -1198,6 +1198,20 @@ object LlmQueries {
       TextAnalysis.unigramEncode(table(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // text-only top-5 by hash-embedding cosine: the sparse-dot
+    // posting join over the feature-hash vectors — similarity
+    // search with no model and no dense scan (every 100th doc
+    // queries the rest).
+    "llm_hash_topk" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      TextAnalysis.hashTopK(
+          docs.filter(col("doc_id") % 100 =!= 0),
+          docs.filter(col("doc_id") % 100 === 0)
+            .select(col("doc_id").as("query_id"), col("text")),
+          k = 5, dim = 64)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // feature-hashing document vectors (model-free embeddings):
     // per-doc audit over the EXACT-integer sparse relation —
     // nonzero-bucket count, vector norm, first normalized component
@@ -5543,6 +5557,48 @@ object LlmQueries {
     "llm_unigram_train" -> unigramTrainOracle,
 
     "llm_unigram_encode" -> unigramEncodeOracle,
+
+    // sparse-dot top-k replay: the hash-embed sparse relation on
+    // both sides, integer dot/norms over shared buckets, doubles at
+    // the final divide; only shared-bucket pairs are scored (the
+    // sparse-retrieval contract).
+    "llm_hash_topk" ->
+      raw"""WITH htf AS (
+           SELECT doc_id, t AS tok, count(*) AS tf FROM (
+             SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(text, '\s+'), x -> x <> '')) AS t
+             FROM documents) dt
+           GROUP BY doc_id, t),
+         hv AS (SELECT doc_id, (h % 64) AS bucket,
+             (CASE WHEN ((h >> 16) & 1) = 1 THEN 1 ELSE -1 END) * tf
+               AS v0
+           FROM (SELECT doc_id, tf,
+               CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h
+             FROM htf) hh),
+         sb AS (SELECT doc_id, bucket, CAST(SUM(v0) AS BIGINT) AS v
+           FROM hv GROUP BY doc_id, bucket),
+         c AS (SELECT * FROM sb WHERE doc_id % 100 <> 0),
+         qv AS (SELECT doc_id AS query_id, bucket, v AS qvv
+           FROM sb WHERE doc_id % 100 = 0),
+         cn AS (SELECT doc_id, CAST(SUM(v * v) AS BIGINT) AS cn2
+           FROM c GROUP BY doc_id),
+         qn AS (SELECT query_id, CAST(SUM(qvv * qvv) AS BIGINT) AS qn2
+           FROM qv GROUP BY query_id),
+         dt2 AS (SELECT qv.query_id, c.doc_id,
+             CAST(SUM(c.v * qv.qvv) AS BIGINT) AS dot
+           FROM c JOIN qv USING (bucket)
+           GROUP BY qv.query_id, c.doc_id),
+         hsc AS (SELECT query_id, doc_id,
+             round(CAST(dot AS DOUBLE) /
+               (sqrt(CAST(cn2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))),
+               6) AS cosine
+           FROM dt2 JOIN cn USING (doc_id) JOIN qn USING (query_id)
+           WHERE cn2 > 0 AND qn2 > 0)
+         SELECT query_id, CAST(rk AS BIGINT) AS rank, doc_id, cosine
+         FROM (SELECT query_id, doc_id, cosine, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC)
+             AS rk FROM hsc)
+         WHERE rk <= 5 ORDER BY query_id, rank""",
 
     // feature-hash replay: md5 base-32, bucket = h % 64, sign from
     // bit 16, exact-integer v and Σv² — doubles only at the end.

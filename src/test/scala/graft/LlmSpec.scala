@@ -2686,6 +2686,31 @@ class LlmSpec extends AnyFunSuite {
     assert(top == List((1L, 1L), (2L, 2L)), s"$top")
   }
 
+  test("hashTopK: exact dup is rank 1 at cosine 1.0; agrees with the " +
+       "dense brute path on full-overlap data") {
+    import spark.implicits._
+    val base = (0 until 60).map(i => s"w${i % 17}").mkString(" ")
+    val near = base.replace("w5", "w5 w5")      // mild tf shift
+    val other = (0 until 60).map(i => s"z${(i * 7) % 13}").mkString(" ")
+    val corpus = Seq((10L, base), (11L, near), (12L, other))
+      .toDF("doc_id", "text")
+    val queries = Seq((1L, base)).toDF("query_id", "text")
+    val out = TextAnalysis.hashTopK(corpus, queries, k = 3, dim = 32)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.head == ((1L, 10L, 1.0)), s"${out.toList}")
+    assert(out(1)._2 == 11L && out(1)._3 > 0.9, s"${out.toList}")
+    // dense-brute agreement: same ranking over the same vectors
+    val emb = TextAnalysis.hashEmbed(corpus, dim = 32)
+      .withColumnRenamed("doc_id", "vec_id")
+    val qemb = TextAnalysis.hashEmbed(queries
+        .withColumnRenamed("query_id", "doc_id"), dim = 32)
+      .select(col("doc_id").as("query_id"),
+        col("embedding").as("query_vec"))
+    val brute = Similarity.bruteTopK(emb, qemb, k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(brute.toSeq == out.map(t => (t._1, t._2)).toSeq)
+  }
+
   test("Profile.profile: exact ndv, null handling, HLL verdict") {
     import spark.implicits._
     val df = Seq((1, Some("a")), (2, Some("b")), (2, Some("b")),

@@ -722,6 +722,22 @@ class PlanSpec extends AnyFunSuite {
       bPlan.contains("BroadcastNestedLoopJoin"), bPlan.take(2000))
   }
 
+  test("hashTopK: posting-style equi-join (no cartesian), two-phase " +
+       "per-query rank") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.llm.TextAnalysis.hashTopK(
+      docs.filter(col("doc_id") % 100 =!= 0),
+      docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("query_id"), col("text")),
+      k = 5))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"sparse dot must equi-join on bucket:\n${plan.take(2000)}")
+    // rank<=k runs as WindowGroupLimit partial+final, never a full
+    // per-query sort of the scored stream on one side of the shuffle
+    assert(plan.contains("WindowGroupLimit"), plan.take(2500))
+  }
+
   test("rrfFuse: sketch-side sketch broadcast in cmsLookup; fusion " +
        "window partitions by query") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
