@@ -1097,8 +1097,23 @@ object TextAnalysis {
                    maxPieceLen: Int = 4, iters: Int = 2,
                    textCol: String = "text")
       : Array[(String, Long, Double)] =
+    unigramModelWith(docs, vocabSize, maxPieceLen, iters, textCol,
+      prune = false)
+
+  /** [[unigramModel]] with the reference algorithm's between-rounds
+    * PRUNING (`prune = true`): after each E-step, multi-char pieces
+    * that earned NO mass in the best segmentations are dropped from
+    * the vocabulary before the M-step (singles always survive —
+    * coverage is invariant), and the Laplace smoothing denominator
+    * shrinks with the vocab. The fixed-vocab form remains the
+    * default (and the simpler oracle); this is the
+    * SentencePiece-faithful variant. */
+  def unigramModelWith(docs: DataFrame, vocabSize: Int = 40,
+                       maxPieceLen: Int = 4, iters: Int = 2,
+                       textCol: String = "text", prune: Boolean = false)
+      : Array[(String, Long, Double)] =
     Similarity.memoized(docs,
-      s"unigramTrain:$vocabSize:$maxPieceLen:$iters:$textCol") {
+      s"unigramTrain:$vocabSize:$maxPieceLen:$iters:$textCol:$prune") {
       val spark = docs.sparkSession
       import spark.implicits._
       import org.apache.spark.storage.StorageLevel
@@ -1126,7 +1141,6 @@ object TextAnalysis {
         vocab0.map { case (p, c) =>
           p -> math.log(c.toDouble / total0)
         }.toMap
-      val vSize = probs.size
       var lastCounts: Map[String, Long] = Map.empty
       var it = 0
       while (it < iters) {
@@ -1141,9 +1155,14 @@ object TextAnalysis {
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         lastCounts = cm
         val ctot = cm.values.sum.toDouble
-        probs = probs.keysIterator.map { p =>
+        val kept =
+          if (prune)
+            probs.keySet.filter(p =>
+              p.length == 1 || cm.getOrElse(p, 0L) > 0L)
+          else probs.keySet
+        probs = kept.iterator.map { p =>
           val c = cm.getOrElse(p, 0L).toDouble
-          p -> math.log((c + 1.0) / (ctot + vSize.toDouble))
+          p -> math.log((c + 1.0) / (ctot + kept.size.toDouble))
         }.toMap
         bc.unpersist()
         it += 1
@@ -1208,10 +1227,12 @@ object TextAnalysis {
     * `queries()` face of the trainer (the [[bpeTrain]] shape). */
   def unigramTrain(docs: DataFrame, vocabSize: Int = 40,
                    maxPieceLen: Int = 4, iters: Int = 2,
-                   textCol: String = "text"): DataFrame = {
+                   textCol: String = "text",
+                   prune: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    unigramModel(docs, vocabSize, maxPieceLen, iters, textCol).toSeq
+    unigramModelWith(docs, vocabSize, maxPieceLen, iters, textCol,
+        prune).toSeq
       .toDF("piece", "n_occ", "logp")
       .select(col("piece"), col("n_occ"), round(col("logp"), 6).as("logp"))
   }

@@ -1191,6 +1191,15 @@ object LlmQueries {
       TextAnalysis.unigramTrain(table(s, dir, "documents"))
         .orderBy(col("piece"))),
 
+    // unigram trainer with the reference algorithm's between-rounds
+    // pruning: unused multi-char pieces drop after each E-step
+    // (singles survive — coverage invariant), the smoothing
+    // denominator shrinks with the vocab.
+    "llm_unigram_pruned" -> ((s, dir) =>
+      TextAnalysis.unigramTrain(table(s, dir, "documents"),
+          prune = true)
+        .orderBy(col("piece"))),
+
     // unigram encode: Viterbi piece counts under the final model,
     // tf-weighted per doc -> fertility (the bpe_encode gauge under
     // the probabilistic tokenizer).
@@ -5556,6 +5565,8 @@ object LlmQueries {
 
     "llm_unigram_train" -> unigramTrainOracle,
 
+    "llm_unigram_pruned" -> unigramPrunedOracle,
+
     "llm_unigram_encode" -> unigramEncodeOracle,
 
     // sparse-dot top-k replay: the hash-embed sparse relation on
@@ -5728,11 +5739,10 @@ object LlmQueries {
                + CAST((SELECT count(*) FROM v0) AS DOUBLE))) AS lp
          FROM v0 v LEFT JOIN c$k c USING (piece))"""
 
-  /** Shared trainer chain: word types -> positional substring seed
-    * (two unnest levels, no nested lambdas) -> all-singles + top-
-    * multi vocab of 40 -> initial ln(cnt/total) probs -> EM rounds
-    * 1 and 2. */
-  private lazy val unigramCtes: String =
+  /** Seed chain: word types -> positional substring seed (two unnest
+    * levels, no nested lambdas) -> all-singles + top-multi vocab of
+    * 40 -> initial ln(cnt/total) probs. */
+  private lazy val unigramSeedCtes: String =
     raw"""wt AS (
          SELECT t AS w, count(*) AS n FROM (
            SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
@@ -5758,9 +5768,56 @@ object LlmQueries {
        p0 AS (SELECT piece,
            ln(CAST(cnt AS DOUBLE) /
               (SELECT CAST(SUM(cnt) AS DOUBLE) FROM v0)) AS lp
-         FROM v0),
+         FROM v0)"""
+
+  /** Fixed-vocab trainer chain: seed + EM rounds 1 and 2. */
+  private lazy val unigramCtes: String =
+    s"""$unigramSeedCtes,
        ${unigramIterCtes(1, "p0")},
        ${unigramIterCtes(2, "p1")}"""
+
+  /** One PRUNED EM round: same seg/best/count CTEs, then the vocab
+    * shrinks to singles + pieces with mass (vK) and the Laplace
+    * denominator uses |vK| — the engine's prune=true arithmetic. */
+  private def unigramPrunedIterCtes(k: Int, pin: String,
+                                    vin: String): String =
+    s"""seg$k(w, pos, lp, np, path) AS (
+         SELECT w, 0, CAST(0.0 AS DOUBLE), 0, '' FROM wt
+         UNION ALL
+         SELECT s.w, s.pos + len(p.piece), s.lp + p.lp, s.np + 1,
+           CASE WHEN s.path = '' THEN p.piece
+                ELSE s.path || chr(1) || p.piece END
+         FROM seg$k s JOIN $pin p
+           ON s.pos < len(s.w)
+          AND len(p.piece) <= len(s.w) - s.pos
+          AND p.piece = substring(s.w, s.pos + 1, len(p.piece))),
+       best$k AS (SELECT w, path FROM (
+           SELECT w, path, row_number() OVER (PARTITION BY w
+             ORDER BY lp DESC, np ASC, path ASC) AS rk
+           FROM seg$k WHERE pos = len(w))
+         WHERE rk = 1),
+       c$k AS (SELECT piece, CAST(SUM(n) AS BIGINT) AS c FROM (
+           SELECT b.w, unnest(string_split(b.path, chr(1))) AS piece
+           FROM best$k b) bp
+         JOIN wt USING (w) GROUP BY piece),
+       v$k AS (SELECT v.piece FROM $vin v
+         LEFT JOIN c$k c USING (piece)
+         WHERE len(v.piece) = 1 OR coalesce(c.c, 0) > 0),
+       p$k AS (SELECT v.piece,
+           ln((CAST(coalesce(c.c, 0) AS DOUBLE) + 1.0) /
+              ((SELECT CAST(SUM(c) AS DOUBLE) FROM c$k)
+               + CAST((SELECT count(*) FROM v$k) AS DOUBLE))) AS lp
+         FROM v$k v LEFT JOIN c$k c USING (piece))"""
+
+  private lazy val unigramPrunedOracle: String =
+    s"""WITH RECURSIVE $unigramSeedCtes,
+       ${unigramPrunedIterCtes(1, "p0", "v0")},
+       ${unigramPrunedIterCtes(2, "p1", "v1")}
+       SELECT p2.piece,
+         CAST(coalesce(c2.c, 0) AS BIGINT) AS n_occ,
+         round(p2.lp, 6) AS logp
+       FROM p2 LEFT JOIN c2 USING (piece)
+       ORDER BY piece"""
 
   private lazy val unigramTrainOracle: String =
     s"""WITH RECURSIVE $unigramCtes

@@ -2654,6 +2654,18 @@ class LlmSpec extends AnyFunSuite {
     enc.foreach { case (_, nt, npc, fert) =>
       assert(nt == 4L && npc == 4L && fert == 1.0)
     }
+    // pruning drops the unused multi-char pieces (wx, xy, ... never
+    // appear in a best segmentation once wxyz wins) but never a
+    // single char, and the survivors' occurrence counts agree
+    val pruned = TextAnalysis.unigramTrain(planted, vocabSize = 12,
+        maxPieceLen = 4, iters = 2, prune = true)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(pruned.size < model.size, s"${pruned.keySet}")
+    Seq("w", "x", "y", "z", "q").foreach(c => assert(pruned.contains(c)))
+    assert(pruned.contains("wxyz") && pruned("wxyz")._1 == 60L)
+    assert(pruned.keys.filter(_.length > 1).toSet
+      .subsetOf(Set("wxyz", "qq")), s"${pruned.keySet}")
     graft.llm.Similarity.clearTrainedCache()
   }
 
