@@ -414,4 +414,38 @@ object Mixing {
         size(col("_c")).cast("long").as("n_tok"),
         array_join(col("_c"), " ").as("chunk_text"))
   }
+
+  /** Span-corruption mask PLAN (the T5/SpanBERT pretraining prep,
+    * arXiv:1910.10683 §3.1.4): per doc, non-overlapping `spanLen`-
+    * token mask spans at stride `spacing`, phase-shifted by a
+    * CONTENT-DERIVED offset `r = h32(text) mod spacing` — the
+    * deterministic, engine-replayable stand-in for the reference's
+    * per-example RNG (swap `r` for a seeded draw at training time;
+    * the plan shape is identical). Spans start at positions `r,
+    * r+spacing, …` that fit whole; density ≈ spanLen/spacing (0.15
+    * at the 3/20 default). Emits `(idCol, n_tokens, n_spans,
+    * n_masked, density, first_start)` — pure row-local arithmetic
+    * (no arrays, no shuffle): the mask plan at 100 TB is a free
+    * column, not a pass. */
+  def spanMaskPlan(docs: DataFrame, spacing: Int = 20,
+                   spanLen: Int = 3, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(spanLen >= 1 && spacing > spanLen,
+      s"need spacing $spacing > spanLen $spanLen >= 1")
+    val n = size(TextAnalysis.tokens(col(textCol))).cast("long")
+    val r = pmod(graft.functions.SketchOps.h32Column(col(textCol)),
+      lit(spacing.toLong))
+    val nSpans = when(n - lit(spanLen.toLong) >= r,
+      floor((n - lit(spanLen.toLong) - r).cast("double") /
+        lit(spacing.toDouble)).cast("long") + 1L).otherwise(0L)
+    docs.select(col(idCol), n.as("n_tokens"), nSpans.as("n_spans"),
+        (nSpans * spanLen).as("n_masked"), r.as("_r"))
+      .select(col(idCol), col("n_tokens"), col("n_spans"),
+        col("n_masked"),
+        round(when(col("n_tokens") > 0,
+          col("n_masked").cast("double") /
+            col("n_tokens").cast("double")).otherwise(0.0), 6)
+          .as("density"),
+        when(col("n_spans") > 0, col("_r")).as("first_start"))
+  }
 }

@@ -1207,6 +1207,13 @@ object LlmQueries {
       TextAnalysis.unigramEncode(table(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // span-corruption mask plan: T5-style non-overlapping 3-token
+    // spans at stride 20, content-hash phase — pure row-local
+    // arithmetic, density ~0.15.
+    "llm_span_mask" -> ((s, dir) =>
+      Mixing.spanMaskPlan(table(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // text-only top-5 by hash-embedding cosine: the sparse-dot
     // posting join over the feature-hash vectors — similarity
     // search with no model and no dense scan (every 100th doc
@@ -5568,6 +5575,31 @@ object LlmQueries {
     "llm_unigram_pruned" -> unigramPrunedOracle,
 
     "llm_unigram_encode" -> unigramEncodeOracle,
+
+    // span-mask replay: token count, content-hash phase, whole-fit
+    // span arithmetic — identical floor/double order.
+    "llm_span_mask" ->
+      raw"""WITH m AS (
+           SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+               x -> x <> '')) AS BIGINT) AS n_tokens,
+             (CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)
+               % 20) AS r
+           FROM documents),
+         sp AS (SELECT doc_id, n_tokens, r,
+             CASE WHEN n_tokens - 3 >= r
+               THEN CAST(floor(CAST(n_tokens - 3 - r AS DOUBLE)
+                 / 20.0) AS BIGINT) + 1
+               ELSE 0 END AS n_spans
+           FROM m)
+         SELECT doc_id, n_tokens, n_spans,
+           n_spans * 3 AS n_masked,
+           round(CASE WHEN n_tokens > 0
+             THEN CAST(n_spans * 3 AS DOUBLE)
+                  / CAST(n_tokens AS DOUBLE)
+             ELSE 0.0 END, 6) AS density,
+           CASE WHEN n_spans > 0 THEN r END AS first_start
+         FROM sp ORDER BY doc_id""",
 
     // sparse-dot top-k replay: the hash-embed sparse relation on
     // both sides, integer dot/norms over shared buckets, doubles at

@@ -2723,6 +2723,29 @@ class LlmSpec extends AnyFunSuite {
     assert(brute.toSeq == out.map(t => (t._1, t._2)).toSeq)
   }
 
+  test("spanMaskPlan: spans fit whole, never overlap, density " +
+       "tracks spanLen/spacing") {
+    import spark.implicits._
+    val rows = Mixing.spanMaskPlan(docs, spacing = 20, spanLen = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), Option(r.get(5)).map(_.asInstanceOf[Long])))
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, spans, masked, dens, first) =>
+      assert(masked == spans * 3 && masked <= n)
+      first.foreach { r =>
+        // the last span still fits whole inside the doc
+        assert(r + (spans - 1) * 20 + 3 <= n, s"($n, $spans, $r)")
+      }
+      // finite-size bound: one whole span per started stride window
+      assert(n == 0 || dens <= 3.0 / 20.0 + 3.0 / n + 1e-9,
+        s"density $dens at n=$n")
+    }
+    // empty doc: zero everything, null first_start
+    val e = Mixing.spanMaskPlan(Seq((1L, "")).toDF("doc_id", "text"))
+      .head()
+    assert(e.getLong(1) == 0L && e.getLong(2) == 0L && e.isNullAt(5))
+  }
+
   test("Profile.profile: exact ndv, null handling, HLL verdict") {
     import spark.implicits._
     val df = Seq((1, Some("a")), (2, Some("b")), (2, Some("b")),
