@@ -466,6 +466,17 @@ object ScaleBench {
       runProbe("hash_embed", f, nDocs)(
         graft.llm.TextAnalysis.hashEmbedSparse(docs, dim = 64)
           .agg(sum(col("v"))).collect().length.toLong)
+
+      // text-only sparse-dot top-k: fixed query set (first-copy
+      // slice), bucket posting join — cost tracks the match stream
+      if (enabled("hash_topk")) {
+        val htq = docs.filter(col("doc_id") % 400 === 0 &&
+            col("doc_id") < nDocs / f)
+          .select(col("doc_id").as("query_id"), col("text"))
+        val (ht, tht) = timed(graft.llm.TextAnalysis.hashTopK(
+          docs, htq, k = 10).count())
+        report("hash_topk", f, nDocs, ht, tht)
+      }
     }
     spark.stop()
   }

@@ -507,4 +507,60 @@ object IngestStream {
       }
       .trigger(trigger)
       .start()
+
+  /** One streaming count-min step: the micro-batch's token stream
+    * collapsed to its OWN `depth x width` sketch, published under
+    * `ingest_batch=<id>` with overwrite — count-min sketches are
+    * MERGEABLE (cell-wise sums, Agarwal et al. 2013), so the
+    * standing corpus frequency summary is just the cell-wise sum of
+    * the batch sketches ([[cmsLayerRead]]), the publishing is
+    * idempotent under at-least-once replay (a replayed batch
+    * REPLACES its own partition, never double-counts), and total
+    * state is ≤ batches·depth·width rows — compact whenever
+    * convenient, summation is associative. The streaming face of
+    * [[graft.llm.HeavyHitters.cmsSketch]]. */
+  def cmsBatch(batch: DataFrame, sketchDir: String, depth: Int = 4,
+               width: Int = 16, seed: Long = 7L,
+               textCol: String = "text", batchId: Long): Unit =
+    graft.llm.HeavyHitters.cmsSketch(
+        batch.select(explode(
+          graft.llm.TextAnalysis.tokens(col(textCol))).as("token")),
+        "token", depth, width, seed)
+      .write.mode("overwrite")
+      .parquet(s"$sketchDir/ingest_batch=$batchId")
+
+  /** The standing sketch: cell-wise sum over every published batch
+    * sketch — `(row, bucket, cnt)`, ≤ depth·width rows, ready for
+    * [[graft.llm.HeavyHitters.cmsLookup]] point estimates. Empty
+    * (no published batches) reads as an empty sketch. */
+  def cmsLayerRead(spark: org.apache.spark.sql.SparkSession,
+                   sketchDir: String): DataFrame =
+    layerReadable(spark, sketchDir) match {
+      case Some(l) => l.groupBy(col("row"), col("bucket"))
+        .agg(sum(col("cnt")).as("cnt"))
+      case None =>
+        import spark.implicits._
+        Seq.empty[(Int, Long, Long)].toDF("row", "bucket", "cnt")
+    }
+
+  /** Streaming corpus-frequency monitor: [[cmsBatch]] over a
+    * document stream — the live fixed-state token-frequency summary
+    * (trending-term detection, drift gauges) whose state can never
+    * grow into a 100 TB problem. */
+  def cmsMonitor(docs: DataFrame, sketchDir: String, depth: Int = 4,
+                 width: Int = 16, seed: Long = 7L,
+                 textCol: String = "text",
+                 checkpointDir: Option[String] = None,
+                 trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$sketchDir/_checkpoints"))
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        cmsBatch(batch.toDF(), sketchDir, depth, width, seed,
+          textCol, batchId = bid)
+      }
+      .trigger(trigger)
+      .start()
 }

@@ -718,4 +718,46 @@ class StreamingSpec extends AnyFunSuite {
       s"stream gate diverged: ${got.size} vs ${want.size}")
   }
 
+  test("streaming count-min: batch sketches merge cell-wise to the " +
+       "union sketch; replay is idempotent; estimates never " +
+       "underestimate") {
+    import graft.streaming.IngestStream
+    import spark.implicits._
+    val base = "/root/repo/target/scratch/cms_stream"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val d1 = Seq((1L, "a a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val d2 = Seq((3L, "a e e"), (4L, "c")).toDF("doc_id", "text")
+    IngestStream.cmsBatch(d1, s"$base/sketch", batchId = 0L)
+    IngestStream.cmsBatch(d2, s"$base/sketch", batchId = 1L)
+    val layer = IngestStream.cmsLayerRead(spark, s"$base/sketch")
+    // the merged layer equals one batch-mode sketch of the union
+    val union = graft.llm.HeavyHitters.cmsSketch(
+      d1.unionByName(d2).select(explode(
+        graft.llm.TextAnalysis.tokens(col("text"))).as("token")))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select("row", "bucket", "cnt").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells(layer) == cells(union) && cells(layer).nonEmpty)
+    // at-least-once replay: same batch id republished -> unchanged
+    IngestStream.cmsBatch(d2, s"$base/sketch", batchId = 1L)
+    // the overwrite rewrote part files under the same path — drop
+    // the session's cached file listing before the fresh read
+    spark.catalog.refreshByPath(s"$base/sketch")
+    val layer2 = IngestStream.cmsLayerRead(spark, s"$base/sketch")
+    assert(cells(layer2) == cells(union),
+      "replay must replace, never double-count")
+    // point estimates from the layer are one-sided vs exact counts
+    val probes = Seq("a", "b", "c", "d", "e").toDF("token")
+    val est = graft.llm.HeavyHitters.cmsLookup(layer2, probes)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Map("a" -> 3L, "b" -> 2L, "c" -> 3L, "d" -> 1L,
+      "e" -> 2L)
+    exact.foreach { case (t, c) =>
+      assert(est(t) >= c, s"CMS underestimated $t: ${est(t)} < $c")
+    }
+    // empty layer: an unpublished dir reads as an empty sketch
+    assert(IngestStream.cmsLayerRead(spark, s"$base/nothing")
+      .count() == 0L)
+  }
+
 }
