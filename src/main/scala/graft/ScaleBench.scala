@@ -467,6 +467,18 @@ object ScaleBench {
         graft.llm.TextAnalysis.hashEmbedSparse(docs, dim = 64)
           .agg(sum(col("v"))).collect().length.toLong)
 
+      // z-order rewrite: one range shuffle + local sort + write —
+      // the clustering write-amplification, linear in volume
+      runProbe("zorder_layout", f, nDocs) {
+        val dest = s"$scratch/zorder_$f"
+        graft.functions.ZOrder.zorderLayout(
+            docs.select(col("doc_id"), col("n_chars"),
+              length(col("source")).cast("long").as("src_len")),
+            "doc_id", "n_chars", numFiles = 8)
+          .write.mode("overwrite").parquet(dest)
+        spark.read.parquet(dest).count()
+      }
+
       // text-only sparse-dot top-k: fixed query set (first-copy
       // slice), bucket posting join — cost tracks the match stream
       if (enabled("hash_topk")) {

@@ -284,6 +284,36 @@ object HeavyHitters {
       .groupBy(col(itemCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
 
+  /** Trending-term detection against a standing [[cmsSketch]] layer:
+    * a token trends when its IN-BATCH exact count is at least
+    * `minRatio` times its HISTORICAL frequency estimate (and at
+    * least `minCount` — new-token noise floor). Because count-min
+    * only OVER-estimates history, every reported ratio is a lower
+    * bound: the sketch can suppress a real trend near the threshold
+    * but never fabricates one — the right bias for an alerting
+    * gauge. Output `(token, batch_cnt, hist_est, ratio)`.
+    *
+    * Scale: the batch aggregate is batch-sized, the sketch
+    * broadcasts (≤ d·w rows), history itself is never rescanned —
+    * the streaming face is `IngestStream.cmsMonitor`'s layer
+    * feeding this per batch. */
+  def trendingTokens(batchItems: DataFrame, sketch: DataFrame,
+                     itemCol: String = "token", minCount: Long = 2L,
+                     minRatio: Double = 2.0, depth: Int = 4,
+                     width: Int = 16, seed: Long = 7L): DataFrame = {
+    val ex = batchItems.groupBy(col(itemCol))
+      .agg(count(lit(1)).as("batch_cnt"))
+    ex.join(cmsLookup(sketch, ex.select(col(itemCol)), itemCol,
+        depth, width, seed).withColumnRenamed("cms_est", "hist_est"),
+        Seq(itemCol))
+      .withColumn("ratio", round(col("batch_cnt").cast("double") /
+        greatest(col("hist_est"), lit(1L)).cast("double"), 6))
+      .filter(col("batch_cnt") >= minCount &&
+        col("ratio") >= minRatio)
+      .select(col(itemCol), col("batch_cnt"), col("hist_est"),
+        col("ratio"))
+  }
+
   /** Verification harness: exact counts vs CMS estimates for the
     * `topN` most frequent items (ties to the smaller item), with the
     * per-item overestimate. At deployment scale you keep the sketch

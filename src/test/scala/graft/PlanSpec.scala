@@ -722,6 +722,20 @@ class PlanSpec extends AnyFunSuite {
       bPlan.contains("BroadcastNestedLoopJoin"), bPlan.take(2000))
   }
 
+  test("zorderLayout: ONE range exchange on the morton code + local " +
+       "sort — never a global sort") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val plan = planOf(graft.functions.ZOrder.zorderLayout(li,
+      "l_partkey", "l_suppkey", numFiles = 8))
+    assert(plan.contains("rangepartitioning"),
+      s"layout must range-partition by the code:\n${plan.take(2000)}")
+    assert(plan.linesIterator.count(l =>
+      l.trim.matches("""\(\d+\) Exchange.*""")) == 1, plan.take(2000))
+    // the sort is within partitions (no second, global sort order)
+    assert(plan.linesIterator.exists(l => l.contains("Sort") &&
+      !l.contains("Exchange")), plan.take(2000))
+  }
+
   test("hashTopK: posting-style equi-join (no cartesian), two-phase " +
        "per-query rank") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -758,6 +758,16 @@ class StreamingSpec extends AnyFunSuite {
     // empty layer: an unpublished dir reads as an empty sketch
     assert(IngestStream.cmsLayerRead(spark, s"$base/nothing")
       .count() == 0L)
+    // trending against the layer: a token that explodes vs history
+    // is flagged; a steady one is not; history is never rescanned
+    val burst = Seq.fill(8)("zz") ++ Seq("a")   // 'a' history ~3
+    val flagged = graft.llm.HeavyHitters.trendingTokens(
+        burst.toDF("token"), layer2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(flagged.contains("zz") && flagged("zz")._1 == 8L)
+    assert(!flagged.contains("a"),
+      s"steady token must not trend: $flagged")
   }
 
 }
