@@ -145,7 +145,20 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${good.size},"n_failed":${failed.size},"failed":$fs,"sf":"$sfDir","queries_file":"target/bench_queries.json"}""")
+    // steady-state evidence travels IN the driver-parseable record:
+    // min_sum (the cross-round comparison column BASELINE.md directs
+    // to) and the 5 slowest mins, ~170 bytes — still well inside the
+    // tail window with the rest of the summary line
+    val mins = good.flatMap { case (k, _, m, _) => m.map(k -> _) }
+    val minTail =
+      if (mins.isEmpty) ""
+      else {
+        val slow5 = mins.sortBy(-_._2).take(5)
+          .map { case (k, v) => "\"" + k + "\":" + sec(v) }
+          .mkString("{", ",", "}")
+        s""","min_sum":${sec(mins.map(_._2).sum)},"slowest_min":$slow5"""
+      }
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${good.size},"n_failed":${failed.size},"failed":$fs,"sf":"$sfDir","queries_file":"target/bench_queries.json"$minTail}""")
     spark.stop()
   }
 }

@@ -434,6 +434,16 @@ object ScaleBench {
         graft.llm.Sampling.quantileGate(docs, "n_chars",
           keepFrac = 0.5).filter(col("keep")).count())
 
+      // the windowless 100 TB swaps: per-group approx-quantile cuts
+      // instead of the rank/cume windows — cost should track the
+      // narrow scan, with NO per-group sort to serialize
+      runProbe("split_strat_approx", f, nDocs)(
+        graft.llm.Sampling.stratifiedSplitApprox(docs)
+          .filter(col("within_band") >= 0).count())
+      runProbe("quantile_gate_approx", f, nDocs)(
+        graft.llm.Sampling.quantileGateApprox(docs, "n_chars",
+          keepFrac = 0.5).filter(col("within_band") >= 0).count())
+
       // prefix-filtered EXACT jaccard join vs its brute baseline at
       // the same threshold: cost tracks the candidate stream
       // (prefix-shingle collisions), not N². NOTE the regime: the

@@ -94,9 +94,9 @@ object Sampling {
     * Scale shape: one narrow (id, source) projection, one shuffle
     * for the per-source rank window. A dominant source concentrates
     * its sort on one partition — at 100 TB take the split threshold
-    * from the per-source approx-quantile of the hash instead (the
-    * protoPruneApprox device: |sources| cut rows, no rank window)
-    * and accept ±sketch-error counts. */
+    * from the per-source approx-quantile of the hash instead:
+    * [[stratifiedSplitApprox]] IS that path (|sources| cut rows, no
+    * rank window) at ±sketch-error counts. */
   def stratifiedSplit(docs: DataFrame, valFrac: Double = 0.1,
                       testFrac: Double = 0.1,
                       sourceCol: String = "source",
@@ -313,7 +313,8 @@ object Sampling {
     * Scale: one rank window keyed by group. Like [[stratifiedSplit]],
     * a giant group serializes its window partition; the 100 TB swap
     * is the per-group approx-quantile score threshold (|groups| cut
-    * rows, no window) at ±sketch-error keep rates. */
+    * rows, no window) at ±sketch-error keep rates —
+    * [[quantileGateApprox]] IS that path. */
   def quantileGate(df: DataFrame, scoreCol: String,
                    keepFrac: Double = 0.5, groupCol: String = "source",
                    idCol: String = "doc_id"): DataFrame = {
@@ -323,5 +324,97 @@ object Sampling {
     df.select(col(idCol), col(groupCol), col(scoreCol))
       .withColumn("pct", round(cume_dist().over(w), 6))
       .withColumn("keep", col("pct") > lit(1.0 - keepFrac))
+  }
+
+  /** The 100 TB form of [[stratifiedSplit]], accuracy PROVEN rather
+    * than documented (the [[graft.llm.Similarity.protoPruneApprox]]
+    * device): instead of the per-source rank window — whose sort
+    * serializes on one partition when a source dominates — each
+    * source takes TWO approx-quantile cuts of the deterministic md5
+    * hash (`approx_percentile(h, testFrac)` and
+    * `approx_percentile(h, testFrac+valFrac)` — mergeable sketches,
+    * map-side combined, |sources| output rows, broadcast back) and a
+    * doc lands in test/val/train by comparing ITS hash to the cuts.
+    * Emits one row per source: `(source, n, test_target, val_target,
+    * within_band)` where the targets are the exact rule's
+    * `floor(n·frac)` counts and `within_band` checks BOTH approx
+    * split sizes land within `max(2, tolFrac·n)` of them. The
+    * sketch-dependent counts themselves are NOT emitted — the
+    * verdict is the contract, so an oracle engine checks its OWN
+    * quantile sketch the same way (the llm_len_approx device).
+    *
+    * Scale shape: one narrow (id, source) scan feeding a map-side-
+    * combined sketch aggregate, then a broadcast-back join — nothing
+    * corpus-sized is ever sorted, no window anywhere in the plan. */
+  def stratifiedSplitApprox(docs: DataFrame, valFrac: Double = 0.1,
+                            testFrac: Double = 0.1,
+                            tolFrac: Double = 0.05,
+                            sourceCol: String = "source",
+                            idCol: String = "doc_id"): DataFrame = {
+    require(valFrac > 0 && testFrac > 0 && valFrac + testFrac < 1,
+      s"bad fracs: val=$valFrac test=$testFrac")
+    val base = docs.select(col(sourceCol).as("source"),
+      hashBucket32(col(idCol).cast("string")).cast("double").as("_h"))
+    val cuts = base.groupBy(col("source"))
+      .agg(expr(s"approx_percentile(_h, ${testFrac}D, 10000)")
+          .as("_ct"),
+        expr(s"approx_percentile(_h, ${testFrac + valFrac}D, 10000)")
+          .as("_cv"))
+    val band = greatest(lit(2.0), col("n").cast("double") * lit(tolFrac))
+    base.join(broadcast(cuts), Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_h") <= col("_ct"), 1L).otherwise(0L)).as("_at"),
+        sum(when(col("_h") > col("_ct") && col("_h") <= col("_cv"), 1L)
+          .otherwise(0L)).as("_av"))
+      .select(col("source"), col("n"),
+        floor(col("n") * lit(testFrac)).as("test_target"),
+        floor(col("n") * lit(valFrac)).as("val_target"),
+        (abs(col("_at") - floor(col("n") * lit(testFrac)))
+           .cast("double") <= band &&
+         abs(col("_av") - floor(col("n") * lit(valFrac)))
+           .cast("double") <= band).cast("int").as("within_band"))
+  }
+
+  /** The 100 TB form of [[quantileGate]], accuracy PROVEN rather
+    * than documented: the per-group cume_dist window (a giant group
+    * serializes its sort) is replaced by a per-group approx-quantile
+    * score threshold (`approx_percentile(score, 1-keepFrac)` —
+    * |groups| cut rows, broadcast back) keeping `score >= cut`.
+    * Emits one row per group: `(group, n, keep_target, within_band)`
+    * where `keep_target = n - floor(n·(1-keepFrac))` is the exact
+    * gate's keep count (cume_dist over a strict total order keeps
+    * row positions `> n·(1-keepFrac)`) and `within_band` checks the
+    * approx keep count lands within `max(2, tolFrac·n)` of it. Score
+    * TIES widen the approx count (every tied row crosses the cut
+    * together) — that mass is part of what the band absorbs; the
+    * sketch-dependent count itself is NOT emitted, so an oracle
+    * engine checks its OWN sketch (the llm_len_approx device).
+    *
+    * Scale shape: narrow (id, group, score) scan, one map-side-
+    * combined sketch aggregate, broadcast-back join, count — no
+    * window, nothing corpus-sized sorted. */
+  def quantileGateApprox(df: DataFrame, scoreCol: String,
+                         keepFrac: Double = 0.5, tolFrac: Double = 0.1,
+                         groupCol: String = "source",
+                         idCol: String = "doc_id"): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac < 1.0, s"keepFrac $keepFrac")
+    val base = df.select(col(groupCol).as("grp"),
+      col(scoreCol).cast("double").as("_s"))
+    val cuts = base.groupBy(col("grp"))
+      .agg(expr(s"approx_percentile(_s, ${1.0 - keepFrac}D, 10000)")
+        .as("_cut"))
+    base.join(broadcast(cuts), Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_s") >= col("_cut"), 1L).otherwise(0L)).as("_ak"))
+      .select(col("grp").as(groupCol), col("n"),
+        (col("n") - floor(col("n") * lit(1.0 - keepFrac)))
+          .as("keep_target"),
+        (abs(col("_ak") -
+            (col("n") - floor(col("n") * lit(1.0 - keepFrac))))
+           .cast("double") <=
+         greatest(lit(2.0), col("n").cast("double") * lit(tolFrac)))
+          .cast("int").as("within_band"))
   }
 }

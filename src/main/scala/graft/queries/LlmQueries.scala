@@ -816,6 +816,15 @@ object LlmQueries {
           valFrac = 0.1, testFrac = 0.1)
         .orderBy(col("doc_id"))),
 
+    // the 100 TB form of the stratified split: per-source approx-
+    // quantile hash cuts instead of the rank window, within_band
+    // verdict against the exact floor targets (each engine checks
+    // its OWN quantile sketch — the llm_len_approx device).
+    "llm_split_strat_approx" -> ((s, dir) =>
+      Sampling.stratifiedSplitApprox(table(s, dir, "documents"),
+          valFrac = 0.1, testFrac = 0.1, tolFrac = 0.05)
+        .orderBy(col("source"))),
+
     // epoch plan: shares x token budget -> per-source epochs and
     // repeat counts (the upsampling complement of reweight_sample).
     "llm_epoch_plan" -> ((s, dir) =>
@@ -1629,7 +1638,15 @@ object LlmQueries {
     "llm_source_percentile" -> ((s, dir) =>
       Sampling.quantileGate(table(s, dir, "documents"), "n_chars",
           keepFrac = 0.5)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // the 100 TB form of the per-source percentile gate: per-group
+    // approx score threshold instead of the cume_dist window,
+    // within_band verdict against the exact top-mass keep count.
+    "llm_quantile_gate_approx" -> ((s, dir) =>
+      Sampling.quantileGateApprox(table(s, dir, "documents"),
+          "n_chars", keepFrac = 0.5, tolFrac = 0.1)
+        .orderBy(col("source")))
   )
 
   // DuckDB shingle expression shared by the jaccard oracle
@@ -3780,6 +3797,36 @@ object LlmQueries {
                 ELSE 'train' END AS split
          FROM r ORDER BY doc_id""",
 
+    // approx stratified split replay: DuckDB's own approx_quantile
+    // hash cuts per source, the SAME floor targets and band rule —
+    // sketch counts never leave either engine, only the verdict.
+    "llm_split_strat_approx" ->
+      """WITH b AS (
+           SELECT source,
+             CAST(CAST(('0x' || substring(
+               md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               AS DOUBLE) AS h
+           FROM documents),
+         cuts AS (
+           SELECT source,
+             CAST(approx_quantile(h, 0.1) AS DOUBLE) AS ct,
+             CAST(approx_quantile(h, 0.2) AS DOUBLE) AS cv
+           FROM b GROUP BY source),
+         agg AS (
+           SELECT b.source, count(*) AS n,
+             SUM(CASE WHEN b.h <= cuts.ct THEN 1 ELSE 0 END) AS at,
+             SUM(CASE WHEN b.h > cuts.ct AND b.h <= cuts.cv
+                 THEN 1 ELSE 0 END) AS av
+           FROM b JOIN cuts ON cuts.source = b.source
+           GROUP BY b.source)
+         SELECT source, n,
+           CAST(floor(n * 0.1) AS BIGINT) AS test_target,
+           CAST(floor(n * 0.1) AS BIGINT) AS val_target,
+           CAST(abs(at - floor(n * 0.1)) <= greatest(2.0, n * 0.05)
+             AND abs(av - floor(n * 0.1)) <= greatest(2.0, n * 0.05)
+             AS INTEGER) AS within_band
+         FROM agg ORDER BY source""",
+
     // epoch plan: token counts for the three targeted sources, the
     // floored share x budget targets, rounded epochs, ceil repeats.
     "llm_epoch_plan" ->
@@ -5681,6 +5728,27 @@ object LlmQueries {
            round(cume_dist() OVER (PARTITION BY source
              ORDER BY n_chars ASC, doc_id ASC), 6) > 0.5 AS keep
          FROM documents ORDER BY doc_id""",
+
+    // approx quantile gate replay: DuckDB's own approx score cut per
+    // source, the SAME exact top-mass keep target and band rule.
+    "llm_quantile_gate_approx" ->
+      """WITH b AS (
+           SELECT source, CAST(n_chars AS DOUBLE) AS s
+           FROM documents),
+         cuts AS (
+           SELECT source,
+             CAST(approx_quantile(s, 0.5) AS DOUBLE) AS cut
+           FROM b GROUP BY source),
+         agg AS (
+           SELECT b.source, count(*) AS n,
+             SUM(CASE WHEN b.s >= cuts.cut THEN 1 ELSE 0 END) AS ak
+           FROM b JOIN cuts ON cuts.source = b.source
+           GROUP BY b.source)
+         SELECT source, n,
+           CAST(n - floor(n * 0.5) AS BIGINT) AS keep_target,
+           CAST(abs(ak - (n - floor(n * 0.5)))
+             <= greatest(2.0, n * 0.1) AS INTEGER) AS within_band
+         FROM agg ORDER BY source""",
 
     // prefix groups: first-8-token string grouping (the engine keys
     // on xxhash64 of the same prefix — value grouping == hash

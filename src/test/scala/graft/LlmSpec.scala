@@ -2135,6 +2135,35 @@ class LlmSpec extends AnyFunSuite {
       "another source's growth must not reshuffle A's split")
   }
 
+  test("stratifiedSplitApprox: verdict in band on real data, targets " +
+       "match the exact window path, no window in the plan") {
+    val out = Sampling.stratifiedSplitApprox(docs, valFrac = 0.1,
+      testFrac = 0.1, tolFrac = 0.05)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(4) == 1),
+      s"approx hash cuts must track the exact floor targets on every " +
+        s"source: ${rows.filter(_.getInt(4) != 1).mkString(", ")}")
+    // the scale path's whole point: no per-source sort of the corpus
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Window"),
+      s"approx path must not contain a rank window:\n${plan.take(1200)}")
+    // targets == the exact path's per-source test/val sizes
+    val exact = Sampling.stratifiedSplit(docs, valFrac = 0.1,
+        testFrac = 0.1)
+      .groupBy(col("source"), col("split")).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val s = r.getString(0)
+      assert(exact.getOrElse((s, "test"), 0L) == r.getLong(2),
+        s"test_target mismatch for $s")
+      assert(exact.getOrElse((s, "val"), 0L) == r.getLong(3),
+        s"val_target mismatch for $s")
+    }
+  }
+
   test("jlTopKRerank: projected candidates + exact rerank recover " +
        "most of the true top-10") {
     import spark.implicits._
@@ -2610,6 +2639,31 @@ class LlmSpec extends AnyFunSuite {
     assert(out(3L) == ((1.0, true)))
     // rare source: its single doc is its own top mass — kept
     assert(out(4L) == ((1.0, true)))
+  }
+
+  test("quantileGateApprox: verdict in band on real data, targets " +
+       "match the exact cume_dist path, no window in the plan") {
+    val out = Sampling.quantileGateApprox(docs, "n_chars",
+      keepFrac = 0.5, tolFrac = 0.1)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(3) == 1),
+      s"approx score cut must track the exact top-mass keep count on " +
+        s"every source: ${rows.filter(_.getInt(3) != 1).mkString(", ")}")
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Window"),
+      s"approx path must not contain a cume_dist window:\n" +
+        plan.take(1200))
+    // keep_target == the exact gate's per-source keep count
+    val exact = Sampling.quantileGate(docs, "n_chars", keepFrac = 0.5)
+      .filter(col("keep")).groupBy(col("source"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(exact.getOrElse(r.getString(0), 0L) == r.getLong(2),
+        s"keep_target mismatch for ${r.getString(0)}")
+    }
   }
 
   test("viterbiPieces: coverage, probability preference, tie rules") {

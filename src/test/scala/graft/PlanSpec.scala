@@ -773,4 +773,40 @@ class PlanSpec extends AnyFunSuite {
       l.contains("windowspecdefinition") && l.contains("query_id")),
       fPlan.take(3000))
   }
+
+  test("q34 star top-k: filters reach all three scans, the customer " +
+       "key set broadcasts, top-k never global-sorts") {
+    val p = planOf(
+      graft.queries.Relational.queries("q34_star_topk")(spark, sf))
+    // each scan carries ITS filter (pushdown survived the 3-way join)
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter must push to the customer scan:\n${p.take(2500)}")
+    assert(p.contains("LessThan(o_orderdate"),
+      s"date filter must push to the orders scan:\n${p.take(2500)}")
+    assert(p.contains("GreaterThan(l_shipdate"),
+      s"ship filter must push to the lineitem scan:\n${p.take(2500)}")
+    // the 1-column filtered customer side is the broadcast dimension
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+    // LIMIT 10 over a sort = TakeOrderedAndProject (per-partition
+    // top-k), never a global Sort of the aggregate
+    assert(p.contains("TakeOrderedAndProject"), p.take(2500))
+  }
+
+  test("q35 4-way star: nation broadcasts, filters reach the fact " +
+       "scans, top-k never global-sorts") {
+    val p = planOf(
+      graft.queries.Relational.queries("q35_star_4way")(spark, sf))
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter must push to the lineitem scan:\n${p.take(2500)}")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") &&
+      p.contains("LessThan(o_orderdate"),
+      s"order-window filters must push to the orders scan:\n${p.take(2500)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"nation must join as a broadcast dimension:\n${p.take(2500)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2500))
+  }
 }
