@@ -272,17 +272,42 @@ object HeavyHitters {
     * cells count 0 — an unseen item estimates its collision mass).
     * Output `(item, cms_est)`.
     *
-    * Scale: the sketch side is ≤ d·w rows — it broadcasts; probes
-    * stay distributed and never shuffle anything wider than the probe
-    * key itself. */
+    * GEOMETRY GUARD: the probe geometry `(depth, width)` must match
+    * what the sketch was built with — probing a wider/deeper sketch
+    * with default parameters silently UNDERestimates (cells land out
+    * of probe range and read as 0), breaking the one-sided-error
+    * guarantee the trending detector relies on. The sketch side is
+    * ≤ d·w rows by construction, so the bounds check (max row <
+    * depth, max bucket < width) is one tiny eager job. The converse
+    * (sketch narrower than probed) is caught by the layer's
+    * geometry sidecar ([[graft.streaming.IngestStream.cmsBatch]]
+    * publishes `(depth, width, seed)` next to the cells;
+    * `cmsLayerGeometry` reads it back so callers re-derive instead
+    * of re-passing). */
   def cmsLookup(sketch: DataFrame, probes: DataFrame,
                 itemCol: String = "token",
                 depth: Int = 4, width: Int = 16, seed: Long = 7L)
-      : DataFrame =
+      : DataFrame = {
+    val geo = sketch.agg(max(col("row")).cast("long"),
+      max(col("bucket")).cast("long")).first()
+    if (!geo.isNullAt(0)) {
+      val (mr, mb) = (geo.getLong(0), geo.getLong(1))
+      // every inserted item increments a cell in EVERY row, so a
+      // non-empty sketch's true depth is exactly max(row)+1 — an
+      // exact check. Width is only one-sided from the cells (buckets
+      // are sparse); the sidecar closes that gap.
+      require(mr == depth - 1 && mb < width,
+        s"CMS geometry mismatch: sketch holds rows 0..$mr / max " +
+          s"bucket $mb but the probe assumes depth=$depth " +
+          s"width=$width — the sketch was built with a different " +
+          "geometry (read it from the layer's _geometry.json via " +
+          "cmsLayerGeometry)")
+    }
     cmsBucketed(probes, itemCol, depth, width, seed)
       .join(broadcast(sketch), Seq("row", "bucket"), "left")
       .groupBy(col(itemCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
 
   /** Trending-term detection against a standing [[cmsSketch]] layer:
     * a token trends when its IN-BATCH exact count is at least
@@ -312,6 +337,70 @@ object HeavyHitters {
         col("ratio") >= minRatio)
       .select(col(itemCol), col("batch_cnt"), col("hist_est"),
         col("ratio"))
+  }
+
+  /** Event-time windowed [[trendingTokens]]: per TUMBLING WINDOW,
+    * a token trends when its exact in-window count is at least
+    * `minRatio` times its historical count-min estimate (and at
+    * least `minCount`). Output
+    * `(window_start, item, batch_cnt, hist_est, ratio)` — burst
+    * detection with real event-time semantics: a token bursting at
+    * 14:00 is flagged in the 14:00 window even when its events
+    * arrive late, and a steady token never trends in any window.
+    *
+    * STREAMING-SAFE BY CONSTRUCTION: the standing sketch is ≤ d·w
+    * cells, so it inlines as a PLAN LITERAL (one width-array per
+    * row, indexed by the probe's affine bucket) — the history
+    * lookup is a pure scalar expression after the one windowed
+    * aggregation. No second stateful operator, no stream-static
+    * join: append mode works on any Spark, and state is one count
+    * per (open window, token), dropped at the watermark. Works
+    * identically on a batch frame (same plan, no watermark).
+    *
+    * Scale: the d·w literal is the SAME state the batch lookup
+    * broadcasts — fixed size, corpus-independent; the windowed
+    * count is map-side combined before its one shuffle. Geometry is
+    * validated like [[cmsLookup]] (exact depth from the cells, the
+    * layer sidecar for width/seed). */
+  def windowedTrending(events: DataFrame, tsCol: String,
+                       itemCol: String, windowDur: String,
+                       sketch: DataFrame, minCount: Long = 2L,
+                       minRatio: Double = 2.0, depth: Int = 4,
+                       width: Int = 16, seed: Long = 7L,
+                       watermark: String = "2 hours"): DataFrame = {
+    val cells = sketch.select(col("row").cast("int"),
+        col("bucket").cast("long"), col("cnt").cast("long"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    if (cells.nonEmpty) {
+      val (mr, mb) = (cells.keys.map(_._1).max, cells.keys.map(_._2).max)
+      require(mr == depth - 1 && mb < width,
+        s"CMS geometry mismatch: sketch holds rows 0..$mr / max " +
+          s"bucket $mb but the probe assumes depth=$depth width=$width")
+    }
+    val (as, bs) = graft.functions.SketchOps.coeffs(depth, seed)
+    val in =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark)
+      else events
+    val wc = in.groupBy(window(col(tsCol), windowDur), col(itemCol))
+      .agg(count(lit(1)).as("batch_cnt"))
+      .select(col("window.start").as("window_start"), col(itemCol),
+        col("batch_cnt"), h32Col(col(itemCol)).as("_h32"))
+    val rowEsts = (0 until depth).map { i =>
+      val bucket = pmod(pmod(lit(as(i)) * col("_h32") + lit(bs(i)),
+        lit(graft.functions.SketchOps.P)), lit(width.toLong))
+      element_at(
+        array((0 until width).map(b =>
+          lit(cells.getOrElse((i, b.toLong), 0L))): _*),
+        (bucket + 1).cast("int"))
+    }
+    wc.withColumn("hist_est",
+        if (rowEsts.size == 1) rowEsts.head else least(rowEsts: _*))
+      .withColumn("ratio", round(col("batch_cnt").cast("double") /
+        greatest(col("hist_est"), lit(1L)).cast("double"), 6))
+      .filter(col("batch_cnt") >= minCount && col("ratio") >= minRatio)
+      .select(col("window_start"), col(itemCol), col("batch_cnt"),
+        col("hist_est"), col("ratio"))
   }
 
   /** Verification harness: exact counts vs CMS estimates for the

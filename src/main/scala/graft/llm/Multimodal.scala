@@ -7,12 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal columns: image/audio/video as opaque `binary` columns
   * with typed metadata, plus the decode / feature-extract plumbing.
   *
-  * The decode step itself is STUBBED (this container has no image or
-  * audio codecs — see [[MediaDecoder.Deterministic]]), but everything
-  * Spark-side is real and tested: the blob schema, `binaryFile`
-  * ingestion, partition-sized batching through `mapPartitions`, the
-  * feature schema, and the downstream joins. Swapping in a real codec
-  * is implementing one trait method.
+  * IMAGES decode for real through the JDK's own codecs
+  * ([[MediaDecoder.ImageIO]]: PNG/BMP/GIF/JPEG — true dimensions +
+  * channel/quadrant statistics, spec'd against in-memory-encoded
+  * fixtures). Audio/video decode remains STUBBED (no such codecs in
+  * the JDK — [[MediaDecoder.Deterministic]], also the fallback for
+  * undecodable payloads). Everything Spark-side is real and tested:
+  * the blob schema, `binaryFile` ingestion, partition-sized batching
+  * through `mapPartitions`, the feature schema, and the downstream
+  * joins. Swapping in an ffmpeg-backed codec is implementing one
+  * trait method.
   *
   * Scale notes: blobs never ride through a shuffle — features are
   * extracted scan-side (mapPartitions directly over the source read)
@@ -73,6 +77,70 @@ object Multimodal {
           (((h >> i) & 0xFF) / 255.0f) - 0.5f)
         (w, ht, frames, vec)
       }
+    }
+
+    /** REAL image decoder on the JDK's own codecs (`javax.imageio`:
+      * PNG, BMP, GIF, JPEG, WBMP — no external native libs). Decodes
+      * the blob, reports true pixel dimensions, and emits an 8-dim
+      * feature vector of channel statistics in [0,1]:
+      * `(meanR, meanG, meanB, meanLuma, luma(TL), luma(TR),
+      * luma(BL), luma(BR))` — means over all pixels and the four
+      * image quadrants (empty quadrant → 0), luma = (R+G+B)/3. The
+      * quadrant means make the vector weakly spatial, so trivially
+      * different layouts of the same palette separate.
+      *
+      * Payloads the JDK cannot decode (non-image kinds, truncated or
+      * foreign codecs) FALL BACK to [[Deterministic]] — the operator
+      * stays total and the no-codec container behavior is unchanged.
+      * Thread-safe: `ImageIO.read` constructs a fresh reader per
+      * call; the in-memory stream avoids the shared disk cache. */
+    object ImageIO extends MediaDecoder {
+      def decode(kind: String, bytes: Array[Byte])
+          : (Int, Int, Int, Array[Float]) = {
+        val img =
+          if (kind != "image" || bytes.isEmpty) null
+          else
+            try javax.imageio.ImageIO.read(
+              new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: java.io.IOException => null }
+        if (img == null) Deterministic.decode(kind, bytes)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val sums = Array.fill(3)(0L)
+          val qLuma = Array.fill(4)(0L)
+          val qN = Array.fill(4)(0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val (r, g, b) =
+                ((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+              sums(0) += r; sums(1) += g; sums(2) += b
+              val q = (if (y * 2 >= h) 2 else 0) +
+                (if (x * 2 >= w) 1 else 0)
+              qLuma(q) += r + g + b
+              qN(q) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          val vec = Array(
+            (sums(0).toDouble / (n * 255.0)).toFloat,
+            (sums(1).toDouble / (n * 255.0)).toFloat,
+            (sums(2).toDouble / (n * 255.0)).toFloat,
+            ((sums(0) + sums(1) + sums(2)).toDouble /
+              (n * 3.0 * 255.0)).toFloat,
+            quad(qLuma, qN, 0), quad(qLuma, qN, 1),
+            quad(qLuma, qN, 2), quad(qLuma, qN, 3))
+          (w, h, 1, vec)
+        }
+      }
+      private def quad(s: Array[Long], n: Array[Long], i: Int): Float =
+        if (n(i) == 0L) 0.0f
+        else (s(i).toDouble / (n(i) * 3.0 * 255.0)).toFloat
     }
   }
 

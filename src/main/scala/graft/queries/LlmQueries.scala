@@ -1592,6 +1592,24 @@ object LlmQueries {
           topN = 20, depth = 4, width = 16, seed = 7L)
         .orderBy(col("token"))),
 
+    // event-time windowed trending (batch form of the streaming
+    // operator — same plan): a cold-start CMS history (first hour)
+    // vs daily tumbling windows over the rest; the sketch rides the
+    // plan as a d×w literal, so this also oracle-proves the
+    // streaming path's lookup arithmetic cell-for-cell.
+    "llm_windowed_trending" -> ((s, dir) => {
+      val ev = Star.events(s, dir)
+      val hist = HeavyHitters.cmsSketch(
+        ev.filter(col("ts") <
+            lit("2024-01-01 01:00:00").cast("timestamp"))
+          .select(col("event_type").as("token")))
+      HeavyHitters.windowedTrending(
+          ev.filter(col("ts") >= lit("2024-01-02").cast("timestamp")),
+          "ts", "event_type", "1 day", hist,
+          minCount = 2L, minRatio = 2.0)
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     // per-doc dedup provenance: first claiming stage (exact ->
     // near-dup components -> kept) + the direct representative —
     // the audit trail over the llm_exact_dedup / llm_neardup_dedup
@@ -5613,6 +5631,8 @@ object LlmQueries {
 
     "llm_cms" -> cmsOracle,
 
+    "llm_windowed_trending" -> windowedTrendingOracle,
+
     "llm_dedup_lineage" -> dedupLineageOracle,
 
     "llm_ann_recall" -> annRecallOracle,
@@ -5803,6 +5823,50 @@ object LlmQueries {
          e.cms_est - t.exact_cnt AS overestimate
        FROM top t JOIN est e USING (token)
        ORDER BY t.token"""
+  }
+
+  /** Windowed-trending replay: the cold-start-hour sketch via the
+    * same affine VALUES relation as [[cmsOracle]], daily tumbling
+    * counts via date_trunc (epoch-aligned like Spark's `window`),
+    * per-type min-cell estimate, the rounded ratio and both gate
+    * filters. */
+  private lazy val windowedTrendingOracle: String = {
+    val (as, bs) = graft.functions.SketchOps.coeffs(4, 7L)
+    val p = graft.functions.SketchOps.P
+    val rows = (0 until 4).map(i => s"($i, ${as(i)}, ${bs(i)})")
+      .mkString(", ")
+    raw"""WITH inst AS (
+         SELECT event_type AS token FROM events
+         WHERE ts < TIMESTAMP '2024-01-01 01:00:00'),
+       prm(rw, a, b) AS (VALUES $rows),
+       sk AS (SELECT rw, bucket, count(*) AS cnt FROM (
+           SELECT token, prm.rw AS rw,
+             ((prm.a * CAST(('0x' || substring(md5(token), 1, 8))
+               AS BIGINT) + prm.b) % $p) % 16 AS bucket
+           FROM inst CROSS JOIN prm) b
+         GROUP BY rw, bucket),
+       wc AS (SELECT date_trunc('day', ts) AS window_start,
+           event_type, count(*) AS batch_cnt
+         FROM events WHERE ts >= TIMESTAMP '2024-01-02'
+         GROUP BY 1, 2),
+       pb AS (SELECT t.event_type, prm.rw AS rw,
+           ((prm.a * CAST(('0x' || substring(md5(t.event_type), 1, 8))
+             AS BIGINT) + prm.b) % $p) % 16 AS bucket
+         FROM (SELECT DISTINCT event_type FROM wc) t CROSS JOIN prm),
+       est AS (SELECT pb.event_type,
+           min(coalesce(sk.cnt, 0)) AS hist_est
+         FROM pb LEFT JOIN sk
+           ON sk.rw = pb.rw AND sk.bucket = pb.bucket
+         GROUP BY pb.event_type)
+       SELECT wc.window_start, wc.event_type, wc.batch_cnt,
+         e.hist_est,
+         round(CAST(wc.batch_cnt AS DOUBLE) /
+           greatest(e.hist_est, 1), 6) AS ratio
+       FROM wc JOIN est e USING (event_type)
+       WHERE wc.batch_cnt >= 2
+         AND round(CAST(wc.batch_cnt AS DOUBLE) /
+           greatest(e.hist_est, 1), 6) >= 2.0
+       ORDER BY wc.window_start, wc.event_type"""
   }
 
   /** Unigram-LM trainer replay. One Viterbi iteration's CTEs: segK =

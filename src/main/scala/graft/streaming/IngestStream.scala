@@ -516,18 +516,78 @@ object IngestStream {
     * the batch sketches ([[cmsLayerRead]]), the publishing is
     * idempotent under at-least-once replay (a replayed batch
     * REPLACES its own partition, never double-counts), and total
-    * state is ≤ batches·depth·width rows — compact whenever
-    * convenient, summation is associative. The streaming face of
+    * state is ≤ batches·depth·width rows — [[cmsCompact]] folds the
+    * committed prefix back to d·w rows whenever convenient,
+    * summation is associative. The streaming face of
     * [[graft.llm.HeavyHitters.cmsSketch]]. */
   def cmsBatch(batch: DataFrame, sketchDir: String, depth: Int = 4,
                width: Int = 16, seed: Long = 7L,
-               textCol: String = "text", batchId: Long): Unit =
+               textCol: String = "text", batchId: Long): Unit = {
+    publishGeometry(batch.sparkSession, sketchDir, depth, width, seed)
     graft.llm.HeavyHitters.cmsSketch(
         batch.select(explode(
           graft.llm.TextAnalysis.tokens(col(textCol))).as("token")),
         "token", depth, width, seed)
       .write.mode("overwrite")
       .parquet(s"$sketchDir/ingest_batch=$batchId")
+  }
+
+  /** Publish the layer's `(depth, width, seed)` as a `_geometry.json`
+    * sidecar (underscore-prefixed — invisible to parquet discovery).
+    * A layer must be geometry-HOMOGENEOUS to be cell-wise summable,
+    * so a second writer with different parameters fails fast here
+    * instead of silently publishing unmergeable cells; readers
+    * ([[cmsLayerGeometry]]) re-derive the probe parameters from the
+    * sidecar instead of re-passing them (the mismatch ADVICE
+    * documented: a layer written at non-default width, later probed
+    * with defaults, underestimates and breaks one-sided error). */
+  private def publishGeometry(spark: org.apache.spark.sql.SparkSession,
+                              sketchDir: String, depth: Int,
+                              width: Int, seed: Long): Unit = {
+    val existing = cmsLayerGeometry(spark, sketchDir)
+    existing match {
+      case Some((d, w, s)) =>
+        require(d == depth && w == width && s == seed,
+          s"CMS layer $sketchDir was built with depth=$d width=$w " +
+            s"seed=$s; refusing to publish a depth=$depth " +
+            s"width=$width seed=$seed batch into it")
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(
+          s"$sketchDir/_geometry.json")
+        val fs = p.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val out = fs.create(p, true)
+        try out.write(
+          s"""{"depth":$depth,"width":$width,"seed":$seed}"""
+            .getBytes("UTF-8"))
+        finally out.close()
+    }
+  }
+
+  /** Read a CMS layer's published `(depth, width, seed)` back from
+    * its `_geometry.json` sidecar — the authoritative probe
+    * parameters for [[graft.llm.HeavyHitters.cmsLookup]] /
+    * `windowedTrending` over this layer. None when the layer has
+    * never been written. */
+  def cmsLayerGeometry(spark: org.apache.spark.sql.SparkSession,
+                       sketchDir: String): Option[(Int, Int, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$sketchDir/_geometry.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      def field(k: String): Long = {
+        val m = java.util.regex.Pattern.compile(s""""$k":(-?\\d+)""")
+          .matcher(txt)
+        require(m.find(), s"malformed $p: $txt")
+        m.group(1).toLong
+      }
+      Some((field("depth").toInt, field("width").toInt, field("seed")))
+    }
+  }
 
   /** The standing sketch: cell-wise sum over every published batch
     * sketch — `(row, bucket, cnt)`, ≤ depth·width rows, ready for
@@ -542,6 +602,74 @@ object IngestStream {
         import spark.implicits._
         Seq.empty[(Int, Long, Long)].toDF("row", "bucket", "cnt")
     }
+
+  /** Compact a CMS layer: fold every batch sketch at or below the
+    * `watermark` batch id (including earlier compaction results)
+    * into ONE summed sketch — state drops from `batches·d·w` rows
+    * to `d·w + tail`, and the fold is exact because count-min cells
+    * sum associatively. The result is published under the RESERVED
+    * partition id `-(watermark+1)`: batch ids are non-negative, so a
+    * compacted partition can never collide with a live or replayed
+    * batch, and successive compactions at growing watermarks fold
+    * prior compacts in turn (`-(w1+1)` is covered by any
+    * `w2 >= w1`).
+    *
+    * REPLAY CONTRACT: pick `watermark` at or below the newest batch
+    * id the stream's checkpoint shows COMMITTED minus any in-flight
+    * tail — Structured Streaming only ever replays uncommitted
+    * batches, whose ids are all above that, and their partitions are
+    * untouched here, so replay-after-compaction keeps the exact
+    * overwrite idempotency of [[cmsBatch]].
+    *
+    * CRASH SAFETY: the summed cells are written to an
+    * underscore-prefixed temp dir (invisible to parquet discovery),
+    * renamed into the reserved partition, and only then are the
+    * source partitions deleted. A crash before the rename leaves
+    * the layer exactly as it was (plus invisible garbage a rerun
+    * clears); a crash after it leaves a temporarily double-counting
+    * layer that a RERUN with the same watermark repairs — the
+    * reserved partition's existence is the marker that the sum
+    * landed, so the rerun only finishes the deletes. Compaction is
+    * therefore idempotent.
+    *
+    * Scale: the summed sketch is ≤ d·w rows — the fold's shuffle
+    * moves at most that, and the driver materialization is the same
+    * fixed-size state every CMS path already holds. */
+  def cmsCompact(spark: org.apache.spark.sql.SparkSession,
+                 sketchDir: String, watermark: Long): Unit = {
+    require(watermark >= 0, s"watermark must be >= 0, got $watermark")
+    val root = new org.apache.hadoop.fs.Path(sketchDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val prefix = "ingest_batch="
+    def partId(p: org.apache.hadoop.fs.Path): Option[Long] =
+      if (p.getName.startsWith(prefix))
+        p.getName.drop(prefix.length).toLongOption
+      else None
+    def covered(id: Long): Boolean =
+      if (id >= 0) id <= watermark else -id - 1 <= watermark
+    val targetId = -(watermark + 1)
+    val target = new org.apache.hadoop.fs.Path(root, s"$prefix$targetId")
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"_compact_tmp_$watermark")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val sources = fs.listStatus(root).map(_.getPath)
+      .filter(p => partId(p).exists(id => covered(id) && id != targetId))
+    if (fs.exists(target)) {
+      // a previous attempt already landed the sum — finish the deletes
+      sources.foreach(fs.delete(_, true))
+    } else if (sources.nonEmpty) {
+      spark.read.parquet(sources.map(_.toString).toIndexedSeq: _*)
+        .groupBy(col("row"), col("bucket"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .coalesce(1)
+        .write.parquet(tmp.toString)
+      require(fs.rename(tmp, target),
+        s"compaction rename $tmp -> $target failed")
+      sources.foreach(fs.delete(_, true))
+    }
+    spark.catalog.refreshByPath(sketchDir)
+  }
 
   /** Streaming corpus-frequency monitor: [[cmsBatch]] over a
     * document stream — the live fixed-state token-frequency summary

@@ -553,6 +553,64 @@ class LlmSpec extends AnyFunSuite {
     assert(rows1.forall(_.getSeq[Float](7).length == 8))
   }
 
+  test("multimodal: ImageIO decoder reads REAL dimensions and " +
+       "channel stats from PNG/BMP through the binaryFile path; " +
+       "undecodable payloads fall back to the stub") {
+    import spark.implicits._
+    def encode(fmt: String, w: Int, h: Int,
+               pix: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pix(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out),
+        s"JDK must carry a $fmt encoder")
+      out.toByteArray
+    }
+    // 4x2 PNG: left half pure red, right half pure blue
+    val png = encode("png", 4, 2,
+      (x, _) => if (x < 2) 0xFF0000 else 0x0000FF)
+    // 3x3 BMP: uniform mid-gray
+    val bmp = encode("bmp", 3, 3, (_, _) => 0x808080)
+    val dir = new java.io.File(
+      "/root/repo/target/scratch/imageio_fixtures")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    dir.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(dir, "a.png").toPath, png)
+    java.nio.file.Files.write(
+      new java.io.File(dir, "b.bmp").toPath, bmp)
+    // the REAL ingestion path: binaryFile source -> partition-batched
+    // decode with the JDK codec
+    val feats = Multimodal.extractFeatures(
+        Multimodal.readBlobs(spark, dir.toString, "image"),
+        Multimodal.MediaDecoder.ImageIO)
+      .collect()
+    assert(feats.length == 2)
+    val by = feats.map(r => (r.getInt(4), r.getInt(5)) -> r).toMap
+    val third = (1.0 / 3.0).toFloat
+    val p = by((4, 2))
+    assert(p.getInt(6) == 1 && p.getLong(2) == png.length.toLong)
+    assert(p.getSeq[Float](7) ==
+      Seq(0.5f, 0.0f, 0.5f, third, third, third, third, third),
+      s"red|blue 4x2 stats: ${p.getSeq[Float](7)}")
+    val g = by((3, 3))
+    val gray = (128.0 / 255.0).toFloat
+    assert(g.getSeq[Float](7) == Seq.fill(8)(gray),
+      s"uniform gray 3x3 stats: ${g.getSeq[Float](7)}")
+    // a non-image payload under kind=image: the JDK codec returns
+    // null and the decoder degrades to the deterministic stub
+    val junk = Multimodal.asBlobs(
+      Seq((9L, "definitely not a png")).toDF("doc_id", "text"),
+      "doc_id", "text", "image")
+    val real = Multimodal.extractFeatures(junk,
+      Multimodal.MediaDecoder.ImageIO).head()
+    val stub = Multimodal.extractFeatures(junk,
+      Multimodal.MediaDecoder.Deterministic).head()
+    assert(real == stub,
+      "undecodable payloads must match the stub fallback exactly")
+  }
+
   test("multimodal: resizeBlobs keeps schema + ids, rewrites content") {
     val blobs = Multimodal.asBlobs(docs.limit(20), "doc_id", "text", "image")
     val resized = Multimodal.resizeBlobs(blobs, 8, 8)

@@ -770,4 +770,127 @@ class StreamingSpec extends AnyFunSuite {
       s"steady token must not trend: $flagged")
   }
 
+  test("cmsCompact: compacted layer equals the merged layer " +
+       "cell-for-cell; rerun and replay-after-compaction stay " +
+       "idempotent; geometry sidecar guards the layer") {
+    import graft.streaming.IngestStream
+    import spark.implicits._
+    val base = "/root/repo/target/scratch/cms_compact"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val d1 = Seq((1L, "a a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val d2 = Seq((3L, "a e e"), (4L, "c")).toDF("doc_id", "text")
+    val d3 = Seq((5L, "f a"), (6L, "b b")).toDF("doc_id", "text")
+    val dir = s"$base/sketch"
+    IngestStream.cmsBatch(d1, dir, batchId = 0L)
+    IngestStream.cmsBatch(d2, dir, batchId = 1L)
+    IngestStream.cmsBatch(d3, dir, batchId = 2L)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select("row", "bucket", "cnt").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = cells(IngestStream.cmsLayerRead(spark, dir))
+    def partIds() = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("ingest_batch="))
+      .map(_.drop("ingest_batch=".length).toLong).toSet
+    // geometry sidecar published once; mismatched writer refused
+    assert(IngestStream.cmsLayerGeometry(spark, dir)
+      .contains((4, 16, 7L)))
+    intercept[IllegalArgumentException] {
+      IngestStream.cmsBatch(d1, dir, width = 8, batchId = 9L)
+    }
+    // fold the committed prefix (batches 0,1) under watermark 1
+    IngestStream.cmsCompact(spark, dir, watermark = 1L)
+    assert(partIds() == Set(-2L, 2L), s"got ${partIds()}")
+    assert(cells(IngestStream.cmsLayerRead(spark, dir)) == want,
+      "compaction must preserve every cell")
+    // rerun with the same watermark: idempotent no-op
+    IngestStream.cmsCompact(spark, dir, watermark = 1L)
+    assert(partIds() == Set(-2L, 2L))
+    assert(cells(IngestStream.cmsLayerRead(spark, dir)) == want)
+    // at-least-once replay of the UNCOMPACTED tail batch: overwrite
+    // idempotency is untouched by compaction
+    IngestStream.cmsBatch(d3, dir, batchId = 2L)
+    spark.catalog.refreshByPath(dir)
+    assert(cells(IngestStream.cmsLayerRead(spark, dir)) == want,
+      "tail replay after compaction must replace, never double-count")
+    // a later compaction folds the previous compact partition too
+    IngestStream.cmsCompact(spark, dir, watermark = 2L)
+    assert(partIds() == Set(-3L), s"got ${partIds()}")
+    assert(cells(IngestStream.cmsLayerRead(spark, dir)) == want)
+    // compacted layer still serves lookups with sidecar geometry
+    val (d, w, s) = IngestStream.cmsLayerGeometry(spark, dir).get
+    val est = graft.llm.HeavyHitters.cmsLookup(
+        IngestStream.cmsLayerRead(spark, dir), Seq("a").toDF("token"),
+        depth = d, width = w, seed = s)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("a") >= 4L, s"a appears 4x across batches: $est")
+  }
+
+  test("cmsLookup geometry guard: probing with the wrong depth " +
+       "fails fast instead of silently underestimating") {
+    import spark.implicits._
+    val toks = Seq("a", "b", "c", "a").toDF("token")
+    val sk = graft.llm.HeavyHitters.cmsSketch(toks, depth = 4)
+    intercept[IllegalArgumentException] {
+      graft.llm.HeavyHitters.cmsLookup(sk, Seq("a").toDF("token"),
+        depth = 2).collect()
+    }
+    intercept[IllegalArgumentException] {
+      graft.llm.HeavyHitters.cmsLookup(sk, Seq("a").toDF("token"),
+        depth = 6).collect()
+    }
+  }
+
+  test("windowedTrending: bursts flag in THEIR event-time window " +
+       "only, steady tokens never; stream equals batch; state is " +
+       "per-open-window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.IngestStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // history layer: 'a' seen ~3 times, 'zz' unseen
+    val base = "/root/repo/target/scratch/cms_wtrend"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val dir = s"$base/sketch"
+    IngestStream.cmsBatch(
+      Seq((1L, "a a b c"), (2L, "a b c d")).toDF("doc_id", "text"),
+      dir, batchId = 0L)
+    val layer = IngestStream.cmsLayerRead(spark, dir)
+    // hour 0: zz bursts (8x) while a stays steady (2x, ratio < 2);
+    // hour 1: zz quiet, yy bursts (4x)
+    val rows = (0 until 8).map(i => (i * 60L, "zz")) ++
+      Seq((480L, "a"), (540L, "a")) ++
+      (0 until 4).map(i => (3600L + i * 60L, "yy"))
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDS().toDF("secs", "token")
+      .withColumn("ts", col("secs").cast("timestamp"))
+    val stream = graft.llm.HeavyHitters.windowedTrending(
+      df, "ts", "token", "1 hour", layer, watermark = "30 minutes")
+    val q = stream.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("wtrend").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      // sentinel far ahead so the watermark closes both windows
+      input.addData(Seq((3600L * 10, "sentinel")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("wtrend").collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set((0L, "zz"), (3600L, "yy")),
+      s"exactly the two bursts, each in ITS window: ${got.keySet}")
+    assert(got((0L, "zz"))._1 == 8L && got((3600L, "yy"))._1 == 4L)
+    // 'a' (history >= 3, batch 2) must not trend anywhere
+    assert(!got.keySet.exists(_._2 == "a"), s"$got")
+    // batch mode: the same frame through the same operator
+    val batchGot = graft.llm.HeavyHitters.windowedTrending(
+        rows.toDF("secs", "token")
+          .withColumn("ts", col("secs").cast("timestamp")),
+        "ts", "token", "1 hour", layer)
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(batchGot == got, s"stream/batch divergence: $batchGot vs $got")
+  }
+
 }
