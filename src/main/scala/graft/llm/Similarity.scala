@@ -1310,6 +1310,67 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Graded retrieval metrics over a ranked list vs a relevance set —
+    * the IR eval harness ([[annRecall]]'s generalization): per query
+    * MRR (reciprocal rank of the first relevant hit), precision@k,
+    * recall@k, and binary nDCG@k (`dcg = Σ_hits 1/log2(rank+1)`,
+    * ideal = the same sum over ranks `1..min(|rel|,k)`). `ranked` is
+    * `(query_id, doc_id, rank)` (rows with rank > k are ignored);
+    * `rels` is the `(query_id, doc_id)` relevance set. Output
+    * `(query_id, n_rel, n_hits, mrr, p_at_k, recall_at_k,
+    * ndcg_at_k)`, one row per query IN THE RELEVANCE SET (the TREC
+    * convention: queries with no judged-relevant docs are not
+    * scored); a judged query the ranker missed entirely reports all
+    * zeros. Discount sums go through the
+    * decimal cast (order-independent) and every metric rounds to 6
+    * before comparison, the repo-wide replay convention.
+    *
+    * Scale: the ranked side is k-bounded per query and the metrics
+    * join/aggregate only on (query, doc) keys, so cost is
+    * |queries|·k regardless of corpus size; the relevance set
+    * contributes one |rels|-sized count aggregate. The rankers being
+    * judged carry the real cost, exactly as in [[annRecall]]. */
+  def rankEval(ranked: DataFrame, rels: DataFrame, k: Int,
+               qIdCol: String = "query_id", idCol: String = "doc_id",
+               rankCol: String = "rank"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val r = ranked.select(col(qIdCol), col(idCol),
+        col(rankCol).cast("long").as("_rk"))
+      .filter(col("_rk") <= k)
+    val rel = rels.select(col(qIdCol), col(idCol))
+      .withColumn("_rel", lit(1L))
+    val nRel = rels.groupBy(col(qIdCol))
+      .agg(count(lit(1)).as("n_rel"))
+    val dec = (c: Column) => c.cast("decimal(38,18)")
+    val hits = r.join(rel, Seq(qIdCol, idCol), "left")
+      .groupBy(col(qIdCol))
+      .agg(sum(coalesce(col("_rel"), lit(0L))).as("n_hits"),
+        min(when(col("_rel").isNotNull, col("_rk"))).as("_first"),
+        sum(dec(when(col("_rel").isNotNull,
+            lit(1.0) / log2(col("_rk").cast("double") + 1.0))
+          .otherwise(lit(0.0)))).as("_dcg"))
+    // ideal DCG: Σ_{i=1..min(n_rel,k)} 1/log2(i+1) — a k-term
+    // prefix-sum literal indexed by min(n_rel,k), no second scan
+    val idcgPrefix = (1 to k).scanLeft(BigDecimal(0)) { (acc, i) =>
+      acc + BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    }.tail
+    val idcgArr = array(idcgPrefix.map(v => lit(v.toDouble)): _*)
+    nRel.join(hits, Seq(qIdCol), "left")
+      .select(col(qIdCol), col("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(lit(1.0) / col("_first").cast("double"),
+          lit(0.0)), 6).as("mrr"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          lit(k.toDouble), 6).as("p_at_k"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_rel").cast("double"), 6).as("recall_at_k"),
+        round(when(col("n_rel") > 0,
+            coalesce(col("_dcg").cast("double"), lit(0.0)) /
+              element_at(idcgArr,
+                least(col("n_rel"), lit(k.toLong)).cast("int")))
+          .otherwise(lit(0.0)), 6).as("ndcg_at_k"))
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09) of
     * two per-query rankings — the standard hybrid-search combiner for
     * a lexical ranker (BM25) and a dense ranker (embedding cosine):

@@ -1932,4 +1932,51 @@ object TextAnalysis {
         carryCols = Seq(labelCol))
       .groupBy(col(labelCol), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** Cohen's κ between two categorical label columns — the
+    * chance-corrected agreement gauge for labeler QA (two annotators,
+    * a heuristic vs a model, a doc's own tag vs its source's
+    * majority): `po` = observed agreement rate,
+    * `pe = Σ_c pA(c)·pB(c)` = agreement expected from the marginals
+    * alone, `κ = (po − pe)/(1 − pe)`. One output row
+    * `(n, po, pe, kappa)`; the degenerate `pe = 1` case (both
+    * columns constant — agreement carries no information) reports
+    * `κ = 0` by convention. NULL labels count as a category of
+    * their own is NOT done here — rows where either side is NULL
+    * are excluded (unjudged), the standard treatment.
+    *
+    * Scale: one scan for the agreement count + two
+    * |categories|-row marginal aggregates joined on category — the
+    * 1-row results meet by broadcast cross-join (the repo's 1-row
+    * aggregate device). Integer counts throughout; the double
+    * division happens once on the driver-bound 1-row tail, rounded
+    * to 6 (replay convention). */
+  def cohenKappa(df: DataFrame, colA: String, colB: String)
+      : DataFrame = {
+    val d = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .select(col(colA).cast("string").as("_a"),
+        col(colB).cast("string").as("_b"))
+    val base = d.agg(count(lit(1)).as("n"),
+      sum(when(col("_a") === col("_b"), 1L).otherwise(0L)).as("_agree"))
+    // decimal products/sums: n can be corpus-sized, so na·nb and
+    // their sum must not ride 64-bit integers (overflow at ~3e9 n)
+    val pe = d.groupBy(col("_a").as("_cat"))
+      .agg(count(lit(1)).as("_na"))
+      .join(d.groupBy(col("_b").as("_cat"))
+        .agg(count(lit(1)).as("_nb")), Seq("_cat"))
+      .agg(coalesce(sum(col("_na").cast("decimal(38,0)") *
+          col("_nb").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("_pe_num"))
+    base.crossJoin(broadcast(pe))
+      .select(col("n"),
+        round(col("_agree").cast("double") / col("n").cast("double"), 6)
+          .as("po"),
+        round(col("_pe_num").cast("double") /
+          (col("n").cast("double") * col("n").cast("double")), 6)
+          .as("pe"))
+      .select(col("n"), col("po"), col("pe"),
+        round(when(col("pe") >= 1.0, lit(0.0))
+          .otherwise((col("po") - col("pe")) / (lit(1.0) - col("pe"))),
+          6).as("kappa"))
+  }
 }

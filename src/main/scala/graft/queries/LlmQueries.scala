@@ -1640,6 +1640,52 @@ object LlmQueries {
         .orderBy(col("query_id"))
     }),
 
+    // graded IR eval (MRR / P@k / recall@k / nDCG@k) — rankEval over
+    // a fully-relational demo harness: queries = every 50th doc,
+    // ranked list = same-source nearest-length top-10 (the window is
+    // HARNESS-side; the op itself is |queries|·k-bounded), relevance
+    // = same-source same-lang docs.
+    "llm_rank_eval" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"))
+      val q = d.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"), col("source").as("_qs"),
+          col("lang").as("_ql"), col("n_chars").as("_qn"))
+      val cand = broadcast(q).join(d, col("source") === col("_qs") &&
+        col("doc_id") =!= col("query_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(abs(col("n_chars") - col("_qn")).asc,
+          col("doc_id").asc)
+      val ranked = cand.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val rels = broadcast(q).join(d, col("source") === col("_qs") &&
+          col("lang") === col("_ql") &&
+          col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"))
+      Similarity.rankEval(ranked, rels, k = 10)
+        .orderBy(col("query_id"))
+    }),
+
+    // Cohen's kappa between a doc's own lang tag and its source's
+    // majority lang — the chance-corrected source-homogeneity gauge
+    // (po alone is inflated exactly when one lang dominates).
+    "llm_label_kappa" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("_n").desc, col("lang").asc)
+      val maj = d.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("_n"))
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1)
+        .select(col("source"), col("lang").as("major_lang"))
+      TextAnalysis.cohenKappa(
+        d.join(broadcast(maj), Seq("source")), "lang", "major_lang")
+    }),
+
     // lexical vs embedding near-dup lens agreement: MinHash pairs
     // full-outer cosine pairs (doc_id == vec_id), categorized.
     "llm_dedup_agreement" -> ((s, dir) =>
@@ -5637,6 +5683,38 @@ object LlmQueries {
 
     "llm_ann_recall" -> annRecallOracle,
 
+    "llm_rank_eval" -> rankEvalOracle,
+
+    // kappa replay: same majority-lang window, same marginal-product
+    // pe, po/pe rounded BEFORE the kappa derivation (the engine's
+    // exact arithmetic order).
+    "llm_label_kappa" ->
+      """WITH maj AS (SELECT source, lang AS major_lang FROM (
+             SELECT source, lang, row_number() OVER (
+               PARTITION BY source
+               ORDER BY count(*) DESC, lang ASC) AS rk
+             FROM documents GROUP BY source, lang) m
+           WHERE rk = 1),
+         l AS (SELECT d.lang AS a, m.major_lang AS b
+           FROM documents d JOIN maj m USING (source)
+           WHERE d.lang IS NOT NULL AND m.major_lang IS NOT NULL),
+         base AS (SELECT count(*) AS n,
+             SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree FROM l),
+         pe AS (SELECT coalesce(SUM(CAST(na AS DECIMAL(38,0)) *
+               CAST(nb AS DECIMAL(38,0))), 0) AS pe_num FROM
+             (SELECT a AS cat, count(*) AS na FROM l GROUP BY a) ma
+             JOIN (SELECT b AS cat, count(*) AS nb FROM l
+                   GROUP BY b) mb USING (cat)),
+         r AS (SELECT n,
+             round(CAST(agree AS DOUBLE) / n, 6) AS po,
+             round(CAST(pe_num AS DOUBLE) /
+               (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe
+           FROM base, pe)
+         SELECT n, po, pe,
+           round(CASE WHEN pe >= 1.0 THEN 0.0
+             ELSE (po - pe) / (1.0 - pe) END, 6) AS kappa
+         FROM r""",
+
     "llm_unigram_train" -> unigramTrainOracle,
 
     "llm_unigram_pruned" -> unigramPrunedOracle,
@@ -5823,6 +5901,58 @@ object LlmQueries {
          e.cms_est - t.exact_cnt AS overestimate
        FROM top t JOIN est e USING (token)
        ORDER BY t.token"""
+  }
+
+  /** rankEval replay: the same harness window (same-source
+    * nearest-length top-10, abs-diff + id tie order), same-lang
+    * relevance set, decimal dcg sum, and the IDENTICAL idcg prefix
+    * constants the engine inlines (Double round-trip repr). */
+  private lazy val rankEvalOracle: String = {
+    val idcg = (1 to 10).scanLeft(BigDecimal(0)) { (acc, i) =>
+      acc + BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    }.tail
+    val arr = idcg.map(_.toDouble.toString).mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT doc_id, source, lang, n_chars
+           FROM documents),
+       q AS (SELECT doc_id AS query_id, source AS qs, lang AS ql,
+           n_chars AS qn
+         FROM d WHERE doc_id % 50 = 0),
+       cand AS (SELECT q.query_id, d.doc_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY abs(d.n_chars - q.qn) ASC, d.doc_id ASC) AS rk
+         FROM q JOIN d ON d.source = q.qs
+           AND d.doc_id <> q.query_id),
+       ranked AS (SELECT query_id, doc_id, rk FROM cand
+         WHERE rk <= 10),
+       rels AS (SELECT q.query_id, d.doc_id
+         FROM q JOIN d ON d.source = q.qs AND d.lang = q.ql
+           AND d.doc_id <> q.query_id),
+       nrel AS (SELECT query_id, count(*) AS n_rel FROM rels
+         GROUP BY query_id),
+       h AS (SELECT r.query_id,
+           SUM(CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS n_hits,
+           MIN(CASE WHEN rel.doc_id IS NOT NULL THEN r.rk END)
+             AS first_rk,
+           SUM(CAST(CASE WHEN rel.doc_id IS NOT NULL
+               THEN 1.0 / log2(r.rk + 1.0) ELSE 0.0 END
+             AS DECIMAL(38,18))) AS dcg
+         FROM ranked r LEFT JOIN rels rel
+           ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+         GROUP BY r.query_id),
+       idcg(v) AS (SELECT $arr)
+       SELECT n.query_id, n.n_rel,
+         CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         round(coalesce(1.0 / first_rk, 0.0), 6) AS mrr,
+         round(coalesce(h.n_hits, 0) / 10.0, 6) AS p_at_k,
+         round(coalesce(h.n_hits, 0) / CAST(n.n_rel AS DOUBLE), 6)
+           AS recall_at_k,
+         round(CASE WHEN n.n_rel > 0 THEN
+             coalesce(CAST(h.dcg AS DOUBLE), 0.0) /
+               idcg.v[CAST(least(n.n_rel, 10) AS INTEGER)]
+           ELSE 0.0 END, 6) AS ndcg_at_k
+       FROM nrel n LEFT JOIN h USING (query_id) CROSS JOIN idcg
+       ORDER BY n.query_id"""
   }
 
   /** Windowed-trending replay: the cold-start-hour sketch via the

@@ -2685,6 +2685,51 @@ class LlmSpec extends AnyFunSuite {
     assert(out((4L, 5L)) == (("embedding_only", None, Some(0.5))))
   }
 
+  test("rankEval: hand-computed MRR/P@k/recall/nDCG; missed query " +
+       "reports zeros; unjudged query is not scored") {
+    import spark.implicits._
+    val ranked = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 7L, 1L), (3L, 8L, 1L)).toDF("query_id", "doc_id", "rank")
+    val rels = Seq((1L, 11L), (1L, 99L), (2L, 5L))
+      .toDF("query_id", "doc_id")
+    val out = Similarity.rankEval(ranked, rels, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    // q1: one hit at rank 2 of rels {11, 99}
+    // dcg = 1/log2(3); idcg(min(2,3)) = 1 + 1/log2(3)
+    val dcg = 1.0 / (math.log(3.0) / math.log(2.0))
+    val ndcg = BigDecimal(dcg / (1.0 + dcg))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((2L, 1L, 0.5, 0.333333, 0.5, ndcg)), s"${out(1L)}")
+    // q2: judged but ranker missed -> all zeros
+    assert(out(2L) == ((1L, 0L, 0.0, 0.0, 0.0, 0.0)), s"${out(2L)}")
+    // q3: retrieved but unjudged -> not scored (TREC convention)
+    assert(!out.contains(3L), s"${out.keySet}")
+  }
+
+  test("cohenKappa: hand-computed po/pe/kappa, null exclusion, " +
+       "degenerate pe=1 convention") {
+    import spark.implicits._
+    val df = Seq(("x", "x"), ("x", "y"), ("y", "y"), ("y", "y"),
+      (null, "x"), ("x", null)).toDF("a", "b")
+    val r = TextAnalysis.cohenKappa(df, "a", "b").head()
+    // judged rows: 4; agree 3 -> po 0.75; marginals A{x:2,y:2}
+    // B{x:1,y:3} -> pe = (2*1 + 2*3)/16 = 0.5 -> kappa 0.5
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 0.75 && r.getDouble(2) == 0.5 &&
+      r.getDouble(3) == 0.5, s"$r")
+    // both columns constant: agreement carries no information
+    val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    val rc = TextAnalysis.cohenKappa(const, "a", "b").head()
+    assert(rc.getDouble(2) == 1.0 && rc.getDouble(3) == 0.0, s"$rc")
+    // disjoint label sets: pe = 0 (inner marginal join empty)
+    val disj = Seq(("x", "p"), ("y", "q")).toDF("a", "b")
+    val rd = TextAnalysis.cohenKappa(disj, "a", "b").head()
+    assert(rd.getDouble(1) == 0.0 && rd.getDouble(2) == 0.0 &&
+      rd.getDouble(3) == 0.0, s"$rd")
+  }
+
   test("quantileGate: top-mass keep per group, singleton survives") {
     import spark.implicits._
     val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
