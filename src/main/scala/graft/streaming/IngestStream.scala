@@ -636,9 +636,46 @@ object IngestStream {
     * moves at most that, and the driver materialization is the same
     * fixed-size state every CMS path already holds. */
   def cmsCompact(spark: org.apache.spark.sql.SparkSession,
-                 sketchDir: String, watermark: Long): Unit = {
+                 sketchDir: String, watermark: Long): Unit =
+    compactPartitions(spark, sketchDir, watermark) { covered =>
+      covered.groupBy(col("row"), col("bucket"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .coalesce(1)
+    }
+
+  /** [[cmsCompact]]'s protocol for the NON-summable ingest layers
+    * (the signature layer and the corpus layer, whose per-batch
+    * partitions accumulate exactly like the sketch's — the
+    * small-files problem at 100 TB): fold every batch partition at
+    * or below `watermark` into ONE partition holding the SAME rows,
+    * rewritten as `targetFiles` right-sized files. Same reserved
+    * negative partition id, same crash-safe rename protocol, same
+    * replay contract — and the layer's replay guard
+    * (`ingest_batch =!= bid`, ingestBatchWith:189) keeps working
+    * because a compact partition's negative id never equals a batch
+    * id. Size `targetFiles` from the layer's byte count over the
+    * shard-size target (the `writeShardedBalanced` rule). */
+  def ingestLayerCompact(spark: org.apache.spark.sql.SparkSession,
+                         layerDir: String, watermark: Long,
+                         targetFiles: Int = 1): Unit = {
+    require(targetFiles > 0, s"targetFiles must be positive")
+    compactPartitions(spark, layerDir, watermark)(
+      _.repartition(targetFiles))
+  }
+
+  /** The shared compaction machinery: list `ingest_batch=` partitions
+    * covered by the watermark (non-negative ids ≤ watermark, and
+    * prior compacts `-(id)-1 ≤ watermark`), apply `fold` to their
+    * union, land the result under the reserved id `-(watermark+1)`
+    * via write-to-invisible-temp → rename → delete-sources. The
+    * reserved partition's existence marks a completed fold, so a
+    * rerun only finishes the deletes — see [[cmsCompact]]'s crash
+    * matrix. */
+  private def compactPartitions(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, watermark: Long)
+                               (fold: DataFrame => DataFrame): Unit = {
     require(watermark >= 0, s"watermark must be >= 0, got $watermark")
-    val root = new org.apache.hadoop.fs.Path(sketchDir)
+    val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
     val prefix = "ingest_batch="
@@ -656,19 +693,16 @@ object IngestStream {
     val sources = fs.listStatus(root).map(_.getPath)
       .filter(p => partId(p).exists(id => covered(id) && id != targetId))
     if (fs.exists(target)) {
-      // a previous attempt already landed the sum — finish the deletes
+      // a previous attempt already landed the fold — finish the deletes
       sources.foreach(fs.delete(_, true))
     } else if (sources.nonEmpty) {
-      spark.read.parquet(sources.map(_.toString).toIndexedSeq: _*)
-        .groupBy(col("row"), col("bucket"))
-        .agg(sum(col("cnt")).as("cnt"))
-        .coalesce(1)
+      fold(spark.read.parquet(sources.map(_.toString).toIndexedSeq: _*))
         .write.parquet(tmp.toString)
       require(fs.rename(tmp, target),
         s"compaction rename $tmp -> $target failed")
       sources.foreach(fs.delete(_, true))
     }
-    spark.catalog.refreshByPath(sketchDir)
+    spark.catalog.refreshByPath(dir)
   }
 
   /** Streaming corpus-frequency monitor: [[cmsBatch]] over a

@@ -774,6 +774,30 @@ class PlanSpec extends AnyFunSuite {
       fPlan.take(3000))
   }
 
+  test("windowedTrending: the CMS history inlines as a plan literal " +
+       "— no join, exactly one aggregation exchange") {
+    import spark.implicits._
+    val hist = graft.llm.HeavyHitters.cmsSketch(
+      Seq("a", "b", "a").toDF("token"))
+    val batch = Seq((10L, "a"), (70L, "zz"), (80L, "zz"))
+      .toDF("secs", "token")
+      .withColumn("ts", col("secs").cast("timestamp"))
+    val plan = planOf(graft.llm.HeavyHitters.windowedTrending(
+      batch, "ts", "token", "1 hour", hist, minCount = 1L,
+      minRatio = 0.0))
+    // the whole point of the literal device: the history lookup adds
+    // NO join and NO second stateful/aggregation stage — append-mode
+    // streaming legality comes from exactly this shape
+    assert(!plan.contains("Join"),
+      s"history must not join into the stream:\n${plan.take(1500)}")
+    // node-descriptor lines look like "(3) Exchange"
+    val exchanges = plan.linesIterator
+      .count(_.trim.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges == 1,
+      s"one windowed-count exchange expected, got $exchanges:\n" +
+        plan.take(1500))
+  }
+
   test("q34 star top-k: filters reach all three scans, the customer " +
        "key set broadcasts, top-k never global-sorts") {
     val p = planOf(

@@ -825,6 +825,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(est("a") >= 4L, s"a appears 4x across batches: $est")
   }
 
+  test("ingestLayerCompact: sig/corpus layers keep their exact rows " +
+       "in fewer files; dedup against the compacted layer and tail " +
+       "replay both still work") {
+    import graft.streaming.IngestStream
+    import spark.implicits._
+    val base = "/root/repo/target/scratch/ingest_compact"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val corpusDir = s"$base/corpus"
+    val sigDir = s"$base/sigs"
+    val textA = "the quick brown fox jumps over the lazy dog again today"
+    val textB = "completely different content about distributed query engines"
+    val textC = "yet another unrelated document describing parquet file layouts"
+    IngestStream.ingestBatch(Seq((1L, textA)).toDF("doc_id", "text"),
+      corpusDir, sigDir, threshold = 0.5, batchId = Some(0L))
+    IngestStream.ingestBatch(Seq((2L, textB)).toDF("doc_id", "text"),
+      corpusDir, sigDir, threshold = 0.5, batchId = Some(1L))
+    val b2 = Seq((3L, textC)).toDF("doc_id", "text")
+    IngestStream.ingestBatch(b2, corpusDir, sigDir, threshold = 0.5,
+      batchId = Some(2L))
+    def snap(dir: String, cols: Seq[String]) = spark.read.parquet(dir)
+      .select(cols.head, cols.tail: _*).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val corpusBefore = snap(corpusDir, Seq("doc_id", "text"))
+    val sigsBefore = snap(sigDir, Seq("id"))
+    def parts(dir: String) = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("ingest_batch=")).toSet
+    // fold the committed prefix (batches 0,1) on BOTH layers
+    IngestStream.ingestLayerCompact(spark, sigDir, watermark = 1L)
+    IngestStream.ingestLayerCompact(spark, corpusDir, watermark = 1L)
+    assert(parts(sigDir) == Set("ingest_batch=-2", "ingest_batch=2"))
+    assert(parts(corpusDir) == Set("ingest_batch=-2", "ingest_batch=2"))
+    assert(snap(corpusDir, Seq("doc_id", "text")) == corpusBefore,
+      "compaction must preserve the corpus rows exactly")
+    assert(snap(sigDir, Seq("id")) == sigsBefore)
+    // tail replay (the only replayable batch) stays idempotent
+    IngestStream.ingestBatch(b2, corpusDir, sigDir, threshold = 0.5,
+      batchId = Some(2L))
+    assert(snap(corpusDir, Seq("doc_id", "text")) == corpusBefore)
+    // the next batch still dedups against the COMPACTED signatures:
+    // a near-dup of doc 1 (batch 0, now inside partition -2) drops
+    IngestStream.ingestBatch(
+      Seq((9L, textA), (10L, "genuinely fresh words about row groups"))
+        .toDF("doc_id", "text"),
+      corpusDir, sigDir, threshold = 0.5, batchId = Some(3L))
+    val ids = spark.read.parquet(corpusDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L, 10L), s"got $ids")
+  }
+
   test("cmsLookup geometry guard: probing with the wrong depth " +
        "fails fast instead of silently underestimating") {
     import spark.implicits._
