@@ -444,6 +444,12 @@ object ScaleBench {
         graft.llm.Sampling.quantileGateApprox(docs, "n_chars",
           keepFrac = 0.5).filter(col("within_band") >= 0).count())
 
+      // zlib compressibility: pure row-local native kernel — must
+      // scale linearly in bytes with zero shuffle
+      runProbe("compress_ratio", f, nDocs)(
+        graft.llm.TextAnalysis.compressionRatio(docs)
+          .filter(col("ratio") >= 0.0).count())
+
       // prefix-filtered EXACT jaccard join vs its brute baseline at
       // the same threshold: cost tracks the candidate stream
       // (prefix-shingle collisions), not N². NOTE the regime: the

@@ -2730,6 +2730,32 @@ class LlmSpec extends AnyFunSuite {
       rd.getDouble(3) == 0.0, s"$rd")
   }
 
+  test("compressionRatio: redundancy ordering on planted corpora, " +
+       "empty-doc convention, run-to-run determinism") {
+    import spark.implicits._
+    val repetitive = Seq.fill(400)("lorem ipsum").mkString(" ")
+    val diverse = (0 until 400)
+      .map(i => s"w${i * 7919 % 100003}x${i}").mkString(" ")
+    val df = Seq((1L, repetitive), (2L, diverse), (3L, ""))
+      .toDF("doc_id", "text").repartition(3)
+    val out = TextAnalysis.compressionRatio(df)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L)._1 == repetitive.getBytes("UTF-8").length.toLong)
+    // template spam compresses an order of magnitude below diverse text
+    assert(out(1L)._3 < 0.05, s"repetitive ratio ${out(1L)._3}")
+    assert(out(2L)._3 > 3 * out(1L)._3,
+      s"ordering violated: ${out(1L)._3} vs ${out(2L)._3}")
+    assert(out(2L)._3 < 1.0, "real text always compresses some")
+    // empty doc: nothing to judge -> neutral 1.0
+    assert(out(3L) == ((0L, 0L, 1.0)))
+    // deterministic across runs (fixed JDK zlib level)
+    val again = TextAnalysis.compressionRatio(df)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(again == out)
+  }
+
   test("quantileGate: top-mass keep per group, singleton survives") {
     import spark.implicits._
     val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
