@@ -581,6 +581,31 @@ object Relational {
         .limit(20)
     }),
 
+    // --- correlated scalar subquery (TPC-H Q17 shape): small-order
+    //     revenue for one brand, each lineitem gated by 20% of ITS
+    //     part's average quantity. Written as the correlated form on
+    //     purpose — Catalyst DECORRELATES it into a per-part
+    //     aggregate joined back (PlanSpec gates: no ScalarSubquery
+    //     survives to the physical plan, no cartesian, the
+    //     brand-filtered part side broadcasts). Decimal-exact
+    //     sum/count instead of avg() so the threshold is
+    //     partition-order-free in both engines.
+    "q37_corr_subquery" -> ((s, dir) => {
+      table(s, dir, "lineitem").createOrReplaceTempView("q37_lineitem")
+      table(s, dir, "part").createOrReplaceTempView("q37_part")
+      s.sql("""
+        SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                 AS DOUBLE) / 7.0, 6) AS avg_yearly,
+               COUNT(*) AS n_items
+        FROM q37_lineitem JOIN q37_part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#4'
+          AND l_quantity < (
+            SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity
+                     AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+            FROM q37_lineitem l2 WHERE l2.l_partkey = p_partkey)
+      """)
+    }),
+
     // --- ORC round-trip (Formats.Orc end-to-end): write a lineitem
     //     projection (incl. a timestamp column) as zlib ORC, read it
     //     back through the same registry entry, aggregate. The
@@ -1010,6 +1035,19 @@ object Relational {
            AND o_orderdate < TIMESTAMP '2000-01-01'
          GROUP BY c_custkey, c_name, c_acctbal, n_name
          ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+
+    // Q17-shape replay: the identical correlated form (DuckDB
+    // decorrelates it the same way), decimal-exact threshold.
+    "q37_corr_subquery" ->
+      """SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+               AS DOUBLE) / 7.0, 6) AS avg_yearly,
+             COUNT(*) AS n_items
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand = 'Brand#4'
+           AND l_quantity < (
+             SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity
+                      AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+             FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
 
     // ORC round-trip: the oracle reads the PARQUET source — a hash
     // match proves the engine's ORC write+read preserved every value.

@@ -798,6 +798,22 @@ class PlanSpec extends AnyFunSuite {
         plan.take(1500))
   }
 
+  test("q37 correlated subquery: Catalyst decorrelates to an " +
+       "aggregate+join — no scalar subquery survives, no cartesian, " +
+       "the brand-filtered part side broadcasts") {
+    val p = planOf(
+      graft.queries.Relational.queries("q37_corr_subquery")(spark, sf))
+    assert(!p.contains("ScalarSubquery"),
+      s"the correlated subquery must decorrelate:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the decorrelated per-part threshold shows up as an aggregate
+    // over l_quantity joined back on the part key
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      p.take(2000))
+  }
+
   test("q34 star top-k: filters reach all three scans, the customer " +
        "key set broadcasts, top-k never global-sorts") {
     val p = planOf(
