@@ -25,6 +25,44 @@ object Profile {
     * `ndv_ok` verifies the HLL estimate (relative std dev `rsd`)
     * lands within `band` of it. Deterministic: HLL on fixed data is
     * deterministic, so the verdict is stable run-to-run. */
+  /** Reliability (calibration) report for a probabilistic gate — the
+    * ECE diagram as a relation: rows with a predicted probability
+    * `probCol ∈ [0,1]` and a boolean outcome `labelCol` are bucketed
+    * into `bins` equal-width confidence bins
+    * (`bin = min(floor(p·bins), bins−1)`), and each bin reports
+    * `(bin, n, conf, acc, gap)` — mean predicted confidence, the
+    * empirical rate, and `|conf − acc|`. A classifier-based data
+    * filter (quality NB, langid gate) is only as good as its
+    * calibration: a 0.9-confidence bin that is right 60% of the time
+    * means the threshold is lying about how much data it drops.
+    * `ECE = Σ (n_b/N)·gap_b` folds from the rows. Rows with NULL
+    * prob/label are excluded (unjudged). Confidence sums go through
+    * the decimal cast (order-free) and everything rounds to 6 — the
+    * replay convention.
+    *
+    * Scale: one scan, map-side combined into ≤ `bins` groups —
+    * corpus-size-independent state, same shape as [[profile]]. */
+  def calibrationReport(df: DataFrame, probCol: String,
+                        labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val confU = sum(col("_p").cast("decimal(38,18)")).cast("double") /
+      count(lit(1)).cast("double")
+    df.select(col(probCol).cast("double").as("_p"),
+        col(labelCol).cast("boolean").as("_y"))
+      .filter(col("_p").isNotNull && col("_y").isNotNull)
+      .withColumn("bin",
+        least(floor(col("_p") * bins), lit((bins - 1).toLong))
+          .cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(confU, 6).as("conf"),
+        round(sum(when(col("_y"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("acc"),
+        round(abs(confU -
+          sum(when(col("_y"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double")), 6).as("gap"))
+  }
+
   def profile(df: DataFrame, cols: Seq[String], rsd: Double = 0.05,
               band: Double = 0.1): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")

@@ -1669,6 +1669,24 @@ object LlmQueries {
         .orderBy(col("query_id"))
     }),
 
+    // calibration / reliability report: the within-source length
+    // percentile as a "probability" that the doc clears the 120-token
+    // bar — per-bin mean confidence vs empirical rate (ECE folds
+    // from the rows). The harness predictor is relational on purpose
+    // (replayable); the op grades ANY probabilistic gate.
+    "llm_calibration" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("n_chars").asc, col("doc_id").asc)
+      val scored = table(s, dir, "documents")
+        .select(col("doc_id"),
+          round(cume_dist().over(w), 6).as("p"),
+          (TextAnalysis.tokenCount(col("text")) >= 120).as("y"))
+      graft.functions.Profile.calibrationReport(scored, "p", "y",
+          bins = 10)
+        .orderBy(col("bin"))
+    }),
+
     // Cohen's kappa between a doc's own lang tag and its source's
     // majority lang — the chance-corrected source-homogeneity gauge
     // (po alone is inflated exactly when one lang dominates).
@@ -5684,6 +5702,29 @@ object LlmQueries {
     "llm_ann_recall" -> annRecallOracle,
 
     "llm_rank_eval" -> rankEvalOracle,
+
+    // calibration replay: same source-keyed cume_dist predictor,
+    // same bin rule, decimal confidence sums, unrounded-gap order.
+    "llm_calibration" ->
+      raw"""WITH sc AS (
+           SELECT doc_id,
+             round(cume_dist() OVER (PARTITION BY source
+               ORDER BY n_chars ASC, doc_id ASC), 6) AS p,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+               t -> t <> '')) >= 120 AS y
+           FROM documents),
+         b AS (SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+             p, y FROM sc)
+         SELECT bin, count(*) AS n,
+           round(CAST(SUM(CAST(p AS DECIMAL(38,18))) AS DOUBLE)
+             / count(*), 6) AS conf,
+           round(CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS acc,
+           round(abs(CAST(SUM(CAST(p AS DECIMAL(38,18))) AS DOUBLE)
+               / count(*) -
+             CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*)), 6) AS gap
+         FROM b GROUP BY bin ORDER BY bin""",
 
     // kappa replay: same majority-lang window, same marginal-product
     // pe, po/pe rounded BEFORE the kappa derivation (the engine's

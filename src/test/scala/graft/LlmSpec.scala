@@ -2939,4 +2939,25 @@ class LlmSpec extends AnyFunSuite {
     assert(out("k") == ((4L, 3L, true)))
     assert(out("v") == ((3L, 2L, true)))
   }
+
+  test("Profile.calibrationReport: hand-computed bins, p=1 lands in " +
+       "the top bin, nulls excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (0.05, Some(false)), (0.08, Some(true)),       // bin 0
+      (0.95, Some(true)), (1.0, Some(true)),         // bin 9 (p=1 clamps)
+      (0.55, Some(false)),                           // bin 5
+      (0.5, None)                                    // unjudged -> excluded
+    ).toDF("p", "y")
+    val out = graft.functions.Profile.calibrationReport(df, "p", "y")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4)))).toMap
+    assert(out.keySet == Set(0L, 5L, 9L), s"${out.keySet}")
+    // bin 0: conf (0.05+0.08)/2 = 0.065, acc 0.5, gap 0.435
+    assert(out(0L) == ((2L, 0.065, 0.5, 0.435)), s"${out(0L)}")
+    // bin 9: perfectly confident and perfectly right
+    assert(out(9L) == ((2L, 0.975, 1.0, 0.025)), s"${out(9L)}")
+    assert(out(5L) == ((1L, 0.55, 0.0, 0.55)), s"${out(5L)}")
+  }
 }
