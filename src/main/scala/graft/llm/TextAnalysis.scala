@@ -1421,7 +1421,11 @@ object TextAnalysis {
     * `score(d, l) = ln P(l) + Σ_t tf(d,t) · ln((c(l,t)+α)/(n_l+α·V))`
     * predicting the argmax label (ties to the lexicographically
     * smallest, scores rounded to 6 places first — the oracle-parity
-    * rank key). Returns `(idCol, pred_lang, score)`.
+    * rank key). Returns `(idCol, pred_lang, score)`; with
+    * `withConfidence` also the softmax posterior of the predicted
+    * label (`1/Σ_l exp(score_l − max)`, row-local over the per-label
+    * columns, decimal-cast terms) — the input
+    * [[graft.functions.Profile.calibrationReport]] grades.
     *
     * The model is SPARSE: only the observed (label, token) pairs are
     * materialized, each carrying its likelihood DELTA above the
@@ -1451,7 +1455,8 @@ object TextAnalysis {
   def nbLangId(docs: DataFrame, train: DataFrame, alpha: Double = 0.5,
                textCol: String = "text", labelCol: String = "lang",
                idCol: String = "doc_id", maxVocab: Int = 1 << 16,
-               carryCols: Seq[String] = Nil): DataFrame = {
+               carryCols: Seq[String] = Nil,
+               withConfidence: Boolean = false): DataFrame = {
     val (seen, labels) = nbModel(train, alpha, textCol, labelCol,
       maxVocab)
     // the per-label constants are |labels| rows in a LocalRelation —
@@ -1491,9 +1496,29 @@ object TextAnalysis {
     }
     val best =
       if (cand.length == 1) cand.head else least(cand: _*)
-    sums.select(keyCols :+ best.as("_b"): _*)
-      .select(keyCols :+ col("_b._l").as("pred_lang")
-        :+ (-col("_b._m")).as("score"): _*)
+    if (!withConfidence)
+      sums.select(keyCols :+ best.as("_b"): _*)
+        .select(keyCols :+ col("_b._l").as("pred_lang")
+          :+ (-col("_b._m")).as("score"): _*)
+    else {
+      // softmax posterior of the PREDICTED label over the rounded
+      // per-label scores: conf = 1/Σ_l exp(score_l − max) — a pure
+      // row-local expression over the per-label columns (fixed label
+      // order, decimal-cast terms so the sum is order-free and
+      // oracle-replayable); numerator is exp(0) = 1 by construction
+      val scores = labArr.zipWithIndex.map { case ((_, _, prior), i) =>
+        round(lit(prior) + col(s"_s_$i").cast("double"), 6)
+      }
+      val mx = if (scores.length == 1) scores.head
+        else greatest(scores: _*)
+      val denom = scores.map(sc =>
+        exp(sc - mx).cast("decimal(38,18)")).reduce(_ + _)
+      sums.select(keyCols ++ Seq(best.as("_b"),
+          round(lit(1.0) / denom.cast("double"), 6)
+            .as("confidence")): _*)
+        .select(keyCols ++ Seq(col("_b._l").as("pred_lang"),
+          (-col("_b._m")).as("score"), col("confidence")): _*)
+    }
   }
 
   /** Train the multinomial NB model on `train`. Returns `(seen,

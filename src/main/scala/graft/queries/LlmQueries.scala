@@ -1169,6 +1169,21 @@ object LlmQueries {
       TextAnalysis.nbLangIdConfusion(table(s, dir, "documents"))
         .orderBy(col("lang"), col("pred_lang"))),
 
+    // calibration of the REAL classifier: NB softmax confidence vs
+    // actual correctness against the doc's own tag, through the
+    // generic calibrationReport — the is-the-filter-lying gauge for
+    // a classifier-based data gate.
+    "llm_nb_calibration" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val scored = TextAnalysis.nbLangId(d, d,
+        carryCols = Seq("lang"), withConfidence = true)
+      graft.functions.Profile.calibrationReport(
+          scored.select(col("confidence"),
+            (col("pred_lang") === col("lang")).as("_y")),
+          "confidence", "_y", bins = 10)
+        .orderBy(col("bin"))
+    }),
+
     // in-engine quality classifier: binary NB trained on the
     // corpus's own Gopher verdicts (weak supervision), scored per
     // doc — label, model verdict, and score in one relational plan.
@@ -4688,49 +4703,7 @@ object LlmQueries {
     // reassembles as prior + T*floor + sum(tf*dll) — algebraically
     // the dense sum, never materializing vocab x labels.
     "llm_nb_langid" ->
-      raw"""WITH tok AS (
-           SELECT lang, doc_id, unnest(list_filter(
-             regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
-           FROM documents),
-         c AS (SELECT lang, token, count(*) AS c
-               FROM tok GROUP BY 1, 2),
-         vocab AS (
-           SELECT token FROM (
-             SELECT token, SUM(c) AS tot FROM c GROUP BY token
-             ORDER BY tot DESC, token ASC LIMIT 65536)),
-         cc AS (SELECT c.* FROM c JOIN vocab USING (token)),
-         nl AS (SELECT lang, SUM(c) AS nl FROM cc GROUP BY lang),
-         v AS (SELECT count(DISTINCT token) AS v FROM cc),
-         lab AS (
-           SELECT d.lang,
-             ln(0.5 / (CAST(coalesce(nl.nl, 0) AS DOUBLE)
-               + 0.5 * CAST(v.v AS DOUBLE))) AS flr
-           FROM (SELECT DISTINCT lang FROM documents) d
-           LEFT JOIN nl USING (lang), v),
-         seen AS (
-           SELECT cc.lang, cc.token,
-             ln((CAST(cc.c AS DOUBLE) + 0.5) /
-                (CAST(nl.nl AS DOUBLE) + 0.5 * CAST(v.v AS DOUBLE)))
-               - lab.flr AS dll
-           FROM cc JOIN nl USING (lang) JOIN lab USING (lang), v),
-         pri AS (
-           SELECT lang, ln(CAST(count(*) AS DOUBLE) /
-             CAST((SELECT count(*) FROM documents) AS DOUBLE)) AS prior
-           FROM documents GROUP BY lang),
-         tf AS (SELECT doc_id, token, count(*) AS tf
-                FROM tok GROUP BY 1, 2),
-         sc AS (
-           SELECT tf.doc_id, lab.lang AS pred_lang,
-             round(pri.prior + CAST(SUM(CAST(
-               CAST(tf.tf AS DOUBLE)
-                 * (lab.flr + coalesce(seen.dll, 0.0))
-             AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
-           FROM tf JOIN vocab USING (token)
-           CROSS JOIN lab
-           JOIN pri ON pri.lang = lab.lang
-           LEFT JOIN seen ON seen.lang = lab.lang
-             AND seen.token = tf.token
-           GROUP BY tf.doc_id, lab.lang, pri.prior),
+      raw"""WITH $nbScoreCtes,
          best AS (
            SELECT doc_id, pred_lang,
              row_number() OVER (PARTITION BY doc_id
@@ -4740,6 +4713,43 @@ object LlmQueries {
          FROM best b JOIN documents d USING (doc_id)
          WHERE b.rn = 1
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // NB calibration replay: the same per-(doc,label) rounded score
+    // table, softmax confidence 1/Σexp(score−max) with decimal-cast
+    // terms (order-free), correctness vs the doc's own tag, then the
+    // calibrationReport bin/rounding order.
+    "llm_nb_calibration" ->
+      raw"""WITH $nbScoreCtes,
+         mx AS (SELECT doc_id, max(score) AS mx FROM sc
+                GROUP BY doc_id),
+         confd AS (
+           SELECT sc.doc_id,
+             round(1.0 / CAST(SUM(CAST(exp(sc.score - mx.mx)
+               AS DECIMAL(38,18))) AS DOUBLE), 6) AS p
+           FROM sc JOIN mx USING (doc_id) GROUP BY sc.doc_id),
+         best AS (
+           SELECT doc_id, pred_lang,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, pred_lang) AS rn
+           FROM sc),
+         yy AS (
+           SELECT b.doc_id, confd.p,
+             b.pred_lang = d.lang AS y
+           FROM best b JOIN confd USING (doc_id)
+           JOIN documents d USING (doc_id)
+           WHERE b.rn = 1),
+         b2 AS (SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+             p, y FROM yy)
+         SELECT bin, count(*) AS n,
+           round(CAST(SUM(CAST(p AS DECIMAL(38,18))) AS DOUBLE)
+             / count(*), 6) AS conf,
+           round(CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS acc,
+           round(abs(CAST(SUM(CAST(p AS DECIMAL(38,18))) AS DOUBLE)
+               / count(*) -
+             CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*)), 6) AS gap
+         FROM b2 GROUP BY bin ORDER BY bin""",
 
     // CCNet-filter replay: the llm_ppl_buckets chain, kept buckets
     // only, source re-attached from the corpus.
@@ -5943,6 +5953,56 @@ object LlmQueries {
        FROM top t JOIN est e USING (token)
        ORDER BY t.token"""
   }
+
+  /** Sparse-NB score replay shared by llm_nb_langid and
+    * llm_nb_calibration: the self-trained multinomial model (capped
+    * vocab, per-label floor + seen-pair deltas, priors) down to the
+    * per-(doc, label) ROUNDED score table `sc` — identical to
+    * [[graft.llm.TextAnalysis.nbLangId]]'s decomposition. */
+  private lazy val nbScoreCtes: String =
+    raw"""tok AS (
+           SELECT lang, doc_id, unnest(list_filter(
+             regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         c AS (SELECT lang, token, count(*) AS c
+               FROM tok GROUP BY 1, 2),
+         vocab AS (
+           SELECT token FROM (
+             SELECT token, SUM(c) AS tot FROM c GROUP BY token
+             ORDER BY tot DESC, token ASC LIMIT 65536)),
+         cc AS (SELECT c.* FROM c JOIN vocab USING (token)),
+         nl AS (SELECT lang, SUM(c) AS nl FROM cc GROUP BY lang),
+         v AS (SELECT count(DISTINCT token) AS v FROM cc),
+         lab AS (
+           SELECT d.lang,
+             ln(0.5 / (CAST(coalesce(nl.nl, 0) AS DOUBLE)
+               + 0.5 * CAST(v.v AS DOUBLE))) AS flr
+           FROM (SELECT DISTINCT lang FROM documents) d
+           LEFT JOIN nl USING (lang), v),
+         seen AS (
+           SELECT cc.lang, cc.token,
+             ln((CAST(cc.c AS DOUBLE) + 0.5) /
+                (CAST(nl.nl AS DOUBLE) + 0.5 * CAST(v.v AS DOUBLE)))
+               - lab.flr AS dll
+           FROM cc JOIN nl USING (lang) JOIN lab USING (lang), v),
+         pri AS (
+           SELECT lang, ln(CAST(count(*) AS DOUBLE) /
+             CAST((SELECT count(*) FROM documents) AS DOUBLE)) AS prior
+           FROM documents GROUP BY lang),
+         tf AS (SELECT doc_id, token, count(*) AS tf
+                FROM tok GROUP BY 1, 2),
+         sc AS (
+           SELECT tf.doc_id, lab.lang AS pred_lang,
+             round(pri.prior + CAST(SUM(CAST(
+               CAST(tf.tf AS DOUBLE)
+                 * (lab.flr + coalesce(seen.dll, 0.0))
+             AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+           FROM tf JOIN vocab USING (token)
+           CROSS JOIN lab
+           JOIN pri ON pri.lang = lab.lang
+           LEFT JOIN seen ON seen.lang = lab.lang
+             AND seen.token = tf.token
+           GROUP BY tf.doc_id, lab.lang, pri.prior)"""
 
   /** rankEval replay: the same harness window (same-source
     * nearest-length top-10, abs-diff + id tie order), same-lang

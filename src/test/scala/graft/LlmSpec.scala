@@ -2940,6 +2940,30 @@ class LlmSpec extends AnyFunSuite {
     assert(out("v") == ((3L, 2L, true)))
   }
 
+  test("nbLangId withConfidence: softmax posterior separates " +
+       "unambiguous from ambiguous docs, bounded (0,1]") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "aa", "alpha alpha beta"), (2L, "aa", "alpha beta beta"),
+      (3L, "bb", "gamma gamma delta"), (4L, "bb", "gamma delta delta")
+    ).toDF("doc_id", "lang", "text")
+    val probe = Seq(
+      (10L, "zz", "alpha alpha alpha beta"),  // pure aa vocabulary
+      (11L, "zz", "alpha gamma")              // split evenly
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.nbLangId(probe, train, withConfidence = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getDouble(3)))).toMap
+    assert(out(10L)._1 == "aa")
+    assert(out.values.forall(v => v._2 > 0.0 && v._2 <= 1.0), s"$out")
+    assert(out(10L)._2 > 0.9,
+      s"unambiguous doc must be confident: ${out(10L)}")
+    // the split doc scores identically under both labels (symmetric
+    // counts) -> softmax of two equal scores = 0.5
+    assert(math.abs(out(11L)._2 - 0.5) < 1e-6,
+      s"ambiguous doc must sit at 0.5: ${out(11L)}")
+  }
+
   test("Profile.calibrationReport: hand-computed bins, p=1 lands in " +
        "the top bin, nulls excluded") {
     import spark.implicits._
