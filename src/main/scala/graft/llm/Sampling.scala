@@ -326,6 +326,35 @@ object Sampling {
       .withColumn("keep", col("pct") > lit(1.0 - keepFrac))
   }
 
+  /** Leakage-FREE split — the fix for what the split-leakage audit
+    * measures: a content-hash split draws independent hashes for
+    * near-duplicate docs, so paraphrases of one document land on
+    * both sides of the train/eval boundary. Here every doc inherits
+    * its near-dup COMPONENT's split (md5 bucket of the component
+    * representative's id; docs with no near-dup edges are their own
+    * singleton component), so by construction no near-dup pair can
+    * ever straddle a boundary. `components` is the `(id, component)`
+    * labeling from [[graft.llm.Dedup.connectedComponents]] (min-id
+    * representative). Output `(idCol, component, split)`.
+    *
+    * Scale: one hash-keyed left join against the component table
+    * (edge-bounded — docs without near-dup edges never enter it)
+    * plus a row-local hash; the expensive part is the pair/component
+    * chain the pipeline already pays for dedup, memoized across
+    * stages. */
+  def leakageFreeSplit(docs: DataFrame, components: DataFrame,
+                       weights: Seq[(String, Int)] =
+                         Seq("train" -> 80, "val" -> 10, "test" -> 10),
+                       idCol: String = "doc_id"): DataFrame = {
+    val comp = docs.select(col(idCol))
+      .join(components.select(col("id").as(idCol), col("component")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"))
+    comp.select(col(idCol), col("component"),
+      splitColumn(col("component").cast("string"), weights).as("split"))
+  }
+
   /** The 100 TB form of [[stratifiedSplit]], accuracy PROVEN rather
     * than documented (the [[graft.llm.Similarity.protoPruneApprox]]
     * device): instead of the per-source rank window — whose sort

@@ -207,6 +207,15 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the FIX for the split-leakage audit below: every doc inherits
+    // its near-dup component's split (hash of the min-id
+    // representative), so no near-dup pair can straddle train/eval
+    // by construction; singletons split on their own id.
+    "llm_cluster_split" -> ((s, dir) =>
+      Sampling.leakageFreeSplit(table(s, dir, "documents"),
+          components035(s, dir))
+        .orderBy(col("doc_id"))),
+
     // split-leakage audit: VERIFIED near-dup pairs whose members land
     // in different content-hash splits - exact dups hash identically
     // (cannot leak by construction), but near-dups draw independent
@@ -1959,6 +1968,35 @@ object LlmQueries {
          FROM comp c JOIN q USING (id))
        WHERE rk = 1 ORDER BY component"""
 
+  /** Leakage-free split replay: the closure's min-id component
+    * (self for singletons), then the md5 percent-bucket split on the
+    * COMPONENT id — the llm_split rule keyed by cluster instead of
+    * content. */
+  private val clusterSplitOracle =
+    s"""WITH RECURSIVE $minhashScoredCtes,
+       pairs AS (SELECT id_a, id_b FROM scored
+                 WHERE nb > 0 AND est_jaccard >= 0.35),
+       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION ALL SELECT id_b, id_a FROM pairs),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       comp AS (SELECT a AS id, least(a, min(b)) AS component
+                FROM reach GROUP BY a),
+       allc AS (
+         SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+         FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+       SELECT doc_id, component,
+         CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+              ELSE 'test' END AS split
+       FROM (SELECT doc_id, component,
+               CAST(('0x' || substring(md5(
+                 CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+                 AS h
+             FROM allc)
+       ORDER BY doc_id"""
+
   /** End-to-end near-dup dedup: recursive transitive closure over the
     * MinHash pair set; a doc is dropped iff some smaller id is
     * reachable (component < id), i.e. it is not its cluster's min-id
@@ -3507,6 +3545,8 @@ object LlmQueries {
              AS BIGINT) AS total_subwords
          FROM documents GROUP BY lang ORDER BY lang""",
     "llm_neardup_dedup" -> nearDupDedupOracle,
+
+    "llm_cluster_split" -> clusterSplitOracle,
     "llm_verified_dedup" -> verifiedDedupOracle,
     "llm_neardup_weights" -> nearDupWeightsOracle,
     "llm_split_leakage" -> splitLeakageOracle,

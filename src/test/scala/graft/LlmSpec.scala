@@ -2193,6 +2193,30 @@ class LlmSpec extends AnyFunSuite {
       "another source's growth must not reshuffle A's split")
   }
 
+  test("leakageFreeSplit: no near-dup pair straddles a split " +
+       "boundary; singletons split on their own id") {
+    val pairs = Dedup.minHashPairs(docs, threshold = 0.35)
+    val comps = Dedup.connectedComponents(
+      pairs.select(col("id_a"), col("id_b")))
+    val sp = Sampling.leakageFreeSplit(docs, comps)
+    // the content-hash split DOES leak on this corpus (the audit's
+    // whole point) — the cluster split must not
+    val crossed = pairs
+      .join(sp.select(col("doc_id").as("id_a"),
+        col("split").as("_sa")), Seq("id_a"))
+      .join(sp.select(col("doc_id").as("id_b"),
+        col("split").as("_sb")), Seq("id_b"))
+      .filter(col("_sa") =!= col("_sb")).count()
+    assert(crossed == 0L,
+      s"$crossed near-dup pairs straddle the cluster split")
+    // coverage: every doc gets exactly one split; singleton fallback
+    assert(sp.count() == docs.count())
+    val singleton = sp.join(comps.select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_anti").head()
+    assert(singleton.getLong(0) == singleton.getLong(1),
+      "a doc with no near-dup edges is its own component")
+  }
+
   test("stratifiedSplitApprox: verdict in band on real data, targets " +
        "match the exact window path, no window in the plan") {
     val out = Sampling.stratifiedSplitApprox(docs, valFrac = 0.1,
