@@ -63,6 +63,35 @@ object Profile {
             count(lit(1)).cast("double")), 6).as("gap"))
   }
 
+  /** k-anonymity / l-diversity audit over quasi-identifier columns —
+    * the release-gate report for tabular data: each equivalence
+    * class (one row per distinct quasi-identifier combination)
+    * reports its size `n`, the number of distinct sensitive values
+    * `n_sensitive`, and the two verdicts — `k_ok` (`n ≥ k`: an
+    * attacker knowing the quasi-identifiers cannot narrow below k
+    * candidates) and `l_ok` (`n_sensitive ≥ l`: the class does not
+    * give the sensitive value away even when identified). Classes
+    * failing either gate are the ones to suppress or generalize
+    * before release.
+    *
+    * Scale: one map-side-combined aggregate keyed by the
+    * quasi-identifiers. `n_sensitive` is an exact per-class distinct
+    * (the audit path); at corpus scale swap
+    * `approx_count_distinct` + a within-band verdict exactly as
+    * [[profile]] documents for its ndv column. */
+  def privacyAudit(df: DataFrame, quasiCols: Seq[String],
+                   sensitiveCol: String, k: Long = 5, l: Long = 2)
+      : DataFrame = {
+    require(quasiCols.nonEmpty, "privacyAudit needs quasi-identifiers")
+    require(k >= 1 && l >= 1, s"bad thresholds k=$k l=$l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .select(quasiCols.map(col) ++ Seq(col("n"), col("n_sensitive"),
+        (col("n") >= k).as("k_ok"),
+        (col("n_sensitive") >= l).as("l_ok")): _*)
+  }
+
   def profile(df: DataFrame, cols: Seq[String], rsd: Double = 0.05,
               band: Double = 0.1): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")

@@ -1693,6 +1693,18 @@ object LlmQueries {
         .orderBy(col("query_id"))
     }),
 
+    // k-anonymity / l-diversity release gate over the events table:
+    // can an attacker knowing (event_type, day) narrow below k
+    // candidate rows, and does the class leak its users?
+    "llm_privacy_audit" -> ((s, dir) =>
+      graft.functions.Profile.privacyAudit(
+          Star.events(s, dir)
+            .select(col("event_type"),
+              date_trunc("day", col("ts")).as("day"), col("user_id")),
+          quasiCols = Seq("event_type", "day"),
+          sensitiveCol = "user_id", k = 5, l = 3)
+        .orderBy(col("event_type"), col("day"))),
+
     // calibration / reliability report: the within-source length
     // percentile as a "probability" that the doc clears the 120-token
     // bar — per-bin mean confidence vs empirical rate (ECE folds
@@ -5752,6 +5764,18 @@ object LlmQueries {
     "llm_ann_recall" -> annRecallOracle,
 
     "llm_rank_eval" -> rankEvalOracle,
+
+    // privacy-audit replay: identical grouping + exact distinct +
+    // both threshold verdicts.
+    "llm_privacy_audit" ->
+      """SELECT event_type, date_trunc('day', ts) AS day,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_sensitive,
+           count(*) >= 5 AS k_ok,
+           count(DISTINCT user_id) >= 3 AS l_ok
+         FROM events
+         GROUP BY event_type, date_trunc('day', ts)
+         ORDER BY event_type, day""",
 
     // calibration replay: same source-keyed cume_dist predictor,
     // same bin rule, decimal confidence sums, unrounded-gap order.

@@ -2988,6 +2988,27 @@ class LlmSpec extends AnyFunSuite {
       s"ambiguous doc must sit at 0.5: ${out(11L)}")
   }
 
+  test("Profile.privacyAudit: class sizes, sensitive diversity, " +
+       "both gates on planted classes") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 1L, 10L), ("a", 1L, 11L),
+      ("a", 1L, 12L), ("a", 1L, 13L),                  // n=5, ndv=4
+      ("b", 1L, 20L), ("b", 1L, 20L),                  // n=2, ndv=1
+      ("c", 2L, 30L)                                   // n=1, ndv=1
+    ).toDF("q1", "q2", "user")
+    val out = graft.functions.Profile.privacyAudit(df,
+        Seq("q1", "q2"), "user", k = 3, l = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4),
+          r.getBoolean(5)))).toMap
+    assert(out(("a", 1L)) == ((5L, 4L, true, true)))
+    // big-enough class that still gives the user away: k passes at
+    // k=2... here n=2 < 3 AND a single user -> both gates fail
+    assert(out(("b", 1L)) == ((2L, 1L, false, false)))
+    assert(out(("c", 2L)) == ((1L, 1L, false, false)))
+  }
+
   test("Profile.calibrationReport: hand-computed bins, p=1 lands in " +
        "the top bin, nulls excluded") {
     import spark.implicits._
