@@ -103,7 +103,11 @@ object Multimodal {
             try javax.imageio.ImageIO.read(
               new javax.imageio.stream.MemoryCacheImageInputStream(
                 new java.io.ByteArrayInputStream(bytes)))
-            catch { case _: java.io.IOException => null }
+            // crafted/corrupt payloads can throw unchecked errors
+            // from inside a codec plugin, not just IIOException — a
+            // poisoned blob must degrade to the stub, not kill the
+            // task (and with it the whole 100 TB stage)
+            catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) Deterministic.decode(kind, bytes)
         else {
           val (w, h) = (img.getWidth, img.getHeight)
