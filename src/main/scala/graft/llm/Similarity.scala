@@ -534,6 +534,38 @@ object Similarity {
     cents
   }
 
+  /** Incremental k-means refresh — ONE Lloyd round from EXISTING
+    * centroids over a (new) batch: assign the batch to its nearest
+    * given centroid, take the decimal-exact per-(cell, dim) means,
+    * and keep the OLD centroid wherever the batch contributed no
+    * mass (an index serving traffic must never lose a cell to a
+    * quiet batch — the compaction quirk full retraining tolerates
+    * is wrong here). The streaming/model-maintenance complement of
+    * [[kmeansCentroids]]: refresh drifting centroids from the
+    * ingest batch without rescanning the corpus; centroid count and
+    * order are stable so downstream cell assignments stay
+    * comparable.
+    *
+    * Scale: the batch scan is the only data pass — one narrow
+    * assignment projection, one map-side-combined (cell, dim) mean
+    * aggregate (≤ nCells·dim rows to the driver, the same
+    * fixed-size state every centroid op holds). */
+  def kmeansUpdate(batch: DataFrame, centroids: Seq[Seq[Double]],
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    require(centroids.nonEmpty, "kmeansUpdate needs centroids")
+    val mu = assignCells(batch, centroids, idCol, vecCol)
+      .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy(col("cell_id"), col("d"))
+      .agg((sum(col("x").cast("double").cast("decimal(38,12)"))
+        .cast("double") / count(lit(1))).as("m"))
+      .collect()
+    val upd = mu.groupBy(_.getLong(0)).map { case (c, rows) =>
+      c.toInt -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+    }
+    centroids.indices.map(c => upd.getOrElse(c, centroids(c)))
+  }
+
   /** IVF search: each query probes its `nProbe` nearest cells; exact
     * cosine within the probed subset. Recall < 1 by construction;
     * scan cost scales with nProbe/nCells. */

@@ -369,6 +369,26 @@ object LlmQueries {
         .orderBy(col("cell_id"))
     }),
 
+    // incremental k-means refresh: one decimal-exact Lloyd round
+    // from the trained centroids over the odd-id "new batch" —
+    // quiet cells keep their old centroid (an index must never lose
+    // a cell to a quiet batch). Emitted as (cell, dim, value) rows.
+    "llm_kmeans_update" -> ((s, dir) => {
+      import s.implicits._
+      val emb = table(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(emb, nCells = 16,
+        iters = 2)
+      val upd = Similarity.kmeansUpdate(
+        emb.filter(col("vec_id") % 2 === 1), cents)
+      upd.zipWithIndex.flatMap { case (vec, c) =>
+        vec.zipWithIndex.map { case (m, d) =>
+          (c.toLong, d.toLong,
+            BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble)
+        }
+      }.toDF("cell", "d", "m").orderBy(col("cell"), col("d"))
+    }),
+
     // embedding contamination: held-out eval slice (vec_id % 50 = 0)
     // vs the disjoint train corpus - nearest-neighbor cosine + verdict
     // (the paraphrase-leakage complement of n-gram decontamination).
@@ -2345,6 +2365,33 @@ object LlmQueries {
     (ctes, cN)
   }
 
+  /** Incremental-refresh replay: the trained-centroid chain, one
+    * more decimal-exact mean round restricted to the odd-id batch,
+    * old centroid kept where the batch contributed no mass. */
+  private def kmeansUpdateOracle(iters: Int): String = {
+    val (ctes, cN) = kmeansAsgCtes(iters)
+    s"""WITH $ctes,
+       asgU AS (
+         SELECT vec_id, embedding, cell AS cell_id FROM (
+           SELECT e.vec_id, e.embedding, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${sqdSql("e.embedding", "c.cvec")} ASC,
+                 c.cell ASC) AS rnk
+           FROM embeddings e CROSS JOIN $cN c
+           WHERE e.vec_id % 2 = 1) WHERE rnk = 1),
+       muU AS (
+         SELECT cell_id, d,
+           CAST(SUM(CAST(CAST(embedding[d] AS DOUBLE)
+             AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+         FROM asgU, generate_series(1, 64) t(d)
+         GROUP BY cell_id, d)
+       SELECT c.cell, CAST(t.d - 1 AS BIGINT) AS d,
+         round(coalesce(muU.m, CAST(c.cvec[t.d] AS DOUBLE)), 6) AS m
+       FROM $cN c CROSS JOIN generate_series(1, 64) t(d)
+       LEFT JOIN muU ON muU.cell_id = c.cell AND muU.d = t.d
+       ORDER BY cell, d"""
+  }
+
   /** IVF over Lloyd-refined centroids: the [[kmeansAsgCtes]] chain,
     * then the standard assign/probe/score over the final centroids. */
   private def kmeansIvfOracle(iters: Int): String = {
@@ -3645,6 +3692,7 @@ object LlmQueries {
          FROM embeddings e
          CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) ks
          ORDER BY e.vec_id, k""",
+    "llm_kmeans_update" -> kmeansUpdateOracle(iters = 2),
     "llm_proto_prune" -> protoPruneOracle(iters = 2, keepFrac = 0.5),
     "llm_proto_prune_approx" ->
       protoPruneApproxOracle(iters = 2, keepFrac = 0.5, tolFrac = 0.1),

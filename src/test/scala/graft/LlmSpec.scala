@@ -2193,6 +2193,23 @@ class LlmSpec extends AnyFunSuite {
       "another source's growth must not reshuffle A's split")
   }
 
+  test("kmeansUpdate: one round from given centroids; quiet cells " +
+       "keep their centroid exactly") {
+    import spark.implicits._
+    val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(100.0, 100.0))
+    // batch touches cells 0 and 1 only; cell 2 stays silent
+    val batch = Seq(
+      (1L, Seq(1.0f, 1.0f)), (2L, Seq(-1.0f, 3.0f)),   // cell 0
+      (3L, Seq(9.0f, 2.0f))                            // cell 1
+    ).toDF("vec_id", "embedding")
+    val upd = Similarity.kmeansUpdate(batch, cents)
+    assert(upd.length == 3)
+    assert(upd(0) == Seq(0.0, 2.0), s"${upd(0)}")
+    assert(upd(1) == Seq(9.0, 2.0), s"${upd(1)}")
+    assert(upd(2) == cents(2),
+      s"a quiet cell must keep its centroid: ${upd(2)}")
+  }
+
   test("leakageFreeSplit: no near-dup pair straddles a split " +
        "boundary; singletons split on their own id") {
     val pairs = Dedup.minHashPairs(docs, threshold = 0.35)
