@@ -566,6 +566,29 @@ object Similarity {
     centroids.indices.map(c => upd.getOrElse(c, centroids(c)))
   }
 
+  /** Cell-migration matrix between two centroid sets — the REINDEX
+    * COST estimate after a [[kmeansUpdate]] refresh: one row per
+    * `(cell_from, cell_to)` with the count of vectors whose nearest
+    * cell changes (the diagonal is the stay-put mass; everything off
+    * it is data an IVF index must physically move). Run it BEFORE
+    * committing a refresh: a migration matrix that moves 40% of the
+    * corpus says re-shard, one that moves 0.1% says patch in place.
+    *
+    * Scale: ONE narrow scan — both nearest-cell assignments are
+    * codegen'd projections over the same row (no self-join, no
+    * second pass), collapsed map-side to ≤ nCells² count rows. */
+  def cellMigration(emb: DataFrame, oldCents: Seq[Seq[Double]],
+                    newCents: Seq[Seq[Double]],
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame =
+    emb.select(
+        graft.functions.SketchExprs.nearestCell(col(vecCol), oldCents)
+          .as("cell_from"),
+        graft.functions.SketchExprs.nearestCell(col(vecCol), newCents)
+          .as("cell_to"))
+      .groupBy(col("cell_from"), col("cell_to"))
+      .agg(count(lit(1)).as("n_moved"))
+
   /** IVF search: each query probes its `nProbe` nearest cells; exact
     * cosine within the probed subset. Recall < 1 by construction;
     * scan cost scales with nProbe/nCells. */

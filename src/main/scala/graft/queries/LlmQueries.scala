@@ -389,6 +389,19 @@ object LlmQueries {
       }.toDF("cell", "d", "m").orderBy(col("cell"), col("d"))
     }),
 
+    // reindex-cost estimate for the refresh above: the migration
+    // matrix between the trained and the batch-updated centroid
+    // sets, ONE scan with both assignments as codegen'd projections.
+    "llm_cell_migration" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(emb, nCells = 16,
+        iters = 2)
+      Similarity.cellMigration(emb, cents,
+          Similarity.kmeansUpdate(
+            emb.filter(col("vec_id") % 2 === 1), cents))
+        .orderBy(col("cell_from"), col("cell_to"))
+    }),
+
     // embedding contamination: held-out eval slice (vec_id % 50 = 0)
     // vs the disjoint train corpus - nearest-neighbor cosine + verdict
     // (the paraphrase-leakage complement of n-gram decontamination).
@@ -2392,6 +2405,52 @@ object LlmQueries {
        ORDER BY cell, d"""
   }
 
+  /** Migration-matrix replay: both centroid sets (trained + updated,
+    * full precision), one ranked assignment per set, grouped
+    * transition counts. */
+  private def cellMigrationOracle(iters: Int): String = {
+    val (ctes, cN) = kmeansAsgCtes(iters)
+    s"""WITH $ctes,
+       asgU AS (
+         SELECT vec_id, embedding, cell AS cell_id FROM (
+           SELECT e.vec_id, e.embedding, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${sqdSql("e.embedding", "c.cvec")} ASC,
+                 c.cell ASC) AS rnk
+           FROM embeddings e CROSS JOIN $cN c
+           WHERE e.vec_id % 2 = 1) WHERE rnk = 1),
+       muU AS (
+         SELECT cell_id, d,
+           CAST(SUM(CAST(CAST(embedding[d] AS DOUBLE)
+             AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+         FROM asgU, generate_series(1, 64) t(d)
+         GROUP BY cell_id, d),
+       centsU AS (
+         SELECT c.cell,
+           list(coalesce(muU.m, CAST(c.cvec[t.d] AS DOUBLE))
+             ORDER BY t.d) AS cvec
+         FROM $cN c CROSS JOIN generate_series(1, 64) t(d)
+         LEFT JOIN muU ON muU.cell_id = c.cell AND muU.d = t.d
+         GROUP BY c.cell),
+       af AS (
+         SELECT vec_id, cell AS cell_from FROM (
+           SELECT e.vec_id, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${sqdSql("e.embedding", "c.cvec")} ASC,
+                 c.cell ASC) AS rnk
+           FROM embeddings e CROSS JOIN $cN c) WHERE rnk = 1),
+       at AS (
+         SELECT vec_id, cell AS cell_to FROM (
+           SELECT e.vec_id, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${sqdSql("e.embedding", "c.cvec")} ASC,
+                 c.cell ASC) AS rnk
+           FROM embeddings e CROSS JOIN centsU c) WHERE rnk = 1)
+       SELECT af.cell_from, at.cell_to, count(*) AS n_moved
+       FROM af JOIN at USING (vec_id)
+       GROUP BY 1, 2 ORDER BY cell_from, cell_to"""
+  }
+
   /** IVF over Lloyd-refined centroids: the [[kmeansAsgCtes]] chain,
     * then the standard assign/probe/score over the final centroids. */
   private def kmeansIvfOracle(iters: Int): String = {
@@ -3693,6 +3752,7 @@ object LlmQueries {
          CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) ks
          ORDER BY e.vec_id, k""",
     "llm_kmeans_update" -> kmeansUpdateOracle(iters = 2),
+    "llm_cell_migration" -> cellMigrationOracle(iters = 2),
     "llm_proto_prune" -> protoPruneOracle(iters = 2, keepFrac = 0.5),
     "llm_proto_prune_approx" ->
       protoPruneApproxOracle(iters = 2, keepFrac = 0.5, tolFrac = 0.1),

@@ -798,6 +798,24 @@ class PlanSpec extends AnyFunSuite {
         plan.take(1500))
   }
 
+  test("cellMigration: both assignments ride ONE scan as codegen'd " +
+       "projections — no self-join, one aggregation exchange") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = Seq(Seq(0.0, 0.0), Seq(1.0, 1.0))
+    val b = Seq(Seq(0.5, 0.0), Seq(1.0, 0.5))
+    val padA = a.map(_.padTo(64, 0.0))
+    val padB = b.map(_.padTo(64, 0.0))
+    val plan = planOf(
+      graft.llm.Similarity.cellMigration(emb, padA, padB))
+    assert(!plan.contains("Join"),
+      s"must not self-join the corpus:\n${plan.take(1500)}")
+    val exchanges = plan.linesIterator
+      .count(_.trim.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges == 1,
+      s"one count-matrix exchange expected, got $exchanges:\n" +
+        plan.take(1500))
+  }
+
   test("q37 correlated subquery: Catalyst decorrelates to an " +
        "aggregate+join — no scalar subquery survives, no cartesian, " +
        "the brand-filtered part side broadcasts") {
