@@ -651,6 +651,63 @@ object Similarity {
     assignCells(corpus, centroids, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cell_id").parquet(indexDir)
 
+  /** Patch a persisted [[ivfWriteIndex]] layout IN PLACE after a
+    * centroid refresh ([[kmeansUpdate]]) — the apply step of the
+    * [[cellMigration]] estimate: re-evaluate assignments from the
+    * INDEX itself (one narrow index scan — the raw corpus is never
+    * rescanned), and rewrite ONLY the partitions that gained or lost
+    * rows. Cells untouched by the migration keep their files
+    * byte-for-byte. Returns `(rowsMoved, cellsRewritten)`.
+    *
+    * Mechanics: new rows land in an underscore temp dir inside the
+    * index (invisible to readers), then each affected `cell_id=`
+    * partition is swapped by delete+rename — the compaction
+    * protocol's file discipline. IDEMPOTENT-CONVERGENT under crash:
+    * assignments depend only on (vector, newCents), so re-running
+    * the patch on a partially swapped index moves exactly the
+    * remaining rows and converges to the same layout.
+    *
+    * Scale: cost is one index scan plus writes proportional to the
+    * AFFECTED cells' row mass — a 0.1%-migration refresh rewrites
+    * ~0.1% of the index, which is the whole point of patching over
+    * rebuilding. */
+  def ivfPatchIndex(spark: org.apache.spark.sql.SparkSession,
+                    indexDir: String, newCents: Seq[Seq[Double]],
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): (Long, Long) = {
+    val idx = spark.read.parquet(indexDir)
+    val re = idx.select(col(idCol), col(vecCol),
+      col("cell_id").as("_from"),
+      graft.functions.SketchExprs.nearestCell(col(vecCol), newCents)
+        .as("_to"))
+    val affected = re.filter(col("_from") =!= col("_to"))
+      .select(explode(array(col("_from"), col("_to"))).as("c"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    if (affected.isEmpty) return (0L, 0L)
+    val moved = re.filter(col("_from") =!= col("_to")).count()
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(root, "_patch_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // full new content of every affected partition (movers in, stayers
+    // kept, leavers gone) — written while the index is still readable
+    re.filter(col("_to").isin(affected: _*))
+      .select(col(idCol), col(vecCol), col("_to").as("cell_id"))
+      .write.partitionBy("cell_id").parquet(tmp.toString)
+    affected.foreach { c =>
+      val live = new org.apache.hadoop.fs.Path(root, s"cell_id=$c")
+      val fresh = new org.apache.hadoop.fs.Path(tmp, s"cell_id=$c")
+      if (fs.exists(live)) fs.delete(live, true)
+      // a cell that lost everything and gained nothing has no fresh
+      // dir — the partition legitimately disappears
+      if (fs.exists(fresh)) require(fs.rename(fresh, live),
+        s"patch rename $fresh -> $live failed")
+    }
+    fs.delete(tmp, true)
+    spark.catalog.refreshByPath(indexDir)
+    (moved, affected.length.toLong)
+  }
+
   /** IVF search over a persisted [[ivfWriteIndex]] layout. The probed
     * cell set (<= |queries| * nProbe values — driver-sized by the same
     * argument that lets probes broadcast) becomes a LITERAL `isin`

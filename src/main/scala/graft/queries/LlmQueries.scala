@@ -402,6 +402,31 @@ object LlmQueries {
         .orderBy(col("cell_from"), col("cell_to"))
     }),
 
+    // the apply step of the refresh trilogy: build the IVF index on
+    // the trained centroids, PATCH it in place to the batch-updated
+    // set (only migrated partitions rewritten), then serve top-k
+    // from the patched layout — the hash match against a pure-SQL
+    // recompute proves the patched index is indistinguishable from
+    // a full rebuild (the q36 round-trip device for index
+    // maintenance).
+    "llm_ivf_patch" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(emb, nCells = 16,
+        iters = 2)
+      val newC = Similarity.kmeansUpdate(
+        emb.filter(col("vec_id") % 2 === 1), cents)
+      val idxDir = "/root/repo/target/scratch/ivfpatch_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Similarity.ivfWriteIndex(emb, cents, idxDir)
+      Similarity.ivfPatchIndex(s, idxDir, newC)
+      val q = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      Similarity.ivfTopKIndexed(s, idxDir, newC, q, k = 10,
+          nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // embedding contamination: held-out eval slice (vec_id % 50 = 0)
     // vs the disjoint train corpus - nearest-neighbor cosine + verdict
     // (the paraphrase-leakage complement of n-gram decontamination).
@@ -2451,6 +2476,68 @@ object LlmQueries {
        GROUP BY 1, 2 ORDER BY cell_from, cell_to"""
   }
 
+  /** Patched-index replay: the updated centroid set (trained chain +
+    * batch round + keep-old coalesce), assignment of the WHOLE corpus
+    * over it (== the patched index content), then the standard
+    * probe/score — a pure-SQL full rebuild the patched files must
+    * match hash-for-hash. */
+  private def ivfPatchOracle(iters: Int): String = {
+    val cos =
+      s"""(list_sum(list_transform(list_zip(a.embedding, p.qv),
+            t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(p.qv,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
+    val (ctes, cN) = kmeansAsgCtes(iters)
+    s"""WITH $ctes,
+       asgU AS (
+         SELECT vec_id, embedding, cell AS cell_id FROM (
+           SELECT e.vec_id, e.embedding, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${sqdSql("e.embedding", "c.cvec")} ASC,
+                 c.cell ASC) AS rnk
+           FROM embeddings e CROSS JOIN $cN c
+           WHERE e.vec_id % 2 = 1) WHERE rnk = 1),
+       muU AS (
+         SELECT cell_id, d,
+           CAST(SUM(CAST(CAST(embedding[d] AS DOUBLE)
+             AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+         FROM asgU, generate_series(1, 64) t(d)
+         GROUP BY cell_id, d),
+       centsU AS (
+         SELECT c.cell,
+           list(coalesce(muU.m, CAST(c.cvec[t.d] AS DOUBLE))
+             ORDER BY t.d) AS cvec
+         FROM $cN c CROSS JOIN generate_series(1, 64) t(d)
+         LEFT JOIN muU ON muU.cell_id = c.cell AND muU.d = t.d
+         GROUP BY c.cell),
+       asgP AS (
+         SELECT vec_id, embedding, cell AS cell_id FROM (
+           SELECT e.vec_id, e.embedding, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${sqdSql("e.embedding", "c.cvec")} ASC,
+                 c.cell ASC) AS rnk
+           FROM embeddings e CROSS JOIN centsU c) WHERE rnk = 1),
+       prb AS (
+         SELECT vec_id AS query_id, embedding AS qv, cell FROM (
+           SELECT e.vec_id, e.embedding, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${sqdSql("e.embedding", "c.cvec")} ASC,
+                 c.cell ASC) AS rnk
+           FROM embeddings e CROSS JOIN centsU c
+           WHERE e.vec_id % 100 = 0) WHERE rnk <= 4),
+       scored AS (
+         SELECT p.query_id, a.vec_id, round($cos, 6) AS cosine
+         FROM asgP a JOIN prb p ON a.cell_id = p.cell)
+       SELECT query_id, rank, vec_id, cosine FROM (
+         SELECT query_id, vec_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id ASC) AS rank
+         FROM scored) WHERE rank <= 10
+       ORDER BY query_id, rank"""
+  }
+
   /** IVF over Lloyd-refined centroids: the [[kmeansAsgCtes]] chain,
     * then the standard assign/probe/score over the final centroids. */
   private def kmeansIvfOracle(iters: Int): String = {
@@ -3753,6 +3840,7 @@ object LlmQueries {
          ORDER BY e.vec_id, k""",
     "llm_kmeans_update" -> kmeansUpdateOracle(iters = 2),
     "llm_cell_migration" -> cellMigrationOracle(iters = 2),
+    "llm_ivf_patch" -> ivfPatchOracle(iters = 2),
     "llm_proto_prune" -> protoPruneOracle(iters = 2, keepFrac = 0.5),
     "llm_proto_prune_approx" ->
       protoPruneApproxOracle(iters = 2, keepFrac = 0.5, tolFrac = 0.1),

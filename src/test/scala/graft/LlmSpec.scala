@@ -2193,6 +2193,58 @@ class LlmSpec extends AnyFunSuite {
       "another source's growth must not reshuffle A's split")
   }
 
+  test("ivfPatchIndex: patched layout equals a fresh rebuild; " +
+       "untouched partitions keep their files; rerun is a no-op") {
+    import spark.implicits._
+    val base = "/root/repo/target/scratch/ivfpatch_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    // --- real data: patched index == from-scratch rebuild, rerun no-op
+    val cents = Similarity.kmeansCentroidsUncached(emb, nCells = 16,
+      iters = 2)
+    val newC = Similarity.kmeansUpdate(
+      emb.filter(col("vec_id") % 2 === 1), cents)
+    Similarity.ivfWriteIndex(emb, cents, s"$base/patched")
+    val (moved, rewritten) =
+      Similarity.ivfPatchIndex(spark, s"$base/patched", newC)
+    assert(moved > 0 && rewritten > 0,
+      "the odd-batch refresh must migrate something on real data")
+    Similarity.ivfWriteIndex(emb, newC, s"$base/rebuilt")
+    // partition discovery infers cell_id as int — normalize to long
+    def cells(dir: String) = spark.read.parquet(dir)
+      .select(col("vec_id"), col("cell_id").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells(s"$base/patched") == cells(s"$base/rebuilt"),
+      "patched index must be indistinguishable from a rebuild")
+    // convergence: a second patch with the same centroids moves nothing
+    assert(Similarity.ivfPatchIndex(spark, s"$base/patched", newC) ==
+      ((0L, 0L)))
+    // --- planted: one centroid shift migrates ONE row between two
+    // cells; the third cell's partition must keep its files untouched
+    def pad(v: Seq[Double]) = v.padTo(64, 0.0)
+    val oldP = Seq(pad(Seq(0.0, 0.0)), pad(Seq(10.0, 0.0)),
+      pad(Seq(100.0, 100.0)))
+    val newP = Seq(pad(Seq(6.0, 0.0)), pad(Seq(10.0, 0.0)),
+      pad(Seq(100.0, 100.0)))
+    val pts = Seq(
+      (1L, Seq(1.0f, 0.0f).padTo(64, 0.0f)),    // cell 0, stays
+      (2L, Seq(7.0f, 0.0f).padTo(64, 0.0f)),    // cell 1 -> cell 0
+      (3L, Seq(100.0f, 99.0f).padTo(64, 0.0f))  // cell 2, untouched
+    ).toDF("vec_id", "embedding")
+    Similarity.ivfWriteIndex(pts, oldP, s"$base/planted")
+    def listing(cell: Long) = Option(new java.io.File(
+        s"$base/planted/cell_id=$cell").listFiles())
+      .map(_.map(f => (f.getName, f.length, f.lastModified))
+        .sortBy(_._1).toSeq)
+    val c2Before = listing(2L)
+    val (m2, r2) =
+      Similarity.ivfPatchIndex(spark, s"$base/planted", newP)
+    assert(m2 == 1L && r2 == 2L, s"expected 1 mover / 2 cells: $m2 $r2")
+    assert(listing(2L) == c2Before,
+      "the untouched cell must keep its files byte-for-byte")
+    assert(cells(s"$base/planted") ==
+      Map(1L -> 0L, 2L -> 0L, 3L -> 2L))
+  }
+
   test("kmeansUpdate: one round from given centroids; quiet cells " +
        "keep their centroid exactly") {
     import spark.implicits._
