@@ -191,9 +191,27 @@ object TextAnalysis {
       .withColumn("dl",
         sum(col("tf")).over(Window.partitionBy(col(idCol))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = corpus.agg(count(lit(1)).as("_n"),
       sum(size(toks).cast("long")).as("_sumdl"))
+    val result = bm25ScoreOverPostings(tf, stats, queries, k, k1, b,
+      textCol, idCol, queryIdCol, weighted)
+    graft.access.Split.Branches(result, tf)
+  }
+
+  /** The query-time half of BM25, factored over a PREPARED postings
+    * relation `(term, idCol, tf, dl)` and a 1-row `( _n, _sumdl )`
+    * stats frame — shared verbatim by the one-shot [[bm25TopK]] path
+    * and the incremental [[bm25TopKFromPostings]] layer, so the two
+    * serve bit-identical scores from the same inputs. */
+  private def bm25ScoreOverPostings(tf: DataFrame, stats: DataFrame,
+                                    queries: DataFrame, k: Int,
+                                    k1: Double, b: Double,
+                                    textCol: String, idCol: String,
+                                    queryIdCol: String,
+                                    weighted: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col(textCol))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // set-query form: DISTINCT terms, each counted once. bag-query
     // form: terms carry their in-query frequency as a weight. Either
     // way the query side stays queries-sized and broadcasts.
@@ -246,11 +264,62 @@ object TextAnalysis {
     // "WindowGroupLimit Partial below the exchange" gate instead.
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("score").desc, col(idCol).asc)
-    val result = scored
+    scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col("rank"), col(idCol), col("score"))
-    graft.access.Split.Branches(result, tf)
+  }
+
+  /** Incremental BM25 postings layer — lexical-index maintenance in
+    * the [[graft.streaming.IngestStream.cmsBatch]] pattern: each
+    * (doc-disjoint) batch publishes its OWN `(term, idCol, tf, dl)`
+    * postings plus a 1-row `(n_docs, sum_dl)` stats partition under
+    * `ingest_batch=<id>` with overwrite, so at-least-once replay
+    * REPLACES and never double-counts; postings are doc-local and
+    * stats are additive, so the standing index is just the
+    * concatenation + stat sum — no rebuild, and
+    * [[graft.streaming.IngestStream.ingestLayerCompact]] applies to
+    * both subdirs verbatim. */
+  def bm25PostingsBatch(batch: DataFrame, indexDir: String,
+                        batchId: Long, textCol: String = "text",
+                        idCol: String = "doc_id"): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col(textCol))
+    batch.select(col(idCol), explode(toks).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("dl",
+        sum(col("tf")).over(Window.partitionBy(col(idCol))))
+      .write.mode("overwrite")
+      .parquet(s"$indexDir/postings/ingest_batch=$batchId")
+    batch.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(size(toks).cast("long")), lit(0L)).as("sum_dl"))
+      .write.mode("overwrite")
+      .parquet(s"$indexDir/stats/ingest_batch=$batchId")
+  }
+
+  /** Serve BM25 top-k from a standing [[bm25PostingsBatch]] layer:
+    * df/N/avgdl derive from the layer (stats partitions sum), and
+    * the scoring half is the SAME code path as [[bm25TopK]] — the
+    * layered index answers bit-identically to a from-scratch run
+    * over the union corpus (spec + oracle proven). This is the
+    * deployed shape the bm25 scaladoc promises: postings
+    * materialized once next to the corpus, queries never pay the
+    * tokenize/aggregate pass. */
+  def bm25TopKFromPostings(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String, queries: DataFrame,
+                           k: Int, k1: Double = 1.2, b: Double = 0.75,
+                           textCol: String = "text",
+                           idCol: String = "doc_id",
+                           queryIdCol: String = "query_id")
+      : DataFrame = {
+    val tf = spark.read.parquet(s"$indexDir/postings")
+      .select(col(idCol), col("term"), col("tf"), col("dl"))
+    val stats = spark.read.parquet(s"$indexDir/stats")
+      .agg(sum(col("n_docs")).as("_n"),
+        sum(col("sum_dl")).as("_sumdl"))
+    bm25ScoreOverPostings(tf, stats, queries, k, k1, b,
+      textCol, idCol, queryIdCol, weighted = false)
   }
 
   /** Quality features: every signal a length/punct/stopword-ratio

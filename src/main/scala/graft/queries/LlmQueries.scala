@@ -1618,6 +1618,30 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // incremental lexical index: the corpus ingested as TWO postings
+    // batches (doc-disjoint halves), then top-k served from the
+    // standing layer — hash-matched against the one-shot oracle, so
+    // the layered index is proven bit-identical to a full rebuild.
+    "llm_bm25_layered" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 100 =!= 0)
+      val idxDir = "/root/repo/target/scratch/bm25layer_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(idxDir))
+      TextAnalysis.bm25PostingsBatch(
+        corpus.filter(col("doc_id") % 2 === 0), idxDir, batchId = 0L)
+      TextAnalysis.bm25PostingsBatch(
+        corpus.filter(col("doc_id") % 2 =!= 0), idxDir, batchId = 1L)
+      TextAnalysis.bm25TopKFromPostings(s, idxDir,
+          docs.filter(col("doc_id") % 100 === 0)
+            .select(col("doc_id").as("query_id"),
+              array_join(slice(TextAnalysis.tokens(col("text")),
+                1, 8), " ").as("text")),
+          k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // bag-query BM25: 12-token prefixes so in-query term repeats
     // actually occur and the qtf weighting is exercised, not vacuous
     // (the corpus stays the 100%-overlap worst case, so the query set
@@ -5795,41 +5819,13 @@ object LlmQueries {
     // BM25 replay: identical formula tree (left-assoc, same literal
     // subexpressions), per-term contributions summed via
     // DECIMAL(38,18), round-6 before ranking, ties to lower doc id.
-    "llm_bm25" ->
-      raw"""WITH tok AS (
-           SELECT doc_id, list_filter(
-             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
-           FROM documents),
-         corpus AS (SELECT doc_id, tk FROM tok WHERE doc_id % 100 <> 0),
-         q AS (SELECT doc_id AS query_id, tk[1:8] AS tk FROM tok
-               WHERE doc_id % 100 = 0),
-         tf AS (SELECT doc_id, term, count(*) AS tf FROM (
-             SELECT doc_id, unnest(tk) AS term FROM corpus)
-           GROUP BY doc_id, term),
-         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         dl AS (SELECT doc_id, len(tk) AS dl FROM corpus),
-         st AS (SELECT count(*) AS n,
-                  CAST(SUM(len(tk)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-                    AS avgdl
-                FROM corpus),
-         qt AS (SELECT DISTINCT query_id, unnest(tk) AS term FROM q),
-         sc AS (
-           SELECT qt.query_id, tf.doc_id,
-             round(CAST(SUM(CAST(
-               ln(1.0 + (CAST(st.n AS DOUBLE) - CAST(dft.df AS DOUBLE)
-                   + 0.5) / (CAST(dft.df AS DOUBLE) + 0.5))
-               * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
-               / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
-                   + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl)))
-             AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
-           FROM qt JOIN tf USING (term) JOIN dft USING (term)
-             JOIN dl ON dl.doc_id = tf.doc_id, st
-           GROUP BY qt.query_id, tf.doc_id)
-         SELECT query_id, CAST(rk AS BIGINT) AS rank, doc_id, score
-         FROM (SELECT query_id, doc_id, score, row_number() OVER (
-             PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk
-           FROM sc)
-         WHERE rk <= 5 ORDER BY query_id, rank""",
+    "llm_bm25" -> bm25SetOracle,
+
+    // layered BM25 serves BIT-IDENTICAL scores to the one-shot run
+    // over the union corpus (postings doc-local, stats additive, the
+    // scoring half is the shared code path) — so the layered query
+    // replays against the SAME oracle SQL.
+    "llm_bm25_layered" -> bm25SetOracle,
 
     // bag-query BM25 replay: per-term contribution times the query
     // term frequency as a DOUBLE product, decimal-cast AFTER the
@@ -6213,6 +6209,45 @@ object LlmQueries {
        FROM top t JOIN est e USING (token)
        ORDER BY t.token"""
   }
+
+  /** Set-query BM25 replay (full formula tree, decimal term-sum) —
+    * shared by llm_bm25 and llm_bm25_layered (the layered index is
+    * proven bit-identical to the one-shot run). */
+  private lazy val bm25SetOracle: String =
+    raw"""WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         corpus AS (SELECT doc_id, tk FROM tok WHERE doc_id % 100 <> 0),
+         q AS (SELECT doc_id AS query_id, tk[1:8] AS tk FROM tok
+               WHERE doc_id % 100 = 0),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+             SELECT doc_id, unnest(tk) AS term FROM corpus)
+           GROUP BY doc_id, term),
+         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         dl AS (SELECT doc_id, len(tk) AS dl FROM corpus),
+         st AS (SELECT count(*) AS n,
+                  CAST(SUM(len(tk)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                    AS avgdl
+                FROM corpus),
+         qt AS (SELECT DISTINCT query_id, unnest(tk) AS term FROM q),
+         sc AS (
+           SELECT qt.query_id, tf.doc_id,
+             round(CAST(SUM(CAST(
+               ln(1.0 + (CAST(st.n AS DOUBLE) - CAST(dft.df AS DOUBLE)
+                   + 0.5) / (CAST(dft.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+                   + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl)))
+             AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+           FROM qt JOIN tf USING (term) JOIN dft USING (term)
+             JOIN dl ON dl.doc_id = tf.doc_id, st
+           GROUP BY qt.query_id, tf.doc_id)
+         SELECT query_id, CAST(rk AS BIGINT) AS rank, doc_id, score
+         FROM (SELECT query_id, doc_id, score, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk
+           FROM sc)
+         WHERE rk <= 5 ORDER BY query_id, rank"""
 
   /** Sparse-NB score replay shared by llm_nb_langid and
     * llm_nb_calibration: the self-trained multinomial model (capped

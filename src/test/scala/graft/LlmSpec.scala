@@ -2245,6 +2245,44 @@ class LlmSpec extends AnyFunSuite {
       Map(1L -> 0L, 2L -> 0L, 3L -> 2L))
   }
 
+  test("bm25 postings layer: replay replaces, compaction preserves " +
+       "the served ranking, layered == one-shot bit-for-bit") {
+    import spark.implicits._
+    val base = "/root/repo/target/scratch/bm25layer_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val corpus = docs.filter(col("doc_id") % 100 =!= 0)
+    val qs = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(TextAnalysis.tokens(col("text")), 1, 8), " ")
+          .as("text"))
+    val b0 = corpus.filter(col("doc_id") % 2 === 0)
+    val b1 = corpus.filter(col("doc_id") % 2 =!= 0)
+    TextAnalysis.bm25PostingsBatch(b0, base, batchId = 0L)
+    TextAnalysis.bm25PostingsBatch(b1, base, batchId = 1L)
+    def serve() = TextAnalysis.bm25TopKFromPostings(spark, base, qs,
+        k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    val want = TextAnalysis.bm25TopK(corpus, qs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    assert(want.nonEmpty)
+    assert(serve() == want,
+      "layered index must serve the one-shot ranking bit-for-bit")
+    // at-least-once replay: republishing a batch under its own id
+    // replaces both postings and stats — nothing double-counts
+    TextAnalysis.bm25PostingsBatch(b1, base, batchId = 1L)
+    spark.catalog.refreshByPath(s"$base/postings")
+    spark.catalog.refreshByPath(s"$base/stats")
+    assert(serve() == want, "replay must replace, never double-count")
+    // small-files compaction on BOTH subdirs keeps the ranking
+    graft.streaming.IngestStream.ingestLayerCompact(spark,
+      s"$base/postings", watermark = 1L)
+    graft.streaming.IngestStream.ingestLayerCompact(spark,
+      s"$base/stats", watermark = 1L)
+    assert(serve() == want, "compaction must preserve the ranking")
+  }
+
   test("kmeansUpdate: one round from given centroids; quiet cells " +
        "keep their centroid exactly") {
     import spark.implicits._
