@@ -705,6 +705,32 @@ object IngestStream {
     spark.catalog.refreshByPath(dir)
   }
 
+  /** Streaming lexical-index maintenance: each micro-batch publishes
+    * its postings + stats partitions via
+    * [[graft.llm.TextAnalysis.bm25PostingsBatch]] (batch-keyed
+    * overwrite ⇒ at-least-once replay replaces), so the standing
+    * index is ALWAYS serveable through
+    * [[graft.llm.TextAnalysis.bm25TopKFromPostings]] and answers
+    * bit-identically to a from-scratch build over everything
+    * ingested. [[ingestLayerCompact]] bounds the file count on both
+    * subdirs. The streaming face of the BM25 postings layer —
+    * the cmsMonitor pattern for the lexical ranker. */
+  def bm25Monitor(docs: DataFrame, indexDir: String,
+                  textCol: String = "text", idCol: String = "doc_id",
+                  checkpointDir: Option[String] = None,
+                  trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$indexDir/_checkpoints"))
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        graft.llm.TextAnalysis.bm25PostingsBatch(batch.toDF(),
+          indexDir, bid, textCol, idCol)
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming corpus-frequency monitor: [[cmsBatch]] over a
     * document stream — the live fixed-state token-frequency summary
     * (trending-term detection, drift gauges) whose state can never

@@ -770,6 +770,45 @@ class StreamingSpec extends AnyFunSuite {
       s"steady token must not trend: $flagged")
   }
 
+  test("bm25Monitor: the streamed postings layer serves the " +
+       "one-shot ranking bit-for-bit") {
+    import graft.streaming.IngestStream
+    import graft.llm.TextAnalysis
+    val base = "/root/repo/target/scratch/bm25_stream"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val src = s"$base/src"
+    new java.io.File(src).mkdirs()
+    val docs0 = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    // two DOC-DISJOINT halves as two files -> two micro-batches
+    Seq(0, 1).foreach { h =>
+      val tmp = s"$base/half$h"
+      docs0.filter(col("doc_id") % 2 === h).coalesce(1)
+        .write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$src/half$h.parquet"))
+    }
+    val q = IngestStream.bm25Monitor(
+      spark.readStream.schema(docs0.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+      s"$base/idx")
+    try { q.processAllAvailable() } finally q.stop()
+    val queries = docs0.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(TextAnalysis.tokens(col("text")), 1, 8), " ")
+          .as("text"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    val served = norm(TextAnalysis.bm25TopKFromPostings(spark,
+      s"$base/idx", queries, k = 5))
+    val oneShot = norm(TextAnalysis.bm25TopK(docs0, queries, k = 5))
+    assert(oneShot.nonEmpty && served == oneShot,
+      s"streamed layer diverged: ${served.size} vs ${oneShot.size}")
+  }
+
   test("cmsCompact: compacted layer equals the merged layer " +
        "cell-for-cell; rerun and replay-after-compaction stay " +
        "idempotent; geometry sidecar guards the layer") {
