@@ -450,6 +450,41 @@ object ScaleBench {
         graft.llm.TextAnalysis.compressionRatio(docs)
           .filter(col("ratio") >= 0.0).count())
 
+      // index-maintenance family: the BUILD is paid OUTSIDE the
+      // timed window (the standing-layer deployment shape) — probes
+      // time the serve / patch steps a live system actually repeats
+      if (enabled("bm25_layer_serve")) {
+        val idx = s"$scratch/bm25idx_$f"
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(idx))
+        graft.llm.TextAnalysis.bm25PostingsBatch(docs, idx,
+          batchId = 0L)
+        // FIXED query set (first copy only): the probe measures how
+        // serve cost scales with the CORPUS, not with a query count
+        // that the copy-scaling would inflate in lockstep
+        val stride = docs0.agg(max(col("doc_id"))).head().getLong(0) + 1L
+        val qs = docs.filter(col("doc_id") % 100 === 0 &&
+            col("doc_id") < stride)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(graft.llm.TextAnalysis.tokens(col("text")),
+              1, 8), " ").as("text"))
+        runProbe("bm25_layer_serve", f, nDocs)(
+          graft.llm.TextAnalysis.bm25TopKFromPostings(spark, idx, qs,
+            k = 5).count())
+      }
+      if (enabled("ivf_patch")) {
+        val idx = s"$scratch/ivfidx_$f"
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(idx))
+        val cents = graft.llm.Similarity.kmeansCentroidsUncached(
+          emb, nCells = 16, iters = 1)
+        graft.llm.Similarity.ivfWriteIndex(emb, cents, idx)
+        val newC = graft.llm.Similarity.kmeansUpdate(
+          emb.filter(col("vec_id") % 2 === 1), cents)
+        runProbe("ivf_patch", f, nEmb)(
+          graft.llm.Similarity.ivfPatchIndex(spark, idx, newC)._1)
+      }
+
       // prefix-filtered EXACT jaccard join vs its brute baseline at
       // the same threshold: cost tracks the candidate stream
       // (prefix-shingle collisions), not N². NOTE the regime: the
