@@ -606,6 +606,27 @@ object Relational {
       """)
     }),
 
+    // --- anti-join (TPC-H Q22 shape): customers with NO order in
+    //     1999 (the lapsed-customer cut), summarized per segment.
+    //     left_anti is the shuffle-pruned NOT EXISTS — no
+    //     null-padding, the probe side never materializes matches;
+    //     the date filter pushes to the orders scan and at 100 TB
+    //     AQE turns the distinct-custkey build side into a
+    //     broadcast anti join when it fits.
+    "q38_antijoin" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders")
+            .filter($"o_orderdate" >= lit("1999-01-01").cast("timestamp") &&
+              $"o_orderdate" < lit("2000-01-01").cast("timestamp"))
+            .select($"o_custkey").distinct(),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          sumDec($"c_acctbal").as("sum_acctbal"))
+        .orderBy($"c_mktsegment")
+    }),
+
     // --- ORC round-trip (Formats.Orc end-to-end): write a lineitem
     //     projection (incl. a timestamp column) as zlib ORC, read it
     //     back through the same registry entry, aggregate. The
@@ -1048,6 +1069,18 @@ object Relational {
              SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity
                       AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
              FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
+
+    // Q22-shape anti-join replay via NOT EXISTS.
+    "q38_antijoin" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_acctbal
+         FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+                             AND o.o_orderdate < TIMESTAMP '2000-01-01')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     // ORC round-trip: the oracle reads the PARQUET source — a hash
     // match proves the engine's ORC write+read preserved every value.
