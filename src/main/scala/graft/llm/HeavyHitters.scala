@@ -361,7 +361,12 @@ object HeavyHitters {
     * broadcasts — fixed size, corpus-independent; the windowed
     * count is map-side combined before its one shuffle. Geometry is
     * validated like [[cmsLookup]] (exact depth from the cells, the
-    * layer sidecar for width/seed). */
+    * layer sidecar for width/seed). WIDTH CAP: the literal device
+    * is sized for monitoring sketches (d·w ≤ ~10⁴ cells — the
+    * default 4×16 costs 64 literals); for a very wide sketch prefer
+    * the batch-side [[trendingTokens]] per micro-batch in
+    * foreachBatch (broadcast-join lookup, no plan literal) — same
+    * arithmetic, trades event-time windows for batch boundaries. */
   def windowedTrending(events: DataFrame, tsCol: String,
                        itemCol: String, windowDur: String,
                        sketch: DataFrame, minCount: Long = 2L,
