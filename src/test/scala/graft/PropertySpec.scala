@@ -366,4 +366,30 @@ object PropertySpec extends Properties("graft") {
       graft.llm.TextAnalysis.viterbiPieces(word, probs, 2)
         .mkString == word
     }
+
+  // --- ImageIO decoder laws: a uniform-color image survives a real
+  // PNG encode→decode with EXACT dimensions and exact channel stats
+  // (integer pixel sums divide out: (n·c)/(n·255) rounds identically
+  // to c/255), and every statistic is bounded in [0, 1].
+  property("multimodal.imageio-uniform-roundtrip-exact") =
+    forAll(Gen.choose(1, 8), Gen.choose(1, 8), Gen.choose(0, 255),
+      Gen.choose(0, 255), Gen.choose(0, 255)) { (w, h, r, g, b) =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      val (dw, dh, frames, vec) =
+        graft.llm.Multimodal.MediaDecoder.ImageIO
+          .decode("image", out.toByteArray)
+      val luma = ((r + g + b).toDouble / (3.0 * 255.0)).toFloat
+      dw == w && dh == h && frames == 1 && vec.length == 8 &&
+        vec(0) == (r / 255.0).toFloat && vec(1) == (g / 255.0).toFloat &&
+        vec(2) == (b / 255.0).toFloat && vec(3) == luma &&
+        vec.forall(v => v >= 0.0f && v <= 1.0f) &&
+        // quadrant lumas: every populated quadrant of a uniform image
+        // carries the same luma; degenerate (empty) quadrants read 0
+        vec.drop(4).forall(v => v == luma || v == 0.0f)
+    }
 }
