@@ -816,6 +816,18 @@ class PlanSpec extends AnyFunSuite {
         plan.take(1500))
   }
 
+  test("q38 scoped anti-join: the window predicate pushes to the " +
+       "orders scan and the join runs as LeftAnti") {
+    val p = planOf(
+      graft.queries.Relational.queries("q38_antijoin")(spark, sf))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") &&
+      p.contains("LessThan(o_orderdate"),
+      s"window filter must push into the build-side scan:\n${p.take(2000)}")
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("q37 correlated subquery: Catalyst decorrelates to an " +
        "aggregate+join — no scalar subquery survives, no cartesian, " +
        "the brand-filtered part side broadcasts") {
