@@ -627,6 +627,27 @@ object Relational {
         .orderBy($"c_mktsegment")
     }),
 
+    // --- zlib'd-CSV round-trip (Formats.Csv + deflate codec — the
+    //     reference's zlib-wraps-any-serial move, SER:703-723,
+    //     through a TEXT format end-to-end): write customer as
+    //     deflate-compressed CSV, read it back through the same
+    //     registry entry with an explicit schema, aggregate. The
+    //     oracle reads the PARQUET source — a hash match proves the
+    //     values survived the text serialization + codec round-trip.
+    "q39_zlib_csv_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val scratch = s"/root/repo/target/scratch/q39_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fmt = graft.serial.Formats.Csv()
+      val src = table(s, dir, "customer")
+      fmt.write(src, scratch, Some("deflate"))
+      fmt.read(s, Seq(scratch), Some(src.schema))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sumDec($"c_acctbal").as("sum_acctbal"),
+          count(when($"c_name".isNotNull, 1)).as("n_names"))
+        .orderBy($"c_mktsegment")
+    }),
+
     // --- ORC round-trip (Formats.Orc end-to-end): write a lineitem
     //     projection (incl. a timestamp column) as zlib ORC, read it
     //     back through the same registry entry, aggregate. The
@@ -1080,6 +1101,15 @@ object Relational {
                            WHERE o.o_custkey = c.c_custkey
                              AND o.o_orderdate >= TIMESTAMP '1999-01-01'
                              AND o.o_orderdate < TIMESTAMP '2000-01-01')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    // zlib-CSV round-trip: the oracle reads the PARQUET source.
+    "q39_zlib_csv_roundtrip" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_acctbal,
+           COUNT(CASE WHEN c_name IS NOT NULL THEN 1 END) AS n_names
+         FROM customer
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     // ORC round-trip: the oracle reads the PARQUET source — a hash
