@@ -373,10 +373,29 @@ object HeavyHitters {
                        minRatio: Double = 2.0, depth: Int = 4,
                        width: Int = 16, seed: Long = 7L,
                        watermark: String = "2 hours"): DataFrame = {
-    val cells = sketch.select(col("row").cast("int"),
+    // SIZE GUARD before the collect: the literal device is only valid
+    // for a summed sketch of at most depth*width cells — a raw
+    // multi-batch layer (or a wrong frame) would otherwise OOM the
+    // driver / explode the plan here. One tiny eager count on what
+    // must be sketch-sized state.
+    val rawCount = sketch.count()
+    require(rawCount <= depth.toLong * width,
+      s"sketch frame holds $rawCount cells > depth*width = " +
+        s"${depth.toLong * width} — not a summed sketch (an uncompacted " +
+        "multi-batch layer read raw? use cmsLayerRead / " +
+        "windowedTrendingLayer, or trendingTokens in foreachBatch for " +
+        "wide geometries)")
+    val raw = sketch.select(col("row").cast("int"),
         col("bucket").cast("long"), col("cnt").cast("long"))
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
-      .toMap
+    val cells = raw.toMap
+    // duplicate (row,bucket) keys would collapse silently via toMap
+    // (keeping an arbitrary batch's value) — fail instead
+    require(cells.size == raw.length,
+      s"sketch frame holds duplicate (row,bucket) cells " +
+        s"(${raw.length} rows, ${cells.size} distinct keys) — an " +
+        "unsummed multi-batch layer; read it via cmsLayerRead or " +
+        "compact it first")
     if (cells.nonEmpty) {
       val (mr, mb) = (cells.keys.map(_._1).max, cells.keys.map(_._2).max)
       require(mr == depth - 1 && mb < width,
@@ -407,6 +426,44 @@ object HeavyHitters {
       .select(col("window_start"), col(itemCol), col("batch_cnt"),
         col("hist_est"), col("ratio"))
   }
+
+  /** [[cmsLookup]] against a persisted CMS LAYER by path: derives
+    * `(depth, width, seed)` from the layer's `_geometry.json` sidecar
+    * and reads the summed cells via `cmsLayerRead` — the safe path as
+    * the easy path. The in-frame geometry guard is one-sided by
+    * construction (a wider-than-probed sketch with empty high buckets
+    * passes it); deriving from the sidecar closes that gap, so prefer
+    * this overload whenever the sketch lives in a layer dir. */
+  def cmsLookupLayer(spark: org.apache.spark.sql.SparkSession,
+                     sketchDir: String, probes: DataFrame,
+                     itemCol: String = "token"): DataFrame = {
+    val (depth, width, seed) = requireGeometry(spark, sketchDir)
+    cmsLookup(
+      graft.streaming.IngestStream.cmsLayerRead(spark, sketchDir),
+      probes, itemCol, depth, width, seed)
+  }
+
+  /** [[windowedTrending]] against a persisted CMS LAYER by path —
+    * geometry from the sidecar, cells via `cmsLayerRead` (summed, so
+    * the duplicate-cell guard can't trip on a multi-batch layer). */
+  def windowedTrendingLayer(spark: org.apache.spark.sql.SparkSession,
+                            sketchDir: String, events: DataFrame,
+                            tsCol: String, itemCol: String,
+                            windowDur: String, minCount: Long = 2L,
+                            minRatio: Double = 2.0,
+                            watermark: String = "2 hours"): DataFrame = {
+    val (depth, width, seed) = requireGeometry(spark, sketchDir)
+    windowedTrending(events, tsCol, itemCol, windowDur,
+      graft.streaming.IngestStream.cmsLayerRead(spark, sketchDir),
+      minCount, minRatio, depth, width, seed, watermark)
+  }
+
+  private def requireGeometry(spark: org.apache.spark.sql.SparkSession,
+                              sketchDir: String): (Int, Int, Long) =
+    graft.streaming.IngestStream.cmsLayerGeometry(spark, sketchDir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$sketchDir has no _geometry.json sidecar — not a published " +
+          "CMS layer (cmsBatch writes the sidecar with the first batch)"))
 
   /** Verification harness: exact counts vs CMS estimates for the
     * `topN` most frequent items (ties to the smaller item), with the

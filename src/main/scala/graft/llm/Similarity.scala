@@ -660,12 +660,22 @@ object Similarity {
     * byte-for-byte. Returns `(rowsMoved, cellsRewritten)`.
     *
     * Mechanics: new rows land in an underscore temp dir inside the
-    * index (invisible to readers), then each affected `cell_id=`
-    * partition is swapped by delete+rename — the compaction
-    * protocol's file discipline. IDEMPOTENT-CONVERGENT under crash:
-    * assignments depend only on (vector, newCents), so re-running
-    * the patch on a partially swapped index moves exactly the
-    * remaining rows and converges to the same layout.
+    * index (invisible to readers); once the temp write is COMPLETE a
+    * commit marker (`_PATCH_COMMIT`, the affected-cell list with a
+    * has-fresh-content flag per cell) is written inside it, and only
+    * then are live `cell_id=` partitions swapped. CRASH SAFE via the
+    * marker: a temp dir WITHOUT the marker is pre-commit garbage (no
+    * live partition was touched yet — a rerun deletes it and
+    * recomputes); a temp dir WITH the marker is the authoritative
+    * source for the swap, so every entry FIRST completes the pending
+    * swap from it (flag=1 cells whose fresh dir is still in the temp
+    * are renamed in; flag=0 cells' lives are deleted — their new
+    * content is empty; flag=1 cells whose fresh dir is gone were
+    * already swapped and are left alone) before recomputing. No live
+    * row is ever deleted while its only other copy is deletable
+    * state. IDEMPOTENT-CONVERGENT under crash at ANY point:
+    * assignments depend only on (vector, newCents), so recovery +
+    * re-patch converges to the same layout.
     *
     * Scale: cost is one index scan plus writes proportional to the
     * AFFECTED cells' row mass — a 0.1%-migration refresh rewrites
@@ -675,6 +685,9 @@ object Similarity {
                     indexDir: String, newCents: Seq[Seq[Double]],
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): (Long, Long) = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    completePendingPatch(spark, fs, root)
     val idx = spark.read.parquet(indexDir)
     val re = idx.select(col(idCol), col(vecCol),
       col("cell_id").as("_from"),
@@ -685,27 +698,90 @@ object Similarity {
       .distinct().collect().map(_.getLong(0)).sorted
     if (affected.isEmpty) return (0L, 0L)
     val moved = re.filter(col("_from") =!= col("_to")).count()
-    val root = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(root, "_patch_tmp")
+    val tmp = new org.apache.hadoop.fs.Path(root, PatchTmpName)
+    // completePendingPatch left at most pre-commit garbage here
     if (fs.exists(tmp)) fs.delete(tmp, true)
     // full new content of every affected partition (movers in, stayers
     // kept, leavers gone) — written while the index is still readable
     re.filter(col("_to").isin(affected: _*))
       .select(col(idCol), col(vecCol), col("_to").as("cell_id"))
       .write.partitionBy("cell_id").parquet(tmp.toString)
-    affected.foreach { c =>
-      val live = new org.apache.hadoop.fs.Path(root, s"cell_id=$c")
-      val fresh = new org.apache.hadoop.fs.Path(tmp, s"cell_id=$c")
-      if (fs.exists(live)) fs.delete(live, true)
-      // a cell that lost everything and gained nothing has no fresh
-      // dir — the partition legitimately disappears
-      if (fs.exists(fresh)) require(fs.rename(fresh, live),
-        s"patch rename $fresh -> $live failed")
-    }
+    // commit point: the marker records which cells have fresh content
+    // (a cell that lost everything and gained nothing has none — its
+    // partition legitimately disappears). Until it exists, tmp is
+    // garbage and the live index is untouched; once it exists, the
+    // swap below (and any crash-recovery rerun) completes from tmp.
+    val cells = affected.map(c => c -> fs.exists(
+      new org.apache.hadoop.fs.Path(tmp, s"cell_id=$c")))
+    writePatchMarker(fs, tmp, cells)
+    applyPatchSwap(fs, root, tmp, cells)
     fs.delete(tmp, true)
     spark.catalog.refreshByPath(indexDir)
     (moved, affected.length.toLong)
+  }
+
+  private val PatchTmpName = "_patch_tmp"
+  private val PatchMarkerName = "_PATCH_COMMIT"
+
+  private def writePatchMarker(fs: org.apache.hadoop.fs.FileSystem,
+                               tmp: org.apache.hadoop.fs.Path,
+                               cells: Seq[(Long, Boolean)]): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(tmp, PatchMarkerName), true)
+    try out.write(cells.map { case (c, hasFresh) =>
+      s"$c ${if (hasFresh) 1 else 0}"
+    }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Execute (or re-execute) the partition swap for a COMMITTED patch
+    * temp dir. Safe to rerun from any crash point: delete-live happens
+    * only when the fresh replacement still sits in tmp (flag=1, fresh
+    * present) or when the marker proves the new content is empty
+    * (flag=0); a flag=1 cell whose fresh dir is gone was already
+    * renamed into place and is left untouched. */
+  private def applyPatchSwap(fs: org.apache.hadoop.fs.FileSystem,
+                             root: org.apache.hadoop.fs.Path,
+                             tmp: org.apache.hadoop.fs.Path,
+                             cells: Seq[(Long, Boolean)]): Unit =
+    cells.foreach { case (c, hasFresh) =>
+      val live = new org.apache.hadoop.fs.Path(root, s"cell_id=$c")
+      val fresh = new org.apache.hadoop.fs.Path(tmp, s"cell_id=$c")
+      if (hasFresh) {
+        if (fs.exists(fresh)) {
+          if (fs.exists(live)) fs.delete(live, true)
+          require(fs.rename(fresh, live),
+            s"patch rename $fresh -> $live failed")
+        } // else: already swapped by a prior (crashed) run — leave it
+      } else if (fs.exists(live)) fs.delete(live, true)
+    }
+
+  /** Entry-time crash recovery for [[ivfPatchIndex]]: a leftover
+    * `_patch_tmp` WITH its `_PATCH_COMMIT` marker is the authoritative
+    * source for an interrupted swap — finish it before anything reads
+    * or recomputes the index. Without the marker the temp write never
+    * completed and no live partition was touched: plain garbage. */
+  private def completePendingPatch(spark: org.apache.spark.sql.SparkSession,
+                                   fs: org.apache.hadoop.fs.FileSystem,
+                                   root: org.apache.hadoop.fs.Path): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(root, PatchTmpName)
+    if (!fs.exists(tmp)) return
+    val marker = new org.apache.hadoop.fs.Path(tmp, PatchMarkerName)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+        buf.toString("UTF-8")
+      } finally in.close()
+      val cells = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+        .map { line =>
+          val Array(c, f) = line.split(" ")
+          c.toLong -> (f == "1")
+        }.toSeq
+      applyPatchSwap(fs, root, tmp, cells)
+    }
+    fs.delete(tmp, true)
   }
 
   /** IVF search over a persisted [[ivfWriteIndex]] layout. The probed

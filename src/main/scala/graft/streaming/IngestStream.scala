@@ -627,10 +627,12 @@ object IngestStream {
     * source partitions deleted. A crash before the rename leaves
     * the layer exactly as it was (plus invisible garbage a rerun
     * clears); a crash after it leaves a temporarily double-counting
-    * layer that a RERUN with the same watermark repairs — the
-    * reserved partition's existence is the marker that the sum
-    * landed, so the rerun only finishes the deletes. Compaction is
-    * therefore idempotent.
+    * layer that the NEXT compaction repairs AT ANY WATERMARK — on
+    * entry, every partition covered by an existing compact partition
+    * is deleted first (the compact's existence is the proof its mass
+    * already landed), so a later scheduled call at a larger watermark
+    * folds each batch exactly once. Compaction is therefore
+    * idempotent and recovery needs no watermark bookkeeping.
     *
     * Scale: the summed sketch is ≤ d·w rows — the fold's shuffle
     * moves at most that, and the driver materialization is the same
@@ -690,6 +692,25 @@ object IngestStream {
     val tmp = new org.apache.hadoop.fs.Path(root,
       s"_compact_tmp_$watermark")
     if (fs.exists(tmp)) fs.delete(tmp, true)
+    // INVARIANT RESTORATION (crash at any EARLIER watermark): a compact
+    // partition's existence is proof that every partition it covers
+    // already landed in it, so any still-present covered partition is a
+    // crash leftover whose mass would be folded TWICE by this (or any
+    // later) compaction. Delete those leftovers first — recovery is
+    // then automatic at whatever watermark the next scheduled call
+    // happens to use, not just a same-watermark rerun.
+    val priorCompacts = fs.listStatus(root).map(_.getPath)
+      .flatMap(partId).filter(_ < 0).map(m => -m - 1)
+    if (priorCompacts.nonEmpty) {
+      val jmax = priorCompacts.max
+      fs.listStatus(root).map(_.getPath).foreach { p =>
+        partId(p).foreach { id =>
+          val leftover = (id >= 0 && id <= jmax) ||
+            (id < 0 && -id - 1 < jmax)
+          if (leftover) fs.delete(p, true)
+        }
+      }
+    }
     val sources = fs.listStatus(root).map(_.getPath)
       .filter(p => partId(p).exists(id => covered(id) && id != targetId))
     if (fs.exists(target)) {

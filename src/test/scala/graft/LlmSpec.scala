@@ -2245,6 +2245,58 @@ class LlmSpec extends AnyFunSuite {
       Map(1L -> 0L, 2L -> 0L, 3L -> 2L))
   }
 
+  test("ivfPatchIndex crash recovery: a COMMITTED _patch_tmp is " +
+       "replayed on entry (no rows lost, even mid-swap); an " +
+       "uncommitted one is discarded as garbage") {
+    import spark.implicits._
+    val base = "/root/repo/target/scratch/ivfpatch_crash"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    def pad(v: Seq[Double]) = v.padTo(64, 0.0)
+    val oldP = Seq(pad(Seq(0.0, 0.0)), pad(Seq(10.0, 0.0)),
+      pad(Seq(100.0, 100.0)))
+    val newP = Seq(pad(Seq(6.0, 0.0)), pad(Seq(10.0, 0.0)),
+      pad(Seq(100.0, 100.0)))
+    val v1 = Seq(1.0f, 0.0f).padTo(64, 0.0f)
+    val v2 = Seq(7.0f, 0.0f).padTo(64, 0.0f)
+    val v3 = Seq(100.0f, 99.0f).padTo(64, 0.0f)
+    val pts = Seq((1L, v1), (2L, v2), (3L, v3))
+      .toDF("vec_id", "embedding")
+    val dir = s"$base/idx"
+    Similarity.ivfWriteIndex(pts, oldP, dir)
+    // Reconstruct the exact on-disk state of a patch to newP that
+    // crashed at the WORST point: tmp fully written + committed
+    // (marker present: cell 0 has fresh content — rows 1,2 — and
+    // cell 1's new content is empty), live cell_id=1 already deleted
+    // (the delete-first step), fresh cell 0 NOT yet renamed in. Row 2
+    // now exists ONLY inside _patch_tmp.
+    val tmp = s"$dir/_patch_tmp"
+    Seq((1L, v1, 0L), (2L, v2, 0L))
+      .toDF("vec_id", "embedding", "cell_id")
+      .write.partitionBy("cell_id").parquet(tmp)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmp, "_PATCH_COMMIT"),
+      "0 1\n1 0\n".getBytes("UTF-8"))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$dir/cell_id=1"))
+    // rerun of the same patch: entry recovery completes the swap from
+    // tmp, then the recompute finds a converged index — nothing moves
+    assert(Similarity.ivfPatchIndex(spark, dir, newP) == ((0L, 0L)))
+    def cellMap() = spark.read.parquet(dir)
+      .select(col("vec_id"), col("cell_id").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cellMap() == Map(1L -> 0L, 2L -> 0L, 3L -> 2L),
+      "recovery must land row 2 in cell 0 — not lose it")
+    assert(!new java.io.File(tmp).exists(), "tmp cleared after recovery")
+    // an UNCOMMITTED tmp (write crashed before the marker) never
+    // touched the live index — it is garbage, discarded on entry
+    Seq((99L, v3, 0L)).toDF("vec_id", "embedding", "cell_id")
+      .write.partitionBy("cell_id").parquet(tmp)
+    assert(Similarity.ivfPatchIndex(spark, dir, newP) == ((0L, 0L)))
+    assert(cellMap() == Map(1L -> 0L, 2L -> 0L, 3L -> 2L),
+      "pre-commit garbage must not leak phantom rows into the index")
+    assert(!new java.io.File(tmp).exists())
+  }
+
   test("bm25 postings layer: replay replaces, compaction preserves " +
        "the served ranking, layered == one-shot bit-for-bit") {
     import spark.implicits._

@@ -981,4 +981,112 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchGot == got, s"stream/batch divergence: $batchGot vs $got")
   }
 
+  test("compaction crash recovery: covered sources left behind by a " +
+       "crash-after-rename are cleaned at ANY later watermark — " +
+       "never double-counted") {
+    import graft.streaming.IngestStream
+    import spark.implicits._
+    val base = "/root/repo/target/scratch/cms_crash"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val dir = s"$base/sketch"
+    IngestStream.cmsBatch(
+      Seq((1L, "a a b c"), (2L, "b c d")).toDF("doc_id", "text"),
+      dir, batchId = 0L)
+    IngestStream.cmsBatch(
+      Seq((3L, "a e e"), (4L, "c")).toDF("doc_id", "text"),
+      dir, batchId = 1L)
+    IngestStream.cmsBatch(
+      Seq((5L, "f a"), (6L, "b b")).toDF("doc_id", "text"),
+      dir, batchId = 2L)
+    def cells() = IngestStream.cmsLayerRead(spark, dir)
+      .select("row", "bucket", "cnt").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def partIds() = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("ingest_batch="))
+      .map(_.drop("ingest_batch=".length).toLong).toSet
+    val want = cells()
+    // snapshot the to-be-compacted sources, compact, then RESTORE them
+    // — exactly the on-disk state after a crash between the rename and
+    // the source deletes
+    val side = new java.io.File(s"$base/side")
+    Seq(0L, 1L).foreach { b =>
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(s"$dir/ingest_batch=$b"),
+        new java.io.File(side, s"ingest_batch=$b"))
+    }
+    IngestStream.cmsCompact(spark, dir, watermark = 1L)
+    Seq(0L, 1L).foreach { b =>
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(side, s"ingest_batch=$b"),
+        new java.io.File(s"$dir/ingest_batch=$b"))
+    }
+    spark.catalog.refreshByPath(dir)
+    assert(partIds() == Set(-2L, 0L, 1L, 2L), s"crash state: ${partIds()}")
+    // the natural NEXT scheduled call uses a LARGER watermark — it must
+    // recognize the leftovers (covered by compact -2) and drop them
+    // before folding, not bake their mass in twice
+    IngestStream.cmsCompact(spark, dir, watermark = 2L)
+    assert(partIds() == Set(-3L), s"got ${partIds()}")
+    assert(cells() == want,
+      "later-watermark compaction after a crash must not double-count")
+  }
+
+  test("windowedTrending guards: oversized / unsummed sketch frames " +
+       "fail fast; the layer-path overloads derive geometry from the " +
+       "sidecar and match the explicit path") {
+    import graft.streaming.IngestStream
+    import spark.implicits._
+    val base = "/root/repo/target/scratch/cms_wtrend_guard"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val dir = s"$base/sketch"
+    IngestStream.cmsBatch(
+      Seq((1L, "a a b c"), (2L, "a b c d")).toDF("doc_id", "text"),
+      dir, batchId = 0L)
+    IngestStream.cmsBatch(
+      Seq((3L, "a a a"), (4L, "b")).toDF("doc_id", "text"),
+      dir, batchId = 1L)
+    val events = Seq((0L, "zz"), (60L, "zz"), (120L, "zz"))
+      .toDF("secs", "token")
+      .withColumn("ts", col("secs").cast("timestamp"))
+    // raw multi-batch layer read (duplicate (row,bucket) cells across
+    // batch partitions) must be refused, not silently last-write-wins
+    val raw = spark.read.parquet(dir)
+    val exDup = intercept[IllegalArgumentException] {
+      graft.llm.HeavyHitters.windowedTrending(events, "ts", "token",
+        "1 hour", raw)
+    }
+    assert(exDup.getMessage.contains("duplicate") ||
+      exDup.getMessage.contains("> depth*width"), exDup.getMessage)
+    // a frame larger than depth*width cells is refused BEFORE collect
+    val big = spark.range(200).select(
+      (col("id") % 4).cast("int").as("row"), col("id").as("bucket"),
+      lit(1L).as("cnt"))
+    val exBig = intercept[IllegalArgumentException] {
+      graft.llm.HeavyHitters.windowedTrending(events, "ts", "token",
+        "1 hour", big)
+    }
+    assert(exBig.getMessage.contains("> depth*width"), exBig.getMessage)
+    // layer-path overloads: geometry from the sidecar, cells summed —
+    // identical output to the explicit (frame, depth, width, seed) path
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(t => (t._1, t._2)).toSeq
+    val viaLayer = norm(graft.llm.HeavyHitters.windowedTrendingLayer(
+      spark, dir, events, "ts", "token", "1 hour"))
+    val explicit = norm(graft.llm.HeavyHitters.windowedTrending(
+      events, "ts", "token", "1 hour",
+      IngestStream.cmsLayerRead(spark, dir)))
+    assert(viaLayer.nonEmpty && viaLayer == explicit,
+      s"layer path diverged: $viaLayer vs $explicit")
+    val lkLayer = graft.llm.HeavyHitters.cmsLookupLayer(spark, dir,
+        Seq("a").toDF("token")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(lkLayer("a") >= 6L, s"a appears 6x across batches: $lkLayer")
+    // a dir with no sidecar is not a layer
+    intercept[IllegalArgumentException] {
+      graft.llm.HeavyHitters.cmsLookupLayer(spark, s"$base/nowhere",
+        Seq("a").toDF("token"))
+    }
+  }
+
 }
