@@ -9,9 +9,13 @@ import org.apache.spark.sql.types._
   *
   * IMAGES decode for real through the JDK's own codecs
   * ([[MediaDecoder.ImageIO]]: PNG/BMP/GIF/JPEG — true dimensions +
-  * channel/quadrant statistics, spec'd against in-memory-encoded
-  * fixtures). Audio/video decode remains STUBBED (no such codecs in
-  * the JDK — [[MediaDecoder.Deterministic]], also the fallback for
+  * channel/quadrant statistics) and so does AUDIO
+  * ([[MediaDecoder.AudioIO]]: WAV/AIFF/AU PCM — sample rate,
+  * channels, frame count, per-channel RMS/peak + time-segment
+  * energies), both spec'd against in-memory-encoded fixtures;
+  * [[MediaDecoder.Jdk]] composes them per kind. Video decode remains
+  * STUBBED (no such codec in the JDK —
+  * [[MediaDecoder.Deterministic]], also the fallback for
   * undecodable payloads). Everything Spark-side is real and tested:
   * the blob schema, `binaryFile` ingestion, partition-sized batching
   * through `mapPartitions`, the feature schema, and the downstream
@@ -145,6 +149,113 @@ object Multimodal {
       private def quad(s: Array[Long], n: Array[Long], i: Int): Float =
         if (n(i) == 0L) 0.0f
         else (s(i).toDouble / (n(i) * 3.0 * 255.0)).toFloat
+    }
+
+    /** REAL audio decoder on the JDK's own codec stack
+      * (`javax.sound.sampled` — WAV/AIFF/AU containers, PCM payloads,
+      * no external native libs). Maps the audio clip onto the shared
+      * feature contract:
+      * `width` = sample rate (Hz), `height` = channel count,
+      * `n_frames` = PCM frame count (so duration_sec =
+      * n_frames / width, derivable relationally downstream), and an
+      * 8-dim feature vector of level statistics over samples
+      * normalized to [-1, 1]:
+      * `(rms(ch0), rms(ch1), peak(ch0), peak(ch1),
+      * rms(seg1), rms(seg2), rms(seg3), rms(seg4))` — per-channel
+      * RMS/peak for the first two channels (mono duplicates ch0; the
+      * segment stats still cover ALL channels) and overall RMS over
+      * the four equal time segments of the clip, the quadrant-mean
+      * idea of [[ImageIO]] transposed to time.
+      *
+      * Non-16-bit-LE-PCM payloads (8-bit, big-endian, µ-law/a-law)
+      * are converted through `AudioSystem.getAudioInputStream(target,
+      * in)` — the JDK's own transcoders. Anything it cannot decode
+      * (non-audio kinds, compressed codecs like MP3/OGG, truncated
+      * headers, zero-frame clips) FALLS BACK to [[Deterministic]]:
+      * the operator stays total and a poisoned blob degrades instead
+      * of killing the 100 TB stage. Thread-safe: every call builds
+      * its own streams over the in-memory payload. */
+    object AudioIO extends MediaDecoder {
+      def decode(kind: String, bytes: Array[Byte])
+          : (Int, Int, Int, Array[Float]) = {
+        val decoded =
+          if (kind != "audio" || bytes.isEmpty) None
+          else try {
+            val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val f = src.getFormat
+            val pcm16 =
+              f.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              f.getSampleSizeInBits == 16 && !f.isBigEndian
+            val in =
+              if (pcm16) src
+              else javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new javax.sound.sampled.AudioFormat(
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+                  f.getSampleRate, 16, f.getChannels,
+                  f.getChannels * 2, f.getSampleRate, false), src)
+            val pcm = try in.readAllBytes() finally in.close()
+            val channels = in.getFormat.getChannels
+            val frames = pcm.length / (channels * 2)
+            if (frames == 0) None
+            else Some(stats(pcm, in.getFormat.getSampleRate.toInt,
+              channels, frames))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        decoded.getOrElse(Deterministic.decode(kind, bytes))
+      }
+
+      private def stats(pcm: Array[Byte], rate: Int, channels: Int,
+                        frames: Int): (Int, Int, Int, Array[Float]) = {
+        val nCh = math.min(channels, 2)
+        val sumSq = Array.fill(2)(0.0)
+        val peak = Array.fill(2)(0.0)
+        val segSq = Array.fill(4)(0.0)
+        val segN = Array.fill(4)(0L)
+        var fr = 0
+        while (fr < frames) {
+          val seg = math.min(3, (fr.toLong * 4 / frames).toInt)
+          var c = 0
+          while (c < channels) {
+            val i = (fr * channels + c) * 2
+            val s = (((pcm(i + 1).toInt << 8) | (pcm(i) & 0xFF))
+              / 32768.0)
+            val cc = math.min(c, 1)
+            if (c < 2) {
+              sumSq(cc) += s * s
+              if (math.abs(s) > peak(cc)) peak(cc) = math.abs(s)
+            }
+            segSq(seg) += s * s
+            segN(seg) += 1L
+            c += 1
+          }
+          fr += 1
+        }
+        def rms(sq: Double, n: Long): Float =
+          if (n == 0L) 0.0f else math.sqrt(sq / n).toFloat
+        val r0 = rms(sumSq(0), frames.toLong)
+        val vec = Array(
+          r0, if (channels >= 2) rms(sumSq(1), frames.toLong) else r0,
+          peak(0).toFloat,
+          if (channels >= 2) peak(1).toFloat else peak(0).toFloat,
+          rms(segSq(0), segN(0)), rms(segSq(1), segN(1)),
+          rms(segSq(2), segN(2)), rms(segSq(3), segN(3)))
+        (rate, channels, frames, vec)
+      }
+    }
+
+    /** Production composite: dispatch each blob to the JDK codec for
+      * its kind — [[ImageIO]] for images, [[AudioIO]] for audio,
+      * [[Deterministic]] for video (no JDK video codec exists) and
+      * anything else. One decoder instance serves a whole partition,
+      * like its parts. */
+    object Jdk extends MediaDecoder {
+      def decode(kind: String, bytes: Array[Byte])
+          : (Int, Int, Int, Array[Float]) = kind match {
+        case "image" => ImageIO.decode(kind, bytes)
+        case "audio" => AudioIO.decode(kind, bytes)
+        case _       => Deterministic.decode(kind, bytes)
+      }
     }
   }
 

@@ -611,6 +611,90 @@ class LlmSpec extends AnyFunSuite {
       "undecodable payloads must match the stub fallback exactly")
   }
 
+  test("multimodal: AudioIO decoder reads REAL rate/channels/frames " +
+       "and level stats from PCM WAV through the binaryFile path; " +
+       "8-bit payloads convert; junk falls back to the stub") {
+    import spark.implicits._
+    def wav(rate: Float, channels: Int, bits: Int,
+            pcm: Array[Byte]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        if (bits == 8)
+          javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        else javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        rate, bits, channels, channels * bits / 8, rate, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt,
+        pcm.length / fmt.getFrameSize)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    def s16le(samples: Int*): Array[Byte] =
+      samples.flatMap(s =>
+        Seq((s & 0xFF).toByte, ((s >> 8) & 0xFF).toByte)).toArray
+    // mono 8 kHz, 8 frames: half-amplitude square wave then silence
+    val mono = wav(8000f, 1, 16,
+      s16le(16384, -16384, 16384, -16384, 0, 0, 0, 0))
+    // stereo 4 frames: ch0 steady +0.25, ch1 steady -0.5
+    val stereo = wav(16000f, 2, 16, s16le(
+      8192, -16384, 8192, -16384, 8192, -16384, 8192, -16384))
+    val dir = new java.io.File(
+      "/root/repo/target/scratch/audioio_fixtures")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    dir.mkdirs()
+    java.nio.file.Files.write(new java.io.File(dir, "m.wav").toPath, mono)
+    java.nio.file.Files.write(new java.io.File(dir, "s.wav").toPath,
+      stereo)
+    val feats = Multimodal.extractFeatures(
+        Multimodal.readBlobs(spark, dir.toString, "audio"),
+        Multimodal.MediaDecoder.AudioIO)
+      .collect()
+    assert(feats.length == 2)
+    val by = feats.map(r => r.getInt(4) -> r).toMap
+    val m = by(8000)
+    assert(m.getInt(5) == 1 && m.getInt(6) == 8,
+      s"mono: 1 channel x 8 frames: $m")
+    val rmsHalf = math.sqrt(0.125).toFloat // 0.5 amp over half the clip
+    assert(m.getSeq[Float](7) == Seq(rmsHalf, rmsHalf, 0.5f, 0.5f,
+      0.5f, 0.5f, 0.0f, 0.0f), s"mono stats: ${m.getSeq[Float](7)}")
+    val s = by(16000)
+    assert(s.getInt(5) == 2 && s.getInt(6) == 4)
+    val segRms = math.sqrt((0.0625 + 0.25) / 2).toFloat
+    assert(s.getSeq[Float](7) == Seq(0.25f, 0.5f, 0.25f, 0.5f,
+      segRms, segRms, segRms, segRms),
+      s"stereo stats: ${s.getSeq[Float](7)}")
+    // 8-bit unsigned mono converts through the JDK transcoder:
+    // (b - 128) << 8, so 192 -> +0.5 and 64 -> -0.5
+    val eight = wav(8000f, 1, 8,
+      Array(192, 192, 64, 64).map(_.toByte))
+    val e = Multimodal.extractFeatures(
+      Multimodal.asBlobs(Seq((7L, eight)).toDF("doc_id", "b"),
+        "doc_id", "b", "audio"),
+      Multimodal.MediaDecoder.AudioIO).head()
+    assert(e.getInt(4) == 8000 && e.getInt(5) == 1 && e.getInt(6) == 4)
+    assert(e.getSeq[Float](7).forall(v => math.abs(v - 0.5f) < 0.01f),
+      s"8-bit conversion stats: ${e.getSeq[Float](7)}")
+    // junk payload under kind=audio degrades to the stub exactly;
+    // and the Jdk composite dispatches audio to AudioIO
+    val junk = Multimodal.asBlobs(
+      Seq((9L, "definitely not a wav")).toDF("doc_id", "text"),
+      "doc_id", "text", "audio")
+    val real = Multimodal.extractFeatures(junk,
+      Multimodal.MediaDecoder.AudioIO).head()
+    val stub = Multimodal.extractFeatures(junk,
+      Multimodal.MediaDecoder.Deterministic).head()
+    assert(real == stub,
+      "undecodable payloads must match the stub fallback exactly")
+    val viaJdk = Multimodal.extractFeatures(
+      Multimodal.readBlobs(spark, dir.toString, "audio"),
+      Multimodal.MediaDecoder.Jdk).collect()
+      .map(r => r.getInt(4) -> r.getSeq[Float](7)).toMap
+    assert(viaJdk(8000) == m.getSeq[Float](7) &&
+      viaJdk(16000) == s.getSeq[Float](7),
+      "Jdk composite must route audio to AudioIO")
+  }
+
   test("multimodal: resizeBlobs keeps schema + ids, rewrites content") {
     val blobs = Multimodal.asBlobs(docs.limit(20), "doc_id", "text", "image")
     val resized = Multimodal.resizeBlobs(blobs, 8, 8)
