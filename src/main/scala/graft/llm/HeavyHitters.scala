@@ -325,19 +325,33 @@ object HeavyHitters {
   def trendingTokens(batchItems: DataFrame, sketch: DataFrame,
                      itemCol: String = "token", minCount: Long = 2L,
                      minRatio: Double = 2.0, depth: Int = 4,
-                     width: Int = 16, seed: Long = 7L): DataFrame = {
-    val ex = batchItems.groupBy(col(itemCol))
-      .agg(count(lit(1)).as("batch_cnt"))
-    ex.join(cmsLookup(sketch, ex.select(col(itemCol)), itemCol,
+                     width: Int = 16, seed: Long = 7L): DataFrame =
+    trendingFromCounts(
+        batchItems.groupBy(col(itemCol))
+          .agg(count(lit(1)).as("batch_cnt")),
+        sketch, itemCol, minCount, minRatio, depth, width, seed)
+      .select(col(itemCol), col("batch_cnt"), col("hist_est"),
+        col("ratio"))
+
+  /** The trending arithmetic over PRE-AGGREGATED counts: join each
+    * `(…, itemCol, batch_cnt)` row to its [[cmsLookup]] history
+    * estimate and keep the rows whose exact count is both ≥ `minCount`
+    * and ≥ `minRatio`× the estimate. Extra columns (e.g. a window
+    * start) ride through untouched — this is the shared kernel of
+    * [[trendingTokens]] and the wide-geometry streaming face
+    * (`IngestStream.windowedTrendingWide`), which cannot inline the
+    * sketch as a plan literal and broadcast-joins it instead. */
+  def trendingFromCounts(counts: DataFrame, sketch: DataFrame,
+                         itemCol: String = "token", minCount: Long = 2L,
+                         minRatio: Double = 2.0, depth: Int = 4,
+                         width: Int = 16, seed: Long = 7L): DataFrame =
+    counts.join(cmsLookup(sketch, counts.select(col(itemCol)), itemCol,
         depth, width, seed).withColumnRenamed("cms_est", "hist_est"),
         Seq(itemCol))
       .withColumn("ratio", round(col("batch_cnt").cast("double") /
         greatest(col("hist_est"), lit(1L)).cast("double"), 6))
       .filter(col("batch_cnt") >= minCount &&
         col("ratio") >= minRatio)
-      .select(col(itemCol), col("batch_cnt"), col("hist_est"),
-        col("ratio"))
-  }
 
   /** Event-time windowed [[trendingTokens]]: per TUMBLING WINDOW,
     * a token trends when its exact in-window count is at least
@@ -362,17 +376,27 @@ object HeavyHitters {
     * count is map-side combined before its one shuffle. Geometry is
     * validated like [[cmsLookup]] (exact depth from the cells, the
     * layer sidecar for width/seed). WIDTH CAP: the literal device
-    * is sized for monitoring sketches (d·w ≤ ~10⁴ cells — the
-    * default 4×16 costs 64 literals); for a very wide sketch prefer
-    * the batch-side [[trendingTokens]] per micro-batch in
-    * foreachBatch (broadcast-join lookup, no plan literal) — same
-    * arithmetic, trades event-time windows for batch boundaries. */
+    * is sized for monitoring sketches — `depth·width` is ENFORCED
+    * ≤ `maxLiteralCells` (the plan carries one width-array of
+    * literals per row regardless of how many cells are non-zero; the
+    * default 4×16 costs 64). A wider geometry belongs to
+    * [[graft.streaming.IngestStream.windowedTrendingWide]]: the SAME
+    * event-time tumbling windows (the stateful aggregation stays in
+    * the streaming plan), with the history lookup broadcast-joined
+    * per finalized micro-batch in foreachBatch instead of inlined. */
   def windowedTrending(events: DataFrame, tsCol: String,
                        itemCol: String, windowDur: String,
                        sketch: DataFrame, minCount: Long = 2L,
                        minRatio: Double = 2.0, depth: Int = 4,
                        width: Int = 16, seed: Long = 7L,
-                       watermark: String = "2 hours"): DataFrame = {
+                       watermark: String = "2 hours",
+                       maxLiteralCells: Int = 10000): DataFrame = {
+    require(depth.toLong * width <= maxLiteralCells,
+      s"depth*width = ${depth.toLong * width} > $maxLiteralCells: too " +
+        "wide for the plan-literal device (every row inlines a " +
+        "width-sized literal array) — use " +
+        "IngestStream.windowedTrendingWide, which broadcast-joins the " +
+        "sketch per finalized micro-batch instead")
     // SIZE GUARD before the collect: the literal device is only valid
     // for a summed sketch of at most depth*width cells — a raw
     // multi-batch layer (or a wrong frame) would otherwise OOM the

@@ -159,6 +159,20 @@ object LlmQueries {
     "llm_dedup_clusters" -> ((s, dir) =>
       components035(s, dir).orderBy(col("id"))),
 
+    // the DISTRIBUTED components strategy on the same real pair set:
+    // driverThreshold = 0 forces hash-min label propagation (the path
+    // a 100 TB edge set takes — every other oracle row's edge count
+    // stays under the driver-union-find threshold at sf0.01), replayed
+    // against the SAME recursive-closure oracle, so both strategies
+    // are hash-proven equal on real data, not a toy graph.
+    "llm_dedup_clusters_dist" -> ((s, dir) => {
+      val handle = Dedup.minHashPairsManaged(
+        table(s, dir, "documents"), threshold = 0.35)
+      try Dedup.connectedComponents(handle.value, driverThreshold = 0L)
+        .orderBy(col("id"))
+      finally handle.close()
+    }),
+
     // quality-aware cluster representatives: same clusters as
     // llm_dedup_clusters, winner = longest member (token count,
     // ties to lowest id) — RefinedWeb's "keep the best copy".
@@ -3783,6 +3797,7 @@ object LlmQueries {
     "llm_verified_pairs" -> verifiedPairsOracle,
     "llm_incremental_pairs" -> incrementalPairsOracle,
     "llm_dedup_clusters" -> dedupClustersOracle,
+    "llm_dedup_clusters_dist" -> dedupClustersOracle,
     "llm_cluster_best" -> clusterBestOracle,
     "llm_simhash_pairs" -> simhashPairsOracle,
     "llm_fingerprint" -> fingerprintOracle,

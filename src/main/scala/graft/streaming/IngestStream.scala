@@ -752,6 +752,68 @@ object IngestStream {
       .trigger(trigger)
       .start()
 
+  /** Wide-geometry event-time trending: the SAME semantics as
+    * [[graft.llm.HeavyHitters.windowedTrending]] — per tumbling
+    * event-time window, flag tokens whose exact in-window count is ≥
+    * `minRatio`× their count-min history estimate (and ≥ `minCount`)
+    * — for sketches too wide to inline as a plan literal
+    * (`depth·width` beyond the literal device's cap).
+    *
+    * Mechanics: the stateful windowed aggregation STAYS in the
+    * streaming plan (watermark → window/token count, append mode, so
+    * each window emits exactly once, finalized at the watermark —
+    * real event-time semantics, late data folded in, nothing emitted
+    * per-micro-batch-boundary); the history lookup moves to
+    * foreachBatch, where the finalized `(window_start, token,
+    * batch_cnt)` rows broadcast-join the sketch through the shared
+    * [[graft.llm.HeavyHitters.trendingFromCounts]] kernel. Flagged
+    * rows land batch-keyed (`ingest_batch=<bid>` overwrite), so
+    * at-least-once replay REPLACES — the layer discipline every
+    * streaming face here uses.
+    *
+    * Scale: state is one count per (open window, token), dropped at
+    * the watermark; the sketch side of the lookup is ≤ depth·width
+    * rows (a 10⁶-cell sketch is ~24 MB — comfortably broadcastable;
+    * the corpus never rejoins). */
+  def windowedTrendingWide(events: DataFrame, tsCol: String,
+                           itemCol: String, windowDur: String,
+                           sketch: DataFrame, outDir: String,
+                           checkpointDir: Option[String] = None,
+                           minCount: Long = 2L, minRatio: Double = 2.0,
+                           depth: Int = 4, width: Int = 16,
+                           seed: Long = 7L, watermark: String = "2 hours",
+                           trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    require(events.isStreaming,
+      "windowedTrendingWide is the streaming face — for a batch frame " +
+        "use HeavyHitters.windowedTrending (small geometry) or " +
+        "trendingFromCounts over a windowed aggregate (wide)")
+    val counts = events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col(itemCol))
+      .agg(count(lit(1)).as("batch_cnt"))
+      .select(col("window.start").as("window_start"), col(itemCol),
+        col("batch_cnt"))
+    counts.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$outDir/_checkpoints"))
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        // the micro-batch frame feeds BOTH sides of the lookup join
+        // (counts + probes) — pin it so the second consumer reads the
+        // same rows instead of re-pulling the drained source
+        val counts = batch.toDF().persist()
+        try graft.llm.HeavyHitters.trendingFromCounts(counts, sketch,
+            itemCol, minCount, minRatio, depth, width, seed)
+          .select(col("window_start"), col(itemCol), col("batch_cnt"),
+            col("hist_est"), col("ratio"))
+          .write.mode("overwrite")
+          .parquet(s"$outDir/ingest_batch=$bid")
+        finally { counts.unpersist(); () }
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** Streaming corpus-frequency monitor: [[cmsBatch]] over a
     * document stream — the live fixed-state token-frequency summary
     * (trending-term detection, drift gauges) whose state can never

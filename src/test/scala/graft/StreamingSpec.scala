@@ -981,6 +981,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchGot == got, s"stream/batch divergence: $batchGot vs $got")
   }
 
+  test("windowedTrendingWide: same event-time semantics as the " +
+       "literal path on a small geometry; handles the wide geometry " +
+       "the literal device refuses; replay replaces") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.IngestStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "/root/repo/target/scratch/cms_wtrend_wide"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val dir = s"$base/sketch"
+    IngestStream.cmsBatch(
+      Seq((1L, "a a b c"), (2L, "a b c d")).toDF("doc_id", "text"),
+      dir, batchId = 0L)
+    val layer = IngestStream.cmsLayerRead(spark, dir)
+    val rows = (0 until 8).map(i => (i * 60L, "zz")) ++
+      Seq((480L, "a"), (540L, "a")) ++
+      (0 until 4).map(i => (3600L + i * 60L, "yy"))
+    def runWide(sketch: org.apache.spark.sql.DataFrame, out: String,
+                width: Int): Map[(Long, String), (Long, Long)] = {
+      val input = MemoryStream[(Long, String)]
+      val df = input.toDS().toDF("secs", "token")
+        .withColumn("ts", col("secs").cast("timestamp"))
+      val q = IngestStream.windowedTrendingWide(df, "ts", "token",
+        "1 hour", sketch, out, watermark = "30 minutes", width = width,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      try {
+        input.addData(rows)
+        q.processAllAvailable()
+        input.addData(Seq((3600L * 10, "sentinel")))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(out)
+        .select("window_start", "token", "batch_cnt", "hist_est")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+    }
+    // small geometry: wide face == literal face, row for row
+    val wide = runWide(layer, s"$base/out_small", width = 16)
+    val literal = graft.llm.HeavyHitters.windowedTrending(
+        rows.toDF("secs", "token")
+          .withColumn("ts", col("secs").cast("timestamp")),
+        "ts", "token", "1 hour", layer)
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(wide == literal && wide.keySet ==
+      Set((0L, "zz"), (3600L, "yy")),
+      s"wide/literal divergence: $wide vs $literal")
+    // wide geometry (d*w >= 1e5): the literal device refuses…
+    val wideSketch = graft.llm.HeavyHitters.cmsSketch(
+      Seq("a", "a", "a").toDF("token"), width = 30000)
+    val ex = intercept[IllegalArgumentException] {
+      graft.llm.HeavyHitters.windowedTrending(
+        rows.toDF("secs", "token")
+          .withColumn("ts", col("secs").cast("timestamp")),
+        "ts", "token", "1 hour", wideSketch, width = 30000)
+    }
+    assert(ex.getMessage.contains("windowedTrendingWide"), ex.getMessage)
+    // …and the wide face runs it: zz and yy burst (no history), the
+    // steady a (history 3, in-window 2) stays quiet
+    val wideGeo = runWide(wideSketch, s"$base/out_wide", width = 30000)
+    assert(wideGeo.keySet == Set((0L, "zz"), (3600L, "yy")),
+      s"wide-geometry run: $wideGeo")
+    assert(wideGeo((0L, "zz")) == ((8L, 0L)), s"$wideGeo")
+  }
+
   test("compaction crash recovery: covered sources left behind by a " +
        "crash-after-rename are cleaned at ANY later watermark — " +
        "never double-counted") {
