@@ -156,7 +156,18 @@ object Bench {
         val slow5 = mins.sortBy(-_._2).take(5)
           .map { case (k, v) => "\"" + k + "\":" + sec(v) }
           .mkString("{", ",", "}")
-        s""","min_sum":${sec(mins.map(_._2).sum)},"slowest_min":$slow5"""
+        // per-family min sums (~60 B): even if the driver's tail
+        // window clips the per-query maps above, the LAST line still
+        // carries an interpretable breakdown per query family
+        def famOf(k: String) =
+          if (k.startsWith("llm_mm_")) "mm"
+          else if (k.startsWith("llm_")) "llm"
+          else "rel"
+        val fams = mins.groupBy(t => famOf(t._1)).toSeq.sortBy(_._1)
+          .map { case (f, vs) =>
+            "\"" + f + "\":" + sec(vs.map(_._2).sum) }
+          .mkString("{", ",", "}")
+        s""","min_sum":${sec(mins.map(_._2).sum)},"family_min_sums":$fams,"slowest_min":$slow5"""
       }
     println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${good.size},"n_failed":${failed.size},"failed":$fs,"sf":"$sfDir","queries_file":"target/bench_queries.json"$minTail}""")
     spark.stop()

@@ -258,6 +258,115 @@ object CLI {
           (Access.writeData(docSnk) *** Access.writeData(rollSnk))
       }),
 
+    // The index-maintenance family through the SAME config-bound
+    // lifecycle as every other pipeline (the reference's whole point,
+    // Run.hs:72-81): incremental build -> patch/compact -> serve, with
+    // the index LAYER DIR and the serve table both virtual files, so
+    // `--loc` rebinds move the index like any other location and
+    // show-tree/write-config-template document it.
+    "index" -> Registered(
+      "index",
+      "index lifecycle: incremental build -> patch/compact -> serve " +
+        "(kind = bm25 | ivf | cms); the layer dir is a virtual file",
+      OptionsSchema(Seq(
+        OptField("kind", Some(OptStr("bm25")),
+          "index family: bm25 (lexical postings), ivf (dense ANN), " +
+            "cms (frequency sketch)"),
+        OptField("batches", Some(OptNum(2)),
+          "incremental publish batches for bm25/cms (split by id % batches)"),
+        OptField("compact", Some(OptBool(true)),
+          "fold published batch partitions after the build (bm25/cms)"),
+        OptField("nCells", Some(OptNum(16)), "ivf: k-means cells"),
+        OptField("topK", Some(OptNum(5)), "serve: results per query"))),
+      (spark, opts) => {
+        def num(v: OptValue): Double = v match {
+          case OptNum(n) => n
+          case other     => other.render.toDouble
+        }
+        val kind = opts("kind").render
+        require(Set("bm25", "ivf", "cms")(kind),
+          s"index: unknown kind '$kind' (bm25|ivf|cms)")
+        val batches = num(opts("batches")).toInt
+        val doCompact = opts("compact") match {
+          case OptBool(b) => b
+          case other      => other.render.toBoolean
+        }
+        val nCells = num(opts("nCells")).toInt
+        val topK = num(opts("topK")).toInt
+        val src = VirtualFile(
+          VPath(if (kind == "ivf") "/embeddings" else "/documents"),
+          Seq("parquet"), Usage.Source)
+        val layer = VirtualFile(VPath("/Index/layer"), Seq("parquet"),
+          Usage.Sink)
+        val snk = VirtualFile(VPath("/Outputs/serve"), Seq("parquet"),
+          Usage.Sink)
+        (Access.getDataReader(src) &&& Access.getDataWriter(layer)) >>>
+          PTask.arr { (rw: (Access.DataReader, Access.DataWriter)) =>
+            import graft.llm.{HeavyHitters, Similarity, TextAnalysis}
+            import graft.streaming.IngestStream
+            val (r, w) = rw
+            val layerDir = w.paths.head
+            // `run` is a fresh REBUILD: the pipeline owns its layer
+            // output, so a rerun (or a corpus change) starts clean
+            // instead of re-publishing batch ids under an existing
+            // compact partition. Cross-run incremental maintenance is
+            // the streaming faces' contract (bm25Monitor/cmsMonitor),
+            // not the batch lifecycle's.
+            val lp = new org.apache.hadoop.fs.Path(layerDir)
+            val lfs = lp.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            if (lfs.exists(lp)) lfs.delete(lp, true)
+            kind match {
+              case "bm25" =>
+                val docs = r.read()
+                (0 until batches).foreach { b =>
+                  TextAnalysis.bm25PostingsBatch(
+                    docs.filter(col("doc_id") % batches === b),
+                    layerDir, b.toLong)
+                }
+                if (doCompact) {
+                  IngestStream.ingestLayerCompact(spark,
+                    s"$layerDir/postings", batches - 1L)
+                  IngestStream.ingestLayerCompact(spark,
+                    s"$layerDir/stats", batches - 1L)
+                }
+                TextAnalysis.bm25TopKFromPostings(spark, layerDir,
+                  docs.filter(col("doc_id") % 100 === 0)
+                    .select(col("doc_id").as("query_id"), col("text")),
+                  k = topK)
+              case "ivf" =>
+                val emb = r.read()
+                val cents = Similarity.kmeansCentroidsUncached(emb,
+                  nCells, iters = 2)
+                Similarity.ivfWriteIndex(emb, cents, layerDir)
+                // refresh on the odd half, patch the layout in place
+                val newC = Similarity.kmeansUpdate(
+                  emb.filter(col("vec_id") % 2 === 1), cents)
+                Similarity.ivfPatchIndex(spark, layerDir, newC)
+                Similarity.ivfTopKIndexed(spark, layerDir, newC,
+                  emb.filter(col("vec_id") % 100 === 0)
+                    .select(col("vec_id").as("query_id"),
+                      col("embedding").as("query_vec")),
+                  k = topK)
+              case _ =>
+                val docs = r.read()
+                (0 until batches).foreach { b =>
+                  IngestStream.cmsBatch(
+                    docs.filter(col("doc_id") % batches === b),
+                    layerDir, batchId = b.toLong)
+                }
+                if (doCompact)
+                  IngestStream.cmsCompact(spark, layerDir,
+                    watermark = batches - 1L)
+                HeavyHitters.cmsLookupLayer(spark, layerDir,
+                  docs.filter(col("doc_id") % 50 === 0)
+                    .select(explode(TextAnalysis.tokens(col("text")))
+                      .as("token")).distinct())
+            }
+          } >>>
+          Access.writeData(snk)
+      }),
+
     // Port of the reference's example-radon (ExampleRadon.hs:76-158):
     // load observations (CSV-with-header or JSON — the example's
     // BidirSerials pair), mirror them to a debug sink unchanged, run

@@ -84,5 +84,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // under spark.graft.approx.countDistinct (see the rule's scaladoc
     // for the semantics contract — default off, plans untouched)
     ext.injectOptimizerRule(_ => new graft.plans.ApproxDistinctRewrite)
+
+    // opt-in quantile swap: percentile(x, p) -> approx_percentile
+    // under spark.graft.approx.percentile (default off, plans
+    // untouched; weighted/DISTINCT/disc forms stay exact)
+    ext.injectOptimizerRule(_ => new graft.plans.ApproxPercentileRewrite)
   }
 }

@@ -772,6 +772,76 @@ class ConfigSpec extends AnyFunSuite {
     graft.cache.Pins.release(spark)
   }
 
+  test("index pipeline: config-bound build -> compact -> serve " +
+       "(bm25); served == one-shot; rebind-and-rerun moves the " +
+       "layer; ivf and cms kinds run the same lifecycle") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    import org.apache.spark.sql.functions.{col => c}
+    val base = "/root/repo/target/scratch/cli_index"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    val specFile = s"$base/index.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(specFile),
+      s"""data: {kind: bm25, batches: 2, topK: 3}
+         |locations:
+         |  /documents: /root/testdata/sf0.001/documents.parquet
+         |  /Index/layer: $base/idx
+         |  /Outputs/serve: $base/serve.parquet
+         |""".stripMargin)
+    CLI.run(Array("index", "run", specFile), spark)
+    // the layer dir was bound as a virtual file and compacted: both
+    // subdirs hold exactly the reserved fold partition
+    def parts(d: String) = Option(new java.io.File(d).listFiles())
+      .map(_.map(_.getName).filter(_.startsWith("ingest_batch=")).toSet)
+      .getOrElse(Set.empty[String])
+    val layerRoot = new java.io.File(s"$base/idx").exists() match {
+      case true  => s"$base/idx"
+      case false => s"$base/idx.parquet" // ext-completed binding
+    }
+    assert(parts(s"$layerRoot/postings") == Set("ingest_batch=-2"),
+      s"compacted postings: ${parts(s"$layerRoot/postings")}")
+    assert(parts(s"$layerRoot/stats") == Set("ingest_batch=-2"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    val served = norm(spark.read.parquet(s"$base/serve.parquet"))
+    assert(served.nonEmpty && served.forall(_._2 <= 3))
+    // the layered serve answers exactly like a one-shot build
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val oneShot = norm(graft.llm.TextAnalysis.bm25TopK(docs,
+      docs.filter(c("doc_id") % 100 === 0)
+        .select(c("doc_id").as("query_id"), c("text")), k = 3))
+    assert(served == oneShot, "layered serve diverged from one-shot")
+    // rerun: fresh-rebuild semantics converge (no double counts)
+    CLI.run(Array("index", "run", specFile), spark)
+    assert(norm(spark.read.parquet(s"$base/serve.parquet")) == oneShot)
+    // rebind the layer and the sink; rerun lands the same results at
+    // the NEW locations (the lifecycle's whole point)
+    CLI.run(Array("index", "run", specFile,
+      "--loc", s"/Index/layer=$base/idx2",
+      "--loc", s"/Outputs/serve=$base/serve2.parquet"), spark)
+    assert(norm(spark.read.parquet(s"$base/serve2.parquet")) == oneShot)
+    assert(parts(s"$base/idx2/postings") == Set("ingest_batch=-2") ||
+      parts(s"$base/idx2.parquet/postings") == Set("ingest_batch=-2"))
+    // cms kind: same lifecycle, sketch layer + lookup serve
+    CLI.run(Array("index", "run", specFile, "-o", "kind=cms",
+      "--loc", s"/Index/layer=$base/cms_idx",
+      "--loc", s"/Outputs/serve=$base/cms_serve.parquet"), spark)
+    val cms = spark.read.parquet(s"$base/cms_serve.parquet")
+    assert(cms.columns.toSeq == Seq("token", "cms_est") && cms.count() > 0)
+    // ivf kind: build -> patch -> serve over the embeddings source
+    CLI.run(Array("index", "run", specFile, "-o", "kind=ivf",
+      "--loc", s"/embeddings=/root/testdata/sf0.001/embeddings.parquet",
+      "--loc", s"/Index/layer=$base/ivf_idx",
+      "--loc", s"/Outputs/serve=$base/ivf_serve.parquet"), spark)
+    val ivf = spark.read.parquet(s"$base/ivf_serve.parquet")
+    assert(ivf.columns.toSet == Set("query_id", "rank", "vec_id",
+      "cosine") && ivf.count() > 0)
+  }
+
   test("CLI query surface: list names the inventory; run writes parquet") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")

@@ -91,6 +91,55 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.approx.countDistinct")
   }
 
+  test("ApproxPercentileRewrite: the flag swaps percentile for the " +
+       "GK sketch within band, result type preserved; default / " +
+       "weighted / DISTINCT forms stay exact") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.toString
+    // default: untouched exact plan
+    val defPlan = planOf(li.agg(expr(
+      "percentile(l_extendedprice, 0.5)")))
+    assert(defPlan.contains("percentile(") &&
+      !defPlan.contains("percentile_approx"), defPlan)
+    spark.conf.set("spark.graft.approx.percentile", "true")
+    try {
+      val q = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"))
+      val p = planOf(q)
+      assert(p.contains("percentile_approx") &&
+        !p.contains(" percentile("), p)
+      // the swap preserves the DOUBLE result type via the cast-back
+      assert(q.schema("p50").dataType ==
+        org.apache.spark.sql.types.DoubleType, q.schema.treeString)
+      val got = q.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      spark.conf.set("spark.graft.approx.percentile", "false")
+      val want =
+        try li.groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        finally spark.conf.set("spark.graft.approx.percentile", "true")
+      got.foreach { case (k, v) =>
+        assert(math.abs(v - want(k)) <= 0.02 * math.abs(want(k)),
+          s"$k: approx $v vs exact ${want(k)}")
+      }
+      // array-percentage form rewrites too (array result type kept)
+      val arr = li.agg(expr(
+        "percentile(l_extendedprice, array(0.25, 0.75))").as("q"))
+      assert(planOf(arr).contains("percentile_approx"), planOf(arr))
+      assert(arr.head().getSeq[Double](0).size == 2)
+      // out-of-scope forms stay exact: weighted and DISTINCT
+      val weighted = planOf(li.agg(expr(
+        "percentile(l_extendedprice, 0.5, l_linenumber)")))
+      assert(!weighted.contains("percentile_approx"), weighted)
+      val distinct = planOf(li.agg(expr(
+        "percentile(DISTINCT l_extendedprice, 0.5)")))
+      assert(!distinct.contains("percentile_approx"), distinct)
+    } finally spark.conf.unset("spark.graft.approx.percentile")
+  }
+
   test("interpreted eval agrees with codegen results") {
     import graft.functions.SketchExprs._
     import graft.bridge.ColumnBridge
