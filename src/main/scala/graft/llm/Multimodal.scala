@@ -320,6 +320,44 @@ object Multimodal {
         bytes.grouped(math.max(1, stride)).map(_.head).toArray
       }
     }
+
+    /** REAL image resampler on the JDK's own stack: decode via
+      * `javax.imageio`, bilinear-interpolated `Graphics2D` draw to the
+      * target dimensions, re-encode as PNG (lossless — the resized
+      * blob round-trips through [[MediaDecoder.ImageIO]] with exact
+      * stats). Anything undecodable (non-image kinds, junk, foreign
+      * codecs) falls back to [[Deterministic]], keeping the operator
+      * total — the same contract as the decoders. */
+    object ImageIO extends MediaResizer {
+      def resize(kind: String, bytes: Array[Byte], w: Int, h: Int)
+          : Array[Byte] = {
+        val resized =
+          if (kind != "image" || bytes.isEmpty) null
+          else try {
+            val img = javax.imageio.ImageIO.read(
+              new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(bytes)))
+            if (img == null) null
+            else {
+              val out = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              try {
+                g.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, w, h, null)
+              } finally g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              if (javax.imageio.ImageIO.write(out, "png", bos))
+                bos.toByteArray
+              else null
+            }
+          } catch { case scala.util.control.NonFatal(_) => null }
+        if (resized == null) Deterministic.resize(kind, bytes, w, h)
+        else resized
+      }
+    }
   }
 
   /** Resize blobs to target dimensions — partition-batched like

@@ -743,10 +743,11 @@ object Similarity {
   private def applyPatchSwap(fs: org.apache.hadoop.fs.FileSystem,
                              root: org.apache.hadoop.fs.Path,
                              tmp: org.apache.hadoop.fs.Path,
-                             cells: Seq[(Long, Boolean)]): Unit =
+                             cells: Seq[(Long, Boolean)],
+                             partCol: String = "cell_id"): Unit =
     cells.foreach { case (c, hasFresh) =>
-      val live = new org.apache.hadoop.fs.Path(root, s"cell_id=$c")
-      val fresh = new org.apache.hadoop.fs.Path(tmp, s"cell_id=$c")
+      val live = new org.apache.hadoop.fs.Path(root, s"$partCol=$c")
+      val fresh = new org.apache.hadoop.fs.Path(tmp, s"$partCol=$c")
       if (hasFresh) {
         if (fs.exists(fresh)) {
           if (fs.exists(live)) fs.delete(live, true)
@@ -763,7 +764,8 @@ object Similarity {
     * completed and no live partition was touched: plain garbage. */
   private def completePendingPatch(spark: org.apache.spark.sql.SparkSession,
                                    fs: org.apache.hadoop.fs.FileSystem,
-                                   root: org.apache.hadoop.fs.Path): Unit = {
+                                   root: org.apache.hadoop.fs.Path,
+                                   partCol: String = "cell_id"): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(root, PatchTmpName)
     if (!fs.exists(tmp)) return
     val marker = new org.apache.hadoop.fs.Path(tmp, PatchMarkerName)
@@ -779,7 +781,7 @@ object Similarity {
           val Array(c, f) = line.split(" ")
           c.toLong -> (f == "1")
         }.toSeq
-      applyPatchSwap(fs, root, tmp, cells)
+      applyPatchSwap(fs, root, tmp, cells, partCol)
     }
     fs.delete(tmp, true)
   }
@@ -1375,9 +1377,72 @@ object Similarity {
     * gigabytes where the vector scan reads terabytes. */
   def pqWriteIndex(corpus: DataFrame, books: Seq[Seq[Seq[Double]]],
                    indexDir: String, idCol: String = "vec_id",
-                   vecCol: String = "embedding"): Unit =
+                   vecCol: String = "embedding",
+                   nBuckets: Int = 16): Unit =
     pqEncode(corpus, books, idCol, vecCol)
-      .write.mode("overwrite").parquet(indexDir)
+      // stable id-hash buckets: the rewrite unit for [[pqPatchIndex]]
+      // (bucket membership never moves with a codebook refresh, so an
+      // unaffected bucket's files survive the patch byte-for-byte)
+      .withColumn("pq_bucket", pmod(col(idCol), lit(nBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("pq_bucket").parquet(indexDir)
+
+  /** Patch a persisted [[pqWriteIndex]] code table IN PLACE after a
+    * codebook refresh — the PQ half of the [[ivfPatchIndex]] story.
+    * One narrow `(id, vector)` corpus scan encodes each row under
+    * BOTH books; only buckets containing a row whose codes changed
+    * are rewritten (all their rows re-encoded under `newBooks` —
+    * the parquet partition is the rewrite unit), through the SAME
+    * commit-marker swap protocol as [[ivfPatchIndex]], so a crash at
+    * any point is recovered on the next entry and untouched buckets
+    * keep their files byte-for-byte. Returns
+    * `(rowsChanged, bucketsRewritten)`.
+    *
+    * Unlike IVF (whose index stores the vectors), a PQ refresh MUST
+    * read vectors to re-encode — the honest 100 TB cost is one
+    * narrow corpus scan for the diff + writes proportional to the
+    * affected buckets' mass; a small codebook drift rewrites a few
+    * buckets instead of re-encoding the corpus into a fresh index.
+    * `nBuckets` must match the value the index was written with. */
+  def pqPatchIndex(spark: org.apache.spark.sql.SparkSession,
+                   indexDir: String, corpus: DataFrame,
+                   oldBooks: Seq[Seq[Seq[Double]]],
+                   newBooks: Seq[Seq[Seq[Double]]],
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding",
+                   nBuckets: Int = 16): (Long, Long) = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    completePendingPatch(spark, fs, root, "pq_bucket")
+    if (oldBooks == newBooks) return (0L, 0L)
+    def enc(books: Seq[Seq[Seq[Double]]]) = {
+      val sub = books.head.head.length
+      array(books.indices.map { s =>
+        graft.functions.SketchExprs.nearestCell(
+          slice(col(vecCol), s * sub + 1, sub), books(s))
+      }: _*)
+    }
+    val re = corpus.select(col(idCol),
+      pmod(col(idCol), lit(nBuckets.toLong)).as("pq_bucket"),
+      enc(oldBooks).as("_old"), enc(newBooks).as("_new"))
+    val changed = re.filter(col("_old") =!= col("_new"))
+    val moved = changed.count()
+    if (moved == 0L) return (0L, 0L)
+    val affected = changed.select(col("pq_bucket"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val tmp = new org.apache.hadoop.fs.Path(root, PatchTmpName)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    re.filter(col("pq_bucket").isin(affected: _*))
+      .select(col(idCol), col("_new").as("codes"), col("pq_bucket"))
+      .write.partitionBy("pq_bucket").parquet(tmp.toString)
+    // buckets never disappear (id-hash membership is books-independent),
+    // so every affected bucket has fresh content — flag always true
+    val cells = affected.map(_ -> true).toSeq
+    writePatchMarker(fs, tmp, cells)
+    applyPatchSwap(fs, root, tmp, cells, "pq_bucket")
+    fs.delete(tmp, true)
+    spark.catalog.refreshByPath(indexDir)
+    (moved, affected.length.toLong)
+  }
 
   /** ADC top-k over a persisted [[pqWriteIndex]] code table: no
     * vector read, no encode recompute — the scan is the code-width

@@ -527,6 +527,30 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // PQ index maintenance: build the code table under books trained
+    // on the FULL corpus, retrain on the odd half, PATCH the table in
+    // place (only buckets with changed codes rewritten, commit-marker
+    // swap), then serve ADC top-k from the patched files. The oracle
+    // replays a FULL REBUILD under the refreshed books (training
+    // restricted to odd vec_ids, encoding over everything) — the hash
+    // match proves the patched table is indistinguishable from a
+    // rebuild, the llm_ivf_patch device for the PQ artifact.
+    "llm_pq_patch" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val books = Similarity.pqCodebooks(emb, m = 4, k = 16, iters = 2)
+      val newBooks = Similarity.pqCodebooks(
+        emb.filter(col("vec_id") % 2 === 1), m = 4, k = 16, iters = 2)
+      val idxDir = "/root/repo/target/scratch/pqpatch_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Similarity.pqWriteIndex(emb, books, idxDir)
+      Similarity.pqPatchIndex(s, idxDir, emb, books, newBooks)
+      val q = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      Similarity.pqTopKIndexed(s, idxDir, newBooks, q, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // SemDeDup: cluster-then-prune semantic dedup — nearest-cell
     // assignment (narrow kernel), within-cell lower-id dominance at
     // cosine >= 0.4. The kept set = one exemplar per cluster-local
@@ -2887,16 +2911,20 @@ object LlmQueries {
     * summed in subspace order (`list(x ORDER BY s)`), matching the
     * engine's s-ordered reduce, so the rounded cosines replay
     * bit-exact. */
-  private def pqCtes(m: Int, kk: Int, iters: Int, sub: Int): String = {
+  private def pqCtes(m: Int, kk: Int, iters: Int, sub: Int,
+                     trainWhere: String = ""): String = {
     val hi = m - 1
-    def asgCte(name: String, cents: String) =
+    // training reads the (possibly filtered) svt slices; the final
+    // encode always covers the FULL sv — the llm_pq_patch device
+    // (books retrained on a sub-corpus, whole corpus re-coded)
+    def asgCte(name: String, cents: String, src: String = "svt") =
       s"""$name AS (
          SELECT vec_id, s, v, cell AS cell_id FROM (
            SELECT sv.vec_id, sv.s, sv.v, c.cell,
              row_number() OVER (PARTITION BY sv.vec_id, sv.s
                ORDER BY ${sqdSql("sv.v", "c.cvec")} ASC, c.cell ASC)
                AS rnk
-           FROM sv JOIN $cents c ON c.s = sv.s) WHERE rnk = 1)"""
+           FROM $src sv JOIN $cents c ON c.s = sv.s) WHERE rnk = 1)"""
     val rounds = (1 to iters).map { i =>
       s"""${asgCte(s"asg${i - 1}", s"cents${i - 1}")},
        mu$i AS (
@@ -2916,13 +2944,15 @@ object LlmQueries {
          SELECT e.vec_id, ss.s,
            e.embedding[ss.s * $sub + 1 : ss.s * $sub + $sub] AS v
          FROM embeddings e CROSS JOIN generate_series(0, $hi) ss(s)),
+       svt AS (SELECT * FROM sv $trainWhere),
        cents0 AS (
          SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id)
              - 1 AS cell, v AS cvec
-         FROM sv WHERE vec_id IN (
-           SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $kk)),
+         FROM svt WHERE vec_id IN (
+           SELECT vec_id FROM embeddings $trainWhere
+           ORDER BY vec_id LIMIT $kk)),
        $rounds,
-       ${asgCte("codesr", cN)},
+       ${asgCte("codesr", cN, "sv")},
        q AS (
          SELECT vec_id AS query_id, embedding AS qv,
            sqrt(list_sum(list_transform(embedding,
@@ -2945,8 +2975,8 @@ object LlmQueries {
   }
 
   private def pqOracle(m: Int, kk: Int, iters: Int, sub: Int,
-                       k: Int): String =
-    s"""WITH ${pqCtes(m, kk, iters, sub)}
+                       k: Int, trainWhere: String = ""): String =
+    s"""WITH ${pqCtes(m, kk, iters, sub, trainWhere)}
        SELECT query_id, rank, vec_id, cosine FROM (
          SELECT query_id, vec_id, cosine,
            ROW_NUMBER() OVER (PARTITION BY query_id
@@ -3806,6 +3836,8 @@ object LlmQueries {
     "llm_ivf_kmeans_topk" -> kmeansIvfOracle(iters = 2),
     "llm_pq_topk" -> pqOracle(m = 4, kk = 16, iters = 2, sub = 16,
       k = 10),
+    "llm_pq_patch" -> pqOracle(m = 4, kk = 16, iters = 2, sub = 16,
+      k = 10, trainWhere = "WHERE vec_id % 2 = 1"),
     "llm_pq_rerank" -> pqRerankOracle(m = 4, kk = 16, iters = 2,
       sub = 16, k = 10, rerank = 100),
     "llm_semdedup" -> semDedupOracle(iters = 2, tau = 0.4),

@@ -707,6 +707,46 @@ class LlmSpec extends AnyFunSuite {
       "stub resample must bound content to <= w*h bytes")
   }
 
+  test("multimodal: ImageIO resizer produces a REAL decodable " +
+       "resample (true target dims, preserved channel balance); " +
+       "junk falls back to the byte stub") {
+    import spark.implicits._
+    // 4x2 PNG, left half pure red / right half pure blue
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0xFF0000 else 0x0000FF)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val blobs = Multimodal.asBlobs(
+      Seq((1L, out.toByteArray)).toDF("doc_id", "b"), "doc_id", "b",
+      "image")
+    val resized = Multimodal.resizeBlobs(blobs, 2, 2,
+      Multimodal.MediaResizer.ImageIO)
+    // the resized blob is a REAL image: decode it and check stats
+    val feat = Multimodal.extractFeatures(
+      resized.select("media_id", "kind", "content"),
+      Multimodal.MediaDecoder.ImageIO).head()
+    assert(feat.getInt(4) == 2 && feat.getInt(5) == 2,
+      s"true target dims: $feat")
+    val v = feat.getSeq[Float](7)
+    // halving a red|blue split preserves the channel balance
+    assert(math.abs(v(0) - 0.5f) < 0.05f &&
+      math.abs(v(2) - 0.5f) < 0.05f && v(1) < 0.05f,
+      s"channel balance after resample: $v")
+    // junk payload: byte-stub fallback, bounded like the stub
+    val junk = Multimodal.asBlobs(
+      Seq((2L, "not an image at all")).toDF("doc_id", "t"),
+      "doc_id", "t", "image")
+    val viaReal = Multimodal.resizeBlobs(junk, 3, 3,
+        Multimodal.MediaResizer.ImageIO)
+      .head().getAs[Array[Byte]]("content")
+    val viaStub = Multimodal.resizeBlobs(junk, 3, 3)
+      .head().getAs[Array[Byte]]("content")
+    assert(viaReal.sameElements(viaStub),
+      "undecodable payloads must match the stub fallback exactly")
+  }
+
   test("multimodal: frame sampling schedule matches n_frames/stride") {
     import spark.implicits._
     val feats = Seq((1L, "video", 100L, 0L, 64, 64, 25, Seq.empty[Float]))
@@ -2327,6 +2367,66 @@ class LlmSpec extends AnyFunSuite {
       "the untouched cell must keep its files byte-for-byte")
     assert(cells(s"$base/planted") ==
       Map(1L -> 0L, 2L -> 0L, 3L -> 2L))
+  }
+
+  test("pqPatchIndex: patched code table equals a fresh rebuild; " +
+       "untouched buckets keep their files byte-for-byte; rerun and " +
+       "same-books patches are no-ops") {
+    import spark.implicits._
+    val base = "/root/repo/target/scratch/pqpatch_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    // --- real data: patch == from-scratch rebuild under the new books
+    val books = Similarity.pqCodebooks(emb, m = 4, k = 16, iters = 2)
+    val newBooks = Similarity.pqCodebooks(
+      emb.filter(col("vec_id") % 2 === 1), m = 4, k = 16, iters = 2)
+    Similarity.pqWriteIndex(emb, books, s"$base/patched")
+    val (moved, rewritten) = Similarity.pqPatchIndex(spark,
+      s"$base/patched", emb, books, newBooks)
+    assert(moved > 0 && rewritten > 0,
+      "the odd-half retrain must re-code something on real data")
+    Similarity.pqWriteIndex(emb, newBooks, s"$base/rebuilt")
+    def codes(dir: String) = spark.read.parquet(dir)
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes(s"$base/patched") == codes(s"$base/rebuilt"),
+      "patched code table must be indistinguishable from a rebuild")
+    // convergence: re-running the same patch moves nothing; and a
+    // books-identical patch short-circuits without a scan
+    assert(Similarity.pqPatchIndex(spark, s"$base/patched", emb,
+      newBooks, newBooks) == ((0L, 0L)))
+    // served results from the patched table == from the rebuilt one
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+    def serve(dir: String) = Similarity.pqTopKIndexed(spark, dir,
+        newBooks, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(serve(s"$base/patched") == serve(s"$base/rebuilt"))
+    // --- planted: one sub-centroid shift re-codes ONE row; only its
+    // bucket is rewritten, the other buckets keep their files
+    val oldP = Seq(Seq(Seq(0.0, 0.0), Seq(10.0, 0.0)),
+      Seq(Seq(0.0, 0.0), Seq(10.0, 0.0)))
+    val newP = Seq(Seq(Seq(6.0, 0.0), Seq(10.0, 0.0)),
+      Seq(Seq(0.0, 0.0), Seq(10.0, 0.0)))
+    val pts = Seq(
+      (1L, Seq(1.0f, 0.0f, 1.0f, 0.0f)),  // codes [0,0] both ways
+      (2L, Seq(7.0f, 0.0f, 1.0f, 0.0f)),  // [1,0] -> [0,0]: changes
+      (3L, Seq(1.0f, 0.0f, 9.0f, 0.0f)))  // codes [0,1] both ways
+      .toDF("vec_id", "embedding")
+    Similarity.pqWriteIndex(pts, oldP, s"$base/planted", nBuckets = 4)
+    def listing(b: Long) = Option(new java.io.File(
+        s"$base/planted/pq_bucket=$b").listFiles())
+      .map(_.map(f => (f.getName, f.length, f.lastModified))
+        .sortBy(_._1).toSeq)
+    val (b1Before, b3Before) = (listing(1L), listing(3L))
+    val (m2, r2) = Similarity.pqPatchIndex(spark, s"$base/planted",
+      pts, oldP, newP, nBuckets = 4)
+    assert(m2 == 1L && r2 == 1L, s"expected 1 row / 1 bucket: $m2 $r2")
+    assert(listing(1L) == b1Before && listing(3L) == b3Before,
+      "untouched buckets must keep their files byte-for-byte")
+    assert(codes(s"$base/planted") == Map(
+      1L -> Seq(0L, 0L), 2L -> Seq(0L, 0L), 3L -> Seq(0L, 1L)))
   }
 
   test("ivfPatchIndex crash recovery: a COMMITTED _patch_tmp is " +
