@@ -484,6 +484,23 @@ object ScaleBench {
         runProbe("ivf_patch", f, nEmb)(
           graft.llm.Similarity.ivfPatchIndex(spark, idx, newC)._1)
       }
+      if (enabled("pq_patch")) {
+        // build OUTSIDE the window; the probe times diff-scan +
+        // affected-bucket rewrite — the repeated maintenance step
+        val idx = s"$scratch/pqidx_$f"
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(idx))
+        graft.llm.Similarity.clearTrainedCache()
+        val books = graft.llm.Similarity.pqCodebooks(emb, m = 4,
+          k = 16, iters = 1)
+        graft.llm.Similarity.pqWriteIndex(emb, books, idx)
+        val newBooks = graft.llm.Similarity.pqCodebooks(
+          emb.filter(col("vec_id") % 2 === 1), m = 4, k = 16,
+          iters = 1)
+        runProbe("pq_patch", f, nEmb)(
+          graft.llm.Similarity.pqPatchIndex(spark, idx, emb, books,
+            newBooks)._1)
+      }
 
       // prefix-filtered EXACT jaccard join vs its brute baseline at
       // the same threshold: cost tracks the candidate stream

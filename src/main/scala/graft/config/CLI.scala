@@ -271,7 +271,7 @@ object CLI {
       OptionsSchema(Seq(
         OptField("kind", Some(OptStr("bm25")),
           "index family: bm25 (lexical postings), ivf (dense ANN), " +
-            "cms (frequency sketch)"),
+            "pq (compressed ANN code table), cms (frequency sketch)"),
         OptField("batches", Some(OptNum(2)),
           "incremental publish batches for bm25/cms (split by id % batches)"),
         OptField("compact", Some(OptBool(true)),
@@ -284,8 +284,8 @@ object CLI {
           case other     => other.render.toDouble
         }
         val kind = opts("kind").render
-        require(Set("bm25", "ivf", "cms")(kind),
-          s"index: unknown kind '$kind' (bm25|ivf|cms)")
+        require(Set("bm25", "ivf", "pq", "cms")(kind),
+          s"index: unknown kind '$kind' (bm25|ivf|pq|cms)")
         val batches = num(opts("batches")).toInt
         val doCompact = opts("compact") match {
           case OptBool(b) => b
@@ -293,8 +293,9 @@ object CLI {
         }
         val nCells = num(opts("nCells")).toInt
         val topK = num(opts("topK")).toInt
+        val dense = kind == "ivf" || kind == "pq"
         val src = VirtualFile(
-          VPath(if (kind == "ivf") "/embeddings" else "/documents"),
+          VPath(if (dense) "/embeddings" else "/documents"),
           Seq("parquet"), Usage.Source)
         val layer = VirtualFile(VPath("/Index/layer"), Seq("parquet"),
           Usage.Sink)
@@ -344,6 +345,22 @@ object CLI {
                   emb.filter(col("vec_id") % 2 === 1), cents)
                 Similarity.ivfPatchIndex(spark, layerDir, newC)
                 Similarity.ivfTopKIndexed(spark, layerDir, newC,
+                  emb.filter(col("vec_id") % 100 === 0)
+                    .select(col("vec_id").as("query_id"),
+                      col("embedding").as("query_vec")),
+                  k = topK)
+              case "pq" =>
+                val emb = r.read()
+                val books = Similarity.pqCodebooks(emb, m = 4,
+                  k = nCells, iters = 2)
+                Similarity.pqWriteIndex(emb, books, layerDir)
+                // retrain on the odd half, patch only changed buckets
+                val newBooks = Similarity.pqCodebooks(
+                  emb.filter(col("vec_id") % 2 === 1), m = 4,
+                  k = nCells, iters = 2)
+                Similarity.pqPatchIndex(spark, layerDir, emb, books,
+                  newBooks)
+                Similarity.pqTopKIndexed(spark, layerDir, newBooks,
                   emb.filter(col("vec_id") % 100 === 0)
                     .select(col("vec_id").as("query_id"),
                       col("embedding").as("query_vec")),

@@ -840,6 +840,19 @@ class ConfigSpec extends AnyFunSuite {
     val ivf = spark.read.parquet(s"$base/ivf_serve.parquet")
     assert(ivf.columns.toSet == Set("query_id", "rank", "vec_id",
       "cosine") && ivf.count() > 0)
+    // pq kind: build -> bucket patch -> ADC serve over the code table
+    CLI.run(Array("index", "run", specFile, "-o", "kind=pq",
+      "--loc", s"/embeddings=/root/testdata/sf0.001/embeddings.parquet",
+      "--loc", s"/Index/layer=$base/pq_idx",
+      "--loc", s"/Outputs/serve=$base/pq_serve.parquet"), spark)
+    val pq = spark.read.parquet(s"$base/pq_serve.parquet")
+    assert(pq.columns.toSet == Set("query_id", "rank", "vec_id",
+      "cosine") && pq.count() > 0)
+    val pqLayer = Seq(s"$base/pq_idx", s"$base/pq_idx.parquet")
+      .find(d => new java.io.File(d).exists()).get
+    assert(Option(new java.io.File(pqLayer).listFiles()).get
+      .exists(_.getName.startsWith("pq_bucket=")),
+      "pq layer must be bucket-partitioned (the patch rewrite unit)")
   }
 
   test("CLI query surface: list names the inventory; run writes parquet") {
