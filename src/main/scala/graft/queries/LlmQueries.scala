@@ -770,6 +770,60 @@ object LlmQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL-decoder audio row: 16 WAV clips are synthesized whose PCM
+    // samples are a closed-form integer function of (clip, index) —
+    // the engine path round-trips an actual RIFF/WAVE container
+    // through the JDK codec (AudioSystem.write -> AudioIO decode),
+    // while the oracle replays the same integer math relationally.
+    // RMS/peak/segment arithmetic is bit-exact by construction: v is
+    // a 16-bit integer, v/2^15 and its square are dyadic rationals,
+    // and the <= 2^38-numerator sums stay exact in double on both
+    // engines; the only rounding is the decoder's float32 output,
+    // replicated with an explicit FLOAT cast in the SQL.
+    "llm_mm_audio_real" -> ((s, dir) => {
+      import s.implicits._
+      val frames = 256
+      def wav(m: Int): Array[Byte] = {
+        val k = 2 * m + 1
+        val pcm = new Array[Byte](frames * 2)
+        var i = 0
+        while (i < frames) {
+          val v =
+            (((i.toLong * k * 2654435761L) % 65536L) - 32768L).toInt
+          pcm(2 * i) = (v & 0xFF).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          8000f, 16, 1, 2, 8000f, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        out.toByteArray
+      }
+      val blobs = (1 to 16).map(m => (m.toLong, wav(m)))
+        .toDF("media_id", "content")
+        .select(col("media_id"), lit("audio").as("kind"),
+          col("content"),
+          map(lit("origin"), lit("synth")).as("meta"))
+      val feats = Multimodal.extractFeatures(blobs,
+        Multimodal.MediaDecoder.AudioIO)
+      def vecAt(i: Int, name: String) =
+        round(element_at(col("feature_vec"), i).cast("double"), 6)
+          .as(name)
+      feats.select(col("media_id"),
+          col("width").cast("long").as("sample_rate"),
+          col("height").cast("long").as("channels"),
+          col("n_frames").cast("long").as("n_frames"),
+          vecAt(1, "rms"), vecAt(3, "peak"),
+          vecAt(5, "seg1"), vecAt(6, "seg2"),
+          vecAt(7, "seg3"), vecAt(8, "seg4"))
+        .orderBy(col("media_id"))
+    }),
+
     // video path: stub decode -> every-7th-frame sampling schedule
     // (the relational plan a per-frame decoder plugs into).
     "llm_mm_frames" -> ((s, dir) => {
@@ -3930,6 +3984,43 @@ object LlmQueries {
            CAST(((1 + (h32 >> 18) % 1000) - 1) // 100 + 1 AS BIGINT)
              AS n_windows
          FROM f ORDER BY media_id""",
+    // real-decoder audio replay: the engine decoded an ACTUAL WAV
+    // container; the oracle recomputes the closed-form PCM samples
+    // (v = ((i*(2m+1)*2654435761) % 65536) - 32768) and the decoder's
+    // level statistics with the same exact-dyadic arithmetic, float32
+    // rounding replicated via an explicit FLOAT cast.
+    "llm_mm_audio_real" ->
+      s"""WITH s AS (
+           SELECT m, i,
+             ((i * (2*m + 1) * 2654435761) % 65536) - 32768 AS v,
+             i // 64 AS seg
+           FROM generate_series(1, 16) t(m),
+                generate_series(0, 255) t2(i)),
+         st AS (
+           SELECT m,
+             SUM(CAST(v AS DOUBLE) * v) AS sq,
+             MAX(ABS(v)) AS pk
+           FROM s GROUP BY m),
+         sg AS (
+           SELECT m, seg, SUM(CAST(v AS DOUBLE) * v) AS ssq
+           FROM s GROUP BY m, seg),
+         sgp AS (
+           SELECT m,
+             list(CAST(CAST(sqrt(ssq / 64.0 / 1073741824.0) AS FLOAT)
+               AS DOUBLE) ORDER BY seg) AS segs
+           FROM sg GROUP BY m)
+         SELECT st.m AS media_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(256 AS BIGINT) AS n_frames,
+           round(CAST(CAST(sqrt(sq / 256.0 / 1073741824.0) AS FLOAT)
+             AS DOUBLE), 6) AS rms,
+           round(CAST(CAST(pk / 32768.0 AS FLOAT) AS DOUBLE), 6)
+             AS peak,
+           round(segs[1], 6) AS seg1, round(segs[2], 6) AS seg2,
+           round(segs[3], 6) AS seg3, round(segs[4], 6) AS seg4
+         FROM st JOIN sgp ON sgp.m = st.m
+         ORDER BY media_id""",
     // video stub decoder: frames = 1 + (h32 >> 18) % 120; sampling
     // schedule = generate_series with the stride.
     "llm_mm_frames" ->

@@ -46,6 +46,27 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("trending lookup broadcasts the sketch side (no cartesian, " +
+       "no sketch-side shuffle); pqEncode is a shuffle-free narrow " +
+       "projection") {
+    import spark.implicits._
+    val counts = Seq(("a", 5L), ("b", 3L)).toDF("token", "batch_cnt")
+    val sketch = graft.llm.HeavyHitters.cmsSketch(
+      Seq("a", "a", "b").toDF("token"))
+    val plan = planOf(graft.llm.HeavyHitters.trendingFromCounts(
+      counts, sketch, "token"))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val books = graft.llm.Similarity.pqCodebooks(emb, m = 4, k = 16,
+      iters = 1)
+    val encPlan = planOf(graft.llm.Similarity.pqEncode(emb, books))
+    assert(!encPlan.contains("Exchange"),
+      s"pqEncode (the patch diff scan's shape) must not shuffle:\n" +
+        encPlan.take(1500))
+  }
+
   test("minhash/simhash signature stages are shuffle-free narrow maps") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val sigPlan = planOf(Dedup.minHashSignatures(docs))
