@@ -344,7 +344,9 @@ object CLI {
                 val newC = Similarity.kmeansUpdate(
                   emb.filter(col("vec_id") % 2 === 1), cents)
                 Similarity.ivfPatchIndex(spark, layerDir, newC)
-                Similarity.ivfTopKIndexed(spark, layerDir, newC,
+                // serve through the sidecar-derived set (the patch
+                // advanced it) — the safe path the layout publishes
+                Similarity.ivfTopKIndexedAuto(spark, layerDir,
                   emb.filter(col("vec_id") % 100 === 0)
                     .select(col("vec_id").as("query_id"),
                       col("embedding").as("query_vec")),
@@ -358,9 +360,11 @@ object CLI {
                 val newBooks = Similarity.pqCodebooks(
                   emb.filter(col("vec_id") % 2 === 1), m = 4,
                   k = nCells, iters = 2)
-                Similarity.pqPatchIndex(spark, layerDir, emb, books,
+                // old books from the table's own sidecar; serve from
+                // the sidecar the patch advanced
+                Similarity.pqPatchIndexAuto(spark, layerDir, emb,
                   newBooks)
-                Similarity.pqTopKIndexed(spark, layerDir, newBooks,
+                Similarity.pqTopKIndexedAuto(spark, layerDir,
                   emb.filter(col("vec_id") % 100 === 0)
                     .select(col("vec_id").as("query_id"),
                       col("embedding").as("query_vec")),

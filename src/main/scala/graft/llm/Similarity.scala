@@ -647,9 +647,86 @@ object Similarity {
     * the corpus bytes instead of assigning cells over a full scan. */
   def ivfWriteIndex(corpus: DataFrame, centroids: Seq[Seq[Double]],
                     indexDir: String, idCol: String = "vec_id",
-                    vecCol: String = "embedding"): Unit =
+                    vecCol: String = "embedding"): Unit = {
     assignCells(corpus, centroids, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cell_id").parquet(indexDir)
+    // centroid sidecar (the cms _geometry.json move): serving an IVF
+    // layout with the WRONG centroid set probes wrong cells silently —
+    // publishing the authoritative set next to the partitions makes
+    // the safe path the easy path ([[ivfTopKIndexedAuto]])
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    writeModelSidecar(
+      root.getFileSystem(
+        corpus.sparkSession.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(root, CentroidSidecar),
+      centroids.zipWithIndex.map { case (v, i) => (0, i.toLong, v) })
+  }
+
+  /** Sidecar names + the flat (group, idx, vector) text codec shared
+    * by the IVF centroid set (group always 0) and the PQ codebooks
+    * (group = subspace). `Double.toString` round-trips exactly, so the
+    * sidecar reproduces the model bit-for-bit. */
+  private[llm] val CentroidSidecar = "_centroids.txt"
+  private[llm] val BooksSidecar = "_books.txt"
+  private val SidecarStaged = "_SIDECAR_NEW.txt"
+
+  private def writeModelSidecar(fs: org.apache.hadoop.fs.FileSystem,
+                                path: org.apache.hadoop.fs.Path,
+                                rows: Seq[(Int, Long, Seq[Double])])
+      : Unit = {
+    val out = fs.create(path, true)
+    try out.write(rows.map { case (g, i, v) =>
+      s"$g $i " + v.map(_.toString).mkString(" ")
+    }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readModelSidecar(fs: org.apache.hadoop.fs.FileSystem,
+                               path: org.apache.hadoop.fs.Path)
+      : Option[Seq[(Int, Long, Seq[Double])]] =
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+        buf.toString("UTF-8")
+      } finally in.close()
+      Some(text.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+        .map { line =>
+          val parts = line.split(" ")
+          (parts(0).toInt, parts(1).toLong,
+            parts.drop(2).map(_.toDouble).toSeq)
+        }.toSeq)
+    }
+
+  /** Read the centroid set an [[ivfWriteIndex]] layout was built (or
+    * last patched) with, from its `_centroids.txt` sidecar. */
+  def ivfIndexCentroids(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String): Option[Seq[Seq[Double]]] = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    readModelSidecar(
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(root, CentroidSidecar))
+      .map(_.sortBy(_._2).map(_._3))
+  }
+
+  /** [[ivfTopKIndexed]] with the centroid set derived from the
+    * layout's own sidecar — serving cannot silently disagree with the
+    * set the index was built/patched with. */
+  def ivfTopKIndexedAuto(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String, queries: DataFrame, k: Int,
+                         nProbe: Int = 4, idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         qIdCol: String = "query_id",
+                         qVecCol: String = "query_vec"): DataFrame =
+    ivfTopKIndexed(spark, indexDir,
+      ivfIndexCentroids(spark, indexDir).getOrElse(
+        throw new IllegalArgumentException(
+          s"$indexDir has no $CentroidSidecar sidecar — not an " +
+            "ivfWriteIndex layout (rebuild it, or pass centroids " +
+            "explicitly to ivfTopKIndexed)")),
+      queries, k, nProbe, idCol, vecCol, qIdCol, qVecCol)
 
   /** Patch a persisted [[ivfWriteIndex]] layout IN PLACE after a
     * centroid refresh ([[kmeansUpdate]]) — the apply step of the
@@ -696,7 +773,15 @@ object Similarity {
     val affected = re.filter(col("_from") =!= col("_to"))
       .select(explode(array(col("_from"), col("_to"))).as("c"))
       .distinct().collect().map(_.getLong(0)).sorted
-    if (affected.isEmpty) return (0L, 0L)
+    if (affected.isEmpty) {
+      // nothing moves, but the refreshed set is now the layout's
+      // model (a rebuild under newCents would produce these exact
+      // assignments) — keep the sidecar in step so serving matches
+      writeModelSidecar(fs,
+        new org.apache.hadoop.fs.Path(root, CentroidSidecar),
+        newCents.zipWithIndex.map { case (v, i) => (0, i.toLong, v) })
+      return (0L, 0L)
+    }
     val moved = re.filter(col("_from") =!= col("_to")).count()
     val tmp = new org.apache.hadoop.fs.Path(root, PatchTmpName)
     // completePendingPatch left at most pre-commit garbage here
@@ -714,6 +799,12 @@ object Similarity {
     val cells = affected.map(c => c -> fs.exists(
       new org.apache.hadoop.fs.Path(tmp, s"cell_id=$c")))
     writePatchMarker(fs, tmp, cells)
+    // the refreshed centroid sidecar is staged INSIDE the committed
+    // temp dir and finalized by the same swap (or its crash
+    // recovery), so readers can never observe new partitions with the
+    // old model or vice versa past a completed patch
+    stageSidecar(fs, tmp, CentroidSidecar,
+      newCents.zipWithIndex.map { case (v, i) => (0, i.toLong, v) })
     applyPatchSwap(fs, root, tmp, cells)
     fs.delete(tmp, true)
     spark.catalog.refreshByPath(indexDir)
@@ -744,7 +835,7 @@ object Similarity {
                              root: org.apache.hadoop.fs.Path,
                              tmp: org.apache.hadoop.fs.Path,
                              cells: Seq[(Long, Boolean)],
-                             partCol: String = "cell_id"): Unit =
+                             partCol: String = "cell_id"): Unit = {
     cells.foreach { case (c, hasFresh) =>
       val live = new org.apache.hadoop.fs.Path(root, s"$partCol=$c")
       val fresh = new org.apache.hadoop.fs.Path(tmp, s"$partCol=$c")
@@ -756,6 +847,37 @@ object Similarity {
         } // else: already swapped by a prior (crashed) run — leave it
       } else if (fs.exists(live)) fs.delete(live, true)
     }
+    // finalize a staged model sidecar (idempotent overwrite — safe to
+    // replay from crash recovery like the cell swaps above)
+    val staged = new org.apache.hadoop.fs.Path(tmp, SidecarStaged)
+    if (fs.exists(staged)) {
+      val in = fs.open(staged)
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+        buf.toString("UTF-8")
+      } finally in.close()
+      val (name, payload) = text.span(_ != '\n')
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(root, name.trim), true)
+      try out.write(payload.drop(1).getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** Stage a refreshed model sidecar inside a (to-be-)committed patch
+    * temp dir: first line = the target sidecar file name, rest = the
+    * [[writeModelSidecar]] payload. [[applyPatchSwap]] finalizes it. */
+  private def stageSidecar(fs: org.apache.hadoop.fs.FileSystem,
+                           tmp: org.apache.hadoop.fs.Path, name: String,
+                           rows: Seq[(Int, Long, Seq[Double])]): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(tmp, SidecarStaged), true)
+    try out.write((name + "\n" + rows.map { case (g, i, v) =>
+      s"$g $i " + v.map(_.toString).mkString(" ")
+    }.mkString("", "\n", "\n")).getBytes("UTF-8"))
+    finally out.close()
+  }
 
   /** Entry-time crash recovery for [[ivfPatchIndex]]: a leftover
     * `_patch_tmp` WITH its `_PATCH_COMMIT` marker is the authoritative
@@ -1378,13 +1500,73 @@ object Similarity {
   def pqWriteIndex(corpus: DataFrame, books: Seq[Seq[Seq[Double]]],
                    indexDir: String, idCol: String = "vec_id",
                    vecCol: String = "embedding",
-                   nBuckets: Int = 16): Unit =
+                   nBuckets: Int = 16): Unit = {
     pqEncode(corpus, books, idCol, vecCol)
       // stable id-hash buckets: the rewrite unit for [[pqPatchIndex]]
       // (bucket membership never moves with a codebook refresh, so an
       // unaffected bucket's files survive the patch byte-for-byte)
       .withColumn("pq_bucket", pmod(col(idCol), lit(nBuckets.toLong)))
       .write.mode("overwrite").partitionBy("pq_bucket").parquet(indexDir)
+    // codebook sidecar: codes are meaningless without the books they
+    // were encoded with — publish the authoritative set next to them
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    writeModelSidecar(
+      root.getFileSystem(
+        corpus.sparkSession.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(root, BooksSidecar),
+      booksRows(books))
+  }
+
+  private def booksRows(books: Seq[Seq[Seq[Double]]])
+      : Seq[(Int, Long, Seq[Double])] =
+    for {
+      (book, sIdx) <- books.zipWithIndex
+      (cv, c) <- book.zipWithIndex
+    } yield (sIdx, c.toLong, cv)
+
+  /** Read the codebooks a [[pqWriteIndex]] table was built (or last
+    * patched) with, from its `_books.txt` sidecar. */
+  def pqIndexBooks(spark: org.apache.spark.sql.SparkSession,
+                   indexDir: String): Option[Seq[Seq[Seq[Double]]]] = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    readModelSidecar(
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(root, BooksSidecar))
+      .map(_.groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(_._3)))
+  }
+
+  /** [[pqTopKIndexed]] with the codebooks derived from the table's own
+    * sidecar — ADC scoring cannot silently disagree with the books the
+    * codes were produced under. */
+  def pqTopKIndexedAuto(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String, queries: DataFrame, k: Int,
+                        idCol: String = "vec_id",
+                        qIdCol: String = "query_id",
+                        qVecCol: String = "query_vec"): DataFrame =
+    pqTopKIndexed(spark, indexDir,
+      pqIndexBooks(spark, indexDir).getOrElse(
+        throw new IllegalArgumentException(
+          s"$indexDir has no $BooksSidecar sidecar — not a " +
+            "pqWriteIndex table (rebuild it, or pass books explicitly " +
+            "to pqTopKIndexed)")),
+      queries, k, idCol, qIdCol, qVecCol)
+
+  /** [[pqPatchIndex]] with the OLD books derived from the sidecar (the
+    * set the standing codes were actually produced under — passing a
+    * stale/wrong old set would mis-detect the changed rows). */
+  def pqPatchIndexAuto(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String, corpus: DataFrame,
+                       newBooks: Seq[Seq[Seq[Double]]],
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       nBuckets: Int = 16): (Long, Long) =
+    pqPatchIndex(spark, indexDir, corpus,
+      pqIndexBooks(spark, indexDir).getOrElse(
+        throw new IllegalArgumentException(
+          s"$indexDir has no $BooksSidecar sidecar — not a " +
+            "pqWriteIndex table")),
+      newBooks, idCol, vecCol, nBuckets)
 
   /** Patch a persisted [[pqWriteIndex]] code table IN PLACE after a
     * codebook refresh — the PQ half of the [[ivfPatchIndex]] story.
@@ -1426,7 +1608,14 @@ object Similarity {
       enc(oldBooks).as("_old"), enc(newBooks).as("_new"))
     val changed = re.filter(col("_old") =!= col("_new"))
     val moved = changed.count()
-    if (moved == 0L) return (0L, 0L)
+    if (moved == 0L) {
+      // same codes under both books: the standing table already IS
+      // the newBooks encoding — only the sidecar needs to advance
+      writeModelSidecar(fs,
+        new org.apache.hadoop.fs.Path(root, BooksSidecar),
+        booksRows(newBooks))
+      return (0L, 0L)
+    }
     val affected = changed.select(col("pq_bucket"))
       .distinct().collect().map(_.getLong(0)).sorted
     val tmp = new org.apache.hadoop.fs.Path(root, PatchTmpName)
@@ -1438,6 +1627,7 @@ object Similarity {
     // so every affected bucket has fresh content — flag always true
     val cells = affected.map(_ -> true).toSeq
     writePatchMarker(fs, tmp, cells)
+    stageSidecar(fs, tmp, BooksSidecar, booksRows(newBooks))
     applyPatchSwap(fs, root, tmp, cells, "pq_bucket")
     fs.delete(tmp, true)
     spark.catalog.refreshByPath(indexDir)

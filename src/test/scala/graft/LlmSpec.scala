@@ -2339,6 +2339,20 @@ class LlmSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cells(s"$base/patched") == cells(s"$base/rebuilt"),
       "patched index must be indistinguishable from a rebuild")
+    // the centroid sidecar advanced with the patch: serving through
+    // the Auto overload (sidecar-derived set) == explicit newC
+    assert(Similarity.ivfIndexCentroids(spark, s"$base/patched")
+      .contains(newC), "sidecar must carry the refreshed set exactly")
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+    def srv(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(srv(Similarity.ivfTopKIndexedAuto(spark, s"$base/patched",
+        q, k = 5)) ==
+      srv(Similarity.ivfTopKIndexed(spark, s"$base/patched", newC, q,
+        k = 5)), "Auto serve must equal the explicit-centroids serve")
     // convergence: a second patch with the same centroids moves nothing
     assert(Similarity.ivfPatchIndex(spark, s"$base/patched", newC) ==
       ((0L, 0L)))
@@ -2390,8 +2404,14 @@ class LlmSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(codes(s"$base/patched") == codes(s"$base/rebuilt"),
       "patched code table must be indistinguishable from a rebuild")
-    // convergence: re-running the same patch moves nothing; and a
-    // books-identical patch short-circuits without a scan
+    // the books sidecar advanced with the patch: Auto overloads need
+    // no explicit model and must agree with the explicit paths
+    assert(Similarity.pqIndexBooks(spark, s"$base/patched")
+      .contains(newBooks), "sidecar must carry the refreshed books")
+    // convergence: re-running the same patch moves nothing; the Auto
+    // variant derives the old books from the sidecar
+    assert(Similarity.pqPatchIndexAuto(spark, s"$base/patched", emb,
+      newBooks) == ((0L, 0L)))
     assert(Similarity.pqPatchIndex(spark, s"$base/patched", emb,
       newBooks, newBooks) == ((0L, 0L)))
     // served results from the patched table == from the rebuilt one
@@ -2403,6 +2423,12 @@ class LlmSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)) ->
         ((r.getLong(2), r.getDouble(3)))).toMap
     assert(serve(s"$base/patched") == serve(s"$base/rebuilt"))
+    assert(Similarity.pqTopKIndexedAuto(spark, s"$base/patched", q,
+        k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap ==
+      serve(s"$base/patched"),
+      "Auto serve (sidecar books) must equal the explicit serve")
     // --- planted: one sub-centroid shift re-codes ONE row; only its
     // bucket is rewritten, the other buckets keep their files
     val oldP = Seq(Seq(Seq(0.0, 0.0), Seq(10.0, 0.0)),
@@ -2460,6 +2486,13 @@ class LlmSpec extends AnyFunSuite {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(tmp, "_PATCH_COMMIT"),
       "0 1\n1 0\n".getBytes("UTF-8"))
+    // the crashed patch had also staged the refreshed centroid
+    // sidecar — recovery must finalize it along with the cell swaps
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmp, "_SIDECAR_NEW.txt"),
+      ("_centroids.txt\n" + newP.zipWithIndex.map { case (v, i) =>
+        s"0 $i " + v.map(_.toString).mkString(" ")
+      }.mkString("", "\n", "\n")).getBytes("UTF-8"))
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(s"$dir/cell_id=1"))
     // rerun of the same patch: entry recovery completes the swap from
@@ -2471,6 +2504,8 @@ class LlmSpec extends AnyFunSuite {
     assert(cellMap() == Map(1L -> 0L, 2L -> 0L, 3L -> 2L),
       "recovery must land row 2 in cell 0 — not lose it")
     assert(!new java.io.File(tmp).exists(), "tmp cleared after recovery")
+    assert(Similarity.ivfIndexCentroids(spark, dir).contains(newP),
+      "recovery must finalize the staged centroid sidecar too")
     // an UNCOMMITTED tmp (write crashed before the marker) never
     // touched the live index — it is garbage, discarded on entry
     Seq((99L, v3, 0L)).toDF("vec_id", "embedding", "cell_id")
