@@ -824,6 +824,50 @@ object LlmQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL-decoder image row (the llm_mm_audio_real device for the
+    // other codec): 12 PNGs are synthesized with closed-form pixel
+    // channels (r/g/b = integer functions of (clip, x, y)), encoded
+    // losslessly, and decoded through the ACTUAL javax.imageio codec;
+    // the oracle replays the decoder's channel/quadrant statistics
+    // from the same integer math. Channel sums are exact integers on
+    // both engines; the only rounding is the decoder's float32
+    // output, replicated with an explicit FLOAT cast.
+    "llm_mm_image_real" -> ((s, dir) => {
+      import s.implicits._
+      val (w, h) = (8, 6)
+      def png(m: Int): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) {
+          val r = (x * 37 + y * 101 + m * 13) % 256
+          val g = (x * 59 + y * 17 + m * 29) % 256
+          val b = (x * 7 + y * 43 + m * 71) % 256
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(img, "png", out))
+        out.toByteArray
+      }
+      val blobs = (1 to 12).map(m => (m.toLong, png(m)))
+        .toDF("media_id", "content")
+        .select(col("media_id"), lit("image").as("kind"),
+          col("content"),
+          map(lit("origin"), lit("synth")).as("meta"))
+      val feats = Multimodal.extractFeatures(blobs,
+        Multimodal.MediaDecoder.ImageIO)
+      def vecAt(i: Int, name: String) =
+        round(element_at(col("feature_vec"), i).cast("double"), 6)
+          .as(name)
+      feats.select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          vecAt(1, "mean_r"), vecAt(2, "mean_g"), vecAt(3, "mean_b"),
+          vecAt(4, "mean_luma"), vecAt(5, "luma_tl"),
+          vecAt(6, "luma_tr"), vecAt(7, "luma_bl"),
+          vecAt(8, "luma_br"))
+        .orderBy(col("media_id"))
+    }),
+
     // video path: stub decode -> every-7th-frame sampling schedule
     // (the relational plan a per-frame decoder plugs into).
     "llm_mm_frames" -> ((s, dir) => {
@@ -4020,6 +4064,44 @@ object LlmQueries {
            round(segs[1], 6) AS seg1, round(segs[2], 6) AS seg2,
            round(segs[3], 6) AS seg3, round(segs[4], 6) AS seg4
          FROM st JOIN sgp ON sgp.m = st.m
+         ORDER BY media_id""",
+    // real-decoder image replay: closed-form pixel channels, exact
+    // integer channel/quadrant sums, float32 rounding via FLOAT cast.
+    "llm_mm_image_real" ->
+      s"""WITH px AS (
+           SELECT m, x, y,
+             (x*37 + y*101 + m*13) % 256 AS r,
+             (x*59 + y*17 + m*29) % 256 AS g,
+             (x*7 + y*43 + m*71) % 256 AS b,
+             (CASE WHEN y >= 3 THEN 2 ELSE 0 END +
+              CASE WHEN x >= 4 THEN 1 ELSE 0 END) AS q
+           FROM generate_series(1, 12) t(m),
+                generate_series(0, 7) tx(x),
+                generate_series(0, 5) ty(y)),
+         ch AS (
+           SELECT m, SUM(r) AS sr, SUM(g) AS sg, SUM(b) AS sb
+           FROM px GROUP BY m),
+         qd AS (
+           SELECT m, q, SUM(r + g + b) AS ql, COUNT(*) AS qn
+           FROM px GROUP BY m, q),
+         qdp AS (
+           SELECT m,
+             list(CAST(CAST(ql / (qn * 3.0 * 255.0) AS FLOAT)
+               AS DOUBLE) ORDER BY q) AS quads
+           FROM qd GROUP BY m)
+         SELECT ch.m AS media_id,
+           CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+           round(CAST(CAST(sr / (48 * 255.0) AS FLOAT) AS DOUBLE), 6)
+             AS mean_r,
+           round(CAST(CAST(sg / (48 * 255.0) AS FLOAT) AS DOUBLE), 6)
+             AS mean_g,
+           round(CAST(CAST(sb / (48 * 255.0) AS FLOAT) AS DOUBLE), 6)
+             AS mean_b,
+           round(CAST(CAST((sr + sg + sb) / (48 * 3.0 * 255.0)
+             AS FLOAT) AS DOUBLE), 6) AS mean_luma,
+           round(quads[1], 6) AS luma_tl, round(quads[2], 6) AS luma_tr,
+           round(quads[3], 6) AS luma_bl, round(quads[4], 6) AS luma_br
+         FROM ch JOIN qdp ON qdp.m = ch.m
          ORDER BY media_id""",
     // video stub decoder: frames = 1 + (h32 >> 18) % 120; sampling
     // schedule = generate_series with the stride.
