@@ -484,6 +484,26 @@ object ScaleBench {
         runProbe("ivf_patch", f, nEmb)(
           graft.llm.Similarity.ivfPatchIndex(spark, idx, newC)._1)
       }
+      // wide-geometry trending lookup: the broadcast-join face's cost
+      // vs SKETCH WIDTH at a fixed corpus (the plan-literal device is
+      // capped at 1e4 cells; this probes the windowedTrendingWide
+      // claim that the broadcast path stays flat as geometry grows).
+      // The synthetic sketch is DENSE — every (row,bucket) cell
+      // non-zero — so the broadcast truly carries 4*w cells.
+      if (f == 1 && enabled("trend_wide")) {
+        val counts = docs.select(explode(
+            graft.llm.TextAnalysis.tokens(col("text"))).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("batch_cnt"))
+        Seq(16, 4096, 65536).foreach { w =>
+          val cells = spark.range(4L * w).select(
+            (col("id") % 4).cast("int").as("row"),
+            (col("id") / 4).as("bucket"),
+            (col("id") % 97 + 1).as("cnt"))
+          runProbe(s"trend_wide_w$w", f, 4L * w)(
+            graft.llm.HeavyHitters.trendingFromCounts(counts, cells,
+              "token", depth = 4, width = w).count())
+        }
+      }
       if (enabled("pq_patch")) {
         // build OUTSIDE the window; the probe times diff-scan +
         // affected-bucket rewrite — the repeated maintenance step

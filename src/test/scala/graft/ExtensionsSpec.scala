@@ -140,6 +140,36 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.approx.percentile")
   }
 
+  test("both approx rewrites compose in one aggregate under their " +
+       "own flags; each is independent of the other") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.toString
+    def q = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("ndv"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"))
+    spark.conf.set("spark.graft.approx.countDistinct", "true")
+    spark.conf.set("spark.graft.approx.percentile", "true")
+    try {
+      val both = planOf(q)
+      assert(both.contains("approx_count_distinct") &&
+        both.contains("percentile_approx"), both)
+      assert(q.count() > 0)
+      // flags are independent: only the percentile flag off restores
+      // the exact percentile while the HLL swap stays
+      spark.conf.set("spark.graft.approx.percentile", "false")
+      val one = planOf(q)
+      assert(one.contains("approx_count_distinct") &&
+        !one.contains("percentile_approx") &&
+        one.contains("percentile("), one)
+    } finally {
+      spark.conf.unset("spark.graft.approx.countDistinct")
+      spark.conf.unset("spark.graft.approx.percentile")
+    }
+  }
+
   test("interpreted eval agrees with codegen results") {
     import graft.functions.SketchExprs._
     import graft.bridge.ColumnBridge
