@@ -415,6 +415,29 @@ object Multimodal {
     }
   }
 
+  /** Audio quality gate over an [[extractFeatures]] table (AudioIO
+    * rows): per-clip duration plus clipping / silence verdicts — the
+    * two gates an audio training pipeline applies first (a clipped
+    * clip distorts features, a silent one carries none). Pure
+    * relational arithmetic over the already-extracted statistics; the
+    * corpus blobs are never re-read. Output `(media_id, n_frames,
+    * duration_sec, rms, peak, is_clipped, is_silent)`. */
+  def audioQuality(feats: DataFrame, clipThreshold: Double = 0.99,
+                   silenceRms: Double = 0.01): DataFrame =
+    feats.filter(col("kind") === "audio")
+      .select(col("media_id"),
+        col("n_frames").cast("long").as("n_frames"),
+        round(col("n_frames").cast("double") /
+          col("width").cast("double"), 6).as("duration_sec"),
+        round(element_at(col("feature_vec"), 1).cast("double"), 6)
+          .as("rms"),
+        round(element_at(col("feature_vec"), 3).cast("double"), 6)
+          .as("peak"),
+        (element_at(col("feature_vec"), 3).cast("double") >=
+          clipThreshold).as("is_clipped"),
+        (element_at(col("feature_vec"), 1).cast("double") <
+          silenceRms).as("is_silent"))
+
   /** Deterministic frame sampling plan for video blobs: every
     * `stride`-th frame index up to n_frames (the sampling schedule is
     * computed relationally; the per-frame decode would plug into

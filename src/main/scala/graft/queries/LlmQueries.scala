@@ -824,6 +824,48 @@ object LlmQueries {
         .orderBy(col("media_id"))
     }),
 
+    // audio quality gate over REAL-decoded clips: 16 WAVs with
+    // amplitude A = 2048*m (v uniform-ish in [-A, A] via modulus), so
+    // rms/peak grow with m and the clipping / silence verdicts flip
+    // at predictable clips — decode through the actual JDK codec,
+    // verdict arithmetic replayed relationally.
+    "llm_mm_audio_quality" -> ((s, dir) => {
+      import s.implicits._
+      val frames = 256
+      def wav(m: Int): Array[Byte] = {
+        val amp = 2048L * m
+        val k = 2 * m + 1
+        val pcm = new Array[Byte](frames * 2)
+        var i = 0
+        while (i < frames) {
+          val v = (((i.toLong * k * 2654435761L) % (2 * amp + 1))
+            - amp).toInt
+          pcm(2 * i) = (v & 0xFF).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          8000f, 16, 1, 2, 8000f, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        out.toByteArray
+      }
+      val blobs = (1 to 16).map(m => (m.toLong, wav(m)))
+        .toDF("media_id", "content")
+        .select(col("media_id"), lit("audio").as("kind"),
+          col("content"),
+          map(lit("origin"), lit("synth")).as("meta"))
+      Multimodal.audioQuality(
+          Multimodal.extractFeatures(blobs,
+            Multimodal.MediaDecoder.AudioIO),
+          clipThreshold = 0.9, silenceRms = 0.05)
+        .orderBy(col("media_id"))
+    }),
+
     // REAL-decoder image row (the llm_mm_audio_real device for the
     // other codec): 12 PNGs are synthesized with closed-form pixel
     // channels (r/g/b = integer functions of (clip, x, y)), encoded
@@ -4065,6 +4107,28 @@ object LlmQueries {
            round(segs[3], 6) AS seg3, round(segs[4], 6) AS seg4
          FROM st JOIN sgp ON sgp.m = st.m
          ORDER BY media_id""",
+    // audio quality replay: amplitude-varied closed-form PCM; the
+    // float32 rms/peak compare against the thresholds BEFORE the
+    // display rounding, exactly like the engine's verdict columns.
+    "llm_mm_audio_quality" ->
+      s"""WITH s AS (
+           SELECT m, i,
+             ((i * (2*m + 1) * 2654435761) % (2 * 2048 * m + 1))
+               - 2048 * m AS v
+           FROM generate_series(1, 16) t(m),
+                generate_series(0, 255) t2(i)),
+         st AS (
+           SELECT m,
+             CAST(CAST(sqrt(SUM(CAST(v AS DOUBLE) * v) / 256.0
+               / 1073741824.0) AS FLOAT) AS DOUBLE) AS rmsf,
+             CAST(CAST(MAX(ABS(v)) / 32768.0 AS FLOAT) AS DOUBLE)
+               AS peakf
+           FROM s GROUP BY m)
+         SELECT m AS media_id, CAST(256 AS BIGINT) AS n_frames,
+           round(256.0 / 8000.0, 6) AS duration_sec,
+           round(rmsf, 6) AS rms, round(peakf, 6) AS peak,
+           peakf >= 0.9 AS is_clipped, rmsf < 0.05 AS is_silent
+         FROM st ORDER BY media_id""",
     // real-decoder image replay: closed-form pixel channels, exact
     // integer channel/quadrant sums, float32 rounding via FLOAT cast.
     "llm_mm_image_real" ->
