@@ -807,6 +807,12 @@ object Dedup {
             converged = changed == 0
             iter += 1
           }
+          // the returned frame stays persisted (its lineage reaches
+          // through the released edge cache) — hand the pin to the
+          // session registry so Pins.release frees it after the
+          // consumer's actions, like every unmanaged shorthand
+          graft.cache.Pins.track(spark,
+            graft.access.Split.Branches((), labels))
           labels
         } finally { edges.unpersist(); () }
       }
