@@ -438,6 +438,36 @@ object Multimodal {
         (element_at(col("feature_vec"), 1).cast("double") <
           silenceRms).as("is_silent"))
 
+  /** Image quality gate over an [[extractFeatures]] table (ImageIO
+    * rows): size / aspect / flatness verdicts from the extracted
+    * statistics alone (blobs never re-read) — tiny thumbnails,
+    * banner-shaped crops, and near-uniform images are the first
+    * discards of an image curation pass. Flatness uses the quadrant
+    * luma spread (max − min of the four quadrant means): a uniform
+    * image spreads 0. Output `(media_id, width, height, n_pixels,
+    * aspect, quad_spread, is_tiny, is_extreme_aspect, is_flat)`. */
+  def imageQuality(feats: DataFrame, minPixels: Long = 4096L,
+                   maxAspect: Double = 4.0, flatEps: Double = 0.02)
+      : DataFrame = {
+    def quad(i: Int) =
+      element_at(col("feature_vec"), i).cast("double")
+    val spread = greatest(quad(5), quad(6), quad(7), quad(8)) -
+      least(quad(5), quad(6), quad(7), quad(8))
+    val aspect = greatest(col("width"), col("height")).cast("double") /
+      least(col("width"), col("height")).cast("double")
+    feats.filter(col("kind") === "image")
+      .select(col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        (col("width").cast("long") * col("height")).as("n_pixels"),
+        round(aspect, 6).as("aspect"),
+        round(spread, 6).as("quad_spread"),
+        (col("width").cast("long") * col("height") < minPixels)
+          .as("is_tiny"),
+        (aspect > maxAspect).as("is_extreme_aspect"),
+        (spread < flatEps).as("is_flat"))
+  }
+
   /** Deterministic frame sampling plan for video blobs: every
     * `stride`-th frame index up to n_frames (the sampling schedule is
     * computed relationally; the per-frame decode would plug into

@@ -866,6 +866,43 @@ object LlmQueries {
         .orderBy(col("media_id"))
     }),
 
+    // image quality gate over REAL-decoded PNGs with varied shapes:
+    // w = 4m x 6 (aspect sweeps 0.67 -> 8), every 4th image a uniform
+    // color (quadrant spread 0 -> flat verdict) — size/aspect/flatness
+    // verdicts replayed relationally from the same pixel math.
+    "llm_mm_image_quality" -> ((s, dir) => {
+      import s.implicits._
+      def png(m: Int): Array[Byte] = {
+        val (w, h) = (4 * m, 6)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) {
+          val (r, g, b) =
+            if (m % 4 == 0) {
+              val c = (m * 13) % 256
+              (c, c, c)
+            } else (
+              (x * 37 + y * 101 + m * 13) % 256,
+              (x * 59 + y * 17 + m * 29) % 256,
+              (x * 7 + y * 43 + m * 71) % 256)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(img, "png", out))
+        out.toByteArray
+      }
+      val blobs = (1 to 12).map(m => (m.toLong, png(m)))
+        .toDF("media_id", "content")
+        .select(col("media_id"), lit("image").as("kind"),
+          col("content"),
+          map(lit("origin"), lit("synth")).as("meta"))
+      Multimodal.imageQuality(
+          Multimodal.extractFeatures(blobs,
+            Multimodal.MediaDecoder.ImageIO),
+          minPixels = 100L, maxAspect = 4.0, flatEps = 0.02)
+        .orderBy(col("media_id"))
+    }),
+
     // REAL-decoder image row (the llm_mm_audio_real device for the
     // other codec): 12 PNGs are synthesized with closed-form pixel
     // channels (r/g/b = integer functions of (clip, x, y)), encoded
@@ -4129,6 +4166,44 @@ object LlmQueries {
            round(rmsf, 6) AS rms, round(peakf, 6) AS peak,
            peakf >= 0.9 AS is_clipped, rmsf < 0.05 AS is_silent
          FROM st ORDER BY media_id""",
+    // image quality replay: per-m dims (w = 4m x 6), uniform-color
+    // every 4th image; spread compares float32 quadrant means before
+    // the display rounding, exactly like the engine's verdicts.
+    "llm_mm_image_quality" ->
+      s"""WITH px AS (
+           SELECT m, x, y,
+             CASE WHEN m % 4 = 0 THEN (m*13) % 256
+                  ELSE (x*37 + y*101 + m*13) % 256 END AS r,
+             CASE WHEN m % 4 = 0 THEN (m*13) % 256
+                  ELSE (x*59 + y*17 + m*29) % 256 END AS g,
+             CASE WHEN m % 4 = 0 THEN (m*13) % 256
+                  ELSE (x*7 + y*43 + m*71) % 256 END AS b,
+             (CASE WHEN y >= 3 THEN 2 ELSE 0 END +
+              CASE WHEN x >= 2*m THEN 1 ELSE 0 END) AS q
+           FROM generate_series(1, 12) t(m),
+                generate_series(0, 47) tx(x),
+                generate_series(0, 5) ty(y)
+           WHERE x < 4*m),
+         qd AS (
+           SELECT m, q, SUM(r + g + b) AS ql, COUNT(*) AS qn
+           FROM px GROUP BY m, q),
+         qdp AS (
+           SELECT m,
+             MAX(CAST(CAST(ql / (qn * 3.0 * 255.0) AS FLOAT)
+               AS DOUBLE)) -
+             MIN(CAST(CAST(ql / (qn * 3.0 * 255.0) AS FLOAT)
+               AS DOUBLE)) AS spread
+           FROM qd GROUP BY m)
+         SELECT m AS media_id, CAST(4*m AS BIGINT) AS width,
+           CAST(6 AS BIGINT) AS height,
+           CAST(24*m AS BIGINT) AS n_pixels,
+           round(greatest(4*m, 6) * 1.0 / least(4*m, 6), 6) AS aspect,
+           round(spread, 6) AS quad_spread,
+           24*m < 100 AS is_tiny,
+           greatest(4*m, 6) * 1.0 / least(4*m, 6) > 4.0
+             AS is_extreme_aspect,
+           spread < 0.02 AS is_flat
+         FROM qdp ORDER BY media_id""",
     // real-decoder image replay: closed-form pixel channels, exact
     // integer channel/quadrant sums, float32 rounding via FLOAT cast.
     "llm_mm_image_real" ->
