@@ -388,6 +388,78 @@ object CLI {
           Access.writeData(snk)
       }),
 
+    // The multimodal curation face through the lifecycle: raw media
+    // files ingested via binaryFile, decoded by the real JDK codecs,
+    // and gated by the audio/image quality verdicts — features to one
+    // sink, flagged discards to another (the safety pipeline's
+    // two-sink audit shape at blob granularity).
+    "media_audit" -> Registered(
+      "media_audit",
+      "media curation: binaryFile ingest -> JDK decode -> audio/image " +
+        "quality gates; features + flagged discards as two sinks",
+      OptionsSchema(Seq(
+        OptField("kind", Some(OptStr("image")),
+          "media kind of the input directory: image | audio"),
+        OptField("minPixels", Some(OptNum(4096)),
+          "image: minimum pixel count before the tiny verdict"),
+        OptField("maxAspect", Some(OptNum(4.0)),
+          "image: aspect ratio above which a crop is banner-shaped"),
+        OptField("flatEps", Some(OptNum(0.02)),
+          "image: quadrant-luma spread below which an image is flat"),
+        OptField("clipThreshold", Some(OptNum(0.99)),
+          "audio: peak level at/above which a clip is clipped"),
+        OptField("silenceRms", Some(OptNum(0.01)),
+          "audio: rms level below which a clip is silent"))),
+      (spark, opts) => {
+        def num(v: OptValue): Double = v match {
+          case OptNum(n) => n
+          case other     => other.render.toDouble
+        }
+        val kind = opts("kind").render
+        require(kind == "image" || kind == "audio",
+          s"media_audit: unknown kind '$kind' (image|audio)")
+        val src = VirtualFile(VPath("/media"), Seq("bin"),
+          Usage.Source)
+        val featSnk = VirtualFile(VPath("/Outputs/features"),
+          Seq("parquet"), Usage.Sink)
+        val flagSnk = VirtualFile(VPath("/Outputs/flagged"),
+          Seq("parquet"), Usage.Sink)
+        Access.getDataReader(src) >>>
+          PTask.arr { (r: Access.DataReader) =>
+            import graft.llm.Multimodal
+            // binaryFile over the bound media DIRECTORY — the real
+            // ingestion path, not a parquet read. The catalog
+            // completes extension-less bindings with the entry's
+            // default ext (a FILE-shaped contract); a directory
+            // source undoes that completion here, and a binding
+            // whose real name carries a dot is untouched.
+            val blobs = Multimodal.readBlobs(spark,
+              r.paths.head.stripSuffix(".bin"), kind)
+            val feats = Multimodal.extractFeatures(blobs,
+                Multimodal.MediaDecoder.Jdk)
+              .persist(org.apache.spark.storage.StorageLevel
+                .MEMORY_AND_DISK)
+            graft.cache.Pins.track(spark,
+              graft.access.Split.Branches((), feats))
+            val gated =
+              if (kind == "audio")
+                Multimodal.audioQuality(feats,
+                  num(opts("clipThreshold")), num(opts("silenceRms")))
+              else
+                Multimodal.imageQuality(feats,
+                  num(opts("minPixels")).toLong,
+                  num(opts("maxAspect")), num(opts("flatEps")))
+            val flagged = gated.filter(
+              if (kind == "audio")
+                col("is_clipped") || col("is_silent")
+              else
+                col("is_tiny") || col("is_extreme_aspect") ||
+                  col("is_flat"))
+            (feats, flagged)
+          } >>>
+          (Access.writeData(featSnk) *** Access.writeData(flagSnk))
+      }),
+
     // Port of the reference's example-radon (ExampleRadon.hs:76-158):
     // load observations (CSV-with-header or JSON — the example's
     // BidirSerials pair), mirror them to a debug sink unchanged, run

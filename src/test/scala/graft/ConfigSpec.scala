@@ -855,6 +855,58 @@ class ConfigSpec extends AnyFunSuite {
       "pq layer must be bucket-partitioned (the patch rewrite unit)")
   }
 
+  test("media_audit pipeline: binaryFile dir ingest -> JDK decode -> " +
+       "image quality gates; features + flagged discards as two sinks") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    val base = "/root/repo/target/scratch/cli_media"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val mediaDir = new java.io.File(s"$base/fixtures")
+    mediaDir.mkdirs()
+    def png(name: String, w: Int, h: Int,
+            pix: (Int, Int) => Int): Unit = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pix(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", out))
+      java.nio.file.Files.write(
+        new java.io.File(mediaDir, name).toPath, out.toByteArray)
+    }
+    // ok: noisy 40x30; tiny: 4x2; flat: uniform 30x30
+    png("ok.png", 40, 30,
+      (x, y) => ((x * 97 + y * 31) % 256) * 0x010101 ^ (x % 2) * 0xFF)
+    png("tiny.png", 4, 2, (x, _) => if (x < 2) 0xFF0000 else 0x0000FF)
+    png("flat.png", 30, 30, (_, _) => 0x808080)
+    val specFile = s"$base/media.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(specFile),
+      s"""data: {kind: image, minPixels: 100}
+         |locations:
+         |  /media: $base/fixtures
+         |  /Outputs/features: $base/features.parquet
+         |  /Outputs/flagged: $base/flagged.parquet
+         |""".stripMargin)
+    CLI.run(Array("media_audit", "run", specFile), spark)
+    import org.apache.spark.sql.functions.{col => c}
+    val feats = spark.read.parquet(s"$base/features.parquet")
+    assert(feats.count() == 3)
+    // features carry REAL decoded dims (the binaryFile + Jdk path)
+    val dims = feats.collect()
+      .map(r => (r.getInt(r.fieldIndex("width")),
+        r.getInt(r.fieldIndex("height")))).toSet
+    assert(dims == Set((40, 30), (4, 2), (30, 30)), s"$dims")
+    val flagged = spark.read.parquet(s"$base/flagged.parquet")
+      .collect().map(r => (r.getLong(1) * r.getLong(2),
+        r.getBoolean(r.fieldIndex("is_tiny")),
+        r.getBoolean(r.fieldIndex("is_flat")))).toSet
+    // the red|blue tiny image is ALSO luma-flat (red and blue have
+    // identical luma 1/3, so its quadrant spread is 0)
+    assert(flagged == Set((8L, true, true), (900L, false, true)),
+      s"exactly the tiny and the flat image flag: $flagged")
+    graft.cache.Pins.release(spark)
+  }
+
   test("CLI query surface: list names the inventory; run writes parquet") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")
