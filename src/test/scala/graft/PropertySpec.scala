@@ -392,4 +392,46 @@ object PropertySpec extends Properties("graft") {
         // carries the same luma; degenerate (empty) quadrants read 0
         vec.drop(4).forall(v => v == luma || v == 0.0f)
     }
+
+  // --- AudioIO decoder laws: arbitrary 16-bit PCM survives a real
+  // WAV encode→decode with EXACT frame/rate/channel metadata and
+  // exactly the directly-computed level statistics (samples are
+  // dyadic rationals; the ≤ 2^38-numerator sums stay exact in double,
+  // so the decoder's float32 outputs are deterministic functions of
+  // the integers).
+  property("multimodal.audioio-pcm-roundtrip-exact") =
+    forAll(Gen.oneOf(8000f, 16000f, 44100f), Gen.choose(1, 2),
+      Gen.nonEmptyListOf(Gen.choose(-32768, 32767))) {
+      (rate, channels, samples0) =>
+      // whole frames only: trim to a multiple of the channel count
+      val samples = samples0.take(
+        math.max(channels, samples0.size / channels * channels))
+        .padTo(channels, 0)
+      val frames = samples.size / channels
+      val pcm = samples.take(frames * channels).flatMap(v =>
+        Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)).toArray
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        rate, 16, channels, channels * 2, rate, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      val (dRate, dCh, dFrames, vec) =
+        graft.llm.Multimodal.MediaDecoder.AudioIO
+          .decode("audio", out.toByteArray)
+      def chStats(c: Int): (Float, Float) = {
+        val vs = (0 until frames)
+          .map(f => samples(f * channels + c) / 32768.0)
+        (math.sqrt(vs.map(v => v * v).sum / frames).toFloat,
+          vs.map(math.abs).max.toFloat)
+      }
+      val (r0, p0) = chStats(0)
+      val (r1, p1) = if (channels == 2) chStats(1) else (r0, p0)
+      dRate == rate.toInt && dCh == channels && dFrames == frames &&
+        vec.length == 8 &&
+        vec(0) == r0 && vec(1) == r1 && vec(2) == p0 && vec(3) == p1 &&
+        vec.forall(v => v >= 0.0f && v <= 1.0f)
+    }
 }
