@@ -440,6 +440,33 @@ class ConfigSpec extends AnyFunSuite {
     Logging.setLevel("info")
   }
 
+  test("every registered pipeline builds from schema defaults with a " +
+       "non-empty requirement tree and a renderable template") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    CLI.pipelines.foreach { case (name, reg) =>
+      val opts = reg.options.resolve(None, Nil)
+        .map { case (k, (v, _)) => k -> v }
+      val task = reg.build(spark, opts)
+      assert(task.requirements.paths.nonEmpty,
+        s"$name: empty requirement tree")
+      assert(reg.options.templateJson.render.nonEmpty,
+        s"$name: template must render")
+    }
+    // the round-12 pipelines declare their virtual files
+    assert(CLI.registry("index").build(spark,
+        CLI.registry("index").options.resolve(None, Nil)
+          .map { case (k, (v, _)) => k -> v })
+      .requirements.paths.map(_.toString).toSet
+      .intersect(Set("/documents", "/Index/layer", "/Outputs/serve"))
+      .size == 3)
+    assert(CLI.registry("media_audit").build(spark,
+        CLI.registry("media_audit").options.resolve(None, Nil)
+          .map { case (k, (v, _)) => k -> v })
+      .requirements.paths.map(_.toString).toSet ==
+      Set("/media", "/Outputs/features", "/Outputs/flagged"))
+  }
+
   test("write-config-template emits entries for all requirements") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
