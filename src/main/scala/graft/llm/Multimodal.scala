@@ -9,13 +9,16 @@ import org.apache.spark.sql.types._
   *
   * IMAGES decode for real through the JDK's own codecs
   * ([[MediaDecoder.ImageIO]]: PNG/BMP/GIF/JPEG — true dimensions +
-  * channel/quadrant statistics) and so does AUDIO
+  * channel/quadrant statistics), so does AUDIO
   * ([[MediaDecoder.AudioIO]]: WAV/AIFF/AU PCM — sample rate,
   * channels, frame count, per-channel RMS/peak + time-segment
-  * energies), both spec'd against in-memory-encoded fixtures;
-  * [[MediaDecoder.Jdk]] composes them per kind. Video decode remains
-  * STUBBED (no such codec in the JDK —
-  * [[MediaDecoder.Deterministic]], also the fallback for
+  * energies), and so does multi-frame VIDEO for the one container
+  * the JDK can enumerate ([[MediaDecoder.VideoIO]]: animated GIF —
+  * frame count, sampled-frame lumas + temporal deltas; other video
+  * codecs fall back to the stub pending an ffmpeg-backed impl), all
+  * spec'd against in-memory-encoded fixtures;
+  * [[MediaDecoder.Jdk]] composes them per kind
+  * ([[MediaDecoder.Deterministic]] is the fallback for
   * undecodable payloads). Everything Spark-side is real and tested:
   * the blob schema, `binaryFile` ingestion, partition-sized batching
   * through `mapPartitions`, the feature schema, and the downstream
@@ -244,19 +247,167 @@ object Multimodal {
       }
     }
 
+    /** REAL multi-frame (video-shaped) decoder on the JDK's own codec
+      * stack: animated GIF is the one multi-frame media container
+      * `javax.imageio` decodes without native libs, and it exercises
+      * every piece of a video decode path — frame enumeration
+      * (`reader.getNumImages(true)`), per-frame raster decode
+      * (`reader.read(i)`), and temporal feature extraction. Maps onto
+      * the shared feature contract: `width`/`height` = first frame's
+      * pixel dimensions, `n_frames` = container frame count, and an
+      * 8-dim feature vector from FOUR evenly sampled frames
+      * (indices `i*(n-1)/3`, integer division, i = 0..3 — duplicates
+      * collapse naturally for short clips):
+      * `(luma(f0), luma(f1), luma(f2), luma(f3),
+      * |luma(f1)-luma(f0)|, |luma(f2)-luma(f1)|, |luma(f3)-luma(f2)|,
+      * meanLuma)` — per-frame mean luma in [0,1]
+      * (luma = (R+G+B)/3, the [[ImageIO]] convention) plus the three
+      * consecutive-sample deltas as a temporal-activity signal (a
+      * static clip scores 0 on all three; a hard cut spikes one).
+      *
+      * Only the ≤4 sampled frames are rasterized — the frame COUNT
+      * pass reads container headers, so a 10k-frame clip costs 4
+      * decodes, not 10k. Frame stats are over each frame's RAW raster
+      * (no GIF disposal-method compositing) — for feature extraction
+      * that is the right trade: compositing state is sequential and
+      * would force decoding every prior frame. Undecodable payloads
+      * (non-video kinds, foreign/truncated codecs, zero frames) FALL
+      * BACK to [[Deterministic]] — total, like its siblings. */
+    object VideoIO extends MediaDecoder {
+      def decode(kind: String, bytes: Array[Byte])
+          : (Int, Int, Int, Array[Float]) = {
+        val decoded =
+          if (kind != "video" || bytes.isEmpty) None
+          else try {
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) None
+            else {
+              val reader = readers.next()
+              try {
+                // seekForwardOnly=false: getNumImages(allowSearch)
+                // needs to scan ahead, frame reads then seek back
+                reader.setInput(iis, false, true)
+                val n = reader.getNumImages(true)
+                if (n <= 0) None
+                else {
+                  val idx = Array.tabulate(4)(i => i * (n - 1) / 3)
+                  val luma = new Array[Double](4)
+                  var w = 0; var h = 0
+                  var i = 0
+                  while (i < 4) {
+                    // duplicate indices (short clips) decode once
+                    if (i > 0 && idx(i) == idx(i - 1)) luma(i) = luma(i - 1)
+                    else {
+                      val img = reader.read(idx(i))
+                      if (i == 0) { w = img.getWidth; h = img.getHeight }
+                      var sum = 0L
+                      var y = 0
+                      while (y < img.getHeight) {
+                        var x = 0
+                        while (x < img.getWidth) {
+                          val rgb = img.getRGB(x, y)
+                          sum += ((rgb >> 16) & 0xFF) +
+                            ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+                          x += 1
+                        }
+                        y += 1
+                      }
+                      luma(i) = sum.toDouble /
+                        (img.getWidth.toLong * img.getHeight * 3.0 * 255.0)
+                    }
+                    i += 1
+                  }
+                  val vec = Array(
+                    luma(0).toFloat, luma(1).toFloat,
+                    luma(2).toFloat, luma(3).toFloat,
+                    math.abs(luma(1) - luma(0)).toFloat,
+                    math.abs(luma(2) - luma(1)).toFloat,
+                    math.abs(luma(3) - luma(2)).toFloat,
+                    ((luma(0) + luma(1) + luma(2) + luma(3)) / 4.0).toFloat)
+                  Some((w, h, n, vec))
+                }
+              } finally reader.dispose()
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        decoded.getOrElse(Deterministic.decode(kind, bytes))
+      }
+    }
+
     /** Production composite: dispatch each blob to the JDK codec for
       * its kind — [[ImageIO]] for images, [[AudioIO]] for audio,
-      * [[Deterministic]] for video (no JDK video codec exists) and
-      * anything else. One decoder instance serves a whole partition,
-      * like its parts. */
+      * [[VideoIO]] for video (multi-frame GIF; other containers fall
+      * back inside it), [[Deterministic]] for anything else. One
+      * decoder instance serves a whole partition, like its parts. */
     object Jdk extends MediaDecoder {
       def decode(kind: String, bytes: Array[Byte])
           : (Int, Int, Int, Array[Float]) = kind match {
         case "image" => ImageIO.decode(kind, bytes)
         case "audio" => AudioIO.decode(kind, bytes)
+        case "video" => VideoIO.decode(kind, bytes)
         case _       => Deterministic.decode(kind, bytes)
       }
     }
+  }
+
+  /** Encode frames as an animated GIF (the sink-side complement of
+    * [[MediaDecoder.VideoIO]] — preview strips, resampled clips, spec
+    * fixtures). Pure JDK: the `javax.imageio` GIF writer in sequence
+    * mode with a per-frame GraphicControlExtension carrying
+    * `delayCs` (centiseconds). Frames using an explicit
+    * `IndexColorModel` (`TYPE_BYTE_INDEXED`) round-trip their palette
+    * EXACTLY — the property [[MediaDecoder.VideoIO]]'s spec and
+    * oracle row rely on; true-color frames get quantized by the
+    * writer (GIF is an 8-bit-palette format). */
+  def encodeGif(frames: Seq[java.awt.image.BufferedImage],
+                delayCs: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty, "encodeGif: no frames")
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { img =>
+        val meta = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img),
+          writer.getDefaultWriteParam)
+        val fmt = meta.getNativeMetadataFormatName
+        val root = meta.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        // find-or-create the GraphicControlExtension node (the
+        // default tree may or may not carry one)
+        val gce = {
+          var node = root.getFirstChild
+          while (node != null &&
+              node.getNodeName != "GraphicControlExtension")
+            node = node.getNextSibling
+          if (node != null)
+            node.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          else {
+            val fresh = new javax.imageio.metadata.IIOMetadataNode(
+              "GraphicControlExtension")
+            root.appendChild(fresh)
+            fresh
+          }
+        }
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("transparentColorIndex", "0")
+        gce.setAttribute("delayTime", delayCs.toString)
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, meta), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      ios.close()
+      writer.dispose()
+    }
+    bos.toByteArray
   }
 
   /** Ingest a directory of raw files as blobs (binaryFile source). */

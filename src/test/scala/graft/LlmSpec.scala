@@ -695,6 +695,76 @@ class LlmSpec extends AnyFunSuite {
       "Jdk composite must route audio to AudioIO")
   }
 
+  test("multimodal: VideoIO decoder enumerates REAL frames of an " +
+       "animated GIF and extracts sampled lumas + temporal deltas; " +
+       "junk falls back to the stub") {
+    import spark.implicits._
+    // uniform-color frames on an EXPLICIT 2-entry palette: GIF stores
+    // the palette verbatim, so the decode is bit-exact
+    def frame(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+      val cm = new java.awt.image.IndexColorModel(8, 2,
+        Array(((rgb >> 16) & 0xFF).toByte, 0.toByte),
+        Array(((rgb >> 8) & 0xFF).toByte, 0.toByte),
+        Array((rgb & 0xFF).toByte, 0.toByte))
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val g2 = img.createGraphics()
+      try { g2.setColor(new java.awt.Color(rgb)); g2.fillRect(0, 0, w, h) }
+      finally g2.dispose()
+      img
+    }
+    // 5 frames, colors (40f+10, 30f+5, 20f+3): lumaSum(f) = 90f+18
+    def rgbOf(f: Int) =
+      ((40 * f + 10) << 16) | ((30 * f + 5) << 8) | (20 * f + 3)
+    val gif = Multimodal.encodeGif(
+      (0 until 5).map(f => frame(6, 4, rgbOf(f))))
+    val feats = Multimodal.extractFeatures(
+      Multimodal.asBlobs(Seq((1L, gif)).toDF("doc_id", "b"),
+        "doc_id", "b", "video"),
+      Multimodal.MediaDecoder.VideoIO).head()
+    assert(feats.getInt(4) == 6 && feats.getInt(5) == 4,
+      s"frame dims: $feats")
+    assert(feats.getInt(6) == 5, s"frame count: $feats")
+    // sampled indices i*(n-1)/3 for n=5: 0, 1, 2, 4
+    def luma(f: Int) = ((90 * f + 18) / 765.0)
+    val expect = Seq(
+      luma(0).toFloat, luma(1).toFloat, luma(2).toFloat, luma(4).toFloat,
+      (luma(1) - luma(0)).toFloat, (luma(2) - luma(1)).toFloat,
+      (luma(4) - luma(2)).toFloat,
+      ((luma(0) + luma(1) + luma(2) + luma(4)) / 4.0).toFloat)
+    assert(feats.getSeq[Float](7) == expect,
+      s"sampled lumas: ${feats.getSeq[Float](7)} vs $expect")
+    // a STATIC clip (2 identical frames): temporal deltas all zero
+    val still = Multimodal.encodeGif(
+      Seq.fill(2)(frame(3, 3, rgbOf(1))))
+    val sf = Multimodal.extractFeatures(
+      Multimodal.asBlobs(Seq((2L, still)).toDF("doc_id", "b"),
+        "doc_id", "b", "video"),
+      Multimodal.MediaDecoder.VideoIO).head()
+    assert(sf.getInt(6) == 2)
+    assert(sf.getSeq[Float](7) == Seq(luma(1).toFloat, luma(1).toFloat,
+      luma(1).toFloat, luma(1).toFloat, 0.0f, 0.0f, 0.0f,
+      luma(1).toFloat), s"static clip: ${sf.getSeq[Float](7)}")
+    // junk payload under kind=video degrades to the stub exactly;
+    // and the Jdk composite dispatches video to VideoIO
+    val junk = Multimodal.asBlobs(
+      Seq((9L, "definitely not a gif")).toDF("doc_id", "text"),
+      "doc_id", "text", "video")
+    val real = Multimodal.extractFeatures(junk,
+      Multimodal.MediaDecoder.VideoIO).head()
+    val stub = Multimodal.extractFeatures(junk,
+      Multimodal.MediaDecoder.Deterministic).head()
+    assert(real == stub,
+      "undecodable payloads must match the stub fallback exactly")
+    val viaJdk = Multimodal.extractFeatures(
+      Multimodal.asBlobs(Seq((1L, gif)).toDF("doc_id", "b"),
+        "doc_id", "b", "video"),
+      Multimodal.MediaDecoder.Jdk).head()
+    assert(viaJdk.getSeq[Float](7) == expect &&
+      viaJdk.getInt(6) == 5,
+      "Jdk composite must route video to VideoIO")
+  }
+
   test("multimodal: resizeBlobs keeps schema + ids, rewrites content") {
     val blobs = Multimodal.asBlobs(docs.limit(20), "doc_id", "text", "image")
     val resized = Multimodal.resizeBlobs(blobs, 8, 8)
