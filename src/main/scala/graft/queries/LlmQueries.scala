@@ -947,6 +947,60 @@ object LlmQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL-decoder video row (the image_real/audio_real device for
+    // the multi-frame codec): 10 animated GIFs are synthesized with
+    // uniform-color frames on explicit 2-entry palettes (r/g/b =
+    // integer functions of (clip, frame) — GIF stores the palette
+    // verbatim, so decode is bit-exact) and decoded through the
+    // ACTUAL javax.imageio frame enumerator; the oracle replays the
+    // frame count, the i*(n-1)/3 sampling schedule, and the
+    // luma/delta arithmetic from the same integer math. A uniform
+    // w x h frame's mean luma (sum*wh)/(wh*765) rounds identically
+    // to (r+g+b)/765 — both divide the same exact real — so the only
+    // rounding is the decoder's float32 output, replicated with an
+    // explicit FLOAT cast.
+    "llm_mm_video_real" -> ((s, dir) => {
+      import s.implicits._
+      def frame(m: Int, f: Int): java.awt.image.BufferedImage = {
+        val r = (m * 37 + f * 91) % 256
+        val g = (m * 59 + f * 53) % 256
+        val b = (m * 7 + f * 29) % 256
+        val cm = new java.awt.image.IndexColorModel(8, 2,
+          Array(r.toByte, 0.toByte), Array(g.toByte, 0.toByte),
+          Array(b.toByte, 0.toByte))
+        val img = new java.awt.image.BufferedImage(8, 5,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val g2 = img.createGraphics()
+        try {
+          g2.setColor(new java.awt.Color(r, g, b))
+          g2.fillRect(0, 0, 8, 5)
+        } finally g2.dispose()
+        img
+      }
+      def gif(m: Int): Array[Byte] =
+        Multimodal.encodeGif(
+          (0 until (2 + m % 5)).map(f => frame(m, f)))
+      val blobs = (1 to 10).map(m => (m.toLong, gif(m)))
+        .toDF("media_id", "content")
+        .select(col("media_id"), lit("video").as("kind"),
+          col("content"),
+          map(lit("origin"), lit("synth")).as("meta"))
+      val feats = Multimodal.extractFeatures(blobs,
+        Multimodal.MediaDecoder.VideoIO)
+      def vecAt(i: Int, name: String) =
+        round(element_at(col("feature_vec"), i).cast("double"), 6)
+          .as(name)
+      feats.select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          vecAt(1, "luma_f0"), vecAt(2, "luma_f1"),
+          vecAt(3, "luma_f2"), vecAt(4, "luma_f3"),
+          vecAt(5, "delta_01"), vecAt(6, "delta_12"),
+          vecAt(7, "delta_23"), vecAt(8, "mean_luma"))
+        .orderBy(col("media_id"))
+    }),
+
     // video path: stub decode -> every-7th-frame sampling schedule
     // (the relational plan a per-frame decoder plugs into).
     "llm_mm_frames" -> ((s, dir) => {
@@ -4242,6 +4296,42 @@ object LlmQueries {
            round(quads[3], 6) AS luma_bl, round(quads[4], 6) AS luma_br
          FROM ch JOIN qdp ON qdp.m = ch.m
          ORDER BY media_id""",
+    // real-decoder video replay: frame count n = 2 + m%5, sampling
+    // schedule f_i = i*(n-1)//3, uniform-frame luma = (r+g+b)/765
+    // (same exact real quotient as the engine's per-pixel sum),
+    // float32 rounding via FLOAT cast; deltas/mean computed on the
+    // DOUBLE lumas then float-cast, matching the decoder.
+    "llm_mm_video_real" ->
+      s"""WITH clips AS (
+           SELECT m, 2 + (m % 5) AS n
+           FROM generate_series(1, 10) t(m)),
+         samp AS (
+           SELECT m, n, i, (i * (n - 1)) // 3 AS f
+           FROM clips, generate_series(0, 3) s(i)),
+         lum AS (
+           SELECT m, n, i,
+             (((m*37 + f*91) % 256 + (m*59 + f*53) % 256 +
+               (m*7 + f*29) % 256) / 765.0) AS l
+           FROM samp),
+         lp AS (
+           SELECT m, MAX(n) AS n, list(l ORDER BY i) AS ls
+           FROM lum GROUP BY m)
+         SELECT m AS media_id,
+           CAST(8 AS BIGINT) AS width, CAST(5 AS BIGINT) AS height,
+           CAST(n AS BIGINT) AS n_frames,
+           round(CAST(CAST(ls[1] AS FLOAT) AS DOUBLE), 6) AS luma_f0,
+           round(CAST(CAST(ls[2] AS FLOAT) AS DOUBLE), 6) AS luma_f1,
+           round(CAST(CAST(ls[3] AS FLOAT) AS DOUBLE), 6) AS luma_f2,
+           round(CAST(CAST(ls[4] AS FLOAT) AS DOUBLE), 6) AS luma_f3,
+           round(CAST(CAST(ABS(ls[2] - ls[1]) AS FLOAT) AS DOUBLE), 6)
+             AS delta_01,
+           round(CAST(CAST(ABS(ls[3] - ls[2]) AS FLOAT) AS DOUBLE), 6)
+             AS delta_12,
+           round(CAST(CAST(ABS(ls[4] - ls[3]) AS FLOAT) AS DOUBLE), 6)
+             AS delta_23,
+           round(CAST(CAST((ls[1] + ls[2] + ls[3] + ls[4]) / 4.0
+             AS FLOAT) AS DOUBLE), 6) AS mean_luma
+         FROM lp ORDER BY media_id""",
     // video stub decoder: frames = 1 + (h32 >> 18) % 120; sampling
     // schedule = generate_series with the stride.
     "llm_mm_frames" ->
