@@ -629,6 +629,98 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
           .as("frame_idx"))
 
+  /** Perceptual image hash (dHash on exact area averages): decode
+    * through the REAL JDK codec, bucket pixels into a 9x8 luma grid
+    * (cell of (x,y) = (x*9/w, y*8/h), integer floor — the grid IS the
+    * downscale, an exact area average instead of a resampler's
+    * interpolation), then emit 64 gradient bits: bit (r,c) set iff
+    * cell (r,c+1)'s mean luma exceeds cell (r,c)'s. The comparison is
+    * CROSS-MULTIPLIED integer arithmetic (`sumR*nL > sumL*nR` — no
+    * division, no floats), so the hash is bit-exact and replayable in
+    * plain SQL; products stay under 2^63 for any image to ~2^36
+    * pixels (765*n/72 * n/72 < 2^63), far past what any in-memory
+    * codec decodes. Pixel-identical re-encodes (PNG vs BMP vs
+    * lossless crops of the same raster) collide exactly; small edits
+    * flip few bits, so Hamming distance ranks perceptual similarity.
+    * Undecodable payloads yield NULL (a perceptual hash of undecoded
+    * bytes would pair arbitrary junk) — [[blobNearDupPairs]] is the
+    * codec-free layer for those.
+    *
+    * Scale: one partition-batched decode pass over the blob scan
+    * (blobs never shuffle; 8-byte hashes do) — the same contract as
+    * [[extractFeatures]]. Output `(<idCol>, phash)`. */
+  def imagePhash(blobs: DataFrame, idCol: String = "media_id",
+                 contentCol: String = "content"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("phash", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    blobs.select(col(idCol).cast("long"), col(contentCol))
+      .mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val bytes =
+            if (row.isNullAt(1)) Array.empty[Byte]
+            else row.getAs[Array[Byte]](1)
+          val img =
+            if (bytes.isEmpty) null
+            else
+              try javax.imageio.ImageIO.read(
+                new javax.imageio.stream.MemoryCacheImageInputStream(
+                  new java.io.ByteArrayInputStream(bytes)))
+              catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) Row(id, null)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val sums = Array.ofDim[Long](8, 9)
+            val ns = Array.ofDim[Long](8, 9)
+            var y = 0
+            while (y < h) {
+              val cy = (y.toLong * 8 / h).toInt
+              var x = 0
+              while (x < w) {
+                val cx = (x.toLong * 9 / w).toInt
+                val rgb = img.getRGB(x, y)
+                sums(cy)(cx) += ((rgb >> 16) & 0xFF) +
+                  ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+                ns(cy)(cx) += 1L
+                x += 1
+              }
+              y += 1
+            }
+            var hash = 0L
+            var r = 0
+            while (r < 8) {
+              var c = 0
+              while (c < 8) {
+                // empty cells (w < 9 or h < 8) compare false — total
+                if (sums(r)(c + 1) * ns(r)(c) >
+                    sums(r)(c) * ns(r)(c + 1))
+                  hash |= 1L << (r * 8 + c)
+                c += 1
+              }
+              r += 1
+            }
+            Row(id, hash)
+          }
+        }
+      }(enc).toDF()
+  }
+
+  /** Perceptual near-duplicate image pairs: [[imagePhash]] signatures
+    * through the SAME 4x16-bit banded join as the text/byte SimHash
+    * layers (`Hamming <= 3` is pigeonhole-complete). Output
+    * `(id_a, id_b, hamming)`. The decode pass dominates; the pair
+    * join moves 8-byte signatures only. */
+  def phashNearDupPairs(blobs: DataFrame, maxDist: Int = 3,
+                        idCol: String = "media_id",
+                        contentCol: String = "content"): DataFrame =
+    graft.llm.Dedup.simHashPairsFromSigs(
+      imagePhash(blobs, idCol, contentCol)
+        .select(col(idCol).as("id"), col("phash").as("simhash"))
+        .where(col("simhash").isNotNull),
+      maxDist)
+
   /** Codec-free near-identical-blob pairs: byte-level SimHash
     * (distinct 4-byte windows voting, native
     * [[graft.functions.SketchExprs.simhashBytes]] kernel) banded into

@@ -1001,6 +1001,77 @@ object LlmQueries {
         .orderBy(col("media_id"))
     }),
 
+    // Perceptual dHash over REAL-decoded pixels: 12 closed-form PNGs
+    // (the image_real pixel formula on an 18x16 raster so the 9x8
+    // grid is exact 2x2 area averages); the oracle recomputes the
+    // 64 cross-multiplied gradient bits from the same integer math —
+    // no floats anywhere, so the hash matches bit-for-bit. The
+    // 64-bit value rides as two 32-bit halves (BIGINT-safe on both
+    // engines).
+    "llm_mm_phash" -> ((s, dir) => {
+      import s.implicits._
+      val (w, h) = (18, 16)
+      def png(m: Int): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) {
+          val r = (x * 37 + y * 101 + m * 13) % 256
+          val g = (x * 59 + y * 17 + m * 29) % 256
+          val b = (x * 7 + y * 43 + m * 71) % 256
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(img, "png", out))
+        out.toByteArray
+      }
+      val blobs = (1 to 12).map(m => (m.toLong, png(m)))
+        .toDF("media_id", "content")
+        .select(col("media_id"), lit("image").as("kind"),
+          col("content"),
+          map(lit("origin"), lit("synth")).as("meta"))
+      Multimodal.imagePhash(blobs)
+        .select(col("media_id"),
+          shiftrightunsigned(col("phash"), 32).as("phash_hi"),
+          col("phash").bitwiseAND(lit(0xFFFFFFFFL)).as("phash_lo"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Perceptual near-dup pairs: each PNG also ships as a
+    // pixel-identical BMP re-encode (id + 100) — different container
+    // bytes, same raster, so dHash collides exactly and the banded
+    // join surfaces every (m, m+100) pair at Hamming 0; the oracle
+    // replays the hashes once per raster and takes full pairwise
+    // bit_count(xor) <= 3, which the 4x16-band pigeonhole guarantees
+    // the engine matches.
+    "llm_mm_phash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val (w, h) = (18, 16)
+      def raster(m: Int): java.awt.image.BufferedImage = {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) {
+          val r = (x * 37 + y * 101 + m * 13) % 256
+          val g = (x * 59 + y * 17 + m * 29) % 256
+          val b = (x * 7 + y * 43 + m * 71) % 256
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        }
+        img
+      }
+      def enc(m: Int, fmt: String): Array[Byte] = {
+        val out = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(raster(m), fmt, out))
+        out.toByteArray
+      }
+      val blobs = ((1 to 12).map(m => (m.toLong, enc(m, "png"))) ++
+          (1 to 12).map(m => (m.toLong + 100, enc(m, "bmp"))))
+        .toDF("media_id", "content")
+        .select(col("media_id"), lit("image").as("kind"),
+          col("content"),
+          map(lit("origin"), lit("synth")).as("meta"))
+      Multimodal.phashNearDupPairs(blobs)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // video path: stub decode -> every-7th-frame sampling schedule
     // (the relational plan a per-frame decoder plugs into).
     "llm_mm_frames" -> ((s, dir) => {
@@ -4332,6 +4403,77 @@ object LlmQueries {
            round(CAST(CAST((ls[1] + ls[2] + ls[3] + ls[4]) / 4.0
              AS FLOAT) AS DOUBLE), 6) AS mean_luma
          FROM lp ORDER BY media_id""",
+    // perceptual dHash replay: same pixel formula, 9x8 cell sums,
+    // cross-multiplied gradient bits, hash packed as two 32-bit
+    // halves (1::BIGINT << idx stays in-range; SUM's HUGEINT result
+    // casts back down losslessly).
+    "llm_mm_phash" ->
+      s"""WITH px AS (
+           SELECT m, x, y,
+             ((x*37 + y*101 + m*13) % 256 +
+              (x*59 + y*17 + m*29) % 256 +
+              (x*7 + y*43 + m*71) % 256) AS luma,
+             (x*9)//18 AS cx, (y*8)//16 AS cy
+           FROM generate_series(1, 12) t(m),
+                generate_series(0, 17) tx(x),
+                generate_series(0, 15) ty(y)),
+         cells AS (
+           SELECT m, cx, cy, SUM(luma) AS s, COUNT(*) AS n
+           FROM px GROUP BY m, cx, cy),
+         bits AS (
+           SELECT l.m, l.cy*8 + l.cx AS idx,
+             CASE WHEN r.s*l.n > l.s*r.n THEN 1 ELSE 0 END AS bit
+           FROM cells l JOIN cells r
+             ON r.m = l.m AND r.cy = l.cy AND r.cx = l.cx + 1)
+         SELECT m AS media_id,
+           CAST(SUM(CASE WHEN idx >= 32
+             THEN bit * (1::BIGINT << (idx - 32)) ELSE 0 END)
+             AS BIGINT) AS phash_hi,
+           CAST(SUM(CASE WHEN idx < 32
+             THEN bit * (1::BIGINT << idx) ELSE 0 END)
+             AS BIGINT) AS phash_lo
+         FROM bits GROUP BY m ORDER BY media_id""",
+    // perceptual near-dup replay: hashes once per raster, cloned to
+    // both container ids (m, m+100), full pairwise Hamming via
+    // bit_count(xor) on the halves — complete for <= 3 by the band
+    // pigeonhole, so it equals the engine's banded join.
+    "llm_mm_phash_pairs" ->
+      s"""WITH px AS (
+           SELECT m, x, y,
+             ((x*37 + y*101 + m*13) % 256 +
+              (x*59 + y*17 + m*29) % 256 +
+              (x*7 + y*43 + m*71) % 256) AS luma,
+             (x*9)//18 AS cx, (y*8)//16 AS cy
+           FROM generate_series(1, 12) t(m),
+                generate_series(0, 17) tx(x),
+                generate_series(0, 15) ty(y)),
+         cells AS (
+           SELECT m, cx, cy, SUM(luma) AS s, COUNT(*) AS n
+           FROM px GROUP BY m, cx, cy),
+         bits AS (
+           SELECT l.m, l.cy*8 + l.cx AS idx,
+             CASE WHEN r.s*l.n > l.s*r.n THEN 1 ELSE 0 END AS bit
+           FROM cells l JOIN cells r
+             ON r.m = l.m AND r.cy = l.cy AND r.cx = l.cx + 1),
+         hashes AS (
+           SELECT m,
+             CAST(SUM(CASE WHEN idx >= 32
+               THEN bit * (1::BIGINT << (idx - 32)) ELSE 0 END)
+               AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN idx < 32
+               THEN bit * (1::BIGINT << idx) ELSE 0 END)
+               AS BIGINT) AS lo
+           FROM bits GROUP BY m),
+         ids AS (
+           SELECT m + 100*o AS id, hi, lo
+           FROM hashes, generate_series(0, 1) g(o))
+         SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.hi, b.hi)) +
+                bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+         FROM ids a JOIN ids b ON a.id < b.id
+         WHERE bit_count(xor(a.hi, b.hi)) +
+               bit_count(xor(a.lo, b.lo)) <= 3
+         ORDER BY id_a, id_b""",
     // video stub decoder: frames = 1 + (h32 >> 18) % 120; sampling
     // schedule = generate_series with the stride.
     "llm_mm_frames" ->

@@ -765,6 +765,53 @@ class LlmSpec extends AnyFunSuite {
       "Jdk composite must route video to VideoIO")
   }
 
+  test("multimodal: imagePhash is container-invariant (PNG == BMP " +
+       "of the same raster), edit-local (one corner edit flips few " +
+       "bits), and NULL on undecodable payloads") {
+    import spark.implicits._
+    def raster(edit: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(18, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 18)
+        img.setRGB(x, y, ((x * 37 + y * 101) % 256 << 16) |
+          ((x * 59 + y * 17) % 256 << 8) | (x * 7 + y * 43) % 256)
+      // a hard local edit: blank the 2x2 top-left cell
+      if (edit) for (y <- 0 until 2; x <- 0 until 2)
+        img.setRGB(x, y, 0xFFFFFF)
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String) = {
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out))
+      out.toByteArray
+    }
+    val blobs = Seq(
+        (1L, enc(raster(false), "png")),
+        (2L, enc(raster(false), "bmp")),
+        (3L, enc(raster(true), "png")),
+        (4L, "not an image at all".getBytes("UTF-8")))
+      .toDF("doc_id", "b")
+    val ph = Multimodal.imagePhash(
+        Multimodal.asBlobs(blobs, "doc_id", "b", "image"))
+      .collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(ph(1).isDefined && ph(1) == ph(2),
+      s"re-encode must collide: ${ph(1)} vs ${ph(2)}")
+    assert(ph(4).isEmpty, "undecodable payload must hash to NULL")
+    val d = java.lang.Long.bitCount(ph(1).get ^ ph(3).get)
+    assert(d >= 1 && d <= 3,
+      s"a one-cell edit must flip a small positive number of bits: $d")
+    // the banded pair join surfaces exactly the near pairs
+    val pairs = Multimodal.phashNearDupPairs(
+        Multimodal.asBlobs(blobs, "doc_id", "b", "image"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    assert(pairs.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"pairs: $pairs")
+    assert(pairs((1L, 2L)) == 0 && pairs((1L, 3L)) == d)
+  }
+
   test("multimodal: resizeBlobs keeps schema + ids, rewrites content") {
     val blobs = Multimodal.asBlobs(docs.limit(20), "doc_id", "text", "image")
     val resized = Multimodal.resizeBlobs(blobs, 8, 8)
