@@ -179,32 +179,42 @@ object Multimodal {
       * of killing the 100 TB stage. Thread-safe: every call builds
       * its own streams over the in-memory payload. */
     object AudioIO extends MediaDecoder {
+      /** Decode any JDK-supported audio container to 16-bit LE PCM:
+        * `(sampleRate, channels, pcmBytes)`. Non-16-bit-LE payloads
+        * go through the JDK's own transcoders; anything undecodable
+        * or zero-frame yields None. Shared by the feature decoder and
+        * [[Multimodal.audioFingerprint]]. */
+      private[llm] def decodePcm16(bytes: Array[Byte])
+          : Option[(Int, Int, Array[Byte])] =
+        if (bytes.isEmpty) None
+        else try {
+          val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val f = src.getFormat
+          val pcm16 =
+            f.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            f.getSampleSizeInBits == 16 && !f.isBigEndian
+          val in =
+            if (pcm16) src
+            else javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new javax.sound.sampled.AudioFormat(
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+                f.getSampleRate, 16, f.getChannels,
+                f.getChannels * 2, f.getSampleRate, false), src)
+          val pcm = try in.readAllBytes() finally in.close()
+          val channels = in.getFormat.getChannels
+          if (pcm.length / (channels * 2) == 0) None
+          else Some((in.getFormat.getSampleRate.toInt, channels, pcm))
+        } catch { case scala.util.control.NonFatal(_) => None }
+
       def decode(kind: String, bytes: Array[Byte])
           : (Int, Int, Int, Array[Float]) = {
         val decoded =
-          if (kind != "audio" || bytes.isEmpty) None
-          else try {
-            val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(bytes))
-            val f = src.getFormat
-            val pcm16 =
-              f.getEncoding ==
-                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-              f.getSampleSizeInBits == 16 && !f.isBigEndian
-            val in =
-              if (pcm16) src
-              else javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new javax.sound.sampled.AudioFormat(
-                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-                  f.getSampleRate, 16, f.getChannels,
-                  f.getChannels * 2, f.getSampleRate, false), src)
-            val pcm = try in.readAllBytes() finally in.close()
-            val channels = in.getFormat.getChannels
-            val frames = pcm.length / (channels * 2)
-            if (frames == 0) None
-            else Some(stats(pcm, in.getFormat.getSampleRate.toInt,
-              channels, frames))
-          } catch { case scala.util.control.NonFatal(_) => None }
+          if (kind != "audio") None
+          else decodePcm16(bytes).map { case (rate, channels, pcm) =>
+            stats(pcm, rate, channels, pcm.length / (channels * 2))
+          }
         decoded.getOrElse(Deterministic.decode(kind, bytes))
       }
 
@@ -718,6 +728,80 @@ object Multimodal {
     graft.llm.Dedup.simHashPairsFromSigs(
       imagePhash(blobs, idCol, contentCol)
         .select(col(idCol).as("id"), col("phash").as("simhash"))
+        .where(col("simhash").isNotNull),
+      maxDist)
+
+  /** Acoustic fingerprint (segment-energy gradient bits over REAL
+    * PCM): decode through the JDK codec stack ([[MediaDecoder.AudioIO]]
+    * — WAV/AIFF/AU, any PCM width via the JDK transcoders), truncate
+    * to the longest prefix divisible into 64 EQUAL-length segments
+    * (`fpf = frames/64` frames each — equal lengths keep every
+    * comparison a pure integer `Long` compare, no cross-multiply
+    * needed), accumulate each segment's energy `Σ sample²` exactly in
+    * `Long` (signed-16-bit squares; overflow would need 2^33 samples
+    * per segment), and emit 64 bits: bit i set iff
+    * `energy(i) > energy((i+1) mod 64)` — the circular energy-contour
+    * gradient. Container-invariant by construction: WAV and AIFF of
+    * the same PCM transcode to identical samples, so they collide at
+    * Hamming 0, while a local edit disturbs only the bits touching
+    * the edited segments. Clips shorter than 64 frames (and anything
+    * undecodable) yield NULL. Output `(<idCol>, afp)`; one
+    * partition-batched decode pass, 8-byte signatures shuffle. */
+  def audioFingerprint(blobs: DataFrame, idCol: String = "media_id",
+                       contentCol: String = "content"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("afp", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    blobs.select(col(idCol).cast("long"), col(contentCol))
+      .mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val bytes =
+            if (row.isNullAt(1)) Array.empty[Byte]
+            else row.getAs[Array[Byte]](1)
+          val fp = MediaDecoder.AudioIO.decodePcm16(bytes)
+            .flatMap { case (_, channels, pcm) =>
+              val frames = pcm.length / (channels * 2)
+              val fpf = frames / 64
+              if (fpf == 0) None
+              else {
+                val e = new Array[Long](64)
+                var fr = 0
+                while (fr < fpf * 64) {
+                  val seg = fr / fpf
+                  var c = 0
+                  while (c < channels) {
+                    val i = (fr * channels + c) * 2
+                    val s = (pcm(i + 1).toInt << 8) | (pcm(i) & 0xFF)
+                    e(seg) += s.toLong * s
+                    c += 1
+                  }
+                  fr += 1
+                }
+                var hash = 0L
+                var i = 0
+                while (i < 64) {
+                  if (e(i) > e((i + 1) % 64)) hash |= 1L << i
+                  i += 1
+                }
+                Some(hash)
+              }
+            }
+          Row(id, fp.map(java.lang.Long.valueOf).orNull)
+        }
+      }(enc).toDF()
+  }
+
+  /** Acoustic near-duplicate pairs: [[audioFingerprint]] signatures
+    * through the shared 4x16-bit banded join (`Hamming <= 3`
+    * pigeonhole-complete). Output `(id_a, id_b, hamming)`. */
+  def audioNearDupPairs(blobs: DataFrame, maxDist: Int = 3,
+                        idCol: String = "media_id",
+                        contentCol: String = "content"): DataFrame =
+    graft.llm.Dedup.simHashPairsFromSigs(
+      audioFingerprint(blobs, idCol, contentCol)
+        .select(col(idCol).as("id"), col("afp").as("simhash"))
         .where(col("simhash").isNotNull),
       maxDist)
 

@@ -1072,6 +1072,89 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Acoustic fingerprint over REAL-decoded PCM: the audio_real
+    // clips (256 frames -> 64 segments x 4 frames), fingerprint =
+    // circular energy-gradient bits; every quantity is an exact
+    // integer (Long sums of int16 squares, pure compares), so the
+    // oracle replays the hash bit-for-bit from the closed-form
+    // sample function. Halves-packed like llm_mm_phash.
+    "llm_mm_audio_fp" -> ((s, dir) => {
+      import s.implicits._
+      val frames = 256
+      def wav(m: Int): Array[Byte] = {
+        val k = 2 * m + 1
+        val pcm = new Array[Byte](frames * 2)
+        var i = 0
+        while (i < frames) {
+          val v =
+            (((i.toLong * k * 2654435761L) % 65536L) - 32768L).toInt
+          pcm(2 * i) = (v & 0xFF).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          8000f, 16, 1, 2, 8000f, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        out.toByteArray
+      }
+      val blobs = (1 to 16).map(m => (m.toLong, wav(m)))
+        .toDF("media_id", "content")
+        .select(col("media_id"), lit("audio").as("kind"),
+          col("content"),
+          map(lit("origin"), lit("synth")).as("meta"))
+      Multimodal.audioFingerprint(blobs)
+        .select(col("media_id"),
+          shiftrightunsigned(col("afp"), 32).as("afp_hi"),
+          col("afp").bitwiseAND(lit(0xFFFFFFFFL)).as("afp_lo"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Acoustic near-dup pairs: each clip also ships as an AIFF
+    // re-encode (id + 100) — big-endian container, same PCM samples
+    // after the JDK transcode, so fingerprints collide exactly; the
+    // oracle replays hashes once per clip and takes full pairwise
+    // bit_count(xor) <= 3 (band-pigeonhole-complete).
+    "llm_mm_audio_fp_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val frames = 256
+      def clip(m: Int, aiff: Boolean): Array[Byte] = {
+        val k = 2 * m + 1
+        val pcm = new Array[Byte](frames * 2)
+        var i = 0
+        while (i < frames) {
+          val v =
+            (((i.toLong * k * 2654435761L) % 65536L) - 32768L).toInt
+          val (lo, hi) = ((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+          if (aiff) { pcm(2 * i) = hi; pcm(2 * i + 1) = lo }
+          else { pcm(2 * i) = lo; pcm(2 * i + 1) = hi }
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          8000f, 16, 1, 2, 8000f, aiff)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          if (aiff) javax.sound.sampled.AudioFileFormat.Type.AIFF
+          else javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        out.toByteArray
+      }
+      val blobs = ((1 to 16).map(m => (m.toLong, clip(m, false))) ++
+          (1 to 16).map(m => (m.toLong + 100, clip(m, true))))
+        .toDF("media_id", "content")
+        .select(col("media_id"), lit("audio").as("kind"),
+          col("content"),
+          map(lit("origin"), lit("synth")).as("meta"))
+      Multimodal.audioNearDupPairs(blobs)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // video path: stub decode -> every-7th-frame sampling schedule
     // (the relational plan a per-frame decoder plugs into).
     "llm_mm_frames" -> ((s, dir) => {
@@ -4455,6 +4538,66 @@ object LlmQueries {
              CASE WHEN r.s*l.n > l.s*r.n THEN 1 ELSE 0 END AS bit
            FROM cells l JOIN cells r
              ON r.m = l.m AND r.cy = l.cy AND r.cx = l.cx + 1),
+         hashes AS (
+           SELECT m,
+             CAST(SUM(CASE WHEN idx >= 32
+               THEN bit * (1::BIGINT << (idx - 32)) ELSE 0 END)
+               AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN idx < 32
+               THEN bit * (1::BIGINT << idx) ELSE 0 END)
+               AS BIGINT) AS lo
+           FROM bits GROUP BY m),
+         ids AS (
+           SELECT m + 100*o AS id, hi, lo
+           FROM hashes, generate_series(0, 1) g(o))
+         SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.hi, b.hi)) +
+                bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+         FROM ids a JOIN ids b ON a.id < b.id
+         WHERE bit_count(xor(a.hi, b.hi)) +
+               bit_count(xor(a.lo, b.lo)) <= 3
+         ORDER BY id_a, id_b""",
+    // acoustic fingerprint replay: exact integer segment energies
+    // (64 segments x 4 frames of the closed-form samples), circular
+    // gradient bits, halves-packed.
+    "llm_mm_audio_fp" ->
+      s"""WITH s AS (
+           SELECT m, i,
+             ((i * (2*m + 1) * 2654435761) % 65536) - 32768 AS v,
+             i // 4 AS seg
+           FROM generate_series(1, 16) t(m),
+                generate_series(0, 255) t2(i)),
+         e AS (
+           SELECT m, seg, SUM(v * v) AS e FROM s GROUP BY m, seg),
+         bits AS (
+           SELECT a.m, a.seg AS idx,
+             CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+           FROM e a JOIN e b
+             ON b.m = a.m AND b.seg = (a.seg + 1) % 64)
+         SELECT m AS media_id,
+           CAST(SUM(CASE WHEN idx >= 32
+             THEN bit * (1::BIGINT << (idx - 32)) ELSE 0 END)
+             AS BIGINT) AS afp_hi,
+           CAST(SUM(CASE WHEN idx < 32
+             THEN bit * (1::BIGINT << idx) ELSE 0 END)
+             AS BIGINT) AS afp_lo
+         FROM bits GROUP BY m ORDER BY media_id""",
+    // acoustic near-dup replay: one hash per clip, cloned to both
+    // container ids (m, m+100), full pairwise bit_count(xor) <= 3.
+    "llm_mm_audio_fp_pairs" ->
+      s"""WITH s AS (
+           SELECT m, i,
+             ((i * (2*m + 1) * 2654435761) % 65536) - 32768 AS v,
+             i // 4 AS seg
+           FROM generate_series(1, 16) t(m),
+                generate_series(0, 255) t2(i)),
+         e AS (
+           SELECT m, seg, SUM(v * v) AS e FROM s GROUP BY m, seg),
+         bits AS (
+           SELECT a.m, a.seg AS idx,
+             CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+           FROM e a JOIN e b
+             ON b.m = a.m AND b.seg = (a.seg + 1) % 64),
          hashes AS (
            SELECT m,
              CAST(SUM(CASE WHEN idx >= 32

@@ -812,6 +812,82 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs((1L, 2L)) == 0 && pairs((1L, 3L)) == d)
   }
 
+  test("multimodal: audioFingerprint is container-invariant (WAV == " +
+       "AIFF of the same PCM), edit-local (one segment edit flips " +
+       "<= 2 bits), and NULL on short or undecodable clips") {
+    import spark.implicits._
+    val frames = 256 // 64 segments x 4 frames
+    def clip(aiff: Boolean, edit: Boolean): Array[Byte] = {
+      val pcm = new Array[Byte](frames * 2)
+      for (i <- 0 until frames) {
+        val base = (((i.toLong * 7 * 2654435761L) % 65536L) - 32768L)
+          .toInt
+        // halve amplitude so the edit below can't clip, then
+        // amplify segment 10 (frames 40..43) hard
+        val v0 = base / 2
+        val v = if (edit && i / 4 == 10) v0 / 8 else v0
+        if (aiff) {
+          pcm(2 * i) = ((v >> 8) & 0xFF).toByte
+          pcm(2 * i + 1) = (v & 0xFF).toByte
+        } else {
+          pcm(2 * i) = (v & 0xFF).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+        }
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, aiff)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        if (aiff) javax.sound.sampled.AudioFileFormat.Type.AIFF
+        else javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    // a 32-frame clip: shorter than 64 segments -> NULL
+    def shortClip: Array[Byte] = {
+      val pcm = new Array[Byte](32 * 2)
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 32L)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val blobs = Seq(
+        (1L, clip(aiff = false, edit = false)),
+        (2L, clip(aiff = true, edit = false)),
+        (3L, clip(aiff = false, edit = true)),
+        (4L, shortClip),
+        (5L, "not audio".getBytes("UTF-8")))
+      .toDF("doc_id", "b")
+    val fp = Multimodal.audioFingerprint(
+        Multimodal.asBlobs(blobs, "doc_id", "b", "audio"))
+      .collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(fp(1).isDefined && fp(1) == fp(2),
+      s"WAV and AIFF of the same PCM must collide: ${fp(1)} vs ${fp(2)}")
+    assert(fp(4).isEmpty, "sub-64-frame clip must fingerprint to NULL")
+    assert(fp(5).isEmpty, "undecodable payload must fingerprint to NULL")
+    // editing one segment can only flip the two bits whose compare
+    // touches it (bits 9 and 10 of the circular gradient)
+    val d = java.lang.Long.bitCount(fp(1).get ^ fp(3).get)
+    assert(d >= 1 && d <= 2,
+      s"a one-segment edit must flip 1-2 bits: $d")
+    val pairs = Multimodal.audioNearDupPairs(
+        Multimodal.asBlobs(blobs, "doc_id", "b", "audio"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    assert(pairs.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"pairs: $pairs")
+    assert(pairs((1L, 2L)) == 0 && pairs((1L, 3L)) == d)
+  }
+
   test("multimodal: resizeBlobs keeps schema + ids, rewrites content") {
     val blobs = Multimodal.asBlobs(docs.limit(20), "doc_id", "text", "image")
     val resized = Multimodal.resizeBlobs(blobs, 8, 8)
