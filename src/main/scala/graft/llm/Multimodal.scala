@@ -429,6 +429,27 @@ object Multimodal {
           lit("mtime"), col("modificationTime").cast("string"))
           .as("meta"))
 
+  /** Streaming twin of [[readBlobs]]: watch a directory as a
+    * `binaryFile` STREAM source (new files become micro-batch rows) —
+    * the ingestion face [[graft.streaming.IngestStream
+    * .mediaNearDupIngest]] consumes. Same blob contract. */
+  def readBlobStream(spark: SparkSession, path: String, kind: String)
+      : DataFrame =
+    spark.readStream.format("binaryFile")
+      // streaming file sources require the schema up front; the
+      // binaryFile schema is fixed by the format
+      .schema(StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .load(path)
+      .select(xxhash64(col("path")).as("media_id"), lit(kind).as("kind"),
+        col("content"),
+        map(lit("path"), col("path"),
+          lit("mtime"), col("modificationTime").cast("string"))
+          .as("meta"))
+
   /** Wrap any (id, bytes) projection into the blob contract — used in
     * tests/demos where blobs are synthesized from existing columns. */
   def asBlobs(df: DataFrame, idCol: String, bytesCol: String,

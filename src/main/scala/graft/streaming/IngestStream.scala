@@ -95,6 +95,38 @@ object IngestStream {
       def pairs(newSigs: DataFrame, corpusSigs: DataFrame): DataFrame =
         Dedup.simHashPairsAcross(newSigs, corpusSigs, maxDist)
     }
+
+    /** Perceptual image dHash ([[graft.llm.Multimodal.imagePhash]]'s
+      * sketch, REAL-decoded pixels): re-encodes and near-identical
+      * rasters collide even when their container bytes share no
+      * windows — the layer a byte-level sketch cannot provide.
+      * Undecodable blobs emit no signature (they always survive;
+      * route them through [[BlobSimHash]] for codec-free cover). */
+    final case class ImagePhash(maxDist: Int = 3,
+                                contentCol: String = "content")
+        extends SigScheme {
+      def signatures(batch: DataFrame, idCol: String): DataFrame =
+        graft.llm.Multimodal.imagePhash(batch, idCol, contentCol)
+          .select(col(idCol).as("id"), col("phash").as("simhash"))
+          .where(col("simhash").isNotNull)
+      def pairs(newSigs: DataFrame, corpusSigs: DataFrame): DataFrame =
+        Dedup.simHashPairsAcross(newSigs, corpusSigs, maxDist)
+    }
+
+    /** Acoustic fingerprint ([[graft.llm.Multimodal
+      * .audioFingerprint]]'s sketch, REAL PCM): container re-encodes
+      * (WAV/AIFF/AU of the same samples) collide at Hamming 0; short
+      * or undecodable clips emit no signature. */
+    final case class AudioFingerprint(maxDist: Int = 3,
+                                      contentCol: String = "content")
+        extends SigScheme {
+      def signatures(batch: DataFrame, idCol: String): DataFrame =
+        graft.llm.Multimodal.audioFingerprint(batch, idCol, contentCol)
+          .select(col(idCol).as("id"), col("afp").as("simhash"))
+          .where(col("simhash").isNotNull)
+      def pairs(newSigs: DataFrame, corpusSigs: DataFrame): DataFrame =
+        Dedup.simHashPairsAcross(newSigs, corpusSigs, maxDist)
+    }
   }
 
   /** True when `dir` holds a readable parquet dataset. Uses an
@@ -503,6 +535,33 @@ object IngestStream {
       .foreachBatch { (batch: Dataset[Row], bid: Long) =>
         ingestBatchWith(batch.toDF(), corpusDir, sigDir,
           SigScheme.BlobSimHash(maxDist, contentCol), idCol,
+          batchId = Some(bid))
+      }
+      .trigger(trigger)
+      .start()
+
+  /** Streaming PERCEPTUAL media ingest: [[blobNearDupIngest]]
+    * generalized over the sketch — pass
+    * [[SigScheme.ImagePhash]] for an image stream or
+    * [[SigScheme.AudioFingerprint]] for audio, and re-encoded /
+    * near-identical media dedups against the standing corpus through
+    * an 8-bytes-per-blob signature layer (a 100 TB media store's
+    * layer is a few GB). Blobs the scheme cannot sign (undecodable,
+    * too short) always survive — chain a [[SigScheme.BlobSimHash]]
+    * pass for codec-free cover of those. Same idempotent-replay
+    * contract as every ingest face. */
+  def mediaNearDupIngest(blobs: DataFrame, corpusDir: String,
+                         sigDir: String, scheme: SigScheme,
+                         idCol: String = "media_id",
+                         checkpointDir: Option[String] = None,
+                         trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    blobs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$sigDir/_checkpoints"))
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        ingestBatchWith(batch.toDF(), corpusDir, sigDir, scheme, idCol,
           batchId = Some(bid))
       }
       .trigger(trigger)

@@ -510,6 +510,155 @@ class StreamingSpec extends AnyFunSuite {
       org.apache.spark.sql.types.LongType)
   }
 
+  test("perceptual ingest: ImagePhash layer drops re-encodes AND " +
+       "near-identical edits across batches; junk survives") {
+    import spark.implicits._
+    import graft.streaming.IngestStream
+    val base = "/root/repo/target/scratch/ingest_phash"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val corpusDir = s"$base/corpus"
+    val sigDir = s"$base/sigs"
+    def raster(seed: Int, edit: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(18, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 18)
+        img.setRGB(x, y,
+          ((x * 37 + y * 101 + seed * 13) % 256 << 16) |
+          ((x * 59 + y * 17 + seed * 29) % 256 << 8) |
+          (x * 7 + y * 43 + seed * 71) % 256)
+      if (edit) for (y <- 0 until 2; x <- 0 until 2)
+        img.setRGB(x, y, 0xFFFFFF)
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String) = {
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out))
+      out.toByteArray
+    }
+    val scheme = IngestStream.SigScheme.ImagePhash()
+    // batch 1: images A and B
+    IngestStream.ingestBatchWith(
+      Seq((1L, enc(raster(1, false), "png")),
+          (2L, enc(raster(2, false), "png")))
+        .toDF("media_id", "content"),
+      corpusDir, sigDir, scheme, "media_id")
+    // batch 2: BMP re-encode of A (byte-disjoint container, same
+    // raster), an EDITED A (small perceptual distance), a new C, and
+    // junk (no signature -> survives)
+    IngestStream.ingestBatchWith(
+      Seq((3L, enc(raster(1, false), "bmp")),
+          (4L, enc(raster(1, true), "png")),
+          (5L, enc(raster(3, false), "png")),
+          (6L, "not an image".getBytes("UTF-8")))
+        .toDF("media_id", "content"),
+      corpusDir, sigDir, scheme, "media_id")
+    val ids = spark.read.parquet(corpusDir)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 5L, 6L), s"got $ids")
+    // the signature layer holds one LONG per signable survivor
+    val sigIds = spark.read.parquet(sigDir)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(sigIds == Set(1L, 2L, 5L), s"got $sigIds")
+  }
+
+  test("perceptual ingest: AudioFingerprint layer drops container " +
+       "re-encodes (WAV->AIFF); short clips survive unsigned") {
+    import spark.implicits._
+    import graft.streaming.IngestStream
+    val base = "/root/repo/target/scratch/ingest_afp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val corpusDir = s"$base/corpus"
+    val sigDir = s"$base/sigs"
+    def clip(seed: Int, nFrames: Int, aiff: Boolean): Array[Byte] = {
+      val pcm = new Array[Byte](nFrames * 2)
+      for (i <- 0 until nFrames) {
+        val v = (((i.toLong * (2 * seed + 1) * 2654435761L) % 65536L)
+          - 32768L).toInt
+        if (aiff) {
+          pcm(2 * i) = ((v >> 8) & 0xFF).toByte
+          pcm(2 * i + 1) = (v & 0xFF).toByte
+        } else {
+          pcm(2 * i) = (v & 0xFF).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+        }
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, aiff)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        if (aiff) javax.sound.sampled.AudioFileFormat.Type.AIFF
+        else javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val scheme = IngestStream.SigScheme.AudioFingerprint()
+    IngestStream.ingestBatchWith(
+      Seq((1L, clip(1, 256, aiff = false)),
+          (2L, clip(2, 256, aiff = false)))
+        .toDF("media_id", "content"),
+      corpusDir, sigDir, scheme, "media_id")
+    // batch 2: AIFF of clip 1 (same PCM -> Hamming 0 -> drop), a
+    // sub-64-frame clip (unsignable -> survives), a new clip
+    IngestStream.ingestBatchWith(
+      Seq((3L, clip(1, 256, aiff = true)),
+          (4L, clip(9, 32, aiff = false)),
+          (5L, clip(3, 256, aiff = false)))
+        .toDF("media_id", "content"),
+      corpusDir, sigDir, scheme, "media_id")
+    val ids = spark.read.parquet(corpusDir)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 4L, 5L), s"got $ids")
+  }
+
+  test("mediaNearDupIngest end-to-end: binaryFile STREAM source, " +
+       "checkpointed across runs — a later-arriving re-encode drops " +
+       "against the standing corpus") {
+    import graft.streaming.IngestStream
+    import graft.llm.Multimodal
+    val base = "/root/repo/target/scratch/media_ingest_e2e"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val srcDir = new java.io.File(s"$base/src"); srcDir.mkdirs()
+    def raster(seed: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(18, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 18)
+        img.setRGB(x, y,
+          ((x * 37 + y * 101 + seed * 13) % 256 << 16) |
+          ((x * 59 + y * 17 + seed * 29) % 256 << 8) |
+          (x * 7 + y * 43 + seed * 71) % 256)
+      img
+    }
+    def write(name: String, fmt: String, seed: Int): Unit = {
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(raster(seed), fmt, out))
+      java.nio.file.Files.write(
+        new java.io.File(srcDir, name).toPath, out.toByteArray)
+    }
+    write("a.png", "png", 1)
+    write("b.png", "png", 2)
+    val q1 = IngestStream.mediaNearDupIngest(
+      Multimodal.readBlobStream(spark, srcDir.toString, "image"),
+      s"$base/corpus", s"$base/sigs",
+      IngestStream.SigScheme.ImagePhash())
+    q1.awaitTermination(60000)
+    assert(spark.read.parquet(s"$base/corpus").count() == 2)
+    // run 2, SAME checkpoint: only the new files are read — a BMP
+    // re-encode of a.png drops against the layer, a new image lands
+    write("c.bmp", "bmp", 1)
+    write("d.png", "png", 3)
+    val q2 = IngestStream.mediaNearDupIngest(
+      Multimodal.readBlobStream(spark, srcDir.toString, "image"),
+      s"$base/corpus", s"$base/sigs",
+      IngestStream.SigScheme.ImagePhash())
+    q2.awaitTermination(60000)
+    val kept = spark.read.parquet(s"$base/corpus")
+      .selectExpr("element_at(meta, 'path') AS p").collect()
+      .map(r => r.getString(0).split('/').last).toSet
+    assert(kept == Set("a.png", "b.png", "d.png"), s"got $kept")
+  }
+
   test("ingestBatch with batchId: at-least-once replay is idempotent") {
     import spark.implicits._
     import graft.streaming.IngestStream
