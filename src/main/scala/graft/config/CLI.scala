@@ -460,6 +460,66 @@ object CLI {
           (Access.writeData(featSnk) *** Access.writeData(flagSnk))
       }),
 
+    // The perceptual dedup face through the lifecycle: raw media
+    // files ingested via binaryFile, hashed by the REAL codecs
+    // (image dHash / acoustic fingerprint), near-dup pairs banded,
+    // clustered, and min-id representatives kept — kept blobs to one
+    // sink, the pair provenance (why a blob is gone) to the other,
+    // the dedup_audit shape at blob granularity.
+    "media_dedup" -> Registered(
+      "media_dedup",
+      "perceptual media dedup: binaryFile ingest -> real-codec hash " +
+        "(image dHash | acoustic fingerprint) -> banded pairs -> " +
+        "components -> min-id representatives; kept + pairs sinks",
+      OptionsSchema(Seq(
+        OptField("kind", Some(OptStr("image")),
+          "media kind of the input directory: image | audio"),
+        OptField("maxDist", Some(OptNum(3)),
+          "Hamming radius of the banded pair join (<= 3 is " +
+            "pigeonhole-complete)"))),
+      (spark, opts) => {
+        val kind = opts("kind").render
+        require(kind == "image" || kind == "audio",
+          s"media_dedup: unknown kind '$kind' (image|audio)")
+        val maxDist = (opts("maxDist") match {
+          case OptNum(n) => n
+          case other     => other.render.toDouble
+        }).toInt
+        val src = VirtualFile(VPath("/media"), Seq("bin"),
+          Usage.Source)
+        val keptSnk = VirtualFile(VPath("/Outputs/kept"),
+          Seq("parquet"), Usage.Sink)
+        val pairSnk = VirtualFile(VPath("/Outputs/pairs"),
+          Seq("parquet"), Usage.Sink)
+        Access.getDataReader(src) >>>
+          PTask.arr { (r: Access.DataReader) =>
+            import graft.llm.{Dedup, Multimodal}
+            // persist the blob scan: consumed by the hash pass and
+            // again by the representative anti-join — one decode,
+            // not two (see media_audit for the .bin completion note)
+            val blobs = Multimodal.readBlobs(spark,
+                r.paths.head.stripSuffix(".bin"), kind)
+              .persist(org.apache.spark.storage.StorageLevel
+                .MEMORY_AND_DISK)
+            graft.cache.Pins.track(spark,
+              graft.access.Split.Branches((), blobs))
+            val pairs =
+              (if (kind == "image")
+                Multimodal.phashNearDupPairs(blobs, maxDist)
+              else Multimodal.audioNearDupPairs(blobs, maxDist))
+                .persist(org.apache.spark.storage.StorageLevel
+                  .MEMORY_AND_DISK)
+            graft.cache.Pins.track(spark,
+              graft.access.Split.Branches((), pairs))
+            val kept = Dedup.keepRepresentatives(blobs,
+              Dedup.connectedComponents(
+                pairs.select(col("id_a"), col("id_b"))),
+              idCol = "media_id")
+            (kept, pairs)
+          } >>>
+          (Access.writeData(keptSnk) *** Access.writeData(pairSnk))
+      }),
+
     // Port of the reference's example-radon (ExampleRadon.hs:76-158):
     // load observations (CSV-with-header or JSON — the example's
     // BidirSerials pair), mirror them to a debug sink unchanged, run
