@@ -701,41 +701,45 @@ object Multimodal {
                   new java.io.ByteArrayInputStream(bytes)))
               catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) Row(id, null)
-          else {
-            val (w, h) = (img.getWidth, img.getHeight)
-            val sums = Array.ofDim[Long](8, 9)
-            val ns = Array.ofDim[Long](8, 9)
-            var y = 0
-            while (y < h) {
-              val cy = (y.toLong * 8 / h).toInt
-              var x = 0
-              while (x < w) {
-                val cx = (x.toLong * 9 / w).toInt
-                val rgb = img.getRGB(x, y)
-                sums(cy)(cx) += ((rgb >> 16) & 0xFF) +
-                  ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
-                ns(cy)(cx) += 1L
-                x += 1
-              }
-              y += 1
-            }
-            var hash = 0L
-            var r = 0
-            while (r < 8) {
-              var c = 0
-              while (c < 8) {
-                // empty cells (w < 9 or h < 8) compare false — total
-                if (sums(r)(c + 1) * ns(r)(c) >
-                    sums(r)(c) * ns(r)(c + 1))
-                  hash |= 1L << (r * 8 + c)
-                c += 1
-              }
-              r += 1
-            }
-            Row(id, hash)
-          }
+          else Row(id, dhash64(img))
         }
       }(enc).toDF()
+  }
+
+  /** The dHash kernel shared by [[imagePhash]] and
+    * [[videoPhashFrames]]: 9x8 exact-integer area-average luma grid,
+    * 64 cross-multiplied gradient bits. */
+  private[llm] def dhash64(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = Array.ofDim[Long](8, 9)
+    val ns = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val cy = (y.toLong * 8 / h).toInt
+      var x = 0
+      while (x < w) {
+        val cx = (x.toLong * 9 / w).toInt
+        val rgb = img.getRGB(x, y)
+        sums(cy)(cx) += ((rgb >> 16) & 0xFF) +
+          ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        ns(cy)(cx) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        // empty cells (w < 9 or h < 8) compare false — total
+        if (sums(r)(c + 1) * ns(r)(c) > sums(r)(c) * ns(r)(c + 1))
+          hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
   }
 
   /** Perceptual near-duplicate image pairs: [[imagePhash]] signatures
@@ -751,6 +755,97 @@ object Multimodal {
         .select(col(idCol).as("id"), col("phash").as("simhash"))
         .where(col("simhash").isNotNull),
       maxDist)
+
+  /** Per-frame perceptual hashes for video blobs: decode the 4
+    * evenly-sampled frames ([[MediaDecoder.VideoIO]]'s
+    * `i*(n-1)/3` schedule) through the JDK's multi-frame reader and
+    * dHash each sampled raster with the shared [[dhash64]] kernel.
+    * Output `(<idCol>, frame_slot 0-3, fphash)` — undecodable blobs
+    * emit no rows. Only the 4 sampled frames rasterize, so cost is
+    * per-clip constant regardless of clip length. */
+  def videoPhashFrames(blobs: DataFrame, idCol: String = "media_id",
+                       contentCol: String = "content"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("frame_slot", IntegerType, nullable = false),
+      StructField("fphash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    blobs.select(col(idCol).cast("long"), col(contentCol))
+      .mapPartitions { it =>
+        it.flatMap { row =>
+          val id = row.getLong(0)
+          val bytes =
+            if (row.isNullAt(1)) Array.empty[Byte]
+            else row.getAs[Array[Byte]](1)
+          if (bytes.isEmpty) Nil
+          else try {
+            val iis =
+              new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) Nil
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis, false, true)
+                val n = reader.getNumImages(true)
+                if (n <= 0) Nil
+                else {
+                  val idx = Array.tabulate(4)(i => i * (n - 1) / 3)
+                  val hashes = new Array[Long](4)
+                  var i = 0
+                  while (i < 4) {
+                    hashes(i) =
+                      if (i > 0 && idx(i) == idx(i - 1)) hashes(i - 1)
+                      else dhash64(reader.read(idx(i)))
+                    i += 1
+                  }
+                  (0 until 4).map(s => Row(id, s, hashes(s)))
+                }
+              } finally reader.dispose()
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => Nil
+          }
+        }
+      }(enc).toDF()
+  }
+
+  /** Video near-duplicate pairs, temporally aligned: two clips pair
+    * when at least `minMatches` of their 4 sampled frame SLOTS hash
+    * within `maxDist` — same banded-join device as the other
+    * perceptual layers, with the slot in the band key so frame 0 of
+    * one clip never matches frame 3 of another (a re-encode or
+    * re-container of the same footage aligns slot-for-slot; requiring
+    * 3 of 4 slots tolerates one edited/replaced segment). Output
+    * `(id_a, id_b, frames_matched)`.
+    *
+    * Scale: the decode pass dominates and rasterizes 4 frames per
+    * clip; the join moves (slot, band, 16-bit key) rows — 16 per
+    * clip. */
+  def videoNearDupPairs(blobs: DataFrame, maxDist: Int = 3,
+                        minMatches: Int = 3,
+                        idCol: String = "media_id",
+                        contentCol: String = "content"): DataFrame = {
+    val sigs = videoPhashFrames(blobs, idCol, contentCol)
+    val bands = sigs.select(col(idCol).as("id"), col("frame_slot"),
+      col("fphash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("fphash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bh")))
+    val a = bands.select(col("id").as("id_a"), col("fphash").as("ph_a"),
+      col("frame_slot"), col("band"), col("bh"))
+    val b = bands.select(col("id").as("id_b"), col("fphash").as("ph_b"),
+      col("frame_slot"), col("band"), col("bh"))
+    a.join(b, Seq("frame_slot", "band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <=
+        maxDist)
+      // a pair can meet in several bands of one slot — count SLOTS
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count_distinct(col("frame_slot")).as("frames_matched"))
+      .filter(col("frames_matched") >= minMatches)
+  }
 
   /** Acoustic fingerprint (segment-energy gradient bits over REAL
     * PCM): decode through the JDK codec stack ([[MediaDecoder.AudioIO]]

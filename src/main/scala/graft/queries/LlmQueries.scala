@@ -1155,6 +1155,48 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Temporally-aligned video near-dup over REAL-decoded frames:
+    // 8 base clips (5 textured 16x12 frames each, exact 192-entry
+    // palettes) plus variants (id+100) whose LAST frame is replaced —
+    // the 4 sampled slots then agree on 3 of 4, exactly the
+    // minMatches=3 bar. Frame dHashes and the slot-aligned pair rule
+    // replay in pure integer SQL.
+    "llm_mm_video_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val (w, h) = (16, 12)
+      def frame(m: Int, f: Int): java.awt.image.BufferedImage = {
+        val n = w * h
+        val (rs, gs, bs) =
+          (new Array[Byte](n), new Array[Byte](n), new Array[Byte](n))
+        for (y <- 0 until h; x <- 0 until w) {
+          val i = y * w + x
+          rs(i) = ((x * 37 + y * 101 + m * 13 + f * 91) % 256).toByte
+          gs(i) = ((x * 59 + y * 17 + m * 29 + f * 53) % 256).toByte
+          bs(i) = ((x * 7 + y * 43 + m * 71 + f * 29) % 256).toByte
+        }
+        val cm = new java.awt.image.IndexColorModel(8, n, rs, gs, bs)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        for (y <- 0 until h; x <- 0 until w) {
+          val i = y * w + x
+          img.setRGB(x, y, ((rs(i) & 0xFF) << 16) |
+            ((gs(i) & 0xFF) << 8) | (bs(i) & 0xFF))
+        }
+        img
+      }
+      def gif(m: Int, variant: Boolean): Array[Byte] =
+        Multimodal.encodeGif((0 until 5).map(f =>
+          frame(m, if (variant && f == 4) 9 else f)))
+      val blobs = ((1 to 8).map(m => (m.toLong, gif(m, false))) ++
+          (1 to 8).map(m => (m.toLong + 100, gif(m, true))))
+        .toDF("media_id", "content")
+        .select(col("media_id"), lit("video").as("kind"),
+          col("content"),
+          map(lit("origin"), lit("synth")).as("meta"))
+      Multimodal.videoNearDupPairs(blobs)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // video path: stub decode -> every-7th-frame sampling schedule
     // (the relational plan a per-frame decoder plugs into).
     "llm_mm_frames" -> ((s, dir) => {
@@ -4617,6 +4659,59 @@ object LlmQueries {
          WHERE bit_count(xor(a.hi, b.hi)) +
                bit_count(xor(a.lo, b.lo)) <= 3
          ORDER BY id_a, id_b""",
+    // video near-dup replay: per-(clip, frame) dHashes from the pixel
+    // formula, the i*(n-1)//3 slot schedule (n=5 -> frames 0,1,2,4;
+    // variants replace the slot-3 frame with content f=9),
+    // slot-aligned pairwise Hamming <= 3, >= 3 matching slots.
+    "llm_mm_video_pairs" ->
+      s"""WITH px AS (
+           SELECT m, f, x, y,
+             ((x*37 + y*101 + m*13 + f*91) % 256 +
+              (x*59 + y*17 + m*29 + f*53) % 256 +
+              (x*7 + y*43 + m*71 + f*29) % 256) AS luma,
+             (x*9)//16 AS cx, (y*8)//12 AS cy
+           FROM generate_series(1, 8) t(m),
+                (SELECT unnest([0, 1, 2, 4, 9]) AS f) tf,
+                generate_series(0, 15) tx(x),
+                generate_series(0, 11) ty(y)),
+         cells AS (
+           SELECT m, f, cx, cy, SUM(luma) AS s, COUNT(*) AS n
+           FROM px GROUP BY m, f, cx, cy),
+         bits AS (
+           SELECT l.m, l.f, l.cy*8 + l.cx AS idx,
+             CASE WHEN r.s*l.n > l.s*r.n THEN 1 ELSE 0 END AS bit
+           FROM cells l JOIN cells r
+             ON r.m = l.m AND r.f = l.f
+             AND r.cy = l.cy AND r.cx = l.cx + 1),
+         hashes AS (
+           SELECT m, f,
+             CAST(SUM(CASE WHEN idx >= 32
+               THEN bit * (1::BIGINT << (idx - 32)) ELSE 0 END)
+               AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN idx < 32
+               THEN bit * (1::BIGINT << idx) ELSE 0 END)
+               AS BIGINT) AS lo
+           FROM bits GROUP BY m, f),
+         clips AS (
+           SELECT m + 100*o AS id, slot,
+             CASE WHEN slot < 3 THEN slot
+                  WHEN o = 0 THEN 4 ELSE 9 END AS f
+           FROM generate_series(1, 8) t(m),
+                generate_series(0, 1) g(o),
+                generate_series(0, 3) s(slot)),
+         sh AS (
+           SELECT c.id, c.slot, h.hi, h.lo
+           FROM clips c JOIN hashes h
+             ON h.m = c.id % 100 AND h.f = c.f),
+         matches AS (
+           SELECT a.id AS id_a, b.id AS id_b,
+             COUNT(DISTINCT a.slot) AS fm
+           FROM sh a JOIN sh b ON a.slot = b.slot AND a.id < b.id
+           WHERE bit_count(xor(a.hi, b.hi)) +
+                 bit_count(xor(a.lo, b.lo)) <= 3
+           GROUP BY a.id, b.id)
+         SELECT id_a, id_b, CAST(fm AS BIGINT) AS frames_matched
+         FROM matches WHERE fm >= 3 ORDER BY id_a, id_b""",
     // video stub decoder: frames = 1 + (h32 >> 18) % 120; sampling
     // schedule = generate_series with the stride.
     "llm_mm_frames" ->

@@ -888,6 +888,59 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs((1L, 2L)) == 0 && pairs((1L, 3L)) == d)
   }
 
+  test("multimodal: videoNearDupPairs aligns frame slots — full " +
+       "re-encode matches 4/4, one-frame replacement 3/4, unrelated " +
+       "clips and junk never pair") {
+    import spark.implicits._
+    val (w, h) = (16, 12)
+    def frame(seed: Int, f: Int): java.awt.image.BufferedImage = {
+      val n = w * h
+      val (rs, gs, bs) =
+        (new Array[Byte](n), new Array[Byte](n), new Array[Byte](n))
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = y * w + x
+        rs(i) = ((x * 37 + y * 101 + seed * 13 + f * 91) % 256).toByte
+        gs(i) = ((x * 59 + y * 17 + seed * 29 + f * 53) % 256).toByte
+        bs(i) = ((x * 7 + y * 43 + seed * 71 + f * 29) % 256).toByte
+      }
+      val cm = new java.awt.image.IndexColorModel(8, n, rs, gs, bs)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = y * w + x
+        img.setRGB(x, y, ((rs(i) & 0xFF) << 16) |
+          ((gs(i) & 0xFF) << 8) | (bs(i) & 0xFF))
+      }
+      img
+    }
+    def gif(seed: Int, lastF: Int): Array[Byte] =
+      Multimodal.encodeGif((0 until 5).map(f =>
+        frame(seed, if (f == 4) lastF else f)))
+    val blobs = Seq(
+        (1L, gif(1, 4)),            // base
+        (2L, gif(1, 4)),            // identical re-encode: 4/4 slots
+        (3L, gif(1, 9)),            // last frame replaced: 3/4 slots
+        (4L, gif(2, 4)),            // unrelated clip
+        (5L, "not a gif".getBytes("UTF-8")))
+      .toDF("doc_id", "b")
+    val pairs = Multimodal.videoNearDupPairs(
+        Multimodal.asBlobs(blobs, "doc_id", "b", "video"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(pairs.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"pairs: $pairs")
+    assert(pairs((1L, 2L)) == 4L && pairs((1L, 3L)) == 3L &&
+      pairs((2L, 3L)) == 3L, s"pairs: $pairs")
+    // dropping minMatches to 1 must NOT surface the unrelated clip
+    // (its frames differ everywhere, not just in count)
+    val loose = Multimodal.videoNearDupPairs(
+        Multimodal.asBlobs(blobs, "doc_id", "b", "video"),
+        minMatches = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!loose.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated clip must stay unpaired: $loose")
+  }
+
   test("multimodal: resizeBlobs keeps schema + ids, rewrites content") {
     val blobs = Multimodal.asBlobs(docs.limit(20), "doc_id", "text", "image")
     val resized = Multimodal.resizeBlobs(blobs, 8, 8)
