@@ -504,6 +504,124 @@ object ScaleBench {
               "token", depth = 4, width = w).count())
         }
       }
+      // perceptual media family: REAL-codec decode + banded pair
+      // join vs corpus size. Blobs materialize OUTSIDE the timed
+      // window (parquet, like docs/emb); every 10th blob is a
+      // re-encode of its predecessor's raster/PCM, so found pairs
+      // grow linearly and the join can't shortcut to empty.
+      // splitmix64 finalizer for fixture randomness: a bare
+      // multiplicative hash of linear keys is AFFINE, and the
+      // difference-based perceptual hashes are shift-invariant, so
+      // images at constant seed offsets shared most dHash bits
+      // (measured 5604 distinct of 6400) — the xor-shift mixing
+      // breaks the affinity
+      def mix64(k: Long): Long = {
+        var z = k * -7046029254386353131L
+        z = (z ^ (z >>> 30)) * -4658895280553007687L
+        z = (z ^ (z >>> 27)) * -7723592293110705685L
+        z ^ (z >>> 31)
+      }
+      if (enabled("media_phash")) {
+        import spark.implicits._
+        val dir = s"$scratch/blobs_img_$f"
+        if (!new java.io.File(dir).exists) {
+          spark.range(400L * f).as[Long].mapPartitions { it =>
+            it.map { i =>
+              val seed = if (i % 10 == 0 && i > 0) i - 1 else i
+              // content must vary at the dHash CELL scale to be
+              // discriminative (pixel-frequency noise averages to a
+              // flat grid; whole-image gradients all hash alike), so
+              // paint blocks ALIGNED to the 9x8 cell grid (288x192
+              // -> exact 32x24 cells), each colored by a mixed hash
+              // of (seed, cell) — every image's cell grid is then an
+              // independent random pattern and accidental hash
+              // collisions vanish (misaligned blocks blend across
+              // cell boundaries and bleed entropy: measured 5501
+              // distinct hashes of 6400 at 256x192/32x32)
+              val img = new java.awt.image.BufferedImage(288, 192,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var by = 0
+              while (by < 8) {
+                var bx = 0
+                while (bx < 9) {
+                  val hb = mix64(seed * 72 + by * 9 + bx + 1)
+                  val rgb = ((hb >>> 40) & 0xFFFFFF).toInt
+                  var y = by * 24
+                  while (y < by * 24 + 24) {
+                    var x = bx * 32
+                    while (x < bx * 32 + 32) {
+                      img.setRGB(x, y, rgb)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  bx += 1
+                }
+                by += 1
+              }
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img,
+                if (i % 10 == 0 && i > 0) "bmp" else "png", out)
+              (i, out.toByteArray)
+            }
+          }.toDF("media_id", "content").write.mode("overwrite")
+            .parquet(dir)
+        }
+        runProbe("media_phash_pairs", f, 400L * f)(
+          graft.llm.Multimodal.phashNearDupPairs(
+            spark.read.parquet(dir)).count())
+      }
+      if (enabled("media_afp")) {
+        import spark.implicits._
+        val dir = s"$scratch/blobs_aud_$f"
+        if (!new java.io.File(dir).exists) {
+          spark.range(400L * f).as[Long].mapPartitions { it =>
+            it.map { i =>
+              val seed = if (i % 10 == 0 && i > 0) i - 1 else i
+              val aiff = i % 10 == 0 && i > 0
+              val frames = 8000
+              val pcm = new Array[Byte](frames * 2)
+              // per-(clip, segment) amplitude envelope from a MIXED
+              // hash of (seed, segment): energy contours must vary
+              // randomly at segment scale per clip or the whole
+              // corpus shares one near-flat contour and collides
+              var j = 0
+              while (j < frames) {
+                val seg = j / 125
+                val hb = mix64(seed * 64 + seg + 1)
+                val amp = 1 + ((hb >>> 49) % 7L).toInt
+                val v = ((((j.toLong * (2 * seed + 1) * 2654435761L)
+                  % 65536L) - 32768L) / 8L).toInt * amp / 2
+                if (aiff) {
+                  pcm(2 * j) = ((v >> 8) & 0xFF).toByte
+                  pcm(2 * j + 1) = (v & 0xFF).toByte
+                } else {
+                  pcm(2 * j) = (v & 0xFF).toByte
+                  pcm(2 * j + 1) = ((v >> 8) & 0xFF).toByte
+                }
+                j += 1
+              }
+              val fmt = new javax.sound.sampled.AudioFormat(
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+                8000f, 16, 1, 2, 8000f, aiff)
+              val ais = new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(pcm), fmt,
+                frames.toLong)
+              val out = new java.io.ByteArrayOutputStream()
+              javax.sound.sampled.AudioSystem.write(ais,
+                if (aiff)
+                  javax.sound.sampled.AudioFileFormat.Type.AIFF
+                else javax.sound.sampled.AudioFileFormat.Type.WAVE,
+                out)
+              (i, out.toByteArray)
+            }
+          }.toDF("media_id", "content").write.mode("overwrite")
+            .parquet(dir)
+        }
+        runProbe("media_afp_pairs", f, 400L * f)(
+          graft.llm.Multimodal.audioNearDupPairs(
+            spark.read.parquet(dir)).count())
+      }
       if (enabled("pq_patch")) {
         // build OUTSIDE the window; the probe times diff-scan +
         // affected-bucket rewrite — the repeated maintenance step
