@@ -709,7 +709,7 @@ object Multimodal {
   /** The dHash kernel shared by [[imagePhash]] and
     * [[videoPhashFrames]]: 9x8 exact-integer area-average luma grid,
     * 64 cross-multiplied gradient bits. */
-  private[llm] def dhash64(img: java.awt.image.BufferedImage): Long = {
+  private[graft] def dhash64(img: java.awt.image.BufferedImage): Long = {
     val (w, h) = (img.getWidth, img.getHeight)
     val sums = Array.ofDim[Long](8, 9)
     val ns = Array.ofDim[Long](8, 9)
@@ -877,36 +877,45 @@ object Multimodal {
             if (row.isNullAt(1)) Array.empty[Byte]
             else row.getAs[Array[Byte]](1)
           val fp = MediaDecoder.AudioIO.decodePcm16(bytes)
-            .flatMap { case (_, channels, pcm) =>
-              val frames = pcm.length / (channels * 2)
-              val fpf = frames / 64
-              if (fpf == 0) None
-              else {
-                val e = new Array[Long](64)
-                var fr = 0
-                while (fr < fpf * 64) {
-                  val seg = fr / fpf
-                  var c = 0
-                  while (c < channels) {
-                    val i = (fr * channels + c) * 2
-                    val s = (pcm(i + 1).toInt << 8) | (pcm(i) & 0xFF)
-                    e(seg) += s.toLong * s
-                    c += 1
-                  }
-                  fr += 1
-                }
-                var hash = 0L
-                var i = 0
-                while (i < 64) {
-                  if (e(i) > e((i + 1) % 64)) hash |= 1L << i
-                  i += 1
-                }
-                Some(hash)
-              }
-            }
+            .flatMap { case (_, channels, pcm) => afp64(pcm, channels) }
           Row(id, fp.map(java.lang.Long.valueOf).orNull)
         }
       }(enc).toDF()
+  }
+
+  /** The fingerprint kernel behind [[audioFingerprint]], on raw
+    * 16-bit LE PCM: 64 equal-length segments, exact Long energies,
+    * circular gradient bits. None below 64 frames. AMPLITUDE-
+    * INVARIANT by construction: scaling every sample by k scales
+    * every segment energy by exactly k², preserving every compare —
+    * property-tested in PropertySpec. */
+  private[graft] def afp64(pcm: Array[Byte], channels: Int)
+      : Option[Long] = {
+    val frames = pcm.length / (channels * 2)
+    val fpf = frames / 64
+    if (fpf == 0) None
+    else {
+      val e = new Array[Long](64)
+      var fr = 0
+      while (fr < fpf * 64) {
+        val seg = fr / fpf
+        var c = 0
+        while (c < channels) {
+          val i = (fr * channels + c) * 2
+          val s = (pcm(i + 1).toInt << 8) | (pcm(i) & 0xFF)
+          e(seg) += s.toLong * s
+          c += 1
+        }
+        fr += 1
+      }
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        if (e(i) > e((i + 1) % 64)) hash |= 1L << i
+        i += 1
+      }
+      Some(hash)
+    }
   }
 
   /** Acoustic near-duplicate pairs: [[audioFingerprint]] signatures

@@ -434,4 +434,57 @@ object PropertySpec extends Properties("graft") {
         vec(0) == r0 && vec(1) == r1 && vec(2) == p0 && vec(3) == p1 &&
         vec.forall(v => v >= 0.0f && v <= 1.0f)
     }
+
+  // --- dHash kernel geometry laws: on a cell-aligned raster with
+  // tie-free rows/columns, mirroring the image horizontally reverses
+  // and NEGATES each row's gradient bits, and flipping vertically
+  // permutes whole rows — the exact symmetries the 9x8
+  // adjacent-compare definition implies.
+  private def cellImage(cells: Seq[Seq[Int]])
+      : java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(18, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 18) {
+      val v = cells(y / 2)(x / 2)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+  private val tieFreeCells: Gen[Seq[Seq[Int]]] =
+    Gen.listOfN(8, Gen.pick(9, 0 until 256).map(_.toSeq))
+      .map(_.toSeq)
+  property("multimodal.dhash-mirror-and-flip-laws") =
+    forAll(tieFreeCells) { cells =>
+      val base = graft.llm.Multimodal.dhash64(cellImage(cells))
+      val mirrored = graft.llm.Multimodal.dhash64(
+        cellImage(cells.map(_.reverse)))
+      val flipped = graft.llm.Multimodal.dhash64(
+        cellImage(cells.reverse))
+      def bit(h: Long, r: Int, c: Int) = (h >>> (r * 8 + c)) & 1L
+      (0 until 8).forall { r =>
+        (0 until 8).forall { c =>
+          bit(mirrored, r, c) == 1L - bit(base, r, 7 - c) &&
+          bit(flipped, r, c) == bit(base, 7 - r, c)
+        }
+      }
+    }
+
+  // --- acoustic fingerprint laws: scaling every sample by k scales
+  // every segment energy by exactly k^2, so the gradient bits are
+  // amplitude-invariant; sub-64-frame clips are unsignable.
+  property("multimodal.audiofp-amplitude-invariant") =
+    forAll(Gen.choose(64, 300), Gen.choose(2, 16),
+      Gen.listOfN(600, Gen.choose(-1024, 1023))) {
+      (frames, k, samples) =>
+      def pcm(scale: Int): Array[Byte] =
+        samples.take(frames).flatMap { v =>
+          val s = v * scale
+          Seq((s & 0xFF).toByte, ((s >> 8) & 0xFF).toByte)
+        }.toArray
+      val base = graft.llm.Multimodal.afp64(pcm(1), 1)
+      base.isDefined &&
+        graft.llm.Multimodal.afp64(pcm(k), 1) == base &&
+        graft.llm.Multimodal.afp64(
+          pcm(1).take(63 * 2), 1).isEmpty
+    }
 }
