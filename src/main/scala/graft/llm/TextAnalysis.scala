@@ -1089,6 +1089,167 @@ object TextAnalysis {
       out.toArray
     }
 
+  /** WordPiece tokenizer TRAINER (Schuster & Nakajima 2012; the BERT
+    * tokenizer's training rule): the [[bpeMerges]] loop with the
+    * LIKELIHOOD argmax — each round merges the adjacent pair
+    * maximizing `count(xy) / (count(x)·count(y))` instead of the raw
+    * pair count, so rare-but-exclusive pairs (always co-occurring
+    * morphemes) win over merely-frequent ones. The score is compared
+    * as the EXACT integer `(count(xy) · 10^9) div (count(x)·count(y))`
+    * — decimal integral division, no floating point — so the argmax
+    * (ties broken lexicographically on the pair) replays bit-for-bit
+    * in any engine with integer division; the floored-score
+    * granularity is part of the trainer's defined selection rule.
+    * Returns `(rank, sym_a, sym_b, n_occ, score_scaled)`.
+    *
+    * Same scale discipline as BPE: one corpus scan builds the
+    * distinct-word table; every round's pair count, symbol count,
+    * and merge run over vocab-sized data. Memoized like its
+    * sibling. */
+  def wordpieceMerges(docs: DataFrame, merges: Int,
+                      textCol: String = "text")
+      : Array[(Long, String, String, Long, Long)] =
+    Similarity.memoized(docs, s"wpTrain:$merges:$textCol") {
+      import org.apache.spark.storage.StorageLevel
+      val SEP = "\u0001"
+      val D = SEP + SEP
+      var words = docs
+        .select(explode(tokens(col(textCol))).as("_w"))
+        .groupBy(col("_w")).agg(count(lit(1)).as("_n"))
+        .select(filter(split(col("_w"), ""), c => c =!= "").as("_a"),
+          col("_n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var prev: Option[DataFrame] = None
+      val out = scala.collection.mutable
+        .ArrayBuffer[(Long, String, String, Long, Long)]()
+      var i = 0
+      var dry = false
+      while (i < merges && !dry) {
+        val pairs = words.where(size(col("_a")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(_a) - 1), " +
+              "i -> struct(_a[i - 1] AS x, _a[i] AS y))")).as("_p"),
+            col("_n"))
+          .select(col("_p.x").as("x"), col("_p.y").as("y"), col("_n"))
+          .groupBy(col("x"), col("y")).agg(sum(col("_n")).as("c"))
+        val syms = words
+          .select(explode(col("_a")).as("z"), col("_n"))
+          .groupBy(col("z")).agg(sum(col("_n")).as("cs"))
+        val top = pairs
+          .join(syms.select(col("z").as("x"), col("cs").as("ca")),
+            Seq("x"))
+          .join(syms.select(col("z").as("y"), col("cs").as("cb")),
+            Seq("y"))
+          .select(col("x"), col("y"), col("c"),
+            expr("(CAST(c AS DECIMAL(28,0)) * 1000000000) div " +
+              "(CAST(ca AS DECIMAL(28,0)) * CAST(cb AS DECIMAL(28,0)))")
+              .as("score"))
+          .orderBy(col("score").desc, col("x").asc, col("y").asc)
+          .limit(1).collect()
+        prev.foreach(_.unpersist()); prev = None
+        if (top.isEmpty) dry = true
+        else {
+          val (x, y) = (top.head.getString(0), top.head.getString(1))
+          out += ((i + 1L, x, y, top.head.getLong(2),
+            top.head.getLong(3)))
+          val merged = call_function("replace",
+            concat(lit(D), array_join(col("_a"), D), lit(D)),
+            lit(SEP + x + D + y + SEP), lit(SEP + x + y + SEP))
+          val next = words
+            .select(filter(split(merged, D), s => s =!= "").as("_a"),
+              col("_n"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          prev = Some(words)
+          words = next
+        }
+        i += 1
+      }
+      words.unpersist(); prev.foreach(_.unpersist())
+      out.toArray
+    }
+
+  /** [[wordpieceMerges]] as a DataFrame
+    * `(rank, sym_a, sym_b, n_occ, score_scaled)`. */
+  def wordpieceTrain(docs: DataFrame, merges: Int,
+                     textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    wordpieceMerges(docs, merges, textCol).toSeq
+      .toDF("rank", "sym_a", "sym_b", "n_occ", "score_scaled")
+  }
+
+  /** APPLY a trained WordPiece model with the tokenizer's REAL
+    * inference rule — greedy LONGEST-MATCH-FIRST against the vocab
+    * (the BERT `WordpieceTokenizer` loop), which differs from BPE's
+    * merge-order replay: at each position the longest vocab symbol
+    * matching the remaining word is consumed; a position with no
+    * match makes the WHOLE word a single `[UNK]` piece. Vocab =
+    * corpus alphabet + the `merges` trained merge outputs (both
+    * model-sized; the merge table is memoized, the alphabet is one
+    * distinct-char aggregate). Per doc: `(n_tokens, n_wp_tokens,
+    * n_unk_words, fertility)`.
+    *
+    * Scale: encoding runs once per DISTINCT word (vocab-sized) with
+    * the broadcast vocab in a partition-local loop; the corpus is
+    * scanned once for term frequencies. */
+  def wordpieceEncode(docs: DataFrame, merges: Int = 8,
+                      textCol: String = "text",
+                      idCol: String = "doc_id",
+                      applyTo: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = docs.sparkSession
+    val mergedSyms =
+      wordpieceMerges(docs, merges, textCol).map(t => t._2 + t._3)
+    // the MODEL (alphabet + merges) comes from the TRAINING docs;
+    // held-out text with out-of-alphabet characters hits [UNK]
+    val tok = applyTo.getOrElse(docs).select(col(idCol),
+      explode(tokens(col(textCol))).as("_w"))
+    val words = tok.select(col("_w")).distinct()
+    val alpha = docs
+      .select(explode(tokens(col(textCol))).as("_tw"))
+      .select(explode(filter(split(col("_tw"), ""), c => c =!= ""))
+        .as("ch"))
+      .distinct().collect().map(_.getString(0))
+    val vocab = (alpha ++ mergedSyms).toSet
+    val maxLen = if (vocab.isEmpty) 1 else vocab.map(_.length).max
+    val bc = spark.sparkContext.broadcast((vocab, maxLen))
+    val schema = StructType(Seq(
+      StructField("_w", StringType, nullable = false),
+      StructField("_np", LongType, nullable = false),
+      StructField("_unk", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val pieces = words.mapPartitions { it =>
+      val (v, ml) = bc.value
+      it.map { r =>
+        val w = r.getString(0)
+        var pos = 0; var np = 0L; var unk = false
+        while (pos < w.length && !unk) {
+          var l = math.min(ml, w.length - pos)
+          var found = 0
+          while (l >= 1 && found == 0) {
+            if (v.contains(w.substring(pos, pos + l))) found = l
+            l -= 1
+          }
+          if (found == 0) unk = true
+          else { np += 1; pos += found }
+        }
+        if (unk) org.apache.spark.sql.Row(w, 1L, 1L)
+        else org.apache.spark.sql.Row(w, np, 0L)
+      }
+    }(enc).toDF()
+    tok.groupBy(col(idCol), col("_w"))
+      .agg(count(lit(1)).as("_tf"))
+      .join(pieces, Seq("_w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_tf")).as("n_tokens"),
+        sum(col("_tf") * col("_np")).as("n_wp_tokens"),
+        sum(col("_tf") * col("_unk")).as("n_unk_words"))
+      .select(col(idCol), col("n_tokens"), col("n_wp_tokens"),
+        col("n_unk_words"),
+        round(col("n_wp_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6).as("fertility"))
+  }
+
   /** [[bpeMerges]] as a DataFrame `(rank, sym_a, sym_b, n_occ)` —
     * the `queries()` face of the trainer. */
   def bpeTrain(docs: DataFrame, merges: Int,

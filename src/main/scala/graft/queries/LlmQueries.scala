@@ -1737,6 +1737,25 @@ object LlmQueries {
       TextAnalysis.bpeEncode(table(s, dir, "documents"), merges = 8)
         .orderBy(col("doc_id"))),
 
+    // WordPiece trainer: the BPE loop under the LIKELIHOOD argmax
+    // (count(xy)/(count(x)count(y)), compared as the exact integer
+    // (c*10^9) div (ca*cb)) — the oracle unrolls the same 8 rounds
+    // with per-round symbol counts and integer-division scores.
+    "llm_wordpiece_train" -> ((s, dir) =>
+      TextAnalysis.wordpieceTrain(table(s, dir, "documents"),
+          merges = 8)
+        .orderBy(col("rank"))),
+
+    // WordPiece encode under the tokenizer's REAL inference rule:
+    // greedy longest-match-first against alphabet + trained merges
+    // (not BPE's merge-order replay); the oracle precomputes each
+    // (word, position)'s longest vocab match and walks the chain
+    // with a recursive CTE.
+    "llm_wordpiece_encode" -> ((s, dir) =>
+      TextAnalysis.wordpieceEncode(table(s, dir, "documents"),
+          merges = 8)
+        .orderBy(col("doc_id"))),
+
     // unigram-LM (SentencePiece) tokenizer trainer: substring seed
     // vocab (40 pieces, len<=4) + 2 fixed-vocab EM rounds; the
     // oracle replays seeding, both Viterbi E-steps (full
@@ -3650,6 +3669,113 @@ object LlmQueries {
          $rounds"""
   }
 
+  /** llm_wordpiece_train replay: the [[bpeCtes]] unrolling with the
+    * WordPiece argmax — each round adds a symbol-count table and
+    * picks the pair maximizing the exact integer score
+    * `(c · 10^9) // (ca · cb)` (HUGEINT, floor division = the
+    * engine's decimal `div`), ties lexicographic. */
+  private def wpCtes(k: Int): String = {
+    val d = "chr(1) || chr(1)"
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS MATERIALIZED (
+           SELECT x, y, CAST(SUM(n) AS BIGINT) AS c FROM (
+             SELECT a[i] AS x, a[i + 1] AS y, n FROM (
+               SELECT a, n, unnest(generate_series(1, len(a) - 1)) AS i
+               FROM a${i - 1} WHERE len(a) >= 2))
+           GROUP BY x, y),
+         s$i AS MATERIALIZED (
+           SELECT z, CAST(SUM(n) AS BIGINT) AS cs FROM (
+             SELECT unnest(a) AS z, n FROM a${i - 1})
+           GROUP BY z),
+         t$i AS MATERIALIZED (
+           SELECT p.x, p.y, p.c,
+             CAST((CAST(p.c AS HUGEINT) * 1000000000) //
+               (CAST(sa.cs AS HUGEINT) * sb.cs) AS BIGINT) AS score
+           FROM p$i p
+           JOIN s$i sa ON sa.z = p.x
+           JOIN s$i sb ON sb.z = p.y
+           ORDER BY score DESC, p.x ASC, p.y ASC LIMIT 1),
+         w$i AS MATERIALIZED (
+           SELECT replace(w.s,
+               chr(1) || t.x || $d || t.y || chr(1),
+               chr(1) || t.x || t.y || chr(1)) AS s, w.n
+           FROM w${i - 1} w, t$i t),
+         a$i AS MATERIALIZED (
+           SELECT list_filter(string_split(s, $d), z -> z <> '') AS a, n
+           FROM w$i)"""
+    }.mkString(",\n         ")
+    raw"""tok AS MATERIALIZED (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '')) AS w
+           FROM documents),
+         wc AS MATERIALIZED (SELECT w, count(*) AS n FROM tok GROUP BY w),
+         a0 AS MATERIALIZED (
+           SELECT list_filter(regexp_split_to_array(w, ''),
+             c -> c <> '') AS a, n
+           FROM wc),
+         w0 AS MATERIALIZED (
+           SELECT $d || array_to_string(a, $d) || $d AS s, n
+           FROM a0),
+         $rounds"""
+  }
+
+  private def wpTrainOracle(k: Int): String = {
+    val union = (1 to k).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, x AS sym_a, y AS sym_b, " +
+        s"c AS n_occ, score AS score_scaled FROM t$i"
+    }.mkString("\n           UNION ALL ")
+    s"""WITH ${wpCtes(k)}
+         SELECT * FROM (
+           $union)
+         ORDER BY rank"""
+  }
+
+  /** llm_wordpiece_encode replay: vocab = a0's alphabet + the k
+    * merge outputs; `best` precomputes every (word, position)'s
+    * LONGEST vocab match (aggregation can't sit inside the recursive
+    * term, so the argmax is hoisted out), and the recursive walk
+    * follows the single greedy chain — final position len(w)+1 means
+    * fully consumed, anything less is the whole-word [UNK] rule. */
+  private def wpEncodeOracle(k: Int): String = {
+    val vocabUnion = (1 to k)
+      .map(i => s"SELECT x || y AS v FROM t$i")
+      .mkString("\n           UNION ")
+    s"""WITH RECURSIVE ${wpCtes(k)},
+         vocab AS MATERIALIZED (
+           SELECT DISTINCT z AS v FROM (SELECT unnest(a) AS z FROM a0)
+           UNION
+           $vocabUnion),
+         dw AS MATERIALIZED (SELECT DISTINCT w FROM tok),
+         posn AS MATERIALIZED (
+           SELECT w, unnest(generate_series(1, len(w))) AS p FROM dw),
+         best AS MATERIALIZED (
+           SELECT w, p, MAX(len(v)) AS bl
+           FROM posn JOIN vocab ON substr(w, p, len(v)) = v
+           GROUP BY w, p),
+         walk(w, p, np) AS (
+           SELECT w, 1, CAST(0 AS BIGINT) FROM dw
+           UNION ALL
+           SELECT wk.w, wk.p + b.bl, wk.np + 1
+           FROM walk wk JOIN best b ON b.w = wk.w AND b.p = wk.p
+           WHERE wk.p <= len(wk.w)),
+         fin AS MATERIALIZED (
+           SELECT w, MAX(np) AS np, MAX(p) AS fp FROM walk GROUP BY w),
+         res AS MATERIALIZED (
+           SELECT w,
+             CASE WHEN fp = len(w) + 1 THEN np ELSE 1 END AS npieces,
+             CASE WHEN fp = len(w) + 1 THEN 0 ELSE 1 END AS unk
+           FROM fin),
+         tf AS MATERIALIZED (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2)
+         SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(tf * npieces) AS BIGINT) AS n_wp_tokens,
+           CAST(SUM(tf * unk) AS BIGINT) AS n_unk_words,
+           round(CAST(SUM(tf * npieces) AS DOUBLE) / SUM(tf), 6)
+             AS fertility
+         FROM tf JOIN res USING (w)
+         GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   private def bpeTrainOracle(k: Int): String = {
     val union = (1 to k).map { i =>
       s"SELECT CAST($i AS BIGINT) AS rank, x AS sym_a, y AS sym_b, " +
@@ -3967,6 +4093,8 @@ object LlmQueries {
              + CAST(low_rep AS INT)) >= 2 AS keep
          FROM v ORDER BY doc_id""",
     "llm_bpe_train" -> bpeTrainOracle(8),
+    "llm_wordpiece_train" -> wpTrainOracle(8),
+    "llm_wordpiece_encode" -> wpEncodeOracle(8),
     "llm_bpe_encode" -> bpeEncodeOracle(8),
     "llm_blocklist" ->
       raw"""WITH src AS (

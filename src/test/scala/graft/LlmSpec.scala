@@ -1145,6 +1145,43 @@ class LlmSpec extends AnyFunSuite {
     assert(m3.toSeq == Seq((1L, "x", "y", 3L)), s"got ${m3.toSeq}")
   }
 
+  test("wordpieceMerges: LIKELIHOOD argmax picks the exclusive rare " +
+       "pair where BPE's count argmax picks the frequent one; score " +
+       "is the exact scaled integer") {
+    import spark.implicits._
+    // (a,b) occurs 10x but a/b are everywhere (c_a = c_b = 50):
+    // score = 10e9 div 2500 = 4,000,000. (q,z) occurs only 3x but
+    // exclusively (c_q = c_z = 3): score = 3e9 div 9 = 333,333,333.
+    val text = (Seq.fill(10)("ab") ++ Seq.fill(40)("a") ++
+      Seq.fill(40)("b") ++ Seq.fill(3)("qz")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val wp = TextAnalysis.wordpieceMerges(df, merges = 1)
+    assert(wp.toSeq == Seq((1L, "q", "z", 3L, 333333333L)),
+      s"got ${wp.toSeq}")
+    val bpe = TextAnalysis.bpeMerges(df, merges = 1)
+    assert(bpe.toSeq == Seq((1L, "a", "b", 10L)),
+      "the SAME corpus must separate the two argmax rules: " +
+        s"got ${bpe.toSeq}")
+  }
+
+  test("wordpieceEncode: greedy longest-match-first against the " +
+       "trained vocab; out-of-alphabet words become one [UNK]") {
+    import spark.implicits._
+    val train = Seq((1L,
+      (Seq.fill(3)("qz") ++ Seq.fill(2)("a") ++ Seq.fill(2)("b"))
+        .mkString(" "))).toDF("doc_id", "text")
+    // vocab after 1 merge: {a, b, q, z, qz}
+    // "abqz" -> a | b | qz (3 pieces, longest-match consumes qz
+    // whole); "ax" has x outside the training alphabet -> [UNK]
+    val apply = Seq((7L, "abqz ax")).toDF("doc_id", "text")
+    val got = TextAnalysis.wordpieceEncode(train, merges = 1,
+        applyTo = Some(apply)).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) == ((7L, 2L, 4L, 1L, 2.0)), s"got $r")
+  }
+
   test("bpeEncode: trained words collapse to one symbol, unseen-" +
        "structure words stay char-fertile") {
     import spark.implicits._
