@@ -264,6 +264,54 @@ object CLI {
     // the index LAYER DIR and the serve table both virtual files, so
     // `--loc` rebinds move the index like any other location and
     // show-tree/write-config-template document it.
+    // The tokenizer lifecycle through the config surface: train the
+    // chosen family on the bound corpus and ship the model table +
+    // the per-doc encode fit (fertility) as two sinks. The trainers
+    // are memoized on the canonicalized corpus plan, so the train
+    // and encode halves share one model computation.
+    "tokenize" -> Registered(
+      "tokenize",
+      "tokenizer lifecycle: train (bpe | unigram | wordpiece) on the " +
+        "bound corpus -> model table + per-doc encode fertility sinks",
+      OptionsSchema(Seq(
+        OptField("family", Some(OptStr("bpe")),
+          "trainer family: bpe (count argmax) | unigram " +
+            "(SentencePiece EM) | wordpiece (likelihood argmax)"),
+        OptField("merges", Some(OptNum(8)),
+          "merge rounds (bpe/wordpiece; unigram uses its seed+EM)"))),
+      (spark, opts) => {
+        val fam = opts("family").render
+        require(Set("bpe", "unigram", "wordpiece")(fam),
+          s"tokenize: unknown family '$fam' (bpe|unigram|wordpiece)")
+        val merges = (opts("merges") match {
+          case OptNum(n) => n
+          case other     => other.render.toDouble
+        }).toInt
+        val src = VirtualFile(VPath("/documents"), Seq("parquet"),
+          Usage.Source)
+        val modelSnk = VirtualFile(VPath("/Outputs/model"),
+          Seq("parquet"), Usage.Sink)
+        val fertSnk = VirtualFile(VPath("/Outputs/fertility"),
+          Seq("parquet"), Usage.Sink)
+        Access.getDataReader(src) >>>
+          PTask.arr { (r: Access.DataReader) =>
+            import graft.llm.TextAnalysis
+            val docs = r.read()
+            fam match {
+              case "bpe" =>
+                (TextAnalysis.bpeTrain(docs, merges),
+                  TextAnalysis.bpeEncode(docs, merges))
+              case "wordpiece" =>
+                (TextAnalysis.wordpieceTrain(docs, merges),
+                  TextAnalysis.wordpieceEncode(docs, merges))
+              case _ =>
+                (TextAnalysis.unigramTrain(docs),
+                  TextAnalysis.unigramEncode(docs))
+            }
+          } >>>
+          (Access.writeData(modelSnk) *** Access.writeData(fertSnk))
+      }),
+
     "index" -> Registered(
       "index",
       "index lifecycle: incremental build -> patch/compact -> serve " +

@@ -990,6 +990,43 @@ class ConfigSpec extends AnyFunSuite {
     graft.cache.Pins.release(spark)
   }
 
+  test("tokenize pipeline: wordpiece family trains + encodes through " +
+       "the lifecycle; --family override switches the trainer") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    val base = "/root/repo/target/scratch/cli_tokenize"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    val specFile = s"$base/tok.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(specFile),
+      s"""data: {family: wordpiece, merges: 4}
+         |locations:
+         |  /documents: /root/testdata/sf0.001/documents.parquet
+         |  /Outputs/model: $base/model.parquet
+         |  /Outputs/fertility: $base/fert.parquet
+         |""".stripMargin)
+    CLI.run(Array("tokenize", "run", specFile), spark)
+    val model = spark.read.parquet(s"$base/model.parquet")
+    assert(model.columns.toSeq ==
+      Seq("rank", "sym_a", "sym_b", "n_occ", "score_scaled"))
+    assert(model.count() == 4)
+    val fert = spark.read.parquet(s"$base/fert.parquet")
+    assert(fert.columns.contains("fertility") && fert.count() > 0)
+    // family override through the CLI flag surface: bpe model has no
+    // score column
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$base/model.parquet"))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$base/fert.parquet"))
+    CLI.run(Array("tokenize", "run", specFile, "--family", "bpe"),
+      spark)
+    val bpeModel = spark.read.parquet(s"$base/model.parquet")
+    assert(bpeModel.columns.toSeq ==
+      Seq("rank", "sym_a", "sym_b", "n_occ"))
+    graft.cache.Pins.release(spark)
+  }
+
   test("CLI query surface: list names the inventory; run writes parquet") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")
