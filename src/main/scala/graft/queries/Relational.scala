@@ -668,6 +668,35 @@ object Relational {
           sumDec($"l_extendedprice").as("sum_price"),
           max($"l_shipdate").as("max_shipdate"))
         .orderBy($"l_returnflag")
+    }),
+
+    // --- TPC-H Q21 shape (suppliers who kept orders waiting,
+    //     reference-free analog): for each supplier, count the
+    //     multi-supplier orders where it is the ONLY supplier with a
+    //     returned ('R') line — one EXISTS and one NOT EXISTS, both
+    //     correlated on (orderkey, suppkey<>). Expressed as
+    //     left-semi + left-anti joins over the DISTINCT
+    //     (order, supplier) sets so the anti pair never rescans
+    //     lineitem; top-10 rides TakeOrderedAndProject.
+    "q40_sole_offender" -> ((s, dir) => {
+      import s.implicits._
+      val l = table(s, dir, "lineitem")
+      val offenders = l.filter($"l_returnflag" === "R")
+        .select($"l_orderkey", $"l_suppkey").distinct()
+      val alls = l.select($"l_orderkey", $"l_suppkey").distinct()
+      val multi = offenders.as("a").join(alls.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_suppkey" =!= $"b.l_suppkey", "left_semi")
+      val sole = multi.as("a").join(offenders.as("c"),
+        $"a.l_orderkey" === $"c.l_orderkey" &&
+          $"a.l_suppkey" =!= $"c.l_suppkey", "left_anti")
+      sole.groupBy($"l_suppkey")
+        .agg(count(lit(1)).as("numwait"))
+        .join(table(s, dir, "supplier"),
+          $"l_suppkey" === $"s_suppkey")
+        .select($"s_name", $"numwait")
+        .orderBy($"numwait".desc, $"s_name".asc)
+        .limit(10)
     })
   )
 
@@ -1122,6 +1151,28 @@ object Relational {
              AS sum_price,
            MAX(l_shipdate) AS max_shipdate
          FROM lineitem
-         GROUP BY l_returnflag ORDER BY l_returnflag"""
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // Q21 shape: correlated EXISTS + NOT EXISTS over the distinct
+    // (order, supplier) sets; numwait desc + name asc makes the
+    // top-10 deterministic.
+    "q40_sole_offender" ->
+      """WITH off AS (
+           SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+           WHERE l_returnflag = 'R'),
+         alls AS (
+           SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+         SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+         FROM off a JOIN supplier s ON s.s_suppkey = a.l_suppkey
+         WHERE EXISTS (
+             SELECT 1 FROM alls b
+             WHERE b.l_orderkey = a.l_orderkey
+               AND b.l_suppkey <> a.l_suppkey)
+           AND NOT EXISTS (
+             SELECT 1 FROM off c
+             WHERE c.l_orderkey = a.l_orderkey
+               AND c.l_suppkey <> a.l_suppkey)
+         GROUP BY s.s_name
+         ORDER BY numwait DESC, s_name ASC LIMIT 10"""
   )
 }

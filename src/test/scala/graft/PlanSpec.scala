@@ -900,4 +900,47 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(2500))
     assert(p.contains("TakeOrderedAndProject"), p.take(2500))
   }
+
+  test("q40 Q21-shape: correlated exists/not-exists run as semi + " +
+       "anti equi-joins over the distinct sets, top-10 never " +
+       "global-sorts") {
+    val p = planOf(
+      graft.queries.Relational.queries("q40_sole_offender")(spark, sf))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"exists/not-exists must stay semi/anti joins:\n${p.take(2500)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2500))
+    // the 'R' filter reaches the lineitem scan of the offender side
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"offender filter must push down:\n${p.take(2500)}")
+  }
+
+  test("perceptual pair joins (image dHash / audio fingerprint / " +
+       "video frame slots): banded equi-joins, never a cartesian; " +
+       "blobs stay out of the shuffle") {
+    val blobs = graft.llm.Multimodal.asBlobs(
+      spark.read.parquet(s"$sf/documents.parquet"),
+      "doc_id", "text", "image")
+    Seq(
+      graft.llm.Multimodal.phashNearDupPairs(blobs),
+      graft.llm.Multimodal.audioNearDupPairs(blobs),
+      graft.llm.Multimodal.videoNearDupPairs(blobs)
+    ).foreach { pairs =>
+      val p = planOf(pairs)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"pair join must stay an equi-join on the bands:\n${p.take(2500)}")
+      assert(p.contains("SortMergeJoin") ||
+        p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+        s"band join missing:\n${p.take(2500)}")
+      // only 8-byte signatures ride the exchange — the binary content
+      // column must not appear in any shuffle output schema
+      val shuffles = p.linesIterator
+        .filter(_.contains("Exchange")).mkString("\n")
+      assert(!p.contains("content#") ||
+        !shuffles.contains("content"),
+        s"blob bytes must never shuffle:\n$shuffles")
+    }
+  }
 }
