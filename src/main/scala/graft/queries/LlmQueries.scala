@@ -1197,6 +1197,45 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Perceptual dedup end-to-end: phash pairs -> connected
+    // components -> min-id representatives over the PNG+BMP fixture
+    // corpus (each raster's BMP re-encode collapses onto its PNG);
+    // the oracle replays hashes, pairwise Hamming, the recursive
+    // closure, and the min-id keep rule.
+    "llm_mm_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val (w, h) = (18, 16)
+      def raster(m: Int): java.awt.image.BufferedImage = {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) {
+          val r = (x * 37 + y * 101 + m * 13) % 256
+          val g = (x * 59 + y * 17 + m * 29) % 256
+          val b = (x * 7 + y * 43 + m * 71) % 256
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        }
+        img
+      }
+      def enc(m: Int, fmt: String): Array[Byte] = {
+        val out = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(raster(m), fmt, out))
+        out.toByteArray
+      }
+      val blobs = ((1 to 12).map(m => (m.toLong, enc(m, "png"))) ++
+          (1 to 12).map(m => (m.toLong + 100, enc(m, "bmp"))))
+        .toDF("media_id", "content")
+        .select(col("media_id"), lit("image").as("kind"),
+          col("content"),
+          map(lit("origin"), lit("synth")).as("meta"))
+      Dedup.keepRepresentatives(blobs,
+          Dedup.connectedComponents(
+            Multimodal.phashNearDupPairs(blobs)
+              .select(col("id_a"), col("id_b"))),
+          idCol = "media_id")
+        .select(col("media_id"))
+        .orderBy(col("media_id"))
+    }),
+
     // video path: stub decode -> every-7th-frame sampling schedule
     // (the relational plan a per-frame decoder plugs into).
     "llm_mm_frames" -> ((s, dir) => {
@@ -4727,6 +4766,55 @@ object LlmQueries {
          WHERE bit_count(xor(a.hi, b.hi)) +
                bit_count(xor(a.lo, b.lo)) <= 3
          ORDER BY id_a, id_b""",
+    // perceptual dedup replay: phash closure + min-id keep (the
+    // llm_mm_dedup recursive-closure device on the dHash pair set).
+    "llm_mm_phash_dedup" ->
+      s"""WITH RECURSIVE px AS (
+           SELECT m, x, y,
+             ((x*37 + y*101 + m*13) % 256 +
+              (x*59 + y*17 + m*29) % 256 +
+              (x*7 + y*43 + m*71) % 256) AS luma,
+             (x*9)//18 AS cx, (y*8)//16 AS cy
+           FROM generate_series(1, 12) t(m),
+                generate_series(0, 17) tx(x),
+                generate_series(0, 15) ty(y)),
+         cells AS (
+           SELECT m, cx, cy, SUM(luma) AS s, COUNT(*) AS n
+           FROM px GROUP BY m, cx, cy),
+         bits AS (
+           SELECT l.m, l.cy*8 + l.cx AS idx,
+             CASE WHEN r.s*l.n > l.s*r.n THEN 1 ELSE 0 END AS bit
+           FROM cells l JOIN cells r
+             ON r.m = l.m AND r.cy = l.cy AND r.cx = l.cx + 1),
+         hashes AS (
+           SELECT m,
+             CAST(SUM(CASE WHEN idx >= 32
+               THEN bit * (1::BIGINT << (idx - 32)) ELSE 0 END)
+               AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN idx < 32
+               THEN bit * (1::BIGINT << idx) ELSE 0 END)
+               AS BIGINT) AS lo
+           FROM bits GROUP BY m),
+         ids AS (
+           SELECT m + 100*o AS id, hi, lo
+           FROM hashes, generate_series(0, 1) g(o)),
+         vp AS (
+           SELECT a.id AS id_a, b.id AS id_b
+           FROM ids a JOIN ids b ON a.id < b.id
+           WHERE bit_count(xor(a.hi, b.hi)) +
+                 bit_count(xor(a.lo, b.lo)) <= 3),
+         edges AS (SELECT id_a AS a, id_b AS b FROM vp
+                   UNION ALL SELECT id_b, id_a FROM vp),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (SELECT a AS id, least(a, min(b)) AS component
+                  FROM reach GROUP BY a)
+         SELECT i.id AS media_id FROM ids i
+         WHERE NOT EXISTS (SELECT 1 FROM comp c
+                           WHERE c.id = i.id AND c.component < c.id)
+         ORDER BY media_id""",
     // acoustic fingerprint replay: exact integer segment energies
     // (64 segments x 4 frames of the closed-form samples), circular
     // gradient bits, halves-packed.
