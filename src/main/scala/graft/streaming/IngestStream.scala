@@ -492,6 +492,51 @@ object IngestStream {
       .write.mode("overwrite")
       .parquet(s"$reportDir/ingest_batch=$batchId")
 
+  /** One tokenizer-drift step: encode the micro-batch with a FROZEN
+    * WordPiece model (trained once on `trainDocs` — the trainer is
+    * memoized on the canonicalized corpus plan, so repeated batches
+    * reuse it) and publish the batch's fit summary: fertility
+    * creeping up or [UNK] words appearing means the incoming stream
+    * is drifting away from the vocabulary the model was trained on —
+    * the tokenizer-side early-warning a training pipeline wants
+    * BEFORE the model sees the data. Batch-keyed overwrite partition
+    * like every report layer (at-least-once replay idempotent). */
+  def fertilityBatch(batch: DataFrame, trainDocs: DataFrame,
+                     reportDir: String, merges: Int = 8,
+                     textCol: String = "text", idCol: String = "doc_id",
+                     batchId: Long): Unit =
+    graft.llm.TextAnalysis.wordpieceEncode(trainDocs, merges, textCol,
+        idCol, applyTo = Some(batch))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_wp_tokens")).as("n_wp_tokens"),
+        sum(col("n_unk_words")).as("n_unk_words"),
+        round(sum(col("n_wp_tokens")).cast("double") /
+          sum(col("n_tokens")).cast("double"), 6).as("fertility"))
+      .write.mode("overwrite")
+      .parquet(s"$reportDir/ingest_batch=$batchId")
+
+  /** Streaming tokenizer-drift monitor: [[fertilityBatch]] over a
+    * document stream. Stateless (the frozen model is the only
+    * standing artifact and it lives in the memo registry). */
+  def fertilityMonitor(docs: DataFrame, trainDocs: DataFrame,
+                       reportDir: String, merges: Int = 8,
+                       textCol: String = "text",
+                       idCol: String = "doc_id",
+                       checkpointDir: Option[String] = None,
+                       trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$reportDir/_checkpoints"))
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        fertilityBatch(batch.toDF(), trainDocs, reportDir, merges,
+          textCol, idCol, batchId = bid)
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming safety monitor: [[safetyBatch]] over a document
     * stream. STATELESS by design — every signal is row-local or
     * batch-local, so there is no standing layer, no state store and

@@ -659,6 +659,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set("a.png", "b.png", "d.png"), s"got $kept")
   }
 
+  test("fertilityMonitor: streamed batch summary equals the batch " +
+       "encode under the FROZEN model; OOV batch raises unk + " +
+       "fertility") {
+    import spark.implicits._
+    import graft.streaming.IngestStream
+    val base = "/root/repo/target/scratch/fertility_mon"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    // train corpus: vocab after 1 merge = {a, b, q, z, qz}
+    val train = Seq((1L,
+      (Seq.fill(3)("qz") ++ Seq.fill(2)("a") ++ Seq.fill(2)("b"))
+        .mkString(" "))).toDF("doc_id", "text")
+    // stream: in-vocab doc + a drifted doc with OOV chars
+    val in = Seq((10L, "abqz qz a"), (11L, "xx yz"))
+      .toDF("doc_id", "text")
+    new java.io.File(s"$base/src").mkdirs()
+    in.coalesce(1).write.mode("overwrite").parquet(s"$base/src")
+    val stream = spark.readStream.schema(in.schema)
+      .parquet(s"$base/src")
+    val q = IngestStream.fertilityMonitor(stream, train,
+      s"$base/report", merges = 1)
+    q.awaitTermination(60000)
+    val rep = spark.read.parquet(s"$base/report").head()
+    // doc 10: abqz->3 + qz->1 + a->1 pieces over 3 tokens;
+    // doc 11: xx, yz both OOV -> 1 [UNK] piece + 1 unk word each
+    assert(rep.getAs[Long]("n_docs") == 2L, s"got $rep")
+    assert(rep.getAs[Long]("n_tokens") == 5L, s"got $rep")
+    assert(rep.getAs[Long]("n_wp_tokens") == 7L, s"got $rep")
+    assert(rep.getAs[Long]("n_unk_words") == 2L, s"got $rep")
+    assert(rep.getAs[Double]("fertility") == 1.4, s"got $rep")
+    // streamed report == the batch op on the same data (the monitor
+    // contract every other face keeps)
+    val direct = graft.llm.TextAnalysis.wordpieceEncode(train,
+        merges = 1, applyTo = Some(in))
+      .agg(org.apache.spark.sql.functions.sum($"n_wp_tokens"))
+      .head().getLong(0)
+    assert(direct == rep.getAs[Long]("n_wp_tokens"))
+  }
+
   test("ingestBatch with batchId: at-least-once replay is idempotent") {
     import spark.implicits._
     import graft.streaming.IngestStream
