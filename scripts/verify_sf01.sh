@@ -15,6 +15,19 @@ llm_dedup_clusters_dist,llm_cluster_split,llm_neardup_dedup,\
 llm_windowed_trending,llm_hash_topk,llm_topk,llm_bm25,llm_rank_eval,\
 llm_approx_stats,llm_privacy_audit,q27_rolling_range,\
 q28_grouping_sets,q31_rate_anomaly,q34_star_topk,q38_antijoin"
-ONLY="${1:-$PLAN_SENSITIVE}"
+# `all` = every oracle query except the declared O(N^2) brute
+# baselines (llm_jaccard_pairs / llm_embedding_pairs), whose DuckDB
+# replays are quadratic; ~25 min at sf0.1. Recorded green round 12.
+if [ "${1:-}" = "all" ]; then
+  ONLY=$(python3 - <<'PYEOF'
+import json
+sql = json.load(open('/root/repo/target/verify_out/oracle_sql.json'))
+brutes = {'llm_jaccard_pairs', 'llm_embedding_pairs'}
+print(','.join(sorted(n for n in sql if n not in brutes)))
+PYEOF
+)
+else
+  ONLY="${1:-$PLAN_SENSITIVE}"
+fi
 exec bash scripts/verify_local.sh /root/testdata/sf0.1 \
   /root/repo/target/verify_sf01 "$ONLY"
