@@ -650,6 +650,31 @@ object Multimodal {
         (spread < flatEps).as("is_flat"))
   }
 
+  /** Video quality gate over an [[extractFeatures]] table
+    * ([[MediaDecoder.VideoIO]] rows): the first discards of a video
+    * curation pass, from the extracted statistics alone (blobs never
+    * re-read) — single-frame/short clips carry no temporal signal,
+    * STATIC clips (all sampled-frame deltas below `staticEps`) are
+    * screen-recordings of stills, and FLICKER clips (mean delta
+    * above `flickerEps`) are strobing/corrupted transcodes. Output
+    * `(media_id, n_frames, max_delta, mean_delta, is_short,
+    * is_static, is_flicker)`. */
+  def videoQuality(feats: DataFrame, minFrames: Int = 2,
+                   staticEps: Double = 0.002,
+                   flickerEps: Double = 0.25): DataFrame = {
+    def d(i: Int) = element_at(col("feature_vec"), i).cast("double")
+    val maxD = greatest(d(5), d(6), d(7))
+    val meanD = (d(5) + d(6) + d(7)) / lit(3.0)
+    feats.filter(col("kind") === "video")
+      .select(col("media_id"),
+        col("n_frames").cast("long").as("n_frames"),
+        round(maxD, 6).as("max_delta"),
+        round(meanD, 6).as("mean_delta"),
+        (col("n_frames") < minFrames).as("is_short"),
+        (maxD < staticEps).as("is_static"),
+        (meanD > flickerEps).as("is_flicker"))
+  }
+
   /** Deterministic frame sampling plan for video blobs: every
     * `stride`-th frame index up to n_frames (the sampling schedule is
     * computed relationally; the per-frame decode would plug into

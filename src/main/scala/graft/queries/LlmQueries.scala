@@ -1197,6 +1197,50 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // video quality gate over REAL-decoded clips: planted verdict
+    // classes per m%4 — static (constant color), flicker
+    // (black/white alternation), short (single frame), normal (mild
+    // per-frame gradient) — decode through the actual GIF frame
+    // enumerator, verdicts replayed with float32-before-threshold
+    // comparison (the audio_quality device on the temporal axis).
+    "llm_mm_video_quality" -> ((s, dir) => {
+      import s.implicits._
+      def frame(rgb: Int): java.awt.image.BufferedImage = {
+        val cm = new java.awt.image.IndexColorModel(8, 2,
+          Array(((rgb >> 16) & 0xFF).toByte, 0.toByte),
+          Array(((rgb >> 8) & 0xFF).toByte, 0.toByte),
+          Array((rgb & 0xFF).toByte, 0.toByte))
+        val img = new java.awt.image.BufferedImage(8, 5,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val g2 = img.createGraphics()
+        try {
+          g2.setColor(new java.awt.Color(rgb)); g2.fillRect(0, 0, 8, 5)
+        } finally g2.dispose()
+        img
+      }
+      def gray(v: Int) = (v << 16) | (v << 8) | v
+      def gif(m: Int): Array[Byte] = {
+        val n = if (m % 4 == 2) 1 else 4
+        Multimodal.encodeGif((0 until n).map { f =>
+          frame(m % 4 match {
+            case 0 => gray((m * 11) % 256)
+            case 1 => if (f % 2 == 0) gray(0) else gray(255)
+            case 2 => gray((m * 7) % 256)
+            case _ => gray(100 + 2 * f + m)
+          })
+        })
+      }
+      val blobs = (1 to 12).map(m => (m.toLong, gif(m)))
+        .toDF("media_id", "content")
+        .select(col("media_id"), lit("video").as("kind"),
+          col("content"),
+          map(lit("origin"), lit("synth")).as("meta"))
+      Multimodal.videoQuality(
+          Multimodal.extractFeatures(blobs,
+            Multimodal.MediaDecoder.VideoIO))
+        .orderBy(col("media_id"))
+    }),
+
     // Perceptual dedup end-to-end: phash pairs -> connected
     // components -> min-id representatives over the PNG+BMP fixture
     // corpus (each raster's BMP re-encode collapses onto its PNG);
@@ -4766,6 +4810,40 @@ object LlmQueries {
          WHERE bit_count(xor(a.hi, b.hi)) +
                bit_count(xor(a.lo, b.lo)) <= 3
          ORDER BY id_a, id_b""",
+    // video quality replay: per-class closed-form lumas, the
+    // i*(n-1)//3 schedule, float32 deltas compared against the
+    // thresholds BEFORE display rounding.
+    "llm_mm_video_quality" ->
+      s"""WITH clips AS (
+           SELECT m, CASE WHEN m % 4 = 2 THEN 1 ELSE 4 END AS n
+           FROM generate_series(1, 12) t(m)),
+         samp AS (
+           SELECT m, n, i, (i * (n - 1)) // 3 AS f
+           FROM clips, generate_series(0, 3) s(i)),
+         lum AS (
+           SELECT m, n, i,
+             (CASE WHEN m % 4 = 0 THEN 3 * ((m*11) % 256)
+                   WHEN m % 4 = 1 THEN
+                     CASE WHEN f % 2 = 0 THEN 0 ELSE 765 END
+                   WHEN m % 4 = 2 THEN 3 * ((m*7) % 256)
+                   ELSE 3 * (100 + 2*f + m) END) / 765.0 AS l
+           FROM samp),
+         lp AS (
+           SELECT m, MAX(n) AS n, list(l ORDER BY i) AS ls
+           FROM lum GROUP BY m),
+         dd AS (
+           SELECT m, n,
+             CAST(CAST(ABS(ls[2] - ls[1]) AS FLOAT) AS DOUBLE) AS d1,
+             CAST(CAST(ABS(ls[3] - ls[2]) AS FLOAT) AS DOUBLE) AS d2,
+             CAST(CAST(ABS(ls[4] - ls[3]) AS FLOAT) AS DOUBLE) AS d3
+           FROM lp)
+         SELECT m AS media_id, CAST(n AS BIGINT) AS n_frames,
+           round(greatest(d1, d2, d3), 6) AS max_delta,
+           round((d1 + d2 + d3) / 3.0, 6) AS mean_delta,
+           n < 2 AS is_short,
+           greatest(d1, d2, d3) < 0.002 AS is_static,
+           (d1 + d2 + d3) / 3.0 > 0.25 AS is_flicker
+         FROM dd ORDER BY media_id""",
     // perceptual dedup replay: phash closure + min-id keep (the
     // llm_mm_dedup recursive-closure device on the dHash pair set).
     "llm_mm_phash_dedup" ->
