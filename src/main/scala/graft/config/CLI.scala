@@ -443,11 +443,12 @@ object CLI {
     // two-sink audit shape at blob granularity).
     "media_audit" -> Registered(
       "media_audit",
-      "media curation: binaryFile ingest -> JDK decode -> audio/image " +
-        "quality gates; features + flagged discards as two sinks",
+      "media curation: binaryFile ingest -> JDK decode -> audio/image/" +
+        "video quality gates; features + flagged discards as two sinks",
       OptionsSchema(Seq(
         OptField("kind", Some(OptStr("image")),
-          "media kind of the input directory: image | audio"),
+          "media kind of the input directory: image | audio | video " +
+            "(video gates use videoQuality's default thresholds)"),
         OptField("minPixels", Some(OptNum(4096)),
           "image: minimum pixel count before the tiny verdict"),
         OptField("maxAspect", Some(OptNum(4.0)),
@@ -464,8 +465,8 @@ object CLI {
           case other     => other.render.toDouble
         }
         val kind = opts("kind").render
-        require(kind == "image" || kind == "audio",
-          s"media_audit: unknown kind '$kind' (image|audio)")
+        require(kind == "image" || kind == "audio" || kind == "video",
+          s"media_audit: unknown kind '$kind' (image|audio|video)")
         val src = VirtualFile(VPath("/media"), Seq("bin"),
           Usage.Source)
         val featSnk = VirtualFile(VPath("/Outputs/features"),
@@ -489,20 +490,24 @@ object CLI {
                 .MEMORY_AND_DISK)
             graft.cache.Pins.track(spark,
               graft.access.Split.Branches((), feats))
-            val gated =
-              if (kind == "audio")
+            val gated = kind match {
+              case "audio" =>
                 Multimodal.audioQuality(feats,
                   num(opts("clipThreshold")), num(opts("silenceRms")))
-              else
+              case "video" => Multimodal.videoQuality(feats)
+              case _ =>
                 Multimodal.imageQuality(feats,
                   num(opts("minPixels")).toLong,
                   num(opts("maxAspect")), num(opts("flatEps")))
-            val flagged = gated.filter(
-              if (kind == "audio")
-                col("is_clipped") || col("is_silent")
-              else
+            }
+            val flagged = gated.filter(kind match {
+              case "audio" => col("is_clipped") || col("is_silent")
+              case "video" =>
+                col("is_short") || col("is_static") || col("is_flicker")
+              case _ =>
                 col("is_tiny") || col("is_extreme_aspect") ||
-                  col("is_flat"))
+                  col("is_flat")
+            })
             (feats, flagged)
           } >>>
           (Access.writeData(featSnk) *** Access.writeData(flagSnk))

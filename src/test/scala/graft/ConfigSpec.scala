@@ -932,6 +932,45 @@ class ConfigSpec extends AnyFunSuite {
     assert(flagged == Set((8L, true, true), (900L, false, true)),
       s"exactly the tiny and the flat image flag: $flagged")
     graft.cache.Pins.release(spark)
+    // kind=video routes the SAME lifecycle through videoQuality:
+    // a static clip and a b/w flicker clip flag, a gradient clip
+    // passes
+    val vdir = new java.io.File(s"$base/vfixtures"); vdir.mkdirs()
+    def frame(v: Int): java.awt.image.BufferedImage = {
+      val cm = new java.awt.image.IndexColorModel(8, 2,
+        Array(v.toByte, 0.toByte), Array(v.toByte, 0.toByte),
+        Array(v.toByte, 0.toByte))
+      val img = new java.awt.image.BufferedImage(4, 3,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val g2 = img.createGraphics()
+      try {
+        g2.setColor(new java.awt.Color(v, v, v))
+        g2.fillRect(0, 0, 4, 3)
+      } finally g2.dispose()
+      img
+    }
+    def gif(name: String, vals: Seq[Int]): Unit =
+      java.nio.file.Files.write(new java.io.File(vdir, name).toPath,
+        graft.llm.Multimodal.encodeGif(vals.map(frame)))
+    gif("static.gif", Seq(80, 80, 80, 80))
+    gif("flicker.gif", Seq(0, 255, 0, 255))
+    gif("ok.gif", Seq(100, 110, 120, 130))
+    val vspec = s"$base/video.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(vspec),
+      s"""data: {kind: video}
+         |locations:
+         |  /media: $base/vfixtures
+         |  /Outputs/features: $base/vfeat.parquet
+         |  /Outputs/flagged: $base/vflag.parquet
+         |""".stripMargin)
+    CLI.run(Array("media_audit", "run", vspec), spark)
+    val vflag = spark.read.parquet(s"$base/vflag.parquet").collect()
+      .map(r => (r.getBoolean(r.fieldIndex("is_static")),
+        r.getBoolean(r.fieldIndex("is_flicker")))).toSet
+    assert(vflag == Set((true, false), (false, true)),
+      s"exactly the static and the flicker clip flag: $vflag")
+    assert(spark.read.parquet(s"$base/vfeat.parquet").count() == 3)
+    graft.cache.Pins.release(spark)
   }
 
   test("media_dedup pipeline: binaryFile dir ingest -> perceptual " +
