@@ -622,6 +622,49 @@ object ScaleBench {
           graft.llm.Multimodal.audioNearDupPairs(
             spark.read.parquet(dir)).count())
       }
+      if (enabled("media_video")) {
+        import spark.implicits._
+        val dir = s"$scratch/blobs_vid_$f"
+        if (!new java.io.File(dir).exists) {
+          spark.range(200L * f).as[Long].mapPartitions { it =>
+            it.map { i =>
+              val seed = if (i % 10 == 0 && i > 0) i - 1 else i
+              // 5 frames, 64x48, cell-aligned random blocks per
+              // frame (the media_phash fixture on the time axis)
+              val frames = (0 until 5).map { fr =>
+                val img = new java.awt.image.BufferedImage(63, 48,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                var by = 0
+                while (by < 8) {
+                  var bx = 0
+                  while (bx < 9) {
+                    val hb = mix64(
+                      (seed * 5 + fr) * 72 + by * 9 + bx + 1)
+                    val rgb = ((hb >>> 40) & 0xFFFFFF).toInt
+                    var y = by * 6
+                    while (y < by * 6 + 6) {
+                      var x = bx * 7
+                      while (x < bx * 7 + 7) {
+                        img.setRGB(x, y, rgb)
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    bx += 1
+                  }
+                  by += 1
+                }
+                img
+              }
+              (i, graft.llm.Multimodal.encodeGif(frames))
+            }
+          }.toDF("media_id", "content").write.mode("overwrite")
+            .parquet(dir)
+        }
+        runProbe("media_video_pairs", f, 200L * f)(
+          graft.llm.Multimodal.videoNearDupPairs(
+            spark.read.parquet(dir)).count())
+      }
       if (enabled("pq_patch")) {
         // build OUTSIDE the window; the probe times diff-scan +
         // affected-bucket rewrite — the repeated maintenance step
