@@ -522,18 +522,18 @@ object CLI {
     "media_dedup" -> Registered(
       "media_dedup",
       "perceptual media dedup: binaryFile ingest -> real-codec hash " +
-        "(image dHash | acoustic fingerprint) -> banded pairs -> " +
-        "components -> min-id representatives; kept + pairs sinks",
+        "(image dHash | acoustic fingerprint | video frame slots) -> " +
+        "banded pairs -> components -> min-id reps; kept + pairs sinks",
       OptionsSchema(Seq(
         OptField("kind", Some(OptStr("image")),
-          "media kind of the input directory: image | audio"),
+          "media kind of the input directory: image | audio | video"),
         OptField("maxDist", Some(OptNum(3)),
           "Hamming radius of the banded pair join (<= 3 is " +
             "pigeonhole-complete)"))),
       (spark, opts) => {
         val kind = opts("kind").render
-        require(kind == "image" || kind == "audio",
-          s"media_dedup: unknown kind '$kind' (image|audio)")
+        require(kind == "image" || kind == "audio" || kind == "video",
+          s"media_dedup: unknown kind '$kind' (image|audio|video)")
         val maxDist = (opts("maxDist") match {
           case OptNum(n) => n
           case other     => other.render.toDouble
@@ -556,12 +556,14 @@ object CLI {
                 .MEMORY_AND_DISK)
             graft.cache.Pins.track(spark,
               graft.access.Split.Branches((), blobs))
-            val pairs =
-              (if (kind == "image")
-                Multimodal.phashNearDupPairs(blobs, maxDist)
-              else Multimodal.audioNearDupPairs(blobs, maxDist))
-                .persist(org.apache.spark.storage.StorageLevel
-                  .MEMORY_AND_DISK)
+            val pairs = (kind match {
+              case "image" => Multimodal.phashNearDupPairs(blobs, maxDist)
+              case "audio" => Multimodal.audioNearDupPairs(blobs, maxDist)
+              // video pair provenance carries frames_matched (3-of-4
+              // slot agreement) instead of a Hamming column
+              case _ => Multimodal.videoNearDupPairs(blobs, maxDist)
+            }).persist(org.apache.spark.storage.StorageLevel
+              .MEMORY_AND_DISK)
             graft.cache.Pins.track(spark,
               graft.access.Split.Branches((), pairs))
             val kept = Dedup.keepRepresentatives(blobs,

@@ -292,7 +292,7 @@ object Multimodal {
             val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
               new java.io.ByteArrayInputStream(bytes))
             val readers = javax.imageio.ImageIO.getImageReaders(iis)
-            if (!readers.hasNext) None
+            if (!readers.hasNext) { iis.close(); None }
             else {
               val reader = readers.next()
               try {
@@ -338,7 +338,7 @@ object Multimodal {
                     ((luma(0) + luma(1) + luma(2) + luma(3)) / 4.0).toFloat)
                   Some((w, h, n, vec))
                 }
-              } finally reader.dispose()
+              } finally { reader.dispose(); iis.close() }
             }
           } catch { case scala.util.control.NonFatal(_) => None }
         decoded.getOrElse(Deterministic.decode(kind, bytes))
@@ -827,7 +827,7 @@ object Multimodal {
                   }
                   (0 until 4).map(s => Row(id, s, hashes(s)))
                 }
-              } finally reader.dispose()
+              } finally { reader.dispose(); iis.close() }
             }
           } catch {
             case scala.util.control.NonFatal(_) => Nil
