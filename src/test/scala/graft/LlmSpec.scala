@@ -812,6 +812,37 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs((1L, 2L)) == 0 && pairs((1L, 3L)) == d)
   }
 
+  test("multimodal: imagePhash survives a REAL bilinear 4x downscale " +
+       "bit-for-bit on cell-aligned content (scale invariance)") {
+    import spark.implicits._
+    // 288x192 with 9x8 blocks of 32x24 — the dHash cells exactly.
+    // At a clean /4 ratio the bilinear samples never straddle a
+    // block boundary, so the resample is block-preserving and the
+    // hash must be IDENTICAL, not merely close.
+    val img = new java.awt.image.BufferedImage(288, 192,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (by <- 0 until 8; bx <- 0 until 9) {
+      val rgb = (((bx * 53 + by * 97 + 11) * 2654435761L) >>> 16)
+        .toInt & 0xFFFFFF
+      for (y <- by * 24 until by * 24 + 24;
+           x <- bx * 32 until bx * 32 + 32)
+        img.setRGB(x, y, rgb)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out))
+    val blobs = Multimodal.asBlobs(
+      Seq((1L, out.toByteArray)).toDF("doc_id", "b"),
+      "doc_id", "b", "image")
+    val resized = Multimodal.resizeBlobs(blobs, 72, 48,
+      Multimodal.MediaResizer.ImageIO)
+      .select(col("media_id"), col("kind"), col("content"), col("meta"))
+    val h1 = Multimodal.imagePhash(blobs).head().getLong(1)
+    val h2 = Multimodal.imagePhash(resized).head().getLong(1)
+    assert(h1 == h2,
+      s"4x downscale must preserve the hash exactly: " +
+        s"hamming=${java.lang.Long.bitCount(h1 ^ h2)}")
+  }
+
   test("multimodal: audioFingerprint is container-invariant (WAV == " +
        "AIFF of the same PCM), edit-local (one segment edit flips " +
        "<= 2 bits), and NULL on short or undecodable clips") {
