@@ -302,7 +302,7 @@ object Multimodal {
                 val n = reader.getNumImages(true)
                 if (n <= 0) None
                 else {
-                  val idx = Array.tabulate(4)(i => i * (n - 1) / 3)
+                  val idx = Array.tabulate(4)(i => (i.toLong * (n - 1) / 3).toInt)
                   val luma = new Array[Double](4)
                   var w = 0; var h = 0
                   var i = 0
@@ -816,7 +816,7 @@ object Multimodal {
                 val n = reader.getNumImages(true)
                 if (n <= 0) Nil
                 else {
-                  val idx = Array.tabulate(4)(i => i * (n - 1) / 3)
+                  val idx = Array.tabulate(4)(i => (i.toLong * (n - 1) / 3).toInt)
                   val hashes = new Array[Long](4)
                   var i = 0
                   while (i < 4) {
