@@ -19,9 +19,15 @@ q28_grouping_sets,q31_rate_anomaly,q34_star_topk,q38_antijoin"
 # baselines (llm_jaccard_pairs / llm_embedding_pairs), whose DuckDB
 # replays are quadratic; ~25 min at sf0.1. Recorded green round 12.
 if [ "${1:-}" = "all" ]; then
+  # enumerate the suite from the compiled classes (no Spark session,
+  # no leftover artifacts needed — works on a clean checkout)
+  sbt -batch compile > /dev/null 2>&1
+  java -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+    graft.Verify --dump-oracles /root/repo/target/verify_sf01_names.json
+  # brute set mirrors graft.Bench.bruteForceBaselines (Bench.scala:23)
   ONLY=$(python3 - <<'PYEOF'
 import json
-sql = json.load(open('/root/repo/target/verify_out/oracle_sql.json'))
+sql = json.load(open('/root/repo/target/verify_sf01_names.json'))
 brutes = {'llm_jaccard_pairs', 'llm_embedding_pairs'}
 print(','.join(sorted(n for n in sql if n not in brutes)))
 PYEOF

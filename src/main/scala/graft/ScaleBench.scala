@@ -629,8 +629,9 @@ object ScaleBench {
           spark.range(200L * f).as[Long].mapPartitions { it =>
             it.map { i =>
               val seed = if (i % 10 == 0 && i > 0) i - 1 else i
-              // 5 frames, 64x48, cell-aligned random blocks per
-              // frame (the media_phash fixture on the time axis)
+              // 5 frames, 63x48 (NOT 64: 63 = 9 dHash columns x 7px
+              // so blocks align to cells exactly — the media_phash
+              // fixture rationale on the time axis)
               val frames = (0 until 5).map { fr =>
                 val img = new java.awt.image.BufferedImage(63, 48,
                   java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -500,14 +500,16 @@ object CLI {
                   num(opts("minPixels")).toLong,
                   num(opts("maxAspect")), num(opts("flatEps")))
             }
-            val flagged = gated.filter(kind match {
+            // undecodable media is the FIRST discard of any curation
+            // pass — it flags alongside the kind-specific verdicts
+            val flagged = gated.filter(col("is_undecoded") || (kind match {
               case "audio" => col("is_clipped") || col("is_silent")
               case "video" =>
                 col("is_short") || col("is_static") || col("is_flicker")
               case _ =>
                 col("is_tiny") || col("is_extreme_aspect") ||
                   col("is_flat")
-            })
+            }))
             (feats, flagged)
           } >>>
           (Access.writeData(featSnk) *** Access.writeData(flagSnk))

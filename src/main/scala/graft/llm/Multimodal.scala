@@ -50,40 +50,54 @@ object Multimodal {
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
     StructField("n_frames", IntegerType, nullable = true),
-    StructField("feature_vec", ArrayType(FloatType), nullable = true)))
+    StructField("feature_vec", ArrayType(FloatType), nullable = true),
+    // true iff a REAL codec produced the row's dims/features; false =
+    // the deterministic stub stood in (undecodable payload, or the
+    // stub ran as the primary decoder) — quality gates key on this
+    StructField("decoded", BooleanType, nullable = false)))
 
   /** Pluggable decoder. Implementations must be thread-safe and
     * per-partition reusable (constructed once per task, not per row). */
   trait MediaDecoder extends Serializable {
-    /** Decode one blob into (width, height, nFrames, featureVec). */
-    def decode(kind: String, bytes: Array[Byte])
-        : (Int, Int, Int, Array[Float])
+    /** Decode one blob through a REAL codec: `Some(result)` when the
+      * codec handled it, `None` when it falls to the deterministic
+      * stub (downstream feature rows then carry `decoded = false`,
+      * so quality gates never judge stub arithmetic as signal). */
+    def tryDecode(kind: String, bytes: Array[Byte])
+        : Option[(Int, Int, Int, Array[Float])]
+    /** Total decode: the real result, or the stub. */
+    final def decode(kind: String, bytes: Array[Byte])
+        : (Int, Int, Int, Array[Float]) =
+      tryDecode(kind, bytes).getOrElse(MediaDecoder.stub(kind, bytes))
   }
 
   object MediaDecoder {
-    /** STUB decoder — deterministic fake standing in for the real
-      * codec (none available in this container). Derives plausible
-      * dimensions and a 8-dim "feature vector" from an MD5 content
-      * hash, with arithmetic chosen to be reproducible in plain SQL
-      * (h32 = first 4 MD5 bytes unsigned) so the whole multimodal
-      * plumbing is oracle-verifiable end-to-end. Replace with an
-      * actual javax.imageio / ffmpeg-backed impl in production; the
-      * surrounding plumbing is unchanged. */
-    object Deterministic extends MediaDecoder {
-      def decode(kind: String, bytes: Array[Byte])
-          : (Int, Int, Int, Array[Float]) = {
-        val h = graft.functions.SketchOps.md5Base32(bytes)
-        val w = (64 + h % 512).toInt
-        val ht = (64 + (h >> 9) % 512).toInt
-        val frames = kind match {
-          case "video" => (1 + (h >> 18) % 120).toInt
-          case "audio" => (1 + (h >> 18) % 1000).toInt
-          case _       => 1
-        }
-        val vec = Array.tabulate(8)(i =>
-          (((h >> i) & 0xFF) / 255.0f) - 0.5f)
-        (w, ht, frames, vec)
+    /** The deterministic stub arithmetic — plausible dimensions and
+      * an 8-dim "feature vector" from an MD5 content hash, chosen to
+      * be reproducible in plain SQL (h32 = first 4 MD5 bytes
+      * unsigned) so the whole multimodal plumbing is
+      * oracle-verifiable end-to-end even with no codec present. */
+    private[llm] def stub(kind: String, bytes: Array[Byte])
+        : (Int, Int, Int, Array[Float]) = {
+      val h = graft.functions.SketchOps.md5Base32(bytes)
+      val w = (64 + h % 512).toInt
+      val ht = (64 + (h >> 9) % 512).toInt
+      val frames = kind match {
+        case "video" => (1 + (h >> 18) % 120).toInt
+        case "audio" => (1 + (h >> 18) % 1000).toInt
+        case _       => 1
       }
+      val vec = Array.tabulate(8)(i =>
+        (((h >> i) & 0xFF) / 255.0f) - 0.5f)
+      (w, ht, frames, vec)
+    }
+
+    /** STUB decoder — [[stub]] as the primary decoder (the no-codec
+      * container path). Never claims a real decode, so every feature
+      * row it produces carries `decoded = false`. */
+    object Deterministic extends MediaDecoder {
+      def tryDecode(kind: String, bytes: Array[Byte])
+          : Option[(Int, Int, Int, Array[Float])] = None
     }
 
     /** REAL image decoder on the JDK's own codecs (`javax.imageio`:
@@ -102,8 +116,8 @@ object Multimodal {
       * Thread-safe: `ImageIO.read` constructs a fresh reader per
       * call; the in-memory stream avoids the shared disk cache. */
     object ImageIO extends MediaDecoder {
-      def decode(kind: String, bytes: Array[Byte])
-          : (Int, Int, Int, Array[Float]) = {
+      def tryDecode(kind: String, bytes: Array[Byte])
+          : Option[(Int, Int, Int, Array[Float])] = {
         val img =
           if (kind != "image" || bytes.isEmpty) null
           else
@@ -115,7 +129,7 @@ object Multimodal {
             // poisoned blob must degrade to the stub, not kill the
             // task (and with it the whole 100 TB stage)
             catch { case scala.util.control.NonFatal(_) => null }
-        if (img == null) Deterministic.decode(kind, bytes)
+        if (img == null) None
         else {
           val (w, h) = (img.getWidth, img.getHeight)
           val sums = Array.fill(3)(0L)
@@ -146,7 +160,7 @@ object Multimodal {
               (n * 3.0 * 255.0)).toFloat,
             quad(qLuma, qN, 0), quad(qLuma, qN, 1),
             quad(qLuma, qN, 2), quad(qLuma, qN, 3))
-          (w, h, 1, vec)
+          Some((w, h, 1, vec))
         }
       }
       private def quad(s: Array[Long], n: Array[Long], i: Int): Float =
@@ -208,15 +222,12 @@ object Multimodal {
           else Some((in.getFormat.getSampleRate.toInt, channels, pcm))
         } catch { case scala.util.control.NonFatal(_) => None }
 
-      def decode(kind: String, bytes: Array[Byte])
-          : (Int, Int, Int, Array[Float]) = {
-        val decoded =
-          if (kind != "audio") None
-          else decodePcm16(bytes).map { case (rate, channels, pcm) =>
-            stats(pcm, rate, channels, pcm.length / (channels * 2))
-          }
-        decoded.getOrElse(Deterministic.decode(kind, bytes))
-      }
+      def tryDecode(kind: String, bytes: Array[Byte])
+          : Option[(Int, Int, Int, Array[Float])] =
+        if (kind != "audio") None
+        else decodePcm16(bytes).map { case (rate, channels, pcm) =>
+          stats(pcm, rate, channels, pcm.length / (channels * 2))
+        }
 
       private def stats(pcm: Array[Byte], rate: Int, channels: Int,
                         frames: Int): (Int, Int, Int, Array[Float]) = {
@@ -284,65 +295,36 @@ object Multimodal {
       * (non-video kinds, foreign/truncated codecs, zero frames) FALL
       * BACK to [[Deterministic]] — total, like its siblings. */
     object VideoIO extends MediaDecoder {
-      def decode(kind: String, bytes: Array[Byte])
-          : (Int, Int, Int, Array[Float]) = {
-        val decoded =
-          if (kind != "video" || bytes.isEmpty) None
-          else try {
-            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-              new java.io.ByteArrayInputStream(bytes))
-            val readers = javax.imageio.ImageIO.getImageReaders(iis)
-            if (!readers.hasNext) { iis.close(); None }
-            else {
-              val reader = readers.next()
-              try {
-                // seekForwardOnly=false: getNumImages(allowSearch)
-                // needs to scan ahead, frame reads then seek back
-                reader.setInput(iis, false, true)
-                val n = reader.getNumImages(true)
-                if (n <= 0) None
-                else {
-                  val idx = Array.tabulate(4)(i => (i.toLong * (n - 1) / 3).toInt)
-                  val luma = new Array[Double](4)
-                  var w = 0; var h = 0
-                  var i = 0
-                  while (i < 4) {
-                    // duplicate indices (short clips) decode once
-                    if (i > 0 && idx(i) == idx(i - 1)) luma(i) = luma(i - 1)
-                    else {
-                      val img = reader.read(idx(i))
-                      if (i == 0) { w = img.getWidth; h = img.getHeight }
-                      var sum = 0L
-                      var y = 0
-                      while (y < img.getHeight) {
-                        var x = 0
-                        while (x < img.getWidth) {
-                          val rgb = img.getRGB(x, y)
-                          sum += ((rgb >> 16) & 0xFF) +
-                            ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
-                          x += 1
-                        }
-                        y += 1
-                      }
-                      luma(i) = sum.toDouble /
-                        (img.getWidth.toLong * img.getHeight * 3.0 * 255.0)
-                    }
-                    i += 1
-                  }
-                  val vec = Array(
-                    luma(0).toFloat, luma(1).toFloat,
-                    luma(2).toFloat, luma(3).toFloat,
-                    math.abs(luma(1) - luma(0)).toFloat,
-                    math.abs(luma(2) - luma(1)).toFloat,
-                    math.abs(luma(3) - luma(2)).toFloat,
-                    ((luma(0) + luma(1) + luma(2) + luma(3)) / 4.0).toFloat)
-                  Some((w, h, n, vec))
-                }
-              } finally { reader.dispose(); iis.close() }
+      def tryDecode(kind: String, bytes: Array[Byte])
+          : Option[(Int, Int, Int, Array[Float])] =
+        if (kind != "video") None
+        else sampledFrames(bytes) { img =>
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xFF) +
+                ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+              x += 1
             }
-          } catch { case scala.util.control.NonFatal(_) => None }
-        decoded.getOrElse(Deterministic.decode(kind, bytes))
-      }
+            y += 1
+          }
+          (img.getWidth, img.getHeight,
+            sum.toDouble /
+              (img.getWidth.toLong * img.getHeight * 3.0 * 255.0))
+        }.map { case (n, fr) =>
+          val luma = fr.map(_._3)
+          val vec = Array(
+            luma(0).toFloat, luma(1).toFloat,
+            luma(2).toFloat, luma(3).toFloat,
+            math.abs(luma(1) - luma(0)).toFloat,
+            math.abs(luma(2) - luma(1)).toFloat,
+            math.abs(luma(3) - luma(2)).toFloat,
+            ((luma(0) + luma(1) + luma(2) + luma(3)) / 4.0).toFloat)
+          (fr(0)._1, fr(0)._2, n, vec)
+        }
     }
 
     /** Production composite: dispatch each blob to the JDK codec for
@@ -351,15 +333,58 @@ object Multimodal {
       * back inside it), [[Deterministic]] for anything else. One
       * decoder instance serves a whole partition, like its parts. */
     object Jdk extends MediaDecoder {
-      def decode(kind: String, bytes: Array[Byte])
-          : (Int, Int, Int, Array[Float]) = kind match {
-        case "image" => ImageIO.decode(kind, bytes)
-        case "audio" => AudioIO.decode(kind, bytes)
-        case "video" => VideoIO.decode(kind, bytes)
-        case _       => Deterministic.decode(kind, bytes)
+      def tryDecode(kind: String, bytes: Array[Byte])
+          : Option[(Int, Int, Int, Array[Float])] = kind match {
+        case "image" => ImageIO.tryDecode(kind, bytes)
+        case "audio" => AudioIO.tryDecode(kind, bytes)
+        case "video" => VideoIO.tryDecode(kind, bytes)
+        case _       => None
       }
     }
   }
+
+  /** Open a multi-frame container (animated GIF — the one the JDK
+    * enumerates), decode its 4 evenly-sampled frames (indices
+    * `i*(n-1)/3`, duplicate indices decoded once) and map each
+    * through `f`. None when no reader claims the payload, it has no
+    * frames, or a codec throws — callers degrade to the stub
+    * ([[MediaDecoder.VideoIO]]) or emit no rows
+    * ([[videoPhashFrames]]). The single implementation both video
+    * faces share (frame-count pass reads headers; only 4 frames
+    * rasterize). */
+  private[llm] def sampledFrames[A: scala.reflect.ClassTag](
+      bytes: Array[Byte])(f: java.awt.image.BufferedImage => A)
+      : Option[(Int, Array[A])] =
+    if (bytes.isEmpty) None
+    else try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); None }
+      else {
+        val reader = readers.next()
+        try {
+          // seekForwardOnly=false: getNumImages(allowSearch) needs
+          // to scan ahead, frame reads then seek back
+          reader.setInput(iis, false, true)
+          val n = reader.getNumImages(true)
+          if (n <= 0) None
+          else {
+            val idx =
+              Array.tabulate(4)(i => (i.toLong * (n - 1) / 3).toInt)
+            val out = new Array[A](4)
+            var i = 0
+            while (i < 4) {
+              out(i) =
+                if (i > 0 && idx(i) == idx(i - 1)) out(i - 1)
+                else f(reader.read(idx(i)))
+              i += 1
+            }
+            Some((n, out))
+          }
+        } finally { reader.dispose(); iis.close() }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Encode frames as an animated GIF (the sink-side complement of
     * [[MediaDecoder.VideoIO]] — preview strips, resampled clips, spec
@@ -472,12 +497,14 @@ object Multimodal {
         val kind = row.getString(1)
         val bytes = if (row.isNullAt(2)) Array.empty[Byte]
           else row.getAs[Array[Byte]](2)
-        val (w, h, frames, vec) = decoder.decode(kind, bytes)
+        val real = decoder.tryDecode(kind, bytes)
+        val (w, h, frames, vec) =
+          real.getOrElse(MediaDecoder.stub(kind, bytes))
         Row(id, kind, bytes.length.toLong,
           org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
             bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
             bytes.length, 42).toLong,
-          w, h, frames, vec.toSeq)
+          w, h, frames, vec.toSeq, real.isDefined)
       }
     }(enc).toDF()
   }
@@ -603,7 +630,9 @@ object Multimodal {
     * clip distorts features, a silent one carries none). Pure
     * relational arithmetic over the already-extracted statistics; the
     * corpus blobs are never re-read. Output `(media_id, n_frames,
-    * duration_sec, rms, peak, is_clipped, is_silent)`. */
+    * duration_sec, rms, peak, is_clipped, is_silent, is_undecoded)`
+    * — stub rows (no real codec decoded the clip) get ONLY the
+    * undecoded verdict, never a level one. */
   def audioQuality(feats: DataFrame, clipThreshold: Double = 0.99,
                    silenceRms: Double = 0.01): DataFrame =
     feats.filter(col("kind") === "audio")
@@ -615,10 +644,15 @@ object Multimodal {
           .as("rms"),
         round(element_at(col("feature_vec"), 3).cast("double"), 6)
           .as("peak"),
-        (element_at(col("feature_vec"), 3).cast("double") >=
-          clipThreshold).as("is_clipped"),
-        (element_at(col("feature_vec"), 1).cast("double") <
-          silenceRms).as("is_silent"))
+        // stub features are md5 arithmetic, not signal — an
+        // undecodable clip gets ITS OWN verdict, never a level one
+        (col("decoded") &&
+          element_at(col("feature_vec"), 3).cast("double") >=
+            clipThreshold).as("is_clipped"),
+        (col("decoded") &&
+          element_at(col("feature_vec"), 1).cast("double") <
+            silenceRms).as("is_silent"),
+        (!col("decoded")).as("is_undecoded"))
 
   /** Image quality gate over an [[extractFeatures]] table (ImageIO
     * rows): size / aspect / flatness verdicts from the extracted
@@ -627,7 +661,8 @@ object Multimodal {
     * discards of an image curation pass. Flatness uses the quadrant
     * luma spread (max − min of the four quadrant means): a uniform
     * image spreads 0. Output `(media_id, width, height, n_pixels,
-    * aspect, quad_spread, is_tiny, is_extreme_aspect, is_flat)`. */
+    * aspect, quad_spread, is_tiny, is_extreme_aspect, is_flat,
+    * is_undecoded)` — stub rows get only the undecoded verdict. */
   def imageQuality(feats: DataFrame, minPixels: Long = 4096L,
                    maxAspect: Double = 4.0, flatEps: Double = 0.02)
       : DataFrame = {
@@ -644,10 +679,12 @@ object Multimodal {
         (col("width").cast("long") * col("height")).as("n_pixels"),
         round(aspect, 6).as("aspect"),
         round(spread, 6).as("quad_spread"),
-        (col("width").cast("long") * col("height") < minPixels)
+        (col("decoded") &&
+          col("width").cast("long") * col("height") < minPixels)
           .as("is_tiny"),
-        (aspect > maxAspect).as("is_extreme_aspect"),
-        (spread < flatEps).as("is_flat"))
+        (col("decoded") && aspect > maxAspect).as("is_extreme_aspect"),
+        (col("decoded") && spread < flatEps).as("is_flat"),
+        (!col("decoded")).as("is_undecoded"))
   }
 
   /** Video quality gate over an [[extractFeatures]] table
@@ -658,7 +695,10 @@ object Multimodal {
     * screen-recordings of stills, and FLICKER clips (mean delta
     * above `flickerEps`) are strobing/corrupted transcodes. Output
     * `(media_id, n_frames, max_delta, mean_delta, is_short,
-    * is_static, is_flicker)`. */
+    * is_static, is_flicker, is_undecoded)` — stub rows (e.g. an MP4
+    * the GIF-only enumerator cannot open) get ONLY the undecoded
+    * verdict: stub features are md5 arithmetic, not temporal
+    * signal. */
   def videoQuality(feats: DataFrame, minFrames: Int = 2,
                    staticEps: Double = 0.002,
                    flickerEps: Double = 0.25): DataFrame = {
@@ -670,9 +710,10 @@ object Multimodal {
         col("n_frames").cast("long").as("n_frames"),
         round(maxD, 6).as("max_delta"),
         round(meanD, 6).as("mean_delta"),
-        (col("n_frames") < minFrames).as("is_short"),
-        (maxD < staticEps).as("is_static"),
-        (meanD > flickerEps).as("is_flicker"))
+        (col("decoded") && col("n_frames") < minFrames).as("is_short"),
+        (col("decoded") && maxD < staticEps).as("is_static"),
+        (col("decoded") && meanD > flickerEps).as("is_flicker"),
+        (!col("decoded")).as("is_undecoded"))
   }
 
   /** Deterministic frame sampling plan for video blobs: every
@@ -802,35 +843,10 @@ object Multimodal {
           val bytes =
             if (row.isNullAt(1)) Array.empty[Byte]
             else row.getAs[Array[Byte]](1)
-          if (bytes.isEmpty) Nil
-          else try {
-            val iis =
-              new javax.imageio.stream.MemoryCacheImageInputStream(
-                new java.io.ByteArrayInputStream(bytes))
-            val readers = javax.imageio.ImageIO.getImageReaders(iis)
-            if (!readers.hasNext) Nil
-            else {
-              val reader = readers.next()
-              try {
-                reader.setInput(iis, false, true)
-                val n = reader.getNumImages(true)
-                if (n <= 0) Nil
-                else {
-                  val idx = Array.tabulate(4)(i => (i.toLong * (n - 1) / 3).toInt)
-                  val hashes = new Array[Long](4)
-                  var i = 0
-                  while (i < 4) {
-                    hashes(i) =
-                      if (i > 0 && idx(i) == idx(i - 1)) hashes(i - 1)
-                      else dhash64(reader.read(idx(i)))
-                    i += 1
-                  }
-                  (0 until 4).map(s => Row(id, s, hashes(s)))
-                }
-              } finally { reader.dispose(); iis.close() }
-            }
-          } catch {
-            case scala.util.control.NonFatal(_) => Nil
+          sampledFrames(bytes)(dhash64) match {
+            case Some((_, hashes)) =>
+              (0 until 4).map(s => Row(id, s, hashes(s)))
+            case None => Nil
           }
         }
       }(enc).toDF()

@@ -1042,22 +1042,8 @@ object TextAnalysis {
                 textCol: String = "text")
       : Array[(Long, String, String, Long)] =
     Similarity.memoized(docs, s"bpeTrain:$merges:$textCol") {
-      import org.apache.spark.storage.StorageLevel
-      val SEP = "\u0001"
-      val D = SEP + SEP
-      var words = docs
-        .select(explode(tokens(col(textCol))).as("_w"))
-        .groupBy(col("_w")).agg(count(lit(1)).as("_n"))
-        .select(filter(split(col("_w"), ""), c => c =!= "").as("_a"),
-          col("_n"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      var prev: Option[DataFrame] = None
-      val out = scala.collection.mutable
-        .ArrayBuffer[(Long, String, String, Long)]()
-      var i = 0
-      var dry = false
-      while (i < merges && !dry) {
-        val top = words.where(size(col("_a")) >= 2)
+      mergeTrainerLoop(docs, merges, textCol,
+        argmax = words => words.where(size(col("_a")) >= 2)
           .select(explode(expr(
             "transform(sequence(1, size(_a) - 1), " +
               "i -> struct(_a[i - 1] AS x, _a[i] AS y))")).as("_p"),
@@ -1065,29 +1051,64 @@ object TextAnalysis {
           .select(col("_p.x").as("x"), col("_p.y").as("y"), col("_n"))
           .groupBy(col("x"), col("y")).agg(sum(col("_n")).as("c"))
           .orderBy(col("c").desc, col("x").asc, col("y").asc)
-          .limit(1).collect()
-        // the previous round's table fed this action; release it now
-        prev.foreach(_.unpersist()); prev = None
-        if (top.isEmpty) dry = true
-        else {
-          val (x, y, c) = (top.head.getString(0), top.head.getString(1),
-            top.head.getLong(2))
-          out += ((i + 1L, x, y, c))
-          val merged = call_function("replace",
-            concat(lit(D), array_join(col("_a"), D), lit(D)),
-            lit(SEP + x + D + y + SEP), lit(SEP + x + y + SEP))
-          val next = words
-            .select(filter(split(merged, D), s => s =!= "").as("_a"),
-              col("_n"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          prev = Some(words)
-          words = next
-        }
-        i += 1
-      }
-      words.unpersist(); prev.foreach(_.unpersist())
-      out.toArray
+          .limit(1).collect(),
+        emit = (rank, row) =>
+          (rank, row.getString(0), row.getString(1), row.getLong(2)))
     }
+
+  /** The shared merge-trainer loop behind [[bpeMerges]] and
+    * [[wordpieceMerges]]: ONE corpus scan builds the distinct-word
+    * table (the standard trainer compression — every later round
+    * runs over vocab-sized data), then `merges` rounds of
+    * (argmax pair over the current symbol lists -> greedy leftmost
+    * merge). `argmax` sees the `(_a: array<string>, _n: long)` words
+    * table and returns 0-or-1 rows whose FIRST TWO fields are the
+    * pair `(x, y)` (empty = trained dry, stop early); `emit` shapes
+    * each round's output row. The merge itself is the row-local
+    * doubled-U+0001 `replace` (left-to-right non-overlapping
+    * replacement IS greedy leftmost merging), so every round replays
+    * in any ANSI engine. */
+  private def mergeTrainerLoop[T: scala.reflect.ClassTag](
+      docs: DataFrame, merges: Int,
+      textCol: String,
+      argmax: DataFrame => Array[org.apache.spark.sql.Row],
+      emit: (Long, org.apache.spark.sql.Row) => T): Array[T] = {
+    import org.apache.spark.storage.StorageLevel
+    val SEP = "\u0001"
+    val D = SEP + SEP
+    var words = docs
+      .select(explode(tokens(col(textCol))).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_n"))
+      .select(filter(split(col("_w"), ""), c => c =!= "").as("_a"),
+        col("_n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prev: Option[DataFrame] = None
+    val out = scala.collection.mutable.ArrayBuffer[T]()
+    var i = 0
+    var dry = false
+    while (i < merges && !dry) {
+      val top = argmax(words)
+      // the previous round's table fed this action; release it now
+      prev.foreach(_.unpersist()); prev = None
+      if (top.isEmpty) dry = true
+      else {
+        val (x, y) = (top.head.getString(0), top.head.getString(1))
+        out += emit(i + 1L, top.head)
+        val merged = call_function("replace",
+          concat(lit(D), array_join(col("_a"), D), lit(D)),
+          lit(SEP + x + D + y + SEP), lit(SEP + x + y + SEP))
+        val next = words
+          .select(filter(split(merged, D), s => s =!= "").as("_a"),
+            col("_n"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        prev = Some(words)
+        words = next
+      }
+      i += 1
+    }
+    words.unpersist(); prev.foreach(_.unpersist())
+    out.toArray
+  }
 
   /** WordPiece tokenizer TRAINER (Schuster & Nakajima 2012; the BERT
     * tokenizer's training rule): the [[bpeMerges]] loop with the
@@ -1110,62 +1131,32 @@ object TextAnalysis {
                       textCol: String = "text")
       : Array[(Long, String, String, Long, Long)] =
     Similarity.memoized(docs, s"wpTrain:$merges:$textCol") {
-      import org.apache.spark.storage.StorageLevel
-      val SEP = "\u0001"
-      val D = SEP + SEP
-      var words = docs
-        .select(explode(tokens(col(textCol))).as("_w"))
-        .groupBy(col("_w")).agg(count(lit(1)).as("_n"))
-        .select(filter(split(col("_w"), ""), c => c =!= "").as("_a"),
-          col("_n"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      var prev: Option[DataFrame] = None
-      val out = scala.collection.mutable
-        .ArrayBuffer[(Long, String, String, Long, Long)]()
-      var i = 0
-      var dry = false
-      while (i < merges && !dry) {
-        val pairs = words.where(size(col("_a")) >= 2)
-          .select(explode(expr(
-            "transform(sequence(1, size(_a) - 1), " +
-              "i -> struct(_a[i - 1] AS x, _a[i] AS y))")).as("_p"),
-            col("_n"))
-          .select(col("_p.x").as("x"), col("_p.y").as("y"), col("_n"))
-          .groupBy(col("x"), col("y")).agg(sum(col("_n")).as("c"))
-        val syms = words
-          .select(explode(col("_a")).as("z"), col("_n"))
-          .groupBy(col("z")).agg(sum(col("_n")).as("cs"))
-        val top = pairs
-          .join(syms.select(col("z").as("x"), col("cs").as("ca")),
-            Seq("x"))
-          .join(syms.select(col("z").as("y"), col("cs").as("cb")),
-            Seq("y"))
-          .select(col("x"), col("y"), col("c"),
-            expr("(CAST(c AS DECIMAL(28,0)) * 1000000000) div " +
-              "(CAST(ca AS DECIMAL(28,0)) * CAST(cb AS DECIMAL(28,0)))")
-              .as("score"))
-          .orderBy(col("score").desc, col("x").asc, col("y").asc)
-          .limit(1).collect()
-        prev.foreach(_.unpersist()); prev = None
-        if (top.isEmpty) dry = true
-        else {
-          val (x, y) = (top.head.getString(0), top.head.getString(1))
-          out += ((i + 1L, x, y, top.head.getLong(2),
-            top.head.getLong(3)))
-          val merged = call_function("replace",
-            concat(lit(D), array_join(col("_a"), D), lit(D)),
-            lit(SEP + x + D + y + SEP), lit(SEP + x + y + SEP))
-          val next = words
-            .select(filter(split(merged, D), s => s =!= "").as("_a"),
+      mergeTrainerLoop(docs, merges, textCol,
+        argmax = words => {
+          val pairs = words.where(size(col("_a")) >= 2)
+            .select(explode(expr(
+              "transform(sequence(1, size(_a) - 1), " +
+                "i -> struct(_a[i - 1] AS x, _a[i] AS y))")).as("_p"),
               col("_n"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          prev = Some(words)
-          words = next
-        }
-        i += 1
-      }
-      words.unpersist(); prev.foreach(_.unpersist())
-      out.toArray
+            .select(col("_p.x").as("x"), col("_p.y").as("y"), col("_n"))
+            .groupBy(col("x"), col("y")).agg(sum(col("_n")).as("c"))
+          val syms = words
+            .select(explode(col("_a")).as("z"), col("_n"))
+            .groupBy(col("z")).agg(sum(col("_n")).as("cs"))
+          pairs
+            .join(syms.select(col("z").as("x"), col("cs").as("ca")),
+              Seq("x"))
+            .join(syms.select(col("z").as("y"), col("cs").as("cb")),
+              Seq("y"))
+            .select(col("x"), col("y"), col("c"),
+              expr("(CAST(c AS DECIMAL(28,0)) * 1000000000) div " +
+                "(CAST(ca AS DECIMAL(28,0)) * CAST(cb AS DECIMAL(28,0)))")
+                .as("score"))
+            .orderBy(col("score").desc, col("x").asc, col("y").asc)
+            .limit(1).collect()
+        },
+        emit = (rank, row) => (rank, row.getString(0), row.getString(1),
+          row.getLong(2), row.getLong(3)))
     }
 
   /** [[wordpieceMerges]] as a DataFrame
@@ -1205,11 +1196,16 @@ object TextAnalysis {
     val tok = applyTo.getOrElse(docs).select(col(idCol),
       explode(tokens(col(textCol))).as("_w"))
     val words = tok.select(col("_w")).distinct()
-    val alpha = docs
-      .select(explode(tokens(col(textCol))).as("_tw"))
-      .select(explode(filter(split(col("_tw"), ""), c => c =!= ""))
-        .as("ch"))
-      .distinct().collect().map(_.getString(0))
+    // memoized next to the merges: the alphabet is part of the FROZEN
+    // model, so a per-micro-batch caller (fertilityMonitor) must not
+    // re-scan the training corpus every batch
+    val alpha =
+      Similarity.memoized(docs, s"wpAlphabet:$textCol") {
+        docs.select(explode(tokens(col(textCol))).as("_tw"))
+          .select(explode(filter(split(col("_tw"), ""), c => c =!= ""))
+            .as("ch"))
+          .distinct().collect().map(_.getString(0))
+      }
     val vocab = (alpha ++ mergedSyms).toSet
     val maxLen = if (vocab.isEmpty) 1 else vocab.map(_.length).max
     val bc = spark.sparkContext.broadcast((vocab, maxLen))

@@ -4625,7 +4625,8 @@ object LlmQueries {
          SELECT m AS media_id, CAST(256 AS BIGINT) AS n_frames,
            round(256.0 / 8000.0, 6) AS duration_sec,
            round(rmsf, 6) AS rms, round(peakf, 6) AS peak,
-           peakf >= 0.9 AS is_clipped, rmsf < 0.05 AS is_silent
+           peakf >= 0.9 AS is_clipped, rmsf < 0.05 AS is_silent,
+           FALSE AS is_undecoded
          FROM st ORDER BY media_id""",
     // image quality replay: per-m dims (w = 4m x 6), uniform-color
     // every 4th image; spread compares float32 quadrant means before
@@ -4663,7 +4664,8 @@ object LlmQueries {
            24*m < 100 AS is_tiny,
            greatest(4*m, 6) * 1.0 / least(4*m, 6) > 4.0
              AS is_extreme_aspect,
-           spread < 0.02 AS is_flat
+           spread < 0.02 AS is_flat,
+           FALSE AS is_undecoded
          FROM qdp ORDER BY media_id""",
     // real-decoder image replay: closed-form pixel channels, exact
     // integer channel/quadrant sums, float32 rounding via FLOAT cast.
@@ -4842,7 +4844,8 @@ object LlmQueries {
            round((d1 + d2 + d3) / 3.0, 6) AS mean_delta,
            n < 2 AS is_short,
            greatest(d1, d2, d3) < 0.002 AS is_static,
-           (d1 + d2 + d3) / 3.0 > 0.25 AS is_flicker
+           (d1 + d2 + d3) / 3.0 > 0.25 AS is_flicker,
+           FALSE AS is_undecoded
          FROM dd ORDER BY media_id""",
     // perceptual dedup replay: phash closure + min-id keep (the
     // llm_mm_dedup recursive-closure device on the dHash pair set).

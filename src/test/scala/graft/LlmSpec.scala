@@ -972,6 +972,42 @@ class LlmSpec extends AnyFunSuite {
       s"unrelated clip must stay unpaired: $loose")
   }
 
+  test("multimodal: quality gates never judge stub features — an " +
+       "undecodable blob gets ONLY the is_undecoded verdict") {
+    import spark.implicits._
+    // an MP4-shaped payload the GIF-only enumerator cannot open:
+    // before the `decoded` flag, the stub's md5 feature arithmetic
+    // leaked into is_static/is_flicker as pseudo-random verdicts
+    val blobs = Multimodal.asBlobs(
+      Seq((1L, "    ftypisom fake mp4 payload"))
+        .toDF("doc_id", "b"),
+      "doc_id", "b", "video")
+    val feats = Multimodal.extractFeatures(blobs,
+      Multimodal.MediaDecoder.Jdk)
+    assert(!feats.head().getBoolean(feats.schema.fieldIndex("decoded")))
+    val vq = Multimodal.videoQuality(feats).head()
+    assert(vq.getBoolean(vq.fieldIndex("is_undecoded")))
+    assert(!vq.getBoolean(vq.fieldIndex("is_short")) &&
+      !vq.getBoolean(vq.fieldIndex("is_static")) &&
+      !vq.getBoolean(vq.fieldIndex("is_flicker")),
+      s"stub features must never produce quality verdicts: $vq")
+    // same contract on the other two gates
+    val aq = Multimodal.audioQuality(Multimodal.extractFeatures(
+      Multimodal.asBlobs(Seq((2L, "not audio")).toDF("doc_id", "b"),
+        "doc_id", "b", "audio"),
+      Multimodal.MediaDecoder.Jdk)).head()
+    assert(aq.getBoolean(aq.fieldIndex("is_undecoded")) &&
+      !aq.getBoolean(aq.fieldIndex("is_clipped")) &&
+      !aq.getBoolean(aq.fieldIndex("is_silent")), s"$aq")
+    val iq = Multimodal.imageQuality(Multimodal.extractFeatures(
+      Multimodal.asBlobs(Seq((3L, "not an image")).toDF("doc_id", "b"),
+        "doc_id", "b", "image"),
+      Multimodal.MediaDecoder.Jdk)).head()
+    assert(iq.getBoolean(iq.fieldIndex("is_undecoded")) &&
+      !iq.getBoolean(iq.fieldIndex("is_tiny")) &&
+      !iq.getBoolean(iq.fieldIndex("is_flat")), s"$iq")
+  }
+
   test("multimodal: resizeBlobs keeps schema + ids, rewrites content") {
     val blobs = Multimodal.asBlobs(docs.limit(20), "doc_id", "text", "image")
     val resized = Multimodal.resizeBlobs(blobs, 8, 8)
