@@ -312,6 +312,30 @@ object CLI {
           (Access.writeData(modelSnk) *** Access.writeData(fertSnk))
       }),
 
+    // The release data card through the lifecycle: one config-bound
+    // run emits the per-source report a training-data drop ships
+    // with (volume, language mix, dup rate, safety exposure).
+    "corpus_report" -> Registered(
+      "corpus_report",
+      "release data card: per-source volume + language mix + " +
+        "exact-dup rate + PII/blocklist exposure, one parquet sink",
+      OptionsSchema(Seq(
+        OptField("blocklist", Some(OptStr("badterm1,casino777")),
+          "comma-separated blocklist terms for the exposure column"))),
+      (spark, opts) => {
+        val terms = opts("blocklist").render.split(",")
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        val src = VirtualFile(VPath("/documents"), Seq("parquet"),
+          Usage.Source)
+        val snk = VirtualFile(VPath("/Outputs/report"),
+          Seq("parquet"), Usage.Sink)
+        Access.getDataReader(src) >>>
+          PTask.arr { (r: Access.DataReader) =>
+            graft.llm.TextAnalysis.corpusReport(r.read(), terms)
+          } >>>
+          Access.writeData(snk)
+      }),
+
     "index" -> Registered(
       "index",
       "index lifecycle: incremental build -> patch/compact -> serve " +

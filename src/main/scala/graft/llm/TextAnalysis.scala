@@ -2169,6 +2169,82 @@ object TextAnalysis {
           col("n_blocked") > 0 || col("has_secret")).as("flagged"))
   }
 
+  /** Per-source corpus "data card" — the one-table release report a
+    * training-data drop ships with: volume (docs/tokens, mean + p90
+    * length), predicted language mix (majority [[langId]] language +
+    * its share), exact-duplicate rate, and safety exposure (fraction
+    * of docs carrying PII patterns / blocklist hits). Each column is
+    * an existing audited operator's aggregate; this op just composes
+    * them into one config-bindable artifact. Two passes over the
+    * per-doc projection (volume aggregate + language mode) — the
+    * report runs once per corpus release, so the second scan is
+    * cheaper than holding the projection hot.
+    *
+    * Output, one row per source:
+    * `(source, n_docs, n_tokens, mean_tokens, p90_tokens, top_lang,
+    * top_lang_frac, exact_dup_frac, pii_doc_frac,
+    * blocked_doc_frac)`; language-mode ties break on (count desc,
+    * lang asc); the duplicate rate counts 64-bit content hashes
+    * (collision odds negligible; the oracle counts distinct text —
+    * the [[Dedup.exactGroups]] equivalence). */
+  def corpusReport(docs: DataFrame, blockTerms: Seq[String],
+                   textCol: String = "text", idCol: String = "doc_id",
+                   srcCol: String = "source"): DataFrame = {
+    require(blockTerms.nonEmpty, "blocklist must not be empty")
+    val Seq((emailP, emailR), (ipP, ipR), (phoneP, _)) = piiPatterns
+    val blockPat = blockTerms.map(escapeRegex).mkString("^(?:", "|", ")$")
+    val toks = tokens(col(textCol))
+    val perDoc = docs.select(col(srcCol).as("source"),
+        tokenCount(col(textCol)).cast("long").as("_ntok"),
+        coalesce(langId(col(textCol)), lit("und")).as("_lang"),
+        xxhash64(col(textCol)).as("_h"),
+        size(regexp_extract_all(col(textCol), lit(emailP), lit(0)))
+          .cast("long").as("_ne"),
+        regexp_replace(col(textCol), emailP, emailR).as("_t1"),
+        (size(toks) - size(filter(toks, t => !lower(t).rlike(blockPat))))
+          .cast("long").as("_nb"))
+      .select(col("source"), col("_ntok"), col("_lang"), col("_h"),
+        col("_nb"),
+        (col("_ne") +
+          size(regexp_extract_all(col("_t1"), lit(ipP), lit(0)))
+            .cast("long")).as("_ne2"),
+        regexp_replace(col("_t1"), ipP, ipR).as("_t2"))
+      .select(col("source"), col("_ntok"), col("_lang"), col("_h"),
+        col("_nb"),
+        (col("_ne2") +
+          size(regexp_extract_all(col("_t2"), lit(phoneP), lit(0)))
+            .cast("long")).as("_npii"))
+    val base = perDoc.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("_ntok")).as("n_tokens"),
+      round(expr("percentile(CAST(_ntok AS DOUBLE), 0.9)"), 6)
+        .as("p90_tokens"),
+      count_distinct(col("_h")).as("_nh"),
+      sum(when(col("_npii") > 0, 1L).otherwise(0L)).as("_npiid"),
+      sum(when(col("_nb") > 0, 1L).otherwise(0L)).as("_nbd"))
+    val topLang = perDoc.groupBy(col("source"), col("_lang"))
+      .agg(count(lit(1)).as("_lc"))
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("_lc").desc, col("_lang").asc)))
+      .filter(col("_rk") === 1)
+      .select(col("source"), col("_lang").as("top_lang"), col("_lc"))
+    base.join(topLang, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          col("n_docs").cast("double"), 6).as("mean_tokens"),
+        col("p90_tokens"),
+        col("top_lang"),
+        round(col("_lc").cast("double") /
+          col("n_docs").cast("double"), 6).as("top_lang_frac"),
+        round(lit(1.0) - col("_nh").cast("double") /
+          col("n_docs").cast("double"), 6).as("exact_dup_frac"),
+        round(col("_npiid").cast("double") /
+          col("n_docs").cast("double"), 6).as("pii_doc_frac"),
+        round(col("_nbd").cast("double") /
+          col("n_docs").cast("double"), 6).as("blocked_doc_frac"))
+  }
+
   /** Label-vs-prediction confusion matrix of [[nbLangId]] over a
     * labeled corpus: one row per observed (lang, pred_lang) with its
     * document count — the compact training-data QA artifact (the

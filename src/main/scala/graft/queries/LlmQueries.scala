@@ -2029,6 +2029,24 @@ object LlmQueries {
     // secret + blockterm planted on different doc_id moduli, both
     // engines identically): typed pii counts, blocklist hits,
     // secret verdict, one flagged rollup.
+    // per-source corpus data card: volume + predicted language mix +
+    // exact-dup rate + safety exposure, one row per source; PII and
+    // blocklist text planted with the llm_safety_scan injection so
+    // the fractions discriminate. The oracle composes the langid,
+    // PII-chain, and quantile replays into one per-source rollup.
+    "llm_corpus_report" -> ((s, dir) =>
+      TextAnalysis.corpusReport(
+        table(s, dir, "documents").withColumn("text", concat(
+          col("text"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@example.com from 10.0."), col("doc_id") % 256,
+              lit(".7"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit(" badterm1 casino777")).otherwise(lit("")))),
+        blockTerms = Seq("badterm1", "casino777"))
+        .orderBy(col("source"))),
+
     "llm_safety_scan" -> ((s, dir) =>
       TextAnalysis.safetyScan(
         table(s, dir, "documents").withColumn("text", concat(
@@ -4812,6 +4830,108 @@ object LlmQueries {
          WHERE bit_count(xor(a.hi, b.hi)) +
                bit_count(xor(a.lo, b.lo)) <= 3
          ORDER BY id_a, id_b""",
+    // corpus data card replay: langid argmax + the stepwise PII
+    // redaction chain + quantile_cont + distinct-text dup rate,
+    // rolled up per source with a ROW_NUMBER language mode.
+    "llm_corpus_report" ->
+      raw"""WITH injected AS MATERIALIZED (
+           SELECT doc_id, source,
+             text
+             || CASE WHEN doc_id % 4 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com from 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                  ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                  THEN ' badterm1 casino777' ELSE '' END AS text
+           FROM documents),
+         px AS MATERIALIZED (
+           SELECT doc_id, source, text,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+               t -> t <> '') AS ltoks,
+             list_filter(regexp_split_to_array(text, '\s+'),
+               t -> t <> '') AS tk
+           FROM injected),
+         lang AS MATERIALIZED (
+           SELECT doc_id,
+             CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END
+               AS lang
+           FROM (SELECT doc_id, list_max([
+             {'hits': len(list_filter(ltoks, t -> list_contains(
+                ['the','a','of','and','to','in','is','that'], t))),
+              'lang': 'en'},
+             {'hits': len(list_filter(ltoks, t -> list_contains(
+                ['el','la','de','y','que','en','los','se'], t))),
+              'lang': 'es'},
+             {'hits': len(list_filter(ltoks, t -> list_contains(
+                ['le','la','de','et','que','les','des','un'], t))),
+              'lang': 'fr'},
+             {'hits': len(list_filter(ltoks, t -> list_contains(
+                ['der','die','und','das','ist','nicht','ein','zu'], t))),
+              'lang': 'de'},
+             {'hits': len(list_filter(ltoks, t -> list_contains(
+                ['的','是','在','了','和','有','我','不'], t))),
+              'lang': 'zh'}
+           ]) AS best FROM px)),
+         p1 AS MATERIALIZED (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS BIGINT) AS n_email,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t1,
+             CAST(len(tk) - len(list_filter(tk,
+               x -> NOT regexp_matches(lower(x),
+                 '^(?:badterm1|casino777)$$')))
+               AS BIGINT) AS nb
+           FROM px),
+         p2 AS MATERIALIZED (
+           SELECT doc_id, n_email, nb,
+             CAST(len(regexp_extract_all(t1,
+               '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
+             regexp_replace(t1, '\b(\d{1,3}\.){3}\d{1,3}\b',
+               '<IP>', 'g') AS t2
+           FROM p1),
+         p3 AS MATERIALIZED (
+           SELECT doc_id,
+             n_email + n_ip + CAST(len(regexp_extract_all(t2,
+               '\+?\d[\d().\- ]{6,}\d')) AS BIGINT) AS npii,
+             nb
+           FROM p2),
+         perdoc AS MATERIALIZED (
+           SELECT px.source, px.doc_id, len(px.tk) AS ntok, px.text,
+             lang.lang, p3.npii, p3.nb
+           FROM px JOIN lang USING (doc_id) JOIN p3 USING (doc_id)),
+         base AS MATERIALIZED (
+           SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+             round(quantile_cont(CAST(ntok AS DOUBLE), 0.9), 6)
+               AS p90_tokens,
+             COUNT(DISTINCT text) AS nh,
+             SUM(CASE WHEN npii > 0 THEN 1 ELSE 0 END) AS npiid,
+             SUM(CASE WHEN nb > 0 THEN 1 ELSE 0 END) AS nbd
+           FROM perdoc GROUP BY source),
+         langs AS MATERIALIZED (
+           SELECT source, lang, COUNT(*) AS lc,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY COUNT(*) DESC, lang ASC) AS rk
+           FROM perdoc GROUP BY source, lang)
+         SELECT b.source, CAST(b.n_docs AS BIGINT) AS n_docs,
+           b.n_tokens,
+           round(CAST(b.n_tokens AS DOUBLE) / b.n_docs, 6)
+             AS mean_tokens,
+           b.p90_tokens,
+           l.lang AS top_lang,
+           round(CAST(l.lc AS DOUBLE) / b.n_docs, 6) AS top_lang_frac,
+           round(1.0 - CAST(b.nh AS DOUBLE) / b.n_docs, 6)
+             AS exact_dup_frac,
+           round(CAST(b.npiid AS DOUBLE) / b.n_docs, 6)
+             AS pii_doc_frac,
+           round(CAST(b.nbd AS DOUBLE) / b.n_docs, 6)
+             AS blocked_doc_frac
+         FROM base b JOIN langs l ON l.source = b.source AND l.rk = 1
+         ORDER BY b.source""",
     // video quality replay: per-class closed-form lumas, the
     // i*(n-1)//3 schedule, float32 deltas compared against the
     // thresholds BEFORE display rounding.

@@ -1066,6 +1066,49 @@ class ConfigSpec extends AnyFunSuite {
     graft.cache.Pins.release(spark)
   }
 
+  test("corpus_report pipeline: per-source data card from a YAML " +
+       "spec; blocklist override changes the exposure column") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    val base = "/root/repo/target/scratch/cli_report"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    val specFile = s"$base/report.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(specFile),
+      s"""locations:
+         |  /documents: /root/testdata/sf0.001/documents.parquet
+         |  /Outputs/report: $base/report.parquet
+         |""".stripMargin)
+    CLI.run(Array("corpus_report", "run", specFile), spark)
+    import org.apache.spark.sql.functions.{col => c}
+    val rep = spark.read.parquet(s"$base/report.parquet")
+    assert(rep.columns.toSeq == Seq("source", "n_docs", "n_tokens",
+      "mean_tokens", "p90_tokens", "top_lang", "top_lang_frac",
+      "exact_dup_frac", "pii_doc_frac", "blocked_doc_frac"))
+    assert(rep.count() > 0)
+    // every fraction is a probability; volumes are positive
+    assert(rep.filter(c("n_docs") <= 0 || c("n_tokens") <= 0 ||
+      c("top_lang_frac") < 0 || c("top_lang_frac") > 1 ||
+      c("exact_dup_frac") < 0 || c("exact_dup_frac") > 1)
+      .count() == 0)
+    // blocklist override: a term planted in every doc's text flips
+    // the exposure column to 1.0 for every source
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$base/report.parquet"))
+    val common = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("element_at(split(text, ' '), 1) AS w")
+      .groupBy("w").count()
+      .orderBy(c("count").desc).head().getString(0)
+    CLI.run(Array("corpus_report", "run", specFile,
+      "--blocklist", common), spark)
+    val rep2 = spark.read.parquet(s"$base/report.parquet")
+    assert(rep2.filter(c("blocked_doc_frac") > 0).count() > 0,
+      "a corpus-frequent blocklist term must show exposure")
+    graft.cache.Pins.release(spark)
+  }
+
   test("CLI query surface: list names the inventory; run writes parquet") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")
