@@ -916,6 +916,19 @@ class PlanSpec extends AnyFunSuite {
       s"offender filter must push down:\n${p.take(2500)}")
   }
 
+  test("corpusReport: no cartesian, raw text never rides an " +
+       "exchange (only derived per-doc columns shuffle)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = planOf(graft.llm.TextAnalysis.corpusReport(
+      docs, Seq("badterm1")))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+    val shuffles = p.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n")
+    assert(!shuffles.contains("text"),
+      s"full text must never shuffle:\n$shuffles")
+  }
+
   test("perceptual pair joins (image dHash / audio fingerprint / " +
        "video frame slots): banded equi-joins, never a cartesian; " +
        "blobs stay out of the shuffle") {
