@@ -711,6 +711,21 @@ object ScaleBench {
         graft.llm.TextAnalysis.unigramTrain(docs).count()
       }
 
+      // WordPiece trainer: same type-bounded discipline as unigram —
+      // word types are fixed under copy-scaling, so the 8 rounds of
+      // (pair agg + symbol agg + merge) over the distinct-word table
+      // should be flat in the corpus factor
+      runProbe("wordpiece_train", f, nDocs) {
+        graft.llm.Similarity.clearTrainedCache()
+        graft.llm.TextAnalysis.wordpieceTrain(docs, merges = 8).count()
+      }
+
+      // corpus data card: the release report — one regex/langid
+      // projection + two aggregations, linear scan shape
+      runProbe("corpus_report", f, nDocs)(
+        graft.llm.TextAnalysis.corpusReport(docs,
+          Seq("badterm1", "casino777")).count())
+
       // feature-hash embeddings: token agg + 8-byte (id, bucket)
       // keys — linear scan shape, state <= dim per doc
       runProbe("hash_embed", f, nDocs)(
