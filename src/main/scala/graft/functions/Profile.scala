@@ -42,6 +42,49 @@ object Profile {
     *
     * Scale: one scan, map-side combined into ≤ `bins` groups —
     * corpus-size-independent state, same shape as [[profile]]. */
+  /** Pairwise Pearson correlations over numeric columns, profiled
+    * in ONE pass: every Σx, Σx², Σxy accumulates as an EXACT decimal
+    * (map-side combined, order-free), and the correlation assembles
+    * row-locally from the final sums —
+    * `(n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²ᵗ)·(n·Σy² − Σy²ᵗ))` — so
+    * the value is a deterministic function of the exact integers
+    * and replays bit-for-bit (the built-in `corr` streams running
+    * doubles whose rounding depends on partitioning). Output
+    * `(col_a, col_b, corr)` for every unordered pair, NULL when a
+    * column is constant. One aggregate row feeds every pair through
+    * an explode — the scan runs once however many pairs. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    def dec(c: String) = col(c).cast("decimal(28,6)")
+    val aggs =
+      cols.flatMap(c => Seq(
+        sum(dec(c)).as(s"_s_$c"),
+        sum((dec(c) * dec(c)).cast("decimal(38,12)")).as(s"_q_$c"))) ++
+      pairs.map { case (a, b) =>
+        sum((dec(a) * dec(b)).cast("decimal(38,12)"))
+          .as(s"_p_${a}_$b") } :+
+      count(lit(1)).as("_n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    def corrExpr(a: String, b: String) = {
+      val n = col("_n").cast("double")
+      val sx = col(s"_s_$a").cast("double")
+      val sy = col(s"_s_$b").cast("double")
+      val sxx = col(s"_q_$a").cast("double")
+      val syy = col(s"_q_$b").cast("double")
+      val sxy = col(s"_p_${a}_$b").cast("double")
+      round((n * sxy - sx * sy) /
+        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+    }
+    one.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          corrExpr(a, b).as("corr"))
+      }: _*)).as("_r"))
+      .select(col("_r.col_a"), col("_r.col_b"), col("_r.corr"))
+  }
+
   def calibrationReport(df: DataFrame, probCol: String,
                         labelCol: String, bins: Int = 10): DataFrame = {
     require(bins > 0, s"bins must be positive, got $bins")

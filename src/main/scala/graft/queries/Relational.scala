@@ -508,6 +508,15 @@ object Relational {
             "l_shipdate"))
         .orderBy(col("col_name"))),
 
+    // --- exact-replay Pearson matrix: one pass of decimal sums, the
+    //     correlation assembled row-locally from the final integers
+    //     (the built-in corr's running-double rounding depends on
+    //     partitioning — this one replays bit-for-bit).
+    "q41_corr_matrix" -> ((s, dir) =>
+      graft.functions.Profile.corrMatrix(table(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("col_a"), col("col_b"))),
+
     // --- Z-order layout audit: 32 equal Morton-curve segments over
     // (l_partkey, l_suppkey) with each segment's span in BOTH keys —
     // the per-file min/max stats a scan would prune against after an
@@ -700,7 +709,44 @@ object Relational {
     })
   )
 
+  /** q41 replay: the same one-pass decimal sums and the same
+    * double-assembly parenthesization — both engines round the same
+    * exact integers the same way. */
+  private def corrMatrixOracle: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    def dec(c: String) = s"CAST($c AS DECIMAL(28,6))"
+    val aggs = (cols.flatMap(c => Seq(
+      s"SUM(${dec(c)}) AS s_$c",
+      s"SUM(CAST(${dec(c)} * ${dec(c)} AS DECIMAL(38,12))) AS q_$c")) ++
+      pairs.map { case (a, b) =>
+        s"SUM(CAST(${dec(a)} * ${dec(b)} AS DECIMAL(38,12))) " +
+          s"AS p_${a}_$b" } :+
+      "COUNT(*) AS n").mkString(",\n             ")
+    val rows = pairs.map { case (a, b) =>
+      val (n, sx, sy, sxx, syy, sxy) = ("CAST(n AS DOUBLE)",
+        s"CAST(s_$a AS DOUBLE)", s"CAST(s_$b AS DOUBLE)",
+        s"CAST(q_$a AS DOUBLE)", s"CAST(q_$b AS DOUBLE)",
+        s"CAST(p_${a}_$b AS DOUBLE)")
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+             round(($n * $sxy - $sx * $sy) /
+               sqrt(($n * $sxx - $sx * $sx) *
+                    ($n * $syy - $sy * $sy)), 6) AS corr
+           FROM agg"""
+    }.mkString("\n           UNION ALL ")
+    s"""WITH agg AS MATERIALIZED (
+           SELECT $aggs
+           FROM lineitem)
+         SELECT * FROM (
+           $rows)
+         ORDER BY col_a, col_b"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q41_corr_matrix" -> corrMatrixOracle,
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
