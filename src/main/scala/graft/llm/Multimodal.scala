@@ -852,6 +852,67 @@ object Multimodal {
       }(enc).toDF()
   }
 
+  /** Clip durations from REAL container metadata: walk every frame's
+    * GraphicControlExtension and sum the per-frame delays — a
+    * header-only pass (`getImageMetadata`, nothing rasterizes), the
+    * video analog of AudioIO's `n_frames / rate` duration. Output
+    * `(<idCol>, n_frames, duration_cs)` (centiseconds — the GIF
+    * delay unit); frames with no GCE contribute 0, undecodable blobs
+    * emit no rows. */
+  def videoDurations(blobs: DataFrame, idCol: String = "media_id",
+                     contentCol: String = "content"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("duration_cs", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    blobs.select(col(idCol).cast("long"), col(contentCol))
+      .mapPartitions { it =>
+        it.flatMap { row =>
+          val id = row.getLong(0)
+          val bytes =
+            if (row.isNullAt(1)) Array.empty[Byte]
+            else row.getAs[Array[Byte]](1)
+          if (bytes.isEmpty) Nil
+          else try {
+            val iis =
+              new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) { iis.close(); Nil }
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis, false, false)
+                val n = reader.getNumImages(true)
+                if (n <= 0) Nil
+                else {
+                  var total = 0L
+                  var i = 0
+                  while (i < n) {
+                    val meta = reader.getImageMetadata(i)
+                    val root = meta
+                      .getAsTree(meta.getNativeMetadataFormatName)
+                    var node = root.getFirstChild
+                    while (node != null) {
+                      if (node.getNodeName ==
+                          "GraphicControlExtension")
+                        total += node.getAttributes
+                          .getNamedItem("delayTime")
+                          .getNodeValue.toLong
+                      node = node.getNextSibling
+                    }
+                    i += 1
+                  }
+                  Seq(Row(id, n, total))
+                }
+              } finally { reader.dispose(); iis.close() }
+            }
+          } catch { case scala.util.control.NonFatal(_) => Nil }
+        }
+      }(enc).toDF()
+  }
+
   /** Video near-duplicate pairs, temporally aligned: two clips pair
     * when at least `minMatches` of their 4 sampled frame SLOTS hash
     * within `maxDist` — same banded-join device as the other

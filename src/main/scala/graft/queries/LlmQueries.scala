@@ -1280,6 +1280,42 @@ object LlmQueries {
         .orderBy(col("media_id"))
     }),
 
+    // Clip duration from REAL container metadata: per-frame
+    // GraphicControlExtension delays summed in a header-only pass —
+    // encode with delay 5+m%7 cs, decode through the actual metadata
+    // tree, oracle = n * delay exactly.
+    "llm_mm_video_duration" -> ((s, dir) => {
+      import s.implicits._
+      def frame(rgb: Int): java.awt.image.BufferedImage = {
+        val cm = new java.awt.image.IndexColorModel(8, 2,
+          Array(((rgb >> 16) & 0xFF).toByte, 0.toByte),
+          Array(((rgb >> 8) & 0xFF).toByte, 0.toByte),
+          Array((rgb & 0xFF).toByte, 0.toByte))
+        val img = new java.awt.image.BufferedImage(8, 5,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val g2 = img.createGraphics()
+        try {
+          g2.setColor(new java.awt.Color(rgb)); g2.fillRect(0, 0, 8, 5)
+        } finally g2.dispose()
+        img
+      }
+      def gif(m: Int): Array[Byte] =
+        Multimodal.encodeGif(
+          (0 until (2 + m % 5)).map(f => frame((m * 37 + f * 91) % 256
+            << 16 | 0x4080)),
+          delayCs = 5 + m % 7)
+      val blobs = (1 to 10).map(m => (m.toLong, gif(m)))
+        .toDF("media_id", "content")
+        .select(col("media_id"), lit("video").as("kind"),
+          col("content"),
+          map(lit("origin"), lit("synth")).as("meta"))
+      Multimodal.videoDurations(blobs)
+        .select(col("media_id"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("duration_cs"))
+        .orderBy(col("media_id"))
+    }),
+
     // video path: stub decode -> every-7th-frame sampling schedule
     // (the relational plan a per-frame decoder plugs into).
     "llm_mm_frames" -> ((s, dir) => {
@@ -5129,6 +5165,13 @@ object LlmQueries {
            GROUP BY a.id, b.id)
          SELECT id_a, id_b, CAST(fm AS BIGINT) AS frames_matched
          FROM matches WHERE fm >= 3 ORDER BY id_a, id_b""",
+    // video duration replay: n = 2+m%5 frames, each carrying the
+    // encoded 5+m%7 cs delay -> total = n*(5+m%7).
+    "llm_mm_video_duration" ->
+      s"""SELECT m AS media_id,
+           CAST(2 + m % 5 AS BIGINT) AS n_frames,
+           CAST((2 + m % 5) * (5 + m % 7) AS BIGINT) AS duration_cs
+         FROM generate_series(1, 10) t(m) ORDER BY media_id""",
     // video stub decoder: frames = 1 + (h32 >> 18) % 120; sampling
     // schedule = generate_series with the stride.
     "llm_mm_frames" ->
