@@ -21,7 +21,8 @@ q28_grouping_sets,q31_rate_anomaly,q34_star_topk,q38_antijoin"
 if [ "${1:-}" = "all" ]; then
   # enumerate the suite from the compiled classes (no Spark session,
   # no leftover artifacts needed — works on a clean checkout)
-  sbt -batch compile > /dev/null 2>&1
+  sbt -batch compile > /tmp/sf01_compile.log 2>&1 \
+    || { tail -30 /tmp/sf01_compile.log; exit 1; }
   java -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
     graft.Verify --dump-oracles /root/repo/target/verify_sf01_names.json
   # brute set mirrors graft.Bench.bruteForceBaselines (Bench.scala:23)

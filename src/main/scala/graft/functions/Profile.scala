@@ -20,11 +20,6 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
-  /** Profile `cols` of `df`: one output row per column —
-    * `(col_name, n_nonnull, ndv, ndv_ok)`, where `ndv` is exact and
-    * `ndv_ok` verifies the HLL estimate (relative std dev `rsd`)
-    * lands within `band` of it. Deterministic: HLL on fixed data is
-    * deterministic, so the verdict is stable run-to-run. */
   /** Reliability (calibration) report for a probabilistic gate — the
     * ECE diagram as a relation: rows with a predicted probability
     * `probCol ∈ [0,1]` and a boolean outcome `labelCol` are bucketed
@@ -42,49 +37,6 @@ object Profile {
     *
     * Scale: one scan, map-side combined into ≤ `bins` groups —
     * corpus-size-independent state, same shape as [[profile]]. */
-  /** Pairwise Pearson correlations over numeric columns, profiled
-    * in ONE pass: every Σx, Σx², Σxy accumulates as an EXACT decimal
-    * (map-side combined, order-free), and the correlation assembles
-    * row-locally from the final sums —
-    * `(n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²ᵗ)·(n·Σy² − Σy²ᵗ))` — so
-    * the value is a deterministic function of the exact integers
-    * and replays bit-for-bit (the built-in `corr` streams running
-    * doubles whose rounding depends on partitioning). Output
-    * `(col_a, col_b, corr)` for every unordered pair, NULL when a
-    * column is constant. One aggregate row feeds every pair through
-    * an explode — the scan runs once however many pairs. */
-  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
-    require(cols.size >= 2, "corrMatrix needs at least two columns")
-    val pairs = for {
-      i <- cols.indices; j <- (i + 1) until cols.size
-    } yield (cols(i), cols(j))
-    def dec(c: String) = col(c).cast("decimal(28,6)")
-    val aggs =
-      cols.flatMap(c => Seq(
-        sum(dec(c)).as(s"_s_$c"),
-        sum((dec(c) * dec(c)).cast("decimal(38,12)")).as(s"_q_$c"))) ++
-      pairs.map { case (a, b) =>
-        sum((dec(a) * dec(b)).cast("decimal(38,12)"))
-          .as(s"_p_${a}_$b") } :+
-      count(lit(1)).as("_n")
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    def corrExpr(a: String, b: String) = {
-      val n = col("_n").cast("double")
-      val sx = col(s"_s_$a").cast("double")
-      val sy = col(s"_s_$b").cast("double")
-      val sxx = col(s"_q_$a").cast("double")
-      val syy = col(s"_q_$b").cast("double")
-      val sxy = col(s"_p_${a}_$b").cast("double")
-      round((n * sxy - sx * sy) /
-        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
-    }
-    one.select(explode(array(pairs.map { case (a, b) =>
-        struct(lit(a).as("col_a"), lit(b).as("col_b"),
-          corrExpr(a, b).as("corr"))
-      }: _*)).as("_r"))
-      .select(col("_r.col_a"), col("_r.col_b"), col("_r.corr"))
-  }
-
   def calibrationReport(df: DataFrame, probCol: String,
                         labelCol: String, bins: Int = 10): DataFrame = {
     require(bins > 0, s"bins must be positive, got $bins")
@@ -104,6 +56,56 @@ object Profile {
         round(abs(confU -
           sum(when(col("_y"), 1L).otherwise(0L)).cast("double") /
             count(lit(1)).cast("double")), 6).as("gap"))
+  }
+
+  /** Pairwise Pearson correlations over numeric columns, profiled
+    * in ONE pass: every Σx, Σx², Σxy accumulates as an EXACT decimal
+    * (map-side combined, order-free), and the correlation assembles
+    * row-locally from the final sums —
+    * `(n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²ᵗ)·(n·Σy² − Σy²ᵗ))` — so
+    * the value is a deterministic function of the exact integers
+    * and replays bit-for-bit (the built-in `corr` streams running
+    * doubles whose rounding depends on partitioning). Inputs cast to
+    * DECIMAL(18,6) so products stay WITHIN decimal-128 (a wider cast
+    * would hit Spark's precision-loss rounding on the multiply and
+    * silently break exactness) — domain |x| < 10^12 at 6 fractional
+    * digits, the analytics-column regime. Rows with a NULL in ANY
+    * profiled column are dropped first (complete-case Pearson — the
+    * count and the sums must describe the same population). Output
+    * `(col_a, col_b, corr)` per unordered pair, NULL when a column
+    * is constant. One aggregate row feeds every pair through an
+    * explode — the scan runs once however many pairs; aliases are
+    * positional, so column NAMES never collide. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val idx = cols.indices
+    val pairs = for { i <- idx; j <- (i + 1) until cols.size }
+      yield (i, j)
+    def dec(i: Int) = col(cols(i)).cast("decimal(18,6)")
+    val aggs =
+      idx.flatMap(i => Seq(
+        sum(dec(i)).as(s"_s_$i"),
+        sum((dec(i) * dec(i)).cast("decimal(38,12)")).as(s"_q_$i"))) ++
+      pairs.map { case (i, j) =>
+        sum((dec(i) * dec(j)).cast("decimal(38,12)"))
+          .as(s"_p_${i}_$j") } :+
+      count(lit(1)).as("_n")
+    val one = df.na.drop("any", cols).agg(aggs.head, aggs.tail: _*)
+    def corrExpr(i: Int, j: Int) = {
+      val n = col("_n").cast("double")
+      val sx = col(s"_s_$i").cast("double")
+      val sy = col(s"_s_$j").cast("double")
+      val sxx = col(s"_q_$i").cast("double")
+      val syy = col(s"_q_$j").cast("double")
+      val sxy = col(s"_p_${i}_$j").cast("double")
+      round((n * sxy - sx * sy) /
+        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+    }
+    one.select(explode(array(pairs.map { case (i, j) =>
+        struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+          corrExpr(i, j).as("corr"))
+      }: _*)).as("_r"))
+      .select(col("_r.col_a"), col("_r.col_b"), col("_r.corr"))
   }
 
   /** k-anonymity / l-diversity audit over quasi-identifier columns —
@@ -135,6 +137,11 @@ object Profile {
         (col("n_sensitive") >= l).as("l_ok")): _*)
   }
 
+  /** Profile `cols` of `df`: one output row per column —
+    * `(col_name, n_nonnull, ndv, ndv_ok)`, where `ndv` is exact and
+    * `ndv_ok` verifies the HLL estimate (relative std dev `rsd`)
+    * lands within `band` of it. Deterministic: HLL on fixed data is
+    * deterministic, so the verdict is stable run-to-run. */
   def profile(df: DataFrame, cols: Seq[String], rsd: Double = 0.05,
               band: Double = 0.1): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")

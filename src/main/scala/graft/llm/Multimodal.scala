@@ -352,9 +352,14 @@ object Multimodal {
     * ([[videoPhashFrames]]). The single implementation both video
     * faces share (frame-count pass reads headers; only 4 frames
     * rasterize). */
-  private[llm] def sampledFrames[A: scala.reflect.ClassTag](
-      bytes: Array[Byte])(f: java.awt.image.BufferedImage => A)
-      : Option[(Int, Array[A])] =
+  /** Open a multi-frame container and hand `(reader, nFrames)` to
+    * `f` with the full open/dispose/NonFatal lifecycle handled ONCE
+    * — the single copy of the fiddly ImageIO boilerplate every
+    * frame-walking face shares. None when no reader claims the
+    * payload, it has no frames, or a codec throws. */
+  private[llm] def withFrameReader[A](bytes: Array[Byte],
+      ignoreMetadata: Boolean)(
+      f: (javax.imageio.ImageReader, Int) => A): Option[A] =
     if (bytes.isEmpty) None
     else try {
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
@@ -366,25 +371,29 @@ object Multimodal {
         try {
           // seekForwardOnly=false: getNumImages(allowSearch) needs
           // to scan ahead, frame reads then seek back
-          reader.setInput(iis, false, true)
+          reader.setInput(iis, false, ignoreMetadata)
           val n = reader.getNumImages(true)
-          if (n <= 0) None
-          else {
-            val idx =
-              Array.tabulate(4)(i => (i.toLong * (n - 1) / 3).toInt)
-            val out = new Array[A](4)
-            var i = 0
-            while (i < 4) {
-              out(i) =
-                if (i > 0 && idx(i) == idx(i - 1)) out(i - 1)
-                else f(reader.read(idx(i)))
-              i += 1
-            }
-            Some((n, out))
-          }
+          if (n <= 0) None else Some(f(reader, n))
         } finally { reader.dispose(); iis.close() }
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  private[llm] def sampledFrames[A: scala.reflect.ClassTag](
+      bytes: Array[Byte])(f: java.awt.image.BufferedImage => A)
+      : Option[(Int, Array[A])] =
+    withFrameReader(bytes, ignoreMetadata = true) { (reader, n) =>
+      val idx =
+        Array.tabulate(4)(i => (i.toLong * (n - 1) / 3).toInt)
+      val out = new Array[A](4)
+      var i = 0
+      while (i < 4) {
+        out(i) =
+          if (i > 0 && idx(i) == idx(i - 1)) out(i - 1)
+          else f(reader.read(idx(i)))
+        i += 1
+      }
+      (n, out)
+    }
 
   /** Encode frames as an animated GIF (the sink-side complement of
     * [[MediaDecoder.VideoIO]] — preview strips, resampled clips, spec
@@ -873,42 +882,29 @@ object Multimodal {
           val bytes =
             if (row.isNullAt(1)) Array.empty[Byte]
             else row.getAs[Array[Byte]](1)
-          if (bytes.isEmpty) Nil
-          else try {
-            val iis =
-              new javax.imageio.stream.MemoryCacheImageInputStream(
-                new java.io.ByteArrayInputStream(bytes))
-            val readers = javax.imageio.ImageIO.getImageReaders(iis)
-            if (!readers.hasNext) { iis.close(); Nil }
-            else {
-              val reader = readers.next()
-              try {
-                reader.setInput(iis, false, false)
-                val n = reader.getNumImages(true)
-                if (n <= 0) Nil
-                else {
-                  var total = 0L
-                  var i = 0
-                  while (i < n) {
-                    val meta = reader.getImageMetadata(i)
-                    val root = meta
-                      .getAsTree(meta.getNativeMetadataFormatName)
-                    var node = root.getFirstChild
-                    while (node != null) {
-                      if (node.getNodeName ==
-                          "GraphicControlExtension")
-                        total += node.getAttributes
-                          .getNamedItem("delayTime")
-                          .getNodeValue.toLong
-                      node = node.getNextSibling
-                    }
-                    i += 1
-                  }
-                  Seq(Row(id, n, total))
+          withFrameReader(bytes, ignoreMetadata = false) {
+            (reader, n) =>
+              var total = 0L
+              var i = 0
+              while (i < n) {
+                val meta = reader.getImageMetadata(i)
+                val root = meta
+                  .getAsTree(meta.getNativeMetadataFormatName)
+                var node = root.getFirstChild
+                while (node != null) {
+                  if (node.getNodeName == "GraphicControlExtension")
+                    total += node.getAttributes
+                      .getNamedItem("delayTime")
+                      .getNodeValue.toLong
+                  node = node.getNextSibling
                 }
-              } finally { reader.dispose(); iis.close() }
-            }
-          } catch { case scala.util.control.NonFatal(_) => Nil }
+                i += 1
+              }
+              Row(id, n, total)
+          } match {
+            case Some(r) => Seq(r)
+            case None    => Nil
+          }
         }
       }(enc).toDF()
   }

@@ -2188,13 +2188,17 @@ object TextAnalysis {
     * (collision odds negligible; the oracle counts distinct text —
     * the [[Dedup.exactGroups]] equivalence). */
   def corpusReport(docs: DataFrame, blockTerms: Seq[String],
-                   textCol: String = "text", idCol: String = "doc_id",
+                   textCol: String = "text",
                    srcCol: String = "source"): DataFrame = {
     require(blockTerms.nonEmpty, "blocklist must not be empty")
     val Seq((emailP, emailR), (ipP, ipR), (phoneP, _)) = piiPatterns
     val blockPat = blockTerms.map(escapeRegex).mkString("^(?:", "|", ")$")
     val toks = tokens(col(textCol))
-    val perDoc = docs.select(col(srcCol).as("source"),
+    // NULL-text rows carry no measurable content and are EXCLUDED
+    // (size(NULL) = -1 would corrupt the token sums, and a NULL text
+    // is not a duplicate of anything) — documented population rule
+    val perDoc = docs.filter(col(textCol).isNotNull)
+      .select(col(srcCol).as("source"),
         tokenCount(col(textCol)).cast("long").as("_ntok"),
         coalesce(langId(col(textCol)), lit("und")).as("_lang"),
         xxhash64(col(textCol)).as("_h"),

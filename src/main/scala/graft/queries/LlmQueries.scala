@@ -4887,7 +4887,7 @@ object LlmQueries {
                t -> t <> '') AS ltoks,
              list_filter(regexp_split_to_array(text, '\s+'),
                t -> t <> '') AS tk
-           FROM injected),
+           FROM injected WHERE text IS NOT NULL),
          lang AS MATERIALIZED (
            SELECT doc_id,
              CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END

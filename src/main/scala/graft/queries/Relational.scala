@@ -718,7 +718,10 @@ object Relational {
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
-    def dec(c: String) = s"CAST($c AS DECIMAL(28,6))"
+    // 19 digits forces DuckDB's HUGEINT multiply path (the 18-digit
+    // INT64 path overflows at runtime); result (38,12) stays exact,
+    // matching Spark's (18,6)x(18,6) -> (37,12)
+    def dec(c: String) = s"CAST($c AS DECIMAL(19,6))"
     val aggs = (cols.flatMap(c => Seq(
       s"SUM(${dec(c)}) AS s_$c",
       s"SUM(CAST(${dec(c)} * ${dec(c)} AS DECIMAL(38,12))) AS q_$c")) ++
@@ -737,9 +740,10 @@ object Relational {
                     ($n * $syy - $sy * $sy)), 6) AS corr
            FROM agg"""
     }.mkString("\n           UNION ALL ")
+    val notNull = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
     s"""WITH agg AS MATERIALIZED (
            SELECT $aggs
-           FROM lineitem)
+           FROM lineitem WHERE $notNull)
          SELECT * FROM (
            $rows)
          ORDER BY col_a, col_b"""
