@@ -517,6 +517,13 @@ object Relational {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy(col("col_a"), col("col_b"))),
 
+    // --- key-skew report: the measurement that triggers salting —
+    //     top keys by count with share + skew-vs-mean factors.
+    "q42_skew_report" -> ((s, dir) =>
+      graft.rep.Joins.skewReport(table(s, dir, "lineitem"),
+          "l_suppkey", topK = 15)
+        .orderBy(col("n").desc, col("key_value").asc)),
+
     // --- Z-order layout audit: 32 equal Morton-curve segments over
     // (l_partkey, l_suppkey) with each segment's span in BOTH keys —
     // the per-file min/max stats a scan would prune against after an
@@ -751,6 +758,19 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     "q41_corr_matrix" -> corrMatrixOracle,
+    // skew replay: per-key counts + the 1-row totals, same rounding.
+    "q42_skew_report" ->
+      """WITH counts AS (
+           SELECT COALESCE(CAST(l_suppkey AS VARCHAR), '<NULL>')
+             AS key_value, COUNT(*) AS n
+           FROM lineitem GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                        COUNT(*) AS nkeys FROM counts)
+         SELECT key_value, n,
+           round(CAST(n AS DOUBLE) / total, 6) AS share,
+           round(CAST(n AS DOUBLE) * nkeys / total, 6) AS skew
+         FROM counts, tot
+         ORDER BY n DESC, key_value ASC LIMIT 15""",
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

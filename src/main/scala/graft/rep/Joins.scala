@@ -44,6 +44,36 @@ object Joins {
     saltedFact.join(explodedDim, Seq(key, "_salt"), joinType).drop("_salt")
   }
 
+  /** Key-skew report — the measurement half of [[saltedJoin]]: before
+    * committing a 100 TB join/aggregation to a key, measure its
+    * histogram. Top-`topK` keys by row count, each with its corpus
+    * `share` and `skew` factor (count ÷ the mean count per key —
+    * `skew ≈ 1` is uniform; a key at `skew = 10⁴` is the straggler
+    * partition AQE can't split, i.e. the salting trigger). NULL keys
+    * report as the literal `<NULL>` group (a giant null-key cluster
+    * is the most common real-world skew). One aggregation keyed by
+    * the column + a broadcast of the 1-row total — no global sort
+    * (top-k via TakeOrdered). Output
+    * `(key_value, n, share, skew)`, ties broken on key_value. */
+  def skewReport(df: DataFrame, key: String, topK: Int = 10)
+      : DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val counts = df
+      .groupBy(coalesce(col(key).cast("string"), lit("<NULL>"))
+        .as("key_value"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("_total"),
+      count(lit(1)).as("_nkeys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("key_value"), col("n"),
+        round(col("n").cast("double") / col("_total").cast("double"), 6)
+          .as("share"),
+        round(col("n").cast("double") * col("_nkeys").cast("double") /
+          col("_total").cast("double"), 6).as("skew"))
+      .orderBy(col("n").desc, col("key_value").asc)
+      .limit(topK)
+  }
+
   /** As-of join: for every left row, attach the payload of the LATEST
     * right row with the same key and `right.ts <= left.ts` (backward
     * direction; a right row at exactly left.ts matches). Left rows with
