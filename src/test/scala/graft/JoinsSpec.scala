@@ -171,4 +171,31 @@ class JoinsSpec extends AnyFunSuite {
       .collect().map(_.getLong(1))
     assert(naive.forall(_ == 31L), "single-key sort: full y width")
   }
+
+  test("skewReport: planted hot key dominates, NULL keys form their " +
+       "own group, skew factors are exact") {
+    import spark.implicits._
+    // 20 rows of key 'hot', 1 each of 'a'..'e', 4 NULLs:
+    // 7 key groups over 29 rows -> mean ~4.14 rows/key
+    val rows = Seq.fill(20)(Some("hot")) ++
+      Seq("a", "b", "c", "d", "e").map(Some(_)) ++
+      Seq.fill(4)(None)
+    val df = rows.toDF("k")
+    val rep = graft.rep.Joins.skewReport(df, "k", topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3)))
+    assert(rep.length == 3)
+    assert(rep(0) == (("hot", 20L,
+      math.rint(20.0 / 29 * 1e6) / 1e6,
+      math.rint(20.0 * 7 / 29 * 1e6) / 1e6)), s"got ${rep(0)}")
+    assert(rep(1) == (("<NULL>", 4L,
+      math.rint(4.0 / 29 * 1e6) / 1e6,
+      math.rint(4.0 * 7 / 29 * 1e6) / 1e6)), s"got ${rep(1)}")
+    // the third row is one of the singleton keys (tie broken by name)
+    assert(rep(2)._1 == "a" && rep(2)._2 == 1L)
+    // plan: top-k never global-sorts
+    val p = graft.rep.Joins.skewReport(df, "k", topK = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
 }
