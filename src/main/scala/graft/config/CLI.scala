@@ -312,6 +312,74 @@ object CLI {
           (Access.writeData(modelSnk) *** Access.writeData(fertSnk))
       }),
 
+    // The STREAMING perceptual ingest through the lifecycle:
+    // AvailableNow drains whatever is in the bound media directory
+    // through the checkpointed signature dedup, so a config-bound
+    // `run` is one incremental ingest step — rerun after new files
+    // land and only they are read (the checkpoint lives with the
+    // signature layer), deduping against the standing corpus.
+    "media_ingest" -> Registered(
+      "media_ingest",
+      "streaming perceptual ingest (AvailableNow): binaryFile dir -> " +
+        "kind-routed signature dedup vs the standing corpus; corpus + " +
+        "signature layers as virtual dirs, batch summary sink",
+      OptionsSchema(Seq(
+        OptField("kind", Some(OptStr("image")),
+          "sketch: image (dHash) | audio (fingerprint) | blob " +
+            "(codec-free byte SimHash)"),
+        OptField("maxDist", Some(OptNum(3)),
+          "Hamming radius of the banded pair join"))),
+      (spark, opts) => {
+        val kind = opts("kind").render
+        require(Set("image", "audio", "blob")(kind),
+          s"media_ingest: unknown kind '$kind' (image|audio|blob)")
+        val maxDist = (opts("maxDist") match {
+          case OptNum(n) => n
+          case other     => other.render.toDouble
+        }).toInt
+        import graft.streaming.IngestStream
+        val scheme: IngestStream.SigScheme = kind match {
+          case "image" => IngestStream.SigScheme.ImagePhash(maxDist)
+          case "audio" =>
+            IngestStream.SigScheme.AudioFingerprint(maxDist)
+          case _       => IngestStream.SigScheme.BlobSimHash(maxDist)
+        }
+        val src = VirtualFile(VPath("/media"), Seq("bin"),
+          Usage.Source)
+        val corpus = VirtualFile(VPath("/Ingest/corpus"),
+          Seq("parquet"), Usage.Sink)
+        val sigs = VirtualFile(VPath("/Ingest/sigs"),
+          Seq("parquet"), Usage.Sink)
+        val sumSnk = VirtualFile(VPath("/Outputs/summary"),
+          Seq("parquet"), Usage.Sink)
+        (Access.getDataReader(src) &&&
+          (Access.getDataWriter(corpus) &&& Access.getDataWriter(sigs))) >>>
+          PTask.arr {
+            (rw: (Access.DataReader,
+                  (Access.DataWriter, Access.DataWriter))) =>
+              import graft.llm.Multimodal
+              val (r, (cw, sw)) = rw
+              val mediaDir = r.paths.head.stripSuffix(".bin")
+              val (corpusDir, sigDir) = (cw.paths.head, sw.paths.head)
+              val q = IngestStream.mediaNearDupIngest(
+                Multimodal.readBlobStream(spark, mediaDir,
+                  if (kind == "blob") "binary" else kind),
+                corpusDir, sigDir, scheme)
+              q.awaitTermination()
+              def n(dir: String): Long = {
+                val p = new org.apache.hadoop.fs.Path(dir)
+                val fs = p.getFileSystem(
+                  spark.sparkContext.hadoopConfiguration)
+                if (fs.exists(p)) spark.read.parquet(dir).count()
+                else 0L
+              }
+              import spark.implicits._
+              Seq((n(corpusDir), n(sigDir)))
+                .toDF("n_kept", "n_signed")
+          } >>>
+          Access.writeData(sumSnk)
+      }),
+
     // The release data card through the lifecycle: one config-bound
     // run emits the per-source report a training-data drop ships
     // with (volume, language mix, dup rate, safety exposure).

@@ -1109,6 +1109,55 @@ class ConfigSpec extends AnyFunSuite {
     graft.cache.Pins.release(spark)
   }
 
+  test("media_ingest pipeline: AvailableNow streaming ingest from a " +
+       "YAML spec; a second run reads ONLY the new files and dedups " +
+       "against the standing corpus") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    val base = "/root/repo/target/scratch/cli_media_ingest"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val mediaDir = new java.io.File(s"$base/fixtures"); mediaDir.mkdirs()
+    def raster(seed: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(18, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 18)
+        img.setRGB(x, y,
+          ((x * 37 + y * 101 + seed * 13) % 256 << 16) |
+          ((x * 59 + y * 17 + seed * 29) % 256 << 8) |
+          (x * 7 + y * 43 + seed * 71) % 256)
+      img
+    }
+    def write(name: String, fmt: String, seed: Int): Unit = {
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(raster(seed), fmt, out))
+      java.nio.file.Files.write(
+        new java.io.File(mediaDir, name).toPath, out.toByteArray)
+    }
+    write("a.png", "png", 1)
+    write("b.png", "png", 2)
+    val specFile = s"$base/ingest.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(specFile),
+      s"""data: {kind: image}
+         |locations:
+         |  /media: $base/fixtures
+         |  /Ingest/corpus: $base/corpus
+         |  /Ingest/sigs: $base/sigs
+         |  /Outputs/summary: $base/summary.parquet
+         |""".stripMargin)
+    CLI.run(Array("media_ingest", "run", specFile), spark)
+    val s1 = spark.read.parquet(s"$base/summary.parquet").head()
+    assert((s1.getLong(0), s1.getLong(1)) == ((2L, 2L)), s"$s1")
+    // new files land: a BMP re-encode of a.png (drops) + a new image
+    write("a_copy.bmp", "bmp", 1)
+    write("c.png", "png", 3)
+    CLI.run(Array("media_ingest", "run", specFile), spark)
+    val s2 = spark.read.parquet(s"$base/summary.parquet").head()
+    assert((s2.getLong(0), s2.getLong(1)) == ((3L, 3L)),
+      s"re-encode must drop against the standing corpus: $s2")
+    graft.cache.Pins.release(spark)
+  }
+
   test("CLI query surface: list names the inventory; run writes parquet") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")
