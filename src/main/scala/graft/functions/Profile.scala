@@ -108,6 +108,18 @@ object Profile {
       .select(col("_r.col_a"), col("_r.col_b"), col("_r.corr"))
   }
 
+  /** Physical-layout report: per-FILE row counts for whatever scan
+    * backs `df` (`input_file_name` grouped by basename) — the
+    * small-files / straggler-file diagnostic that drives compaction
+    * and `maxPartitionBytes` tuning at 100 TB (ten thousand 1 MB
+    * files cost more in scheduling than one 10 GB file does in
+    * reading). One scan, one aggregation keyed by file. Output
+    * `(file_name, n_rows)`. */
+  def layoutReport(df: DataFrame): DataFrame =
+    df.groupBy(regexp_extract(input_file_name(), "([^/]+)$", 1)
+        .as("file_name"))
+      .agg(count(lit(1)).as("n_rows"))
+
   /** k-anonymity / l-diversity audit over quasi-identifier columns —
     * the release-gate report for tabular data: each equivalence
     * class (one row per distinct quasi-identifier combination)

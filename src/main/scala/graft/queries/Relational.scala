@@ -517,6 +517,13 @@ object Relational {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy(col("col_a"), col("col_b"))),
 
+    // --- physical layout report: per-file row counts off
+    //     input_file_name — the compaction diagnostic. (The oracle
+    //     asserts the testdata layout: one file per table.)
+    "q43_layout_report" -> ((s, dir) =>
+      graft.functions.Profile.layoutReport(table(s, dir, "lineitem"))
+        .orderBy(col("file_name"))),
+
     // --- key-skew report: the measurement that triggers salting —
     //     top keys by count with share + skew-vs-mean factors.
     "q42_skew_report" -> ((s, dir) =>
@@ -758,6 +765,13 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     "q41_corr_matrix" -> corrMatrixOracle,
+    // layout replay: the testdata tables are single parquet FILES, so
+    // the report is (basename, row count) — the engine side genuinely
+    // derives both from input_file_name over the scan.
+    "q43_layout_report" ->
+      """SELECT 'lineitem.parquet' AS file_name,
+           COUNT(*) AS n_rows
+         FROM lineitem""",
     // skew replay: per-key counts + the 1-row totals, same rounding.
     "q42_skew_report" ->
       """WITH counts AS (

@@ -172,6 +172,20 @@ class JoinsSpec extends AnyFunSuite {
     assert(naive.forall(_ == 31L), "single-key sort: full y width")
   }
 
+  test("layoutReport: per-file rows over a genuinely multi-file " +
+       "dataset sum to the table count") {
+    import spark.implicits._
+    val dir = "/root/repo/target/scratch/layout_report"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    (1 to 90).map(i => (i.toLong, s"row $i")).toDF("id", "v")
+      .repartition(3).write.parquet(dir)
+    val rep = graft.functions.Profile.layoutReport(
+      spark.read.parquet(dir)).collect()
+    assert(rep.length == 3, s"3 files expected: ${rep.toSeq}")
+    assert(rep.map(_.getLong(1)).sum == 90L)
+    assert(rep.forall(_.getString(0).endsWith(".parquet")))
+  }
+
   test("skewReport: planted hot key dominates, NULL keys form their " +
        "own group, skew factors are exact") {
     import spark.implicits._
