@@ -979,7 +979,7 @@ class LlmSpec extends AnyFunSuite {
     // before the `decoded` flag, the stub's md5 feature arithmetic
     // leaked into is_static/is_flicker as pseudo-random verdicts
     val blobs = Multimodal.asBlobs(
-      Seq((1L, "    ftypisom fake mp4 payload"))
+      Seq((1L, "\u0000\u0000\u0000 ftypisom fake mp4 payload"))
         .toDF("doc_id", "b"),
       "doc_id", "b", "video")
     val feats = Multimodal.extractFeatures(blobs,
