@@ -380,6 +380,67 @@ object CLI {
           Access.writeData(sumSnk)
       }),
 
+    // The TABULAR audit card: the relational sibling of
+    // corpus_report — per-column profile, exact-replay correlations,
+    // join-key skew, and physical layout for a bound table, the four
+    // diagnostics that decide broadcast/salt/compact before a 100 TB
+    // job commits.
+    "table_audit" -> Registered(
+      "table_audit",
+      "tabular audit card: per-column profile + exact correlations + " +
+        "key-skew + physical layout of the bound table, four sinks",
+      OptionsSchema(Seq(
+        OptField("numericCols", Some(OptStr(
+          "l_quantity,l_extendedprice,l_discount,l_tax")),
+          "comma-separated numeric columns for the correlation matrix"),
+        OptField("skewKey", Some(OptStr("l_suppkey")),
+          "join/aggregation key to measure for skew"),
+        OptField("topK", Some(OptNum(15)),
+          "skew report: top keys to surface"))),
+      (spark, opts) => {
+        val nums = opts("numericCols").render.split(",")
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        val key = opts("skewKey").render
+        val topK = (opts("topK") match {
+          case OptNum(n) => n
+          case other     => other.render.toDouble
+        }).toInt
+        val src = VirtualFile(VPath("/table"), Seq("parquet"),
+          Usage.Source)
+        def snk(p: String) = VirtualFile(VPath(p), Seq("parquet"),
+          Usage.Sink)
+        val (pSnk, cSnk, sSnk, lSnk) = (snk("/Outputs/profile"),
+          snk("/Outputs/correlations"), snk("/Outputs/skew"),
+          snk("/Outputs/layout"))
+        Access.getDataReader(src) >>>
+          PTask.arr { (r: Access.DataReader) =>
+            import graft.functions.Profile
+            // layout must see the SCAN, not the cache:
+            // input_file_name is empty over InMemoryRelation, and the
+            // cache manager substitutes ANY canonically-equal plan —
+            // so materialize the layout result BEFORE the table
+            // persists (its own tiny result caches instead)
+            val layout = Profile.layoutReport(r.read())
+              .persist(org.apache.spark.storage.StorageLevel
+                .MEMORY_AND_DISK)
+            layout.count()
+            graft.cache.Pins.track(spark,
+              graft.access.Split.Branches((), layout))
+            // one underlying scan feeds the other three audits;
+            // persist it so they don't each re-read the table
+            val df = r.read()
+              .persist(org.apache.spark.storage.StorageLevel
+                .MEMORY_AND_DISK)
+            graft.cache.Pins.track(spark,
+              graft.access.Split.Branches((), df))
+            ((Profile.profile(df, df.columns.toSeq),
+              Profile.corrMatrix(df, nums)),
+              (graft.rep.Joins.skewReport(df, key, topK), layout))
+          } >>>
+          ((Access.writeData(pSnk) *** Access.writeData(cSnk)) ***
+            (Access.writeData(sSnk) *** Access.writeData(lSnk)))
+      }),
+
     // The release data card through the lifecycle: one config-bound
     // run emits the per-source report a training-data drop ships
     // with (volume, language mix, dup rate, safety exposure).

@@ -1158,6 +1158,44 @@ class ConfigSpec extends AnyFunSuite {
     graft.cache.Pins.release(spark)
   }
 
+  test("table_audit pipeline: four audit sinks from one YAML run") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    val base = "/root/repo/target/scratch/cli_table_audit"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    val specFile = s"$base/audit.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(specFile),
+      s"""locations:
+         |  /table: /root/testdata/sf0.001/lineitem.parquet
+         |  /Outputs/profile: $base/profile.parquet
+         |  /Outputs/correlations: $base/corr.parquet
+         |  /Outputs/skew: $base/skew.parquet
+         |  /Outputs/layout: $base/layout.parquet
+         |""".stripMargin)
+    CLI.run(Array("table_audit", "run", specFile), spark)
+    import org.apache.spark.sql.functions.{col => c}
+    val prof = spark.read.parquet(s"$base/profile.parquet")
+    assert(prof.count() == 11 &&
+      prof.columns.contains("ndv"), "one profile row per column")
+    val corr = spark.read.parquet(s"$base/corr.parquet")
+    assert(corr.count() == 6, "4 numeric cols -> 6 pairs")
+    assert(corr.filter(c("corr").isNotNull &&
+      (c("corr") < -1.000001 || c("corr") > 1.000001)).count() == 0)
+    val skew = spark.read.parquet(s"$base/skew.parquet")
+    // sf0.001 has 10 distinct suppkeys — fewer than topK
+    assert(skew.count() == 10 && skew.columns.contains("skew"))
+    assert(math.abs(skew.agg(org.apache.spark.sql.functions
+      .sum(c("share"))).head().getDouble(0) - 1.0) < 1e-4,
+      "shares over ALL keys must sum to ~1 when topK covers them")
+    val layout = spark.read.parquet(s"$base/layout.parquet")
+    assert(layout.count() == 1 &&
+      layout.head().getString(0) == "lineitem.parquet",
+      "layout must see the real scan, not the cache")
+    graft.cache.Pins.release(spark)
+  }
+
   test("CLI query surface: list names the inventory; run writes parquet") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")
