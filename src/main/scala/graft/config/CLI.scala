@@ -441,6 +441,59 @@ object CLI {
             (Access.writeData(sSnk) *** Access.writeData(lSnk)))
       }),
 
+    // The tokenizer-drift monitor through the lifecycle: AvailableNow
+    // drains whatever landed in the bound stream directory through
+    // the FROZEN WordPiece model trained on the bound corpus — one
+    // config-bound `run` is one monitoring sweep; rerun after new
+    // files land and only they are encoded (checkpoint lives with
+    // the report layer).
+    "drift" -> Registered(
+      "drift",
+      "tokenizer-drift monitor (AvailableNow): stream dir encoded " +
+        "under a FROZEN WordPiece model trained on the bound corpus; " +
+        "batch-keyed fertility/unk reports + a run summary",
+      OptionsSchema(Seq(
+        OptField("merges", Some(OptNum(8)),
+          "WordPiece merge rounds for the frozen model"))),
+      (spark, opts) => {
+        val merges = (opts("merges") match {
+          case OptNum(n) => n
+          case other     => other.render.toDouble
+        }).toInt
+        val train = VirtualFile(VPath("/documents"), Seq("parquet"),
+          Usage.Source)
+        val stream = VirtualFile(VPath("/stream"), Seq("parquet"),
+          Usage.Source)
+        val report = VirtualFile(VPath("/Drift/report"),
+          Seq("parquet"), Usage.Sink)
+        val sumSnk = VirtualFile(VPath("/Outputs/summary"),
+          Seq("parquet"), Usage.Sink)
+        ((Access.getDataReader(train) &&& Access.getDataReader(stream))
+          &&& Access.getDataWriter(report)) >>>
+          PTask.arr {
+            (rw: ((Access.DataReader, Access.DataReader),
+                  Access.DataWriter)) =>
+              import graft.streaming.IngestStream
+              val ((tr, sr), w) = rw
+              val trainDocs = tr.read()
+              val streamDir = sr.paths.head
+              val reportDir = w.paths.head
+              val q = IngestStream.fertilityMonitor(
+                spark.readStream.schema(trainDocs.schema)
+                  .parquet(streamDir),
+                trainDocs, reportDir, merges)
+              q.awaitTermination()
+              spark.read.parquet(reportDir)
+                .agg(count(lit(1)).as("n_batches"),
+                  sum(col("n_docs")).as("n_docs"),
+                  sum(col("n_unk_words")).as("n_unk_words"),
+                  round(sum(col("n_wp_tokens")).cast("double") /
+                    sum(col("n_tokens")).cast("double"), 6)
+                    .as("fertility"))
+          } >>>
+          Access.writeData(sumSnk)
+      }),
+
     // The release data card through the lifecycle: one config-bound
     // run emits the per-source report a training-data drop ships
     // with (volume, language mix, dup rate, safety exposure).

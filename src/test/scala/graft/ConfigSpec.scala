@@ -1196,6 +1196,40 @@ class ConfigSpec extends AnyFunSuite {
     graft.cache.Pins.release(spark)
   }
 
+  test("drift pipeline: frozen-model monitoring sweep from YAML; " +
+       "an OOV batch shows up in the summary") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    import spark.implicits._
+    val base = "/root/repo/target/scratch/cli_drift"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    // train corpus: vocab after 1 merge = {a, b, q, z, qz}
+    Seq((1L, (Seq.fill(3)("qz") ++ Seq.fill(2)("a") ++
+        Seq.fill(2)("b")).mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(s"$base/train.parquet")
+    // stream: one in-vocab doc, one drifted doc with OOV chars
+    Seq((10L, "abqz qz a"), (11L, "xx yz")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$base/stream.parquet")
+    val specFile = s"$base/drift.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(specFile),
+      s"""data: {merges: 1}
+         |locations:
+         |  /documents: $base/train.parquet
+         |  /stream: $base/stream.parquet
+         |  /Drift/report: $base/report
+         |  /Outputs/summary: $base/summary.parquet
+         |""".stripMargin)
+    CLI.run(Array("drift", "run", specFile), spark)
+    val s1 = spark.read.parquet(s"$base/summary.parquet").head()
+    // 2 docs, 5 tokens -> 7 pieces (abqz=3, qz=1, a=1, 2x [UNK]),
+    // 2 unk words, fertility 1.4 (the fertilityMonitor spec values)
+    assert((s1.getLong(0), s1.getLong(1), s1.getLong(2),
+      s1.getDouble(3)) == ((1L, 2L, 2L, 1.4)), s"$s1")
+    graft.cache.Pins.release(spark)
+  }
+
   test("CLI query surface: list names the inventory; run writes parquet") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")
