@@ -765,6 +765,10 @@ object Similarity {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     completePendingPatch(spark, fs, root)
+    // a committed-but-unswapped TAKEDOWN must land before this patch
+    // reads the index, or the patch would re-assign (and the pending
+    // swap later resurrect) rows destined for removal
+    Takedown.completePending(spark, indexDir)
     val idx = spark.read.parquet(indexDir)
     val re = idx.select(col(idCol), col(vecCol),
       col("cell_id").as("_from"),
@@ -884,10 +888,11 @@ object Similarity {
     * source for an interrupted swap — finish it before anything reads
     * or recomputes the index. Without the marker the temp write never
     * completed and no live partition was touched: plain garbage. */
-  private def completePendingPatch(spark: org.apache.spark.sql.SparkSession,
-                                   fs: org.apache.hadoop.fs.FileSystem,
-                                   root: org.apache.hadoop.fs.Path,
-                                   partCol: String = "cell_id"): Unit = {
+  private[llm] def completePendingPatch(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      partCol: String = "cell_id"): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(root, PatchTmpName)
     if (!fs.exists(tmp)) return
     val marker = new org.apache.hadoop.fs.Path(tmp, PatchMarkerName)
@@ -1595,6 +1600,10 @@ object Similarity {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     completePendingPatch(spark, fs, root, "pq_bucket")
+    // a committed-but-unswapped TAKEDOWN must land before this patch
+    // reads the index, or the patch would re-encode (and the pending
+    // swap later resurrect) rows destined for removal
+    Takedown.completePending(spark, indexDir)
     if (oldBooks == newBooks) return (0L, 0L)
     def enc(books: Seq[Seq[Seq[Double]]]) = {
       val sub = books.head.head.length

@@ -1,0 +1,387 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Takedown propagation — "right to be forgotten" over the engine's
+  * persisted artifacts. A takedown id set (legal removal requests,
+  * opt-outs, licensing pulls) must disappear from EVERY standing
+  * layer a 100 TB pipeline serves from, not just the raw corpus:
+  * the batch-keyed ingest layers (corpus, signatures, postings), the
+  * dense indexes (IVF cell layout, PQ code layout), and the CMS
+  * frequency layer. Rebuilding each from scratch is a full-corpus
+  * pass per artifact; these operators rewrite ONLY the partitions
+  * that actually contain a taken-down row (takedown lists are tiny
+  * against the corpus, so the affected-partition set is too), and
+  * every mutation runs under one crash-safe commit-marker protocol,
+  * so a crash at any point either leaves the layer untouched or is
+  * completed by the next entry — rows never half-vanish.
+  *
+  * Equivalence contract (oracle-proven per layer): after takedown,
+  * serving from the patched artifact is indistinguishable from a
+  * full rebuild over `corpus MINUS ids` — the llm_ivf_patch device
+  * applied to deletion. Reference lifecycle analogue: porcupine
+  * treats resource layers as rebindable persistent state
+  * (porcupine-core/src/System/TaskPipeline/Run.hs:72-81); takedown
+  * is the maintenance face of those layers.
+  *
+  * Protocol (the ivfPatchIndex marker protocol, generalized to
+  * subdir-qualified partitions): fresh content for every affected
+  * partition is written under an invisible `_takedown_tmp` while the
+  * live layer stays readable; a `_TAKEDOWN_COMMIT` marker (one
+  * `<hasFresh> <relativePartitionPath>` line per swap) is the commit
+  * point; only then are live partitions swapped (delete live, rename
+  * fresh in — a flag=0 entry means the partition lost every row and
+  * legitimately disappears). Entry-time [[completePending]] replays
+  * a committed tmp and clears an uncommitted one, so reruns converge
+  * from any crash point. Untouched partitions keep their files
+  * byte-for-byte.
+  *
+  * Scale: discovery is one semi-join of the layer against the
+  * (broadcast) id set; rewrites are anti-joins over ONLY the
+  * affected partition directories. Cost is proportional to the
+  * affected partitions' row mass — a takedown touching 0.1% of
+  * partitions rewrites 0.1% of the artifact. */
+object Takedown {
+
+  private val TmpName = "_takedown_tmp"
+  private val MarkerName = "_TAKEDOWN_COMMIT"
+
+  /** One completed layer mutation: partitions rewritten (or dropped)
+    * and rows removed. (0, 0) means the id set did not intersect the
+    * layer — the idempotent-rerun result. */
+  type Audit = (Long, Long)
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Normalize a caller id frame to one broadcastable distinct
+    * column named `idCol` (first column wins). */
+  private def idFrame(ids: DataFrame, idCol: String): DataFrame =
+    broadcast(ids.select(col(ids.columns.head).as(idCol)).distinct())
+
+  // ---------------------------------------------------------------
+  // The shared swap protocol
+  // ---------------------------------------------------------------
+
+  private def writeMarker(fs: FileSystem, tmp: Path,
+                          entries: Seq[(String, Boolean)]): Unit = {
+    val out = fs.create(new Path(tmp, MarkerName), true)
+    try out.write(entries.map { case (rel, hasFresh) =>
+      s"${if (hasFresh) 1 else 0} $rel"
+    }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Execute (or re-execute) the swap for a COMMITTED takedown tmp.
+    * Safe to rerun from any crash point: delete-live happens only
+    * when the fresh replacement still sits in tmp (flag=1, fresh
+    * present) or when the marker proves the partition's new content
+    * is empty (flag=0); a flag=1 entry whose fresh dir is gone was
+    * already renamed into place and is left alone. */
+  private def applySwap(fs: FileSystem, root: Path, tmp: Path,
+                        entries: Seq[(String, Boolean)]): Unit =
+    entries.foreach { case (rel, hasFresh) =>
+      val live = new Path(root, rel)
+      val fresh = new Path(tmp, rel)
+      if (hasFresh) {
+        if (fs.exists(fresh)) {
+          if (fs.exists(live)) fs.delete(live, true)
+          require(fs.rename(fresh, live),
+            s"takedown rename $fresh -> $live failed")
+        } // else: already swapped by a prior (crashed) run
+      } else if (fs.exists(live)) fs.delete(live, true)
+    }
+
+  /** Entry-time crash recovery: a leftover `_takedown_tmp` under
+    * `dir` WITH its `_TAKEDOWN_COMMIT` marker is the authoritative
+    * source for an interrupted swap — finish it before anything
+    * reads or recomputes the layer. Without the marker the temp
+    * write never completed and no live partition was touched: plain
+    * garbage, cleared. Public so operators can force recovery before
+    * serving after a suspected crash; every takedown entry point
+    * calls it automatically. */
+  def completePending(spark: SparkSession, dir: String): Unit = {
+    val root = new Path(dir)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) return
+    val tmp = new Path(root, TmpName)
+    if (!fs.exists(tmp)) return
+    val marker = new Path(tmp, MarkerName)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+        buf.toString("UTF-8")
+      } finally in.close()
+      val entries = text.split("\n").iterator.map(_.trim)
+        .filter(_.nonEmpty).map { line =>
+          val (flag, rel) = line.span(_ != ' ')
+          (rel.drop(1), flag == "1")
+        }.toSeq
+      applySwap(fs, root, tmp, entries)
+    }
+    fs.delete(tmp, true)
+    spark.catalog.refreshByPath(dir)
+  }
+
+  // ---------------------------------------------------------------
+  // Batch-keyed ingest layers (corpus / signature / any
+  // `ingest_batch=`-partitioned layer) and the dense indexes
+  // ---------------------------------------------------------------
+
+  /** Remove `ids` rows from a partition-keyed layer: only partitions
+    * that actually contain a takedown row are rewritten (anti-join
+    * over that partition directory alone); everything else keeps its
+    * files byte-for-byte. Works on live AND compacted ingest layers
+    * (a compact's reserved negative partition id is just another
+    * directory here) and on the dense-index layouts via the
+    * `partCol` parameter. Returns (rowsRemoved, partitionsRewritten);
+    * a rerun with the same ids is a (0, 0) no-op. */
+  def layerTakedown(spark: SparkSession, layerDir: String,
+                    ids: DataFrame, idCol: String,
+                    partCol: String = "ingest_batch"): Audit = {
+    val root = new Path(layerDir)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) return (0L, 0L)
+    completePending(spark, layerDir)
+    val idsB = idFrame(ids, idCol)
+    val layer = spark.read.parquet(layerDir)
+    // partition-inference types the key as INT when values fit —
+    // normalize to long so compacted layers' negative ids and the
+    // dense indexes' long keys land in one code path
+    val affected = layer.join(idsB, Seq(idCol), "left_semi")
+      .groupBy(col(partCol).cast("long").as("_p"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    if (affected.isEmpty) return (0L, 0L)
+    val tmp = new Path(root, TmpName)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // full post-takedown content of every affected partition, ONE
+    // job, partition-keyed into tmp (an emptied partition writes no
+    // dir — its flag comes out 0 and the live dir legitimately
+    // disappears at swap)
+    layer.filter(col(partCol).cast("long")
+        .isin(affected.map(_._1): _*))
+      .join(idsB, Seq(idCol), "left_anti")
+      .write.partitionBy(partCol).parquet(tmp.toString)
+    val entries = affected.map { case (p, _) =>
+      (s"$partCol=$p", fs.exists(new Path(tmp, s"$partCol=$p")))
+    }
+    writeMarker(fs, tmp, entries)
+    applySwap(fs, root, tmp, entries)
+    fs.delete(tmp, true)
+    spark.catalog.refreshByPath(layerDir)
+    (affected.map(_._2).sum, affected.length.toLong)
+  }
+
+  /** [[layerTakedown]] over an [[Similarity.ivfWriteIndex]] layout:
+    * drop the taken-down vectors from their `cell_id=` partitions —
+    * centroids are untouched (dropping rows does not move cells), so
+    * the `_centroids.txt` sidecar stays authoritative and
+    * [[Similarity.ivfTopKIndexedAuto]] serves the patched layout
+    * directly. Completes any pending PATCH first (a committed
+    * `_patch_tmp` would later swap pre-takedown content back in —
+    * taken-down rows must never resurrect). */
+  def ivfTakedown(spark: SparkSession, indexDir: String,
+                  ids: DataFrame, idCol: String = "vec_id"): Audit = {
+    val root = new Path(indexDir)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) return (0L, 0L)
+    Similarity.completePendingPatch(spark, fs, root, "cell_id")
+    layerTakedown(spark, indexDir, ids, idCol, partCol = "cell_id")
+  }
+
+  /** [[layerTakedown]] over a [[Similarity.pqWriteIndex]] layout
+    * (`pq_bucket=` partitions of (id, codes)); codebooks untouched,
+    * `_books.txt` sidecar stays authoritative. Completes any pending
+    * PQ patch first, for the same resurrection reason as
+    * [[ivfTakedown]]. */
+  def pqTakedown(spark: SparkSession, indexDir: String,
+                 ids: DataFrame, idCol: String = "vec_id"): Audit = {
+    val root = new Path(indexDir)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) return (0L, 0L)
+    Similarity.completePendingPatch(spark, fs, root, "pq_bucket")
+    layerTakedown(spark, indexDir, ids, idCol, partCol = "pq_bucket")
+  }
+
+  // ---------------------------------------------------------------
+  // BM25 postings layer (postings + stats subdirs, coupled)
+  // ---------------------------------------------------------------
+
+  /** Takedown over a [[TextAnalysis.bm25PostingsBatch]] layer: the
+    * affected `postings/ingest_batch=` partitions lose the
+    * taken-down docs' rows AND the matching `stats/ingest_batch=`
+    * partitions are debited by exactly those docs' (count, dl) mass,
+    * both swapped under ONE commit marker — a crash can never leave
+    * postings and stats disagreeing past recovery. Serving from the
+    * patched layer is bit-identical to a rebuild over
+    * `corpus MINUS ids` (oracle-proven), because postings are
+    * doc-local and stats are additive.
+    *
+    * Requires a stats partition with the SAME id as every affected
+    * postings partition — true by construction for
+    * [[TextAnalysis.bm25PostingsBatch]] /
+    * [[graft.streaming.IngestStream.bm25Monitor]] layers, and
+    * preserved by compaction when BOTH subdirs are compacted at the
+    * same watermark (the documented
+    * [[graft.streaming.IngestStream.ingestLayerCompact]] usage);
+    * fails fast otherwise.
+    *
+    * Known edge, documented: a doc with ZERO tokens has no postings
+    * rows, so its batch membership is invisible here — its n_docs
+    * mass stays in the stats (the serve-side N is one high per such
+    * doc). Lexically a zero-token doc has no presence to remove;
+    * pipelines that ingest empty docs should take them down at the
+    * corpus layer, where membership is row-explicit. */
+  def bm25Takedown(spark: SparkSession, indexDir: String,
+                   ids: DataFrame, idCol: String = "doc_id"): Audit = {
+    val root = new Path(indexDir)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) return (0L, 0L)
+    completePending(spark, indexDir)
+    val postDir = s"$indexDir/postings"
+    if (!fs.exists(new Path(postDir))) return (0L, 0L)
+    val idsB = idFrame(ids, idCol)
+    val post = spark.read.parquet(postDir)
+    // per affected batch: the doc-count and doc-length mass leaving
+    // it (dl is per-doc constant across its postings rows, so the
+    // per-(batch, doc) rollup is exact) plus the postings row count
+    // for the audit — one aggregation chain, collected at ≤
+    // |affected batches| rows
+    val debits = post.join(idsB, Seq(idCol), "left_semi")
+      .groupBy(col("ingest_batch").cast("long").as("_b"), col(idCol))
+      .agg(count(lit(1)).as("_rows"), max(col("dl")).as("_dl"))
+      .groupBy(col("_b"))
+      .agg(sum(col("_rows")).as("n_rows"),
+        count(lit(1)).as("n_rm"),
+        sum(col("_dl")).as("dl_rm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+      .sortBy(_._1)
+    if (debits.isEmpty) return (0L, 0L)
+    val batches = debits.map(_._1)
+    batches.foreach { b =>
+      require(fs.exists(new Path(root, s"stats/ingest_batch=$b")),
+        s"bm25Takedown: postings partition ingest_batch=$b has no " +
+          s"matching stats partition — compact postings/ and stats/ " +
+          s"at the same watermark so the subdirs stay id-aligned")
+    }
+    val tmp = new Path(root, TmpName)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // fresh postings for every affected batch: ONE partition-keyed
+    // anti-join write (an emptied batch writes no dir -> flag 0)
+    post.filter(col("ingest_batch").cast("long").isin(batches: _*))
+      .join(idsB, Seq(idCol), "left_anti")
+      .write.partitionBy("ingest_batch")
+      .parquet(new Path(tmp, "postings").toString)
+    // fresh stats: the live per-batch sums debited by exactly the
+    // removed docs' (count, dl) mass — one row per affected batch
+    val debitRows = debits.map { case (b, _, n, dl) => (b, n, dl) }
+    import spark.implicits._
+    val debitDf = debitRows.toSeq.toDF("_b", "_n_rm", "_dl_rm")
+    spark.read.parquet(s"$indexDir/stats")
+      .filter(col("ingest_batch").cast("long").isin(batches: _*))
+      .groupBy(col("ingest_batch").cast("long").as("_b"))
+      .agg(sum(col("n_docs")).as("_n"), sum(col("sum_dl")).as("_s"))
+      .join(broadcast(debitDf), Seq("_b"))
+      .select((col("_n") - col("_n_rm")).cast("long").as("n_docs"),
+        (col("_s") - col("_dl_rm")).cast("long").as("sum_dl"),
+        col("_b").as("ingest_batch"))
+      .write.partitionBy("ingest_batch")
+      .parquet(new Path(tmp, "stats").toString)
+    val entries = batches.map { b =>
+      (s"postings/ingest_batch=$b",
+        fs.exists(new Path(tmp, s"postings/ingest_batch=$b")))
+    } ++ batches.map(b => (s"stats/ingest_batch=$b", true))
+    writeMarker(fs, tmp, entries.toSeq)
+    applySwap(fs, root, tmp, entries.toSeq)
+    fs.delete(tmp, true)
+    spark.catalog.refreshByPath(postDir)
+    spark.catalog.refreshByPath(s"$indexDir/stats")
+    (debits.map(_._2).sum, batches.length.toLong)
+  }
+
+  // ---------------------------------------------------------------
+  // CMS frequency layer (subtract-and-fold)
+  // ---------------------------------------------------------------
+
+  /** Takedown over a [[graft.streaming.IngestStream.cmsBatch]]
+    * layer. Count-min cells are plain sums over disjoint doc sets,
+    * so sketch(corpus MINUS ids) = sketch(corpus) − sketch(ids'
+    * docs) CELL-WISE, exactly — the one-sided guarantee survives
+    * because the result IS the sketch of the remaining multiset.
+    * The removed docs' sketch is computed from the corpus layer
+    * (the only place their text still lives — run this BEFORE the
+    * corpus-layer takedown), negated, and folded together with
+    * every existing batch partition into one compact partition via
+    * the established [[graft.streaming.IngestStream.cmsCompact]]
+    * crash protocol (reserved negative id, rename-then-delete).
+    *
+    * Fails fast (before any mutation) if any removed cell exceeds
+    * its layer cell — the signature of ids that were never sketched
+    * into this layer (wrong corpus dir, wrong geometry era), where
+    * subtraction would corrupt the layer instead of cleaning it.
+    *
+    * Returns the removed-doc count (0 = no intersection, layer
+    * untouched). Quiesce the writing stream first, as with any
+    * layer maintenance. */
+  def cmsTakedown(spark: SparkSession, sketchDir: String,
+                  corpusDir: String, ids: DataFrame,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): Long = {
+    import graft.streaming.IngestStream
+    val geom = IngestStream.cmsLayerGeometry(spark, sketchDir)
+    if (geom.isEmpty) return 0L
+    val (depth, width, seed) = geom.get
+    val root = new Path(sketchDir)
+    val fs = fsOf(spark, root)
+    val idsB = idFrame(ids, idCol)
+    val removedDocs = spark.read.parquet(corpusDir)
+      .join(idsB, Seq(idCol), "left_semi")
+    val nRemoved = removedDocs.count()
+    if (nRemoved == 0L) return 0L
+    val removedSketch = HeavyHitters.cmsSketch(
+      removedDocs.select(
+        explode(TextAnalysis.tokens(col(textCol))).as("token")),
+      "token", depth, width, seed)
+    // pre-mutation guard: every removed cell must fit inside the
+    // standing layer cell (≤ depth·width rows on each side)
+    val over = removedSketch.as("r")
+      .join(IngestStream.cmsLayerRead(spark, sketchDir).as("l"),
+        Seq("row", "bucket"), "left")
+      .filter(col("r.cnt") > coalesce(col("l.cnt"), lit(0L)))
+      .count()
+    require(over == 0L,
+      s"cmsTakedown: $over removed cells exceed the layer's cells — " +
+        s"these ids were never sketched into $sketchDir (wrong corpus " +
+        s"dir or geometry era); refusing to subtract")
+    // fold EVERYTHING (batches + prior compacts) minus the removed
+    // sketch into one compact partition; pick the watermark that
+    // covers every present partition, bumped past an already-present
+    // compact target so the fold actually runs
+    val prefix = "ingest_batch="
+    val idsPresent = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .flatMap(_.drop(prefix.length).toLongOption)
+    if (idsPresent.isEmpty) return 0L
+    var wm = idsPresent.map(i => if (i >= 0) i else -i - 1).max
+    while (fs.exists(new Path(root, s"$prefix${-(wm + 1)}"))) wm += 1
+    val neg = removedSketch.select(col("row"), col("bucket"),
+      (-col("cnt")).as("cnt"))
+    IngestStream.compactPartitions(spark, sketchDir, wm) { covered =>
+      covered.select(col("row"), col("bucket"), col("cnt"))
+        .union(neg)
+        .groupBy(col("row"), col("bucket"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .filter(col("cnt") > 0)
+        .coalesce(1)
+    }
+    nRemoved
+  }
+}

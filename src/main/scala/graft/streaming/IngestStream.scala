@@ -777,9 +777,10 @@ object IngestStream {
     * reserved partition's existence marks a completed fold, so a
     * rerun only finishes the deletes — see [[cmsCompact]]'s crash
     * matrix. */
-  private def compactPartitions(spark: org.apache.spark.sql.SparkSession,
-                                dir: String, watermark: Long)
-                               (fold: DataFrame => DataFrame): Unit = {
+  private[graft] def compactPartitions(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, watermark: Long)
+      (fold: DataFrame => DataFrame): Unit = {
     require(watermark >= 0, s"watermark must be >= 0, got $watermark")
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
