@@ -441,6 +441,34 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // takedown over the STANDING IVF index: write the k-means-trained
+    // layout, remove vec_id % 9 = 4 in place (only their cell
+    // partitions rewritten, centroid sidecar untouched — dropping
+    // rows moves no cells), then serve top-k from the patched layout.
+    // The oracle trains the SAME centroids but scores only the
+    // remaining vectors: patched serving == rebuild over
+    // corpus MINUS ids. Queries come from the unfiltered embeddings
+    // table, so a taken-down vector may still ASK and must simply
+    // never be RETURNED.
+    "llm_takedown_ivf" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(emb, nCells = 16,
+        iters = 2)
+      val idxDir = "/root/repo/target/scratch/takedown_ivf_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(idxDir))
+      Similarity.ivfWriteIndex(emb, cents, idxDir)
+      Takedown.ivfTakedown(s, idxDir,
+        emb.filter(col("vec_id") % 9 === 4).select("vec_id"))
+      val q = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      Similarity.ivfTopKIndexed(s, idxDir, cents, q, k = 10,
+          nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // embedding contamination: held-out eval slice (vec_id % 50 = 0)
     // vs the disjoint train corpus - nearest-neighbor cosine + verdict
     // (the paraphrase-leakage complement of n-gram decontamination).
@@ -2263,6 +2291,65 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // takedown propagation over a batch-keyed layer: the corpus
+    // ingested as THREE modulo batches, batches 0-1 compacted (so the
+    // reserved negative partition is exercised), then doc_id % 17 = 3
+    // taken down IN PLACE — only partitions holding a removed row are
+    // rewritten. Reading the layer back (partition residency
+    // included) hash-matches a pure anti-join over documents, proving
+    // in-place takedown == rebuild over corpus MINUS ids.
+    "llm_takedown" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val base = "/root/repo/target/scratch/takedown_layer_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(base))
+      (0L to 2L).foreach { b =>
+        docs.filter(col("doc_id") % 3 === b)
+          .select(col("doc_id"), col("text"))
+          .write.parquet(s"$base/ingest_batch=$b")
+      }
+      graft.streaming.IngestStream.ingestLayerCompact(s, base,
+        watermark = 1L)
+      Takedown.layerTakedown(s, base,
+        docs.filter(col("doc_id") % 17 === 3).select("doc_id"),
+        "doc_id")
+      s.read.parquet(base)
+        .select(col("doc_id"),
+          col("ingest_batch").cast("long").as("ingest_batch"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // takedown over the STANDING BM25 postings layer: build the
+    // llm_bm25_layered two-batch index, take down doc_id % 15 = 7
+    // (postings rows dropped, per-batch stats debited by exactly the
+    // removed docs' mass, one commit marker), then serve top-k from
+    // the patched layer — hash-matched against a pure-SQL rebuild
+    // over corpus MINUS ids, the strongest takedown-equivalence
+    // device (the llm_ivf_patch pattern applied to deletion).
+    "llm_takedown_bm25" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 100 =!= 0)
+      val idxDir = "/root/repo/target/scratch/takedown_bm25_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(idxDir))
+      TextAnalysis.bm25PostingsBatch(
+        corpus.filter(col("doc_id") % 2 === 0), idxDir, batchId = 0L)
+      TextAnalysis.bm25PostingsBatch(
+        corpus.filter(col("doc_id") % 2 =!= 0), idxDir, batchId = 1L)
+      Takedown.bm25Takedown(s, idxDir,
+        corpus.filter(col("doc_id") % 15 === 7).select("doc_id"))
+      TextAnalysis.bm25TopKFromPostings(s, idxDir,
+          docs.filter(col("doc_id") % 100 === 0)
+            .select(col("doc_id").as("query_id"),
+              array_join(slice(TextAnalysis.tokens(col("text")),
+                1, 8), " ").as("text")),
+          k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // bag-query BM25: 12-token prefixes so in-query term repeats
     // actually occur and the qtf weighting is exercised, not vacuous
     // (the corpus stays the 100%-overlap worst case, so the query set
@@ -3184,8 +3271,12 @@ object LlmQueries {
   }
 
   /** IVF over Lloyd-refined centroids: the [[kmeansAsgCtes]] chain,
-    * then the standard assign/probe/score over the final centroids. */
-  private def kmeansIvfOracle(iters: Int): String = {
+    * then the standard assign/probe/score over the final centroids.
+    * `corpusWhere` restricts the SCORED side only (llm_takedown_ivf:
+    * a takedown removes vectors from the index without retraining —
+    * centroids stay, the removed rows must never be returned). */
+  private def kmeansIvfOracle(iters: Int,
+                              corpusWhere: String = "TRUE"): String = {
     def sqd(v: String, c: String) = sqdSql(v, c)
     val cos =
       s"""(list_sum(list_transform(list_zip(a.embedding, p.qv),
@@ -3206,7 +3297,8 @@ object LlmQueries {
            WHERE e.vec_id % 100 = 0) WHERE rnk <= 4),
        scored AS (
          SELECT p.query_id, a.vec_id, round($cos, 6) AS cosine
-         FROM asgf a JOIN prb p ON a.cell_id = p.cell)
+         FROM asgf a JOIN prb p ON a.cell_id = p.cell
+         WHERE $corpusWhere)
        SELECT query_id, rank, vec_id, cosine FROM (
          SELECT query_id, vec_id, cosine,
            ROW_NUMBER() OVER (PARTITION BY query_id
@@ -4526,6 +4618,12 @@ object LlmQueries {
     "llm_lsh_cosine_pairs" -> lshCosineOracle(nTables = 16, ppt = 4),
     "llm_ivf_topk" -> ivfOracle,
     "llm_ivf_kmeans_topk" -> kmeansIvfOracle(iters = 2),
+
+    // same trained centroids (takedown never retrains), scored side
+    // restricted to the surviving vectors: the patched index must
+    // serve exactly the rebuild-over-survivors ranking.
+    "llm_takedown_ivf" ->
+      kmeansIvfOracle(iters = 2, corpusWhere = "a.vec_id % 9 <> 4"),
     "llm_pq_topk" -> pqOracle(m = 4, kk = 16, iters = 2, sub = 16,
       k = 10),
     "llm_pq_patch" -> pqOracle(m = 4, kk = 16, iters = 2, sub = 16,
@@ -7116,6 +7214,22 @@ object LlmQueries {
     // replays against the SAME oracle SQL.
     "llm_bm25_layered" -> bm25SetOracle,
 
+    // takedown == rebuild over corpus MINUS ids, per layer. The layer
+    // row also proves partition RESIDENCY: batches 0-1 compacted into
+    // the reserved -(wm+1) partition, batch 2 live, removed ids gone.
+    "llm_takedown" ->
+      """SELECT doc_id,
+           CAST(CASE WHEN doc_id % 3 <= 1 THEN -2 ELSE 2 END
+             AS BIGINT) AS ingest_batch,
+           length(text) AS n_chars
+         FROM documents WHERE doc_id % 17 <> 3
+         ORDER BY doc_id""",
+
+    // the patched postings layer must serve what a one-shot build
+    // over the surviving corpus serves — same formula tree as
+    // llm_bm25, corpus restricted to the non-taken-down docs.
+    "llm_takedown_bm25" -> bm25SetOracleWhere("doc_id % 15 <> 7"),
+
     // bag-query BM25 replay: per-term contribution times the query
     // term frequency as a DOUBLE product, decimal-cast AFTER the
     // product (a decimal×bigint would widen differently per engine).
@@ -7502,12 +7616,19 @@ object LlmQueries {
   /** Set-query BM25 replay (full formula tree, decimal term-sum) —
     * shared by llm_bm25 and llm_bm25_layered (the layered index is
     * proven bit-identical to the one-shot run). */
-  private lazy val bm25SetOracle: String =
+  private lazy val bm25SetOracle: String = bm25SetOracleWhere("TRUE")
+
+  /** [[bm25SetOracle]] with an extra corpus predicate — the takedown
+    * equivalence contract: serving a patched layer must match a full
+    * rebuild over `corpus MINUS ids`, stats and idf recomputed over
+    * the survivors. */
+  private def bm25SetOracleWhere(extra: String): String =
     raw"""WITH tok AS (
            SELECT doc_id, list_filter(
              regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
            FROM documents),
-         corpus AS (SELECT doc_id, tk FROM tok WHERE doc_id % 100 <> 0),
+         corpus AS (SELECT doc_id, tk FROM tok
+                    WHERE doc_id % 100 <> 0 AND ($extra)),
          q AS (SELECT doc_id AS query_id, tk[1:8] AS tk FROM tok
                WHERE doc_id % 100 = 0),
          tf AS (SELECT doc_id, term, count(*) AS tf FROM (

@@ -11,12 +11,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * the commit-marker protocol recovers from a crash at any point. */
 class TakedownSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
+  // Graft.builder, not a raw session: suites share one JVM, so the
+  // first getOrCreate wins for everyone — it must carry the engine
+  // extensions or ExtensionsSpec's SQL-surface tests lose them
+  lazy val spark: SparkSession = Graft.builder(4, "takedown-spec")
     .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .getOrCreate()
 
   val sf = "/root/testdata/sf0.01"
