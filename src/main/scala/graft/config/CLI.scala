@@ -642,6 +642,153 @@ object CLI {
           Access.writeData(snk)
       }),
 
+    // The takedown lifecycle: a right-to-be-forgotten id set removed
+    // IN PLACE from a standing layer, with the compliance audit row
+    // as the pipeline's output — the maintenance face the index
+    // pipeline builds, driven through the same config-bound surface.
+    // `build=true` (the self-contained demo/test shape) constructs
+    // the layer from the bound source first; `build=false` is the
+    // deployed shape: the layer already stands, the run only removes
+    // and audits (a rerun with the same ids audits (0, 0) — the
+    // idempotence proof as a lifecycle invocation).
+    "takedown" -> Registered(
+      "takedown",
+      "remove a takedown id set from a standing layer in place " +
+        "(kind = layer | bm25 | ivf | pq | cms) and emit the " +
+        "compliance audit row; layer and ids are virtual files",
+      OptionsSchema(Seq(
+        OptField("kind", Some(OptStr("layer")),
+          "artifact family: layer (batch-keyed corpus/signatures), " +
+            "bm25 (postings+stats pair), ivf / pq (dense index " +
+            "layouts), cms (frequency sketch, subtract-and-fold)"),
+        OptField("build", Some(OptBool(true)),
+          "build the layer from the source first (self-contained " +
+            "run); false = mutate the already-standing layer only"),
+        OptField("batches", Some(OptNum(2)),
+          "build: publish batches (split by id % batches)"),
+        OptField("nCells", Some(OptNum(16)),
+          "ivf/pq build: k-means cells / codewords per subspace"))),
+      (spark, opts) => {
+        def num(v: OptValue): Double = v match {
+          case OptNum(n) => n
+          case other     => other.render.toDouble
+        }
+        val kind = opts("kind").render
+        require(Set("layer", "bm25", "ivf", "pq", "cms")(kind),
+          s"takedown: unknown kind '$kind' (layer|bm25|ivf|pq|cms)")
+        val doBuild = opts("build") match {
+          case OptBool(b) => b
+          case other      => other.render.toBoolean
+        }
+        val batches = num(opts("batches")).toInt
+        val nCells = num(opts("nCells")).toInt
+        val dense = kind == "ivf" || kind == "pq"
+        val idCol = if (dense) "vec_id" else "doc_id"
+        val src = VirtualFile(
+          VPath(if (dense) "/embeddings" else "/documents"),
+          Seq("parquet"), Usage.Source)
+        val ids = VirtualFile(VPath("/takedown_ids"), Seq("parquet"),
+          Usage.Source)
+        val layer = VirtualFile(VPath("/Index/layer"), Seq("parquet"),
+          Usage.Sink)
+        val snk = VirtualFile(VPath("/Outputs/audit"), Seq("parquet"),
+          Usage.Sink)
+        ((Access.getDataReader(src) &&& Access.getDataReader(ids))
+          &&& Access.getDataWriter(layer)) >>>
+          PTask.arr {
+            (rw: ((Access.DataReader, Access.DataReader),
+                  Access.DataWriter)) =>
+              import graft.llm.{Similarity, Takedown, TextAnalysis}
+              import graft.streaming.IngestStream
+              val ((sr, ir), w) = rw
+              val layerDir = w.paths.head
+              val idSet = ir.read()
+              if (doBuild) {
+                val lp = new org.apache.hadoop.fs.Path(layerDir)
+                val lfs = lp.getFileSystem(
+                  spark.sparkContext.hadoopConfiguration)
+                if (lfs.exists(lp)) lfs.delete(lp, true)
+              }
+              // per kind: (rows removed, partitions rewritten,
+              // standing mass left — rows for the row-keyed layers,
+              // positive cells for the sketch)
+              val (rm, parts, left): (Long, Long, Long) = kind match {
+                case "layer" =>
+                  if (doBuild) {
+                    val docs = sr.read()
+                    (0 until batches).foreach { b =>
+                      docs.filter(col(idCol) % batches === b)
+                        .write.parquet(s"$layerDir/ingest_batch=$b")
+                    }
+                    IngestStream.ingestLayerCompact(spark, layerDir,
+                      batches - 1L)
+                  }
+                  val (r, p) =
+                    Takedown.layerTakedown(spark, layerDir, idSet, idCol)
+                  (r, p, spark.read.parquet(layerDir).count())
+                case "bm25" =>
+                  if (doBuild) {
+                    val docs = sr.read()
+                    (0 until batches).foreach { b =>
+                      TextAnalysis.bm25PostingsBatch(
+                        docs.filter(col(idCol) % batches === b),
+                        layerDir, b.toLong)
+                    }
+                  }
+                  val (r, p) =
+                    Takedown.bm25Takedown(spark, layerDir, idSet)
+                  (r, p, spark.read.parquet(s"$layerDir/stats")
+                    .agg(sum(col("n_docs"))).head.getLong(0))
+                case "ivf" =>
+                  if (doBuild) {
+                    val emb = sr.read()
+                    Similarity.ivfWriteIndex(emb,
+                      Similarity.kmeansCentroidsUncached(emb, nCells,
+                        iters = 2), layerDir)
+                  }
+                  val (r, p) =
+                    Takedown.ivfTakedown(spark, layerDir, idSet)
+                  (r, p, spark.read.parquet(layerDir).count())
+                case "pq" =>
+                  if (doBuild) {
+                    val emb = sr.read()
+                    Similarity.pqWriteIndex(emb,
+                      Similarity.pqCodebooks(emb, m = 4, k = nCells,
+                        iters = 2), layerDir)
+                  }
+                  val (r, p) =
+                    Takedown.pqTakedown(spark, layerDir, idSet)
+                  (r, p, spark.read.parquet(layerDir).count())
+                case _ =>
+                  // the sketch is subtractive: it needs the removed
+                  // docs' text, so the corpus layer rides NEXT TO the
+                  // sketch under the same bound dir (run the cms
+                  // takedown BEFORE the corpus-layer one — the scaladoc
+                  // ordering contract)
+                  val corpusDir = s"$layerDir/corpus"
+                  val sketchDir = s"$layerDir/sketch"
+                  if (doBuild) {
+                    val docs = sr.read()
+                    (0 until batches).foreach { b =>
+                      val slice = docs.filter(col(idCol) % batches === b)
+                      slice.write.parquet(s"$corpusDir/ingest_batch=$b")
+                      IngestStream.cmsBatch(slice, sketchDir,
+                        batchId = b.toLong)
+                    }
+                  }
+                  val r = Takedown.cmsTakedown(spark, sketchDir,
+                    corpusDir, idSet)
+                  (r, 1L, IngestStream.cmsLayerRead(spark, sketchDir)
+                    .filter(col("cnt") > 0).count())
+              }
+              import spark.implicits._
+              Seq((kind, rm, parts, left))
+                .toDF("kind", "rows_removed", "partitions_rewritten",
+                  "mass_remaining")
+          } >>>
+          Access.writeData(snk)
+      }),
+
     // The multimodal curation face through the lifecycle: raw media
     // files ingested via binaryFile, decoded by the real JDK codecs,
     // and gated by the audio/image quality verdicts — features to one

@@ -882,6 +882,85 @@ class ConfigSpec extends AnyFunSuite {
       "pq layer must be bucket-partitioned (the patch rewrite unit)")
   }
 
+  test("takedown pipeline: config-bound removal from a standing " +
+       "layer with the audit row as output; build=false rerun audits " +
+       "a no-op; bm25 and ivf kinds run the same lifecycle") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    import org.apache.spark.sql.functions.{col => c}
+    val base = "/root/repo/target/scratch/cli_takedown"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    // the takedown id set is itself a bound source: every 7th doc
+    docs.filter(c("doc_id") % 7 === 3).select("doc_id")
+      .coalesce(1).write.parquet(s"$base/ids.parquet")
+    val nIds = docs.filter(c("doc_id") % 7 === 3).count()
+    assert(nIds > 0)
+    val specFile = s"$base/takedown.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(specFile),
+      s"""data: {kind: layer, batches: 2}
+         |locations:
+         |  /documents: /root/testdata/sf0.001/documents.parquet
+         |  /takedown_ids: $base/ids.parquet
+         |  /Index/layer: $base/layer
+         |  /Outputs/audit: $base/audit.parquet
+         |""".stripMargin)
+    CLI.run(Array("takedown", "run", specFile), spark)
+    def audit(p: String) = spark.read.parquet(p).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).head
+    val (k1, rm1, parts1, left1) = audit(s"$base/audit.parquet")
+    assert(k1 == "layer" && rm1 == nIds && parts1 > 0 &&
+      left1 == docs.count() - nIds,
+      s"layer audit: ${(k1, rm1, parts1, left1)}")
+    val layerRoot = Seq(s"$base/layer", s"$base/layer.parquet")
+      .find(d => new java.io.File(d).exists()).get
+    assert(spark.read.parquet(layerRoot)
+      .filter(c("doc_id") % 7 === 3).count() == 0,
+      "taken-down ids must be gone from the standing layer")
+    // deployed shape: the layer stands, build=false only removes —
+    // same ids again is the idempotent (0, 0) audit
+    CLI.run(Array("takedown", "run", specFile, "-o", "build=false"),
+      spark)
+    val (_, rm2, parts2, left2) = audit(s"$base/audit.parquet")
+    assert(rm2 == 0L && parts2 == 0L && left2 == left1,
+      s"rerun must audit a no-op: ${(rm2, parts2, left2)}")
+    // bm25 kind: postings rows gone AND stats debited, same lifecycle
+    CLI.run(Array("takedown", "run", specFile, "-o", "kind=bm25",
+      "--loc", s"/Index/layer=$base/bm25_layer",
+      "--loc", s"/Outputs/audit=$base/bm25_audit.parquet"), spark)
+    val (_, rmB, partsB, leftB) = audit(s"$base/bm25_audit.parquet")
+    // a postings layer's rows are (doc, term) pairs, so the audit
+    // counts postings rows — at least one per removed doc that has
+    // any lexical presence (zero-token docs are the documented edge)
+    assert(rmB >= nIds - 1 && partsB == 2L,
+      s"bm25 audit: ${(rmB, partsB)}")
+    val bmLayer = Seq(s"$base/bm25_layer", s"$base/bm25_layer.parquet")
+      .find(d => new java.io.File(d).exists()).get
+    assert(spark.read.parquet(s"$bmLayer/postings")
+      .filter(c("doc_id") % 7 === 3).count() == 0)
+    assert(leftB == spark.read.parquet(s"$bmLayer/stats")
+      .agg(org.apache.spark.sql.functions.sum(c("n_docs")))
+      .head.getLong(0))
+    // ivf kind over the embeddings source
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.filter(c("vec_id") % 7 === 3).select("vec_id")
+      .coalesce(1).write.parquet(s"$base/vec_ids.parquet")
+    CLI.run(Array("takedown", "run", specFile, "-o", "kind=ivf",
+      "--loc", s"/embeddings=/root/testdata/sf0.001/embeddings.parquet",
+      "--loc", s"/takedown_ids=$base/vec_ids.parquet",
+      "--loc", s"/Index/layer=$base/ivf_layer",
+      "--loc", s"/Outputs/audit=$base/ivf_audit.parquet"), spark)
+    val (_, rmV, _, leftV) = audit(s"$base/ivf_audit.parquet")
+    val nVec = emb.filter(c("vec_id") % 7 === 3).count()
+    assert(rmV == nVec && leftV == emb.count() - nVec,
+      s"ivf audit: ${(rmV, leftV)}")
+    graft.cache.Pins.release(spark)
+  }
+
   test("media_audit pipeline: binaryFile dir ingest -> JDK decode -> " +
        "image quality gates; features + flagged discards as two sinks") {
     val spark = org.apache.spark.sql.SparkSession.builder()
