@@ -2321,6 +2321,34 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // retention age-out: the corpus ingested as FOUR modulo batches,
+    // batches 0-1 compacted (coverage k=1), then keepFrom=2 drops the
+    // compact partition whole (k < keepFrom: entirely pre-cutoff) and
+    // keeps batches 2-3 byte-untouched — whole-partition deletes, no
+    // rewrite, the only affordable age-out at 100 TB. Read-back with
+    // partition residency hash-matches the pure modulo filter.
+    "llm_retention" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val base = "/root/repo/target/scratch/retention_layer_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(base))
+      (0L to 3L).foreach { b =>
+        docs.filter(col("doc_id") % 4 === b)
+          .select(col("doc_id"), col("text"))
+          .write.parquet(s"$base/ingest_batch=$b")
+      }
+      graft.streaming.IngestStream.ingestLayerCompact(s, base,
+        watermark = 1L)
+      graft.streaming.IngestStream.layerRetention(s, base,
+        keepFrom = 2L)
+      s.read.parquet(base)
+        .select(col("doc_id"),
+          col("ingest_batch").cast("long").as("ingest_batch"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // takedown over the STANDING BM25 postings layer: build the
     // llm_bm25_layered two-batch index, take down doc_id % 15 = 7
     // (postings rows dropped, per-batch stats debited by exactly the
@@ -7229,6 +7257,16 @@ object LlmQueries {
     // over the surviving corpus serves — same formula tree as
     // llm_bm25, corpus restricted to the non-taken-down docs.
     "llm_takedown_bm25" -> bm25SetOracleWhere("doc_id % 15 <> 7"),
+
+    // retention == keep only the post-cutoff batches, partitions and
+    // all: batches 2-3 survive with their residency, everything the
+    // compact partition folded (batches 0-1) is gone whole.
+    "llm_retention" ->
+      """SELECT doc_id,
+           CAST(doc_id % 4 AS BIGINT) AS ingest_batch,
+           length(text) AS n_chars
+         FROM documents WHERE doc_id % 4 >= 2
+         ORDER BY doc_id""",
 
     // bag-query BM25 replay: per-term contribution times the query
     // term frequency as a DOUBLE product, decimal-cast AFTER the

@@ -769,6 +769,71 @@ object IngestStream {
       _.repartition(targetFiles))
   }
 
+  /** Retention age-out for a batch-keyed layer: DELETE every batch
+    * partition whose id is below `keepFrom` — the data-retention
+    * compliance sibling of [[graft.llm.Takedown]] (takedown removes
+    * named ids everywhere; retention removes everything older than a
+    * cutoff). Batch ids are the retention clock: a stream that opens
+    * one batch per ingest window makes `keepFrom` a time horizon.
+    *
+    * Scale: whole-partition deletes — no rewrite, no shuffle, no data
+    * read; cost is a directory listing plus one row-count over the
+    * dropped partitions for the audit (an empty-schema scan: row
+    * counts come from parquet footers). At 100 TB this is the ONLY
+    * affordable age-out shape, which is why the layers partition by
+    * batch id in the first place.
+    *
+    * Compacted partitions: `-(k+1)` holds the folded mass of every
+    * batch ≤ k. It is dropped iff `k < keepFrom` (entirely
+    * pre-cutoff). If the cutoff STRADDLES a compact's coverage
+    * (`0 < keepFrom <= k`), the pre-cutoff mass cannot be split back
+    * out without a rebuild — the call fails fast BEFORE any delete,
+    * with the fix in the message: compact at `watermark = keepFrom-1`
+    * first, so compaction windows align with retention windows (the
+    * schedule a retention-governed layer should run anyway).
+    *
+    * Crash safety needs no protocol: deletes of whole partitions are
+    * idempotent, a rerun converges from any interruption point, and
+    * the straddle guard re-evaluates on entry. Returns
+    * (partitionsDropped, rowsDropped); (0, 0) when nothing is old
+    * enough. Quiesce the writing stream first, as with any layer
+    * maintenance. */
+  def layerRetention(spark: org.apache.spark.sql.SparkSession,
+                     layerDir: String, keepFrom: Long): (Long, Long) = {
+    require(keepFrom >= 0, s"keepFrom must be >= 0, got $keepFrom")
+    val root = new org.apache.hadoop.fs.Path(layerDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root) || keepFrom == 0) return (0L, 0L)
+    val prefix = "ingest_batch="
+    def partId(p: org.apache.hadoop.fs.Path): Option[Long] =
+      if (p.getName.startsWith(prefix))
+        p.getName.drop(prefix.length).toLongOption
+      else None
+    val parts = fs.listStatus(root).map(_.getPath)
+      .flatMap(p => partId(p).map(p -> _))
+    parts.foreach { case (p, id) =>
+      if (id < 0) {
+        val k = -id - 1
+        require(k < keepFrom,
+          s"layerRetention: compact partition ${p.getName} folds " +
+            s"batches <= $k, straddling the keepFrom=$keepFrom cutoff " +
+            s"— its pre-cutoff mass cannot be split back out; compact " +
+            s"at watermark = ${keepFrom - 1} first so compaction " +
+            s"windows align with retention windows")
+      }
+    }
+    val drop = parts.filter { case (_, id) =>
+      if (id >= 0) id < keepFrom else true // straddle guard passed:
+        // every surviving compact is entirely pre-cutoff
+    }
+    if (drop.isEmpty) return (0L, 0L)
+    val rows = spark.read
+      .parquet(drop.map(_._1.toString).toIndexedSeq: _*).count()
+    drop.foreach { case (p, _) => fs.delete(p, true) }
+    spark.catalog.refreshByPath(layerDir)
+    (drop.length.toLong, rows)
+  }
+
   /** The shared compaction machinery: list `ingest_batch=` partitions
     * covered by the watermark (non-negative ids ≤ watermark, and
     * prior compacts `-(id)-1 ≤ watermark`), apply `fold` to their

@@ -258,6 +258,43 @@ class TakedownSpec extends AnyFunSuite {
       s"foreign ids must fail fast: ${ex.getMessage}")
   }
 
+  test("layerRetention: pre-cutoff batches and entirely-pre-cutoff " +
+       "compacts drop whole; survivors byte-identical; straddling " +
+       "compact fails fast BEFORE any delete; rerun no-op") {
+    import spark.implicits._
+    val dir = scratch("retention")
+    def part(b: Long, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.parquet(s"$dir/ingest_batch=$b")
+    part(0L, Seq((1L, "a")))
+    part(1L, Seq((2L, "b"), (3L, "c")))
+    graft.streaming.IngestStream.ingestLayerCompact(spark, dir,
+      watermark = 1L) // compact -2 covers batches <= 1
+    part(2L, Seq((4L, "d")))
+    part(3L, Seq((5L, "e")))
+    val b3Before = listing(s"$dir/ingest_batch=3")
+    // straddle: keepFrom=1 splits the compact's coverage (0 kept out,
+    // 1 kept in) — must refuse with nothing deleted
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.IngestStream.layerRetention(spark, dir,
+        keepFrom = 1L)
+    }
+    assert(ex.getMessage.contains("straddling"), ex.getMessage)
+    assert(new java.io.File(s"$dir/ingest_batch=-2").exists(),
+      "straddle guard must fire before any delete")
+    // aligned cutoff: compact (covers <= 1 < 2) drops whole, 2-3 stay
+    val (parts, rows) = graft.streaming.IngestStream
+      .layerRetention(spark, dir, keepFrom = 2L)
+    assert((parts, rows) == ((1L, 3L)), s"audit: $parts/$rows")
+    assert(!new java.io.File(s"$dir/ingest_batch=-2").exists())
+    assert(spark.read.parquet(dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(4L, 5L))
+    assert(listing(s"$dir/ingest_batch=3") == b3Before,
+      "surviving partitions keep their files byte-for-byte")
+    assert(graft.streaming.IngestStream.layerRetention(spark, dir,
+      keepFrom = 2L) == ((0L, 0L)), "rerun no-op")
+  }
+
   test("a committed takedown lands BEFORE a subsequent ivf patch " +
        "reads the index — taken-down rows cannot resurrect") {
     import spark.implicits._
