@@ -647,8 +647,15 @@ object Similarity {
     * the corpus bytes instead of assigning cells over a full scan. */
   def ivfWriteIndex(corpus: DataFrame, centroids: Seq[Seq[Double]],
                     indexDir: String, idCol: String = "vec_id",
-                    vecCol: String = "embedding"): Unit = {
-    assignCells(corpus, centroids, idCol, vecCol)
+                    vecCol: String = "embedding",
+                    attrCols: Seq[String] = Nil): Unit = {
+    // attrCols ride INSIDE the index files so filtered search
+    // ([[ivfTopKIndexedWhere]]) can push its predicate into the
+    // probed-cell parquet scan — row-group min/max + dictionary stats
+    // skip non-matching pages without a join back to the corpus
+    corpus.select((Seq(col(idCol), col(vecCol)) ++ attrCols.map(col))
+        :+ graft.functions.SketchExprs.nearestCell(col(vecCol),
+          centroids).as("cell_id"): _*)
       .write.mode("overwrite").partitionBy("cell_id").parquet(indexDir)
     // centroid sidecar (the cms _geometry.json move): serving an IVF
     // layout with the WRONG centroid set probes wrong cells silently —
@@ -770,10 +777,14 @@ object Similarity {
     // swap later resurrect) rows destined for removal
     Takedown.completePending(spark, indexDir)
     val idx = spark.read.parquet(indexDir)
-    val re = idx.select(col(idCol), col(vecCol),
+    // every stored column rides the rewrite (attribute-carrying
+    // layouts — see ivfWriteIndex's attrCols — must not lose their
+    // filter columns in patched partitions)
+    val carried = idx.columns.filterNot(_ == "cell_id").toSeq
+    val re = idx.select(carried.map(col) ++ Seq(
       col("cell_id").as("_from"),
       graft.functions.SketchExprs.nearestCell(col(vecCol), newCents)
-        .as("_to"))
+        .as("_to")): _*)
     val affected = re.filter(col("_from") =!= col("_to"))
       .select(explode(array(col("_from"), col("_to"))).as("c"))
       .distinct().collect().map(_.getLong(0)).sorted
@@ -793,7 +804,7 @@ object Similarity {
     // full new content of every affected partition (movers in, stayers
     // kept, leavers gone) — written while the index is still readable
     re.filter(col("_to").isin(affected: _*))
-      .select(col(idCol), col(vecCol), col("_to").as("cell_id"))
+      .select(carried.map(col) :+ col("_to").as("cell_id"): _*)
       .write.partitionBy("cell_id").parquet(tmp.toString)
     // commit point: the marker records which cells have fresh content
     // (a cell that lost everything and gained nothing has none — its
@@ -934,6 +945,65 @@ object Similarity {
     scoreProbedCells(cells, centroids, queries, k, nProbe,
       idCol, vecCol, qIdCol, qVecCol)
   }
+
+  /** FILTERED vector search over an attribute-carrying
+    * [[ivfWriteIndex]] layout: [[ivfTopKIndexed]] with a metadata
+    * `predicate` over the index's stored attribute columns ("top-k
+    * neighbors among docs WHERE lang = 'en'", the
+    * retrieval-with-access-control / faceted-RAG shape). The
+    * predicate applies BEFORE scoring, in the same scan the probed
+    * `cell_id` partition filter prunes: attributes live inside the
+    * index files, so Catalyst pushes it to the parquet reader
+    * (PushedFilters — plan-gated) and non-matching row groups are
+    * skipped on stats without ever joining back to the corpus.
+    *
+    * Semantics (the honestly-bounded contract every filtered-ANN
+    * system has): candidates come from the probed cells ONLY, so a
+    * highly selective predicate shrinks the per-query candidate pool
+    * and can return fewer than k rows; raise `nProbe` (or partition
+    * the index by the filter attribute when one attribute dominates
+    * every query) rather than expecting post-hoc refill. Exactness
+    * within the probed cells is unchanged — scores are exact cosines
+    * over the filtered candidates. */
+  def ivfTopKIndexedWhere(spark: org.apache.spark.sql.SparkSession,
+                          indexDir: String, centroids: Seq[Seq[Double]],
+                          queries: DataFrame, k: Int,
+                          predicate: org.apache.spark.sql.Column,
+                          nProbe: Int = 4,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          qIdCol: String = "query_id",
+                          qVecCol: String = "query_vec"): DataFrame = {
+    val probedCells = queries
+      .select(explode(graft.functions.SketchExprs.probeCells(
+        col(qVecCol), centroids, nProbe)).as("cell_id"))
+      .distinct().collect().map(_.getLong(0))
+    val cells = spark.read.parquet(indexDir)
+      .filter(col("cell_id").isin(probedCells: _*))
+      .filter(predicate)
+    scoreProbedCells(cells, centroids, queries, k, nProbe,
+      idCol, vecCol, qIdCol, qVecCol)
+  }
+
+  /** [[ivfTopKIndexedWhere]] serving under the layout's own sidecar
+    * centroids — the safe path for filtered search, matching
+    * [[ivfTopKIndexedAuto]]. */
+  def ivfTopKIndexedAutoWhere(spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String, queries: DataFrame,
+                              k: Int,
+                              predicate: org.apache.spark.sql.Column,
+                              nProbe: Int = 4,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding",
+                              qIdCol: String = "query_id",
+                              qVecCol: String = "query_vec"): DataFrame =
+    ivfTopKIndexedWhere(spark, indexDir,
+      ivfIndexCentroids(spark, indexDir).getOrElse(
+        throw new IllegalArgumentException(
+          s"$indexDir has no $CentroidSidecar sidecar — not an " +
+            "ivfWriteIndex layout (rebuild it, or pass centroids " +
+            "explicitly to ivfTopKIndexedWhere)")),
+      queries, k, predicate, nProbe, idCol, vecCol, qIdCol, qVecCol)
 
   /** Seeded gaussian hyperplanes, quantized to 6 decimals. Each
     * component is exactly n/1e6 for an integer n, so a SQL oracle can

@@ -469,6 +469,32 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // FILTERED vector search: the index written WITH an attribute
+    // column (grp = vec_id % 5), then top-k restricted to grp = 2 by
+    // a predicate pushed into the probed-cell parquet scan (the
+    // faceted-RAG / access-control retrieval shape — no join back to
+    // the corpus). Oracle scores the same trained cells with the
+    // same WHERE; the plan gate (PlanSpec) asserts the predicate
+    // lands in PushedFilters, not a post-join Filter.
+    "llm_ann_filtered" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(emb, nCells = 16,
+        iters = 2)
+      val idxDir = "/root/repo/target/scratch/ann_filtered_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(idxDir))
+      Similarity.ivfWriteIndex(
+        emb.withColumn("grp", col("vec_id") % 5), cents, idxDir,
+        attrCols = Seq("grp"))
+      val q = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      Similarity.ivfTopKIndexedWhere(s, idxDir, cents, q, k = 10,
+          predicate = col("grp") === 2, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // embedding contamination: held-out eval slice (vec_id % 50 = 0)
     // vs the disjoint train corpus - nearest-neighbor cosine + verdict
     // (the paraphrase-leakage complement of n-gram decontamination).
@@ -4652,6 +4678,12 @@ object LlmQueries {
     // serve exactly the rebuild-over-survivors ranking.
     "llm_takedown_ivf" ->
       kmeansIvfOracle(iters = 2, corpusWhere = "a.vec_id % 9 <> 4"),
+
+    // filtered search scores only the candidates matching the stored
+    // attribute predicate — same cells, same exact cosines, WHERE on
+    // the scored side.
+    "llm_ann_filtered" ->
+      kmeansIvfOracle(iters = 2, corpusWhere = "a.vec_id % 5 = 2"),
     "llm_pq_topk" -> pqOracle(m = 4, kk = 16, iters = 2, sub = 16,
       k = 10),
     "llm_pq_patch" -> pqOracle(m = 4, kk = 16, iters = 2, sub = 16,

@@ -2733,6 +2733,55 @@ class LlmSpec extends AnyFunSuite {
       Map(1L -> 0L, 2L -> 0L, 3L -> 2L))
   }
 
+  test("filtered ANN: predicate-restricted top-k equals brute top-k " +
+       "over the filtered candidates of the probed cells; attribute " +
+       "columns survive an in-place patch") {
+    val base = "/root/repo/target/scratch/ann_filtered_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val cents = Similarity.kmeansCentroidsUncached(emb, nCells = 16,
+      iters = 2)
+    Similarity.ivfWriteIndex(emb.withColumn("grp", col("vec_id") % 5),
+      cents, base, attrCols = Seq("grp"))
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+    def srv(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    val filtered = srv(Similarity.ivfTopKIndexedWhere(spark, base,
+      cents, q, k = 5, predicate = col("grp") === 2))
+    // reference: the same probe path over a corpus PRE-restricted to
+    // the predicate — filtered search must equal filter-then-search
+    // within the probed cells
+    val want = srv(Similarity.ivfTopKWith(cents,
+      emb.filter(col("vec_id") % 5 === 2), q, k = 5))
+    assert(filtered.nonEmpty && filtered == want,
+      "filtered search must equal filter-then-search")
+    assert(filtered.forall(_._3 % 5 == 2),
+      "every returned neighbor honors the predicate")
+    // Auto overload serves identically through the sidecar
+    assert(srv(Similarity.ivfTopKIndexedAutoWhere(spark, base, q,
+      k = 5, predicate = col("grp") === 2)) == filtered)
+    // a patch rewrite must CARRY the attribute columns: patch to a
+    // refreshed set, then filtered search still works and every row
+    // of the index still has its grp
+    val newC = Similarity.kmeansUpdate(
+      emb.filter(col("vec_id") % 2 === 1), cents)
+    val (moved, _) = Similarity.ivfPatchIndex(spark, base, newC)
+    assert(moved > 0, "refresh must migrate something on real data")
+    val idx = spark.read.parquet(base)
+    assert(idx.filter(col("grp").isNull).count() == 0 &&
+      idx.filter(col("grp") =!= col("vec_id") % 5).count() == 0,
+      "attribute columns must survive the patch rewrite intact")
+    val afterPatch = srv(Similarity.ivfTopKIndexedAutoWhere(spark,
+      base, q, k = 5, predicate = col("grp") === 2))
+    val wantPatched = srv(Similarity.ivfTopKWith(newC,
+      emb.filter(col("vec_id") % 5 === 2), q, k = 5))
+    assert(afterPatch == wantPatched,
+      "filtered serve over the patched layout must equal " +
+        "filter-then-search under the refreshed centroids")
+  }
+
   test("pqPatchIndex: patched code table equals a fresh rebuild; " +
        "untouched buckets keep their files byte-for-byte; rerun and " +
        "same-books patches are no-ops") {

@@ -956,4 +956,38 @@ class PlanSpec extends AnyFunSuite {
         s"blob bytes must never shuffle:\n$shuffles")
     }
   }
+
+  test("filtered ANN: the attribute predicate pushes into the " +
+       "probed-cell parquet scan (PushedFilters) and unprobed cells " +
+       "prune at the partition level — no join back to the corpus") {
+    import graft.llm.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(emb, nCells = 8, iters = 1)
+    val dir = "/root/repo/target/scratch/plan_ann_filtered"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    Similarity.ivfWriteIndex(emb.withColumn("grp", col("vec_id") % 5),
+      cents, dir, attrCols = Seq("grp"))
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+    val res = Similarity.ivfTopKIndexedWhere(spark, dir, cents, q,
+      k = 5, predicate = col("grp") === 2, nProbe = 2)
+    val plan = planOf(res)
+    assert(plan.contains("EqualTo(grp,2)") &&
+      plan.contains("PushedFilters"),
+      s"attribute predicate must reach the parquet reader:\n" +
+        plan.linesIterator.filter(_.contains("Filters"))
+          .mkString("\n"))
+    val partLine = plan.linesIterator
+      .find(_.trim.startsWith("PartitionFilters")).getOrElse("")
+    assert(partLine.contains("cell_id"),
+      s"probed cells must prune as partition filters: $partLine")
+    // one index scan + the broadcast probe join — never a second
+    // corpus-side join or a cartesian
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+    // and the result is non-trivial with the filter honored
+    assert(res.count() > 0)
+  }
 }
