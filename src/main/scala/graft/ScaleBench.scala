@@ -754,6 +754,64 @@ object ScaleBench {
           docs, htq, k = 10).count())
         report("hash_topk", f, nDocs, ht, tht)
       }
+
+      // --- compliance-maintenance probes. Layer layout: batch = copy
+      // index, so the layer holds f ORIGINAL-SIZE partitions and the
+      // id set (drawn from the first copy only) always affects exactly
+      // ONE fixed-size partition while the corpus grows 16x. The
+      // takedown claim under test: the rewrite is ∝ affected-partition
+      // mass (flat here); the discovery semi-join is the one
+      // corpus-linear term (a cheap broadcast-filter scan — you cannot
+      // remove ids you have not found).
+      val copyStride = docs0.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      def copyLayer(dest: String): Unit =
+        docs.withColumn("ingest_batch",
+            (col("doc_id") / copyStride).cast("long"))
+          .write.mode("overwrite").partitionBy("ingest_batch")
+          .parquet(dest)
+      if (enabled("takedown_layer")) {
+        val ldir = s"$scratch/takedown_layer_$f"
+        copyLayer(ldir) // build outside the timed window
+        val ids = docs0.filter(col("doc_id") % 10 === 3).select("doc_id")
+        val ((rm, _), tdt) = timed(
+          graft.llm.Takedown.layerTakedown(spark, ldir, ids, "doc_id"))
+        report("takedown_layer", f, nDocs, rm, tdt)
+      }
+      // retention: whole-partition deletes — no data read beyond the
+      // footer-bounded audit count; should stay near-flat even as the
+      // DROPPED mass grows with the corpus
+      if (enabled("retention_layer")) {
+        val rdir = s"$scratch/retention_layer_$f"
+        copyLayer(rdir)
+        val keepFrom = math.max(1L, f / 2L)
+        val ((_, dropped), trt) = timed(
+          graft.streaming.IngestStream.layerRetention(spark, rdir,
+            keepFrom))
+        report("retention_layer", f, nDocs, dropped, trt)
+      }
+      // filtered ANN serve: centroids train on the first-copy slice
+      // (fixed-training recipe), the full corpus only assigns at
+      // build (untimed); the timed serve scans probed cells ∩
+      // predicate — candidate mass grows with the corpus, the
+      // predicate prunes it 5x at the reader
+      if (enabled("ivf_filtered_topk")) {
+        val idir = s"$scratch/ivf_filtered_$f"
+        val cents = graft.llm.Similarity.kmeansCentroidsUncached(
+          emb.orderBy(col("vec_id")).limit(nEmb.toInt / f),
+          nCells = 16, iters = 2)
+        graft.llm.Similarity.ivfWriteIndex(
+          emb.withColumn("grp", col("vec_id") % 5), cents, idir,
+          attrCols = Seq("grp"))
+        val embStride = emb0.agg(max(col("vec_id"))).head().getLong(0) + 1L
+        val fq = emb.filter(col("vec_id") % 100 === 0 &&
+            col("vec_id") < embStride)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("query_vec"))
+        val (fr, tft) = timed(graft.llm.Similarity.ivfTopKIndexedWhere(
+          spark, idir, cents, fq, k = 10,
+          predicate = col("grp") === 2).count())
+        report("ivf_filtered_topk", f, nEmb, fr, tft)
+      }
     }
     spark.stop()
   }
