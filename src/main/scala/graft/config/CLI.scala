@@ -520,8 +520,9 @@ object CLI {
 
     "index" -> Registered(
       "index",
-      "index lifecycle: incremental build -> patch/compact -> serve " +
-        "(kind = bm25 | ivf | cms); the layer dir is a virtual file",
+      "index lifecycle: incremental build -> append/patch/compact -> " +
+        "serve (kind = bm25 | ivf | cms); the layer dir is a virtual " +
+        "file",
       OptionsSchema(Seq(
         OptField("kind", Some(OptStr("bm25")),
           "index family: bm25 (lexical postings), ivf (dense ANN), " +
@@ -593,8 +594,15 @@ object CLI {
                 val emb = r.read()
                 val cents = Similarity.kmeansCentroidsUncached(emb,
                   nCells, iters = 2)
-                Similarity.ivfWriteIndex(emb, cents, layerDir)
-                // refresh on the odd half, patch the layout in place
+                // the full lifecycle in one config-bound run: build on
+                // the even half, APPEND the odd half as a delta batch,
+                // fold the delta into the cells, refresh the centroids
+                // and patch the layout in place
+                Similarity.ivfWriteIndex(
+                  emb.filter(col("vec_id") % 2 === 0), cents, layerDir)
+                Similarity.ivfAppendBatch(spark, layerDir,
+                  emb.filter(col("vec_id") % 2 =!= 0), batchId = 0L)
+                Similarity.ivfCompactDelta(spark, layerDir)
                 val newC = Similarity.kmeansUpdate(
                   emb.filter(col("vec_id") % 2 === 1), cents)
                 Similarity.ivfPatchIndex(spark, layerDir, newC)

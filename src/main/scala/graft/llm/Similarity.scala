@@ -776,6 +776,13 @@ object Similarity {
     // reads the index, or the patch would re-assign (and the pending
     // swap later resurrect) rows destined for removal
     Takedown.completePending(spark, indexDir)
+    // a standing delta segment holds assignments under the CURRENT
+    // sidecar; patching around it would leave those stale (served
+    // through wrong probes) — fold it first
+    require(!fs.exists(
+        new org.apache.hadoop.fs.Path(root, DeltaDirName)),
+      s"ivfPatchIndex: $indexDir has a standing $DeltaDirName " +
+        "segment — run ivfCompactDelta first, then patch")
     val idx = spark.read.parquet(indexDir)
     // every stored column rides the rewrite (attribute-carrying
     // layouts — see ivfWriteIndex's attrCols — must not lose their
@@ -940,10 +947,138 @@ object Similarity {
       .select(explode(graft.functions.SketchExprs.probeCells(
         col(qVecCol), centroids, nProbe)).as("cell_id"))
       .distinct().collect().map(_.getLong(0))
-    val cells = spark.read.parquet(indexDir)
+    scoreProbedCells(probedIndexFrame(spark, indexDir, probedCells),
+      centroids, queries, k, nProbe, idCol, vecCol, qIdCol, qVecCol)
+  }
+
+  /** The index's probed-cell candidate frame: the main `cell_id=`
+    * layout pruned at the partition level, UNIONed with the `_delta`
+    * side segment ([[ivfAppendBatch]]) when one stands — delta rows
+    * carry their assignment as a stored column, so the same `isin`
+    * prunes them at the row level (the delta is small by contract;
+    * [[ivfCompactDelta]] folds it into partitions when it stops
+    * being small). `cell_id` normalized to long on both sides
+    * (partition discovery types small values as int). */
+  private def probedIndexFrame(spark: org.apache.spark.sql.SparkSession,
+                               indexDir: String,
+                               probedCells: Seq[Long]): DataFrame = {
+    val main = spark.read.parquet(indexDir)
       .filter(col("cell_id").isin(probedCells: _*))
-    scoreProbedCells(cells, centroids, queries, k, nProbe,
-      idCol, vecCol, qIdCol, qVecCol)
+    val mainCols = main.columns.toSeq
+    def norm(df: DataFrame) = df.select(mainCols.map(c =>
+      if (c == "cell_id") col(c).cast("long").as(c) else col(c)): _*)
+    val deltaPath = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(indexDir), DeltaDirName)
+    val fs = deltaPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val hasDelta = fs.exists(deltaPath) && fs.listStatus(deltaPath)
+      .exists(_.getPath.getName.startsWith("ingest_batch="))
+    if (!hasDelta) norm(main)
+    else norm(main).unionByName(
+      norm(spark.read.parquet(deltaPath.toString)
+        .filter(col("cell_id").isin(probedCells: _*))
+        .drop("ingest_batch")))
+  }
+
+  private[llm] val DeltaDirName = "_delta"
+
+  /** LSM-style APPEND ingest for a persisted [[ivfWriteIndex]] layout:
+    * new vectors are assigned under the layout's own sidecar
+    * centroids and published as a batch-keyed `_delta` side segment —
+    * the main `cell_id=` partitions are NOT rewritten (an append that
+    * rewrote every touched cell would approach rebuild cost whenever
+    * a batch spreads across cells, which real batches do). Serving
+    * reads main ∪ delta transparently ([[probedIndexFrame]]); the
+    * underscore dir keeps the delta invisible to plain parquet reads
+    * of the index root. Batch-keyed OVERWRITE makes replay replace,
+    * never double-ingest (the [[graft.streaming.IngestStream]] layer
+    * discipline). Fold the segment into the partitions with
+    * [[ivfCompactDelta]] once it stops being small — and ALWAYS
+    * before a centroid patch ([[ivfPatchIndex]] fails fast on a
+    * standing delta, whose stored assignments would go stale).
+    * Returns the appended row count. */
+  def ivfAppendBatch(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String, rows: DataFrame, batchId: Long,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Long = {
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    completePendingPatch(spark, fs, root)
+    Takedown.completePending(spark, indexDir)
+    val cents = ivfIndexCentroids(spark, indexDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$indexDir has no $CentroidSidecar sidecar — append needs " +
+          "the layout's authoritative centroid set"))
+    // column parity with the main layout: the same carried columns
+    // (id, vector, any attributes) must ride every delta row, so a
+    // later compaction unions cleanly and filtered search sees its
+    // attribute on both sides
+    val carried = spark.read.parquet(indexDir).columns
+      .filterNot(_ == "cell_id").toSeq
+    val dest = s"$indexDir/$DeltaDirName/ingest_batch=$batchId"
+    rows.select(carried.map(col) :+
+        graft.functions.SketchExprs.nearestCell(col(vecCol), cents)
+          .as("cell_id"): _*)
+      .write.mode("overwrite").parquet(dest)
+    spark.catalog.refreshByPath(indexDir)
+    spark.read.parquet(dest).count()
+  }
+
+  /** Fold the `_delta` side segment into the main `cell_id=`
+    * partitions: only cells that actually received delta rows are
+    * rewritten (main rows + delta rows of each affected cell, one
+    * partition-keyed write), swapped under the SAME commit-marker
+    * protocol as takedown — the marker's final entry deletes the
+    * delta dir itself, so a crash at any point either leaves the
+    * layer fully readable (main ∪ delta) or is completed by the next
+    * maintenance entry; rows are never lost and never double-counted.
+    * Returns (rowsMerged, cellsRewritten); (0, 0) with no delta. */
+  def ivfCompactDelta(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String): (Long, Long) = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    completePendingPatch(spark, fs, root)
+    Takedown.completePending(spark, indexDir)
+    val deltaPath = new org.apache.hadoop.fs.Path(root, DeltaDirName)
+    if (!fs.exists(deltaPath)) return (0L, 0L)
+    // a committed-but-unswapped takedown INSIDE the delta (its scrub
+    // runs under the delta root) must land before the fold reads it,
+    // or removed rows would be absorbed into main
+    Takedown.completePending(spark, deltaPath.toString)
+    // a takedown may have emptied every batch — an empty delta is
+    // garbage, not a fold input (parquet cannot even infer a schema)
+    if (!fs.exists(deltaPath) || !fs.listStatus(deltaPath)
+        .exists(_.getPath.getName.startsWith("ingest_batch="))) {
+      if (fs.exists(deltaPath)) fs.delete(deltaPath, true)
+      return (0L, 0L)
+    }
+    val delta = spark.read.parquet(deltaPath.toString)
+      .drop("ingest_batch")
+    val merged = delta.count()
+    if (merged == 0L) { fs.delete(deltaPath, true); return (0L, 0L) }
+    val affected = delta.select(col("cell_id").cast("long"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    val main = spark.read.parquet(indexDir)
+    val mainCols = main.columns.toSeq
+    def norm(df: DataFrame) = df.select(mainCols.map(c =>
+      if (c == "cell_id") col(c).cast("long").as(c) else col(c)): _*)
+    val tmp = new org.apache.hadoop.fs.Path(root, Takedown.TmpName)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    norm(main.filter(col("cell_id").isin(affected: _*)))
+      .unionByName(norm(delta))
+      .write.partitionBy("cell_id").parquet(tmp.toString)
+    // cells only GAIN rows here, so fresh content exists for every
+    // affected cell; the trailing flag=0 entry deletes the absorbed
+    // delta as the swap's last step (replayed on recovery)
+    val entries = affected.map(c => (s"cell_id=$c",
+      fs.exists(new org.apache.hadoop.fs.Path(tmp, s"cell_id=$c")))) :+
+      (DeltaDirName -> false)
+    Takedown.writeMarker(fs, tmp, entries)
+    Takedown.applySwap(fs, root, tmp, entries)
+    fs.delete(tmp, true)
+    spark.catalog.refreshByPath(indexDir)
+    (merged, affected.length.toLong)
   }
 
   /** FILTERED vector search over an attribute-carrying
@@ -978,11 +1113,11 @@ object Similarity {
       .select(explode(graft.functions.SketchExprs.probeCells(
         col(qVecCol), centroids, nProbe)).as("cell_id"))
       .distinct().collect().map(_.getLong(0))
-    val cells = spark.read.parquet(indexDir)
-      .filter(col("cell_id").isin(probedCells: _*))
-      .filter(predicate)
-    scoreProbedCells(cells, centroids, queries, k, nProbe,
-      idCol, vecCol, qIdCol, qVecCol)
+    // the predicate rides BELOW the main∪delta union — Catalyst
+    // pushes it through Union into each branch's parquet reader
+    scoreProbedCells(
+      probedIndexFrame(spark, indexDir, probedCells).filter(predicate),
+      centroids, queries, k, nProbe, idCol, vecCol, qIdCol, qVecCol)
   }
 
   /** [[ivfTopKIndexedWhere]] serving under the layout's own sidecar

@@ -45,8 +45,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * partitions rewrites 0.1% of the artifact. */
 object Takedown {
 
-  private val TmpName = "_takedown_tmp"
-  private val MarkerName = "_TAKEDOWN_COMMIT"
+  // shared with Similarity.ivfCompactDelta — the delta fold rides the
+  // SAME tmp/marker/swap protocol (and therefore the same entry-time
+  // recovery every maintenance face already runs)
+  private[llm] val TmpName = "_takedown_tmp"
+  private[llm] val MarkerName = "_TAKEDOWN_COMMIT"
 
   /** One completed layer mutation: partitions rewritten (or dropped)
     * and rows removed. (0, 0) means the id set did not intersect the
@@ -65,8 +68,8 @@ object Takedown {
   // The shared swap protocol
   // ---------------------------------------------------------------
 
-  private def writeMarker(fs: FileSystem, tmp: Path,
-                          entries: Seq[(String, Boolean)]): Unit = {
+  private[llm] def writeMarker(fs: FileSystem, tmp: Path,
+                               entries: Seq[(String, Boolean)]): Unit = {
     val out = fs.create(new Path(tmp, MarkerName), true)
     try out.write(entries.map { case (rel, hasFresh) =>
       s"${if (hasFresh) 1 else 0} $rel"
@@ -80,8 +83,8 @@ object Takedown {
     * present) or when the marker proves the partition's new content
     * is empty (flag=0); a flag=1 entry whose fresh dir is gone was
     * already renamed into place and is left alone. */
-  private def applySwap(fs: FileSystem, root: Path, tmp: Path,
-                        entries: Seq[(String, Boolean)]): Unit =
+  private[llm] def applySwap(fs: FileSystem, root: Path, tmp: Path,
+                             entries: Seq[(String, Boolean)]): Unit =
     entries.foreach { case (rel, hasFresh) =>
       val live = new Path(root, rel)
       val fresh = new Path(tmp, rel)
@@ -192,7 +195,19 @@ object Takedown {
     val fs = fsOf(spark, root)
     if (!fs.exists(root)) return (0L, 0L)
     Similarity.completePendingPatch(spark, fs, root, "cell_id")
-    layerTakedown(spark, indexDir, ids, idCol, partCol = "cell_id")
+    // the `_delta` side segment ([[Similarity.ivfAppendBatch]]) is
+    // invisible to the main read — scrub it separately (batch-keyed,
+    // like any ingest layer) so appended-then-taken-down vectors
+    // cannot survive in the serving union
+    val deltaDir = s"$indexDir/${Similarity.DeltaDirName}"
+    val d =
+      if (fs.exists(new Path(deltaDir)))
+        layerTakedown(spark, deltaDir, ids, idCol,
+          partCol = "ingest_batch")
+      else (0L, 0L)
+    val m = layerTakedown(spark, indexDir, ids, idCol,
+      partCol = "cell_id")
+    (d._1 + m._1, d._2 + m._2)
   }
 
   /** [[layerTakedown]] over a [[Similarity.pqWriteIndex]] layout

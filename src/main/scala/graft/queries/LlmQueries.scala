@@ -469,6 +469,32 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // LSM-style index ingest: the EVEN half of the corpus is the
+    // built index, the ODD half arrives later as an appended `_delta`
+    // batch (assigned under the sidecar centroids, main partitions
+    // untouched); serving main ∪ delta hash-matches the SAME oracle
+    // as llm_ivf_kmeans_topk — an appended index is indistinguishable
+    // from an index built over the whole corpus at once.
+    "llm_ivf_append" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(emb, nCells = 16,
+        iters = 2)
+      val idxDir = "/root/repo/target/scratch/ivf_append_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(idxDir))
+      Similarity.ivfWriteIndex(
+        emb.filter(col("vec_id") % 2 === 0), cents, idxDir)
+      Similarity.ivfAppendBatch(s, idxDir,
+        emb.filter(col("vec_id") % 2 =!= 0), batchId = 0L)
+      val q = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      Similarity.ivfTopKIndexed(s, idxDir, cents, q, k = 10,
+          nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // FILTERED vector search: the index written WITH an attribute
     // column (grp = vec_id % 5), then top-k restricted to grp = 2 by
     // a predicate pushed into the probed-cell parquet scan (the
@@ -4684,6 +4710,11 @@ object LlmQueries {
     // the scored side.
     "llm_ann_filtered" ->
       kmeansIvfOracle(iters = 2, corpusWhere = "a.vec_id % 5 = 2"),
+
+    // built-on-even + appended-odd serves the whole corpus: the SAME
+    // oracle as llm_ivf_kmeans_topk (the shared-oracle equivalence
+    // device — append proven invisible).
+    "llm_ivf_append" -> kmeansIvfOracle(iters = 2),
     "llm_pq_topk" -> pqOracle(m = 4, kk = 16, iters = 2, sub = 16,
       k = 10),
     "llm_pq_patch" -> pqOracle(m = 4, kk = 16, iters = 2, sub = 16,

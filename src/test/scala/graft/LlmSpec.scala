@@ -2782,6 +2782,109 @@ class LlmSpec extends AnyFunSuite {
         "filter-then-search under the refreshed centroids")
   }
 
+  test("ivf delta ingest: append replay replaces; compaction folds " +
+       "the segment into exactly the affected cells (others " +
+       "byte-identical) with identical serving; patch refuses a " +
+       "standing delta; takedown scrubs the delta; a committed " +
+       "compact swap is replayed from its marker") {
+    val base = "/root/repo/target/scratch/ivf_delta_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val cents = Similarity.kmeansCentroidsUncached(emb, nCells = 16,
+      iters = 2)
+    Similarity.ivfWriteIndex(emb.filter(col("vec_id") % 2 === 0),
+      cents, base)
+    val odd = emb.filter(col("vec_id") % 2 =!= 0)
+    val n1 = Similarity.ivfAppendBatch(spark, base, odd, batchId = 0L)
+    assert(n1 == odd.count())
+    // replay of the same batch REPLACES (overwrite discipline)
+    assert(Similarity.ivfAppendBatch(spark, base, odd, batchId = 0L)
+      == n1, "re-append must replace, not double-ingest")
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+    def srv(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    val served = srv(Similarity.ivfTopKIndexedAuto(spark, base, q,
+      k = 10))
+    val oneShot = srv(Similarity.ivfTopKWith(cents, emb, q, k = 10))
+    assert(served == oneShot,
+      "main ∪ delta must serve the one-shot-build ranking")
+    // a patch over a standing delta would strand its assignments
+    val exP = intercept[IllegalArgumentException] {
+      Similarity.ivfPatchIndex(spark, base,
+        Similarity.kmeansUpdate(odd, cents))
+    }
+    assert(exP.getMessage.contains("ivfCompactDelta"), exP.getMessage)
+    // compaction: only delta-receiving cells rewrite; an untouched
+    // cell (if any) keeps its files; serving identical; rerun (0,0)
+    val deltaCells = spark.read.parquet(s"$base/_delta")
+      .select(col("cell_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val untouched = spark.read.parquet(base)
+      .select(col("cell_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).filterNot(deltaCells).sorted.headOption
+    def listing(cell: Long) = Option(new java.io.File(
+        s"$base/cell_id=$cell").listFiles())
+      .map(_.map(f => (f.getName, f.length, f.lastModified))
+        .sortBy(_._1).toSeq)
+    val before = untouched.map(listing)
+    val (rowsM, cellsM) = Similarity.ivfCompactDelta(spark, base)
+    assert(rowsM == n1 && cellsM == deltaCells.size.toLong,
+      s"compact audit: $rowsM/$cellsM")
+    assert(!new java.io.File(s"$base/_delta").exists())
+    untouched.foreach(c => assert(listing(c) == before.get,
+      s"cell $c took no delta rows and must keep its files"))
+    assert(srv(Similarity.ivfTopKIndexedAuto(spark, base, q, k = 10))
+      == oneShot, "serving must be unchanged by compaction")
+    assert(Similarity.ivfCompactDelta(spark, base) == ((0L, 0L)))
+    // takedown scrubs BOTH faces: re-append, then take down ids that
+    // live in the delta and in main
+    Similarity.ivfAppendBatch(spark, base,
+      emb.filter(col("vec_id") % 10 === 1)
+        .withColumn("vec_id", col("vec_id") + 1000000L),
+      batchId = 1L)
+    import spark.implicits._
+    val tdIds = (emb.filter(col("vec_id") % 10 === 1)
+      .select(col("vec_id") + 1000000L).collect().map(_.getLong(0))
+      .take(3) ++ emb.limit(1).collect().map(_.getLong(0))).toSeq
+    val (rmT, _) = graft.llm.Takedown.ivfTakedown(spark, base,
+      tdIds.toDF("vec_id"))
+    assert(rmT == tdIds.length,
+      s"takedown must reach delta AND main rows: $rmT vs ${tdIds.length}")
+    val left = spark.read.parquet(base).select("vec_id")
+      .collect().map(_.getLong(0)).toSet ++
+      spark.read.parquet(s"$base/_delta").select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+    assert(tdIds.forall(!left.contains(_)),
+      "no taken-down id may survive in either face")
+    // crash recovery: manufacture the committed worst point of a
+    // compact (fresh cell content + marker written, live cell NOT yet
+    // swapped, delta still present) — any maintenance entry completes
+    // it: the fresh content replaces the cell and the delta vanishes
+    val cell = spark.read.parquet(s"$base/_delta")
+      .select(col("cell_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).min
+    val freshRows = spark.read.parquet(base)
+      .filter(col("cell_id") === cell).drop("cell_id")
+      .unionByName(spark.read.parquet(s"$base/_delta")
+        .filter(col("cell_id") === cell)
+        .drop("cell_id", "ingest_batch"))
+    val wantCell = freshRows.count()
+    freshRows.coalesce(1).write
+      .parquet(s"$base/_takedown_tmp/cell_id=$cell")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/_takedown_tmp",
+        "_TAKEDOWN_COMMIT"),
+      s"1 cell_id=$cell\n0 _delta\n".getBytes("UTF-8"))
+    graft.llm.Takedown.completePending(spark, base)
+    assert(!new java.io.File(s"$base/_delta").exists(),
+      "recovery must finish the delta delete")
+    assert(spark.read.parquet(base)
+      .filter(col("cell_id") === cell).count() == wantCell,
+      "recovery must land the committed fresh cell content")
+  }
+
   test("pqPatchIndex: patched code table equals a fresh rebuild; " +
        "untouched buckets keep their files byte-for-byte; rerun and " +
        "same-books patches are no-ops") {
