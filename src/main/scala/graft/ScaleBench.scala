@@ -794,6 +794,28 @@ object ScaleBench {
       // build (untimed); the timed serve scans probed cells ∩
       // predicate — candidate mass grows with the corpus, the
       // predicate prunes it 5x at the reader
+      // delta-append lifecycle: APPEND cost is batch-proportional
+      // (assign + one segment write — flat while the index grows
+      // 16x); COMPACT rewrites every delta-receiving cell, and a
+      // spread batch touches all of them — expected to grow with the
+      // corpus, which is exactly why the hot path is append and
+      // compaction is scheduled maintenance
+      if (enabled("ivf_append")) {
+        val adir = s"$scratch/ivf_append_$f"
+        val cents = graft.llm.Similarity.kmeansCentroidsUncached(
+          emb.orderBy(col("vec_id")).limit(nEmb.toInt / f),
+          nCells = 16, iters = 2)
+        graft.llm.Similarity.ivfWriteIndex(emb, cents, adir)
+        val batch = emb0.select(
+          (col("vec_id") + lit(nEmb * 2)).as("vec_id"),
+          col("embedding"))
+        val (ar, ta) = timed(graft.llm.Similarity.ivfAppendBatch(
+          spark, adir, batch, batchId = 0L))
+        report("ivf_append_batch", f, nEmb, ar, ta)
+        val ((cr, _), tc) = timed(
+          graft.llm.Similarity.ivfCompactDelta(spark, adir))
+        report("ivf_compact_delta", f, nEmb, cr, tc)
+      }
       if (enabled("ivf_filtered_topk")) {
         val idir = s"$scratch/ivf_filtered_$f"
         val cents = graft.llm.Similarity.kmeansCentroidsUncached(

@@ -922,6 +922,35 @@ object IngestStream {
       .trigger(trigger)
       .start()
 
+  /** Live vector-index ingest: each micro-batch of embeddings lands
+    * as one [[graft.llm.Similarity.ivfAppendBatch]] delta batch keyed
+    * by the micro-batch id — at-least-once replay REPLACES the batch
+    * partition (the same overwrite discipline as [[bm25Monitor]]'s
+    * postings), so the serving union main ∪ delta never
+    * double-counts; new vectors are searchable as soon as their batch
+    * commits, with no main-partition rewrite on the hot path.
+    * Schedule [[graft.llm.Similarity.ivfCompactDelta]] between runs
+    * (quiesced) when the segment grows past its usefulness; the
+    * checkpoint lives under the index's own `_checkpoints` by
+    * default. The index must already exist with its centroid sidecar
+    * — a stream cannot train the model it assigns under. */
+  def ivfMonitor(vectors: DataFrame, indexDir: String,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding",
+                 checkpointDir: Option[String] = None,
+                 trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$indexDir/_checkpoints"))
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        graft.llm.Similarity.ivfAppendBatch(batch.sparkSession,
+          indexDir, batch.toDF(), bid, idCol, vecCol): Unit
+      }
+      .trigger(trigger)
+      .start()
+
   /** Wide-geometry event-time trending: the SAME semantics as
     * [[graft.llm.HeavyHitters.windowedTrending]] — per tumbling
     * event-time window, flag tokens whose exact in-window count is ≥

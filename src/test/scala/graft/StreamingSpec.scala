@@ -996,6 +996,69 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed layer diverged: ${served.size} vs ${oneShot.size}")
   }
 
+  test("ivfMonitor: streamed delta batches serve the one-shot-build " +
+       "ranking; compaction after the run keeps it; the index must " +
+       "pre-exist with its sidecar") {
+    import graft.streaming.IngestStream
+    import graft.llm.Similarity
+    val base = "/root/repo/target/scratch/ivf_stream"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val src = s"$base/src"
+    new java.io.File(src).mkdirs()
+    val emb0 = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroidsUncached(emb0, nCells = 8,
+      iters = 1)
+    // the standing index: built on a third of the corpus; the other
+    // two thirds arrive as two streamed files -> two delta batches
+    Similarity.ivfWriteIndex(emb0.filter(col("vec_id") % 3 === 0),
+      cents, s"$base/idx")
+    Seq(1, 2).foreach { h =>
+      val tmp = s"$base/third$h"
+      emb0.filter(col("vec_id") % 3 === h).coalesce(1)
+        .write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$src/third$h.parquet"))
+    }
+    val q = IngestStream.ivfMonitor(
+      spark.readStream.schema(emb0.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+      s"$base/idx")
+    try { q.processAllAvailable() } finally q.stop()
+    val queries = emb0.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    val oneShot = norm(Similarity.ivfTopKWith(cents, emb0, queries,
+      k = 5))
+    assert(oneShot.nonEmpty && norm(Similarity.ivfTopKIndexedAuto(
+      spark, s"$base/idx", queries, k = 5)) == oneShot,
+      "streamed delta must serve the one-shot-build ranking")
+    // two delta batches landed (one per micro-batch)
+    assert(new java.io.File(s"$base/idx/_delta").listFiles()
+      .count(_.getName.startsWith("ingest_batch=")) == 2)
+    val (rowsM, _) = Similarity.ivfCompactDelta(spark, s"$base/idx")
+    assert(rowsM == emb0.filter(col("vec_id") % 3 =!= 0).count())
+    assert(norm(Similarity.ivfTopKIndexedAuto(spark, s"$base/idx",
+      queries, k = 5)) == oneShot, "compaction must not change serving")
+    // no index, no sidecar -> the stream fails fast, not silently
+    val bad = IngestStream.ivfMonitor(
+      spark.readStream.schema(emb0.schema).parquet(src),
+      s"$base/nonexistent")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.awaitTermination(100) finally ()
+      bad.processAllAvailable()
+    }
+    bad.stop()
+    assert(ex.getMessage.contains("sidecar") ||
+      Option(ex.getCause).exists(_.getMessage.contains("sidecar")),
+      s"missing-sidecar append must fail fast: ${ex.getMessage}")
+  }
+
   test("cmsCompact: compacted layer equals the merged layer " +
        "cell-for-cell; rerun and replay-after-compaction stay " +
        "idempotent; geometry sidecar guards the layer") {
