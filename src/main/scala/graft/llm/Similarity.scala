@@ -1035,10 +1035,19 @@ object Similarity {
     * maintenance entry; rows are never lost and never double-counted.
     * Returns (rowsMerged, cellsRewritten); (0, 0) with no delta. */
   def ivfCompactDelta(spark: org.apache.spark.sql.SparkSession,
-                      indexDir: String): (Long, Long) = {
+                      indexDir: String): (Long, Long) =
+    compactDeltaInto(spark, indexDir, "cell_id")
+
+  /** [[ivfCompactDelta]] / [[pqCompactDelta]] shared machinery: fold
+    * the `_delta` segment into the `partCol=` partitions it touches,
+    * under the takedown commit-marker swap whose trailing entry
+    * deletes the absorbed delta. */
+  private def compactDeltaInto(spark: org.apache.spark.sql.SparkSession,
+                               indexDir: String, partCol: String)
+      : (Long, Long) = {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    completePendingPatch(spark, fs, root)
+    completePendingPatch(spark, fs, root, partCol)
     Takedown.completePending(spark, indexDir)
     val deltaPath = new org.apache.hadoop.fs.Path(root, DeltaDirName)
     if (!fs.exists(deltaPath)) return (0L, 0L)
@@ -1057,22 +1066,22 @@ object Similarity {
       .drop("ingest_batch")
     val merged = delta.count()
     if (merged == 0L) { fs.delete(deltaPath, true); return (0L, 0L) }
-    val affected = delta.select(col("cell_id").cast("long"))
+    val affected = delta.select(col(partCol).cast("long"))
       .distinct().collect().map(_.getLong(0)).sorted.toSeq
     val main = spark.read.parquet(indexDir)
     val mainCols = main.columns.toSeq
     def norm(df: DataFrame) = df.select(mainCols.map(c =>
-      if (c == "cell_id") col(c).cast("long").as(c) else col(c)): _*)
+      if (c == partCol) col(c).cast("long").as(c) else col(c)): _*)
     val tmp = new org.apache.hadoop.fs.Path(root, Takedown.TmpName)
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    norm(main.filter(col("cell_id").isin(affected: _*)))
+    norm(main.filter(col(partCol).isin(affected: _*)))
       .unionByName(norm(delta))
-      .write.partitionBy("cell_id").parquet(tmp.toString)
-    // cells only GAIN rows here, so fresh content exists for every
-    // affected cell; the trailing flag=0 entry deletes the absorbed
-    // delta as the swap's last step (replayed on recovery)
-    val entries = affected.map(c => (s"cell_id=$c",
-      fs.exists(new org.apache.hadoop.fs.Path(tmp, s"cell_id=$c")))) :+
+      .write.partitionBy(partCol).parquet(tmp.toString)
+    // partitions only GAIN rows here, so fresh content exists for
+    // every affected one; the trailing flag=0 entry deletes the
+    // absorbed delta as the swap's last step (replayed on recovery)
+    val entries = affected.map(c => (s"$partCol=$c",
+      fs.exists(new org.apache.hadoop.fs.Path(tmp, s"$partCol=$c")))) :+
       (DeltaDirName -> false)
     Takedown.writeMarker(fs, tmp, entries)
     Takedown.applySwap(fs, root, tmp, entries)
@@ -1809,6 +1818,12 @@ object Similarity {
     // reads the index, or the patch would re-encode (and the pending
     // swap later resurrect) rows destined for removal
     Takedown.completePending(spark, indexDir)
+    // a standing delta was encoded under the CURRENT sidecar books;
+    // patching around it would leave stale codes served — fold first
+    require(!fs.exists(
+        new org.apache.hadoop.fs.Path(root, DeltaDirName)),
+      s"pqPatchIndex: $indexDir has a standing $DeltaDirName " +
+        "segment — run pqCompactDelta first, then patch")
     if (oldBooks == newBooks) return (0L, 0L)
     def enc(books: Seq[Seq[Seq[Double]]]) = {
       val sub = books.head.head.length
@@ -1850,15 +1865,73 @@ object Similarity {
 
   /** ADC top-k over a persisted [[pqWriteIndex]] code table: no
     * vector read, no encode recompute — the scan is the code-width
-    * parquet. Books must be the set the index was encoded with. */
+    * parquet. Books must be the set the index was encoded with.
+    * Serves main ∪ `_delta` when a [[pqAppendBatch]] segment stands
+    * (delta codes were encoded under the same sidecar books). */
   def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
                     indexDir: String, books: Seq[Seq[Seq[Double]]],
                     queries: DataFrame, k: Int,
                     idCol: String = "vec_id",
                     qIdCol: String = "query_id",
                     qVecCol: String = "query_vec"): DataFrame =
-    pqTopKFromCodes(spark.read.parquet(indexDir), queries, books, k,
+    pqTopKFromCodes(pqIndexFrame(spark, indexDir), queries, books, k,
       idCol, qIdCol, qVecCol)
+
+  /** The code table's serving frame: main ∪ delta, `pq_bucket`
+    * normalized to long on both sides (ADC scans every bucket — no
+    * pruning to preserve, unlike the IVF probed-cell frame). */
+  private def pqIndexFrame(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String): DataFrame = {
+    val main = spark.read.parquet(indexDir)
+    val mainCols = main.columns.toSeq
+    def norm(df: DataFrame) = df.select(mainCols.map(c =>
+      if (c == "pq_bucket") col(c).cast("long").as(c) else col(c)): _*)
+    val deltaPath = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(indexDir), DeltaDirName)
+    val fs = deltaPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val hasDelta = fs.exists(deltaPath) && fs.listStatus(deltaPath)
+      .exists(_.getPath.getName.startsWith("ingest_batch="))
+    if (!hasDelta) norm(main)
+    else norm(main).unionByName(
+      norm(spark.read.parquet(deltaPath.toString)
+        .drop("ingest_batch")))
+  }
+
+  /** [[ivfAppendBatch]]'s PQ sibling: encode the new vectors under
+    * the table's own sidecar books and publish them as a batch-keyed
+    * `_delta` segment — main buckets untouched, replay replaces,
+    * serving unions transparently. `nBuckets` must match the value
+    * the index was written with (bucket = id-hash, the patch rewrite
+    * unit). Fold with [[pqCompactDelta]]; a codebook patch fails fast
+    * on a standing delta (its codes would go stale). */
+  def pqAppendBatch(spark: org.apache.spark.sql.SparkSession,
+                    indexDir: String, rows: DataFrame, batchId: Long,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    nBuckets: Int = 16): Long = {
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    completePendingPatch(spark, fs, root, "pq_bucket")
+    Takedown.completePending(spark, indexDir)
+    val books = pqIndexBooks(spark, indexDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$indexDir has no $BooksSidecar sidecar — append needs the " +
+          "table's authoritative codebooks"))
+    val dest = s"$indexDir/$DeltaDirName/ingest_batch=$batchId"
+    pqEncode(rows, books, idCol, vecCol)
+      .withColumn("pq_bucket", pmod(col(idCol), lit(nBuckets.toLong)))
+      .write.mode("overwrite").parquet(dest)
+    spark.catalog.refreshByPath(indexDir)
+    spark.read.parquet(dest).count()
+  }
+
+  /** Fold a [[pqAppendBatch]] `_delta` segment into its `pq_bucket=`
+    * partitions — [[ivfCompactDelta]]'s protocol on the code table. */
+  def pqCompactDelta(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String): (Long, Long) =
+    compactDeltaInto(spark, indexDir, "pq_bucket")
 
   /** The ADC scoring core shared by [[pqTopK]] (inline encode) and
     * [[pqTopKIndexed]] (persisted codes): `codes` is any

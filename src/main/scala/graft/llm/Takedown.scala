@@ -221,7 +221,17 @@ object Takedown {
     val fs = fsOf(spark, root)
     if (!fs.exists(root)) return (0L, 0L)
     Similarity.completePendingPatch(spark, fs, root, "pq_bucket")
-    layerTakedown(spark, indexDir, ids, idCol, partCol = "pq_bucket")
+    // scrub the `_delta` segment ([[Similarity.pqAppendBatch]]) too —
+    // same reasoning as [[ivfTakedown]]'s dual-face scrub
+    val deltaDir = s"$indexDir/${Similarity.DeltaDirName}"
+    val d =
+      if (fs.exists(new Path(deltaDir)))
+        layerTakedown(spark, deltaDir, ids, idCol,
+          partCol = "ingest_batch")
+      else (0L, 0L)
+    val m = layerTakedown(spark, indexDir, ids, idCol,
+      partCol = "pq_bucket")
+    (d._1 + m._1, d._2 + m._2)
   }
 
   // ---------------------------------------------------------------

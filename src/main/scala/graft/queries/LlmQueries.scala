@@ -631,6 +631,29 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // PQ delta-append: the code table built on the EVEN half, the
+    // ODD half appended as a `_delta` batch encoded under the sidecar
+    // books; ADC over main ∪ delta hash-matches llm_pq_topk's oracle
+    // — the appended code table is indistinguishable from a one-shot
+    // encode of the whole corpus.
+    "llm_pq_append" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val books = Similarity.pqCodebooks(emb, m = 4, k = 16, iters = 2)
+      val idxDir = "/root/repo/target/scratch/pq_append_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(idxDir))
+      Similarity.pqWriteIndex(
+        emb.filter(col("vec_id") % 2 === 0), books, idxDir)
+      Similarity.pqAppendBatch(s, idxDir,
+        emb.filter(col("vec_id") % 2 =!= 0), batchId = 0L)
+      val q = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      Similarity.pqTopKIndexed(s, idxDir, books, q, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // SemDeDup: cluster-then-prune semantic dedup — nearest-cell
     // assignment (narrow kernel), within-cell lower-id dominance at
     // cosine >= 0.4. The kept set = one exemplar per cluster-local
@@ -4716,6 +4739,10 @@ object LlmQueries {
     // device — append proven invisible).
     "llm_ivf_append" -> kmeansIvfOracle(iters = 2),
     "llm_pq_topk" -> pqOracle(m = 4, kk = 16, iters = 2, sub = 16,
+      k = 10),
+    // built-on-even + appended-odd code table serves the whole
+    // corpus: llm_pq_topk's oracle verbatim (append invisible).
+    "llm_pq_append" -> pqOracle(m = 4, kk = 16, iters = 2, sub = 16,
       k = 10),
     "llm_pq_patch" -> pqOracle(m = 4, kk = 16, iters = 2, sub = 16,
       k = 10, trainWhere = "WHERE vec_id % 2 = 1"),

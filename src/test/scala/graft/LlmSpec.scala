@@ -2782,6 +2782,53 @@ class LlmSpec extends AnyFunSuite {
         "filter-then-search under the refreshed centroids")
   }
 
+  test("pq delta ingest: appended codes serve the one-shot encode; " +
+       "compaction preserves serving and rewrites only receiving " +
+       "buckets; patch refuses a standing delta; takedown scrubs " +
+       "both faces") {
+    val base = "/root/repo/target/scratch/pq_delta_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val books = Similarity.pqCodebooks(emb, m = 4, k = 16, iters = 2)
+    Similarity.pqWriteIndex(emb.filter(col("vec_id") % 2 === 0),
+      books, base)
+    val odd = emb.filter(col("vec_id") % 2 =!= 0)
+    assert(Similarity.pqAppendBatch(spark, base, odd, batchId = 0L)
+      == odd.count())
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+    def srv(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    val oneShot = srv(Similarity.pqTopK(emb, q, books, k = 10))
+    assert(srv(Similarity.pqTopKIndexedAuto(spark, base, q, k = 10))
+      == oneShot, "main ∪ delta must serve the one-shot encode")
+    val exP = intercept[IllegalArgumentException] {
+      Similarity.pqPatchIndexAuto(spark, base, emb,
+        Similarity.pqCodebooks(odd, m = 4, k = 16, iters = 2))
+    }
+    assert(exP.getMessage.contains("pqCompactDelta"), exP.getMessage)
+    val (rowsM, bucketsM) = Similarity.pqCompactDelta(spark, base)
+    assert(rowsM == odd.count() && bucketsM > 0)
+    assert(!new java.io.File(s"$base/_delta").exists())
+    assert(srv(Similarity.pqTopKIndexedAuto(spark, base, q, k = 10))
+      == oneShot, "compaction must not change serving")
+    assert(Similarity.pqCompactDelta(spark, base) == ((0L, 0L)))
+    // takedown reaches a fresh delta AND main
+    import spark.implicits._
+    Similarity.pqAppendBatch(spark, base,
+      odd.limit(5).withColumn("vec_id", col("vec_id") + 1000000L),
+      batchId = 1L)
+    val tdIds = (odd.limit(5).collect().map(_.getLong(0)).take(2)
+      .map(_ + 1000000L) ++
+      emb.filter(col("vec_id") % 2 === 0).limit(1).collect()
+        .map(_.getLong(0))).toSeq
+    val (rmT, _) = graft.llm.Takedown.pqTakedown(spark, base,
+      tdIds.toDF("vec_id"))
+    assert(rmT == tdIds.length,
+      s"pq takedown must reach delta AND main: $rmT vs ${tdIds.length}")
+  }
+
   test("ivf delta ingest: append replay replaces; compaction folds " +
        "the segment into exactly the affected cells (others " +
        "byte-identical) with identical serving; patch refuses a " +
