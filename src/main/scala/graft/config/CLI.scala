@@ -617,7 +617,13 @@ object CLI {
                 val emb = r.read()
                 val books = Similarity.pqCodebooks(emb, m = 4,
                   k = nCells, iters = 2)
-                Similarity.pqWriteIndex(emb, books, layerDir)
+                // full lifecycle: build on the even half, append the
+                // odd half as a delta batch, fold, then patch
+                Similarity.pqWriteIndex(
+                  emb.filter(col("vec_id") % 2 === 0), books, layerDir)
+                Similarity.pqAppendBatch(spark, layerDir,
+                  emb.filter(col("vec_id") % 2 =!= 0), batchId = 0L)
+                Similarity.pqCompactDelta(spark, layerDir)
                 // retrain on the odd half, patch only changed buckets
                 val newBooks = Similarity.pqCodebooks(
                   emb.filter(col("vec_id") % 2 === 1), m = 4,
