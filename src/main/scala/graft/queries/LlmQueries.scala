@@ -631,6 +631,27 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // takedown over the STANDING PQ code table: vec_id % 11 = 3
+    // removed in place (only their id-hash buckets rewritten,
+    // codebook sidecar untouched), then ADC serve — hash-matched
+    // against the one-shot oracle restricted to survivors.
+    "llm_takedown_pq" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val books = Similarity.pqCodebooks(emb, m = 4, k = 16, iters = 2)
+      val idxDir = "/root/repo/target/scratch/takedown_pq_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(idxDir))
+      Similarity.pqWriteIndex(emb, books, idxDir)
+      Takedown.pqTakedown(s, idxDir,
+        emb.filter(col("vec_id") % 11 === 3).select("vec_id"))
+      val q = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      Similarity.pqTopKIndexed(s, idxDir, books, q, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // PQ delta-append: the code table built on the EVEN half, the
     // ODD half appended as a `_delta` batch encoded under the sidecar
     // books; ADC over main ∪ delta hash-matches llm_pq_topk's oracle
@@ -2396,6 +2417,33 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // takedown over the CMS frequency layer: two batch sketches plus
+    // the corpus layer they summarize, then doc_id % 9 = 5 removed by
+    // CELL-WISE SUBTRACTION (sketch(corpus MINUS ids) = layer −
+    // sketch(removed docs), exactly — count-min cells are plain sums
+    // over disjoint doc multisets) folded through the cmsCompact
+    // crash protocol. The read-back layer hash-matches a from-scratch
+    // sketch of the remaining corpus, cell for cell.
+    "llm_takedown_cms" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val base = "/root/repo/target/scratch/takedown_cms_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(base))
+      (0L to 1L).foreach { b =>
+        val slice = docs.filter(col("doc_id") % 2 === b)
+        slice.select(col("doc_id"), col("text"))
+          .write.parquet(s"$base/corpus/ingest_batch=$b")
+        graft.streaming.IngestStream.cmsBatch(slice, s"$base/sketch",
+          batchId = b)
+      }
+      Takedown.cmsTakedown(s, s"$base/sketch", s"$base/corpus",
+        docs.filter(col("doc_id") % 9 === 5).select("doc_id"))
+      graft.streaming.IngestStream.cmsLayerRead(s, s"$base/sketch")
+        .select(col("row").as("rw"), col("bucket"), col("cnt"))
+        .orderBy(col("rw"), col("bucket"))
+    }),
+
     // retention age-out: the corpus ingested as FOUR modulo batches,
     // batches 0-1 compacted (coverage k=1), then keepFrom=2 drops the
     // compact partition whole (k < keepFrom: entirely pre-cutoff) and
@@ -3753,13 +3801,14 @@ object LlmQueries {
   }
 
   private def pqOracle(m: Int, kk: Int, iters: Int, sub: Int,
-                       k: Int, trainWhere: String = ""): String =
+                       k: Int, trainWhere: String = "",
+                       corpusWhere: String = "TRUE"): String =
     s"""WITH ${pqCtes(m, kk, iters, sub, trainWhere)}
        SELECT query_id, rank, vec_id, cosine FROM (
          SELECT query_id, vec_id, cosine,
            ROW_NUMBER() OVER (PARTITION BY query_id
              ORDER BY cosine DESC, vec_id ASC) AS rank
-         FROM scored) WHERE rank <= $k
+         FROM scored WHERE $corpusWhere) WHERE rank <= $k
        ORDER BY query_id, rank"""
 
   /** PQ + exact re-rank replay: ADC nominates `rerank` ids per query
@@ -4744,6 +4793,10 @@ object LlmQueries {
     // corpus: llm_pq_topk's oracle verbatim (append invisible).
     "llm_pq_append" -> pqOracle(m = 4, kk = 16, iters = 2, sub = 16,
       k = 10),
+    // same books (takedown never retrains), scored side restricted
+    // to the surviving codes.
+    "llm_takedown_pq" -> pqOracle(m = 4, kk = 16, iters = 2, sub = 16,
+      k = 10, corpusWhere = "vec_id % 11 <> 3"),
     "llm_pq_patch" -> pqOracle(m = 4, kk = 16, iters = 2, sub = 16,
       k = 10, trainWhere = "WHERE vec_id % 2 = 1"),
     "llm_pq_rerank" -> pqRerankOracle(m = 4, kk = 16, iters = 2,
@@ -7347,6 +7400,29 @@ object LlmQueries {
     // over the surviving corpus serves — same formula tree as
     // llm_bm25, corpus restricted to the non-taken-down docs.
     "llm_takedown_bm25" -> bm25SetOracleWhere("doc_id % 15 <> 7"),
+
+    // the subtracted-and-folded layer must equal a from-scratch
+    // sketch of the surviving corpus: the cmsOracle bucket chain
+    // (same seeded affine maps as literals) over documents MINUS the
+    // taken-down ids.
+    "llm_takedown_cms" -> {
+      val (as, bs) = graft.functions.SketchOps.coeffs(4, 7L)
+      val p = graft.functions.SketchOps.P
+      val rows = (0 until 4).map(i => s"($i, ${as(i)}, ${bs(i)})")
+        .mkString(", ")
+      raw"""WITH inst AS (
+           SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             t -> t <> '')) AS token
+           FROM documents WHERE doc_id % 9 <> 5),
+         prm(rw, a, b) AS (VALUES $rows),
+         bkt AS (SELECT token, prm.rw AS rw,
+             ((prm.a * CAST(('0x' || substring(md5(token), 1, 8))
+               AS BIGINT) + prm.b) % $p) % 16 AS bucket
+           FROM inst CROSS JOIN prm)
+         SELECT rw, bucket, count(*) AS cnt
+         FROM bkt GROUP BY rw, bucket
+         ORDER BY rw, bucket"""
+    },
 
     // retention == keep only the post-cutoff batches, partitions and
     // all: batches 2-3 survive with their residency, everything the
