@@ -803,6 +803,68 @@ object CLI {
           Access.writeData(snk)
       }),
 
+    // Retention through the lifecycle: the cutoff sibling of
+    // takedown — one config-bound run ages out every batch partition
+    // below keepFrom (whole-partition deletes, nothing rewritten) and
+    // emits the audit row. build=true constructs a batches-deep layer
+    // from the bound source first; build=false is the deployed shape
+    // (a rerun at the same cutoff audits (0, 0)).
+    "retention" -> Registered(
+      "retention",
+      "age out batch partitions below a keepFrom cutoff from a " +
+        "standing layer (whole-partition deletes) and emit the " +
+        "audit row; the layer dir is a virtual file",
+      OptionsSchema(Seq(
+        OptField("keepFrom", Some(OptNum(2)),
+          "batch ids below this are deleted whole"),
+        OptField("build", Some(OptBool(true)),
+          "build the layer from the source first (self-contained " +
+            "run); false = mutate the already-standing layer only"),
+        OptField("batches", Some(OptNum(4)),
+          "build: publish batches (split by doc_id % batches)"))),
+      (spark, opts) => {
+        def num(v: OptValue): Double = v match {
+          case OptNum(n) => n
+          case other     => other.render.toDouble
+        }
+        val keepFrom = num(opts("keepFrom")).toLong
+        val doBuild = opts("build") match {
+          case OptBool(b) => b
+          case other      => other.render.toBoolean
+        }
+        val batches = num(opts("batches")).toInt
+        val src = VirtualFile(VPath("/documents"), Seq("parquet"),
+          Usage.Source)
+        val layer = VirtualFile(VPath("/Index/layer"), Seq("parquet"),
+          Usage.Sink)
+        val snk = VirtualFile(VPath("/Outputs/audit"), Seq("parquet"),
+          Usage.Sink)
+        (Access.getDataReader(src) &&& Access.getDataWriter(layer)) >>>
+          PTask.arr { (rw: (Access.DataReader, Access.DataWriter)) =>
+            val (r, w) = rw
+            val layerDir = w.paths.head
+            if (doBuild) {
+              val lp = new org.apache.hadoop.fs.Path(layerDir)
+              val lfs = lp.getFileSystem(
+                spark.sparkContext.hadoopConfiguration)
+              if (lfs.exists(lp)) lfs.delete(lp, true)
+              val docs = r.read()
+              (0 until batches).foreach { b =>
+                docs.filter(col("doc_id") % batches === b)
+                  .write.parquet(s"$layerDir/ingest_batch=$b")
+              }
+            }
+            val (parts, rows) = graft.streaming.IngestStream
+              .layerRetention(spark, layerDir, keepFrom)
+            import spark.implicits._
+            Seq((keepFrom, parts, rows,
+                spark.read.parquet(layerDir).count()))
+              .toDF("keep_from", "partitions_dropped", "rows_dropped",
+                "rows_remaining")
+          } >>>
+          Access.writeData(snk)
+      }),
+
     // The multimodal curation face through the lifecycle: raw media
     // files ingested via binaryFile, decoded by the real JDK codecs,
     // and gated by the audio/image quality verdicts — features to one

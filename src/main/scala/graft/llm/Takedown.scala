@@ -135,6 +135,28 @@ object Takedown {
   // `ingest_batch=`-partitioned layer) and the dense indexes
   // ---------------------------------------------------------------
 
+  /** DRY-RUN takedown audit — the legal-review step before
+    * execution: report, per partition of a partition-keyed layer,
+    * how many rows the id set would remove and how many would
+    * remain, WITHOUT mutating anything. Exactly the discovery
+    * semi-join [[layerTakedown]] pays (one broadcast-filtered scan);
+    * the output is ≤ |partitions| rows, so the preview of a 100 TB
+    * layer is a dashboard-sized table. Works on any layer the
+    * executing takedown would (ingest layers, compacted negatives,
+    * the dense-index layouts via `partCol`). */
+  def takedownPreview(spark: SparkSession, layerDir: String,
+                      ids: DataFrame, idCol: String,
+                      partCol: String = "ingest_batch"): DataFrame = {
+    val idsB = idFrame(ids, idCol)
+    spark.read.parquet(layerDir)
+      .join(idsB.withColumn("_m", lit(1L)), Seq(idCol), "left")
+      .groupBy(col(partCol).cast("long").as(partCol))
+      .agg(sum(coalesce(col("_m"), lit(0L))).as("n_removed"),
+        (count(lit(1)) - sum(coalesce(col("_m"), lit(0L))))
+          .as("n_remaining"))
+      .filter(col("n_removed") > 0)
+  }
+
   /** Remove `ids` rows from a partition-keyed layer: only partitions
     * that actually contain a takedown row are rewritten (anti-join
     * over that partition directory alone); everything else keeps its

@@ -2444,6 +2444,27 @@ object LlmQueries {
         .orderBy(col("rw"), col("bucket"))
     }),
 
+    // takedown DRY-RUN: the per-partition removal preview (what a
+    // legal review signs off on) over a 3-batch layer — one
+    // broadcast-filtered scan, ≤ |partitions| output rows, nothing
+    // mutated. Hash-matched against the pure modulo rollup.
+    "llm_takedown_preview" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val base = "/root/repo/target/scratch/takedown_preview_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(base))
+      (0L to 2L).foreach { b =>
+        docs.filter(col("doc_id") % 3 === b)
+          .select(col("doc_id"), col("text"))
+          .write.parquet(s"$base/ingest_batch=$b")
+      }
+      Takedown.takedownPreview(s, base,
+          docs.filter(col("doc_id") % 13 === 2).select("doc_id"),
+          "doc_id")
+        .orderBy(col("ingest_batch"))
+    }),
+
     // retention age-out: the corpus ingested as FOUR modulo batches,
     // batches 0-1 compacted (coverage k=1), then keepFrom=2 drops the
     // compact partition whole (k < keepFrom: entirely pre-cutoff) and
@@ -7400,6 +7421,17 @@ object LlmQueries {
     // over the surviving corpus serves — same formula tree as
     // llm_bm25, corpus restricted to the non-taken-down docs.
     "llm_takedown_bm25" -> bm25SetOracleWhere("doc_id % 15 <> 7"),
+
+    // preview == the modulo rollup of would-be removals per batch.
+    "llm_takedown_preview" ->
+      """SELECT CAST(doc_id % 3 AS BIGINT) AS ingest_batch,
+           CAST(SUM(CASE WHEN doc_id % 13 = 2 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN doc_id % 13 = 2 THEN 0 ELSE 1 END)
+             AS BIGINT) AS n_remaining
+         FROM documents
+         GROUP BY 1 HAVING n_removed > 0
+         ORDER BY ingest_batch""",
 
     // the subtracted-and-folded layer must equal a from-scratch
     // sketch of the surviving corpus: the cmsOracle bucket chain

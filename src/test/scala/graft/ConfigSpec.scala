@@ -958,6 +958,63 @@ class ConfigSpec extends AnyFunSuite {
     val nVec = emb.filter(c("vec_id") % 7 === 3).count()
     assert(rmV == nVec && leftV == emb.count() - nVec,
       s"ivf audit: ${(rmV, leftV)}")
+    // pq kind: codes vanish from their buckets
+    CLI.run(Array("takedown", "run", specFile, "-o", "kind=pq",
+      "--loc", s"/embeddings=/root/testdata/sf0.001/embeddings.parquet",
+      "--loc", s"/takedown_ids=$base/vec_ids.parquet",
+      "--loc", s"/Index/layer=$base/pq_layer",
+      "--loc", s"/Outputs/audit=$base/pq_audit.parquet"), spark)
+    val (_, rmPq, _, leftPq) = audit(s"$base/pq_audit.parquet")
+    assert(rmPq == nVec && leftPq == emb.count() - nVec,
+      s"pq audit: ${(rmPq, leftPq)}")
+    // cms kind: the folded sketch loses exactly the removed docs'
+    // mass (cell-count audit is the sketch's own size)
+    CLI.run(Array("takedown", "run", specFile, "-o", "kind=cms",
+      "--loc", s"/Index/layer=$base/cms_layer",
+      "--loc", s"/Outputs/audit=$base/cms_audit.parquet"), spark)
+    val (_, rmC, _, _) = audit(s"$base/cms_audit.parquet")
+    assert(rmC == nIds, s"cms audit must count removed docs: $rmC")
+    graft.cache.Pins.release(spark)
+  }
+
+  test("retention pipeline: config-bound age-out with the audit row " +
+       "as output; build=false rerun at the same cutoff is a no-op") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    import org.apache.spark.sql.functions.{col => c}
+    val base = "/root/repo/target/scratch/cli_retention"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val specFile = s"$base/retention.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(specFile),
+      s"""data: {keepFrom: 2, batches: 4}
+         |locations:
+         |  /documents: /root/testdata/sf0.001/documents.parquet
+         |  /Index/layer: $base/layer
+         |  /Outputs/audit: $base/audit.parquet
+         |""".stripMargin)
+    CLI.run(Array("retention", "run", specFile), spark)
+    def audit(p: String) = spark.read.parquet(p).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).head
+    val wantDrop = docs.filter(c("doc_id") % 4 < 2).count()
+    val (kf, parts, rows, left) = audit(s"$base/audit.parquet")
+    assert(kf == 2L && parts == 2L && rows == wantDrop &&
+      left == docs.count() - wantDrop,
+      s"retention audit: ${(kf, parts, rows, left)}")
+    val layerRoot = Seq(s"$base/layer", s"$base/layer.parquet")
+      .find(d => new java.io.File(d).exists()).get
+    assert(spark.read.parquet(layerRoot)
+      .filter(c("doc_id") % 4 < 2).count() == 0,
+      "aged-out batches must be gone from the standing layer")
+    // deployed shape: rerun at the same cutoff audits a no-op
+    CLI.run(Array("retention", "run", specFile, "-o", "build=false"),
+      spark)
+    val (_, p2, r2, l2) = audit(s"$base/audit.parquet")
+    assert(p2 == 0L && r2 == 0L && l2 == left,
+      s"rerun must audit a no-op: ${(p2, r2, l2)}")
     graft.cache.Pins.release(spark)
   }
 
