@@ -535,6 +535,32 @@ object SketchExprs {
       copy(child = newChild)
   }
 
+  /** Squared L2 distance to the NEAREST centroid: vec -> double —
+    * the fit gauge behind the index-drift monitor (same cellDists
+    * arithmetic as [[NearestCell]], so the value replays with the
+    * assignment oracles' sqd formula). */
+  case class NearestCellDist(child: Expression, cents: Seq[Seq[Double]])
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVec(prettyName, child.dataType)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "nearest_cell_dist"
+    private def vF = isFloatArr(child.dataType)
+    @transient private lazy val centsArr: Array[Array[Double]] =
+      cents.map(_.toArray).toArray
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.nearestCellDist(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        vF, centsArr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("ivfCents", centsArr, "double[][]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SketchOps.nearestCellDist($c, $vF, $cRef)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): NearestCellDist =
+      copy(child = newChild)
+  }
+
   /** nProbe nearest centroid ids by (distance, id): vec -> array<long>. */
   case class ProbeCells(child: Expression, cents: Seq[Seq[Double]], nProbe: Int)
       extends UnaryExpression {
@@ -604,6 +630,8 @@ object SketchExprs {
     toCol(HyperplaneBits(toExpr(v), planes, ppt))
   def nearestCell(v: Column, cents: Seq[Seq[Double]]): Column =
     toCol(NearestCell(toExpr(v), cents))
+  def nearestCellDist(v: Column, cents: Seq[Seq[Double]]): Column =
+    toCol(NearestCellDist(toExpr(v), cents))
   def probeCells(v: Column, cents: Seq[Seq[Double]], nProbe: Int): Column =
     toCol(ProbeCells(toExpr(v), cents, nProbe))
 }

@@ -732,6 +732,16 @@ object SketchOps {
     best.toLong
   }
 
+  /** Squared L2 to the nearest centroid (the fit gauge). */
+  def nearestCellDist(v: ArrayData, vF: Boolean,
+                      cents: Array[Array[Double]]): Double = {
+    val ds = cellDists(v, vF, cents)
+    var best = ds(0)
+    var c = 1
+    while (c < ds.length) { if (ds(c) < best) best = ds(c); c += 1 }
+    best
+  }
+
   /** The nProbe nearest centroid ids, ordered by (distance, id). */
   def probeCells(v: ArrayData, vF: Boolean, cents: Array[Array[Double]],
                  nProbe: Int): ArrayData = {

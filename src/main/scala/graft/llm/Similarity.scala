@@ -1090,6 +1090,33 @@ object Similarity {
     (merged, affected.length.toLong)
   }
 
+  /** Index-fit report — the RETRAIN TRIGGER that completes the
+    * refresh trilogy (update → migration estimate → patch): how well
+    * does a batch of vectors fit the trained cells? One narrow pass
+    * computes each vector's squared L2 to its NEAREST centroid (the
+    * codegen'd [[graft.functions.SketchExprs.nearestCellDist]] —
+    * the same cellDists arithmetic the assignment uses, so the
+    * gauge replays with the assignment oracles' formula) and folds
+    * to ONE row: (n_vectors, mean_sqdist, n_beyond, frac_beyond).
+    * Rising mean or beyond-τ mass = the stream drifting off the
+    * trained cells — refresh BEFORE recall degrades, measured
+    * instead of guessed. Map-side combined, state = one row; the
+    * decimal-summed mean is partition-order-free. */
+  def indexFitReport(batch: DataFrame, cents: Seq[Seq[Double]],
+                     tau: Double,
+                     vecCol: String = "embedding"): DataFrame = {
+    val msd = round(graft.functions.SketchExprs.nearestCellDist(
+      col(vecCol), cents), 6)
+    batch.select(msd.as("_msd"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("_msd").cast("decimal(38,12)")).cast("double") /
+          count(lit(1)), 6).as("mean_sqdist"),
+        sum(when(col("_msd") > tau, 1L).otherwise(0L)).as("n_beyond"))
+      .withColumn("frac_beyond",
+        round(col("n_beyond").cast("double") /
+          col("n_vectors").cast("double"), 6))
+  }
+
   /** FILTERED vector search over an attribute-carrying
     * [[ivfWriteIndex]] layout: [[ivfTopKIndexed]] with a metadata
     * `predicate` over the index's stored attribute columns ("top-k

@@ -2444,6 +2444,18 @@ object LlmQueries {
         .orderBy(col("rw"), col("bucket"))
     }),
 
+    // index-fit drift gauge: the RETRAIN TRIGGER — per-corpus
+    // (n, mean nearest-cell sq-distance, beyond-τ mass) against the
+    // trained 16×2 cells; the codegen'd nearest_cell_dist kernel
+    // shares the assignment arithmetic, so the whole report replays
+    // in the kmeans oracle chain bit-for-bit.
+    "llm_index_drift" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.indexFitReport(emb,
+        Similarity.kmeansCentroids(emb, nCells = 16, iters = 2),
+        tau = 0.47)
+    }),
+
     // takedown DRY-RUN: the per-partition removal preview (what a
     // legal review signs off on) over a 3-batch layer — one
     // broadcast-filtered scan, ≤ |partitions| output rows, nothing
@@ -7421,6 +7433,28 @@ object LlmQueries {
     // over the surviving corpus serves — same formula tree as
     // llm_bm25, corpus restricted to the non-taken-down docs.
     "llm_takedown_bm25" -> bm25SetOracleWhere("doc_id % 15 <> 7"),
+
+    // drift gauge replay: the trained-cell chain, per-vector MIN
+    // sq-distance (round 6, order-free), decimal-summed mean and
+    // exact beyond-τ counts.
+    "llm_index_drift" -> {
+      val (ctes, cN) = kmeansAsgCtes(2)
+      s"""WITH $ctes,
+         md AS (
+           SELECT e.vec_id,
+             round(MIN(${sqdSql("e.embedding", "c.cvec")}), 6) AS msd
+           FROM embeddings e CROSS JOIN $cN c
+           GROUP BY e.vec_id)
+         SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           round(CAST(SUM(CAST(msd AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS mean_sqdist,
+           CAST(SUM(CASE WHEN msd > 0.47 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_beyond,
+           round(CAST(SUM(CASE WHEN msd > 0.47 THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS frac_beyond
+         FROM md"""
+    },
 
     // preview == the modulo rollup of would-be removals per batch.
     "llm_takedown_preview" ->

@@ -951,6 +951,41 @@ object IngestStream {
       .trigger(trigger)
       .start()
 
+  /** Index-drift monitor: per micro-batch of embeddings, the
+    * [[graft.llm.Similarity.indexFitReport]] gauge against the
+    * standing index's sidecar centroids, published batch-keyed
+    * (overwrite ⇒ replay replaces) — rising `mean_sqdist` /
+    * `frac_beyond` across batches is the measured signal to run the
+    * refresh trilogy (kmeansUpdate → cellMigration → ivfPatchIndex)
+    * BEFORE recall degrades. The monitor never retrains and never
+    * touches the index itself — pure observation, one narrow pass
+    * per batch, one row of state each. */
+  def ivfFitMonitor(vectors: DataFrame, indexDir: String,
+                    reportDir: String, tau: Double,
+                    vecCol: String = "embedding",
+                    checkpointDir: Option[String] = None,
+                    trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$reportDir/_checkpoints"))
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        val spark = batch.sparkSession
+        val cents = graft.llm.Similarity
+          .ivfIndexCentroids(spark, indexDir).getOrElse(
+            throw new IllegalArgumentException(
+              s"$indexDir has no centroid sidecar — the monitor " +
+                "gauges fit against a standing ivfWriteIndex layout"))
+        graft.llm.Similarity.indexFitReport(batch.toDF(), cents, tau,
+            vecCol)
+          .write.mode("overwrite")
+          .parquet(s"$reportDir/ingest_batch=$bid")
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** Wide-geometry event-time trending: the SAME semantics as
     * [[graft.llm.HeavyHitters.windowedTrending]] — per tumbling
     * event-time window, flag tokens whose exact in-window count is ≥

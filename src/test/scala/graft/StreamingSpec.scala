@@ -1059,6 +1059,66 @@ class StreamingSpec extends AnyFunSuite {
       s"missing-sidecar append must fail fast: ${ex.getMessage}")
   }
 
+  test("ivfFitMonitor: an in-distribution batch gauges low, a " +
+       "planted drifted batch raises mean and beyond-tau mass; " +
+       "streamed reports equal the batch gauge") {
+    import graft.streaming.IngestStream
+    import graft.llm.Similarity
+    import spark.implicits._
+    val base = "/root/repo/target/scratch/ivf_fit"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val src = s"$base/src"
+    new java.io.File(src).mkdirs()
+    val emb0 = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroidsUncached(emb0, nCells = 8,
+      iters = 1)
+    Similarity.ivfWriteIndex(emb0, cents, s"$base/idx")
+    // batch A: the training corpus itself (fits); batch B: shifted
+    // far off every centroid (drifts)
+    val drifted = emb0.select(col("vec_id"),
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        x => x + lit(100.0f)).as("embedding"))
+    emb0.coalesce(1).write.parquet(s"$base/a")
+    drifted.coalesce(1).write.parquet(s"$base/b")
+    Seq("a", "b").foreach { h =>
+      val part = new java.io.File(s"$base/$h").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$src/$h.parquet"))
+    }
+    val tau = 1.0
+    val q = IngestStream.ivfFitMonitor(
+      spark.readStream.schema(emb0.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+      s"$base/idx", s"$base/report", tau)
+    try { q.processAllAvailable() } finally q.stop()
+    def rep(df: org.apache.spark.sql.DataFrame) = df
+      .select("n_vectors", "mean_sqdist", "n_beyond", "frac_beyond")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getLong(2), r.getDouble(3))).toSeq
+    val reports = spark.read.parquet(s"$base/report")
+      .select(col("ingest_batch").cast("long").as("b"),
+        col("n_vectors"), col("mean_sqdist"), col("n_beyond"),
+        col("frac_beyond"))
+      .orderBy("b").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(reports.length == 2, s"two batches, two reports: $reports")
+    val (fit, drift) =
+      if (reports(0)._2 < reports(1)._2) (reports(0), reports(1))
+      else (reports(1), reports(0))
+    assert(drift._2 > fit._2 * 100,
+      s"planted shift must dominate the gauge: $fit vs $drift")
+    assert(drift._4 == 1.0 && fit._4 < 1.0,
+      s"beyond-tau mass must flag the drifted batch: $fit vs $drift")
+    // streamed rows == the batch gauge on the same frames
+    assert(reports.toSet ==
+      (rep(Similarity.indexFitReport(emb0, cents, tau)) ++
+        rep(Similarity.indexFitReport(drifted, cents, tau))).toSet,
+      "stream must equal batch")
+  }
+
   test("cmsCompact: compacted layer equals the merged layer " +
        "cell-for-cell; rerun and replay-after-compaction stay " +
        "idempotent; geometry sidecar guards the layer") {
