@@ -449,19 +449,36 @@ object CLI {
     // the report layer).
     "drift" -> Registered(
       "drift",
-      "tokenizer-drift monitor (AvailableNow): stream dir encoded " +
-        "under a FROZEN WordPiece model trained on the bound corpus; " +
-        "batch-keyed fertility/unk reports + a run summary",
+      "drift monitor (AvailableNow): kind=tokenizer encodes the " +
+        "stream dir under a FROZEN WordPiece model trained on the " +
+        "bound corpus; kind=embedding gauges nearest-cell fit " +
+        "against cells trained on the bound vectors; batch-keyed " +
+        "reports + a run summary",
       OptionsSchema(Seq(
+        OptField("kind", Some(OptStr("tokenizer")),
+          "drift face: tokenizer (fertility/unk) | embedding " +
+            "(nearest-cell fit)"),
         OptField("merges", Some(OptNum(8)),
-          "WordPiece merge rounds for the frozen model"))),
+          "tokenizer: WordPiece merge rounds for the frozen model"),
+        OptField("nCells", Some(OptNum(16)),
+          "embedding: k-means cells for the frozen index"),
+        OptField("tau", Some(OptNum(1.0)),
+          "embedding: beyond-this sq-distance counts as drifted"))),
       (spark, opts) => {
-        val merges = (opts("merges") match {
+        def num(v: OptValue): Double = v match {
           case OptNum(n) => n
           case other     => other.render.toDouble
-        }).toInt
-        val train = VirtualFile(VPath("/documents"), Seq("parquet"),
-          Usage.Source)
+        }
+        val kind = opts("kind").render
+        require(Set("tokenizer", "embedding")(kind),
+          s"drift: unknown kind '$kind' (tokenizer|embedding)")
+        val merges = num(opts("merges")).toInt
+        val nCells = num(opts("nCells")).toInt
+        val tau = num(opts("tau"))
+        val train = VirtualFile(
+          VPath(if (kind == "embedding") "/embeddings"
+                else "/documents"),
+          Seq("parquet"), Usage.Source)
         val stream = VirtualFile(VPath("/stream"), Seq("parquet"),
           Usage.Source)
         val report = VirtualFile(VPath("/Drift/report"),
@@ -475,21 +492,44 @@ object CLI {
                   Access.DataWriter)) =>
               import graft.streaming.IngestStream
               val ((tr, sr), w) = rw
-              val trainDocs = tr.read()
+              val trainData = tr.read()
               val streamDir = sr.paths.head
               val reportDir = w.paths.head
-              val q = IngestStream.fertilityMonitor(
-                spark.readStream.schema(trainDocs.schema)
-                  .parquet(streamDir),
-                trainDocs, reportDir, merges)
-              q.awaitTermination()
-              spark.read.parquet(reportDir)
-                .agg(count(lit(1)).as("n_batches"),
-                  sum(col("n_docs")).as("n_docs"),
-                  sum(col("n_unk_words")).as("n_unk_words"),
-                  round(sum(col("n_wp_tokens")).cast("double") /
-                    sum(col("n_tokens")).cast("double"), 6)
-                    .as("fertility"))
+              if (kind == "embedding") {
+                import graft.llm.Similarity
+                // the FROZEN model is an index layout next to the
+                // report — the monitor gauges against its sidecar
+                val idxDir = s"$reportDir-index"
+                Similarity.ivfWriteIndex(trainData,
+                  Similarity.kmeansCentroidsUncached(trainData,
+                    nCells, iters = 2), idxDir)
+                val q = IngestStream.ivfFitMonitor(
+                  spark.readStream.schema(trainData.schema)
+                    .parquet(streamDir),
+                  idxDir, reportDir, tau)
+                q.awaitTermination()
+                spark.read.parquet(reportDir)
+                  .agg(count(lit(1)).as("n_batches"),
+                    sum(col("n_vectors")).as("n_vectors"),
+                    round(max(col("mean_sqdist")), 6)
+                      .as("max_mean_sqdist"),
+                    round(sum(col("n_beyond")).cast("double") /
+                      sum(col("n_vectors")).cast("double"), 6)
+                      .as("frac_beyond"))
+              } else {
+                val q = IngestStream.fertilityMonitor(
+                  spark.readStream.schema(trainData.schema)
+                    .parquet(streamDir),
+                  trainData, reportDir, merges)
+                q.awaitTermination()
+                spark.read.parquet(reportDir)
+                  .agg(count(lit(1)).as("n_batches"),
+                    sum(col("n_docs")).as("n_docs"),
+                    sum(col("n_unk_words")).as("n_unk_words"),
+                    round(sum(col("n_wp_tokens")).cast("double") /
+                      sum(col("n_tokens")).cast("double"), 6)
+                      .as("fertility"))
+              }
           } >>>
           Access.writeData(sumSnk)
       }),

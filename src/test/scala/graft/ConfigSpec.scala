@@ -1363,6 +1363,25 @@ class ConfigSpec extends AnyFunSuite {
     // 2 unk words, fertility 1.4 (the fertilityMonitor spec values)
     assert((s1.getLong(0), s1.getLong(1), s1.getLong(2),
       s1.getDouble(3)) == ((1L, 2L, 2L, 1.4)), s"$s1")
+    // embedding kind: frozen cells from the bound vectors; a stream
+    // of the training vectors plus a shifted copy flags beyond-tau
+    import org.apache.spark.sql.functions.{col => c}
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.write.parquet(s"$base/emb_train.parquet")
+    emb.select(c("vec_id"),
+        org.apache.spark.sql.functions.transform(c("embedding"),
+          x => x + org.apache.spark.sql.functions.lit(100.0f))
+          .as("embedding"))
+      .coalesce(1).write.parquet(s"$base/emb_stream.parquet")
+    CLI.run(Array("drift", "run", specFile, "-o", "kind=embedding",
+      "--loc", s"/embeddings=$base/emb_train.parquet",
+      "--loc", s"/stream=$base/emb_stream.parquet",
+      "--loc", s"/Drift/report=$base/emb_report",
+      "--loc", s"/Outputs/summary=$base/emb_summary.parquet"), spark)
+    val s2 = spark.read.parquet(s"$base/emb_summary.parquet").head()
+    assert(s2.getLong(1) == emb.count() && s2.getDouble(3) == 1.0,
+      s"a fully shifted stream must gauge frac_beyond = 1: $s2")
     graft.cache.Pins.release(spark)
   }
 
