@@ -789,6 +789,17 @@ object ScaleBench {
             keepFrom))
         report("retention_layer", f, nDocs, dropped, trt)
       }
+      // index-fit gauge: one narrow nearest_cell_dist pass + a
+      // single-row fold — should scale linearly with the batch, no
+      // shuffle beyond the final combine
+      if (enabled("ivf_fit_gauge")) {
+        val cents = graft.llm.Similarity.kmeansCentroidsUncached(
+          emb.orderBy(col("vec_id")).limit(nEmb.toInt / f),
+          nCells = 16, iters = 2)
+        val (fg, tfg) = timed(graft.llm.Similarity.indexFitReport(
+          emb, cents, tau = 0.47).collect().length.toLong)
+        report("ivf_fit_gauge", f, nEmb, fg, tfg)
+      }
       // filtered ANN serve: centroids train on the first-copy slice
       // (fixed-training recipe), the full corpus only assigns at
       // build (untimed); the timed serve scans probed cells ∩

@@ -135,6 +135,83 @@ object Takedown {
   // `ingest_batch=`-partitioned layer) and the dense indexes
   // ---------------------------------------------------------------
 
+  /** Layer doctor — read-only diagnosis of a standing layer's
+    * maintenance state: classifies every protocol artifact the
+    * engine's crash-safe swaps can leave behind (a COMMITTED temp is
+    * recovery state the next maintenance entry will complete; an
+    * UNCOMMITTED one is provably-untouched garbage), counts the
+    * partition families (batch / cell / bucket, compact coverage),
+    * and reports sidecar presence and `_delta` depth. Pure directory
+    * listings — no data is read and NOTHING is mutated, so it is
+    * safe to run against a live layer; cost is O(#partitions)
+    * driver-side, dashboard-sized at any corpus scale. One row per
+    * finding: (artifact, state, detail). */
+  def layerDoctor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = new Path(dir)
+    val fs = fsOf(spark, root)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String)]
+    if (!fs.exists(root)) {
+      out += (("layer", "absent", dir))
+      return out.toSeq.toDF("artifact", "state", "detail")
+    }
+    val names = fs.listStatus(root).map(_.getPath.getName).toSeq
+    def classifyTmp(tmpName: String, markerName: String,
+                    label: String): Unit =
+      if (names.contains(tmpName)) {
+        val committed =
+          fs.exists(new Path(new Path(root, tmpName), markerName))
+        out += ((label,
+          if (committed) "pending-committed" else "uncommitted-garbage",
+          if (committed)
+            "recovery state: the next maintenance entry completes it"
+          else "pre-commit leftovers: provably untouched layer, " +
+            "cleared on the next entry"))
+      }
+    classifyTmp(TmpName, MarkerName, "takedown-swap")
+    classifyTmp("_patch_tmp", "_PATCH_COMMIT", "index-patch")
+    names.filter(_.startsWith("_compact_tmp_")).foreach { n =>
+      out += (("compaction-temp", "uncommitted-garbage",
+        s"$n: pre-rename fold output, cleared on the next compaction"))
+    }
+    def partIds(prefix: String): Seq[Long] = names
+      .filter(_.startsWith(prefix))
+      .flatMap(_.drop(prefix.length).toLongOption)
+    val batches = partIds("ingest_batch=")
+    if (batches.nonEmpty) {
+      val (compacts, live) = batches.partition(_ < 0)
+      out += (("batch-partitions", "present",
+        s"${live.size} live" + (if (live.nonEmpty)
+          s" (ids ${live.min}..${live.max})" else "") +
+        (if (compacts.nonEmpty)
+          s", ${compacts.size} compact (coverage <= ${
+            compacts.map(c => -c - 1).max})" else "")))
+    }
+    Seq("cell_id=" -> "ivf-cells", "pq_bucket=" -> "pq-buckets")
+      .foreach { case (p, label) =>
+        val ids = partIds(p)
+        if (ids.nonEmpty)
+          out += ((label, "present", s"${ids.size} partitions"))
+      }
+    if (names.contains(Similarity.DeltaDirName)) {
+      val deltaBatches = fs.listStatus(
+          new Path(root, Similarity.DeltaDirName))
+        .map(_.getPath.getName).count(_.startsWith("ingest_batch="))
+      out += (("delta-segment", "present",
+        s"$deltaBatches batches; fold before any centroid/codebook " +
+          "patch"))
+    }
+    Seq("_centroids.txt" -> "centroid-sidecar",
+        "_books.txt" -> "codebook-sidecar",
+        "_geometry.json" -> "geometry-sidecar")
+      .foreach { case (n, label) =>
+        if (names.contains(n)) out += ((label, "present", n))
+      }
+    if (out.isEmpty) out += (("layer", "empty", dir))
+    out.toSeq.toDF("artifact", "state", "detail")
+  }
+
   /** DRY-RUN takedown audit — the legal-review step before
     * execution: report, per partition of a partition-keyed layer,
     * how many rows the id set would remove and how many would

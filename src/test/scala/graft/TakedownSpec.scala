@@ -295,6 +295,52 @@ class TakedownSpec extends AnyFunSuite {
       keepFrom = 2L) == ((0L, 0L)), "rerun no-op")
   }
 
+  test("layerDoctor: read-only classification of every protocol " +
+       "artifact — committed vs uncommitted temps, partition " +
+       "families, compact coverage, delta depth, sidecars; nothing " +
+       "mutated") {
+    import spark.implicits._
+    val dir = scratch("doctor")
+    def rows(d: String) = Takedown.layerDoctor(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows(dir) == Set(("layer", "absent")))
+    // a live layer with a compact + a committed takedown tmp + an
+    // uncommitted patch tmp + a compaction leftover + a delta
+    Seq((1L, "a")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/ingest_batch=-2")
+    Seq((2L, "b")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/ingest_batch=2")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/_takedown_tmp"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_takedown_tmp/_TAKEDOWN_COMMIT"),
+      "0 ingest_batch=2\n".getBytes("UTF-8"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/_patch_tmp"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/_compact_tmp_5"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/_delta/ingest_batch=0"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_centroids.txt"),
+      "0 0 1.0\n".getBytes("UTF-8"))
+    val report = Takedown.layerDoctor(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val byArtifact = report.map(t => t._1 -> t._2).toMap
+    assert(byArtifact("takedown-swap") == "pending-committed")
+    assert(byArtifact("index-patch") == "uncommitted-garbage")
+    assert(byArtifact("compaction-temp") == "uncommitted-garbage")
+    assert(byArtifact("delta-segment") == "present")
+    assert(byArtifact("centroid-sidecar") == "present")
+    val batchDetail = report.find(_._1 == "batch-partitions").get._3
+    assert(batchDetail.contains("1 live") &&
+      batchDetail.contains("coverage <= 1"), batchDetail)
+    // the doctor mutated NOTHING: the committed tmp is still there
+    // for the next maintenance entry to complete
+    assert(new java.io.File(s"$dir/_takedown_tmp").exists() &&
+      new java.io.File(s"$dir/ingest_batch=2").exists())
+  }
+
   test("a committed takedown lands BEFORE a subsequent ivf patch " +
        "reads the index — taken-down rows cannot resurrect") {
     import spark.implicits._
