@@ -957,6 +957,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("takedown preview: the id set broadcasts (no layer shuffle " +
+       "before the partition rollup, no cartesian)") {
+    import spark.implicits._
+    val dir = "/root/repo/target/scratch/plan_preview"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/ingest_batch=0")
+    val plan = planOf(graft.llm.Takedown.takedownPreview(spark, dir,
+      Seq(1L).toDF("doc_id"), "doc_id"))
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"the id side must broadcast:\n${plan.take(2000)}")
+  }
+
   test("filtered ANN: the attribute predicate pushes into the " +
        "probed-cell parquet scan (PushedFilters) and unprobed cells " +
        "prune at the partition level — no join back to the corpus") {

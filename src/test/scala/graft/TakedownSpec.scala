@@ -151,6 +151,43 @@ class TakedownSpec extends AnyFunSuite {
     assert(Takedown.bm25Takedown(spark, base, takeIds) == ((0L, 0L)))
   }
 
+  test("bm25Takedown on a COMPACTED layer: postings and stats " +
+       "compacted at the same watermark stay id-aligned, the debit " +
+       "is exact, and the patched layer serves the rebuild ranking") {
+    val base = scratch("bm25_compacted")
+    val corpus = docs.filter(col("doc_id") % 100 =!= 0)
+    val qs = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(TextAnalysis.tokens(col("text")), 1, 8), " ")
+          .as("text"))
+    TextAnalysis.bm25PostingsBatch(
+      corpus.filter(col("doc_id") % 2 === 0), base, batchId = 0L)
+    TextAnalysis.bm25PostingsBatch(
+      corpus.filter(col("doc_id") % 2 =!= 0), base, batchId = 1L)
+    // the documented compaction usage: BOTH subdirs at one watermark
+    graft.streaming.IngestStream.ingestLayerCompact(spark,
+      s"$base/postings", watermark = 1L)
+    graft.streaming.IngestStream.ingestLayerCompact(spark,
+      s"$base/stats", watermark = 1L)
+    val takeIds = corpus.filter(col("doc_id") % 15 === 7)
+      .select("doc_id")
+    val (rm, parts) = Takedown.bm25Takedown(spark, base, takeIds)
+    assert(rm > 0 && parts == 1L,
+      s"one compact partition holds everything: $rm/$parts")
+    val remaining = corpus.filter(col("doc_id") % 15 =!= 7)
+    def tuples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    assert(tuples(TextAnalysis.bm25TopKFromPostings(spark, base, qs,
+        k = 5)) ==
+      tuples(TextAnalysis.bm25TopK(remaining, qs, k = 5)),
+      "compacted-then-patched layer must serve the rebuild ranking")
+    val st = spark.read.parquet(s"$base/stats")
+      .agg(sum("n_docs"), sum("sum_dl")).collect()(0)
+    assert(st.getLong(0) == remaining.count(),
+      "stats debit must be exact on the compact partition")
+  }
+
   test("ivfTakedown: rows vanish from their cells, centroids/sidecar " +
        "untouched, other cells byte-identical, serving matches a " +
        "rebuild over the remaining corpus") {
