@@ -135,6 +135,30 @@ object Takedown {
   // `ingest_batch=`-partitioned layer) and the dense indexes
   // ---------------------------------------------------------------
 
+  /** Expand a takedown id set to FULL near-dup clusters: a removal
+    * request names documents, but the obligation is usually to the
+    * CONTENT — every near-duplicate copy of a requested doc must go
+    * too, or the removed text survives verbatim under another id.
+    * Joins the request against the corpus-version components
+    * artifact ([[Dedup.connectedComponents]] over the MinHash pair
+    * set — the table the dedup chain already pays for): any
+    * component containing a requested id contributes all its
+    * members; requested ids absent from the artifact (singletons —
+    * no near-dups) pass through unchanged. The hit-component list is
+    * ≤ \|ids\| rows and broadcasts; output feeds any takedown face
+    * verbatim. */
+  def expandToClusters(ids: DataFrame, components: DataFrame,
+                       idCol: String = "doc_id"): DataFrame = {
+    val idsB = idFrame(ids, idCol)
+    val hit = components
+      .join(idsB, components("id") === idsB(idCol), "left_semi")
+      .select(col("component")).distinct()
+    components.join(broadcast(hit), Seq("component"), "left_semi")
+      .select(col("id").as(idCol))
+      .unionByName(idsB)
+      .distinct()
+  }
+
   /** Layer doctor — read-only diagnosis of a standing layer's
     * maintenance state: classifies every protocol artifact the
     * engine's crash-safe swaps can leave behind (a COMMITTED temp is

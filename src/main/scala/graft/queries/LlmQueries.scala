@@ -2456,6 +2456,43 @@ object LlmQueries {
         tau = 0.47)
     }),
 
+    // cluster-expanded takedown: a removal request names DOCUMENTS
+    // but the obligation is to the CONTENT — expand the id set
+    // through the corpus-version near-dup components so every
+    // verbatim-ish copy goes too; singleton requests pass through.
+    // The closure replays as the llm_dedup_clusters recursive CTE.
+    "llm_takedown_expand" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Takedown.expandToClusters(
+          docs.filter(col("doc_id") % 97 === 2).select("doc_id"),
+          components035(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
+    // AS-OF layer read: time travel to an ingest horizon — batches
+    // 0-1 compacted (coverage 1 <= horizon 2), batch 2 live and in,
+    // batch 3 beyond the horizon and excluded whole; residency rides
+    // the read via basePath. Hash-matched against the modulo filter.
+    "llm_layer_asof" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val base = "/root/repo/target/scratch/layer_asof_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(base))
+      (0L to 3L).foreach { b =>
+        docs.filter(col("doc_id") % 4 === b)
+          .select(col("doc_id"), col("text"))
+          .write.parquet(s"$base/ingest_batch=$b")
+      }
+      graft.streaming.IngestStream.ingestLayerCompact(s, base,
+        watermark = 1L)
+      graft.streaming.IngestStream.layerReadAsOf(s, base, asOf = 2L)
+        .select(col("doc_id"),
+          col("ingest_batch").cast("long").as("ingest_batch"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // takedown DRY-RUN: the per-partition removal preview (what a
     // legal review signs off on) over a 3-batch layer — one
     // broadcast-filtered scan, ≤ |partitions| output rows, nothing
@@ -7455,6 +7492,41 @@ object LlmQueries {
              AS frac_beyond
          FROM md"""
     },
+
+    // expansion == seeds ∪ every member of a seed-hit component
+    // (the llm_dedup_clusters closure, filtered to hit components).
+    "llm_takedown_expand" ->
+      s"""WITH RECURSIVE $minhashScoredCtes,
+         pairs AS (SELECT id_a, id_b FROM scored
+                   WHERE nb > 0 AND est_jaccard >= 0.35),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (SELECT a AS id, least(a, min(b)) AS component
+                  FROM reach GROUP BY a),
+         seeds AS (SELECT doc_id AS id FROM documents
+                   WHERE doc_id % 97 = 2),
+         hit AS (SELECT DISTINCT component
+                 FROM comp JOIN seeds USING (id)),
+         ex AS (SELECT DISTINCT id FROM (
+                SELECT CAST(c.id AS BIGINT) AS id
+                FROM comp c JOIN hit USING (component)
+                UNION ALL
+                SELECT CAST(id AS BIGINT) FROM seeds))
+         SELECT id AS doc_id FROM ex
+         ORDER BY doc_id""",
+
+    // as-of == batches at or inside the horizon, residency and all.
+    "llm_layer_asof" ->
+      """SELECT doc_id,
+           CAST(CASE WHEN doc_id % 4 <= 1 THEN -2 ELSE 2 END
+             AS BIGINT) AS ingest_batch,
+           length(text) AS n_chars
+         FROM documents WHERE doc_id % 4 <= 2
+         ORDER BY doc_id""",
 
     // preview == the modulo rollup of would-be removals per batch.
     "llm_takedown_preview" ->

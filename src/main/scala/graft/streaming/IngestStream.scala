@@ -769,6 +769,51 @@ object IngestStream {
       _.repartition(targetFiles))
   }
 
+  /** AS-OF read of a batch-keyed layer — time travel to an ingest
+    * horizon: the layer as it stood when batch `asOf` was the newest
+    * committed batch (live partitions with id ≤ asOf, plus compacts
+    * whose coverage fits entirely inside the horizon). Batch ids are
+    * the clock, so a pinned `asOf` makes an experiment reproducible
+    * against a layer that keeps ingesting — the corpus snapshot a
+    * training run should record alongside its config.
+    *
+    * Partition selection is directory-level (nothing is read to
+    * decide), and the `basePath` option keeps `ingest_batch` as a
+    * column, so downstream pruning behaves exactly like a full-layer
+    * read. A compact partition whose coverage extends PAST the
+    * horizon (`-(k+1)` with k > asOf) folded post-horizon mass
+    * irreversibly — the call fails fast with the scheduling fix
+    * (keep compaction watermarks at or behind every horizon you
+    * still need), the same alignment contract retention enforces. */
+  def layerReadAsOf(spark: org.apache.spark.sql.SparkSession,
+                    layerDir: String, asOf: Long): DataFrame = {
+    require(asOf >= 0, s"asOf must be >= 0, got $asOf")
+    val root = new org.apache.hadoop.fs.Path(layerDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"layerReadAsOf: $layerDir is absent")
+    val prefix = "ingest_batch="
+    val parts = fs.listStatus(root).map(_.getPath)
+      .flatMap(p =>
+        if (p.getName.startsWith(prefix))
+          p.getName.drop(prefix.length).toLongOption.map(p -> _)
+        else None)
+    parts.foreach { case (p, id) =>
+      if (id < 0) require(-id - 1 <= asOf,
+        s"layerReadAsOf: compact partition ${p.getName} folds " +
+          s"batches <= ${-id - 1}, past the asOf=$asOf horizon — " +
+          s"post-horizon mass is irreversibly mixed in; keep " +
+          s"compaction watermarks at or behind every horizon you " +
+          s"still need")
+    }
+    val keep = parts.collect {
+      case (p, id) if (id >= 0 && id <= asOf) || id < 0 => p.toString
+    }
+    require(keep.nonEmpty,
+      s"layerReadAsOf: no partition at or before asOf=$asOf")
+    spark.read.option("basePath", layerDir)
+      .parquet(keep.toIndexedSeq: _*)
+  }
+
   /** Retention age-out for a batch-keyed layer: DELETE every batch
     * partition whose id is below `keepFrom` — the data-retention
     * compliance sibling of [[graft.llm.Takedown]] (takedown removes

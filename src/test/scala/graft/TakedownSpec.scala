@@ -332,6 +332,41 @@ class TakedownSpec extends AnyFunSuite {
       keepFrom = 2L) == ((0L, 0L)), "rerun no-op")
   }
 
+  test("layerReadAsOf: horizon excludes later batches; a compact " +
+       "folded past the horizon fails fast; expandToClusters keeps " +
+       "singleton requests") {
+    import spark.implicits._
+    val dir = scratch("asof")
+    def part(b: Long, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.parquet(s"$dir/ingest_batch=$b")
+    part(0L, Seq((1L, "a")))
+    part(1L, Seq((2L, "b")))
+    part(2L, Seq((3L, "c")))
+    graft.streaming.IngestStream.ingestLayerCompact(spark, dir,
+      watermark = 0L) // compact -1 covers batch 0 only
+    val asOf1 = graft.streaming.IngestStream
+      .layerReadAsOf(spark, dir, asOf = 1L)
+    assert(asOf1.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L), "horizon 1 = batch 0 (compacted) + batch 1")
+    assert(asOf1.columns.contains("ingest_batch"),
+      "basePath read must keep the partition column")
+    // a compact past the horizon folded post-horizon mass in
+    graft.streaming.IngestStream.ingestLayerCompact(spark, dir,
+      watermark = 2L)
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.IngestStream.layerReadAsOf(spark, dir, asOf = 1L)
+    }
+    assert(ex.getMessage.contains("past the asOf"), ex.getMessage)
+    // singleton expansion: ids with no near-dups pass through
+    val comps = Seq((10L, 10L), (11L, 10L)).toDF("id", "component")
+    val out = Takedown.expandToClusters(
+        Seq(11L, 99L).toDF("doc_id"), comps)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(10L, 11L, 99L),
+      s"hit component expands, singleton 99 survives: $out")
+  }
+
   test("layerDoctor: read-only classification of every protocol " +
        "artifact — committed vs uncommitted temps, partition " +
        "families, compact coverage, delta depth, sidecars; nothing " +
