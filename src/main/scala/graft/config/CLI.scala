@@ -452,31 +452,36 @@ object CLI {
       "drift monitor (AvailableNow): kind=tokenizer encodes the " +
         "stream dir under a FROZEN WordPiece model trained on the " +
         "bound corpus; kind=embedding gauges nearest-cell fit " +
-        "against cells trained on the bound vectors; batch-keyed " +
-        "reports + a run summary",
+        "against cells trained on the bound vectors; kind=pq gauges " +
+        "quantization error against codebooks trained on them; " +
+        "batch-keyed reports + a run summary",
       OptionsSchema(Seq(
         OptField("kind", Some(OptStr("tokenizer")),
           "drift face: tokenizer (fertility/unk) | embedding " +
-            "(nearest-cell fit)"),
+            "(nearest-cell fit) | pq (codebook quantization error)"),
         OptField("merges", Some(OptNum(8)),
           "tokenizer: WordPiece merge rounds for the frozen model"),
         OptField("nCells", Some(OptNum(16)),
-          "embedding: k-means cells for the frozen index"),
+          "embedding: k-means cells for the frozen index; " +
+            "pq: codewords per subspace"),
+        OptField("m", Some(OptNum(4)),
+          "pq: subspace count for the frozen codebooks"),
         OptField("tau", Some(OptNum(1.0)),
-          "embedding: beyond-this sq-distance counts as drifted"))),
+          "embedding/pq: beyond-this sq-distance counts as drifted"))),
       (spark, opts) => {
         def num(v: OptValue): Double = v match {
           case OptNum(n) => n
           case other     => other.render.toDouble
         }
         val kind = opts("kind").render
-        require(Set("tokenizer", "embedding")(kind),
-          s"drift: unknown kind '$kind' (tokenizer|embedding)")
+        require(Set("tokenizer", "embedding", "pq")(kind),
+          s"drift: unknown kind '$kind' (tokenizer|embedding|pq)")
         val merges = num(opts("merges")).toInt
         val nCells = num(opts("nCells")).toInt
+        val pqM = num(opts("m")).toInt
         val tau = num(opts("tau"))
         val train = VirtualFile(
-          VPath(if (kind == "embedding") "/embeddings"
+          VPath(if (kind == "embedding" || kind == "pq") "/embeddings"
                 else "/documents"),
           Seq("parquet"), Usage.Source)
         val stream = VirtualFile(VPath("/stream"), Seq("parquet"),
@@ -513,6 +518,28 @@ object CLI {
                     sum(col("n_vectors")).as("n_vectors"),
                     round(max(col("mean_sqdist")), 6)
                       .as("max_mean_sqdist"),
+                    round(sum(col("n_beyond")).cast("double") /
+                      sum(col("n_vectors")).cast("double"), 6)
+                      .as("frac_beyond"))
+              } else if (kind == "pq") {
+                import graft.llm.Similarity
+                // same device as the embedding face: the frozen
+                // model is a pqWriteIndex layout whose _books.txt
+                // sidecar the monitor gauges against
+                val idxDir = s"$reportDir-index"
+                Similarity.pqWriteIndex(trainData,
+                  Similarity.pqCodebooks(trainData, m = pqM,
+                    k = nCells, iters = 2), idxDir)
+                val q = IngestStream.pqFitMonitor(
+                  spark.readStream.schema(trainData.schema)
+                    .parquet(streamDir),
+                  idxDir, reportDir, tau)
+                q.awaitTermination()
+                spark.read.parquet(reportDir)
+                  .agg(count(lit(1)).as("n_batches"),
+                    sum(col("n_vectors")).as("n_vectors"),
+                    round(max(col("mean_qerr")), 6)
+                      .as("max_mean_qerr"),
                     round(sum(col("n_beyond")).cast("double") /
                       sum(col("n_vectors")).cast("double"), 6)
                       .as("frac_beyond"))

@@ -1117,6 +1117,36 @@ object Similarity {
           col("n_vectors").cast("double"), 6))
   }
 
+  /** PQ distortion gauge — [[indexFitReport]]'s codebook sibling,
+    * the RETRAIN TRIGGER for [[pqPatchIndex]]: per batch, the
+    * quantization error a vector would suffer under the standing
+    * books (Σ over subspaces of squared L2 to the nearest codeword —
+    * exactly the ADC approximation loss), folded to one row
+    * (n_vectors, mean_qerr, n_beyond, frac_beyond). Rising
+    * distortion = the stream has drifted off the codebooks' training
+    * distribution — retrain and patch BEFORE ranking quality
+    * degrades. Same narrow one-pass shape as the IVF gauge; the
+    * per-subspace kernel is the assignment's own cellDists
+    * arithmetic, summed left-to-right in subspace order, so the
+    * gauge replays in the PQ oracle chain. */
+  def pqFitReport(batch: DataFrame, books: Seq[Seq[Seq[Double]]],
+                  tau: Double,
+                  vecCol: String = "embedding"): DataFrame = {
+    val sub = books.head.head.length
+    val qe = round(books.indices.map(s =>
+      graft.functions.SketchExprs.nearestCellDist(
+        slice(col(vecCol), s * sub + 1, sub), books(s)))
+      .reduce(_ + _), 6)
+    batch.select(qe.as("_qe"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("_qe").cast("decimal(38,12)")).cast("double") /
+          count(lit(1)), 6).as("mean_qerr"),
+        sum(when(col("_qe") > tau, 1L).otherwise(0L)).as("n_beyond"))
+      .withColumn("frac_beyond",
+        round(col("n_beyond").cast("double") /
+          col("n_vectors").cast("double"), 6))
+  }
+
   /** FILTERED vector search over an attribute-carrying
     * [[ivfWriteIndex]] layout: [[ivfTopKIndexed]] with a metadata
     * `predicate` over the index's stored attribute columns ("top-k

@@ -2456,6 +2456,18 @@ object LlmQueries {
         tau = 0.47)
     }),
 
+    // PQ distortion gauge: the codebook retrain trigger — per-corpus
+    // quantization error under the trained books (Σ per-subspace
+    // nearest-codeword sq-distance, the ADC approximation loss);
+    // replays in the PQ training chain with an explicit left-fold
+    // subspace sum.
+    "llm_pq_drift" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.pqFitReport(emb,
+        Similarity.pqCodebooks(emb, m = 4, k = 16, iters = 2),
+        tau = 1.0)
+    }),
+
     // cluster-expanded takedown: a removal request names DOCUMENTS
     // but the obligation is to the CONTENT — expand the id set
     // through the corpus-version near-dup components so every
@@ -7491,6 +7503,34 @@ object LlmQueries {
                AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
              AS frac_beyond
          FROM md"""
+    },
+
+    // distortion replay: trained books (the pqCtes chain), per
+    // (vec, subspace) MIN codeword sq-distance, LEFT-FOLD subspace
+    // sum (matches the Scala reduce order), decimal mean + exact
+    // beyond-τ counts.
+    "llm_pq_drift" -> {
+      def m(s: Int) = s"MAX(CASE WHEN s = $s THEN md END)"
+      s"""WITH ${pqCtes(4, 16, 2, 16)},
+         ms AS (
+           SELECT sv.vec_id, sv.s,
+             MIN(${sqdSql("sv.v", "c.cvec")}) AS md
+           FROM sv JOIN cents2 c ON c.s = sv.s
+           GROUP BY sv.vec_id, sv.s),
+         pv AS (
+           SELECT vec_id,
+             round(((${m(0)} + ${m(1)}) + ${m(2)}) + ${m(3)}, 6)
+               AS qe
+           FROM ms GROUP BY vec_id)
+         SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           round(CAST(SUM(CAST(qe AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS mean_qerr,
+           CAST(SUM(CASE WHEN qe > 1.0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_beyond,
+           round(CAST(SUM(CASE WHEN qe > 1.0 THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS frac_beyond
+         FROM pv"""
     },
 
     // expansion == seeds ∪ every member of a seed-hit component

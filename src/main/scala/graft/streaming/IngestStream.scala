@@ -1031,6 +1031,43 @@ object IngestStream {
       .start()
   }
 
+  /** Codebook-drift monitor — [[ivfFitMonitor]]'s PQ sibling: per
+    * micro-batch of embeddings, the
+    * [[graft.llm.Similarity.pqFitReport]] quantization-error gauge
+    * against the standing [[graft.llm.Similarity.pqWriteIndex]]
+    * layout's `_books.txt` sidecar, published batch-keyed (overwrite
+    * ⇒ replay replaces). Rising `mean_qerr` / `frac_beyond` is the
+    * measured signal to retrain books and run
+    * [[graft.llm.Similarity.pqPatchIndex]] BEFORE ADC ranking
+    * quality degrades. Pure observation — never retrains, never
+    * touches the code table; one narrow pass per batch, one row of
+    * state each. */
+  def pqFitMonitor(vectors: DataFrame, indexDir: String,
+                   reportDir: String, tau: Double,
+                   vecCol: String = "embedding",
+                   checkpointDir: Option[String] = None,
+                   trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$reportDir/_checkpoints"))
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        val spark = batch.sparkSession
+        val books = graft.llm.Similarity
+          .pqIndexBooks(spark, indexDir).getOrElse(
+            throw new IllegalArgumentException(
+              s"$indexDir has no codebook sidecar — the monitor " +
+                "gauges fit against a standing pqWriteIndex layout"))
+        graft.llm.Similarity.pqFitReport(batch.toDF(), books, tau,
+            vecCol)
+          .write.mode("overwrite")
+          .parquet(s"$reportDir/ingest_batch=$bid")
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** Wide-geometry event-time trending: the SAME semantics as
     * [[graft.llm.HeavyHitters.windowedTrending]] — per tumbling
     * event-time window, flag tokens whose exact in-window count is ≥

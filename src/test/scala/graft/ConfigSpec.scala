@@ -1382,6 +1382,18 @@ class ConfigSpec extends AnyFunSuite {
     val s2 = spark.read.parquet(s"$base/emb_summary.parquet").head()
     assert(s2.getLong(1) == emb.count() && s2.getDouble(3) == 1.0,
       s"a fully shifted stream must gauge frac_beyond = 1: $s2")
+    // pq kind: frozen codebooks from the bound vectors; the same
+    // shifted stream flags total quantization drift
+    CLI.run(Array("drift", "run", specFile, "-o", "kind=pq",
+      "--loc", s"/embeddings=$base/emb_train.parquet",
+      "--loc", s"/stream=$base/emb_stream.parquet",
+      "--loc", s"/Drift/report=$base/pq_report",
+      "--loc", s"/Outputs/summary=$base/pq_summary.parquet"), spark)
+    val s3 = spark.read.parquet(s"$base/pq_summary.parquet").head()
+    assert(s3.getLong(1) == emb.count() && s3.getDouble(3) == 1.0,
+      s"a fully shifted stream must gauge pq frac_beyond = 1: $s3")
+    assert(new java.io.File(s"$base/pq_report.parquet-index/_books.txt")
+      .exists(), "the frozen pq model is a sidecar-carrying layout")
     graft.cache.Pins.release(spark)
   }
 

@@ -2782,6 +2782,22 @@ class LlmSpec extends AnyFunSuite {
         "filter-then-search under the refreshed centroids")
   }
 
+  test("pqFitReport: the training corpus gauges lower distortion " +
+       "than a shifted stream; beyond-tau flags the drifted rows") {
+    val books = Similarity.pqCodebooks(emb, m = 4, k = 16, iters = 2)
+    def rep(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pqFitReport(df, books, tau = 1.0).head()
+    val fit = rep(emb)
+    val drifted = rep(emb.select(col("vec_id"),
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        x => x + lit(100.0f)).as("embedding")))
+    assert(drifted.getDouble(1) > fit.getDouble(1) * 100,
+      s"shift must dominate the distortion gauge: " +
+        s"${fit.getDouble(1)} vs ${drifted.getDouble(1)}")
+    assert(drifted.getDouble(3) == 1.0,
+      "every shifted row is beyond tau")
+  }
+
   test("pq delta ingest: appended codes serve the one-shot encode; " +
        "compaction preserves serving and rewrites only receiving " +
        "buckets; patch refuses a standing delta; takedown scrubs " +

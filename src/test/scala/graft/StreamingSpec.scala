@@ -1119,6 +1119,74 @@ class StreamingSpec extends AnyFunSuite {
       "stream must equal batch")
   }
 
+  test("pqFitMonitor: gauges quantization error against the " +
+       "standing codebook sidecar; a planted drifted batch flags; " +
+       "streamed reports equal the batch gauge") {
+    import graft.streaming.IngestStream
+    import graft.llm.Similarity
+    val base = "/root/repo/target/scratch/pq_fit"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val src = s"$base/src"
+    new java.io.File(src).mkdirs()
+    val emb0 = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val books = Similarity.pqCodebooks(emb0, m = 4, k = 8, iters = 1)
+    Similarity.pqWriteIndex(emb0, books, s"$base/idx")
+    val drifted = emb0.select(col("vec_id"),
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        x => x + lit(100.0f)).as("embedding"))
+    emb0.coalesce(1).write.parquet(s"$base/a")
+    drifted.coalesce(1).write.parquet(s"$base/b")
+    Seq("a", "b").foreach { h =>
+      val part = new java.io.File(s"$base/$h").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$src/$h.parquet"))
+    }
+    val tau = 1.0
+    val q = IngestStream.pqFitMonitor(
+      spark.readStream.schema(emb0.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+      s"$base/idx", s"$base/report", tau)
+    try { q.processAllAvailable() } finally q.stop()
+    def rep(df: org.apache.spark.sql.DataFrame) = df
+      .select("n_vectors", "mean_qerr", "n_beyond", "frac_beyond")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getLong(2), r.getDouble(3))).toSeq
+    val reports = spark.read.parquet(s"$base/report")
+      .select(col("ingest_batch").cast("long").as("b"),
+        col("n_vectors"), col("mean_qerr"), col("n_beyond"),
+        col("frac_beyond"))
+      .orderBy("b").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(reports.length == 2, s"two batches, two reports: $reports")
+    val (fit, drift) =
+      if (reports(0)._2 < reports(1)._2) (reports(0), reports(1))
+      else (reports(1), reports(0))
+    assert(drift._2 > fit._2 * 100,
+      s"planted shift must dominate the gauge: $fit vs $drift")
+    assert(drift._4 == 1.0,
+      s"beyond-tau mass must flag the drifted batch: $fit vs $drift")
+    // streamed rows == the batch gauge on the same frames, with the
+    // books READ BACK from the sidecar (the monitor's own source)
+    val sideBooks = Similarity.pqIndexBooks(spark, s"$base/idx").get
+    assert(reports.toSet ==
+      (rep(Similarity.pqFitReport(emb0, sideBooks, tau)) ++
+        rep(Similarity.pqFitReport(drifted, sideBooks, tau))).toSet,
+      "stream must equal batch")
+    // a dir with no codebook sidecar fails fast
+    val ex = intercept[Exception] {
+      val bad = IngestStream.pqFitMonitor(
+        spark.readStream.schema(emb0.schema).parquet(src),
+        s"$base/report", s"$base/report2", tau)
+      try bad.processAllAvailable() finally bad.stop()
+    }
+    assert(ex.getMessage.contains("sidecar") ||
+      Option(ex.getCause).exists(_.getMessage.contains("sidecar")),
+      s"missing-sidecar monitor must fail fast: ${ex.getMessage}")
+  }
+
   test("cmsCompact: compacted layer equals the merged layer " +
        "cell-for-cell; rerun and replay-after-compaction stay " +
        "idempotent; geometry sidecar guards the layer") {
