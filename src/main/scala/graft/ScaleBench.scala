@@ -328,6 +328,23 @@ object ScaleBench {
         graft.llm.Similarity.randProject(emb, outDim = 8)
           .agg(sum(col("p"))).collect().length.toLong)
 
+      // training-order export: |sources|-row plan aggregate +
+      // broadcast repeats + narrow shard/ord columns — should track
+      // the token-count scan linearly; target scales with the corpus
+      // so the epoch geometry (upsample ~1.5x on src0) is constant
+      // across factors. Forced through a sum over the computed ord.
+      if (enabled("training_order")) {
+        val tot = docs.agg(sum(graft.llm.TextAnalysis.tokenCount(
+          col("text")))).head().getLong(0)
+        runProbe("training_order", f, nDocs)(
+          graft.llm.Mixing.trainingOrder(docs,
+            Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25),
+            targetTokens = math.max(1L, (tot * 0.15).toLong),
+            nShards = 64)
+            .agg(sum(col("ord")).as("s"), count(lit(1)).as("n"))
+            .head().getLong(1))
+      }
+
       // html strip + accent fold: row-local kernels (verdict filter
       // forces evaluation)
       runProbe("html_strip", f, nDocs)(

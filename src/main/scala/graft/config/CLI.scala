@@ -585,6 +585,59 @@ object CLI {
           Access.writeData(snk)
       }),
 
+    // The training-order export through the lifecycle: realize the
+    // mixture's epoch plan, shuffle/shard deterministically, write
+    // sorted shard files + the manifest a loader reads by.
+    "export" -> Registered(
+      "export",
+      "training-order export: epoch-plan repeats (weights x token " +
+        "budget) -> deterministic pass-salted shuffle -> sorted " +
+        "shard files under /Outputs/order + a (shard, file, ord " +
+        "range) manifest sink",
+      OptionsSchema(Seq(
+        OptField("weights",
+          Some(OptStr("src0=0.5,src1=0.25,src2=0.25")),
+          "comma list of source=share target mixture weights"),
+        OptField("targetTokens", Some(OptNum(100000)),
+          "total token budget the mixture should land"),
+        OptField("nShards", Some(OptNum(8)),
+          "loader shard count"),
+        OptField("filesPerShard", Some(OptNum(1)),
+          "output files per shard (task right-sizing)"))),
+      (spark, opts) => {
+        def num(v: OptValue): Double = v match {
+          case OptNum(n) => n
+          case other     => other.render.toDouble
+        }
+        val weights = opts("weights").render.split(",")
+          .map(_.trim).filter(_.nonEmpty).map { kv =>
+            val Array(k, v) = kv.split("=", 2)
+            k.trim -> v.trim.toDouble
+          }.toMap
+        require(weights.nonEmpty, "export: weights must be non-empty")
+        val target = num(opts("targetTokens")).toLong
+        val nShards = num(opts("nShards")).toInt
+        val fps = num(opts("filesPerShard")).toInt
+        val src = VirtualFile(VPath("/documents"), Seq("parquet"),
+          Usage.Source)
+        val ordSnk = VirtualFile(VPath("/Outputs/order"),
+          Seq("parquet"), Usage.Sink)
+        val manSnk = VirtualFile(VPath("/Outputs/manifest"),
+          Seq("parquet"), Usage.Sink)
+        (Access.getDataReader(src) &&&
+          Access.getDataWriter(ordSnk)) >>>
+          PTask.arr { (rw: (Access.DataReader, Access.DataWriter)) =>
+            val (r, w) = rw
+            import graft.llm.Mixing
+            val outDir = w.paths.head
+            Mixing.epochShuffleWrite(
+              Mixing.trainingOrder(r.read(), weights, target, nShards),
+              nShards, outDir, filesPerShard = fps)
+            Mixing.shardManifest(spark, outDir)
+          } >>>
+          Access.writeData(manSnk)
+      }),
+
     "index" -> Registered(
       "index",
       "index lifecycle: incremental build -> append/patch/compact -> " +

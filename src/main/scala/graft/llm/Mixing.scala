@@ -83,6 +83,136 @@ object Mixing {
       .withColumn("n_repeats", ceil(col("epochs")).cast("long"))
   }
 
+  /** (ord, shard) columns for the deterministic shuffle family:
+    * `ord` = 32-bit family hash of `"shuf:<epoch>:<id>"` (the
+    * per-epoch pseudo-random sort key), `shard` = `ord mod nShards`.
+    * Shared by [[epochShuffle]] (literal epoch) and
+    * [[trainingOrder]] (repeat index as the epoch) so both faces —
+    * and their oracles — agree on the permutation formula. */
+  private def withShardOrder(df: DataFrame, epochCol: Column,
+                             nShards: Int, idCol: String): DataFrame =
+    df.withColumn("ord", graft.functions.SketchOps.h32Column(
+        concat_ws(":", lit("shuf"), epochCol,
+          col(idCol).cast("string"))))
+      .withColumn("shard",
+        pmod(col("ord"), lit(nShards.toLong)).cast("int"))
+
+  /** Deterministic per-epoch corpus shuffle + shard assignment — the
+    * dataloader export: every document gets a pseudo-random sort key
+    * `ord` (epoch-salted hash, a DIFFERENT reproducible permutation
+    * each epoch) and a `shard` in [0, nShards). A training run with
+    * nShards loader workers reads shard s in (ord, id) order;
+    * reruns, re-partitioning and engine versions cannot change the
+    * order because it is a pure function of (id, epoch).
+    *
+    * Scale: a narrow projection — NO shuffle here. Materialize with
+    * [[epochShuffleWrite]] (range-partitioned sorted shard files) or
+    * verify order with a per-shard window (the oracle face). Shard
+    * sizes are binomially tight around n/nShards (hash uniformity),
+    * so loader skew is negligible at corpus scale. */
+  def epochShuffle(docs: DataFrame, epoch: Int, nShards: Int,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    withShardOrder(docs, lit(epoch).cast("string"), nShards, idCol)
+  }
+
+  /** Materialize an [[epochShuffle]]/[[trainingOrder]] frame as
+    * sorted shard files: range-partition by (shard, ord, id) into
+    * `nShards · filesPerShard` tasks and write
+    * `shard=<s>/part-…` parquet — each file holds a CONTIGUOUS ord
+    * range of one shard, sorted, and part numbers within a shard dir
+    * increase with the range, so a loader streaming a shard's files
+    * in name order replays the exact epoch permutation without any
+    * global sort. `filesPerShard` right-sizes tasks: at 100 TB pick
+    * corpus_bytes / (nShards · ~512 MB). */
+  def epochShuffleWrite(shuffled: DataFrame, nShards: Int,
+                        outDir: String, filesPerShard: Int = 1,
+                        idCol: String = "doc_id"): Unit = {
+    require(filesPerShard > 0, "filesPerShard must be positive")
+    shuffled
+      .repartitionByRange(nShards * filesPerShard, col("shard"),
+        col("ord"), col(idCol))
+      .sortWithinPartitions(col("shard"), col("ord"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
+
+  /** Materialize an [[epochPlan]]: emit each document once per full
+    * epoch (`repeat_idx` in [0, floor(epochs))) plus a FRACTIONAL
+    * final pass — repeat `floor(epochs)` keeps a document iff its
+    * deterministic uniform `u = h32("tail:<id>:<repeat>")/2^32` is
+    * below the fractional part, so every source lands its
+    * `epochs_s = target·w_s / tokens_s` budget in expectation with
+    * doc-level granularity, reproducibly (same corpus + weights ⇒
+    * the same multiset, independent of partitioning).
+    *
+    * Scale: the plan is |sources| rows broadcast onto the corpus;
+    * the explode emits ceil(epochs) rows per doc — exactly the
+    * upsampled training volume, nothing more; no shuffle beyond the
+    * plan's own token-count aggregate. */
+  def epochRepeats(docs: DataFrame, weights: Map[String, Double],
+                   targetTokens: Long, textCol: String = "text",
+                   srcCol: String = "source",
+                   idCol: String = "doc_id"): DataFrame = {
+    val plan = epochPlan(docs, weights, targetTokens, textCol, srcCol)
+      .select(col(srcCol).cast("string").as("_src"), col("epochs"),
+        col("n_repeats"))
+      .filter(col("n_repeats") >= 1L)
+    val u = graft.functions.SketchOps.h32Column(
+        concat_ws(":", lit("tail"), col(idCol).cast("string"),
+          col("repeat_idx").cast("string")))
+      .cast("double") / lit(4294967296.0)
+    docs.join(broadcast(plan), col(srcCol).cast("string") === col("_src"))
+      .withColumn("repeat_idx",
+        explode(sequence(lit(0L), col("n_repeats") - 1L)))
+      .filter(col("repeat_idx") < floor(col("epochs")).cast("long") ||
+        u < (col("epochs") - floor(col("epochs"))))
+      .drop("_src", "epochs", "n_repeats")
+  }
+
+  /** The read contract for an [[epochShuffleWrite]] layout: per
+    * (shard, file) — row count and the [min_ord, max_ord] range it
+    * covers, ordered. A loader (or an auditor) checks the two
+    * invariants a sorted-shard layout promises: ranges within a
+    * shard are DISJOINT, and file-name order == range order, so
+    * streaming a shard's files by name replays the permutation.
+    * One column-pruned pass over (shard, ord) + file provenance —
+    * metadata-cheap next to the export itself. The result is also
+    * published under `outDir/_manifest` (underscore dir: invisible
+    * to the layout's own parquet discovery). */
+  def shardManifest(spark: org.apache.spark.sql.SparkSession,
+                    outDir: String): DataFrame = {
+    val m = spark.read.parquet(outDir)
+      .select(col("shard"),
+        // provenance must be read BEFORE any caching can canonicalize
+        // the scan (input_file_name over InMemoryRelation is empty)
+        regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"),
+        col("ord"))
+      .groupBy(col("shard"), col("file"))
+      .agg(count(lit(1)).as("n_rows"), min(col("ord")).as("min_ord"),
+        max(col("ord")).as("max_ord"))
+      .orderBy("shard", "min_ord")
+    m.write.mode("overwrite").parquet(s"$outDir/_manifest")
+    spark.read.parquet(s"$outDir/_manifest").orderBy("shard", "min_ord")
+  }
+
+  /** The full training-data order export: [[epochRepeats]] realizes
+    * the mixture's upsampling (repeat_idx = which pass), then each
+    * emitted instance is shuffled and sharded with the repeat index
+    * as its epoch salt — so every pass over a document lands at an
+    * independent position/shard and each shard sees the target
+    * mixture. The one relation a dataloader needs: (doc, repeat_idx,
+    * shard, ord); write with [[epochShuffleWrite]]. */
+  def trainingOrder(docs: DataFrame, weights: Map[String, Double],
+                    targetTokens: Long, nShards: Int,
+                    textCol: String = "text",
+                    srcCol: String = "source",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    withShardOrder(
+      epochRepeats(docs, weights, targetTokens, textCol, srcCol, idCol),
+      col("repeat_idx").cast("string"), nShards, idCol)
+  }
+
   def tokenBudgetSample(docs: DataFrame, budgets: Map[String, Long],
                         strataCol: String = "lang",
                         textCol: String = "text",

@@ -1608,6 +1608,51 @@ object LlmQueries {
           targetTokens = 1000000L)
         .orderBy(col("source"))),
 
+    // deterministic per-epoch shuffle: two epochs of the corpus,
+    // each doc's shard + in-shard position — two DIFFERENT
+    // reproducible permutations from one pure hash formula (the
+    // dataloader-order export, verified positionally).
+    "llm_epoch_order" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id")
+      val shuf = Seq(1, 2).map { e =>
+        Mixing.epochShuffle(d, epoch = e, nShards = 8)
+          .withColumn("epoch", lit(e))
+      }.reduce(_ unionByName _)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("epoch", "shard").orderBy("ord", "doc_id")
+      shuf.select(col("epoch"), col("shard"),
+          row_number().over(w).as("pos"), col("doc_id"), col("ord"))
+        .orderBy("epoch", "shard", "pos")
+    }),
+
+    // materialized epoch plan: every (source, pass) with its doc and
+    // token mass — full passes below floor(epochs), the fractional
+    // final pass thinned by the deterministic tail hash.
+    "llm_epoch_repeats" -> ((s, dir) =>
+      Mixing.epochRepeats(table(s, dir, "documents"),
+          weights = Map("src0" -> 0.5, "src1" -> 0.25,
+            "src2" -> 0.25),
+          targetTokens = 100000L)
+        .groupBy(col("source"), col("repeat_idx"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+        .orderBy("source", "repeat_idx")),
+
+    // the full training-order export: repeats realized, every
+    // instance shuffled/sharded with its pass as the epoch salt —
+    // per shard, the mixture a loader worker actually consumes.
+    "llm_training_order" -> ((s, dir) =>
+      Mixing.trainingOrder(table(s, dir, "documents"),
+          weights = Map("src0" -> 0.5, "src1" -> 0.25,
+            "src2" -> 0.25),
+          targetTokens = 100000L, nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_instances"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          max(col("repeat_idx")).as("max_repeat"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+        .orderBy("shard")),
+
     // the apply step of the reweighting plan: realize the computed
     // target mixture by deterministic md5 thinning (downsample-only
     // rates; the most-under-represented source keeps everything).
@@ -5860,6 +5905,115 @@ object LlmQueries {
          SELECT source, tokens_avail, tokens_target, epochs,
            CAST(ceil(epochs) AS BIGINT) AS n_repeats
          FROM e ORDER BY source""",
+
+    // epoch order: the pure permutation formula (32-bit md5 hash of
+    // "shuf:<epoch>:<id>") replayed relationally — shard = ord mod
+    // nShards, pos = rank in (ord, id) within shard.
+    "llm_epoch_order" ->
+      raw"""WITH ep AS (
+           SELECT 1 AS epoch, doc_id FROM documents
+           UNION ALL SELECT 2 AS epoch, doc_id FROM documents),
+         e AS (
+           SELECT epoch, doc_id,
+             CAST('0x' || substring(md5('shuf:' ||
+               CAST(epoch AS VARCHAR) || ':' ||
+               CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS ord
+           FROM ep)
+         SELECT epoch, CAST(ord % 8 AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY epoch, ord % 8
+             ORDER BY ord, doc_id) AS INTEGER) AS pos,
+           doc_id, ord
+         FROM e
+         ORDER BY epoch, shard, pos""",
+
+    // materialized epoch plan: the llm_epoch_plan arithmetic chained
+    // into per-doc pass expansion (range over ceil(epochs)) with the
+    // fractional last pass thinned by the "tail:<id>:<pass>" hash.
+    "llm_epoch_repeats" ->
+      raw"""WITH cnt AS (
+           SELECT source, CAST(SUM(len(list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '')))
+             AS BIGINT) AS tokens_avail
+           FROM documents
+           WHERE source IN ('src0', 'src1', 'src2')
+           GROUP BY source),
+         e AS (
+           SELECT source,
+             round(CAST(CAST(floor((CASE source WHEN 'src0' THEN 0.5
+               WHEN 'src1' THEN 0.25 ELSE 0.25 END) * 100000.0)
+               AS BIGINT) AS DOUBLE) / tokens_avail, 6) AS epochs
+           FROM cnt),
+         d AS (
+           SELECT doc_id, source, CAST(len(list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> ''))
+             AS BIGINT) AS tok
+           FROM documents
+           WHERE source IN ('src0', 'src1', 'src2')),
+         r AS MATERIALIZED (
+           SELECT d.doc_id, d.source, d.tok, e.epochs,
+             unnest(range(0, CAST(ceil(e.epochs) AS BIGINT)))
+               AS repeat_idx
+           FROM d JOIN e ON e.source = d.source),
+         k AS (
+           SELECT * FROM r
+           WHERE repeat_idx < CAST(floor(epochs) AS BIGINT)
+              OR CAST('0x' || substring(md5('tail:' ||
+                   CAST(doc_id AS VARCHAR) || ':' ||
+                   CAST(repeat_idx AS VARCHAR)), 1, 8) AS BIGINT)
+                 / 4294967296.0 < epochs - floor(epochs))
+         SELECT source, repeat_idx,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens
+         FROM k GROUP BY source, repeat_idx
+         ORDER BY source, repeat_idx""",
+
+    // training order: the repeats chain sharded with the pass as the
+    // epoch salt — per shard, instance/doc/token mass.
+    "llm_training_order" ->
+      raw"""WITH cnt AS (
+           SELECT source, CAST(SUM(len(list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '')))
+             AS BIGINT) AS tokens_avail
+           FROM documents
+           WHERE source IN ('src0', 'src1', 'src2')
+           GROUP BY source),
+         e AS (
+           SELECT source,
+             round(CAST(CAST(floor((CASE source WHEN 'src0' THEN 0.5
+               WHEN 'src1' THEN 0.25 ELSE 0.25 END) * 100000.0)
+               AS BIGINT) AS DOUBLE) / tokens_avail, 6) AS epochs
+           FROM cnt),
+         d AS (
+           SELECT doc_id, source, CAST(len(list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> ''))
+             AS BIGINT) AS tok
+           FROM documents
+           WHERE source IN ('src0', 'src1', 'src2')),
+         r AS MATERIALIZED (
+           SELECT d.doc_id, d.source, d.tok, e.epochs,
+             unnest(range(0, CAST(ceil(e.epochs) AS BIGINT)))
+               AS repeat_idx
+           FROM d JOIN e ON e.source = d.source),
+         k AS (
+           SELECT * FROM r
+           WHERE repeat_idx < CAST(floor(epochs) AS BIGINT)
+              OR CAST('0x' || substring(md5('tail:' ||
+                   CAST(doc_id AS VARCHAR) || ':' ||
+                   CAST(repeat_idx AS VARCHAR)), 1, 8) AS BIGINT)
+                 / 4294967296.0 < epochs - floor(epochs)),
+         o AS (
+           SELECT doc_id, tok, repeat_idx,
+             CAST('0x' || substring(md5('shuf:' ||
+               CAST(repeat_idx AS VARCHAR) || ':' ||
+               CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8
+               AS shard
+           FROM k)
+         SELECT CAST(shard AS INTEGER) AS shard,
+           CAST(count(*) AS BIGINT) AS n_instances,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MAX(repeat_idx) AS max_repeat,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens
+         FROM o GROUP BY shard ORDER BY shard""",
 
     // reweight-sample: the domain_reweight weight CTEs + current
     // shares -> downsample-only rates -> the md5 acceptance filter

@@ -1397,6 +1397,63 @@ class ConfigSpec extends AnyFunSuite {
     graft.cache.Pins.release(spark)
   }
 
+  test("export pipeline: training-order shard layout + manifest " +
+       "from YAML; rerun under a rebind reproduces the multiset") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    import org.apache.spark.sql.functions.{col => c}
+    val base = "/root/repo/target/scratch/cli_export"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    val specFile = s"$base/export.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(specFile),
+      s"""data: {nShards: 4, filesPerShard: 2, targetTokens: 50000}
+         |locations:
+         |  /documents: /root/testdata/sf0.01/documents.parquet
+         |  /Outputs/order: $base/order
+         |  /Outputs/manifest: $base/manifest.parquet
+         |""".stripMargin)
+    CLI.run(Array("export", "run", specFile), spark)
+    val man = spark.read.parquet(s"$base/manifest.parquet")
+      .select("shard", "file", "n_rows", "min_ord", "max_ord")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(man.nonEmpty && man.forall(m => m._4 <= m._5))
+    // within a shard: ranges disjoint, file-name order == range order
+    man.groupBy(_._1).foreach { case (s, fs) =>
+      val byName = fs.sortBy(_._2)
+      assert(byName.sameElements(fs.sortBy(_._4)),
+        s"shard $s: file-name order must equal range order")
+      byName.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 < b._4,
+          s"shard $s: ranges must be disjoint: $a vs $b")
+        case _ =>
+      }
+    }
+    // manifest mass == the layout == the logical export
+    val order = spark.read.parquet(s"$base/order.parquet")
+    assert(man.map(_._3).sum == order.count(),
+      "manifest rows must cover the layout exactly")
+    val logical = graft.llm.Mixing.trainingOrder(
+      spark.read.parquet("/root/testdata/sf0.01/documents.parquet"),
+      Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25),
+      targetTokens = 50000L, nShards = 4)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "repeat_idx", "shard").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.get(2).toString.toInt)).sorted.toSeq
+    assert(key(order) == key(logical),
+      "the written layout must be the logical export")
+    // rebind-and-rerun: a second run is bit-identical
+    CLI.run(Array("export", "run", specFile,
+      "--loc", s"/Outputs/order=$base/order2",
+      "--loc", s"/Outputs/manifest=$base/manifest2.parquet"), spark)
+    assert(key(spark.read.parquet(s"$base/order2.parquet")) == key(order),
+      "rerun under a rebind must reproduce the multiset")
+    graft.cache.Pins.release(spark)
+  }
+
   test("CLI query surface: list names the inventory; run writes parquet") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")

@@ -2782,6 +2782,100 @@ class LlmSpec extends AnyFunSuite {
         "filter-then-search under the refreshed centroids")
   }
 
+  test("epochShuffle: deterministic per-epoch permutation — rerun " +
+       "identical, shards balanced, a different epoch reassigns " +
+       "~(1 - 1/nShards) of docs") {
+    val frame = spark.range(2000).toDF("doc_id")
+    val s1 = Mixing.epochShuffle(frame, epoch = 1, nShards = 8)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "shard", "ord").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(key(s1) == key(Mixing.epochShuffle(frame, 1, 8)),
+      "same epoch must be bit-identical on rerun")
+    val counts = s1.groupBy("shard").count()
+      .collect().map(_.getLong(1))
+    assert(counts.length == 8 &&
+      counts.max < counts.min * 1.5,
+      s"2000 docs over 8 shards must balance: ${counts.toSeq}")
+    val moved = s1.select(col("doc_id"), col("shard").as("s1"))
+      .join(Mixing.epochShuffle(frame, 2, 8)
+        .select(col("doc_id"), col("shard").as("s2")), "doc_id")
+    val frac = moved.filter(col("s1") =!= col("s2")).count()
+      .toDouble / 2000
+    assert(frac > 0.8 && frac < 0.95,
+      s"epoch 2 must be an independent permutation (expect ~0.875 " +
+        s"reassigned): $frac")
+  }
+
+  test("epochRepeats: floor(epochs) full passes + a hash-thinned " +
+       "fractional pass; token mass lands the plan's target; pure " +
+       "function of (corpus, weights)") {
+    import spark.implicits._
+    // 100 docs x 3 tokens per source -> 300 tokens available each
+    val d = (0 until 100).flatMap(i => Seq(
+        (i.toLong, "t t t", "a"), ((100 + i).toLong, "t t t", "b")))
+      .toDF("doc_id", "text", "source")
+    // a: target floor(750*0.6)=450 tokens of 300 avail -> 1.5 epochs
+    // b: target floor(750*0.4)=300 tokens of 300 avail -> 1.0 epochs
+    val rep = Mixing.epochRepeats(d,
+      weights = Map("a" -> 0.6, "b" -> 0.4), targetTokens = 750L)
+    val perDoc = rep.filter(col("source") === "a")
+      .groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(perDoc.forall(c => c == 1 || c == 2),
+      "1.5 epochs = every doc once, about half twice")
+    val aInstances = rep.filter(col("source") === "a").count()
+    assert(aInstances > 120 && aInstances < 180,
+      s"expect ~150 instances of source a (1.5 epochs): $aInstances")
+    // an integral epoch count has NO fractional pass: exactly once
+    assert(rep.filter(col("source") === "b").groupBy("doc_id")
+        .count().filter(col("count") =!= 1L).count() == 0,
+      "1.0 epochs = every doc exactly once")
+    val again = Mixing.epochRepeats(d,
+      weights = Map("a" -> 0.6, "b" -> 0.4), targetTokens = 750L)
+    assert(rep.select("doc_id", "repeat_idx").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      again.select("doc_id", "repeat_idx").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+      "the emitted multiset is a pure function of inputs")
+  }
+
+  test("epochShuffleWrite: shard files hold contiguous sorted ord " +
+       "ranges — reading a shard's files in name order replays the " +
+       "epoch permutation without a global sort") {
+    val base = "/root/repo/target/scratch/epoch_write"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val frame = spark.range(3000).toDF("doc_id")
+    val shuf = Mixing.epochShuffle(frame, epoch = 3, nShards = 4)
+    Mixing.epochShuffleWrite(shuf, nShards = 4, outDir = base,
+      filesPerShard = 3)
+    val shardDirs = new java.io.File(base).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.length == 4, shardDirs.map(_.getName).toSeq)
+    var total = 0L
+    shardDirs.foreach { sd =>
+      val files = sd.listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val ords = files.flatMap { f =>
+        spark.read.parquet(f.getAbsolutePath)
+          .select("ord", "doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+      }
+      total += ords.length
+      // concatenation in file-name order IS the (ord, id) order
+      assert(ords.sameElements(ords.sorted),
+        s"${sd.getName}: files must concatenate sorted " +
+          s"(${files.length} files, ${ords.length} rows)")
+    }
+    assert(total == 3000, s"every row lands exactly once: $total")
+    // the written layout matches the logical assignment
+    val back = spark.read.parquet(base)
+    assert(back.select("doc_id", "shard").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      shuf.select("doc_id", "shard").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet,
+      "partition dirs must carry the shard assignment")
+  }
+
   test("pqFitReport: the training corpus gauges lower distortion " +
        "than a shifted stream; beyond-tau flags the drifted rows") {
     val books = Similarity.pqCodebooks(emb, m = 4, k = 16, iters = 2)

@@ -1005,4 +1005,33 @@ class PlanSpec extends AnyFunSuite {
     // and the result is non-trivial with the filter honored
     assert(res.count() > 0)
   }
+
+  test("epoch shuffle family: epochShuffle is a narrow projection " +
+       "(zero exchanges, zero sorts); trainingOrder shuffles only " +
+       "the |sources|-row epoch plan and broadcasts it back — the " +
+       "corpus never sorts or shuffles") {
+    import graft.llm.Mixing
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p1 = planOf(Mixing.epochShuffle(docs, epoch = 1, nShards = 8))
+    assert(!p1.contains("Exchange") && !p1.contains("Sort"),
+      s"epochShuffle must stay narrow:\n${p1.take(1500)}")
+    val p2 = planOf(Mixing.trainingOrder(docs,
+      Map("src0" -> 0.5, "src1" -> 0.5), targetTokens = 10000L,
+      nShards = 8))
+    assert(p2.contains("BroadcastHashJoin") &&
+      !p2.contains("SortMergeJoin") &&
+      !p2.contains("CartesianProduct"),
+      s"the epoch plan must broadcast onto the corpus:\n" +
+        p2.take(2500))
+    // the only hash exchange is the per-source token aggregate
+    // (map-side combined, |sources| keys); the corpus side of the
+    // join never repartitions
+    val hashEx = p2.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1, s"one plan-side exchange at most:\n" +
+      p2.linesIterator.filter(_.contains("Exchange"))
+        .mkString("\n"))
+    assert(!p2.contains("Exchange rangepartitioning"),
+      "no global sort anywhere in the export")
+  }
 }
