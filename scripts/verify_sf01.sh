@@ -18,6 +18,7 @@ llm_takedown_ivf,llm_takedown_pq,llm_takedown_cms,\
 llm_takedown_preview,llm_takedown_expand,llm_layer_asof,\
 llm_index_drift,llm_pq_drift,llm_ann_filtered,\
 llm_epoch_order,llm_epoch_repeats,llm_training_order,\
+llm_curriculum_order,\
 llm_ivf_append,llm_pq_append,llm_retention,q27_rolling_range,\
 q28_grouping_sets,q31_rate_anomaly,q34_star_topk,q38_antijoin"
 # `all` = every oracle query except the declared O(N^2) brute

@@ -127,12 +127,17 @@ object Mixing {
     * corpus_bytes / (nShards · ~512 MB). */
   def epochShuffleWrite(shuffled: DataFrame, nShards: Int,
                         outDir: String, filesPerShard: Int = 1,
-                        idCol: String = "doc_id"): Unit = {
+                        idCol: String = "doc_id",
+                        orderCols: Seq[String] = Seq("ord")): Unit = {
     require(filesPerShard > 0, "filesPerShard must be positive")
+    // a band-major curriculum layout passes orderCols = (band, ord):
+    // the same contiguous-range file property then holds for the
+    // composite key (the manifest's ord-range contract is specific
+    // to the default ord-only order)
+    val keys = col("shard") +: orderCols.map(col) :+ col(idCol)
     shuffled
-      .repartitionByRange(nShards * filesPerShard, col("shard"),
-        col("ord"), col(idCol))
-      .sortWithinPartitions(col("shard"), col("ord"), col(idCol))
+      .repartitionByRange(nShards * filesPerShard, keys: _*)
+      .sortWithinPartitions(keys: _*)
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
   }
 
@@ -169,11 +174,43 @@ object Mixing {
       .drop("_src", "epochs", "n_repeats")
   }
 
+  /** Curriculum-banded export order: [[epochShuffle]] with a quality
+    * BAND as the leading sort key — a loader serving (band, ord, id)
+    * ascending feeds band 0 first, so training consumes the corpus
+    * easiest/highest-quality-first (or any staged schedule the
+    * thresholds encode) while staying pseudo-random WITHIN a band.
+    * `band` = how many ascending `thresholds` the score clears,
+    * inverted when `highFirst` (a score above every threshold lands
+    * band 0) — a literal CASE fold, no quantile pass, so the banding
+    * replays exactly in any engine; derive thresholds once from
+    * `approx_percentile` when you want quantile bands at 100 TB (the
+    * documented sketch swap). A NULL score clears no threshold
+    * (treated as -∞: last band under `highFirst`, band 0 when the
+    * caller asked for lowest-first). Narrow like [[epochShuffle]]; write
+    * band-major with [[epochShuffleWrite]]`(orderCols = Seq("band",
+    * "ord"))`. */
+  def curriculumOrder(docs: DataFrame, score: Column,
+                      thresholds: Seq[Double], epoch: Int,
+                      nShards: Int, idCol: String = "doc_id",
+                      highFirst: Boolean = true): DataFrame = {
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted,
+      "thresholds must be ascending and non-empty")
+    val cleared = thresholds.map(t =>
+      when(score > lit(t), 1).otherwise(0)).reduce(_ + _)
+    val band = if (highFirst) lit(thresholds.size) - cleared
+               else cleared
+    epochShuffle(docs, epoch, nShards, idCol)
+      .withColumn("band", band)
+  }
+
   /** The read contract for an [[epochShuffleWrite]] layout: per
     * (shard, file) — row count and the [min_ord, max_ord] range it
     * covers, ordered. A loader (or an auditor) checks the two
     * invariants a sorted-shard layout promises: ranges within a
-    * shard are DISJOINT, and file-name order == range order, so
+    * shard are non-overlapping (adjacent files may TOUCH at one ord
+    * value when two rows collide in the 32-bit hash and the range
+    * boundary splits them — certain at corpus scale, ties broken by
+    * id inside the files), and file-name order == range order, so
     * streaming a shard's files by name replays the permutation.
     * One column-pruned pass over (shard, ord) + file provenance —
     * metadata-cheap next to the export itself. The result is also
@@ -577,5 +614,65 @@ object Mixing {
             col("n_tokens").cast("double")).otherwise(0.0), 6)
           .as("density"),
         when(col("n_spans") > 0, col("_r")).as("first_start"))
+  }
+
+  /** Fill-in-the-middle transform (the FIM pretraining prep,
+    * arXiv:2207.14255): a hash-selected `rate` fraction of documents
+    * is rewritten `<PRE>prefix<SUF>suffix<MID>middle` (PSM — the
+    * model learns to infill `middle` given both sides; `spm = true`
+    * emits the paper's SPM variant `<PRE><SUF>suffix<MID>prefix ∘
+    * middle`, which trains the joined prefix+middle continuation
+    * after the suffix), the rest pass through verbatim — the
+    * document-level mix the paper shows preserves left-to-right
+    * perplexity while adding infilling.
+    *
+    * Every random draw is the deterministic hash device: selection
+    * is the EXACT-integer comparison `h32("fim:<id>") <
+    * floor(rate·2³²)` and the two cut points are `h32("fima:<id>")
+    * mod (n+1)` / `h32("fimb:<id>") mod (n+1)` over the CHARACTER
+    * length `n` (code points in both engines), lo/hi-ordered — so
+    * the transform is a pure function of (id, text), replayable in
+    * any engine and immune to reruns/partitioning. Character cuts,
+    * not token cuts, are the paper's recommendation (§4 — boundaries
+    * inside words force the model to handle subword seams). NULL
+    * text passes through unselected. Emits `(idCol, fim_applied,
+    * cut_lo, cut_hi, fim_text)` — a NARROW projection: the 100 TB
+    * transform is a free column on the export scan, never a pass. */
+  def fimTransform(docs: DataFrame, rate: Double = 0.5,
+                   textCol: String = "text", idCol: String = "doc_id",
+                   preTok: String = "<PRE>", sufTok: String = "<SUF>",
+                   midTok: String = "<MID>",
+                   spm: Boolean = false): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate must be in [0,1]")
+    val thresh = math.floor(rate * 4294967296.0).toLong
+    val t = col(textCol)
+    val n = length(t).cast("long")
+    val id = col(idCol).cast("string")
+    val sel = t.isNotNull &&
+      graft.functions.SketchOps.h32Column(concat(lit("fim:"), id)) <
+        lit(thresh)
+    val ca = pmod(
+      graft.functions.SketchOps.h32Column(concat(lit("fima:"), id)),
+      n + 1L)
+    val cb = pmod(
+      graft.functions.SketchOps.h32Column(concat(lit("fimb:"), id)),
+      n + 1L)
+    val lo = least(ca, cb)
+    val hi = greatest(ca, cb)
+    val prefix = t.substr(lit(1), lo.cast("int"))
+    val middle = t.substr((lo + 1L).cast("int"), (hi - lo).cast("int"))
+    val suffix = t.substr((hi + 1L).cast("int"), (n - hi).cast("int"))
+    val out =
+      if (spm) concat(lit(preTok), lit(sufTok), suffix, lit(midTok),
+        prefix, middle)
+      else concat(lit(preTok), prefix, lit(sufTok), suffix,
+        lit(midTok), middle)
+    docs.select(col(idCol), sel.as("_sel"), lo.as("_lo"), hi.as("_hi"),
+        t.as("_t"), out.as("_out"))
+      .select(col(idCol), col("_sel").as("fim_applied"),
+        when(col("_sel"), col("_lo")).as("cut_lo"),
+        when(col("_sel"), col("_hi")).as("cut_hi"),
+        when(col("_sel"), col("_out")).otherwise(col("_t"))
+          .as("fim_text"))
   }
 }

@@ -1625,6 +1625,22 @@ object LlmQueries {
         .orderBy("epoch", "shard", "pos")
     }),
 
+    // curriculum-banded order: the epoch shuffle with a literal
+    // quality-threshold band as the leading serve key — band 0
+    // (above every threshold) trains first, pseudo-random within.
+    "llm_curriculum_order" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "n_chars")
+      val co = Mixing.curriculumOrder(d,
+        col("n_chars").cast("double"),
+        thresholds = Seq(200.0, 500.0, 1000.0), epoch = 1,
+        nShards = 8)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("band", "ord", "doc_id")
+      co.select(col("shard"), col("band"),
+          row_number().over(w).as("pos"), col("doc_id"), col("ord"))
+        .orderBy("shard", "pos")
+    }),
+
     // materialized epoch plan: every (source, pass) with its doc and
     // token mass — full passes below floor(epochs), the fractional
     // final pass thinned by the deterministic tail hash.
@@ -5925,6 +5941,26 @@ object LlmQueries {
            doc_id, ord
          FROM e
          ORDER BY epoch, shard, pos""",
+
+    // curriculum banding: literal threshold CASE fold (inverted —
+    // clearing all three lands band 0) over the same shuffle hash.
+    "llm_curriculum_order" ->
+      raw"""WITH e AS (
+           SELECT doc_id,
+             CAST('0x' || substring(md5('shuf:1:' ||
+               CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS ord,
+             3 - ((CASE WHEN CAST(n_chars AS DOUBLE) > 200.0
+                     THEN 1 ELSE 0 END)
+                + (CASE WHEN CAST(n_chars AS DOUBLE) > 500.0
+                     THEN 1 ELSE 0 END)
+                + (CASE WHEN CAST(n_chars AS DOUBLE) > 1000.0
+                     THEN 1 ELSE 0 END)) AS band
+           FROM documents)
+         SELECT CAST(ord % 8 AS INTEGER) AS shard, band,
+           CAST(row_number() OVER (PARTITION BY ord % 8
+             ORDER BY band, ord, doc_id) AS INTEGER) AS pos,
+           doc_id, ord
+         FROM e ORDER BY shard, pos""",
 
     // materialized epoch plan: the llm_epoch_plan arithmetic chained
     // into per-doc pass expansion (range over ceil(epochs)) with the

@@ -1425,9 +1425,11 @@ class ConfigSpec extends AnyFunSuite {
       val byName = fs.sortBy(_._2)
       assert(byName.sameElements(fs.sortBy(_._4)),
         s"shard $s: file-name order must equal range order")
+      // adjacent ranges may touch at one ord value (a 32-bit hash
+      // collision split by the range boundary) but never overlap
       byName.sliding(2).foreach {
-        case Array(a, b) => assert(a._5 < b._4,
-          s"shard $s: ranges must be disjoint: $a vs $b")
+        case Array(a, b) => assert(a._5 <= b._4,
+          s"shard $s: ranges must not overlap: $a vs $b")
         case _ =>
       }
     }

@@ -2876,6 +2876,40 @@ class LlmSpec extends AnyFunSuite {
       "partition dirs must carry the shard assignment")
   }
 
+  test("curriculumOrder: clearing every threshold lands band 0; " +
+       "band-major write face serves highest quality first, " +
+       "pseudo-random within a band") {
+    import spark.implicits._
+    val d = (0 until 400).map(i =>
+        (i.toLong, (i % 4) match {
+          case 0 => 100.0; case 1 => 300.0; case 2 => 700.0
+          case _ => 2000.0
+        }))
+      .toDF("doc_id", "score")
+    val co = Mixing.curriculumOrder(d, col("score"),
+      thresholds = Seq(200.0, 500.0, 1000.0), epoch = 1, nShards = 4)
+    val bands = co.select("score", "band").distinct().collect()
+      .map(r => (r.getDouble(0), r.getInt(1))).toMap
+    assert(bands == Map(100.0 -> 3, 300.0 -> 2, 700.0 -> 1,
+      2000.0 -> 0), s"inverted threshold fold: $bands")
+    // write band-major, then each shard's files concatenate sorted
+    // by (band, ord) — the loader's curriculum schedule
+    val base = "/root/repo/target/scratch/curriculum_write"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    Mixing.epochShuffleWrite(co, nShards = 4, outDir = base,
+      filesPerShard = 2, orderCols = Seq("band", "ord"))
+    new java.io.File(base).listFiles()
+      .filter(_.getName.startsWith("shard=")).foreach { sd =>
+        val rows = sd.listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .flatMap(f => spark.read.parquet(f.getAbsolutePath)
+            .select("band", "ord").collect()
+            .map(r => (r.getInt(0), r.getLong(1))))
+        assert(rows.sameElements(rows.sorted),
+          s"${sd.getName} must serve band-major")
+      }
+  }
+
   test("pqFitReport: the training corpus gauges lower distortion " +
        "than a shifted stream; beyond-tau flags the drifted rows") {
     val books = Similarity.pqCodebooks(emb, m = 4, k = 16, iters = 2)
