@@ -788,13 +788,28 @@ object Similarity {
     // layouts — see ivfWriteIndex's attrCols — must not lose their
     // filter columns in patched partitions)
     val carried = idx.columns.filterNot(_ == "cell_id").toSeq
+    // persisted so the expensive nearestCell assignment evaluates
+    // ONCE: the stats pass below and the rewrite both read the cache
+    // (uncached this plan drove three full index scans — r12's 9.65 s
+    // llm_ivf_patch vs its 1.3 s PQ sibling)
     val re = idx.select(carried.map(col) ++ Seq(
       col("cell_id").as("_from"),
       graft.functions.SketchExprs.nearestCell(col(vecCol), newCents)
         .as("_to")): _*)
-    val affected = re.filter(col("_from") =!= col("_to"))
-      .select(explode(array(col("_from"), col("_to"))).as("c"))
-      .distinct().collect().map(_.getLong(0)).sorted
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    // moved count and affected-cell set in ONE action over the
+    // mover rows (collect_set is |cells|-bounded driver state)
+    val stats = re.filter(col("_from") =!= col("_to"))
+      .agg(count(lit(1)).as("n"),
+        // partition-dir discovery types cell_id as INT — cast before
+        // the typed getSeq[Long] below
+        collect_set(col("_from").cast("long")).as("froms"),
+        collect_set(col("_to").cast("long")).as("tos"))
+      .collect()(0)
+    val moved = stats.getLong(0)
+    val affected = (stats.getSeq[Long](1) ++ stats.getSeq[Long](2))
+      .distinct.sorted
     if (affected.isEmpty) {
       // nothing moves, but the refreshed set is now the layout's
       // model (a rebuild under newCents would produce these exact
@@ -804,7 +819,6 @@ object Similarity {
         newCents.zipWithIndex.map { case (v, i) => (0, i.toLong, v) })
       return (0L, 0L)
     }
-    val moved = re.filter(col("_from") =!= col("_to")).count()
     val tmp = new org.apache.hadoop.fs.Path(root, PatchTmpName)
     // completePendingPatch left at most pre-commit garbage here
     if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -831,6 +845,7 @@ object Similarity {
     fs.delete(tmp, true)
     spark.catalog.refreshByPath(indexDir)
     (moved, affected.length.toLong)
+    } finally re.unpersist(blocking = false)
   }
 
   private val PatchTmpName = "_patch_tmp"

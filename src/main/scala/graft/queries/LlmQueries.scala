@@ -431,6 +431,8 @@ object LlmQueries {
         emb.filter(col("vec_id") % 2 === 1), cents)
       val idxDir = "/root/repo/target/scratch/ivfpatch_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(idxDir))
       Similarity.ivfWriteIndex(emb, cents, idxDir)
       Similarity.ivfPatchIndex(s, idxDir, newC)
       val q = emb.filter(col("vec_id") % 100 === 0)
