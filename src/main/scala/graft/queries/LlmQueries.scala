@@ -2095,6 +2095,15 @@ object LlmQueries {
       Mixing.spanMaskPlan(table(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // fill-in-the-middle prep (arXiv:2207.14255): a hash-gated half
+    // of the docs rewritten <PRE>prefix<SUF>suffix<MID>middle with
+    // character cuts, the rest verbatim — the whole transform is a
+    // pure (id, text) function, so the oracle replays the gate and
+    // both cut draws exactly.
+    "llm_fim" -> ((s, dir) =>
+      Mixing.fimTransform(table(s, dir, "documents"), rate = 0.5)
+        .orderBy(col("doc_id"))),
+
     // text-only top-5 by hash-embedding cosine: the sparse-dot
     // posting join over the feature-hash vectors — similarity
     // search with no model and no dense scan (every 100th doc
@@ -8029,6 +8038,39 @@ object LlmQueries {
              ELSE 0.0 END, 6) AS density,
            CASE WHEN n_spans > 0 THEN r END AS first_start
          FROM sp ORDER BY doc_id""",
+
+    // FIM replay: the md5-h32 gate at floor(0.5*2^32) and both cut
+    // draws mod (n+1) over CHARACTER length, lo/hi-ordered, then the
+    // same three substrings — ASCII corpus so character = byte
+    // positions agree trivially.
+    "llm_fim" ->
+      """WITH base AS (
+           SELECT doc_id, text, length(text) AS n,
+             CAST(('0x' || substring(md5('fim:' ||
+               CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hs,
+             CAST(('0x' || substring(md5('fima:' ||
+               CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % (length(text) + 1) AS ca,
+             CAST(('0x' || substring(md5('fimb:' ||
+               CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % (length(text) + 1) AS cb
+           FROM documents),
+         cut AS (
+           SELECT doc_id, text, n,
+             (text IS NOT NULL AND hs < 2147483648) AS sel,
+             least(ca, cb) AS lo, greatest(ca, cb) AS hi
+           FROM base)
+         SELECT doc_id, sel AS fim_applied,
+           CASE WHEN sel THEN lo END AS cut_lo,
+           CASE WHEN sel THEN hi END AS cut_hi,
+           CASE WHEN sel THEN
+             '<PRE>' || substring(text, 1, CAST(lo AS INT)) ||
+             '<SUF>' || substring(text, CAST(hi + 1 AS INT),
+               CAST(n - hi AS INT)) ||
+             '<MID>' || substring(text, CAST(lo + 1 AS INT),
+               CAST(hi - lo AS INT))
+           ELSE text END AS fim_text
+         FROM cut ORDER BY doc_id""",
 
     // sparse-dot top-k replay: the hash-embed sparse relation on
     // both sides, integer dot/norms over shared buckets, doubles at

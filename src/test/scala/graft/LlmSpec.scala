@@ -4100,4 +4100,64 @@ class LlmSpec extends AnyFunSuite {
     assert(out(9L) == ((2L, 0.975, 1.0, 0.025)), s"${out(9L)}")
     assert(out(5L) == ((1L, 0.55, 0.0, 0.55)), s"${out(5L)}")
   }
+
+  test("fimTransform: rate gate endpoints, monotone selection, and " +
+       "PSM cut-boundary reconstruction") {
+    val d = docs.select("doc_id", "text")
+    assert(Mixing.fimTransform(d, rate = 0.0)
+      .filter(col("fim_applied")).count() == 0L, "rate 0 selects none")
+    val ids = (r: Double) => Mixing.fimTransform(d, rate = r)
+      .filter(col("fim_applied")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val (lo3, hi7) = (ids(0.3), ids(0.7))
+    assert(lo3.subsetOf(hi7),
+      "the shared h32 gate makes selection monotone in rate")
+    val n = d.count().toDouble
+    assert(lo3.size / n > 0.15 && lo3.size / n < 0.45 &&
+      hi7.size / n > 0.55 && hi7.size / n < 0.85,
+      s"gate fractions ${lo3.size / n} / ${hi7.size / n} off the rates")
+    // rate 1: every row rewritten, cuts in range, and the three
+    // substrings reassemble the original text exactly (PSM layout)
+    val all = Mixing.fimTransform(d, rate = 1.0)
+      .join(d.withColumnRenamed("text", "orig"), "doc_id")
+      .select("fim_applied", "cut_lo", "cut_hi", "fim_text", "orig")
+      .collect()
+    assert(all.nonEmpty && all.forall(_.getBoolean(0)))
+    var sawZeroLo = false; var sawFullHi = false
+    all.foreach { r =>
+      val lo = r.getLong(1).toInt; val hi = r.getLong(2).toInt
+      val t = r.getString(4)
+      assert(0 <= lo && lo <= hi && hi <= t.length,
+        s"cuts ($lo,$hi) outside [0,${t.length}]")
+      if (lo == 0) sawZeroLo = true
+      if (hi == t.length) sawFullHi = true
+      assert(r.getString(3) == "<PRE>" + t.substring(0, lo) +
+        "<SUF>" + t.substring(hi) + "<MID>" + t.substring(lo, hi))
+    }
+  }
+
+  test("fimTransform: SPM layout and NULL-text passthrough") {
+    import spark.implicits._
+    val planted = Seq((1L, "abcdefgh"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val rows = Mixing.fimTransform(planted, rate = 1.0, spm = true)
+      .orderBy("doc_id").collect()
+    val sel = rows(0)
+    assert(sel.getBoolean(1), "non-null row is selected at rate 1")
+    val lo = sel.getLong(2).toInt; val hi = sel.getLong(3).toInt
+    val t = "abcdefgh"
+    // SPM: <PRE><SUF>suffix<MID>prefix ++ middle (joined continuation)
+    assert(sel.getString(4) == "<PRE><SUF>" + t.substring(hi) +
+      "<MID>" + t.substring(0, lo) + t.substring(lo, hi))
+    val nul = rows(1)
+    assert(!nul.getBoolean(1), "NULL text never selected")
+    assert(nul.isNullAt(2) && nul.isNullAt(3), "no cuts on passthrough")
+    assert(nul.isNullAt(4), "NULL text passes through as NULL")
+    // custom sentinels ride both layouts
+    val cust = Mixing.fimTransform(planted.filter($"doc_id" === 1L),
+        rate = 1.0, preTok = "[P]", sufTok = "[S]", midTok = "[M]")
+      .collect()(0).getString(4)
+    assert(cust.startsWith("[P]") && cust.contains("[S]") &&
+      cust.contains("[M]"))
+  }
 }
