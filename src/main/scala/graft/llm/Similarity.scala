@@ -1875,7 +1875,17 @@ object Similarity {
     * narrow corpus scan for the diff + writes proportional to the
     * affected buckets' mass; a small codebook drift rewrites a few
     * buckets instead of re-encoding the corpus into a fresh index.
-    * `nBuckets` must match the value the index was written with. */
+    * `nBuckets` must match the value the index was written with.
+    *
+    * MEMBERSHIP CONTRACT: the rewrite follows the INDEX's current
+    * membership, not the corpus's — corpus rows absent from the
+    * index (taken down after the corpus was snapshotted, or never
+    * appended) are semi-joined away so a completed [[Takedown
+    * .pqTakedown]] can never be resurrected by a later patch; and
+    * the corpus must cover the index's WHOLE membership (an
+    * uncovered row could neither be re-checked for movement nor
+    * rewritten — it would serve stale codes under the advanced
+    * sidecar), or the patch fails fast before touching anything. */
   def pqPatchIndex(spark: org.apache.spark.sql.SparkSession,
                    indexDir: String, corpus: DataFrame,
                    oldBooks: Seq[Seq[Seq[Double]]],
@@ -1904,11 +1914,41 @@ object Similarity {
           slice(col(vecCol), s * sub + 1, sub), books(s))
       }: _*)
     }
+    // the patch re-encodes the STANDING membership, not whatever the
+    // caller handed us: a corpus row absent from the index (taken
+    // down, or never appended) must not resurrect into an affected
+    // bucket's rewrite — semi-join the diff frame to the index's ids
+    // (a narrow id-only scan of the code table)
+    val idxIds = spark.read.parquet(indexDir)
+      .select(col(idCol), col("pq_bucket").cast("long").as("_ib"))
     val re = corpus.select(col(idCol),
-      pmod(col(idCol), lit(nBuckets.toLong)).as("pq_bucket"),
-      enc(oldBooks).as("_old"), enc(newBooks).as("_new"))
-    val changed = re.filter(col("_old") =!= col("_new"))
-    val moved = changed.count()
+        pmod(col(idCol), lit(nBuckets.toLong)).as("pq_bucket"),
+        enc(oldBooks).as("_old"), enc(newBooks).as("_new"))
+      .join(idxIds.select(col(idCol)), Seq(idCol), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    // the converse hole: an index row the corpus can't re-encode.
+    // In an affected bucket it would VANISH from the rewrite; in any
+    // other bucket it could never be DETECTED as a mover in the
+    // first place and would serve stale codes under the advanced
+    // sidecar — so coverage must hold for the WHOLE membership, and
+    // we fail fast before any action mutates (an id-only anti-join,
+    // the cheapest scan in the patch)
+    val uncovered = idxIds
+      .join(re.select(col(idCol)), Seq(idCol), "left_anti").count()
+    require(uncovered == 0L,
+      s"pqPatchIndex: $uncovered index rows of $indexDir are " +
+        "missing from the supplied corpus — their codes could " +
+        "neither be re-checked nor rewritten under the new books; " +
+        "pass a corpus covering the index's current membership")
+    // moved count and affected-bucket set in ONE action (the
+    // collect_set is nBuckets-bounded driver state)
+    val stats = re.filter(col("_old") =!= col("_new"))
+      .agg(count(lit(1)).as("n"),
+        collect_set(col("pq_bucket")).as("bs"))
+      .collect()(0)
+    val moved = stats.getLong(0)
+    val affected = stats.getSeq[Long](1).sorted
     if (moved == 0L) {
       // same codes under both books: the standing table already IS
       // the newBooks encoding — only the sidecar needs to advance
@@ -1917,8 +1957,6 @@ object Similarity {
         booksRows(newBooks))
       return (0L, 0L)
     }
-    val affected = changed.select(col("pq_bucket"))
-      .distinct().collect().map(_.getLong(0)).sorted
     val tmp = new org.apache.hadoop.fs.Path(root, PatchTmpName)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     re.filter(col("pq_bucket").isin(affected: _*))
@@ -1933,6 +1971,7 @@ object Similarity {
     fs.delete(tmp, true)
     spark.catalog.refreshByPath(indexDir)
     (moved, affected.length.toLong)
+    } finally re.unpersist(blocking = false)
   }
 
   /** ADC top-k over a persisted [[pqWriteIndex]] code table: no

@@ -437,4 +437,56 @@ class TakedownSpec extends AnyFunSuite {
     assert(left == Set(1L),
       s"patch entry must complete the pending takedown first: $left")
   }
+
+  // shared PQ fixture for the membership-contract tests: 4-dim
+  // vectors, 2 subspaces x 2 codewords; newBooks swaps the codewords
+  // so EVERY row's codes flip and every occupied bucket is affected
+  private val pqBooks = Seq(
+    Seq(Seq(0.0, 0.0), Seq(8.0, 0.0)),
+    Seq(Seq(0.0, 0.0), Seq(0.0, 8.0)))
+  private val pqBooksSwapped = Seq(
+    Seq(Seq(8.0, 0.0), Seq(0.0, 0.0)),
+    Seq(Seq(0.0, 8.0), Seq(0.0, 0.0)))
+  private def pqPts = {
+    import spark.implicits._
+    Seq(
+      (1L, Seq(1.0f, 0.0f, 1.0f, 0.0f)),
+      (2L, Seq(7.0f, 0.0f, 1.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.0f, 9.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("pqPatchIndex: a COMPLETED pqTakedown is not resurrected by a " +
+       "later patch called with the original (stale) corpus") {
+    val base = scratch("pq_patch_membership")
+    Similarity.pqWriteIndex(pqPts, pqBooks, base, nBuckets = 4)
+    assert(Takedown.pqTakedown(spark, base,
+      idsDf(Seq(2L), "vec_id")) == ((1L, 1L)))
+    // the caller still holds the pre-takedown corpus snapshot: the
+    // rewrite must follow the INDEX's membership, not the corpus's
+    val (moved, parts) = Similarity.pqPatchIndex(spark, base, pqPts,
+      pqBooks, pqBooksSwapped, nBuckets = 4)
+    assert(moved == 2L && parts == 2L,
+      s"only standing rows re-encode, got ($moved, $parts)")
+    val left = spark.read.parquet(base).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(left == Set(1L, 3L), s"taken-down id resurrected: $left")
+  }
+
+  test("pqPatchIndex fails fast (before any mutation) when the corpus " +
+       "cannot cover an affected bucket's standing rows") {
+    import spark.implicits._
+    val base = scratch("pq_patch_uncovered")
+    Similarity.pqWriteIndex(pqPts, pqBooks, base, nBuckets = 4)
+    val before = listing(s"$base/pq_bucket=3")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqPatchIndex(spark, base,
+        pqPts.filter($"vec_id" =!= 3L), pqBooks, pqBooksSwapped,
+        nBuckets = 4)
+    }
+    assert(e.getMessage.contains("missing from the supplied corpus"))
+    assert(listing(s"$base/pq_bucket=3") == before,
+      "failed patch must leave the index byte-identical")
+    assert(spark.read.parquet(base).count() == 3L)
+  }
 }
