@@ -879,6 +879,69 @@ object IngestStream {
     (drop.length.toLong, rows)
   }
 
+  private val compactLog =
+    org.slf4j.LoggerFactory.getLogger("graft.streaming.compact")
+
+  /** Name of the sidecar each compact partition carries recording the
+    * exact source partitions its fold consumed — one line per file,
+    * `dirName TAB relativePath TAB length` — so recovery can tell a
+    * true crash leftover (content matches what the fold read) from
+    * NEW mass that landed under a covered id afterwards (a batch
+    * later than an ahead-of-stream watermark, or a checkpoint reset
+    * reusing folded ids: parquet part-file names are per-job UUIDs,
+    * so reused ids never collide with the recorded listing).
+    * Underscore-prefixed, so parquet readers never see it; written
+    * into the invisible temp dir, it travels with the rename, atomic
+    * with the fold landing. */
+  private[graft] val CompactSourcesMarker = "_COMPACT_SOURCES"
+
+  /** Recursive (relativePath, length) listing of one partition dir —
+    * the content identity the marker records and recovery compares.
+    * Checksum shadows are already hidden by the FS layer. */
+  private def fileSig(fs: org.apache.hadoop.fs.FileSystem,
+                      dir: org.apache.hadoop.fs.Path)
+      : Set[(String, Long)] = {
+    val base = dir.toUri.getPath
+    def walk(p: org.apache.hadoop.fs.Path): Seq[(String, Long)] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else Seq((st.getPath.toUri.getPath.stripPrefix(base)
+          .stripPrefix("/"), st.getLen))
+      }
+    walk(dir).toSet
+  }
+
+  private def writeSourcesMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                 dir: org.apache.hadoop.fs.Path,
+                                 sources: Seq[(String, Set[(String, Long)])])
+      : Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dir, CompactSourcesMarker), true)
+    try out.write(sources.sortBy(_._1).flatMap { case (name, sig) =>
+      sig.toSeq.sorted.map { case (rel, len) => s"$name\t$rel\t$len" }
+    }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readSourcesMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                dir: org.apache.hadoop.fs.Path)
+      : Option[Map[String, Set[(String, Long)]]] = {
+    val p = new org.apache.hadoop.fs.Path(dir, CompactSourcesMarker)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toSeq
+        .map { line =>
+          val Array(name, rel, len) = line.split("\t", 3)
+          (name, (rel, len.toLong))
+        }.groupBy(_._1).map { case (n, xs) =>
+          n -> xs.map(_._2).toSet
+        })
+      finally in.close()
+    }
+  }
+
   /** The shared compaction machinery: list `ingest_batch=` partitions
     * covered by the watermark (non-negative ids ≤ watermark, and
     * prior compacts `-(id)-1 ≤ watermark`), apply `fold` to their
@@ -886,7 +949,20 @@ object IngestStream {
     * via write-to-invisible-temp → rename → delete-sources. The
     * reserved partition's existence marks a completed fold, so a
     * rerun only finishes the deletes — see [[cmsCompact]]'s crash
-    * matrix. */
+    * matrix.
+    *
+    * Crash-leftover recovery is MARKER-EXACT: each compact partition
+    * carries a [[CompactSourcesMarker]] sidecar naming the source
+    * partitions its fold actually consumed, and recovery deletes
+    * exactly the still-present named ones. A live partition covered
+    * by a compact's watermark but absent from every marker is NOT a
+    * leftover — it landed after a compaction ran with a watermark
+    * ahead of it, or after a lost checkpoint restarted micro-batch
+    * ids — and it survives to be folded by a later compaction
+    * (reads stay correct throughout: serving unions compacts with
+    * live batches). The pre-marker scheme deleted every live id
+    * below the max coverage on entry, silently losing exactly that
+    * late-landing mass. */
   private[graft] def compactPartitions(
       spark: org.apache.spark.sql.SparkSession,
       dir: String, watermark: Long)
@@ -907,33 +983,66 @@ object IngestStream {
     val tmp = new org.apache.hadoop.fs.Path(root,
       s"_compact_tmp_$watermark")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    // INVARIANT RESTORATION (crash at any EARLIER watermark): a compact
-    // partition's existence is proof that every partition it covers
-    // already landed in it, so any still-present covered partition is a
-    // crash leftover whose mass would be folded TWICE by this (or any
-    // later) compaction. Delete those leftovers first — recovery is
-    // then automatic at whatever watermark the next scheduled call
-    // happens to use, not just a same-watermark rerun.
-    val priorCompacts = fs.listStatus(root).map(_.getPath)
-      .flatMap(partId).filter(_ < 0).map(m => -m - 1)
-    if (priorCompacts.nonEmpty) {
-      val jmax = priorCompacts.max
-      fs.listStatus(root).map(_.getPath).foreach { p =>
-        partId(p).foreach { id =>
-          val leftover = (id >= 0 && id <= jmax) ||
-            (id < 0 && -id - 1 < jmax)
-          if (leftover) fs.delete(p, true)
+    // INVARIANT RESTORATION (crash between a fold's rename and its
+    // source deletes, at any earlier watermark): finish exactly the
+    // deletes each landed compact's marker records. Markerless
+    // (pre-upgrade) compacts coexisting with covered live partitions
+    // are ambiguous — refuse loudly rather than guess.
+    fs.listStatus(root).map(_.getPath)
+      .filter(p => partId(p).exists(_ < 0)).foreach { cp =>
+        readSourcesMarker(fs, cp) match {
+          case Some(recorded) => recorded.foreach { case (n, sig) =>
+            val p = new org.apache.hadoop.fs.Path(root, n)
+            if (fs.exists(p)) {
+              if (fileSig(fs, p) == sig) fs.delete(p, true)
+              else compactLog.warn(
+                s"compactPartitions: $dir/$n is covered by " +
+                  s"${cp.getName} but its content differs from what " +
+                  "that fold consumed — treating it as NEW mass " +
+                  "(late landing or checkpoint-reset id reuse) and " +
+                  "keeping it live for a later fold")
+            }
+          }
+          case None =>
+            val jcov = -partId(cp).get - 1
+            val ambiguous = fs.listStatus(root).map(_.getPath)
+              .filter(p => p.getName != cp.getName && partId(p).exists(
+                id => if (id >= 0) id <= jcov else -id - 1 < jcov))
+              .map(_.getName)
+            require(ambiguous.isEmpty,
+              s"compactPartitions: $dir has a markerless compact " +
+                s"${cp.getName} coexisting with partitions it covers " +
+                s"(${ambiguous.mkString(", ")}) — cannot tell crash " +
+                "leftovers from late-landing batches; inspect with " +
+                "layerDoctor and delete or re-key them manually")
         }
       }
-    }
     val sources = fs.listStatus(root).map(_.getPath)
       .filter(p => partId(p).exists(id => covered(id) && id != targetId))
     if (fs.exists(target)) {
-      // a previous attempt already landed the fold — finish the deletes
-      sources.foreach(fs.delete(_, true))
+      // a previous attempt already landed the fold — the marker
+      // restoration above finished its deletes; a markerless target
+      // is legacy, where every covered source was by construction
+      // consumed by the fold that produced it
+      if (readSourcesMarker(fs, target).isEmpty)
+        sources.foreach(fs.delete(_, true))
     } else if (sources.nonEmpty) {
+      val maxLive = sources.flatMap(partId).filter(_ >= 0)
+        .foldLeft(-1L)(math.max)
+      if (maxLive >= 0 && watermark > maxLive)
+        compactLog.warn(
+          s"compactPartitions: watermark $watermark is ahead of the " +
+            s"newest landed batch $maxLive in $dir — batches landing " +
+            s"in ($maxLive, $watermark] after this fold will stay " +
+            "live until a later compaction covers them (correct, but " +
+            "usually a scheduling bug)")
+      // snapshot the source content identities BEFORE the fold reads
+      // them — the marker must describe exactly what was consumed
+      val sourceSigs = sources.map(p =>
+        p.getName -> fileSig(fs, p)).toIndexedSeq
       fold(spark.read.parquet(sources.map(_.toString).toIndexedSeq: _*))
         .write.parquet(tmp.toString)
+      writeSourcesMarker(fs, tmp, sourceSigs)
       require(fs.rename(tmp, target),
         s"compaction rename $tmp -> $target failed")
       sources.foreach(fs.delete(_, true))

@@ -1476,6 +1476,69 @@ class StreamingSpec extends AnyFunSuite {
       "later-watermark compaction after a crash must not double-count")
   }
 
+  test("compaction keeps mass it did not fold: batches landing under " +
+       "already-covered ids (ahead watermark / checkpoint-reset id " +
+       "reuse) survive recovery and fold later") {
+    import graft.streaming.IngestStream
+    import spark.implicits._
+    val base = "/root/repo/target/scratch/cms_latemass"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val dir = s"$base/sketch"
+    IngestStream.cmsBatch(
+      Seq((1L, "a a b")).toDF("doc_id", "text"), dir, batchId = 0L)
+    def cells() = IngestStream.cmsLayerRead(spark, dir)
+      .select("row", "bucket", "cnt").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def partIds() = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("ingest_batch="))
+      .map(_.drop("ingest_batch=".length).toLong).toSet
+    // scheduling bug: compact with a watermark AHEAD of the newest
+    // landed batch — coverage claims batches 1,2 that don't exist yet
+    IngestStream.cmsCompact(spark, dir, watermark = 2L)
+    assert(partIds() == Set(-3L))
+    // a late batch lands inside the claimed coverage, and a NEW
+    // batch reuses the already-folded id 0 (checkpoint reset)
+    IngestStream.cmsBatch(
+      Seq((2L, "c")).toDF("doc_id", "text"), dir, batchId = 1L)
+    IngestStream.cmsBatch(
+      Seq((3L, "d d")).toDF("doc_id", "text"), dir, batchId = 0L)
+    spark.catalog.refreshByPath(dir)
+    val want = cells()
+    // rerun at the SAME watermark (target exists): the old jmax sweep
+    // deleted both live batches here — they must survive untouched
+    IngestStream.cmsCompact(spark, dir, watermark = 2L)
+    assert(partIds() == Set(-3L, 0L, 1L), s"got ${partIds()}")
+    assert(cells() == want, "recovery must not delete unfolded mass")
+    // entry at a LATER watermark must also keep them — and fold them
+    IngestStream.cmsCompact(spark, dir, watermark = 5L)
+    assert(partIds() == Set(-6L), s"got ${partIds()}")
+    assert(cells() == want,
+      "the late mass folds into the next compact exactly once")
+  }
+
+  test("a markerless (legacy) compact coexisting with covered live " +
+       "ids refuses to compact instead of guessing") {
+    import graft.streaming.IngestStream
+    import spark.implicits._
+    val base = "/root/repo/target/scratch/cms_markerless"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val dir = s"$base/sketch"
+    IngestStream.cmsBatch(
+      Seq((1L, "a b")).toDF("doc_id", "text"), dir, batchId = 0L)
+    IngestStream.cmsCompact(spark, dir, watermark = 0L)
+    // strip the sources marker — the pre-upgrade on-disk state
+    assert(new java.io.File(s"$dir/ingest_batch=-1/_COMPACT_SOURCES")
+      .delete())
+    IngestStream.cmsBatch(
+      Seq((2L, "c")).toDF("doc_id", "text"), dir, batchId = 0L)
+    val e = intercept[IllegalArgumentException] {
+      IngestStream.cmsCompact(spark, dir, watermark = 1L)
+    }
+    assert(e.getMessage.contains("markerless"), e.getMessage)
+    // nothing was deleted by the refused entry
+    assert(new java.io.File(s"$dir/ingest_batch=0").exists())
+  }
+
   test("windowedTrending guards: oversized / unsummed sketch frames " +
        "fail fast; the layer-path overloads derive geometry from the " +
        "sidecar and match the explicit path") {
