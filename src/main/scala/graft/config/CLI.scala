@@ -25,6 +25,40 @@ import org.apache.spark.sql.functions._
   */
 object CLI {
 
+  /** Recursively delete a pipeline-owned layer directory — but only
+    * after verifying it actually LOOKS like a layer layout. The
+    * layer's location is user-rebindable (`--loc`), so a mistyped or
+    * mis-bound path must not silently rm -rf an arbitrary directory.
+    * Recognized children: the partition families the engine writes
+    * (`ingest_batch=`/`cell_id=`/`pq_bucket=`), the bm25 split
+    * (`postings`/`stats`, each checked one level down), protocol
+    * temp dirs and sidecars (underscore/dot names), and parquet part
+    * files. Anything else fails fast with the offending entries. */
+  private[graft] def deleteLayerDirGuarded(
+      fs: org.apache.hadoop.fs.FileSystem,
+      lp: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(lp)) return
+    def foreign(st: org.apache.hadoop.fs.FileStatus,
+                depth: Int): Seq[String] = {
+      val n = st.getPath.getName
+      val ok = n.startsWith("_") || n.startsWith(".") ||
+        n.startsWith("ingest_batch=") || n.startsWith("cell_id=") ||
+        n.startsWith("pq_bucket=") || n.startsWith("part-") ||
+        n.endsWith(".parquet")
+      if (ok) Nil
+      else if (st.isDirectory && depth == 0 &&
+          (n == "postings" || n == "stats"))
+        fs.listStatus(st.getPath).toSeq.flatMap(foreign(_, 1))
+      else Seq(n)
+    }
+    val bad = fs.listStatus(lp).toSeq.flatMap(foreign(_, 0))
+    require(bad.isEmpty,
+      s"refusing to delete $lp: it does not look like a layer " +
+        s"layout (unexpected entries: ${bad.take(5).mkString(", ")}) " +
+        "— check the --loc binding for the layer sink")
+    fs.delete(lp, true)
+  }
+
   /** A runnable, spec-bindable pipeline: a task + its option schema. */
   final case class Registered(
       name: String,
@@ -691,7 +725,7 @@ object CLI {
             val lp = new org.apache.hadoop.fs.Path(layerDir)
             val lfs = lp.getFileSystem(
               spark.sparkContext.hadoopConfiguration)
-            if (lfs.exists(lp)) lfs.delete(lp, true)
+            deleteLayerDirGuarded(lfs, lp)
             kind match {
               case "bm25" =>
                 val docs = r.read()
@@ -841,7 +875,7 @@ object CLI {
                 val lp = new org.apache.hadoop.fs.Path(layerDir)
                 val lfs = lp.getFileSystem(
                   spark.sparkContext.hadoopConfiguration)
-                if (lfs.exists(lp)) lfs.delete(lp, true)
+                deleteLayerDirGuarded(lfs, lp)
               }
               // per kind: (rows removed, partitions rewritten,
               // standing mass left — rows for the row-keyed layers,
@@ -967,7 +1001,7 @@ object CLI {
               val lp = new org.apache.hadoop.fs.Path(layerDir)
               val lfs = lp.getFileSystem(
                 spark.sparkContext.hadoopConfiguration)
-              if (lfs.exists(lp)) lfs.delete(lp, true)
+              deleteLayerDirGuarded(lfs, lp)
               val docs = r.read()
               (0 until batches).foreach { b =>
                 docs.filter(col("doc_id") % batches === b)

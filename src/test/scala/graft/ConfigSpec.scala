@@ -882,6 +882,43 @@ class ConfigSpec extends AnyFunSuite {
       "pq layer must be bucket-partitioned (the patch rewrite unit)")
   }
 
+  test("index pipeline refuses to delete a mis-bound layer dir that " +
+       "is not a layer layout (the --loc rm -rf guard)") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    val base = "/root/repo/target/scratch/cli_index_guard"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    // the binding may resolve bare or ext-completed — plant the
+    // foreign content at both candidates so the guard must face it
+    Seq(s"$base/precious", s"$base/precious.parquet").foreach { d =>
+      new java.io.File(d).mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$d/notes.txt"), "keep me")
+    }
+    val specFile = s"$base/index.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(specFile),
+      s"""data: {kind: bm25, batches: 2, topK: 3}
+         |locations:
+         |  /documents: /root/testdata/sf0.001/documents.parquet
+         |  /Index/layer: $base/precious
+         |  /Outputs/serve: $base/serve.parquet
+         |""".stripMargin)
+    val e = intercept[Throwable] {
+      CLI.run(Array("index", "run", specFile), spark)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("refusing to delete")),
+      s"got: ${msgs(e).mkString(" | ")}")
+    Seq(s"$base/precious", s"$base/precious.parquet").foreach { d =>
+      assert(java.nio.file.Files.readString(java.nio.file.Paths.get(
+          s"$d/notes.txt")) == "keep me",
+        s"the mis-bound directory $d must be untouched")
+    }
+  }
+
   test("takedown pipeline: config-bound removal from a standing " +
        "layer with the audit row as output; build=false rerun audits " +
        "a no-op; bm25 and ivf kinds run the same lifecycle") {
