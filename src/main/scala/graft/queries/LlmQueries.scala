@@ -2700,6 +2700,64 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // hybrid retrieval, DEPLOYED SHAPE: the same RRF fusion fed from
+    // the STANDING layers a production system would hold — the BM25
+    // postings layer (two ingest batches, served via
+    // bm25TopKFromPostings: no corpus rescan, no tf recompute) and
+    // the persisted IVF index (sidecar-derived centroids, probed-cell
+    // partition pruning). The inline-ranker twin above is the audit
+    // form; this is the shape whose cost survives 100 TB, and the
+    // oracle replays both rankers relationally (full BM25 + unrolled
+    // Lloyd chain with nProbe=4) so the layered serves are proven,
+    // not assumed, equal to their one-shot forms.
+    "llm_rrf_indexed" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"/root/repo/target/scratch/rrfidx_$suffix"
+      val bmDir = s"$base/bm25"
+      val ivfDir = s"$base/ivf"
+      // STANDING layers: built once per corpus (the _READY sentinel
+      // lands after a complete build), then every invocation serves
+      // from them — the deployed cost shape. The bench's min column
+      // therefore times the hybrid SERVE; the single-shot column
+      // includes the one-time build. A wrong or stale layer cannot
+      // hide: the serve is hash-checked against the full relational
+      // replay of both rankers.
+      if (!new java.io.File(s"$base/_READY").exists()) {
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(base))
+        val corpus = docs.filter(col("doc_id") % 100 =!= 0)
+        TextAnalysis.bm25PostingsBatch(
+          corpus.filter(col("doc_id") % 2 === 0), bmDir, batchId = 0L)
+        TextAnalysis.bm25PostingsBatch(
+          corpus.filter(col("doc_id") % 2 =!= 0), bmDir, batchId = 1L)
+        val cents = Similarity.kmeansCentroids(emb, nCells = 16,
+          iters = 2)
+        Similarity.ivfWriteIndex(
+          emb.filter(col("vec_id") % 100 =!= 0), cents, ivfDir)
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(s"$base/_READY"))
+      }
+      val lex = TextAnalysis.bm25TopKFromPostings(s, bmDir,
+        docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(TextAnalysis.tokens(col("text")), 1, 8),
+              " ").as("text")),
+        k = 20)
+      val dense = Similarity.ivfTopKIndexedAuto(s, ivfDir,
+        emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("query_vec")),
+        k = 20, nProbe = 4)
+      Similarity.rrfFuse(
+          lex.select(col("query_id"), col("doc_id"), col("rank")),
+          dense.select(col("query_id"),
+            col("vec_id").as("doc_id"), col("rank")),
+          k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // count-min sketch audit: 4x16 counter state (vs the 31-token
     // vocab, so collisions actually occur and the one-sided error is
     // visible) graded against exact counts for the top-20 tokens.
@@ -3610,6 +3668,95 @@ object LlmQueries {
              ORDER BY cosine DESC, vec_id ASC) AS rank
          FROM scored) WHERE rank <= 10
        ORDER BY query_id, rank"""
+  }
+
+  /** Deployed-shape hybrid retrieval replay: the llm_rrf_fusion
+    * fusion arithmetic verbatim, but the dense leg is the PROBED IVF
+    * ranking (unrolled Lloyd chain, nProbe=4, corpus minus queries)
+    * instead of the brute cosine — so the hash proves the standing
+    * BM25-postings serve AND the persisted-index serve compose into
+    * the exact fusion a one-shot computation yields. */
+  private def rrfIndexedOracle: String = {
+    val (ctes, cN) = kmeansAsgCtes(2)
+    val cos =
+      s"""(list_sum(list_transform(list_zip(a.embedding, p.qv),
+            t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(p.qv,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
+    raw"""WITH $ctes,
+       prb AS (
+         SELECT vec_id AS query_id, embedding AS qv, cell FROM (
+           SELECT e.vec_id, e.embedding, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${sqdSql("e.embedding", "c.cvec")} ASC,
+                 c.cell ASC) AS rnk
+           FROM embeddings e CROSS JOIN $cN c
+           WHERE e.vec_id % 100 = 0) WHERE rnk <= 4),
+       iscored AS (
+         SELECT p.query_id, a.vec_id AS doc_id,
+           round($cos, 6) AS cosine
+         FROM asgf a JOIN prb p ON a.cell_id = p.cell
+         WHERE a.vec_id % 100 <> 0),
+       den AS (
+         SELECT query_id, doc_id, CAST(rk AS BIGINT) AS rank_b
+         FROM (SELECT query_id, doc_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC)
+             AS rk
+           FROM iscored) WHERE rk <= 20),
+       tok AS (
+         SELECT doc_id, list_filter(
+           regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+         FROM documents),
+       corpus AS (SELECT doc_id, tk FROM tok WHERE doc_id % 100 <> 0),
+       q AS (SELECT doc_id AS query_id, tk[1:8] AS tk FROM tok
+             WHERE doc_id % 100 = 0),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+           SELECT doc_id, unnest(tk) AS term FROM corpus)
+         GROUP BY doc_id, term),
+       dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       dl AS (SELECT doc_id, len(tk) AS dl FROM corpus),
+       st AS (SELECT count(*) AS n,
+                CAST(SUM(len(tk)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                  AS avgdl
+              FROM corpus),
+       qt AS (SELECT DISTINCT query_id, unnest(tk) AS term FROM q),
+       sc AS (
+         SELECT qt.query_id, tf.doc_id,
+           round(CAST(SUM(CAST(
+             ln(1.0 + (CAST(st.n AS DOUBLE) - CAST(dft.df AS DOUBLE)
+                 + 0.5) / (CAST(dft.df AS DOUBLE) + 0.5))
+             * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+             / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+                 + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl)))
+           AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+         FROM qt JOIN tf USING (term) JOIN dft USING (term)
+           JOIN dl ON dl.doc_id = tf.doc_id, st
+         GROUP BY qt.query_id, tf.doc_id),
+       lex AS (
+         SELECT query_id, doc_id, CAST(rk AS BIGINT) AS rank_a
+         FROM (SELECT query_id, doc_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id ASC)
+             AS rk
+           FROM sc)
+         WHERE rk <= 20),
+       fused AS (
+         SELECT coalesce(l.query_id, d.query_id) AS query_id,
+           coalesce(l.doc_id, d.doc_id) AS doc_id,
+           l.rank_a AS rank_a, d.rank_b AS rank_b,
+           round(coalesce(1.0 / (60.0 + l.rank_a), 0.0)
+               + coalesce(1.0 / (60.0 + d.rank_b), 0.0), 6)
+             AS rrf_score
+         FROM lex l FULL OUTER JOIN den d
+           ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+       SELECT query_id, CAST(rk AS BIGINT) AS rank, doc_id,
+         rrf_score, rank_a, rank_b
+       FROM (SELECT query_id, doc_id, rrf_score, rank_a, rank_b,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY rrf_score DESC, doc_id ASC) AS rk
+         FROM fused)
+       WHERE rk <= 10 ORDER BY query_id, rank"""
   }
 
   /** SemDeDup: same final Lloyd assignment, then within-cell
@@ -7932,6 +8079,8 @@ object LlmQueries {
                ORDER BY rrf_score DESC, doc_id ASC) AS rk
            FROM fused)
          WHERE rk <= 10 ORDER BY query_id, rank""",
+
+    "llm_rrf_indexed" -> rrfIndexedOracle,
 
     "llm_cms" -> cmsOracle,
 
