@@ -1382,6 +1382,8 @@ object CLI {
       reg.options.unknownKeys(optionData).foreach(k =>
         System.err.println(s"[$name] WARNING: unknown option key '$k' " +
           "in spec (no declared field matches; it will be ignored)"))
+      reg.options.typeChangeWarnings(Some(optionData), cliArgs)
+        .foreach(w => System.err.println(s"[$name] WARNING: $w"))
       cmd match {
         case "run" =>
           val opts = reg.options.resolveStrict(Some(optionData), cliArgs)

@@ -67,7 +67,14 @@ final case class OptionsSchema(fields: Seq[OptField]) {
     * `options:` JSON object (dotted-path lookup), overlaid with CLI
     * `--path value` flags. Highest priority wins. */
   def resolve(spec: Option[JValue], cliArgs: Seq[String])
-      : Map[String, (OptValue, OptSource)] = {
+      : Map[String, (OptValue, OptSource)] =
+    resolveLayers(spec, cliArgs).toMap
+
+  /** The full override chain per field, in priority order (defaults,
+    * then spec, then CLI left-to-right) — [[resolve]] is its last-
+    * wins collapse; [[typeChangeWarnings]] walks the steps. */
+  private def resolveLayers(spec: Option[JValue], cliArgs: Seq[String])
+      : Seq[(String, (OptValue, OptSource))] = {
     def lookup(j: JValue, path: Seq[String]): Option[JValue] =
       path.foldLeft(Option(j))((acc, seg) => acc.flatMap(_ \ seg))
     val fromDefaults = fields.flatMap(f =>
@@ -115,7 +122,37 @@ final case class OptionsSchema(fields: Seq[OptField]) {
         }
       }
     }.sortBy(_._1).map(_._2)
-    (fromDefaults ++ fromSpec ++ fromCli).toMap
+    fromDefaults ++ fromSpec ++ fromCli
+  }
+
+  /** Warnings for overrides that CHANGE a declared value's type
+    * (reference ConfigurationReader.hs:134-151: "Overriding a string
+    * with a number") — a spec or CLI value of a different shape than
+    * what it replaces is almost always a config typo (`--batches two`,
+    * a YAML scalar where a list was meant), and it previously coerced
+    * silently. Same-type overrides stay silent. */
+  def typeChangeWarnings(spec: Option[JValue], cliArgs: Seq[String])
+      : Seq[String] = {
+    def tn(v: OptValue): String = v match {
+      case _: OptStr  => "a string"
+      case _: OptNum  => "a number"
+      case _: OptBool => "a bool"
+      case _: OptList => "an array"
+    }
+    def sn(s: OptSource): String = s match {
+      case OptSource.Default  => "default"
+      case OptSource.SpecFile => "spec"
+      case OptSource.Cli      => "CLI"
+    }
+    val byPath = resolveLayers(spec, cliArgs).groupBy(_._1)
+    fields.flatMap { f =>
+      byPath.getOrElse(f.path, Nil).map(_._2)
+        .sliding(2).collect {
+          case Seq((a, sa), (b, sb)) if tn(a) != tn(b) =>
+            s"'${f.path}': ${sn(sb)} override replaces the ${sn(sa)} " +
+              s"value (${tn(a)}) with ${tn(b)}"
+        }.toSeq
+    }
   }
 
   /** Spec keys that match no declared field — surfaced as warnings so

@@ -405,6 +405,39 @@ class ConfigSpec extends AnyFunSuite {
     assert(unknown == Seq("p.typo"))
   }
 
+  test("type-change warnings: overrides that change a declared " +
+       "value's type warn; same-type overrides stay silent") {
+    import graft.config._
+    import graft.serial._
+    val schema = OptionsSchema(Seq(
+      OptField("batches", Some(OptNum(2)), ""),
+      OptField("kind", Some(OptStr("bm25")), ""),
+      OptField("dryRun", Some(OptBool(false)), "")))
+    // CLI string where a number was declared (the config-typo class)
+    val w1 = schema.typeChangeWarnings(None, Seq("--batches", "two"))
+    assert(w1.size == 1 && w1.head.contains("'batches'") &&
+      w1.head.contains("a number") && w1.head.contains("a string"), w1)
+    // same-type overrides: silent
+    assert(schema.typeChangeWarnings(None,
+      Seq("--batches", "5", "--kind", "ivf")).isEmpty)
+    // spec-layer change: number where a string was declared
+    val w2 = schema.typeChangeWarnings(
+      Some(JObj(Seq("kind" -> JNum(3)))), Nil)
+    assert(w2.size == 1 && w2.head.contains("'kind'") &&
+      w2.head.contains("spec"), w2)
+    // chain: spec changes the type, CLI changes it back — BOTH
+    // steps warn (each override is checked against what it replaces)
+    val w3 = schema.typeChangeWarnings(
+      Some(JObj(Seq("kind" -> JNum(3)))), Seq("--kind", "ivf"))
+    assert(w3.size == 2, w3)
+    // boolean shorthands against a declared bool: silent
+    assert(schema.typeChangeWarnings(None, Seq("--dryRun")).isEmpty)
+    assert(schema.typeChangeWarnings(None, Seq("--no-dryRun")).isEmpty)
+    // resolution itself is unchanged by the warning
+    assert(schema.resolve(None, Seq("--batches", "two"))("batches")._1
+      == OptStr("two"))
+  }
+
   test("spec migration: rename, default, nest, map (RecBijection family)") {
     import graft.config.SpecMigration._
     import graft.serial._
