@@ -794,6 +794,50 @@ object ScaleBench {
           graft.llm.Takedown.layerTakedown(spark, ldir, ids, "doc_id"))
         report("takedown_layer", f, nDocs, rm, tdt)
       }
+      // bm25 takedown over a standing postings layer: batch 0 is the
+      // fixed-size first copy (holds every takedown id), batch 1 the
+      // growing remainder — the rewrite touches batch 0's postings/
+      // stats partitions only (∝ affected-batch mass, flat), while the
+      // id discovery semi-join is the one corpus-linear term
+      if (enabled("bm25_takedown")) {
+        val bdir = s"$scratch/bm25_takedown_$f"
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(bdir))
+        graft.llm.TextAnalysis.bm25PostingsBatch(
+          docs.filter(col("doc_id") < copyStride), bdir, batchId = 0L)
+        if (f > 1)
+          graft.llm.TextAnalysis.bm25PostingsBatch(
+            docs.filter(col("doc_id") >= copyStride), bdir,
+            batchId = 1L)
+        val ids = docs0.filter(col("doc_id") % 10 === 3)
+          .select("doc_id")
+        val ((brm, _), tbt) = timed(
+          graft.llm.Takedown.bm25Takedown(spark, bdir, ids))
+        report("bm25_takedown", f, nDocs, brm, tbt)
+      }
+      // cms takedown: the sketch debit re-sketches ONLY the removed
+      // docs' text (fixed mass here) — the corpus semi-join that
+      // finds them is the linear term; the fold itself is
+      // geometry-bounded (d·w cells per batch partition)
+      if (enabled("cms_takedown")) {
+        val sdir = s"$scratch/cms_takedown_sketch_$f"
+        val cdir = s"$scratch/cms_takedown_corpus_$f"
+        Seq(sdir, cdir).foreach(d =>
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(d)))
+        copyLayer(cdir)
+        graft.streaming.IngestStream.cmsBatch(
+          docs.filter(col("doc_id") < copyStride), sdir, batchId = 0L)
+        if (f > 1)
+          graft.streaming.IngestStream.cmsBatch(
+            docs.filter(col("doc_id") >= copyStride), sdir,
+            batchId = 1L)
+        val ids = docs0.filter(col("doc_id") % 10 === 3)
+          .select("doc_id")
+        val (crm, tct) = timed(
+          graft.llm.Takedown.cmsTakedown(spark, sdir, cdir, ids))
+        report("cms_takedown", f, nDocs, crm, tct)
+      }
       // retention: whole-partition deletes — no data read beyond the
       // footer-bounded audit count; should stay near-flat even as the
       // DROPPED mass grows with the corpus
