@@ -211,6 +211,21 @@ object Takedown {
         (if (compacts.nonEmpty)
           s", ${compacts.size} compact (coverage <= ${
             compacts.map(c => -c - 1).max})" else "")))
+      if (compacts.nonEmpty) {
+        // each compact should carry the sources sidecar its fold
+        // consumed — a markerless (pre-upgrade) compact makes
+        // compaction refuse while covered live ids coexist
+        val markerless = compacts.filterNot(c => fs.exists(
+          new Path(new Path(root, s"ingest_batch=$c"),
+            graft.streaming.IngestStream.CompactSourcesMarker)))
+        out += (("compact-sources-markers",
+          if (markerless.isEmpty) "present" else "missing",
+          if (markerless.isEmpty)
+            "every compact records the sources its fold consumed"
+          else s"markerless compacts ${markerless.sorted.mkString(",")}" +
+            ": compaction refuses while covered live ids coexist — " +
+            "re-key or delete those live partitions manually"))
+      }
     }
     Seq("cell_id=" -> "ivf-cells", "pq_bucket=" -> "pq-buckets")
       .foreach { case (p, label) =>

@@ -1591,6 +1591,115 @@ object TextAnalysis {
       .select(col(queryIdCol), col("rank"), col(idCol), col("cosine"))
   }
 
+  /** Distilled quality/language classifier: a fastText-style linear
+    * model over the [[hashEmbedSparse]] bag-of-words features,
+    * trained by `rounds` of FULL-BATCH gradient descent against a
+    * binary teacher column (a heuristic gate, a language flag, a
+    * labeled sample) — the standard way a cheap heuristic is
+    * distilled into a score every 100 TB curation pipeline can
+    * apply as one projection (CCNet/LLaMA-style quality filtering).
+    *
+    * Every step is DETERMINISTIC-REPLAYABLE, the trainer-oracle
+    * discipline of the BPE/unigram/Lloyd chains: features are the
+    * SIGNED PRESENCE values `x = sign(Σ ±tf) ∈ {-1,0,+1}` per bucket
+    * plus a bias feature (exact integers end-to-end — see the
+    * feature comment in the body for why magnitudes are deliberately
+    * flattened), per-doc logits and per-bucket gradients are
+    * DECIMAL(38,18)-cast sums (order-free), the weight update is a
+    * fixed IEEE chain `w + lr·(g/N)`, and the link is the RATIONAL
+    * sigmoid `0.5 + 0.5·z/(1+|z|)` — division and abs are exactly
+    * rounded IEEE ops, so unlike exp the replayed training
+    * trajectory is bit-identical in any engine, with no
+    * round-and-pray step inside the loop. w starts at 0, so round
+    * 1's residuals are exact halves. Weights are model-bounded
+    * driver state (`dim` doubles per round — the kmeans/BPE
+    * pattern); docs with no tokens score exactly 0.5 and never move
+    * a gradient.
+    *
+    * Emits one row per doc: `(idCol, label, score, pred)` with
+    * `score = round(σ(w_final·x), 6)` — the deployable artifact is
+    * `weights` applied as a free projection on the export scan.
+    *
+    * Scale: one tokenize+hash pass builds the persisted feature
+    * relation (≤ dim rows per doc, text never shuffles again); each
+    * round is one dim-bounded aggregate plus one doc-keyed join with
+    * map-side partials. Training cost is `rounds` passes over the
+    * dim-wide features, not the text. */
+  def qualityClassifier(docs: DataFrame, labelExpr: Column,
+                        dim: Int = 64, rounds: Int = 16,
+                        lr: Double = 32.0, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(rounds >= 1 && dim >= 1 && lr > 0.0,
+      s"need rounds >= 1, dim >= 1, lr > 0 (got $rounds, $dim, $lr)")
+    val spark = docs.sparkSession
+    val dec = "decimal(38,18)"
+    val h = graft.functions.SketchOps.h32Column(col("_tok"))
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("_tok"))
+      .groupBy(col(idCol), col("_tok")).agg(count(lit(1)).as("_tf"))
+    // features: SIGNED PRESENCE per hash bucket, x = sign(Σ ±tf) ∈
+    // {-1, 0, +1} — O(1) scale regardless of document length or term
+    // frequency, so every bucket competes on class correlation
+    // rather than count magnitude (raw or length-normalized counts
+    // leave discriminative buckets orders of magnitude below the
+    // bulk-vocabulary ones and the link saturates before they are
+    // heard). Bucket `dim` is the BIAS feature (x = 1 for every
+    // doc): without an intercept a skewed base rate pushes every
+    // logit the same way and the boundary cannot move off the
+    // origin.
+    val hv = tf
+      .select(col(idCol), pmod(h, lit(dim.toLong)).as("bucket"),
+        (when(shiftrightunsigned(h, 16).bitwiseAND(lit(1L)) === 1L,
+          lit(1L)).otherwise(lit(-1L)) * col("_tf")).as("_v"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("_v")).as("_sv"))
+      .select(col(idCol), col("bucket"),
+        signum(col("_sv")).as("x"))
+      .unionByName(docs.select(col(idCol),
+        lit(dim.toLong).as("bucket"), lit(1.0).as("x")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lab = docs.select(col(idCol), labelExpr.cast("int").as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.cache.Pins.track(spark, new AutoCloseable {
+      def close(): Unit = {
+        hv.unpersist(blocking = false); lab.unpersist(blocking = false)
+      }
+    })
+    val n = lab.count().toDouble
+    def sigma(z: Column): Column =
+      lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z))
+    def zFrame(w: Array[Double]): DataFrame = {
+      val wlit = array(w.map(lit(_)): _*)
+      hv.groupBy(col(idCol))
+        .agg(sum((element_at(wlit, (col("bucket") + 1).cast("int"))
+          * col("x")).cast(dec)).as("_zd"))
+        .select(col(idCol), col("_zd").cast("double").as("_z"))
+    }
+    var w = Array.fill(dim + 1)(0.0)
+    (1 to rounds).foreach { t =>
+      val sig = lab.join(zFrame(w), Seq(idCol), "left")
+        .select(col(idCol),
+          (col("label").cast("double")
+            - sigma(coalesce(col("_z"), lit(0.0)))).as("_r"))
+      val g = hv.join(sig, Seq(idCol))
+        .groupBy(col("bucket"))
+        .agg(sum((col("_r") * col("x")).cast(dec)).as("_g"))
+        .select(col("bucket"), col("_g").cast("double").as("_gd"))
+        .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+      // 1/t learning-rate decay (Robbins-Monro): big first steps,
+      // no late-round ringing — lrT is a driver-computed double the
+      // oracle splices verbatim, so the schedule replays exactly
+      val lrT = lr / t.toDouble
+      w = w.indices.map(b =>
+        w(b) + lrT * (g.getOrElse(b, 0.0) / n)).toArray
+    }
+    lab.join(zFrame(w), Seq(idCol), "left")
+      .select(col(idCol), col("label"),
+        round(sigma(coalesce(col("_z"), lit(0.0))), 6).as("score"),
+        (sigma(coalesce(col("_z"), lit(0.0))) > 0.5).cast("int")
+          .as("pred"))
+  }
+
   /** Per-group n-gram diversity: `distinct n-grams / total n-grams`
     * at each window size in `ns` — the self-repetition gauge that
     * flags templated / machine-generated / boilerplate-heavy sources

@@ -1971,6 +1971,21 @@ object LlmQueries {
           alpha = 0.6)
         .orderBy(col("doc_id"))),
 
+    // distilled gate classifier: 16 full-batch GD rounds (1/t decay)
+    // of a linear model over signed-presence hash features + bias,
+    // teacher = the blocklist-style gate "contains token 'spark'" —
+    // the standard distillation of a hard rule into a soft score.
+    // Integer features, decimal-exact logit/gradient sums, rational
+    // sigmoid (pure IEEE ops): the whole 16-round training
+    // trajectory replays bit-identically in SQL. (The corpus's lang
+    // column is NOT learnable from text by construction — all five
+    // languages share one vocabulary — so the teacher is a
+    // content-derived gate.)
+    "llm_quality_clf" -> ((s, dir) =>
+      TextAnalysis.qualityClassifier(table(s, dir, "documents"),
+          array_contains(TextAnalysis.tokens(col("text")), "spark"))
+        .orderBy(col("doc_id"))),
+
     // per-doc language assignment (the materialized form of
     // llm_langid's aggregate): the column a curation pipeline
     // actually joins on.
@@ -3757,6 +3772,84 @@ object LlmQueries {
              ORDER BY rrf_score DESC, doc_id ASC) AS rk
          FROM fused)
        WHERE rk <= 10 ORDER BY query_id, rank"""
+  }
+
+  /** Classifier-trainer replay: `rounds` unrolled full-batch GD
+    * rounds — signed-presence hash features plus the bias bucket
+    * (exact integers → {-1,0,1} doubles), DECIMAL(38,18) logit and
+    * gradient sums (order-free), the rational sigmoid
+    * `0.5 + 0.5·z/(1+|z|)` (every op exactly-rounded IEEE — no
+    * libm), and the fixed update chain `w + lrₜ·(g/N)` with the 1/t
+    * decay literals spliced from the same doubles the engine
+    * computes. Every chained CTE is MATERIALIZED (the k-round
+    * trainer discipline — DuckDB inlines per reference otherwise). */
+  private def qualityClfOracle(rounds: Int, lr: Double): String = {
+    val roundCtes = (1 to rounds).map { t =>
+      val p = t - 1
+      val lrT = (lr / t.toDouble).toString
+      s"""z$t AS MATERIALIZED (
+           SELECT hv.doc_id,
+             CAST(SUM(CAST(w$p.w * hv.x AS DECIMAL(38,18))) AS DOUBLE)
+               AS z
+           FROM hv JOIN w$p USING (bucket) GROUP BY hv.doc_id),
+         s$t AS MATERIALIZED (
+           SELECT lab.doc_id,
+             lab.label - (0.5 + 0.5 * COALESCE(z$t.z, 0.0)
+               / (1.0 + abs(COALESCE(z$t.z, 0.0)))) AS r
+           FROM lab LEFT JOIN z$t USING (doc_id)),
+         g$t AS (
+           SELECT hv.bucket,
+             SUM(CAST(s$t.r * hv.x AS DECIMAL(38,18))) AS g
+           FROM hv JOIN s$t USING (doc_id) GROUP BY hv.bucket),
+         w$t AS MATERIALIZED (
+           SELECT w$p.bucket,
+             w$p.w + $lrT * (COALESCE(CAST(g$t.g AS DOUBLE), 0.0)
+               / nn.n) AS w
+           FROM w$p LEFT JOIN g$t USING (bucket), nn)"""
+    }.mkString(",\n         ")
+    raw"""WITH tf0 AS (
+           SELECT doc_id, t AS tok, count(*) AS tf FROM (
+             SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(text, '\s+'), x -> x <> '')) AS t
+             FROM documents) dt
+           GROUP BY doc_id, t),
+         hv AS MATERIALIZED (
+           SELECT doc_id, bucket,
+             CASE WHEN sv > 0 THEN 1.0 WHEN sv < 0 THEN -1.0
+               ELSE 0.0 END AS x
+           FROM (SELECT doc_id, (h % 64) AS bucket,
+               SUM((CASE WHEN ((h >> 16) & 1) = 1
+                 THEN 1 ELSE -1 END) * tf) AS sv
+             FROM (SELECT doc_id, tf,
+                 CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT)
+                   AS h
+               FROM tf0) hh
+             GROUP BY doc_id, (h % 64)) sgn
+           UNION ALL
+           SELECT doc_id, 64 AS bucket, 1.0 AS x FROM documents),
+         lab AS MATERIALIZED (
+           SELECT doc_id,
+             CASE WHEN list_contains(list_filter(
+               regexp_split_to_array(text, '\s+'), x -> x <> ''),
+               'spark') THEN 1 ELSE 0 END AS label
+           FROM documents),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         w0 AS MATERIALIZED (
+           SELECT unnest(range(0, 65)) AS bucket, 0.0 AS w),
+         $roundCtes,
+         zf AS MATERIALIZED (
+           SELECT hv.doc_id,
+             CAST(SUM(CAST(w$rounds.w * hv.x AS DECIMAL(38,18)))
+               AS DOUBLE) AS z
+           FROM hv JOIN w$rounds USING (bucket) GROUP BY hv.doc_id)
+         SELECT lab.doc_id, lab.label,
+           round(0.5 + 0.5 * COALESCE(zf.z, 0.0)
+             / (1.0 + abs(COALESCE(zf.z, 0.0))), 6) AS score,
+           CAST(0.5 + 0.5 * COALESCE(zf.z, 0.0)
+             / (1.0 + abs(COALESCE(zf.z, 0.0))) > 0.5 AS INTEGER)
+             AS pred
+         FROM lab LEFT JOIN zf USING (doc_id)
+         ORDER BY lab.doc_id"""
   }
 
   /** SemDeDup: same final Lloyd assignment, then within-cell
@@ -8081,6 +8174,8 @@ object LlmQueries {
          WHERE rk <= 10 ORDER BY query_id, rank""",
 
     "llm_rrf_indexed" -> rrfIndexedOracle,
+
+    "llm_quality_clf" -> qualityClfOracle(rounds = 16, lr = 32.0),
 
     "llm_cms" -> cmsOracle,
 

@@ -4136,6 +4136,45 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("qualityClassifier: the distilled gate separates the teacher " +
+       "classes, beats the majority floor, is deterministic, and " +
+       "featureless docs sit at the bias prior") {
+    import spark.implicits._
+    val teacher = array_contains(TextAnalysis.tokens(col("text")),
+      "spark")
+    val out = TextAnalysis.qualityClassifier(docs, teacher)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getDouble(2), r.getInt(3)))
+    assert(out.length == docs.count())
+    // the model must actually learn the teacher: mean score of the
+    // positive class well above the negatives, and accuracy above
+    // the majority-class floor
+    val (pos, neg) = out.partition(_._2 == 1)
+    val mPos = pos.map(_._3).sum / pos.length
+    val mNeg = neg.map(_._3).sum / neg.length
+    assert(mPos > mNeg + 0.1, s"no separation: $mPos vs $mNeg")
+    val acc = out.count(r => r._4 == r._2).toDouble / out.length
+    val majority = math.max(pos.length, neg.length).toDouble / out.length
+    assert(acc > majority + 0.02,
+      s"accuracy $acc not above majority $majority")
+    // deterministic: a rerun is bit-identical (hash-device training)
+    val again = TextAnalysis.qualityClassifier(docs, teacher)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getDouble(2), r.getInt(3)))
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    // a doc with no tokens has only the bias feature: its score is
+    // the learned base rate, identical for every such doc
+    val planted = Seq((1L, "aa spark bb"), (2L, ""), (3L, "aa cc"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val p = TextAnalysis.qualityClassifier(planted,
+      array_contains(TextAnalysis.tokens(col("text")), "spark"),
+      rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(p(2L) == p(4L), s"featureless docs must score alike: $p")
+    assert(p(1L) > p(3L), s"the spark doc must outscore: $p")
+  }
+
   test("fimTransform: SPM layout and NULL-text passthrough") {
     import spark.implicits._
     val planted = Seq((1L, "abcdefgh"), (2L, null.asInstanceOf[String]))

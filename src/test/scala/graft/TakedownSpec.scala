@@ -407,6 +407,11 @@ class TakedownSpec extends AnyFunSuite {
     val batchDetail = report.find(_._1 == "batch-partitions").get._3
     assert(batchDetail.contains("1 live") &&
       batchDetail.contains("coverage <= 1"), batchDetail)
+    // the hand-built compact carries no sources sidecar — the doctor
+    // surfaces the compaction-refusal hazard
+    assert(byArtifact("compact-sources-markers") == "missing")
+    assert(report.find(_._1 == "compact-sources-markers").get._3
+      .contains("-2"))
     // the doctor mutated NOTHING: the committed tmp is still there
     // for the next maintenance entry to complete
     assert(new java.io.File(s"$dir/_takedown_tmp").exists() &&
