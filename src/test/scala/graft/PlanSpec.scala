@@ -1034,4 +1034,49 @@ class PlanSpec extends AnyFunSuite {
     assert(!p2.contains("Exchange rangepartitioning"),
       "no global sort anywhere in the export")
   }
+
+  test("fimTransform is a shuffle-free narrow projection (the free " +
+       "export-scan column)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = planOf(graft.llm.Mixing.fimTransform(docs, rate = 0.5))
+    assert(!p.contains("Exchange"),
+      s"row-local transform must not shuffle:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p.take(500))
+  }
+
+  test("qualityClassifier feature/gradient passes: map-side combined " +
+       "aggregates, no cartesian, dim-bounded gradient shuffle") {
+    import graft.llm.TextAnalysis
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // one training round's gradient plan, reconstructed the way the
+    // loop builds it (w = 0): the aggregates must partial map-side
+    // and the only joins are id-keyed (never a cartesian)
+    val scored = TextAnalysis.qualityClassifier(docs,
+      array_contains(TextAnalysis.tokens(col("text")), "spark"),
+      rounds = 1)
+    val p = planOf(scored)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no cartesian anywhere in scoring:\n${p.take(2000)}")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      "logit aggregation must partial map-side")
+  }
+
+  test("llm_rrf_indexed serves from standing layers: no cartesian, " +
+       "fusion is a single join over bounded candidate lists") {
+    val q = graft.queries.LlmQueries.queries("llm_rrf_indexed")(
+      spark, sf)
+    val p = planOf(q)
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian in the hybrid serve:\n${p.take(2500)}")
+    // the only nested-loop is the DESIGNED one: each query row
+    // crossed with the broadcast model-sized centroid set to pick
+    // its probe cells (nCells rows — never a data-sized side)
+    val bnlj = p.linesIterator
+      .count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, // tree line + detail section of the single join
+      s"only the query-x-centroids probe may nested-loop:\n" +
+        p.linesIterator.filter(_.contains("NestedLoop"))
+          .mkString("\n"))
+  }
 }
