@@ -99,6 +99,19 @@ object ScaleBench {
         graft.functions.SketchExprs.textStats(col("text")).as("st"))
         .agg(sum(col("st.n_tokens"))).collect().length.toLong)
 
+      // FIM prep: a row-local projection — the probe aggregates the
+      // rewritten text length to force the substring arithmetic
+      runProbe("fim_transform", f, nDocs)(
+        graft.llm.Mixing.fimTransform(docs, rate = 0.5)
+          .agg(sum(length(col("fim_text")))).collect().length.toLong)
+
+      // classifier training: rounds passes over the dim-wide feature
+      // relation — expect linear in the corpus with flat model state
+      runProbe("quality_clf_train", f, nDocs)(
+        graft.llm.TextAnalysis.qualityClassifier(docs,
+          array_contains(graft.llm.TextAnalysis.tokens(col("text")),
+            "spark"), rounds = 4).count())
+
       // fixed recall-first config (16 tables x 4 planes)...
       runProbe("lsh_cosine_16x4", f, nEmb)(
         graft.llm.Similarity.lshCosinePairs(
