@@ -1629,25 +1629,67 @@ object TextAnalysis {
                         dim: Int = 64, rounds: Int = 16,
                         lr: Double = 32.0, textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
-    require(rounds >= 1 && dim >= 1 && lr > 0.0,
-      s"need rounds >= 1, dim >= 1, lr > 0 (got $rounds, $dim, $lr)")
-    val spark = docs.sparkSession
-    val dec = "decimal(38,18)"
+    val (w, hv, lab) =
+      trainGateCore(docs, labelExpr, dim, rounds, lr, textCol, idCol)
+    lab.join(gateLogits(hv, w, idCol), Seq(idCol), "left")
+      .select(col(idCol), col("label"),
+        round(gateSigma(coalesce(col("_z"), lit(0.0))), 6).as("score"),
+        (gateSigma(coalesce(col("_z"), lit(0.0))) > 0.5).cast("int")
+          .as("pred"))
+  }
+
+  /** The trainer face alone: returns the `dim + 1` weight vector
+    * (bias last) — the DEPLOYABLE artifact. Apply it to any corpus
+    * with [[applyLinearGate]]: the standard split where the gate is
+    * fit once on a labeled slice and scored over the 100 TB corpus
+    * as a projection. */
+  def trainLinearGate(docs: DataFrame, labelExpr: Column,
+                      dim: Int = 64, rounds: Int = 16,
+                      lr: Double = 32.0, textCol: String = "text",
+                      idCol: String = "doc_id"): Array[Double] =
+    trainGateCore(docs, labelExpr, dim, rounds, lr, textCol, idCol)._1
+
+  /** Score a corpus with a trained gate's weights — no labels, no
+    * training state: one feature pass and a dim-bounded literal dot
+    * product, `(idCol, score, pred)` per row. The inference face of
+    * [[qualityClassifier]]; bit-identical to the scores the combined
+    * call emits (spec-proven). */
+  def applyLinearGate(docs: DataFrame, weights: Array[Double],
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    require(weights.length >= 2,
+      s"weights must be dim features + bias, got ${weights.length}")
+    val dim = weights.length - 1
+    val hv = gateFeatures(docs, dim, textCol, idCol)
+    docs.select(col(idCol))
+      .join(gateLogits(hv, weights, idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        round(gateSigma(coalesce(col("_z"), lit(0.0))), 6).as("score"),
+        (gateSigma(coalesce(col("_z"), lit(0.0))) > 0.5).cast("int")
+          .as("pred"))
+  }
+
+  /** The rational sigmoid `0.5 + 0.5·z/(1+|z|)`: exclusively
+    * exactly-rounded IEEE ops (no libm exp), so the link replays
+    * bit-identically in any engine. */
+  private def gateSigma(z: Column): Column =
+    lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z))
+
+  /** SIGNED-PRESENCE features per hash bucket, x = sign(Σ ±tf) ∈
+    * {-1, 0, +1} — O(1) scale regardless of document length or term
+    * frequency, so every bucket competes on class correlation
+    * rather than count magnitude (raw or length-normalized counts
+    * leave discriminative buckets orders of magnitude below the
+    * bulk-vocabulary ones and the link saturates before they are
+    * heard). Bucket `dim` is the BIAS feature (x = 1 for every doc):
+    * without an intercept a skewed base rate pushes every logit the
+    * same way and the boundary cannot move off the origin. */
+  private def gateFeatures(docs: DataFrame, dim: Int, textCol: String,
+                           idCol: String): DataFrame = {
     val h = graft.functions.SketchOps.h32Column(col("_tok"))
-    val tf = docs
+    docs
       .select(col(idCol), explode(tokens(col(textCol))).as("_tok"))
       .groupBy(col(idCol), col("_tok")).agg(count(lit(1)).as("_tf"))
-    // features: SIGNED PRESENCE per hash bucket, x = sign(Σ ±tf) ∈
-    // {-1, 0, +1} — O(1) scale regardless of document length or term
-    // frequency, so every bucket competes on class correlation
-    // rather than count magnitude (raw or length-normalized counts
-    // leave discriminative buckets orders of magnitude below the
-    // bulk-vocabulary ones and the link saturates before they are
-    // heard). Bucket `dim` is the BIAS feature (x = 1 for every
-    // doc): without an intercept a skewed base rate pushes every
-    // logit the same way and the boundary cannot move off the
-    // origin.
-    val hv = tf
       .select(col(idCol), pmod(h, lit(dim.toLong)).as("bucket"),
         (when(shiftrightunsigned(h, 16).bitwiseAND(lit(1L)) === 1L,
           lit(1L)).otherwise(lit(-1L)) * col("_tf")).as("_v"))
@@ -1657,6 +1699,42 @@ object TextAnalysis {
         signum(col("_sv")).as("x"))
       .unionByName(docs.select(col(idCol),
         lit(dim.toLong).as("bucket"), lit(1.0).as("x")))
+  }
+
+  /** Per-doc logit `z = Σ w[b]·x[b]` as a DECIMAL(38,18)-cast sum
+    * (order-free). The weights ride a BROADCAST (dim+1)-row frame
+    * rather than a plan literal: the generated code is then
+    * identical for every GD round (only the broadcast data changes),
+    * so the 16-round loop compiles its stage code once instead of
+    * once per round — and the broadcast preserves hv's standing
+    * id-partitioning for the exchange-free per-doc aggregate. */
+  private def gateLogits(hv: DataFrame, w: Array[Double],
+                         idCol: String): DataFrame = {
+    val spark = hv.sparkSession
+    import spark.implicits._
+    val wDf = w.zipWithIndex
+      .map { case (v, b) => (b.toLong, v) }.toSeq.toDF("bucket", "_w")
+    hv.join(broadcast(wDf), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum((col("_w") * col("x")).cast("decimal(38,18)"))
+        .as("_zd"))
+      .select(col(idCol), col("_zd").cast("double").as("_z"))
+  }
+
+  private def trainGateCore(docs: DataFrame, labelExpr: Column,
+                            dim: Int, rounds: Int, lr: Double,
+                            textCol: String, idCol: String)
+      : (Array[Double], DataFrame, DataFrame) = {
+    require(rounds >= 1 && dim >= 1 && lr > 0.0,
+      s"need rounds >= 1, dim >= 1, lr > 0 (got $rounds, $dim, $lr)")
+    val spark = docs.sparkSession
+    // the feature relation is partitioned by doc ONCE and kept for
+    // every round: the per-doc logit aggregate and the residual join
+    // then both reuse the standing HashPartitioning(id) — each GD
+    // round pays only the dim-bounded gradient exchange, not a full
+    // reshuffle of the features (rounds × corpus matters at 100 TB)
+    val hv = gateFeatures(docs, dim, textCol, idCol)
+      .repartition(col(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lab = docs.select(col(idCol), labelExpr.cast("int").as("label"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1666,24 +1744,23 @@ object TextAnalysis {
       }
     })
     val n = lab.count().toDouble
-    def sigma(z: Column): Column =
-      lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z))
-    def zFrame(w: Array[Double]): DataFrame = {
-      val wlit = array(w.map(lit(_)): _*)
-      hv.groupBy(col(idCol))
-        .agg(sum((element_at(wlit, (col("bucket") + 1).cast("int"))
-          * col("x")).cast(dec)).as("_zd"))
-        .select(col(idCol), col("_zd").cast("double").as("_z"))
-    }
     var w = Array.fill(dim + 1)(0.0)
     (1 to rounds).foreach { t =>
-      val sig = lab.join(zFrame(w), Seq(idCol), "left")
+      // every doc owns a bias feature row, so the logit frame covers
+      // the whole corpus — the label attach broadcast-joins INTO it,
+      // keeping the id-partitioning; the round's only shuffle is the
+      // dim-bounded gradient reduce. (A windowed single-scan variant
+      // measured SLOWER — the window's within-partition sort costs
+      // more than the second cached scan.)
+      val sig = gateLogits(hv, w, idCol)
+        .join(broadcast(lab), Seq(idCol))
         .select(col(idCol),
           (col("label").cast("double")
-            - sigma(coalesce(col("_z"), lit(0.0)))).as("_r"))
+            - gateSigma(col("_z"))).as("_r"))
       val g = hv.join(sig, Seq(idCol))
         .groupBy(col("bucket"))
-        .agg(sum((col("_r") * col("x")).cast(dec)).as("_g"))
+        .agg(sum((col("_r") * col("x")).cast("decimal(38,18)"))
+          .as("_g"))
         .select(col("bucket"), col("_g").cast("double").as("_gd"))
         .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
       // 1/t learning-rate decay (Robbins-Monro): big first steps,
@@ -1693,11 +1770,7 @@ object TextAnalysis {
       w = w.indices.map(b =>
         w(b) + lrT * (g.getOrElse(b, 0.0) / n)).toArray
     }
-    lab.join(zFrame(w), Seq(idCol), "left")
-      .select(col(idCol), col("label"),
-        round(sigma(coalesce(col("_z"), lit(0.0))), 6).as("score"),
-        (sigma(coalesce(col("_z"), lit(0.0))) > 0.5).cast("int")
-          .as("pred"))
+    (w, hv, lab)
   }
 
   /** Per-group n-gram diversity: `distinct n-grams / total n-grams`

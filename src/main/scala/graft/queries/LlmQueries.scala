@@ -1986,6 +1986,18 @@ object LlmQueries {
           array_contains(TextAnalysis.tokens(col("text")), "spark"))
         .orderBy(col("doc_id"))),
 
+    // the deployed split: fit the gate on the EVEN half (the labeled
+    // slice), export the weights, score the WHOLE corpus — training
+    // never sees the odd half, and the scoring pass is one feature
+    // projection + a dim-bounded literal dot product.
+    "llm_quality_gate_apply" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val w = TextAnalysis.trainLinearGate(
+        docs.filter(col("doc_id") % 2 === 0),
+        array_contains(TextAnalysis.tokens(col("text")), "spark"))
+      TextAnalysis.applyLinearGate(docs, w).orderBy(col("doc_id"))
+    }),
+
     // per-doc language assignment (the materialized form of
     // llm_langid's aggregate): the column a curation pipeline
     // actually joins on.
@@ -3783,7 +3795,9 @@ object LlmQueries {
     * decay literals spliced from the same doubles the engine
     * computes. Every chained CTE is MATERIALIZED (the k-round
     * trainer discipline — DuckDB inlines per reference otherwise). */
-  private def qualityClfOracle(rounds: Int, lr: Double): String = {
+  private def qualityClfOracle(rounds: Int, lr: Double,
+                               trainWhere: String = "TRUE",
+                               withLabel: Boolean = true): String = {
     val roundCtes = (1 to rounds).map { t =>
       val p = t - 1
       val lrT = (lr / t.toDouble).toString
@@ -3832,8 +3846,9 @@ object LlmQueries {
              CASE WHEN list_contains(list_filter(
                regexp_split_to_array(text, '\s+'), x -> x <> ''),
                'spark') THEN 1 ELSE 0 END AS label
-           FROM documents),
-         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+           FROM documents WHERE $trainWhere),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+                WHERE $trainWhere),
          w0 AS MATERIALIZED (
            SELECT unnest(range(0, 65)) AS bucket, 0.0 AS w),
          $roundCtes,
@@ -3842,7 +3857,8 @@ object LlmQueries {
              CAST(SUM(CAST(w$rounds.w * hv.x AS DECIMAL(38,18)))
                AS DOUBLE) AS z
            FROM hv JOIN w$rounds USING (bucket) GROUP BY hv.doc_id)
-         SELECT lab.doc_id, lab.label,
+         ${if (withLabel)
+      raw"""SELECT lab.doc_id, lab.label,
            round(0.5 + 0.5 * COALESCE(zf.z, 0.0)
              / (1.0 + abs(COALESCE(zf.z, 0.0))), 6) AS score,
            CAST(0.5 + 0.5 * COALESCE(zf.z, 0.0)
@@ -3850,6 +3866,16 @@ object LlmQueries {
              AS pred
          FROM lab LEFT JOIN zf USING (doc_id)
          ORDER BY lab.doc_id"""
+    else
+      raw"""SELECT d.doc_id,
+           round(0.5 + 0.5 * COALESCE(zf.z, 0.0)
+             / (1.0 + abs(COALESCE(zf.z, 0.0))), 6) AS score,
+           CAST(0.5 + 0.5 * COALESCE(zf.z, 0.0)
+             / (1.0 + abs(COALESCE(zf.z, 0.0))) > 0.5 AS INTEGER)
+             AS pred
+         FROM (SELECT doc_id FROM documents) d
+         LEFT JOIN zf USING (doc_id)
+         ORDER BY d.doc_id"""}"""
   }
 
   /** SemDeDup: same final Lloyd assignment, then within-cell
@@ -8176,6 +8202,11 @@ object LlmQueries {
     "llm_rrf_indexed" -> rrfIndexedOracle,
 
     "llm_quality_clf" -> qualityClfOracle(rounds = 16, lr = 32.0),
+
+    // held-out replay: the same 16-round chain with gradients and N
+    // restricted to the even half, scoring joined over ALL docs.
+    "llm_quality_gate_apply" -> qualityClfOracle(rounds = 16,
+      lr = 32.0, trainWhere = "doc_id % 2 = 0", withLabel = false),
 
     "llm_cms" -> cmsOracle,
 

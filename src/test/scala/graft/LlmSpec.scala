@@ -4175,6 +4175,44 @@ class LlmSpec extends AnyFunSuite {
     assert(p(1L) > p(3L), s"the spark doc must outscore: $p")
   }
 
+  test("trainLinearGate/applyLinearGate: the split faces reproduce " +
+       "the combined scores exactly and generalize to held-out docs") {
+    val teacher = array_contains(TextAnalysis.tokens(col("text")),
+      "spark")
+    // same-corpus split == combined call, bit for bit
+    val w = TextAnalysis.trainLinearGate(docs, teacher)
+    assert(w.length == 65 && w.exists(_ != 0.0))
+    val applied = TextAnalysis.applyLinearGate(docs, w)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1),
+        r.getInt(2)))).toMap
+    val combined = TextAnalysis.qualityClassifier(docs, teacher)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2),
+        r.getInt(3)))).toMap
+    assert(applied == combined,
+      "apply(train(w)) must equal the combined trainer's scores")
+    // held-out: fit on evens, measure RANKING on the UNSEEN odd half
+    // (AUC-style concordance — threshold-free, since calibrating the
+    // 0.5 cut from 250 training docs is noise)
+    // dim 256: at 64 buckets the 31-token vocab still collides
+    // enough to cap held-out AUC near 0.68 — widening the hash space
+    // is the scale knob (the weights stay model-bounded)
+    val wEven = TextAnalysis.trainLinearGate(
+      docs.filter(col("doc_id") % 2 === 0), teacher, dim = 256)
+    val odd = docs.filter(col("doc_id") % 2 =!= 0)
+    val truth = odd.select(col("doc_id"), teacher.cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val held = TextAnalysis.applyLinearGate(odd, wEven)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val posS = truth.collect { case (id, 1) => held(id) }.toSeq
+    val negS = truth.collect { case (id, 0) => held(id) }.toSeq
+    val conc = (for (p <- posS; q <- negS) yield
+      if (p > q) 1.0 else if (p == q) 0.5 else 0.0)
+    val auc = conc.sum / conc.size
+    assert(auc > 0.75,
+      s"held-out AUC $auc: the gate must rank unseen positives above " +
+        "negatives")
+  }
+
   test("fimTransform: SPM layout and NULL-text passthrough") {
     import spark.implicits._
     val planted = Seq((1L, "abcdefgh"), (2L, null.asInstanceOf[String]))
