@@ -595,6 +595,73 @@ object CLI {
           Access.writeData(sumSnk)
       }),
 
+    // The distilled-gate lifecycle in one config-bound run: fit the
+    // linear scorer on the bound corpus (optionally a modulo slice),
+    // persist the weight vector as a parquet layer, then score the
+    // WHOLE corpus with the weights READ BACK from that layer — the
+    // round trip proves the persisted artifact is the deployable one,
+    // not the in-memory copy.
+    "quality_gate" -> Registered(
+      "quality_gate",
+      "distill a token-gate teacher into a linear scorer: train on " +
+        "the bound corpus, persist weights (/Gate/weights), score " +
+        "the corpus from the read-back weights (/Outputs/scores)",
+      OptionsSchema(Seq(
+        OptField("teacherToken", Some(OptStr("spark")),
+          "teacher gate: label 1 iff the doc contains this token"),
+        OptField("dim", Some(OptNum(64)), "hash feature buckets"),
+        OptField("rounds", Some(OptNum(16)),
+          "full-batch GD rounds (1/t decay)"),
+        OptField("lr", Some(OptNum(32)), "initial learning rate"),
+        OptField("trainEvery", Some(OptNum(1)),
+          "fit on doc_id % trainEvery == 0 (1 = whole corpus)"))),
+      (spark, opts) => {
+        def num(v: OptValue): Double = v match {
+          case OptNum(n) => n
+          case other     => other.render.toDouble
+        }
+        val token = opts("teacherToken").render
+        val dim = num(opts("dim")).toInt
+        val rounds = num(opts("rounds")).toInt
+        val lr = num(opts("lr"))
+        val every = math.max(1L, num(opts("trainEvery")).toLong)
+        val src = VirtualFile(VPath("/documents"), Seq("parquet"),
+          Usage.Source)
+        val wLayer = VirtualFile(VPath("/Gate/weights"), Seq("parquet"),
+          Usage.Sink)
+        val snk = VirtualFile(VPath("/Outputs/scores"), Seq("parquet"),
+          Usage.Sink)
+        (Access.getDataReader(src) &&& Access.getDataWriter(wLayer)) >>>
+          PTask.arr { (rw: (Access.DataReader, Access.DataWriter)) =>
+            import graft.llm.TextAnalysis
+            val (r, ww) = rw
+            val docs = r.read()
+            val teacher = array_contains(
+              TextAnalysis.tokens(col("text")), token)
+            val w = TextAnalysis.trainLinearGate(
+              docs.filter(col("doc_id") % every === 0), teacher,
+              dim, rounds, lr)
+            val wPath = ww.paths.head
+            import spark.implicits._
+            w.zipWithIndex
+              .map { case (v, b) => (b.toLong, v) }.toSeq
+              .toDF("bucket", "w")
+              .coalesce(1).write.mode("overwrite").parquet(wPath)
+            // deploy from the ARTIFACT: read the weights back and
+            // score with those (any drift between memory and layer
+            // would surface right here)
+            val wBack = spark.read.parquet(wPath)
+              .orderBy(col("bucket")).collect()
+              .map(_.getDouble(1))
+            require(wBack.length == dim + 1,
+              s"weights layer $wPath holds ${wBack.length} rows, " +
+                s"expected ${dim + 1}")
+            TextAnalysis.applyLinearGate(docs, wBack)
+              .orderBy(col("doc_id"))
+          } >>>
+          Access.writeData(snk)
+      }),
+
     // The release data card through the lifecycle: one config-bound
     // run emits the per-source report a training-data drop ships
     // with (volume, language mix, dup rate, safety exposure).

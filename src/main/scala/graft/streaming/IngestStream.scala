@@ -560,6 +560,38 @@ object IngestStream {
       .trigger(trigger)
       .start()
 
+  /** Streaming distilled-gate scoring: every micro-batch scored
+    * under the FROZEN weight artifact persisted by the quality_gate
+    * pipeline (or [[graft.llm.TextAnalysis.trainLinearGate]]) — the
+    * `(id, score, pred)` rows land batch-keyed (`ingest_batch=<bid>`
+    * overwrite ⇒ at-least-once replay replaces). The model is read
+    * once at start (dim+1 doubles of driver state); a gate refresh
+    * is a new run — the frozen-model drift-monitor discipline. */
+  def gateMonitor(docs: DataFrame, weightsDir: String, outDir: String,
+                  textCol: String = "text", idCol: String = "doc_id",
+                  checkpointDir: Option[String] = None,
+                  trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    val spark = docs.sparkSession
+    val w = spark.read.parquet(weightsDir).orderBy(col("bucket"))
+      .collect().map(_.getDouble(1))
+    require(w.length >= 2,
+      s"$weightsDir is not a gate-weights layer (need dim+1 " +
+        s"(bucket, w) rows, found ${w.length})")
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$outDir/_checkpoints"))
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        graft.llm.TextAnalysis
+          .applyLinearGate(batch.toDF(), w, textCol, idCol)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/ingest_batch=$bid")
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** Streaming near-identical-BLOB ingest: [[nearDupIngest]] with the
     * codec-free byte-SimHash sketch — the signature layer holds ONE
     * long per blob, so the standing corpus of a 100 TB media store is

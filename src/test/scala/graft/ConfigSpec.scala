@@ -1272,6 +1272,48 @@ class ConfigSpec extends AnyFunSuite {
     graft.cache.Pins.release(spark)
   }
 
+  test("quality_gate pipeline: train -> persisted weights layer -> " +
+       "score from the read-back artifact; -o overrides the geometry") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    import org.apache.spark.sql.functions.{col => c}
+    val base = "/root/repo/target/scratch/cli_gate"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    val specFile = s"$base/gate.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(specFile),
+      s"""data: {teacherToken: spark, rounds: 8}
+         |locations:
+         |  /documents: /root/testdata/sf0.001/documents.parquet
+         |  /Gate/weights: $base/weights
+         |  /Outputs/scores: $base/scores.parquet
+         |""".stripMargin)
+    CLI.run(Array("quality_gate", "run", specFile), spark)
+    val wLayer = Seq(s"$base/weights", s"$base/weights.parquet")
+      .find(d => new java.io.File(d).exists()).get
+    val wRows = spark.read.parquet(wLayer).orderBy(c("bucket"))
+      .collect().map(_.getDouble(1))
+    assert(wRows.length == 65 && wRows.exists(_ != 0.0),
+      "the persisted weights layer must hold dim+1 trained weights")
+    val scores = spark.read.parquet(s"$base/scores.parquet")
+    assert(scores.columns.toSeq == Seq("doc_id", "score", "pred"))
+    // the pipeline's scores equal the library path end-to-end
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val direct = graft.llm.TextAnalysis.applyLinearGate(docs, wRows)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val got = scores.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(got.sameElements(direct),
+      "pipeline scores must equal applyLinearGate from the artifact")
+    // -o geometry override flows through to the artifact shape
+    CLI.run(Array("quality_gate", "run", specFile, "-o", "dim=32",
+      "-o", "rounds=4"), spark)
+    assert(spark.read.parquet(wLayer).count() == 33L,
+      "dim override must change the weights layer geometry")
+  }
+
   test("corpus_report pipeline: per-source data card from a YAML " +
        "spec; blocklist override changes the exposure column") {
     val spark = org.apache.spark.sql.SparkSession.builder()

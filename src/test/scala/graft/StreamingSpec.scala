@@ -871,6 +871,49 @@ class StreamingSpec extends AnyFunSuite {
       .exists(_.getName.contains("layer")))
   }
 
+  test("gateMonitor: streamed scores equal the batch gate from the " +
+       "same frozen weights artifact; replay replaces") {
+    import graft.streaming.IngestStream
+    import graft.llm.TextAnalysis
+    val base = "/root/repo/target/scratch/gate_e2e"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    new java.io.File(s"$base/src").mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      java.nio.file.Paths.get(s"$base/src/part-0.parquet"))
+    val docsStatic = spark.read.parquet(s"$base/src")
+    // the frozen artifact: train once, persist as the weights layer
+    val w = TextAnalysis.trainLinearGate(docsStatic,
+      array_contains(TextAnalysis.tokens(col("text")), "spark"),
+      rounds = 4)
+    import spark.implicits._
+    w.zipWithIndex.map { case (v, b) => (b.toLong, v) }.toSeq
+      .toDF("bucket", "w")
+      .coalesce(1).write.parquet(s"$base/weights")
+    val stream = spark.readStream.schema(docsStatic.schema)
+      .parquet(s"$base/src")
+    val q = IngestStream.gateMonitor(stream, s"$base/weights",
+      s"$base/scores")
+    q.awaitTermination(60000)
+    def scored() = spark.read.parquet(s"$base/scores")
+      .select("doc_id", "score", "pred").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).sorted
+    val batch = TextAnalysis.applyLinearGate(docsStatic, w)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).sorted
+    assert(scored().length == docsStatic.count() &&
+      scored().sameElements(batch),
+      "streamed scores must equal the batch gate bit-for-bit")
+    // at-least-once replay: a fresh run over the same source with a
+    // NEW checkpoint re-keys the same batch ids — overwrite replaces
+    val q2 = IngestStream.gateMonitor(stream, s"$base/weights",
+      s"$base/scores", checkpointDir = Some(s"$base/ckpt2"))
+    q2.awaitTermination(60000)
+    spark.catalog.refreshByPath(s"$base/scores")
+    assert(scored().sameElements(batch),
+      "replay must replace the batch partition, never double-count")
+  }
+
   test("streaming bloom decontamination gate matches the batch filter") {
     // the bloom filter is a plan literal, so the same stateless
     // scan->filter gates an unbounded stream: no state store, no
