@@ -610,6 +610,52 @@ object Similarity {
     scoreProbedCells(assignCells(corpus, centroids, idCol, vecCol),
       centroids, queries, k, nProbe, idCol, vecCol, qIdCol, qVecCol)
 
+  /** [[hardNegatives]]'s 100 TB composition (the one its scaladoc
+    * promises): for each query, the top-k most-similar corpus
+    * vectors whose `attrCol` DIFFERS from the query's own — the
+    * positive-confusable pairs (high cosine, wrong group)
+    * contrastive encoder training wants, mined with the SAME
+    * probed-IVF machinery as serving (candidate generation scans
+    * ~nProbe/C of the corpus, the mismatch filter runs BEFORE the
+    * per-query top-k window so every emitted row is a true
+    * cross-group negative at full rank depth). A query's own vector
+    * shares its group and is excluded naturally. Emits
+    * `(qIdCol, rank, idCol, attrCol, cosine)`.
+    *
+    * Scale: identical to [[ivfTopKWith]] — queries broadcast with
+    * their probe cells, the corpus never reshuffles, the filter is a
+    * row-local comparison on the already-joined candidate stream. */
+  def hardNegativesIvf(centroids: Seq[Seq[Double]], corpus: DataFrame,
+                    queries: DataFrame, k: Int, nProbe: Int = 4,
+                    attrCol: String = "source",
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    qIdCol: String = "query_id",
+                    qVecCol: String = "query_vec"): DataFrame = {
+    val cells = corpus.select(col(idCol), col(vecCol), col(attrCol),
+      graft.functions.SketchExprs.nearestCell(col(vecCol), centroids)
+        .as("cell_id"))
+    val probes = queries
+      .withColumn("cell_id", explode(
+        graft.functions.SketchExprs.probeCells(col(qVecCol), centroids,
+          nProbe)))
+      .select(col(qIdCol), col(qVecCol), col(attrCol).as("_qa"),
+        col("cell_id"), VectorOps.norm(col(qVecCol)).as("_qn"))
+    val scored = cells
+      .withColumn("_cn", VectorOps.norm(col(vecCol)))
+      .join(broadcast(probes), Seq("cell_id"))
+      .filter(col(attrCol) =!= col("_qa"))
+      .withColumn("cosine",
+        round(VectorOps.cosineHoisted(col(vecCol), col(qVecCol),
+          col("_cn"), col("_qn")), 6))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col("rank"), col(idCol), col(attrCol),
+        col("cosine"))
+  }
+
   /** Common IVF scoring over an assigned `(cell_id, id, vec)` frame:
     * probe join (queries broadcast) -> exact cosine -> per-query top-k. */
   private def scoreProbedCells(cells: DataFrame, centroids: Seq[Seq[Double]],

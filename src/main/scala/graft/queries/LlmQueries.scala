@@ -559,6 +559,27 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // contrastive hard-negative mining at the SCALE shape: per query,
+    // the top-5 most-similar vectors from a DIFFERENT source, mined
+    // through the probed-IVF candidate path with the mismatch filter
+    // ahead of the rank window (llm_hard_negatives is the brute
+    // labeled twin).
+    "llm_hard_negatives_ivf" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val corpus = emb.join(
+        table(s, dir, "documents")
+          .select(col("doc_id").as("vec_id"), col("source")),
+        Seq("vec_id"))
+      val cents = Similarity.kmeansCentroids(emb, nCells = 16,
+        iters = 2)
+      Similarity.hardNegativesIvf(cents, corpus,
+          corpus.filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("query_id"),
+              col("embedding").as("query_vec"), col("source")),
+          k = 5, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // MMR diversified retrieval: top-20 cosine candidates per query,
     // greedy maximal-marginal-relevance selection of 5 (lambda 0.7)
     // — the greedy trajectory replays in a recursive-CTE oracle.
@@ -3876,6 +3897,43 @@ object LlmQueries {
          FROM (SELECT doc_id FROM documents) d
          LEFT JOIN zf USING (doc_id)
          ORDER BY d.doc_id"""}"""
+  }
+
+  /** Hard-negative replay: the probed-IVF chain with a source join
+    * on BOTH sides and the mismatch filter before the rank window. */
+  private def hardNegativesOracle: String = {
+    val (ctes, cN) = kmeansAsgCtes(2)
+    val cos =
+      s"""(list_sum(list_transform(list_zip(a.embedding, p.qv),
+            t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(p.qv,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
+    s"""WITH $ctes,
+       src AS MATERIALIZED (
+         SELECT doc_id AS vec_id, source FROM documents),
+       prb AS (
+         SELECT vec_id AS query_id, embedding AS qv, cell FROM (
+           SELECT e.vec_id, e.embedding, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${sqdSql("e.embedding", "c.cvec")} ASC,
+                 c.cell ASC) AS rnk
+           FROM embeddings e CROSS JOIN $cN c
+           WHERE e.vec_id % 100 = 0) WHERE rnk <= 4),
+       scored AS (
+         SELECT p.query_id, a.vec_id, cs.source,
+           round($cos, 6) AS cosine
+         FROM asgf a JOIN prb p ON a.cell_id = p.cell
+         JOIN src cs ON cs.vec_id = a.vec_id
+         JOIN src qs ON qs.vec_id = p.query_id
+         WHERE cs.source <> qs.source)
+       SELECT query_id, rank, vec_id, source, cosine FROM (
+         SELECT query_id, vec_id, source, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id ASC) AS rank
+         FROM scored) WHERE rank <= 5
+       ORDER BY query_id, rank"""
   }
 
   /** SemDeDup: same final Lloyd assignment, then within-cell
@@ -8200,6 +8258,8 @@ object LlmQueries {
          WHERE rk <= 10 ORDER BY query_id, rank""",
 
     "llm_rrf_indexed" -> rrfIndexedOracle,
+
+    "llm_hard_negatives_ivf" -> hardNegativesOracle,
 
     "llm_quality_clf" -> qualityClfOracle(rounds = 16, lr = 32.0),
 
