@@ -2015,7 +2015,8 @@ object LlmQueries {
       val docs = table(s, dir, "documents")
       val w = TextAnalysis.trainLinearGate(
         docs.filter(col("doc_id") % 2 === 0),
-        array_contains(TextAnalysis.tokens(col("text")), "spark"))
+        array_contains(TextAnalysis.tokens(col("text")), "spark"),
+        rounds = 8)
       TextAnalysis.applyLinearGate(docs, w).orderBy(col("doc_id"))
     }),
 
@@ -8265,7 +8266,7 @@ object LlmQueries {
 
     // held-out replay: the same 16-round chain with gradients and N
     // restricted to the even half, scoring joined over ALL docs.
-    "llm_quality_gate_apply" -> qualityClfOracle(rounds = 16,
+    "llm_quality_gate_apply" -> qualityClfOracle(rounds = 8,
       lr = 32.0, trainWhere = "doc_id % 2 = 0", withLabel = false),
 
     "llm_cms" -> cmsOracle,
