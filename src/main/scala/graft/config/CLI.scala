@@ -647,6 +647,22 @@ object CLI {
               .map { case (v, b) => (b.toLong, v) }.toSeq
               .toDF("bucket", "w")
               .coalesce(1).write.mode("overwrite").parquet(wPath)
+            // the gate's model card: training provenance next to the
+            // weights (underscore sidecar — parquet readers skip it),
+            // so a layer found in the wild says what produced it
+            val metaP = new org.apache.hadoop.fs.Path(wPath,
+              "_GATE_META")
+            val mfs = metaP.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            val out = mfs.create(metaP, true)
+            try out.write(
+              (s"""{"teacher_token":"$token","dim":$dim,""" +
+               s""""rounds":$rounds,"lr":$lr,""" +
+               s""""train_every":$every,""" +
+               s""""n_train_docs":${docs.filter(
+                 col("doc_id") % every === 0).count()}}""")
+                .getBytes("UTF-8"))
+            finally out.close()
             // deploy from the ARTIFACT: read the weights back and
             // score with those (any drift between memory and layer
             // would surface right here)

@@ -1307,11 +1307,20 @@ class ConfigSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
     assert(got.sameElements(direct),
       "pipeline scores must equal applyLinearGate from the artifact")
+    // the model card travels with the artifact
+    val meta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$wLayer/_GATE_META"))
+    assert(meta.contains("\"teacher_token\":\"spark\"") &&
+      meta.contains("\"rounds\":8") && meta.contains("\"dim\":64"),
+      meta)
     // -o geometry override flows through to the artifact shape
     CLI.run(Array("quality_gate", "run", specFile, "-o", "dim=32",
       "-o", "rounds=4"), spark)
     assert(spark.read.parquet(wLayer).count() == 33L,
       "dim override must change the weights layer geometry")
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(
+        s"$wLayer/_GATE_META")).contains("\"dim\":32"),
+      "the model card must describe the artifact beside it")
   }
 
   test("corpus_report pipeline: per-source data card from a YAML " +
