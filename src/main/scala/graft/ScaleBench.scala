@@ -502,6 +502,61 @@ object ScaleBench {
           graft.llm.TextAnalysis.bm25TopKFromPostings(spark, idx, qs,
             k = 5).count())
       }
+      // deployed-shape hybrid serve: standing BM25 postings + IVF
+      // index built untimed per factor; the timed work is the FIXED
+      // query set's lexical serve + probed dense serve + RRF fuse —
+      // the cost a live retrieval tier repeats per query batch
+      if (enabled("rrf_indexed_serve")) {
+        val bmIdx = s"$scratch/rrfserve_bm25_$f"
+        val ivIdx = s"$scratch/rrfserve_ivf_$f"
+        Seq(bmIdx, ivIdx).foreach(d =>
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(d)))
+        graft.llm.TextAnalysis.bm25PostingsBatch(docs, bmIdx,
+          batchId = 0L)
+        val cents = graft.llm.Similarity.kmeansCentroidsUncached(
+          emb.orderBy(col("vec_id")).limit(nEmb.toInt / f),
+          nCells = 16, iters = 2)
+        graft.llm.Similarity.ivfWriteIndex(emb, cents, ivIdx)
+        val stride = docs0.agg(max(col("doc_id"))).head().getLong(0) + 1L
+        val lexQ = docs.filter(col("doc_id") % 100 === 0 &&
+            col("doc_id") < stride)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(graft.llm.TextAnalysis.tokens(col("text")),
+              1, 8), " ").as("text"))
+        val denQ = emb.filter(col("vec_id") % 100 === 0 &&
+            col("vec_id") < stride)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("query_vec"))
+        runProbe("rrf_indexed_serve", f, nDocs)(
+          graft.llm.Similarity.rrfFuse(
+            graft.llm.TextAnalysis.bm25TopKFromPostings(spark, bmIdx,
+                lexQ, k = 20)
+              .select(col("query_id"), col("doc_id"), col("rank")),
+            graft.llm.Similarity.ivfTopKIndexedAuto(spark, ivIdx,
+                denQ, k = 20, nProbe = 4)
+              .select(col("query_id"),
+                col("vec_id").as("doc_id"), col("rank")),
+            k = 10).count())
+      }
+      // hard-negative mining: fixed queries against the growing
+      // corpus — candidate mass grows with the probed cells' share,
+      // never the full cross product
+      if (enabled("hard_negatives_ivf")) {
+        val cents = graft.llm.Similarity.kmeansCentroidsUncached(
+          emb.orderBy(col("vec_id")).limit(nEmb.toInt / f),
+          nCells = 16, iters = 2)
+        val corpus = emb.withColumn("source",
+          concat(lit("src"), pmod(col("vec_id"), lit(5L))))
+        val embStride = emb0.agg(max(col("vec_id"))).head().getLong(0) + 1L
+        val hq = corpus.filter(col("vec_id") % 100 === 0 &&
+            col("vec_id") < embStride)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("query_vec"), col("source"))
+        runProbe("hard_negatives_ivf", f, nEmb)(
+          graft.llm.Similarity.hardNegativesIvf(cents, corpus, hq,
+            k = 5, nProbe = 4).count())
+      }
       if (enabled("ivf_patch")) {
         val idx = s"$scratch/ivfidx_$f"
         org.apache.commons.io.FileUtils.deleteQuietly(
