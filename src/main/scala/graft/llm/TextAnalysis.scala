@@ -1669,6 +1669,41 @@ object TextAnalysis {
           .as("pred"))
   }
 
+  /** Threshold calibration for a trained gate: the full
+    * precision/recall/F1 sweep over every DISTINCT score of a
+    * labeled, scored frame (predict positive iff `score >= t`) —
+    * picking the operating point instead of assuming 0.5, the step
+    * every deployed filter needs after [[qualityClassifier]]. One
+    * row per candidate threshold, descending, with exact-integer
+    * tp/fp/fn and round-6 ratios.
+    *
+    * Scale: the sweep runs over the DISTINCT-SCORE relation, not the
+    * corpus — scores are round-6, so it is bounded by 10^6 bins (in
+    * practice far fewer); the one ordered cumulative window and the
+    * 1-row total broadcast both ride that model-sized relation. */
+  def gateThresholdSweep(scored: DataFrame,
+                         scoreCol: String = "score",
+                         labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = scored.groupBy(col(scoreCol))
+      .agg(sum(col(labelCol).cast("long")).as("_p"),
+        (count(lit(1)) - sum(col(labelCol).cast("long"))).as("_n"))
+    val tot = scored.agg(
+      sum(col(labelCol).cast("long")).as("_tpAll"))
+    val w = Window.orderBy(col(scoreCol).desc)
+    per.crossJoin(broadcast(tot))
+      .withColumn("tp", sum(col("_p")).over(w))
+      .withColumn("fp", sum(col("_n")).over(w))
+      .select(col(scoreCol).as("threshold"), col("tp"), col("fp"),
+        (col("_tpAll") - col("tp")).as("fn"),
+        round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
+          .as("prec"),
+        round(col("tp").cast("double") / col("_tpAll"), 6).as("rec"),
+        round(lit(2.0) * col("tp") /
+          (lit(2.0) * col("tp") + col("fp") +
+            (col("_tpAll") - col("tp"))), 6).as("f1"))
+  }
+
   /** The rational sigmoid `0.5 + 0.5·z/(1+|z|)`: exclusively
     * exactly-rounded IEEE ops (no libm exp), so the link replays
     * bit-identically in any engine. */

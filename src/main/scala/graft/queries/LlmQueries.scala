@@ -2007,6 +2007,16 @@ object LlmQueries {
           array_contains(TextAnalysis.tokens(col("text")), "spark"))
         .orderBy(col("doc_id"))),
 
+    // the gate's operating point: the full precision/recall/F1 sweep
+    // over every distinct score of the 8-round gate — threshold
+    // selection instead of the arbitrary 0.5 cut.
+    "llm_gate_threshold" -> ((s, dir) =>
+      TextAnalysis.gateThresholdSweep(
+          TextAnalysis.qualityClassifier(table(s, dir, "documents"),
+            array_contains(TextAnalysis.tokens(col("text")), "spark"),
+            rounds = 8))
+        .orderBy(col("threshold").desc)),
+
     // the deployed split: fit the gate on the EVEN half (the labeled
     // slice), export the weights, score the WHOLE corpus — training
     // never sees the odd half, and the scoring pass is one feature
@@ -8268,6 +8278,33 @@ object LlmQueries {
     // restricted to the even half, scoring joined over ALL docs.
     "llm_quality_gate_apply" -> qualityClfOracle(rounds = 8,
       lr = 32.0, trainWhere = "doc_id % 2 = 0", withLabel = false),
+
+    // threshold-sweep replay: the scored chain as a subquery, then
+    // per-distinct-score counts, the descending cumulative window
+    // (scores are distinct — RANGE == ROWS), exact-int tp/fp/fn and
+    // the same round-6 ratio arithmetic.
+    "llm_gate_threshold" -> {
+      val inner = qualityClfOracle(rounds = 8, lr = 32.0)
+      s"""WITH gsc AS (
+           SELECT doc_id, label, score FROM ($inner)),
+         per AS (
+           SELECT score, CAST(SUM(label) AS BIGINT) AS p,
+             CAST(COUNT(*) - SUM(label) AS BIGINT) AS n
+           FROM gsc GROUP BY score),
+         tot AS (SELECT CAST(SUM(label) AS BIGINT) AS tp_all FROM gsc),
+         cum AS (
+           SELECT score,
+             CAST(SUM(p) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+             CAST(SUM(n) OVER (ORDER BY score DESC) AS BIGINT) AS fp
+           FROM per)
+         SELECT score AS threshold, tp, fp,
+           (tot.tp_all - tp) AS fn,
+           round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS prec,
+           round(CAST(tp AS DOUBLE) / tot.tp_all, 6) AS rec,
+           round(2.0 * tp / (2.0 * tp + fp + (tot.tp_all - tp)), 6)
+             AS f1
+         FROM cum, tot ORDER BY threshold DESC"""
+    },
 
     "llm_cms" -> cmsOracle,
 

@@ -4213,6 +4213,42 @@ class LlmSpec extends AnyFunSuite {
         "negatives")
   }
 
+  test("gateThresholdSweep: cumulative counts are consistent and " +
+       "monotone; the best-F1 operating point is at least the 0.5 " +
+       "cut's F1") {
+    val teacher = array_contains(TextAnalysis.tokens(col("text")),
+      "spark")
+    val scored = TextAnalysis.qualityClassifier(docs, teacher,
+      rounds = 8)
+    val sweep = TextAnalysis.gateThresholdSweep(scored)
+      .orderBy(col("threshold").desc).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(6)))
+    val nPos = scored.filter(col("label") === 1).count()
+    val n = scored.count()
+    // identities: tp+fn = positives at every row; the last row
+    // includes everything; tp and fp never decrease as t drops
+    assert(sweep.forall { case (_, tp, _, fn, _) => tp + fn == nPos })
+    assert(sweep.last._2 + sweep.last._3 == n,
+      "the lowest threshold must admit every doc")
+    sweep.sliding(2).foreach {
+      case Array((_, tp1, fp1, _, _), (_, tp2, fp2, _, _)) =>
+        assert(tp2 >= tp1 && fp2 >= fp1, "cumulatives must be monotone")
+      case _ =>
+    }
+    // calibration buys F1: the sweep's max is >= the default cut's
+    val f1At05 = {
+      val tp = scored.filter(col("pred") === 1 &&
+        col("label") === 1).count()
+      val fp = scored.filter(col("pred") === 1 &&
+        col("label") === 0).count()
+      2.0 * tp / (2.0 * tp + fp + (nPos - tp))
+    }
+    val best = sweep.map(_._5).max
+    assert(best >= f1At05 - 1e-9,
+      s"best sweep F1 $best must cover the 0.5 cut's $f1At05")
+  }
+
   test("fimTransform: SPM layout and NULL-text passthrough") {
     import spark.implicits._
     val planted = Seq((1L, "abcdefgh"), (2L, null.asInstanceOf[String]))
