@@ -2014,7 +2014,7 @@ object LlmQueries {
       TextAnalysis.gateThresholdSweep(
           TextAnalysis.qualityClassifier(table(s, dir, "documents"),
             array_contains(TextAnalysis.tokens(col("text")), "spark"),
-            rounds = 8))
+            rounds = 4))
         .orderBy(col("threshold").desc)),
 
     // the deployed split: fit the gate on the EVEN half (the labeled
@@ -8284,7 +8284,7 @@ object LlmQueries {
     // (scores are distinct — RANGE == ROWS), exact-int tp/fp/fn and
     // the same round-6 ratio arithmetic.
     "llm_gate_threshold" -> {
-      val inner = qualityClfOracle(rounds = 8, lr = 32.0)
+      val inner = qualityClfOracle(rounds = 4, lr = 32.0)
       s"""WITH gsc AS (
            SELECT doc_id, label, score FROM ($inner)),
          per AS (
