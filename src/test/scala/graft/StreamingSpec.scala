@@ -1559,6 +1559,38 @@ class StreamingSpec extends AnyFunSuite {
       "the late mass folds into the next compact exactly once")
   }
 
+  test("compaction crash BEFORE the rename: an unrenamed temp dir is " +
+       "pre-commit garbage — the refold converges, nothing lost") {
+    import graft.streaming.IngestStream
+    import spark.implicits._
+    val base = "/root/repo/target/scratch/cms_precommit"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val dir = s"$base/sketch"
+    IngestStream.cmsBatch(
+      Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text"), dir,
+      batchId = 0L)
+    IngestStream.cmsBatch(
+      Seq((3L, "b d")).toDF("doc_id", "text"), dir, batchId = 1L)
+    def cells() = IngestStream.cmsLayerRead(spark, dir)
+      .select("row", "bucket", "cnt").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = cells()
+    // the crash state: a fold's temp output exists (with or without
+    // its sources marker) but was never renamed — no live partition
+    // was touched, so it is garbage whatever it contains
+    val tmp = new java.io.File(s"$dir/_compact_tmp_1")
+    tmp.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_compact_tmp_1/part-junk"),
+      "not parquet")
+    IngestStream.cmsCompact(spark, dir, watermark = 1L)
+    val parts = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("ingest_batch=")).toSet
+    assert(parts == Set("ingest_batch=-2"), s"got $parts")
+    assert(!tmp.exists(), "pre-commit garbage must be cleared")
+    assert(cells() == want, "the refold must preserve every cell")
+  }
+
   test("a markerless (legacy) compact coexisting with covered live " +
        "ids refuses to compact instead of guessing") {
     import graft.streaming.IngestStream
