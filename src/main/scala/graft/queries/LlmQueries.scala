@@ -2163,6 +2163,13 @@ object LlmQueries {
       Mixing.fimTransform(table(s, dir, "documents"), rate = 0.5)
         .orderBy(col("doc_id"))),
 
+    // the paper's SPM variant: same gate and cuts, the joined
+    // prefix-and-middle continuation after the suffix.
+    "llm_fim_spm" -> ((s, dir) =>
+      Mixing.fimTransform(table(s, dir, "documents"), rate = 0.5,
+          spm = true)
+        .orderBy(col("doc_id"))),
+
     // text-only top-5 by hash-embedding cosine: the sparse-dot
     // posting join over the feature-hash vectors — similarity
     // search with no model and no dense scan (every 100th doc
@@ -8441,6 +8448,37 @@ object LlmQueries {
              '<SUF>' || substring(text, CAST(hi + 1 AS INT),
                CAST(n - hi AS INT)) ||
              '<MID>' || substring(text, CAST(lo + 1 AS INT),
+               CAST(hi - lo AS INT))
+           ELSE text END AS fim_text
+         FROM cut ORDER BY doc_id""",
+
+    // SPM replay: identical gate and cut arithmetic, the
+    // <PRE><SUF>suffix<MID>prefix∘middle layout.
+    "llm_fim_spm" ->
+      """WITH base AS (
+           SELECT doc_id, text, length(text) AS n,
+             CAST(('0x' || substring(md5('fim:' ||
+               CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hs,
+             CAST(('0x' || substring(md5('fima:' ||
+               CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % (length(text) + 1) AS ca,
+             CAST(('0x' || substring(md5('fimb:' ||
+               CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % (length(text) + 1) AS cb
+           FROM documents),
+         cut AS (
+           SELECT doc_id, text, n,
+             (text IS NOT NULL AND hs < 2147483648) AS sel,
+             least(ca, cb) AS lo, greatest(ca, cb) AS hi
+           FROM base)
+         SELECT doc_id, sel AS fim_applied,
+           CASE WHEN sel THEN lo END AS cut_lo,
+           CASE WHEN sel THEN hi END AS cut_hi,
+           CASE WHEN sel THEN
+             '<PRE><SUF>' || substring(text, CAST(hi + 1 AS INT),
+               CAST(n - hi AS INT)) ||
+             '<MID>' || substring(text, 1, CAST(lo AS INT)) ||
+             substring(text, CAST(lo + 1 AS INT),
                CAST(hi - lo AS INT))
            ELSE text END AS fim_text
          FROM cut ORDER BY doc_id""",
