@@ -1756,6 +1756,42 @@ object TextAnalysis {
       .select(col(idCol), col("_zd").cast("double").as("_z"))
   }
 
+  /** The training-feature relation: [[gateFeatures]] with the
+    * round-invariant `label` attached ONCE (an id-keyed join paid
+    * inside the same exchange that builds the training cache) —
+    * the frame every GD round re-reads. package-private so PlanSpec
+    * can gate the round plan's exchanges. */
+  private[graft] def gateTrainingFeatures(docs: DataFrame,
+                                          labelExpr: Column, dim: Int,
+                                          textCol: String,
+                                          idCol: String): DataFrame =
+    gateFeatures(docs, dim, textCol, idCol)
+      .join(docs.select(col(idCol),
+        labelExpr.cast("int").as("label")), Seq(idCol))
+
+  /** One GD round's per-doc residual `label − σ(w·x)` from the
+    * label-carrying feature relation: the logit is the same
+    * DECIMAL(38,18)-cast sum as [[gateLogits]] and the label folds
+    * into the SAME per-doc aggregate as a max (constant per doc), so
+    * the round touches no frame beyond the cached features and the
+    * (dim+1)-row broadcast weights — bit-identical residuals to the
+    * former label-join form, with zero per-round label movement. */
+  private[graft] def gateResiduals(hvl: DataFrame, w: Array[Double],
+                                   idCol: String): DataFrame = {
+    val spark = hvl.sparkSession
+    import spark.implicits._
+    val wDf = w.zipWithIndex
+      .map { case (v, b) => (b.toLong, v) }.toSeq.toDF("bucket", "_w")
+    hvl.join(broadcast(wDf), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum((col("_w") * col("x")).cast("decimal(38,18)"))
+        .as("_zd"),
+        max(col("label")).as("_lab"))
+      .select(col(idCol),
+        (col("_lab").cast("double")
+          - gateSigma(col("_zd").cast("double"))).as("_r"))
+  }
+
   private def trainGateCore(docs: DataFrame, labelExpr: Column,
                             dim: Int, rounds: Int, lr: Double,
                             textCol: String, idCol: String)
@@ -1763,15 +1799,19 @@ object TextAnalysis {
     require(rounds >= 1 && dim >= 1 && lr > 0.0,
       s"need rounds >= 1, dim >= 1, lr > 0 (got $rounds, $dim, $lr)")
     val spark = docs.sparkSession
-    // the feature relation is partitioned by doc ONCE and kept for
-    // every round: the per-doc logit aggregate and the residual join
-    // then both reuse the standing HashPartitioning(id) — each GD
-    // round pays only the dim-bounded gradient exchange, not a full
-    // reshuffle of the features (rounds × corpus matters at 100 TB)
-    val hv = gateFeatures(docs, dim, textCol, idCol)
-      .repartition(col(idCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lab = docs.select(col(idCol), labelExpr.cast("int").as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the feature relation carries the ROUND-INVARIANT label and is
+    // partitioned by doc ONCE, kept for every round: the per-doc
+    // logit aggregate and the residual join both reuse the standing
+    // HashPartitioning(id), and because the label rides the features
+    // no round ever moves a corpus-sized frame again — at 100 TB a
+    // per-round broadcast of one-row-per-doc labels would exceed any
+    // broadcast limit; here the attach is paid once, inside the same
+    // exchange that builds the cache. Each GD round's only exchange
+    // is the dim-bounded gradient reduce (rounds x corpus matters).
+    val hv = gateTrainingFeatures(docs, labelExpr, dim, textCol, idCol)
+      .repartition(col(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.cache.Pins.track(spark, new AutoCloseable {
       def close(): Unit = {
@@ -1781,17 +1821,14 @@ object TextAnalysis {
     val n = lab.count().toDouble
     var w = Array.fill(dim + 1)(0.0)
     (1 to rounds).foreach { t =>
-      // every doc owns a bias feature row, so the logit frame covers
-      // the whole corpus — the label attach broadcast-joins INTO it,
-      // keeping the id-partitioning; the round's only shuffle is the
-      // dim-bounded gradient reduce. (A windowed single-scan variant
-      // measured SLOWER — the window's within-partition sort costs
-      // more than the second cached scan.)
-      val sig = gateLogits(hv, w, idCol)
-        .join(broadcast(lab), Seq(idCol))
-        .select(col(idCol),
-          (col("label").cast("double")
-            - gateSigma(col("_z"))).as("_r"))
+      // every doc owns a bias feature row, so the logit aggregate
+      // covers the whole corpus and can fold the label in as a
+      // per-group max (constant per doc) — zero extra join, zero
+      // label exchange; the round's only shuffle is the dim-bounded
+      // gradient reduce. (A windowed single-scan variant measured
+      // SLOWER — the window's within-partition sort costs more than
+      // the second cached scan.)
+      val sig = gateResiduals(hv, w, idCol)
       val g = hv.join(sig, Seq(idCol))
         .groupBy(col("bucket"))
         .agg(sum((col("_r") * col("x")).cast("decimal(38,18)"))

@@ -1062,6 +1062,44 @@ class PlanSpec extends AnyFunSuite {
       "logit aggregation must partial map-side")
   }
 
+  test("gate trainer round moves no corpus-sized frame: the only " +
+       "broadcast is the (dim+1)-row weights, never the label") {
+    import graft.llm.TextAnalysis
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // one GD round's gradient plan exactly as trainGateCore builds
+      // it (w = 0): with auto-broadcast off, any BroadcastHashJoin
+      // left is an EXPLICIT hint — the only one allowed is the
+      // bucket-keyed weights attach. A doc_id-keyed broadcast join
+      // is the label-frame regression this gate exists to block
+      // (corpus-sized broadcast x rounds at 100 TB).
+      val hvl = TextAnalysis.gateTrainingFeatures(docs,
+        array_contains(TextAnalysis.tokens(col("text")), "spark"),
+        dim = 64, textCol = "text", idCol = "doc_id")
+      val sig = TextAnalysis.gateResiduals(
+        hvl, Array.fill(65)(0.0), "doc_id")
+      val g = hvl.join(sig, Seq("doc_id"))
+        .groupBy(col("bucket"))
+        .agg(sum((col("_r") * col("x")).cast("decimal(38,18)"))
+          .as("_g"))
+      val p = planOf(g)
+      val badBhj = p.linesIterator.filter(l =>
+        l.contains("BroadcastHashJoin") && l.contains("doc_id"))
+      assert(badBhj.isEmpty,
+        s"no doc-keyed broadcast join in a GD round:\n" +
+          badBhj.mkString("\n"))
+      assert(p.contains("BroadcastHashJoin"),
+        s"the weights must still attach via their broadcast hint:\n" +
+          p.take(1500))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("llm_rrf_indexed serves from standing layers: no cartesian, " +
        "fusion is a single join over bounded candidate lists") {
     val q = graft.queries.LlmQueries.queries("llm_rrf_indexed")(
