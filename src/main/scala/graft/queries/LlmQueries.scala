@@ -2960,13 +2960,18 @@ object LlmQueries {
     }),
 
     // lexical vs embedding near-dup lens agreement: MinHash pairs
-    // full-outer cosine pairs (doc_id == vec_id), categorized.
+    // full-outer cosine pairs (doc_id == vec_id), categorized. The
+    // embedding lens is the LSH-bucketed SCALE path (config pinned
+    // 16x4 so the oracle's plane literals match — same device as
+    // llm_lsh_cosine_pairs); the op is pair-frame-agnostic, and the
+    // brute-vs-LSH lens equivalence is spec-proven (LlmSpec) so the
+    // suite never pays the O(N^2) baseline here.
     "llm_dedup_agreement" -> ((s, dir) =>
       Dedup.dedupAgreement(
           Dedup.minHashPairs(table(s, dir, "documents"),
             threshold = 0.35),
-          Dedup.embeddingPairsBrute(table(s, dir, "embeddings"),
-            threshold = 0.4))
+          Similarity.lshCosinePairs(table(s, dir, "embeddings"),
+            threshold = 0.4, nTables = 16, planesPerTable = 4))
         .orderBy(col("id_a"), col("id_b"))),
 
     // per-source percentile gate: each doc at its within-source
@@ -3397,7 +3402,12 @@ object LlmQueries {
     * planes (Similarity.lshPlanes, seed 42) spliced as n/1000000.0
     * literals — identical doubles to the kernel's. Bucket per table =
     * ppt sign bits; candidates = same bucket in >= 1 table. */
-  private def lshCosineOracle(nTables: Int, ppt: Int): String = {
+  /** LSH-pair CTE chain ending in `lshp(id_a, id_b, cosine)` — the
+    * seeded hyperplanes spliced as literals; shared by the
+    * llm_lsh_cosine_pairs oracle and the dedup-agreement oracle
+    * (which consumes the same LSH lens its query now feeds). */
+  private def lshPairsCtes(nTables: Int, ppt: Int,
+                           threshold: Double): String = {
     val planes = graft.llm.Similarity.lshPlanes(
       nTables = nTables, planesPerTable = ppt, dim = 64, seed = 42L)
     val planeLits = planes.map(pl =>
@@ -3410,9 +3420,9 @@ object LlmQueries {
                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
            * sqrt(list_sum(list_transform($b,
                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
-    s"""WITH pl AS (SELECT [
+    s"""lsh_pl AS (SELECT [
          $planeLits] AS planes),
-       bk AS (
+       lsh_bk AS (
          SELECT e.vec_id, e.embedding,
            list_transform(generate_series(0, ${nTables - 1}), t ->
              list_sum(list_transform(generate_series(0, ${ppt - 1}), i ->
@@ -3420,20 +3430,25 @@ object LlmQueries {
                    list_zip(e.embedding, planes[t*$ppt + i + 1]),
                    z -> CAST(z[1] AS DOUBLE) * z[2])) >= 0
                  THEN (1 << i) ELSE 0 END))) AS bks
-         FROM embeddings e CROSS JOIN pl),
-       pp AS (
+         FROM embeddings e CROSS JOIN lsh_pl),
+       lsh_pp AS (
          SELECT a.vec_id AS id_a, a.embedding AS va, a.bks AS ka,
                 b.vec_id AS id_b, b.embedding AS vb, b.bks AS kb
-         FROM bk a JOIN bk b ON a.vec_id < b.vec_id),
-       cand AS (
-         SELECT id_a, id_b, va, vb FROM pp
+         FROM lsh_bk a JOIN lsh_bk b ON a.vec_id < b.vec_id),
+       lsh_cand AS (
+         SELECT id_a, id_b, va, vb FROM lsh_pp
          WHERE len(list_filter(generate_series(1, $nTables),
-           t -> ka[t] = kb[t])) > 0)
-       SELECT id_a, id_b, round(${cosSql("va", "vb")}, 6) AS cosine
-       FROM cand
-       WHERE round(${cosSql("va", "vb")}, 6) >= 0.4
-       ORDER BY id_a, id_b"""
+           t -> ka[t] = kb[t])) > 0),
+       lshp AS (
+         SELECT id_a, id_b, round(${cosSql("va", "vb")}, 6) AS cosine
+         FROM lsh_cand
+         WHERE round(${cosSql("va", "vb")}, 6) >= $threshold)"""
   }
+
+  private def lshCosineOracle(nTables: Int, ppt: Int): String =
+    s"""WITH ${lshPairsCtes(nTables, ppt, 0.4)}
+       SELECT id_a, id_b, cosine FROM lshp
+       ORDER BY id_a, id_b"""
 
   /** IVF: centroids = the 16 lowest-id vectors (cell = rank order);
     * assignment/probes = squared-L2 argmin with (distance, cell)
@@ -8978,12 +8993,9 @@ object LlmQueries {
     * key. */
   private lazy val dedupAgreementOracle: String =
     s"""WITH $minhashScoredCtes,
+       ${lshPairsCtes(16, 4, 0.4)},
        lx AS (SELECT id_a, id_b, est_jaccard FROM scored
-              WHERE nb > 0 AND est_jaccard >= 0.35),
-       ep AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                $cosineSql AS cosine
-              FROM embeddings a, embeddings b
-              WHERE a.vec_id < b.vec_id AND $cosineSql >= 0.4)
+              WHERE nb > 0 AND est_jaccard >= 0.35)
        SELECT coalesce(l.id_a, e.id_a) AS id_a,
          coalesce(l.id_b, e.id_b) AS id_b,
          CASE WHEN l.id_a IS NOT NULL AND e.id_a IS NOT NULL
@@ -8991,7 +9003,7 @@ object LlmQueries {
               WHEN l.id_a IS NOT NULL THEN 'lexical_only'
               ELSE 'embedding_only' END AS category,
          l.est_jaccard AS est_jaccard, e.cosine AS cosine
-       FROM lx l FULL OUTER JOIN ep e
+       FROM lx l FULL OUTER JOIN lshp e
          ON l.id_a = e.id_a AND l.id_b = e.id_b
        ORDER BY id_a, id_b"""
 

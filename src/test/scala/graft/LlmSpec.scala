@@ -3780,6 +3780,41 @@ class LlmSpec extends AnyFunSuite {
     assert(out((4L, 5L)) == (("embedding_only", None, Some(0.5))))
   }
 
+  test("dedupAgreement lens swap: LSH embedding pairs are a subset of " +
+       "the brute pairs with identical cosines, recall >= 0.9, and " +
+       "the lexical side of the agreement is lens-invariant") {
+    // the suite's llm_dedup_agreement feeds the LSH scale path; this
+    // spec keeps the brute-fed form alive as the equivalence witness
+    // (the declared O(N^2) baseline never rides a timed run)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val brute = Dedup.embeddingPairsBrute(emb, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val lsh = Similarity.lshCosinePairs(emb, threshold = 0.4,
+        nTables = 16, planesPerTable = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(lsh.nonEmpty && brute.nonEmpty)
+    lsh.foreach { case (k, c) =>
+      assert(brute.get(k).contains(c),
+        s"LSH pair $k cosine $c must appear in the brute set " +
+          s"with the same exact-filtered cosine (${brute.get(k)})")
+    }
+    assert(lsh.size >= math.ceil(brute.size * 0.9).toInt,
+      s"LSH recall ${lsh.size}/${brute.size} below the 0.9 contract")
+    // the agreement op itself is pair-frame-agnostic: the lexical
+    // rows it emits are identical whichever embedding lens feeds it
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val lex = Dedup.minHashPairs(docs, threshold = 0.35)
+    def lexSide(embPairs: org.apache.spark.sql.DataFrame) =
+      Dedup.dedupAgreement(lex, embPairs)
+        .filter(col("est_jaccard").isNotNull)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          r.getDouble(3)).toMap
+    assert(lexSide(Dedup.embeddingPairsBrute(emb, 0.4)) ==
+      lexSide(Similarity.lshCosinePairs(emb, 0.4, 16, 4)))
+  }
+
   test("rankEval: hand-computed MRR/P@k/recall/nDCG; missed query " +
        "reports zeros; unjudged query is not scored") {
     import spark.implicits._
