@@ -778,7 +778,15 @@ object ScaleBench {
       // brute's codegen cross join can win; at t >= 0.5 (and on any
       // Zipfian real corpus) the equi-join path is the one that
       // survives scale (probe evidence in BASELINE.md).
-      runProbe("jaccard_prefix", f, nDocs)(
+      // SATURATED regime capped at 16x: under copy-scaling every
+      // cross-copy pair of a duplicated doc is an output pair, so
+      // rows_out grows ~f² BY CONSTRUCTION (measured 256 → 34k →
+      // 665k pairs at 1/4/16x, sec/pair FALLING 240→135µs — the
+      // output-bound claim, measured); at 64x that is ~10.6M pairs
+      // over ~10⁹ candidates and the run exceeds a single node's
+      // memory budget (26 GB heap, AQE stall — r14 measured). The
+      // 64x corpus-growth tier is jaccard_prefix_salted below.
+      if (f <= 16) runProbe("jaccard_prefix", f, nDocs)(
         graft.llm.Dedup.jaccardPairsPrefix(docs, n = 3,
           threshold = 0.5).count())
       // brute baseline at factor 1 ONLY: at 4x it is a 400M-pair
@@ -787,6 +795,29 @@ object ScaleBench {
       if (f == 1) runProbe("jaccard_brute", f, nDocs)(
         graft.llm.Dedup.jaccardPairsBrute(docs, n = 3,
           threshold = 0.5).count())
+      // 64x-TIER variant: a copy-unique salt token replaces every
+      // 3rd token, so EVERY 3-shingle of every copy contains a salt
+      // position — cross-copy shingles all differ, candidate buckets
+      // go copy-local, and rows_out grows ~linearly in f (within-copy
+      // near-dup pairs only, identically salted). This is the
+      // realistic 64x regime: a corpus 64x bigger is new content,
+      // not 64 verbatim copies of itself — the probe measures the
+      // prefix filter's candidate-pruning path at true corpus growth
+      // while the capped probe above pins the output-bound regime.
+      runProbe("jaccard_prefix_salted", f, nDocs) {
+        val stride0 =
+          docs0.agg(max(col("doc_id"))).head().getLong(0) + 1L
+        val toks = filter(split(col("text"), " "), t => t =!= "")
+        val cpy = floor(col("doc_id") / lit(stride0.toDouble))
+          .cast("long").cast("string")
+        val salted = docs.withColumn("text",
+          array_join(zip_with(toks,
+            sequence(lit(0), greatest(size(toks) - 1, lit(0))),
+            (t, i) => when(pmod(i, lit(3)) === 0,
+              concat(lit("zq"), cpy)).otherwise(t)), " "))
+        graft.llm.Dedup.jaccardPairsPrefix(salted, n = 3,
+          threshold = 0.5).count()
+      }
 
       // unigram trainer: type-bounded model — word TYPES are fixed
       // under copy-scaling, so the whole train should be flat; the

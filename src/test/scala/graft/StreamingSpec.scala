@@ -914,6 +914,66 @@ class StreamingSpec extends AnyFunSuite {
       "replay must replace the batch partition, never double-count")
   }
 
+  test("gate deployment chain e2e: quality_gate pipeline trains and " +
+       "publishes the artifact, gateMonitor scores micro-batches " +
+       "under it, and the threshold sweep over the monitor's output " +
+       "equals the batch sweep") {
+    import graft.streaming.IngestStream
+    import graft.llm.TextAnalysis
+    import graft.config.CLI
+    val base = "/root/repo/target/scratch/gate_deploy_e2e"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    new java.io.File(s"$base/src").mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      java.nio.file.Paths.get(s"$base/src/part-0.parquet"))
+    // 1. train + publish through the CONFIG-BOUND pipeline (the
+    //    deployed artifact, model card included)
+    val specFile = s"$base/gate.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(specFile),
+      s"""data: {teacherToken: spark, rounds: 4}
+         |locations:
+         |  /documents: $base/src
+         |  /Gate/weights: $base/weights
+         |  /Outputs/scores: $base/scores.parquet
+         |""".stripMargin)
+    CLI.run(Array("quality_gate", "run", specFile), spark)
+    val wLayer = Seq(s"$base/weights", s"$base/weights.parquet")
+      .find(d => new java.io.File(d).exists()).get
+    // 2. monitor: micro-batched stream scored under the FROZEN layer
+    //    (two files -> two batches, so the monitor really composes
+    //    across micro-batch boundaries)
+    val docsStatic = spark.read.parquet(s"$base/src")
+    docsStatic.filter(col("doc_id") % 2 === 0).write
+      .parquet(s"$base/feed")
+    docsStatic.filter(col("doc_id") % 2 =!= 0).write
+      .mode("append").parquet(s"$base/feed")
+    val stream = spark.readStream.schema(docsStatic.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+    val q = IngestStream.gateMonitor(stream, wLayer, s"$base/mscores")
+    q.awaitTermination(60000)
+    // 3. threshold sweep over the monitor's output == the batch sweep
+    //    over the pipeline's own scores (same labels, same corpus)
+    val labels = docsStatic.select(col("doc_id"),
+      array_contains(TextAnalysis.tokens(col("text")), "spark")
+        .cast("int").as("label"))
+    def sweep(scored: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.gateThresholdSweep(
+          scored.join(labels, Seq("doc_id")))
+        .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+        .sortBy(_._1)
+    val mScores = spark.read.parquet(s"$base/mscores")
+      .select("doc_id", "score")
+    assert(mScores.count() == docsStatic.count(),
+      "monitor must score every doc across micro-batches")
+    val batchScores = spark.read.parquet(s"$base/scores.parquet")
+      .select("doc_id", "score")
+    val sm = sweep(mScores)
+    assert(sm.nonEmpty && sm.sameElements(sweep(batchScores)),
+      "threshold sweep over monitor output must equal the batch sweep")
+  }
+
   test("streaming bloom decontamination gate matches the batch filter") {
     // the bloom filter is a plan literal, so the same stateless
     // scan->filter gates an unbounded stream: no state store, no
