@@ -923,17 +923,17 @@ class StreamingSpec extends AnyFunSuite {
     import graft.config.CLI
     val base = "/root/repo/target/scratch/gate_deploy_e2e"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-    new java.io.File(s"$base/src").mkdirs()
+    new java.io.File(s"$base/src.parquet").mkdirs()
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
-      java.nio.file.Paths.get(s"$base/src/part-0.parquet"))
+      java.nio.file.Paths.get(s"$base/src.parquet/part-0.parquet"))
     // 1. train + publish through the CONFIG-BOUND pipeline (the
     //    deployed artifact, model card included)
     val specFile = s"$base/gate.yaml"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(specFile),
       s"""data: {teacherToken: spark, rounds: 4}
          |locations:
-         |  /documents: $base/src
+         |  /documents: $base/src.parquet
          |  /Gate/weights: $base/weights
          |  /Outputs/scores: $base/scores.parquet
          |""".stripMargin)
@@ -943,7 +943,7 @@ class StreamingSpec extends AnyFunSuite {
     // 2. monitor: micro-batched stream scored under the FROZEN layer
     //    (two files -> two batches, so the monitor really composes
     //    across micro-batch boundaries)
-    val docsStatic = spark.read.parquet(s"$base/src")
+    val docsStatic = spark.read.parquet(s"$base/src.parquet")
     docsStatic.filter(col("doc_id") % 2 === 0).write
       .parquet(s"$base/feed")
     docsStatic.filter(col("doc_id") % 2 =!= 0).write
