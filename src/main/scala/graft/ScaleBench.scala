@@ -502,6 +502,36 @@ object ScaleBench {
           graft.llm.TextAnalysis.bm25TopKFromPostings(spark, idx, qs,
             k = 5).count())
       }
+      // impact-pruned lexical serve in the regime it exists for:
+      // SELECTIVE queries over a growing corpus. Docs are salted with
+      // one rare token per (nDocs/50)-sized group — group count grows
+      // with the factor so every rare token's df stays ~50; queries
+      // are 8 rare tokens each. The pruned serve touches |T_q| x df
+      // candidate postings with a PROVEN bound (rare tails are 0 at
+      // df <= sliceM) and should stay flat; the plain serve computes
+      // contributions for the whole growing layer — the contrast the
+      // r14 64x finding (plain serve 3.9 -> 9.8 s) motivated.
+      if (enabled("bm25_pruned_serve")) {
+        import spark.implicits._
+        val idx = s"$scratch/bm25prune_$f"
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(idx))
+        val nGroups = math.max(50L, nDocs / 50L)
+        val salted = docs.withColumn("text",
+          concat(col("text"), lit(" rk"),
+            pmod(col("doc_id"), lit(nGroups))))
+        graft.llm.TextAnalysis.bm25PostingsBatch(salted, idx,
+          batchId = 0L)
+        val qs = (0 until 13).map(q => (q.toLong,
+          (0 until 8).map(i => s"rk${(q * 97 + i * 31) % nGroups}")
+            .mkString(" "))).toDF("query_id", "text")
+        runProbe("bm25_pruned_serve", f, nDocs)(
+          graft.llm.TextAnalysis.bm25TopKFromPostingsPruned(
+            spark, idx, qs, k = 5).count())
+        runProbe("bm25_pruned_serve_full", f, nDocs)(
+          graft.llm.TextAnalysis.bm25TopKFromPostings(
+            spark, idx, qs, k = 5).count())
+      }
       // deployed-shape hybrid serve: standing BM25 postings + IVF
       // index built untimed per factor; the timed work is the FIXED
       // query set's lexical serve + probed dense serve + RRF fuse —
@@ -538,6 +568,35 @@ object ScaleBench {
               .select(col("query_id"),
                 col("vec_id").as("doc_id"), col("rank")),
             k = 10).count())
+      }
+      // IVF serve geometry contrast: the SAME fixed query set over
+      // (a) a FIXED 16-cell index — probed-cell population grows
+      // with the corpus, so serve cost grows too — vs (b) the
+      // ivfAutoCells DEPLOYMENT geometry (cells ∝ corpus/targetCell)
+      // where probed candidate mass is bounded by nProbe·targetCell
+      // and the serve should stay flat at any factor. Index builds
+      // are untimed (the train-once price of bounded serve cost).
+      if (enabled("ivf_indexed_serve")) {
+        val stride0 =
+          emb0.agg(max(col("vec_id"))).head().getLong(0) + 1L
+        val denQ = emb.filter(col("vec_id") % 100 === 0 &&
+            col("vec_id") < stride0)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("query_vec"))
+        def buildAndServe(tag: String, nCells: Int): Unit = {
+          val idx = s"$scratch/ivfserve_${tag}_$f"
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(idx))
+          val cents = graft.llm.Similarity.kmeansCentroidsUncached(
+            emb, nCells = nCells, iters = 1)
+          graft.llm.Similarity.ivfWriteIndex(emb, cents, idx)
+          runProbe(s"ivf_indexed_serve_$tag", f, nEmb)(
+            graft.llm.Similarity.ivfTopKIndexedAuto(spark, idx,
+              denQ, k = 20, nProbe = 4).count())
+        }
+        buildAndServe("fixed", 16)
+        buildAndServe("auto",
+          graft.llm.Similarity.ivfAutoCells(nEmb))
       }
       // hard-negative mining: fixed queries against the growing
       // corpus — candidate mass grows with the probed cells' share,

@@ -510,6 +510,27 @@ object Similarity {
       kmeansCentroidsUncached(corpus, nCells, iters, idCol, vecCol)
     }
 
+  /** IVF deployment geometry (the [[lshAutoConfig]] analog): cell
+    * count derived from the corpus size so the EXPECTED CELL
+    * POPULATION stays ~`targetCell` however large the corpus grows —
+    * probed candidate mass is then bounded by `nProbe * targetCell`
+    * per query instead of growing with the corpus (the measured
+    * motivation: a FIXED 16-cell index serves 4.6 s at 16x but 11 s
+    * at 64x corpus growth because each probed cell holds 64x the
+    * vectors; with cells scaled to the corpus the probed mass — and
+    * the serve — stays flat, BASELINE.md round-14 scaling table).
+    * Clamped to [4, 65536]: at least a few cells to probe-prune at
+    * all; the ceiling keeps the centroid set broadcastable (65536 x
+    * 64 dims x 8B = 32 MB) and the per-query probe ranking cheap.
+    * Training cost scales with nCells; it is the build-time price of
+    * bounded serve cost — pay it in the untimed build, the
+    * train-once registry amortizes repeats. */
+  def ivfAutoCells(n: Long, targetCell: Long = 256L): Int = {
+    require(targetCell >= 1L, "targetCell must be >= 1")
+    math.max(4, math.min(1 << 16,
+      math.ceil(n.toDouble / targetCell.toDouble).toInt))
+  }
+
   /** [[kmeansCentroids]] without the train-once registry (tests that
     * assert recompute determinism). */
   def kmeansCentroidsUncached(corpus: DataFrame, nCells: Int,

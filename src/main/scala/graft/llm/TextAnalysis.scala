@@ -322,6 +322,186 @@ object TextAnalysis {
       textCol, idCol, queryIdCol, weighted = false)
   }
 
+  /** Exact BM25 top-k over a standing [[bm25PostingsBatch]] layer
+    * with MaxScore-family IMPACT PRUNING — the device that makes
+    * lexical serving sublinear in the corpus for selective queries
+    * (the round-14 ScaleBench finding: the plain layered serve grows
+    * 3.9 → 9.8 s across 64x corpus growth because the match stream
+    * is posting-bound; every production lexical engine answers with
+    * impact ordering + upper bounds, WAND/MaxScore family — re-
+    * expressed here relationally, PROVE-OR-FALL-BACK so the result
+    * is ALWAYS exactly the full scan's top-k):
+    *
+    *  1. posting contributions are computed only for the QUERY
+    *     VOCABULARY (the distinct-term set broadcasts into the
+    *     postings scan — the full-scan path computes a contribution
+    *     for every posting row in the layer);
+    *  2. per term, the TOP-`sliceM` postings by contribution form
+    *     the impact slice (a rank window WITH a `<= sliceM` filter —
+    *     Catalyst's WindowGroupLimit keeps a stopword's billion-row
+    *     partition map-side-bounded); candidates = docs in ANY query
+    *     term's slice, scored FULLY over their matched postings;
+    *  3. soundness bound: a non-candidate doc sits outside EVERY
+    *     query term's slice, so its score ≤ B_q = Σ_t tail(t) where
+    *     tail(t) = min contribution inside t's slice when df_t >
+    *     sliceM (docs beyond the slice score ≤ the slice minimum)
+    *     and 0 otherwise (df_t ≤ sliceM means no doc is outside).
+    *     If the candidate k-th score θ_q > round6(B_q) — rounding is
+    *     monotone, ranking ties break low-id, so strict inequality
+    *     is required — NO non-candidate can enter the top-k and the
+    *     pruned answer is PROVEN exact;
+    *  4. queries whose bound check fails (or with < k candidates)
+    *     fall back to the full [[bm25TopKFromPostings]] scoring for
+    *     exactly those queries — correctness never rests on the
+    *     heuristic, only the speed does.
+    *
+    * Same output schema and values as [[bm25TopKFromPostings]]
+    * (shared-oracle equivalence + spec-proven on a corpus where
+    * pruning verifiably engages). At 100 TB: selective (rare-term)
+    * queries touch `|T_q| * sliceM` candidate postings instead of
+    * the match stream, and the bound tightens as the corpus grows
+    * (rare-term idf grows with N while a stopword's tail stays
+    * bounded). Saturated queries degrade gracefully to the full
+    * path. [[bm25PruneStats]] is the observability face. */
+  def bm25TopKFromPostingsPruned(spark: org.apache.spark.sql.SparkSession,
+                                 indexDir: String, queries: DataFrame,
+                                 k: Int, sliceM: Int = 128,
+                                 k1: Double = 1.2, b: Double = 0.75,
+                                 textCol: String = "text",
+                                 idCol: String = "doc_id",
+                                 queryIdCol: String = "query_id")
+      : DataFrame =
+    bm25PrunedCore(spark, indexDir, queries, k, sliceM, k1, b,
+      textCol, idCol, queryIdCol)._1
+
+  /** Per-query pruning observability for
+    * [[bm25TopKFromPostingsPruned]]: `(queryIdCol, n_candidates,
+    * theta, bound, pruned)` — `pruned = true` rows were answered
+    * from the impact slices with the bound PROVING exactness;
+    * `false` rows fell back to the full scan. */
+  def bm25PruneStats(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String, queries: DataFrame,
+                     k: Int, sliceM: Int = 128,
+                     k1: Double = 1.2, b: Double = 0.75,
+                     textCol: String = "text",
+                     idCol: String = "doc_id",
+                     queryIdCol: String = "query_id"): DataFrame =
+    bm25PrunedCore(spark, indexDir, queries, k, sliceM, k1, b,
+      textCol, idCol, queryIdCol)._2
+
+  private def bm25PrunedCore(spark: org.apache.spark.sql.SparkSession,
+                             indexDir: String, queries: DataFrame,
+                             k: Int, sliceM: Int, k1: Double, b: Double,
+                             textCol: String, idCol: String,
+                             queryIdCol: String)
+      : (DataFrame, DataFrame) = {
+    require(k >= 1 && sliceM >= k,
+      s"need k >= 1 and sliceM >= k (got k=$k, sliceM=$sliceM): a " +
+        "slice smaller than k could not even seed the top-k")
+    import org.apache.spark.sql.expressions.Window
+    val tf = spark.read.parquet(s"$indexDir/postings")
+      .select(col(idCol), col("term"), col("tf"), col("dl"))
+    val stats = spark.read.parquet(s"$indexDir/stats")
+      .agg(sum(col("n_docs")).as("_n"),
+        sum(col("sum_dl")).as("_sumdl"))
+    val qt = queries
+      .select(col(queryIdCol), explode(tokens(col(textCol))).as("term"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // contributions for the QUERY VOCABULARY only — df per term is
+    // the same count whether aggregated over the full layer or the
+    // term's own restricted postings, so the restriction is free
+    val qterms = qt.select(col("term")).distinct()
+    val tfq = tf.join(broadcast(qterms), Seq("term"))
+    val dfT = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("_sumdl").cast("double") / col("_n").cast("double")
+    val idf = log(lit(1.0) +
+      (col("_n").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val contrib = idf * (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+      (col("tf").cast("double") + lit(k1) * ((lit(1.0) - lit(b)) +
+        lit(b) * (col("dl").cast("double") / avgdl)))
+    val posting = tfq
+      .join(dfT, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col(idCol),
+        contrib.cast("decimal(38,18)").as("_s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.cache.Pins.track(spark, new AutoCloseable {
+      def close(): Unit = {
+        qt.unpersist(blocking = false)
+        posting.unpersist(blocking = false)
+      }
+    })
+    // impact slices: rank-filtered window => WindowGroupLimit keeps
+    // every map partition at <= sliceM rows per term (skew-safe)
+    val wT = Window.partitionBy(col("term"))
+      .orderBy(col("_s").desc, col(idCol).asc)
+    val slice = posting.withColumn("_r", row_number().over(wT))
+      .filter(col("_r") <= sliceM)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.cache.Pins.track(spark, new AutoCloseable {
+      def close(): Unit = slice.unpersist(blocking = false)
+    })
+    // tail bound per term: docs beyond the slice score <= the slice
+    // minimum; a term wholly inside its slice has NO outside docs
+    val tailT = slice.groupBy(col("term"))
+      .agg(min(col("_s")).as("_smin"))
+      .join(dfT, Seq("term"))
+      .select(col("term"),
+        when(col("df") > sliceM, col("_smin"))
+          .otherwise(lit(0).cast("decimal(38,18)")).as("_tail"))
+    // candidates + their FULL scores over matched postings
+    val cand = qt.join(slice.select(col("term"), col(idCol)), Seq("term"))
+      .select(col(queryIdCol), col(idCol)).distinct()
+    val candScores = qt.join(posting, Seq("term"))
+      .join(cand, Seq(queryIdCol, idCol), "left_semi")
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(round(sum(col("_s")).cast("double"), 6).as("score"))
+    val wQ = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    val ranked = candScores
+      .withColumn("rank", row_number().over(wQ).cast("long"))
+      .filter(col("rank") <= k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.cache.Pins.track(spark, new AutoCloseable {
+      def close(): Unit = ranked.unpersist(blocking = false)
+    })
+    // theta = the k-th candidate score (null when fewer than k
+    // candidates exist — then nothing is provable and the query
+    // falls back); n_candidates counts BEFORE the top-k cut
+    val thetaN = candScores.groupBy(col(queryIdCol))
+      .agg(count(lit(1)).as("_ncand"))
+      .join(ranked.filter(col("rank") === k)
+        .select(col(queryIdCol), col("score").as("_theta")),
+        Seq(queryIdCol), "left")
+    // B_q over the query's terms; terms absent from the layer bound 0
+    val boundQ = qt.join(tailT, Seq("term"), "left")
+      .groupBy(col(queryIdCol))
+      .agg(round(sum(coalesce(col("_tail"),
+        lit(0).cast("decimal(38,18)"))).cast("double"), 6).as("_bound"))
+    val verdict = boundQ.join(thetaN, Seq(queryIdCol), "left")
+      .select(col(queryIdCol),
+        coalesce(col("_ncand"), lit(0L)).as("n_candidates"),
+        col("_theta").as("theta"), col("_bound").as("bound"),
+        (col("_theta").isNotNull && col("_ncand") >= k &&
+          col("_theta") > col("_bound")).as("pruned"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.cache.Pins.track(spark, new AutoCloseable {
+      def close(): Unit = verdict.unpersist(blocking = false)
+    })
+    val okQ = verdict.filter(col("pruned")).select(col(queryIdCol))
+    val failQ = verdict.filter(!col("pruned")).select(col(queryIdCol))
+    val prunedPart = ranked
+      .join(okQ, Seq(queryIdCol), "left_semi")
+      .select(col(queryIdCol), col("rank"), col(idCol), col("score"))
+    // fallback: the full-scan path, restricted to the failed queries
+    val fallback = bm25TopKFromPostings(spark, indexDir,
+      queries.join(failQ, Seq(queryIdCol), "left_semi"),
+      k, k1, b, textCol, idCol, queryIdCol)
+    (prunedPart.unionByName(fallback), verdict)
+  }
+
   /** Quality features: every signal a length/punct/stopword-ratio
     * filter needs, derived from ONE text_stats kernel pass (whole-
     * stage codegen CSE shares the struct across the field columns). */

@@ -2525,6 +2525,50 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // impact-pruned BM25 serve (MaxScore family, prove-or-fall-back)
+    // in a MIXED regime so BOTH arms are oracle-proven at data scale:
+    // the corpus carries one rare salt token per doc (`rk<id%499>`,
+    // df ~ N/499 — well under sliceM), 12 rare-token queries engage
+    // the slice arm with a PROVEN zero bound, and the 5 natural
+    // full-overlap-vocab queries exercise the fallback arm; the
+    // oracle replays the plain full-scan BM25 over the same salted
+    // corpus and mixed query set, so the hash match proves
+    // prune-or-fallback == exact on every query.
+    "llm_bm25_pruned" -> ((s, dir) => {
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+      val base = "/root/repo/target/scratch/bm25prune_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idxDir = s"$base/postings_layer"
+      // STANDING layer behind a _READY sentinel (the llm_rrf_indexed
+      // device): the deployed shape serves a standing index, so the
+      // bench min column times the PRUNED SERVE; the single-shot
+      // includes the one-time build. A stale/wrong layer cannot
+      // hide — the serve hash-checks against the full replay.
+      if (!new java.io.File(s"$base/_READY").exists()) {
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(base))
+        TextAnalysis.bm25PostingsBatch(
+          docs.filter(col("doc_id") % 100 =!= 0)
+            .withColumn("text", concat(col("text"), lit(" rk"),
+              pmod(col("doc_id"), lit(499L)))),
+          idxDir, batchId = 0L)
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(s"$base/_READY"))
+      }
+      val qNat = docs
+        .filter(col("doc_id") % 100 === 0 && col("doc_id") <= 400)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextAnalysis.tokens(col("text")),
+            1, 8), " ").as("text"))
+      val qRare = (0 until 12).map(q => (1000L + q,
+        (0 until 8).map(j => s"rk${(q * 53 + j * 17) % 499}")
+          .mkString(" "))).toDF("query_id", "text")
+      TextAnalysis.bm25TopKFromPostingsPruned(s, idxDir,
+          qNat.unionByName(qRare), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // takedown propagation over a batch-keyed layer: the corpus
     // ingested as THREE modulo batches, batches 0-1 compacted (so the
     // reserved negative partition is exercised), then doc_id % 17 = 3
@@ -8025,6 +8069,11 @@ object LlmQueries {
     // replays against the SAME oracle SQL.
     "llm_bm25_layered" -> bm25SetOracle,
 
+    // the impact-pruned serve is prove-or-fall-back EXACT, so it
+    // hash-matches the plain full-scan BM25 replay over the same
+    // salted corpus and mixed (rare + saturated) query set.
+    "llm_bm25_pruned" -> bm25PrunedOracle,
+
     // takedown == rebuild over corpus MINUS ids, per layer. The layer
     // row also proves partition RESIDENCY: batches 0-1 compacted into
     // the reserved -(wm+1) partition, batch 2 live, removed ids gone.
@@ -8664,6 +8713,65 @@ object LlmQueries {
     * equivalence contract: serving a patched layer must match a full
     * rebuild over `corpus MINUS ids`, stats and idf recomputed over
     * the survivors. */
+  /** Full-scan BM25 replay over the SALTED corpus (`rk<id%499>`
+    * appended per doc) with the mixed query set (5 natural saturated
+    * + 12 rare-token literal queries) — the [[bm25SetOracleWhere]]
+    * formula tree verbatim; hashing llm_bm25_pruned against it
+    * proves the prune-or-fallback serve exact on both arms. The
+    * rare-query literals are generated by the same arithmetic as the
+    * Spark side. */
+  private lazy val bm25PrunedOracle: String = {
+    val rareVals = (0 until 12).map(q => s"(CAST(${1000 + q} AS " +
+      "BIGINT), '" + (0 until 8).map(j => s"rk${(q * 53 + j * 17) % 499}")
+        .mkString(" ") + "')").mkString(",\n             ")
+    raw"""WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(
+               text || ' rk' || CAST(doc_id % 499 AS VARCHAR), '\s+'),
+             t -> t <> '') AS tk
+           FROM documents),
+         corpus AS (SELECT doc_id, tk FROM tok WHERE doc_id % 100 <> 0),
+         rawq AS (
+           SELECT doc_id AS query_id,
+             array_to_string(list_filter(
+               regexp_split_to_array(text, '\s+'),
+               t -> t <> '')[1:8], ' ') AS qtext
+           FROM documents WHERE doc_id % 100 = 0 AND doc_id <= 400
+           UNION ALL
+           SELECT * FROM (VALUES
+             $rareVals) v(query_id, qtext)),
+         q AS (SELECT query_id, list_filter(
+             regexp_split_to_array(qtext, '\s+'), t -> t <> '') AS tk
+           FROM rawq),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+             SELECT doc_id, unnest(tk) AS term FROM corpus)
+           GROUP BY doc_id, term),
+         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         dl AS (SELECT doc_id, len(tk) AS dl FROM corpus),
+         st AS (SELECT count(*) AS n,
+                  CAST(SUM(len(tk)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                    AS avgdl
+                FROM corpus),
+         qt AS (SELECT DISTINCT query_id, unnest(tk) AS term FROM q),
+         sc AS (
+           SELECT qt.query_id, tf.doc_id,
+             round(CAST(SUM(CAST(
+               ln(1.0 + (CAST(st.n AS DOUBLE) - CAST(dft.df AS DOUBLE)
+                   + 0.5) / (CAST(dft.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+                   + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl)))
+             AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+           FROM qt JOIN tf USING (term) JOIN dft USING (term)
+             JOIN dl ON dl.doc_id = tf.doc_id, st
+           GROUP BY qt.query_id, tf.doc_id)
+         SELECT query_id, CAST(rk AS BIGINT) AS rank, doc_id, score
+         FROM (SELECT query_id, doc_id, score, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk
+           FROM sc)
+         WHERE rk <= 5 ORDER BY query_id, rank"""
+  }
+
   private def bm25SetOracleWhere(extra: String): String =
     raw"""WITH tok AS (
            SELECT doc_id, list_filter(

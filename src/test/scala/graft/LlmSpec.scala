@@ -290,6 +290,33 @@ class LlmSpec extends AnyFunSuite {
     assert(coarse == windowed, "coarse-bucket path diverges")
   }
 
+  test("ivfAutoCells: cell population stays ~targetCell as the corpus " +
+       "grows; clamped to [4, 65536]") {
+    // deployment geometry: probed candidate mass = nProbe * targetCell
+    // must not grow with the corpus (the 64x serve finding)
+    assert(Similarity.ivfAutoCells(2000L) == 8)
+    assert(Similarity.ivfAutoCells(128000L) == 500)
+    // expected population within 2x of target below the ceiling
+    // (ceiling hit at targetCell * 65536 ≈ 16.7M vectors)
+    Seq(10_000L, 100_000L, 1_000_000L, 10_000_000L)
+      .foreach { n =>
+        val c = Similarity.ivfAutoCells(n)
+        val pop = n.toDouble / c
+        assert(pop <= 256.0 && pop >= 128.0,
+          s"n=$n cells=$c pop=$pop outside [128, 256]")
+      }
+    // clamps: the floor, and the broadcastability ceiling past which
+    // cell population grows again (the documented trade-off — raise
+    // targetCell or shard the index family at that scale)
+    assert(Similarity.ivfAutoCells(1L) == 4)
+    assert(Similarity.ivfAutoCells(100_000_000L) == (1 << 16))
+    assert(Similarity.ivfAutoCells(Long.MaxValue / 4) == (1 << 16))
+    // monotone non-decreasing in n
+    val cs = Seq(1L, 1000L, 10_000L, 10_000_000L)
+      .map(Similarity.ivfAutoCells(_))
+    assert(cs == cs.sorted)
+  }
+
   test("lshAutoConfig: reproduces measured configs; density stays bounded") {
     // the two measured BASELINE.md points: small corpus -> the
     // recall-first 4-plane config, 32k corpus -> the ~96x8 point
@@ -3245,6 +3272,63 @@ class LlmSpec extends AnyFunSuite {
     graft.streaming.IngestStream.ingestLayerCompact(spark,
       s"$base/stats", watermark = 1L)
     assert(serve() == want, "compaction must preserve the ranking")
+  }
+
+  test("bm25 impact pruning: pruned == full bit-for-bit; the bound " +
+       "PROVES exactness on selective queries, saturated queries " +
+       "fall back, absent-term queries are empty both ways") {
+    import spark.implicits._
+    val base = "/root/repo/target/scratch/bm25prune_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    // planted corpus: uniform filler (df = 200, identical tf/dl so a
+    // filler query's theta EQUALS its tail bound -> must fall back)
+    // + one rare term per 20-doc group (df = 10 <= sliceM -> tail 0,
+    // the bound proves the slice answer exact)
+    val corpus = (0 until 200).map { i =>
+      (i.toLong, s"the of and rare${i % 20} the of")
+    }.toDF("doc_id", "text")
+    TextAnalysis.bm25PostingsBatch(corpus, base, batchId = 0L)
+    val qs = Seq((1L, "rare3 rare7"), (2L, "the of"),
+      (3L, "absentterm")).toDF("query_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    val pruned = rows(TextAnalysis.bm25TopKFromPostingsPruned(
+      spark, base, qs, k = 5, sliceM = 16))
+    val full = rows(TextAnalysis.bm25TopKFromPostings(
+      spark, base, qs, k = 5))
+    assert(full.nonEmpty && pruned == full,
+      "prune-or-fallback must reproduce the full scan exactly")
+    val st = TextAnalysis.bm25PruneStats(spark, base, qs,
+        k = 5, sliceM = 16).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(4)))).toMap
+    assert(st(1L)._2,
+      s"rare-term query must be slice-answered with a proven bound: $st")
+    assert(st(1L)._1 == 20L, "candidates = the 20 rare-term docs")
+    assert(!st(2L)._2,
+      s"saturated query (theta == bound) must fall back: $st")
+    assert(st(3L)._1 == 0L && !st(3L)._2,
+      "absent-term query: zero candidates, fallback verdict")
+    // the llm_bm25_pruned bench regime on REAL testdata: rare salt
+    // tokens (df ~ N/499 << sliceM) — the slice arm must actually
+    // engage there, or the oracle row only ever proves the fallback
+    val base2 = "/root/repo/target/scratch/bm25prune_spec2"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(base2))
+    TextAnalysis.bm25PostingsBatch(
+      docs.filter(col("doc_id") % 100 =!= 0)
+        .withColumn("text", concat(col("text"), lit(" rk"),
+          pmod(col("doc_id"), lit(499L)))),
+      base2, batchId = 0L)
+    val qRare = (0 until 12).map(q => (1000L + q,
+      (0 until 8).map(j => s"rk${(q * 53 + j * 17) % 499}")
+        .mkString(" "))).toDF("query_id", "text")
+    val st2 = TextAnalysis.bm25PruneStats(spark, base2, qRare, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(st2.size == 12 && st2.values.forall(identity),
+      s"every rare-token query must be slice-answered on the " +
+        s"salted testdata corpus: $st2")
+    graft.cache.Pins.release(spark)
   }
 
   test("kmeansUpdate: one round from given centroids; quiet cells " +
