@@ -389,25 +389,18 @@ object TextAnalysis {
     bm25PrunedCore(spark, indexDir, queries, k, sliceM, k1, b,
       textCol, idCol, queryIdCol)._2
 
-  private def bm25PrunedCore(spark: org.apache.spark.sql.SparkSession,
-                             indexDir: String, queries: DataFrame,
-                             k: Int, sliceM: Int, k1: Double, b: Double,
-                             textCol: String, idCol: String,
-                             queryIdCol: String)
-      : (DataFrame, DataFrame) = {
-    require(k >= 1 && sliceM >= k,
-      s"need k >= 1 and sliceM >= k (got k=$k, sliceM=$sliceM): a " +
-        "slice smaller than k could not even seed the top-k")
-    import org.apache.spark.sql.expressions.Window
+  /** The query-vocabulary posting-contribution frame `(term, idCol,
+    * _s)` the pruned serve slices — package-private so PlanSpec can
+    * gate the un-persisted plan (the core persists it immediately). */
+  private[graft] def bm25QueryVocabPostings(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      qt: DataFrame, k1: Double, b: Double, idCol: String)
+      : DataFrame = {
     val tf = spark.read.parquet(s"$indexDir/postings")
       .select(col(idCol), col("term"), col("tf"), col("dl"))
     val stats = spark.read.parquet(s"$indexDir/stats")
       .agg(sum(col("n_docs")).as("_n"),
         sum(col("sum_dl")).as("_sumdl"))
-    val qt = queries
-      .select(col(queryIdCol), explode(tokens(col(textCol))).as("term"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // contributions for the QUERY VOCABULARY only — df per term is
     // the same count whether aggregated over the full layer or the
     // term's own restricted postings, so the restriction is free
@@ -421,11 +414,42 @@ object TextAnalysis {
     val contrib = idf * (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
       (col("tf").cast("double") + lit(k1) * ((lit(1.0) - lit(b)) +
         lit(b) * (col("dl").cast("double") / avgdl)))
-    val posting = tfq
-      .join(dfT, Seq("term"))
+    tfq.join(dfT, Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("term"), col(idCol),
-        contrib.cast("decimal(38,18)").as("_s"))
+        contrib.cast("decimal(38,18)").as("_s"), col("df"))
+  }
+
+  /** The per-term impact slice: rank-filtered TERM-partitioned
+    * window — ONLY safe because the `<= sliceM` filter makes
+    * Catalyst's InferWindowGroupLimit bound every map partition at
+    * sliceM rows per term (a stopword's postings never assemble in
+    * one place); PlanSpec gates that shape. */
+  private[graft] def bm25ImpactSlice(posting: DataFrame, sliceM: Int,
+                                     idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wT = Window.partitionBy(col("term"))
+      .orderBy(col("_s").desc, col(idCol).asc)
+    posting.withColumn("_r", row_number().over(wT))
+      .filter(col("_r") <= sliceM)
+  }
+
+  private def bm25PrunedCore(spark: org.apache.spark.sql.SparkSession,
+                             indexDir: String, queries: DataFrame,
+                             k: Int, sliceM: Int, k1: Double, b: Double,
+                             textCol: String, idCol: String,
+                             queryIdCol: String)
+      : (DataFrame, DataFrame) = {
+    require(k >= 1 && sliceM >= k,
+      s"need k >= 1 and sliceM >= k (got k=$k, sliceM=$sliceM): a " +
+        "slice smaller than k could not even seed the top-k")
+    import org.apache.spark.sql.expressions.Window
+    val qt = queries
+      .select(col(queryIdCol), explode(tokens(col(textCol))).as("term"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posting = bm25QueryVocabPostings(spark, indexDir, qt, k1, b,
+        idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.cache.Pins.track(spark, new AutoCloseable {
       def close(): Unit = {
@@ -433,12 +457,7 @@ object TextAnalysis {
         posting.unpersist(blocking = false)
       }
     })
-    // impact slices: rank-filtered window => WindowGroupLimit keeps
-    // every map partition at <= sliceM rows per term (skew-safe)
-    val wT = Window.partitionBy(col("term"))
-      .orderBy(col("_s").desc, col(idCol).asc)
-    val slice = posting.withColumn("_r", row_number().over(wT))
-      .filter(col("_r") <= sliceM)
+    val slice = bm25ImpactSlice(posting, sliceM, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.cache.Pins.track(spark, new AutoCloseable {
       def close(): Unit = slice.unpersist(blocking = false)
@@ -446,8 +465,7 @@ object TextAnalysis {
     // tail bound per term: docs beyond the slice score <= the slice
     // minimum; a term wholly inside its slice has NO outside docs
     val tailT = slice.groupBy(col("term"))
-      .agg(min(col("_s")).as("_smin"))
-      .join(dfT, Seq("term"))
+      .agg(min(col("_s")).as("_smin"), max(col("df")).as("df"))
       .select(col("term"),
         when(col("df") > sliceM, col("_smin"))
           .otherwise(lit(0).cast("decimal(38,18)")).as("_tail"))

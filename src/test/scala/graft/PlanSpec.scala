@@ -1100,6 +1100,42 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25 impact slice: the term-partitioned rank window is " +
+       "GROUP-LIMITED map-side (a stopword's postings never assemble " +
+       "in one partition)") {
+    import graft.llm.TextAnalysis
+    val layer = "/root/repo/target/scratch/plan_bm25prune"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(layer))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    TextAnalysis.bm25PostingsBatch(docs, layer, batchId = 0L)
+    val qt = docs.limit(3)
+      .select(col("doc_id").as("query_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .distinct()
+    val slice = TextAnalysis.bm25ImpactSlice(
+      TextAnalysis.bm25QueryVocabPostings(spark, layer, qt,
+        k1 = 1.2, b = 0.75, idCol = "doc_id"),
+      sliceM = 128, idCol = "doc_id")
+    val plan = slice.queryExecution.executedPlan.toString
+    // the slice rank runs TWO-PHASE: a WindowGroupLimit Partial
+    // below the term exchange bounds every map partition at sliceM
+    // rows per term — without it the term window is the exact skew
+    // hazard the plain-bm25 gate forbids
+    val lines = plan.linesIterator.toSeq
+    val termExchange = lines.indexWhere(
+      _.matches(""".*Exchange hashpartitioning\(term#\d+, \d+\).*"""))
+    assert(termExchange >= 0,
+      s"slice term exchange missing:\n${plan.take(2500)}")
+    val below = lines.drop(termExchange + 1)
+      .takeWhile(!_.contains("Exchange hashpartitioning"))
+    assert(below.exists(l =>
+        l.contains("WindowGroupLimit") && l.contains("Partial")),
+      "WindowGroupLimit Partial must sit BELOW the term exchange " +
+        s"(map side):\n${below.mkString("\n")}")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
   test("llm_rrf_indexed serves from standing layers: no cartesian, " +
        "fusion is a single join over bounded candidate lists") {
     val q = graft.queries.LlmQueries.queries("llm_rrf_indexed")(
