@@ -863,9 +863,12 @@ object ScaleBench {
       // not 64 verbatim copies of itself — the probe measures the
       // prefix filter's candidate-pruning path at true corpus growth
       // while the capped probe above pins the output-bound regime.
+      // stride computed OUTSIDE the timed body (like the sibling
+      // probes) — the max-aggregation is setup, not serve cost
+      val saltStride =
+        docs0.agg(max(col("doc_id"))).head().getLong(0) + 1L
       runProbe("jaccard_prefix_salted", f, nDocs) {
-        val stride0 =
-          docs0.agg(max(col("doc_id"))).head().getLong(0) + 1L
+        val stride0 = saltStride
         val toks = filter(split(col("text"), " "), t => t =!= "")
         val cpy = floor(col("doc_id") / lit(stride0.toDouble))
           .cast("long").cast("string")

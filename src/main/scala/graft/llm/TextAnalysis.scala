@@ -389,6 +389,19 @@ object TextAnalysis {
     bm25PrunedCore(spark, indexDir, queries, k, sliceM, k1, b,
       textCol, idCol, queryIdCol)._2
 
+  /** Results AND prune stats from ONE core run — the deployed
+    * pairing (serve + log the verdicts). Calling the two single
+    * faces separately would compute the whole pruned pipeline — and
+    * pin its persisted frames — twice. */
+  def bm25PrunedServeWithStats(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, k: Int, sliceM: Int = 128,
+      k1: Double = 1.2, b: Double = 0.75, textCol: String = "text",
+      idCol: String = "doc_id", queryIdCol: String = "query_id")
+      : (DataFrame, DataFrame) =
+    bm25PrunedCore(spark, indexDir, queries, k, sliceM, k1, b,
+      textCol, idCol, queryIdCol)
+
   /** The query-vocabulary posting-contribution frame `(term, idCol,
     * _s)` the pruned serve slices — package-private so PlanSpec can
     * gate the un-persisted plan (the core persists it immediately). */
@@ -1997,8 +2010,6 @@ object TextAnalysis {
     require(rounds >= 1 && dim >= 1 && lr > 0.0,
       s"need rounds >= 1, dim >= 1, lr > 0 (got $rounds, $dim, $lr)")
     val spark = docs.sparkSession
-    val lab = docs.select(col(idCol), labelExpr.cast("int").as("label"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the feature relation carries the ROUND-INVARIANT label and is
     // partitioned by doc ONCE, kept for every round: the per-doc
     // logit aggregate and the residual join both reuse the standing
@@ -2012,10 +2023,13 @@ object TextAnalysis {
       .repartition(col(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.cache.Pins.track(spark, new AutoCloseable {
-      def close(): Unit = {
-        hv.unpersist(blocking = false); lab.unpersist(blocking = false)
-      }
+      def close(): Unit = hv.unpersist(blocking = false)
     })
+    // every doc owns exactly one bias row (bucket = dim), so the
+    // (id, label) frame and the training count both ride the cache —
+    // no second corpus-sized persist just to hold the labels
+    val lab = hv.filter(col("bucket") === dim.toLong)
+      .select(col(idCol), col("label"))
     val n = lab.count().toDouble
     var w = Array.fill(dim + 1)(0.0)
     (1 to rounds).foreach { t =>

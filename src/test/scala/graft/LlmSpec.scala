@@ -3293,14 +3293,15 @@ class LlmSpec extends AnyFunSuite {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
-    val pruned = rows(TextAnalysis.bm25TopKFromPostingsPruned(
-      spark, base, qs, k = 5, sliceM = 16))
+    // serve + stats from ONE core run (the deployed pairing)
+    val (servedDf, statsDf) = TextAnalysis.bm25PrunedServeWithStats(
+      spark, base, qs, k = 5, sliceM = 16)
+    val pruned = rows(servedDf)
     val full = rows(TextAnalysis.bm25TopKFromPostings(
       spark, base, qs, k = 5))
     assert(full.nonEmpty && pruned == full,
       "prune-or-fallback must reproduce the full scan exactly")
-    val st = TextAnalysis.bm25PruneStats(spark, base, qs,
-        k = 5, sliceM = 16).collect()
+    val st = statsDf.collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(4)))).toMap
     assert(st(1L)._2,
       s"rare-term query must be slice-answered with a proven bound: $st")
@@ -3897,6 +3898,7 @@ class LlmSpec extends AnyFunSuite {
           r.getDouble(3)).toMap
     assert(lexSide(Dedup.embeddingPairsBrute(emb, 0.4)) ==
       lexSide(Similarity.lshCosinePairs(emb, 0.4, 16, 4)))
+    graft.cache.Pins.release(spark)
   }
 
   test("rankEval: hand-computed MRR/P@k/recall/nDCG; missed query " +

@@ -1086,7 +1086,7 @@ class PlanSpec extends AnyFunSuite {
           .as("_g"))
       val p = planOf(g)
       val badBhj = p.linesIterator.filter(l =>
-        l.contains("BroadcastHashJoin") && l.contains("doc_id"))
+        l.contains("BroadcastHashJoin") && l.contains("doc_id")).toSeq
       assert(badBhj.isEmpty,
         s"no doc-keyed broadcast join in a GD round:\n" +
           badBhj.mkString("\n"))
