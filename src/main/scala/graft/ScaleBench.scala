@@ -45,7 +45,7 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val scratch = "/root/repo/target/scratch/scale"
+    val scratch = graft.Scratch.root + "/scale"
 
     val onlyOps = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)

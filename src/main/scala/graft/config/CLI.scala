@@ -768,7 +768,10 @@ object CLI {
           "incremental publish batches for bm25/cms (split by id % batches)"),
         OptField("compact", Some(OptBool(true)),
           "fold published batch partitions after the build (bm25/cms)"),
-        OptField("nCells", Some(OptNum(16)), "ivf: k-means cells"),
+        OptField("nCells", Some(OptNum(0)),
+          "ivf: k-means cells (0 = auto: corpus-derived via " +
+            "ivfAutoCells so probed mass stays flat as the corpus " +
+            "grows); pq: codewords per subspace (0 = 16)"),
         OptField("topK", Some(OptNum(5)), "serve: results per query"))),
       (spark, opts) => {
         def num(v: OptValue): Double = v match {
@@ -829,8 +832,15 @@ object CLI {
                   k = topK)
               case "ivf" =>
                 val emb = r.read()
+                // deployment default: corpus-derived cell geometry
+                // (probed candidate mass stays ~targetCell * nProbe
+                // however large the corpus) unless the config pins an
+                // explicit count
+                val cells =
+                  if (nCells > 0) nCells
+                  else Similarity.ivfAutoCells(emb.count())
                 val cents = Similarity.kmeansCentroidsUncached(emb,
-                  nCells, iters = 2)
+                  cells, iters = 2)
                 // the full lifecycle in one config-bound run: build on
                 // the even half, APPEND the odd half as a delta batch,
                 // fold the delta into the cells, refresh the centroids
@@ -852,8 +862,12 @@ object CLI {
                   k = topK)
               case "pq" =>
                 val emb = r.read()
+                // pq's k is codewords PER SUBSPACE (a model-size
+                // knob, not serve geometry) — auto doesn't apply;
+                // 0 falls back to the former fixed default
+                val pqK = if (nCells > 0) nCells else 16
                 val books = Similarity.pqCodebooks(emb, m = 4,
-                  k = nCells, iters = 2)
+                  k = pqK, iters = 2)
                 // full lifecycle: build on the even half, append the
                 // odd half as a delta batch, fold, then patch
                 Similarity.pqWriteIndex(
@@ -864,7 +878,7 @@ object CLI {
                 // retrain on the odd half, patch only changed buckets
                 val newBooks = Similarity.pqCodebooks(
                   emb.filter(col("vec_id") % 2 === 1), m = 4,
-                  k = nCells, iters = 2)
+                  k = pqK, iters = 2)
                 // old books from the table's own sidecar; serve from
                 // the sidecar the patch advanced
                 Similarity.pqPatchIndexAuto(spark, layerDir, emb,

@@ -736,6 +736,31 @@ object Similarity {
       centroids.zipWithIndex.map { case (v, i) => (0, i.toLong, v) })
   }
 
+  /** The DEPLOYMENT build face: [[ivfWriteIndex]] with the cell count
+    * derived from the corpus itself via [[ivfAutoCells]] — the default
+    * every build path that doesn't carry an explicit geometry should
+    * take (the measured round-14 finding: a FIXED 16-cell index served
+    * 4.6 s at 16x corpus growth but 11 s at 64x because each probed
+    * cell held 64x the vectors; auto geometry keeps probed candidate
+    * mass — and the serve — flat). Trains [[kmeansCentroids]] at the
+    * derived count (train-once registry amortizes repeats) and writes
+    * the layout + centroid sidecar. Returns the cell count used, so
+    * callers can log/assert the geometry. Explicit-cell builds remain
+    * first-class for replay-pinned uses (oracle queries splice the
+    * trained centroids as literals, so their geometry must not move
+    * with the corpus). */
+  def ivfBuildIndexAuto(corpus: DataFrame, indexDir: String,
+                        targetCell: Long = 256L, iters: Int = 1,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        attrCols: Seq[String] = Nil): Int = {
+    val nCells = ivfAutoCells(corpus.count(), targetCell)
+    ivfWriteIndex(corpus,
+      kmeansCentroids(corpus, nCells, iters, idCol, vecCol),
+      indexDir, idCol, vecCol, attrCols)
+    nCells
+  }
+
   /** Sidecar names + the flat (group, idx, vector) text codec shared
     * by the IVF centroid set (group always 0) and the PQ codebooks
     * (group = subspace). `Double.toString` round-trips exactly, so the

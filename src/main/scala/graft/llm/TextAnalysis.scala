@@ -322,6 +322,25 @@ object TextAnalysis {
       textCol, idCol, queryIdCol, weighted = false)
   }
 
+  /** [[bm25TopKWeighted]] served from a standing [[bm25PostingsBatch]]
+    * layer — the bag-query (qtf-weighted) twin of
+    * [[bm25TopKFromPostings]], bit-identical to the one-shot weighted
+    * form over the union corpus (the scoring half is the same shared
+    * code path). */
+  def bm25TopKWeightedFromPostings(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val tf = spark.read.parquet(s"$indexDir/postings")
+      .select(col(idCol), col("term"), col("tf"), col("dl"))
+    val stats = spark.read.parquet(s"$indexDir/stats")
+      .agg(sum(col("n_docs")).as("_n"),
+        sum(col("sum_dl")).as("_sumdl"))
+    bm25ScoreOverPostings(tf, stats, queries, k, k1, b,
+      textCol, idCol, queryIdCol, weighted = true)
+  }
+
   /** Exact BM25 top-k over a standing [[bm25PostingsBatch]] layer
     * with MaxScore-family IMPACT PRUNING — the device that makes
     * lexical serving sublinear in the corpus for selective queries
@@ -365,14 +384,43 @@ object TextAnalysis {
     * path. [[bm25PruneStats]] is the observability face. */
   def bm25TopKFromPostingsPruned(spark: org.apache.spark.sql.SparkSession,
                                  indexDir: String, queries: DataFrame,
-                                 k: Int, sliceM: Int = 128,
+                                 k: Int, sliceM: Int = 0,
                                  k1: Double = 1.2, b: Double = 0.75,
                                  textCol: String = "text",
                                  idCol: String = "doc_id",
                                  queryIdCol: String = "query_id")
       : DataFrame =
     bm25PrunedCore(spark, indexDir, queries, k, sliceM, k1, b,
-      textCol, idCol, queryIdCol)._1
+      textCol, idCol, queryIdCol, weighted = false)._1
+
+  /** Impact-slice depth rule — the [[graft.llm.Similarity.ivfAutoCells]]
+    * / lshAutoConfig geometry discipline applied to lexical pruning
+    * (`sliceM = 0` on the pruned faces resolves here from the layer's
+    * own doc count). Three forces, each visible in the formula:
+    *
+    *  - floor `max(64, 4k)`: a slice must seed the top-k with room to
+    *    spare (candidates come from slice UNIONS, but a one-term query
+    *    gets exactly one slice), and below ~64 rows the per-term rank
+    *    window costs more to schedule than the rows it prunes;
+    *  - `32 * ceil(log2(n/1000 + 2))` corpus growth: a term's tail
+    *    bound is its sliceM-th best contribution — at a fixed depth
+    *    the tail RISES as the corpus grows (more docs populate the top
+    *    of every term's impact distribution), loosening the bound
+    *    exactly when pruning matters most; deepening logarithmically
+    *    keeps the bound tightening while slice cost stays O(log n);
+    *  - cap 4096: per-query candidate mass is ≤ |T_q| * sliceM — the
+    *    cap keeps it broadcast-scale at any corpus size (past it, the
+    *    slice arm stops beating the scan it is meant to avoid).
+    *
+    * Correctness never depends on the choice — the bound check makes
+    * every depth exact (prove-or-fall-back); sliceM only moves the
+    * prune/fallback frontier and the slice arm's cost. */
+  def bm25AutoSliceM(k: Int, nDocs: Long): Int = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val grow = 32 * math.ceil(
+      math.log(nDocs.max(0L) / 1000.0 + 2.0) / math.log(2.0)).toInt
+    math.min(4096, math.max(math.max(64, 4 * k), grow))
+  }
 
   /** Per-query pruning observability for
     * [[bm25TopKFromPostingsPruned]]: `(queryIdCol, n_candidates,
@@ -381,13 +429,13 @@ object TextAnalysis {
     * `false` rows fell back to the full scan. */
   def bm25PruneStats(spark: org.apache.spark.sql.SparkSession,
                      indexDir: String, queries: DataFrame,
-                     k: Int, sliceM: Int = 128,
+                     k: Int, sliceM: Int = 0,
                      k1: Double = 1.2, b: Double = 0.75,
                      textCol: String = "text",
                      idCol: String = "doc_id",
                      queryIdCol: String = "query_id"): DataFrame =
     bm25PrunedCore(spark, indexDir, queries, k, sliceM, k1, b,
-      textCol, idCol, queryIdCol)._2
+      textCol, idCol, queryIdCol, weighted = false)._2
 
   /** Results AND prune stats from ONE core run — the deployed
     * pairing (serve + log the verdicts). Calling the two single
@@ -395,12 +443,49 @@ object TextAnalysis {
     * pin its persisted frames — twice. */
   def bm25PrunedServeWithStats(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      queries: DataFrame, k: Int, sliceM: Int = 128,
+      queries: DataFrame, k: Int, sliceM: Int = 0,
       k1: Double = 1.2, b: Double = 0.75, textCol: String = "text",
       idCol: String = "doc_id", queryIdCol: String = "query_id")
       : (DataFrame, DataFrame) =
     bm25PrunedCore(spark, indexDir, queries, k, sliceM, k1, b,
-      textCol, idCol, queryIdCol)
+      textCol, idCol, queryIdCol, weighted = false)
+
+  /** Impact-pruned BAG-QUERY (qtf-weighted) BM25 serve — the
+    * [[bm25TopKWeighted]] semantics under the same prove-or-fall-back
+    * contract as [[bm25TopKFromPostingsPruned]], always bit-identical
+    * to [[bm25TopKWeightedFromPostings]].
+    *
+    * The weighted soundness argument (the one extra step over the
+    * unweighted scaladoc): slices are ranked by the RAW DOUBLE
+    * contribution `_sd`, so a doc outside term t's slice has
+    * `_sd ≤ _sdmin(t)` as IEEE doubles; its per-term score
+    * contribution `cast18(_sd * qtf)` is then ≤ the per-(query, term)
+    * tail `cast18(_sdmin(t) * qtf)` — IEEE multiply by the same
+    * positive qtf and the decimal(38,18) cast are both monotone — and
+    * the bound B_q = Σ_t tail sums those EXACT decimals (df ≤ sliceM
+    * terms bound 0 as before). θ_q > round6(B_q) strict therefore
+    * proves exactness by the same round-monotone argument; qtf never
+    * loosens the proof because the tail is scaled by the SAME per-term
+    * qtf the scores use, not a query-global max. */
+  def bm25TopKFromPostingsPrunedWeighted(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, k: Int, sliceM: Int = 0,
+      k1: Double = 1.2, b: Double = 0.75, textCol: String = "text",
+      idCol: String = "doc_id", queryIdCol: String = "query_id")
+      : DataFrame =
+    bm25PrunedCore(spark, indexDir, queries, k, sliceM, k1, b,
+      textCol, idCol, queryIdCol, weighted = true)._1
+
+  /** Weighted serve + prune verdicts from one core run (the weighted
+    * [[bm25PrunedServeWithStats]]). */
+  def bm25PrunedServeWithStatsWeighted(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, k: Int, sliceM: Int = 0,
+      k1: Double = 1.2, b: Double = 0.75, textCol: String = "text",
+      idCol: String = "doc_id", queryIdCol: String = "query_id")
+      : (DataFrame, DataFrame) =
+    bm25PrunedCore(spark, indexDir, queries, k, sliceM, k1, b,
+      textCol, idCol, queryIdCol, weighted = true)
 
   /** The query-vocabulary posting-contribution frame `(term, idCol,
     * _s)` the pruned serve slices — package-private so PlanSpec can
@@ -427,10 +512,15 @@ object TextAnalysis {
     val contrib = idf * (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
       (col("tf").cast("double") + lit(k1) * ((lit(1.0) - lit(b)) +
         lit(b) * (col("dl").cast("double") / avgdl)))
+    // `_s` (decimal) drives the unweighted path verbatim; `_sd` (the
+    // raw double) drives the weighted path, whose score arithmetic
+    // multiplies by qtf BEFORE the decimal cast — codegen CSE shares
+    // the one contribution computation across both columns
     tfq.join(dfT, Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("term"), col(idCol),
-        contrib.cast("decimal(38,18)").as("_s"), col("df"))
+        contrib.cast("decimal(38,18)").as("_s"),
+        contrib.as("_sd"), col("df"))
   }
 
   /** The per-term impact slice: rank-filtered TERM-partitioned
@@ -439,30 +529,47 @@ object TextAnalysis {
     * sliceM rows per term (a stopword's postings never assemble in
     * one place); PlanSpec gates that shape. */
   private[graft] def bm25ImpactSlice(posting: DataFrame, sliceM: Int,
-                                     idCol: String): DataFrame = {
+                                     idCol: String,
+                                     orderCol: String = "_s")
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wT = Window.partitionBy(col("term"))
-      .orderBy(col("_s").desc, col(idCol).asc)
+      .orderBy(col(orderCol).desc, col(idCol).asc)
     posting.withColumn("_r", row_number().over(wT))
       .filter(col("_r") <= sliceM)
   }
 
   private def bm25PrunedCore(spark: org.apache.spark.sql.SparkSession,
                              indexDir: String, queries: DataFrame,
-                             k: Int, sliceM: Int, k1: Double, b: Double,
+                             k: Int, sliceM0: Int, k1: Double, b: Double,
                              textCol: String, idCol: String,
-                             queryIdCol: String)
+                             queryIdCol: String, weighted: Boolean)
       : (DataFrame, DataFrame) = {
-    require(k >= 1 && sliceM >= k,
-      s"need k >= 1 and sliceM >= k (got k=$k, sliceM=$sliceM): a " +
-        "slice smaller than k could not even seed the top-k")
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    // sliceM = 0 resolves to the corpus-derived geometry; the 1-row
+    // stats read is the same driver-side metadata touch every serve
+    // already pays for N/avgdl
+    val sliceM =
+      if (sliceM0 > 0) sliceM0
+      else bm25AutoSliceM(k,
+        spark.read.parquet(s"$indexDir/stats")
+          .agg(sum(col("n_docs"))).head.getLong(0))
+    require(sliceM >= k,
+      s"need sliceM >= k (got k=$k, sliceM=$sliceM): a slice smaller " +
+        "than k could not even seed the top-k")
     import org.apache.spark.sql.expressions.Window
-    val qt = queries
+    // bag-query mode carries the in-query term frequency; set-query
+    // mode is the distinct-term set — same split as the scoring path
+    val qtRaw = queries
       .select(col(queryIdCol), explode(tokens(col(textCol))).as("term"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val posting = bm25QueryVocabPostings(spark, indexDir, qt, k1, b,
-        idCol)
+    val qt =
+      (if (weighted)
+        qtRaw.groupBy(col(queryIdCol), col("term"))
+          .agg(count(lit(1)).as("qtf"))
+      else qtRaw.distinct())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posting = bm25QueryVocabPostings(spark, indexDir,
+        qt.select(col(queryIdCol), col("term")), k1, b, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.cache.Pins.track(spark, new AutoCloseable {
       def close(): Unit = {
@@ -470,25 +577,37 @@ object TextAnalysis {
         posting.unpersist(blocking = false)
       }
     })
-    val slice = bm25ImpactSlice(posting, sliceM, idCol)
+    // weighted slices rank by the RAW DOUBLE `_sd`: the weighted score
+    // term is cast18(_sd * qtf), and only double-ordered slices make
+    // outside-doc ≤ slice-min survive the multiply EXACTLY (see the
+    // weighted face's scaladoc); the unweighted path keeps its decimal
+    // `_s` ordering verbatim
+    val slice = bm25ImpactSlice(posting, sliceM, idCol,
+        orderCol = if (weighted) "_sd" else "_s")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.cache.Pins.track(spark, new AutoCloseable {
       def close(): Unit = slice.unpersist(blocking = false)
     })
-    // tail bound per term: docs beyond the slice score <= the slice
-    // minimum; a term wholly inside its slice has NO outside docs
+    // tail per term: docs beyond the slice score <= the slice minimum;
+    // a term wholly inside its slice (df <= sliceM) has NO outside docs
     val tailT = slice.groupBy(col("term"))
-      .agg(min(col("_s")).as("_smin"), max(col("df")).as("df"))
-      .select(col("term"),
-        when(col("df") > sliceM, col("_smin"))
-          .otherwise(lit(0).cast("decimal(38,18)")).as("_tail"))
-    // candidates + their FULL scores over matched postings
+      .agg(min(col(if (weighted) "_sd" else "_s")).as("_smin"),
+        max(col("df")).as("df"))
+    // candidates + their FULL scores over matched postings — the score
+    // arithmetic is VERBATIM the full-scan path's (decimal sum of _s,
+    // or decimal sum of cast18(_sd * qtf)), so served rows are
+    // bit-identical to the fallback's by construction
     val cand = qt.join(slice.select(col("term"), col(idCol)), Seq("term"))
       .select(col(queryIdCol), col(idCol)).distinct()
+    val termScore =
+      if (weighted)
+        sum((col("_sd") * col("qtf").cast("double"))
+          .cast("decimal(38,18)"))
+      else sum(col("_s"))
     val candScores = qt.join(posting, Seq("term"))
       .join(cand, Seq(queryIdCol, idCol), "left_semi")
       .groupBy(col(queryIdCol), col(idCol))
-      .agg(round(sum(col("_s")).cast("double"), 6).as("score"))
+      .agg(round(termScore.cast("double"), 6).as("score"))
     val wQ = Window.partitionBy(col(queryIdCol))
       .orderBy(col("score").desc, col(idCol).asc)
     val ranked = candScores
@@ -506,10 +625,22 @@ object TextAnalysis {
       .join(ranked.filter(col("rank") === k)
         .select(col(queryIdCol), col("score").as("_theta")),
         Seq(queryIdCol), "left")
-    // B_q over the query's terms; terms absent from the layer bound 0
+    // B_q over the query's terms; terms absent from the layer bound 0.
+    // Weighted: the per-(query, term) tail is cast18(_smin * qtf) —
+    // the same arithmetic shape as a score term, scaled by the SAME
+    // qtf, summed exactly in decimal
+    val termBound =
+      if (weighted)
+        when(col("df") > sliceM,
+          (col("_smin") * col("qtf").cast("double"))
+            .cast("decimal(38,18)"))
+          .otherwise(lit(0).cast("decimal(38,18)"))
+      else
+        when(col("df") > sliceM, col("_smin"))
+          .otherwise(lit(0).cast("decimal(38,18)"))
     val boundQ = qt.join(tailT, Seq("term"), "left")
       .groupBy(col(queryIdCol))
-      .agg(round(sum(coalesce(col("_tail"),
+      .agg(round(sum(coalesce(termBound,
         lit(0).cast("decimal(38,18)"))).cast("double"), 6).as("_bound"))
     val verdict = boundQ.join(thetaN, Seq(queryIdCol), "left")
       .select(col(queryIdCol),
@@ -527,9 +658,15 @@ object TextAnalysis {
       .join(okQ, Seq(queryIdCol), "left_semi")
       .select(col(queryIdCol), col("rank"), col(idCol), col("score"))
     // fallback: the full-scan path, restricted to the failed queries
-    val fallback = bm25TopKFromPostings(spark, indexDir,
-      queries.join(failQ, Seq(queryIdCol), "left_semi"),
-      k, k1, b, textCol, idCol, queryIdCol)
+    val fallback =
+      if (weighted)
+        bm25TopKWeightedFromPostings(spark, indexDir,
+          queries.join(failQ, Seq(queryIdCol), "left_semi"),
+          k, k1, b, textCol, idCol, queryIdCol)
+      else
+        bm25TopKFromPostings(spark, indexDir,
+          queries.join(failQ, Seq(queryIdCol), "left_semi"),
+          k, k1, b, textCol, idCol, queryIdCol)
     (prunedPart.unionByName(fallback), verdict)
   }
 

@@ -429,7 +429,7 @@ object LlmQueries {
         iters = 2)
       val newC = Similarity.kmeansUpdate(
         emb.filter(col("vec_id") % 2 === 1), cents)
-      val idxDir = "/root/repo/target/scratch/ivfpatch_" +
+      val idxDir = graft.Scratch.root + "/ivfpatch_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(idxDir))
@@ -456,7 +456,7 @@ object LlmQueries {
       val emb = table(s, dir, "embeddings")
       val cents = Similarity.kmeansCentroids(emb, nCells = 16,
         iters = 2)
-      val idxDir = "/root/repo/target/scratch/takedown_ivf_" +
+      val idxDir = graft.Scratch.root + "/takedown_ivf_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(idxDir))
@@ -481,7 +481,7 @@ object LlmQueries {
       val emb = table(s, dir, "embeddings")
       val cents = Similarity.kmeansCentroids(emb, nCells = 16,
         iters = 2)
-      val idxDir = "/root/repo/target/scratch/ivf_append_" +
+      val idxDir = graft.Scratch.root + "/ivf_append_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(idxDir))
@@ -508,7 +508,7 @@ object LlmQueries {
       val emb = table(s, dir, "embeddings")
       val cents = Similarity.kmeansCentroids(emb, nCells = 16,
         iters = 2)
-      val idxDir = "/root/repo/target/scratch/ann_filtered_" +
+      val idxDir = graft.Scratch.root + "/ann_filtered_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(idxDir))
@@ -643,7 +643,7 @@ object LlmQueries {
       val books = Similarity.pqCodebooks(emb, m = 4, k = 16, iters = 2)
       val newBooks = Similarity.pqCodebooks(
         emb.filter(col("vec_id") % 2 === 1), m = 4, k = 16, iters = 2)
-      val idxDir = "/root/repo/target/scratch/pqpatch_" +
+      val idxDir = graft.Scratch.root + "/pqpatch_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       Similarity.pqWriteIndex(emb, books, idxDir)
       Similarity.pqPatchIndex(s, idxDir, emb, books, newBooks)
@@ -661,7 +661,7 @@ object LlmQueries {
     "llm_takedown_pq" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val books = Similarity.pqCodebooks(emb, m = 4, k = 16, iters = 2)
-      val idxDir = "/root/repo/target/scratch/takedown_pq_" +
+      val idxDir = graft.Scratch.root + "/takedown_pq_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(idxDir))
@@ -683,7 +683,7 @@ object LlmQueries {
     "llm_pq_append" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val books = Similarity.pqCodebooks(emb, m = 4, k = 16, iters = 2)
-      val idxDir = "/root/repo/target/scratch/pq_append_" +
+      val idxDir = graft.Scratch.root + "/pq_append_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(idxDir))
@@ -1791,7 +1791,7 @@ object LlmQueries {
     "llm_pack_curated" -> ((s, dir) => {
       import graft.model.{Usage, VPath, VirtualFile}
       import graft.task.PTask
-      val scratch = s"/root/repo/target/scratch/llmpc_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val scratch = s"${graft.Scratch.root}/llmpc_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(scratch))
       val m = graft.loc.Mappings(Map(VPath("/documents") ->
@@ -2508,7 +2508,7 @@ object LlmQueries {
     "llm_bm25_layered" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val corpus = docs.filter(col("doc_id") % 100 =!= 0)
-      val idxDir = "/root/repo/target/scratch/bm25layer_" +
+      val idxDir = graft.Scratch.root + "/bm25layer_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(idxDir))
@@ -2537,7 +2537,7 @@ object LlmQueries {
     "llm_bm25_pruned" -> ((s, dir) => {
       import s.implicits._
       val docs = table(s, dir, "documents")
-      val base = "/root/repo/target/scratch/bm25prune_" +
+      val base = graft.Scratch.root + "/bm25prune_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       val idxDir = s"$base/postings_layer"
       // STANDING layer behind a _READY sentinel (the llm_rrf_indexed
@@ -2578,7 +2578,7 @@ object LlmQueries {
     // in-place takedown == rebuild over corpus MINUS ids.
     "llm_takedown" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val base = "/root/repo/target/scratch/takedown_layer_" +
+      val base = graft.Scratch.root + "/takedown_layer_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(base))
@@ -2608,7 +2608,7 @@ object LlmQueries {
     // sketch of the remaining corpus, cell for cell.
     "llm_takedown_cms" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val base = "/root/repo/target/scratch/takedown_cms_" +
+      val base = graft.Scratch.root + "/takedown_cms_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(base))
@@ -2669,7 +2669,7 @@ object LlmQueries {
     // the read via basePath. Hash-matched against the modulo filter.
     "llm_layer_asof" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val base = "/root/repo/target/scratch/layer_asof_" +
+      val base = graft.Scratch.root + "/layer_asof_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(base))
@@ -2693,7 +2693,7 @@ object LlmQueries {
     // mutated. Hash-matched against the pure modulo rollup.
     "llm_takedown_preview" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val base = "/root/repo/target/scratch/takedown_preview_" +
+      val base = graft.Scratch.root + "/takedown_preview_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(base))
@@ -2716,7 +2716,7 @@ object LlmQueries {
     // partition residency hash-matches the pure modulo filter.
     "llm_retention" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val base = "/root/repo/target/scratch/retention_layer_" +
+      val base = graft.Scratch.root + "/retention_layer_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(base))
@@ -2746,7 +2746,7 @@ object LlmQueries {
     "llm_takedown_bm25" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val corpus = docs.filter(col("doc_id") % 100 =!= 0)
-      val idxDir = "/root/repo/target/scratch/takedown_bm25_" +
+      val idxDir = graft.Scratch.root + "/takedown_bm25_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(idxDir))
@@ -2824,7 +2824,7 @@ object LlmQueries {
       val docs = table(s, dir, "documents")
       val emb = table(s, dir, "embeddings")
       val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val base = s"/root/repo/target/scratch/rrfidx_$suffix"
+      val base = s"${graft.Scratch.root}/rrfidx_$suffix"
       val bmDir = s"$base/bm25"
       val ivfDir = s"$base/ivf"
       // STANDING layers: built once per corpus (the _READY sentinel

@@ -266,7 +266,7 @@ object Relational {
     //     read back, verify per-partition counts.
     "q18_partitioned_write" -> ((s, dir) => {
       import s.implicits._
-      val scratch = s"/root/repo/target/scratch/q18_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val scratch = s"${graft.Scratch.root}/q18_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       // direct write from scan partitions: files-per-dir = tasks x
       // values. At 100 TB with a LOW-cardinality partition column,
       // bound the file count without collapsing parallelism by
@@ -289,7 +289,7 @@ object Relational {
     "q20_cached_rerun" -> ((s, dir) => {
       import s.implicits._
       import graft.model.{Usage, VPath, VirtualFile}
-      val scratch = s"/root/repo/target/scratch/q20_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val scratch = s"${graft.Scratch.root}/q20_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       val m = graft.loc.Mappings(Map(VPath("/orders") ->
         graft.loc.MappingRhs.Layers(Seq(
           graft.loc.LocTemplate(s"$dir/orders.parquet")))))
@@ -659,7 +659,7 @@ object Relational {
     //     values survived the text serialization + codec round-trip.
     "q39_zlib_csv_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      val scratch = s"/root/repo/target/scratch/q39_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val scratch = s"${graft.Scratch.root}/q39_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       val fmt = graft.serial.Formats.Csv()
       val src = table(s, dir, "customer")
       fmt.write(src, scratch, Some("deflate"))
@@ -679,7 +679,7 @@ object Relational {
     //     sums, timestamps) survived the ORC write+read bit-exactly.
     "q36_orc_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      val scratch = s"/root/repo/target/scratch/q36_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val scratch = s"${graft.Scratch.root}/q36_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       val src = table(s, dir, "lineitem")
         .select($"l_orderkey", $"l_linenumber", $"l_quantity",
           $"l_extendedprice", $"l_returnflag", $"l_shipdate")

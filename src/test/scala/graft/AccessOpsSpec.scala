@@ -24,7 +24,7 @@ class AccessOpsSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
   def scratch(name: String): String = {
-    val d = s"/root/repo/target/scratch/aops_$name"
+    val d = s"${graft.Scratch.root}/aops_$name"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
     d
   }
@@ -412,7 +412,7 @@ class AccessOpsSpec extends AnyFunSuite {
   }
   test("yaml format round-trips: write then read back the same rows") {
     import spark.implicits._
-    val path = "/root/repo/target/scratch/roundtrip.yaml"
+    val path = graft.Scratch.root + "/roundtrip.yaml"
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
     graft.serial.Formats("yaml").write(df, path)
     val back = graft.serial.Formats("yaml")

@@ -86,7 +86,7 @@ class ConfigSpec extends AnyFunSuite {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4").getOrCreate()
-    val out = "/root/repo/target/scratch/cli_report"
+    val out = graft.Scratch.root + "/cli_report"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     val spec = JobSpec.parse(
       s"""data: {minPrice: 100000}
@@ -109,7 +109,7 @@ class ConfigSpec extends AnyFunSuite {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4").getOrCreate()
-    val base = "/root/repo/target/scratch/cli_walkthrough"
+    val base = graft.Scratch.root + "/cli_walkthrough"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     new java.io.File(base).mkdirs()
     def captured(args: String*): String = {
@@ -176,7 +176,7 @@ class ConfigSpec extends AnyFunSuite {
     val spark = SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4").getOrCreate()
-    val base = "/root/repo/target/scratch/example2"
+    val base = graft.Scratch.root + "/example2"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     new java.io.File(s"$base/Inputs").mkdirs()
     val closes = Map(
@@ -256,7 +256,7 @@ class ConfigSpec extends AnyFunSuite {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4").getOrCreate()
-    val base = "/root/repo/target/scratch/cli_optfile"
+    val base = graft.Scratch.root + "/cli_optfile"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     new java.io.File(base).mkdirs()
     // external option file sets a very high minPrice -> few rows
@@ -287,7 +287,7 @@ class ConfigSpec extends AnyFunSuite {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4").getOrCreate()
-    val base = "/root/repo/target/scratch/radon"
+    val base = graft.Scratch.root + "/radon"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     new java.io.File(base).mkdirs()
     // reference data/radon.csv shape, cut to the columns the example
@@ -360,7 +360,7 @@ class ConfigSpec extends AnyFunSuite {
       .master("local[4]").config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4").getOrCreate()
     import spark.implicits._
-    val base = "/root/repo/target/scratch/cli_users"
+    val base = graft.Scratch.root + "/cli_users"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     // plant User-{i}.json inputs (fixture shape per FIXTURES.md A.1)
     Seq(("Lucky", "Luke", 32), ("Jolly", "Jumper", 9)).zipWithIndex.foreach {
@@ -636,7 +636,7 @@ class ConfigSpec extends AnyFunSuite {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4").getOrCreate()
-    val base = "/root/repo/target/scratch/cli_cache"
+    val base = graft.Scratch.root + "/cli_cache"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     new java.io.File(base).mkdirs()
     val memoRoot = s"$base/memo"
@@ -703,7 +703,7 @@ class ConfigSpec extends AnyFunSuite {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4").getOrCreate()
-    val base = "/root/repo/target/scratch/cli_curate"
+    val base = graft.Scratch.root + "/cli_curate"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     new java.io.File(base).mkdirs()
     val specFile = s"$base/curate.yaml"
@@ -737,7 +737,7 @@ class ConfigSpec extends AnyFunSuite {
       .master("local[4]").config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4").getOrCreate()
     import spark.implicits._
-    val base = "/root/repo/target/scratch/cli_preprocess"
+    val base = graft.Scratch.root + "/cli_preprocess"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     new java.io.File(base).mkdirs()
     // planted raw corpus: one markup page that cleans to a kept doc,
@@ -770,7 +770,7 @@ class ConfigSpec extends AnyFunSuite {
       .master("local[4]").config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4").getOrCreate()
     import spark.implicits._
-    val base = "/root/repo/target/scratch/cli_dedup_audit"
+    val base = graft.Scratch.root + "/cli_dedup_audit"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     new java.io.File(base).mkdirs()
     val w100 = (0 until 100).map(i => s"w$i").mkString(" ")
@@ -804,7 +804,7 @@ class ConfigSpec extends AnyFunSuite {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4").getOrCreate()
-    val base = "/root/repo/target/scratch/cli_safety"
+    val base = graft.Scratch.root + "/cli_safety"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     new java.io.File(base).mkdirs()
     val specFile = s"$base/safety.yaml"
@@ -839,7 +839,7 @@ class ConfigSpec extends AnyFunSuite {
       .master("local[4]").config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4").getOrCreate()
     import org.apache.spark.sql.functions.{col => c}
-    val base = "/root/repo/target/scratch/cli_index"
+    val base = graft.Scratch.root + "/cli_index"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     new java.io.File(base).mkdirs()
     val specFile = s"$base/index.yaml"
@@ -900,6 +900,18 @@ class ConfigSpec extends AnyFunSuite {
     val ivf = spark.read.parquet(s"$base/ivf_serve.parquet")
     assert(ivf.columns.toSet == Set("query_id", "rank", "vec_id",
       "cosine") && ivf.count() > 0)
+    // nCells defaulted to 0 = AUTO: the built layout's sidecar must
+    // carry the corpus-derived cell count (empty cells may drop out
+    // of k-means, never appear from nowhere)
+    val ivfLayer = Seq(s"$base/ivf_idx", s"$base/ivf_idx.parquet")
+      .find(d => new java.io.File(d).exists()).get
+    val autoCells = graft.llm.Similarity.ivfAutoCells(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .count())
+    val sidecarN = graft.llm.Similarity
+      .ivfIndexCentroids(spark, ivfLayer).get.length
+    assert(sidecarN <= autoCells && sidecarN >= 2,
+      s"ivf auto geometry: sidecar $sidecarN vs auto $autoCells")
     // pq kind: build -> bucket patch -> ADC serve over the code table
     CLI.run(Array("index", "run", specFile, "-o", "kind=pq",
       "--loc", s"/embeddings=/root/testdata/sf0.001/embeddings.parquet",
@@ -920,7 +932,7 @@ class ConfigSpec extends AnyFunSuite {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4").getOrCreate()
-    val base = "/root/repo/target/scratch/cli_index_guard"
+    val base = graft.Scratch.root + "/cli_index_guard"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     // the binding may resolve bare or ext-completed — plant the
     // foreign content at both candidates so the guard must face it
@@ -959,7 +971,7 @@ class ConfigSpec extends AnyFunSuite {
       .master("local[4]").config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4").getOrCreate()
     import org.apache.spark.sql.functions.{col => c}
-    val base = "/root/repo/target/scratch/cli_takedown"
+    val base = graft.Scratch.root + "/cli_takedown"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     new java.io.File(base).mkdirs()
     val docs = spark.read
@@ -1053,7 +1065,7 @@ class ConfigSpec extends AnyFunSuite {
       .master("local[4]").config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4").getOrCreate()
     import org.apache.spark.sql.functions.{col => c}
-    val base = "/root/repo/target/scratch/cli_retention"
+    val base = graft.Scratch.root + "/cli_retention"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     new java.io.File(base).mkdirs()
     val docs = spark.read
@@ -1093,7 +1105,7 @@ class ConfigSpec extends AnyFunSuite {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4").getOrCreate()
-    val base = "/root/repo/target/scratch/cli_media"
+    val base = graft.Scratch.root + "/cli_media"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val mediaDir = new java.io.File(s"$base/fixtures")
     mediaDir.mkdirs()
@@ -1184,7 +1196,7 @@ class ConfigSpec extends AnyFunSuite {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4").getOrCreate()
-    val base = "/root/repo/target/scratch/cli_media_dedup"
+    val base = graft.Scratch.root + "/cli_media_dedup"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val mediaDir = new java.io.File(s"$base/fixtures")
     mediaDir.mkdirs()
@@ -1240,7 +1252,7 @@ class ConfigSpec extends AnyFunSuite {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4").getOrCreate()
-    val base = "/root/repo/target/scratch/cli_tokenize"
+    val base = graft.Scratch.root + "/cli_tokenize"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     new java.io.File(base).mkdirs()
     val specFile = s"$base/tok.yaml"
@@ -1278,7 +1290,7 @@ class ConfigSpec extends AnyFunSuite {
       .master("local[4]").config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4").getOrCreate()
     import org.apache.spark.sql.functions.{col => c}
-    val base = "/root/repo/target/scratch/cli_gate"
+    val base = graft.Scratch.root + "/cli_gate"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     new java.io.File(base).mkdirs()
     val specFile = s"$base/gate.yaml"
@@ -1328,7 +1340,7 @@ class ConfigSpec extends AnyFunSuite {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4").getOrCreate()
-    val base = "/root/repo/target/scratch/cli_report"
+    val base = graft.Scratch.root + "/cli_report"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     new java.io.File(base).mkdirs()
     val specFile = s"$base/report.yaml"
@@ -1372,7 +1384,7 @@ class ConfigSpec extends AnyFunSuite {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4").getOrCreate()
-    val base = "/root/repo/target/scratch/cli_media_ingest"
+    val base = graft.Scratch.root + "/cli_media_ingest"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val mediaDir = new java.io.File(s"$base/fixtures"); mediaDir.mkdirs()
     def raster(seed: Int): java.awt.image.BufferedImage = {
@@ -1419,7 +1431,7 @@ class ConfigSpec extends AnyFunSuite {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4").getOrCreate()
-    val base = "/root/repo/target/scratch/cli_table_audit"
+    val base = graft.Scratch.root + "/cli_table_audit"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     new java.io.File(base).mkdirs()
     val specFile = s"$base/audit.yaml"
@@ -1459,7 +1471,7 @@ class ConfigSpec extends AnyFunSuite {
       .master("local[4]").config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4").getOrCreate()
     import spark.implicits._
-    val base = "/root/repo/target/scratch/cli_drift"
+    val base = graft.Scratch.root + "/cli_drift"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     new java.io.File(base).mkdirs()
     // train corpus: vocab after 1 merge = {a, b, q, z, qz}
@@ -1524,7 +1536,7 @@ class ConfigSpec extends AnyFunSuite {
       .master("local[4]").config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4").getOrCreate()
     import org.apache.spark.sql.functions.{col => c}
-    val base = "/root/repo/target/scratch/cli_export"
+    val base = graft.Scratch.root + "/cli_export"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     new java.io.File(base).mkdirs()
     val specFile = s"$base/export.yaml"
@@ -1591,7 +1603,7 @@ class ConfigSpec extends AnyFunSuite {
     val names = captured("query", "list").linesIterator.toSeq
     assert(names.contains("q01_agg") && names.contains("llm_vocab"))
     assert(names == names.sorted)
-    val out = "/root/repo/target/scratch/cli_query_out"
+    val out = graft.Scratch.root + "/cli_query_out"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     captured("query", "run", "llm_vocab",
       "--sf-dir", "/root/testdata/sf0.001", "--out", out)

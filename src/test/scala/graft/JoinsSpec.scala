@@ -175,7 +175,7 @@ class JoinsSpec extends AnyFunSuite {
   test("layoutReport: per-file rows over a genuinely multi-file " +
        "dataset sum to the table count") {
     import spark.implicits._
-    val dir = "/root/repo/target/scratch/layout_report"
+    val dir = graft.Scratch.root + "/layout_report"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     (1 to 90).map(i => (i.toLong, s"row $i")).toDF("id", "v")
       .repartition(3).write.parquet(dir)

@@ -418,7 +418,7 @@ class LlmSpec extends AnyFunSuite {
 
   test("ivfTopKIndexed: persisted layout matches in-memory IVF; " +
        "scan prunes unprobed cell partitions") {
-    val indexDir = "/root/repo/target/scratch/ivf_index"
+    val indexDir = graft.Scratch.root + "/ivf_index"
     val cents = Similarity.collectCentroids(emb, 16)
     Similarity.ivfWriteIndex(emb, cents, indexDir)
     val queries = emb.filter(col("vec_id") % 100 === 0)
@@ -440,7 +440,7 @@ class LlmSpec extends AnyFunSuite {
 
   test("pqTopKIndexed: persisted code table matches inline ADC; the " +
        "indexed scan reads codes, never vectors") {
-    val indexDir = "/root/repo/target/scratch/pq_index"
+    val indexDir = graft.Scratch.root + "/pq_index"
     val books = Similarity.pqCodebooks(emb, m = 4, k = 16)
     Similarity.pqWriteIndex(emb, books, indexDir)
     val queries = emb.filter(col("vec_id") % 100 === 0)
@@ -600,7 +600,7 @@ class LlmSpec extends AnyFunSuite {
     // 3x3 BMP: uniform mid-gray
     val bmp = encode("bmp", 3, 3, (_, _) => 0x808080)
     val dir = new java.io.File(
-      "/root/repo/target/scratch/imageio_fixtures")
+      graft.Scratch.root + "/imageio_fixtures")
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
     dir.mkdirs()
     java.nio.file.Files.write(
@@ -667,7 +667,7 @@ class LlmSpec extends AnyFunSuite {
     val stereo = wav(16000f, 2, 16, s16le(
       8192, -16384, 8192, -16384, 8192, -16384, 8192, -16384))
     val dir = new java.io.File(
-      "/root/repo/target/scratch/audioio_fixtures")
+      graft.Scratch.root + "/audioio_fixtures")
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
     dir.mkdirs()
     java.nio.file.Files.write(new java.io.File(dir, "m.wav").toPath, mono)
@@ -1968,7 +1968,7 @@ class LlmSpec extends AnyFunSuite {
       (3L, base.replace("tok31", "chB")),
       (4L, (0 until 60).map(i => s"zzz$i").mkString(" ")))
       .toDF("doc_id", "text")
-    val dir = "/root/repo/target/scratch/cluster_index"
+    val dir = graft.Scratch.root + "/cluster_index"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     Dedup.writeClusterIndex(docs, dir, threshold = 0.5)
     val indexed = Dedup.nearDupDedupIndexed(docs, dir)
@@ -2697,7 +2697,7 @@ class LlmSpec extends AnyFunSuite {
   test("ivfPatchIndex: patched layout equals a fresh rebuild; " +
        "untouched partitions keep their files; rerun is a no-op") {
     import spark.implicits._
-    val base = "/root/repo/target/scratch/ivfpatch_spec"
+    val base = graft.Scratch.root + "/ivfpatch_spec"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     // --- real data: patched index == from-scratch rebuild, rerun no-op
     val cents = Similarity.kmeansCentroidsUncached(emb, nCells = 16,
@@ -2763,7 +2763,7 @@ class LlmSpec extends AnyFunSuite {
   test("filtered ANN: predicate-restricted top-k equals brute top-k " +
        "over the filtered candidates of the probed cells; attribute " +
        "columns survive an in-place patch") {
-    val base = "/root/repo/target/scratch/ann_filtered_spec"
+    val base = graft.Scratch.root + "/ann_filtered_spec"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val cents = Similarity.kmeansCentroidsUncached(emb, nCells = 16,
       iters = 2)
@@ -2869,7 +2869,7 @@ class LlmSpec extends AnyFunSuite {
   test("epochShuffleWrite: shard files hold contiguous sorted ord " +
        "ranges — reading a shard's files in name order replays the " +
        "epoch permutation without a global sort") {
-    val base = "/root/repo/target/scratch/epoch_write"
+    val base = graft.Scratch.root + "/epoch_write"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val frame = spark.range(3000).toDF("doc_id")
     val shuf = Mixing.epochShuffle(frame, epoch = 3, nShards = 4)
@@ -2921,7 +2921,7 @@ class LlmSpec extends AnyFunSuite {
       2000.0 -> 0), s"inverted threshold fold: $bands")
     // write band-major, then each shard's files concatenate sorted
     // by (band, ord) — the loader's curriculum schedule
-    val base = "/root/repo/target/scratch/curriculum_write"
+    val base = graft.Scratch.root + "/curriculum_write"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     Mixing.epochShuffleWrite(co, nShards = 4, outDir = base,
       filesPerShard = 2, orderCols = Seq("band", "ord"))
@@ -2957,7 +2957,7 @@ class LlmSpec extends AnyFunSuite {
        "compaction preserves serving and rewrites only receiving " +
        "buckets; patch refuses a standing delta; takedown scrubs " +
        "both faces") {
-    val base = "/root/repo/target/scratch/pq_delta_spec"
+    val base = graft.Scratch.root + "/pq_delta_spec"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val books = Similarity.pqCodebooks(emb, m = 4, k = 16, iters = 2)
     Similarity.pqWriteIndex(emb.filter(col("vec_id") % 2 === 0),
@@ -3005,7 +3005,7 @@ class LlmSpec extends AnyFunSuite {
        "byte-identical) with identical serving; patch refuses a " +
        "standing delta; takedown scrubs the delta; a committed " +
        "compact swap is replayed from its marker") {
-    val base = "/root/repo/target/scratch/ivf_delta_spec"
+    val base = graft.Scratch.root + "/ivf_delta_spec"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val cents = Similarity.kmeansCentroidsUncached(emb, nCells = 16,
       iters = 2)
@@ -3107,7 +3107,7 @@ class LlmSpec extends AnyFunSuite {
        "untouched buckets keep their files byte-for-byte; rerun and " +
        "same-books patches are no-ops") {
     import spark.implicits._
-    val base = "/root/repo/target/scratch/pqpatch_spec"
+    val base = graft.Scratch.root + "/pqpatch_spec"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     // --- real data: patch == from-scratch rebuild under the new books
     val books = Similarity.pqCodebooks(emb, m = 4, k = 16, iters = 2)
@@ -3179,7 +3179,7 @@ class LlmSpec extends AnyFunSuite {
        "replayed on entry (no rows lost, even mid-swap); an " +
        "uncommitted one is discarded as garbage") {
     import spark.implicits._
-    val base = "/root/repo/target/scratch/ivfpatch_crash"
+    val base = graft.Scratch.root + "/ivfpatch_crash"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     def pad(v: Seq[Double]) = v.padTo(64, 0.0)
     val oldP = Seq(pad(Seq(0.0, 0.0)), pad(Seq(10.0, 0.0)),
@@ -3239,7 +3239,7 @@ class LlmSpec extends AnyFunSuite {
   test("bm25 postings layer: replay replaces, compaction preserves " +
        "the served ranking, layered == one-shot bit-for-bit") {
     import spark.implicits._
-    val base = "/root/repo/target/scratch/bm25layer_spec"
+    val base = graft.Scratch.root + "/bm25layer_spec"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val corpus = docs.filter(col("doc_id") % 100 =!= 0)
     val qs = docs.filter(col("doc_id") % 100 === 0)
@@ -3278,7 +3278,7 @@ class LlmSpec extends AnyFunSuite {
        "PROVES exactness on selective queries, saturated queries " +
        "fall back, absent-term queries are empty both ways") {
     import spark.implicits._
-    val base = "/root/repo/target/scratch/bm25prune_spec"
+    val base = graft.Scratch.root + "/bm25prune_spec"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     // planted corpus: uniform filler (df = 200, identical tf/dl so a
     // filler query's theta EQUALS its tail bound -> must fall back)
@@ -3313,7 +3313,7 @@ class LlmSpec extends AnyFunSuite {
     // the llm_bm25_pruned bench regime on REAL testdata: rare salt
     // tokens (df ~ N/499 << sliceM) — the slice arm must actually
     // engage there, or the oracle row only ever proves the fallback
-    val base2 = "/root/repo/target/scratch/bm25prune_spec2"
+    val base2 = graft.Scratch.root + "/bm25prune_spec2"
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(base2))
     TextAnalysis.bm25PostingsBatch(

@@ -18,7 +18,7 @@ class PlanSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir",
-      "/root/repo/target/scratch/plan_warehouse")
+      graft.Scratch.root + "/plan_warehouse")
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .getOrCreate()
 
@@ -960,7 +960,7 @@ class PlanSpec extends AnyFunSuite {
   test("takedown preview: the id set broadcasts (no layer shuffle " +
        "before the partition rollup, no cartesian)") {
     import spark.implicits._
-    val dir = "/root/repo/target/scratch/plan_preview"
+    val dir = graft.Scratch.root + "/plan_preview"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
       .write.parquet(s"$dir/ingest_batch=0")
@@ -978,7 +978,7 @@ class PlanSpec extends AnyFunSuite {
     import graft.llm.Similarity
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val cents = Similarity.kmeansCentroids(emb, nCells = 8, iters = 1)
-    val dir = "/root/repo/target/scratch/plan_ann_filtered"
+    val dir = graft.Scratch.root + "/plan_ann_filtered"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     Similarity.ivfWriteIndex(emb.withColumn("grp", col("vec_id") % 5),
       cents, dir, attrCols = Seq("grp"))
@@ -1104,7 +1104,7 @@ class PlanSpec extends AnyFunSuite {
        "GROUP-LIMITED map-side (a stopword's postings never assemble " +
        "in one partition)") {
     import graft.llm.TextAnalysis
-    val layer = "/root/repo/target/scratch/plan_bm25prune"
+    val layer = graft.Scratch.root + "/plan_bm25prune"
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(layer))
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -26,7 +26,7 @@ class SparkFrameworkSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
   def scratch(name: String): String = {
-    val d = s"/root/repo/target/scratch/test_$name"
+    val d = s"${graft.Scratch.root}/test_$name"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
     d
   }

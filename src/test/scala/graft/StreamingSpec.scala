@@ -23,7 +23,7 @@ class StreamingSpec extends AnyFunSuite {
   // FileStreamSource needs a DIRECTORY of files (that's the stream);
   // the testdata table is a single parquet file, so stage it.
   lazy val eventsDir: String = {
-    val dir = "/root/repo/target/scratch/stream_src"
+    val dir = graft.Scratch.root + "/stream_src"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     new java.io.File(dir).mkdirs()
     java.nio.file.Files.copy(
@@ -51,7 +51,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("foldPerBatch: FoldA stepped per micro-batch, appended to sink") {
-    val sink = "/root/repo/target/scratch/stream_folds"
+    val sink = graft.Scratch.root + "/stream_folds"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sink))
     val q = EventsStream.foldPerBatch(
       EventsStream.readEvents(spark, eventsDir), sink)
@@ -64,7 +64,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("multi-sink streaming write hits every layer") {
-    val base = "/root/repo/target/scratch/stream_layers"
+    val base = graft.Scratch.root + "/stream_layers"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val q = EventsStream.writeLayers(
       EventsStream.readEvents(spark, eventsDir),
@@ -108,7 +108,7 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming Misra-Gries: merged state = valid summary of all " +
       "batches (exact n, superset holds)") {
     // stage documents as a FileStreamSource directory
-    val dir = "/root/repo/target/scratch/stream_docs"
+    val dir = graft.Scratch.root + "/stream_docs"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     new java.io.File(dir).mkdirs()
     // two files -> two micro-batches, so the driver-side MERGE of
@@ -217,7 +217,7 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming dedup drops in-horizon duplicates, keeps distinct") {
     import spark.implicits._
     // build a source dir with planted duplicates
-    val dir = "/root/repo/target/scratch/stream_dedup_src"
+    val dir = graft.Scratch.root + "/stream_dedup_src"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     val rows = Seq(
       (1L, 1000000000000000000L, 7L, "click", 1.0, "{}"),
@@ -284,7 +284,7 @@ class StreamingSpec extends AnyFunSuite {
   test("near-dup ingest: signature layer dedups within and across batches") {
     import spark.implicits._
     import graft.streaming.IngestStream
-    val base = "/root/repo/target/scratch/ingest"
+    val base = graft.Scratch.root + "/ingest"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val corpusDir = s"$base/corpus"
     val sigDir = s"$base/sigs"
@@ -317,7 +317,7 @@ class StreamingSpec extends AnyFunSuite {
        "near-dup drops within and across batches") {
     import spark.implicits._
     import graft.streaming.IngestStream
-    val base = "/root/repo/target/scratch/verified_ingest"
+    val base = graft.Scratch.root + "/verified_ingest"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val corpusDir = s"$base/corpus"
     val sigDir = s"$base/sigs"
@@ -478,7 +478,7 @@ class StreamingSpec extends AnyFunSuite {
        "within and across batches (codec-free)") {
     import spark.implicits._
     import graft.streaming.IngestStream
-    val base = "/root/repo/target/scratch/ingest_blob"
+    val base = graft.Scratch.root + "/ingest_blob"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val corpusDir = s"$base/corpus"
     val sigDir = s"$base/sigs"
@@ -514,7 +514,7 @@ class StreamingSpec extends AnyFunSuite {
        "near-identical edits across batches; junk survives") {
     import spark.implicits._
     import graft.streaming.IngestStream
-    val base = "/root/repo/target/scratch/ingest_phash"
+    val base = graft.Scratch.root + "/ingest_phash"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val corpusDir = s"$base/corpus"
     val sigDir = s"$base/sigs"
@@ -565,7 +565,7 @@ class StreamingSpec extends AnyFunSuite {
        "re-encodes (WAV->AIFF); short clips survive unsigned") {
     import spark.implicits._
     import graft.streaming.IngestStream
-    val base = "/root/repo/target/scratch/ingest_afp"
+    val base = graft.Scratch.root + "/ingest_afp"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val corpusDir = s"$base/corpus"
     val sigDir = s"$base/sigs"
@@ -617,7 +617,7 @@ class StreamingSpec extends AnyFunSuite {
        "against the standing corpus") {
     import graft.streaming.IngestStream
     import graft.llm.Multimodal
-    val base = "/root/repo/target/scratch/media_ingest_e2e"
+    val base = graft.Scratch.root + "/media_ingest_e2e"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val srcDir = new java.io.File(s"$base/src"); srcDir.mkdirs()
     def raster(seed: Int): java.awt.image.BufferedImage = {
@@ -664,7 +664,7 @@ class StreamingSpec extends AnyFunSuite {
        "fertility") {
     import spark.implicits._
     import graft.streaming.IngestStream
-    val base = "/root/repo/target/scratch/fertility_mon"
+    val base = graft.Scratch.root + "/fertility_mon"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     // train corpus: vocab after 1 merge = {a, b, q, z, qz}
     val train = Seq((1L,
@@ -700,7 +700,7 @@ class StreamingSpec extends AnyFunSuite {
   test("ingestBatch with batchId: at-least-once replay is idempotent") {
     import spark.implicits._
     import graft.streaming.IngestStream
-    val base = "/root/repo/target/scratch/ingest_replay"
+    val base = graft.Scratch.root + "/ingest_replay"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val corpusDir = s"$base/corpus"
     val sigDir = s"$base/sigs"
@@ -737,7 +737,7 @@ class StreamingSpec extends AnyFunSuite {
        "grows by novel grams only, replay is idempotent") {
     import spark.implicits._
     import graft.streaming.IngestStream
-    val base = "/root/repo/target/scratch/novelty_stream"
+    val base = graft.Scratch.root + "/novelty_stream"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val gramDir = s"$base/grams"
     val reportDir = s"$base/report"
@@ -777,7 +777,7 @@ class StreamingSpec extends AnyFunSuite {
   test("noveltyMonitor end-to-end: file-source stream drains through " +
        "foreachBatch and reports per-doc novelty") {
     import graft.streaming.IngestStream
-    val base = "/root/repo/target/scratch/novelty_e2e"
+    val base = graft.Scratch.root + "/novelty_e2e"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     new java.io.File(s"$base/src").mkdirs()
     java.nio.file.Files.copy(
@@ -804,7 +804,7 @@ class StreamingSpec extends AnyFunSuite {
        "stays low (chunk boundaries re-sync), layer is chunk-sized") {
     import graft.streaming.IngestStream
     import spark.implicits._
-    val base = "/root/repo/target/scratch/cdc_novelty"
+    val base = graft.Scratch.root + "/cdc_novelty"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val words = (1 to 600).map(i => s"t${i * 11 % 509}n$i")
     val docs1 = Seq((1L, words.take(300).mkString(" ")),
@@ -837,7 +837,7 @@ class StreamingSpec extends AnyFunSuite {
   test("safetyMonitor: stream report equals the batch safetyScan " +
        "rollup; stateless (no standing layer)") {
     import graft.streaming.IngestStream
-    val base = "/root/repo/target/scratch/safety_e2e"
+    val base = graft.Scratch.root + "/safety_e2e"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     new java.io.File(s"$base/src").mkdirs()
     java.nio.file.Files.copy(
@@ -875,7 +875,7 @@ class StreamingSpec extends AnyFunSuite {
        "same frozen weights artifact; replay replaces") {
     import graft.streaming.IngestStream
     import graft.llm.TextAnalysis
-    val base = "/root/repo/target/scratch/gate_e2e"
+    val base = graft.Scratch.root + "/gate_e2e"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     new java.io.File(s"$base/src").mkdirs()
     java.nio.file.Files.copy(
@@ -921,7 +921,7 @@ class StreamingSpec extends AnyFunSuite {
     import graft.streaming.IngestStream
     import graft.llm.TextAnalysis
     import graft.config.CLI
-    val base = "/root/repo/target/scratch/gate_deploy_e2e"
+    val base = graft.Scratch.root + "/gate_deploy_e2e"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     new java.io.File(s"$base/src.parquet").mkdirs()
     java.nio.file.Files.copy(
@@ -979,7 +979,7 @@ class StreamingSpec extends AnyFunSuite {
     // scan->filter gates an unbounded stream: no state store, no
     // shuffle, no benchmark re-read per batch
     import graft.llm.Contamination
-    val dir = "/root/repo/target/scratch/decon_src"
+    val dir = graft.Scratch.root + "/decon_src"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     new java.io.File(dir).mkdirs()
     java.nio.file.Files.copy(
@@ -1013,7 +1013,7 @@ class StreamingSpec extends AnyFunSuite {
        "underestimate") {
     import graft.streaming.IngestStream
     import spark.implicits._
-    val base = "/root/repo/target/scratch/cms_stream"
+    val base = graft.Scratch.root + "/cms_stream"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val d1 = Seq((1L, "a a b c"), (2L, "b c d")).toDF("doc_id", "text")
     val d2 = Seq((3L, "a e e"), (4L, "c")).toDF("doc_id", "text")
@@ -1064,7 +1064,7 @@ class StreamingSpec extends AnyFunSuite {
        "one-shot ranking bit-for-bit") {
     import graft.streaming.IngestStream
     import graft.llm.TextAnalysis
-    val base = "/root/repo/target/scratch/bm25_stream"
+    val base = graft.Scratch.root + "/bm25_stream"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val src = s"$base/src"
     new java.io.File(src).mkdirs()
@@ -1104,7 +1104,7 @@ class StreamingSpec extends AnyFunSuite {
        "pre-exist with its sidecar") {
     import graft.streaming.IngestStream
     import graft.llm.Similarity
-    val base = "/root/repo/target/scratch/ivf_stream"
+    val base = graft.Scratch.root + "/ivf_stream"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val src = s"$base/src"
     new java.io.File(src).mkdirs()
@@ -1168,7 +1168,7 @@ class StreamingSpec extends AnyFunSuite {
     import graft.streaming.IngestStream
     import graft.llm.Similarity
     import spark.implicits._
-    val base = "/root/repo/target/scratch/ivf_fit"
+    val base = graft.Scratch.root + "/ivf_fit"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val src = s"$base/src"
     new java.io.File(src).mkdirs()
@@ -1227,7 +1227,7 @@ class StreamingSpec extends AnyFunSuite {
        "streamed reports equal the batch gauge") {
     import graft.streaming.IngestStream
     import graft.llm.Similarity
-    val base = "/root/repo/target/scratch/pq_fit"
+    val base = graft.Scratch.root + "/pq_fit"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val src = s"$base/src"
     new java.io.File(src).mkdirs()
@@ -1295,7 +1295,7 @@ class StreamingSpec extends AnyFunSuite {
        "idempotent; geometry sidecar guards the layer") {
     import graft.streaming.IngestStream
     import spark.implicits._
-    val base = "/root/repo/target/scratch/cms_compact"
+    val base = graft.Scratch.root + "/cms_compact"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val d1 = Seq((1L, "a a b c"), (2L, "b c d")).toDF("doc_id", "text")
     val d2 = Seq((3L, "a e e"), (4L, "c")).toDF("doc_id", "text")
@@ -1350,7 +1350,7 @@ class StreamingSpec extends AnyFunSuite {
        "replay both still work") {
     import graft.streaming.IngestStream
     import spark.implicits._
-    val base = "/root/repo/target/scratch/ingest_compact"
+    val base = graft.Scratch.root + "/ingest_compact"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val corpusDir = s"$base/corpus"
     val sigDir = s"$base/sigs"
@@ -1417,7 +1417,7 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // history layer: 'a' seen ~3 times, 'zz' unseen
-    val base = "/root/repo/target/scratch/cms_wtrend"
+    val base = graft.Scratch.root + "/cms_wtrend"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val dir = s"$base/sketch"
     IngestStream.cmsBatch(
@@ -1469,7 +1469,7 @@ class StreamingSpec extends AnyFunSuite {
     import graft.streaming.IngestStream
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val base = "/root/repo/target/scratch/cms_wtrend_wide"
+    val base = graft.Scratch.root + "/cms_wtrend_wide"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val dir = s"$base/sketch"
     IngestStream.cmsBatch(
@@ -1534,7 +1534,7 @@ class StreamingSpec extends AnyFunSuite {
        "never double-counted") {
     import graft.streaming.IngestStream
     import spark.implicits._
-    val base = "/root/repo/target/scratch/cms_crash"
+    val base = graft.Scratch.root + "/cms_crash"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val dir = s"$base/sketch"
     IngestStream.cmsBatch(
@@ -1584,7 +1584,7 @@ class StreamingSpec extends AnyFunSuite {
        "reuse) survive recovery and fold later") {
     import graft.streaming.IngestStream
     import spark.implicits._
-    val base = "/root/repo/target/scratch/cms_latemass"
+    val base = graft.Scratch.root + "/cms_latemass"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val dir = s"$base/sketch"
     IngestStream.cmsBatch(
@@ -1623,7 +1623,7 @@ class StreamingSpec extends AnyFunSuite {
        "pre-commit garbage — the refold converges, nothing lost") {
     import graft.streaming.IngestStream
     import spark.implicits._
-    val base = "/root/repo/target/scratch/cms_precommit"
+    val base = graft.Scratch.root + "/cms_precommit"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val dir = s"$base/sketch"
     IngestStream.cmsBatch(
@@ -1655,7 +1655,7 @@ class StreamingSpec extends AnyFunSuite {
        "ids refuses to compact instead of guessing") {
     import graft.streaming.IngestStream
     import spark.implicits._
-    val base = "/root/repo/target/scratch/cms_markerless"
+    val base = graft.Scratch.root + "/cms_markerless"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val dir = s"$base/sketch"
     IngestStream.cmsBatch(
@@ -1679,7 +1679,7 @@ class StreamingSpec extends AnyFunSuite {
        "sidecar and match the explicit path") {
     import graft.streaming.IngestStream
     import spark.implicits._
-    val base = "/root/repo/target/scratch/cms_wtrend_guard"
+    val base = graft.Scratch.root + "/cms_wtrend_guard"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val dir = s"$base/sketch"
     IngestStream.cmsBatch(

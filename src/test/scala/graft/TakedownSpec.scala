@@ -22,7 +22,7 @@ class TakedownSpec extends AnyFunSuite {
   def docs = spark.read.parquet(s"$sf/documents.parquet")
 
   private def scratch(name: String): String = {
-    val dir = s"/root/repo/target/scratch/takedown_$name"
+    val dir = s"${graft.Scratch.root}/takedown_$name"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     dir
   }
