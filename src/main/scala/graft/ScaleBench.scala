@@ -558,10 +558,46 @@ object ScaleBench {
             col("vec_id") < stride)
           .select(col("vec_id").as("query_id"),
             col("embedding").as("query_vec"))
+        // lexical arm = the impact-pruned serve (the deployed face
+        // llm_rrf_indexed ships): on THIS corpus's full-overlap
+        // vocabulary every natural query saturates, so the router
+        // sends them all to the full scan and the probe measures the
+        // full-scan curve plus the routing aggregate — the honest
+        // saturated-regime cost of the deployed face
         runProbe("rrf_indexed_serve", f, nDocs)(
           graft.llm.Similarity.rrfFuse(
-            graft.llm.TextAnalysis.bm25TopKFromPostings(spark, bmIdx,
-                lexQ, k = 20)
+            graft.llm.TextAnalysis.bm25TopKFromPostingsPruned(spark,
+                bmIdx, lexQ, k = 20)
+              .select(col("query_id"), col("doc_id"), col("rank")),
+            graft.llm.Similarity.ivfTopKIndexedAuto(spark, ivIdx,
+                denQ, k = 20, nProbe = 4)
+              .select(col("query_id"),
+                col("vec_id").as("doc_id"), col("rank")),
+            k = 10).count())
+        // SELECTIVE-regime twin — the regime real text serves
+        // (queries carry rare terms): same dense arm and fuse, but
+        // the postings layer is salted (df ~ 50 per salt at every
+        // factor) and the lexical queries are rare-token, so the
+        // slice arm answers them with a proven bound and the hybrid
+        // serve should stay flat as the corpus grows
+        val bmSel = s"$scratch/rrfserve_bm25sel_$f"
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(bmSel))
+        val nGroupsSel = math.max(50L, nDocs / 50L)
+        graft.llm.TextAnalysis.bm25PostingsBatch(
+          docs.withColumn("text", concat(col("text"), lit(" rk"),
+            pmod(col("doc_id"), lit(nGroupsSel)))),
+          bmSel, batchId = 0L)
+        val lexQSel = {
+          import spark.implicits._
+          (0 until 13).map(q => (q.toLong,
+            (0 until 8).map(i => s"rk${(q * 97 + i * 31) % nGroupsSel}")
+              .mkString(" "))).toDF("query_id", "text")
+        }
+        runProbe("rrf_indexed_serve_selective", f, nDocs)(
+          graft.llm.Similarity.rrfFuse(
+            graft.llm.TextAnalysis.bm25TopKFromPostingsPruned(spark,
+                bmSel, lexQSel, k = 20)
               .select(col("query_id"), col("doc_id"), col("rank")),
             graft.llm.Similarity.ivfTopKIndexedAuto(spark, ivIdx,
                 denQ, k = 20, nProbe = 4)
@@ -867,6 +903,19 @@ object ScaleBench {
       // probes) — the max-aggregation is setup, not serve cost
       val saltStride =
         docs0.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      // SPARK_GRAFT_JACCARD_STORAGE tunes the shingle persist for the
+      // single-JVM heap experiment (the r14 64x finding: heap
+      // pressure, not shuffle, dominates the salted superlinearity):
+      // mem_disk (default) | mem_disk_ser | disk_only
+      val jaccardStorage = sys.env.getOrElse(
+          "SPARK_GRAFT_JACCARD_STORAGE", "mem_disk") match {
+        case "mem_disk_ser" =>
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+        case "disk_only" =>
+          org.apache.spark.storage.StorageLevel.DISK_ONLY
+        case _ =>
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      }
       runProbe("jaccard_prefix_salted", f, nDocs) {
         val stride0 = saltStride
         val toks = filter(split(col("text"), " "), t => t =!= "")
@@ -878,7 +927,7 @@ object ScaleBench {
             (t, i) => when(pmod(i, lit(3)) === 0,
               concat(lit("zq"), cpy)).otherwise(t)), " "))
         graft.llm.Dedup.jaccardPairsPrefix(salted, n = 3,
-          threshold = 0.5).count()
+          threshold = 0.5, storage = jaccardStorage).count()
       }
 
       // unigram trainer: type-bounded model — word TYPES are fixed

@@ -363,20 +363,32 @@ object Dedup {
     * is (every doc sharing one rare shingle). */
   def jaccardPairsPrefix(docs: DataFrame, n: Int, threshold: Double,
                          textCol: String = "text",
-                         idCol: String = "doc_id"): DataFrame =
+                         idCol: String = "doc_id",
+                         storage: org.apache.spark.storage.StorageLevel =
+                           org.apache.spark.storage.StorageLevel
+                             .MEMORY_AND_DISK): DataFrame =
     graft.cache.Pins.track(docs.sparkSession,
       jaccardPairsPrefixManaged(docs, n, threshold, textCol,
-        idCol)).value
+        idCol, storage)).value
 
   /** [[jaccardPairsPrefix]] with an explicit lifecycle for the
     * persisted shingle-set relation — it feeds the df aggregate, the
     * prefix stream AND both sides of the verify join (the bm25
     * postings discipline: computed once, consumed three times; the
-    * interpreted shingle HOF kernel is the dominant per-row cost). */
+    * interpreted shingle HOF kernel is the dominant per-row cost).
+    * `storage` tunes the shingle persist: the deserialized on-heap
+    * default is right up to ~10^5-doc partitions; past that a
+    * single-JVM run can trade CPU for heap with
+    * MEMORY_AND_DISK_SER / DISK_ONLY (the array-of-long shingle
+    * columns serialize compactly) — on a real cluster the pressure
+    * spreads over executors and the default stands. */
   def jaccardPairsPrefixManaged(docs: DataFrame, n: Int,
                                 threshold: Double,
                                 textCol: String = "text",
-                                idCol: String = "doc_id")
+                                idCol: String = "doc_id",
+                                storage: org.apache.spark.storage.StorageLevel =
+                                  org.apache.spark.storage.StorageLevel
+                                    .MEMORY_AND_DISK)
       : graft.access.Split.Branches[DataFrame] = {
     import org.apache.spark.sql.expressions.Window
     val withSh = docs
@@ -385,7 +397,7 @@ object Dedup {
           .as("sh"))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(storage)
     val ex = withSh.select(col("id"), col("sz"),
       explode(col("sh")).as("s"))
     val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))

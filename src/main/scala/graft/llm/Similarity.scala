@@ -744,21 +744,23 @@ object Similarity {
     * cell held 64x the vectors; auto geometry keeps probed candidate
     * mass — and the serve — flat). Trains [[kmeansCentroids]] at the
     * derived count (train-once registry amortizes repeats) and writes
-    * the layout + centroid sidecar. Returns the cell count used, so
-    * callers can log/assert the geometry. Explicit-cell builds remain
-    * first-class for replay-pinned uses (oracle queries splice the
-    * trained centroids as literals, so their geometry must not move
-    * with the corpus). */
+    * the layout + centroid sidecar. Returns the TRAINED cell count —
+    * the sidecar's actual centroid count, which can sit below the
+    * requested [[ivfAutoCells]] figure when Lloyd rounds drop empty
+    * cells — so callers can log/assert the geometry that actually
+    * serves. Explicit-cell builds remain first-class for
+    * replay-pinned uses (oracle queries splice the trained centroids
+    * as literals, so their geometry must not move with the
+    * corpus). */
   def ivfBuildIndexAuto(corpus: DataFrame, indexDir: String,
                         targetCell: Long = 256L, iters: Int = 1,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding",
                         attrCols: Seq[String] = Nil): Int = {
     val nCells = ivfAutoCells(corpus.count(), targetCell)
-    ivfWriteIndex(corpus,
-      kmeansCentroids(corpus, nCells, iters, idCol, vecCol),
-      indexDir, idCol, vecCol, attrCols)
-    nCells
+    val cents = kmeansCentroids(corpus, nCells, iters, idCol, vecCol)
+    ivfWriteIndex(corpus, cents, indexDir, idCol, vecCol, attrCols)
+    cents.length
   }
 
   /** Sidecar names + the flat (group, idx, vector) text codec shared

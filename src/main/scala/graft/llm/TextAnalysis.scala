@@ -313,14 +313,23 @@ object TextAnalysis {
                            idCol: String = "doc_id",
                            queryIdCol: String = "query_id")
       : DataFrame = {
-    val tf = spark.read.parquet(s"$indexDir/postings")
-      .select(col(idCol), col("term"), col("tf"), col("dl"))
-    val stats = spark.read.parquet(s"$indexDir/stats")
-      .agg(sum(col("n_docs")).as("_n"),
-        sum(col("sum_dl")).as("_sumdl"))
+    val (tf, stats) = bm25LayerFrames(spark, indexDir, idCol)
     bm25ScoreOverPostings(tf, stats, queries, k, k1, b,
       textCol, idCol, queryIdCol, weighted = false)
   }
+
+  /** The standing-layer inputs every serve face starts from: the
+    * `(term, idCol, tf, dl)` postings relation and the 1-row
+    * `(_n, _sumdl)` stats aggregate — one resolution point so the
+    * set-query, bag-query and pruned serves read the SAME frames. */
+  private def bm25LayerFrames(spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String, idCol: String)
+      : (DataFrame, DataFrame) = (
+    spark.read.parquet(s"$indexDir/postings")
+      .select(col(idCol), col("term"), col("tf"), col("dl")),
+    spark.read.parquet(s"$indexDir/stats")
+      .agg(sum(col("n_docs")).as("_n"),
+        sum(col("sum_dl")).as("_sumdl")))
 
   /** [[bm25TopKWeighted]] served from a standing [[bm25PostingsBatch]]
     * layer — the bag-query (qtf-weighted) twin of
@@ -332,11 +341,7 @@ object TextAnalysis {
       queries: DataFrame, k: Int, k1: Double = 1.2, b: Double = 0.75,
       textCol: String = "text", idCol: String = "doc_id",
       queryIdCol: String = "query_id"): DataFrame = {
-    val tf = spark.read.parquet(s"$indexDir/postings")
-      .select(col(idCol), col("term"), col("tf"), col("dl"))
-    val stats = spark.read.parquet(s"$indexDir/stats")
-      .agg(sum(col("n_docs")).as("_n"),
-        sum(col("sum_dl")).as("_sumdl"))
+    val (tf, stats) = bm25LayerFrames(spark, indexDir, idCol)
     bm25ScoreOverPostings(tf, stats, queries, k, k1, b,
       textCol, idCol, queryIdCol, weighted = true)
   }
@@ -351,8 +356,17 @@ object TextAnalysis {
     * expressed here relationally, PROVE-OR-FALL-BACK so the result
     * is ALWAYS exactly the full scan's top-k):
     *
-    *  1. posting contributions are computed only for the QUERY
-    *     VOCABULARY (the distinct-term set broadcasts into the
+    *  0. a COST-ROUTING pre-gate (one vocab-bounded df aggregate)
+    *     sends queries whose every matched term has df > sliceM
+    *     straight to the full scan: no term slice can cover its
+    *     posting list there, so the bound is a sum of near-top
+    *     contributions and the attempt would only ever fall back —
+    *     routing skips the doomed candidate machinery (both routes
+    *     are exact; this is a cost decision, never a correctness
+    *     one; in a deployed layer term->df lives in the dictionary
+    *     sidecar and the gate is free);
+    *  1. posting contributions are computed only for the prune-routed
+    *     QUERY VOCABULARY (the distinct-term set broadcasts into the
     *     postings scan — the full-scan path computes a contribution
     *     for every posting row in the layer);
     *  2. per term, the TOP-`sliceM` postings by contribution form
@@ -419,14 +433,20 @@ object TextAnalysis {
     require(k >= 1, s"k must be >= 1 (got $k)")
     val grow = 32 * math.ceil(
       math.log(nDocs.max(0L) / 1000.0 + 2.0) / math.log(2.0)).toInt
-    math.min(4096, math.max(math.max(64, 4 * k), grow))
+    // the k floor binds LAST: a caller asking for k > 4096 must still
+    // get a slice that can seed the top-k (the core requires
+    // sliceM >= k — an auto value below k would fail a requirement
+    // the caller never chose)
+    math.max(k, math.min(4096, math.max(math.max(64, 4 * k), grow)))
   }
 
   /** Per-query pruning observability for
     * [[bm25TopKFromPostingsPruned]]: `(queryIdCol, n_candidates,
     * theta, bound, pruned)` — `pruned = true` rows were answered
     * from the impact slices with the bound PROVING exactness;
-    * `false` rows fell back to the full scan. */
+    * `false` rows fell back to the full scan (rows the routing
+    * pre-gate sent straight to the full scan carry zero candidates
+    * and null theta/bound — the attempt was never made). */
   def bm25PruneStats(spark: org.apache.spark.sql.SparkSession,
                      indexDir: String, queries: DataFrame,
                      k: Int, sliceM: Int = 0,
@@ -494,11 +514,17 @@ object TextAnalysis {
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       qt: DataFrame, k1: Double, b: Double, idCol: String)
       : DataFrame = {
-    val tf = spark.read.parquet(s"$indexDir/postings")
-      .select(col(idCol), col("term"), col("tf"), col("dl"))
-    val stats = spark.read.parquet(s"$indexDir/stats")
-      .agg(sum(col("n_docs")).as("_n"),
-        sum(col("sum_dl")).as("_sumdl"))
+    val (tf, stats) = bm25LayerFrames(spark, indexDir, idCol)
+    bm25QueryVocabPostingsFrom(tf, stats, qt, k1, b, idCol)
+  }
+
+  /** [[bm25QueryVocabPostings]] over already-resolved layer frames —
+    * the pruned core reads the layer once and shares the frames with
+    * its routing pre-gate. */
+  private def bm25QueryVocabPostingsFrom(
+      tf: DataFrame, stats: DataFrame,
+      qt: DataFrame, k1: Double, b: Double, idCol: String)
+      : DataFrame = {
     // contributions for the QUERY VOCABULARY only — df per term is
     // the same count whether aggregated over the full layer or the
     // term's own restricted postings, so the restriction is free
@@ -546,14 +572,18 @@ object TextAnalysis {
                              queryIdCol: String, weighted: Boolean)
       : (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be >= 1 (got $k)")
+    // the layer frames resolve ONCE and feed the auto geometry, the
+    // routing pre-gate and the slice arm's contribution scan alike
+    val (tfL, statsL) = bm25LayerFrames(spark, indexDir, idCol)
     // sliceM = 0 resolves to the corpus-derived geometry; the 1-row
     // stats read is the same driver-side metadata touch every serve
-    // already pays for N/avgdl
+    // already pays for N/avgdl (null-guarded: a stats dir holding
+    // only empty partitions sums to null, which is an empty corpus)
     val sliceM =
       if (sliceM0 > 0) sliceM0
       else bm25AutoSliceM(k,
-        spark.read.parquet(s"$indexDir/stats")
-          .agg(sum(col("n_docs"))).head.getLong(0))
+        Option(statsL.head.get(0))
+          .map(_.asInstanceOf[Number].longValue).getOrElse(0L))
     require(sliceM >= k,
       s"need sliceM >= k (got k=$k, sliceM=$sliceM): a slice smaller " +
         "than k could not even seed the top-k")
@@ -568,12 +598,44 @@ object TextAnalysis {
           .agg(count(lit(1)).as("qtf"))
       else qtRaw.distinct())
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val posting = bm25QueryVocabPostings(spark, indexDir,
-        qt.select(col(queryIdCol), col("term")), k1, b, idCol)
+    // COST-ROUTING pre-gate (never a correctness decision — both
+    // routes are exact): pruning can only prove a bound when at least
+    // one query term's slice covers its WHOLE posting list (df <=
+    // sliceM -> that term's tail is 0); a query whose every matched
+    // term has df > sliceM gets a bound built purely from near-top
+    // contributions, which on saturated vocabularies always exceeds
+    // theta — the prune attempt would compute the full candidate
+    // machinery only to fall back. Routing those queries STRAIGHT to
+    // the full scan costs one vocab-bounded df aggregate (map-side
+    // combined, no dl/contribution arithmetic, nothing persisted)
+    // instead of the match-stream-sized posting persist + slice +
+    // candidate scoring the doomed attempt would pay. At 100 TB the
+    // production form keeps term->df in the layer's dictionary
+    // sidecar and routes for free; here the aggregate stands in.
+    // Queries with NO matched terms route to the full scan too
+    // (empty either way).
+    val qterms = qt.select(col("term")).distinct()
+    val dfQ = tfL.join(broadcast(qterms), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val routes = qt.select(col(queryIdCol), col("term"))
+      .join(dfQ, Seq("term"), "left")
+      .groupBy(col(queryIdCol))
+      .agg(min(col("df")).as("_mindf"))
+      .withColumn("_prune",
+        col("_mindf").isNotNull && col("_mindf") <= sliceM)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the slice arm sees ONLY prune-routed queries: their (smaller)
+    // vocabulary restricts the contribution scan, and a routed
+    // query's terms can never leak candidates into the arm
+    val qtP = qt.join(routes.filter(col("_prune"))
+        .select(col(queryIdCol)), Seq(queryIdCol), "left_semi")
+    val posting = bm25QueryVocabPostingsFrom(tfL, statsL,
+        qtP.select(col(queryIdCol), col("term")), k1, b, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.cache.Pins.track(spark, new AutoCloseable {
       def close(): Unit = {
         qt.unpersist(blocking = false)
+        routes.unpersist(blocking = false)
         posting.unpersist(blocking = false)
       }
     })
@@ -597,14 +659,14 @@ object TextAnalysis {
     // arithmetic is VERBATIM the full-scan path's (decimal sum of _s,
     // or decimal sum of cast18(_sd * qtf)), so served rows are
     // bit-identical to the fallback's by construction
-    val cand = qt.join(slice.select(col("term"), col(idCol)), Seq("term"))
+    val cand = qtP.join(slice.select(col("term"), col(idCol)), Seq("term"))
       .select(col(queryIdCol), col(idCol)).distinct()
     val termScore =
       if (weighted)
         sum((col("_sd") * col("qtf").cast("double"))
           .cast("decimal(38,18)"))
       else sum(col("_s"))
-    val candScores = qt.join(posting, Seq("term"))
+    val candScores = qtP.join(posting, Seq("term"))
       .join(cand, Seq(queryIdCol, idCol), "left_semi")
       .groupBy(col(queryIdCol), col(idCol))
       .agg(round(termScore.cast("double"), 6).as("score"))
@@ -638,16 +700,25 @@ object TextAnalysis {
       else
         when(col("df") > sliceM, col("_smin"))
           .otherwise(lit(0).cast("decimal(38,18)"))
-    val boundQ = qt.join(tailT, Seq("term"), "left")
+    val boundQ = qtP.join(tailT, Seq("term"), "left")
       .groupBy(col(queryIdCol))
       .agg(round(sum(coalesce(termBound,
         lit(0).cast("decimal(38,18)"))).cast("double"), 6).as("_bound"))
+    // routed-to-full queries never entered the slice arm: their
+    // verdict row reports zero candidates and null theta/bound —
+    // `pruned = false` routes them into the fallback with the
+    // bound-failed queries
     val verdict = boundQ.join(thetaN, Seq(queryIdCol), "left")
       .select(col(queryIdCol),
         coalesce(col("_ncand"), lit(0L)).as("n_candidates"),
         col("_theta").as("theta"), col("_bound").as("bound"),
         (col("_theta").isNotNull && col("_ncand") >= k &&
           col("_theta") > col("_bound")).as("pruned"))
+      .unionByName(routes.filter(!col("_prune"))
+        .select(col(queryIdCol), lit(0L).as("n_candidates"),
+          lit(null).cast("double").as("theta"),
+          lit(null).cast("double").as("bound"),
+          lit(false).as("pruned")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.cache.Pins.track(spark, new AutoCloseable {
       def close(): Unit = verdict.unpersist(blocking = false)

@@ -438,6 +438,44 @@ class LlmSpec extends AnyFunSuite {
       s"expected a cell_id partition filter in:\n$plan")
   }
 
+  test("ivfBuildIndexAuto: the returned count is the SIDECAR's " +
+       "actual centroid count and the auto-built index serves the " +
+       "explicit-build answer") {
+    val indexDir = graft.Scratch.root + "/ivf_auto_build"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(indexDir))
+    val trained = Similarity.ivfBuildIndexAuto(emb, indexDir,
+      targetCell = 64L, iters = 2)
+    // the contract the deployment face publishes: callers log/assert
+    // THE geometry that actually serves — Lloyd rounds may drop
+    // empty cells, so the sidecar is the truth, not the request
+    val sidecarN = scala.io.Source.fromFile(
+        s"$indexDir/_centroids.txt").getLines()
+      .count(_.trim.nonEmpty)
+    assert(trained == sidecarN,
+      s"returned $trained but the sidecar holds $sidecarN centroids")
+    assert(trained <= Similarity.ivfAutoCells(emb.count(), 64L),
+      "trained count can only shrink from the requested geometry")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+    val served = Similarity.ivfTopKIndexedAuto(spark, indexDir,
+      queries, k = 5, nProbe = 4)
+    // equivalent explicit build from the same trained centroids must
+    // serve bit-identically (the auto face adds geometry, not math)
+    val cents = Similarity.kmeansCentroids(emb,
+      Similarity.ivfAutoCells(emb.count(), 64L), iters = 2)
+    val explicitDir = graft.Scratch.root + "/ivf_auto_build_explicit"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(explicitDir))
+    Similarity.ivfWriteIndex(emb, cents, explicitDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(rows(served) == rows(Similarity.ivfTopKIndexedAuto(spark,
+      explicitDir, queries, k = 5, nProbe = 4)))
+  }
+
   test("pqTopKIndexed: persisted code table matches inline ADC; the " +
        "indexed scan reads codes, never vectors") {
     val indexDir = graft.Scratch.root + "/pq_index"
@@ -3302,12 +3340,18 @@ class LlmSpec extends AnyFunSuite {
     assert(full.nonEmpty && pruned == full,
       "prune-or-fallback must reproduce the full scan exactly")
     val st = statsDf.collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(4)))).toMap
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(4), r.isNullAt(2)))).toMap
     assert(st(1L)._2,
       s"rare-term query must be slice-answered with a proven bound: $st")
     assert(st(1L)._1 == 20L, "candidates = the 20 rare-term docs")
     assert(!st(2L)._2,
-      s"saturated query (theta == bound) must fall back: $st")
+      s"saturated query must take the full-scan route: $st")
+    // every matched term of q2 has df (200) > sliceM (16): the cost
+    // router sends it straight to the full scan — no prune attempt,
+    // so theta is null and candidates are 0
+    assert(st(2L)._1 == 0L && st(2L)._3,
+      s"saturated query must be ROUTED (null theta, 0 cands): $st")
     assert(st(3L)._1 == 0L && !st(3L)._2,
       "absent-term query: zero candidates, fallback verdict")
     // the llm_bm25_pruned bench regime on REAL testdata: rare salt
@@ -3329,6 +3373,56 @@ class LlmSpec extends AnyFunSuite {
     assert(st2.size == 12 && st2.values.forall(identity),
       s"every rare-token query must be slice-answered on the " +
         s"salted testdata corpus: $st2")
+    graft.cache.Pins.release(spark)
+  }
+
+  test("bm25 impact pruning, WEIGHTED: pruned == weighted full scan " +
+       "bit-for-bit; qtf actually bites in the slice arm; saturated " +
+       "bag-queries route to the full scan") {
+    import spark.implicits._
+    val base = graft.Scratch.root + "/bm25prunew_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    // same planted shape as the unweighted spec: uniform filler
+    // (df = 200 > sliceM -> full-scan route) + one rare term per
+    // 20-doc group (df = 10 <= sliceM -> the slice arm engages)
+    val corpus = (0 until 200).map { i =>
+      (i.toLong, s"the of and rare${i % 20} the of")
+    }.toDF("doc_id", "text")
+    TextAnalysis.bm25PostingsBatch(corpus, base, batchId = 0L)
+    // q1 repeats rare3 (qtf = 2) — the weighted slice arm must scale
+    // that term's contribution AND its tail by the same qtf; q2 is
+    // the saturated bag query; q3 repeats an absent term
+    val qs = Seq((1L, "rare3 rare3 rare7"), (2L, "the the of"),
+      (3L, "absentterm absentterm")).toDF("query_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    val (servedDf, statsDf) =
+      TextAnalysis.bm25PrunedServeWithStatsWeighted(
+        spark, base, qs, k = 5, sliceM = 16)
+    val pruned = rows(servedDf)
+    val full = rows(TextAnalysis.bm25TopKWeightedFromPostings(
+      spark, base, qs, k = 5))
+    assert(full.nonEmpty && pruned == full,
+      "weighted prune-or-fallback must reproduce the weighted full " +
+        "scan exactly")
+    val st = statsDf.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(4), r.isNullAt(2)))).toMap
+    assert(st(1L)._2 && st(1L)._1 == 20L,
+      s"rare-term bag query must be slice-answered: $st")
+    assert(st(2L)._1 == 0L && !st(2L)._2 && st(2L)._3,
+      s"saturated bag query must be ROUTED to the full scan: $st")
+    assert(st(3L)._1 == 0L && !st(3L)._2,
+      s"absent-term bag query: zero candidates, fallback: $st")
+    // the qtf weighting must be LIVE in the slice-answered result:
+    // q1's scores differ from the set-query serve's (rare3 counted
+    // twice vs once)
+    val setQ1 = rows(TextAnalysis.bm25TopKFromPostingsPruned(
+      spark, base, qs.filter(col("query_id") === 1L), k = 5))
+    val wQ1 = pruned.filter(_._1 == 1L)
+    assert(setQ1.map(_._4) != wQ1.map(_._4),
+      "qtf = 2 must change q1's scores vs the set-query serve")
     graft.cache.Pins.release(spark)
   }
 

@@ -1137,20 +1137,43 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("llm_rrf_indexed serves from standing layers: no cartesian, " +
-       "fusion is a single join over bounded candidate lists") {
+       "every unkeyed join has a model-sized side") {
+    import org.apache.spark.sql.catalyst.plans.logical._
     val q = graft.queries.LlmQueries.queries("llm_rrf_indexed")(
       spark, sf)
     val p = planOf(q)
     assert(!p.contains("CartesianProduct"),
       s"no cartesian in the hybrid serve:\n${p.take(2500)}")
-    // the only nested-loop is the DESIGNED one: each query row
-    // crossed with the broadcast model-sized centroid set to pick
-    // its probe cells (nCells rows — never a data-sized side)
-    val bnlj = p.linesIterator
-      .count(_.contains("BroadcastNestedLoopJoin"))
-    assert(bnlj <= 2, // tree line + detail section of the single join
-      s"only the query-x-centroids probe may nested-loop:\n" +
-        p.linesIterator.filter(_.contains("NestedLoop"))
-          .mkString("\n"))
+    // unkeyed (cross/conditionless) joins are legal ONLY against a
+    // side that is model-sized BY CONSTRUCTION: a global aggregate
+    // (the 1-row N/avgdl stats frame the BM25 serves broadcast) or a
+    // local relation (the centroid set each query row probes).
+    // Anything else — a parquet-backed side, a join result — would be
+    // a data-sized nested loop hiding at spec scale and exploding at
+    // 100 TB. Checked on the optimized LOGICAL plan: physical BNLJ
+    // counts double-count reused exchanges and miss the build side.
+    @annotation.tailrec
+    def strip(pl: LogicalPlan): LogicalPlan = pl match {
+      case pr: Project       => strip(pr.child)
+      case f: Filter         => strip(f.child)
+      case s: SubqueryAlias  => strip(s.child)
+      case w: WithCTE        => strip(w.plan)
+      case r: ResolvedHint   => strip(r.child)
+      case _                 => pl
+    }
+    def modelSized(pl: LogicalPlan): Boolean = strip(pl) match {
+      case a: Aggregate   => a.groupingExpressions.isEmpty
+      case _: LocalRelation => true
+      case _: OneRowRelation => true
+      case _              => false
+    }
+    val unkeyed = q.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.isEmpty ||
+          j.joinType == org.apache.spark.sql.catalyst.plans.Cross => j
+    }
+    unkeyed.foreach { j =>
+      assert(modelSized(j.left) || modelSized(j.right),
+        s"unkeyed join over two data-sized sides:\n$j")
+    }
   }
 }

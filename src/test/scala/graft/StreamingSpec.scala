@@ -642,7 +642,8 @@ class StreamingSpec extends AnyFunSuite {
       Multimodal.readBlobStream(spark, srcDir.toString, "image"),
       s"$base/corpus", s"$base/sigs",
       IngestStream.SigScheme.ImagePhash())
-    q1.awaitTermination(60000)
+    assert(q1.awaitTermination(60000),
+      "stream must terminate within 60s")
     assert(spark.read.parquet(s"$base/corpus").count() == 2)
     // run 2, SAME checkpoint: only the new files are read — a BMP
     // re-encode of a.png drops against the layer, a new image lands
@@ -652,7 +653,8 @@ class StreamingSpec extends AnyFunSuite {
       Multimodal.readBlobStream(spark, srcDir.toString, "image"),
       s"$base/corpus", s"$base/sigs",
       IngestStream.SigScheme.ImagePhash())
-    q2.awaitTermination(60000)
+    assert(q2.awaitTermination(60000),
+      "stream must terminate within 60s")
     val kept = spark.read.parquet(s"$base/corpus")
       .selectExpr("element_at(meta, 'path') AS p").collect()
       .map(r => r.getString(0).split('/').last).toSet
@@ -679,7 +681,8 @@ class StreamingSpec extends AnyFunSuite {
       .parquet(s"$base/src")
     val q = IngestStream.fertilityMonitor(stream, train,
       s"$base/report", merges = 1)
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000),
+      "stream must terminate within 60s")
     val rep = spark.read.parquet(s"$base/report").head()
     // doc 10: abqz->3 + qz->1 + a->1 pieces over 3 tokens;
     // doc 11: xx, yz both OOV -> 1 [UNK] piece + 1 unk word each
@@ -788,7 +791,8 @@ class StreamingSpec extends AnyFunSuite {
       .parquet(s"$base/src")
     val q = IngestStream.noveltyMonitor(stream, s"$base/grams",
       s"$base/report", n = 8)
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000),
+      "stream must terminate within 60s")
     val report = spark.read.parquet(s"$base/report")
     val expected = graft.llm.Dedup.batchNovelty(
       docsStatic.limit(0), docsStatic, n = 8)
@@ -848,7 +852,8 @@ class StreamingSpec extends AnyFunSuite {
       .parquet(s"$base/src")
     val terms = Seq("merge", "casino777")   // 'merge' occurs naturally
     val q = IngestStream.safetyMonitor(stream, s"$base/report", terms)
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000),
+      "stream must terminate within 60s")
     val report = spark.read.parquet(s"$base/report")
       .select("source", "n_docs", "n_pii", "n_blocked", "n_secret",
         "n_flagged")
@@ -894,7 +899,8 @@ class StreamingSpec extends AnyFunSuite {
       .parquet(s"$base/src")
     val q = IngestStream.gateMonitor(stream, s"$base/weights",
       s"$base/scores")
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000),
+      "stream must terminate within 60s")
     def scored() = spark.read.parquet(s"$base/scores")
       .select("doc_id", "score", "pred").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).sorted
@@ -908,7 +914,8 @@ class StreamingSpec extends AnyFunSuite {
     // NEW checkpoint re-keys the same batch ids — overwrite replaces
     val q2 = IngestStream.gateMonitor(stream, s"$base/weights",
       s"$base/scores", checkpointDir = Some(s"$base/ckpt2"))
-    q2.awaitTermination(60000)
+    assert(q2.awaitTermination(60000),
+      "stream must terminate within 60s")
     spark.catalog.refreshByPath(s"$base/scores")
     assert(scored().sameElements(batch),
       "replay must replace the batch partition, never double-count")
@@ -951,7 +958,8 @@ class StreamingSpec extends AnyFunSuite {
     val stream = spark.readStream.schema(docsStatic.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
     val q = IngestStream.gateMonitor(stream, wLayer, s"$base/mscores")
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000),
+      "stream must terminate within 60s")
     // 3. threshold sweep over the monitor's output == the batch sweep
     //    over the pipeline's own scores (same labels, same corpus)
     val labels = docsStatic.select(col("doc_id"),
