@@ -364,7 +364,9 @@ object TextAnalysis {
     *     routing skips the doomed candidate machinery (both routes
     *     are exact; this is a cost decision, never a correctness
     *     one; in a deployed layer term->df lives in the dictionary
-    *     sidecar and the gate is free);
+    *     sidecar and the gate is free); a batch with NO prune-routed
+    *     query short-circuits to the plain full scan — the slice
+    *     machinery is never even planned;
     *  1. posting contributions are computed only for the prune-routed
     *     QUERY VOCABULARY (the distinct-term set broadcasts into the
     *     postings scan — the full-scan path computes a contribution
@@ -624,6 +626,35 @@ object TextAnalysis {
       .withColumn("_prune",
         col("_mindf").isNotNull && col("_mindf") <= sliceM)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // fully-saturated batches SHORT-CIRCUIT: when no query routes to
+    // the prune arm, the entire slice machinery (posting persist,
+    // slice window, candidate scoring, bound check — ~10 fixed job
+    // launches at local scale) would only produce empty frames; skip
+    // it and serve the whole batch from the full scan. The count is
+    // one action over the persisted queries-sized routes frame —
+    // driver-cheap at any corpus size.
+    val nPrune = routes.filter(col("_prune")).count()
+    if (nPrune == 0L) {
+      graft.cache.Pins.track(spark, new AutoCloseable {
+        def close(): Unit = {
+          qt.unpersist(blocking = false)
+          routes.unpersist(blocking = false)
+        }
+      })
+      val served =
+        if (weighted)
+          bm25TopKWeightedFromPostings(spark, indexDir, queries,
+            k, k1, b, textCol, idCol, queryIdCol)
+        else
+          bm25TopKFromPostings(spark, indexDir, queries,
+            k, k1, b, textCol, idCol, queryIdCol)
+      val verdictR = routes
+        .select(col(queryIdCol), lit(0L).as("n_candidates"),
+          lit(null).cast("double").as("theta"),
+          lit(null).cast("double").as("bound"),
+          lit(false).as("pruned"))
+      return (served, verdictR)
+    }
     // the slice arm sees ONLY prune-routed queries: their (smaller)
     // vocabulary restricts the contribution scan, and a routed
     // query's terms can never leak candidates into the arm

@@ -274,6 +274,23 @@ class LlmSpec extends AnyFunSuite {
       Dedup.embeddingPairsBrute(emb, threshold = 0.4))))
   }
 
+  test("hyperplane LSH recall contract holds at a SECOND corpus " +
+       "scale (different lshAutoConfig operating point)") {
+    // the sf0.01 test pins recall at the small-corpus auto config;
+    // this pins it at sf0.1's (10x vectors -> more planes / other
+    // table count), so the auto-geometry recall contract is proven
+    // at two operating points rather than extrapolated from one
+    val emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val truth = pairSet(Dedup.embeddingPairsBrute(emb01, threshold = 0.4))
+    assert(truth.nonEmpty)
+    val found = pairSet(Similarity.lshCosinePairs(emb01, threshold = 0.4))
+    val recall = truth.count(found).toDouble / truth.size
+    assert(recall >= 0.7,
+      s"LSH recall $recall over ${truth.size} pairs at sf0.1")
+    assert(found.subsetOf(truth),
+      "every reported pair must really clear the cosine bar")
+  }
+
   test("tokenBudgetSample: bucketed plan == windowed reference plan") {
     val budgets = Map("en" -> 20000L, "es" -> 5000L, "zh" -> 5000L,
       "de" -> 1L, "fr" -> 0L)   // tiny/zero budgets hit the cutoff edge
