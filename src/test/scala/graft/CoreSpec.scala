@@ -143,4 +143,36 @@ class CoreSpec extends AnyFunSuite {
     assert((q -- o).isEmpty, s"queries without oracle: ${q -- o}")
     assert((o -- q).isEmpty, s"oracles without query: ${o -- q}")
   }
+
+  test("no dark faces: every public operator face in graft.llm is " +
+       "referenced by name outside its defining file (a face with " +
+       "zero external callers shipped unverified once — never again)") {
+    // The queries/oracle lockstep above machine-enforces REGISTERED
+    // surfaces; this closes the other gap: a public library face
+    // must be exercised by name from a spec, a registered query, a
+    // harness main, or another module — by-name reference outside
+    // the defining file is the cheap static witness. New faces land
+    // with their caller or their spec, in the same commit.
+    val root = new java.io.File("src")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+    val sources = walk(root).map { f =>
+      f.getPath -> new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    }
+    val llmFiles = sources.filter(_._1.contains("main/scala/graft/llm/"))
+    val defRe = "\n  def (\\w+)[\\(\\[:]".r
+    val dark = llmFiles.flatMap { case (path, src) =>
+      val others = sources.filter(_._1 != path).map(_._2)
+      defRe.findAllMatchIn(src).map(_.group(1)).distinct
+        .filterNot(name =>
+          others.exists(o => ("""\b""" + name + """\b""").r
+            .findFirstIn(o).isDefined))
+        .map(name => s"$path: $name")
+    }
+    assert(dark.isEmpty,
+      s"public faces with no external by-name reference:\n" +
+        dark.mkString("\n"))
+  }
 }

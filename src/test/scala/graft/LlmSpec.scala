@@ -274,6 +274,36 @@ class LlmSpec extends AnyFunSuite {
       Dedup.embeddingPairsBrute(emb, threshold = 0.4))))
   }
 
+  test("videoPhashFrames: 4 sampled frame slots per clip, stable " +
+       "hashes, identical clips collide and differing clips do not") {
+    import spark.implicits._
+    def frame(w: Int, h: Int, seed: Int) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((x * 31 + y * 17 + seed * 97) % 200 + 20) *
+          0x010101)
+      img
+    }
+    def gif(seed: Int) = Multimodal.encodeGif(
+      (0 until 6).map(f => frame(18, 16, seed + f * 3)))
+    val blobs = Multimodal.asBlobs(
+      Seq((1L, gif(0)), (2L, gif(0)), (3L, gif(50)))
+        .toDF("media_id", "b"), "media_id", "b", "video")
+    val sigs = Multimodal.videoPhashFrames(blobs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // 4 sampled slots per clip regardless of clip length
+    assert(sigs.groupBy(_._1).forall(_._2.map(_._2).sorted.toSeq ==
+      Seq(0, 1, 2, 3)), s"slots: ${sigs.toSeq}")
+    def sig(id: Long) = sigs.filter(_._1 == id).sortBy(_._2).map(_._3).toSeq
+    assert(sig(1L) == sig(2L), "identical clips must collide slot-wise")
+    assert(sig(1L) != sig(3L), "different content must separate")
+    // determinism: a rerun is bit-identical
+    val again = Multimodal.videoPhashFrames(blobs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(again.sameElements(sigs.sorted))
+  }
+
   test("hyperplane LSH recall contract holds at a SECOND corpus " +
        "scale (different lshAutoConfig operating point)") {
     // the sf0.01 test pins recall at the small-corpus auto config;
@@ -289,6 +319,113 @@ class LlmSpec extends AnyFunSuite {
       s"LSH recall $recall over ${truth.size} pairs at sf0.1")
     assert(found.subsetOf(truth),
       "every reported pair must really clear the cosine bar")
+  }
+
+  test("public utility faces hold their direct contracts (the " +
+       "no-dark-faces sweep: every face CoreSpec's inventory gate " +
+       "flags gets a by-name pin here)") {
+    import spark.implicits._
+    def one(c: org.apache.spark.sql.Column): org.apache.spark.sql.Row =
+      spark.range(1).select(c).head()
+    // subwordCountEstimate: pieces split at alnum/non-alnum borders,
+    // whitespace pieces dropped — "a,b" is 3 pieces (comma counts)
+    assert(one(TextAnalysis.subwordCountEstimate(lit("hello world")))
+      .getInt(0) == 2)
+    assert(one(TextAnalysis.subwordCountEstimate(lit("a,b")))
+      .getInt(0) == 3)
+    // stopwordRatio: share of tokens in the list; empty text -> 0
+    assert(one(TextAnalysis.stopwordRatio(lit("the cat the"),
+      Seq("the"))).getDouble(0) == 2.0 / 3.0)
+    assert(one(TextAnalysis.stopwordRatio(lit(""), Seq("the")))
+      .getDouble(0) == 0.0)
+    // gopherStats: the native kernel's struct backs gopherKeep
+    val gs = one(TextAnalysis.gopherStats(lit("aa bb aa")))
+      .getStruct(0)
+    assert(gs.length > 0, s"gopherStats struct: $gs")
+    // tokenSet: distinct non-empty tokens, first-seen order
+    assert(one(Dedup.tokenSet(lit("b a  a"))).getSeq[String](0)
+      == Seq("b", "a"))
+    // sigSimilarity: fraction of agreeing minhash positions
+    assert(one(Dedup.sigSimilarity(
+      array(lit(1L), lit(2L), lit(3L), lit(4L)),
+      array(lit(1L), lit(2L), lit(9L), lit(4L)))).getDouble(0) == 0.75)
+    // pctBucket/hashBucket32/sampleByHash: stable [0,100) buckets,
+    // sample = exactly the rows whose bucket clears the cut
+    val bkt = docs.select(col("doc_id"),
+      Sampling.pctBucket(col("text")).as("b"),
+      (Sampling.hashBucket32(col("text")) % 100).as("b2")).collect()
+    assert(bkt.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 100))
+    assert(bkt.forall(r => r.getLong(1) == r.getLong(2)),
+      "pctBucket must be hashBucket32 mod 100")
+    val sampled = Sampling.sampleByHash(docs, "text", 30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expectIds = bkt.filter(_.getLong(1) < 30).map(_.getLong(0)).toSet
+    assert(sampled == expectIds, "sampleByHash must keep exactly the " +
+      "sub-cut buckets (deterministic, rerun-stable)")
+    // bindOnce: the lambda sees the bound value; compute once, use twice
+    assert(one(VectorOps.bindOnce(lit(3))(v => v * v + v)).getInt(0) == 12)
+    // cosineHoisted: the hoisted-norms form (na/nb are the PRE-SQRT'D
+    // per-row norms, computed once per side) must equal the literal
+    // cosine when fed exact norms
+    val va = array(lit(1.0f), lit(0.0f))
+    val vb = array(lit(1.0f), lit(1.0f))
+    val cosGot = one(round(VectorOps.cosineHoisted(va, vb,
+      sqrt(VectorOps.normSq(va)), sqrt(VectorOps.normSq(vb))), 6))
+      .getDouble(0)
+    assert(cosGot == BigDecimal(1.0 / math.sqrt(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"$cosGot")
+    // bm25AutoSliceM: floors, log growth, cap, and the k floor that
+    // must survive the cap
+    assert(TextAnalysis.bm25AutoSliceM(5, 0L) == 64)
+    assert(TextAnalysis.bm25AutoSliceM(50, 0L) == 200, "4k floor")
+    assert(TextAnalysis.bm25AutoSliceM(5, 1_000_000L) ==
+      32 * math.ceil(math.log(1002.0) / math.log(2.0)).toInt)
+    assert(TextAnalysis.bm25AutoSliceM(2000, 0L) == 4096,
+      "the cap binds when the 4k floor would exceed it (k <= cap)")
+    assert(TextAnalysis.bm25AutoSliceM(5000, Long.MaxValue / 2) == 5000,
+      "a k above the cap must still seed the top-k")
+    val depths = Seq(1L, 10_000L, 10_000_000L, 1_000_000_000L)
+      .map(TextAnalysis.bm25AutoSliceM(5, _))
+    assert(depths == depths.sorted, "monotone in corpus size")
+    // randProjectVec == randProject, element for element (the array
+    // form rounds only at the consumer; compare at round-6)
+    val scalar = Similarity.randProject(emb, outDim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val arr = Similarity.randProjectVec(emb, outDim = 4).collect()
+    arr.foreach { r =>
+      val id = r.getLong(0)
+      r.getSeq[Double](1).zipWithIndex.foreach { case (v, k) =>
+        val got = BigDecimal(v).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(got == scalar((id, k.toLong)),
+          s"vec/scalar diverge at ($id, $k)")
+      }
+    }
+    // unigramModel / unigramModelWith: deterministic driver-state
+    // model, pieces bounded by maxPieceLen, log-probs <= 0, and the
+    // exercised unigramTrain face is exactly this model as rows
+    val m1 = TextAnalysis.unigramModel(docs, vocabSize = 20,
+      maxPieceLen = 2, iters = 1)
+    assert(m1.nonEmpty && m1.forall(p => p._1.length <= 2 && p._3 <= 0.0))
+    assert(m1.sameElements(TextAnalysis.unigramModelWith(docs,
+      vocabSize = 20, maxPieceLen = 2, iters = 1, prune = false)))
+    val trained = TextAnalysis.unigramTrain(docs, vocabSize = 20,
+      maxPieceLen = 2, iters = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(trained == m1.map(p => (p._1, p._2)).toSet)
+    // jaccardPairsPrefixManaged: the Managed lifecycle face — same
+    // pairs as the tracked form, pinned shingle cache released on close
+    import org.apache.spark.storage.StorageLevel
+    val handle = Dedup.jaccardPairsPrefixManaged(docs, n = 3,
+      threshold = 0.5)
+    assert(pairSet(handle.value) ==
+      pairSet(Dedup.jaccardPairsPrefix(docs, n = 3, threshold = 0.5)))
+    assert(handle.parent.storageLevel != StorageLevel.NONE)
+    handle.close()
+    assert(handle.parent.storageLevel == StorageLevel.NONE,
+      "close() must release the shingle cache")
+    graft.cache.Pins.release(spark)
   }
 
   test("tokenBudgetSample: bucketed plan == windowed reference plan") {
