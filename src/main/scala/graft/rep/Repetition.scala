@@ -63,6 +63,24 @@ object Repetition {
         idx -> task.run(ctx.withVar(varName, idx), a)
       })
 
+  /** Map a task over a STREAM, one sub-run per element — reference
+    * `mappingOverStream` (Repetition/Streaming.hs:59-101; DEPRECATED
+    * there in favor of the FoldA API, and that advice stands here
+    * too — the face exists so the surface is complete and migrations
+    * compile). Same `{varName}` location remapping per element as
+    * [[seqMapTask]], but DEMAND-DRIVEN like the reference's Streaming
+    * form: element i's sub-run happens only when the consumer pulls
+    * result i, and an empty stream runs nothing (the Streaming.hs
+    * empty-input short-circuit, :88-91). [[seqMapTask]] is the strict
+    * twin; [[graft.fold.FoldA]] is the recommended way to consume a
+    * stream with a task. */
+  def mappingOverStream[A, B](varName: String, task: PTask[A, B])
+      : PTask[Iterator[(String, A)], Iterator[(String, B)]] =
+    PTask(task.requirements, (ctx, items) =>
+      items.map { case (idx, a) =>
+        idx -> task.run(ctx.withVar(varName, idx), a)
+      })
+
   /** Fold a collection through a task step — reference `basicFoldlTask`
     * (REP:102-112). */
   def foldlTask[A, Acc](varName: String, step: PTask[(Acc, A), Acc])

@@ -166,4 +166,37 @@ class SparkFrameworkSpec extends AnyFunSuite {
       m, Seq("0" -> (), "1" -> (), "2" -> ()))
     assert(res.map(_._2) == Seq(1L, 1L, 1L))
   }
+
+  test("mappingOverStream: demand-driven per-element sub-runs with " +
+       "var splicing; empty stream runs nothing") {
+    import spark.implicits._
+    val out = scratch("mapstream")
+    (0 to 2).foreach { i =>
+      Seq((i, s"v$i")).toDF("id", "v").write.mode("overwrite")
+        .parquet(s"$out/in-$i.parquet")
+    }
+    val src = VirtualFile(VPath("/in"), Seq("parquet"), Usage.Source)
+    val m = Mappings(Map(VPath("/in") ->
+      MappingRhs.Layers(Seq(LocTemplate(s"$out/in-{i}.parquet")))))
+    val runs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val body = Access.loadData(src) >>>
+      PTask.arr { (df: org.apache.spark.sql.DataFrame) =>
+        runs.incrementAndGet(); df.count() }
+    val rep = graft.rep.Repetition.mappingOverStream("i", body)
+    val outIt = Pipeline.run(spark, rep, m,
+      Iterator("0" -> (), "1" -> (), "2" -> ()))
+    // the reference's Streaming laziness: nothing runs until pulled,
+    // then exactly one sub-run per pulled element
+    assert(runs.get == 0, "no sub-run before the consumer pulls")
+    val first = outIt.next()
+    assert(first == ("0" -> 1L) && runs.get == 1,
+      s"pull one -> run one (got $first after ${runs.get} runs)")
+    assert(outIt.toSeq == Seq("1" -> 1L, "2" -> 1L) && runs.get == 3)
+    // empty input stream: zero sub-runs (Streaming.hs:88-91)
+    val before = runs.get
+    val empty = Pipeline.run(spark, rep, m,
+      Iterator.empty: Iterator[(String, Unit)])
+    assert(!empty.hasNext && runs.get == before,
+      "an empty stream must not run the task at all")
+  }
 }
