@@ -47,7 +47,7 @@ object CLI {
         n.endsWith(".parquet")
       if (ok) Nil
       else if (st.isDirectory && depth == 0 &&
-          (n == "postings" || n == "stats"))
+          (n == "postings" || n == "stats" || n == "termdf"))
         fs.listStatus(st.getPath).toSeq.flatMap(foreign(_, 1))
       else Seq(n)
     }

@@ -285,13 +285,27 @@ object TextAnalysis {
                         idCol: String = "doc_id"): Unit = {
     import org.apache.spark.sql.expressions.Window
     val toks = tokens(col(textCol))
-    batch.select(col(idCol), explode(toks).as("term"))
+    val posting = batch.select(col(idCol), explode(toks).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("dl",
         sum(col("tf")).over(Window.partitionBy(col(idCol))))
-      .write.mode("overwrite")
-      .parquet(s"$indexDir/postings/ingest_batch=$batchId")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      posting.write.mode("overwrite")
+        .parquet(s"$indexDir/postings/ingest_batch=$batchId")
+      // term->df DICTIONARY sidecar (every lexical engine's term
+      // dictionary): vocab-sized, additive across doc-disjoint
+      // batches like the stats rows, and what makes the pruned
+      // serve's cost-routing gate a dictionary read instead of a
+      // match-stream aggregate. Consumers may ONLY use it for cost
+      // decisions: after an in-place takedown the sidecar
+      // over-counts df (docs only ever leave), which can only route
+      // a query toward the full scan — never corrupt a result.
+      posting.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite")
+        .parquet(s"$indexDir/termdf/ingest_batch=$batchId")
+    } finally posting.unpersist(blocking = false)
     batch.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(size(toks).cast("long")), lit(0L)).as("sum_dl"))
       .write.mode("overwrite")
@@ -615,10 +629,25 @@ object TextAnalysis {
     // production form keeps term->df in the layer's dictionary
     // sidecar and routes for free; here the aggregate stands in.
     // Queries with NO matched terms route to the full scan too
-    // (empty either way).
+    // (empty either way). df comes from the layer's term-DICTIONARY
+    // sidecar when present (vocab-sized read — the gate is then free
+    // at any corpus size); layers predating the sidecar fall back to
+    // the match-stream aggregate. Routing df may be stale after an
+    // in-place takedown (over-count) or partial on mixed-era layers
+    // (under-count) — EITHER direction is safe because routing is a
+    // cost decision only: the prune arm recomputes exact df and its
+    // bound check still proves or falls back per query.
     val qterms = qt.select(col("term")).distinct()
-    val dfQ = tfL.join(broadcast(qterms), Seq("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val termdfPath = new org.apache.hadoop.fs.Path(s"$indexDir/termdf")
+    val dfQ =
+      if (termdfPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration).exists(termdfPath))
+        spark.read.parquet(s"$indexDir/termdf")
+          .join(broadcast(qterms), Seq("term"))
+          .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      else
+        tfL.join(broadcast(qterms), Seq("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val routes = qt.select(col(queryIdCol), col("term"))
       .join(dfQ, Seq("term"), "left")
       .groupBy(col(queryIdCol))

@@ -61,10 +61,11 @@ object LlmQueries {
     * but the fingerprint turns that false-failure mode into a
     * rebuild. */
   private def standingLayer(s: SparkSession, base: String,
-                            srcPaths: Seq[String])(build: => Unit)
+                            srcPaths: Seq[String],
+                            layout: String = "v1")(build: => Unit)
       : Unit = {
     val memo = graft.cache.Memo(s, memoRoot(s))
-    val want = memo.keyOf(srcPaths.map(memo.fingerprint))
+    val want = memo.keyOf(layout +: srcPaths.map(memo.fingerprint))
     val ready = new java.io.File(s"$base/_READY")
     val have =
       if (!ready.exists()) None
@@ -2578,7 +2579,8 @@ object LlmQueries {
       // column times the PRUNED SERVE; the single-shot includes the
       // one-time build. The sentinel carries the corpus fingerprint
       // (regenerated testdata rebuilds instead of serving stale).
-      standingLayer(s, base, Seq(s"$dir/documents.parquet")) {
+      standingLayer(s, base, Seq(s"$dir/documents.parquet"),
+          layout = "bm25-v2") {
         TextAnalysis.bm25PostingsBatch(
           docs.filter(col("doc_id") % 100 =!= 0)
             .withColumn("text", concat(col("text"), lit(" rk"),
@@ -2615,7 +2617,8 @@ object LlmQueries {
       val base = graft.Scratch.root + "/bm25prune_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       val idxDir = s"$base/postings_layer"
-      standingLayer(s, base, Seq(s"$dir/documents.parquet")) {
+      standingLayer(s, base, Seq(s"$dir/documents.parquet"),
+          layout = "bm25-v2") {
         TextAnalysis.bm25PostingsBatch(
           docs.filter(col("doc_id") % 100 =!= 0)
             .withColumn("text", concat(col("text"), lit(" rk"),
@@ -2901,7 +2904,8 @@ object LlmQueries {
       // stale layer cannot hide: the serve is hash-checked against
       // the full relational replay of both rankers.
       standingLayer(s, base,
-        Seq(s"$dir/documents.parquet", s"$dir/embeddings.parquet")) {
+        Seq(s"$dir/documents.parquet", s"$dir/embeddings.parquet"),
+        layout = "rrfidx-v2") {
         val corpus = docs.filter(col("doc_id") % 100 =!= 0)
         TextAnalysis.bm25PostingsBatch(
           corpus.filter(col("doc_id") % 2 === 0), bmDir, batchId = 0L)
