@@ -615,14 +615,22 @@ object TextAnalysis {
       else qtRaw.distinct())
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // COST-ROUTING pre-gate (never a correctness decision — both
-    // routes are exact): pruning can only prove a bound when at least
-    // one query term's slice covers its WHOLE posting list (df <=
-    // sliceM -> that term's tail is 0); a query whose every matched
-    // term has df > sliceM gets a bound built purely from near-top
-    // contributions, which on saturated vocabularies always exceeds
-    // theta — the prune attempt would compute the full candidate
-    // machinery only to fall back. Routing those queries STRAIGHT to
-    // the full scan costs one vocab-bounded df aggregate (map-side
+    // routes are exact), a HEURISTIC not a proof: a term whose slice
+    // covers its WHOLE posting list (df <= sliceM) bounds its tail at
+    // 0, so min(df) <= sliceM is a strong prunability signal; a query
+    // whose every matched term has df > sliceM gets a bound built
+    // purely from near-top slice minima, which on flat contribution
+    // distributions (uniform tf/dl — the planted specs, stopword-ish
+    // vocabularies) always exceeds theta, so the prune attempt would
+    // compute the full candidate machinery only to fall back. On
+    // HEAVY-TAILED real text a steep in-slice decay CAN put theta
+    // above a minima-built bound with no fully-covered term, so this
+    // gate trades those (rarer) provable queries for never paying the
+    // doomed-attempt cost on saturated ones; a deployment tuning for
+    // recall of prunable queries can lower the routing threshold's
+    // strictness (e.g. attempt the prune whenever k << sliceM) at the
+    // price of slice-arm work on saturated batches. Routing straight
+    // to the full scan costs one vocab-bounded df aggregate (map-side
     // combined, no dl/contribution arithmetic, nothing persisted)
     // instead of the match-stream-sized posting persist + slice +
     // candidate scoring the doomed attempt would pay. At 100 TB the
@@ -648,27 +656,32 @@ object TextAnalysis {
       else
         tfL.join(broadcast(qterms), Seq("term"))
           .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val routes = qt.select(col(queryIdCol), col("term"))
+    // the per-query min-df frame is QUERY-BATCH-sized (one row per
+    // query) — collect it and route ON THE DRIVER: one job covers the
+    // df aggregate, the route decisions AND the saturated-batch
+    // short-circuit, and the routes relation the slice arm semi-joins
+    // against becomes a broadcast-free LocalRelation instead of a
+    // persisted distributed frame with its own count() action
+    val routesF = qt.select(col(queryIdCol), col("term"))
       .join(dfQ, Seq("term"), "left")
       .groupBy(col(queryIdCol))
       .agg(min(col("df")).as("_mindf"))
       .withColumn("_prune",
         col("_mindf").isNotNull && col("_mindf") <= sliceM)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val routesRows = routesF.collect()
+    val routes = spark.createDataFrame(
+      java.util.Arrays.asList(routesRows: _*), routesF.schema)
     // fully-saturated batches SHORT-CIRCUIT: when no query routes to
     // the prune arm, the entire slice machinery (posting persist,
     // slice window, candidate scoring, bound check — ~10 fixed job
     // launches at local scale) would only produce empty frames; skip
-    // it and serve the whole batch from the full scan. The count is
-    // one action over the persisted queries-sized routes frame —
-    // driver-cheap at any corpus size.
-    val nPrune = routes.filter(col("_prune")).count()
-    if (nPrune == 0L) {
+    // it and serve the whole batch from the full scan. With the
+    // collected routes the decision is a free driver-side scan.
+    val pruneIdx = routesF.schema.fieldIndex("_prune")
+    val nPrune = routesRows.count(_.getBoolean(pruneIdx))
+    if (nPrune == 0) {
       graft.cache.Pins.track(spark, new AutoCloseable {
-        def close(): Unit = {
-          qt.unpersist(blocking = false)
-          routes.unpersist(blocking = false)
-        }
+        def close(): Unit = qt.unpersist(blocking = false)
       })
       val served =
         if (weighted)
@@ -695,7 +708,6 @@ object TextAnalysis {
     graft.cache.Pins.track(spark, new AutoCloseable {
       def close(): Unit = {
         qt.unpersist(blocking = false)
-        routes.unpersist(blocking = false)
         posting.unpersist(blocking = false)
       }
     })
