@@ -379,12 +379,15 @@ object Takedown {
   /** Takedown over a [[TextAnalysis.bm25PostingsBatch]] layer: the
     * affected `postings/ingest_batch=` partitions lose the
     * taken-down docs' rows AND the matching `stats/ingest_batch=`
-    * partitions are debited by exactly those docs' (count, dl) mass,
-    * both swapped under ONE commit marker — a crash can never leave
-    * postings and stats disagreeing past recovery. Serving from the
-    * patched layer is bit-identical to a rebuild over
-    * `corpus MINUS ids` (oracle-proven), because postings are
-    * doc-local and stats are additive.
+    * partitions are debited by exactly those docs' (count, dl) mass
+    * AND any `termdf/ingest_batch=` sidecar partitions are debited
+    * by the removed docs' per-term presence — all swapped under ONE
+    * commit marker, so a crash can never leave the three subdirs
+    * disagreeing past recovery. Serving from the patched layer is
+    * bit-identical to a rebuild over `corpus MINUS ids`
+    * (oracle-proven), because postings are doc-local and stats /
+    * termdf are additive; the debited sidecar keeps the pruned
+    * serve's cost routing exact across compliance churn.
     *
     * Requires a stats partition with the SAME id as every affected
     * postings partition — true by construction for
@@ -458,15 +461,57 @@ object Takedown {
         col("_b").as("ingest_batch"))
       .write.partitionBy("ingest_batch")
       .parquet(new Path(tmp, "stats").toString)
+    // fresh term-df dictionary sidecar: batch-partitioned and
+    // additive exactly like stats, so the removed docs' per-(batch,
+    // term) posting count IS the df debit (one postings row per
+    // (doc, term)); terms whose df reaches 0 drop out of the
+    // partition. Only batches that HAVE a sidecar partition are
+    // rewritten — mixed-era layers keep their documented under-count,
+    // still routing-safe. Without this debit every takedown would
+    // inflate sidecar df monotonically, silently degrading the pruned
+    // serve's cost routing toward always-full-scan on churned layers.
+    val tdBatches = batches.filter(b =>
+      fs.exists(new Path(root, s"termdf/ingest_batch=$b")))
+    if (tdBatches.nonEmpty) {
+      val tdDebit = post
+        .filter(col("ingest_batch").cast("long").isin(tdBatches: _*))
+        .join(idsB, Seq(idCol), "left_semi")
+        .groupBy(col("ingest_batch").cast("long").as("_b"),
+          col("term"))
+        .agg(count(lit(1)).as("_df_rm"))
+      // per-(batch, term) SUM first: a compacted sidecar partition
+      // concatenates its source batches' rows, so a term can hold
+      // several additive rows — joining the debit row-wise would
+      // apply it once per row
+      spark.read.parquet(s"$indexDir/termdf")
+        .filter(col("ingest_batch").cast("long").isin(tdBatches: _*))
+        .groupBy(col("ingest_batch").cast("long").as("_b"),
+          col("term"))
+        .agg(sum(col("df")).as("df"))
+        .join(tdDebit, Seq("_b", "term"), "left")
+        .select(col("term"),
+          (col("df") - coalesce(col("_df_rm"), lit(0L)))
+            .cast("long").as("df"),
+          col("_b").as("ingest_batch"))
+        .filter(col("df") > 0L)
+        .write.partitionBy("ingest_batch")
+        .parquet(new Path(tmp, "termdf").toString)
+    }
     val entries = batches.map { b =>
       (s"postings/ingest_batch=$b",
         fs.exists(new Path(tmp, s"postings/ingest_batch=$b")))
-    } ++ batches.map(b => (s"stats/ingest_batch=$b", true))
+    } ++ batches.map(b => (s"stats/ingest_batch=$b", true)) ++
+      tdBatches.map { b =>
+        (s"termdf/ingest_batch=$b",
+          fs.exists(new Path(tmp, s"termdf/ingest_batch=$b")))
+      }
     writeMarker(fs, tmp, entries.toSeq)
     applySwap(fs, root, tmp, entries.toSeq)
     fs.delete(tmp, true)
     spark.catalog.refreshByPath(postDir)
     spark.catalog.refreshByPath(s"$indexDir/stats")
+    if (tdBatches.nonEmpty)
+      spark.catalog.refreshByPath(s"$indexDir/termdf")
     (debits.map(_._2).sum, batches.length.toLong)
   }
 

@@ -299,9 +299,12 @@ object TextAnalysis {
       // batches like the stats rows, and what makes the pruned
       // serve's cost-routing gate a dictionary read instead of a
       // match-stream aggregate. Consumers may ONLY use it for cost
-      // decisions: after an in-place takedown the sidecar
-      // over-counts df (docs only ever leave), which can only route
-      // a query toward the full scan — never corrupt a result.
+      // decisions: [[graft.llm.Takedown.bm25Takedown]] debits the
+      // sidecar under the same commit marker as stats, but a
+      // mixed-era layer (batches ingested pre-sidecar) under-counts
+      // and an interrupted-era layer could over-count — either
+      // direction can only mis-route a query, never corrupt a
+      // result.
       posting.groupBy(col("term")).agg(count(lit(1)).as("df"))
         .write.mode("overwrite")
         .parquet(s"$indexDir/termdf/ingest_batch=$batchId")
@@ -640,11 +643,12 @@ object TextAnalysis {
     // (empty either way). df comes from the layer's term-DICTIONARY
     // sidecar when present (vocab-sized read — the gate is then free
     // at any corpus size); layers predating the sidecar fall back to
-    // the match-stream aggregate. Routing df may be stale after an
-    // in-place takedown (over-count) or partial on mixed-era layers
-    // (under-count) — EITHER direction is safe because routing is a
-    // cost decision only: the prune arm recomputes exact df and its
-    // bound check still proves or falls back per query.
+    // the match-stream aggregate. bm25Takedown debits the sidecar in
+    // its commit-marker swap, but routing df can still be partial on
+    // mixed-era layers (under-count) — any staleness is safe because
+    // routing is a cost decision only: the prune arm recomputes
+    // exact df and its bound check still proves or falls back per
+    // query.
     val qterms = qt.select(col("term")).distinct()
     val termdfPath = new org.apache.hadoop.fs.Path(s"$indexDir/termdf")
     val dfQ =
