@@ -290,6 +290,45 @@ class AccessOpsSpec extends AnyFunSuite {
     assert(branches("small").count() == 2) // 1,2
   }
 
+  test("managed split handles: value + close() releases the shared " +
+       "parent; multiSplit branches may overlap; mapAnnotated keeps " +
+       "key columns and transforms payload") {
+    import spark.implicits._
+    val df = Seq(1, 2, 3, 4, 5, 6).toDF("x")
+    val h = graft.access.Split.splitEitherManaged(df, col("x") % 2 === 0)
+    val (ev, od) = h.value
+    assert(ev.count() == 3 && od.count() == 3)
+    assert(h.parent.storageLevel.useMemory, "parent pinned while open")
+    h.close()
+    assert(!h.parent.storageLevel.useMemory, "close() releases the pin")
+    val hm = graft.access.Split.multiSplitManaged(df,
+      Seq("gt2" -> (col("x") > 2), "lt5" -> (col("x") < 5)))
+    assert(hm.value("gt2").count() == 4 && hm.value("lt5").count() == 4,
+      "overlapping branches need not partition")
+    hm.close()
+    val m = graft.access.Split.multiSplit(df,
+      Seq("ev" -> (col("x") % 2 === 0)))
+    assert(m("ev").count() == 3)
+    graft.cache.Pins.release(spark)
+    val hf = graft.access.Split.splitFirstMatchManaged(df,
+      Seq("big" -> (col("x") > 4), "mid" -> (col("x") > 2)),
+      Some("small"))
+    assert(hf.value("big").count() == 2 && hf.value("mid").count() == 2 &&
+      hf.value("small").count() == 2)
+    hf.close()
+    var seen = -1L
+    val th = graft.access.Split.teeThroughManaged(df)(
+      _.filter(col("x") > 4))(side => seen = side.count())
+    assert(seen == 2 && th.value.count() == 6)
+    th.close()
+    val ann = Seq((1, "k1", 10), (2, "k2", 20)).toDF("id", "key", "v")
+    val out = graft.access.Split.mapAnnotated(ann, Seq("id", "key"),
+      Map("v" -> (col("v") * 2)))
+    assert(out.columns.toSeq == Seq("id", "key", "v"))
+    assert(out.orderBy("id").collect().map(_.getInt(2)).toSeq ==
+      Seq(20, 40))
+  }
+
   test("teeThrough: side output written, original passes through") {
     import spark.implicits._
     val out = scratch("tee")
@@ -298,6 +337,39 @@ class AccessOpsSpec extends AnyFunSuite {
       _.filter(col("id") === 1))(_.write.parquet(out))
     assert(through.count() == 2)
     assert(spark.read.parquet(out).count() == 1)
+  }
+
+  test("readVF / locsMappedTo / loadDataCached: direct read face, " +
+       "location introspection, memoized load (with and without a " +
+       "cache ctx)") {
+    val src = VirtualFile(VPath("/in"), Seq("parquet"), Usage.Source)
+    val m = Mappings(Map(VPath("/in") ->
+      MappingRhs.Layers(Seq(LocTemplate(s"$sf/region.parquet")))))
+    val want = spark.read.parquet(s"$sf/region.parquet").count()
+    // readVF is the audited read face loadData delegates to — called
+    // directly under a bound ctx it reads the same relation
+    val direct = Pipeline.run(spark,
+      PTask(Catalog.of(src),
+        (ctx: graft.task.RunCtx, _: Any) => Access.readVF(ctx, src)),
+      m, ())
+    assert(direct.count() == want)
+    // locsMappedTo surfaces the bound physical layers (requirements
+    // come from the composed loadData, which declares the path)
+    val (df, locs) = Pipeline.run(spark,
+      Access.loadData(src) &&& Access.locsMappedTo(VPath("/in")),
+      m, ())
+    assert(df.count() == want)
+    assert(locs == Seq(s"$sf/region.parquet"))
+    // loadDataCached memoizes on the content fingerprint...
+    val memoDir = scratch("loadcached")
+    val n1 = Pipeline.run(spark, Access.loadDataCached(src), m, (),
+      cacheRoot = Some(memoDir)).count()
+    val n2 = Pipeline.run(spark, Access.loadDataCached(src), m, (),
+      cacheRoot = Some(memoDir)).count()
+    assert(n1 == want && n2 == want)
+    // ...and degrades to a plain read when the ctx has no memo
+    assert(Pipeline.run(spark, Access.loadDataCached(src), m, ())
+      .count() == want)
   }
 
   test("Streams: list<->stream round-trip and drain") {
@@ -495,6 +567,10 @@ class AccessOpsSpec extends AnyFunSuite {
     Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
       .write.mode("overwrite").parquet(s"$base/things.parquet")
     graft.queries.Star.invalidate(base)
+    assert(graft.queries.Star.table(spark, base, "things").count() == 3)
+    // clearCache drops EVERY dir's cached relation — the next read
+    // re-lists and still sees the overwrite
+    graft.queries.Star.clearCache()
     assert(graft.queries.Star.table(spark, base, "things").count() == 3)
   }
 

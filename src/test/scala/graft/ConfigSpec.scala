@@ -1614,4 +1614,13 @@ class ConfigSpec extends AnyFunSuite {
     }
   }
 
+  test("defaultSession: the CLI main's session carries the driver " +
+       "contract conf (UTC clock, nanos-as-long parquet reads)") {
+    val s = CLI.defaultSession()
+    assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+    assert(s.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+    assert(s.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+      == "false")
+  }
+
 }

@@ -129,6 +129,54 @@ class CoreSpec extends AnyFunSuite {
     assert(boom.catchAndLog.run(ctx, 1).isEmpty)
   }
 
+  test("task algebra utility faces: choice, void, throwTask, logMsg, " +
+       "clocked, inNamespace, filterTask (PTask.hs / REP contracts)") {
+    import graft.task.{PTask, RunCtx}
+    val ctx = RunCtx(null, Catalog.empty, Map.empty, Mappings.empty)
+    val double = PTask.arr((i: Int) => i * 2)
+    val len = PTask.arr((s: String) => s.length)
+    // choice routes by side and merges both requirement sets
+    val ch = PTask.choice(double, len)
+    assert(ch.run(ctx, Left(21)) == Left(42))
+    assert(ch.run(ctx, Right("abc")) == Right(3))
+    assert(PTask.void[Int].run(ctx, 7) == (()))
+    // throwTask: Right passes through, Left raises its message
+    assert(PTask.throwTask[Int].run(ctx, Right(5)) == 5)
+    val e = intercept[RuntimeException](
+      PTask.throwTask[Int].run(ctx, Left("boom")))
+    assert(e.getMessage == "boom")
+    // logMsg is Unit at every level and tags with the ctx namespace
+    Seq("debug", "info", "warn", "error").foreach(l =>
+      assert(PTask.logMsg(l).run(ctx.inNamespace("ns"), "m") == (())))
+    // clocked pairs the result with a nonnegative wall-clock
+    val (v, secs) = double.clocked.run(ctx, 4)
+    assert(v == 8 && secs >= 0.0)
+    assert(ctx.inNamespace("a").inNamespace("b").namespace
+      .endsWith(Seq("a", "b")))
+    // filterTask: boolean task as predicate, index var spliced in
+    val pred = PTask.task((c: RunCtx, a: Int) =>
+      a % 2 == 0 && c.vars.get("i").exists(_.nonEmpty))
+    val kept = graft.rep.Repetition.filterTask("i", pred)
+      .run(ctx, Seq("0" -> 1, "1" -> 2, "2" -> 4))
+    assert(kept == Seq("1" -> 2, "2" -> 4))
+  }
+
+  test("config utility faces: flagName derivation, single-step spec " +
+       "migration, VPath.isRoot, JValue.asArr") {
+    import graft.config._
+    assert(OptField("users.range", None).flagName == "--users-range")
+    val doc = JValue.parse("""{"a":{"x":1}}""")
+    assert(SpecMigration.applyStep(doc,
+        SpecMigration.RenameKey(Seq("a"), "x", "y")) ==
+      JValue.parse("""{"a":{"y":1}}"""))
+    assert(SpecMigration.applyStep(doc,
+        SpecMigration.RemoveKey(Seq("a"), "x")) ==
+      JValue.parse("""{"a":{}}"""))
+    assert(VPath.root.isRoot && !VPath("/a").isRoot)
+    assert(JValue.parse("[1,2]").asArr.length == 2)
+    assert(JValue.parse("{}").asArr.isEmpty)
+  }
+
   test("taskInSubtree re-roots requirements (reference PTask.hs:76-92)") {
     import graft.task.PTask
     val vf = VirtualFile(VPath("/c"), Seq("json"), Usage.Source)
@@ -144,28 +192,42 @@ class CoreSpec extends AnyFunSuite {
     assert((o -- q).isEmpty, s"oracles without query: ${o -- q}")
   }
 
-  test("no dark faces: every public operator face in graft.llm is " +
-       "referenced by name outside its defining file (a face with " +
-       "zero external callers shipped unverified once — never again)") {
+  test("no dark faces: every public operator face in graft main is " +
+       "referenced by name, IN CODE, outside its defining file (a " +
+       "face with zero external callers shipped unverified once — " +
+       "never again)") {
     // The queries/oracle lockstep above machine-enforces REGISTERED
     // surfaces; this closes the other gap: a public library face
     // must be exercised by name from a spec, a registered query, a
     // harness main, or another module — by-name reference outside
     // the defining file is the cheap static witness. New faces land
-    // with their caller or their spec, in the same commit.
+    // with their caller or their spec, in the same commit. Witness
+    // sources are stripped of comments and scaladoc first, so a
+    // [[link]] or prose mention can never satisfy the gate. Mains'
+    // entry points (`main`, CLI verb dispatch) are exempt: their
+    // caller is the JVM / the driver contract, not another file.
     val root = new java.io.File("src")
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
       else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+    // comment/scaladoc strip: block comments first (covers /** ... */),
+    // then line comments — string literals keep their text, which can
+    // only ever ADD witnesses (e.g. reflective dispatch tables), the
+    // safe direction for a liveness gate
+    def strip(src: String): String = src
+      .replaceAll("(?s)/\\*.*?\\*/", " ")
+      .replaceAll("//[^\n]*", " ")
     val sources = walk(root).map { f =>
       f.getPath -> new String(
         java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
     }
-    val llmFiles = sources.filter(_._1.contains("main/scala/graft/llm/"))
+    val gated = sources.filter(_._1.contains("main/scala/graft/"))
+    val stripped = sources.map { case (p, s) => p -> strip(s) }
     val defRe = "\n  def (\\w+)[\\(\\[:]".r
-    val dark = llmFiles.flatMap { case (path, src) =>
-      val others = sources.filter(_._1 != path).map(_._2)
-      defRe.findAllMatchIn(src).map(_.group(1)).distinct
+    val dark = gated.flatMap { case (path, src) =>
+      val others = stripped.filter(_._1 != path).map(_._2)
+      defRe.findAllMatchIn(strip(src)).map(_.group(1)).distinct
+        .filterNot(_ == "main")
         .filterNot(name =>
           others.exists(o => ("""\b""" + name + """\b""").r
             .findFirstIn(o).isDefined))

@@ -130,6 +130,36 @@ class SparkFrameworkSpec extends AnyFunSuite {
     val g = FoldCol.count.zip(FoldCol.sumD($"l_quantity"))
     val gdf = g.runGrouped(li, $"l_returnflag")
     assert(gdf.count() == 3)
+    // map2 fuses two folds with a combining function (FoldA.hs:150)
+    val mean = FoldCol.sumD($"l_quantity")
+      .map2(FoldCol.count)((s, c) => s / c)
+    assert(math.abs(mean.run(li) -
+      li.agg(avg($"l_quantity")).head.getDouble(0)) < 1e-9)
+    // premap transforms the input column before the fold (lmap)
+    val sumSq = FoldCol.premap[Double](c => c * c, FoldCol.sumD)(
+      $"l_quantity")
+    assert(sumSq.run(li) ==
+      li.agg(sum($"l_quantity" * $"l_quantity").cast("double"))
+        .head.getDouble(0))
+    // sumL / collectList / approxCountDistinct stock folds
+    assert(FoldCol.sumL(lit(1L)).run(li) == li.count())
+    val flags = FoldCol.collectList($"l_returnflag").run(li.limit(50))
+    assert(flags.size == 50)
+    // HLL++ is exact in its sparse regime — 3 distinct flags
+    assert(FoldCol.approxCountDistinct($"l_returnflag").run(li) == 3L)
+    // fromAggregator: a custom typed Aggregator runs as a UDAF fold
+    val sumSqAgg = new org.apache.spark.sql.expressions
+        .Aggregator[Double, Double, Double] {
+      def zero = 0.0
+      def reduce(b: Double, a: Double) = b + a * a
+      def merge(x: Double, y: Double) = x + y
+      def finish(b: Double) = b
+      def bufferEncoder = org.apache.spark.sql.Encoders.scalaDouble
+      def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
+    }
+    assert(FoldCol.fromAggregator(sumSqAgg,
+        $"l_quantity".cast("double"))(org.apache.spark.sql.Encoders.scalaDouble).run(li) ==
+      sumSq.run(li))
   }
 
   test("content-hash memo: second run reuses, rebind invalidates") {

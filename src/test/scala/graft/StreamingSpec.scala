@@ -1740,4 +1740,163 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+
+  // ---- streaming-wrapper pins: every foreachBatch wrapper face is
+  // driven end-to-end and must equal its batch kernel on the same
+  // data (the no-dark-faces gate's honest witness) ----
+
+  def stageDocs(tag: String, rows: Seq[(Long, String)])
+      : (String, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    val base = graft.Scratch.root + s"/wrap_$tag"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    new java.io.File(s"$base/src").mkdirs()
+    rows.toDF("doc_id", "text").coalesce(1).write
+      .mode("overwrite").parquet(s"$base/src")
+    (base, spark.read.parquet(s"$base/src"))
+  }
+
+  test("nearDupIngest wrapper: stream == batch ingest (same " +
+       "survivors, same signature layer)") {
+    import graft.streaming.IngestStream
+    val textA = (0 until 40).map(i => s"a$i").mkString(" ")
+    val textB = (0 until 40).map(i => s"b$i").mkString(" ")
+    val rows = Seq((1L, textA), (2L, textA.replace("a5", "zz")),
+      (3L, textB), (4L, "two words"))
+    val (base, docsStatic) = stageDocs("neardup", rows)
+    val stream = spark.readStream.schema(docsStatic.schema)
+      .parquet(s"$base/src")
+    val q = IngestStream.nearDupIngest(stream, s"$base/corpus",
+      s"$base/sigs", threshold = 0.5)
+    assert(q.awaitTermination(60000), "stream must drain in 60s")
+    IngestStream.ingestBatch(docsStatic, s"$base/bcorpus",
+      s"$base/bsigs", threshold = 0.5)
+    def ids(dir: String) = spark.read.parquet(dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(s"$base/corpus") == ids(s"$base/bcorpus"))
+    assert(ids(s"$base/corpus") == Set(1L, 3L, 4L),
+      "near-dup 2 drops, short 4 survives")
+  }
+
+  test("nearDupIngestVerified wrapper: stream == two-stage batch " +
+       "ingest") {
+    import graft.streaming.IngestStream
+    val baseText = (0 until 60).map(i => s"w$i").mkString(" ")
+    val rows = Seq((1L, baseText),
+      (2L, baseText.replace("w30", "wxx")),      // true near-dup
+      (3L, (0 until 60).map(i => s"z$i").mkString(" ")))
+    val (base, docsStatic) = stageDocs("neardupv", rows)
+    val stream = spark.readStream.schema(docsStatic.schema)
+      .parquet(s"$base/src")
+    val q = IngestStream.nearDupIngestVerified(stream, s"$base/corpus",
+      s"$base/sigs", tau = 0.8, estThreshold = 0.05)
+    assert(q.awaitTermination(60000), "stream must drain in 60s")
+    IngestStream.ingestBatchVerified(docsStatic, s"$base/bcorpus",
+      s"$base/bsigs", tau = 0.8, estThreshold = 0.05)
+    def ids(dir: String) = spark.read.parquet(dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(s"$base/corpus") == ids(s"$base/bcorpus"))
+    assert(ids(s"$base/corpus") == Set(1L, 3L))
+  }
+
+  test("blobNearDupIngest wrapper: stream == batch blob ingest " +
+       "through the byte-SimHash scheme") {
+    import graft.streaming.IngestStream
+    import spark.implicits._
+    val a = Array.tabulate[Byte](400)(i => (i % 97).toByte)
+    val c = Array.tabulate[Byte](400)(i => ((i * 31) % 83).toByte)
+    val tampered = { val t = a.clone(); t(5) = 99; t }
+    val base = graft.Scratch.root + "/wrap_blob"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    new java.io.File(s"$base/src").mkdirs()
+    val blobs = Seq((1L, a), (2L, tampered), (3L, c))
+      .toDF("media_id", "content")
+    blobs.coalesce(1).write.mode("overwrite").parquet(s"$base/src")
+    val blobsStatic = spark.read.parquet(s"$base/src")
+    val stream = spark.readStream.schema(blobsStatic.schema)
+      .parquet(s"$base/src")
+    val q = IngestStream.blobNearDupIngest(stream, s"$base/corpus",
+      s"$base/sigs")
+    assert(q.awaitTermination(60000), "stream must drain in 60s")
+    IngestStream.ingestBatchWith(blobsStatic, s"$base/bcorpus",
+      s"$base/bsigs", IngestStream.SigScheme.BlobSimHash(3, "content"),
+      "media_id")
+    def ids(dir: String) = spark.read.parquet(dir)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(ids(s"$base/corpus") == ids(s"$base/bcorpus"))
+    assert(ids(s"$base/corpus") == Set(1L, 3L),
+      "tampered near-identical blob must drop")
+  }
+
+  test("cdcNoveltyMonitor wrapper: stream report == cdcNoveltyBatch " +
+       "on the same batch") {
+    import graft.streaming.IngestStream
+    val words = (1 to 400).map(i => s"t${i * 11 % 509}n$i")
+    val rows = Seq((1L, words.take(200).mkString(" ")),
+      (2L, words.drop(200).mkString(" ")))
+    val (base, docsStatic) = stageDocs("cdcmon", rows)
+    val stream = spark.readStream.schema(docsStatic.schema)
+      .parquet(s"$base/src")
+    val q = IngestStream.cdcNoveltyMonitor(stream, s"$base/chunks",
+      s"$base/report")
+    assert(q.awaitTermination(60000), "stream must drain in 60s")
+    IngestStream.cdcNoveltyBatch(docsStatic, s"$base/bchunks",
+      s"$base/breport", batchId = 0L)
+    val got = spark.read.parquet(s"$base/report")
+      .select("doc_id", "novelty_frac")
+    val want = spark.read.parquet(s"$base/breport")
+      .select("doc_id", "novelty_frac")
+    assert(got.count() == 2)
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0)
+  }
+
+  test("cmsMonitor wrapper: the streamed sketch layer equals " +
+       "cmsBatch cell-for-cell") {
+    import graft.streaming.IngestStream
+    val rows = (1L to 20L).map(i =>
+      (i, (0 until 30).map(j => s"tok${(i * 7 + j) % 41}").mkString(" ")))
+    val (base, docsStatic) = stageDocs("cmsmon", rows)
+    val stream = spark.readStream.schema(docsStatic.schema)
+      .parquet(s"$base/src")
+    val q = IngestStream.cmsMonitor(stream, s"$base/sketch")
+    assert(q.awaitTermination(60000), "stream must drain in 60s")
+    IngestStream.cmsBatch(docsStatic, s"$base/bsketch", batchId = 0L)
+    val got = IngestStream.cmsLayerRead(spark, s"$base/sketch")
+    val want = IngestStream.cmsLayerRead(spark, s"$base/bsketch")
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "stream and batch sketches must agree cell-for-cell")
+  }
+
+  test("safetyBatch / fertilityBatch kernels: direct per-batch calls " +
+       "publish the same rollups their monitors stream") {
+    import graft.streaming.IngestStream
+    import graft.llm.TextAnalysis
+    val base = graft.Scratch.root + "/wrap_kernels"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val docsStatic = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val terms = Seq("merge", "casino777")
+    IngestStream.safetyBatch(docsStatic, s"$base/safety", terms,
+      batchId = 0L)
+    val got = spark.read.parquet(s"$base/safety/ingest_batch=0")
+    val want = TextAnalysis.safetyScan(docsStatic, terms)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_email") + col("n_ip") + col("n_phone")).as("n_pii"),
+        sum(col("n_blocked")).as("n_blocked"),
+        sum(when(col("has_secret"), 1L).otherwise(0L)).as("n_secret"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))
+    assert(got.count() > 0 && got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0)
+    IngestStream.fertilityBatch(docsStatic, docsStatic,
+      s"$base/fert", merges = 4, batchId = 0L)
+    val fert = spark.read.parquet(s"$base/fert/ingest_batch=0").head()
+    assert(fert.getAs[Long]("n_docs") == docsStatic.count())
+    assert(fert.getAs[Double]("fertility") >= 1.0,
+      "wordpiece can only split words, never merge them")
+  }
+
 }
