@@ -68,17 +68,25 @@ object Repetition {
     * there in favor of the FoldA API, and that advice stands here
     * too — the face exists so the surface is complete and migrations
     * compile). Same `{varName}` location remapping per element as
-    * [[seqMapTask]], but DEMAND-DRIVEN like the reference's Streaming
-    * form: element i's sub-run happens only when the consumer pulls
-    * result i, and an empty stream runs nothing (the Streaming.hs
-    * empty-input short-circuit, :88-91). [[seqMapTask]] is the strict
-    * twin; [[graft.fold.FoldA]] is the recommended way to consume a
-    * stream with a task. */
+    * [[seqMapTask]], with the reference's exact evaluation order
+    * (`mappingRunnableOverStream`, Streaming.hs:88-96): the FIRST
+    * element's sub-run fires eagerly at task-run time (`S.next` +
+    * `go firstInput` before the cons'd stream is returned), the tail
+    * is DEMAND-DRIVEN (element i>0 runs only when the consumer pulls
+    * result i), and an empty stream runs nothing (the empty-input
+    * short-circuit, :90-91). [[seqMapTask]] is the strict twin;
+    * [[graft.fold.FoldA]] is the recommended way to consume a stream
+    * with a task. */
   def mappingOverStream[A, B](varName: String, task: PTask[A, B])
       : PTask[Iterator[(String, A)], Iterator[(String, B)]] =
     PTask(task.requirements, (ctx, items) =>
-      items.map { case (idx, a) =>
-        idx -> task.run(ctx.withVar(varName, idx), a)
+      if (!items.hasNext) Iterator.empty
+      else {
+        val (idx0, a0) = items.next()
+        val first = idx0 -> task.run(ctx.withVar(varName, idx0), a0)
+        Iterator.single(first) ++ items.map { case (idx, a) =>
+          idx -> task.run(ctx.withVar(varName, idx), a)
+        }
       })
 
   /** Fold a collection through a task step — reference `basicFoldlTask`

@@ -197,8 +197,8 @@ class SparkFrameworkSpec extends AnyFunSuite {
     assert(res.map(_._2) == Seq(1L, 1L, 1L))
   }
 
-  test("mappingOverStream: demand-driven per-element sub-runs with " +
-       "var splicing; empty stream runs nothing") {
+  test("mappingOverStream: first element eager at run time, tail " +
+       "demand-driven (Streaming.hs:88-96); empty stream runs nothing") {
     import spark.implicits._
     val out = scratch("mapstream")
     (0 to 2).foreach { i =>
@@ -215,13 +215,18 @@ class SparkFrameworkSpec extends AnyFunSuite {
     val rep = graft.rep.Repetition.mappingOverStream("i", body)
     val outIt = Pipeline.run(spark, rep, m,
       Iterator("0" -> (), "1" -> (), "2" -> ()))
-    // the reference's Streaming laziness: nothing runs until pulled,
-    // then exactly one sub-run per pulled element
-    assert(runs.get == 0, "no sub-run before the consumer pulls")
+    // the reference's evaluation order (Streaming.hs:88-96): element 0
+    // runs eagerly at task-run time, before anything is pulled...
+    assert(runs.get == 1, "element 0 must run at task-run time")
     val first = outIt.next()
     assert(first == ("0" -> 1L) && runs.get == 1,
-      s"pull one -> run one (got $first after ${runs.get} runs)")
-    assert(outIt.toSeq == Seq("1" -> 1L, "2" -> 1L) && runs.get == 3)
+      s"pulling the pre-run first result runs nothing (got $first " +
+      s"after ${runs.get} runs)")
+    // ...and the tail is demand-driven: one sub-run per pulled element
+    val second = outIt.next()
+    assert(second == ("1" -> 1L) && runs.get == 2,
+      s"pull one tail element -> run one (got $second, ${runs.get})")
+    assert(outIt.toSeq == Seq("2" -> 1L) && runs.get == 3)
     // empty input stream: zero sub-runs (Streaming.hs:88-91)
     val before = runs.get
     val empty = Pipeline.run(spark, rep, m,
