@@ -436,6 +436,128 @@ object Dedup {
     graft.access.Split.Branches(verified, withSh)
   }
 
+  /** [[jaccardPairsPrefix]] in an OUT-OF-CORE slab form: identical
+    * output (same prefix-filter lemma, same exact verification), with
+    * the one-pass pipeline broken into an outer loop over bounded
+    * shingle-hash ranges so the peak working set is CAPPED at any
+    * corpus size on any topology — the single-node escape hatch for
+    * the measured 64x salted heap cliff (BASELINE.md r15/r16 storage
+    * experiments attributed it to single-JVM working-set pressure).
+    * The one-pass form stays the CLUSTER default: there the same
+    * pressure spreads over executors and one pass is cheaper.
+    *
+    * Mechanics: the shingle relation and the rarest-first prefix
+    * stream are DISK-MATERIALIZED under `scratchDir` once (NO heap
+    * persist anywhere), the prefix stream partitioned by
+    * `slab = pmod(shingle_hash, S)`; slab i's candidate self-join
+    * reads only its partition (partition-pruned parquet read),
+    * verifies its candidates against the parquet shingle relation
+    * with the exact brute arithmetic, and appends survivors to the
+    * output layer. A pair sharing prefix shingles in two slabs
+    * verifies twice and is deduplicated by the final `distinct` —
+    * duplicate work is bounded by the prefix length, and pairs are
+    * never LOST (every candidate pair shares at least one prefix
+    * shingle, and that shingle lives in exactly one slab). The
+    * CPU-for-heap trade is explicit: the shingle parquet is
+    * re-scanned per slab for the verify join instead of living in
+    * the block manager.
+    *
+    * EAGER by construction (the slab loop runs actions at call
+    * time); the returned frame reads the materialized output. Slab
+    * count is derived from the measured shingle mass (target ~4M
+    * prefix postings per slab), never silently capped — the choice
+    * is printed, and `slabs > 0` overrides it. */
+  def jaccardPairsPrefixSlabbed(docs: DataFrame, n: Int,
+                                threshold: Double, slabs: Int = 0,
+                                scratchDir: String = "",
+                                textCol: String = "text",
+                                idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val idType = docs.schema(idCol).dataType
+    def emptyResult: DataFrame = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id_a", idType),
+        org.apache.spark.sql.types.StructField("id_b", idType),
+        org.apache.spark.sql.types.StructField("jaccard",
+          org.apache.spark.sql.types.DoubleType))))
+    if (docs.isEmpty) return emptyResult
+    val dir = if (scratchDir.nonEmpty) scratchDir
+      else graft.Scratch.root + "/jaccard_slab"
+    val shPath = s"$dir/shingles"; val prefPath = s"$dir/prefix"
+    val outPath = s"$dir/pairs"
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    docs.select(col(idCol).as("id"),
+        graft.functions.SketchExprs.shingleHashes(col(textCol), n)
+          .as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0)
+      .write.mode("overwrite").parquet(shPath)
+    val withSh = spark.read.parquet(shPath)
+    val statsRow = withSh.agg(count(lit(1)).as("n"),
+      sum(col("sz")).as("mass")).head()
+    if (statsRow.getLong(0) == 0L) return emptyResult
+    val (nD, mass) = (statsRow.getLong(0),
+      Option(statsRow.get(1)).map(_.asInstanceOf[Number].longValue)
+        .getOrElse(0L))
+    // prefix postings per doc = sz - ceil(t*sz) + 1 ~ (1-t)*sz + 1
+    val estPref = ((1.0 - threshold) * mass).toLong + nD
+    val nSlabs = if (slabs > 0) slabs
+      else math.max(1L, (estPref + 4000000L - 1L) / 4000000L).toInt
+    println(s"[graft] jaccardPairsPrefixSlabbed: $nSlabs slabs " +
+      s"(docs=$nD, shingle mass=$mass, est prefix postings=$estPref, " +
+      "target 4M/slab)")
+    val ex = withSh.select(col("id"), col("sz"),
+      explode(col("sh")).as("s"))
+    val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val minOverlap = ceil(lit(threshold) * col("sz").cast("double")
+      - lit(1e-9))
+    ex.join(freq, Seq("s"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("id"))
+        .orderBy(col("df").asc, col("s").asc)))
+      .filter(col("rk") <= col("sz") - minOverlap + 1)
+      .select(col("s"), col("id"), col("sz"),
+        pmod(col("s"), lit(nSlabs.toLong)).as("slab"))
+      .write.mode("overwrite").partitionBy("slab").parquet(prefPath)
+    fs.delete(new org.apache.hadoop.fs.Path(outPath), true)
+    val pref = spark.read.parquet(prefPath)
+    (0 until nSlabs).foreach { i =>
+      val p = pref.filter(col("slab") === i)
+        .select(col("s"), col("id"), col("sz"))
+      val cand = p.select(col("s"), col("id").as("id_a"),
+          col("sz").as("sz_a"))
+        .join(p.select(col("s"), col("id").as("id_b"),
+          col("sz").as("sz_b")), Seq("s"))
+        .filter(col("id_a") < col("id_b") &&
+          col("sz_a").cast("double") >=
+            lit(threshold) * col("sz_b").cast("double") - lit(1e-9) &&
+          col("sz_b").cast("double") >=
+            lit(threshold) * col("sz_a").cast("double") - lit(1e-9))
+        .select(col("id_a"), col("id_b")).distinct()
+      cand
+        .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")),
+          Seq("id_a"))
+        .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")),
+          Seq("id_b"))
+        .withColumn("n_inter",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+        .withColumn("n_union",
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        .withColumn("jaccard", col("n_inter") / col("n_union"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .write.mode("append").parquet(outPath)
+    }
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    val hasParts = fs.exists(outP) && fs.listStatus(outP)
+      .exists(_.getPath.getName.startsWith("part-"))
+    if (!hasParts) emptyResult
+    else spark.read.parquet(outPath).distinct()
+  }
+
   // ---------------------------------------------------------------
   // MinHash + LSH — the scale path
   // ---------------------------------------------------------------

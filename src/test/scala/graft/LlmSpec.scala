@@ -4128,6 +4128,43 @@ class LlmSpec extends AnyFunSuite {
     assert(ps == bs && bs.exists(t => t._1 == 1L && t._2 == 2L))
   }
 
+  test("jaccardPairsPrefixSlabbed == brute across slab counts; " +
+       "cross-slab duplicates deduped; empty corpus -> empty result") {
+    import spark.implicits._
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val base = graft.Scratch.root + "/jslab_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val brute = asSet(Dedup.jaccardPairsBrute(docs, n = 3,
+      threshold = 0.2))
+    // slabs=3 forces multi-slab candidate generation: pairs whose
+    // prefixes span slabs verify twice and must dedup to one row
+    val sl = asSet(Dedup.jaccardPairsPrefixSlabbed(docs, n = 3,
+      threshold = 0.2, slabs = 3, scratchDir = s"$base/docs"))
+    assert(brute.nonEmpty && sl == brute,
+      s"slabbed path must reproduce brute exactly: " +
+        s"missing=${(brute -- sl).take(3)} extra=${(sl -- brute).take(3)}")
+    // slabs=1 degenerates to the single-pass candidate set
+    val one = asSet(Dedup.jaccardPairsPrefixSlabbed(docs, n = 3,
+      threshold = 0.2, slabs = 1, scratchDir = s"$base/one"))
+    assert(one == brute)
+    // the ceil-epsilon boundary fixture survives slab mode too
+    val a = "x1 x2 x3 x4 x5 x6 x7"
+    val b = "x3 x4 x5 x6 x7 y1 y2"
+    val planted = Seq((1L, a), (2L, b), (3L, "z z z"))
+      .toDF("doc_id", "text")
+    assert(asSet(Dedup.jaccardPairsPrefixSlabbed(planted, 3, 0.42857,
+        slabs = 2, scratchDir = s"$base/planted")) ==
+      asSet(Dedup.jaccardPairsBrute(planted, 3, 0.42857)))
+    // empty corpus: empty frame with the contract schema, no writes
+    val empty = Dedup.jaccardPairsPrefixSlabbed(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), 3, 0.5,
+      scratchDir = s"$base/empty")
+    assert(empty.columns.toSeq == Seq("id_a", "id_b", "jaccard") &&
+      empty.isEmpty)
+  }
+
   test("annRecall: hit counting, zero-hit queries present, k scaling") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
