@@ -59,24 +59,54 @@ object LlmQueries {
     * (a bare existence sentinel could). A wrong layer still cannot
     * hide — every serve hash-checks against its full oracle replay —
     * but the fingerprint turns that false-failure mode into a
-    * rebuild. */
+    * rebuild.
+    *
+    * CONCURRENCY: the check-and-build is serialized per layer path —
+    * a per-base monitor covers threads in this JVM, and an OS file
+    * lock on `base.lock` (held across the re-check + build) covers
+    * two PROCESSES sharing a scratch root, so concurrent suites
+    * cannot interleave delete/build/sentinel writes. The lock file
+    * lives NEXT TO base (the rebuild deletes base itself). Readers
+    * mid-serve during another process's rebuild are not protected —
+    * the sentinel protocol guards builds, and every serve hash-checks
+    * against its oracle replay anyway. */
+  private val layerLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+
   private def standingLayer(s: SparkSession, base: String,
                             srcPaths: Seq[String],
                             layout: String = "v1")(build: => Unit)
       : Unit = {
     val memo = graft.cache.Memo(s, memoRoot(s))
     val want = memo.keyOf(layout +: srcPaths.map(memo.fingerprint))
-    val ready = new java.io.File(s"$base/_READY")
-    val have =
-      if (!ready.exists()) None
-      else Some(new String(
-        java.nio.file.Files.readAllBytes(ready.toPath), "UTF-8").trim)
-    if (!have.contains(want)) {
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(base))
-      build
-      new java.io.File(base).mkdirs()
-      java.nio.file.Files.write(ready.toPath, want.getBytes("UTF-8"))
+    def isReady: Boolean = {
+      val ready = new java.io.File(s"$base/_READY")
+      ready.exists() && new String(
+        java.nio.file.Files.readAllBytes(ready.toPath), "UTF-8")
+        .trim == want
+    }
+    if (isReady) return // fast path: no lock traffic on warm serves
+    val mon = layerLocks.computeIfAbsent(base, _ => new Object)
+    mon.synchronized {
+      val lockFile = new java.io.File(s"$base.lock")
+      Option(lockFile.getParentFile).foreach(_.mkdirs())
+      val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lk = ch.lock() // blocks on a concurrent process's build
+        try {
+          if (!isReady) { // re-check under the lock: loser serves
+            org.apache.commons.io.FileUtils.deleteQuietly(
+              new java.io.File(base))
+            build
+            new java.io.File(base).mkdirs()
+            java.nio.file.Files.write(
+              new java.io.File(s"$base/_READY").toPath,
+              want.getBytes("UTF-8"))
+          }
+        } finally lk.release()
+      } finally ch.close()
     }
   }
 
@@ -161,6 +191,18 @@ object LlmQueries {
     "llm_jaccard_prefix" -> ((s, dir) =>
       Dedup.jaccardPairsPrefix(table(s, dir, "documents"), n = 3,
           threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // the OUT-OF-CORE slab form of the prefix join: same exact
+    // answer (same lemma, same verify arithmetic), pipeline broken
+    // into bounded shingle-hash slabs with zero heap persist — the
+    // single-node path past the measured 64x salted heap cliff.
+    // EAGER (the slab loop runs at construction); oracle identical
+    // to llm_jaccard_prefix by contract.
+    "llm_jaccard_slabbed" -> ((s, dir) =>
+      Dedup.jaccardPairsPrefixSlabbed(table(s, dir, "documents"),
+          n = 3, threshold = 0.5, slabs = 2,
+          scratchDir = graft.Scratch.root + "/jslab_q")
         .orderBy(col("id_a"), col("id_b"))),
 
     // MinHash+LSH near-dup pairs — the scale path. MD5-oracle-verified
@@ -4883,6 +4925,22 @@ object LlmQueries {
     // prefix-filtered exact join: same answer as the brute oracle —
     // prefix filtering changes the PLAN, not the result set.
     "llm_jaccard_prefix" ->
+      s"""WITH sh AS (
+           SELECT doc_id, $shingleSql AS s
+           FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+                 FROM documents))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(a.s || b.s)), 6) AS jaccard
+         FROM sh a, sh b
+         WHERE a.doc_id < b.doc_id
+           AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(a.s || b.s)) >= 0.5
+         ORDER BY id_a, id_b""",
+    // slab mode changes the execution layout, not the result set:
+    // the oracle is the same brute arithmetic at t=0.5.
+    "llm_jaccard_slabbed" ->
       s"""WITH sh AS (
            SELECT doc_id, $shingleSql AS s
            FROM (SELECT doc_id,
