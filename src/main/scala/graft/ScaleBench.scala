@@ -511,7 +511,9 @@ object ScaleBench {
       // df <= sliceM) and should stay flat; the plain serve computes
       // contributions for the whole growing layer — the contrast the
       // r14 64x finding (plain serve 3.9 -> 9.8 s) motivated.
-      if (enabled("bm25_pruned_serve")) {
+      if (enabled("bm25_pruned_serve") ||
+          enabled("bm25_pruned_weighted_serve") ||
+          enabled("bm25_pruned_weighted_saturated")) {
         import spark.implicits._
         val idx = s"$scratch/bm25prune_$f"
         org.apache.commons.io.FileUtils.deleteQuietly(
@@ -531,6 +533,40 @@ object ScaleBench {
         runProbe("bm25_pruned_serve_full", f, nDocs)(
           graft.llm.TextAnalysis.bm25TopKFromPostings(
             spark, idx, qs, k = 5).count())
+        // WEIGHTED (bag-query) twin on the same salted layer: half
+        // the rare tokens repeat (qtf=2) so the weighted arithmetic
+        // (per-term qtf-scaled tails) genuinely engages; the _full
+        // row is the weighted full scan over the same queries —
+        // mirrors the set-query contrast above in the selective
+        // regime the pruned face exists for
+        val qsW = (0 until 13).map(q => (q.toLong,
+          (0 until 8).map { i =>
+            val t = s"rk${(q * 97 + i * 31) % nGroups}"
+            if (i % 2 == 0) s"$t $t" else t
+          }.mkString(" "))).toDF("query_id", "text")
+        runProbe("bm25_pruned_weighted_serve", f, nDocs)(
+          graft.llm.TextAnalysis.bm25TopKFromPostingsPrunedWeighted(
+            spark, idx, qsW, k = 5).count())
+        runProbe("bm25_pruned_weighted_serve_full", f, nDocs)(
+          graft.llm.TextAnalysis.bm25TopKWeightedFromPostings(
+            spark, idx, qsW, k = 5).count())
+        // SATURATED regime: bag queries of natural tokens (every
+        // token doubled, no rare salts) — every matched term's df
+        // grows with the corpus, so the router short-circuits the
+        // whole batch to the weighted full scan; the row measures
+        // the deployed face's honest saturated cost (routing gate +
+        // full weighted scan), the curve corpus-bound by design
+        val stride0 =
+          docs0.agg(max(col("doc_id"))).head().getLong(0) + 1L
+        val pre = array_join(slice(
+          graft.llm.TextAnalysis.tokens(col("text")), 1, 6), " ")
+        val qsSat = docs.filter(col("doc_id") % 100 === 0 &&
+            col("doc_id") < stride0)
+          .select(col("doc_id").as("query_id"),
+            concat(pre, lit(" "), pre).as("text"))
+        runProbe("bm25_pruned_weighted_saturated", f, nDocs)(
+          graft.llm.TextAnalysis.bm25TopKFromPostingsPrunedWeighted(
+            spark, idx, qsSat, k = 5).count())
       }
       // deployed-shape hybrid serve: standing BM25 postings + IVF
       // index built untimed per factor; the timed work is the FIXED
@@ -588,9 +624,12 @@ object ScaleBench {
           docs.withColumn("text", concat(col("text"), lit(" rk"),
             pmod(col("doc_id"), lit(nGroupsSel)))),
           bmSel, batchId = 0L)
+        // query_ids share the dense arm's domain (multiples of 100)
+        // so rrfFuse exercises the real per-query two-ranker merge,
+        // not a full-outer join over disjoint keys
         val lexQSel = {
           import spark.implicits._
-          (0 until 13).map(q => (q.toLong,
+          (0 until 13).map(q => (q.toLong * 100L,
             (0 until 8).map(i => s"rk${(q * 97 + i * 31) % nGroupsSel}")
               .mkString(" "))).toDF("query_id", "text")
         }
@@ -916,19 +955,29 @@ object ScaleBench {
         case _ =>
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       }
-      runProbe("jaccard_prefix_salted", f, nDocs) {
+      val saltedJ = {
         val stride0 = saltStride
         val toks = filter(split(col("text"), " "), t => t =!= "")
         val cpy = floor(col("doc_id") / lit(stride0.toDouble))
           .cast("long").cast("string")
-        val salted = docs.withColumn("text",
+        docs.withColumn("text",
           array_join(zip_with(toks,
             sequence(lit(0), greatest(size(toks) - 1, lit(0))),
             (t, i) => when(pmod(i, lit(3)) === 0,
               concat(lit("zq"), cpy)).otherwise(t)), " "))
-        graft.llm.Dedup.jaccardPairsPrefix(salted, n = 3,
-          threshold = 0.5, storage = jaccardStorage).count()
       }
+      runProbe("jaccard_prefix_salted", f, nDocs)(
+        graft.llm.Dedup.jaccardPairsPrefix(saltedJ, n = 3,
+          threshold = 0.5, storage = jaccardStorage).count())
+      // OUT-OF-CORE slab twin: same salted regime, zero heap persist
+      // — shingles + prefix stream disk-materialized, candidates
+      // generated and verified per shingle-hash slab. The single-node
+      // answer to the 64x heap cliff the probe above measures; slab
+      // count is data-derived and printed by the operator itself.
+      runProbe("jaccard_prefix_salted_slab", f, nDocs)(
+        graft.llm.Dedup.jaccardPairsPrefixSlabbed(saltedJ, n = 3,
+          threshold = 0.5,
+          scratchDir = s"$scratch/jslab_$f").count())
 
       // unigram trainer: type-bounded model — word TYPES are fixed
       // under copy-scaling, so the whole train should be flat; the
