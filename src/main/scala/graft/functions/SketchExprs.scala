@@ -452,6 +452,27 @@ object SketchExprs {
       copy(left = l, right = r)
   }
 
+  /** Exact |A ∩ B| of two long-array SETS (native sort-merge kernel,
+    * [[SketchOps.setOverlap]]): (array<long>, array<long>) -> long.
+    * Equals `size(array_intersect(a, b))` for distinct-element
+    * arrays at a fraction of the per-row cost. */
+  case class SetOverlap(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkLongArr(prettyName, left.dataType, right.dataType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "set_overlap"
+    override def nullSafeEval(a: Any, b: Any): Any =
+      SketchOps.setOverlap(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.SketchOps.setOverlap($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SetOverlap =
+      copy(left = l, right = r)
+  }
+
   /** Dot product of two numeric arrays (float or double), in double. */
   case class VecDot(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -622,6 +643,8 @@ object SketchExprs {
     toCol(LangIdExpr(toExpr(c), markers))
   def sigSim(a: Column, b: Column): Column =
     toCol(SigSim(toExpr(a), toExpr(b)))
+  def setOverlap(a: Column, b: Column): Column =
+    toCol(SetOverlap(toExpr(a), toExpr(b)))
   def vecDot(a: Column, b: Column): Column =
     toCol(VecDot(toExpr(a), toExpr(b)))
   def vecCosine(a: Column, b: Column): Column =

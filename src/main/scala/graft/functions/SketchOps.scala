@@ -650,6 +650,28 @@ object SketchOps {
     if (n == 0) 0.0 else eq.toDouble / n
   }
 
+  /** EXACT |A ∩ B| of two distinct-element long arrays by per-row
+    * sort + linear merge over primitive copies — the verify kernel
+    * for the exact Jaccard joins. Equals
+    * `size(array_intersect(a, b))` on arrays with distinct elements
+    * (order-insensitive), without the built-in's per-row hash-set
+    * build and boxing: the candidate verify stream is tens of
+    * millions of rows per slab at 64x (BASELINE.md r17) and the
+    * built-in's evaluation was its measured bottleneck. */
+  def setOverlap(a: ArrayData, b: ArrayData): Long = {
+    val la = a.toLongArray()
+    val lb = b.toLongArray()
+    java.util.Arrays.sort(la)
+    java.util.Arrays.sort(lb)
+    var i = 0; var j = 0; var c = 0L
+    while (i < la.length && j < lb.length) {
+      if (la(i) == lb(j)) { c += 1L; i += 1; j += 1 }
+      else if (la(i) < lb(j)) i += 1
+      else j += 1
+    }
+    c
+  }
+
   @inline private def elem(a: ArrayData, isFloat: Boolean, i: Int): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 

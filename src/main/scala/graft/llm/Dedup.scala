@@ -407,17 +407,8 @@ object Dedup {
       .withColumn("rk", row_number().over(Window.partitionBy(col("id"))
         .orderBy(col("df").asc, col("s").asc)))
       .filter(col("rk") <= col("sz") - minOverlap + 1)
-      .select(col("s"), col("id"), col("sz"))
-    val cand = prefix.select(col("s"), col("id").as("id_a"),
-        col("sz").as("sz_a"))
-      .join(prefix.select(col("s"), col("id").as("id_b"),
-        col("sz").as("sz_b")), Seq("s"))
-      .filter(col("id_a") < col("id_b") &&
-        col("sz_a").cast("double") >=
-          lit(threshold) * col("sz_b").cast("double") - lit(1e-9) &&
-        col("sz_b").cast("double") >=
-          lit(threshold) * col("sz_a").cast("double") - lit(1e-9))
-      .select(col("id_a"), col("id_b")).distinct()
+      .select(col("s"), col("id"), col("sz"), col("rk"))
+    val cand = prefixCandidates(prefix, threshold)
     // exact verification — the jaccardPairsBrute arithmetic verbatim,
     // evaluated on candidate pairs only
     val verified = cand
@@ -425,15 +416,62 @@ object Dedup {
         Seq("id_a"))
       .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")),
         Seq("id_b"))
+      // n_inter via the native sort-merge kernel (shingle arrays are
+      // DISTINCT by the ShingleHashes contract, so |A∪B| = szA+szB−
+      // |A∩B| — same integers, and the same double division, as the
+      // brute form's array_intersect/array_union; the built-ins'
+      // per-row hash-set builds were the measured verify bottleneck
+      // on multi-million-candidate streams)
       .withColumn("n_inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+        graft.functions.SketchExprs.setOverlap(col("sh_a"), col("sh_b"))
+          .cast("double"))
       .withColumn("n_union",
-        size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        (size(col("sh_a")) + size(col("sh_b"))).cast("double")
+          - col("n_inter"))
       .withColumn("jaccard", col("n_inter") / col("n_union"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"),
         round(col("jaccard"), 6).as("jaccard"))
     graft.access.Split.Branches(verified, withSh)
+  }
+
+  /** Candidate pairs from a (s, id, sz, rk) prefix-posting stream:
+    * the prefix equi-join with the size bounds, plus the PPJoin
+    * POSITIONAL filter (Xiao/Wang/Lin/Yu, "Efficient Similarity
+    * Joins for Near Duplicate Detection", WWW 2008): a pair matching
+    * at t needs overlap α = ceil(t/(1+t)·(|A|+|B|)), and at the
+    * FIRST shared prefix position (rk_a, rk_b) every shared shingle
+    * sits at rank ≥ rk in both docs (ranks follow one global order),
+    * so overlap ≤ 1 + min(|A|−rk_a, |B|−rk_b); occurrences failing
+    * the bound are pruned. Soundness of per-occurrence pruning: a
+    * true match's FIRST shared occurrence always passes (there the
+    * bound is a valid overlap ceiling and overlap ≥ α), so the pair
+    * survives into the distinct even if later occurrences are cut.
+    * The ceil runs on α − 1e-9: double noise may only LOOSEN the
+    * filter, never lose a pair. On common-shingle corpora this is
+    * the difference between candidates ~ output pairs and candidates
+    * ~ Σ bucket² (measured 69M → see BASELINE.md r17): late-prefix
+    * common shingles give tiny positional ceilings and die here,
+    * BEFORE the distinct shuffle and the array-carrying verify join
+    * — the candidate stream, not the corpus, is the at-scale
+    * working set. */
+  private def prefixCandidates(prefix: DataFrame, threshold: Double)
+      : DataFrame = {
+    val alphaD = lit(threshold / (1.0 + threshold)) *
+      (col("sz_a") + col("sz_b")).cast("double")
+    prefix.select(col("s"), col("id").as("id_a"),
+        col("sz").as("sz_a"), col("rk").as("rk_a"))
+      .join(prefix.select(col("s"), col("id").as("id_b"),
+        col("sz").as("sz_b"), col("rk").as("rk_b")), Seq("s"))
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_a").cast("double") >=
+          lit(threshold) * col("sz_b").cast("double") - lit(1e-9) &&
+        col("sz_b").cast("double") >=
+          lit(threshold) * col("sz_a").cast("double") - lit(1e-9) &&
+        (lit(1) + least(col("sz_a") - col("rk_a"),
+          col("sz_b") - col("rk_b"))).cast("double") >=
+          ceil(alphaD - lit(1e-9)))
+      .select(col("id_a"), col("id_b")).distinct()
   }
 
   /** [[jaccardPairsPrefix]] in an OUT-OF-CORE slab form: identical
@@ -489,12 +527,22 @@ object Dedup {
     val outPath = s"$dir/pairs"
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    // phase timing: a long out-of-core job should say where its time
+    // goes (one line per phase, same stdout channel as the slab count)
+    var t0 = System.nanoTime()
+    def phase(name: String): Unit = {
+      val t1 = System.nanoTime()
+      System.err.println(
+        f"[graft] jaccard slab phase $name: ${(t1 - t0) / 1e9}%.1f s")
+      t0 = t1
+    }
     docs.select(col(idCol).as("id"),
         graft.functions.SketchExprs.shingleHashes(col(textCol), n)
           .as("sh"))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
       .write.mode("overwrite").parquet(shPath)
+    phase("shingle materialization")
     val withSh = spark.read.parquet(shPath)
     val statsRow = withSh.agg(count(lit(1)).as("n"),
       sum(col("sz")).as("mass")).head()
@@ -506,7 +554,7 @@ object Dedup {
     val estPref = ((1.0 - threshold) * mass).toLong + nD
     val nSlabs = if (slabs > 0) slabs
       else math.max(1L, (estPref + 4000000L - 1L) / 4000000L).toInt
-    println(s"[graft] jaccardPairsPrefixSlabbed: $nSlabs slabs " +
+    System.err.println(s"[graft] jaccardPairsPrefixSlabbed: $nSlabs slabs " +
       s"(docs=$nD, shingle mass=$mass, est prefix postings=$estPref, " +
       "target 4M/slab)")
     val ex = withSh.select(col("id"), col("sz"),
@@ -518,38 +566,34 @@ object Dedup {
       .withColumn("rk", row_number().over(Window.partitionBy(col("id"))
         .orderBy(col("df").asc, col("s").asc)))
       .filter(col("rk") <= col("sz") - minOverlap + 1)
-      .select(col("s"), col("id"), col("sz"),
+      .select(col("s"), col("id"), col("sz"), col("rk"),
         pmod(col("s"), lit(nSlabs.toLong)).as("slab"))
       .write.mode("overwrite").partitionBy("slab").parquet(prefPath)
+    phase("prefix stream (df + window + write)")
     fs.delete(new org.apache.hadoop.fs.Path(outPath), true)
     val pref = spark.read.parquet(prefPath)
     (0 until nSlabs).foreach { i =>
       val p = pref.filter(col("slab") === i)
-        .select(col("s"), col("id"), col("sz"))
-      val cand = p.select(col("s"), col("id").as("id_a"),
-          col("sz").as("sz_a"))
-        .join(p.select(col("s"), col("id").as("id_b"),
-          col("sz").as("sz_b")), Seq("s"))
-        .filter(col("id_a") < col("id_b") &&
-          col("sz_a").cast("double") >=
-            lit(threshold) * col("sz_b").cast("double") - lit(1e-9) &&
-          col("sz_b").cast("double") >=
-            lit(threshold) * col("sz_a").cast("double") - lit(1e-9))
-        .select(col("id_a"), col("id_b")).distinct()
+        .select(col("s"), col("id"), col("sz"), col("rk"))
+      val cand = prefixCandidates(p, threshold)
       cand
         .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")),
           Seq("id_a"))
         .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")),
           Seq("id_b"))
+        // native sort-merge intersect count — see the one-pass form
         .withColumn("n_inter",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+          graft.functions.SketchExprs.setOverlap(col("sh_a"),
+            col("sh_b")).cast("double"))
         .withColumn("n_union",
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          (size(col("sh_a")) + size(col("sh_b"))).cast("double")
+            - col("n_inter"))
         .withColumn("jaccard", col("n_inter") / col("n_union"))
         .filter(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"),
           round(col("jaccard"), 6).as("jaccard"))
         .write.mode("append").parquet(outPath)
+      phase(s"slab $i (candidates + verify + append)")
     }
     val outP = new org.apache.hadoop.fs.Path(outPath)
     val hasParts = fs.exists(outP) && fs.listStatus(outP)

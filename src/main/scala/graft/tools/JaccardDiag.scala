@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** One-off diagnostic for the slabbed Jaccard join's 64x step cost:
+  * replays slab 0 of an existing `jaccardPairsPrefixSlabbed` scratch
+  * layout sub-step by sub-step (candidate join pre-distinct, distinct,
+  * verify joins) with counts, wall times and the physical plan, so the
+  * superlinear term can be attributed instead of guessed. Not part of
+  * the library surface; run by hand:
+  * `graft.tools.JaccardDiag <scratchDir> <slab>`.
+  */
+object JaccardDiag {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse(
+      graft.Scratch.root + "/scale/jslab_64")
+    val slab = args.lift(1).map(_.toInt).getOrElse(0)
+    val spark = graft.Graft.session(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "jaccard-diag")
+    spark.sparkContext.setLogLevel("WARN")
+    val threshold = 0.5
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val a = f
+      println(f"[diag] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      a
+    }
+    val withSh = spark.read.parquet(s"$dir/shingles")
+    val pref = spark.read.parquet(s"$dir/prefix")
+    println(s"[diag] shingle rows: ${withSh.count()}")
+    println(s"[diag] prefix rows total: ${pref.count()}")
+    val p = pref.filter(col("slab") === slab)
+      .select(col("s"), col("id"), col("sz"), col("rk"))
+    println(s"[diag] slab $slab prefix rows: ${p.count()}")
+    val alphaD = lit(threshold / (1.0 + threshold)) *
+      (col("sz_a") + col("sz_b")).cast("double")
+    val candRaw = p.select(col("s"), col("id").as("id_a"),
+        col("sz").as("sz_a"), col("rk").as("rk_a"))
+      .join(p.select(col("s"), col("id").as("id_b"),
+        col("sz").as("sz_b"), col("rk").as("rk_b")), Seq("s"))
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_a").cast("double") >=
+          lit(threshold) * col("sz_b").cast("double") - lit(1e-9) &&
+        col("sz_b").cast("double") >=
+          lit(threshold) * col("sz_a").cast("double") - lit(1e-9) &&
+        (lit(1) + least(col("sz_a") - col("rk_a"),
+          col("sz_b") - col("rk_b"))).cast("double") >=
+          ceil(alphaD - lit(1e-9)))
+      .select(col("id_a"), col("id_b"))
+    val nRaw = timed("candidate join pre-distinct count")(candRaw.count())
+    println(s"[diag] candidates pre-distinct: $nRaw")
+    val cand = candRaw.distinct()
+    val nCand = timed("candidate distinct count")(cand.count())
+    println(s"[diag] candidates distinct: $nCand")
+    val verified = cand
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("n_union",
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", col("n_inter") / col("n_union"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val nVer = timed("verify join count")(verified.count())
+    println(s"[diag] verified pairs (slab $slab): $nVer")
+    verified.explain("formatted")
+    spark.stop()
+  }
+}

@@ -131,6 +131,16 @@ object PropertySpec extends Properties("graft") {
       SketchOps.sigSim(a, a) == 1.0
     }
 
+  property("kernel.setOverlap-matches-set-intersection") =
+    forAll(Gen.listOf(Gen.choose(0L, 40L)),
+      Gen.listOf(Gen.choose(0L, 40L))) { (xs0, ys0) =>
+      // distinct-element contract (the ShingleHashes output shape);
+      // order must not matter, so feed unsorted distinct lists
+      val xs = xs0.distinct; val ys = ys0.distinct
+      val got = SketchOps.setOverlap(toArrayDataL(xs), toArrayDataL(ys))
+      got == xs.toSet.intersect(ys.toSet).size.toLong
+    }
+
   property("kernel.minhash-deterministic-and-in-range") =
     forAll(Gen.nonEmptyListOf(Gen.identifier)) { words =>
       val text = org.apache.spark.unsafe.types.UTF8String
