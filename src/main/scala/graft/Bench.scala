@@ -74,7 +74,14 @@ object Bench {
     // the recorded number, and the min column makes it visible.
     val benchN = sys.env.get("SPARK_GRAFT_BENCH_N")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
+    // wall-clock origin of the measured loop: each query records its
+    // START OFFSET within the run (sidecar `start_offsets`), so an
+    // ambient host-noise window — contiguous inflated rows in one
+    // stretch of the alphabetical sweep, as in the r17 g–l block — is
+    // visible in the artifact itself without an isolated re-measure
+    val runStart = System.nanoTime()
     val results = selected.map { case (name, fn) =>
+      val startOff = (System.nanoTime() - runStart) / 1e9
       val reps = (1 to benchN).map { rep =>
         val t0 = System.nanoTime()
         val ok =
@@ -95,7 +102,7 @@ object Bench {
       // single-shot = FIRST rep (the historical protocol); a query is
       // good only if every rep succeeded
       (name, reps.head._1, reps.filter(_._2).map(_._1).minOption,
-        reps.forall(_._2))
+        reps.forall(_._2), startOff)
     }
     // storage-footprint assertion: with every pin released, nothing
     // may remain in executor storage — a non-empty map here means some
@@ -116,11 +123,11 @@ object Bench {
     // and break the JSON
     def sec(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = good.map { case (k, v, _, _) => s"\"" + k + "\":" + sec(v) }
+    val qs = good.map { case (k, v, _, _, _) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val qsMin =
       if (benchN <= 1) ""
-      else good.flatMap { case (k, _, m, _) =>
+      else good.flatMap { case (k, _, m, _, _) =>
         m.map(v => s"\"" + k + "\":" + sec(v)) }
         .mkString(""","queries_min":{""", ",", "}")
     // the failed list must stay bounded too — a catastrophic run with
@@ -128,7 +135,12 @@ object Bench {
     val fsShown = failed.take(20)
     val fs = fsShown.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (good.nonEmpty) good.map(_._2).sum else 0.0
-    val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${good.size},"n_failed":${failed.size},"failed":$fs,"sf":"$sfDir","queries":$qs$qsMin}"""
+    // per-query wall-clock start offsets within the run (ALL benched
+    // queries, failures included): lets a reader see exactly where in
+    // the sweep a noise window sat, from the artifact alone
+    val offs = results.map { case (k, _, _, _, o) =>
+      s"\"" + k + "\":" + sec(o) }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${good.size},"n_failed":${failed.size},"failed":$fs,"sf":"$sfDir","queries":$qs$qsMin,"start_offsets":$offs}"""
     // The driver captures a bounded stdout TAIL (~2.9 KB, which also
     // holds sbt's ~80-byte epilogue). At ~100 queries the full record
     // alone overflows it, clipping its HEAD mid-map — BENCH_r06 and
@@ -155,7 +167,7 @@ object Bench {
     // min_sum (the cross-round comparison column BASELINE.md directs
     // to) and the 5 slowest mins, ~170 bytes — still well inside the
     // tail window with the rest of the summary line
-    val mins = good.flatMap { case (k, _, m, _) => m.map(k -> _) }
+    val mins = good.flatMap { case (k, _, m, _, _) => m.map(k -> _) }
     val minTail =
       if (mins.isEmpty) ""
       else {

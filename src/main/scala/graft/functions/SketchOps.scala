@@ -650,14 +650,16 @@ object SketchOps {
     if (n == 0) 0.0 else eq.toDouble / n
   }
 
-  /** EXACT |A ∩ B| of two distinct-element long arrays by per-row
-    * sort + linear merge over primitive copies — the verify kernel
-    * for the exact Jaccard joins. Equals
-    * `size(array_intersect(a, b))` on arrays with distinct elements
-    * (order-insensitive), without the built-in's per-row hash-set
-    * build and boxing: the candidate verify stream is tens of
-    * millions of rows per slab at 64x (BASELINE.md r17) and the
-    * built-in's evaluation was its measured bottleneck. */
+  /** EXACT |A ∩ B| (SET semantics — duplicates in either input are
+    * counted once) of two long arrays by per-row sort + linear merge
+    * over primitive copies, skipping equal-element runs — the verify
+    * kernel for the exact Jaccard joins. Equals
+    * `size(array_intersect(a, b))` on ARBITRARY inputs
+    * (order-insensitive, duplicate-insensitive), without the
+    * built-in's per-row hash-set build and boxing: the candidate
+    * verify stream is tens of millions of rows per slab at 64x
+    * (BASELINE.md r17) and the built-in's evaluation was its
+    * measured bottleneck. */
   def setOverlap(a: ArrayData, b: ArrayData): Long = {
     val la = a.toLongArray()
     val lb = b.toLongArray()
@@ -665,8 +667,13 @@ object SketchOps {
     java.util.Arrays.sort(lb)
     var i = 0; var j = 0; var c = 0L
     while (i < la.length && j < lb.length) {
-      if (la(i) == lb(j)) { c += 1L; i += 1; j += 1 }
-      else if (la(i) < lb(j)) i += 1
+      val x = la(i); val y = lb(j)
+      if (x == y) {
+        c += 1L
+        do i += 1 while (i < la.length && la(i) == x)
+        do j += 1 while (j < lb.length && lb(j) == y)
+      }
+      else if (x < y) i += 1
       else j += 1
     }
     c

@@ -504,7 +504,15 @@ object Dedup {
     * time); the returned frame reads the materialized output. Slab
     * count is derived from the measured shingle mass (target ~4M
     * prefix postings per slab), never silently capped — the choice
-    * is printed, and `slabs > 0` overrides it. */
+    * is printed, and `slabs > 0` overrides it.
+    *
+    * CONSUME-BEFORE-REBUILD CONTRACT: the returned frame is a LAZY
+    * reader of `scratchDir/pairs`; a subsequent call with the same
+    * `scratchDir` deletes and rewrites those files, so a caller that
+    * holds a returned frame across a rebuild reads missing or
+    * foreign data. Consume (collect/write/localCheckpoint) before
+    * any rebuild on the same scratch dir — the registered query does
+    * exactly that (localCheckpoint under the scratch-path lock). */
   def jaccardPairsPrefixSlabbed(docs: DataFrame, n: Int,
                                 threshold: Double, slabs: Int = 0,
                                 scratchDir: String = "",

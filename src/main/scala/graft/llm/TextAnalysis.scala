@@ -11,6 +11,24 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Conf key (session conf or system property, double, default 0 =
+    * off) loosening the pruned serve's cost-routing gate: when > 0, a
+    * query whose min-df heuristic would route it straight to the full
+    * scan still ATTEMPTS the prune iff `sliceM >= ratio * k` (the
+    * cheap "k << sliceM" condition). Never a correctness knob — the
+    * bound check still decides per query, both routes stay exact; it
+    * trades slice-arm work on saturated batches for recall of
+    * provable queries on heavy-tailed postings (steep in-slice decay
+    * with no fully-covered term — the regime the min-df signal
+    * misses; LlmSpec plants exactly that fixture). */
+  val AttemptPruneRatioKey = "spark.graft.bm25.attemptPruneRatio"
+
+  private def attemptPruneRatio(
+      spark: org.apache.spark.sql.SparkSession): Double =
+    spark.conf.getOption(AttemptPruneRatioKey)
+      .orElse(sys.props.get(AttemptPruneRatioKey))
+      .flatMap(_.toDoubleOption).getOrElse(0.0)
+
   /** Non-empty whitespace tokens. */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
@@ -630,9 +648,11 @@ object TextAnalysis {
     // above a minima-built bound with no fully-covered term, so this
     // gate trades those (rarer) provable queries for never paying the
     // doomed-attempt cost on saturated ones; a deployment tuning for
-    // recall of prunable queries can lower the routing threshold's
-    // strictness (e.g. attempt the prune whenever k << sliceM) at the
-    // price of slice-arm work on saturated batches. Routing straight
+    // recall of prunable queries opts in via AttemptPruneRatioKey
+    // (attempt the prune whenever sliceM >= ratio * k — measured
+    // provable on the planted heavy-tailed LlmSpec fixture, default
+    // OFF because on the flat planted/stopword regimes the attempt
+    // is pure doomed-arm cost). Routing straight
     // to the full scan costs one vocab-bounded df aggregate (map-side
     // combined, no dl/contribution arithmetic, nothing persisted)
     // instead of the match-stream-sized posting persist + slice +
@@ -666,12 +686,21 @@ object TextAnalysis {
     // short-circuit, and the routes relation the slice arm semi-joins
     // against becomes a broadcast-free LocalRelation instead of a
     // persisted distributed frame with its own count() action
+    // opt-in looser routing (AttemptPruneRatioKey): attempt the prune
+    // on mindf-saturated queries too when sliceM >= ratio * k — a
+    // driver-side constant folded into the same predicate, zero extra
+    // jobs; queries with no matched terms still route to the full scan
+    val attemptAnyway = {
+      val r = attemptPruneRatio(spark)
+      r > 0.0 && sliceM >= r * k
+    }
     val routesF = qt.select(col(queryIdCol), col("term"))
       .join(dfQ, Seq("term"), "left")
       .groupBy(col(queryIdCol))
       .agg(min(col("df")).as("_mindf"))
       .withColumn("_prune",
-        col("_mindf").isNotNull && col("_mindf") <= sliceM)
+        col("_mindf").isNotNull &&
+          (col("_mindf") <= sliceM || lit(attemptAnyway)))
     val routesRows = routesF.collect()
     val routes = spark.createDataFrame(
       java.util.Arrays.asList(routesRows: _*), routesF.schema)

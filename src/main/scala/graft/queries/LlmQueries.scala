@@ -73,6 +73,32 @@ object LlmQueries {
   private val layerLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]
 
+  /** Run `body` while holding a per-path JVM monitor AND an OS file
+    * lock on `<canonical base>.lock` — the standing-layer build
+    * protocol, shared by any serve that rebuilds a path under a
+    * scratch root two suites can share (standing layers, the slabbed
+    * Jaccard scratch dir). `base` is canonicalized first so two
+    * spellings of one path (relative vs absolute, trailing slash)
+    * share a monitor — a second FileChannel.lock() on one underlying
+    * file in one JVM would throw OverlappingFileLockException
+    * instead of blocking. The lock file lives NEXT TO base (builds
+    * delete base itself). */
+  private def withPathLock[T](base: String)(body: => T): T = {
+    val canon = new java.io.File(base).getCanonicalPath
+    val mon = layerLocks.computeIfAbsent(canon, _ => new Object)
+    mon.synchronized {
+      val lockFile = new java.io.File(s"$canon.lock")
+      Option(lockFile.getParentFile).foreach(_.mkdirs())
+      val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lk = ch.lock() // blocks on a concurrent process's build
+        try body finally lk.release()
+      } finally ch.close()
+    }
+  }
+
   private def standingLayer(s: SparkSession, base: String,
                             srcPaths: Seq[String],
                             layout: String = "v1")(build: => Unit)
@@ -86,27 +112,16 @@ object LlmQueries {
         .trim == want
     }
     if (isReady) return // fast path: no lock traffic on warm serves
-    val mon = layerLocks.computeIfAbsent(base, _ => new Object)
-    mon.synchronized {
-      val lockFile = new java.io.File(s"$base.lock")
-      Option(lockFile.getParentFile).foreach(_.mkdirs())
-      val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try {
-        val lk = ch.lock() // blocks on a concurrent process's build
-        try {
-          if (!isReady) { // re-check under the lock: loser serves
-            org.apache.commons.io.FileUtils.deleteQuietly(
-              new java.io.File(base))
-            build
-            new java.io.File(base).mkdirs()
-            java.nio.file.Files.write(
-              new java.io.File(s"$base/_READY").toPath,
-              want.getBytes("UTF-8"))
-          }
-        } finally lk.release()
-      } finally ch.close()
+    withPathLock(base) {
+      if (!isReady) { // re-check under the lock: loser serves
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(base))
+        build
+        new java.io.File(base).mkdirs()
+        java.nio.file.Files.write(
+          new java.io.File(s"$base/_READY").toPath,
+          want.getBytes("UTF-8"))
+      }
     }
   }
 
@@ -198,12 +213,20 @@ object LlmQueries {
     // into bounded shingle-hash slabs with zero heap persist — the
     // single-node path past the measured 64x salted heap cliff.
     // EAGER (the slab loop runs at construction); oracle identical
-    // to llm_jaccard_prefix by contract.
-    "llm_jaccard_slabbed" -> ((s, dir) =>
-      Dedup.jaccardPairsPrefixSlabbed(table(s, dir, "documents"),
-          n = 3, threshold = 0.5, slabs = 2,
-          scratchDir = graft.Scratch.root + "/jslab_q")
-        .orderBy(col("id_a"), col("id_b"))),
+    // to llm_jaccard_prefix by contract. The serve holds the
+    // standing-layer path lock across the rebuild (two suites can
+    // share a scratch root) and localCheckpoints the bounded result
+    // BEFORE releasing it, detaching the returned frame from the
+    // scratch files a later serve overwrites.
+    "llm_jaccard_slabbed" -> ((s, dir) => {
+      val scratch = graft.Scratch.root + "/jslab_q"
+      withPathLock(scratch) {
+        Dedup.jaccardPairsPrefixSlabbed(table(s, dir, "documents"),
+            n = 3, threshold = 0.5, slabs = 2, scratchDir = scratch)
+          .orderBy(col("id_a"), col("id_b"))
+          .localCheckpoint(true)
+      }
+    }),
 
     // MinHash+LSH near-dup pairs — the scale path. MD5-oracle-verified
     // under Verify's hash family; recall vs brute force in LlmSpec.

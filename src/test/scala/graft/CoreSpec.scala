@@ -175,6 +175,12 @@ class CoreSpec extends AnyFunSuite {
     assert(VPath.root.isRoot && !VPath("/a").isRoot)
     assert(JValue.parse("[1,2]").asArr.length == 2)
     assert(JValue.parse("{}").asArr.isEmpty)
+    // OptValue JSON round-trip: toJson is the docrecords render face
+    // (its only other by-name sites are same-named defs, which the
+    // dark-faces gate rightly no longer counts as witnesses)
+    val ov = OptList(Seq(OptStr("a"), OptNum(2), OptBool(true)))
+    assert(OptValue.toJson(ov).render == """["a",2,true]""")
+    assert(OptValue.fromJson(OptValue.toJson(ov)) == ov)
   }
 
   test("taskInSubtree re-roots requirements (reference PTask.hs:76-92)") {
@@ -228,9 +234,17 @@ class CoreSpec extends AnyFunSuite {
       val others = stripped.filter(_._1 != path).map(_._2)
       defRe.findAllMatchIn(strip(src)).map(_.group(1)).distinct
         .filterNot(_ == "main")
-        .filterNot(name =>
-          others.exists(o => ("""\b""" + name + """\b""").r
-            .findFirstIn(o).isDefined))
+        .filterNot { name =>
+          // a witness must be a USE: another file merely DEFINING a
+          // def of the same name is not a caller, so definition
+          // sites are stripped from witness texts before matching —
+          // two unrelated same-named faces can no longer mask each
+          // other
+          val use = ("""\b""" + name + """\b""").r
+          val defSite = ("""\bdef\s+""" + name + """\b""").r
+          others.exists(o =>
+            use.findFirstIn(defSite.replaceAllIn(o, " ")).isDefined)
+        }
         .map(name => s"$path: $name")
     }
     assert(dark.isEmpty,

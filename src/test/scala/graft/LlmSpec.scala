@@ -3530,6 +3530,69 @@ class LlmSpec extends AnyFunSuite {
     graft.cache.Pins.release(spark)
   }
 
+  test("bm25 routing flag (attemptPruneRatio): heavy-tailed postings " +
+       "with NO fully-covered term route to full scan by default, but " +
+       "the opted-in attempt PROVES its bound and serves identically") {
+    import spark.implicits._
+    val base = graft.Scratch.root + "/bm25route_flag_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    // planted HEAVY-TAILED corpus — the regime the min-df heuristic
+    // misses by construction: 5 "hot" docs carry every query term at
+    // tf=10; each term additionally lives in 26 long filler docs at
+    // tf=1 (df = 31 > sliceM = 16, so NO term is fully covered and
+    // min(df) says saturated), yet in-slice contribution decays
+    // steeply hot -> filler, so theta (hot-doc scores, ~4 high terms)
+    // clears a bound built purely from slice minima (~4 low tails)
+    val hot = (0 until 5).map(i =>
+      (i.toLong, Seq.fill(10)("h0 h1 h2 h3").mkString(" ")))
+    val fillerWords = (0 until 30).map(j => s"f$j").mkString(" ")
+    val tailDocs = for { t <- 0 until 4; j <- 0 until 26 } yield
+      ((100 + t * 26 + j).toLong, s"h$t $fillerWords")
+    TextAnalysis.bm25PostingsBatch((hot ++ tailDocs).toDF("doc_id", "text"),
+      base, batchId = 0L)
+    val qs = Seq((1L, "h0 h1 h2 h3")).toDF("query_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    // default routing: every matched term has df (31) > sliceM (16)
+    // -> straight to the full scan, the attempt is never made
+    val stOff = TextAnalysis.bm25PruneStats(spark, base, qs,
+        k = 2, sliceM = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2),
+        r.getBoolean(4))).toSeq
+    graft.cache.Pins.release(spark)
+    assert(stOff == Seq((1L, 0L, true, false)),
+      s"min-df heuristic must route the heavy-tailed query to the " +
+        s"full scan when the flag is off: $stOff")
+    spark.conf.set(TextAnalysis.AttemptPruneRatioKey, "4")
+    try {
+      // ratio 4, k=2: sliceM (16) >= 8 -> attempt; the bound PROVES
+      // the slice answer exact and the serve matches the full scan
+      val (served, stats) = TextAnalysis.bm25PrunedServeWithStats(
+        spark, base, qs, k = 2, sliceM = 16)
+      val got = rows(served)
+      val st = stats.collect()
+        .map(r => (r.getLong(0), r.getBoolean(4))).toSeq
+      graft.cache.Pins.release(spark)
+      assert(st == Seq((1L, true)),
+        s"opted-in attempt must PROVE its bound on the heavy tail: $st")
+      val full = rows(TextAnalysis.bm25TopKFromPostings(
+        spark, base, qs, k = 2))
+      graft.cache.Pins.release(spark)
+      assert(got == full && got.map(_._3) == Seq(0L, 1L),
+        s"flagged prune must reproduce the full scan exactly: $got")
+      // the cheap condition itself: ratio 4, k=5 -> sliceM (16) < 20,
+      // no attempt even with the flag on (saturated routing preserved)
+      val stTight = TextAnalysis.bm25PruneStats(spark, base, qs,
+          k = 5, sliceM = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.isNullAt(2), r.getBoolean(4))).toSeq
+      graft.cache.Pins.release(spark)
+      assert(stTight == Seq((1L, 0L, true, false)),
+        s"sliceM < ratio*k must keep the saturated route: $stTight")
+    } finally spark.conf.unset(TextAnalysis.AttemptPruneRatioKey)
+  }
+
   test("bm25 term-df dictionary sidecar: additive across batches, " +
        "drives the routing gate, and the serve is identical with " +
        "and without it") {

@@ -133,10 +133,10 @@ object PropertySpec extends Properties("graft") {
 
   property("kernel.setOverlap-matches-set-intersection") =
     forAll(Gen.listOf(Gen.choose(0L, 40L)),
-      Gen.listOf(Gen.choose(0L, 40L))) { (xs0, ys0) =>
-      // distinct-element contract (the ShingleHashes output shape);
-      // order must not matter, so feed unsorted distinct lists
-      val xs = xs0.distinct; val ys = ys0.distinct
+      Gen.listOf(Gen.choose(0L, 40L))) { (xs, ys) =>
+      // SET-semantics law on ARBITRARY inputs: duplicates in either
+      // array count once (the kernel skips equal-element runs), and
+      // order must not matter — feed raw unsorted lists, dups and all
       val got = SketchOps.setOverlap(toArrayDataL(xs), toArrayDataL(ys))
       got == xs.toSet.intersect(ys.toSet).size.toLong
     }
