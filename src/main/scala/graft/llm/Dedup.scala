@@ -448,13 +448,15 @@ object Dedup {
     * bound is a valid overlap ceiling and overlap ≥ α), so the pair
     * survives into the distinct even if later occurrences are cut.
     * The ceil runs on α − 1e-9: double noise may only LOOSEN the
-    * filter, never lose a pair. On common-shingle corpora this is
-    * the difference between candidates ~ output pairs and candidates
-    * ~ Σ bucket² (measured 69M → see BASELINE.md r17): late-prefix
-    * common shingles give tiny positional ceilings and die here,
-    * BEFORE the distinct shuffle and the array-carrying verify join
-    * — the candidate stream, not the corpus, is the at-scale
-    * working set. */
+    * filter, never lose a pair. Late-prefix common shingles give
+    * tiny positional ceilings and die here, BEFORE the distinct
+    * shuffle and the array-carrying verify join — the candidate
+    * stream, not the corpus, is the at-scale working set. MEASURED
+    * cut (JaccardDiag, pre-distinct candidates, t = 0.5; BASELINE.md
+    * r17/r18): 52% on the salted copy-scaled 64x corpus (69M → 33M
+    * per slab), 60% on the natural Zipfian sf0.1 text (329k → 132k),
+    * 56% at natural 16x (100M → 45M) — a steady ~2x+ across regimes,
+    * not the order-of-magnitude a heavier-tailed prefix would give. */
   private def prefixCandidates(prefix: DataFrame, threshold: Double)
       : DataFrame = {
     val alphaD = lit(threshold / (1.0 + threshold)) *
