@@ -414,13 +414,24 @@ object Takedown {
     if (!fs.exists(new Path(postDir))) return (0L, 0L)
     val idsB = idFrame(ids, idCol)
     val post = spark.read.parquet(postDir)
+    // the removed docs' postings rows, computed ONCE and persisted:
+    // takedown-batch-sized by construction (|removed docs| x their
+    // terms), it feeds BOTH the per-batch debit rollup and the
+    // termdf sidecar debit below — without it the full postings
+    // table is scanned twice for the two aggregates, which at a
+    // 100 TB layer is a whole extra postings pass per takedown
+    val rm = post.join(idsB, Seq(idCol), "left_semi")
+      .select(col("ingest_batch").cast("long").as("_b"), col(idCol),
+        col("term"), col("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // per affected batch: the doc-count and doc-length mass leaving
     // it (dl is per-doc constant across its postings rows, so the
     // per-(batch, doc) rollup is exact) plus the postings row count
     // for the audit — one aggregation chain, collected at ≤
     // |affected batches| rows
-    val debits = post.join(idsB, Seq(idCol), "left_semi")
-      .groupBy(col("ingest_batch").cast("long").as("_b"), col(idCol))
+    val debits = rm
+      .groupBy(col("_b"), col(idCol))
       .agg(count(lit(1)).as("_rows"), max(col("dl")).as("_dl"))
       .groupBy(col("_b"))
       .agg(sum(col("_rows")).as("n_rows"),
@@ -440,27 +451,40 @@ object Takedown {
     }
     val tmp = new Path(root, TmpName)
     if (fs.exists(tmp)) fs.delete(tmp, true)
+    // the three tmp writes below (postings / stats / termdf) read
+    // disjoint live subdirs and write disjoint tmp subdirs, so they
+    // run as CONCURRENT Spark jobs (thread-safe on one session; rm
+    // is already materialized by the debits collect). The commit
+    // marker still lands only after ALL of them complete — the crash
+    // protocol is unchanged, an uncommitted tmp is recovered by
+    // completePending either way.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
     // fresh postings for every affected batch: ONE partition-keyed
     // anti-join write (an emptied batch writes no dir -> flag 0)
-    post.filter(col("ingest_batch").cast("long").isin(batches: _*))
-      .join(idsB, Seq(idCol), "left_anti")
-      .write.partitionBy("ingest_batch")
-      .parquet(new Path(tmp, "postings").toString)
+    val postJob = Future {
+      post.filter(col("ingest_batch").cast("long").isin(batches: _*))
+        .join(idsB, Seq(idCol), "left_anti")
+        .write.partitionBy("ingest_batch")
+        .parquet(new Path(tmp, "postings").toString)
+    }
     // fresh stats: the live per-batch sums debited by exactly the
     // removed docs' (count, dl) mass — one row per affected batch
     val debitRows = debits.map { case (b, _, n, dl) => (b, n, dl) }
     import spark.implicits._
     val debitDf = debitRows.toSeq.toDF("_b", "_n_rm", "_dl_rm")
-    spark.read.parquet(s"$indexDir/stats")
-      .filter(col("ingest_batch").cast("long").isin(batches: _*))
-      .groupBy(col("ingest_batch").cast("long").as("_b"))
-      .agg(sum(col("n_docs")).as("_n"), sum(col("sum_dl")).as("_s"))
-      .join(broadcast(debitDf), Seq("_b"))
-      .select((col("_n") - col("_n_rm")).cast("long").as("n_docs"),
-        (col("_s") - col("_dl_rm")).cast("long").as("sum_dl"),
-        col("_b").as("ingest_batch"))
-      .write.partitionBy("ingest_batch")
-      .parquet(new Path(tmp, "stats").toString)
+    val statsJob = Future {
+      spark.read.parquet(s"$indexDir/stats")
+        .filter(col("ingest_batch").cast("long").isin(batches: _*))
+        .groupBy(col("ingest_batch").cast("long").as("_b"))
+        .agg(sum(col("n_docs")).as("_n"), sum(col("sum_dl")).as("_s"))
+        .join(broadcast(debitDf), Seq("_b"))
+        .select((col("_n") - col("_n_rm")).cast("long").as("n_docs"),
+          (col("_s") - col("_dl_rm")).cast("long").as("sum_dl"),
+          col("_b").as("ingest_batch"))
+        .write.partitionBy("ingest_batch")
+        .parquet(new Path(tmp, "stats").toString)
+    }
     // fresh term-df dictionary sidecar: batch-partitioned and
     // additive exactly like stats, so the removed docs' per-(batch,
     // term) posting count IS the df debit (one postings row per
@@ -472,31 +496,37 @@ object Takedown {
     // serve's cost routing toward always-full-scan on churned layers.
     val tdBatches = batches.filter(b =>
       fs.exists(new Path(root, s"termdf/ingest_batch=$b")))
-    if (tdBatches.nonEmpty) {
-      val tdDebit = post
-        .filter(col("ingest_batch").cast("long").isin(tdBatches: _*))
-        .join(idsB, Seq(idCol), "left_semi")
-        .groupBy(col("ingest_batch").cast("long").as("_b"),
-          col("term"))
-        .agg(count(lit(1)).as("_df_rm"))
-      // per-(batch, term) SUM first: a compacted sidecar partition
-      // concatenates its source batches' rows, so a term can hold
-      // several additive rows — joining the debit row-wise would
-      // apply it once per row
-      spark.read.parquet(s"$indexDir/termdf")
-        .filter(col("ingest_batch").cast("long").isin(tdBatches: _*))
-        .groupBy(col("ingest_batch").cast("long").as("_b"),
-          col("term"))
-        .agg(sum(col("df")).as("df"))
-        .join(tdDebit, Seq("_b", "term"), "left")
-        .select(col("term"),
-          (col("df") - coalesce(col("_df_rm"), lit(0L)))
-            .cast("long").as("df"),
-          col("_b").as("ingest_batch"))
-        .filter(col("df") > 0L)
-        .write.partitionBy("ingest_batch")
-        .parquet(new Path(tmp, "termdf").toString)
+    val termdfJob = Future {
+      if (tdBatches.nonEmpty) {
+        // from the persisted removed-rows subset — no second postings
+        // scan (one postings row per (doc, term), so count IS the df
+        // debit)
+        val tdDebit = rm
+          .filter(col("_b").isin(tdBatches: _*))
+          .groupBy(col("_b"), col("term"))
+          .agg(count(lit(1)).as("_df_rm"))
+        // per-(batch, term) SUM first: a compacted sidecar partition
+        // concatenates its source batches' rows, so a term can hold
+        // several additive rows — joining the debit row-wise would
+        // apply it once per row
+        spark.read.parquet(s"$indexDir/termdf")
+          .filter(col("ingest_batch").cast("long").isin(tdBatches: _*))
+          .groupBy(col("ingest_batch").cast("long").as("_b"),
+            col("term"))
+          .agg(sum(col("df")).as("df"))
+          .join(tdDebit, Seq("_b", "term"), "left")
+          .select(col("term"),
+            (col("df") - coalesce(col("_df_rm"), lit(0L)))
+              .cast("long").as("df"),
+            col("_b").as("ingest_batch"))
+          .filter(col("df") > 0L)
+          .write.partitionBy("ingest_batch")
+          .parquet(new Path(tmp, "termdf").toString)
+      }
     }
+    Await.result(Future.sequence(
+      Seq(postJob, statsJob, termdfJob)),
+      scala.concurrent.duration.Duration.Inf)
     val entries = batches.map { b =>
       (s"postings/ingest_batch=$b",
         fs.exists(new Path(tmp, s"postings/ingest_batch=$b")))
@@ -513,6 +543,7 @@ object Takedown {
     if (tdBatches.nonEmpty)
       spark.catalog.refreshByPath(s"$indexDir/termdf")
     (debits.map(_._2).sum, batches.length.toLong)
+    } finally rm.unpersist(blocking = false)
   }
 
   // ---------------------------------------------------------------

@@ -309,6 +309,22 @@ object TextAnalysis {
       .withColumn("dl",
         sum(col("tf")).over(Window.partitionBy(col(idCol))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the stats write scans `batch` independently of the postings
+    // chain, so it runs as a CONCURRENT Spark job (thread-safe on one
+    // session; idle cores at every scale — a batch publish's wall
+    // time is max(postings+termdf, stats), not their sum). The crash
+    // window is unchanged: a partial publish was already possible
+    // between the sequential writes and is repaired by the documented
+    // at-least-once replay (each subdir write overwrites its own
+    // ingest_batch partition).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val statsJob = Future {
+      batch.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(size(toks).cast("long")), lit(0L)).as("sum_dl"))
+        .write.mode("overwrite")
+        .parquet(s"$indexDir/stats/ingest_batch=$batchId")
+    }
     try {
       posting.write.mode("overwrite")
         .parquet(s"$indexDir/postings/ingest_batch=$batchId")
@@ -322,15 +338,13 @@ object TextAnalysis {
       // mixed-era layer (batches ingested pre-sidecar) under-counts
       // and an interrupted-era layer could over-count — either
       // direction can only mis-route a query, never corrupt a
-      // result.
+      // result. Runs AFTER the postings write so the persisted
+      // posting relation is materialized once, not raced.
       posting.groupBy(col("term")).agg(count(lit(1)).as("df"))
         .write.mode("overwrite")
         .parquet(s"$indexDir/termdf/ingest_batch=$batchId")
+      Await.result(statsJob, scala.concurrent.duration.Duration.Inf)
     } finally posting.unpersist(blocking = false)
-    batch.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(size(toks).cast("long")), lit(0L)).as("sum_dl"))
-      .write.mode("overwrite")
-      .parquet(s"$indexDir/stats/ingest_batch=$batchId")
   }
 
   /** Serve BM25 top-k from a standing [[bm25PostingsBatch]] layer:
