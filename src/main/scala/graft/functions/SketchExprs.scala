@@ -250,6 +250,29 @@ object SketchExprs {
       copy(child = newChild)
   }
 
+  /** [[ShingleHashes]] with the output SORTED ascending — pairs with
+    * [[SetOverlapBounded]] so the verify merge never sorts
+    * per-candidate (one sort per doc at materialization). */
+  case class ShingleHashesSorted(child: Expression, shingleSize: Int,
+                                 xx: Boolean)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${child.dataType}")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "shingle_hashes_sorted"
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.shingleHashesSorted(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        shingleSize, xx)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchOps.shingleHashesSorted($c, $shingleSize, $xx);")
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashesSorted =
+      copy(child = newChild)
+  }
+
   /** Positional word n-gram window hashes: string -> array<long> in
     * token order (empty below windowSize tokens) — [[ShingleHashes]]
     * without the dedup, for position-aware dedup (substring spans). */
@@ -473,6 +496,36 @@ object SketchExprs {
       copy(left = l, right = r)
   }
 
+  /** α-bounded overlap over SORTED long arrays (native early-exit
+    * merge, [[SketchOps.setOverlapSortedBounded]]):
+    * (array<long> sorted, array<long> sorted, double) -> long.
+    * Exact |A ∩ B| whenever it can reach the bound; otherwise a
+    * value strictly below it — see the kernel contract. */
+  case class SetOverlapBounded(first: Expression, second: Expression,
+                               third: Expression)
+      extends TernaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val arrs = checkLongArr(prettyName, first.dataType, second.dataType)
+      if (arrs != TypeCheckResult.TypeCheckSuccess) arrs
+      else if (third.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a double bound, got ${third.dataType}")
+    }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "set_overlap_bounded"
+    override def nullSafeEval(a: Any, b: Any, nd: Any): Any =
+      SketchOps.setOverlapSortedBounded(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        nd.asInstanceOf[Double])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b, nd) =>
+        s"graft.functions.SketchOps.setOverlapSortedBounded($a, $b, $nd)")
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): SetOverlapBounded =
+      copy(first = f, second = s, third = t)
+  }
+
   /** Dot product of two numeric arrays (float or double), in double. */
   case class VecDot(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -645,6 +698,11 @@ object SketchExprs {
     toCol(SigSim(toExpr(a), toExpr(b)))
   def setOverlap(a: Column, b: Column): Column =
     toCol(SetOverlap(toExpr(a), toExpr(b)))
+  def setOverlapBounded(a: Column, b: Column, need: Column): Column =
+    toCol(SetOverlapBounded(toExpr(a), toExpr(b), toExpr(need)))
+  def shingleHashesSorted(c: Column, shingleSize: Int): Column =
+    toCol(ShingleHashesSorted(toExpr(c), shingleSize,
+      SketchOps.xxFamily()))
   def vecDot(a: Column, b: Column): Column =
     toCol(VecDot(toExpr(a), toExpr(b)))
   def vecCosine(a: Column, b: Column): Column =

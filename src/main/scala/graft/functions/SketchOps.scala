@@ -362,6 +362,19 @@ object SketchOps {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** [[shingleHashes]] with the hash array SORTED ascending — one
+    * O(m log m) sort per DOC at materialization, so downstream
+    * pairwise kernels ([[setOverlapSortedBounded]]) can sort-merge
+    * WITHOUT per-candidate sorting: a doc appearing in thousands of
+    * candidate pairs pays for ordering once, not per pair. */
+  def shingleHashesSorted(text: org.apache.spark.unsafe.types.UTF8String,
+                          n: Int, xx: Boolean): ArrayData = {
+    val arr = shingleHashes(text, n, xx)
+    val out = arr.toLongArray()
+    java.util.Arrays.sort(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** POSITIONAL 60-bit window hashes: the hash of every l-token
     * window of the text, in token order (index i = window starting at
     * token i+1) — [[shingleHashes]] without the dedup, for operators
@@ -672,6 +685,43 @@ object SketchOps {
         c += 1L
         do i += 1 while (i < la.length && la(i) == x)
         do j += 1 while (j < lb.length && lb(j) == y)
+      }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** α-bounded |A ∩ B| (SET semantics) over arrays that are ALREADY
+    * SORTED ascending ([[shingleHashesSorted]]) — the similarity-
+    * join verify fast path: no per-pair copies or sorts (reads
+    * ArrayData in place), and the merge EXITS as soon as the
+    * optimistic bound (matches so far + elements remaining on the
+    * shorter side) drops below `need`.
+    *
+    * Contract: when the true overlap can reach `need` the exit can
+    * never fire (the bound is an overestimate of the final count),
+    * so the EXACT overlap is returned; when it fires, the returned
+    * bound is strictly < `need`, so any caller predicate derived
+    * from `need` (e.g. jaccard >= t with
+    * `need = t/(1+t)·(|A|+|B|) − ε`) evaluates exactly as it would
+    * on the true count — failing pairs fail, at a fraction of the
+    * merge. Duplicates in either input only INFLATE the optimistic
+    * bound (less pruning, never a wrong exit) and are skipped in the
+    * count. UNSORTED input is a contract violation (undercounts).
+    * PropertySpec pins the exactness/threshold-equivalence laws. */
+  def setOverlapSortedBounded(a: ArrayData, b: ArrayData,
+                              need: Double): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val rem = math.min(na - i, nb - j)
+      if (c + rem < need) return c + rem
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) {
+        c += 1L
+        do i += 1 while (i < na && a.getLong(i) == x)
+        do j += 1 while (j < nb && b.getLong(j) == y)
       }
       else if (x < y) i += 1
       else j += 1

@@ -391,9 +391,12 @@ object Dedup {
                                     .MEMORY_AND_DISK)
       : graft.access.Split.Branches[DataFrame] = {
     import org.apache.spark.sql.expressions.Window
+    // SORTED shingle arrays: one sort per doc at materialization so
+    // the bounded verify kernel below sort-merges with zero
+    // per-candidate copying/sorting (a doc joins thousands of pairs)
     val withSh = docs
       .select(col(idCol).as("id"),
-        graft.functions.SketchExprs.shingleHashes(col(textCol), n)
+        graft.functions.SketchExprs.shingleHashesSorted(col(textCol), n)
           .as("sh"))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
@@ -416,14 +419,23 @@ object Dedup {
         Seq("id_a"))
       .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")),
         Seq("id_b"))
-      // n_inter via the native sort-merge kernel (shingle arrays are
-      // DISTINCT by the ShingleHashes contract, so |A∪B| = szA+szB−
-      // |A∩B| — same integers, and the same double division, as the
-      // brute form's array_intersect/array_union; the built-ins'
-      // per-row hash-set builds were the measured verify bottleneck
-      // on multi-million-candidate streams)
+      // n_inter via the native SORTED α-bounded merge kernel (shingle
+      // arrays are DISTINCT by the ShingleHashes contract, so
+      // |A∪B| = szA+szB−|A∩B| — same integers, and the same double
+      // division, as the brute form's array_intersect/array_union;
+      // the built-ins' per-row hash-set builds were the measured
+      // verify bottleneck on multi-million-candidate streams). The
+      // bound need = t/(1+t)·(szA+szB) − ε is the EXACT overlap a
+      // pair needs to reach jaccard ≥ t: a pair that can reach it is
+      // counted exactly (bit-identical output), a pair that cannot
+      // is abandoned mid-merge with a count that still fails the
+      // filter — the 99%+ failing candidates are the verify cost
       .withColumn("n_inter",
-        graft.functions.SketchExprs.setOverlap(col("sh_a"), col("sh_b"))
+        graft.functions.SketchExprs.setOverlapBounded(col("sh_a"),
+          col("sh_b"),
+          lit(threshold / (1.0 + threshold)) *
+            (size(col("sh_a")) + size(col("sh_b"))).cast("double")
+            - lit(1e-9))
           .cast("double"))
       .withColumn("n_union",
         (size(col("sh_a")) + size(col("sh_b"))).cast("double")
@@ -546,8 +558,10 @@ object Dedup {
         f"[graft] jaccard slab phase $name: ${(t1 - t0) / 1e9}%.1f s")
       t0 = t1
     }
+    // SORTED shingle arrays (same device as the one-pass form): the
+    // per-slab verify merges pre-ordered arrays straight off parquet
     docs.select(col(idCol).as("id"),
-        graft.functions.SketchExprs.shingleHashes(col(textCol), n)
+        graft.functions.SketchExprs.shingleHashesSorted(col(textCol), n)
           .as("sh"))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
@@ -591,10 +605,13 @@ object Dedup {
           Seq("id_a"))
         .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")),
           Seq("id_b"))
-        // native sort-merge intersect count — see the one-pass form
+        // native α-bounded sorted-merge count — see the one-pass form
         .withColumn("n_inter",
-          graft.functions.SketchExprs.setOverlap(col("sh_a"),
-            col("sh_b")).cast("double"))
+          graft.functions.SketchExprs.setOverlapBounded(col("sh_a"),
+            col("sh_b"),
+            lit(threshold / (1.0 + threshold)) *
+              (size(col("sh_a")) + size(col("sh_b"))).cast("double")
+              - lit(1e-9)).cast("double"))
         .withColumn("n_union",
           (size(col("sh_a")) + size(col("sh_b"))).cast("double")
             - col("n_inter"))

@@ -730,13 +730,11 @@ object TextAnalysis {
       graft.cache.Pins.track(spark, new AutoCloseable {
         def close(): Unit = qt.unpersist(blocking = false)
       })
-      val served =
-        if (weighted)
-          bm25TopKWeightedFromPostings(spark, indexDir, queries,
-            k, k1, b, textCol, idCol, queryIdCol)
-        else
-          bm25TopKFromPostings(spark, indexDir, queries,
-            k, k1, b, textCol, idCol, queryIdCol)
+      // the already-resolved layer frames serve the whole batch —
+      // same plan as the public face, minus a duplicate parquet
+      // resolution of the layer
+      val served = bm25ScoreOverPostings(tfL, statsL, queries,
+        k, k1, b, textCol, idCol, queryIdCol, weighted = weighted)
       val verdictR = routes
         .select(col(queryIdCol), lit(0L).as("n_candidates"),
           lit(null).cast("double").as("theta"),
@@ -848,15 +846,12 @@ object TextAnalysis {
       .join(okQ, Seq(queryIdCol), "left_semi")
       .select(col(queryIdCol), col("rank"), col(idCol), col("score"))
     // fallback: the full-scan path, restricted to the failed queries
-    val fallback =
-      if (weighted)
-        bm25TopKWeightedFromPostings(spark, indexDir,
-          queries.join(failQ, Seq(queryIdCol), "left_semi"),
-          k, k1, b, textCol, idCol, queryIdCol)
-      else
-        bm25TopKFromPostings(spark, indexDir,
-          queries.join(failQ, Seq(queryIdCol), "left_semi"),
-          k, k1, b, textCol, idCol, queryIdCol)
+    // — served from the SAME resolved layer frames as the slice arm
+    // (identical plan to the public face, one layer resolution per
+    // serve instead of two)
+    val fallback = bm25ScoreOverPostings(tfL, statsL,
+      queries.join(failQ, Seq(queryIdCol), "left_semi"),
+      k, k1, b, textCol, idCol, queryIdCol, weighted = weighted)
     (prunedPart.unionByName(fallback), verdict)
   }
 

@@ -141,6 +141,31 @@ object PropertySpec extends Properties("graft") {
       got == xs.toSet.intersect(ys.toSet).size.toLong
     }
 
+  property("kernel.setOverlapSortedBounded: exact when the bound is " +
+    "reachable, threshold-equivalent always") =
+    forAll(Gen.listOf(Gen.choose(0L, 40L)),
+      Gen.listOf(Gen.choose(0L, 40L)),
+      Gen.choose(1, 99)) { (xs0, ys0, tPct) =>
+      val t = tPct / 100.0
+      // SORTED-input contract (duplicates allowed — they may only
+      // loosen the early exit, never corrupt it)
+      val xs = xs0.sorted; val ys = ys0.sorted
+      val truth = xs.toSet.intersect(ys.toSet).size.toLong
+      // the caller's arithmetic: sizes are DISTINCT set sizes
+      // (ShingleHashes emits distinct arrays), need is the exact
+      // overlap a pair must reach for jaccard >= t
+      val s = xs.distinct.size + ys.distinct.size
+      val need = t / (1.0 + t) * s - 1e-9
+      val got = SketchOps.setOverlapSortedBounded(
+        toArrayDataL(xs), toArrayDataL(ys), need)
+      def passes(v: Long) = s > 0 && v.toDouble / (s - v) >= t
+      // law 1: a pair that reaches the bound is counted EXACTLY
+      // law 2: the derived jaccard predicate agrees with the truth
+      // either way (early-exited pairs still fail it)
+      (truth.toDouble < need || got == truth) &&
+        passes(got) == passes(truth)
+    }
+
   property("kernel.minhash-deterministic-and-in-range") =
     forAll(Gen.nonEmptyListOf(Gen.identifier)) { words =>
       val text = org.apache.spark.unsafe.types.UTF8String
