@@ -46,5 +46,28 @@ PYEOF
 else
   ONLY="${1:-$PLAN_SENSITIVE}"
 fi
-exec bash scripts/verify_local.sh /root/testdata/sf0.1 \
+# scope label for the stamp: which slice of the suite this run proves
+if [ "${1:-}" = "all" ]; then SCOPE="all"
+elif [ -z "${1:-}" ]; then SCOPE="plan-sensitive"
+else SCOPE="custom"; fi
+bash scripts/verify_local.sh /root/testdata/sf0.1 \
   /root/repo/target/verify_sf01 "$ONLY"
+# GREEN (set -e would have exited otherwise): write the committed
+# sweep stamp — records WHICH tree the sf0.1 sweep verified, so the
+# end-of-round check (scripts/sweep_check.sh) can prove mechanically
+# that no plan-changing commit landed after the recorded sweep (the
+# gap the r17 and r18 verdicts both flagged). `dirty` = src/main or
+# build.sbt had uncommitted edits at sweep time → the stamp cannot
+# vouch for any commit and sweep_check fails until a clean rerun.
+HEAD_NOW=$(git rev-parse HEAD)
+if [ -n "$(git status --porcelain -- src/main build.sbt)" ]; then
+  DIRTY=true
+else
+  DIRTY=false
+fi
+N_NAMES=$(echo "$ONLY" | tr ',' '\n' | grep -c .)
+cat > VERIFY_SF01_STAMP.json <<EOF
+{"head": "$HEAD_NOW", "dirty": $DIRTY, "scope": "$SCOPE",
+ "n_queries": $N_NAMES, "utc": "$(date -u +%Y-%m-%dT%H:%M:%SZ)"}
+EOF
+echo "sweep stamp written: VERIFY_SF01_STAMP.json (head=$HEAD_NOW dirty=$DIRTY scope=$SCOPE n=$N_NAMES)"

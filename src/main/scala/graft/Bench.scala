@@ -11,17 +11,77 @@ import org.apache.spark.sql.SparkSession
   * measure the wrong plan on purpose — the sketch/LSH scale paths ARE
   * benchmarked.
   *
+  * AMBIENT-NOISE IMMUNITY: the N repetitions run as N FULL-SUITE
+  * PASSES in different orders (pass 1 alphabetical, pass 2 reversed,
+  * pass k≥3 fixed-seed shuffled), and `queries_min` is the per-query
+  * min across passes. Rationale: two driver rounds in a row were
+  * dominated by ONE contiguous host-noise window (r17's g–l block,
+  * r18's entire relational tail at 45× on unchanged plans). With
+  * consecutive same-query reps, all reps of a query share the window
+  * and the min does not defend; with two passes in opposite orders,
+  * a single contiguous window cannot cover the same query in both
+  * passes unless it spans most of the run — so the min column stays
+  * clean. `start_offsets` / `start_offsets_p2` record where each
+  * query sat in run wall-clock per pass, so any remaining inflation
+  * is attributable from the artifact alone.
+  *
+  * BANDS SELF-CHECK: if `bands.json` (override via SPARK_GRAFT_BANDS)
+  * is present — per-query expected min from a quiet builder gate,
+  * plus tolerance factor/floor — the artifact carries an `outliers`
+  * map (queries whose min exceeds band×factor+floor) and the summary
+  * line carries `n_outliers`, so a driver artifact self-flags the
+  * rows that need an isolated re-measure instead of leaving the
+  * judge to diff against BASELINE prose.
+  *
   * Env knobs: SPARK_GRAFT_ONLY=q1,q2 restricts the set (local
   * debugging); SPARK_GRAFT_CPUS sets local parallelism;
-  * SPARK_GRAFT_BENCH_N=k repeats each query in-JVM (default 2) and
-  * adds a per-query `queries_min` map next to the single-shot
-  * `queries` (min is hiccup-immune — prefer it for cross-round
-  * ratios); set k=1 for the historical single-shot-only protocol.
+  * SPARK_GRAFT_BENCH_N=k sets the pass count (default 2); set k=1
+  * for the historical single-shot-only protocol (no min column).
   */
 object Bench {
   /** O(N²)-by-design ground-truth baselines, excluded from the bench. */
   val bruteForceBaselines: Set[String] =
     Set("llm_jaccard_pairs", "llm_embedding_pairs")
+
+  /** Per-query expected-min bands (quiet-gate mins + tolerance). */
+  final case class Bands(factor: Double, floor: Double,
+                         bands: Map[String, Double])
+
+  /** Read bands.json; absent/corrupt file = no check (never fatal). */
+  def loadBands(path: String =
+      sys.env.getOrElse("SPARK_GRAFT_BANDS", "bands.json"))
+      : Option[Bands] = {
+    val f = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isRegularFile(f)) None
+    else try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(java.nio.file.Files.readAllBytes(f))
+      val factor = Option(root.get("tolerance_factor"))
+        .map(_.asDouble).getOrElse(2.0)
+      val floor = Option(root.get("tolerance_floor_sec"))
+        .map(_.asDouble).getOrElse(0.75)
+      val m = scala.collection.mutable.Map[String, Double]()
+      Option(root.get("bands")).foreach { b =>
+        val it = b.fields()
+        while (it.hasNext) {
+          val e = it.next(); m(e.getKey) = e.getValue.asDouble
+        }
+      }
+      Some(Bands(factor, floor, m.toMap))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bands.json unreadable: ${e.getMessage}")
+      None
+    }
+  }
+
+  /** One query's measurements: per-pass (seconds, ok, start offset). */
+  private final case class QRes(name: String,
+                                reps: Vector[(Double, Boolean, Double)]) {
+    def singleShot: Double = reps.head._1
+    def min: Option[Double] = reps.filter(_._2).map(_._1).minOption
+    def allOk: Boolean = reps.forall(_._2)
+    def off(pass: Int): Option[Double] = reps.lift(pass - 1).map(_._3)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,25 +124,34 @@ object Bench {
         graft.cache.Pins.release(spark)
       }
     }
-    // SPARK_GRAFT_BENCH_N > 1 repeats each query in-JVM and reports
-    // the per-query MIN alongside the single-shot number: one machine
-    // hiccup can inflate a single shot, it cannot deflate the min, so
-    // cross-round ratios should prefer the min column when present.
-    // Default N=2: round-9/10 measured ambient noise up to 6x on
-    // single shots of the SAME plan in the SAME JVM (BASELINE.md
-    // round-10 notes) — one repeat halves the odds a hiccup lands in
-    // the recorded number, and the min column makes it visible.
     val benchN = sys.env.get("SPARK_GRAFT_BENCH_N")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
-    // wall-clock origin of the measured loop: each query records its
-    // START OFFSET within the run (sidecar `start_offsets`), so an
-    // ambient host-noise window — contiguous inflated rows in one
-    // stretch of the alphabetical sweep, as in the r17 g–l block — is
-    // visible in the artifact itself without an isolated re-measure
+    // pass orders: alphabetical, reversed, then fixed-seed shuffles —
+    // deterministic (resumable/reproducible), and no two passes put
+    // the same query at the same point of the run, which is what
+    // makes the min column immune to one contiguous noise window
+    def orderFor(p: Int): Seq[(String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)] = p match {
+      case 1 => selected
+      case 2 => selected.reverse
+      case k => new scala.util.Random(k.toLong * 7919L).shuffle(selected)
+    }
+    def orderName(p: Int): String = p match {
+      case 1 => "alpha"
+      case 2 => "reversed"
+      case k => s"shuffled-$k"
+    }
+    // wall-clock origin of the measured loop: each (query, pass)
+    // records its START OFFSET within the run, so an ambient noise
+    // window — contiguous inflated rows in one stretch of a pass —
+    // is visible in the artifact itself without an isolated re-measure
     val runStart = System.nanoTime()
-    val results = selected.map { case (name, fn) =>
-      val startOff = (System.nanoTime() - runStart) / 1e9
-      val reps = (1 to benchN).map { rep =>
+    val acc = scala.collection.mutable.LinkedHashMap[String,
+      Vector[(Double, Boolean, Double)]]()
+    selected.foreach { case (n, _) => acc(n) = Vector.empty }
+    (1 to benchN).foreach { pass =>
+      orderFor(pass).foreach { case (name, fn) =>
+        val startOff = (System.nanoTime() - runStart) / 1e9
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -92,18 +161,15 @@ object Bench {
           }
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name%-24s $dt%8.2fs" +
-          (if (benchN > 1) s"  (rep $rep)" else "") +
+          (if (benchN > 1) s"  (pass $pass)" else "") +
           (if (ok) "" else "  FAILED"))
         // release OUTSIDE the timed window: the pin release is session
-        // hygiene between queries/reps, not part of any query's cost
+        // hygiene between queries, not part of any query's cost
         graft.cache.Pins.release(spark)
-        (dt, ok)
+        acc(name) = acc(name) :+ ((dt, ok, startOff))
       }
-      // single-shot = FIRST rep (the historical protocol); a query is
-      // good only if every rep succeeded
-      (name, reps.head._1, reps.filter(_._2).map(_._1).minOption,
-        reps.forall(_._2), startOff)
     }
+    val results = acc.iterator.map { case (n, reps) => QRes(n, reps) }.toSeq
     // storage-footprint assertion: with every pin released, nothing
     // may remain in executor storage — a non-empty map here means some
     // operator persisted outside the Managed/Pins discipline and the
@@ -116,31 +182,63 @@ object Bench {
     // a failed query's time-to-failure must NOT masquerade as a
     // result: only successes are timed and totaled; failures are
     // listed separately so the run is visibly broken
-    val good = results.filter(_._4)
-    val failed = results.filterNot(_._4).map(_._1)
+    val good = results.filter(_.allOk)
+    val failed = results.filterNot(_.allOk).map(_.name)
     // millisecond precision: sub-ms digits are pure noise.
     // Locale.ROOT: a comma-decimal default locale would emit 0,123
     // and break the JSON
     def sec(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = good.map { case (k, v, _, _, _) => s"\"" + k + "\":" + sec(v) }
+    // single-shot = pass-1 time (the historical alphabetical protocol)
+    val qs = good.map(r => s"\"" + r.name + "\":" + sec(r.singleShot))
       .mkString("{", ",", "}")
     val qsMin =
       if (benchN <= 1) ""
-      else good.flatMap { case (k, _, m, _, _) =>
-        m.map(v => s"\"" + k + "\":" + sec(v)) }
+      else good.flatMap(r => r.min.map(v => s"\"" + r.name + "\":" + sec(v)))
         .mkString(""","queries_min":{""", ",", "}")
     // the failed list must stay bounded too — a catastrophic run with
     // 100 failures would otherwise blow the summary line off the tail
     val fsShown = failed.take(20)
     val fs = fsShown.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (good.nonEmpty) good.map(_._2).sum else 0.0
+    val total = if (good.nonEmpty) good.map(_.singleShot).sum else 0.0
     // per-query wall-clock start offsets within the run (ALL benched
     // queries, failures included): lets a reader see exactly where in
-    // the sweep a noise window sat, from the artifact alone
-    val offs = results.map { case (k, _, _, _, o) =>
-      s"\"" + k + "\":" + sec(o) }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${good.size},"n_failed":${failed.size},"failed":$fs,"sf":"$sfDir","queries":$qs$qsMin,"start_offsets":$offs}"""
+    // the sweep a noise window sat, from the artifact alone. p1 =
+    // alphabetical pass (the historical column), p2 = the reversed
+    // pass — together they localize a window in BOTH orders.
+    def offMap(pass: Int) = results.flatMap(r =>
+      r.off(pass).map(o => s"\"" + r.name + "\":" + sec(o)))
+      .mkString("{", ",", "}")
+    val offs = offMap(1)
+    val offs2 = if (benchN >= 2) s""","start_offsets_p2":${offMap(2)}"""
+                else ""
+    val passOrders = (1 to benchN).map(p => "\"" + orderName(p) + "\"")
+      .mkString("[", ",", "]")
+    // bands self-check: min > band×factor+floor → outlier. The floor
+    // absorbs absolute jitter on sub-second queries (a 0.1 s band must
+    // not flag a 0.3 s ambient wobble); the factor catches real
+    // regressions on the expensive rows.
+    val bandsOpt = loadBands()
+    val outliers: Seq[(String, Double, Double)] = bandsOpt match {
+      case None => Seq.empty
+      case Some(b) => good.flatMap { r =>
+        for { m <- r.min.orElse(Some(r.singleShot))
+              band <- b.bands.get(r.name)
+              if m > band * b.factor + b.floor }
+          yield (r.name, m, band)
+      }
+    }
+    val nUnbanded = bandsOpt.fold(-1)(b =>
+      good.count(r => !b.bands.contains(r.name)))
+    val outliersJson = outliers.take(20).map { case (n, m, band) =>
+      s"\"" + n + "\":[" + sec(m) + "," + sec(band) + "]"
+    }.mkString("{", ",", "}")
+    val bandsTail = bandsOpt match {
+      case None => s""","bands_checked":false"""
+      case Some(_) =>
+        s""","bands_checked":true,"n_outliers":${outliers.size},"n_unbanded":$nUnbanded,"outliers":$outliersJson"""
+    }
+    val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${good.size},"n_failed":${failed.size},"failed":$fs,"sf":"$sfDir","pass_orders":$passOrders,"queries":$qs$qsMin,"start_offsets":$offs$offs2$bandsTail}"""
     // The driver captures a bounded stdout TAIL (~2.9 KB, which also
     // holds sbt's ~80-byte epilogue). At ~100 queries the full record
     // alone overflows it, clipping its HEAD mid-map — BENCH_r06 and
@@ -167,7 +265,7 @@ object Bench {
     // min_sum (the cross-round comparison column BASELINE.md directs
     // to) and the 5 slowest mins, ~170 bytes — still well inside the
     // tail window with the rest of the summary line
-    val mins = good.flatMap { case (k, _, m, _, _) => m.map(k -> _) }
+    val mins = good.flatMap(r => r.min.map(r.name -> _))
     val minTail =
       if (mins.isEmpty) ""
       else {
@@ -203,7 +301,18 @@ object Bench {
         .take(4).map("%02x".format(_)).mkString
       println(s"""{"metric":"queries_min_sorted","n":${sortedMins.size},"names_md5":"$namesMd5","values":[${sortedMins.map(t => sec(t._2)).mkString(",")}]}""")
     }
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${good.size},"n_failed":${failed.size},"failed":$fs,"sf":"$sfDir","queries_file":"$sideName"$minTail}""")
+    // summary-line outliers: n_outliers always (when bands exist) and
+    // the 3 worst name→min pairs — small enough to stay in the intact
+    // tail, enough to name what needs an isolated re-measure
+    val outSummary = bandsOpt match {
+      case None => ""
+      case Some(_) =>
+        val top3 = outliers.sortBy { case (_, m, band) => -(m / band) }
+          .take(3).map { case (n, m, _) => "\"" + n + "\":" + sec(m) }
+          .mkString("{", ",", "}")
+        s""","n_outliers":${outliers.size},"outliers_top":$top3"""
+    }
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${good.size},"n_failed":${failed.size},"failed":$fs,"sf":"$sfDir","queries_file":"$sideName"$minTail$outSummary}""")
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft.cache
 
 import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
 import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-scoped registry of executor-storage pins left behind by the
   * unmanaged operator shorthands ([[graft.llm.Dedup.minHashPairs]],
@@ -101,6 +101,34 @@ object Pins {
       while (h != null) { h.close(); n += 1; h = q.poll() }
       n
     }
+  }
+
+  /** Track a localCheckpointed frame's checkpoint blocks and return
+    * the frame. `localCheckpoint` persists the materialized RDD in
+    * executor storage OUTSIDE the CacheManager — `DataFrame.unpersist`
+    * cannot reach it, so without a handle the blocks linger until
+    * ContextCleaner GC and repeated serves in one session accumulate
+    * them. This extracts the LogicalRDD's backing RDD(s) and registers
+    * an unpersist closure, so [[release]] reclaims checkpoint storage
+    * like every other pin.
+    *
+    * CONSUME BEFORE RELEASE: a local checkpoint truncates lineage, so
+    * unlike a cached plan the frame does NOT recompute after its pin
+    * is released — a later action fails loudly with a missing
+    * checkpoint block. That is the intended semantics for the slabbed
+    * serves that use this (the scratch files the frame detached from
+    * may have been overwritten by then; failing beats rereading them). */
+  def trackLocalCheckpoint(df: DataFrame): DataFrame = {
+    val rdds = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    track(df.sparkSession, new AutoCloseable {
+      override def close(): Unit = rdds.foreach { r =>
+        try r.unpersist(blocking = false)
+        catch { case _: IllegalStateException => () }  // context stopped
+      }
+    })
+    df
   }
 
   /** Number of currently-tracked handles (storage-footprint asserts). */

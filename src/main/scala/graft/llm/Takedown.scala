@@ -524,9 +524,18 @@ object Takedown {
           .parquet(new Path(tmp, "termdf").toString)
       }
     }
-    Await.result(Future.sequence(
-      Seq(postJob, statsJob, termdfJob)),
+    // await COMPLETION of all three writes before surfacing any
+    // failure: Future.sequence fails fast on the first error while
+    // sibling jobs keep writing into tmp, and a retried takedown
+    // deletes tmp at the top — the orphan could then resurrect stale
+    // subdirs under the retry's tmp that the marker commits. Lifting
+    // each outcome into Success makes the barrier unconditional; the
+    // first real failure is rethrown only after every job finished.
+    val outcomes = Await.result(Future.sequence(
+      Seq(postJob, statsJob, termdfJob)
+        .map(_.transform(scala.util.Success(_)))),
       scala.concurrent.duration.Duration.Inf)
+    outcomes.foreach(_.get)
     val entries = batches.map { b =>
       (s"postings/ingest_batch=$b",
         fs.exists(new Path(tmp, s"postings/ingest_batch=$b")))

@@ -344,7 +344,19 @@ object TextAnalysis {
         .write.mode("overwrite")
         .parquet(s"$indexDir/termdf/ingest_batch=$batchId")
       Await.result(statsJob, scala.concurrent.duration.Duration.Inf)
-    } finally posting.unpersist(blocking = false)
+    } finally {
+      // no write may remain in flight when the caller sees a failure:
+      // an at-least-once replay of this batch would otherwise start a
+      // second overwrite writer against the SAME stats path while the
+      // orphaned Future is still staging files, and two concurrent
+      // overwrite writers on one parquet dir can delete each other's
+      // staged output. Await COMPLETION only (ready, not result) so
+      // the original exception — not the stats job's — propagates.
+      try Await.ready(statsJob, scala.concurrent.duration.Duration.Inf)
+      catch { case _: InterruptedException =>
+        Thread.currentThread().interrupt() }
+      posting.unpersist(blocking = false)
+    }
   }
 
   /** Serve BM25 top-k from a standing [[bm25PostingsBatch]] layer:
@@ -1233,12 +1245,23 @@ object TextAnalysis {
   def domainReweight(docs: DataFrame, scored: DataFrame,
                      idCol: String = "doc_id",
                      srcCol: String = "source"): DataFrame = {
-    val per = docs.select(col(idCol), col(srcCol))
+    val perPlan = docs.select(col(idCol), col(srcCol))
       .join(scored.select(col(idCol), col("avg_logprob")), Seq(idCol))
       .groupBy(col(srcCol))
       .agg(count(lit(1)).as("n_docs"),
         round(-(sum(col("avg_logprob").cast("decimal(38,18)"))
           .cast("double")) / count(lit(1)), 6).as("mean_loss"))
+    // materialize the |sources|-row rollup ONCE: the min / total /
+    // final-projection consumers below each embed `per` in their own
+    // plan, and when `scored` is an unpersisted corpus-sized chain
+    // (the score-and-reweight one-shot) every re-evaluation re-pays
+    // the whole scoring join — measured 4x on llm_reweight_sample
+    // (ReweightDiag). Collecting the rollup and re-planting it as a
+    // local relation makes the scaladoc's "|sources|-row arithmetic
+    // after the groupBy" literally true; the downstream expressions
+    // are unchanged, so the output is bit-identical.
+    val per = docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(perPlan.collect(): _*), perPlan.schema)
     val mn = per.agg(min(col("mean_loss")).as("_mn"))
     val raw = per.crossJoin(broadcast(mn))
       .withColumn("excess", round(col("mean_loss") - col("_mn"), 6))

@@ -221,10 +221,13 @@ object LlmQueries {
     "llm_jaccard_slabbed" -> ((s, dir) => {
       val scratch = graft.Scratch.root + "/jslab_q"
       withPathLock(scratch) {
-        Dedup.jaccardPairsPrefixSlabbed(table(s, dir, "documents"),
-            n = 3, threshold = 0.5, slabs = 2, scratchDir = scratch)
-          .orderBy(col("id_a"), col("id_b"))
-          .localCheckpoint(true)
+        // the checkpoint blocks are a pin like any other: tracked so
+        // Pins.release reclaims them (consume-before-release contract)
+        graft.cache.Pins.trackLocalCheckpoint(
+          Dedup.jaccardPairsPrefixSlabbed(table(s, dir, "documents"),
+              n = 3, threshold = 0.5, slabs = 2, scratchDir = scratch)
+            .orderBy(col("id_a"), col("id_b"))
+            .localCheckpoint(true))
       }
     }),
 

@@ -97,21 +97,55 @@ object JaccardDiag {
       f"$nRawNoPos -> $nRaw (${100.0 * (nRawNoPos - nRaw) /
         math.max(1L, nRawNoPos)}%.1f%% pruned), distinct " +
       f"$nCandNoPos -> $nCand")
-    val verified = cand
-      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")),
-        Seq("id_a"))
-      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")),
-        Seq("id_b"))
-      .withColumn("n_inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("n_union",
-        size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard", col("n_inter") / col("n_union"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"))
-    val nVer = timed("verify join count")(verified.count())
-    println(s"[diag] verified pairs (slab $slab): $nVer")
-    verified.explain("formatted")
+    // verify-kernel contrast on the SAME candidate set: the three
+    // verify arithmetics that shipped in successive rounds. Scratch
+    // shingle arrays are SORTED (shingleHashesSorted — the slab
+    // operator's materialization), so the merge kernels read them in
+    // place. need = -1 makes the bounded kernel's early exit
+    // unreachable (c + rem < -1 never holds) — i.e. the SAME compiled
+    // merge WITHOUT the α-bound — so the bounded-vs-unbounded delta
+    // isolates exactly what the early exit is worth on this slab.
+    // All three counts must agree (the exactness law).
+    def verifyWith(tag: String, explainPlan: Boolean)(
+        mk: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+          => (org.apache.spark.sql.Column,
+              org.apache.spark.sql.Column)): Long = {
+      val (nInter, nUnion) = mk(col("sh_a"), col("sh_b"))
+      val verified = cand
+        .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")),
+          Seq("id_a"))
+        .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")),
+          Seq("id_b"))
+        .withColumn("n_inter", nInter)
+        .withColumn("n_union", nUnion)
+        .withColumn("jaccard", col("n_inter") / col("n_union"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"))
+      val nVer = timed(s"verify join count [$tag]")(verified.count())
+      println(s"[diag] verified pairs (slab $slab) [$tag]: $nVer")
+      if (explainPlan) verified.explain("formatted")
+      nVer
+    }
+    val nBuiltin = verifyWith("builtin array_intersect/union", false) {
+      (a, b) => (size(array_intersect(a, b)).cast("double"),
+        size(array_union(a, b)).cast("double"))
+    }
+    val nUnbounded = verifyWith("sorted merge, NO bound", false) {
+      (a, b) =>
+        val inter = graft.functions.SketchExprs
+          .setOverlapBounded(a, b, lit(-1.0)).cast("double")
+        (inter, (size(a) + size(b)).cast("double") - inter)
+    }
+    val nBounded = verifyWith("sorted merge, alpha-bounded", true) {
+      (a, b) =>
+        val inter = graft.functions.SketchExprs.setOverlapBounded(a, b,
+          lit(threshold / (1.0 + threshold)) *
+            (size(a) + size(b)).cast("double") - lit(1e-9))
+          .cast("double")
+        (inter, (size(a) + size(b)).cast("double") - inter)
+    }
+    require(nBuiltin == nUnbounded && nUnbounded == nBounded,
+      s"verify kernels disagree: $nBuiltin / $nUnbounded / $nBounded")
     spark.stop()
   }
 }

@@ -20,6 +20,8 @@ object QueryJobsDiag {
     spark.conf.set(graft.functions.SketchOps.FamilyKey, "xx")
     val starts =
       new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
+    val nStarted = new java.util.concurrent.atomic.AtomicInteger
+    val nEnded = new java.util.concurrent.atomic.AtomicInteger
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
@@ -31,6 +33,7 @@ object QueryJobsDiag {
           val site = js.stageInfos.lastOption.map(_.name).getOrElse("")
           starts.put(js.jobId,
             (System.nanoTime(), s"${js.stageInfos.size} stages  $site"))
+          nStarted.incrementAndGet(); ()
         }
         override def onJobEnd(
             je: org.apache.spark.scheduler.SparkListenerJobEnd)
@@ -39,15 +42,33 @@ object QueryJobsDiag {
             println(f"[diag] job ${je.jobId}%3d " +
               f"${(System.nanoTime() - t0) / 1e9}%7.2f s  $site")
           }
+          nEnded.incrementAndGet(); ()
         }
       })
+    // listener events are async; drain until every delivered job-start
+    // has its matching job-end AND the counts hold still briefly (a
+    // start event still queued in the bus would otherwise end the
+    // drain early). Deadline-bounded so a wedged bus can't hang the
+    // tool — on a slow box this keeps job lines inside their rep
+    // block where the old fixed sleep could leak them across reps.
+    def drainListener(): Unit = {
+      val deadline = System.nanoTime() + 5000000000L
+      var stableSince = -1L
+      while (System.nanoTime() < deadline) {
+        if (nStarted.get() == nEnded.get()) {
+          if (stableSince < 0) stableSince = System.nanoTime()
+          else if (System.nanoTime() - stableSince > 50000000L) return
+        } else stableSince = -1L
+        Thread.sleep(5)
+      }
+      System.err.println("[diag] WARNING: listener drain hit deadline;" +
+        " job lines may be attributed to the wrong rep")
+    }
     (1 to reps).foreach { rep =>
       println(s"--- rep $rep: $name ---")
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir).count()
-      // listener events are async; a short drain keeps job lines
-      // inside their rep block (listenerBus is spark-private)
-      Thread.sleep(300)
+      drainListener()
       println(f"[diag] TOTAL ${(System.nanoTime() - t0) / 1e9}%.2f s")
       graft.cache.Pins.release(spark)
     }

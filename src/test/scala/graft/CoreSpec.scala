@@ -183,6 +183,29 @@ class CoreSpec extends AnyFunSuite {
     assert(OptValue.fromJson(OptValue.toJson(ov)) == ov)
   }
 
+  test("bench bands self-check: loadBands parses factor/floor/bands; " +
+       "absent, corrupt, or bandless files mean no check (never fatal)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bands")
+    val f = dir.resolve("bands.json")
+    java.nio.file.Files.write(f,
+      ("""{"tolerance_factor":1.5,"tolerance_floor_sec":0.25,""" +
+        """"bands":{"q1":0.5,"q2":2.0}}""").getBytes("UTF-8"))
+    val b = graft.Bench.loadBands(f.toString).get
+    assert(b.factor == 1.5 && b.floor == 0.25 &&
+      b.bands == Map("q1" -> 0.5, "q2" -> 2.0))
+    // tolerance defaults (2x factor = the repo's regression bar,
+    // 0.75 s floor) apply when the file carries bands only
+    java.nio.file.Files.write(f,
+      """{"bands":{"q1":1.0}}""".getBytes("UTF-8"))
+    val d = graft.Bench.loadBands(f.toString).get
+    assert(d.factor == 2.0 && d.floor == 0.75 &&
+      d.bands == Map("q1" -> 1.0))
+    assert(graft.Bench.loadBands(
+      dir.resolve("absent.json").toString).isEmpty)
+    java.nio.file.Files.write(f, "not json".getBytes("UTF-8"))
+    assert(graft.Bench.loadBands(f.toString).isEmpty)
+  }
+
   test("taskInSubtree re-roots requirements (reference PTask.hs:76-92)") {
     import graft.task.PTask
     val vf = VirtualFile(VPath("/c"), Seq("json"), Usage.Source)
