@@ -23,6 +23,7 @@ llm_ivf_append,llm_pq_append,llm_retention,llm_rrf_indexed,\
 llm_quality_clf,llm_quality_gate_apply,llm_gate_threshold,llm_fim,\
 llm_bm25_pruned,llm_bm25_pruned_weighted,\
 llm_jaccard_prefix,llm_jaccard_slabbed,\
+llm_reweight_sample,llm_domain_reweight,\
 llm_hard_negatives_ivf,q27_rolling_range,\
 q28_grouping_sets,q31_rate_anomaly,q34_star_topk,q38_antijoin"
 # `all` = every oracle query except the declared O(N^2) brute

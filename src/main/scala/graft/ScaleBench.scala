@@ -1092,7 +1092,7 @@ object ScaleBench {
           batchId = 0L)
         val ids1 = docs0.filter(col("doc_id") % 10 === 3)
           .select("doc_id")
-        runProbe("bm25_takedown_extra_scan", f, nDocs)(
+        runProbe("bm25_takedown_1b_extra_scan", f, nDocs)(
           spark.read.parquet(s"$bdir/postings")
             .join(ids1, Seq("doc_id"), "left_semi")
             .groupBy(col("ingest_batch").cast("long").as("_b"),

@@ -126,26 +126,35 @@ object JaccardDiag {
       if (explainPlan) verified.explain("formatted")
       nVer
     }
-    val nBuiltin = verifyWith("builtin array_intersect/union", false) {
-      (a, b) => (size(array_intersect(a, b)).cast("double"),
-        size(array_union(a, b)).cast("double"))
+    // variant list (3rd arg, csv, default all; repeats allowed) —
+    // order matters for JIT/ambient attribution, so expose it
+    val variants = args.lift(2)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("builtin", "unbounded", "bounded"))
+    val counts = variants.map {
+      case "builtin" =>
+        verifyWith("builtin array_intersect/union", false) {
+          (a, b) => (size(array_intersect(a, b)).cast("double"),
+            size(array_union(a, b)).cast("double"))
+        }
+      case "unbounded" =>
+        verifyWith("sorted merge, NO bound", false) { (a, b) =>
+          val inter = graft.functions.SketchExprs
+            .setOverlapBounded(a, b, lit(-1.0)).cast("double")
+          (inter, (size(a) + size(b)).cast("double") - inter)
+        }
+      case "bounded" =>
+        verifyWith("sorted merge, alpha-bounded", false) { (a, b) =>
+          val inter = graft.functions.SketchExprs.setOverlapBounded(a, b,
+            lit(threshold / (1.0 + threshold)) *
+              (size(a) + size(b)).cast("double") - lit(1e-9))
+            .cast("double")
+          (inter, (size(a) + size(b)).cast("double") - inter)
+        }
+      case v => sys.error(s"unknown verify variant: $v")
     }
-    val nUnbounded = verifyWith("sorted merge, NO bound", false) {
-      (a, b) =>
-        val inter = graft.functions.SketchExprs
-          .setOverlapBounded(a, b, lit(-1.0)).cast("double")
-        (inter, (size(a) + size(b)).cast("double") - inter)
-    }
-    val nBounded = verifyWith("sorted merge, alpha-bounded", true) {
-      (a, b) =>
-        val inter = graft.functions.SketchExprs.setOverlapBounded(a, b,
-          lit(threshold / (1.0 + threshold)) *
-            (size(a) + size(b)).cast("double") - lit(1e-9))
-          .cast("double")
-        (inter, (size(a) + size(b)).cast("double") - inter)
-    }
-    require(nBuiltin == nUnbounded && nUnbounded == nBounded,
-      s"verify kernels disagree: $nBuiltin / $nUnbounded / $nBounded")
+    require(counts.distinct.size <= 1,
+      s"verify kernels disagree: ${variants.zip(counts)}")
     spark.stop()
   }
 }
