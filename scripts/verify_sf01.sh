@@ -51,6 +51,13 @@ fi
 if [ "${1:-}" = "all" ]; then SCOPE="all"
 elif [ -z "${1:-}" ]; then SCOPE="plan-sensitive"
 else SCOPE="custom"; fi
+# Capture the tree identity BEFORE the (long) sweep: the stamp must
+# vouch for the tree the sweep actually RAN on. Recording HEAD after
+# the ~65-min run would let a src/main commit landing mid-sweep be
+# vouched for (it becomes an ancestor of the post-run HEAD and
+# sweep_check passes, but the sweep verified the pre-commit tree).
+HEAD_PRE=$(git rev-parse HEAD)
+PORCELAIN_PRE=$(git status --porcelain -- src/main build.sbt)
 bash scripts/verify_local.sh /root/testdata/sf0.1 \
   /root/repo/target/verify_sf01 "$ONLY"
 # GREEN (set -e would have exited otherwise): write the committed
@@ -61,7 +68,15 @@ bash scripts/verify_local.sh /root/testdata/sf0.1 \
 # build.sbt had uncommitted edits at sweep time → the stamp cannot
 # vouch for any commit and sweep_check fails until a clean rerun.
 HEAD_NOW=$(git rev-parse HEAD)
-if [ -n "$(git status --porcelain -- src/main build.sbt)" ]; then
+PORCELAIN_NOW=$(git status --porcelain -- src/main build.sbt)
+if [ "$HEAD_NOW" != "$HEAD_PRE" ] \
+   || [ "$PORCELAIN_NOW" != "$PORCELAIN_PRE" ]; then
+  echo "SWEEP STAMP REFUSED: HEAD or src/main working state changed" \
+       "during the sweep ($HEAD_PRE -> $HEAD_NOW) — the green run" \
+       "verified the PRE-change tree; rerun on the final tree"
+  exit 1
+fi
+if [ -n "$PORCELAIN_NOW" ]; then
   DIRTY=true
 else
   DIRTY=false

@@ -50,10 +50,25 @@ object ScaleBench {
     val onlyOps = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
 
+    // SPARK_GRAFT_SCALE_REPS > 1: each probe body runs k times and
+    // the line carries `"sec"` = MIN plus `"secs"` = every rep — the
+    // same single-shot ambiguity the bench's per-pass columns fixed
+    // (one inflated reading is indistinguishable from a regression
+    // without the other reps in the artifact). Default 1 (the
+    // historical line format, no `secs` field): some probe bodies
+    // mutate their scratch layer (takedown/append families), so
+    // repetition is an explicit opt-in for the idempotent families,
+    // not a blanket default.
+    val scaleReps = sys.env.get("SPARK_GRAFT_SCALE_REPS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
+
     def report(op: String, f: Int, rowsIn: Long, rowsOut: Long,
-               sec: Double): Unit = {
+               sec: Double, secs: Seq[Double] = Seq.empty): Unit = {
+      def r2(v: Double) = math.round(v * 100) / 100.0
+      val repsTail = if (secs.size <= 1) ""
+        else s""","secs":[${secs.map(r2).mkString(",")}]"""
       println(s"""{"op":"$op","factor":$f,"rows_in":$rowsIn,""" +
-        s""""rows_out":$rowsOut,"sec":${math.round(sec * 100) / 100.0}}""")
+        s""""rows_out":$rowsOut,"sec":${r2(sec)}$repsTail}""")
       // each probe starts debt-free: the unmanaged shorthands'
       // tracked pins are released OUTSIDE every timed window (same
       // discipline as Bench — accumulated pins would distort the
@@ -65,11 +80,18 @@ object ScaleBench {
     def enabled(op: String): Boolean =
       onlyOps.forall(_.exists(op.startsWith))
 
-    /** Time `body` and report, unless filtered out. */
+    /** Time `body` (k reps, min reported), unless filtered out. */
     def runProbe(op: String, f: Int, rowsIn: Long)(body: => Long): Unit =
       if (enabled(op)) {
-        val (out, sec) = timed(body)
-        report(op, f, rowsIn, out, sec)
+        val runs = (1 to scaleReps).map { r =>
+          val res = timed(body)
+          // inter-rep pin release (NOT timed): rep r+1 must not be
+          // measured against rep r's storage debt
+          if (r < scaleReps) graft.cache.Pins.release(spark)
+          res
+        }
+        val secs = runs.map(_._2)
+        report(op, f, rowsIn, runs.last._1, secs.min, secs)
       }
 
     factors.foreach { f =>

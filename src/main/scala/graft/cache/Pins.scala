@@ -122,6 +122,14 @@ object Pins {
     val rdds = df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
+    // an eagerly-localCheckpointed frame MUST analyze to a LogicalRDD;
+    // finding none means a non-eager checkpoint or a Spark plan-shape
+    // change, and silently registering a no-op closer would
+    // reintroduce the storage leak this exists to close — be loud.
+    if (rdds.isEmpty)
+      System.err.println("[pins] WARNING: trackLocalCheckpoint found " +
+        "no LogicalRDD in the analyzed plan — checkpoint blocks will " +
+        "NOT be released (non-eager checkpoint or plan-shape change?)")
     track(df.sparkSession, new AutoCloseable {
       override def close(): Unit = rdds.foreach { r =>
         try r.unpersist(blocking = false)

@@ -469,11 +469,11 @@ object Dedup {
     * per slab), 60% on the natural Zipfian sf0.1 text (329k → 132k),
     * 56% at natural 16x (100M → 45M) — a steady ~2x+ across regimes,
     * not the order-of-magnitude a heavier-tailed prefix would give. */
-  private def prefixCandidates(prefix: DataFrame, threshold: Double)
-      : DataFrame = {
+  private def prefixCandidates(prefix: DataFrame, threshold: Double,
+                               dedupe: Boolean = true): DataFrame = {
     val alphaD = lit(threshold / (1.0 + threshold)) *
       (col("sz_a") + col("sz_b")).cast("double")
-    prefix.select(col("s"), col("id").as("id_a"),
+    val cand = prefix.select(col("s"), col("id").as("id_a"),
         col("sz").as("sz_a"), col("rk").as("rk_a"))
       .join(prefix.select(col("s"), col("id").as("id_b"),
         col("sz").as("sz_b"), col("rk").as("rk_b")), Seq("s"))
@@ -485,8 +485,22 @@ object Dedup {
         (lit(1) + least(col("sz_a") - col("rk_a"),
           col("sz_b") - col("rk_b"))).cast("double") >=
           ceil(alphaD - lit(1e-9)))
-      .select(col("id_a"), col("id_b")).distinct()
+      .select(col("id_a"), col("id_b"))
+    // dedupe=false: a pair sharing k prefix shingles reaches the
+    // verify k times and the CALLER dedupes after verification —
+    // correct whenever the caller's output is deduplicated (the slab
+    // operator's final distinct), and cheaper whenever k's mean is
+    // small and verify is cheap (the α-bounded kernel): it drops one
+    // whole shuffle + hash-dedup of the multi-million-row candidate
+    // stream. Measured A/B in graft.tools.JaccardDiag --e2e.
+    if (dedupe) cand.distinct() else cand
   }
+
+  /** Diag-only accessor for [[prefixCandidates]] (the tools package
+    * A/Bs the distinct placement on a replayed slab). */
+  private[graft] def prefixCandidatesForDiag(prefix: DataFrame,
+      threshold: Double, dedupe: Boolean): DataFrame =
+    prefixCandidates(prefix, threshold, dedupe)
 
   /** [[jaccardPairsPrefix]] in an OUT-OF-CORE slab form: identical
     * output (same prefix-filter lemma, same exact verification), with

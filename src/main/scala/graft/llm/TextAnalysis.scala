@@ -1241,7 +1241,19 @@ object TextAnalysis {
     * per-source aggregate — the corpus-sized work is in the scoring
     * pass, already paid; everything after the groupBy is
     * |sources|-row arithmetic (two broadcast scalars, no second
-    * corpus shuffle). */
+    * corpus shuffle).
+    *
+    * EAGER: the per-source rollup (and therefore the scoring join
+    * over `docs ⋈ scored`) is materialized AT CONSTRUCTION TIME and
+    * re-planted as a |sources|-row local relation — otherwise the
+    * min/total/projection consumers each re-evaluate the rollup, and
+    * with an unpersisted corpus-sized `scored` chain every
+    * re-evaluation re-pays the whole scoring join (measured 4× on
+    * llm_reweight_sample). Consequences callers must know: the job
+    * runs even if the result is never consumed, input failures
+    * surface here rather than at action time, and streaming inputs
+    * are not supported. Callers who need laziness should persist
+    * `scored` and inline the rollup themselves. */
   def domainReweight(docs: DataFrame, scored: DataFrame,
                      idCol: String = "doc_id",
                      srcCol: String = "source"): DataFrame = {

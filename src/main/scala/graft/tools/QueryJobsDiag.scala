@@ -48,14 +48,19 @@ object QueryJobsDiag {
     // listener events are async; drain until every delivered job-start
     // has its matching job-end AND the counts hold still briefly (a
     // start event still queued in the bus would otherwise end the
-    // drain early). Deadline-bounded so a wedged bus can't hang the
-    // tool — on a slow box this keeps job lines inside their rep
-    // block where the old fixed sleep could leak them across reps.
-    def drainListener(): Unit = {
+    // drain early). A rep's `.count()` always runs ≥1 Spark job, so
+    // the drain additionally refuses to accept stability until at
+    // least one start event BEYOND the pre-rep baseline has been
+    // delivered — without that, a bus that hasn't delivered the first
+    // event yet looks "drained" at 0==0 and the rep's job lines leak
+    // into the next block (the failure the fixed sleep was replaced
+    // to avoid). Deadline-bounded so a wedged bus can't hang the tool.
+    def drainListener(startedBefore: Int): Unit = {
       val deadline = System.nanoTime() + 5000000000L
       var stableSince = -1L
       while (System.nanoTime() < deadline) {
-        if (nStarted.get() == nEnded.get()) {
+        if (nStarted.get() > startedBefore &&
+            nStarted.get() == nEnded.get()) {
           if (stableSince < 0) stableSince = System.nanoTime()
           else if (System.nanoTime() - stableSince > 50000000L) return
         } else stableSince = -1L
@@ -66,9 +71,10 @@ object QueryJobsDiag {
     }
     (1 to reps).foreach { rep =>
       println(s"--- rep $rep: $name ---")
+      val startedBefore = nStarted.get()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir).count()
-      drainListener()
+      drainListener(startedBefore)
       println(f"[diag] TOTAL ${(System.nanoTime() - t0) / 1e9}%.2f s")
       graft.cache.Pins.release(spark)
     }
