@@ -720,9 +720,10 @@ object Similarity {
     // ([[ivfTopKIndexedWhere]]) can push its predicate into the
     // probed-cell parquet scan — row-group min/max + dictionary stats
     // skip non-matching pages without a join back to the corpus
-    corpus.select((Seq(col(idCol), col(vecCol)) ++ attrCols.map(col))
-        :+ graft.functions.SketchExprs.nearestCell(col(vecCol),
-          centroids).as("cell_id"): _*)
+    graft.Writes.clusterByPartitions(
+        corpus.select((Seq(col(idCol), col(vecCol)) ++ attrCols.map(col))
+          :+ graft.functions.SketchExprs.nearestCell(col(vecCol),
+            centroids).as("cell_id"): _*), "cell_id")
       .write.mode("overwrite").partitionBy("cell_id").parquet(indexDir)
     // centroid sidecar (the cms _geometry.json move): serving an IVF
     // layout with the WRONG centroid set probes wrong cells silently —
@@ -918,8 +919,10 @@ object Similarity {
     if (fs.exists(tmp)) fs.delete(tmp, true)
     // full new content of every affected partition (movers in, stayers
     // kept, leavers gone) — written while the index is still readable
-    re.filter(col("_to").isin(affected: _*))
-      .select(carried.map(col) :+ col("_to").as("cell_id"): _*)
+    graft.Writes.clusterByPartitions(
+        re.filter(col("_to").isin(affected: _*))
+          .select(carried.map(col) :+ col("_to").as("cell_id"): _*),
+        "cell_id")
       .write.partitionBy("cell_id").parquet(tmp.toString)
     // commit point: the marker records which cells have fresh content
     // (a cell that lost everything and gained nothing has none — its
@@ -1183,8 +1186,9 @@ object Similarity {
       if (c == partCol) col(c).cast("long").as(c) else col(c)): _*)
     val tmp = new org.apache.hadoop.fs.Path(root, Takedown.TmpName)
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    norm(main.filter(col(partCol).isin(affected: _*)))
-      .unionByName(norm(delta))
+    graft.Writes.clusterByPartitions(
+        norm(main.filter(col(partCol).isin(affected: _*)))
+          .unionByName(norm(delta)), partCol)
       .write.partitionBy(partCol).parquet(tmp.toString)
     // partitions only GAIN rows here, so fresh content exists for
     // every affected one; the trailing flag=0 entry deletes the
@@ -1886,11 +1890,14 @@ object Similarity {
                    indexDir: String, idCol: String = "vec_id",
                    vecCol: String = "embedding",
                    nBuckets: Int = 16): Unit = {
-    pqEncode(corpus, books, idCol, vecCol)
-      // stable id-hash buckets: the rewrite unit for [[pqPatchIndex]]
-      // (bucket membership never moves with a codebook refresh, so an
-      // unaffected bucket's files survive the patch byte-for-byte)
-      .withColumn("pq_bucket", pmod(col(idCol), lit(nBuckets.toLong)))
+    graft.Writes.clusterByPartitions(
+        pqEncode(corpus, books, idCol, vecCol)
+          // stable id-hash buckets: the rewrite unit for
+          // [[pqPatchIndex]] (bucket membership never moves with a
+          // codebook refresh, so an unaffected bucket's files survive
+          // the patch byte-for-byte)
+          .withColumn("pq_bucket",
+            pmod(col(idCol), lit(nBuckets.toLong))), "pq_bucket")
       .write.mode("overwrite").partitionBy("pq_bucket").parquet(indexDir)
     // codebook sidecar: codes are meaningless without the books they
     // were encoded with — publish the authoritative set next to them
@@ -2053,8 +2060,10 @@ object Similarity {
     }
     val tmp = new org.apache.hadoop.fs.Path(root, PatchTmpName)
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    re.filter(col("pq_bucket").isin(affected: _*))
-      .select(col(idCol), col("_new").as("codes"), col("pq_bucket"))
+    graft.Writes.clusterByPartitions(
+        re.filter(col("pq_bucket").isin(affected: _*))
+          .select(col(idCol), col("_new").as("codes"),
+            col("pq_bucket")), "pq_bucket")
       .write.partitionBy("pq_bucket").parquet(tmp.toString)
     // buckets never disappear (id-hash membership is books-independent),
     // so every affected bucket has fresh content — flag always true

@@ -305,9 +305,10 @@ object Takedown {
     // job, partition-keyed into tmp (an emptied partition writes no
     // dir — its flag comes out 0 and the live dir legitimately
     // disappears at swap)
-    layer.filter(col(partCol).cast("long")
-        .isin(affected.map(_._1): _*))
-      .join(idsB, Seq(idCol), "left_anti")
+    graft.Writes.clusterByPartitions(
+        layer.filter(col(partCol).cast("long")
+            .isin(affected.map(_._1): _*))
+          .join(idsB, Seq(idCol), "left_anti"), partCol)
       .write.partitionBy(partCol).parquet(tmp.toString)
     val entries = affected.map { case (p, _) =>
       (s"$partCol=$p", fs.exists(new Path(tmp, s"$partCol=$p")))
@@ -463,8 +464,10 @@ object Takedown {
     // fresh postings for every affected batch: ONE partition-keyed
     // anti-join write (an emptied batch writes no dir -> flag 0)
     val postJob = Future {
-      post.filter(col("ingest_batch").cast("long").isin(batches: _*))
-        .join(idsB, Seq(idCol), "left_anti")
+      graft.Writes.clusterByPartitions(
+          post.filter(col("ingest_batch").cast("long")
+              .isin(batches: _*))
+            .join(idsB, Seq(idCol), "left_anti"), "ingest_batch")
         .write.partitionBy("ingest_batch")
         .parquet(new Path(tmp, "postings").toString)
     }
@@ -509,17 +512,19 @@ object Takedown {
         // concatenates its source batches' rows, so a term can hold
         // several additive rows — joining the debit row-wise would
         // apply it once per row
-        spark.read.parquet(s"$indexDir/termdf")
-          .filter(col("ingest_batch").cast("long").isin(tdBatches: _*))
-          .groupBy(col("ingest_batch").cast("long").as("_b"),
-            col("term"))
-          .agg(sum(col("df")).as("df"))
-          .join(tdDebit, Seq("_b", "term"), "left")
-          .select(col("term"),
-            (col("df") - coalesce(col("_df_rm"), lit(0L)))
-              .cast("long").as("df"),
-            col("_b").as("ingest_batch"))
-          .filter(col("df") > 0L)
+        graft.Writes.clusterByPartitions(
+            spark.read.parquet(s"$indexDir/termdf")
+              .filter(col("ingest_batch").cast("long")
+                .isin(tdBatches: _*))
+              .groupBy(col("ingest_batch").cast("long").as("_b"),
+                col("term"))
+              .agg(sum(col("df")).as("df"))
+              .join(tdDebit, Seq("_b", "term"), "left")
+              .select(col("term"),
+                (col("df") - coalesce(col("_df_rm"), lit(0L)))
+                  .cast("long").as("df"),
+                col("_b").as("ingest_batch"))
+              .filter(col("df") > 0L), "ingest_batch")
           .write.partitionBy("ingest_batch")
           .parquet(new Path(tmp, "termdf").toString)
       }
