@@ -1002,9 +1002,27 @@ object Dedup {
           .distinct()
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
+          // each round LOCAL-CHECKPOINTS its labels instead of
+          // persisting them: a persisted frame executes from cache
+          // but its ANALYZED plan still carries every prior round's
+          // lineage, so round i's analysis/optimization walks an
+          // O(i)-deep tree and the final consumer replans the whole
+          // chain (the llm_dedup_clusters_dist plan formatted to
+          // 1.6 MB). The checkpoint truncates lineage at each round
+          // boundary — plans stay O(1) per round — at the price of
+          // the consume-before-release contract documented on
+          // [[graft.cache.Pins.trackLocalCheckpoint]] (the returned
+          // frame does not recompute after release; every caller
+          // consumes within its own query execution).
+          def ckRdds(df: DataFrame) =
+            df.queryExecution.analyzed.collect {
+              case lr: org.apache.spark.sql.execution.LogicalRDD =>
+                lr.rdd
+            }
           var labels = edges.select(col("src").as("id")).distinct()
             .withColumn("component", col("id"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(true)
+          var labelRdds = ckRdds(labels)
           var converged = false
           var iter = 0
           while (!converged && iter < maxIter) {
@@ -1017,22 +1035,20 @@ object Dedup {
               .select(col("id"),
                 least(col("component"),
                   coalesce(col("n_min"), col("component"))).as("component"))
-              .persist(StorageLevel.MEMORY_AND_DISK)
+              .localCheckpoint(true)
             val changed = next
               .join(labels.withColumnRenamed("component", "old"), Seq("id"))
               .filter(col("component") < col("old")).limit(1).count()
-            labels.unpersist()
+            labelRdds.foreach(_.unpersist(blocking = false))
             labels = next
+            labelRdds = ckRdds(next)
             converged = changed == 0
             iter += 1
           }
-          // the returned frame stays persisted (its lineage reaches
-          // through the released edge cache) — hand the pin to the
-          // session registry so Pins.release frees it after the
-          // consumer's actions, like every unmanaged shorthand
-          graft.cache.Pins.track(spark,
-            graft.access.Split.Branches((), labels))
-          labels
+          // hand the final round's checkpoint blocks to the session
+          // registry so Pins.release frees them after the consumer's
+          // actions, like every unmanaged shorthand
+          graft.cache.Pins.trackLocalCheckpoint(labels)
         } finally { edges.unpersist(); () }
       }
     } finally { p.unpersist(); () }

@@ -655,12 +655,23 @@ object TextAnalysis {
     // mode is the distinct-term set — same split as the scoring path
     val qtRaw = queries
       .select(col(queryIdCol), explode(tokens(col(textCol))).as("term"))
-    val qt =
-      (if (weighted)
+    val qtF =
+      if (weighted)
         qtRaw.groupBy(col(queryIdCol), col("term"))
           .agg(count(lit(1)).as("qtf"))
-      else qtRaw.distinct())
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else qtRaw.distinct()
+    // the query-term relation is QUERY-BATCH-sized by construction
+    // (|queries| x |query terms|) and every arm of the serve reads it
+    // — collect ONCE and replant as a LocalRelation (the r19
+    // domainReweight move): downstream subtrees then embed a literal
+    // relation instead of the tokenize+aggregate plan, the
+    // persist/unpersist lifecycle disappears, and the slice arm's
+    // semi-joins against it broadcast a local frame. Eager at
+    // DataFrame-construction time, exactly like the routing collect
+    // below (this serve face routes on the driver by contract).
+    val qtRows = qtF.collect()
+    val qt = spark.createDataFrame(
+      java.util.Arrays.asList(qtRows: _*), qtF.schema)
     // COST-ROUTING pre-gate (never a correctness decision — both
     // routes are exact), a HEURISTIC not a proof: a term whose slice
     // covers its WHOLE posting list (df <= sliceM) bounds its tail at
@@ -739,9 +750,6 @@ object TextAnalysis {
     val pruneIdx = routesF.schema.fieldIndex("_prune")
     val nPrune = routesRows.count(_.getBoolean(pruneIdx))
     if (nPrune == 0) {
-      graft.cache.Pins.track(spark, new AutoCloseable {
-        def close(): Unit = qt.unpersist(blocking = false)
-      })
       // the already-resolved layer frames serve the whole batch —
       // same plan as the public face, minus a duplicate parquet
       // resolution of the layer
@@ -757,16 +765,21 @@ object TextAnalysis {
     // the slice arm sees ONLY prune-routed queries: their (smaller)
     // vocabulary restricts the contribution scan, and a routed
     // query's terms can never leak candidates into the arm
-    val qtP = qt.join(routes.filter(col("_prune"))
-        .select(col(queryIdCol)), Seq(queryIdCol), "left_semi")
+    // qt and routes are both LOCAL rows — the prune-routed subset is
+    // a driver-side filter, planted as a LocalRelation like its
+    // parents (no semi-join job, no distributed qt in any subtree)
+    val qidIdx = qtF.schema.fieldIndex(queryIdCol)
+    val pruneIds = routesRows.filter(_.getBoolean(pruneIdx))
+      .map(_.get(0)).toSet
+    val qtP = spark.createDataFrame(
+      java.util.Arrays.asList(
+        qtRows.filter(r => pruneIds.contains(r.get(qidIdx))): _*),
+      qtF.schema)
     val posting = bm25QueryVocabPostingsFrom(tfL, statsL,
         qtP.select(col(queryIdCol), col("term")), k1, b, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.cache.Pins.track(spark, new AutoCloseable {
-      def close(): Unit = {
-        qt.unpersist(blocking = false)
-        posting.unpersist(blocking = false)
-      }
+      def close(): Unit = posting.unpersist(blocking = false)
     })
     // weighted slices rank by the RAW DOUBLE `_sd`: the weighted score
     // term is cast18(_sd * qtf), and only double-ordered slices make
@@ -837,7 +850,7 @@ object TextAnalysis {
     // verdict row reports zero candidates and null theta/bound —
     // `pruned = false` routes them into the fallback with the
     // bound-failed queries
-    val verdict = boundQ.join(thetaN, Seq(queryIdCol), "left")
+    val verdictF = boundQ.join(thetaN, Seq(queryIdCol), "left")
       .select(col(queryIdCol),
         coalesce(col("_ncand"), lit(0L)).as("n_candidates"),
         col("_theta").as("theta"), col("_bound").as("bound"),
@@ -848,10 +861,17 @@ object TextAnalysis {
           lit(null).cast("double").as("theta"),
           lit(null).cast("double").as("bound"),
           lit(false).as("pruned")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.cache.Pins.track(spark, new AutoCloseable {
-      def close(): Unit = verdict.unpersist(blocking = false)
-    })
+    // the verdict is QUERY-BATCH-sized (exactly one row per query) —
+    // collect and replant it like qt/routes above: okQ/failQ become
+    // LocalRelations, so neither the served union nor the fallback
+    // embeds the whole slice-arm subtree through a semi-join key, the
+    // persist/unpersist pair disappears, and the one collect is the
+    // action that materializes the slice arm's persisted frames. The
+    // measured passes stay identical — this moves WHERE the
+    // batch-sized rows live, not what is computed.
+    val verdictRows = verdictF.collect()
+    val verdict = spark.createDataFrame(
+      java.util.Arrays.asList(verdictRows: _*), verdictF.schema)
     val okQ = verdict.filter(col("pruned")).select(col(queryIdCol))
     val failQ = verdict.filter(!col("pruned")).select(col(queryIdCol))
     val prunedPart = ranked
@@ -2133,7 +2153,15 @@ object TextAnalysis {
                idCol: String = "doc_id",
                queryIdCol: String = "query_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the corpus-side sparse relation feeds BOTH the norm aggregate
+    // and the dot-product join — persist it (Pins-tracked like the
+    // bm25 postings) so the tokenize+hash pass over the corpus runs
+    // once, not once per consumer subtree
     val c = hashEmbedSparse(corpus, dim, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.cache.Pins.track(corpus.sparkSession, new AutoCloseable {
+      def close(): Unit = c.unpersist(blocking = false)
+    })
     val q = hashEmbedSparse(
       queries.withColumnRenamed(queryIdCol, idCol), dim, textCol,
       idCol).select(col(idCol).as(queryIdCol),
