@@ -385,6 +385,36 @@ object Bench {
     // names_md5 lets any reader prove its name list matches. Printed
     // second-to-last so the compact summary stays the intact LAST
     // line whatever the tail window clips above.
+    // the NAME-KEYED min map, chunked into <=1 KB JSON lines (VERDICT
+    // r20 #2: PERF's per_query/scaling blocks came back empty two
+    // rounds running because the only name-keyed map lived in the
+    // sidecar file — the bounded stdout tail now carries at least the
+    // final chunks, each self-describing via (i, k, names_md5), and
+    // the sidecar remains the complete record). Printed ABOVE the
+    // values-only line and the summary so the guaranteed-intact LAST
+    // lines stay exactly what they were.
+    if (mins.nonEmpty) {
+      val sortedMins0 = mins.sortBy(_._1)
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(sortedMins0.map(_._1).mkString(",")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map("%02x".format(_)).mkString
+      val entries = sortedMins0.map { case (k, v) => "\"" + k + "\":" + sec(v) }
+      val chunks = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      var cur = scala.collection.mutable.ArrayBuffer[String]()
+      var curLen = 0
+      entries.foreach { e =>
+        if (curLen + e.length > 900 && cur.nonEmpty) {
+          chunks += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer[String]()
+          curLen = 0
+        }
+        cur += e; curLen += e.length + 1
+      }
+      if (cur.nonEmpty) chunks += cur.toSeq
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        println(s"""{"metric":"queries_min_part","i":$i,"k":${chunks.size},"names_md5":"$md5","q":${c.mkString("{", ",", "}")}}""")
+      }
+    }
     if (mins.nonEmpty) {
       val sortedMins = mins.sortBy(_._1)
       val namesMd5 = java.security.MessageDigest.getInstance("MD5")

@@ -1197,6 +1197,64 @@ object ScaleBench {
           graft.llm.Similarity.ivfCompactDelta(spark, adir))
         report("ivf_compact_delta", f, nEmb, cr, tc)
       }
+      // relational-family probes (r21, VERDICT r20 #1): the bench's
+      // rel queries are all at/under ~1 s at sf0.1 where the suite is
+      // planning-bound — these probe the family's three core shapes
+      // (shuffle join + agg, per-key window, group agg) on a
+      // copy-scaled lineitem/orders pair so the data plane's
+      // 8-vs-32-core scaling is measurable. Copies offset o_orderkey
+      // AND o_custkey by their strides: the join key set scales with
+      // the corpus (never a hot key), and window partitions stay
+      // original-sized while their COUNT scales — the 100 TB shape.
+      if (enabled("rel_join_agg") || enabled("rel_window") ||
+          enabled("rel_group_agg")) {
+        val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val or0 = spark.read.parquet(s"$sfDir/orders.parquet")
+        val okStride =
+          or0.agg(max(col("o_orderkey"))).head().getLong(0) + 1L
+        val ckStride =
+          or0.agg(max(col("o_custkey"))).head().getLong(0) + 1L
+        val liDest = s"$scratch/rel_li_$f"
+        val orDest = s"$scratch/rel_or_$f"
+        (0 until f).map(i => li0.withColumn("l_orderkey",
+            col("l_orderkey") + lit(i.toLong * okStride)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(liDest)
+        (0 until f).map(i => or0
+            .withColumn("o_orderkey",
+              col("o_orderkey") + lit(i.toLong * okStride))
+            .withColumn("o_custkey",
+              col("o_custkey") + lit(i.toLong * ckStride)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(orDest)
+        val liS = spark.read.parquet(liDest)
+        val orS = spark.read.parquet(orDest)
+        val nLi = liS.count(); val nOr = orS.count()
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+        runProbe("rel_join_agg", f, nLi)(
+          liS.join(orS, col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("o_orderpriority"))
+            .agg(sum(dec(col("l_extendedprice")) *
+                (lit(1) - dec(col("l_discount"))))
+                .cast("double").as("revenue"),
+              count(lit(1)).as("n_items"))
+            .count())
+        runProbe("rel_window", f, nOr) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          orS.withColumn("rn", row_number().over(w))
+            .withColumn("running_price", sum(dec(col("o_totalprice")))
+              .over(w.rowsBetween(org.apache.spark.sql.expressions
+                .Window.unboundedPreceding, 0)).cast("double"))
+            .filter(col("rn") <= 3).count()
+        }
+        runProbe("rel_group_agg", f, nOr)(
+          orS.groupBy(col("o_custkey"))
+            .agg(count(lit(1)).as("n_orders"),
+              sum(dec(col("o_totalprice"))).as("sum_price"))
+            .count())
+      }
       if (enabled("ivf_filtered_topk")) {
         val idir = s"$scratch/ivf_filtered_$f"
         val cents = graft.llm.Similarity.kmeansCentroidsUncached(

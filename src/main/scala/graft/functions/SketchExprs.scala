@@ -21,6 +21,47 @@ import org.apache.spark.sql.types._
   */
 object SketchExprs {
 
+  /** Dense matrix argument (centroid sets, LSH plane sets) for the
+    * vector expressions. A bare `Seq[Seq[Double]]` constructor arg is
+    * flattened by `Expression.flatArguments`, so every `explain`
+    * rendered the FULL matrix (22.7 KB per nearest_cell/probe_cells
+    * occurrence at 1024 cells — the dominant term in the IVF-family
+    * formatted plans), and case-class equality — hit on every
+    * canonicalization / ReuseExchange / subexpression-elimination
+    * comparison — walked all cells x dim doubles. This wrapper is a
+    * single non-Iterable argument: `toString` is a ~40-char digest
+    * (content-hashed, so plan diffs still distinguish different
+    * matrices), equality fast-paths on the precomputed hash, and the
+    * kernels read the same Array[Array[Double]] they always did.
+    * Pure representation — expression semantics are untouched. */
+  final class CentMatrix(val rows: Array[Array[Double]])
+      extends Serializable {
+    override val hashCode: Int = {
+      var h = 17
+      var i = 0
+      while (i < rows.length) {
+        h = h * 31 + java.util.Arrays.hashCode(rows(i)); i += 1
+      }
+      h
+    }
+    override def equals(o: Any): Boolean = o match {
+      case m: CentMatrix =>
+        (this eq m) || (hashCode == m.hashCode &&
+          rows.length == m.rows.length &&
+          rows.indices.forall(i =>
+            java.util.Arrays.equals(rows(i), m.rows(i))))
+      case _ => false
+    }
+    override def toString: String = {
+      val dim = if (rows.isEmpty) 0 else rows(0).length
+      f"mat(${rows.length}x$dim,h=$hashCode%08x)"
+    }
+  }
+  object CentMatrix {
+    def apply(m: Seq[Seq[Double]]): CentMatrix =
+      new CentMatrix(m.map(_.toArray).toArray)
+  }
+
   private def isFloatArr(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -565,7 +606,7 @@ object SketchExprs {
   }
 
   /** Per-table hyperplane-LSH sign buckets: vec -> array<long>(nTables). */
-  case class HyperplaneBits(child: Expression, planes: Seq[Seq[Double]],
+  case class HyperplaneBits(child: Expression, planes: CentMatrix,
                             planesPerTable: Int)
       extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
@@ -573,8 +614,7 @@ object SketchExprs {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "hyperplane_bits"
     private def vF = isFloatArr(child.dataType)
-    @transient private lazy val planesArr: Array[Array[Double]] =
-      planes.map(_.toArray).toArray
+    private def planesArr: Array[Array[Double]] = planes.rows
     override def nullSafeEval(input: Any): Any =
       SketchOps.planeBits(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
         vF, planesArr, planesPerTable)
@@ -588,15 +628,14 @@ object SketchExprs {
   }
 
   /** Nearest-centroid id (squared L2, ties to lowest id): vec -> long. */
-  case class NearestCell(child: Expression, cents: Seq[Seq[Double]])
+  case class NearestCell(child: Expression, cents: CentMatrix)
       extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       checkVec(prettyName, child.dataType)
     override def dataType: DataType = LongType
     override def prettyName: String = "nearest_cell"
     private def vF = isFloatArr(child.dataType)
-    @transient private lazy val centsArr: Array[Array[Double]] =
-      cents.map(_.toArray).toArray
+    private def centsArr: Array[Array[Double]] = cents.rows
     override def nullSafeEval(input: Any): Any =
       SketchOps.nearestCell(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
         vF, centsArr)
@@ -613,15 +652,14 @@ object SketchExprs {
     * the fit gauge behind the index-drift monitor (same cellDists
     * arithmetic as [[NearestCell]], so the value replays with the
     * assignment oracles' sqd formula). */
-  case class NearestCellDist(child: Expression, cents: Seq[Seq[Double]])
+  case class NearestCellDist(child: Expression, cents: CentMatrix)
       extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       checkVec(prettyName, child.dataType)
     override def dataType: DataType = DoubleType
     override def prettyName: String = "nearest_cell_dist"
     private def vF = isFloatArr(child.dataType)
-    @transient private lazy val centsArr: Array[Array[Double]] =
-      cents.map(_.toArray).toArray
+    private def centsArr: Array[Array[Double]] = cents.rows
     override def nullSafeEval(input: Any): Any =
       SketchOps.nearestCellDist(
         input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
@@ -636,15 +674,14 @@ object SketchExprs {
   }
 
   /** nProbe nearest centroid ids by (distance, id): vec -> array<long>. */
-  case class ProbeCells(child: Expression, cents: Seq[Seq[Double]], nProbe: Int)
+  case class ProbeCells(child: Expression, cents: CentMatrix, nProbe: Int)
       extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       checkVec(prettyName, child.dataType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "probe_cells"
     private def vF = isFloatArr(child.dataType)
-    @transient private lazy val centsArr: Array[Array[Double]] =
-      cents.map(_.toArray).toArray
+    private def centsArr: Array[Array[Double]] = cents.rows
     override def nullSafeEval(input: Any): Any =
       SketchOps.probeCells(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
         vF, centsArr, nProbe)
@@ -708,11 +745,11 @@ object SketchExprs {
   def vecCosine(a: Column, b: Column): Column =
     toCol(VecCosine(toExpr(a), toExpr(b)))
   def hyperplaneBits(v: Column, planes: Seq[Seq[Double]], ppt: Int): Column =
-    toCol(HyperplaneBits(toExpr(v), planes, ppt))
+    toCol(HyperplaneBits(toExpr(v), CentMatrix(planes), ppt))
   def nearestCell(v: Column, cents: Seq[Seq[Double]]): Column =
-    toCol(NearestCell(toExpr(v), cents))
+    toCol(NearestCell(toExpr(v), CentMatrix(cents)))
   def nearestCellDist(v: Column, cents: Seq[Seq[Double]]): Column =
-    toCol(NearestCellDist(toExpr(v), cents))
+    toCol(NearestCellDist(toExpr(v), CentMatrix(cents)))
   def probeCells(v: Column, cents: Seq[Seq[Double]], nProbe: Int): Column =
-    toCol(ProbeCells(toExpr(v), cents, nProbe))
+    toCol(ProbeCells(toExpr(v), CentMatrix(cents), nProbe))
 }

@@ -470,14 +470,47 @@ object Dedup {
     * 56% at natural 16x (100M → 45M) — a steady ~2x+ across regimes,
     * not the order-of-magnitude a heavier-tailed prefix would give. */
   private def prefixCandidates(prefix: DataFrame, threshold: Double,
-                               dedupe: Boolean = true): DataFrame = {
+                               dedupe: Boolean = true,
+                               asymmetric: Boolean = false): DataFrame = {
     val alphaD = lit(threshold / (1.0 + threshold)) *
       (col("sz_a") + col("sz_b")).cast("double")
-    val cand = prefix.select(col("s"), col("id").as("id_a"),
-        col("sz").as("sz_a"), col("rk").as("rk_a"))
+    // ASYMMETRIC INDEX PREFIX (PPJoin's indexing/probing split, the
+    // r20-verdict candidate-term cut): canonicalize pairs on
+    // (sz, id) instead of id, so side A is always the SMALLER doc —
+    // then |B| >= |A| gives α = ceil(t/(1+t)·(|A|+|B|)) >=
+    // ceil(2t/(1+t)·|A|), and the prefix lemma (all-shared-past-p
+    // leaves < α positions) shortens A's required prefix from
+    // (1−t)·|A|+1 to (1−t)/(1+t)·|A|+1 (1/3 shorter at t = 0.5). The
+    // first-in-global-order shared shingle of a true pair lies inside
+    // BOTH prefixes and passes the positional filter (every other
+    // shared shingle ranks later in both docs), so the surviving
+    // candidate set — and the verified output — is IDENTICAL to the
+    // symmetric join's; only the A-side join input shrinks, BEFORE
+    // the exchange (guide §3.2 reduce-before-shuffle). The ceil runs
+    // on −1e-9 so double noise only lengthens the prefix. Used by the
+    // slab form, where the prefix stream is parquet-materialized and
+    // the two differently-filtered reads are partition-pruned scans;
+    // the one-pass form keeps the symmetric self-join, whose
+    // identical subtrees share ONE exchange (ReuseExchange) — a
+    // second filtered subtree there would recompute the df+window
+    // stream from scratch.
+    val idxPrefixLen = col("sz") -
+      ceil(lit(2.0 * threshold / (1.0 + threshold)) *
+        col("sz").cast("double") - lit(1e-9)) + 1
+    val sideA =
+      (if (asymmetric) prefix.filter(col("rk") <= idxPrefixLen)
+       else prefix)
+        .select(col("s"), col("id").as("id_a"),
+          col("sz").as("sz_a"), col("rk").as("rk_a"))
+    val orient =
+      if (asymmetric)
+        col("sz_a") < col("sz_b") ||
+          (col("sz_a") === col("sz_b") && col("id_a") < col("id_b"))
+      else col("id_a") < col("id_b")
+    val candRaw = sideA
       .join(prefix.select(col("s"), col("id").as("id_b"),
         col("sz").as("sz_b"), col("rk").as("rk_b")), Seq("s"))
-      .filter(col("id_a") < col("id_b") &&
+      .filter(orient &&
         col("sz_a").cast("double") >=
           lit(threshold) * col("sz_b").cast("double") - lit(1e-9) &&
         col("sz_b").cast("double") >=
@@ -485,7 +518,12 @@ object Dedup {
         (lit(1) + least(col("sz_a") - col("rk_a"),
           col("sz_b") - col("rk_b"))).cast("double") >=
           ceil(alphaD - lit(1e-9)))
-      .select(col("id_a"), col("id_b"))
+    // size-canonical pairs re-emit in id order (the output contract)
+    val cand =
+      if (asymmetric)
+        candRaw.select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+      else candRaw.select(col("id_a"), col("id_b"))
     // dedupe=false: a pair sharing k prefix shingles reaches the
     // verify k times and the CALLER dedupes after verification —
     // correct whenever the caller's output is deduplicated (the slab
@@ -497,10 +535,12 @@ object Dedup {
   }
 
   /** Diag-only accessor for [[prefixCandidates]] (the tools package
-    * A/Bs the distinct placement on a replayed slab). */
+    * A/Bs the distinct placement and the asymmetric index prefix on
+    * a replayed slab). */
   private[graft] def prefixCandidatesForDiag(prefix: DataFrame,
-      threshold: Double, dedupe: Boolean): DataFrame =
-    prefixCandidates(prefix, threshold, dedupe)
+      threshold: Double, dedupe: Boolean,
+      asymmetric: Boolean = false): DataFrame =
+    prefixCandidates(prefix, threshold, dedupe, asymmetric)
 
   /** [[jaccardPairsPrefix]] in an OUT-OF-CORE slab form: identical
     * output (same prefix-filter lemma, same exact verification), with
@@ -962,9 +1002,29 @@ object Dedup {
     * convergence-tested; near-dup clusters are shallow so 2-4 rounds
     * suffice).
     *
+    * LINEAGE / FAULT-TOLERANCE CONTRACT (distributed path): each
+    * round truncates its lineage with `localCheckpoint(eager)` —
+    * plans stay O(1) per round instead of O(rounds) — and the FINAL
+    * round's blocks are handed to
+    * [[graft.cache.Pins.trackLocalCheckpoint]], so the returned frame
+    * must be fully consumed BEFORE `Pins.release`: unlike a persisted
+    * frame (which silently recomputes), a local checkpoint cannot be
+    * recomputed after its blocks are freed. Local checkpoint blocks
+    * are also executor-local and non-recomputable on executor loss —
+    * fine in local mode and for single-serve consumption, but a long
+    * cluster job that must survive executor failure should pass
+    * `checkpointDir = Some(dir)`: every round then uses RELIABLE
+    * `checkpoint()` into that directory (recomputable from storage,
+    * survives executor loss; checkpoint files are left to the
+    * directory's owner to reap — standard `setCheckpointDir`
+    * semantics), and the returned frame reads from reliable storage
+    * with no consume-before-release constraint.
+    *
     * Returns (id, component), component = min id in the cluster. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
-                          driverThreshold: Long = 2000000L): DataFrame = {
+                          driverThreshold: Long = 2000000L,
+                          checkpointDir: Option[String] = None)
+      : DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = pairs.sparkSession
     // persist the pair set: consumed by the size probe, then by either
@@ -1019,9 +1079,21 @@ object Dedup {
               case lr: org.apache.spark.sql.execution.LogicalRDD =>
                 lr.rdd
             }
-          var labels = edges.select(col("src").as("id")).distinct()
-            .withColumn("component", col("id"))
-            .localCheckpoint(true)
+          // reliable mode: point the context at the caller's dir once
+          // and swap every per-round truncation to checkpoint() —
+          // same lineage shape, storage-backed recovery
+          checkpointDir.foreach { d =>
+            if (spark.sparkContext.getCheckpointDir.isEmpty ||
+                spark.sparkContext.getCheckpointDir.exists(
+                  !_.contains(d)))
+              spark.sparkContext.setCheckpointDir(d)
+          }
+          def truncate(df: DataFrame): DataFrame =
+            if (checkpointDir.isDefined) df.checkpoint(true)
+            else df.localCheckpoint(true)
+          var labels = truncate(
+            edges.select(col("src").as("id")).distinct()
+              .withColumn("component", col("id")))
           var labelRdds = ckRdds(labels)
           var converged = false
           var iter = 0
@@ -1031,11 +1103,10 @@ object Dedup {
               .join(labels.withColumnRenamed("id", "src"), Seq("src"))
               .groupBy(col("dst").as("id"))
               .agg(min(col("component")).as("n_min"))
-            val next = labels.join(neighborMin, Seq("id"), "left")
+            val next = truncate(labels.join(neighborMin, Seq("id"), "left")
               .select(col("id"),
                 least(col("component"),
-                  coalesce(col("n_min"), col("component"))).as("component"))
-              .localCheckpoint(true)
+                  coalesce(col("n_min"), col("component"))).as("component")))
             val changed = next
               .join(labels.withColumnRenamed("component", "old"), Seq("id"))
               .filter(col("component") < col("old")).limit(1).count()
@@ -1045,10 +1116,14 @@ object Dedup {
             converged = changed == 0
             iter += 1
           }
-          // hand the final round's checkpoint blocks to the session
-          // registry so Pins.release frees them after the consumer's
-          // actions, like every unmanaged shorthand
-          graft.cache.Pins.trackLocalCheckpoint(labels)
+          // local mode: hand the final round's checkpoint blocks to
+          // the session registry so Pins.release frees them after the
+          // consumer's actions, like every unmanaged shorthand.
+          // Reliable mode has no executor blocks to track — the frame
+          // reads from the checkpoint dir.
+          if (checkpointDir.isEmpty)
+            graft.cache.Pins.trackLocalCheckpoint(labels)
+          labels
         } finally { edges.unpersist(); () }
       }
     } finally { p.unpersist(); () }

@@ -1645,13 +1645,14 @@ object Similarity {
   def embedOutliers(emb: DataFrame, centroids: Seq[Seq[Double]],
                     zThreshold: Double = 2.0, idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
-    val centLit = array(centroids.map(c =>
-      array(c.map(lit(_)): _*)): _*)
-    val ownCent = element_at(centLit, (col("cell_id") + 1).cast("int"))
-    val dist = sqrt(aggregate(
-      zip_with(col(vecCol), ownCent,
-        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-      lit(0.0), (acc, v) => acc + v))
+    // distance to the ASSIGNED (= nearest, ties to lowest id)
+    // centroid via the codegen'd NearestCellDist kernel: the same
+    // dimension-ordered IEEE fold as the former
+    // zip_with/aggregate literal-array chain (bit-identical, spec +
+    // oracle-pinned), minus the cells x dim literal tree in every
+    // plan (22 KB at 1024 cells) and the interpreted HOF per row
+    val dist = sqrt(graft.functions.SketchExprs.nearestCellDist(
+      col(vecCol), centroids))
     val d = assignCells(emb, centroids, idCol, vecCol)
       .select(col(idCol), col("cell_id"), dist.as("_d"))
     val st = d.groupBy(col("cell_id"))
@@ -1700,13 +1701,10 @@ object Similarity {
                  keepFrac: Double = 0.5, idCol: String = "vec_id",
                  vecCol: String = "embedding"): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0, s"keepFrac $keepFrac")
-    val centLit = array(centroids.map(c =>
-      array(c.map(lit(_)): _*)): _*)
-    val ownCent = element_at(centLit, (col("cell_id") + 1).cast("int"))
-    val dist = sqrt(aggregate(
-      zip_with(col(vecCol), ownCent,
-        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-      lit(0.0), (acc, v) => acc + v))
+    // own-centroid distance via the codegen'd kernel — bit-identical
+    // to the former literal-array zip_with fold (see embedOutliers)
+    val dist = sqrt(graft.functions.SketchExprs.nearestCellDist(
+      col(vecCol), centroids))
     val d = assignCells(emb, centroids, idCol, vecCol)
       .select(col(idCol), col("cell_id"), round(dist, 6).as("dist"))
     val wr = Window.partitionBy(col("cell_id"))
@@ -1744,13 +1742,10 @@ object Similarity {
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
     require(keepFrac > 0.0 && keepFrac < 1.0, s"keepFrac $keepFrac")
-    val centLit = array(centroids.map(c =>
-      array(c.map(lit(_)): _*)): _*)
-    val ownCent = element_at(centLit, (col("cell_id") + 1).cast("int"))
-    val dist = sqrt(aggregate(
-      zip_with(col(vecCol), ownCent,
-        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-      lit(0.0), (acc, v) => acc + v))
+    // own-centroid distance via the codegen'd kernel — bit-identical
+    // to the former literal-array zip_with fold (see embedOutliers)
+    val dist = sqrt(graft.functions.SketchExprs.nearestCellDist(
+      col(vecCol), centroids))
     val d = assignCells(emb, centroids, idCol, vecCol)
       .select(col(idCol), col("cell_id"), round(dist, 6).as("dist"))
     val cuts = d.groupBy(col("cell_id"))

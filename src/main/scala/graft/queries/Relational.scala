@@ -267,13 +267,14 @@ object Relational {
     "q18_partitioned_write" -> ((s, dir) => {
       import s.implicits._
       val scratch = s"${graft.Scratch.root}/q18_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-      // direct write from scan partitions: files-per-dir = tasks x
-      // values. At 100 TB with a LOW-cardinality partition column,
-      // bound the file count without collapsing parallelism by
-      // salting: .repartition(nFiles, col, pmod(xxhash64(id), nFiles))
-      // (repartition(col) alone would mean one reducer per value);
-      // spark.sql.files.maxRecordsPerFile caps file size either way.
-      table(s, dir, "orders")
+      // clustered partitioned write (r21): a direct write from scan
+      // partitions emits tasks x values files; clusterByPartitions'
+      // REBALANCE bounds it at ~one well-sized file per value with
+      // AQE splitting any oversized value across tasks (the remedy
+      // this comment used to only document — the read-back aggregate
+      // below is layout-independent, oracle-hash-pinned).
+      graft.Writes.clusterByPartitions(table(s, dir, "orders"),
+          "o_orderstatus")
         .write.mode("overwrite").partitionBy("o_orderstatus").parquet(scratch)
       s.read.parquet(scratch)
         .groupBy($"o_orderstatus")

@@ -53,7 +53,10 @@ object Formats {
     override def writePartitioned(df: DataFrame, path: String,
                                   partitionCol: String,
                                   codec: Option[String]): Unit = {
-      val w = df.write.mode("overwrite").partitionBy(partitionCol)
+      // cluster by the partition key first — without it a dynamic-
+      // partition write emits task x value files (Writes scaladoc)
+      val w = graft.Writes.clusterByPartitions(df, partitionCol)
+        .write.mode("overwrite").partitionBy(partitionCol)
       codec.foreach(c => w.option("compression", c))
       w.parquet(path)
     }
@@ -78,7 +81,8 @@ object Formats {
     override def writePartitioned(df: DataFrame, path: String,
                                   partitionCol: String,
                                   codec: Option[String]): Unit = {
-      val w = df.write.mode("overwrite").partitionBy(partitionCol)
+      val w = graft.Writes.clusterByPartitions(df, partitionCol)
+        .write.mode("overwrite").partitionBy(partitionCol)
       codec.foreach(c => w.option("compression", c))
       w.json(path)
     }
@@ -108,7 +112,8 @@ object Formats {
     override def writePartitioned(df: DataFrame, path: String,
                                   partitionCol: String,
                                   codec: Option[String]): Unit = {
-      val w = df.write.mode("overwrite").partitionBy(partitionCol)
+      val w = graft.Writes.clusterByPartitions(df, partitionCol)
+        .write.mode("overwrite").partitionBy(partitionCol)
         .option("header", header.toString).option("delimiter", delimiter)
       codec.foreach(c => w.option("compression", c))
       w.csv(path)
@@ -222,7 +227,8 @@ object Formats {
     override def writePartitioned(df: DataFrame, path: String,
                                   partitionCol: String,
                                   codec: Option[String]): Unit = {
-      val w = df.write.mode("overwrite").partitionBy(partitionCol)
+      val w = graft.Writes.clusterByPartitions(df, partitionCol)
+        .write.mode("overwrite").partitionBy(partitionCol)
       codec.foreach(c => w.option("compression", c))
       w.orc(path)
     }

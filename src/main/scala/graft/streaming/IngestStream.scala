@@ -677,28 +677,56 @@ object IngestStream {
     * sidecar instead of re-passing them (the mismatch ADVICE
     * documented: a layer written at non-default width, later probed
     * with defaults, underestimates and breaks one-sided error). */
+  /** Serializes concurrent [[publishGeometry]] calls in this JVM —
+    * two batch publishes of the SAME layer may run as concurrent
+    * driver jobs (the overlapped-publish pattern), and an
+    * unsynchronized exists-then-create let one thread open a
+    * just-truncated sidecar (ADVICE r20). */
+  private val geometryLock = new Object
+
   private def publishGeometry(spark: org.apache.spark.sql.SparkSession,
                               sketchDir: String, depth: Int,
-                              width: Int, seed: Long): Unit = {
-    val existing = cmsLayerGeometry(spark, sketchDir)
-    existing match {
-      case Some((d, w, s)) =>
-        require(d == depth && w == width && s == seed,
-          s"CMS layer $sketchDir was built with depth=$d width=$w " +
-            s"seed=$s; refusing to publish a depth=$depth " +
-            s"width=$width seed=$seed batch into it")
-      case None =>
-        val p = new org.apache.hadoop.fs.Path(
-          s"$sketchDir/_geometry.json")
-        val fs = p.getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        val out = fs.create(p, true)
-        try out.write(
-          s"""{"depth":$depth,"width":$width,"seed":$seed}"""
-            .getBytes("UTF-8"))
-        finally out.close()
+                              width: Int, seed: Long): Unit =
+    geometryLock.synchronized {
+      val existing = cmsLayerGeometry(spark, sketchDir)
+      existing match {
+        case Some((d, w, s)) =>
+          require(d == depth && w == width && s == seed,
+            s"CMS layer $sketchDir was built with depth=$d width=$w " +
+              s"seed=$s; refusing to publish a depth=$depth " +
+              s"width=$width seed=$seed batch into it")
+        case None =>
+          // write-to-temp-then-rename: a reader (or a concurrent
+          // writer in ANOTHER process) never observes a partially
+          // written sidecar — it sees either no file or a complete one
+          val p = new org.apache.hadoop.fs.Path(
+            s"$sketchDir/_geometry.json")
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"$sketchDir/._geometry.json.tmp-" +
+              java.util.UUID.randomUUID().toString)
+          val fs = p.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          val out = fs.create(tmp, true)
+          try out.write(
+            s"""{"depth":$depth,"width":$width,"seed":$seed}"""
+              .getBytes("UTF-8"))
+          finally out.close()
+          if (!fs.rename(tmp, p)) {
+            // another writer won the publish: keep theirs, verify ours
+            // agrees (geometry homogeneity), drop the temp
+            fs.delete(tmp, false)
+            cmsLayerGeometry(spark, sketchDir) match {
+              case Some((d, w, s)) =>
+                require(d == depth && w == width && s == seed,
+                  s"CMS layer $sketchDir was concurrently published " +
+                    s"with depth=$d width=$w seed=$s; refusing a " +
+                    s"depth=$depth width=$width seed=$seed batch")
+              case None => throw new IllegalStateException(
+                s"could not publish $p (rename failed, no sidecar)")
+            }
+          }
+      }
     }
-  }
 
   /** Read a CMS layer's published `(depth, width, seed)` back from
     * its `_geometry.json` sidecar — the authoritative probe

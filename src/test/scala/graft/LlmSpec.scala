@@ -250,6 +250,29 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents reliable-checkpoint mode matches local mode") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft-cc-ck").toString
+    try {
+      // distributed path forced (driverThreshold = 0) with reliable
+      // checkpoint(): same labels, and the frame survives Pins.release
+      // (no consume-before-release constraint in this mode)
+      val comps = Dedup.connectedComponents(pairs, driverThreshold = 0L,
+        checkpointDir = Some(ckDir))
+      graft.cache.Pins.release(spark)
+      val m = comps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(m(1L) == 1L && m(2L) == 1L && m(3L) == 1L)
+      assert(m(10L) == 10L && m(11L) == 10L)
+      assert(m(20L) == 20L && m(21L) == 20L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(ckDir)); ()
+    }
+  }
+
   test("nearDupDedup keeps one representative per duplicate cluster") {
     import spark.implicits._
     val base = (0 until 60).map(i => s"tok$i").mkString(" ")
@@ -4686,6 +4709,41 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(p(2L) == p(4L), s"featureless docs must score alike: $p")
     assert(p(1L) > p(3L), s"the spark doc must outscore: $p")
+  }
+
+  test("gateRoundGradient: the fused one-pass round equals the SQL " +
+       "round's gradient bit for bit (nonzero weights)") {
+    val teacher = array_contains(TextAnalysis.tokens(col("text")),
+      "spark")
+    val dim = 64
+    val hvl = TextAnalysis.gateTrainingFeatures(docs, teacher, dim,
+        "text", "doc_id")
+      .repartition(col("doc_id"))
+      .persist()
+    try {
+      // deterministic nonzero weights — a mid-training round, where
+      // rounding in the sigmoid/residual chain would expose any
+      // arithmetic drift between the two forms
+      val w = Array.tabulate(dim + 1)(b =>
+        ((b * 37 % 11) - 5).toDouble / 3.0)
+      val fused = TextAnalysis.gateRoundGradient(hvl, w, dim, "doc_id")
+      // the SQL reference round: residual aggregate + id-join +
+      // bucket-keyed gradient reduce (the pre-r21 trainer plan)
+      val sig = TextAnalysis.gateResiduals(hvl, w, "doc_id")
+      val sql = hvl.join(sig, Seq("doc_id"))
+        .groupBy(col("bucket"))
+        .agg(sum((col("_r") * col("x")).cast("decimal(38,18)"))
+          .as("_g"))
+        .select(col("bucket"), col("_g").cast("double").as("_gd"))
+        .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+      val allB = (0 to dim).toSet
+      assert(allB.forall(b =>
+        fused.getOrElse(b, 0.0) == sql.getOrElse(b, 0.0)),
+        s"fused vs sql gradient mismatch: " +
+          allB.filter(b => fused.getOrElse(b, 0.0) != sql.getOrElse(b,
+            0.0)).map(b => s"$b: ${fused.getOrElse(b, 0.0)} vs " +
+            s"${sql.getOrElse(b, 0.0)}").mkString(", "))
+    } finally { hvl.unpersist(); () }
   }
 
   test("trainLinearGate/applyLinearGate: the split faces reproduce " +

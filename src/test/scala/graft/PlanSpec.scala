@@ -1069,12 +1069,14 @@ class PlanSpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      // one GD round's gradient plan exactly as trainGateCore builds
-      // it (w = 0): with auto-broadcast off, any BroadcastHashJoin
-      // left is an EXPLICIT hint — the only one allowed is the
-      // bucket-keyed weights attach. A doc_id-keyed broadcast join
-      // is the label-frame regression this gate exists to block
-      // (corpus-sized broadcast x rounds at 100 TB).
+      // the SQL REFERENCE round (since r21 the shipped trainer runs
+      // the fused one-pass gateRoundGradient, spec-proven equal bit
+      // for bit — this law still pins the reference form): with
+      // auto-broadcast off, any BroadcastHashJoin left is an EXPLICIT
+      // hint — the only one allowed is the bucket-keyed weights
+      // attach. A doc_id-keyed broadcast join is the label-frame
+      // regression this gate exists to block (corpus-sized broadcast
+      // x rounds at 100 TB).
       val hvl = TextAnalysis.gateTrainingFeatures(docs,
         array_contains(TextAnalysis.tokens(col("text")), "spark"),
         dim = 64, textCol = "text", idCol = "doc_id")
