@@ -2932,6 +2932,20 @@ object LlmQueries {
           batchId = 1L))
       Takedown.bm25Takedown(s, idxDir,
         corpus.filter(col("doc_id") % 15 === 7).select("doc_id"))
+      // serve face: the FULL postings scan, by measurement — the
+      // impact-pruned serve is exactness-safe here (oracle-green when
+      // swapped in; prune-proven queries return the identical top-k,
+      // the rest fall back to this very scan), but on this query's
+      // declared batch (63 natural 8-token-prefix queries over a
+      // ~5k-doc full-overlap vocabulary) it measured 6.645 s vs
+      // 4.429 s (N=3 mins, r21): most terms carry df >> sliceM, the
+      // router still routes a subset into the slice arm, and the
+      // arm's posting persist + slice window + bound machinery costs
+      // more than the avoided scoring. The pruned face stays the
+      // right serve for selective-query regimes (ScaleBench
+      // bm25_pruned_serve shows it flat vs the full serve's
+      // corpus-linear growth); routing THIS declared batch to it is
+      // a measured loss, not an optimization.
       TextAnalysis.bm25TopKFromPostings(s, idxDir,
           docs.filter(col("doc_id") % 100 === 0)
             .select(col("doc_id").as("query_id"),
